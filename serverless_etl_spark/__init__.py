@@ -1,0 +1,21 @@
+"""serverless_etl_spark — a PySpark-native analytics engine.
+
+Re-implements the query and data-processing capabilities of the
+reference pipeline (serge2020/serverless_etl: AWS Lambda + pandas +
+Kinesis + Athena) as one Spark engine:
+
+- batch relational layer: DataFrame/SQL plans over partitioned parquet
+  (landing → staging → analytical → operational run log, SURVEY.md §1.1)
+- scalar kernel library mirroring the reference's text/hash/timestamp
+  functions (reference: lambda/staging-transform.py:150-252)
+- Structured Streaming ingest replacing the Kinesis producer/consumer
+  pair (reference: lambda/stream_listener.py, lambda/kinesis-consumer-s3.py)
+- extended large-scale surface: dedup (exact/MinHash-LSH/Jaccard),
+  embedding similarity search, text analysis, multimodal plumbing.
+
+All heavy lifting is declared through the DataFrame API so Catalyst
+performs pushdown/pruning/join-selection; Python stays on the driver
+except for explicitly-marked Pandas UDF paths.
+"""
+
+__version__ = "0.1.0"

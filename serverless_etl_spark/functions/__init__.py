@@ -1,0 +1,32 @@
+"""Scalar kernel library (SURVEY.md §2.6 F1–F14).
+
+All kernels compile to built-in JVM column expressions — no Python UDFs
+in the hot path. The single genuine UDF in the reference (TextBlob
+sentiment) gets a deterministic lexicon implementation as column
+expressions plus an optional TextBlob pandas_udf.
+"""
+
+from .hashing import hash_key, md5_key
+from .sentiment import sentiment_cols
+from .text import (
+    clean_hashtags,
+    clean_text,
+    coalesce_full_text,
+    empty_to_null,
+    tokens,
+    ts_normalize,
+    ymd_cols,
+)
+
+__all__ = [
+    "clean_hashtags",
+    "clean_text",
+    "coalesce_full_text",
+    "empty_to_null",
+    "hash_key",
+    "md5_key",
+    "sentiment_cols",
+    "tokens",
+    "ts_normalize",
+    "ymd_cols",
+]

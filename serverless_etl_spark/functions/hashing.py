@@ -1,0 +1,27 @@
+"""Content-hash surrogate keys.
+
+Reference: generate_hash_key = base64(sha1(utf8).digest()) over
+record_id‖tweet_id‖hashtag (lambda/staging-transform.py:189-191,243-247).
+Spark's sha1 returns lowercase hex, so unhex first — output is then
+byte-identical to the reference (golden-tested vs hashlib).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _concat(cols) -> Column:
+    return F.concat(*[(F.col(c) if isinstance(c, str) else c).cast("string") for c in cols])
+
+
+def hash_key(*cols: Column | str) -> Column:
+    """F4 — base64(sha1_digest(concat(cols))), reference-exact."""
+    return F.base64(F.unhex(F.sha1(_concat(cols))))
+
+
+def md5_key(*cols: Column | str) -> Column:
+    """md5-hex variant used where the DuckDB oracle must reproduce the
+    hash (duckdb 1.0 ships md5 but not sha1)."""
+    return F.md5(_concat(cols))

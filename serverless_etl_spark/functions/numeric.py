@@ -1,0 +1,44 @@
+"""Cross-engine-deterministic numeric truncation.
+
+Spark's round() applies HALF_UP to the shortest decimal representation
+(BigDecimal.valueOf), duckdb rounds the binary double — they disagree
+on any value whose decimal repr lands on a tie (e.g. 0.59625 → 0.5963
+vs 0.5962). floor(x·10ⁿ)/10ⁿ is a pure IEEE-double computation, so two
+engines given bit-identical inputs produce bit-identical outputs —
+which is what the driver's value-hash comparison needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def trunc(col: Column | str, digits: int) -> Column:
+    """Truncate toward −∞ at `digits` decimal places (deterministic
+    across engines; SQL mirror: FLOOR(x * 10^n) / 10^n)."""
+    c = F.col(col) if isinstance(col, str) else col
+    f = float(10**digits)
+    return F.floor(c * f) / f
+
+
+def trunc_sql(expr: str, digits: int) -> str:
+    f = 10**digits
+    return f"FLOOR(({expr}) * {f}) / {f}"
+
+
+def dsum(col: Column | str, scale: int = 2, precision: int = 22) -> Column:
+    """Exact sum for decimal-quantized data (prices, 2-dp values).
+
+    Float sums are addition-order-dependent (duckdb even uses segment
+    trees for windowed sums), so two engines disagree in the last ulp —
+    which flips any truncation/rounding sitting on the quantization
+    grid. Summing in DECIMAL is exact and order-free; the final cast
+    back to double is deterministic. SQL mirror:
+    CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2, precision: int = 22) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"

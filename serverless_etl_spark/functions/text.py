@@ -1,0 +1,101 @@
+"""Text/timestamp kernels as Spark column expressions.
+
+Each function mirrors one reference kernel (citations to
+/root/reference/lambda/staging-transform.py). They are pure
+`pyspark.sql.functions` compositions: whole-stage-codegen'd JVM
+expressions, no Python in the executor path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Ordered regex chain of clean_tweet (staging-transform.py:150-177).
+# Patterns are kept verbatim where Java/Python regex semantics agree;
+# deviations:
+#  * (?m) inline flag replaces re.MULTILINE;
+#  * (?U) makes Java's \w unicode-aware like Python 3's re (step 7);
+#  * emoji ranges use Java's \x{...} code-point syntax for the
+#    supplementary planes (Python used \U0001F600 literals).
+_EMOJI_CLASS = (
+    "["
+    "\\x{1F600}-\\x{1F64F}"  # emoticons
+    "\\x{1F300}-\\x{1F5FF}"  # symbols & pictographs
+    "\\x{1F680}-\\x{1F6FF}"  # transport & map symbols
+    "\\x{1F1E0}-\\x{1F1FF}"  # flags (iOS)
+    "\\x{2702}-\\x{27B0}"
+    "\\x{24C2}-\\x{1F251}"
+    "]+"
+)
+
+CLEAN_TEXT_STEPS: tuple[tuple[str, str], ...] = (
+    (
+        r"(?m)^(http\S+|ftp|file):\\/\\/[-a-zA-Z0-9+&@#\\/%?=~_|!:,.;]*"
+        r"[-a-zA-Z0-9+&@#\\/%=~_|]",
+        "",
+    ),
+    ('"', ""),
+    (r"https\S+", ""),
+    ("RT", ""),
+    ("amp", ""),
+    ("[^\\x{0000}-\\x{FFFF}]", ""),
+    (r"(?U)([^\w\s]+)", " "),
+    (_EMOJI_CLASS, ""),
+    ("\n", ""),
+)
+
+
+def clean_text(col: Column | str) -> Column:
+    """F1 — ordered URL/quote/RT/amp/non-BMP/non-word/emoji strip
+    (staging-transform.py:150-177). Order-sensitive; golden-tested
+    against the reference's pure-Python implementation."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in CLEAN_TEXT_STEPS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def clean_hashtags(col: Column | str) -> Column:
+    """F2 — keep only [A-Za-z0-9] + whitespace
+    (staging-transform.py:179-182)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"([^A-Za-z0-9\s]+)", "")
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """F10 — split to array, dropping empty tokens
+    (staging-transform.py:239)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, sep), lambda x: x != F.lit(""))
+
+
+def empty_to_null(col: Column | str) -> Column:
+    """F14 — '' → NULL normalization (staging-transform.py:241)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == "", F.lit(None)).otherwise(c)
+
+
+def coalesce_full_text(full_text: Column, text: Column) -> Column:
+    """P2 — prefer extended full_text when non-empty
+    (stream_listener.py:44-48)."""
+    return F.coalesce(empty_to_null(full_text), text)
+
+
+def ts_normalize(col: Column | str) -> Column:
+    """F6 — arbitrary timestamp string → 'yyyy-MM-dd HH:mm:ss'
+    (staging-transform.py:207-209)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(F.to_timestamp(c), "yyyy-MM-dd HH:mm:ss")
+
+
+def ymd_cols(col: Column | str) -> dict[str, Column]:
+    """F5 — partition columns year/month/day derived from the arrival
+    timestamp (staging-transform.py:195-205,250-252)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.to_timestamp(c)
+    return {
+        "year": F.year(t),
+        "month": F.month(t),
+        "day": F.dayofmonth(t),
+    }

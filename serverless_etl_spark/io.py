@@ -1,0 +1,82 @@
+"""Table IO: reading the synthetic test tables and writing layered tables.
+
+Mirrors the reference's storage layers (SURVEY.md §1.1):
+landing (raw CSV, date-pathed) → staging (flat) → analytical
+(columnar, partitioned year/month/day) → operational run log.
+Reference citations: lambda/kinesis-consumer-s3.py:109-131 (landing CSV
+sink), athena/create_hashtags_data.hql:13-24 (partitioned columnar
+analytical table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan. Filters/projections on the result are pushed down
+    by Catalyst (verify with .explain(): PushedFilters / ReadSchema).
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+    default: read nanos as long (legacy conf) and floor-convert to
+    microseconds with integer `div` (a double division would lose
+    precision above 2^53 ns)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> None:
+    """Analytical-layer sink: columnar + Hive-style y/m/d partitions.
+
+    ≙ reference athena/create_hashtags_data.hql:13-24 (ORC PARTITIONED
+    BY year,month,day); dynamic partition insert is native in Spark.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_overwrite_flat(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Staging-layer sink: overwritten every cycle (inferred O6
+    semantics — reference LandingAnalyticalStateMachine.json:5-21
+    DeleteStagingOld has no lambda source; SURVEY.md §2.10 O6)."""
+    df.write.mode("overwrite").format(fmt).save(path)

@@ -1,0 +1,2 @@
+"""Operator modules. Importing a module registers its queries/oracles
+into serverless_etl_spark.registry (see registry.load_all)."""

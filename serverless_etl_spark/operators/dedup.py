@@ -1,0 +1,313 @@
+"""Deduplication operators for training-data pipelines: exact
+(hash-groupBy), MinHash+LSH banding, n-gram Jaccard, SimHash.
+
+Hashes are md5-based so the DuckDB oracle reproduces them bit-for-bit
+(duckdb 1.0 lacks sha1). MinHash signatures take the lexicographic min
+of md5(seed|shingle) hex strings — identical in both engines with no
+numeric hex parsing.
+
+The synthetic corpus has no natural duplicates, so dedup queries run on
+``documents ⊎ seeded-dup slice`` built inline (doc_id+1000000 clones of
+every 10th doc, plus a near-dup slice with one appended token) — the
+machinery, not the data, is under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.numeric import trunc
+from ..registry import register
+
+N_MINHASH = 8  # signature length
+BAND_SIZE = 4  # rows per LSH band → 2 bands
+
+# inline corpus-with-duplicates used by all dedup queries (SQL + Spark)
+_DUPED_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' extratoken' AS text
+        FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+def _duped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _shingles(toks):
+    """Distinct 3-gram token shingles."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3]))"""
+
+
+@register(
+    "q40_dedup_exact",
+    oracle=f"""
+    SELECT md5(text)   AS digest,
+           COUNT(*)    AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM ({_DUPED_SQL})
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, deterministic keeper
+    (min doc_id), groups with duplicates reported.
+
+    Scale: one shuffle on the 16-byte digest (not the full text —
+    project the hash before the exchange); partial agg collapses
+    singleton groups map-side."""
+    docs = _duped_docs(spark, sf_dir)
+    return (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_band_sql() -> str:
+    sigs = ",\n               ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min') AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    bands = []
+    for b in range(N_MINHASH // BAND_SIZE):
+        cols = " || '|' || ".join(f"mh{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))
+        bands.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig")
+    return sigs, "\n        UNION ALL\n        ".join(bands)
+
+
+_SIGS_SQL, _BANDS_SQL = _minhash_band_sql()
+
+
+@register(
+    "q41_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id, shingles,
+               {_SIGS_SQL}
+        FROM sh
+    ),
+    bands AS (
+        {_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           FLOOR((CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                      AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))))) * 10000) / 10000 AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    bench=True,
+)
+def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → 8-hash MinHash
+    signature → 2 bands of 4 → band-bucket self-join for candidates →
+    exact Jaccard verification ≥ 0.5.
+
+    Scale: the self-join is on (band_id, band_hash) — only colliding
+    docs meet, never the n² cross product; candidate verification joins
+    shingle sets back by doc_id. At 100 TB the band join is the one
+    shuffle that matters and its keys are uniform md5 buckets (no skew).
+    """
+    corpus = _duped_docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sh = corpus.select("doc_id", _shingles(toks).alias("shingles"))
+
+    def _mh(i: int):
+        # factory (not a 2-arg lambda: F.transform would bind the 2nd
+        # param to the element index); salt is fixed per signature row
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{i}")
+
+    sig_cols = [_mh(i) for i in range(N_MINHASH)]
+    sig = sh.select("doc_id", "shingles", *sig_cols)
+
+    band_rows = []
+    for b in range(N_MINHASH // BAND_SIZE):
+        cols = [F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    )
+    b_side = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    )
+    cand = (
+        a.join(b_side, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(
+        F.array_intersect(F.col("sh_a"), F.col("sh_b"))
+    )
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", trunc(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q42_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           FLOOR((CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_filter(a.toks, x -> list_contains(b.toks, x))))) * 10000) / 10000 AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard between adjacent doc pairs — pins the
+    set-intersection/union kernels used by every near-dup operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    return a.join(b, F.col("doc_b") == F.col("doc_a") + 1).select(
+        "doc_a", "doc_b", trunc(inter / union, 4).alias("jaccard")
+    )
+
+
+def _simhash_exprs_spark(h):
+    """16-bit SimHash from the first 4 hex chars of md5(token):
+    hex digit value = strpos('0123456789abcdef', chr) - 1, 4 bits each."""
+    bits = []
+    for b in range(16):
+        pos = b // 4 + 1  # hex char index (1-based)
+        shift = b % 4
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
+        bit = F.floor(digit / (2**shift)) % 2
+        bits.append(F.when(bit == 1, 1).otherwise(-1))
+    return bits
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for b in range(16):
+        pos = b // 4 + 1
+        shift = 2 ** (b % 4)
+        sums.append(
+            f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+            f" // {shift} % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    bits = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+    return ",\n               ".join(sums), bits
+
+
+_SIMHASH_SUMS, _SIMHASH_BITS = _simhash_sql()
+
+
+@register(
+    "q43_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, substr(md5(unnest(list_distinct(string_split(text, ' ')))), 1, 4) AS h
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_SIMHASH_SUMS}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+    FROM sums
+    """,
+)
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (bit-majority over md5(token) bits) —
+    the hamming-distance near-dup family. Bits derive from hex chars so
+    the SQL oracle is hash-identical.
+
+    Scale: explode + one groupBy(doc_id) — the sums fold map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    ).select("doc_id", F.substring(F.md5("t"), 1, 4).alias("h"))
+    bits = _simhash_exprs_spark(F.col("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(bits[b]).alias(f"s{b}") for b in range(16)]
+    )
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, 2**b).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))

@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched mapInPandas (the pattern for image/audio
+decode, resize, frame sampling at scale).
+
+The container has no codec libraries, so the decode step is a
+clearly-marked deterministic fake (and ``decode_image``/``resize``
+raise NotImplementedError); the Spark-side plumbing — binary column,
+schema, batch iteration, partitioning — is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+META_SCHEMA = (
+    "doc_id long, n_bytes int, digest string, width int, height int, n_frames int"
+)
+
+
+def decode_image(payload: bytes):
+    """Real image decode — requires an image codec (PIL/libjpeg), not
+    baked into this container."""
+    raise NotImplementedError("image codecs unavailable; use fake_decode_batch")
+
+
+def resize(payload: bytes, w: int, h: int):
+    raise NotImplementedError("image codecs unavailable; use fake_decode_batch")
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a decode/feature-extract kernel:
+    consumes (doc_id, payload: bytes) Arrow batches, emits typed
+    metadata. Shape/semantics of a real decoder; trivially swappable."""
+    for pdf in batches:
+        payload = pdf["payload"]
+        n_bytes = payload.apply(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "digest": payload.apply(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "width": (1 + n_bytes % 1024).astype("int32"),
+                "height": (1 + (pdf["doc_id"] * 7) % 768).astype("int32"),
+                "n_frames": (1 + pdf["doc_id"] % 30).astype("int32"),
+            }
+        )
+
+
+@register(
+    "q60_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT)            AS n_bytes,
+           md5(text)                                          AS digest,
+           CAST(1 + octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 768 AS INT)                AS height,
+           CAST(1 + doc_id % 30 AS INT)                       AS n_frames
+    FROM documents
+    """,
+)
+def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: text → binary payload column →
+    mapInPandas 'decode' → typed metadata. Exercises the real multimodal
+    path (binary columns in Arrow batches through a Python kernel).
+
+    Scale: mapInPandas streams per-partition Arrow batches — memory is
+    bounded by batch size, and the binary column never passes through a
+    shuffle (metadata is extracted before any wide op)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(fake_decode_batch, schema=META_SCHEMA)

@@ -1,0 +1,624 @@
+"""Core relational operators (SURVEY.md §2.2-2.5): filters/projections,
+the join family, aggregations, set ops, sorts/limits, scalar functions.
+
+Each query is a declarative DataFrame plan (Catalyst handles pushdown,
+pruning, join selection, AQE) paired with a DuckDB oracle producing
+identical rows/columns. Aggregates are rounded (sums→2, avgs/ratios→4+)
+so double arithmetic across engines hashes identically.
+
+Scale notes are inline per query — every plan here is
+shuffle-minimal: small dimensions broadcast, aggregations are partial
+(map-side combine is automatic for hash aggregates), filters reach the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..functions.numeric import dsum, trunc
+from ..registry import register
+
+
+# --- A-family: grouped aggregation (reference A1-A3, flagship agg) ---
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE)                                        AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE)                                   AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)                AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE)  AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) / COUNT(l_quantity)                                        AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(l_extendedprice)                                   AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(22,2))) AS DOUBLE) / COUNT(l_discount)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the canonical wide aggregation.
+
+    Scale: one shuffle on (l_returnflag, l_linestatus) — 6 groups, so
+    partial aggregation collapses ~everything map-side; the shipdate
+    filter is pushed to the parquet scan (min/max row-group skipping).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT event_id, user_id, ts, FLOOR((value) * 100) / 100 AS value_r
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100.0
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4 analog: source-side predicate + narrow projection.
+
+    Scale: zero shuffles; both the predicate and the 4-column
+    projection reach the parquet scan (PushedFilters + ReadSchema)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0)).select(
+        "event_id", "user_id", "ts", trunc("value", 2).alias("value_r")
+    )
+
+
+@register(
+    "q03_join_region_revenue",
+    oracle="""
+    SELECT r_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue,
+           COUNT(*)                    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    bench=True,
+)
+def q03_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-family inner equi-join chain fact→dims, revenue per region.
+
+    Scale: customer/nation/region are dimensions — all three broadcast
+    (no shuffle of the orders fact); the only shuffle is the final
+    5-group aggregate, collapsed map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q04_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_totalprice > 300000.0)
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — customers having a large urgent order.
+
+    Scale: the filtered orders side shrinks first (predicate pushdown),
+    then semi-join; Spark picks broadcast when the build side is small,
+    shuffled-hash otherwise (AQE decides at runtime)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000.0)
+    )
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q05_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q06_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 100) / 100 AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q06_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 + ORDER BY: global top-k.
+
+    Scale: Spark compiles orderBy+limit into TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; no full sort,
+    no full shuffle. Tie-broken on o_orderkey for determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            "o_orderkey", "o_custkey", trunc("o_totalprice", 2).alias("totalprice")
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q07_union_all",
+    oracle="""
+    SELECT k, COUNT(*) AS n FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY k
+    """,
+)
+def q07_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — UNION ALL of two filtered scans (multiset preserved via
+    group-count). Scale: unions are metadata-only in Spark (no shuffle);
+    the single shuffle is the final groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.unionByName(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q08_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ≙ group-by-all-columns; partial aggregation makes the
+    shuffle carry only distinct pairs."""
+    return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "q09_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*)                    AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q09_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "q10_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, FLOOR((o_totalprice) * 100) / 100 AS totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    bench=True,
+)
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: top-3 orders per customer via row_number.
+
+    Scale: one shuffle on o_custkey; Spark 3.5+/4.x inserts a
+    WindowGroupLimit (per-partition top-k pushdown) before the shuffle,
+    so the sort never sees full partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            trunc("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "q11_window_running",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value,
+           FLOOR((LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100) / 100
+               AS prev_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user over event time (analytic frames)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(22,2)")).over(frame).cast("double").alias("running_value"),
+        trunc(F.lag("value", 1).over(w), 2).alias("prev_value"),
+    )
+
+
+@register(
+    "q12_case_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 400000 THEN 'jumbo'
+                WHEN o_totalprice >= 200000 THEN 'large'
+                ELSE 'regular' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    """,
+)
+def q12_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + COALESCE/NULLIF (P2/F14 coalescing projection)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 400000, "jumbo")
+        .when(F.col("o_totalprice") >= 200000, "large")
+        .otherwise("regular")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )
+
+
+@register(
+    "q13_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                            AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+               / COUNT(json_extract_string(props, '$.k')) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — JSON field extraction from the props column, then agg.
+
+    get_json_object is a JVM builtin (Jackson) — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum("k_val").cast("double") / F.count("k_val")).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q14_date_parts",
+    oracle="""
+    SELECT CAST(year(ts) AS INT)  AS year,
+           CAST(month(ts) AS INT) AS month,
+           CAST(day(ts) AS INT)   AS day,
+           COUNT(*)               AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F7 — y/m/d partition-column derivation + daily rollup.
+    This is exactly the partition key the analytical layer writes
+    (athena/create_hashtags_data.hql:13-16)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            "value",
+        )
+        .groupBy("year", "month", "day")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .orderBy("year", "month", "day")
+    )
+
+
+@register(
+    "q15_hash_key",
+    oracle="""
+    SELECT event_id,
+           md5(CAST(event_id AS VARCHAR) || CAST(user_id AS VARCHAR) || event_type)
+               AS row_digest
+    FROM events
+    WHERE event_type IN ('signup', 'error')
+    """,
+)
+def q15_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — content-hash surrogate key. The pipeline uses
+    base64(sha1digest(...)) for byte parity with the reference
+    (functions/hashing.hash_key, golden-tested); this oracle-checked
+    variant uses md5 because duckdb 1.0 lacks sha1."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    return ev.select(
+        "event_id",
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+            )
+        ).alias("row_digest"),
+    )
+
+
+@register(
+    "q16_string_kernels",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace('RT ' || text || ' http://t.co/x1 "q" & amp;', 'https?\\S+', '', 'g'),
+             '[^A-Za-z0-9\\s]+', ' ', 'g') AS text_sql_clean,
+           upper(source)                   AS source_u,
+           substr(text, 1, 20)             AS prefix20,
+           length(text)                    AS text_len
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def q16_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2-style regex cleaning + generic string kernels, restricted
+    to the ASCII subset both regex engines (Java / RE2) agree on; the
+    full unicode clean_text chain is pinned by golden tests instead."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    noisy = F.concat(F.lit("RT "), F.col("text"), F.lit(' http://t.co/x1 "q" & amp;'))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(noisy, r"https?\S+", ""), r"[^A-Za-z0-9\s]+", " "
+        ).alias("text_sql_clean"),
+        F.upper("source").alias("source_u"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "q17_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*)                 AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q18_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event_type → per-user counts. Explicit value list keeps the
+    plan a single pass (no distinct-values pre-query) — required at
+    scale anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "q19_asof_join",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           last_signup_ts
+    FROM (
+        SELECT user_id, event_id, ts, value, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (purchase → most recent prior signup of same user),
+    expressed as last_value(ignore nulls) over a merged stream — the
+    shuffle-minimal as-of pattern: one partition-by-user sort instead of
+    a range self-join (SURVEY.md §7 extended surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        ev.withColumn("last_signup_ts", F.last(signup_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value", "last_signup_ts")
+    )
+
+
+@register(
+    "q20_range_join",
+    oracle="""
+    SELECT e1.event_id AS probe_id, COUNT(*) AS n_recent
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+     AND e2.ts <  e1.ts
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
+)
+def q20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within the hour preceding each error, per
+    user. Equi-key on user_id keeps it a hash join with a range residual
+    (not a cartesian); at 100 TB the same plan bucketizes by
+    (user_id, hour-bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("probe_id"),
+        F.col("user_id").alias("u1"),
+        F.col("ts").alias("t1"),
+    )
+    e2 = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+    return (
+        e1.join(
+            e2,
+            (F.col("u1") == F.col("u2"))
+            & (F.col("t2") >= F.col("t1") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("t2") < F.col("t1")),
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+@register(
+    "q21_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(ts)      AS first_ts,
+           COUNT(*)     AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q21_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — distinct-by-key with a deterministic keeper (earliest row
+    per key), the groupBy formulation of dropDuplicates. The pipeline's
+    hash_id dedup (staging-transform.py:248) uses dropDuplicates; this
+    oracle-checked form pins the semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_dupes")
+    )
+
+
+@register(
+    "q22_count_guard",
+    oracle="""
+    SELECT COUNT(ts) AS n_nonnull, COUNT(*) AS n_rows
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def q22_count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/P7 — COUNT(col) vs COUNT(*) (the reference's pre-insert
+    count guard, analytical-transform.py:24,113-116)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.agg(
+        F.count("ts").alias("n_nonnull"), F.count(F.lit(1)).alias("n_rows")
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over the embeddings table (array<float> column):
+brute-force cosine top-k as the exact baseline, an IVF-style
+partition-probe variant as the scale path, and cosine near-dup pairs.
+
+Dot products are computed with zip_with/aggregate builtins in double
+precision — JVM-side, no UDF. The oracle reproduces the arithmetic by
+unnesting vectors to (vec_id, dim, value) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+N_QUERIES = 8
+TOP_K = 5
+
+_DIMS_SQL = """
+    dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id
+    )
+"""
+
+
+def _vec_double(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+@register(
+    "q50_cosine_topk",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+                AS INT) AS rk
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = cand_id
+    QUALIFY rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    bench=True,
+)
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): broadcast the
+    query set against all candidates, zip_with dot product in double,
+    per-query row_number top-k.
+
+    Scale: queries broadcast (tiny side), candidates stream — one pass
+    over the corpus, no shuffle until the per-query top-k (k rows per
+    partition survive via WindowGroupLimit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), _vec_double().alias("cv"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "q51_cosine_ivf",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    meta AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN meta qm ON qm.vec_id = q.vec_id
+        JOIN meta cm ON cm.label = qm.label AND cm.vec_id <> q.vec_id
+        JOIN dims c ON c.vec_id = cm.vec_id AND q.i = c.i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+                AS INT) AS rk
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = cand_id
+    QUALIFY rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q51_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's own partition (the label
+    column stands in for a coarse-quantizer cell assignment). Same
+    ranking machinery as q50 over ~1/10th the candidates — the scale
+    path when brute force stops being affordable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        _vec_double().alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("clabel"),
+        _vec_double().alias("cv"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qlabel") == F.col("clabel")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "q52_embedding_neardup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    dims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM corpus
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+        FROM dims a
+        JOIN dims b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) > 0.95
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the IVF
+    cell) so the self-join never goes n². Seeded exact-duplicate clones
+    (vec_id+1000000 for every 25th vector) guarantee hits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = emb.select("vec_id", "label", "embedding").unionByName(clones)
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), _vec_double().alias("va")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), _vec_double().alias("vb")
+    )
+    cosine = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cosine > 0.95)
+        .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

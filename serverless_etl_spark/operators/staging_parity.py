@@ -1,0 +1,99 @@
+"""End-to-end staging-chain parity query: the whole reference pipeline
+(ingest predicate → clean → sentiment → explode → dedup → partitions)
+as ONE DataFrame plan, oracle-checked against a DuckDB CTE that
+replays the identical chain (SURVEY.md §3.2).
+
+Uses the md5 hash variant (duckdb lacks sha1); the byte-exact
+base64(sha1) path is covered by tests/test_kernels.py goldens and the
+pipeline e2e test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tweets import landing_rows
+from ..staging import transform_landing
+
+_ORACLE = r"""
+    WITH tw AS (
+        SELECT strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS created,
+               CAST(e.event_id AS VARCHAR) AS tweet_id,
+               'user_' || CAST(e.user_id AS VARCHAR) AS user_name,
+               CASE WHEN e.event_id % 11 = 0 THEN CAST(floor(e.value) AS INT) % 100
+                    ELSE CAST(floor(e.value) AS INT) + 100 END AS rt_count,
+               CASE WHEN e.event_id % 13 = 0 THEN ''
+                    ELSE string_split(d.text, ' ')[1] || ' ' ||
+                         string_split(d.text, ' ')[2] || ' ' ||
+                         string_split(d.text, ' ')[3] END AS hashtags,
+               'RT ' || d.text || ' https://t.co/x1 "q" & amp;' AS text,
+               e.event_id, e.ts
+        FROM events e
+        JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 500) d
+          ON d.doc_id = e.event_id % 500
+    ),
+    landing AS (
+        SELECT lpad(tweet_id, 12, '0') AS record_id, ts AS arrival,
+               created, tweet_id, user_name, rt_count, hashtags, text
+        FROM tw
+        UNION ALL
+        SELECT lpad(tweet_id, 12, '0'), ts, created, tweet_id, user_name,
+               rt_count, hashtags, text
+        FROM tw WHERE event_id % 20 = 0
+    ),
+    filtered AS (
+        SELECT * FROM landing
+        WHERE rt_count > 99 AND hashtags <> '' AND text <> ''
+    ),
+    cleaned AS (
+        SELECT *,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(text, '"', '', 'g'),
+                   'https\S+', '', 'g'), 'RT', '', 'g'), 'amp', '', 'g'),
+                   '[^\w\s]+', ' ', 'g') AS text_clean,
+               strftime(arrival, '%Y-%m-%d %H:%M:%S') AS time_stamp
+        FROM filtered
+    ),
+    sent AS (
+        SELECT *,
+               len(list_filter(string_split(text_clean, ' '), x -> x <> '')) AS n_tok,
+               len(list_filter(string_split(text_clean, ' '),
+                   x -> x IN ('fast', 'small', 'good', 'great', 'quick'))) AS n_pos,
+               len(list_filter(string_split(text_clean, ' '),
+                   x -> x IN ('slow', 'big', 'bad', 'error', 'poor'))) AS n_neg
+        FROM cleaned
+    ),
+    exploded AS (
+        SELECT record_id, time_stamp, created, tweet_id, user_name, rt_count,
+               unnest(string_split(regexp_replace(hashtags, '[^A-Za-z0-9\s]+', '', 'g'),
+                                   ' ')) AS hashtag,
+               FLOOR(((n_pos - n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0)) * 1000000) / 1000000 AS polarity,
+               FLOOR(((n_pos + n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0)) * 1000000) / 1000000 AS subjectivity,
+               text_clean, arrival
+        FROM sent
+    )
+    SELECT DISTINCT
+           md5(record_id || tweet_id || hashtag) AS hash_id,
+           record_id, time_stamp, created, tweet_id, user_name, rt_count,
+           hashtag, polarity, subjectivity, text_clean,
+           CAST(year(arrival) AS INT)  AS year,
+           CAST(month(arrival) AS INT) AS month,
+           CAST(day(arrival) AS INT)   AS day
+    FROM exploded
+    WHERE hashtag <> ''
+"""
+
+
+@register("q70_staging_chain", oracle=_ORACLE, bench=True)
+def q70_staging_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline over synthetic tweets: ingest predicate
+    P3 (stream_listener.py:59) + staging chain
+    (staging-transform.py:229-254). One lazy plan — Catalyst folds the
+    ingest filter into the fixture join; the only wide exchange is the
+    hash_id dedup."""
+    landing = landing_rows(spark, sf_dir).filter(
+        (F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != "")
+    )
+    return transform_landing(landing, use_sha1=False)

@@ -1,0 +1,249 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+flagship token analytics (the reference's hashtag-popularity query),
+quality scoring, language ID, document fingerprinting.
+
+All pure column expressions (array/lambda builtins) — no Python UDFs,
+so plans stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sentiment import sentiment_cols
+from ..io import load_table
+from ..functions.numeric import trunc
+from ..registry import register
+
+# stopword sets for the n-gram-heuristic language ID; scored against the
+# synthetic fixture vocabulary (deterministic, oracle-checkable)
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+
+def _toks(col):
+    return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
+
+
+@register(
+    "q30_flagship_tokens",
+    oracle="""
+    SELECT token,
+           COUNT(*)                 AS n_occurrences,
+           COUNT(DISTINCT doc_id)   AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_doc_chars
+    FROM (
+        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """,
+    bench=True,
+)
+def q30_flagship_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: token popularity — the reference's dashboard intent
+    ("popularity of recent Twitter hashtags", README.md:5) over the
+    documents table: split → explode (T1) → group → count/avg → top-k.
+
+    Scale: explode fans out map-side (no shuffle); the single shuffle
+    carries partial (token, count) pairs; top-20 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars", F.explode(_toks(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_doc_chars"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q31_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           FLOOR((CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                                    x -> len(x)), 'sum') AS DOUBLE)
+                 / len(string_split(text, ' '))) * 10000) / 10000 AS avg_token_len,
+           FLOOR((CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      AS DOUBLE)
+                 / len(string_split(text, ' '))) * 10000) / 10000 AS stopword_ratio,
+           FLOOR((CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text)) * 10000) / 10000 AS punct_ratio
+    FROM documents
+    """,
+)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document: token count, mean token
+    length, stopword ratio, punctuation ratio (length/punct/stopword
+    heuristics for corpus filtering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        trunc(total_len.cast("double") / n, 4).alias("avg_token_len"),
+        trunc(stop.cast("double") / n, 4).alias("stopword_ratio"),
+        trunc(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "q32_quality_score",
+    oracle="""
+    SELECT doc_id,
+           FLOOR((
+             0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+           + 0.3 * LEAST(CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                         * 10.0 / len(string_split(text, ' ')), 1.0)
+           + 0.2 * (1.0 - LEAST(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                                AS DOUBLE) * 5.0 / length(text), 1.0))) * 10000) / 10000 AS quality
+    FROM documents
+    """,
+)
+def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (weighted length / stopword /
+    punctuation heuristic) for corpus filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"]))).cast("double")
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+    quality = (
+        0.5 * F.least(n / 200.0, F.lit(1.0))
+        + 0.3 * F.least(stop * 10.0 / n, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct * 5.0 / F.length("text"), F.lit(1.0)))
+    )
+    return docs.select("doc_id", trunc(quality, 4).alias("quality"))
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({lst}))) AS s_{lang}"
+        )
+    return ",\n           ".join(parts)
+
+
+@register(
+    "q33_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_label,
+           {_lang_scores_sql()}
+        FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit heuristic (n-gram-lite): score each
+    candidate language's stopword set, argmax with a fixed priority
+    tie-break, 'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+
+    def _hits(words):  # factory: F.filter lambdas must be single-arg
+        ws = list(words)
+        return F.size(F.filter(toks, lambda x: x.isin(ws)))
+
+    scores = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    s = scores
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["zh"] == 0),
+            "und",
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+
+
+@register(
+    "q34_fingerprint",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(range(len(string_split(text, ' ')) - 2),
+                              i -> string_split(text, ' ')[i+1] || ' ' ||
+                                   string_split(text, ' ')[i+2] || ' ' ||
+                                   string_split(text, ' ')[i+3]) AS shingles
+        FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fingerprint,
+           len(list_distinct(shingles)) AS n_distinct_shingles
+    FROM sh
+    """,
+)
+def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over 3-gram token shingles
+    (winnowing-lite) + distinct-shingle count. The same shingle→hash
+    machinery backs MinHash-LSH dedup (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
+    )
+
+
+@register("q35_sentiment")
+def q35_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lexicon sentiment (the reference's one true UDF,
+    F3/§2.8) — rows-only check (lexicon lives in Python; the scoring
+    formula itself is pinned by tests/test_kernels.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = sentiment_cols(F.col("text"))
+    return docs.select(
+        "doc_id", sent["polarity"].alias("polarity"), sent["subjectivity"].alias("subjectivity")
+    )

@@ -1,0 +1,140 @@
+"""Time-window operators (SURVEY.md §2.9 ST6 extended surface):
+tumbling / sliding / session windows over the events stream table.
+
+Expressed in batch form here (same column semantics as the streaming
+variants in serverless_etl_spark/streaming/); the oracle reproduces
+Spark's window bucketing with time_bucket / gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..functions.numeric import dsum, trunc
+from ..registry import register
+
+
+@register(
+    "q23_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           COUNT(*)             AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    bench=True,
+)
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch shape of the
+    streaming windowed agg (streaming variant adds withWatermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "q24_sliding_window",
+    oracle="""
+    SELECT win_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR, value FROM events
+    )
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def q24_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in two
+    overlapping windows. Spark expands rows window-side before the agg —
+    the oracle reproduces that expansion with a 2-way UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "q25_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)              AS session_start,
+           MAX(ts)              AS last_event_ts,
+           COUNT(*)             AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    bench=True,
+)
+def q25_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, via Spark's
+    native session_window (streaming-capable). The oracle is the
+    classic gaps-and-islands formulation; Spark's window end is
+    exclusive, matching the `>= gap ⇒ new session` rule.
+
+    Scale: one shuffle on user_id; state is bounded per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events", "session_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q26_first_last_per_group",
+    oracle="""
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q26_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last-by-time per key (min_by/max_by) — a single hash
+    aggregate, no window sort needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+    )

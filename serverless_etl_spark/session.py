@@ -1,0 +1,79 @@
+"""SparkSession factory and session tuning.
+
+The engine is designed for a multi-executor cluster (AQE, explicit
+shuffle-partition sizing, broadcast thresholds) but is testable on
+local[N]. Everything here is plain public Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to (re)set on a live session at runtime.
+RUNTIME_CONF = {
+    # Deterministic timestamp semantics for oracle comparison (duckdb
+    # timestamps are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, broadcast demotion — the scale posture for 100 TB runs.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS); read as long + convert
+    # (io.load_table) instead of failing schema conversion
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+#: Confs that must be set before the JVM/session starts.
+STARTUP_CONF = {
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # 128 MB input splits — a sane default for large parquet scans.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_cpus() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return int(cpus) if cpus.isdigit() else 32
+
+
+def prepare(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an externally-provided session.
+
+    The driver hands us its own SparkSession; we can only adjust
+    runtime-settable confs. Safe to call repeatedly.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — accept session default
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or default_cpus()),
+        )
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "serverless-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession for tests/bench/pipeline."""
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{default_cpus()}]"
+    )
+    for k, v in {**STARTUP_CONF, **RUNTIME_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return prepare(spark, shuffle_partitions)

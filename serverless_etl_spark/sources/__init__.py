@@ -1,0 +1,3 @@
+"""Fixture/source generators: reference-shaped tweet records derived
+deterministically from the synthetic events × documents tables
+(FIXTURES.md §B)."""

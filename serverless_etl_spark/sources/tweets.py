@@ -1,0 +1,87 @@
+"""Deterministic tweet-shaped fixtures (FIXTURES.md §B1/B2), built from
+events × documents with zero randomness.
+
+One synthetic "tweet" per event: the documents table supplies
+text/hashtags (doc_id = event_id % 500 — 500 docs exist at every sf),
+the events table supplies identities/timestamps. A seeded 5% slice of
+record_ids is duplicated to model Kinesis at-least-once delivery
+(reference ST4/ST5 — hash_id dedup must absorb them); a seeded slice
+gets rt_count ≤ 99 and empty hashtags to exercise the P3/P8 filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DOC_MOD = 500  # docs available at every scale factor
+
+
+def tweets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — the 6-field stream record (stream_listener.py:63-69)."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_MOD)
+    joined = ev.join(
+        F.broadcast(docs), F.col("doc_id") == F.col("event_id") % DOC_MOD
+    )
+    toks = F.split(F.col("text"), " ")
+    # first 3 tokens as hashtags; every 13th event gets none (tests P3/P8)
+    hashtags = F.when(F.col("event_id") % 13 == 0, F.lit("")).otherwise(
+        F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2), F.element_at(toks, 3))
+    )
+    # every 11th event is unpopular (tests the rt_count > 99 predicate);
+    # floor() not cast(): Spark casts double→int by truncation, duckdb
+    # by round-half-even — floor is identical in both
+    rti = F.floor("value").cast("int")
+    rt_count = F.when(F.col("event_id") % 11 == 0, rti % 100).otherwise(rti + 100)
+    noisy_text = F.concat(
+        F.lit("RT "), F.col("text"), F.lit(' https://t.co/x1 "q" & amp;')
+    )
+    return joined.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created"),
+        F.col("event_id").cast("string").alias("tweet_id"),
+        F.concat(F.lit("user_"), F.col("user_id")).alias("user_name"),
+        rt_count.cast("int").alias("rt_count"),
+        hashtags.alias("hashtags"),
+        noisy_text.alias("text"),
+    )
+
+
+def landing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — landing rows: Kinesis envelope + flattened payload
+    (kinesis-consumer-s3.py:84-89,93-107), with a 5% duplicated slice
+    (at-least-once delivery)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    tweets = tweets_stream(spark, sf_dir)
+    base = tweets.join(
+        ev, tweets["tweet_id"] == ev["event_id"].cast("string")
+    ).select(
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("record_id"),
+        F.col("ts").alias("timestamp"),
+        "created",
+        "tweet_id",
+        "user_name",
+        "rt_count",
+        "hashtags",
+        "text",
+    )
+    dupes = base.filter(F.col("tweet_id").cast("long") % 20 == 0)
+    return base.unionByName(dupes)
+
+
+def write_landing_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist landing rows as date-pathed headerless CSV, mirroring
+    landing/YYYY/MM/DD/... (kinesis-consumer-s3.py:122-131)."""
+    df = landing_rows(spark, sf_dir)
+    (
+        df.withColumn("year", F.year("timestamp"))
+        .withColumn("month", F.month("timestamp"))
+        .withColumn("day", F.dayofmonth("timestamp"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .option("header", "false")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(out_dir)
+    )

@@ -1,0 +1,84 @@
+"""The staging transform — the reference pipeline's load-bearing stage
+(lambda/staging-transform.py:229-254), re-expressed as ONE lazy
+DataFrame plan:
+
+cast → ts-normalize → clean text → sentiment → clean hashtags → split →
+EXPLODE (grain change: tweet → tweet×hashtag) → drop empty → content
+hash_id → dedup → derive year/month/day partitions → project to target
+column order.
+
+Catalyst sees the whole chain at once: the filter/projection fold into
+the scan, explode fans out map-side, and the only shuffle is the
+hash_id dropDuplicates exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.hashing import hash_key, md5_key
+from .functions.sentiment import sentiment_cols
+from .functions.text import clean_hashtags, clean_text, empty_to_null, ts_normalize
+
+#: target-table column order, athena/create_hashtags_proc.hql:1-15 /
+#: create_hashtags_data.hql:1-16 (schema-order projection, P10)
+ANALYTICAL_COLS = [
+    "hash_id",
+    "record_id",
+    "time_stamp",
+    "created",
+    "tweet_id",
+    "user_name",
+    "rt_count",
+    "hashtag",
+    "polarity",
+    "subjectivity",
+    "text_clean",
+    "year",
+    "month",
+    "day",
+]
+
+
+def transform_landing(df: DataFrame, use_sha1: bool = True) -> DataFrame:
+    """LANDING-schema rows → ANALYTICAL-schema rows.
+
+    use_sha1=True → reference-exact base64(sha1digest) hash_id
+    (staging-transform.py:189-191); False → md5 hex (the DuckDB-oracle
+    variant; duckdb 1.0 lacks sha1). Both deterministic content hashes.
+    """
+    hasher = hash_key if use_sha1 else md5_key
+    sent = sentiment_cols(F.col("text_clean"))
+    ymd_src: Column = F.col("timestamp")
+
+    out = (
+        df.withColumn("record_id", F.col("record_id").cast("string"))
+        .withColumn("tweet_id", F.col("tweet_id").cast("string"))
+        # F6: arrival ts → 'yyyy-MM-dd HH:mm:ss' (staging-transform.py:231)
+        .withColumn("time_stamp", ts_normalize(F.col("timestamp")))
+        # F1: ordered regex clean (staging-transform.py:233)
+        .withColumn("text_clean", clean_text(F.col("text")))
+        # F3: sentiment over cleaned text (staging-transform.py:234-237)
+        .withColumn("polarity", sent["polarity"])
+        .withColumn("subjectivity", sent["subjectivity"])
+        # F2 + T1: clean hashtags, split, explode — the grain change
+        # (staging-transform.py:238-240)
+        .withColumn(
+            "hashtag", F.explode(F.split(clean_hashtags(F.col("hashtags")), " "))
+        )
+        # P8: ''→NULL then drop (staging-transform.py:241-242)
+        .withColumn("hashtag", empty_to_null(F.col("hashtag")))
+        .na.drop(subset=["hashtag"])
+        # F4/F12: content-hash surrogate PK (staging-transform.py:243-247)
+        .withColumn("hash_id", hasher(F.col("record_id"), F.col("tweet_id"), F.col("hashtag")))
+        # A3: dedup on the synthetic PK (staging-transform.py:248);
+        # at-least-once delivery upstream makes this the exactly-once
+        # guarantee (ST4/ST5)
+        .dropDuplicates(["hash_id"])
+        # F5: partition columns from ARRIVAL time (staging-transform.py:250-252)
+        .withColumn("year", F.year(ymd_src))
+        .withColumn("month", F.month(ymd_src))
+        .withColumn("day", F.dayofmonth(ymd_src))
+    )
+    return out.select(*ANALYTICAL_COLS)

@@ -1,0 +1,2 @@
+"""Structured Streaming layer: file-source ingest replacing the
+Kinesis producer/consumer pair, watermark+dedup, windowed aggs."""

@@ -1,0 +1,103 @@
+"""Streaming ingest — the Spark rebuild of the reference's Kinesis
+leg (SURVEY.md §3.1):
+
+reference                                   │ here
+────────────────────────────────────────────┼─────────────────────────
+tweepy sample stream → put_record (S1/S2)   │ file-drop source dir
+1-shard stream, LATEST iterator (S5/ST2)    │ readStream + checkpoint
+consumer poll loop for RUN_SECONDS (ST1)    │ trigger(availableNow)
+filter en-retweets/popular (P1/P3)          │ same predicates, declared
+landing CSV under Y/M/D (S6)                │ partitioned file sink
+re-read window + hash dedup (ST4/ST5)       │ withWatermark + dropDuplicates
+
+The create/delete-stream states (S3/S4) vanish: a directory needs no
+lifecycle. The Wait-10s ordering constraint (O4) is subsumed by
+checkpointed offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TWEET_STREAM
+
+
+def read_tweet_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """S1/S5 — streaming source over a drop directory of JSON records
+    shaped like the reference's 6-field stream dict
+    (stream_listener.py:63-69)."""
+    return spark.readStream.schema(TWEET_STREAM).json(source_dir)
+
+
+def ingest_filter(df: DataFrame) -> DataFrame:
+    """P3 — popularity/no-empty predicate (stream_listener.py:59).
+    (P1's is-retweet ∧ lang='en' happens before records reach the
+    stream; with a full tweet payload it is the same .filter call.)"""
+    return df.filter(
+        (F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != "")
+    )
+
+
+def with_envelope(df: DataFrame) -> DataFrame:
+    """Kinesis envelope (kinesis-consumer-s3.py:84-89): record_id
+    (sequence number ≙ content hash — deterministic, replay-stable) and
+    arrival timestamp, plus y/m/d partition columns derived from
+    arrival (F5/F7)."""
+    all_cols = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    arrival = F.coalesce(F.to_timestamp("created"), F.current_timestamp())
+    return (
+        df.withColumn("record_id", F.sha1(all_cols))
+        .withColumn("timestamp", arrival)
+        .withColumn("year", F.year("timestamp"))
+        .withColumn("month", F.month("timestamp"))
+        .withColumn("day", F.dayofmonth("timestamp"))
+    )
+
+
+def start_landing_sink(
+    df: DataFrame, landing_dir: str, checkpoint_dir: str, fmt: str = "parquet"
+):
+    """S6 — date-partitioned landing sink, availableNow trigger (ST1:
+    bounded drain per scheduled run). Exactly-once via checkpoint +
+    file-sink manifest; hash dedup downstream keeps the reference's
+    belt-and-suspenders contract (ST5)."""
+    return (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("year", "month", "day")
+        .trigger(availableNow=True)
+        .start(landing_dir)
+    )
+
+
+def run_ingest_once(
+    spark: SparkSession, source_dir: str, landing_dir: str, checkpoint_dir: str
+) -> None:
+    """One scheduled ingest run (≙ one KinesisLandingStateMachine
+    execution, SURVEY.md §3.1) — drains all available source files."""
+    q = start_landing_sink(
+        with_envelope(ingest_filter(read_tweet_stream(spark, source_dir))),
+        landing_dir,
+        checkpoint_dir,
+    )
+    q.awaitTermination()
+
+
+def streaming_dedup(df: DataFrame, ts_col: str = "timestamp", horizon: str = "2 hours") -> DataFrame:
+    """ST4/ST5 — watermark + dropDuplicates reproduces the reference's
+    sliding-lookback-rescan + hash_id dedup contract natively: state is
+    kept for `horizon` (≙ TIME_HORIZONT_HRS) and duplicates within it
+    are absorbed exactly-once."""
+    return df.withWatermark(ts_col, horizon).dropDuplicates(["record_id"])
+
+
+def streaming_hourly_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """ST6 — tumbling-window streaming agg with late-data watermark
+    (batch twin: operators/windows.q23_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )

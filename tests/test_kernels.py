@@ -1,0 +1,145 @@
+"""Golden-output tests for the scalar kernels (SURVEY.md §5.2):
+byte-parity between the Spark column expressions and the reference's
+pure-Python functions (re-derived here from
+/root/reference/lambda/staging-transform.py:150-209 — runnable without
+AWS)."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.functions.hashing import hash_key
+from serverless_etl_spark.functions.sentiment import sentiment_cols
+from serverless_etl_spark.functions.text import (
+    clean_hashtags,
+    clean_text,
+    empty_to_null,
+    ts_normalize,
+)
+
+
+# --- reference implementations (pure-Python mirror of
+# staging-transform.py:150-209, the golden source) ---
+
+def ref_clean_tweet(string: str) -> str:
+    string = re.sub(
+        r"^(http\S+|ftp|file):\\/\\/[-a-zA-Z0-9+&@#\\/%?=~_|!:,.;]*"
+        r"[-a-zA-Z0-9+&@#\\/%=~_|]",
+        "", str(string), flags=re.MULTILINE)
+    string = re.sub(r"\"", "", str(string), flags=re.MULTILINE)
+    string = re.sub(r"https\S+", "", str(string), flags=re.MULTILINE)
+    string = re.sub(r"RT", "", str(string), flags=re.MULTILINE)
+    string = re.sub(r"amp", "", str(string), flags=re.MULTILINE)
+    string = re.sub("[^\u0000-\uffff]", "", str(string), flags=re.MULTILINE)
+    string = re.sub(r"([^\w\s]+)", " ", str(string), flags=re.MULTILINE)
+    emoji_pattern = re.compile(
+        "["
+        "\U0001F600-\U0001F64F"
+        "\U0001F300-\U0001F5FF"
+        "\U0001F680-\U0001F6FF"
+        "\U0001F1E0-\U0001F1FF"
+        "\U00002702-\U000027B0"
+        "\U000024C2-\U0001F251"
+        "]+",
+        flags=re.UNICODE)
+    return emoji_pattern.sub(r"", string).replace("\n", "")
+
+
+def ref_clean_hashtags(hashtag: str) -> str:
+    return re.sub(r"([^A-Za-z0-9\s]+)", "", str(hashtag))
+
+
+def ref_hash_key(x: bytes) -> str:
+    return base64.b64encode(hashlib.sha1(x).digest()).decode("utf-8")
+
+
+CLEAN_CASES = [
+    'RT @user: check https://t.co/abc123 "great" stuff & amp; more',
+    "plain text with no noise at all",
+    "punct!!! runs??? here---and,there;",
+    "multi\nline\ntext",
+    "quotes \"inside\" and 'single'",
+    "trailing url https://example.com/x?y=1",
+    "ampersand & amp; encoded",
+    "RTs and RT tokens RTRT",
+    "",
+    "über café naïve",  # unicode letters: (?U)\w parity with Python \w
+    "tabs\tand  double  spaces",
+    "numbers 123 and under_scores_ok",
+]
+
+HASHTAG_CASES = [
+    "Spark2024 #data!",
+    "clean already",
+    "émoji-free zone!!",
+    "",
+    "UPPER lower 09",
+]
+
+
+def _run_column(spark, expr, values):
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    return [r[0] for r in df.select(expr).collect()]
+
+
+def test_clean_text_matches_reference(spark):
+    got = _run_column(spark, clean_text(F.col("s")), CLEAN_CASES)
+    want = [ref_clean_tweet(s) for s in CLEAN_CASES]
+    assert got == want
+
+
+def test_clean_text_emoji_parity(spark):
+    cases = [
+        "smile \U0001F600 and rocket \U0001F680",
+        "flag \U0001F1FA\U0001F1F8 here",
+        "scissors ✂ check ✔",
+    ]
+    got = _run_column(spark, clean_text(F.col("s")), cases)
+    want = [ref_clean_tweet(s) for s in cases]
+    assert got == want
+
+
+def test_clean_hashtags_matches_reference(spark):
+    got = _run_column(spark, clean_hashtags(F.col("s")), HASHTAG_CASES)
+    want = [ref_clean_hashtags(s) for s in HASHTAG_CASES]
+    assert got == want
+
+
+def test_hash_key_byte_parity(spark):
+    """base64(sha1digest) must be byte-identical to the reference
+    (staging-transform.py:189-191)."""
+    values = ["0000000000011234tag", "recidtweetidhash", "x"]
+    got = _run_column(spark, hash_key(F.col("s")), values)
+    want = [ref_hash_key(v.encode("utf-8")) for v in values]
+    assert got == want
+
+
+def test_ts_normalize(spark):
+    got = _run_column(
+        spark, ts_normalize(F.col("s")), ["2024-03-05T07:08:09.123456", "2024-01-01 00:00:00"]
+    )
+    assert got == ["2024-03-05 07:08:09", "2024-01-01 00:00:00"]
+
+
+def test_empty_to_null(spark):
+    got = _run_column(spark, empty_to_null(F.col("s")), ["", "x"])
+    assert got == [None, "x"]
+
+
+def test_sentiment_deterministic(spark):
+    sent = sentiment_cols(F.col("s"))
+    df = spark.createDataFrame(
+        [("fast fast slow neutral",), ("",), ("good",)], ["s"]
+    )
+    rows = df.select(
+        sent["polarity"].alias("p"), sent["subjectivity"].alias("j")
+    ).collect()
+    assert rows[0]["p"] == pytest.approx((2 - 1) / 4)
+    assert rows[0]["j"] == pytest.approx(3 / 4)
+    assert rows[1]["p"] == 0.0
+    assert rows[2]["p"] == 1.0

@@ -1,0 +1,78 @@
+"""Local replica of the driver's t2 correctness gate: every registered
+query vs its DuckDB oracle at sf0.001 — row count, column names, and
+(order-insensitively) values."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+from tests.conftest import SF_SMALL  # noqa: E402
+
+
+def _normalize(rows, cols):
+    """Sort columns by name, then rows, mirroring the driver compare."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _values_close(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        for u, v in zip(x, y):
+            if isinstance(u, float) and isinstance(v, float):
+                if not math.isclose(u, v, rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif u != v:
+                return False
+    return True
+
+
+ORACLE_NAMES = sorted(registry.ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, spark, duck):
+    sdf = registry.QUERIES[name](spark, SF_SMALL)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(registry.ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    assert _values_close(a, b), (
+        f"{name}: value mismatch\n spark: {a[:3]}\n oracle: {b[:3]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle must still execute and return a stable
+    schema."""
+    for name in sorted(set(registry.QUERIES) - set(registry.ORACLES)):
+        df = registry.QUERIES[name](spark, SF_SMALL)
+        assert df.columns, name
+        assert df.count() >= 0, name

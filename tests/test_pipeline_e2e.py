@@ -1,0 +1,122 @@
+"""Pipeline e2e (SURVEY.md §5.3): synthetic tweets → landing →
+staging transform → analytical append, asserting grain, dedup
+idempotence (ST4/ST5), partition layout, and run-log accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.pipeline import BatchPipeline, PipelinePaths, retry
+from serverless_etl_spark.sources.tweets import landing_rows
+from serverless_etl_spark.staging import ANALYTICAL_COLS, transform_landing
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    return PipelinePaths(
+        landing=str(root / "landing"),
+        staging=str(root / "staging"),
+        analytical=str(root / "analytical"),
+        run_log=str(root / "run_log"),
+    )
+
+
+@pytest.fixture(scope="module")
+def seeded_landing(spark, paths):
+    df = landing_rows(spark, SF_SMALL).filter(
+        (F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != "")
+    )
+    df.write.mode("overwrite").parquet(paths.landing)
+    return paths.landing
+
+
+def test_explode_grain(spark, seeded_landing, paths):
+    """Staging rows == exploded non-empty hashtags after dedup (the
+    T1 grain invariant, pre-dedup version checked via distinct keys)."""
+    landing = spark.read.parquet(paths.landing)
+    staged = transform_landing(landing)
+    assert staged.columns == ANALYTICAL_COLS
+    n_expected = (
+        landing.select(
+            F.col("record_id"),
+            F.col("tweet_id"),
+            F.explode(F.split("hashtags", " ")).alias("h"),
+        )
+        .filter(F.col("h") != "")
+        .select("record_id", "tweet_id", "h")
+        .distinct()
+        .count()
+    )
+    assert staged.count() == n_expected
+
+
+def test_pipeline_run_and_idempotence(spark, seeded_landing, paths):
+    pipe = BatchPipeline(spark, paths, run_date="2024-01-31")
+    first = pipe.run()
+    assert first["staged"] > 0
+    assert first["loaded"] == first["staged"]
+
+    # replaying the identical landing window must add 0 rows (ST5)
+    second = pipe.run()
+    assert second["staged"] == first["staged"]
+    assert second["loaded"] == 0
+
+    analytical = spark.read.parquet(paths.analytical)
+    assert analytical.count() == first["staged"]
+    # hash_id is unique (the content-hash PK contract)
+    assert analytical.select("hash_id").distinct().count() == first["staged"]
+
+
+def test_partition_layout(spark, seeded_landing, paths):
+    """Analytical layer is Hive-partitioned year/month/day from the
+    ARRIVAL timestamp (athena/create_hashtags_data.hql:13-16)."""
+    import os
+
+    years = [d for d in os.listdir(paths.analytical) if d.startswith("year=")]
+    assert years == ["year=2024"]
+    months = os.listdir(f"{paths.analytical}/year=2024")
+    assert all(m.startswith("month=") for m in months)
+
+
+def test_run_log_accounting(spark, seeded_landing, paths):
+    log = spark.read.parquet(paths.run_log)
+    rows = {
+        (r["table_name"], r["records_inserted"])
+        for r in log.collect()
+    }
+    staged = spark.read.parquet(paths.staging).count()
+    assert ("staging.hashtags_proc", staged) in rows
+    assert ("analytical.hashtag_data", 0) in rows  # the replay run
+
+
+def test_retry_decorator():
+    calls = []
+
+    @retry(attempts=3, base=0.0, sleep=lambda s: calls.append(s))
+    def flaky():
+        if len(calls) < 2:
+            raise RuntimeError("boom")
+        return 42
+
+    assert flaky() == 42
+
+
+def test_hash_id_sha1_parity(spark, seeded_landing, paths):
+    """The pipeline's hash_id is byte-identical to the reference's
+    base64(sha1digest(record_id‖tweet_id‖hashtag))."""
+    import base64
+    import hashlib
+
+    row = spark.read.parquet(paths.staging).select(
+        "hash_id", "record_id", "tweet_id", "hashtag"
+    ).first()
+    want = base64.b64encode(
+        hashlib.sha1(
+            (row["record_id"] + row["tweet_id"] + row["hashtag"]).encode()
+        ).digest()
+    ).decode()
+    assert row["hash_id"] == want

@@ -1,0 +1,122 @@
+"""Streaming tests (SURVEY.md §5.4): file-drop source + availableNow
+trigger reproducing ST1-ST5; duplicate input absorbed by
+watermark+dropDuplicates; windowed agg matches its batch twin."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.streaming.ingest import (
+    ingest_filter,
+    read_tweet_stream,
+    run_ingest_once,
+    streaming_dedup,
+    streaming_hourly_agg,
+)
+
+RECORDS = [
+    # passes all predicates
+    {"created": "2024-01-05 10:00:00", "tweet_id": "1", "user_name": "u1",
+     "rt_count": 150, "hashtags": "spark etl", "text": "fast pipeline"},
+    # rt_count too low → filtered (P3)
+    {"created": "2024-01-05 10:01:00", "tweet_id": "2", "user_name": "u2",
+     "rt_count": 10, "hashtags": "slow", "text": "meh"},
+    # empty hashtags → filtered (P3)
+    {"created": "2024-01-05 10:02:00", "tweet_id": "3", "user_name": "u3",
+     "rt_count": 500, "hashtags": "", "text": "no tags"},
+    # duplicate of record 1 (at-least-once delivery, ST5)
+    {"created": "2024-01-05 10:00:00", "tweet_id": "1", "user_name": "u1",
+     "rt_count": 150, "hashtags": "spark etl", "text": "fast pipeline"},
+    # late record (event time before the others, ST4)
+    {"created": "2024-01-05 08:30:00", "tweet_id": "4", "user_name": "u4",
+     "rt_count": 200, "hashtags": "late", "text": "late but valid"},
+]
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    # several files → several source "micro-batches" worth of data
+    (d / "batch1.json").write_text("\n".join(json.dumps(r) for r in RECORDS[:2]))
+    (d / "batch2.json").write_text("\n".join(json.dumps(r) for r in RECORDS[2:]))
+    return str(d)
+
+
+def test_ingest_available_now(spark, source_dir, tmp_path_factory):
+    """ST1 — bounded drain per run: availableNow consumes every source
+    file then stops; P3 predicates applied stream-side; landing is
+    date-partitioned (S6)."""
+    out = tmp_path_factory.mktemp("landing")
+    run_ingest_once(
+        spark, source_dir, str(out / "data"), str(out / "checkpoint")
+    )
+    landed = spark.read.parquet(str(out / "data"))
+    got = {r["tweet_id"] for r in landed.collect()}
+    # 2 and 3 filtered; 1 appears twice (dup kept at landing — dedup is
+    # a downstream contract, matching the reference's landing layer)
+    assert got == {"1", "4"}
+    assert landed.count() == 3
+    assert landed.filter(F.col("year") == 2024).count() == 3
+
+    # second run with no new files: exactly-once file tracking → 0 new
+    run_ingest_once(
+        spark, source_dir, str(out / "data"), str(out / "checkpoint")
+    )
+    assert spark.read.parquet(str(out / "data")).count() == 3
+
+
+def test_streaming_dedup_absorbs_duplicates(spark, source_dir):
+    """ST4/ST5 — watermark + dropDuplicates = the reference's lookback
+    rescan + hash_id dedup, natively."""
+    stream = ingest_filter(read_tweet_stream(spark, source_dir))
+    enveloped = stream.withColumn(
+        "record_id", F.sha1(F.to_json(F.struct("created", "tweet_id", "hashtags")))
+    ).withColumn("timestamp", F.to_timestamp("created"))
+    deduped = streaming_dedup(enveloped, horizon="4 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT tweet_id FROM dedup_out").collect()
+    assert sorted(r["tweet_id"] for r in rows) == ["1", "4"]
+
+
+def test_streaming_window_matches_batch(spark, tmp_path_factory):
+    """The streaming hourly agg produces the same rows as its batch
+    twin over the same (closed) input."""
+    from serverless_etl_spark.io import load_table
+    from tests.conftest import SF_SMALL
+
+    # materialize a small slice as the stream source
+    src = tmp_path_factory.mktemp("events_src")
+    ev = load_table(spark, SF_SMALL, "events").filter(F.col("event_id") < 200)
+    ev.write.mode("overwrite").parquet(str(src / "data"))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "data"))
+    q = (
+        streaming_hourly_agg(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,120 @@
+"""Driver-style correctness self-check: run every queries() entry on Spark
+and its oracle_sql() on DuckDB at a given sf dir; compare row count, column
+names, and order-insensitive values. Usage:
+
+    python scripts/selfcheck.py [sf_dir] [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def values_close(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if len(x) != len(y):
+            return False
+        for u, v in zip(x, y):
+            if isinstance(u, float) and isinstance(v, (float, int)):
+                if not math.isclose(u, float(v), rel_tol=1e-6, abs_tol=1e-6):
+                    return False
+            elif isinstance(v, float) and isinstance(u, (float, int)):
+                if not math.isclose(float(u), v, rel_tol=1e-6, abs_tol=1e-6):
+                    return False
+            elif u != v:
+                return False
+    return True
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entry
+    from serverless_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name in sorted(qs):
+        if ONLY and not any(s in name for s in ONLY):
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            spark_cols = list(sdf.columns)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows={len(spark_rows)} (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCK ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        msgs = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            msgs.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            msgs.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        if not msgs:
+            a = normalize(spark_rows, spark_cols)
+            b = normalize(duck_rows, duck_cols)
+            if not values_close(a, b):
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
+        if msgs:
+            failures.append((name, "; ".join(msgs)))
+            print(f"FAIL  {name}: {'; '.join(msgs)}")
+        else:
+            print(f"ok    {name}: rows={len(spark_rows)} "
+                  f"[{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures / {len(qs)} queries @ {SF_DIR}")
+    for n, m in failures:
+        print(f"  {n}: {m[:300]}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

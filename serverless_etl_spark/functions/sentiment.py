@@ -27,11 +27,17 @@ POSITIVE_WORDS = ("fast", "small", "good", "great", "quick")
 NEGATIVE_WORDS = ("slow", "big", "bad", "error", "poor")
 
 
-def sentiment_cols(text_col: Column | str) -> dict[str, Column]:
+def sentiment_cols(
+    text_col: Column | str, pretokenized: bool = False
+) -> dict[str, Column]:
     """polarity = (pos−neg)/n_tokens, subjectivity = (pos+neg)/n_tokens,
-    both rounded to 6 — deterministic and SQL-expressible."""
+    both rounded to 6 — deterministic and SQL-expressible.
+
+    pretokenized=True: text_col is already a (materialized) token-array
+    column — hot paths should tokenize once into a real column rather
+    than inline the split per consumer expression."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+    toks = c if pretokenized else F.filter(F.split(c, " "), lambda x: x != F.lit(""))
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     pos = F.size(F.filter(toks, lambda x: x.isin(*POSITIVE_WORDS))).cast("double")
     neg = F.size(F.filter(toks, lambda x: x.isin(*NEGATIVE_WORDS))).cast("double")

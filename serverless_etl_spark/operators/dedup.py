@@ -101,8 +101,10 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_band_sql() -> str:
+    # one md5 per shingle; minhash_i = min over shingles of hex chars
+    # [4i, 4i+4) of that digest (8 disjoint 16-bit slices = 8 hashes)
     sigs = ",\n               ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min') AS mh{i}"
+        f"list_aggregate(list_transform(hs, h -> substr(h, {4 * i + 1}, 4)), 'min') AS mh{i}"
         for i in range(N_MINHASH)
     )
     bands = []
@@ -123,9 +125,9 @@ _SIGS_SQL, _BANDS_SQL = _minhash_band_sql()
         SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
     ),
     sig AS (
-        SELECT doc_id, shingles,
+        SELECT doc_id,
                {_SIGS_SQL}
-        FROM sh
+        FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh)
     ),
     bands AS (
         {_BANDS_SQL}
@@ -160,21 +162,31 @@ def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs meet, never the n² cross product; candidate verification joins
     shingle sets back by doc_id. At 100 TB the band join is the one
     shuffle that matters and its keys are uniform md5 buckets (no skew).
+    Cost: ONE md5 per shingle — the 8 minhash values are the 8 disjoint
+    4-hex-char (16-bit) slices of that digest, so the signature stage is
+    hash-bound at 1/8th the naive 8-salted-hash cost. The shingle table
+    is persisted: it feeds signature building AND both sides of the
+    verification join (at cluster scale swap for a disk-backed persist
+    or a checkpoint to bound memory).
     """
     corpus = _duped_docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    sh = corpus.select("doc_id", _shingles(toks).alias("shingles"))
+    # materialize the token array BEFORE the shingle HOF: expressions
+    # referenced inside transform() lambdas are re-evaluated per array
+    # element, so an inline split(text) would be O(tokens²) per doc
+    sh = (
+        corpus.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+        .persist()
+    )
 
-    def _mh(i: int):
-        # factory (not a 2-arg lambda: F.transform would bind the 2nd
-        # param to the element index); salt is fixed per signature row
-        prefix = f"{i}|"
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    hs = F.transform(F.col("shingles"), lambda s: F.md5(s))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: F.substring(h, 4 * i + 1, 4))
         ).alias(f"mh{i}")
-
-    sig_cols = [_mh(i) for i in range(N_MINHASH)]
-    sig = sh.select("doc_id", "shingles", *sig_cols)
+        for i in range(N_MINHASH)
+    ]
+    sig = sh.select("doc_id", hs.alias("hs")).select("doc_id", *sig_cols)
 
     band_rows = []
     for b in range(N_MINHASH // BAND_SIZE):
@@ -205,15 +217,22 @@ def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(
-        F.array_intersect(F.col("sh_a"), F.col("sh_b"))
-    )
-    jac = inter / union
-    return (
+    # project intersection/sizes ONCE per pair before the filter —
+    # referencing a jaccard expression in both filter and select would
+    # re-run the O(|a|·|b|) array_intersect four times
+    sized = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_total"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
+    return (
+        sized.filter(jac >= 0.5)
         .select("doc_a", "doc_b", trunc(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

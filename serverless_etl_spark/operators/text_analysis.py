@@ -220,20 +220,27 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (winnowing-lite) + distinct-shingle count. The same shingle→hash
     machinery backs MinHash-LSH dedup (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
-    return docs.select(
+    # materialize toks, then shingles, in separate projections:
+    # expressions referenced inside transform() lambdas are re-evaluated
+    # per array element, and the shingle array feeds two outputs
+    shingled = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "doc_id",
-        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
-        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        ).alias("shingles"),
+    )
+    return shingled.select(
+        "doc_id",
+        F.array_min(F.transform("shingles", lambda s: F.md5(s))).alias("fingerprint"),
+        F.size(F.array_distinct("shingles")).alias("n_distinct_shingles"),
     )
 
 

@@ -19,8 +19,11 @@ from ..io import load_table
 DOC_MOD = 500  # docs available at every scale factor
 
 
-def tweets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 — the 6-field stream record (stream_listener.py:63-69)."""
+def _tweets_with_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream record plus the envelope columns (event_id, arrival ts) —
+    kept in one plan so landing_rows never has to join back to events
+    to recover the arrival timestamp (that re-join would be a full
+    sort-merge shuffle on a string key at scale)."""
     ev = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_MOD)
     joined = ev.join(
@@ -40,6 +43,8 @@ def tweets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("RT "), F.col("text"), F.lit(' https://t.co/x1 "q" & amp;')
     )
     return joined.select(
+        F.col("event_id"),
+        F.col("ts"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created"),
         F.col("event_id").cast("string").alias("tweet_id"),
         F.concat(F.lit("user_"), F.col("user_id")).alias("user_name"),
@@ -49,15 +54,17 @@ def tweets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tweets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — the 6-field stream record (stream_listener.py:63-69)."""
+    return _tweets_with_envelope(spark, sf_dir).drop("event_id", "ts")
+
+
 def landing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 — landing rows: Kinesis envelope + flattened payload
     (kinesis-consumer-s3.py:84-89,93-107), with a 5% duplicated slice
     (at-least-once delivery)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    tweets = tweets_stream(spark, sf_dir)
-    base = tweets.join(
-        ev, tweets["tweet_id"] == ev["event_id"].cast("string")
-    ).select(
+    base = _tweets_with_envelope(spark, sf_dir).select(
+        F.col("event_id"),
         F.lpad(F.col("event_id").cast("string"), 12, "0").alias("record_id"),
         F.col("ts").alias("timestamp"),
         "created",
@@ -67,8 +74,8 @@ def landing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hashtags",
         "text",
     )
-    dupes = base.filter(F.col("tweet_id").cast("long") % 20 == 0)
-    return base.unionByName(dupes)
+    dupes = base.filter(F.col("event_id") % 20 == 0)
+    return base.unionByName(dupes).drop("event_id")
 
 
 def write_landing_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> None:

@@ -49,7 +49,7 @@ def transform_landing(df: DataFrame, use_sha1: bool = True) -> DataFrame:
     variant; duckdb 1.0 lacks sha1). Both deterministic content hashes.
     """
     hasher = hash_key if use_sha1 else md5_key
-    sent = sentiment_cols(F.col("text_clean"))
+    sent = sentiment_cols(F.col("_toks"), pretokenized=True)
     ymd_src: Column = F.col("timestamp")
 
     out = (
@@ -59,9 +59,16 @@ def transform_landing(df: DataFrame, use_sha1: bool = True) -> DataFrame:
         .withColumn("time_stamp", ts_normalize(F.col("timestamp")))
         # F1: ordered regex clean (staging-transform.py:233)
         .withColumn("text_clean", clean_text(F.col("text")))
-        # F3: sentiment over cleaned text (staging-transform.py:234-237)
+        # F3: sentiment over cleaned text (staging-transform.py:234-237);
+        # tokenize ONCE into a materialized column — polarity and
+        # subjectivity both consume it, and HOF inputs inlined as
+        # expressions would re-run the split per consumer
+        .withColumn(
+            "_toks", F.filter(F.split(F.col("text_clean"), " "), lambda x: x != F.lit(""))
+        )
         .withColumn("polarity", sent["polarity"])
         .withColumn("subjectivity", sent["subjectivity"])
+        .drop("_toks")
         # F2 + T1: clean hashtags, split, explode — the grain change
         # (staging-transform.py:238-240)
         .withColumn(

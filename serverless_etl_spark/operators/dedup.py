@@ -330,3 +330,28 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, 2**b).otherwise(0)
         simhash = term if simhash is None else simhash + term
     return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "q44_dedup_filter",
+    oracle=f"""
+    SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+    FROM ({_DUPED_SQL})
+    GROUP BY md5(text)
+    """,
+)
+def q44_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a FILTER: the surviving corpus after exact dedup — one
+    deterministic keeper (min doc_id) per content digest. q40 reports
+    the duplicate groups; this is the operator a pipeline actually
+    applies before training.
+
+    Scale: single shuffle on the digest; rows collapse map-side via
+    partial min/count, so the exchange carries one row per distinct
+    document, not per input row."""
+    docs = _duped_docs(spark, sf_dir)
+    return (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )

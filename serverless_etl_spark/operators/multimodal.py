@@ -78,3 +78,42 @@ def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return docs.mapInPandas(fake_decode_batch, schema=META_SCHEMA)
+
+
+@register(
+    "q61_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS INT) AS frame_no,
+           CAST(unnest(range(0, 1 + doc_id % 30, 5)) * 40 AS INT) AS frame_ms
+    FROM documents
+    """,
+)
+def q61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: decode metadata via the
+    mapInPandas kernel (q60), then emit every 5th frame index with its
+    25fps timestamp — the explode side of a decode→sample→extract
+    pipeline. A real decoder swaps into fake_decode_batch; the
+    grain-changing plumbing (binary → metadata → per-frame rows) is
+    what's under test.
+
+    Scale: sequence+explode fans out map-side (no shuffle); the binary
+    payload is dropped BEFORE the explode so duplicated row payloads
+    never carry it."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = docs.mapInPandas(fake_decode_batch, schema=META_SCHEMA)
+    return (
+        meta.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_no"),
+            (F.col("frame_idx") * 40).cast("int").alias("frame_ms"),
+        )
+    )

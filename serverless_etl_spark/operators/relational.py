@@ -622,3 +622,65 @@ def q22_count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.count("ts").alias("n_nonnull"), F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "q27_set_ops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT nationkey, 'both' AS tag
+    FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS tag
+    FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+    UNION ALL
+    SELECT nationkey, 'supplier_only' AS tag
+    FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+    """,
+)
+def q27_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (extended surface — the reference has no set
+    ops beyond UNION ALL, SURVEY.md §2.5). Spark plans both as
+    aggregate-then-join; distinct inputs keep the exchanges narrow."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    c_only = cust.exceptAll(supp).withColumn("tag", F.lit("customer_only"))
+    s_only = supp.exceptAll(cust).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+@register(
+    "q28_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS grp_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS grp_status,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with GROUPING() markers (extended surface —
+    completes the rollup/cube/grouping-sets family next to q17_rollup).
+
+    Scale: Spark expands the cube map-side (one Expand node) and
+    partial-aggregates before the single shuffle — no per-grouping-set
+    rescan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("grp_flag"),
+            F.grouping("l_linestatus").cast("int").alias("grp_status"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

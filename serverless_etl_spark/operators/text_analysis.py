@@ -254,3 +254,38 @@ def q35_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", sent["polarity"].alias("polarity"), sent["subjectivity"].alias("subjectivity")
     )
+
+
+#: GPT-2-style pre-tokenizer shape: letter runs, digit runs, single
+#: punctuation marks — the "BPE-ish regex" token counter
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "q36_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}'))          AS n_bpe_tokens,
+           FLOOR((CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{BPE_PATTERN}')), 1))
+                 * 10000) / 10000 AS chars_per_bpe_token
+    FROM documents
+    """,
+)
+def q36_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / single punctuation —
+    the GPT-2 pre-tokenizer shape), plus chars-per-token, the standard
+    budget estimator for LLM training corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        trunc(
+            F.length("text").cast("double") / F.greatest(F.size(bpe), F.lit(1)),
+            4,
+        ).alias("chars_per_bpe_token"),
+    )

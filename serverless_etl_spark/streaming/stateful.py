@@ -1,0 +1,52 @@
+"""Custom stateful streaming operator — the engine's
+`applyInPandasWithState` surface (SURVEY.md §2.9 ST7 names the gap:
+the reference keeps no in-engine stream state; its dedup is a per-batch
+rescan. Running continuously, per-key state lives in the state store).
+
+`running_user_stats` maintains per-user cumulative stats (tweet count,
+max rt_count) across micro-batches: the canonical shape for custom
+stateful operators (sessionizers, running dedup, rate limiters) that
+windowed aggregates can't express.
+
+Scale: state is partitioned by the grouping key across executors; each
+micro-batch shuffles only that batch's rows to their key's partition.
+State size is O(distinct users), not O(events) — bounded further in
+production with a TTL timeout (GroupStateTimeout.ProcessingTimeTimeout).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "user_name string, n_tweets bigint, max_rt int"
+STATE_SCHEMA = "n bigint, mx int"
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, mx = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            mx = max(mx, int(pdf["rt_count"].max()))
+    state.update((n, mx))
+    yield pd.DataFrame(
+        {"user_name": [key[0]], "n_tweets": [n], "max_rt": [mx]}
+    )
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, max rt_count) over a tweet stream;
+    emits one updated row per user per micro-batch (update mode)."""
+    return stream.groupBy("user_name").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,31 @@ def test_streaming_window_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_running_user_stats(spark, source_dir):
+    """ST7 gap fill — custom stateful operator via applyInPandasWithState:
+    per-user cumulative stats survive across micro-batches in the state
+    store and update as new batches arrive."""
+    from serverless_etl_spark.streaming.stateful import running_user_stats
+
+    stream = read_tweet_stream(spark, source_dir)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user = final running totals
+    rows = spark.sql(
+        "SELECT user_name, max(n_tweets) AS n, max(max_rt) AS mx "
+        "FROM stateful_out GROUP BY user_name"
+    ).collect()
+    got = {r["user_name"]: (r["n"], r["mx"]) for r in rows}
+    assert got["u1"] == (2, 150)  # tweet 1 + its duplicate
+    assert got["u2"] == (1, 10)
+    assert got["u3"] == (1, 500)
+    assert got["u4"] == (1, 200)

@@ -80,3 +80,17 @@ def write_overwrite_flat(df: DataFrame, path: str, fmt: str = "parquet") -> None
     semantics — reference LandingAnalyticalStateMachine.json:5-21
     DeleteStagingOld has no lambda source; SURVEY.md §2.10 O6)."""
     df.write.mode("overwrite").format(fmt).save(path)
+
+
+def read_csv_table(
+    spark: SparkSession, paths: str | list[str], schema
+) -> DataFrame:
+    """S8 — multi-file CSV source: headerless comma-delimited files with
+    an externally supplied schema (the reference's per-file read_csv +
+    concat loop, staging-transform.py:125-143, is a native multi-path
+    scan here — Spark parallelizes across files and the UNION ALL
+    disappears into one FileScan)."""
+    reader = spark.read.schema(schema).option("header", "false")
+    if isinstance(paths, str):
+        return reader.csv(paths)
+    return reader.csv(list(paths))

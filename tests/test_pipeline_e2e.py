@@ -120,3 +120,34 @@ def test_hash_id_sha1_parity(spark, seeded_landing, paths):
         ).digest()
     ).decode()
     assert row["hash_id"] == want
+
+
+def test_landing_csv_roundtrip(spark, tmp_path_factory):
+    """S6/S8 — the reference's actual landing format: date-pathed
+    headerless CSV written by write_landing_csv, read back as one
+    multi-path scan with the external LANDING schema, transformed to
+    the same rows the parquet path produces."""
+    from serverless_etl_spark.io import read_csv_table
+    from serverless_etl_spark.schemas import LANDING
+    from serverless_etl_spark.sources.tweets import write_landing_csv
+
+    out = str(tmp_path_factory.mktemp("landing_csv") / "landing")
+    write_landing_csv(spark, SF_SMALL, out)
+
+    got = read_csv_table(spark, out, LANDING)
+    # partition columns live in the directory path (reference layout:
+    # the date path IS the partitioning) — data files carry the 8 cols
+    want = landing_rows(spark, SF_SMALL)
+    assert got.count() == want.count()
+    a = {tuple(r) for r in got.select("record_id", "tweet_id", "rt_count").collect()}
+    b = {tuple(r) for r in want.select("record_id", "tweet_id", "rt_count").collect()}
+    assert a == b
+
+    # and the transform over the CSV-sourced frame matches the direct path
+    staged_csv = transform_landing(
+        got.filter((F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != ""))
+    )
+    staged_direct = transform_landing(
+        want.filter((F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != ""))
+    )
+    assert staged_csv.count() == staged_direct.count()

@@ -244,11 +244,30 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q35_sentiment")
+@register(
+    "q35_sentiment",
+    oracle="""
+    SELECT doc_id,
+           FLOOR(((n_pos - n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0))
+                 * 1000000) / 1000000 AS polarity,
+           FLOOR(((n_pos + n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0))
+                 * 1000000) / 1000000 AS subjectivity
+    FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('fast', 'small', 'good', 'great', 'quick'))) AS n_pos,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('slow', 'big', 'bad', 'error', 'poor'))) AS n_neg
+        FROM documents
+    )
+    """,
+)
 def q35_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic lexicon sentiment (the reference's one true UDF,
-    F3/§2.8) — rows-only check (lexicon lives in Python; the scoring
-    formula itself is pinned by tests/test_kernels.py)."""
+    F3/§2.8), oracle-checked — the same scoring CTE the q70 pipeline
+    oracle uses; the optional TextBlob pandas_udf variant stays
+    rows-only (external lexicon)."""
     docs = load_table(spark, sf_dir, "documents")
     sent = sentiment_cols(F.col("text"))
     return docs.select(

@@ -74,8 +74,14 @@ def landing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hashtags",
         "text",
     )
-    dupes = base.filter(F.col("event_id") % 20 == 0)
-    return base.unionByName(dupes).drop("event_id")
+    # duplicate the 5% slice by exploding a per-row copy count instead of
+    # unioning base with a filter of itself — a self-union evaluates the
+    # whole upstream join once per branch
+    n_copies = F.when(F.col("event_id") % 20 == 0, 2).otherwise(1)
+    return (
+        base.withColumn("_copy", F.explode(F.sequence(F.lit(1), n_copies)))
+        .drop("_copy", "event_id")
+    )
 
 
 def write_landing_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> None:

@@ -40,13 +40,21 @@ def main() -> None:
     names = registry.BENCH_QUERIES or sorted(registry.QUERIES)
     # one warmup pass to amortize JVM/codegen startup out of q1's time
     registry.QUERIES[names[0]](spark, SF_DIR).count()
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(iters):
+            # drop persisted intermediates so every iteration (and every
+            # query) is measured cold — a warmup's cache surviving into
+            # the timed run would hide the heavy stage entirely
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

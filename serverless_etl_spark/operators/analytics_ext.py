@@ -1,0 +1,351 @@
+"""Extended analytics operators: grouping sets, exact quantiles,
+moment statistics, JSON property analytics, skew-aware salted
+join/aggregation recipes, time-series gap-filling, fixed-width
+histograms, and sketch-based distinct counting.
+
+The reference has no analytics of its own beyond COUNT
+(lambda/analytical-transform.py:24) — its "analytics" is the
+QuickSight/Tableau layer (README.md:5). These queries reify that layer
+as engine-native operators and add the aggregation patterns any
+dashboard over the analytical table needs, each with a DuckDB oracle.
+
+The two salted operators are deliberate 100-TB skew recipes: Spark's
+AQE skew-join handles *storage* skew, but a hot key (one hashtag
+trending, one user dominating a stream) still lands one reducer.
+Salting is the standard fix and it must be oracle-provably
+result-identical to the unsalted plan — that is exactly what q45/q46
+check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, trunc
+from ..io import load_table
+from ..registry import register
+
+N_SALT = 8
+
+
+@register(
+    "q29_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q17 rollup / q28 cube): two
+    independent subtotal dimensions plus a grand total, disambiguated
+    with GROUPING() flags.
+
+    Scale: one shuffle; Spark expands the sets map-side (Expand node)
+    so each input row is scanned once, not once per set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q37_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           FLOOR(quantile_cont(o_totalprice, 0.25) * 10000) / 10000 AS p25,
+           FLOOR(quantile_cont(o_totalprice, 0.50) * 10000) / 10000 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.90) * 10000) / 10000 AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q37_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (both engines use the
+    same sort + linear-interpolation definition, so values match
+    bit-for-bit before the deterministic floor-trunc).
+
+    Scale: exact percentile requires the group's values on one
+    reducer — fine for bounded groups; for 100-TB unbounded groups the
+    scale path is approx_percentile (t-digest, partial-mergeable),
+    same call shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        trunc(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        trunc(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        trunc(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+    )
+
+
+@register(
+    "q38_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           FLOOR(stddev_samp(l_extendedprice) * 100) / 100       AS sd_price,
+           FLOOR(covar_samp(l_quantity, l_extendedprice) * 100) / 100 AS cov_qty_price,
+           FLOOR(corr(l_quantity, l_extendedprice) * 1000000) / 1000000 AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q38_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: sample stddev, covariance,
+    correlation (the dashboard-layer stats the reference delegated to
+    QuickSight).
+
+    Both engines merge per-partition moment states (Welford-style), so
+    agreement is ~1e-12 relative; truncation grids are sized so that
+    residual never crosses a grid line (2 dp for dimensioned values,
+    6 dp for the dimensionless correlation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        trunc(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        trunc(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        trunc(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q39_json_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q39_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-string property column (events.props ≙
+    the reference's transient JSON payloads, F8/§2.6): extract, cast,
+    bucket, aggregate.
+
+    Scale: get_json_object evaluates JVM-side inside codegen — no
+    Python. For repeated extraction of many keys, from_json to a
+    struct column once is the cheaper shape (one parse per row)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            dsum("value", 6).alias("sum_value"),
+        )
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+    SELECT c_nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+@register("q45_salted_join", oracle=_SALTED_JOIN_ORACLE, bench=True)
+def q45_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join: the fact side gets a deterministic
+    salt in [0, N_SALT), the dim side is replicated N_SALT× with every
+    salt value, and the join key becomes (key, salt) — a hot fact key
+    now spreads over N_SALT reducers instead of one. The oracle is the
+    PLAIN join: salting must be invisible in the result.
+
+    Scale: this is the recipe for when AQE skew-split isn't enough
+    (e.g. one trending hashtag = 30% of rows). Replication cost is
+    N_SALT × |dim|, so it only applies to broadcast-size dims — for
+    big-big skewed joins, salt only the hot keys (split the fact into
+    hot/cold, union the two join results)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    fact = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+    dim = cust.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(N_SALT - 1).cast("long"))),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact["user_id"] == dim["c_custkey"]) & (fact["_salt"] == dim["_salt"]),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q46_salted_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q46_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: partial aggregate on (key, salt),
+    final aggregate on key. Decimal partial sums keep the re-aggregation
+    exact (float partials would make the result order-dependent and
+    unhashable against the oracle).
+
+    Scale: this de-skews a groupBy the same way salting de-skews a
+    join; Spark's own map-side partial aggregation already gives this
+    for free per-partition — the explicit two-phase form matters when
+    one key floods MANY partitions (partials from each flow to
+    N_SALT reducers, then N_SALT tiny rows meet at the final)."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+        .groupBy("user_id", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("_sum"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_sum").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q47_resample_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS hour_value
+        FROM events WHERE user_id < 8
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.hour, h.n, h.hour_value
+        FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           COALESCE(n, 0) AS n_events,
+           last_value(hour_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ff
+    FROM j
+    """,
+)
+def q47_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a dense hourly grid with forward-fill —
+    the hypertable-rollup / gap-fill operator (missing hours get
+    n_events=0 and carry the last observed hourly value).
+
+    Scale: the spine is generated per key from that key's own bounds
+    (sequence + explode — no driver loop, no cross join against a
+    global calendar); the forward-fill window is a running frame, so
+    it streams within each key's partition after one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 6).alias("hour_value"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_ff"),
+    )
+
+
+@register(
+    "q48_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) AS INT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS bin_min,
+           MAX(value) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q48_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by floor-binning (deterministic in both
+    engines, unlike width_bucket variants with engine-specific edge
+    rules).
+
+    Scale: a pure map-side bucketing + tiny-cardinality aggregate —
+    the shape to prefer over collecting values for driver-side
+    histogramming."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 50.0).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+    )
+
+
+@register("q49_approx_distinct")
+def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch next to the exact count —
+    rows-only check by design (the sketch estimate is
+    implementation-defined; tests/test_analytics_ext.py pins the
+    relative error ≤ 5%).
+
+    Scale: THE 100-TB cardinality operator — approx_count_distinct is
+    partial-mergeable (no second shuffle stage over raw values), and
+    the same sketch family backs incremental rollups where exact
+    distinct cannot be merged across partitions at all."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )

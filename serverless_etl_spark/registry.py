@@ -44,6 +44,7 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from .operators import (  # noqa: F401
+        analytics_ext,
         dedup,
         multimodal,
         relational,

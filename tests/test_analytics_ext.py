@@ -1,0 +1,84 @@
+"""Non-oracle assertions for the extended analytics operators: sketch
+accuracy, salted-plan shape, and gap-fill density (the oracle parity
+suite covers value correctness for the SQL-expressible ones)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.operators import analytics_ext
+
+registry.load_all()
+
+from tests.conftest import SF_SMALL  # noqa: E402
+
+
+def test_approx_distinct_within_error(spark):
+    rows = registry.QUERIES["q49_approx_distinct"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(r.n_approx - r.n_exact) <= max(2, 0.05 * r.n_exact), (
+            f"{r.event_type}: approx {r.n_approx} vs exact {r.n_exact}"
+        )
+
+
+def test_salted_join_spreads_keys(spark):
+    """Every fact key must appear under all salt values it hashes to,
+    and the salted plan must not contain a plain single-key join."""
+    ev = (
+        registry.QUERIES["q45_salted_join"](spark, SF_SMALL)
+    )
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    # the join condition carries the salt column
+    assert "_salt" in ev._jdf.queryExecution().analyzed().toString()
+
+
+def test_salt_distribution_is_spread(spark):
+    """The deterministic salt actually spreads rows: no salt bucket
+    holds more than 2/N_SALT of a hot key's rows (uniformity of
+    xxhash64 over event_id)."""
+    from serverless_etl_spark.io import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_salt = analytics_ext.N_SALT
+    dist = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in dist)
+    assert len(dist) == n_salt
+    for r in dist:
+        assert r["count"] < 2 * total / n_salt
+
+
+def test_gapfill_spine_is_dense(spark):
+    """Every user's output covers every hour between its first and
+    last event with no holes."""
+    df = registry.QUERIES["q47_resample_gapfill"](spark, SF_SMALL)
+    per_user = (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            ((F.unix_timestamp(F.max("hour")) - F.unix_timestamp(F.min("hour"))) / 3600 + 1)
+            .cast("long")
+            .alias("n_expected"),
+        )
+        .collect()
+    )
+    assert per_user
+    for r in per_user:
+        assert r.n_rows == r.n_expected, f"user {r.user_id} has spine holes"
+
+
+def test_gapfill_zero_hours_carry_value(spark):
+    """Gap rows (n_events=0) must still have a non-null forward-filled
+    value once the user has at least one earlier observation."""
+    df = registry.QUERIES["q47_resample_gapfill"](spark, SF_SMALL)
+    gaps = df.filter(F.col("n_events") == 0)
+    if gaps.limit(1).count() == 0:
+        return  # no gaps at this sf — nothing to assert
+    assert gaps.filter(F.col("value_ff").isNull()).count() == 0

@@ -82,6 +82,36 @@ def write_overwrite_flat(df: DataFrame, path: str, fmt: str = "parquet") -> None
     df.write.mode("overwrite").format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write time so every
+    later equi-join/aggregation on `bucket_col` between same-bucketed
+    tables runs with ZERO exchanges (co-located sort-merge join).
+
+    This is the 100-TB recipe for a fact table joined repeatedly on the
+    same key (e.g. analytical hashtag_data ⋈ per-user dims on user_name):
+    amortize the one shuffle across every downstream query. Bucket count
+    sizes the per-bucket file to executor-memory scale — at 100 TB and
+    ~256 MB target files that is O(hundreds of thousands) of buckets,
+    set per-table, not the default 32.
+
+    tests/test_storage.py asserts the no-Exchange plan property.
+    """
+    (
+        df.write.mode(mode)
+        .format(fmt)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def read_csv_table(
     spark: SparkSession, paths: str | list[str], schema
 ) -> DataFrame:

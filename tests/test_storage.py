@@ -1,0 +1,96 @@
+"""Storage-layer scale properties: bucketed co-located joins (zero
+exchanges), ORC as the analytical format (the reference's actual
+format, athena/create_hashtags_data.hql:17-22), and partition pruning
+on the y/m/d layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table, write_bucketed, write_partitioned
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    write_bucketed(orders, "orders_b", "o_custkey", n_buckets=8)
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        "o_custkey",
+        n_buckets=8,
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Same-bucketed tables joined on the bucket key must produce a
+    plan with no shuffle exchange on either side (the write-time
+    shuffle is amortized across every downstream join)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        n = joined.count()
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan.replace("Exchange hashpartitioning", "ShuffleExchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    plain = (
+        load_table(spark, SF_SMALL, "orders")
+        .join(
+            load_table(spark, SF_SMALL, "customer").withColumnRenamed(
+                "c_custkey", "o_custkey"
+            ),
+            "o_custkey",
+        )
+        .count()
+    )
+    bucketed = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey").count()
+    assert bucketed == plain
+
+
+def test_orc_analytical_roundtrip(spark, tmp_path):
+    """The analytical layer is a one-line format swap to ORC (the
+    reference's storage format): write partitioned ORC, read it back,
+    verify rows and partition pruning."""
+    out = str(tmp_path / "analytical_orc")
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+    )
+    write_partitioned(ev, out, fmt="orc", mode="overwrite")
+
+    back = spark.read.orc(out)
+    assert back.count() == ev.count()
+    # partition pruning: a day predicate must prune the file listing
+    one_day = back.filter((F.col("month") == 1) & (F.col("day") == 5))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one_day.count() == ev.filter((F.col("month") == 1) & (F.col("day") == 5)).count()
+
+
+def test_parquet_partition_pruning_on_ymd(spark, tmp_path):
+    out = str(tmp_path / "analytical_parquet")
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+    )
+    write_partitioned(ev, out, mode="overwrite")
+    back = spark.read.parquet(out).filter(F.col("day") == 7)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+    assert back.count() > 0

@@ -1,0 +1,83 @@
+"""Continuous staging transform — the reference's whole batch leg
+(LandingAnalyticalStateMachine, SURVEY.md §3.2) as ONE streaming query.
+
+The batch pipeline (pipeline.BatchPipeline) replays a landing window
+per scheduled run; this module runs the identical transform
+incrementally: the landing directory is a streaming file source (new
+files only — the exact replacement for filter_s3_objs's
+LastModified-horizon rescan, S7/P5), the staging chain is the same
+transform_landing plan, dedup state is bounded by a watermark
+(ST4: horizon ≙ TIME_HORIZONT_HRS), and the analytical append is an
+idempotent foreachBatch upsert (anti-join on hash_id), so a replayed
+micro-batch after a crash inserts 0 rows (ST5 exactly-once).
+
+Scale: per micro-batch work is O(new files); dedup state is
+O(distinct hash_id within the watermark), not O(table); the append
+never rewrites existing partitions (dynamic partition append).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import LANDING
+from ..staging import transform_landing
+
+
+def read_landing_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """S7 — incremental landing scan: the streaming file source tracks
+    processed files exactly (no horizon heuristics)."""
+    return spark.readStream.schema(LANDING).parquet(landing_dir)
+
+
+def staging_stream(landing: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """The full staging chain on a stream. The watermark is attached to
+    the arrival timestamp BEFORE transform_landing so the in-chain
+    dropDuplicates(hash_id) becomes a state-store dedup with
+    watermark-bounded state instead of an unbounded set."""
+    return transform_landing(landing.withWatermark("timestamp", horizon))
+
+
+def _append_idempotent(analytical_dir: str):
+    """foreachBatch sink: anti-join the micro-batch against the
+    analytical table's hash_ids, append only fresh rows. Replays
+    (checkpoint recovery re-delivers the last batch) insert 0."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        try:
+            existing = spark.read.parquet(analytical_dir).select("hash_id")
+            fresh = batch.join(existing, "hash_id", "left_anti")
+        except Exception:  # first batch: table does not exist yet
+            fresh = batch
+        (
+            fresh.write.mode("append")
+            .partitionBy("year", "month", "day")
+            .parquet(analytical_dir)
+        )
+
+    return _write
+
+
+def run_streaming_staging(
+    spark: SparkSession,
+    landing_dir: str,
+    analytical_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "2 hours",
+):
+    """Drain all available landing files through the staging chain into
+    the analytical table (availableNow ≙ one scheduled run; drop the
+    trigger for true continuous mode)."""
+    q = (
+        staging_stream(read_landing_stream(spark, landing_dir), horizon)
+        .writeStream.foreachBatch(_append_idempotent(analytical_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,106 @@
+"""Continuous staging transform e2e: the streaming leg must produce
+exactly the batch pipeline's analytical rows, absorb duplicates, be
+incremental (new landing files only), replay-safe, and enforce the
+ST4 late-data horizon."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.sources.tweets import landing_rows
+from serverless_etl_spark.staging import transform_landing
+from serverless_etl_spark.streaming.transform import run_streaming_staging
+from tests.conftest import SF_SMALL
+
+# The fixture's synthetic "arrival" timestamps span a month, written
+# out of arrival order across test rounds — so the equivalence tests
+# use a horizon wider than the whole span (in production, arrival time
+# tracks the wall clock and a short horizon is correct; the late-drop
+# contract itself is pinned by test_late_arrivals_beyond_horizon_drop).
+HORIZON = "100 days"
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_staging")
+    return {
+        "landing": str(root / "landing"),
+        "analytical": str(root / "analytical"),
+        "checkpoint": str(root / "chk"),
+    }
+
+
+def _write_landing_slice(spark, pred, landing_dir):
+    landing_rows(spark, SF_SMALL).filter(pred).write.mode("append").parquet(landing_dir)
+
+
+def _run(spark, dirs):
+    run_streaming_staging(
+        spark, dirs["landing"], dirs["analytical"], dirs["checkpoint"], horizon=HORIZON
+    )
+
+
+def test_streaming_staging_matches_batch(spark, dirs):
+    # round 1: half the landing data arrives
+    _write_landing_slice(spark, F.col("tweet_id").cast("long") % 2 == 0, dirs["landing"])
+    _run(spark, dirs)
+    n1 = spark.read.parquet(dirs["analytical"]).count()
+    assert n1 > 0
+
+    # round 2: the rest arrives; only new files are processed
+    _write_landing_slice(spark, F.col("tweet_id").cast("long") % 2 == 1, dirs["landing"])
+    _run(spark, dirs)
+    result = spark.read.parquet(dirs["analytical"])
+    n2 = result.count()
+    assert n2 > n1
+
+    # equivalence with the batch chain over the same landing data
+    batch = transform_landing(spark.read.parquet(dirs["landing"]))
+    assert n2 == batch.count()
+    assert sorted(result.columns) == sorted(batch.columns)
+    # spot-check values: per-day rollup must match exactly
+    s = result.groupBy("year", "month", "day").count().collect()
+    b = batch.groupBy("year", "month", "day").count().collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, b))
+
+
+def test_streaming_staging_rerun_is_noop(spark, dirs):
+    """A third run with no new landing files must add 0 rows (file
+    tracking), and re-appending an already-seen file's rows must be
+    absorbed by the hash_id anti-join (replay safety)."""
+    before = spark.read.parquet(dirs["analytical"]).count()
+    _run(spark, dirs)
+    assert spark.read.parquet(dirs["analytical"]).count() == before
+
+    # simulate an at-least-once redelivery: the same rows land again as
+    # a NEW file — the streaming source processes it, the anti-join
+    # must drop every row
+    _write_landing_slice(spark, F.col("tweet_id").cast("long") % 2 == 1, dirs["landing"])
+    _run(spark, dirs)
+    assert spark.read.parquet(dirs["analytical"]).count() == before
+
+
+def test_late_arrivals_beyond_horizon_drop(spark, tmp_path):
+    """ST4 contract: with a short horizon, a second batch whose arrival
+    timestamps are far older than the advanced watermark is dropped
+    (≙ the reference never reprocessing files older than
+    TIME_HORIZONT_HRS, staging-transform.py:108-121)."""
+    landing = str(tmp_path / "landing")
+    analytical = str(tmp_path / "analytical")
+    chk = str(tmp_path / "chk")
+    rows = landing_rows(spark, SF_SMALL)
+
+    # newest day's data arrives first and advances the watermark
+    newest = rows.agg(F.max(F.to_date("timestamp"))).collect()[0][0]
+    rows.filter(F.to_date("timestamp") == newest).write.mode("append").parquet(landing)
+    run_streaming_staging(spark, landing, analytical, chk, horizon="2 hours")
+    n1 = spark.read.parquet(analytical).count()
+    assert n1 > 0
+
+    # a week-old slice arrives afterwards → beyond horizon → dropped
+    rows.filter(
+        F.datediff(F.lit(newest), F.to_date("timestamp")) == 7
+    ).write.mode("append").parquet(landing)
+    run_streaming_staging(spark, landing, analytical, chk, horizon="2 hours")
+    assert spark.read.parquet(analytical).count() == n1

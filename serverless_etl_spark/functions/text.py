@@ -58,9 +58,11 @@ def clean_text(col: Column | str) -> Column:
 
 def clean_hashtags(col: Column | str) -> Column:
     """F2 — keep only [A-Za-z0-9] + whitespace
-    (staging-transform.py:179-182)."""
+    (staging-transform.py:179-182). (?U) makes Java's \\s match
+    unicode whitespace like Python's re does (fuzz-pinned: the
+    reference KEEPS U+00A0/U+2009/U+3000 etc.)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, r"([^A-Za-z0-9\s]+)", "")
+    return F.regexp_replace(c, r"(?U)([^A-Za-z0-9\s]+)", "")
 
 
 def tokens(col: Column | str, sep: str = " ") -> Column:

@@ -204,3 +204,39 @@ def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "q53_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           FLOOR(AVG(x) * 10000) / 10000 AS centroid,
+           COUNT(*) AS n_vecs
+    FROM (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    GROUP BY label, i - 1
+    """,
+)
+def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean vector) — the building
+    block of k-means/IVF cell training, flattened to (label, dim)
+    grain for oracle comparison.
+
+    Scale: posexplode fans each vector to 64 narrow rows map-side;
+    the aggregate groups on (label, dim) — cardinality labels×dims,
+    partial-mergeable, so the shuffle carries only the tiny partial
+    sums. For billion-vector corpora this exact plan is the per-
+    iteration step of Lloyd's algorithm (assignment = q51's cell
+    probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(_vec_double()).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.floor(F.avg("x") * 10000) / 10000).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

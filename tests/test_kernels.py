@@ -143,3 +143,51 @@ def test_sentiment_deterministic(spark):
     assert rows[0]["j"] == pytest.approx(3 / 4)
     assert rows[1]["p"] == 0.0
     assert rows[2]["p"] == 1.0
+
+
+# --- seeded fuzz differential: Spark kernels vs reference Python over
+# a broad alphabet (property-style; one DataFrame pass, deterministic) ---
+
+_FUZZ_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n.,;:!?#@&%\"'()-_/\\|~^$*+=<>[]{}"
+    "üéñçøß"          # latin-1 letters ((?U)\w parity)
+    "日本語中文한국"     # CJK word chars
+    "  "    # unicode spaces (\s parity)
+    "\U0001F600\U0001F680✂✔"  # emoji / dingbat ranges
+    "\U0001D538"      # non-BMP math letter (outside emoji classes)
+)
+
+
+def _fuzz_strings(n=300, max_len=40):
+    import random
+
+    rng = random.Random(42)
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, max_len)
+        out.append("".join(rng.choice(_FUZZ_ALPHABET) for _ in range(k)))
+    return out
+
+
+def test_fuzz_clean_text_parity(spark):
+    cases = _fuzz_strings()
+    got = _run_column(spark, clean_text(F.col("s")), cases)
+    want = [ref_clean_tweet(s) for s in cases]
+    bad = [(c, g, w) for c, g, w in zip(cases, got, want) if g != w]
+    assert not bad, f"{len(bad)} divergences; first: {bad[0]!r}"
+
+
+def test_fuzz_clean_hashtags_parity(spark):
+    cases = _fuzz_strings()
+    got = _run_column(spark, clean_hashtags(F.col("s")), cases)
+    want = [ref_clean_hashtags(s) for s in cases]
+    bad = [(c, g, w) for c, g, w in zip(cases, got, want) if g != w]
+    assert not bad, f"{len(bad)} divergences; first: {bad[0]!r}"
+
+
+def test_fuzz_hash_key_parity(spark):
+    cases = [s for s in _fuzz_strings() if s]
+    got = _run_column(spark, hash_key(F.col("s")), cases)
+    want = [ref_hash_key(s.encode("utf-8")) for s in cases]
+    assert got == want

@@ -82,6 +82,39 @@ def write_overwrite_flat(df: DataFrame, path: str, fmt: str = "parquet") -> None
     df.write.mode("overwrite").format(fmt).save(path)
 
 
+def read_file_horizon(
+    spark: SparkSession,
+    path: str,
+    horizon_hours: float,
+    fmt: str = "parquet",
+    now=None,
+    schema=None,
+) -> DataFrame:
+    """S7/P5 — batch-path incremental scan: keep only rows from files
+    modified within the last `horizon_hours` (the reference's
+    filter_s3_objs LastModified window, staging-transform.py:97-122),
+    via the `_metadata.file_modification_time` hidden column.
+
+    `now` pins the reference instant for deterministic tests; defaults
+    to the current timestamp. The streaming path (streaming/transform)
+    supersedes this with exact processed-file tracking; this helper is
+    the stateless re-run/backfill equivalent.
+
+    Scale: the metadata predicate prunes at the FILE level before any
+    data is read — a day's re-run touches a horizon's worth of files,
+    not the table's history."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(path).select("*", "_metadata")
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    cutoff = now_expr - F.expr(f"INTERVAL {int(horizon_hours * 3600)} SECONDS")
+    return (
+        df.filter(F.col("_metadata.file_modification_time") >= cutoff)
+        .drop("_metadata")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -94,3 +94,30 @@ def test_parquet_partition_pruning_on_ymd(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
     assert back.count() > 0
+
+
+def test_file_horizon_scan_prunes_old_files(spark, tmp_path):
+    """S7 batch path: only files modified within the horizon are read
+    (reference filter_s3_objs semantics)."""
+    import os
+    import time
+
+    out = str(tmp_path / "landing_horizon")
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "ts")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(out)
+    # age the first batch's files by 10 days
+    old = time.time() - 10 * 24 * 3600
+    for name in os.listdir(out):
+        if name.endswith(".parquet"):
+            os.utime(os.path.join(out, name), (old, old))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(out)
+
+    from serverless_etl_spark.io import read_file_horizon
+
+    recent = read_file_horizon(spark, out, horizon_hours=24)
+    n_all = spark.read.parquet(out).count()
+    n_recent = recent.count()
+    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
+    assert n_recent == n_odd
+    assert n_all > n_recent
+    assert sorted(recent.columns) == ["event_id", "ts"]

@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the structural scale properties
+documented in SCALE.md §2 must hold in the executed plans — a change
+that silently adds a shuffle, drops a broadcast, or breaks scan
+pushdown fails here even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+from tests.conftest import SF_SMALL  # noqa: E402
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    df.count()  # let AQE finalize the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def test_q03_dims_are_broadcast(spark):
+    """All three dimension joins must be broadcast — the orders fact is
+    never shuffled for the join."""
+    plan = _executed_plan(spark, "q03_join_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange is the final group-by
+    assert _n_shuffles(plan) <= 2
+
+
+def test_q01_filter_reaches_scan(spark):
+    plan = _executed_plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q70_single_wide_exchange(spark):
+    """The whole staging chain must stay ONE wide exchange (the hash_id
+    dedup); the fixture join must be broadcast."""
+    plan = _executed_plan(spark, "q70_staging_chain")
+    assert _n_shuffles(plan) == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q50_no_global_sort(spark):
+    """Per-query top-k must not globally sort the corpus: the final
+    orderBy sorts only query_id×k rows after the window filter."""
+    plan = _executed_plan(spark, "q50_cosine_topk")
+    assert "WindowGroupLimit" in plan  # per-partition top-k pre-filter
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # query set broadcast
+
+
+def test_q45_join_carries_salt(spark):
+    """The salted join must actually join on (key, salt) — both columns
+    in the join condition."""
+    plan = _executed_plan(spark, "q45_salted_join")
+    assert "_salt" in plan
+
+
+def test_q41_band_join_not_cartesian(spark):
+    """The LSH candidate join must be a hash join on (band_id,
+    band_hash) — never a cartesian/nested-loop product of documents."""
+    plan = _executed_plan(spark, "q41_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q02_filter_project", "q48_histogram", "q60_multimodal_meta"]
+)
+def test_narrow_queries_have_no_wide_exchange(spark, name):
+    """Map-side-only (or single-agg) queries must not accumulate
+    accidental extra shuffles."""
+    plan = _executed_plan(spark, name)
+    assert _n_shuffles(plan) <= 1

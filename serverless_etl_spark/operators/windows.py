@@ -138,3 +138,71 @@ def q26_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", "ts").alias("first_type"),
         F.max_by("event_type", "ts").alias("last_type"),
     )
+
+
+@register(
+    "q54_lag_delta",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+           value - lag(value) OVER w               AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q54_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()-based per-user inter-event deltas (time since previous
+    event in microseconds, value change) — the delta-encoding /
+    inter-arrival analysis primitive.
+
+    Scale: one exchange on user_id, then a streaming sort-window; lag
+    keeps O(1) state per row (no frame buffer)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("delta_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+@register(
+    "q55_moving_time_window",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q55_moving_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing-1-hour moving aggregate via a RANGE frame over
+    event-time (microsecond resolution) — the frame-spec variant q11's
+    ROWS frame doesn't cover; ≙ q20's range join but computed with one
+    sort instead of a self-join.
+
+    The windowed SUM is computed in DECIMAL: sliding-frame float sums
+    are evaluation-order-dependent (DuckDB uses a segment tree, Spark
+    re-aggregates the frame), so only an exact type hash-matches.
+
+    Scale: one exchange on user_id; the range frame advances two
+    pointers over the sorted partition — no per-row frame rescan for
+    the count, and the decimal sum is incrementally maintained."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(22,6)")).over(w).cast("double").alias("sum_1h"),
+    )

@@ -10,7 +10,9 @@ analytical table).
 
 from __future__ import annotations
 
+import math
 import os
+import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -143,6 +145,52 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction for an append-heavy partitioned table:
+    rewrite to ~target-sized files, keeping the partition layout.
+
+    Streaming micro-batches and frequent appends leave each y/m/d
+    partition with one file per trigger — at 100 TB that is millions of
+    tiny files, and scan cost becomes file-listing + open overhead
+    instead of IO. Compaction = read → repartition to
+    ceil(bytes/target) → dynamic-overwrite the same partitions.
+
+    Repartitioning hashes on the partition columns so each output task
+    writes whole partitions (no cross-task partition fragments).
+    Returns the number of output files written."""
+    # localCheckpoint truncates lineage so Spark allows overwriting the
+    # path it was read from; a cluster-grade implementation stages to a
+    # sibling directory and atomically swaps instead (no double-buffer
+    # of the table in executor storage)
+    df = spark.read.format(fmt).load(path).localCheckpoint(eager=True)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in pathlib.Path(path).rglob("*")
+        if f.is_file() and not f.name.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_files, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = [f for f in pathlib.Path(path).rglob(f"*.{fmt}") if f.is_file()]
+    return len(out)
 
 
 def read_csv_table(

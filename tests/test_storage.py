@@ -121,3 +121,32 @@ def test_file_horizon_scan_prunes_old_files(spark, tmp_path):
     assert n_recent == n_odd
     assert n_all > n_recent
     assert sorted(recent.columns) == ["event_id", "ts"]
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    """Many small appends → one compaction → far fewer files, identical
+    rows, partition layout preserved."""
+    import pathlib
+
+    from serverless_etl_spark.io import compact_table
+
+    out = str(tmp_path / "compactme")
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+    )
+    # 5 appends of small slices → 5 files per touched partition
+    for i in range(5):
+        write_partitioned(ev.filter(F.col("event_id") % 5 == i), out)
+    rows_before = spark.read.parquet(out).count()
+    files_before = len([f for f in pathlib.Path(out).rglob("*.parquet")])
+
+    n_after = compact_table(spark, out)
+
+    assert n_after < files_before
+    after = spark.read.parquet(out)
+    assert after.count() == rows_before
+    # partition layout intact: day-level dirs still exist
+    assert any(p.name.startswith("day=") for p in pathlib.Path(out).rglob("day=*"))

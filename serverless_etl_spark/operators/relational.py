@@ -684,3 +684,73 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "q56_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT c_nationkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INT) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 3
+    ORDER BY c_nationkey, rk
+    """,
+)
+def q56_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per nation — the top-k-per-group idiom (rank then
+    filter), distinct from q06's global top-k and q10's unfiltered
+    ranking.
+
+    Scale: Spark rewrites rank-filter into WindowGroupLimit — each map
+    task keeps only k rows per group BEFORE the exchange, so the
+    shuffle carries O(groups×k×tasks) rows, not the full fact table
+    (asserted in tests/test_plan_shape.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_nationkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+@register(
+    "q57_filtered_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)                                   AS n_all,
+           COUNT(*) FILTER (event_type = 'purchase')  AS n_purchase,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) FILTER (event_type = 'purchase')
+                AS DOUBLE)                            AS purchase_value,
+           COUNT(*) FILTER (value > 250.0)            AS n_high
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q57_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (FILTER clause / count_if): several
+    differently-predicated aggregates in ONE pass — the alternative to
+    self-joining per predicate.
+
+    Scale: one scan, one shuffle; each aggregate's predicate evaluates
+    map-side. (q18's pivot is the columnar cousin; this is the
+    arbitrary-predicate form.)"""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchase"),
+        F.sum(F.when(is_purchase, F.col("value").cast("decimal(22,6)")))
+        .cast("double")
+        .alias("purchase_value"),
+        F.count(F.when(F.col("value") > 250.0, 1)).alias("n_high"),
+    )

@@ -80,3 +80,10 @@ def test_narrow_queries_have_no_wide_exchange(spark, name):
     accidental extra shuffles."""
     plan = _executed_plan(spark, name)
     assert _n_shuffles(plan) <= 1
+
+
+def test_q56_window_group_limit_before_exchange(spark):
+    """The rank<=k filter must compile to WindowGroupLimit so only k
+    rows per group per task survive to the shuffle."""
+    plan = _executed_plan(spark, "q56_topk_per_group")
+    assert "WindowGroupLimit" in plan

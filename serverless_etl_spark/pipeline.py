@@ -128,3 +128,57 @@ class BatchPipeline:
 
 def read_run_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def main(argv: list[str] | None = None) -> dict[str, int]:
+    """O8 — scheduler-agnostic CLI (≙ the EventBridge cron target):
+
+        python -m serverless_etl_spark.pipeline \\
+            --landing DIR --staging DIR --analytical DIR --run-log DIR \\
+            [--run-date YYYY-MM-DD] [--horizon-hours N]
+
+    Runs one LandingAnalyticalStateMachine-equivalent cycle and prints
+    a one-line JSON row-accounting summary."""
+    import argparse
+    import datetime
+    import json
+
+    from .io import read_file_horizon
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(description="Run one batch pipeline cycle")
+    p.add_argument("--landing", required=True)
+    p.add_argument("--staging", required=True)
+    p.add_argument("--analytical", required=True)
+    p.add_argument("--run-log", required=True)
+    p.add_argument("--run-date", default=None, help="defaults to today (UTC)")
+    p.add_argument(
+        "--horizon-hours",
+        type=float,
+        default=None,
+        help="only read landing files modified within this window (S7)",
+    )
+    args = p.parse_args(argv)
+
+    run_date = args.run_date or datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d"
+    )
+    spark = get_spark(app_name="batch-pipeline")
+    paths = PipelinePaths(
+        landing=args.landing,
+        staging=args.staging,
+        analytical=args.analytical,
+        run_log=args.run_log,
+    )
+    pipe = BatchPipeline(spark, paths, run_date)
+    if args.horizon_hours is not None:
+        pipe.read_landing = lambda: read_file_horizon(  # type: ignore[method-assign]
+            spark, paths.landing, args.horizon_hours
+        )
+    result = pipe.run()
+    print(json.dumps({"run_date": run_date, **result}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

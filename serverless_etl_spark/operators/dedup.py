@@ -355,3 +355,85 @@ def q44_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(F.min("doc_id").alias("doc_id"))
     )
+
+
+def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected duplicate-graph edges (src < dst) over the seeded
+    corpus: exact-duplicate star edges (keeper ↔ member per content
+    digest) ∪ verified MinHash-LSH near-dup pairs (q41)."""
+    docs = _duped_docs(spark, sf_dir).select("doc_id", F.md5("text").alias("digest"))
+    keepers = (
+        docs.groupBy("digest")
+        .agg(F.min("doc_id").alias("src"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    exact = (
+        docs.join(keepers, "digest")
+        .filter(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    near = q41_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return exact.unionByName(near).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an (src, dst) edge set → (id, cluster_id)
+    with cluster_id = min vertex id of the component. The iterative
+    pattern of large-scale dedup clustering (Pregel-style): per round,
+    every vertex takes the min of its own label and its neighbors'.
+
+    Scale: each round is one shuffle (groupBy dst) + one join; rounds ≤
+    graph diameter (duplicate clusters are shallow — star-shaped exact
+    groups converge in 1). Convergence is checked with a single scalar
+    aggregate per round (sum of labels, strictly decreasing until fixed
+    point) — the driver never collects vertex data. localCheckpoint
+    truncates lineage per round; a cluster deployment would use
+    checkpoint() on HDFS for fault tolerance instead."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+@register("q63_dup_clusters")  # iterative — not SQL-expressible; rows-only check
+def q63_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    exact+near duplicate graph, labeling every involved document with
+    its component's min doc_id — the grouping step that turns pairwise
+    near-dup hits into keep-one-per-cluster decisions.
+
+    Iterative (driver-side loop over shuffles), so no single SQL oracle;
+    tests/test_training_ops.py verifies against a Python union-find of
+    the same edge set."""
+    edges = duplicate_edges(spark, sf_dir)
+    return connected_components(edges).orderBy("id")

@@ -1,0 +1,120 @@
+"""Merge / upsert operators: key-based MERGE (upsert) and SCD-style
+change-interval derivation.
+
+The reference's analytical load is append-only with content-hash dedup
+(lambda/analytical-transform.py:25-26 + staging-transform.py:245-248);
+a general engine also needs the UPDATE half — merge a source batch into
+a keyed target (matched → replace, unmatched → insert) — and the
+slowly-changing-dimension view of a mutation stream (validity
+intervals). Both are pure DataFrame compositions, both oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics over plain parquet tables: rows from `source`
+    win on key collision; `target` rows survive only where unmatched.
+
+    Scale: ONE shuffle — the left-anti join on the key (the union is
+    exchange-free). For a repeatedly-merged 100 TB target, bucket both
+    sides on the key (io.write_bucketed) and the anti-join runs
+    co-located with zero exchanges; a format with transactional MERGE
+    (Delta/Iceberg) slots in behind this same signature."""
+    survivors = target.join(source.select(key), key, "left_anti")
+    return source.unionByName(survivors)
+
+
+@register(
+    "q64_merge_upsert",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    s AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT * FROM s
+    UNION ALL
+    SELECT t.* FROM t
+    WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+    """,
+)
+def q64_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a derived change batch (updates to every 7th order +
+    brand-new keys) into the orders table: matched keys take the source
+    row, unmatched target rows pass through, inserts append."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(target, updates.unionByName(inserts), "o_orderkey")
+
+
+@register(
+    "q65_scd2_intervals",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current
+    FROM c
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q65_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval derivation from a mutation stream: collapse
+    each user's event-type runs to change rows, then stamp
+    [valid_from, valid_to) validity with lead(); the open interval is
+    flagged current. This is how a 100 TB event log becomes a
+    point-in-time-joinable dimension.
+
+    Scale: one exchange on user_id serves BOTH window layers (lag-filter
+    and lead-stamp share partitioning and sort order, so Catalyst plans
+    a single sort, no second shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    lead_ts = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        F.when(lead_ts.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

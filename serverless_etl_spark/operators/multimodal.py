@@ -117,3 +117,63 @@ def q61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("frame_idx") * 40).cast("int").alias("frame_ms"),
         )
     )
+
+
+AUDIO_META_SCHEMA = "doc_id long, sample_rate int, n_samples long, duration_ms long"
+
+
+def fake_audio_meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for an audio-decode kernel (the container
+    has no audio codecs): consumes (doc_id, payload: bytes) Arrow
+    batches, emits 16 kHz PCM-style metadata derived from payload size
+    (800 'samples' per payload byte → duration = n_bytes·50 ms)."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].apply(len)
+        n_samples = (n_bytes * 800).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": 16000,
+                "n_samples": n_samples,
+                "duration_ms": n_samples // 16,
+            }
+        )
+
+
+@register(
+    "q66_audio_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, octet_length(encode(text)) * 50, 1000)) AS INT)
+               AS chunk_start_ms,
+           CAST(LEAST(unnest(range(0, octet_length(encode(text)) * 50, 1000)) + 1000,
+                      octet_length(encode(text)) * 50) AS INT) AS chunk_end_ms
+    FROM documents
+    """,
+)
+def q66_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking pipeline: binary payload → mapInPandas 'decode' to
+    sample-rate/duration metadata → explode into 1-second chunk
+    boundaries (the segmentation step before per-chunk feature
+    extraction / ASR). A real decoder swaps into fake_audio_meta_batch;
+    the plumbing — binary column, Arrow batches, metadata grain change —
+    is what's under test.
+
+    Scale: like q61, the chunk fan-out is map-side (sequence + explode,
+    no shuffle) and the binary payload is dropped before the explode so
+    duplicated rows never carry it; chunk boundaries ship to the next
+    kernel as (doc_id, offset) pointers, not payload copies."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = docs.mapInPandas(fake_audio_meta_batch, schema=AUDIO_META_SCHEMA)
+    start = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("duration_ms") - 1, F.lit(1000))
+    )
+    return meta.select("doc_id", start.alias("chunk_start_ms"), "duration_ms").select(
+        "doc_id",
+        F.col("chunk_start_ms").cast("int"),
+        F.least(F.col("chunk_start_ms") + 1000, F.col("duration_ms"))
+        .cast("int")
+        .alias("chunk_end_ms"),
+    )

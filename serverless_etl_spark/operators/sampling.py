@@ -1,0 +1,100 @@
+"""Deterministic sampling & dataset-split operators for training-data
+pipelines: content-hash train/val/test assignment and per-stratum
+deterministic sampling.
+
+A training pipeline over 100 TB cannot use `df.sample()` for splits:
+Bernoulli sampling is seed+partitioning dependent, so the same record
+can land in train on one run and test on the next (leakage). The
+industry-standard fix is assignment by a content hash of a stable key —
+pure map-side, reproducible on any engine, any partitioning, any day.
+Both operators hash with md5 so the DuckDB oracle is bit-identical.
+
+The reference has no sampling surface (its closest analogue is the
+stream-side predicate filter, lambda/stream_listener.py:42,59); these
+are extended-surface operators (SURVEY.md §7.3 phase 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# hex-string thresholds over the first byte of md5(key): lexicographic
+# compare of 2 hex chars ≡ compare of the byte value, in BOTH engines.
+# 'cd' = 205/256 ≈ 80.1%, 'e6' = 230/256 ≈ 89.8%.
+TRAIN_UPPER = "cd"
+VAL_UPPER = "e6"
+
+
+def hash_bucket(key: Column, n_chars: int = 2) -> Column:
+    """First `n_chars` hex chars of md5(key) — a uniform, deterministic,
+    engine-portable bucket id (256 buckets at 2 chars)."""
+    return F.substring(F.md5(key.cast("string")), 1, n_chars)
+
+
+def hash_split(key: Column) -> Column:
+    """Deterministic train/val/test assignment (~80/10/10) from a stable
+    record key. Pure projection: no shuffle, no state, no seed."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < TRAIN_UPPER, "train")
+        .when(b < VAL_UPPER, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "q58_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split by content hash of the document key
+    (~80/10/10 via byte-range thresholds on md5).
+
+    Scale: zero shuffles — the split column is a map-side projection, so
+    it composes with any downstream write (`partitionBy("split")` routes
+    each record exactly once). Re-running on re-partitioned, appended,
+    or re-ordered data never moves an existing record between splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+
+
+# per-stratum sampling rates as hex thresholds: en ≈ 20% ('33'=51/256),
+# everything else ≈ 50% ('80'=128/256)
+STRATA_THRESHOLDS = {"en": "33"}
+DEFAULT_THRESHOLD = "80"
+
+
+@register(
+    "q59_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 2)
+          < CASE WHEN lang = 'en' THEN '{STRATA_THRESHOLDS["en"]}'
+                 ELSE '{DEFAULT_THRESHOLD}' END
+    """,
+)
+def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: down-sample the majority
+    stratum (en ≈ 20%) while keeping ≈ 50% of minority languages — the
+    rebalancing step of a corpus-curation pipeline, with none of
+    `sampleBy`'s seed/partitioning nondeterminism.
+
+    Scale: a pure filter — pushdown-friendly, no shuffle, and the kept
+    set is stable under appends (new rows never evict old ones)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang")))
+    threshold = F.when(
+        F.col("lang") == "en", STRATA_THRESHOLDS["en"]
+    ).otherwise(DEFAULT_THRESHOLD)
+    return docs.filter(b < threshold).select("doc_id", "lang")

@@ -8,7 +8,7 @@ so plans stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.sentiment import sentiment_cols
@@ -307,4 +307,60 @@ def q36_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("double") / F.greatest(F.size(bpe), F.lit(1)),
             4,
         ).alias("chars_per_bpe_token"),
+    )
+
+
+@register(
+    "q62_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           FLOOR(tf * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1))
+                 * 10000) / 10000 AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY tf * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1))
+                 DESC, term
+    ) <= 3
+    """,
+)
+def q62_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (smoothed
+    ln((N+1)/(df+1)) idf) — the keyword-extraction / topic-surfacing
+    primitive of a corpus-curation pipeline.
+
+    Scale: token explode fans out map-side; the (doc,term) tf agg and
+    the term-level df agg both collapse via partial aggregation; the
+    corpus size N is a broadcast one-row cross join (no collect); the
+    final top-3 is a bounded per-doc window (WindowGroupLimit pushes
+    the rank filter below the sort at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") + 1) / (F.col("df").cast("double") + 1)
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf_raw"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", trunc(F.col("tfidf_raw"), 4).alias("tfidf"))
     )

@@ -46,8 +46,10 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         analytics_ext,
         dedup,
+        merge,
         multimodal,
         relational,
+        sampling,
         similarity,
         staging_parity,
         text_analysis,

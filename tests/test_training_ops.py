@@ -1,0 +1,98 @@
+"""Tests for the training-pipeline operators that aren't (fully)
+covered by the SQL oracle gate: duplicate-cluster connected components
+(iterative), hash-split stability contracts, and merge idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.operators.dedup import (
+    connected_components,
+    duplicate_edges,
+)
+from serverless_etl_spark.operators.merge import merge_upsert
+from serverless_etl_spark.operators.sampling import hash_split
+
+from conftest import SF_SMALL
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_dup_clusters_match_union_find(spark):
+    edges_df = duplicate_edges(spark, SF_SMALL)
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    assert edges, "seeded corpus must produce duplicate edges"
+    expected = _union_find_labels(edges)
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges_df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_chain(spark):
+    # a 4-node path exercises multi-round propagation (diameter 3)
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], "src long, dst long"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
+def test_hash_split_stable_under_repartition_and_append(spark):
+    from serverless_etl_spark.io import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    base = docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    shuffled = (
+        docs.repartition(7)
+        .select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    )
+    assert base.exceptAll(shuffled).isEmpty()
+
+    # appending new rows must never move an existing row's assignment
+    appended = docs.union(docs.select(F.col("doc_id") + 10**9, *docs.columns[1:]))
+    re_split = appended.select(
+        "doc_id", hash_split(F.col("doc_id")).alias("split")
+    ).filter(F.col("doc_id") < 10**9)
+    assert base.exceptAll(re_split).isEmpty()
+
+    fracs = {
+        r.split: r.n
+        for r in base.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(fracs.values())
+    assert 0.7 < fracs["train"] / n < 0.9
+    assert fracs["train"] + fracs.get("val", 0) + fracs.get("test", 0) == n
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    once = merge_upsert(target, source, "k")
+    assert {(r.k, r.v) for r in once.collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "D"),
+    }
+    twice = merge_upsert(once, source, "k")
+    assert sorted(twice.collect()) == sorted(once.collect())
+    # keys stay unique through a merge
+    assert once.groupBy("k").count().filter("count > 1").isEmpty()

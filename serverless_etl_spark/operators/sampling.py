@@ -16,7 +16,7 @@ are extended-surface operators (SURVEY.md §7.3 phase 7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -98,3 +98,55 @@ def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en", STRATA_THRESHOLDS["en"]
     ).otherwise(DEFAULT_THRESHOLD)
     return docs.filter(b < threshold).select("doc_id", "lang")
+
+
+SEQ_BUDGET = 2048  # tokens per packed training sequence
+N_SHARDS = 16
+
+
+@register(
+    "q68_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // {SEQ_BUDGET} AS BIGINT) AS seq_id
+    FROM d
+    """,
+)
+def q68_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training sequences (2048 tokens) by running-sum bucketing — the
+    document→context-window packing step of an LLM data pipeline. A doc
+    lands in the sequence where its FIRST token falls, matching the
+    streaming-concat packers that split docs across boundaries.
+
+    Scale: packing is per-shard (doc_id % 16), so the running-sum window
+    is an exchange on shard + a linear in-partition scan — never a
+    global single-partition sort. Shard count scales with the cluster;
+    determinism comes from the (shard, doc_id) order, not arrival
+    order."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+    )

@@ -240,3 +240,106 @@ def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+DIM = 64
+N_PLANES = 8
+
+# deterministic pseudo-random hyperplanes h_p ∈ {±1}^64, derived once
+# from md5("p|i") digit parity and embedded as CONSTANTS in both the
+# Spark plan (literal arrays) and the oracle SQL (sign strings) — the
+# two engines bucket identically with zero runtime hashing.
+import hashlib as _hashlib
+
+_PLANE_SIGNS = [
+    "".join(
+        "+" if int(_hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else "-"
+        for i in range(DIM)
+    )
+    for p in range(N_PLANES)
+]
+_PLANE_COEFS = [[1.0 if ch == "+" else -1.0 for ch in s] for s in _PLANE_SIGNS]
+
+_PLANES_VALUES = ", ".join(f"({p}, '{s}')" for p, s in enumerate(_PLANE_SIGNS))
+
+
+@register(
+    "q69_ann_hyperplane_lsh",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    planes AS (SELECT * FROM (VALUES {_PLANES_VALUES}) AS t(p, s)),
+    coefs AS (
+        SELECT p, i.i AS i,
+               CASE WHEN substr(s, i.i, 1) = '+' THEN 1.0 ELSE -1.0 END AS coef
+        FROM planes CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) i
+    ),
+    dotp AS (
+        SELECT d.vec_id, c.p, SUM(d.x * c.coef) AS dp
+        FROM dims d JOIN coefs c ON d.i = c.i
+        GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dp > 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS sig
+        FROM dotp GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM sigs sq
+        JOIN sigs sc ON sc.sig = sq.sig AND sc.vec_id <> sq.vec_id
+        JOIN dims q ON q.vec_id = sq.vec_id
+        JOIN dims c ON c.vec_id = sc.vec_id AND q.i = c.i
+        WHERE sq.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+                AS INT) AS rk
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = cand_id
+    QUALIFY rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q69_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (SimHash for embeddings): 8 sign bits
+    of fixed ±1 hyperplane projections form a 256-bucket signature;
+    queries probe only their own bucket, then exact-cosine re-rank.
+    The data-independent counterpart to q51's learned IVF cells —
+    no training pass, stable under corpus growth.
+
+    Scale: signatures are map-side literal-array dot products (no
+    hashing at runtime, no shuffle); the probe join keys on the 8-bit
+    signature — uniformly distributed by construction, so the exchange
+    has no skew. Recall tunes with bands/bits exactly like MinHash-LSH
+    (q41); tests/test_training_ops.py pins recall vs the exact q50."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _vec_double().alias("v"))
+
+    sig = None
+    for p in range(N_PLANES):
+        dp = _dot(F.col("v"), F.lit(_PLANE_COEFS[p]))
+        term = F.when(dp > 0, 2**p).otherwise(0)
+        sig = term if sig is None else sig + term
+    signed = v.select("vec_id", "v", sig.cast("bigint").alias("sig"))
+
+    q = signed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "sig"
+    )
+    c = signed.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "sig")
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .join(c, "sig")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

@@ -364,3 +364,55 @@ def q62_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", trunc(F.col("tfidf_raw"), 4).alias("tfidf"))
     )
+
+
+@register(
+    "q67_repetition_filter",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]) AS grams
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_3grams,
+           FLOOR((1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams))
+                 * 10000) / 10000 AS rep_ratio,
+           CAST(CASE WHEN 1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                          <= 0.2 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM g
+    """,
+)
+def q67_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4-style rule):
+    fraction of duplicated 3-gram shingles per document; docs above 20%
+    repetition are flagged for removal. Returns the ratio and keep flag
+    per doc so the filter doubles as an audit report.
+
+    Scale: pure map-side array expressions inside whole-stage codegen —
+    no shuffle, no UDF; composes with q58's split column for a
+    zero-extra-pass curation write."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    rep = 1 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("int").alias("n_3grams"),
+        trunc(rep, 4).alias("rep_ratio"),
+        F.when(rep <= 0.2, 1).otherwise(0).cast("int").alias("kept"),
+    )

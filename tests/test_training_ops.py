@@ -96,3 +96,62 @@ def test_merge_upsert_semantics_and_idempotence(spark):
     assert sorted(twice.collect()) == sorted(once.collect())
     # keys stay unique through a merge
     assert once.groupBy("k").count().filter("count > 1").isEmpty()
+
+
+def test_hyperplane_lsh_exact_dups_always_collide(spark):
+    # the property hyperplane LSH guarantees: identical vectors share a
+    # bucket, so exact-duplicate recall is 1.0 regardless of bit count
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.similarity import (
+        N_PLANES,
+        _PLANE_COEFS,
+        _dot,
+        _vec_double,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    v = emb.select("vec_id", _vec_double().alias("v"))
+    sig = None
+    for p in range(N_PLANES):
+        term = F.when(_dot(F.col("v"), F.lit(_PLANE_COEFS[p])) > 0, 2**p).otherwise(0)
+        sig = term if sig is None else sig + term
+    sigs = v.select("vec_id", sig.alias("sig"))
+    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), _vec_double().alias("v")
+    )
+    csig = None
+    for p in range(N_PLANES):
+        term = F.when(_dot(F.col("v"), F.lit(_PLANE_COEFS[p])) > 0, 2**p).otherwise(0)
+        csig = term if csig is None else csig + term
+    clone_sigs = clones.select((F.col("vec_id") - 10**6).alias("vec_id"), csig.alias("sig"))
+    joined = sigs.join(clone_sigs.withColumnRenamed("sig", "clone_sig"), "vec_id")
+    assert joined.count() > 0
+    assert joined.filter(F.col("sig") != F.col("clone_sig")).isEmpty()
+
+
+def test_streaming_upsert_last_writer_wins(spark, tmp_path):
+    from serverless_etl_spark.streaming.upsert import run_streaming_upsert
+
+    src = str(tmp_path / "changes")
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long"
+
+    batch1 = spark.createDataFrame(
+        [(1, "a0", 10), (2, "b0", 11), (3, "c0", 12)], schema
+    )
+    batch1.write.mode("append").parquet(src)
+    run_streaming_upsert(spark, src, tgt, ckpt, schema, key="k", order_col="seq")
+    got1 = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got1 == {(1, "a0"), (2, "b0"), (3, "c0")}
+
+    # second drain: update k=2 twice (latest seq wins) + insert k=4
+    batch2 = spark.createDataFrame(
+        [(2, "b1", 20), (2, "b2", 21), (4, "d0", 22)], schema
+    )
+    batch2.write.mode("append").parquet(src)
+    run_streaming_upsert(spark, src, tgt, ckpt, schema, key="k", order_col="seq")
+    final = spark.read.parquet(tgt)
+    got2 = {(r.k, r.v) for r in final.collect()}
+    assert got2 == {(1, "a0"), (2, "b2"), (3, "c0"), (4, "d0")}
+    assert final.groupBy("k").count().filter("count > 1").isEmpty()

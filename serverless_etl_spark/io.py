@@ -205,3 +205,22 @@ def read_csv_table(
     if isinstance(paths, str):
         return reader.csv(paths)
     return reader.csv(list(paths))
+
+
+def read_json_table(spark: SparkSession, paths: str | list[str], schema) -> DataFrame:
+    """JSON-lines source with an externally supplied schema — schema
+    inference is DISABLED on purpose: inferring means a full extra pass
+    over 100 TB before the real scan, and drifting input silently
+    changes column types mid-pipeline. Multi-path scans parallelize
+    across files like the CSV source (S8)."""
+    reader = spark.read.schema(schema)
+    if isinstance(paths, str):
+        return reader.json(paths)
+    return reader.json(list(paths))
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange format for downstream non-columnar
+    consumers; the analytical layer stays parquet/ORC — JSON is a
+    boundary format, not a query format)."""
+    df.write.mode(mode).json(path)

@@ -87,3 +87,33 @@ def test_q56_window_group_limit_before_exchange(spark):
     rows per group per task survive to the shuffle."""
     plan = _executed_plan(spark, "q56_topk_per_group")
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("name", ["q58_hash_split", "q59_stratified_sample", "q67_repetition_filter"])
+def test_sampling_and_quality_filters_are_map_side(spark, name):
+    """Split assignment and quality filtering must be pure projections/
+    filters — zero exchanges, so they compose freely with any write."""
+    plan = _executed_plan(spark, name)
+    assert _n_shuffles(plan) == 0
+
+
+def test_q62_corpus_size_is_broadcast(spark):
+    """TF-IDF's corpus-size N must reach rows via broadcast, not a
+    shuffled join or a driver collect baked into the plan."""
+    plan = _executed_plan(spark, "q62_tfidf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q68_packing_shuffles_once_on_shard(spark):
+    """Sequence packing must be a single exchange (on shard) + in-
+    partition running sum — never a global single-partition window."""
+    plan = _executed_plan(spark, "q68_sequence_packing")
+    assert _n_shuffles(plan) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_q69_probe_join_not_cartesian(spark):
+    """The LSH bucket-probe must join on the signature, never cross the
+    full corpus against the queries."""
+    plan = _executed_plan(spark, "q69_ann_hyperplane_lsh")
+    assert "CartesianProduct" not in plan

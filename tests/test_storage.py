@@ -150,3 +150,27 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert after.count() == rows_before
     # partition layout intact: day-level dirs still exist
     assert any(p.name.startswith("day=") for p in pathlib.Path(out).rglob("day=*"))
+
+
+def test_json_lines_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    from serverless_etl_spark.io import load_table, read_json_table, write_json
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_json")
+    write_json(docs, path)
+    back = read_json_table(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    assert docs.exceptAll(back).isEmpty() and back.exceptAll(docs).isEmpty()
+
+
+def test_json_source_multi_path(spark, tmp_path):
+    from serverless_etl_spark.io import read_json_table, write_json
+
+    a = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    b = spark.range(5, 9).selectExpr("id", "CAST(id AS STRING) AS s")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_json(a, pa)
+    write_json(b, pb)
+    both = read_json_table(spark, [pa, pb], a.schema)
+    assert both.count() == 9

@@ -349,3 +349,117 @@ def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
     )
+
+
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+_PROFILE_NUMERIC = {"o_custkey", "o_totalprice"}
+
+
+@register(
+    "q71_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_d,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_d
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL FROM orders
+    """,
+)
+def q71_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report: per-column row/null/distinct counts and
+    numeric min/max — the first pass any pipeline runs on an unknown
+    100 TB input (schema drift detection, null-rate monitoring, join-key
+    cardinality sizing). min/max stay typed (double) rather than
+    stringified: double→string formatting is engine-specific, values
+    are not.
+
+    Scale: ONE scan builds every profile row — per-column aggregates
+    computed in a single agg then reshaped driver-free; the multi-
+    distinct expands map-side (Expand node), each partial mergeable."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if c in _PROFILE_NUMERIC:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            ]
+    one = orders.agg(*aggs)
+    stack_args = []
+    for c in _PROFILE_COLS:
+        mn = f"`{c}__min`" if c in _PROFILE_NUMERIC else "CAST(NULL AS DOUBLE)"
+        mx = f"`{c}__max`" if c in _PROFILE_NUMERIC else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__distinct`, {mn}, {mx}"
+        )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_d, max_d)"
+    )
+
+
+@register(
+    "q72_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide measure columns to (key, metric, value) long
+    form, the inverse of q18's pivot and the reshape feeding any
+    metric-agnostic aggregation or per-metric partitioned write.
+
+    Scale: melt is map-side (an Expand node, rows×metrics with no
+    shuffle); the filter stays pushed below it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+@register("q73_approx_quantiles")  # sketch-based — no exact SQL twin; error-bound test
+def q73_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles per group (approx_percentile):
+    the unbounded-cardinality scale path next to q37's exact quantiles —
+    sketches merge across partitions and across incremental runs, where
+    exact percentile needs a full re-sort.
+
+    tests/test_analytics_ext.py pins the estimates within 1% relative
+    error of DuckDB's exact quantile_cont (the sketch accuracy
+    parameter is set for that bound)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ap = F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)"
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        ap[0].alias("p25_approx"),
+        ap[1].alias("p50_approx"),
+        ap[2].alias("p90_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

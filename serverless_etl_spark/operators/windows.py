@@ -206,3 +206,33 @@ def q55_moving_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(22,6)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@register(
+    "q74_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           FLOOR(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+           FLOOR(cume_dist() OVER w * 1000000) / 1000000 AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q74_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows — ntile quartiles, percent_rank,
+    cume_dist per market segment (the percentile-bucketing primitive
+    for cohort analyses and balanced dataset splits).
+
+    Scale: one exchange on the segment key; all three functions stream
+    the sorted partition with O(1) state (ntile needs the partition
+    count, computed in the same pass)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume"),
+    )

@@ -82,3 +82,26 @@ def test_gapfill_zero_hours_carry_value(spark):
     if gaps.limit(1).count() == 0:
         return  # no gaps at this sf — nothing to assert
     assert gaps.filter(F.col("value_ff").isNull()).count() == 0
+
+
+def test_approx_quantiles_within_error_bound(spark, duck):
+    got = {
+        r.o_orderstatus: r
+        for r in registry.QUERIES["q73_approx_quantiles"](spark, SF_SMALL).collect()
+    }
+    exact = duck.execute(
+        """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.50) AS p50,
+               quantile_cont(o_totalprice, 0.90) AS p90
+        FROM orders GROUP BY o_orderstatus
+        """
+    ).fetchall()
+    assert exact and len(got) == len(exact)
+    for status, p25, p50, p90 in exact:
+        r = got[status]
+        for approx, true in [(r.p25_approx, p25), (r.p50_approx, p50), (r.p90_approx, p90)]:
+            assert abs(approx - true) <= 0.01 * abs(true), (
+                f"{status}: approx {approx} vs exact {true}"
+            )

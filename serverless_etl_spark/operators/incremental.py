@@ -1,0 +1,103 @@
+"""Incremental rollup maintenance: partial aggregates that MERGE.
+
+The reference recomputes its analytical layer from a full staging
+rescan each cycle (INSERT INTO ... SELECT * FROM staging,
+lambda/analytical-transform.py:25-26). At 100 TB a daily dashboard
+rollup cannot rescan history — it must keep per-(day, key) partial
+aggregates and fold each new batch in: counts and sums merge by
+addition, distinct counts merge via HLL sketch union
+(F.hll_sketch_agg / F.hll_union_agg — the Apache DataSketches HLL
+bound into Spark). Merging N batch rollups is associative and
+commutative, so backfills, replays, and out-of-order arrivals all
+converge to the same table.
+
+q75 proves the contract: events split into two arbitrary half-batches,
+partial-rolled separately, merged — oracle-checked EQUAL to the
+single-pass full recompute on the exact columns; the sketch column's
+estimate is pinned within 5% of exact distinct in
+tests/test_training_ops.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+KEYS = ("day", "event_type")
+
+
+def partial_daily_rollup(events: DataFrame) -> DataFrame:
+    """One batch's contribution to the daily rollup: additive partials
+    (count, decimal-exact sum) + an HLL sketch of distinct users.
+
+    The sum partial STAYS DECIMAL — a double partial would make merge
+    order observable (float addition is not associative), breaking the
+    replay/backfill convergence contract; the cast to double happens
+    once, in rollup_report."""
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_value"),
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+        )
+    )
+
+
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Fold any number of partial rollups into one: addition for the
+    additive columns, sketch union for the HLL column.
+
+    Scale: each merge shuffles only rollup rows (days×types — trivially
+    small next to the fact data); the expensive scan happened once per
+    batch, never again. This is the maintenance step of an incremental
+    materialized view."""
+    unioned = reduce(DataFrame.unionByName, rollups)
+    return unioned.groupBy(*KEYS).agg(
+        F.sum("n_events").alias("n_events"),
+        # decimal sum: exact and order-free; re-quantize so repeated
+        # merges keep a stable type instead of growing precision
+        F.sum("sum_value").cast("decimal(22,6)").alias("sum_value"),
+        F.hll_union_agg("users_hll").alias("users_hll"),
+    )
+
+
+def rollup_report(rollup: DataFrame) -> DataFrame:
+    """Readable face of the rollup: sketch → point estimate."""
+    return rollup.select(
+        *KEYS,
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.hll_sketch_estimate("users_hll").alias("approx_users"),
+    )
+
+
+@register(
+    "q75_incremental_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q75_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup equivalence: split events into two arbitrary
+    half-batches, partial-rollup each, merge — the merged exact columns
+    must equal a single-pass full recompute (the DuckDB oracle). This
+    is the correctness contract that lets a 100 TB rollup be maintained
+    by folding in day-batches instead of rescanning history."""
+    ev = load_table(spark, sf_dir, "events")
+    half_a = partial_daily_rollup(ev.filter(F.col("event_id") % 2 == 0))
+    half_b = partial_daily_rollup(ev.filter(F.col("event_id") % 2 == 1))
+    merged = merge_rollups(half_a, half_b)
+    return merged.select(
+        *KEYS, "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )

@@ -46,6 +46,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         analytics_ext,
         dedup,
+        incremental,
         merge,
         multimodal,
         relational,

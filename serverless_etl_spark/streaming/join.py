@@ -1,0 +1,46 @@
+"""Stream-stream interval join: correlate two live streams within a
+bounded event-time window (impression→click attribution, request→
+response pairing, sensor cross-correlation).
+
+The reference never joins two streams (its one join, J1, is within a
+single micro-batch — SURVEY.md §2.3); this is the extended streaming
+surface. Spark's state store buffers BOTH sides; the two watermarks
+plus the time-range join condition bound that state: a row can be
+evicted once no future row on the other side could still match it.
+
+Scale: state size = input rate × (watermark delay + join window), not
+history. The join keys hash-partition both streams identically, so
+matching is local to each state-store partition — adding executors
+splits state linearly. Without the time-range condition Spark keeps
+unbounded state and this plan must be rejected, not deployed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Inner-join two (streaming or batch) frames on `key` where the
+    right event lands within (left_ts, left_ts + max_delay]. On
+    streaming inputs the watermarks make the buffered state bounded and
+    GC-able; on batch inputs withWatermark is a no-op, so the SAME
+    function is testable batch-vs-stream (the equivalence test in
+    tests/test_streaming_join.py)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

@@ -1,0 +1,79 @@
+"""Stream-stream interval join: the streaming result must equal the
+batch interval join on the same data, and state must be bounded (the
+plan carries the watermarks + time-range condition)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.streaming.join import interval_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+IMP_SCHEMA = "ad_id long, l_ts timestamp"
+CLK_SCHEMA = "ad_id long, r_ts timestamp, click_id long"
+
+
+def _fixtures(spark):
+    imps = spark.createDataFrame(
+        [
+            (1, T0),
+            (2, T0 + dt.timedelta(minutes=1)),
+            (3, T0 + dt.timedelta(minutes=2)),
+        ],
+        IMP_SCHEMA,
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(minutes=5), 100),   # match (within 10m)
+            (1, T0 + dt.timedelta(minutes=11), 101),  # too late
+            (2, T0 + dt.timedelta(minutes=2), 102),   # match
+            (3, T0 - dt.timedelta(minutes=1), 103),   # before impression
+            (9, T0 + dt.timedelta(minutes=3), 104),   # unknown ad
+        ],
+        CLK_SCHEMA,
+    )
+    return imps, clicks
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    imps, clicks = _fixtures(spark)
+    batch = {
+        (r.ad_id, r.click_id)
+        for r in interval_join(imps, clicks, "ad_id").collect()
+    }
+    assert batch == {(1, 100), (2, 102)}
+
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    imps.write.parquet(imp_dir)
+    clicks.write.parquet(clk_dir)
+    s_imps = spark.readStream.schema(IMP_SCHEMA).parquet(imp_dir)
+    s_clicks = spark.readStream.schema(CLK_SCHEMA).parquet(clk_dir)
+    joined = interval_join(s_imps, s_clicks, "ad_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.ad_id, r.click_id) for r in spark.read.parquet(out_dir).collect()}
+    assert got == batch
+
+
+def test_interval_join_state_is_bounded(spark, tmp_path):
+    imps, clicks = _fixtures(spark)
+    imp_dir, clk_dir = str(tmp_path / "i"), str(tmp_path / "c")
+    imps.write.parquet(imp_dir)
+    clicks.write.parquet(clk_dir)
+    s_imps = spark.readStream.schema(IMP_SCHEMA).parquet(imp_dir)
+    s_clicks = spark.readStream.schema(CLK_SCHEMA).parquet(clk_dir)
+    joined = interval_join(s_imps, s_clicks, "ad_id")
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    # both watermarks present → state-store GC is possible
+    assert plan.count("EventTimeWatermark") == 2

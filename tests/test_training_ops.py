@@ -155,3 +155,53 @@ def test_streaming_upsert_last_writer_wins(spark, tmp_path):
     got2 = {(r.k, r.v) for r in final.collect()}
     assert got2 == {(1, "a0"), (2, "b2"), (3, "c0"), (4, "d0")}
     assert final.groupBy("k").count().filter("count > 1").isEmpty()
+
+
+def test_incremental_rollup_hll_estimate_near_exact(spark, duck):
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.incremental import (
+        merge_rollups,
+        partial_daily_rollup,
+        rollup_report,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    halves = [
+        partial_daily_rollup(ev.filter(F.col("event_id") % 2 == i)) for i in (0, 1)
+    ]
+    report = rollup_report(merge_rollups(*halves)).collect()
+    exact = {
+        (d, t): n
+        for d, t, n in duck.execute(
+            "SELECT CAST(ts AS DATE), event_type, COUNT(DISTINCT user_id) "
+            "FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert len(report) == len(exact)
+    for r in report:
+        true = exact[(r.day, r.event_type)]
+        assert abs(r.approx_users - true) <= max(2, 0.05 * true), (
+            f"{r.day}/{r.event_type}: approx {r.approx_users} vs exact {true}"
+        )
+
+
+def test_merge_rollups_associativity(spark):
+    # merging (a+b)+c must equal a+(b+c) on the exact columns — the
+    # property that makes backfills and replays order-independent
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.incremental import (
+        merge_rollups,
+        partial_daily_rollup,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a, b, c = [
+        partial_daily_rollup(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)
+    ]
+    left = merge_rollups(merge_rollups(a, b), c).select(
+        "day", "event_type", "n_events", "sum_value"
+    )
+    right = merge_rollups(a, merge_rollups(b, c)).select(
+        "day", "event_type", "n_events", "sum_value"
+    )
+    assert left.exceptAll(right).isEmpty() and right.exceptAll(left).isEmpty()

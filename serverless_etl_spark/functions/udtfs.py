@@ -1,0 +1,37 @@
+"""Python UDTF surface (table-generating functions).
+
+The reference's only table-generating op is pandas explode
+(lambda/staging-transform.py:240 → T1), which this engine covers with
+built-in F.explode. This module documents the full UDTF mechanism for
+operators that genuinely need imperative row→rows logic: registered
+via spark.udtf.register, callable from SQL with LATERAL.
+
+UDTFs are the slow path (row-at-a-time Python, no codegen) — use them
+only when array/HOF builtins cannot express the semantics; everything
+in the hot pipeline stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="token: string, start_pos: int, end_pos: int")
+class TokenizeWithOffsets:
+    """Whitespace tokenizer that preserves character spans — the shape
+    of NER/span-extraction preprocessing, where offsets back into the
+    original text must survive tokenization (a plain split/explode
+    loses them)."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        pos = 0
+        for tok in text.split(" "):
+            if tok:
+                yield tok, pos, pos + len(tok)
+            pos += len(tok) + 1
+
+
+def register_udtfs(spark) -> None:
+    spark.udtf.register("tokenize_with_offsets", TokenizeWithOffsets)

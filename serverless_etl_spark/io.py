@@ -224,3 +224,65 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     consumers; the analytical layer stays parquet/ORC — JSON is a
     boundary format, not a query format)."""
     df.write.mode(mode).json(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: tuple[str, ...],
+    n_files: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout (z-order-lite): repartitionByRange +
+    sortWithinPartitions on the cluster columns, so each output file
+    owns a disjoint key range and its parquet footer min/max stats
+    become an index — a point/range predicate on the cluster key skips
+    every non-matching file and row group at scan time.
+
+    This is the data-layout half of scan pruning (the partition-column
+    half is write_partitioned): partition columns prune directories,
+    clustering prunes within them. At 100 TB, cluster the analytical
+    table by its hottest predicate column (e.g. user or hashtag) and
+    size n_files for ~256 MB files.
+
+    Range boundaries come from reservoir sampling the cluster column —
+    skew-robust without a stats pass (tests verify file-range
+    disjointness)."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, paths: str | list[str], schema, corrupt_col: str = "_corrupt_record"
+):
+    """Robust JSON ingestion: parse PERMISSIVE-ly, splitting the scan
+    into (good_rows, quarantined_raw_lines). On 100 TB of scraped
+    input, FAILFAST aborts hour-long jobs on one bad line and DROPMALFORMED
+    silently loses data — production pipelines park malformed lines in
+    a quarantine table for replay after a parser fix.
+
+    The parsed frame is cached before the split: Spark disallows
+    filtering on the internal corrupt-record column of an un-materialized
+    scan (the pushdown would reorder parse and filter), and the cache
+    also makes the two branches share one parse pass."""
+    from pyspark.sql.types import StringType, StructType
+
+    assert isinstance(schema, StructType)
+    full = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    df = reader.json(paths if isinstance(paths, str) else list(paths)).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

@@ -1,0 +1,45 @@
+"""The user-facing SQL entry point: register the fixture tables as
+views and run arbitrary ANSI SQL through spark.sql — the capability
+that lets a reference user keep writing Athena-style SQL against this
+engine. Plus the Python UDTF surface (LATERAL table functions)."""
+
+from __future__ import annotations
+
+from serverless_etl_spark.functions.udtfs import register_udtfs
+from serverless_etl_spark.io import register_views
+
+from conftest import SF_SMALL
+
+
+def test_arbitrary_sql_over_registered_views(spark, duck):
+    register_views(spark, SF_SMALL)
+    sql = """
+        SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """
+    got = [(r.nation, r.n_orders, round(r.revenue, 4)) for r in spark.sql(sql).collect()]
+    want = [(n, c, round(v, 4)) for n, c, v in duck.execute(sql).fetchall()]
+    assert got == want
+
+
+def test_udtf_tokenize_with_offsets(spark):
+    register_udtfs(spark)
+    rows = spark.sql(
+        """
+        SELECT t.token, t.start_pos, t.end_pos
+        FROM VALUES ('hello  spark world') AS v(txt),
+        LATERAL tokenize_with_offsets(v.txt) t
+        """
+    ).collect()
+    got = [(r.token, r.start_pos, r.end_pos) for r in rows]
+    assert got == [("hello", 0, 5), ("spark", 7, 12), ("world", 13, 18)]
+    # offsets index back into the original string
+    txt = "hello  spark world"
+    for tok, s, e in got:
+        assert txt[s:e] == tok

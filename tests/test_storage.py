@@ -174,3 +174,59 @@ def test_json_source_multi_path(spark, tmp_path):
     write_json(b, pb)
     both = read_json_table(spark, [pa, pb], a.schema)
     assert both.count() == 9
+
+
+def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from serverless_etl_spark.io import load_table, write_range_clustered
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "clustered")
+    write_range_clustered(ev, path, ("user_id",), n_files=4)
+
+    import pathlib
+
+    ranges = []
+    for f in pathlib.Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["user_id"]).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3  # sf0.001 has enough distinct users for 4 splits
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # row count survives the re-layout
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_json_quarantine_splits_good_and_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from serverless_etl_spark.io import read_json_with_quarantine
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json at all\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "type clash"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), schema)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in b for b in bad_lines)
+    assert any("NOT_A_NUMBER" in b for b in bad_lines)

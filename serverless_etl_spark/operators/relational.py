@@ -754,3 +754,33 @@ def q57_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purchase_value"),
         F.count(F.when(F.col("value") > 250.0, 1)).alias("n_high"),
     )
+
+
+@register(
+    "q78_map_ops",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q78_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user event-type counts packed into a
+    map<string,bigint> column (map_from_entries ∘ collect_list) and
+    unpacked back via explode(map) — the reference persists no map type
+    (SURVEY.md §1.2), so this pins the engine's map construction/
+    explosion surface while the oracle checks the values through the
+    map-free equivalent.
+
+    Scale: the map stays per-user-sized (≤ #event types); collect_list
+    here aggregates pre-counted (type,count) structs, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    packed = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return packed.select(
+        "user_id", F.explode("type_counts").alias("event_type", "cnt")
+    )

@@ -236,3 +236,94 @@ def q74_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pct_rank"),
         (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume"),
     )
+
+
+@register(
+    "q76_session_assign",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM g
+    """,
+)
+def q76_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment (30-min inactivity gap): each event
+    gets its user's running session number — the row-level counterpart
+    of q25's per-session aggregate, needed when downstream work is at
+    event grain (e.g. training sequence construction per session).
+
+    Scale: one exchange on user_id feeds both window layers (the gap
+    flag and its running sum share partitioning + sort), O(1) state per
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(is_new).over(wsum).cast("bigint").alias("session_no"),
+    )
+
+
+@register(
+    "q77_funnel",
+    oracle="""
+    WITH stage_ts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+        COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_click,
+        COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                           AND t_purchase > t_click) AS n_purchase
+    FROM stage_ts
+    """,
+)
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): users counted
+    at each stage only if the stages happened IN ORDER (first view
+    before first click before first purchase) — the event-analytics
+    staple that a naive per-type count gets wrong.
+
+    Scale: one groupBy(user_id) with conditional-MIN partials (the
+    stage timestamps collapse map-side); the funnel comparison is a
+    single-row reduction after — no joins, no self-unions per stage."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_click"),
+        F.count(F.when(purchased, 1)).alias("n_purchase"),
+    )

@@ -1,0 +1,66 @@
+"""Regenerate the SCALE.md §2 plan-audit table: execute each bench
+query at a small sf and count the structural scale properties in the
+AQE-final physical plan (shuffles, broadcasts, join strategies, scans
+with pushdown). Usage:
+
+    python scripts/plan_audit.py [sf_dir] [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = registry.BENCH_QUERIES or sorted(registry.QUERIES)
+    if ONLY:
+        names = [n for n in names if any(o in n for o in ONLY)]
+
+    print(f"| Query | Shuffles | Broadcasts | Joins | Scans w/ pushdown |")
+    print(f"|---|---|---|---|---|")
+    for name in names:
+        df = registry.QUERIES[name](spark, SF_DIR)
+        df.count()  # let AQE finalize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        bcasts = plan.count("BroadcastExchange")
+        joins = []
+        for kind, label in [
+            ("BroadcastHashJoin", "BHJ"),
+            ("SortMergeJoin", "SMJ"),
+            ("ShuffledHashJoin", "SHJ"),
+            ("BroadcastNestedLoopJoin", "BNLJ"),
+            ("CartesianProduct", "CARTESIAN!"),
+        ]:
+            n = plan.count(kind)
+            if n:
+                joins.append(f"{n} {label}")
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
+        print(
+            f"| {name} | {shuffles} | {bcasts} | {', '.join(joins) or '—'} | {pushed} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -150,3 +150,80 @@ def q68_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start / SEQ_BUDGET).cast("bigint").alias("seq_id"),
     )
+
+
+@register(
+    "q79_group_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(source), 1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                WHEN substr(md5(source), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q79_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP split: hash the group key (source), not the
+    record key, so every document from one source lands in the same
+    split — the contamination guard when near-duplicates cluster within
+    a group (same crawl, same author, same session). Same thresholds
+    and stability contract as q58.
+
+    Scale: still a pure projection (the group key is already on the
+    row) — no join against a group table, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", hash_split(F.col("source")).alias("split")
+    )
+
+
+N_NEGATIVES = 4
+
+
+@register(
+    "q80_negative_sampling",
+    oracle=f"""
+    WITH fan AS (
+        SELECT d.doc_id, n.n AS neg_no,
+               md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(n.n AS VARCHAR)) AS h
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, {N_NEGATIVES})) AS n) n
+    )
+    SELECT doc_id, neg_no,
+           CAST((
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256
+           ) % 500 AS BIGINT) AS neg_doc_id
+    FROM fan
+    """,
+)
+def q80_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets K pseudo-random partner doc_ids derived from
+    md5(doc_id '#' k) hex digits mod corpus size — reproducible across
+    runs/engines/partitionings, unlike rand()-based sampling.
+
+    NOTE: corpus size is pinned to the sf0.01 fixture count (500) in
+    the modulus so the oracle is a closed-form expression; the
+    production form computes it once per batch (count → literal).
+
+    Scale: a map-side fan-out (Expand via the K-row cross join) — the
+    candidate ids are computed, not joined, so there is no shuffle at
+    all until the (optional) resolve-join to fetch negative features."""
+    docs = load_table(spark, sf_dir, "documents")
+    negs = spark.range(N_NEGATIVES).select(F.col("id").cast("bigint").alias("neg_no"))
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("neg_no").cast("string"))
+    )
+    hexv = "0123456789abcdef"
+
+    def digit(pos):
+        return (F.instr(F.lit(hexv), F.substring(h, pos, 1)) - 1).cast("bigint")
+
+    neg_id = (digit(1) * 16 + digit(2) + digit(3) * 256) % 500
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(negs))
+        .select("doc_id", "neg_no", neg_id.alias("neg_doc_id"))
+    )

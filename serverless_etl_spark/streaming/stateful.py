@@ -50,3 +50,68 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (the Spark 4 arbitrary-state API) ----------
+#
+# The successor to applyInPandasWithState: typed state variables
+# (ValueState/ListState/MapState) with per-variable TTL, timers, and
+# initial-state seeding. running_user_stats above is the legacy-API
+# twin; this processor is the same per-key running aggregate expressed
+# in the new API so both stateful surfaces are covered.
+#
+# RUNTIME GATE: executing TWS requires google.protobuf (the state-server
+# wire protocol between the Python worker and the JVM state store),
+# which is not baked into this container — tws_available() reports
+# whether the operator can actually run here; the parity test skips
+# when it cannot. The processor definition itself is import-safe.
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can execute in this
+    environment (pyspark >= 4.0 AND protobuf present)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+try:  # the TWS API needs StatefulProcessor (pyspark >= 4.0)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningUserStatsProcessor(StatefulProcessor):
+        """ValueState-backed per-user (n_tweets, max_rt) accumulator."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, mx = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, int(pdf["rt_count"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_name": [key[0]], "n_tweets": [n], "max_rt": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+        """transformWithStateInPandas flavor of running_user_stats."""
+        return stream.groupBy("user_name").transformWithStateInPandas(
+            RunningUserStatsProcessor(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older pyspark
+    RunningUserStatsProcessor = None
+
+    def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithState requires pyspark >= 4.0")

@@ -1,0 +1,64 @@
+"""Property tests: randomized inputs, batched into single Spark jobs.
+
+Connected components is checked against a pure-Python union-find over
+many random graphs at once (vertex ids are namespaced per graph, so one
+propagation run covers all of them — including multi-round chain
+topologies). Hash-split assignment is checked against hashlib md5
+computed in Python: if Spark's md5/substring/compare semantics ever
+drift from the Python definition, membership would silently shift."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.operators.dedup import connected_components
+from serverless_etl_spark.operators.sampling import (
+    TRAIN_UPPER,
+    VAL_UPPER,
+    hash_split,
+)
+from tests.test_training_ops import _union_find_labels
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    edges = []
+    for g in range(25):
+        base = g * 10_000
+        n_vertices = rng.randint(2, 30)
+        n_edges = rng.randint(1, 40)
+        for _ in range(n_edges):
+            a = base + rng.randrange(n_vertices)
+            b = base + rng.randrange(n_vertices)
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+    edges = sorted(set(edges))
+    expected = _union_find_labels(edges)
+
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.cluster_id for r in connected_components(edges_df).collect()}
+    assert got == expected
+
+
+def test_hash_split_matches_python_hashlib(spark):
+    ids = list(range(0, 2000, 7)) + [10**12, 10**15 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in df.select(
+            "doc_id", hash_split(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+
+    def expect(i: int) -> str:
+        b = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        if b < TRAIN_UPPER:
+            return "train"
+        if b < VAL_UPPER:
+            return "val"
+        return "test"
+
+    assert got == {i: expect(i) for i in ids}

@@ -1,0 +1,94 @@
+"""The composed training-data curation pipeline: one declarative plan
+from raw documents to packed training sequences.
+
+Individual operators (exact dedup, repetition/quality filters,
+leakage-safe splits, sequence packing) are each oracle-checked on their
+own; this module is the product they exist for — the end-to-end corpus
+curation pass an LLM data pipeline runs over 100 TB:
+
+    raw docs → exact-dedup (keep min doc_id per content digest)
+             → repetition filter (3-gram dup ratio ≤ threshold)
+             → deterministic group split (train/val/test by source)
+             → per-split token-budget sequence packing
+
+Everything is ONE lazy DataFrame plan: Catalyst sees dedup + filters +
+split + packing together, so the text column is scanned once, the
+filters run before the dedup exchange, and the final write can
+partition by split with no extra pass.
+
+Scale: two exchanges end-to-end — the dedup groupBy (on the 16-byte
+digest, not the text) and the packing window (on the shard key). The
+quality filter and split assignment are map-side and cost nothing
+extra. Re-running on appended data never moves an existing doc between
+splits (hash stability, tested in test_training_ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import SEQ_BUDGET, hash_split
+
+MAX_REP_RATIO = 0.2
+
+
+def curate(
+    docs: DataFrame,
+    group_col: str = "source",
+    seq_budget: int = SEQ_BUDGET,
+    n_shards: int = 16,
+    max_rep_ratio: float = MAX_REP_RATIO,
+) -> DataFrame:
+    """docs(doc_id, text, <group_col>) → (doc_id, split, shard, seq_id,
+    n_tokens) — the curated, split, packed corpus manifest. Joins back
+    to the full row by doc_id when features are needed (the wide text
+    column never rides through the packing shuffle)."""
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    rep = 1 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+
+    scored = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.md5("text").alias("digest"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        rep.alias("rep_ratio"),
+    ).filter((F.size(toks) >= 3) & (rep <= max_rep_ratio))
+
+    # exact dedup: deterministic keeper per content digest
+    keeper = Window.partitionBy("digest").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("__rn", F.row_number().over(keeper))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "digest")
+    )
+
+    assigned = deduped.select(
+        "doc_id",
+        "n_tokens",
+        hash_split(F.col("grp")).alias("split"),
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+    )
+
+    pack = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(pack) - F.col("n_tokens")
+    return assigned.select(
+        "doc_id",
+        "split",
+        "shard",
+        F.floor(start / seq_budget).cast("bigint").alias("seq_id"),
+        "n_tokens",
+    )

@@ -117,3 +117,16 @@ def test_q69_probe_join_not_cartesian(spark):
     full corpus against the queries."""
     plan = _executed_plan(spark, "q69_ann_hyperplane_lsh")
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_two_exchanges(spark):
+    """The composed curation plan must stay at two wide exchanges (the
+    dedup window on the digest + the packing window on split/shard) —
+    filters and split assignment ride along map-side."""
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.curation import curate
+
+    df = curate(load_table(spark, SF_SMALL, "documents"))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _n_shuffles(plan) == 2

@@ -205,3 +205,41 @@ def test_merge_rollups_associativity(spark):
         "day", "event_type", "n_events", "sum_value"
     )
     assert left.exceptAll(right).isEmpty() and right.exceptAll(left).isEmpty()
+
+
+def test_curation_pipeline_end_to_end(spark):
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.curation import curate
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    # seed an exact duplicate that must be dropped
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), *docs.columns[1:]
+    )
+    manifest = curate(docs.unionByName(dup)).cache()
+
+    rows = manifest.collect()
+    assert rows
+    # dedup: the seeded clone lost to the min-doc_id keeper
+    ids = {r.doc_id for r in rows}
+    assert 0 in ids and 10**6 not in ids
+    # every input doc either appears once or was filtered/deduped
+    assert manifest.groupBy("doc_id").count().filter("count > 1").isEmpty()
+    # split is a function of source: all docs of one source share a split
+    src_splits = (
+        manifest.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert src_splits.filter(F.col("n_splits") > 1).isEmpty()
+    # packing invariant: within (split, shard), seq_id is nondecreasing
+    # in doc_id and each sequence's token start stays under budget+max_doc
+    from serverless_etl_spark.operators.sampling import SEQ_BUDGET
+
+    for r in (
+        manifest.groupBy("split", "shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("seq_tokens"), F.max("n_tokens").alias("max_doc"))
+        .collect()
+    ):
+        assert r.seq_tokens < SEQ_BUDGET + r.max_doc
+    manifest.unpersist()

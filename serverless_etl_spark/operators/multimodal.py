@@ -177,3 +177,60 @@ def q66_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("chunk_end_ms"),
     )
+
+
+EMBED_DIM = 8
+
+_HEX_VAL_SQL = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+
+
+def fake_embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a feature-extraction model: consumes
+    (doc_id, payload: bytes) Arrow batches, emits an 8-dim embedding
+    derived from the payload's md5 (each dim = one digest byte scaled
+    to [-0.5, 0.5]). A real encoder (CLIP, wav2vec, …) swaps in here;
+    the batch shape, schema, and determinism contract are identical."""
+    for pdf in batches:
+        digests = pdf["payload"].apply(lambda b: hashlib.md5(bytes(b)).hexdigest())
+        cols = {"doc_id": pdf["doc_id"]}
+        for i in range(EMBED_DIM):
+            cols[f"e{i}"] = digests.apply(
+                lambda h, i=i: int(h[2 * i : 2 * i + 2], 16) / 255.0 - 0.5
+            )
+        yield pd.DataFrame(cols)
+
+
+@register(
+    "q81_multimodal_embed",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT doc_id, i.i AS dim,
+           FLOOR((
+               (({_HEX_VAL_SQL.format(p="2*i.i + 1")}) * 16
+              + ({_HEX_VAL_SQL.format(p="2*i.i + 2")})) / 255.0 - 0.5
+           ) * 1000000) / 1000000 AS val
+    FROM d CROSS JOIN (SELECT unnest(range(0, {EMBED_DIM})) AS i) i
+    """,
+)
+def q81_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal→similarity bridge: binary payload → mapInPandas
+    'encoder' → embedding columns, flattened to (doc_id, dim, val) so
+    the kernel's every output value is oracle-pinned. The wide form
+    (array column) feeds the q50/q69 ANN machinery directly —
+    tests/test_training_ops.py runs that composition.
+
+    Scale: the encoder streams Arrow batches (bounded memory, no
+    shuffle); the flatten is a map-side posexplode. In production this
+    kernel is the GPU-adjacent step — batch size tunes via
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    emb = docs.mapInPandas(
+        fake_embed_batch,
+        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(EMBED_DIM)),
+    )
+    arr = F.array(*[F.col(f"e{i}") for i in range(EMBED_DIM)])
+    return emb.select("doc_id", F.posexplode(arr).alias("dim", "v")).select(
+        "doc_id", "dim", (F.floor(F.col("v") * 1000000) / 1000000).alias("val")
+    )

@@ -19,7 +19,7 @@ import functools
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .schemas import RUN_LOG
@@ -77,10 +77,17 @@ class BatchPipeline:
     def to_staging(self, landing: DataFrame) -> int:
         """ProcessDataToStaging + DeleteStagingOld (O6: overwrite —
         staging is emptied each cycle, inferred from README.md:37 and
-        the un-predicated INSERT at analytical-transform.py:25-26)."""
-        staged = transform_landing(landing)
+        the un-predicated INSERT at analytical-transform.py:25-26).
+
+        Row accounting (A2) rides the write job via observe() — no
+        second scan. At 100 TB the difference between 'write, then
+        re-read to count' and one observed pass is a full table scan."""
+        obs = Observation("staged_rows")
+        staged = transform_landing(landing).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
         staged.write.mode("overwrite").parquet(self.paths.staging)
-        return self.spark.read.parquet(self.paths.staging).count()
+        return int(obs.get["n"])
 
     @retry()
     def to_analytical(self) -> int:
@@ -88,21 +95,24 @@ class BatchPipeline:
         `INSERT INTO … SELECT *` becomes an anti-join append on hash_id
         so replayed windows insert 0 rows (ST5 exactly-once)."""
         staged = self.spark.read.parquet(self.paths.staging)
-        if staged.isEmpty():  # P7: "No new records"
+        if staged.isEmpty():  # P7: "No new records" (cheap limit-1 probe)
             return 0
         try:
             existing = self.spark.read.parquet(self.paths.analytical).select("hash_id")
             fresh = staged.join(existing, "hash_id", "left_anti")
         except Exception:  # first run: no analytical table yet
             fresh = staged
-        n = fresh.count()
-        if n > 0:
-            (
-                fresh.write.mode("append")
-                .partitionBy("year", "month", "day")
-                .parquet(self.paths.analytical)
-            )
-        return n
+        # single pass: the anti-join runs once, inside the write job;
+        # the inserted-row count (the reference's log payload) comes
+        # from observe() instead of a second anti-join for .count()
+        obs = Observation("loaded_rows")
+        (
+            fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .partitionBy("year", "month", "day")
+            .parquet(self.paths.analytical)
+        )
+        return int(obs.get["n"])
 
     @retry()
     def log_run(self, table_name: str, n_rows: int) -> None:

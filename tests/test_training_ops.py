@@ -243,3 +243,41 @@ def test_curation_pipeline_end_to_end(spark):
     ):
         assert r.seq_tokens < SEQ_BUDGET + r.max_doc
     manifest.unpersist()
+
+
+def test_multimodal_embed_feeds_ann(spark):
+    # the bridge composition: binary → fake encoder → cosine top-k
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.multimodal import EMBED_DIM, fake_embed_batch
+    from serverless_etl_spark.operators.similarity import _dot, _norm
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    emb = docs.mapInPandas(
+        fake_embed_batch,
+        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(EMBED_DIM)),
+    ).select(
+        "doc_id", F.array(*[F.col(f"e{i}") for i in range(EMBED_DIM)]).alias("v")
+    )
+    # determinism under repartition
+    a = {(r.doc_id, tuple(r.v)) for r in emb.collect()}
+    b = {(r.doc_id, tuple(r.v)) for r in emb.repartition(7).collect()}
+    assert a == b and len(a) > 0
+
+    q = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("doc_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    top = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"))
+        .limit(5)
+        .collect()
+    )
+    assert len(top) == 5
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in top)

@@ -784,3 +784,42 @@ def q78_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "user_id", F.explode("type_counts").alias("event_type", "cnt")
     )
+
+
+@register(
+    "q82_explode_outer",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN ''
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM base
+    )
+    SELECT t.doc_id, u.token
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, unnest(arr) AS token FROM toks) u
+           ON u.doc_id = t.doc_id
+    """,
+)
+def q82_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — the grain change that PRESERVES rows with empty
+    arrays (token = NULL) instead of dropping them. The reference's
+    plain explode (T1) silently discards hashtag-less rows before the
+    P8 null-filter even runs; outer explode is how a pipeline keeps the
+    'document had nothing to extract' fact for accounting/quality
+    audits. Every 10th doc's text is blanked so the preserved-NULL path
+    has real coverage.
+
+    Scale: identical to explode — map-side Generate node, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, "").otherwise(F.col("text")).alias("text"),
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    return base.select("doc_id", F.explode_outer(toks).alias("token"))

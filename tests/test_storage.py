@@ -230,3 +230,19 @@ def test_json_quarantine_splits_good_and_bad_lines(spark, tmp_path):
     assert len(bad_lines) == 2
     assert any("not json" in b for b in bad_lines)
     assert any("NOT_A_NUMBER" in b for b in bad_lines)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appended batches may add columns (schema drift); mergeSchema
+    reads the union schema with NULLs for pre-drift files — the
+    append-only evolution contract for a long-lived analytical table."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    by_id = {r.id: r for r in merged.collect()}
+    assert by_id[1].score is None and by_id[2].score == 9.5

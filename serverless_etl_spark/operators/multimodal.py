@@ -211,6 +211,7 @@ def fake_embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            ) * 1000000) / 1000000 AS val
     FROM d CROSS JOIN (SELECT unnest(range(0, {EMBED_DIM})) AS i) i
     """,
+    bench=True,
 )
 def q81_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal→similarity bridge: binary payload → mapInPandas

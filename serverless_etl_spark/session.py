@@ -24,6 +24,10 @@ RUNTIME_CONF = {
     # events.parquet carries TIMESTAMP(NANOS); read as long + convert
     # (io.load_table) instead of failing schema conversion
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # zstd over the default snappy: ~30% smaller columnar files at
+    # comparable decode speed — at 100 TB the scan is IO-bound, so
+    # smaller files ARE the speedup (and the storage bill)
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 #: Confs that must be set before the JVM/session starts.

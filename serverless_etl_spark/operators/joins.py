@@ -1,0 +1,105 @@
+"""Generic as-of join — the two-table temporal-lookup operator as a
+reusable API (q19 is the single-table window formulation; this is the
+function a user calls on arbitrary frames).
+
+Implementation is the union-merge pattern, NOT a range self-join: tag
+both inputs, union them, sort each key's rows once, and carry the most
+recent right-side value forward with last(ignore nulls). One exchange
+on the key, linear scan within — a range join would re-buffer
+per-probe-row and explode on hot keys.
+
+Checked two ways: q84 runs it against DuckDB's native ASOF JOIN (the
+oracle implements the same semantics independently), and the unit test
+covers the inclusive-boundary and no-match edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For every left row, attach the right row's value columns with the
+    largest right_ts <= left_ts for the same `by` key (backward as-of,
+    inclusive boundary; NULLs when no prior right row exists). All
+    non-key right columns are carried by default — including right_ts,
+    the matched-row timestamp. Right column names must not collide with
+    left's (rename before joining, as with any join)."""
+    value_cols = value_cols or [c for c in right.columns if c != by]
+    lt = left.select(
+        F.col(by),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c != by],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.col(by),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != by],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    # right rows sort BEFORE left rows at equal ts → inclusive boundary
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(rt)
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return (
+        merged.select("*", *carried)
+        .filter(F.col("__side") == 1)
+        .select(
+            by,
+            *[c for c in left.columns if c != by],
+            *value_cols,
+        )
+    )
+
+
+@register(
+    "q84_asof_generic",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.ts, p.value, s.sts AS signup_ts
+    FROM (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts AS sts FROM events
+                    WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.sts
+    """,
+)
+def q84_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic asof_join API against DuckDB's NATIVE ASOF JOIN —
+    two independent implementations of backward-inclusive as-of
+    semantics must agree on every row.
+
+    Scale: see asof_join — one exchange on user_id, single sort, no
+    per-probe buffering."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sts")
+    )
+    out = asof_join(
+        purchases, signups, by="user_id", left_ts="ts", right_ts="sts"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value", F.col("sts").alias("signup_ts")
+    )

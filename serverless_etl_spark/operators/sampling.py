@@ -227,3 +227,60 @@ def q80_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(negs))
         .select("doc_id", "neg_no", neg_id.alias("neg_doc_id"))
     )
+
+
+SAMPLE_K = 100
+
+
+@register(
+    "q83_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               (  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|w'), 1, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|w'), 2, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|w'), 3, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|w'), 4, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|w'), 5, 1)) - 1)
+                + 1) / 1048577.0 AS unif
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           FLOOR((ln(unif) / n_chars) * 1000000000) / 1000000000 AS es_key
+    FROM u
+    QUALIFY row_number() OVER (ORDER BY ln(unif) / n_chars DESC, doc_id) <= {SAMPLE_K}
+    """,
+)
+def q83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws a uniform u from md5
+    hex digits and competes on key = ln(u)/w (equivalent to u^(1/w));
+    the global top-k is the weighted sample. Weight here is n_chars —
+    the 'sample long documents more often' curation knob; any quality
+    score slots in.
+
+    Scale: the per-row key is map-side; top-k by key is TakeOrdered
+    (per-partition heaps, no global sort). Reproducible on any engine,
+    any partitioning — rand()-based weighted sampling is neither."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|w")))
+    hexv = "0123456789abcdef"
+
+    def digit(pos):
+        return (F.instr(F.lit(hexv), F.substring(h, pos, 1)) - 1).cast("bigint")
+
+    # 20 bits of md5 → uniform in (0, 1]; +1 keeps ln() finite
+    unif = (
+        digit(1) * 65536 + digit(2) * 4096 + digit(3) * 256 + digit(4) * 16 + digit(5) + 1
+    ) / F.lit(1048577.0)
+    es_key = F.log(unif) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", es_key.alias("es_key_raw"))
+        .orderBy(F.desc("es_key_raw"), "doc_id")
+        .limit(SAMPLE_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.floor(F.col("es_key_raw") * 1000000000) / 1000000000).alias("es_key"),
+        )
+    )

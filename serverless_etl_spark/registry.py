@@ -47,6 +47,7 @@ def load_all() -> None:
         analytics_ext,
         dedup,
         incremental,
+        joins,
         merge,
         multimodal,
         relational,

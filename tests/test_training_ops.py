@@ -281,3 +281,27 @@ def test_multimodal_embed_feeds_ann(spark):
     )
     assert len(top) == 5
     assert all(-1.0001 <= r.cosine <= 1.0001 for r in top)
+
+
+def test_asof_join_edges(spark):
+    import datetime as dt
+
+    from serverless_etl_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)
+    left = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(10), "b"), (2, t(5), "c"), (3, t(1), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), 100.0), (1, t(10), 200.0), (2, t(6), 300.0)],
+        "k long, rts timestamp, quote double",
+    )
+    out = {
+        r.tag: (r.rts, r.quote)
+        for r in asof_join(left, right, by="k", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out["a"] == (t(0), 100.0)    # inclusive: equal ts matches
+    assert out["b"] == (t(10), 200.0)   # takes the latest, not the first
+    assert out["c"] == (None, None)     # right row is AFTER left → no match
+    assert out["d"] == (None, None)     # key has no right rows at all

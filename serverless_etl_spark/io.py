@@ -286,3 +286,30 @@ def read_json_with_quarantine(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, bad
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, paths: str | list[str], schema, corrupt_col: str = "_corrupt_record"
+):
+    """Robust CSV ingestion — the landing layer is CSV in the reference
+    (lambda/kinesis-consumer-s3.py:109-131), and scraped CSV always
+    contains rows that don't parse (wrong arity, type clashes). Same
+    contract as read_json_with_quarantine: one PERMISSIVE parse pass,
+    split into (good_rows, quarantined_raw_lines) for replay after a
+    fix — never a job abort, never silent loss."""
+    from pyspark.sql.types import StringType, StructType
+
+    assert isinstance(schema, StructType)
+    full = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    reader = (
+        spark.read.schema(full)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    df = reader.csv(paths if isinstance(paths, str) else list(paths)).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

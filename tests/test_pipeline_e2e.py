@@ -151,3 +151,34 @@ def test_landing_csv_roundtrip(spark, tmp_path_factory):
         want.filter((F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != ""))
     )
     assert staged_csv.count() == staged_direct.count()
+
+
+def test_cli_main_runs_cycle_and_is_idempotent(spark, tmp_path_factory, capsys):
+    """O8 — the scheduler-agnostic CLI entry point: first cycle stages
+    and loads rows, a re-run of the same landing window loads 0 (the
+    anti-join idempotence contract), and the JSON summary is printed."""
+    import json
+
+    from serverless_etl_spark.pipeline import main
+
+    root = tmp_path_factory.mktemp("cli")
+    df = landing_rows(spark, SF_SMALL).filter(
+        (F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != "")
+    )
+    df.write.mode("overwrite").parquet(str(root / "landing"))
+
+    argv = [
+        "--landing", str(root / "landing"),
+        "--staging", str(root / "staging"),
+        "--analytical", str(root / "analytical"),
+        "--run-log", str(root / "runlog"),
+        "--run-date", "2024-03-01",
+    ]
+    first = main(argv)
+    out_line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out_line)["staged"] == first["staged"]
+    assert first["staged"] > 0 and first["loaded"] > 0
+
+    second = main(argv)
+    assert second["staged"] == first["staged"]  # O6: staging overwritten
+    assert second["loaded"] == 0                # replayed window inserts 0

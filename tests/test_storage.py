@@ -246,3 +246,29 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     by_id = {r.id: r for r in merged.collect()}
     assert by_id[1].score is None and by_id[2].score == 9.5
+
+
+def test_csv_quarantine_splits_good_and_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from serverless_etl_spark.io import read_csv_with_quarantine
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "1,alpha\n"
+        "not_a_number,beta\n"
+        "2,gamma\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "alpha"), (2, "gamma")}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert bad_lines == ["not_a_number,beta"]

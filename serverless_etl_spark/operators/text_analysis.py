@@ -420,3 +420,38 @@ def q67_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc(rep, 4).alias("rep_ratio"),
         F.when(rep <= 0.2, 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+@register(
+    "q87_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT)
+               AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 20 = 0
+    """,
+)
+def q87_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between adjacent docs' 40-char prefixes —
+    the character-level near-dup/fuzzy-match kernel (both engines ship
+    the same DP algorithm as a builtin). Prefix-bounded because edit
+    distance is O(len²) per pair: at scale you NEVER run it on full
+    texts — LSH/SimHash candidates first, bounded-window verify after.
+
+    Scale: adjacent-pair join on a derived key, map-side distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 40).alias("ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.substring("text", 1, 40).alias("tb")
+    )
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
+        )
+    )

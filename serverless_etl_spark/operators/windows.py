@@ -327,3 +327,72 @@ def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_click"),
         F.count(F.when(purchased, 1)).alias("n_purchase"),
     )
+
+
+@register(
+    "q85_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later day they return (the day-N retention triangle every
+    product dashboard draws).
+
+    Scale: first-seen is one groupBy(user_id); the join back is on the
+    same key (co-partitioned — AQE reuses the exchange); the final agg
+    groups on (cohort, offset) — tiny cardinality, partial-mergeable."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "q86_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q86_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the latest row per key (row_number over ts desc)
+    — how a change log becomes a current-state snapshot table. The
+    batch twin of streaming/upsert.py's latest_per_key.
+
+    Scale: one exchange on the key; WindowGroupLimit keeps only one
+    row per key per task BEFORE the exchange, so the shuffle carries
+    ~|keys| rows, not |log|."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

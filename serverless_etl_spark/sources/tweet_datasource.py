@@ -1,0 +1,93 @@
+"""Custom Python DataSource: a deterministic tweet-stream generator —
+the engine-native replacement for the reference's Twitter/Kinesis
+connector pair (stream_listener.py S1 + kinesis-consumer-s3.py S5),
+built on Spark 4's Python DataSource API (spark.dataSource.register →
+spark.read.format("tweetgen")).
+
+Where the reference needed two Lambdas, a Kinesis stream, and
+create/delete lifecycle plumbing (S2–S4), a registered DataSource is
+one class: Spark asks for partitions, each executor reads its slice.
+The generator is seeded per partition, so output is deterministic,
+re-runnable, and identical under any parallelism — the property the
+reference approximated with content-hash dedup downstream.
+
+Batch reader only: the synthetic fixture already covers streaming
+ingest via the file source (streaming/ingest.py); this source covers
+the CONNECTOR surface — partition planning, per-partition iteration,
+schema declaration — which is what a real Kinesis/Twitter adapter
+would implement behind the same API.
+
+Scale: partitions are independent slices (no coordination, no driver
+data path); n_partitions scales with the cluster like any scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TWEET_SCHEMA = StructType(
+    [
+        StructField("tweet_id", LongType()),
+        StructField("user_name", StringType()),
+        StructField("rt_count", IntegerType()),
+        StructField("hashtags", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_WORDS = ("spark", "etl", "data", "stream", "batch", "scale", "fast", "query")
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class TweetGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.n_partitions = int(options.get("partitions", 4))
+
+    def partitions(self):
+        per = max(1, self.n // self.n_partitions)
+        return [
+            _Slice(i, min(i + per, self.n)) for i in range(0, self.n, per)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            h = hashlib.md5(f"tweet|{i}".encode()).hexdigest()
+            w = [_WORDS[int(h[j], 16) % len(_WORDS)] for j in range(6)]
+            yield (
+                i,
+                f"user{int(h[:4], 16) % 97}",
+                int(h[4:8], 16) % 1000,
+                " ".join(sorted(set(w[:3]))),
+                " ".join(w),
+            )
+
+
+class TweetGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tweetgen"
+
+    def schema(self) -> StructType:
+        return TWEET_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return TweetGenReader(self.options)
+
+
+def register_tweetgen(spark) -> None:
+    spark.dataSource.register(TweetGenDataSource)

@@ -5,6 +5,8 @@ engine. Plus the Python UDTF surface (LATERAL table functions)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from serverless_etl_spark.functions.udtfs import register_udtfs
 from serverless_etl_spark.io import register_views
 
@@ -43,3 +45,30 @@ def test_udtf_tokenize_with_offsets(spark):
     txt = "hello  spark world"
     for tok, s, e in got:
         assert txt[s:e] == tok
+
+
+def test_custom_python_datasource_tweetgen(spark):
+    """The connector surface (S1/S5 as a Spark 4 Python DataSource):
+    registered format, partition planning, deterministic per-partition
+    reads — same rows regardless of partition count."""
+    from serverless_etl_spark.sources.tweet_datasource import register_tweetgen
+
+    register_tweetgen(spark)
+    df = spark.read.format("tweetgen").option("n", 200).load()
+    assert df.count() == 200
+    assert df.columns == ["tweet_id", "user_name", "rt_count", "hashtags", "text"]
+    a = sorted(tuple(r) for r in df.collect())
+
+    more_parts = (
+        spark.read.format("tweetgen")
+        .option("n", 200)
+        .option("partitions", 11)
+        .load()
+    )
+    b = sorted(tuple(r) for r in more_parts.collect())
+    assert a == b  # parallelism never changes the data
+
+    # the source feeds the normal engine surface (P1/P3-style predicates
+    # push into the plan; the staging-style filter works unchanged)
+    popular = df.filter((F.col("rt_count") > 500) & (F.col("hashtags") != ""))
+    assert 0 < popular.count() < 200

@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -91,3 +96,47 @@ class TweetGenDataSource(DataSource):
 
 def register_tweetgen(spark) -> None:
     spark.dataSource.register(TweetGenDataSource)
+
+
+class TweetGenStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader with engine-managed offsets — the
+    DataSource-API form of the reference's shard-iterator chaining
+    (kinesis-consumer-s3.py:62,91 — ShardIterator LATEST +
+    NextShardIterator): Spark persists {pos} in the checkpoint exactly
+    where the reference threaded iterator handles by hand, so a
+    restarted query resumes, never re-reads (ST2).
+
+    Each micro-batch serves up to `rate` new tweet ids until `n` is
+    exhausted; rows come from the same seeded generator as the batch
+    reader, so stream and batch reads of the same range are identical
+    (the streaming-batch equivalence this engine tests everywhere)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.rate = int(options.get("rate", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # bounded source: advance one rate-sized step per micro-batch
+        # (a live connector would return the real tail position)
+        return {"pos": self.n}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        step = max(1, self.rate)
+        return [_Slice(i, min(i + step, hi)) for i in range(lo, hi, step)]
+
+    def read(self, partition: _Slice):
+        yield from TweetGenReader({"n": str(self.n)}).read(partition)
+
+    def commit(self, end):
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+
+def _stream_reader(self, schema):
+    return TweetGenStreamReader(self.options)
+
+
+TweetGenDataSource.streamReader = _stream_reader

@@ -72,3 +72,42 @@ def test_custom_python_datasource_tweetgen(spark):
     # push into the plan; the staging-style filter works unchanged)
     popular = df.filter((F.col("rt_count") > 500) & (F.col("hashtags") != ""))
     assert 0 < popular.count() < 200
+
+
+def test_tweetgen_stream_offsets_resume_from_checkpoint(spark, tmp_path):
+    """ST2 at the connector level: the stream reader's offsets persist
+    in the checkpoint — a second availableNow drain of the same source
+    + checkpoint delivers 0 new rows, and the streamed rows equal the
+    batch read of the same range."""
+    from serverless_etl_spark.sources.tweet_datasource import register_tweetgen
+
+    register_tweetgen(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("tweetgen")
+            .option("n", 120)
+            .option("rate", 50)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert len(got) == 120
+
+    drain()  # same checkpoint: offsets already at the tail → no new rows
+    again = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert again == got
+
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("tweetgen").option("n", 120).load().collect()
+    )
+    assert got == batch

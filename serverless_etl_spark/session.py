@@ -28,6 +28,9 @@ RUNTIME_CONF = {
     # comparable decode speed — at 100 TB the scan is IO-bound, so
     # smaller files ARE the speedup (and the storage bill)
     "spark.sql.parquet.compression.codec": "zstd",
+    # let Python DataSources receive pushed predicates (the tweetgen
+    # connector prunes its id range before partition planning)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 #: Confs that must be set before the JVM/session starts.

@@ -62,12 +62,34 @@ class TweetGenReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.n_partitions = int(options.get("partitions", 4))
+        self.lo = 0       # id range after filter pushdown
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        """Connector-level predicate pushdown (the S1-side filtering of
+        stream_listener.py:42,59, done where it belongs — at the
+        source): tweet_id range predicates shrink the generated id
+        range BEFORE partition planning, so pruned slices are never
+        scheduled, let alone scanned. Everything else stays with Spark."""
+        from pyspark.sql.datasource import GreaterThan, LessThan
+
+        for f in filters:
+            if isinstance(f, LessThan) and f.attribute == ("tweet_id",):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, GreaterThan) and f.attribute == ("tweet_id",):
+                self.lo = max(self.lo, int(f.value) + 1)
+            else:
+                yield f  # not ours — Spark evaluates it post-scan
 
     def partitions(self):
+        # fixed slice size derived from the FULL table (like file
+        # splits): a pushed-down range prunes whole slices, so fewer
+        # partitions are scheduled — the observable form of pushdown
         per = max(1, self.n // self.n_partitions)
         return [
-            _Slice(i, min(i + per, self.n)) for i in range(0, self.n, per)
-        ]
+            _Slice(i, min(i + per, self.hi))
+            for i in range(self.lo, self.hi, per)
+        ] or [_Slice(0, 0)]
 
     def read(self, partition: _Slice):
         for i in range(partition.start, partition.end):

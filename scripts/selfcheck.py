@@ -37,18 +37,30 @@ def normalize(rows, cols):
 
 
 def values_close(a, b):
+    """Exact comparison, mirroring the driver's value hash.
+
+    The driver hashes canonicalized values with NO float tolerance, and
+    its canonicalization is type-sensitive (round-1 q28: identical
+    values, decimal(28,2) vs DECIMAL(38,2), hash mismatch). So:
+    - a float on one side and a Decimal/int on the other is a FAIL
+      (type-category mismatch survives canonicalization),
+    - floats must agree to 9 significant rounding digits (queries are
+      engineered for bit-identical floats via dsum/trunc; 1e-9 slack
+      only forgives repr noise, not real drift).
+    """
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
         if len(x) != len(y):
             return False
         for u, v in zip(x, y):
-            if isinstance(u, float) and isinstance(v, (float, int)):
-                if not math.isclose(u, float(v), rel_tol=1e-6, abs_tol=1e-6):
+            if isinstance(u, float) or isinstance(v, float):
+                if not isinstance(u, float) or not isinstance(v, float):
+                    return False  # float vs Decimal/int: driver hash differs
+                if u != v and not math.isclose(u, v, rel_tol=1e-9, abs_tol=1e-12):
                     return False
-            elif isinstance(v, float) and isinstance(u, (float, int)):
-                if not math.isclose(float(u), v, rel_tol=1e-6, abs_tol=1e-6):
-                    return False
+            elif type(u) is not type(v):
+                return False
             elif u != v:
                 return False
     return True
@@ -75,10 +87,18 @@ def main():
         try:
             sdf = qs[name](spark, SF_DIR)
             spark_cols = list(sdf.columns)
+            decimal_cols = [f.name for f in sdf.schema.fields
+                            if "decimal" in f.dataType.simpleString()]
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if decimal_cols and name in oracles:
+            # Decimal output types hash differently across engines even
+            # when values are equal (round-1 q28) — cast to double/trunc.
+            failures.append((name, f"DECIMAL output cols {decimal_cols}"))
+            print(f"FAIL  {name}: decimal output cols {decimal_cols}")
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows={len(spark_rows)} (no oracle) "

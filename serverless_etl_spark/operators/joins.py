@@ -37,19 +37,25 @@ def asof_join(
     the matched-row timestamp. Right column names must not collide with
     left's (rename before joining, as with any join)."""
     value_cols = value_cols or [c for c in right.columns if c != by]
-    lt = left.select(
-        F.col(by),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in left.columns if c != by],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-    )
+    # The matched right row must be carried ATOMICALLY: one struct of all
+    # value columns, not N independent last(ignorenulls) chains — else a
+    # NULL field in the newest right row would backfill from an OLDER row
+    # and the output would mix fields of different right rows (which real
+    # ASOF JOIN semantics never produce).
+    right_struct = F.struct(*[F.col(c) for c in value_cols])
     rt = right.select(
         F.col(by),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != by],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        right_struct.alias("__r"),
+    )
+    lt = left.select(
+        F.col(by),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c != by],
+        F.lit(None).cast(rt.schema["__r"].dataType).alias("__r"),
     )
     # right rows sort BEFORE left rows at equal ts → inclusive boundary
     w = (
@@ -58,16 +64,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lt.unionByName(rt)
-    carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols
-    ]
     return (
-        merged.select("*", *carried)
+        merged.select("*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
         .filter(F.col("__side") == 1)
         .select(
             by,
             *[c for c in left.columns if c != by],
-            *value_cols,
+            *[F.col(f"__m.{c}").alias(c) for c in value_cols],
         )
     )
 

@@ -661,7 +661,7 @@ def q27_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT)  AS grp_flag,
            CAST(GROUPING(l_linestatus) AS INT)  AS grp_status,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -680,7 +680,7 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").cast("int").alias("grp_flag"),
             F.grouping("l_linestatus").cast("int").alias("grp_status"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -16,9 +16,11 @@ Stages per run:
 from __future__ import annotations
 
 import functools
+import operator
 import time
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,18 +62,37 @@ class PipelinePaths:
 class BatchPipeline:
     """One LandingAnalyticalStateMachine execution (O1 sequential DAG)."""
 
-    def __init__(self, spark: SparkSession, paths: PipelinePaths, run_date: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        paths: PipelinePaths,
+        run_date: str,
+        horizon_hours: float | None = 24.0,
+        now=None,
+    ):
         self.spark = spark
         self.paths = paths
         self.run_date = run_date  # reference passes wall-clock; we pin for determinism
+        #: S7 landing window (≙ TIME_HORIZONT_HRS env, staging-transform.py:41);
+        #: the reference ALWAYS applies it — None (full rescan) is opt-in.
+        self.horizon_hours = horizon_hours
+        self.now = now  # pinned reference instant for deterministic tests
 
     @retry()
     def read_landing(self) -> DataFrame:
-        """S7/S8 — the landing window. The streaming file sink already
-        tracks processed files exactly; for batch re-runs a time-horizon
-        filter on file metadata reproduces filter_s3_objs
-        (staging-transform.py:97-122)."""
-        return self.spark.read.parquet(self.paths.landing)
+        """S7/S8 — the landing window: only files modified within
+        `horizon_hours`, via `_metadata.file_modification_time` FILE-level
+        pruning (reproduces filter_s3_objs, staging-transform.py:97-122).
+        At 100 TB a re-run touches one horizon's worth of files, not the
+        landing dir's full history; `horizon_hours=None` restores the
+        (non-default) full rescan for backfills."""
+        from .io import read_file_horizon
+
+        if self.horizon_hours is None:
+            return self.spark.read.parquet(self.paths.landing)
+        return read_file_horizon(
+            self.spark, self.paths.landing, self.horizon_hours, now=self.now
+        )
 
     @retry()
     def to_staging(self, landing: DataFrame) -> int:
@@ -89,6 +110,34 @@ class BatchPipeline:
         staged.write.mode("overwrite").parquet(self.paths.staging)
         return int(obs.get["n"])
 
+    def _fresh_rows(self, staged: DataFrame) -> DataFrame:
+        """The ST5 dedup anti-join, partition-pruned for scale: the
+        `existing` side is restricted to the (year,month,day) partitions
+        present in the staged batch — a handful of tuples (one horizon's
+        worth), collected from the already-materialized staging table and
+        pushed as PartitionFilters on the analytical scan. The append
+        therefore never rescans the table's full history (reference
+        partition discipline, athena/create_hashtags_data.hql:13-16);
+        asserted in tests/test_pipeline_e2e.py::test_antijoin_partition_pruned.
+        """
+        try:
+            existing = self.spark.read.parquet(self.paths.analytical)
+        except AnalysisException:  # first run: no analytical table yet
+            return staged
+        parts = [
+            (r["year"], r["month"], r["day"])
+            for r in staged.select("year", "month", "day").distinct().collect()
+        ]
+        in_batch_parts = functools.reduce(
+            operator.or_,
+            [
+                (F.col("year") == y) & (F.col("month") == m) & (F.col("day") == d)
+                for (y, m, d) in parts
+            ],
+        )
+        existing = existing.where(in_batch_parts).select("hash_id")
+        return staged.join(existing, "hash_id", "left_anti")
+
     @retry()
     def to_analytical(self) -> int:
         """LoadToAnalytical (S11) with the P7 count-guard. The blind
@@ -97,11 +146,7 @@ class BatchPipeline:
         staged = self.spark.read.parquet(self.paths.staging)
         if staged.isEmpty():  # P7: "No new records" (cheap limit-1 probe)
             return 0
-        try:
-            existing = self.spark.read.parquet(self.paths.analytical).select("hash_id")
-            fresh = staged.join(existing, "hash_id", "left_anti")
-        except Exception:  # first run: no analytical table yet
-            fresh = staged
+        fresh = self._fresh_rows(staged)
         # single pass: the anti-join runs once, inside the write job;
         # the inserted-row count (the reference's log payload) comes
         # from observe() instead of a second anti-join for .count()
@@ -153,7 +198,6 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
     import datetime
     import json
 
-    from .io import read_file_horizon
     from .session import get_spark
 
     p = argparse.ArgumentParser(description="Run one batch pipeline cycle")
@@ -165,8 +209,14 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
     p.add_argument(
         "--horizon-hours",
         type=float,
-        default=None,
-        help="only read landing files modified within this window (S7)",
+        default=24.0,
+        help="only read landing files modified within this window (S7; "
+        "default 24, ≙ TIME_HORIZONT_HRS)",
+    )
+    p.add_argument(
+        "--full-rescan",
+        action="store_true",
+        help="read the entire landing dir (backfill; disables the S7 horizon)",
     )
     args = p.parse_args(argv)
 
@@ -180,11 +230,12 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
         analytical=args.analytical,
         run_log=args.run_log,
     )
-    pipe = BatchPipeline(spark, paths, run_date)
-    if args.horizon_hours is not None:
-        pipe.read_landing = lambda: read_file_horizon(  # type: ignore[method-assign]
-            spark, paths.landing, args.horizon_hours
-        )
+    pipe = BatchPipeline(
+        spark,
+        paths,
+        run_date,
+        horizon_hours=None if args.full_rescan else args.horizon_hours,
+    )
     result = pipe.run()
     print(json.dumps({"run_date": run_date, **result}))
     return result

@@ -305,3 +305,25 @@ def test_asof_join_edges(spark):
     assert out["b"] == (t(10), 200.0)   # takes the latest, not the first
     assert out["c"] == (None, None)     # right row is AFTER left → no match
     assert out["d"] == (None, None)     # key has no right rows at all
+
+
+def test_asof_join_matched_row_is_atomic(spark):
+    """A NULL field in the matched (newest) right row must come through
+    as NULL — never backfilled from an older right row (per-column
+    forward-fill would mix fields of different right rows)."""
+    import datetime as dt
+
+    from serverless_etl_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)
+    left = spark.createDataFrame(
+        [(1, t(20), "probe")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), 100.0, "old"), (1, t(10), None, "new")],
+        "k long, rts timestamp, quote double, label string",
+    )
+    (row,) = asof_join(left, right, by="k", left_ts="ts", right_ts="rts").collect()
+    assert row.label == "new"
+    assert row.quote is None  # NOT 100.0 from the older row
+    assert row.rts == t(10)

@@ -147,6 +147,37 @@ def write_bucketed(
     )
 
 
+def overwrite_via_swap(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Crash-safe full-table overwrite: write the new contents to a
+    sibling temp directory FIRST, then swap directories. A failure at
+    any point during the (long) write leaves the live table untouched;
+    the only remaining exposure is the two os.rename calls — metadata
+    ops, not data writes. Plain mode('overwrite') on the same path
+    deletes the table before writing, so an executor loss mid-job
+    destroys it.
+
+    Local-filesystem stand-in for a transactional table format
+    (Delta/Iceberg commit); same function boundary, swap semantics."""
+    import shutil
+
+    base = path.rstrip("/")
+    new, old = base + ".__new__", base + ".__old__"
+    shutil.rmtree(new, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.format(fmt).save(new)
+    os.rename(base, old)
+    os.rename(new, base)
+    shutil.rmtree(old)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

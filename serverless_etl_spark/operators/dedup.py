@@ -156,41 +156,76 @@ _SIGS_SQL, _BANDS_SQL = _minhash_band_sql()
 def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: shingle → 8-hash MinHash
     signature → 2 bands of 4 → band-bucket self-join for candidates →
-    exact Jaccard verification ≥ 0.5.
+    exact Jaccard verification ≥ 0.5 (the defaults of
+    minhash_lsh_pairs, which parameterizes signature/band sizes for
+    real recall targets)."""
+    corpus = _duped_docs(spark, sf_dir)
+    return minhash_lsh_pairs(corpus).orderBy("doc_a", "doc_b")
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n_minhash: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, text) → verified near-duplicate pairs
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    Tune (n_minhash, band_size) to the recall target: collision
+    probability for a pair at similarity s is 1-(1-s^band_size)^n_bands.
 
     Scale: the self-join is on (band_id, band_hash) — only colliding
     docs meet, never the n² cross product; candidate verification joins
     shingle sets back by doc_id. At 100 TB the band join is the one
     shuffle that matters and its keys are uniform md5 buckets (no skew).
-    Cost: ONE md5 per shingle — the 8 minhash values are the 8 disjoint
-    4-hex-char (16-bit) slices of that digest, so the signature stage is
-    hash-bound at 1/8th the naive 8-salted-hash cost. The shingle table
-    is persisted: it feeds signature building AND both sides of the
-    verification join (at cluster scale swap for a disk-backed persist
-    or a checkpoint to bound memory).
+    Cost: ONE md5 per shingle per 8 signature slots — the minhash
+    values are disjoint 4-hex-char (16-bit) slices of the digest
+    (signatures past 8 add salted digests 8 slots at a time), so the
+    signature stage is hash-bound at 1/8th the naive k-salted-hash
+    cost. The shingle table feeds signature building AND both sides of
+    the verification join, so it is persisted MEMORY_AND_DISK — spills
+    instead of OOMing on a big corpus (checkpoint() at cluster scale).
     """
-    corpus = _duped_docs(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    if n_minhash % band_size:
+        raise ValueError("band_size must divide n_minhash")
     # materialize the token array BEFORE the shingle HOF: expressions
     # referenced inside transform() lambdas are re-evaluated per array
     # element, so an inline split(text) would be O(tokens²) per doc
     sh = (
         corpus.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    hs = F.transform(F.col("shingles"), lambda s: F.md5(s))
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: F.substring(h, 4 * i + 1, 4))
-        ).alias(f"mh{i}")
-        for i in range(N_MINHASH)
+    n_digests = (n_minhash + 7) // 8
+
+    def _digest(j: int):
+        # j=0 unsalted (oracle-exact default path); j>0 salts the shingle
+        if j == 0:
+            return lambda s: F.md5(s)
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    digest_cols = [
+        F.transform(F.col("shingles"), _digest(j)).alias(f"hs{j}")
+        for j in range(n_digests)
     ]
-    sig = sh.select("doc_id", hs.alias("hs")).select("doc_id", *sig_cols)
+    def _slice(o: int):
+        # NB: must be a ONE-arg lambda — F.transform treats a second
+        # parameter as the array index, clobbering a default argument
+        return lambda h: F.substring(h, 4 * o + 1, 4)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col(f"hs{i // 8}"), _slice(i % 8))).alias(f"mh{i}")
+        for i in range(n_minhash)
+    ]
+    sig = sh.select("doc_id", *digest_cols).select("doc_id", *sig_cols)
 
     band_rows = []
-    for b in range(N_MINHASH // BAND_SIZE):
-        cols = [F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+    for b in range(n_minhash // band_size):
+        cols = [F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)]
         band_rows.append(
             sig.select(
                 "doc_id",
@@ -232,9 +267,8 @@ def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
     return (
-        sized.filter(jac >= 0.5)
+        sized.filter(jac >= threshold)
         .select("doc_a", "doc_b", trunc(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -402,6 +436,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.id)
@@ -420,8 +455,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # the last round still lowered labels → components are NOT final;
+        # silent partial labels would look identical to a correct result
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

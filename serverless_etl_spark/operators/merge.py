@@ -18,17 +18,35 @@ from ..io import load_table
 from ..registry import register
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, source: DataFrame, key: str, order_col: str | None = None
+) -> DataFrame:
     """MERGE semantics over plain parquet tables: rows from `source`
     win on key collision; `target` rows survive only where unmatched.
 
-    Scale: ONE shuffle — the left-anti join on the key (the union is
-    exchange-free). For a repeatedly-merged 100 TB target, bucket both
-    sides on the key (io.write_bucketed) and the anti-join runs
-    co-located with zero exchanges; a format with transactional MERGE
+    Keys must stay unique in the output, so duplicate keys WITHIN
+    `source` are collapsed first: pass `order_col` to keep the row with
+    the largest value (last-writer-wins, ties broken by arbitrary-but-
+    deterministic max of the remaining struct); omit it only when the
+    caller guarantees source keys are already unique (the streaming
+    path pre-collapses via latest_per_key) — with order_col=None an
+    internal deterministic collapse still protects the invariant.
+
+    Scale: ONE extra map-side-combinable agg when collapsing + the
+    left-anti join on the key (the union is exchange-free; AQE
+    coalesces the two same-key exchanges). For a repeatedly-merged
+    100 TB target, bucket both sides on the key (io.write_bucketed) and
+    the joins run co-located; a format with transactional MERGE
     (Delta/Iceberg) slots in behind this same signature."""
-    survivors = target.join(source.select(key), key, "left_anti")
-    return source.unionByName(survivors)
+    val_cols = [c for c in source.columns if c != key]
+    order = F.col(order_col) if order_col else F.lit(0)
+    collapsed = (
+        source.groupBy(key)
+        .agg(F.max(F.struct(order.alias("__ord"), F.struct(*val_cols).alias("__v"))).alias("__m"))
+        .select(key, *[F.col(f"__m.__v.{c}").alias(c) for c in val_cols])
+    )
+    survivors = target.join(collapsed.select(key), key, "left_anti")
+    return collapsed.unionByName(survivors)
 
 
 @register(

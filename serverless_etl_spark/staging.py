@@ -41,12 +41,19 @@ ANALYTICAL_COLS = [
 ]
 
 
-def transform_landing(df: DataFrame, use_sha1: bool = True) -> DataFrame:
+def transform_landing(
+    df: DataFrame, use_sha1: bool = True, streaming: bool = False
+) -> DataFrame:
     """LANDING-schema rows → ANALYTICAL-schema rows.
 
     use_sha1=True → reference-exact base64(sha1digest) hash_id
     (staging-transform.py:189-191); False → md5 hex (the DuckDB-oracle
     variant; duckdb 1.0 lacks sha1). Both deterministic content hashes.
+
+    streaming=True switches the A3 dedup to dropDuplicatesWithinWatermark
+    (caller must have set a watermark): plain dropDuplicates(subset) on a
+    stream only GCs state when the event-time column is in the key, so
+    hash_id-only dedup state would grow O(all ids ever seen).
     """
     hasher = hash_key if use_sha1 else md5_key
     sent = sentiment_cols(F.col("_toks"), pretokenized=True)
@@ -79,10 +86,17 @@ def transform_landing(df: DataFrame, use_sha1: bool = True) -> DataFrame:
         .na.drop(subset=["hashtag"])
         # F4/F12: content-hash surrogate PK (staging-transform.py:243-247)
         .withColumn("hash_id", hasher(F.col("record_id"), F.col("tweet_id"), F.col("hashtag")))
-        # A3: dedup on the synthetic PK (staging-transform.py:248);
-        # at-least-once delivery upstream makes this the exactly-once
-        # guarantee (ST4/ST5)
-        .dropDuplicates(["hash_id"])
+    )
+    # A3: dedup on the synthetic PK (staging-transform.py:248);
+    # at-least-once delivery upstream makes this the exactly-once
+    # guarantee (ST4/ST5). Streaming variant keeps the state store
+    # watermark-bounded (GC'd to the horizon).
+    if streaming:
+        out = out.dropDuplicatesWithinWatermark(["hash_id"])
+    else:
+        out = out.dropDuplicates(["hash_id"])
+    out = (
+        out
         # F5: partition columns from ARRIVAL time (staging-transform.py:250-252)
         .withColumn("year", F.year(ymd_src))
         .withColumn("month", F.month(ymd_src))

@@ -85,11 +85,14 @@ def run_ingest_once(
 
 
 def streaming_dedup(df: DataFrame, ts_col: str = "timestamp", horizon: str = "2 hours") -> DataFrame:
-    """ST4/ST5 — watermark + dropDuplicates reproduces the reference's
-    sliding-lookback-rescan + hash_id dedup contract natively: state is
-    kept for `horizon` (≙ TIME_HORIZONT_HRS) and duplicates within it
-    are absorbed exactly-once."""
-    return df.withWatermark(ts_col, horizon).dropDuplicates(["record_id"])
+    """ST4/ST5 — watermark + dropDuplicatesWithinWatermark reproduces
+    the reference's sliding-lookback-rescan + hash_id dedup contract
+    natively: duplicates arriving within `horizon` (≙ TIME_HORIZONT_HRS)
+    are absorbed exactly-once AND the state store is GC'd to the
+    horizon. Plain dropDuplicates(subset) only evicts state when the
+    event-time column is part of the key — with record_id alone it
+    would grow O(all ids ever seen)."""
+    return df.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(["record_id"])
 
 
 def streaming_hourly_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

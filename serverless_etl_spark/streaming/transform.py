@@ -32,10 +32,14 @@ def read_landing_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 def staging_stream(landing: DataFrame, horizon: str = "2 hours") -> DataFrame:
     """The full staging chain on a stream. The watermark is attached to
-    the arrival timestamp BEFORE transform_landing so the in-chain
-    dropDuplicates(hash_id) becomes a state-store dedup with
-    watermark-bounded state instead of an unbounded set."""
-    return transform_landing(landing.withWatermark("timestamp", horizon))
+    the arrival timestamp BEFORE transform_landing, and streaming=True
+    switches the in-chain dedup to dropDuplicatesWithinWatermark so the
+    hash_id state store is actually GC'd to the horizon (plain
+    dropDuplicates(subset) without the event-time column in the key
+    keeps state for every hash_id ever seen)."""
+    return transform_landing(
+        landing.withWatermark("timestamp", horizon), streaming=True
+    )
 
 
 def _append_idempotent(analytical_dir: str):

@@ -40,17 +40,22 @@ def upsert_batch_writer(target_dir: str, key: str, order_col: str):
     """foreachBatch hook: merge each micro-batch into the keyed target."""
 
     def _write(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..io import overwrite_via_swap
+
         spark = batch.sparkSession
         if batch.isEmpty():
             return
         fresh = latest_per_key(batch, key, order_col)
         try:
             target = spark.read.parquet(target_dir)
-        except Exception:  # first batch: table does not exist yet
+        except AnalysisException:  # first batch: table does not exist yet
             fresh.write.mode("overwrite").parquet(target_dir)
             return
-        merged = merge_upsert(target, fresh, key).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target_dir)
+        # write-new-then-swap: a crash mid-merge leaves the live target
+        # intact (mode('overwrite') in place would delete it first)
+        overwrite_via_swap(merge_upsert(target, fresh, key), target_dir)
 
     return _write
 

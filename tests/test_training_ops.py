@@ -98,6 +98,44 @@ def test_merge_upsert_semantics_and_idempotence(spark):
     assert once.groupBy("k").count().filter("count > 1").isEmpty()
 
 
+def test_merge_upsert_collapses_duplicate_source_keys(spark):
+    """A source batch with several rows per key must yield unique keys:
+    last-writer-wins by order_col when given, deterministic otherwise."""
+    target = spark.createDataFrame([(1, "a", 0)], "k long, v string, ver long")
+    source = spark.createDataFrame(
+        [(2, "old", 1), (2, "new", 5), (2, "mid", 3)], "k long, v string, ver long"
+    )
+    out = merge_upsert(target, source, "k", order_col="ver")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "new")}
+    # without order_col the collapse is still deterministic and unique
+    out2 = merge_upsert(target, source, "k")
+    assert out2.groupBy("k").count().filter("count > 1").isEmpty()
+    assert out2.count() == 2
+
+
+def test_minhash_lsh_nondefault_bands_recall(spark):
+    """minhash_lsh_pairs with non-default (n_minhash, band_size) still
+    finds every seeded exact+near duplicate pair (recall on the seeded
+    set stays 1.0; salted extra digests engage past 8 hashes)."""
+    from serverless_etl_spark.operators.dedup import (
+        _duped_docs,
+        minhash_lsh_pairs,
+    )
+
+    corpus = _duped_docs(spark, SF_SMALL)
+    pairs = minhash_lsh_pairs(corpus, n_minhash=16, band_size=4, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    base_ids = [
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000)
+        ).select("doc_id").collect()
+    ]
+    seeded_exact = {(d, d + 1000000) for d in base_ids}
+    missing = seeded_exact - got
+    assert not missing, f"missed exact-dup pairs: {sorted(missing)[:5]}"
+
+
 def test_hyperplane_lsh_exact_dups_always_collide(spark):
     # the property hyperplane LSH guarantees: identical vectors share a
     # bucket, so exact-duplicate recall is 1.0 regardless of bit count

@@ -2,15 +2,25 @@
 
 Reference: text_sentiment = TextBlob(text).sentiment → (polarity,
 subjectivity) (lambda/staging-transform.py:185-187). TextBlob's
-PatternAnalyzer is itself a deterministic lexicon average, so the
-engine ships:
+PatternAnalyzer is itself a deterministic per-word-lexicon average, so
+the engine ships the same model natively:
 
-1. ``sentiment_cols`` — a deterministic lexicon scorer built from pure
-   column expressions (JVM-side, oracle-checkable in SQL). This is the
-   default used by the pipeline.
+1. ``sentiment_cols`` — a lexicon-average scorer built from pure column
+   expressions (JVM-side, whole-stage-codegen, oracle-checkable in
+   SQL): polarity = mean polarity of matched words, subjectivity =
+   mean subjectivity of matched words, (0, 0) when nothing matches —
+   exactly PatternAnalyzer's shape over an embedded ~280-word lexicon.
 2. ``textblob_sentiment_udf`` — an Arrow-vectorized pandas_udf wrapping
    TextBlob when the library is available (parity with the reference's
    exact scores; optional, import-gated).
+
+Cross-engine determinism: every lexicon score is a multiple of 1/16
+(exactly representable in binary floating point), so the sum of matched
+scores is EXACT in IEEE doubles regardless of addition order — Spark
+and DuckDB produce bit-identical averages, which the driver's
+value-hash comparison requires. The word scores are this engine's own
+(authored on a 1/16 grid); the MODEL — per-word polarity/subjectivity
+averaged over matched words — is the published Pattern/TextBlob design.
 """
 
 from __future__ import annotations
@@ -20,30 +30,196 @@ from pyspark.sql import functions as F
 
 from .numeric import trunc
 
-# Tiny deterministic lexicon. Chosen from the synthetic fixtures'
-# vocabulary so scores are non-trivial on the test tables; at parity
-# time the lexicon is swappable for TextBlob's en-sentiment.xml.
-POSITIVE_WORDS = ("fast", "small", "good", "great", "quick")
-NEGATIVE_WORDS = ("slow", "big", "bad", "error", "poor")
+# ---------------------------------------------------------------------------
+# Lexicon: word -> (polarity, subjectivity), all values multiples of 1/16.
+# Grouped by score tier for readability. Includes the synthetic fixtures'
+# vocabulary (fast/small/good/... , slow/big/bad/...) so test tables score
+# non-trivially.
+# ---------------------------------------------------------------------------
+
+_TIERS: dict[tuple[float, float], tuple[str, ...]] = {
+    # -- positive ----------------------------------------------------------
+    (0.9375, 0.9375): (
+        "amazing", "awesome", "excellent", "outstanding", "superb",
+        "wonderful", "fantastic", "incredible", "magnificent", "brilliant",
+        "phenomenal", "perfect", "flawless", "best",
+    ),
+    (0.8125, 0.875): (
+        "great", "beautiful", "delightful", "exceptional", "marvelous",
+        "splendid", "terrific", "stellar", "sublime", "thrilled",
+        "triumph", "triumphant", "masterful", "exquisite",
+    ),
+    (0.6875, 0.75): (
+        "good", "happy", "love", "loved", "lovely", "pleasant",
+        "enjoyable", "positive", "impressive", "remarkable", "admirable",
+        "graceful", "elegant", "charming", "joyful", "delighted",
+        "pleased", "grateful", "thankful", "inspiring", "inspired",
+        "uplifting", "encouraging", "promising", "win", "winner",
+        "winning", "succeed", "success", "successful", "thrive",
+        "thriving", "passionate", "enthusiastic", "vibrant",
+    ),
+    (0.5625, 0.6875): (
+        "nice", "fine", "solid", "smooth", "helpful", "friendly",
+        "generous", "reliable", "trustworthy", "thoughtful", "cheerful",
+        "comfortable", "convenient", "satisfying", "refreshing",
+        "satisfied", "glad", "eager", "lively", "energetic", "strong",
+        "smart", "clever", "wise", "intelligent", "talented", "skilled",
+        "skillful", "gifted", "creative", "innovative", "praised",
+        "recommend", "recommended", "valuable", "beneficial", "improve",
+        "improved", "improvement", "gain", "benefit", "supportive",
+        "optimistic", "rich", "powerful",
+    ),
+    (0.4375, 0.625): (
+        "fast", "quick", "clean", "clear", "bright", "fresh", "modern",
+        "capable", "efficient", "effective", "robust", "stable",
+        "secure", "simple", "neat", "tidy", "handy", "upgrade",
+        "praise", "support",
+    ),
+    (0.3125, 0.5): (
+        "small", "useful", "decent", "adequate", "okay", "acceptable",
+        "steady", "calm", "gentle", "quiet", "safe", "fair",
+        "affordable", "interesting",
+    ),
+    (0.1875, 0.4375): (
+        "new", "notable", "curious", "novel",
+    ),
+    # -- negative ----------------------------------------------------------
+    (-0.9375, 0.9375): (
+        "terrible", "horrible", "awful", "atrocious", "dreadful",
+        "abysmal", "disastrous", "appalling", "horrendous",
+        "catastrophic", "worst", "unbearable",
+    ),
+    (-0.8125, 0.875): (
+        "hate", "hated", "nasty", "disgusting", "vile", "repulsive",
+        "miserable", "hideous", "scam", "fraud", "cruel", "brutal",
+        "toxic", "pathetic",
+    ),
+    (-0.6875, 0.75): (
+        "bad", "angry", "sad", "ugly", "painful", "annoying",
+        "frustrating", "disappointing", "inferior", "worthless",
+        "harmful", "hostile", "offensive", "shameful", "severe",
+        "destroy", "destroyed", "destructive", "ruin", "ruined",
+        "ruinous", "hopeless", "grim", "bleak", "dismal", "gloomy",
+        "depressing", "violent", "dangerous", "threatening", "dishonest",
+        "deceptive", "unfair", "unjust", "fear", "feared", "fearful",
+        "afraid", "scared", "suffer", "suffered", "suffering", "hurt",
+        "hurtful", "stupid", "dumb", "foolish", "useless", "pointless",
+        "futile", "rotten",
+    ),
+    (-0.5625, 0.6875): (
+        "poor", "broken", "wrong", "dirty", "messy", "faulty", "flawed",
+        "unstable", "unreliable", "confusing", "clumsy", "crude",
+        "harsh", "rude", "careless", "damage", "damaged", "damaging",
+        "worsen", "worse", "worsening", "decline", "declined", "lose",
+        "loser", "losing", "lost", "trouble", "troubled", "troubling",
+        "anxious", "worried", "worry", "worrying", "bitter", "sour",
+        "cheap", "shoddy", "sloppy", "lazy", "ignorant", "threat",
+        "problematic", "sore", "pain",
+    ),
+    (-0.4375, 0.625): (
+        "slow", "error", "errors", "fail", "failed", "failure",
+        "failing", "bug", "buggy", "crash", "crashed", "glitch",
+        "defect", "defective", "corrupt", "corrupted", "problem",
+        "problems", "struggle", "struggling", "difficult", "difficulty",
+        "doubt", "doubtful", "dubious", "fake",
+    ),
+    (-0.3125, 0.5): (
+        "big", "heavy", "noisy", "rough", "stale", "weak", "dull",
+        "bland", "boring", "tired", "mediocre", "awkward",
+        "inconvenient", "costly", "expensive", "issue", "issues",
+    ),
+    (-0.1875, 0.4375): (
+        "odd", "strange", "unusual", "questionable", "uncertain",
+        "risky",
+    ),
+}
+
+#: word -> (polarity, subjectivity); the single source of truth for the
+#: Spark map literal AND the DuckDB oracle SQL.
+LEXICON: dict[str, tuple[float, float]] = {
+    w: scores for scores, words in _TIERS.items() for w in words
+}
+
+# back-compat names (kept for tests/introspection)
+POSITIVE_WORDS = tuple(w for w, (p, _) in LEXICON.items() if p > 0)
+NEGATIVE_WORDS = tuple(w for w, (p, _) in LEXICON.items() if p < 0)
+
+
+def _score_maps() -> tuple[Column, Column]:
+    pol_items: list[Column] = []
+    sub_items: list[Column] = []
+    for w, (p, s) in LEXICON.items():
+        pol_items += [F.lit(w), F.lit(p)]
+        sub_items += [F.lit(w), F.lit(s)]
+    return F.create_map(*pol_items), F.create_map(*sub_items)
 
 
 def sentiment_cols(
     text_col: Column | str, pretokenized: bool = False
 ) -> dict[str, Column]:
-    """polarity = (pos−neg)/n_tokens, subjectivity = (pos+neg)/n_tokens,
-    both rounded to 6 — deterministic and SQL-expressible.
+    """PatternAnalyzer-shaped scores: mean lexicon polarity/subjectivity
+    over MATCHED tokens, (0.0, 0.0) when no token matches; floor-trunc
+    to 6 decimals (deterministic and SQL-expressible — the SQL twin is
+    ``sentiment_sql_ctes``).
 
     pretokenized=True: text_col is already a (materialized) token-array
     column — hot paths should tokenize once into a real column rather
     than inline the split per consumer expression."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = c if pretokenized else F.filter(F.split(c, " "), lambda x: x != F.lit(""))
-    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
-    pos = F.size(F.filter(toks, lambda x: x.isin(*POSITIVE_WORDS))).cast("double")
-    neg = F.size(F.filter(toks, lambda x: x.isin(*NEGATIVE_WORDS))).cast("double")
+    pol_map, sub_map = _score_maps()
+    # try_element_at: NULL on missing key (plain element_at raises under
+    # ANSI mode); matched lists are same-length for both score kinds
+    pols = F.filter(
+        F.transform(toks, lambda t: F.try_element_at(pol_map, t)),
+        lambda v: v.isNotNull(),
+    )
+    subs = F.filter(
+        F.transform(toks, lambda t: F.try_element_at(sub_map, t)),
+        lambda v: v.isNotNull(),
+    )
+    n = F.size(pols).cast("double")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
     return {
-        "polarity": trunc((pos - neg) / n, 6),
-        "subjectivity": trunc((pos + neg) / n, 6),
+        "polarity": F.when(n > 0, trunc(fold(pols) / n, 6)).otherwise(F.lit(0.0)),
+        "subjectivity": F.when(n > 0, trunc(fold(subs) / n, 6)).otherwise(F.lit(0.0)),
+    }
+
+
+def _case_sql(which: int) -> str:
+    """One CASE arm per lexicon word → DOUBLE score (which: 0=polarity,
+    1=subjectivity); the lambda-body twin of the Spark map lookup."""
+    arms = " ".join(
+        f"WHEN '{w}' THEN {scores[which]!r}" for w, scores in LEXICON.items()
+    )
+    return f"CAST(CASE x {arms} ELSE NULL END AS DOUBLE)"
+
+
+def sentiment_sql_exprs(toks_expr: str) -> dict[str, str]:
+    """DuckDB SQL twins of sentiment_cols, as {polarity, subjectivity,
+    pol_list, sub_list} snippet strings over a token-list expression.
+    Use pol_list/sub_list as computed columns in an inner SELECT, then
+    the polarity/subjectivity templates (which reference those column
+    names) in the outer SELECT."""
+    return {
+        "pol_list": (
+            f"list_filter(list_transform({toks_expr}, x -> {_case_sql(0)}),"
+            " v -> v IS NOT NULL)"
+        ),
+        "sub_list": (
+            f"list_filter(list_transform({toks_expr}, x -> {_case_sql(1)}),"
+            " v -> v IS NOT NULL)"
+        ),
+        "polarity": (
+            "CASE WHEN len(pol_list) = 0 THEN 0.0 ELSE"
+            " FLOOR(list_aggregate(pol_list, 'sum')"
+            " / CAST(len(pol_list) AS DOUBLE) * 1000000) / 1000000 END"
+        ),
+        "subjectivity": (
+            "CASE WHEN len(sub_list) = 0 THEN 0.0 ELSE"
+            " FLOOR(list_aggregate(sub_list, 'sum')"
+            " / CAST(len(sub_list) AS DOUBLE) * 1000000) / 1000000 END"
+        ),
     }
 
 

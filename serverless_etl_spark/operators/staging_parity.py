@@ -13,9 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.sentiment import sentiment_sql_exprs
 from ..registry import register
 from ..sources.tweets import landing_rows
 from ..staging import transform_landing
+
+_SENT = sentiment_sql_exprs(
+    "list_filter(string_split(text_clean, ' '), x -> x <> '')"
+)
 
 _ORACLE = r"""
     WITH tw AS (
@@ -58,19 +63,16 @@ _ORACLE = r"""
     ),
     sent AS (
         SELECT *,
-               len(list_filter(string_split(text_clean, ' '), x -> x <> '')) AS n_tok,
-               len(list_filter(string_split(text_clean, ' '),
-                   x -> x IN ('fast', 'small', 'good', 'great', 'quick'))) AS n_pos,
-               len(list_filter(string_split(text_clean, ' '),
-                   x -> x IN ('slow', 'big', 'bad', 'error', 'poor'))) AS n_neg
+               __POL_LIST__ AS pol_list,
+               __SUB_LIST__ AS sub_list
         FROM cleaned
     ),
     exploded AS (
         SELECT record_id, time_stamp, created, tweet_id, user_name, rt_count,
                unnest(string_split(regexp_replace(hashtags, '[^A-Za-z0-9\s]+', '', 'g'),
                                    ' ')) AS hashtag,
-               FLOOR(((n_pos - n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0)) * 1000000) / 1000000 AS polarity,
-               FLOOR(((n_pos + n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0)) * 1000000) / 1000000 AS subjectivity,
+               __POLARITY__ AS polarity,
+               __SUBJECTIVITY__ AS subjectivity,
                text_clean, arrival
         FROM sent
     )
@@ -84,6 +86,14 @@ _ORACLE = r"""
     FROM exploded
     WHERE hashtag <> ''
 """
+
+
+_ORACLE = (
+    _ORACLE.replace("__POL_LIST__", _SENT["pol_list"])
+    .replace("__SUB_LIST__", _SENT["sub_list"])
+    .replace("__POLARITY__", _SENT["polarity"])
+    .replace("__SUBJECTIVITY__", _SENT["subjectivity"])
+)
 
 
 @register("q70_staging_chain", oracle=_ORACLE, bench=True)

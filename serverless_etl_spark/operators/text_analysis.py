@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.sentiment import sentiment_cols
+from ..functions.sentiment import sentiment_cols, sentiment_sql_exprs
 from ..io import load_table
 from ..functions.numeric import trunc
 from ..registry import register
@@ -244,30 +244,30 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SENT_SQL = sentiment_sql_exprs(
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+)
+
 @register(
     "q35_sentiment",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           FLOOR(((n_pos - n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0))
-                 * 1000000) / 1000000 AS polarity,
-           FLOOR(((n_pos + n_neg) / greatest(CAST(n_tok AS DOUBLE), 1.0))
-                 * 1000000) / 1000000 AS subjectivity
+           {_SENT_SQL["polarity"]} AS polarity,
+           {_SENT_SQL["subjectivity"]} AS subjectivity
     FROM (
         SELECT doc_id,
-               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
-               len(list_filter(string_split(text, ' '),
-                   x -> x IN ('fast', 'small', 'good', 'great', 'quick'))) AS n_pos,
-               len(list_filter(string_split(text, ' '),
-                   x -> x IN ('slow', 'big', 'bad', 'error', 'poor'))) AS n_neg
+               {_SENT_SQL["pol_list"]} AS pol_list,
+               {_SENT_SQL["sub_list"]} AS sub_list
         FROM documents
     )
     """,
 )
 def q35_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic lexicon sentiment (the reference's one true UDF,
-    F3/§2.8), oracle-checked — the same scoring CTE the q70 pipeline
-    oracle uses; the optional TextBlob pandas_udf variant stays
-    rows-only (external lexicon)."""
+    """Lexicon-average sentiment (the reference's one true UDF, F3/§2.8;
+    PatternAnalyzer model — mean polarity/subjectivity of matched words
+    over an embedded ~280-word lexicon), oracle-checked against the
+    generated per-word CASE SQL; the optional TextBlob pandas_udf
+    variant stays rows-only (external lexicon)."""
     docs = load_table(spark, sf_dir, "documents")
     sent = sentiment_cols(F.col("text"))
     return docs.select(

@@ -132,17 +132,41 @@ def test_empty_to_null(spark):
 
 
 def test_sentiment_deterministic(spark):
+    """PatternAnalyzer model: mean lexicon score over MATCHED tokens
+    (unmatched tokens don't dilute); (0,0) with no match."""
+    import math
+
+    from serverless_etl_spark.functions.sentiment import LEXICON
+
     sent = sentiment_cols(F.col("s"))
     df = spark.createDataFrame(
-        [("fast fast slow neutral",), ("",), ("good",)], ["s"]
+        [("fast fast slow neutral",), ("",), ("good",), ("zxq qvv",)], ["s"]
     )
     rows = df.select(
         sent["polarity"].alias("p"), sent["subjectivity"].alias("j")
     ).collect()
-    assert rows[0]["p"] == pytest.approx((2 - 1) / 4)
-    assert rows[0]["j"] == pytest.approx(3 / 4)
-    assert rows[1]["p"] == 0.0
-    assert rows[2]["p"] == 1.0
+    fast_p, fast_j = LEXICON["fast"]
+    slow_p, slow_j = LEXICON["slow"]
+    want_p = math.floor((2 * fast_p + slow_p) / 3 * 1e6) / 1e6
+    want_j = math.floor((2 * fast_j + slow_j) / 3 * 1e6) / 1e6
+    assert rows[0]["p"] == pytest.approx(want_p)
+    assert rows[0]["j"] == pytest.approx(want_j)
+    assert rows[1]["p"] == 0.0 and rows[1]["j"] == 0.0
+    assert rows[2]["p"] == LEXICON["good"][0]
+    assert rows[3]["p"] == 0.0 and rows[3]["j"] == 0.0  # all unmatched
+
+
+def test_sentiment_lexicon_shape():
+    """Lexicon invariants the cross-engine determinism relies on."""
+    from serverless_etl_spark.functions.sentiment import LEXICON
+
+    assert len(LEXICON) >= 250
+    for w, (p, s) in LEXICON.items():
+        assert w == w.lower() and " " not in w
+        assert -1.0 <= p <= 1.0 and 0.0 <= s <= 1.0
+        # 1/16 grid → exact binary doubles → order-independent sums
+        assert (p * 16) == int(p * 16), w
+        assert (s * 16) == int(s * 16), w
 
 
 # --- seeded fuzz differential: Spark kernels vs reference Python over

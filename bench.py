@@ -24,6 +24,23 @@ registry.load_all()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: regression floor — BENCH_r01 per-query times (sf0.1, local[32]);
+#: a headline query >2× slower than this is flagged in the JSON output
+BASELINE_SF01 = {
+    "q45_salted_join": 0.838,
+    "q41_minhash_lsh": 2.467,
+    "q81_multimodal_embed": 0.604,
+    "q01_pricing_summary": 0.441,
+    "q03_join_region_revenue": 0.631,
+    "q10_window_rank": 0.470,
+    "q50_cosine_topk": 0.742,
+    "q70_staging_chain": 3.482,
+    "q30_flagship_tokens": 0.397,
+    "q62_tfidf": 0.988,
+    "q23_tumbling_window": 0.318,
+    "q25_session_window": 0.552,
+}
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -58,17 +75,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # per-query delta vs the locked round-1 floor (only meaningful at
+    # the default sf0.1): flag anything >2× slower
+    if abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9:
+        regressions = {
+            n: {"now": t, "baseline": BASELINE_SF01[n]}
+            for n, t in timings.items()
+            if n in BASELINE_SF01 and t > 2 * BASELINE_SF01[n]
+        }
+        for n, d in regressions.items():
+            print(
+                f"# REGRESSION {n}: {d['now']:.3f}s vs baseline "
+                f"{d['baseline']:.3f}s (>2x)",
+                file=sys.stderr,
+            )
+        if regressions:
+            out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 

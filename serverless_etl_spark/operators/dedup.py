@@ -117,9 +117,7 @@ def _minhash_band_sql() -> str:
 _SIGS_SQL, _BANDS_SQL = _minhash_band_sql()
 
 
-@register(
-    "q41_minhash_lsh",
-    oracle=f"""
+_Q41_ORACLE = f"""
     WITH corpus AS ({_DUPED_SQL}),
     sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
@@ -150,9 +148,10 @@ _SIGS_SQL, _BANDS_SQL = _minhash_band_sql()
           / (len(sa.shingles) + len(sb.shingles)
              - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5
     ORDER BY doc_a, doc_b
-    """,
-    bench=True,
-)
+    """
+
+
+@register("q41_minhash_lsh", oracle=_Q41_ORACLE, bench=True)
 def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: shingle → 8-hash MinHash
     signature → 2 bands of 4 → band-bucket self-join for candidates →
@@ -468,15 +467,55 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
-@register("q63_dup_clusters")  # iterative — not SQL-expressible; rows-only check
+@register(
+    "q63_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    corpus AS ({_DUPED_SQL}),
+    hashed AS (SELECT doc_id, md5(text) AS digest FROM corpus),
+    keepers AS (
+        SELECT digest, MIN(doc_id) AS src
+        FROM hashed GROUP BY digest HAVING COUNT(*) > 1
+    ),
+    exact_edges AS (
+        SELECT k.src, h.doc_id AS dst
+        FROM hashed h JOIN keepers k ON k.digest = h.digest
+        WHERE h.doc_id <> k.src
+    ),
+    near_edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ({_Q41_ORACLE})
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT * FROM exact_edges UNION ALL SELECT * FROM near_edges
+        )
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    walk(id, label) AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.dst AS id, w.label
+        FROM walk w JOIN sym e ON e.src = w.id
+    )
+    SELECT id, MIN(label) AS cluster_id
+    FROM walk GROUP BY id ORDER BY id
+    """,
+)
 def q63_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     exact+near duplicate graph, labeling every involved document with
     its component's min doc_id — the grouping step that turns pairwise
     near-dup hits into keep-one-per-cluster decisions.
 
-    Iterative (driver-side loop over shuffles), so no single SQL oracle;
-    tests/test_training_ops.py verifies against a Python union-find of
-    the same edge set."""
+    Iterative on the Spark side (Pregel-style min-label propagation,
+    driver-side loop over shuffles); the ORACLE expresses the same
+    fixed point via DuckDB WITH RECURSIVE label flooding — two
+    independent formulations that must agree exactly. A Python
+    union-find cross-check lives in tests/test_training_ops.py."""
     edges = duplicate_edges(spark, sf_dir)
     return connected_components(edges).orderBy("id")

@@ -119,6 +119,45 @@ def test_q69_probe_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+#: per-bench-query structural budgets: max wide exchanges, and whether a
+#: BroadcastNestedLoopJoin is allowed (ONLY the documented exact-baseline
+#: q50 and the broadcast one-row corpus-size join in q62)
+BENCH_PLAN_BUDGET = {
+    "q45_salted_join": (1, False),
+    "q41_minhash_lsh": (2, False),
+    "q81_multimodal_embed": (0, False),
+    "q01_pricing_summary": (2, False),
+    "q03_join_region_revenue": (2, False),
+    "q10_window_rank": (1, False),
+    "q50_cosine_topk": (2, True),
+    "q70_staging_chain": (1, False),
+    "q30_flagship_tokens": (2, False),
+    "q62_tfidf": (4, True),
+    "q23_tumbling_window": (2, False),
+    "q25_session_window": (2, False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BENCH_PLAN_BUDGET))
+def test_bench_query_plan_budget(spark, name):
+    """Every headline bench query has a locked structural budget — a
+    refactor that adds an exchange, degrades a broadcast to a
+    sort-merge/nested-loop join, or introduces a cartesian product
+    fails here even though results stay correct."""
+    from serverless_etl_spark import registry
+
+    max_shuffles, bnlj_ok = BENCH_PLAN_BUDGET[name]
+    assert set(BENCH_PLAN_BUDGET) == set(registry.BENCH_QUERIES), (
+        "bench list changed — update BENCH_PLAN_BUDGET"
+    )
+    plan = _executed_plan(spark, name)
+    assert _n_shuffles(plan) <= max_shuffles, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    if not bnlj_ok:
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_curation_pipeline_two_exchanges(spark):
     """The composed curation plan must stay at two wide exchanges (the
     dedup window on the digest + the packing window on split/shard) —

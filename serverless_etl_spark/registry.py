@@ -41,8 +41,29 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+#: queries with no round-1 driver-correctness row (the driver swept the
+#: first 50 registered names); these register FIRST so that if the
+#: harness caps its sweep again, the unchecked families get their hard
+#: signal this round while round 1 already covers the rest.
+_R1_UNCHECKED = [
+    "q30_flagship_tokens", "q31_token_stats", "q32_quality_score",
+    "q33_lang_id", "q34_fingerprint", "q35_sentiment", "q36_token_count",
+    "q62_tfidf", "q67_repetition_filter", "q87_edit_distance",
+    "q23_tumbling_window", "q24_sliding_window", "q25_session_window",
+    "q26_first_last_per_group", "q54_lag_delta", "q55_moving_time_window",
+    "q74_ntile_percent_rank", "q76_session_assign", "q77_funnel",
+    "q85_retention_cohorts", "q86_latest_snapshot", "q58_hash_split",
+    "q59_stratified_sample", "q68_sequence_packing", "q79_group_split",
+    "q80_negative_sampling", "q83_weighted_sample", "q50_cosine_topk",
+    "q51_cosine_ivf", "q52_embedding_neardup", "q53_label_centroids",
+    "q69_ann_hyperplane_lsh", "q70_staging_chain", "q56_topk_per_group",
+    "q57_filtered_agg", "q78_map_ops", "q82_explode_outer",
+]
+
+
 def load_all() -> None:
-    """Import every operator module so registration side-effects run."""
+    """Import every operator module so registration side-effects run,
+    then order the registry: round-1-unchecked queries first."""
     from .operators import (  # noqa: F401
         analytics_ext,
         dedup,
@@ -57,3 +78,8 @@ def load_all() -> None:
         text_analysis,
         windows,
     )
+
+    ordered = {n: QUERIES[n] for n in _R1_UNCHECKED if n in QUERIES}
+    ordered.update(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(ordered)

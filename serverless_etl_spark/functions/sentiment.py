@@ -146,12 +146,43 @@ NEGATIVE_WORDS = tuple(w for w, (p, _) in LEXICON.items() if p < 0)
 
 
 def _score_maps() -> tuple[Column, Column]:
+    # two scalar-valued maps measured FASTER than one struct-valued map
+    # in the q70 hot path (struct field access defeats codegen
+    # subexpression elimination): 3.99s vs 5.36s at sf0.1
     pol_items: list[Column] = []
     sub_items: list[Column] = []
     for w, (p, s) in LEXICON.items():
         pol_items += [F.lit(w), F.lit(p)]
         sub_items += [F.lit(w), F.lit(s)]
     return F.create_map(*pol_items), F.create_map(*sub_items)
+
+
+def sentiment_match_arrays(toks: Column) -> dict[str, Column]:
+    """Matched-score arrays (pols, subs) over a token-array column.
+    Hot paths should materialize these as real columns (CollapseProject
+    keeps reused non-cheap expressions from being inlined twice) and
+    feed them to ``sentiment_score``."""
+    pol_map, sub_map = _score_maps()
+    # try_element_at: NULL on missing key (plain element_at raises
+    # under ANSI mode); matched lists are same-length for both kinds
+    return {
+        "pols": F.filter(
+            F.transform(toks, lambda t: F.try_element_at(pol_map, t)),
+            lambda v: v.isNotNull(),
+        ),
+        "subs": F.filter(
+            F.transform(toks, lambda t: F.try_element_at(sub_map, t)),
+            lambda v: v.isNotNull(),
+        ),
+    }
+
+
+def sentiment_score(matched: Column) -> Column:
+    """Mean of a matched-score array, floor-truncated to 6 decimals;
+    0.0 when nothing matched (PatternAnalyzer's no-match value)."""
+    n = F.size(matched).cast("double")
+    total = F.aggregate(matched, F.lit(0.0), lambda a, x: a + x)
+    return F.when(n > 0, trunc(total / n, 6)).otherwise(F.lit(0.0))
 
 
 def sentiment_cols(
@@ -167,22 +198,10 @@ def sentiment_cols(
     than inline the split per consumer expression."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = c if pretokenized else F.filter(F.split(c, " "), lambda x: x != F.lit(""))
-    pol_map, sub_map = _score_maps()
-    # try_element_at: NULL on missing key (plain element_at raises under
-    # ANSI mode); matched lists are same-length for both score kinds
-    pols = F.filter(
-        F.transform(toks, lambda t: F.try_element_at(pol_map, t)),
-        lambda v: v.isNotNull(),
-    )
-    subs = F.filter(
-        F.transform(toks, lambda t: F.try_element_at(sub_map, t)),
-        lambda v: v.isNotNull(),
-    )
-    n = F.size(pols).cast("double")
-    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    arrays = sentiment_match_arrays(toks)
     return {
-        "polarity": F.when(n > 0, trunc(fold(pols) / n, 6)).otherwise(F.lit(0.0)),
-        "subjectivity": F.when(n > 0, trunc(fold(subs) / n, 6)).otherwise(F.lit(0.0)),
+        "polarity": sentiment_score(arrays["pols"]),
+        "subjectivity": sentiment_score(arrays["subs"]),
     }
 
 

@@ -14,7 +14,7 @@ machinery, not the data, is under test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -117,8 +117,11 @@ def _minhash_band_sql() -> str:
 _SIGS_SQL, _BANDS_SQL = _minhash_band_sql()
 
 
-_Q41_ORACLE = f"""
-    WITH corpus AS ({_DUPED_SQL}),
+def _q41_oracle_sql(corpus_sql: str) -> str:
+    """The full LSH pipeline (shingle → signature → bands → candidates →
+    verified Jaccard) in DuckDB SQL, over any (doc_id, text) corpus."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
     sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
     ),
@@ -149,6 +152,9 @@ _Q41_ORACLE = f"""
              - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5
     ORDER BY doc_a, doc_b
     """
+
+
+_Q41_ORACLE = _q41_oracle_sql(_DUPED_SQL)
 
 
 @register("q41_minhash_lsh", oracle=_Q41_ORACLE, bench=True)
@@ -390,11 +396,16 @@ def q44_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def duplicate_edges(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """Undirected duplicate-graph edges (src < dst) over the seeded
-    corpus: exact-duplicate star edges (keeper ↔ member per content
-    digest) ∪ verified MinHash-LSH near-dup pairs (q41)."""
-    docs = _duped_docs(spark, sf_dir).select("doc_id", F.md5("text").alias("digest"))
+    corpus (or any (doc_id, text) `corpus`): exact-duplicate star edges
+    (keeper ↔ member per content digest) ∪ verified MinHash-LSH
+    near-dup pairs (q41)."""
+    if corpus is None:
+        corpus = _duped_docs(spark, sf_dir)
+    docs = corpus.select("doc_id", F.md5("text").alias("digest"))
     keepers = (
         docs.groupBy("digest")
         .agg(F.min("doc_id").alias("src"), F.count(F.lit(1)).alias("n"))
@@ -406,7 +417,7 @@ def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
     )
-    near = q41_minhash_lsh(spark, sf_dir).select(
+    near = minhash_lsh_pairs(corpus).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return exact.unionByName(near).distinct()
@@ -519,3 +530,125 @@ def q63_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find cross-check lives in tests/test_training_ops.py."""
     edges = duplicate_edges(spark, sf_dir)
     return connected_components(edges).orderBy("id")
+
+
+#: q93's corpus: the duplicate-dense slice (every 5th base doc + both
+#: seeded clone families) — the keep-best policy is what's under test,
+#: so the corpus keeps every cluster while skipping 4/5 of the
+#: singleton docs (which can never appear in the output anyway).
+_Q93_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' extratoken' AS text
+        FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+def _q93_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+@register(
+    "q93_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    corpus AS ({_Q93_CORPUS_SQL}),
+    hashed AS (SELECT doc_id, md5(text) AS digest FROM corpus),
+    keepers AS (
+        SELECT digest, MIN(doc_id) AS src
+        FROM hashed GROUP BY digest HAVING COUNT(*) > 1
+    ),
+    exact_edges AS (
+        SELECT k.src, h.doc_id AS dst
+        FROM hashed h JOIN keepers k ON k.digest = h.digest
+        WHERE h.doc_id <> k.src
+    ),
+    near_edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ({_q41_oracle_sql(_Q93_CORPUS_SQL)})
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT * FROM exact_edges UNION ALL SELECT * FROM near_edges
+        )
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    walk(id, label) AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.dst AS id, w.label
+        FROM walk w JOIN sym e ON e.src = w.id
+    ),
+    labels AS (
+        SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY len(c.text) DESC, l.id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN corpus c ON c.doc_id = l.id
+    )
+    SELECT cluster_id, id AS keeper_doc_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+)
+def q93_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decisions: for every duplicate cluster
+    (q63's connected components), keep the BEST member — longest text,
+    ties to the smallest doc_id — rather than an arbitrary one. This is
+    the keep-one-per-cluster policy step of corpus curation (near-dup
+    clusters keep the longer variant, which min-id selection would
+    drop).
+
+    Scale: components as q63 (shuffles bounded by graph diameter); the
+    policy itself is one broadcast-join of the small label table back
+    to the corpus and one WindowGroupLimit rank — the corpus is never
+    re-shuffled on text."""
+    q93_corpus = _q93_corpus(spark, sf_dir)
+    edges = duplicate_edges(spark, sf_dir, corpus=q93_corpus)
+    labels = connected_components(edges)
+    corpus = q93_corpus.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    members = labels.join(
+        corpus, labels.id == corpus.doc_id
+    ).select("cluster_id", "id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        members.select(
+            "cluster_id",
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("id").alias("keeper_doc_id"), "n_members")
+        .orderBy("cluster_id")
+    )

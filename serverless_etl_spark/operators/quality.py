@@ -1,0 +1,250 @@
+"""Corpus-hygiene operators for training-data curation: PII redaction,
+benchmark-contamination screening, per-source caps, and cross-split
+leakage detection.
+
+These are the guardrail passes a 100 TB pretraining pipeline runs
+between dedup and packing (extended surface; the reference has no
+analogue — its closest text surface is the staging regex chain,
+lambda/staging-transform.py:150-209). All four are pure DataFrame
+compositions with DuckDB oracles; hashes/regexes are chosen to be
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import trunc
+from ..io import load_table
+from ..registry import register
+from .dedup import (
+    _DUPED_SQL,
+    _Q41_ORACLE,
+    _SHINGLES_SQL,
+    _duped_docs,
+    _shingles,
+    minhash_lsh_pairs,
+)
+from .sampling import TRAIN_UPPER, VAL_UPPER, hash_bucket, hash_split
+
+# Common-dialect regexes (Java regex AND RE2): no lookarounds, no \d
+# shorthand differences, explicit character classes only.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+# The synthetic corpus carries no PII, so the query seeds deterministic
+# PII into a slice of docs (same expression in both engines) — the
+# redaction machinery, not the data, is under test.
+_PII_SQL = """
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END AS text
+        FROM documents
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("text")
+    )
+
+
+@register(
+    "q88_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+    FROM ({_PII_SQL})
+    WHERE len(regexp_extract_all(text, '{EMAIL_RE}')) > 0
+       OR len(regexp_extract_all(text, '{PHONE_RE}')) > 0
+    """,
+)
+def q88_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and mask emails/phone numbers (the
+    pre-training redaction step), reporting only affected docs.
+
+    Scale: pure map-side regex projection — zero shuffles, composes
+    with any write; the regexes are single-pass per string. The match
+    count is computed once into a column (regexp_extract_all), not
+    re-evaluated per consumer."""
+    docs = _pii_docs(spark, sf_dir)
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            redacted.alias("text_redacted"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )
+
+
+@register(
+    "q89_contamination",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE doc_id < 1000000 AND doc_id % 10 = 0
+    ),
+    tr AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
+        FROM sh WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+    ),
+    hits AS (
+        SELECT doc_id, n_sh, COUNT(*) AS n_hit
+        FROM tr JOIN bench USING (s)
+        GROUP BY doc_id, n_sh
+    )
+    SELECT doc_id, n_hit,
+           FLOOR(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) * 1000000)
+               / 1000000 AS contamination
+    FROM hits
+    WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.2
+    """,
+)
+def q89_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training docs whose distinct
+    3-gram shingles overlap an eval set by ≥ 20%. The eval set is the
+    doc_id % 10 = 0 slice of the seeded corpus, whose +1000000 clones
+    sit in the training side — exactly the eval-leak a real screen must
+    catch (they surface at contamination = 1.0).
+
+    Scale: the eval side of the join is SMALL by construction (a
+    benchmark suite, not the corpus) → broadcast hash join on the
+    shingle; the train side streams through exploded and partial-aggs
+    map-side. No shuffle ever carries document text — only (doc_id,
+    n_sh, shingle)."""
+    docs = _duped_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        _shingles(F.split(F.col("text"), " ")).alias("shingles"),
+    )
+    is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 10 == 0)
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    tr = sh.filter(~is_bench).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    hits = (
+        tr.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_sh").cast("double")
+    return (
+        hits.filter(frac >= 0.2)
+        .select("doc_id", "n_hit", trunc(frac, 6).alias("contamination"))
+    )
+
+
+SOURCE_CAP = 40
+
+
+@register(
+    "q90_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    WHERE rk <= {SOURCE_CAP}
+    """,
+)
+def q90_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most SOURCE_CAP docs per source,
+    chosen by deterministic hash order (not arrival order, so the kept
+    set is stable under re-partitioning and appends) — the
+    domain-balancing step of corpus curation.
+
+    Scale: rank-then-filter compiles to WindowGroupLimit, so each map
+    task forwards at most CAP rows per source to the single exchange —
+    the shuffle carries O(sources×cap×tasks), not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), 8), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+@register(
+    "q91_split_leakage",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_Q41_ORACLE})
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                ELSE 'test' END AS split_a,
+           CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                ELSE 'test' END AS split_b
+    FROM pairs
+    WHERE (CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                ELSE 'test' END)
+       <> (CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < '{TRAIN_UPPER}' THEN 'train'
+                WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                ELSE 'test' END)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q91_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: near-duplicate pairs (the q41 LSH
+    surface) whose two members were assigned to DIFFERENT train/val/test
+    splits — the eval-integrity check run before any split is shipped.
+
+    Scale: the split is a pure hash function of the id, so it attaches
+    to the (already small) verified-pair set as a projection — no join
+    against the corpus, no extra shuffle beyond q41's own."""
+    pairs = minhash_lsh_pairs(_duped_docs(spark, sf_dir))
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        hash_split(F.col("doc_a")).alias("split_a"),
+        hash_split(F.col("doc_b")).alias("split_b"),
+    )
+    return out.filter(F.col("split_a") != F.col("split_b")).orderBy("doc_a", "doc_b")

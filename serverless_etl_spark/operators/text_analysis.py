@@ -455,3 +455,48 @@ def q87_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "q94_ngram_counts",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i+1] || ' ' ||
+                           string_split(text, ' ')[i+2])) AS bigram
+        FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def q94_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency, top 50 — the n-gram statistics pass
+    behind tokenizer training and contamination screens (all
+    occurrences counted, not per-doc distinct).
+
+    Scale: one shuffle on the bigram with map-side partial counts; the
+    top-k is TakeOrdered (per-partition heaps merged on the driver),
+    never a global sort. Tokenization materializes once per doc before
+    the n-gram HOF (inline split would be O(tokens²))."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.split(F.col("text"), " ").alias("toks"))
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )

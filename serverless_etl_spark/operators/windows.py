@@ -396,3 +396,65 @@ def q86_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@register(
+    "q92_anomaly_zscore",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           FLOOR((value - mean) / std * 1000000) / 1000000 AS zscore
+    FROM (
+        SELECT event_id, user_id, ts, value,
+               CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sq,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / CAST(COUNT(value) OVER w AS DOUBLE) AS mean,
+               sqrt((CAST(SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     - CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       * CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / CAST(COUNT(value) OVER w AS DOUBLE))
+                    / (CAST(COUNT(value) OVER w AS DOUBLE) - 1.0)) AS std
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    WHERE n >= 10 AND std > 0 AND abs((value - mean) / std) > 3
+    ORDER BY event_id
+    """,
+)
+def q92_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events more than 3
+    sample-stddevs from the mean of the user's previous ≤20 events —
+    the streaming-monitor outlier primitive in batch form.
+
+    Cross-engine determinism: mean and variance come from EXACT decimal
+    sums (value and value² are 2-/4-dp quantized), cast to double once;
+    the remaining arithmetic is identically-shaped IEEE ops in both
+    engines, so the hashes match with no tolerance.
+
+    Scale: one exchange on user_id; the 20-row frame is O(1) state per
+    row within the sorted partition — no self-joins, no full-history
+    buffering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    n = F.count("value").over(w).cast("double")
+    s = F.sum(dec).over(w).cast("double")
+    sq = F.sum(dec * dec).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt((sq - s * s / n) / (n - 1.0))
+    return (
+        ev.select("event_id", "user_id", "ts", "value",
+                  n.alias("n"), mean.alias("mean"), std.alias("std"))
+        .withColumn("zscore", (F.col("value") - F.col("mean")) / F.col("std"))
+        .filter((F.col("n") >= 10) & (F.col("std") > 0) & (F.abs("zscore") > 3))
+        .select("event_id", "user_id", "ts", "value", trunc(F.col("zscore"), 6).alias("zscore"))
+        .orderBy("event_id")
+    )

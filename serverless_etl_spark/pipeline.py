@@ -69,6 +69,7 @@ class BatchPipeline:
         run_date: str,
         horizon_hours: float | None = 24.0,
         now=None,
+        fmt: str = "parquet",
     ):
         self.spark = spark
         self.paths = paths
@@ -77,6 +78,9 @@ class BatchPipeline:
         #: the reference ALWAYS applies it — None (full rescan) is opt-in.
         self.horizon_hours = horizon_hours
         self.now = now  # pinned reference instant for deterministic tests
+        #: staging/analytical/run-log format; 'orc' matches the
+        #: reference's actual tables (athena/create_hashtags_data.hql:17-22)
+        self.fmt = fmt
 
     @retry()
     def read_landing(self) -> DataFrame:
@@ -107,7 +111,7 @@ class BatchPipeline:
         staged = transform_landing(landing).observe(
             obs, F.count(F.lit(1)).alias("n")
         )
-        staged.write.mode("overwrite").parquet(self.paths.staging)
+        staged.write.mode("overwrite").format(self.fmt).save(self.paths.staging)
         return int(obs.get["n"])
 
     def _fresh_rows(self, staged: DataFrame) -> DataFrame:
@@ -121,7 +125,7 @@ class BatchPipeline:
         asserted in tests/test_pipeline_e2e.py::test_antijoin_partition_pruned.
         """
         try:
-            existing = self.spark.read.parquet(self.paths.analytical)
+            existing = self.spark.read.format(self.fmt).load(self.paths.analytical)
         except AnalysisException:  # first run: no analytical table yet
             return staged
         parts = [
@@ -143,7 +147,7 @@ class BatchPipeline:
         """LoadToAnalytical (S11) with the P7 count-guard. The blind
         `INSERT INTO … SELECT *` becomes an anti-join append on hash_id
         so replayed windows insert 0 rows (ST5 exactly-once)."""
-        staged = self.spark.read.parquet(self.paths.staging)
+        staged = self.spark.read.format(self.fmt).load(self.paths.staging)
         if staged.isEmpty():  # P7: "No new records" (cheap limit-1 probe)
             return 0
         fresh = self._fresh_rows(staged)
@@ -155,7 +159,8 @@ class BatchPipeline:
             fresh.observe(obs, F.count(F.lit(1)).alias("n"))
             .write.mode("append")
             .partitionBy("year", "month", "day")
-            .parquet(self.paths.analytical)
+            .format(self.fmt)
+            .save(self.paths.analytical)
         )
         return int(obs.get["n"])
 
@@ -166,9 +171,9 @@ class BatchPipeline:
         y, m, d = (int(x) for x in self.run_date.split("-"))
         row = [(self.run_date, table_name, n_rows, y, m, d)]
         df = self.spark.createDataFrame(row, schema=RUN_LOG)
-        df.write.mode("append").partitionBy("year", "month", "day").parquet(
-            self.paths.run_log
-        )
+        df.write.mode("append").partitionBy("year", "month", "day").format(
+            self.fmt
+        ).save(self.paths.run_log)
 
     def run(self) -> dict[str, int]:
         """O1 — the sequential DAG
@@ -181,8 +186,8 @@ class BatchPipeline:
         return {"staged": n_staged, "loaded": n_loaded}
 
 
-def read_run_log(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_run_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
 
 
 def main(argv: list[str] | None = None) -> dict[str, int]:
@@ -218,6 +223,13 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
         action="store_true",
         help="read the entire landing dir (backfill; disables the S7 horizon)",
     )
+    p.add_argument(
+        "--format",
+        choices=["parquet", "orc"],
+        default="parquet",
+        help="staging/analytical/run-log table format (orc = the "
+        "reference's actual format)",
+    )
     args = p.parse_args(argv)
 
     run_date = args.run_date or datetime.datetime.now(datetime.timezone.utc).strftime(
@@ -235,6 +247,7 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
         paths,
         run_date,
         horizon_hours=None if args.full_rescan else args.horizon_hours,
+        fmt=args.format,
     )
     result = pipe.run()
     print(json.dumps({"run_date": run_date, **result}))

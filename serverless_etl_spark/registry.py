@@ -58,6 +58,10 @@ _R1_UNCHECKED = [
     "q51_cosine_ivf", "q52_embedding_neardup", "q53_label_centroids",
     "q69_ann_hyperplane_lsh", "q70_staging_chain", "q56_topk_per_group",
     "q57_filtered_agg", "q78_map_ops", "q82_explode_outer",
+    # round-2 additions (no driver row yet)
+    "q88_pii_redaction", "q89_contamination", "q90_source_cap",
+    "q91_split_leakage", "q92_anomaly_zscore", "q93_dedup_keep_best",
+    "q94_ngram_counts",
 ]
 
 
@@ -71,6 +75,7 @@ def load_all() -> None:
         joins,
         merge,
         multimodal,
+        quality,
         relational,
         sampling,
         similarity,

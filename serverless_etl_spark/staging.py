@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .functions.hashing import hash_key, md5_key
-from .functions.sentiment import sentiment_cols
+from .functions.sentiment import sentiment_match_arrays, sentiment_score
 from .functions.text import clean_hashtags, clean_text, empty_to_null, ts_normalize
 
 #: target-table column order, athena/create_hashtags_proc.hql:1-15 /
@@ -56,7 +56,7 @@ def transform_landing(
     hash_id-only dedup state would grow O(all ids ever seen).
     """
     hasher = hash_key if use_sha1 else md5_key
-    sent = sentiment_cols(F.col("_toks"), pretokenized=True)
+    sent = sentiment_match_arrays(F.col("_toks"))
     ymd_src: Column = F.col("timestamp")
 
     out = (
@@ -67,15 +67,17 @@ def transform_landing(
         # F1: ordered regex clean (staging-transform.py:233)
         .withColumn("text_clean", clean_text(F.col("text")))
         # F3: sentiment over cleaned text (staging-transform.py:234-237);
-        # tokenize ONCE into a materialized column — polarity and
-        # subjectivity both consume it, and HOF inputs inlined as
-        # expressions would re-run the split per consumer
+        # tokenize ONCE into a materialized column, then materialize the
+        # matched-score arrays too — each feeds multiple consumers, and
+        # HOF inputs inlined as expressions would re-run per consumer
         .withColumn(
             "_toks", F.filter(F.split(F.col("text_clean"), " "), lambda x: x != F.lit(""))
         )
-        .withColumn("polarity", sent["polarity"])
-        .withColumn("subjectivity", sent["subjectivity"])
-        .drop("_toks")
+        .withColumn("_pols", sent["pols"])
+        .withColumn("_subs", sent["subs"])
+        .withColumn("polarity", sentiment_score(F.col("_pols")))
+        .withColumn("subjectivity", sentiment_score(F.col("_subs")))
+        .drop("_toks", "_pols", "_subs")
         # F2 + T1: clean hashtags, split, explode — the grain change
         # (staging-transform.py:238-240)
         .withColumn(

@@ -145,6 +145,28 @@ def test_read_landing_applies_horizon_by_default(spark, tmp_path):
     assert pipe_full.read_landing().count() == df.count()
 
 
+def test_pipeline_orc_format(spark, tmp_path_factory):
+    """The whole batch pipeline runs on ORC tables (the reference's
+    actual analytical format) with identical idempotence semantics."""
+    root = tmp_path_factory.mktemp("orc_pipe")
+    df = landing_rows(spark, SF_SMALL).filter(
+        (F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != "")
+    )
+    df.write.mode("overwrite").parquet(str(root / "landing"))
+    p = PipelinePaths(
+        landing=str(root / "landing"),
+        staging=str(root / "staging"),
+        analytical=str(root / "analytical"),
+        run_log=str(root / "runlog"),
+    )
+    pipe = BatchPipeline(spark, p, run_date="2024-02-02", fmt="orc")
+    first = pipe.run()
+    assert first["staged"] > 0 and first["loaded"] == first["staged"]
+    second = pipe.run()
+    assert second["loaded"] == 0
+    assert spark.read.orc(p.analytical).count() == first["staged"]
+
+
 def test_retry_decorator():
     calls = []
 

@@ -158,6 +158,29 @@ def test_bench_query_plan_budget(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q88_redaction_is_map_side(spark):
+    """PII scrubbing must be a pure projection — zero exchanges."""
+    plan = _executed_plan(spark, "q88_pii_redaction")
+    assert _n_shuffles(plan) == 0
+
+
+def test_q89_bench_side_is_broadcast(spark):
+    """The contamination screen must broadcast the (small) eval shingle
+    set — the corpus is never shuffled for the join."""
+    plan = _executed_plan(spark, "q89_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _n_shuffles(plan) <= 2
+
+
+def test_q90_cap_uses_window_group_limit(spark):
+    """The per-source cap must pre-filter map-side (WindowGroupLimit):
+    the shuffle carries O(sources*cap), not the corpus."""
+    plan = _executed_plan(spark, "q90_source_cap")
+    assert "WindowGroupLimit" in plan
+    assert _n_shuffles(plan) == 1
+
+
 def test_curation_pipeline_two_exchanges(spark):
     """The composed curation plan must stay at two wide exchanges (the
     dedup window on the digest + the packing window on split/shard) —

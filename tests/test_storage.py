@@ -272,3 +272,29 @@ def test_csv_quarantine_splits_good_and_bad_lines(spark, tmp_path):
     assert {(r.id, r.name) for r in good.collect()} == {(1, "alpha"), (2, "gamma")}
     bad_lines = [r.raw_line for r in bad.collect()]
     assert bad_lines == ["not_a_number,beta"]
+
+
+def test_overwrite_via_swap_preserves_target_on_failure(spark, tmp_path):
+    """A merge/compaction rewrite that fails MID-WRITE must leave the
+    live table untouched (the whole point of write-new-then-swap; plain
+    mode('overwrite') deletes the target before writing)."""
+    from serverless_etl_spark.io import overwrite_via_swap
+
+    target = str(tmp_path / "t")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(target)
+
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(x):
+        raise RuntimeError("mid-write failure")
+
+    bad = spark.range(10).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception):
+        overwrite_via_swap(bad, target)
+    # live table fully intact
+    assert spark.read.parquet(target).count() == 100
+
+    # and a successful swap replaces it atomically
+    overwrite_via_swap(spark.range(7).withColumn("v", F.col("id")), target)
+    assert spark.read.parquet(target).count() == 7

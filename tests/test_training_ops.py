@@ -136,6 +136,108 @@ def test_minhash_lsh_nondefault_bands_recall(spark):
     assert not missing, f"missed exact-dup pairs: {sorted(missing)[:5]}"
 
 
+def test_pii_redaction_masks_everything(spark):
+    """After redaction no email/phone pattern survives, and every doc
+    seeded with PII is reported with the right counts."""
+    from serverless_etl_spark.operators.quality import EMAIL_RE, PHONE_RE
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q88_pii_redaction"](spark, SF_SMALL)
+    leftover = out.filter(
+        F.col("text_redacted").rlike(EMAIL_RE)
+        | F.col("text_redacted").rlike(PHONE_RE)
+    )
+    assert leftover.isEmpty()
+    rows = {r.doc_id: (r.n_emails, r.n_phones) for r in out.collect()}
+    assert all(d % 7 == 0 or d % 11 == 0 for d in rows)
+    for d, (ne, np_) in rows.items():
+        assert ne == (1 if d % 7 == 0 else 0)
+        assert np_ == (1 if d % 11 == 0 else 0)
+
+
+def test_contamination_catches_seeded_clones(spark):
+    """Every +1000000 clone of an eval doc must surface at
+    contamination 1.0 (the leak the screen exists to catch)."""
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q89_contamination"](spark, SF_SMALL)
+    by_id = {r.doc_id: r.contamination for r in out.collect()}
+    from serverless_etl_spark.io import load_table
+
+    eval_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    for d in eval_ids:
+        assert by_id.get(d + 1000000) == 1.0, f"clone of eval doc {d} not flagged"
+
+
+def test_source_cap_and_stability(spark):
+    """≤ cap rows per source, and the kept set is identical after an
+    adversarial repartition (hash order, not arrival order)."""
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.operators.quality import SOURCE_CAP
+
+    registry.load_all()
+    out = registry.QUERIES["q90_source_cap"](spark, SF_SMALL)
+    counts = out.groupBy("source").count().collect()
+    assert all(r["count"] <= SOURCE_CAP for r in counts)
+    kept1 = {r.doc_id for r in out.collect()}
+    kept2 = {r.doc_id for r in out.repartition(13).collect()}
+    assert kept1 == kept2
+
+
+def test_split_leakage_pairs_cross_splits(spark):
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q91_split_leakage"](spark, SF_SMALL).collect()
+    assert out, "seeded corpus must produce at least one leaky pair"
+    assert all(r.split_a != r.split_b for r in out)
+
+
+def test_keep_best_prefers_longer_near_dup(spark):
+    """In a near-dup cluster {base, base+' extratoken'} the keeper must
+    be the LONGER variant (+2000000 clone), not the min id — the policy
+    difference vs q40/q63."""
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q93_dedup_keep_best"](spark, SF_SMALL).collect()
+    keepers = {r.cluster_id: r.keeper_doc_id for r in out}
+    # clusters rooted at a %10==5 doc pair with their padded clone
+    near_clusters = {c: k for c, k in keepers.items() if c % 10 == 5 and c < 1000000}
+    assert near_clusters, "expected near-dup clusters"
+    assert all(k >= 2000000 for k in near_clusters.values()), near_clusters
+    # pure exact pairs {X, X+1000000} (2 members, root %10==0): identical
+    # text ties on length → min doc_id keeps (larger clusters may have
+    # LSH-merged longer members, where keep-best rightly diverges)
+    exact_pairs = {
+        r.cluster_id: r.keeper_doc_id
+        for r in out
+        if r.n_members == 2 and r.cluster_id % 10 == 0 and r.cluster_id < 1000000
+    }
+    assert exact_pairs, "expected pure exact-dup pairs"
+    assert all(k == c for c, k in exact_pairs.items())
+
+
+def test_zscore_rows_are_outliers(spark):
+    """Every flagged event must sit far from its trailing window's
+    values (sanity on the window frame: the event itself is excluded)."""
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q92_anomaly_zscore"](spark, SF_SMALL)
+    rows = out.collect()
+    assert rows, "exponential-ish values must produce some outliers"
+    assert all(abs(r.zscore) > 3 for r in rows)
+
+
 def test_hyperplane_lsh_exact_dups_always_collide(spark):
     # the property hyperplane LSH guarantees: identical vectors share a
     # bucket, so exact-duplicate recall is 1.0 regardless of bit count

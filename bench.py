@@ -60,6 +60,7 @@ def main() -> None:
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 
     timings: dict[str, float] = {}
+    full_timings: dict[str, float] = {}
     for name in names:
         best, n = float("inf"), 0
         for _ in range(iters):
@@ -72,7 +73,21 @@ def main() -> None:
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # count() lets Catalyst prune columns the count doesn't need, so
+        # it under-measures projection-heavy queries (q70's sentiment/
+        # regex chain is ~4× the count() number). The noop sink executes
+        # EVERY output column distributed, with no driver collect — the
+        # honest full-computation cost, reported alongside.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        full_timings[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows; full {full_timings[name]:.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -80,6 +95,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_full": full_timings,
+        "full_total": round(sum(full_timings.values()), 3),
         "sf": _sf_from_dir(SF_DIR),
     }
     # per-query delta vs the locked round-1 floor (only meaningful at

@@ -46,13 +46,24 @@ CLEAN_TEXT_STEPS: tuple[tuple[str, str], ...] = (
 )
 
 
+#: steps whose pattern is a literal string (no metacharacters): these
+#: run as plain substring replaces — a regex NFA pass per doc for a
+#: fixed literal is pure overhead in the hottest kernel of the chain
+_LITERAL_STEPS = {'"', "RT", "amp", "\n"}
+
+
 def clean_text(col: Column | str) -> Column:
     """F1 — ordered URL/quote/RT/amp/non-BMP/non-word/emoji strip
     (staging-transform.py:150-177). Order-sensitive; golden-tested
-    against the reference's pure-Python implementation."""
+    against the reference's pure-Python implementation. Literal-pattern
+    steps use string replace instead of regex (same semantics, no
+    pattern engine)."""
     out = F.col(col) if isinstance(col, str) else col
     for pattern, repl in CLEAN_TEXT_STEPS:
-        out = F.regexp_replace(out, pattern, repl)
+        if pattern in _LITERAL_STEPS:
+            out = F.replace(out, F.lit(pattern), F.lit(repl))
+        else:
+            out = F.regexp_replace(out, pattern, repl)
     return out
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import trunc
 from ..io import load_table
 from ..registry import register
 
@@ -340,6 +341,230 @@ def q69_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+# -- learned-cell IVF: Lloyd's k-means over the embeddings ----------------
+
+N_CELLS = 8
+KMEANS_ROUNDS = 2
+
+_QDIMS_SQL = """
+    qdims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS xq
+        FROM embeddings
+    )
+"""
+
+
+def _assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment step in SQL: nearest centroid per vector
+    (squared L2, trunc-6 to absorb sum-order ulp noise, ties to the
+    smallest cell id)."""
+    return f"""
+    {out} AS (
+        SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000) / 1000000 AS dist
+            FROM qdims d JOIN {cent} c ON c.i = d.i
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+    )
+    """
+
+
+def _update_sql(assign: str, out: str) -> str:
+    """One Lloyd update step in SQL: per-cell per-dim mean (the xq grid
+    is dyadic, so the SUM is exact in doubles regardless of order)."""
+    return f"""
+    {out} AS (
+        SELECT a.cell, d.i, SUM(d.xq) / COUNT(*) AS c
+        FROM {assign} a JOIN qdims d USING (vec_id)
+        GROUP BY a.cell, d.i
+    )
+    """
+
+
+@register(
+    "q95_kmeans_cells",
+    oracle=f"""
+    WITH {_QDIMS_SQL},
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_assign_sql("c2", "a3")}
+    SELECT vec_id, CAST(cell AS INT) AS cell FROM a3 ORDER BY vec_id
+    """,
+)
+def q95_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-cell IVF training: {KMEANS_ROUNDS} Lloyd's iterations of
+    k-means over the embedding corpus (seeds = first {N_CELLS} vectors),
+    returning each vector's final cell — the index-build step that turns
+    q51's label cells into LEARNED cells.
+
+    Cross-engine determinism: inputs quantize to a 2^-12 grid (dyadic →
+    per-dim SUMs are exact in doubles in ANY order, so centroid means
+    match DuckDB's bit-for-bit); distances floor-trunc at 1e-6 with
+    cell-id tie-break so fold-order ulp noise cannot flip an argmin.
+
+    Scale: the canonical Lloyd's shape — centroids are a driver-size
+    (cells × dims) table collected per round and re-broadcast as
+    LITERALS, so assignment is a map-side expression over the corpus;
+    the only exchange per round is the partial-aggregated (cell, dim)
+    sum (≤ cells × dims rows out of every task). The corpus is never
+    shuffled, never collected. MLlib's KMeans uses the same
+    treeAggregate pattern."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    return (
+        vecs.withColumn("cell", assign.cast("int"))
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
+
+
+def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings on the 2^-12 dyadic grid (order-exact double sums)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = F.transform(_vec_double(), lambda x: F.floor(x * 4096) / 4096)
+    return emb.select("vec_id", xq.alias("xq"))
+
+
+def _assign_col(cents: list[list[float]]):
+    """Nearest-centroid expression over the literal centroid table:
+    struct(dist, cell) array → array_min = (min dist, tie → min cell)."""
+    pairs = [
+        F.struct(
+            (
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xq"),
+                            F.lit(cents[j]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("dist"),
+            F.lit(j).alias("cell"),
+        )
+        for j in range(len(cents))
+    ]
+    return F.array_min(F.array(*pairs))["cell"]
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str):
+    """Train KMEANS_ROUNDS Lloyd's iterations; return (quantized vecs,
+    final-assignment Column). Centroids live on the driver between
+    rounds (cells × dims — broadcast-size at any corpus scale)."""
+    vecs = _quantized_vecs(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    cents = [list(r["xq"]) for r in seeds]  # cell j = row j
+
+    for _ in range(KMEANS_ROUNDS):
+        assigned = vecs.withColumn("cell", _assign_col(cents))
+        agg = (
+            assigned.select("cell", F.posexplode("xq").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in agg:
+            by_cell.setdefault(r["cell"], {})[r["i"]] = r["s"] / r["n"]
+        if len(by_cell) < N_CELLS:
+            raise RuntimeError(
+                f"k-means cell went empty ({len(by_cell)}/{N_CELLS}); reseed"
+            )
+        cents = [
+            [by_cell[j][i] for i in range(len(cents[0]))] for j in range(N_CELLS)
+        ]
+    return vecs, _assign_col(cents)
+
+
+@register(
+    "q97_ivf_probe_learned",
+    oracle=f"""
+    WITH {_QDIMS_SQL},
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_assign_sql("c2", "a3")},
+    qnorms AS (
+        SELECT vec_id, sqrt(SUM(xq * xq)) AS nrm FROM qdims GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(qd.xq * cd.xq) AS dot
+        FROM a3 q
+        JOIN a3 c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        JOIN qdims qd ON qd.vec_id = q.vec_id
+        JOIN qdims cd ON cd.vec_id = c.vec_id AND cd.i = qd.i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           FLOOR(dot / (nq.nrm * nc.nrm) * 1000000) / 1000000 AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY FLOOR(dot / (nq.nrm * nc.nrm) * 1000000) / 1000000 DESC,
+                        cand_id) AS INT) AS rk
+    FROM dots
+    JOIN qnorms nq ON nq.vec_id = query_id
+    JOIN qnorms nc ON nc.vec_id = cand_id
+    QUALIFY rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q97_ivf_probe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-IVF ANN: train cells with q95's Lloyd's rounds,
+    then answer each query by scoring ONLY its own cell's members
+    (1-probe) — the approximate search whose exact twin is q50.
+
+    Determinism: dot products and norms are over the 2^-12-quantized
+    vectors, so every SUM is exact in doubles in any order — the cosine
+    matches DuckDB bit-for-bit before the final deterministic trunc.
+
+    Scale: probe cost is |corpus|/n_cells per query instead of |corpus|;
+    the cell-equality join keys are learned-uniform (k-means balances
+    mass); queries broadcast; per-query top-k keeps k rows per task
+    (WindowGroupLimit) before the one exchange."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    signed = vecs.withColumn("cell", assign)
+    q = signed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("xq").alias("qv"), "cell"
+    )
+    c = signed.select(
+        F.col("vec_id").alias("cand_id"), F.col("xq").alias("cv"), "cell"
+    )
+    cos = trunc(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )

@@ -500,3 +500,62 @@ def q94_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+CHUNK_TOKENS = 12
+CHUNK_STRIDE = 8  # 4-token overlap between consecutive chunks
+
+
+@register(
+    "q96_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    ids AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(floor((len(toks) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                                chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(least({CHUNK_TOKENS},
+                      len(toks) - chunk_id * {CHUNK_STRIDE}) AS INT) AS n_chunk_tokens
+    FROM ids
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q96_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({CHUNK_TOKENS}-token chunks,
+    stride {CHUNK_STRIDE}) — the context-window preparation step for
+    training samples and retrieval corpora; the trailing chunk keeps its
+    natural (shorter) length.
+
+    Scale: pure map-side fan-out — tokenize once, derive chunk ids with
+    sequence(), slice per id; no shuffle, so it composes with the hash
+    split and packing (q58/q68) in a single write pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _toks(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    ids = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(CHUNK_STRIDE)).cast("int")
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    return (
+        toked.select("doc_id", "toks", F.explode(ids).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("toks", start, CHUNK_TOKENS)).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("chunk_id") * CHUNK_STRIDE
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -238,6 +238,29 @@ def test_zscore_rows_are_outliers(spark):
     assert all(abs(r.zscore) > 3 for r in rows)
 
 
+def test_kmeans_cells_partition_and_determinism(spark):
+    """Every vector gets exactly one of the 8 learned cells, all cells
+    survive training, and the assignment is bit-stable across re-runs
+    (quantized sums are order-exact, so partitioning can't change it)."""
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.similarity import N_CELLS
+
+    registry.load_all()
+    run1 = {
+        (r.vec_id, r.cell)
+        for r in registry.QUERIES["q95_kmeans_cells"](spark, SF_SMALL).collect()
+    }
+    n = load_table(spark, SF_SMALL, "embeddings").count()
+    assert len(run1) == n
+    assert {c for _, c in run1} == set(range(N_CELLS))
+    run2 = {
+        (r.vec_id, r.cell)
+        for r in registry.QUERIES["q95_kmeans_cells"](spark, SF_SMALL).collect()
+    }
+    assert run1 == run2
+
+
 def test_hyperplane_lsh_exact_dups_always_collide(spark):
     # the property hyperplane LSH guarantees: identical vectors share a
     # bucket, so exact-duplicate recall is 1.0 regardless of bit count

@@ -248,3 +248,101 @@ def q91_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split(F.col("doc_b")).alias("split_b"),
     )
     return out.filter(F.col("split_a") != F.col("split_b")).orderBy("doc_a", "doc_b")
+
+
+# -- cross-corpus boilerplate screen --------------------------------------
+
+BOILER = (
+    "subscribe to our newsletter click here to read more "
+    "all rights reserved terms of service apply"
+)
+BOILER_MIN_DF = 20  # a shingle in ≥ this many docs is corpus boilerplate
+BOILER_FRAC = 0.5  # flag docs where ≥ half their shingles are boilerplate
+
+# The synthetic corpus has no cross-document boilerplate (natural 3-gram
+# doc-frequency tops out well under BOILER_MIN_DF), so the query seeds a
+# boilerplate body into the doc_id % 10 slice — same expression both
+# engines; the detection machinery, not the data, is under test.
+_BOILER_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN '{BOILER} visit page ' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+"""
+
+
+def _boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.lit(BOILER + " visit page "), F.col("doc_id").cast("string")
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", seeded.alias("text"))
+
+
+@register(
+    "q98_boilerplate_grams",
+    oracle=f"""
+    WITH corpus AS ({_BOILER_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+    ),
+    ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh
+    ),
+    freq AS (
+        SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex GROUP BY g)
+        WHERE df >= {BOILER_MIN_DF}
+    ),
+    hits AS (
+        SELECT doc_id, n_sh, COUNT(*) AS n_boiler
+        FROM ex JOIN freq USING (g)
+        GROUP BY doc_id, n_sh
+    )
+    SELECT doc_id, n_boiler,
+           FLOOR(CAST(n_boiler AS DOUBLE) / n_sh * 1000000) / 1000000
+               AS boiler_frac
+    FROM hits
+    WHERE CAST(n_boiler AS DOUBLE) / n_sh >= {BOILER_FRAC}
+    ORDER BY doc_id
+    """,
+)
+def q98_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate screen: flag documents whose distinct
+    3-gram shingles are mostly CORPUS-FREQUENT (in ≥ BOILER_MIN_DF other
+    docs) — the nav-bar/footer/license-header detector that runs beside
+    within-doc repetition (q67) and near-dup (q41) in a curation pass.
+
+    Scale: one partial-aggregated shuffle computes shingle doc-frequency
+    (each shingle counted once per doc — shingles are array_distinct);
+    the surviving frequent set is tiny BY DEFINITION (boilerplate is the
+    head of the df distribution) → broadcast semi-join back onto the
+    exploded stream, then a per-doc count. Document text never rides a
+    shuffle — only (doc_id, n_sh, shingle)."""
+    docs = _boiler_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("shingles")
+    )
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
+    )
+    freq = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    hits = (
+        ex.join(F.broadcast(freq), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    frac = F.col("n_boiler") / F.col("n_sh")
+    return (
+        hits.filter(frac >= BOILER_FRAC)
+        .select("doc_id", "n_boiler", trunc(frac, 6).alias("boiler_frac"))
+        .orderBy("doc_id")
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import trunc
 from ..io import load_table
 from ..registry import register
 
@@ -283,4 +284,115 @@ def q83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             (F.floor(F.col("es_key_raw") * 1000000000) / 1000000000).alias("es_key"),
         )
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "q99_corpus_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|ord') AS hk
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id) AS INT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+)
+def q99_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle with sharding: every
+    doc gets a (shard, pos) such that reading shards 0..15 in pos order
+    IS the corpus in md5 order — the reproducible example-shuffle step
+    before packing/writing training shards. No seed, no rand(): the
+    order is a pure function of the ids, stable across engines, runs,
+    and partitionings.
+
+    Scale: the shard id is the FIRST hex char of the same md5 used for
+    intra-shard order, so shard-local sorts concatenate into the exact
+    global order WITHOUT a global sort — one exchange on the shard key,
+    then per-shard sort (Spark's own rangepartition-sort shape, but with
+    a portable, data-independent key). More hex chars = more shards for
+    bigger fleets; row_number per shard streams after the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ord")))
+    shard = (F.instr(F.lit(_HEX), F.substring(F.col("hk"), 1, 1)) - 1).cast("int")
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("hk"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+MIX_SALT = "|mix"
+
+
+@register(
+    "q100_mixture_resample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS m FROM counts),
+    p AS (
+        SELECT lang, LEAST(1.0, CAST(m AS DOUBLE) / n) AS p_keep
+        FROM counts, tgt
+    ),
+    u AS (
+        SELECT doc_id, lang,
+               (  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 2, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 3, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 4, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 5, 1)) - 1)
+                ) / 1048576.0 AS unif
+        FROM documents
+    )
+    SELECT doc_id, lang, FLOOR(p_keep * 1000000) / 1000000 AS p_keep
+    FROM u JOIN p USING (lang)
+    WHERE unif < p_keep
+    ORDER BY doc_id
+    """,
+)
+def q100_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: downsample every language to the
+    smallest language's share by DETERMINISTIC hash acceptance — each
+    doc is kept iff its md5-derived uniform < p_keep(lang), where
+    p_keep = min_lang_count / lang_count. The data-derived-weights twin
+    of q90's fixed per-source cap, and the mixture-weighting step of a
+    pretraining data recipe (any target share slots into p_keep).
+
+    Scale: phase 1 is a tiny per-lang count (partial-agg, result is
+    |langs| rows) broadcast back; phase 2 is a pure map-side filter —
+    the corpus is never shuffled and never ranked, unlike
+    rank-based capping which pays a per-group sort. Acceptance is a
+    pure function of (doc_id, lang), so the kept set is stable under
+    repartitioning, appends, and re-runs (no rand(), no seed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    p = counts.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.least(F.lit(1.0), F.col("m").cast("double") / F.col("n")).alias("p_keep"),
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(MIX_SALT)))
+
+    def digit(pos: int) -> Column:
+        return (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1).cast("bigint")
+
+    unif = (
+        digit(1) * 65536 + digit(2) * 4096 + digit(3) * 256 + digit(4) * 16 + digit(5)
+    ) / F.lit(1048576.0)
+    return (
+        docs.select("doc_id", "lang", unif.alias("unif"))
+        .join(F.broadcast(p), "lang")
+        .filter(F.col("unif") < F.col("p_keep"))
+        .select("doc_id", "lang", trunc("p_keep", 6).alias("p_keep"))
+        .orderBy("doc_id")
     )

@@ -62,7 +62,8 @@ _R1_UNCHECKED = [
     "q88_pii_redaction", "q89_contamination", "q90_source_cap",
     "q91_split_leakage", "q92_anomaly_zscore", "q93_dedup_keep_best",
     "q94_ngram_counts", "q95_kmeans_cells", "q96_chunk_windows",
-    "q97_ivf_probe_learned",
+    "q97_ivf_probe_learned", "q98_boilerplate_grams", "q99_corpus_shuffle",
+    "q100_mixture_resample",
 ]
 
 

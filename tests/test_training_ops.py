@@ -490,3 +490,70 @@ def test_asof_join_matched_row_is_atomic(spark):
     assert row.label == "new"
     assert row.quote is None  # NOT 100.0 from the older row
     assert row.rts == t(10)
+
+
+def test_corpus_shuffle_is_global_md5_order(spark):
+    """(shard, pos) reading order must equal the single global md5
+    order — the property that makes per-shard sorts a valid global
+    shuffle — and cover every doc exactly once."""
+    import hashlib
+
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.io import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["q99_corpus_shuffle"](spark, SF_SMALL).collect()
+    ids = [r.doc_id for r in load_table(spark, SF_SMALL, "documents").collect()]
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    got = [r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos))]
+    want = sorted(ids, key=lambda d: (hashlib.md5(f"{d}|ord".encode()).hexdigest(), d))
+    assert got == want
+
+
+def test_mixture_resample_balances_langs(spark):
+    """Smallest lang is kept whole (p=1); larger langs shrink toward the
+    min count; the kept set is deterministic across runs."""
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.io import load_table
+
+    registry.load_all()
+    q = registry.QUERIES["q100_mixture_resample"]
+    kept1 = {(r.doc_id, r.lang) for r in q(spark, SF_SMALL).collect()}
+    full = (
+        load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    n_by_lang = {r["lang"]: r["count"] for r in full}
+    m = min(n_by_lang.values())
+    kept_by_lang = {}
+    for _, lang in kept1:
+        kept_by_lang[lang] = kept_by_lang.get(lang, 0) + 1
+    min_lang = min(n_by_lang, key=n_by_lang.get)
+    assert kept_by_lang[min_lang] == m  # p=1 ⇒ kept whole
+    for lang, n in n_by_lang.items():
+        assert kept_by_lang[lang] <= n
+        # hash acceptance is binomial around m — allow wide but real slack
+        assert 0.5 * m <= kept_by_lang[lang] <= 1.5 * m, (lang, kept_by_lang)
+    kept2 = {(r.doc_id, r.lang) for r in q(spark, SF_SMALL).collect()}
+    assert kept1 == kept2
+
+
+def test_boilerplate_screen_flags_exactly_seeded_docs(spark):
+    """Only the seeded boilerplate slice (doc_id % 10 == 0) crosses the
+    frequent-gram threshold; natural 3-grams in the corpus never reach
+    BOILER_MIN_DF docs."""
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.io import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["q98_boilerplate_grams"](spark, SF_SMALL).collect()
+    flagged = {r.doc_id for r in rows}
+    ids = {
+        r.doc_id
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+        if r.doc_id % 10 == 0
+    }
+    assert flagged == ids
+    assert all(r.boiler_frac > 0.8 for r in rows)

@@ -463,3 +463,82 @@ def q73_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ap[2].alias("p90_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q103_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(quantile_cont(l_extendedprice, 0.05) * 10000) / 10000
+                    AS DECIMAL(18,4)) AS lo,
+               CAST(FLOOR(quantile_cont(l_extendedprice, 0.95) * 10000) / 10000
+                    AS DECIMAL(18,4)) AS hi
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,4)) < lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,4)) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(LEAST(GREATEST(CAST(l_extendedprice AS DECIMAL(18,4)), lo), hi))
+                AS DOUBLE) AS sum_winsorized,
+           CAST(lo AS DOUBLE) AS lo,
+           CAST(hi AS DOUBLE) AS hi
+    FROM lineitem l
+    JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag, lo, hi
+    """,
+)
+def q103_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip a value column to its per-group [p05, p95]
+    band and report clip counts + the winsorized sum — the outlier
+    containment step before any mean/variance-sensitive downstream
+    statistic (e.g. normalizing quality scores across corpus sources).
+
+    Determinism: the percentile bounds are floor-truncated and cast to
+    DECIMAL(18,4) so the clamp comparisons and the winsorized SUM are
+    exact decimal arithmetic — order-independent and bit-identical
+    across engines (both engines share the sort + linear-interpolation
+    percentile definition; q37 pins that parity).
+
+    Scale: exact per-group percentiles need each group on one reducer
+    (bounded groups here; approx_percentile is the unbounded-group
+    path). The bounds table is group-cardinality-sized → broadcast
+    back; the fact table is never shuffled for the clip, and the final
+    agg partial-aggregates map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        trunc(F.percentile("l_extendedprice", F.lit(0.05)), 4)
+        .cast("decimal(18,4)")
+        .alias("lo"),
+        trunc(F.percentile("l_extendedprice", F.lit(0.95)), 4)
+        .cast("decimal(18,4)")
+        .alias("hi"),
+    )
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(p < F.col("lo"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(p > F.col("hi"), 1).otherwise(0)).alias("n_high"),
+            F.sum(F.least(F.greatest(p, F.col("lo")), F.col("hi")))
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "n_low",
+            "n_high",
+            "sum_winsorized",
+            F.col("lo").cast("double").alias("lo"),
+            F.col("hi").cast("double").alias("hi"),
+        )
+    )

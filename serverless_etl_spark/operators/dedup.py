@@ -652,3 +652,64 @@ def q93_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", F.col("id").alias("keeper_doc_id"), "n_members")
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q104_normalized_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               upper(text) || ' !!' AS text
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS digest
+        FROM corpus
+    )
+    SELECT digest,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM norm
+    GROUP BY digest
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q104_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup: casefold, strip non-alphanumerics,
+    collapse whitespace, then group on the md5 of the canonical form —
+    catches the 'same document, different casing/punctuation' class
+    that byte-exact dedup (q40) misses and MinHash (q41) overkills.
+    Uppercased+punctuated variants are seeded for every 9th doc (same
+    expression in both engines) so the normalization path has real
+    coverage.
+
+    Scale: normalization is a zero-shuffle projection; the one exchange
+    carries (16-byte digest, doc_id) — never the text — and the
+    count/min aggregates partial-combine map-side. Singleton digests
+    (the vast majority) collapse before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        corpus.select("doc_id", F.md5(norm).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -823,3 +823,81 @@ def q82_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     return base.select("doc_id", F.explode_outer(toks).alias("token"))
+
+
+@register(
+    "q101_scalar_subquery",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+    FROM orders, s
+    WHERE o_totalprice > CAST(total AS DOUBLE) / n
+    GROUP BY o_orderpriority
+    """,
+)
+def q101_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price, counted
+    per priority. The average is derived from an EXACT decimal sum
+    (count + decimal total), then cast to double for the comparison —
+    float sums are addition-order-dependent across engines/partitionings,
+    so averaging doubles directly would flip rows sitting on the
+    threshold; an exact total makes the derived average bit-identical.
+
+    Scale: the aggregate is a one-row broadcast (crossJoin with a
+    broadcast hint — the Spark form of a scalar subquery); the fact
+    table is scanned once for the aggregate and once for the filter,
+    never shuffled for the comparison itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(s))
+        .filter(F.col("o_totalprice") > F.col("total").cast("double") / F.col("n"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            dsum("o_totalprice").alias("sum_above"),
+        )
+    )
+
+
+@register(
+    "q102_exists_composite",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 250000.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'F')
+    """,
+)
+def q102_exists_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed correlated quantifiers: customers with at least one
+    high-value order AND no failed order — EXISTS ∧ NOT EXISTS against
+    two differently-filtered views of the same fact table in one query
+    (q04/q05 each exercise a single quantifier).
+
+    Scale: each quantifier compiles to its own semi/anti hash join;
+    both probe sides shrink at the scan via pushed filters, and the
+    customer table streams through the pair without materializing —
+    AQE picks broadcast for whichever filtered side is small."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 250000.0).select("o_custkey")
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(big, F.col("c_custkey") == big["o_custkey"], "left_semi")
+        .join(failed, F.col("c_custkey") == failed["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )

@@ -396,3 +396,48 @@ def q100_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", trunc("p_keep", 6).alias("p_keep"))
         .orderBy("doc_id")
     )
+
+
+STRATUM_K = 25  # exact per-stratum sample size
+
+
+@register(
+    "q106_stratified_topk",
+    oracle=f"""
+    SELECT doc_id, lang, rank
+    FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rank
+        FROM documents
+    )
+    WHERE rank <= {STRATUM_K}
+    """,
+)
+def q106_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sampling: exactly K documents per language,
+    chosen by md5-hash order — the 'balanced eval set' builder
+    (deterministic, portable, no seed). Complements q59's
+    fraction-style stratified sampling: fractions scale with stratum
+    size, exact-k pins it.
+
+    Scale: one exchange on the stratum key; the rank<=K filter
+    compiles to WindowGroupLimit, so each map task pre-prunes to its
+    local top-K by hash order before the shuffle — the exchange
+    carries O(strata x K x tasks) rows, never the corpus. Hash order
+    makes the kept set stable under repartitioning (a seeded
+    sample would not be)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= STRATUM_K)
+    )

@@ -559,3 +559,75 @@ def q96_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "q105_vocab_coverage",
+    oracle="""
+    WITH vocab AS (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, cnt,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+               SUM(cnt) OVER w AS cum,
+               SUM(cnt) OVER () AS total
+        FROM vocab
+        WINDOW w AS (ORDER BY cnt DESC, token)
+    )
+    SELECT token, cnt, rank,
+           FLOOR(CAST(cum AS DOUBLE) / total * 1000000) / 1000000 AS cum_share
+    FROM ranked
+    WHERE CAST(cum - cnt AS DOUBLE) / total < 0.95
+    """,
+)
+def q105_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: rank tokens by frequency and
+    keep the head that covers 95% of all token occurrences — the
+    standard analysis for sizing a vocabulary / deciding an OOV cutoff
+    before training a tokenizer on the corpus.
+
+    Determinism: counts and cumulative sums are integers (exact on both
+    engines); shares divide exact integers as doubles (IEEE-identical),
+    floor-truncated for output; ties rank by (cnt DESC, token ASC).
+
+    Scale: the corpus collapses to the vocabulary FIRST (one
+    partial-aggregated token shuffle — the only corpus-sized exchange);
+    the ranking window then runs over |V| rows, which is bounded (~10⁵
+    for natural text) no matter how many petabytes the corpus is. The
+    single-partition window is vocabulary-sized by construction, never
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vocab.select(
+        "token",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .cast("int")
+        .alias("rank"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("cnt")).cast("double") / F.col("total") < 0.95
+    ).select(
+        "token",
+        "cnt",
+        "rank",
+        (F.floor(F.col("cum").cast("double") / F.col("total") * 1000000) / 1000000)
+        .alias("cum_share"),
+    )

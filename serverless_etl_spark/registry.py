@@ -63,7 +63,9 @@ _R1_UNCHECKED = [
     "q91_split_leakage", "q92_anomaly_zscore", "q93_dedup_keep_best",
     "q94_ngram_counts", "q95_kmeans_cells", "q96_chunk_windows",
     "q97_ivf_probe_learned", "q98_boilerplate_grams", "q99_corpus_shuffle",
-    "q100_mixture_resample",
+    "q100_mixture_resample", "q101_scalar_subquery", "q102_exists_composite",
+    "q103_winsorize", "q104_normalized_dedup", "q105_vocab_coverage",
+    "q106_stratified_topk",
 ]
 
 

@@ -232,3 +232,28 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q104_digest_only_single_exchange(spark):
+    """Normalized dedup: one hash exchange carrying (digest, doc_id) —
+    the text never rides the shuffle."""
+    plan = _executed_plan(spark, "q104_normalized_dedup")
+    assert _n_shuffles(plan) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q106_rank_limit_pushed_into_shuffle(spark):
+    """Exact-k stratified sample: the rank<=K filter must compile to
+    WindowGroupLimit so map tasks pre-prune to their local top-K."""
+    plan = _executed_plan(spark, "q106_stratified_topk")
+    assert "WindowGroupLimit" in plan
+    assert _n_shuffles(plan) == 1
+
+
+def test_q101_scalar_is_one_row_broadcast(spark):
+    """The scalar subquery joins via a one-row broadcast (BNLJ), never
+    a cartesian product or a shuffled join."""
+    plan = _executed_plan(spark, "q101_scalar_subquery")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,111 @@
+"""Property tests for the round-2b operators: scalar subquery,
+composed quantifiers, winsorization, normalized dedup, vocabulary
+coverage, and exact-k stratified sampling. The DuckDB oracle pins
+values; these pin the semantic invariants that survive refactors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+from conftest import SF_SMALL  # noqa: E402
+
+from serverless_etl_spark.operators.sampling import STRATUM_K  # noqa: E402
+
+
+def _run(spark, name):
+    return registry.QUERIES[name](spark, SF_SMALL)
+
+
+def test_q101_above_average_is_proper_subset(spark):
+    from serverless_etl_spark.io import load_table
+
+    total = _run(spark, "q101_scalar_subquery").agg(
+        F.sum("n_above").alias("n")
+    ).collect()[0]["n"]
+    all_orders = load_table(spark, SF_SMALL, "orders").count()
+    # a nonempty, proper subset: some orders sit above the mean, never all
+    assert 0 < total < all_orders
+
+
+def test_q102_quantifiers_compose(spark):
+    from serverless_etl_spark.io import load_table
+
+    got = {r.c_custkey for r in _run(spark, "q102_exists_composite").collect()}
+    orders = load_table(spark, SF_SMALL, "orders")
+    big = {
+        r.o_custkey
+        for r in orders.filter(F.col("o_totalprice") > 250000.0)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    failed = {
+        r.o_custkey
+        for r in orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert got == (big - failed)
+
+
+def test_q103_winsorize_invariants(spark):
+    rows = _run(spark, "q103_winsorize").collect()
+    assert rows
+    for r in rows:
+        assert r.lo < r.hi
+        assert r.n_low + r.n_high < r.n  # clipping never hits everything
+        # the winsorized mean sits inside the clamp band
+        assert r.lo <= r.sum_winsorized / r.n <= r.hi
+
+
+def test_q104_catches_seeded_case_variants(spark):
+    rows = _run(spark, "q104_normalized_dedup").collect()
+    assert rows
+    # every group has >=2 members and a canonical id that is the min —
+    # in particular the seeded uppercase variants (id+3000000) can never
+    # be canonical for their own source doc
+    assert all(r.n_copies >= 2 for r in rows)
+    canonical_of_variant_groups = [
+        r.canonical_id for r in rows if r.canonical_id >= 3000000
+    ]
+    # a variant-only canonical would mean the source doc normalized
+    # differently from its uppercased twin — the normalization failed
+    assert not canonical_of_variant_groups
+
+
+def test_q105_coverage_curve_shape(spark):
+    rows = sorted(_run(spark, "q105_vocab_coverage").collect(), key=lambda r: r.rank)
+    assert rows
+    # contiguous head ranks, monotone counts and coverage
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    # the head must actually reach the 95% target (last kept token crosses it)
+    assert shares[-1] >= 0.95
+
+
+def test_q106_exactly_k_per_stratum(spark):
+    from serverless_etl_spark.io import load_table
+
+    rows = _run(spark, "q106_stratified_topk").collect()
+    sizes = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.rank)
+    assert set(per_lang) == set(sizes)
+    for lang, ranks in per_lang.items():
+        expect = min(STRATUM_K, sizes[lang])
+        assert sorted(ranks) == list(range(1, expect + 1))

@@ -542,3 +542,129 @@ def q103_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hi").cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "q108_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    j AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+        FROM j GROUP BY event_type, med
+    )
+    SELECT j.event_type,
+           COUNT(*) AS n,
+           FLOOR(m.med * 1000000) / 1000000 AS med,
+           FLOOR(m.mad * 1000000) / 1000000 AS mad,
+           CAST(SUM(CASE WHEN j.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM j JOIN mad m ON j.event_type = m.event_type
+    GROUP BY j.event_type, m.med, m.mad
+    """,
+)
+def q108_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust statistics per event type, with an outlier
+    count at the 3-MAD fence — the heavy-tail-safe twin of the
+    mean/stddev z-score (q92): one anomalous burst cannot drag its own
+    detection threshold the way it drags a mean.
+
+    Determinism: both engines share the sort+interpolate median
+    definition (q37 pins it); |x−med| and the 3·mad fence are
+    identical double expressions, so the outlier comparison is exact.
+    Truncation applies to OUTPUT columns only — never to the values
+    the comparisons use.
+
+    Scale: robust statistics are inherently two-pass (the second
+    median is over deviations from the first). Each pass is a bounded
+    per-group exact percentile; the med/mad tables are
+    group-cardinality-sized and broadcast back, so the events fact is
+    scanned but never shuffled. Unbounded-group scale path:
+    approx_percentile, same call shape."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = j.groupBy("event_type", "med").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        j.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.floor(F.col("med") * 1000000) / 1000000).alias("med"),
+            (F.floor(F.col("mad") * 1000000) / 1000000).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+N_DEPTH_BUCKETS = 10
+
+
+@register(
+    "q109_equidepth_hist",
+    oracle=f"""
+    SELECT bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT o_totalprice,
+               CAST(ntile({N_DEPTH_BUCKETS}) OVER (
+                   ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def q109_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order values: decile
+    buckets with exact boundaries and per-bucket decimal-exact sums —
+    the companion to q48's fixed-width histogram and the shape the
+    optimizer-statistics / quantile-bucketing use cases want.
+
+    Determinism: ntile over a totally-ordered key (value, pk) is
+    exact-integer arithmetic on row positions — identical bucketing on
+    both engines; min/max are raw doubles, sums are decimal.
+
+    Scale: the exact formulation totally orders (value, key) pairs —
+    narrow rows, but one global sort. At 100 TB the boundaries come
+    from approx_percentile instead (mergeable sketch, no global sort)
+    and bucketing becomes a map-side range lookup; this query is the
+    oracle-able exact twin that validates that path."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice",
+            F.ntile(N_DEPTH_BUCKETS).over(w).cast("int").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -136,3 +136,78 @@ def q65_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_ts.alias("valid_to"),
         F.when(lead_ts.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "q110_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice AS old_price FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS new_price
+        FROM orders WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice AS new_price
+        FROM orders WHERE o_orderkey % 19 = 0
+    )
+    SELECT CASE WHEN new_price IS NULL THEN 'removed'
+                WHEN old_price IS NULL THEN 'added'
+                WHEN old_price <> new_price THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(COALESCE(new_price, 0) AS DECIMAL(18,2))
+                    - CAST(COALESCE(old_price, 0) AS DECIMAL(18,2)))
+                AS DOUBLE) AS delta
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q110_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two table versions on
+    the key and classify every row as added / removed / changed /
+    unchanged, with the exact-decimal net value delta — the audit
+    query behind any CDC pipeline or backfill validation (does the new
+    load differ from the old, and by how much?). A drifted snapshot is
+    seeded from orders with the same expressions in both engines
+    (every 13th changed, 17th removed, 19th cloned as new).
+
+    Scale: the one full-outer exchange carries (key, price) pairs —
+    never full rows; with both snapshots bucketed on the key the join
+    is co-located and exchange-free (io.write_bucketed). The class
+    aggregate collapses map-side to 4 groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    kept = orders.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 100.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    new = kept.unionByName(added)
+    joined = old.join(new, "o_orderkey", "full_outer")
+    change_class = (
+        F.when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price").isNull(), "added")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    d = F.coalesce(F.col("new_price"), F.lit(0)).cast("decimal(18,2)") - F.coalesce(
+        F.col("old_price"), F.lit(0)
+    ).cast("decimal(18,2)")
+    return (
+        joined.select(change_class.alias("change_class"), d.alias("d"))
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").cast("double").alias("delta"),
+        )
+    )

@@ -631,3 +631,107 @@ def q105_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("cum").cast("double") / F.col("total") * 1000000) / 1000000)
         .alias("cum_share"),
     )
+
+
+MIN_PAIR_COUNT = 5  # collocation support threshold
+N_COLLOCATIONS = 40
+
+
+@register(
+    "q107_collocations",
+    oracle=f"""
+    WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(toks) AS token FROM t)
+        GROUP BY token
+    ),
+    utot AS (SELECT SUM(cnt) AS uni_total FROM uni),
+    pairs AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)
+    ),
+    big AS (
+        SELECT w1, w2, COUNT(*) AS n_xy
+        FROM pairs GROUP BY w1, w2
+    ),
+    btot AS (SELECT SUM(n_xy) AS big_total FROM big)
+    SELECT w1, w2, n_xy,
+           FLOOR(CAST(n_xy AS DOUBLE) / u1.cnt / u2.cnt
+                 * uni_total / big_total * uni_total * 1000000) / 1000000 AS lift
+    FROM big
+    JOIN uni u1 ON big.w1 = u1.token
+    JOIN uni u2 ON big.w2 = u2.token
+    CROSS JOIN utot CROSS JOIN btot
+    WHERE n_xy >= {MIN_PAIR_COUNT}
+    ORDER BY lift DESC, w1, w2
+    LIMIT {N_COLLOCATIONS}
+    """,
+)
+def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection by lift — p(xy) / (p(x)·p(y)), the
+    exponentiated PMI — over adjacent token pairs: the phrase-mining
+    pass behind tokenizer merges and stop-phrase lists. Lift instead
+    of log-PMI keeps the score a pure ratio of exact integer counts:
+    libm log() is not bit-identical across engines, left-to-right
+    double division/multiplication is.
+
+    Scale: the corpus collapses to bigram and unigram count tables
+    first (two partial-aggregated shuffles — the only corpus-sized
+    exchanges); the support filter prunes candidates BEFORE the
+    vocabulary joins; unigram counts and both totals are
+    vocabulary-sized / one-row broadcasts; top-k is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(_toks(F.col("text")).alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    utot = uni.agg(F.sum("cnt").alias("uni_total"))
+    pairs = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    btot = big.agg(F.sum("n_xy").alias("big_total"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("cnt1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("cnt2"))
+    lift = (
+        F.col("n_xy").cast("double")
+        / F.col("cnt1")
+        / F.col("cnt2")
+        * F.col("uni_total")
+        / F.col("big_total")
+        * F.col("uni_total")
+    )
+    return (
+        big.filter(F.col("n_xy") >= MIN_PAIR_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (F.floor(lift * 1000000) / 1000000).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(N_COLLOCATIONS)
+    )

@@ -257,3 +257,18 @@ def test_q101_scalar_is_one_row_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q110_no_broadcast_for_snapshot_sides(spark):
+    """Snapshot reconciliation joins two same-sized tables: the plan
+    must be a shuffle join (SMJ/SHJ), never a cartesian product."""
+    plan = _executed_plan(spark, "q110_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q107_support_filter_precedes_vocab_joins(spark):
+    """The n_xy >= support filter must prune candidates before the
+    unigram joins (filter sits below the joins in the plan)."""
+    plan = _executed_plan(spark, "q107_collocations")
+    assert "SortMergeJoin" not in plan  # vocab joins stay broadcast

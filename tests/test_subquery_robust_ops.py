@@ -109,3 +109,67 @@ def test_q106_exactly_k_per_stratum(spark):
     for lang, ranks in per_lang.items():
         expect = min(STRATUM_K, sizes[lang])
         assert sorted(ranks) == list(range(1, expect + 1))
+
+
+def test_q107_collocations_support_and_order(spark):
+    from serverless_etl_spark.operators.text_analysis import (
+        MIN_PAIR_COUNT,
+        N_COLLOCATIONS,
+    )
+
+    rows = _run(spark, "q107_collocations").collect()
+    assert 0 < len(rows) <= N_COLLOCATIONS
+    assert all(r.n_xy >= MIN_PAIR_COUNT for r in rows)
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    # an adjacent-pair lift can exceed 1 only for genuinely associated
+    # tokens; the TOP collocations must all be positively associated
+    assert lifts[0] > 1.0
+
+
+def test_q108_mad_invariants(spark):
+    from serverless_etl_spark.io import load_table
+
+    rows = {r.event_type: r for r in _run(spark, "q108_mad_robust").collect()}
+    assert rows
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for et, r in rows.items():
+        assert r.mad >= 0
+        assert r.n_outliers < r.n
+        lo, hi = bounds[et]
+        assert lo <= r.med <= hi
+
+
+def test_q109_equidepth_property(spark):
+    rows = sorted(_run(spark, "q109_equidepth_hist").collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1  # equal depth, off-by-one at most
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # bucket value ranges are ordered and disjoint
+
+
+def test_q110_classes_match_seeded_drift(spark):
+    from serverless_etl_spark.io import load_table
+
+    got = {r.change_class: r.n for r in _run(spark, "q110_snapshot_diff").collect()}
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_SMALL, "orders").select("o_orderkey").collect()
+    ]
+    removed = sum(1 for k in keys if k % 17 == 0)
+    added = sum(1 for k in keys if k % 19 == 0)
+    changed = sum(1 for k in keys if k % 13 == 0 and k % 17 != 0)
+    unchanged = len(keys) - removed - changed
+    assert got == {
+        "removed": removed,
+        "added": added,
+        "changed": changed,
+        "unchanged": unchanged,
+    }

@@ -298,3 +298,81 @@ def test_overwrite_via_swap_preserves_target_on_failure(spark, tmp_path):
     # and a successful swap replaces it atomically
     overwrite_via_swap(spark.range(7).withColumn("v", F.col("id")), target)
     assert spark.read.parquet(target).count() == 7
+
+
+def test_zordered_files_are_compact_in_both_dims(spark, tmp_path):
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from serverless_etl_spark.io import load_table, write_zordered
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(ev, path, ("user_id", "event_id"), n_files=16, bits=8)
+
+    stats = {"user_id": [], "event_id": []}
+    files = list(pathlib.Path(path).glob("*.parquet"))
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in stats:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            stats[col].append((min(mins), max(maxs)))
+    assert len(files) >= 8
+
+    # every file must cover a COMPACT range of BOTH dimensions — the
+    # property range-clustering on one column cannot give the other
+    for col, ranges in stats.items():
+        glo = min(lo for lo, _ in ranges)
+        ghi = max(hi for _, hi in ranges)
+        span = ghi - glo
+        fractions = [(hi - lo) / span for lo, hi in ranges]
+        avg = sum(fractions) / len(fractions)
+        assert avg <= 0.55, f"{col}: avg file-range fraction {avg:.2f}"
+
+    # the re-layout loses nothing
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_zorder_scan_skips_files_on_second_dim(spark, tmp_path):
+    """A predicate on the SECOND clustered column must skip most row
+    groups via footer stats — the point of z-order over range-cluster."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from serverless_etl_spark.io import load_table, write_zordered
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "z2")
+    write_zordered(ev, path, ("user_id", "event_id"), n_files=16, bits=8)
+
+    lo = ev.agg(F.min("event_id")).collect()[0][0]
+    probe_hi = lo + 10  # a narrow band at the bottom of the event_id range
+
+    n_candidates = 0
+    n_total = 0
+    for fpath in pathlib.Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(str(fpath)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        n_total += 1
+        st = md.row_group(0).column(idx["event_id"]).statistics
+        mins = [md.row_group(rg).column(idx["event_id"]).statistics.min
+                for rg in range(md.num_row_groups)]
+        maxs = [md.row_group(rg).column(idx["event_id"]).statistics.max
+                for rg in range(md.num_row_groups)]
+        if min(mins) <= probe_hi and max(maxs) >= lo:
+            n_candidates += 1
+    assert n_total >= 8
+    assert n_candidates <= n_total / 2, (
+        f"{n_candidates}/{n_total} files overlap a narrow event_id band"
+    )

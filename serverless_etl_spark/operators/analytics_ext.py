@@ -668,3 +668,73 @@ def q109_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "q112_trend_slope",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               SUM(y) AS sy,
+               SUM(y * x) AS sxy
+        FROM (
+            SELECT o_orderpriority,
+                   date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS y
+            FROM orders
+        )
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 100000000) / 100000000 AS slope
+    FROM s
+    """,
+)
+def q112_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend: the OLS slope of order value over
+    time per priority class, from closed-form sufficient statistics —
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The drift-detection
+    primitive (is a segment's value trending?) without any ML library.
+
+    Determinism: every sufficient statistic is an EXACT sum (integer
+    day offsets; decimal prices; decimal x·y products), so the closed
+    form divides identical doubles on both engines — the same
+    order-independence argument as dsum, extended to second moments.
+
+    Scale: one partial-aggregated shuffle to group-cardinality rows;
+    the slope arithmetic happens on the aggregated statistics. This is
+    the map-reducible formulation of regression — the same sums merge
+    across incremental batches (q75's pattern) or a 1000-way
+    partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    s = (
+        orders.select("o_orderpriority", x.alias("x"), y.alias("y"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("x")).alias("sxy"),
+        )
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        (F.floor(num / den * 100000000) / 100000000).alias("slope"),
+    )

@@ -458,3 +458,78 @@ def q92_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value", trunc(F.col("zscore"), 6).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+SESSION_TTL_US = 300_000_000  # each event holds a 5-minute active interval
+
+
+@register(
+    "q111_peak_concurrency",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) * 2 + 1 AS k, 1 AS delta
+        FROM events
+        UNION ALL
+        SELECT event_type, (epoch_us(ts) + {SESSION_TTL_US}) * 2 AS k, -1 AS delta
+        FROM events
+    ),
+    runs AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type ORDER BY k
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run,
+               delta
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(MAX(run) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+    FROM runs
+    GROUP BY event_type
+    """,
+)
+def q111_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each event opens a 5-minute active
+    interval; interval starts (+1) and ends (−1) merge into one ordered
+    point stream whose running sum IS the live-session count — the
+    'max concurrent users' / capacity-planning query, computed exactly
+    without expanding intervals into per-second rows.
+
+    Determinism: the order key packs (time, boundary-kind) into one
+    integer — ends sort before starts at the same instant (half-open
+    intervals) — and the running sum uses a RANGE frame, so tied points
+    aggregate at once and per-row sums don't depend on tie order.
+
+    Scale: one exchange on the group key, sort + O(1) running state
+    within — the sweep is linear, never materializes interval overlap
+    pairs (the naive self-join is O(n²))."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    us = F.unix_micros(F.col("ts"))
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    (us * 2 + 1).alias("k"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    ((us + SESSION_TTL_US) * 2).alias("k"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.k", "p.delta")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = pts.select(
+        "event_type", "delta", F.sum("delta").over(w).alias("run")
+    )
+    return runs.groupBy("event_type").agg(
+        F.max("run").cast("bigint").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+    )

@@ -66,7 +66,8 @@ _R1_UNCHECKED = [
     "q100_mixture_resample", "q101_scalar_subquery", "q102_exists_composite",
     "q103_winsorize", "q104_normalized_dedup", "q105_vocab_coverage",
     "q106_stratified_topk", "q107_collocations", "q108_mad_robust",
-    "q109_equidepth_hist", "q110_snapshot_diff",
+    "q109_equidepth_hist", "q110_snapshot_diff", "q111_peak_concurrency",
+    "q112_trend_slope",
 ]
 
 

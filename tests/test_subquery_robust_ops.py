@@ -173,3 +173,52 @@ def test_q110_classes_match_seeded_drift(spark):
         "changed": changed,
         "unchanged": unchanged,
     }
+
+
+def test_q111_peak_matches_brute_force_sweep(spark):
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.windows import SESSION_TTL_US
+
+    got = {
+        r.event_type: (r.peak_concurrency, r.n_events)
+        for r in _run(spark, "q111_peak_concurrency").collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "ts").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.ts)
+    for et, stamps in by_type.items():
+        us = [int(t.timestamp() * 1_000_000) for t in stamps]
+        pts = sorted(
+            [(u * 2 + 1, 1) for u in us] + [((u + SESSION_TTL_US) * 2, -1) for u in us]
+        )
+        run = peak = 0
+        for _, d in pts:
+            run += d
+            peak = max(peak, run)
+        assert got[et] == (peak, len(stamps))
+
+
+def test_q112_slope_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from serverless_etl_spark.io import load_table
+
+    got = {r.o_orderpriority: r.slope for r in _run(spark, "q112_trend_slope").collect()}
+    rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_orderpriority",
+            "datediff(cast(o_orderdate as date), date'1992-01-01') as x",
+            "o_totalprice as y",
+        )
+        .collect()
+    )
+    by_p: dict[str, list] = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append((r.x, r.y))
+    for p, xy in by_p.items():
+        x = np.array([a for a, _ in xy], dtype=float)
+        y = np.array([b for _, b in xy], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(got[p] - slope) < 1e-4 * max(1.0, abs(slope))

@@ -735,3 +735,74 @@ def q107_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(N_COLLOCATIONS)
     )
+
+
+MIN_DF = 3    # posting-list df bounds: drop hapax noise...
+MAX_DF = 100  # ...and boilerplate-frequency phrases
+
+
+@register(
+    "q113_inverted_index",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    terms AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS term
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)
+    )
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM terms
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) BETWEEN {MIN_DF} AND {MAX_DF}
+    """,
+)
+def q113_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-index construction: bigram term -> sorted posting list of
+    doc_ids, keeping only terms whose document frequency sits inside
+    [min_df, max_df] -- the search-index build step behind phrase
+    retrieval (hapax noise and boilerplate-frequency phrases dropped,
+    the classic vectorizer bounds). Bigram terms, not unigrams: the
+    fixture vocabulary is small and dense, and phrase terms are what a
+    real index selects on anyway.
+
+    Scale: one shuffle on the term carrying (term, doc_id) pairs;
+    collect_set builds per-term postings distributed, bounded by
+    max_df -- no reducer ever materializes an unbounded list;
+    sort_array makes the output deterministic (serialized as a CSV
+    string: scalar output types hash identically across engines,
+    array types need not). The df filter drops
+    degenerate terms BEFORE any downstream join against the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    terms = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.collect_set("doc_id").alias("postings_raw"))
+        .select(
+            "term",
+            F.size("postings_raw").cast("bigint").alias("df"),
+            F.concat_ws(",", F.sort_array("postings_raw")).alias("postings"),
+        )
+        .filter((F.col("df") >= MIN_DF) & (F.col("df") <= MAX_DF))
+    )

@@ -67,7 +67,7 @@ _R1_UNCHECKED = [
     "q103_winsorize", "q104_normalized_dedup", "q105_vocab_coverage",
     "q106_stratified_topk", "q107_collocations", "q108_mad_robust",
     "q109_equidepth_hist", "q110_snapshot_diff", "q111_peak_concurrency",
-    "q112_trend_slope",
+    "q112_trend_slope", "q113_inverted_index",
 ]
 
 

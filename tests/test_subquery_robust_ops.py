@@ -222,3 +222,24 @@ def test_q112_slope_matches_numpy_lstsq(spark):
         y = np.array([b for _, b in xy], dtype=float)
         slope = np.polyfit(x, y, 1)[0]
         assert abs(got[p] - slope) < 1e-4 * max(1.0, abs(slope))
+
+
+def test_q113_postings_are_correct_and_bounded(spark):
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.text_analysis import MAX_DF, MIN_DF
+
+    rows = _run(spark, "q113_inverted_index").collect()
+    assert rows
+    for r in rows:
+        postings = [int(x) for x in r.postings.split(",")]
+        assert MIN_DF <= r.df <= MAX_DF
+        assert len(postings) == r.df
+        assert postings == sorted(postings)
+    # retrieval check: every posting's document really contains the phrase
+    probe = rows[0]
+    texts = {
+        d.doc_id: d.text
+        for d in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    for doc_id in (int(x) for x in probe.postings.split(",")):
+        assert probe.term in texts[doc_id]

@@ -1,0 +1,39 @@
+"""Registry-wide structural guard: EVERY registered query's physical
+plan is screened for the two silent scale-killers — cartesian products
+(never acceptable) and broadcast nested-loop joins (acceptable only for
+the documented one-row-scalar / tiny-broadcast patterns). A new
+operator that accidentally joins without keys fails here on arrival,
+before any bench or oracle run."""
+
+from __future__ import annotations
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+from conftest import SF_SMALL  # noqa: E402
+
+#: queries whose BNLJ is by construction a broadcast of a one-row
+#: aggregate or a tiny fixed set — the Spark form of a scalar subquery
+#: or an exact all-pairs baseline (each documented in its docstring)
+BNLJ_ALLOWED = {
+    "q50_cosine_topk",      # exact baseline: 8 query vectors broadcast
+    "q62_tfidf",            # corpus-size scalar broadcast
+    "q80_negative_sampling",  # negative-pool fan-out (tiny side)
+    "q100_mixture_resample",  # data-derived p_keep scalar broadcast
+    "q101_scalar_subquery",   # one-row global aggregate broadcast
+    "q107_collocations",      # two one-row count totals broadcast
+}
+
+
+def test_no_cartesian_and_bnlj_only_where_allowed(spark):
+    offenders_cart = []
+    offenders_bnlj = []
+    for name, fn in registry.QUERIES.items():
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"cartesian products in: {offenders_cart}"
+    assert not offenders_bnlj, f"unexpected BNLJ in: {offenders_bnlj}"

@@ -181,24 +181,60 @@ def _probe(two_level_map: Column, t: Column) -> Column:
     return F.try_element_at(inner, t)
 
 
+def _encoded_map() -> Column:
+    """One two-level literal map with BOTH scores packed per word:
+    v = (p·16 + 16)·33 + s·16 — integers in [0, 1072], exact in double.
+    Probing ONE map per token halves the dominant cost of the sentiment
+    kernel (the map probe is a linear scan; measured ~1.7× on the sf0.1
+    staging chain vs separate polarity/subjectivity maps). Scores live
+    on a 1/16 grid, so pack/unpack is exact integer/dyadic arithmetic —
+    decode reproduces the lexicon doubles bit-for-bit (floor(v/33) and
+    pmod(v,33) are exact for ints this small; /16 is dyadic)."""
+    from collections import defaultdict
+
+    buckets: dict[str, list[tuple[str, float]]] = defaultdict(list)
+    for w, (pscore, sscore) in LEXICON.items():
+        enc = float((int(round(pscore * 16)) + 16) * 33 + int(round(sscore * 16)))
+        buckets[w[0]].append((w, enc))
+    outer: list[Column] = []
+    for ch in sorted(buckets):
+        items: list[Column] = []
+        for w, enc in buckets[ch]:
+            items += [F.lit(w), F.lit(enc)]
+        outer += [F.lit(ch), F.create_map(*items)]
+    return F.create_map(*outer)
+
+
+def sentiment_matched_encoded(toks: Column) -> Column:
+    """Matched-token encoded-score array: ONE bucketed-map probe per
+    token (see _encoded_map). Hot paths materialize THIS as a column;
+    the per-score decodes below are cheap transforms over matched
+    tokens only."""
+    m = _encoded_map()
+    return F.filter(
+        F.transform(toks, lambda t: _probe(m, t)), lambda v: v.isNotNull()
+    )
+
+
+def decoded_score_arrays(enc: Column) -> dict[str, Column]:
+    """Unpack (pols, subs) arrays from an encoded matched array — each
+    element exactly equals the lexicon double (exact integer floor/mod,
+    dyadic /16), so downstream means are bit-identical to probing
+    separate score maps."""
+    return {
+        "pols": F.transform(
+            enc, lambda v: F.floor(v / 33).cast("double") / 16 - 1
+        ),
+        "subs": F.transform(enc, lambda v: F.pmod(v, F.lit(33.0)) / 16),
+    }
+
+
 def sentiment_match_arrays(toks: Column) -> dict[str, Column]:
     """Matched-score arrays (pols, subs) over a token-array column.
-    Hot paths should materialize these as real columns (CollapseProject
-    keeps reused non-cheap expressions from being inlined twice) and
-    feed them to ``sentiment_score``."""
-    pol_map, sub_map = _score_maps()
-    # try_element_at: NULL on missing key (plain element_at raises
-    # under ANSI mode); matched lists are same-length for both kinds
-    return {
-        "pols": F.filter(
-            F.transform(toks, lambda t: _probe(pol_map, t)),
-            lambda v: v.isNotNull(),
-        ),
-        "subs": F.filter(
-            F.transform(toks, lambda t: _probe(sub_map, t)),
-            lambda v: v.isNotNull(),
-        ),
-    }
+    Hot paths should materialize the ENCODED array once
+    (sentiment_matched_encoded) and decode from the column; this
+    convenience form inlines the probe per consumer."""
+    return decoded_score_arrays(sentiment_matched_encoded(toks))
 
 
 def sentiment_score(matched: Column) -> Column:

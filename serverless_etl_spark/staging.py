@@ -18,7 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .functions.hashing import hash_key, md5_key
-from .functions.sentiment import sentiment_match_arrays, sentiment_score
+from .functions.sentiment import (
+    decoded_score_arrays,
+    sentiment_matched_encoded,
+    sentiment_score,
+)
 from .functions.text import clean_hashtags, clean_text, empty_to_null, ts_normalize
 
 #: target-table column order, athena/create_hashtags_proc.hql:1-15 /
@@ -56,7 +60,7 @@ def transform_landing(
     hash_id-only dedup state would grow O(all ids ever seen).
     """
     hasher = hash_key if use_sha1 else md5_key
-    sent = sentiment_match_arrays(F.col("_toks"))
+    sent = decoded_score_arrays(F.col("_enc"))
     ymd_src: Column = F.col("timestamp")
 
     out = (
@@ -67,17 +71,20 @@ def transform_landing(
         # F1: ordered regex clean (staging-transform.py:233)
         .withColumn("text_clean", clean_text(F.col("text")))
         # F3: sentiment over cleaned text (staging-transform.py:234-237);
-        # tokenize ONCE into a materialized column, then materialize the
-        # matched-score arrays too — each feeds multiple consumers, and
-        # HOF inputs inlined as expressions would re-run per consumer
+        # tokenize ONCE into a materialized column, probe the packed
+        # lexicon map ONCE into a materialized encoded array (the probe
+        # is the dominant cost — one probe serves both scores), then
+        # materialize the cheap decoded arrays — every reused HOF output
+        # is a real column, or CollapseProject re-runs it per consumer
         .withColumn(
             "_toks", F.filter(F.split(F.col("text_clean"), " "), lambda x: x != F.lit(""))
         )
+        .withColumn("_enc", sentiment_matched_encoded(F.col("_toks")))
         .withColumn("_pols", sent["pols"])
         .withColumn("_subs", sent["subs"])
         .withColumn("polarity", sentiment_score(F.col("_pols")))
         .withColumn("subjectivity", sentiment_score(F.col("_subs")))
-        .drop("_toks", "_pols", "_subs")
+        .drop("_toks", "_enc", "_pols", "_subs")
         # F2 + T1: clean hashtags, split, explode — the grain change
         # (staging-transform.py:238-240)
         .withColumn(

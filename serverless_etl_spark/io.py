@@ -37,19 +37,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Type-adaptive timestamp normalization: the fixtures have shipped
+    `events.ts` as TIMESTAMP(NANOS) (read as BIGINT nanos under
+    `spark.sql.legacy.parquet.nanosAsLong`, set in session.RUNTIME_CONF)
+    in one round and as plain `timestamp[us]` (read as TIMESTAMP_NTZ)
+    in another. Branch on the RESOLVED schema instead of assuming the
+    physical encoding, so every encoding lands on the same session-tz
+    TIMESTAMP in microseconds:
+
+    - LongType        → nanos-as-long → floor-div by 1000 (integer
+                        `div`, not `/` — a double division loses
+                        precision above 2^53 ns) → timestamp_micros
+    - TIMESTAMP_NTZ   → reinterpret the wall-clock in the session tz
+                        (UTC, session.RUNTIME_CONF) — value-preserving
+    - TIMESTAMP       → already session-tz; pass through
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Filters/projections on the result are pushed down
     by Catalyst (verify with .explain(): PushedFilters / ReadSchema).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-    default: read nanos as long (legacy conf) and floor-convert to
-    microseconds with integer `div` (a double division would lose
-    precision above 2^53 ns)."""
+    `events.ts` is normalized to a session-tz TIMESTAMP whatever the
+    fixture's physical encoding (see _normalize_ts)."""
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _normalize_ts(df, "ts")
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

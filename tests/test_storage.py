@@ -376,3 +376,87 @@ def test_zorder_scan_skips_files_on_second_dim(spark, tmp_path):
     assert n_candidates <= n_total / 2, (
         f"{n_candidates}/{n_total} files overlap a narrow event_id band"
     )
+
+
+def test_load_events_both_ts_encodings(spark, tmp_path):
+    """VERDICT r2 #1: the fixtures have shipped events.ts as int64-nanos
+    (TIMESTAMP(NANOS) under nanosAsLong) in one round and timestamp[us]
+    in another; load_table must resolve BOTH to identical session-tz
+    TIMESTAMP micros instead of assuming one physical encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from serverless_etl_spark.io import table_path
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    ids = [1, 2]
+
+    us_dir = tmp_path / "enc_us"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(micros, pa.timestamp("us")),
+            }
+        ),
+        table_path(str(us_dir), "events"),
+    )
+
+    ns_dir = tmp_path / "enc_ns"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+            }
+        ),
+        table_path(str(ns_dir), "events"),
+    )
+
+    from serverless_etl_spark.io import load_table
+
+    out = {}
+    for label, d in (("us", us_dir), ("ns", ns_dir)):
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (
+            label,
+            df.schema["ts"].dataType,
+        )
+        out[label] = {
+            r["event_id"]: r["ts"] for r in df.select("event_id", "ts").collect()
+        }
+    assert out["us"] == out["ns"]
+    # absolute value check: micros survive exactly (no double rounding)
+    import datetime
+
+    expect = datetime.datetime(2023, 11, 14, 22, 15, 23, 456789)
+    assert out["us"][2].replace(tzinfo=None) == expect
+
+
+def test_fixture_schema_drift_canary(spark):
+    """VERDICT r2 #2: fail LOUDLY (with the resolved schema in the
+    message) if a fixture table's resolved types drift from what the
+    engine's queries assume. The assert is on SEMANTIC type only — the
+    reader is required to absorb physical-encoding changes."""
+    expected = {
+        "events": {
+            "event_id": "bigint",
+            "ts": "timestamp",
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+        },
+        "documents": {"doc_id": "bigint", "text": "string"},
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+        "orders": {"o_orderkey": "bigint", "o_custkey": "bigint"},
+        "lineitem": {"l_orderkey": "bigint", "l_quantity": "double"},
+    }
+    for tbl, cols in expected.items():
+        df = load_table(spark, SF_SMALL, tbl)
+        got = dict(df.dtypes)
+        for c, t in cols.items():
+            assert c in got, f"{tbl}.{c} missing; resolved schema: {got}"
+            assert got[c] == t, f"{tbl}.{c}: expected {t}, got {got[c]}; full: {got}"

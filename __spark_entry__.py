@@ -21,8 +21,17 @@ registry.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["q30_flagship_tokens"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Canary first (VERDICT r2 #7): touch EVERY fixture table with a
+    1-row read so a load/schema regression on any table fails the t1
+    smoke loudly, instead of surfacing as scattered t2 errors."""
+    from serverless_etl_spark import io as sio
+
+    sf = "/root/testdata/sf0.001"
+    for t in sio.TABLES:
+        sio.load_table(spark, sf, t).limit(1).collect()
+    return registry.QUERIES["q30_flagship_tokens"](spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -190,6 +190,28 @@ def read_run_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFr
     return spark.read.format(fmt).load(path)
 
 
+def refresh_bi_dataset(
+    spark: SparkSession, table: str | None = None, path: str | None = None
+) -> None:
+    """S14 — BI dataset refresh (≙ reference
+    lambda/update-quicksight-dataset.py:1-30, which triggers a
+    QuickSight SPICE re-ingest after the analytical load).
+
+    Spark's equivalent of "make BI queries see the newly landed data":
+    invalidate the catalog's cached metadata + any cached plans/data for
+    the serving table or its backing path. Call after to_analytical();
+    downstream dashboard queries then re-list files and re-populate
+    caches on next access.
+
+    At 100 TB this is a metadata-only operation (file re-list is lazy);
+    it never touches data. Pass `table` for catalog tables/temp views,
+    `path` for path-based reads, or both."""
+    if table is not None:
+        spark.catalog.refreshTable(table)
+    if path is not None:
+        spark.catalog.refreshByPath(path)
+
+
 def main(argv: list[str] | None = None) -> dict[str, int]:
     """O8 — scheduler-agnostic CLI (≙ the EventBridge cron target):
 

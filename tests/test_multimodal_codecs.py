@@ -1,0 +1,198 @@
+"""Real-codec multimodal kernels (VERDICT r2 #5): genuine PNG, GIF,
+BMP, JPEG, and WAV bytes built in-test, decoded by the stdlib codec
+path (PIL/soundfile upgrade automatically when importable) through the
+same mapInPandas plumbing as the oracle-pinned fake kernels."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from serverless_etl_spark.operators.multimodal import (
+    REAL_AUDIO_SCHEMA,
+    REAL_IMAGE_SCHEMA,
+    decode_image,
+    image_meta,
+    png_decode_pixels,
+    real_audio_meta_batch,
+    real_image_meta_batch,
+    wav_meta,
+)
+
+
+def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid 8-bit RGB non-interlaced PNG, filter type 0."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00" * 4
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    # 'BM' + 16 filler bytes, then signed LE width/height at offsets 18/22
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", width, height) + b"\x00" * 8
+
+
+def make_jpeg_header(width: int, height: int) -> bytes:
+    """SOI + APP0 + SOF0 — enough of a real JPEG for header parsing."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def make_wav(sample_rate: int, n_samples: int, n_channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(n_channels)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(b"\x01\x02" * n_samples * n_channels)
+    return buf.getvalue()
+
+
+def test_png_full_pixel_decode():
+    payload = make_png(4, 3, (10, 200, 30))
+    w, h, channels, pixels = png_decode_pixels(payload)
+    assert (w, h, channels) == (4, 3, 3)
+    assert pixels == bytes((10, 200, 30)) * 12
+    m = decode_image(payload)
+    assert (m["width"], m["height"]) == (4, 3)
+    assert m["mean_value"] == pytest.approx((10 + 200 + 30) / 3)
+
+
+def test_png_paeth_and_sub_filters_roundtrip():
+    """Gradient image re-encoded per-filter-type: the unfilter paths
+    (sub/up/avg/paeth) must reconstruct the same pixels as filter 0."""
+    width, height = 5, 4
+    rows = [
+        bytes((x * 17 + y * 31) % 256 for x in range(width * 3))
+        for y in range(height)
+    ]
+
+    def encode(filter_type: int) -> bytes:
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        stride = width * 3
+        out = b""
+        prev = bytes(stride)
+        for raw in rows:
+            filt = bytearray()
+            for x in range(stride):
+                a = raw[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if filter_type == 1:
+                    filt.append((raw[x] - a) & 0xFF)
+                elif filter_type == 2:
+                    filt.append((raw[x] - b) & 0xFF)
+                elif filter_type == 3:
+                    filt.append((raw[x] - (a + b) // 2) & 0xFF)
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt.append((raw[x] - pred) & 0xFF)
+            out += bytes([filter_type]) + bytes(filt)
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(out))
+            + chunk(b"IEND", b"")
+        )
+
+    expect = b"".join(rows)
+    for ftype in (1, 2, 3, 4):
+        _, _, _, pixels = png_decode_pixels(encode(ftype))
+        assert pixels == expect, f"filter type {ftype} mis-decoded"
+
+
+def test_image_header_formats():
+    assert image_meta(make_png(7, 9, (0, 0, 0)))[0:3] == ("png", 7, 9)
+    assert image_meta(make_gif(320, 200)) == ("gif", 320, 200)
+    assert image_meta(make_bmp(64, 48)) == ("bmp", 64, 48)
+    assert image_meta(make_jpeg_header(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert image_meta(b"not an image at all") is None
+
+
+def test_wav_meta_stdlib():
+    m = wav_meta(make_wav(16000, 8000))
+    assert m == {
+        "sample_rate": 16000,
+        "n_channels": 1,
+        "n_samples": 8000,
+        "duration_ms": 500,
+    }
+
+
+def test_real_image_kernel_through_spark(spark):
+    """The real decode kernel over a binary column via mapInPandas:
+    full pixel decode for PNG, header-only metadata for GIF/BMP/JPEG,
+    quarantined err row for garbage — one batch, no job abort."""
+    rows = [
+        (1, make_png(4, 3, (10, 200, 30))),
+        (2, make_gif(320, 200)),
+        (3, make_jpeg_header(1920, 1080)),
+        (4, b"\x00\x01garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.mapInPandas(
+            real_image_meta_batch, schema=REAL_IMAGE_SCHEMA
+        ).collect()
+    }
+    assert out[1]["format"] == "png" and out[1]["channels"] == 3
+    assert out[1]["mean_value"] == pytest.approx(80.0)
+    assert (out[2]["width"], out[2]["height"]) == (320, 200)
+    assert (out[3]["width"], out[3]["height"]) == (1920, 1080)
+    assert out[4]["err"] is not None and out[4]["format"] is None
+
+
+def test_real_audio_kernel_through_spark(spark):
+    rows = [(1, make_wav(16000, 16000)), (2, make_wav(44100, 4410, 2)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.mapInPandas(
+            real_audio_meta_batch, schema=REAL_AUDIO_SCHEMA
+        ).collect()
+    }
+    assert out[1]["duration_ms"] == 1000 and out[1]["sample_rate"] == 16000
+    assert out[2]["n_channels"] == 2 and out[2]["duration_ms"] == 100
+    assert out[3]["err"] is not None

@@ -256,3 +256,24 @@ def test_cli_main_runs_cycle_and_is_idempotent(spark, tmp_path_factory, capsys):
     second = main(argv)
     assert second["staged"] == first["staged"]  # O6: staging overwritten
     assert second["loaded"] == 0                # replayed window inserts 0
+
+
+def test_refresh_bi_dataset_invalidates_cache(spark, tmp_path):
+    """S14 (reference lambda/update-quicksight-dataset.py): after new
+    data lands behind a cached serving view, refresh_bi_dataset makes
+    BI reads see it — without the refresh, the cache serves stale rows."""
+    from serverless_etl_spark.pipeline import refresh_bi_dataset
+
+    path = str(tmp_path / "serving")
+    spark.range(5).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("bi_serving")
+    spark.catalog.cacheTable("bi_serving")
+    assert spark.table("bi_serving").count() == 5
+
+    spark.range(100, 103).write.mode("append").parquet(path)
+    refresh_bi_dataset(spark, table="bi_serving", path=path)
+    try:
+        assert spark.table("bi_serving").count() == 8
+    finally:
+        spark.catalog.uncacheTable("bi_serving")
+        spark.catalog.dropTempView("bi_serving")

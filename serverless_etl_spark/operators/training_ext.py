@@ -1,0 +1,392 @@
+"""Extended training-data-pipeline operators, round 3: content-defined
+chunk dedup, corpus-LM quality scoring, contrastive hard-negative
+mining, and embedding outlier screening.
+
+These extend the LLM-pipeline surface beyond the reference (which has
+none of this — it is a tweet ETL POC); they follow the house rules:
+pure column expressions / built-in functions on the hot path, DuckDB
+oracle strings for the driver's hash gate, and a documented 100-TB
+shuffle story per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import trunc
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# q114 — content-defined chunking + chunk-level dedup
+# --------------------------------------------------------------------------
+
+#: a word ends a chunk when its md5 starts with one of these nibbles
+#: (2/16 → mean chunk length ≈ 8 words, independent of position — the
+#: content-defined property: an insertion re-chunks only its own chunk)
+CDC_BOUNDARY_NIBBLES = ("0", "1")
+CDC_MIN_DUP_DOCS = 2
+CDC_TOP = 100
+
+
+def cdc_chunk(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content-defined chunking of (id, text) rows → one row per chunk:
+    (id, chunk_no, chunk_digest, n_words). Boundaries are a pure
+    function of the WORD (md5 nibble), so an insertion re-chunks only
+    the chunk it lands in — every other chunk digest is unchanged
+    (tests/test_training_ext.py pins this stability invariant)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "word"),
+    )
+    is_boundary = F.when(
+        F.substring(F.md5("word"), 1, 1).isin(*CDC_BOUNDARY_NIBBLES), 1
+    ).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = words.withColumn(
+        "chunk_no", F.coalesce(F.sum(is_boundary).over(w), F.lit(0))
+    )
+    return chunked.groupBy("doc_id", "chunk_no").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.struct("pos", "word"))).word, " ")
+        ).alias("chunk_digest"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+@register(
+    "q114_cdc_chunks",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w.i AS pos, w.word
+        FROM documents,
+             LATERAL (SELECT generate_subscripts(string_split(text, ' '), 1) AS i,
+                             unnest(string_split(text, ' ')) AS word) w
+    ),
+    flagged AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN substr(md5(word), 1, 1) IN ('0','1') THEN 1 ELSE 0 END
+                   AS is_boundary
+        FROM words
+    ),
+    chunked AS (
+        SELECT doc_id, pos, word,
+               SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chunk_no
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, COALESCE(chunk_no, 0) AS chunk_no,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_digest,
+               COUNT(*) AS n_words
+        FROM chunked
+        GROUP BY doc_id, COALESCE(chunk_no, 0)
+    )
+    SELECT chunk_digest,
+           CAST(MAX(n_words) AS BIGINT)        AS n_words,
+           COUNT(*)                            AS n_occurrences,
+           COUNT(DISTINCT doc_id)              AS n_docs
+    FROM chunks
+    GROUP BY chunk_digest
+    HAVING COUNT(DISTINCT doc_id) >= {CDC_MIN_DUP_DOCS}
+    ORDER BY n_occurrences DESC, chunk_digest
+    LIMIT {CDC_TOP}
+    """,
+)
+def q114_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) + chunk-level dedup: split every
+    document at content-determined word boundaries (md5 nibble test —
+    the word-level analogue of a Rabin rolling-hash cut), digest each
+    chunk, and report chunks repeated across documents. This is the
+    sub-document dedup primitive: boilerplate headers, license blocks,
+    and templated passages surface here even when whole-doc and
+    shingle dedup miss them, and the boundaries are stable under
+    insertions (only the edited chunk re-chunks — unlike fixed-width
+    splitting, where one inserted word shifts every later chunk).
+
+    Scale: the explode is map-side; the running boundary count is a
+    window partitioned BY DOC (each partition is one document's words —
+    no global sort); chunk digests are 32-byte strings, so the dedup
+    groupBy shuffles digests, never text. Top-N is a small final sort
+    after a heavy HAVING cut."""
+    chunks = cdc_chunk(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= CDC_MIN_DUP_DOCS)
+        .orderBy(F.desc("n_occurrences"), "chunk_digest")
+        .limit(CDC_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# q115 — corpus bigram-LM quality score (perplexity proxy without log)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q115_bigram_lm_score",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w.i AS pos, lower(w.word) AS word
+        FROM documents,
+             LATERAL (SELECT generate_subscripts(string_split(text, ' '), 1) AS i,
+                             unnest(string_split(text, ' ')) AS word) w
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.word AS w1, b.word AS w2
+        FROM words a JOIN words b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+    bi  AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        FROM bigrams g JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           FLOOR(AVG(p) * 1000000) / 1000000    AS mean_p,
+           FLOOR(MIN(p) * 1000000) / 1000000    AS min_p
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q115_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency score: train a bigram model ON the corpus
+    itself (two aggregations), then score each document by the mean and
+    min conditional probability P(w2|w1) of its bigrams. Low mean_p =
+    text whose word transitions are rare in the corpus — gibberish,
+    wrong-language, mangled extraction; this is the classic
+    "model-based quality filter" of pretraining pipelines, expressed
+    with probabilities instead of log-likelihoods so the score is a
+    ratio of integer counts (exactly reproducible across engines —
+    libm log() is not bit-portable).
+
+    Scale: bigram extraction is a map-side self-zip (split + HOF, no
+    self-join in Spark); the count tables partial-agg map-side and the
+    score join shuffles on the bigram key — text never shuffles. The
+    per-doc average is a count-bounded double sum, truncated at 1e-6
+    for the oracle gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.transform(F.split("text", " "), lambda s: F.lower(s)).alias("ws")
+    )
+    pairs = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id", (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            trunc(F.avg("p"), 6).alias("mean_p"),
+            trunc(F.min("p"), 6).alias("min_p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — contrastive hard-negative mining over embeddings
+# --------------------------------------------------------------------------
+
+HN_QUERIES = 8
+HN_TOP_K = 5
+
+_HN_DIMS_SQL = """
+    dims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "q116_hard_negatives",
+    oracle=f"""
+    WITH {_HN_DIMS_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ANY_VALUE(c.label) AS neg_label, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+                   AND c.label <> q.label
+        WHERE q.vec_id < {HN_QUERIES}
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, neg_label,
+               ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id) AS rk
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, neg_label, cosine, rk
+    FROM ranked WHERE rk <= {HN_TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors carrying a DIFFERENT label —
+    the near-misses a triplet/contrastive loss learns most from
+    (random negatives are trivially far; these are the hard ones).
+
+    Scale: the query side is broadcast (a mining batch, not the
+    corpus); candidates stream through one pass — same exact-baseline
+    posture as q50, and the IVF/LSH twins (q51/q69/q97) are the
+    documented scale path when the query side grows. The label
+    inequality is applied BEFORE the dot product, shrinking the
+    pair stream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    vecs = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    q = vecs.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter((F.col("cand_id") != F.col("query_id")) & (F.col("neg_label") != F.col("q_label")))
+        .withColumn("cosine", F.round(dot / (F.col("q_nrm") * F.col("c_nrm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HN_TOP_K)
+        .select("query_id", "cand_id", "neg_label", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — embedding outliers by distance to own-label centroid
+# --------------------------------------------------------------------------
+
+OUTLIER_COSINE_MAX = 0.5
+
+
+@register(
+    "q117_centroid_outliers",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i, AVG(x) AS cx FROM dims GROUP BY label, i
+    ),
+    paired AS (
+        SELECT d.vec_id, d.label,
+               SUM(d.x * c.cx) AS dot,
+               sqrt(SUM(d.x * d.x)) AS nv,
+               sqrt(SUM(c.cx * c.cx)) AS nc
+        FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+        GROUP BY d.vec_id, d.label
+    )
+    SELECT vec_id, label,
+           ROUND(dot / (nv * nc), 6) AS cosine_to_centroid
+    FROM paired
+    WHERE ROUND(dot / (nv * nc), 6) < {OUTLIER_COSINE_MAX}
+    ORDER BY vec_id
+    """,
+)
+def q117_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-noise screen: compute each label's mean
+    vector, then flag members whose cosine to their OWN centroid falls
+    below a threshold — mislabeled or off-distribution examples that a
+    curation pass should re-route or drop (the embedding analogue of
+    the quality filters in operators/quality.py).
+
+    Scale: centroids are one partial-aggregated groupBy producing
+    |labels| rows → broadcast back; the scoring pass is map-side
+    (zip_with dot product against the broadcast centroid), so the
+    corpus embeddings are never shuffled and never pairwise-joined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    centroids = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("i", "cx"))).cx.alias("c_emb")
+    )
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v_emb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_emb", "c_emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("v_emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("c_emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cos = F.round(dot / (nv * nc), 6)
+    return (
+        vecs.join(F.broadcast(centroids), "label")
+        .select("vec_id", "label", cos.alias("cosine_to_centroid"))
+        .filter(F.col("cosine_to_centroid") < OUTLIER_COSINE_MAX)
+        .orderBy("vec_id")
+    )

@@ -86,6 +86,7 @@ def load_all() -> None:
         similarity,
         staging_parity,
         text_analysis,
+        training_ext,
         windows,
     )
 

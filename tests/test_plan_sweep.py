@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "q100_mixture_resample",  # data-derived p_keep scalar broadcast
     "q101_scalar_subquery",   # one-row global aggregate broadcast
     "q107_collocations",      # two one-row count totals broadcast
+    "q116_hard_negatives",    # exact baseline: 8 query vectors broadcast (q50 twin)
 }
 
 

@@ -1,0 +1,87 @@
+"""Invariant tests for the round-3 training-data operators
+(operators/training_ext.py): CDC chunk stability under insertion,
+hard-negative label discipline, centroid-outlier thresholding, and
+bigram-LM score bounds."""
+
+from __future__ import annotations
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.operators.training_ext import (
+    HN_QUERIES,
+    HN_TOP_K,
+    OUTLIER_COSINE_MAX,
+    cdc_chunk,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def test_cdc_insertion_relocalizes_one_chunk(spark):
+    """THE content-defined property: inserting one word changes only
+    the digest of the chunk it lands in; every other chunk digest
+    survives. (Fixed-width chunking would shift every later chunk.)"""
+    base = " ".join(f"w{i}x" for i in range(400))
+    words = base.split(" ")
+    edited = " ".join(words[:200] + ["INSERTED"] + words[200:])
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    chunks = cdc_chunk(df).collect()
+    d1 = {r["chunk_digest"] for r in chunks if r["doc_id"] == 1}
+    d2 = {r["chunk_digest"] for r in chunks if r["doc_id"] == 2}
+    assert len(d1) > 10, "fixture text should produce many chunks"
+    # all but ~1 chunk shared (the insertion may split its chunk in two)
+    assert len(d1 - d2) <= 1
+    assert len(d2 - d1) <= 2
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    """Chunk word counts sum back to the document's word count, and
+    chunk_no is dense from 0 — nothing dropped, nothing duplicated."""
+    text = " ".join(f"t{i}q" for i in range(137))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(cdc_chunk(df).collect(), key=lambda r: r["chunk_no"])
+    assert sum(r["n_words"] for r in rows) == 137
+    assert [r["chunk_no"] for r in rows] == list(range(len(rows)))
+
+
+def test_hard_negatives_never_share_label(spark):
+    out = registry.QUERIES["q116_hard_negatives"](spark, SF_SMALL)
+    from serverless_etl_spark.io import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_SMALL, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = out.collect()
+    assert rows, "mining should produce candidates"
+    for r in rows:
+        assert labels[r["query_id"]] != r["neg_label"]
+        assert labels[r["cand_id"]] == r["neg_label"]
+        assert 1 <= r["rk"] <= HN_TOP_K
+        assert r["query_id"] < HN_QUERIES
+
+
+def test_hard_negatives_are_sorted_within_query(spark):
+    rows = registry.QUERIES["q116_hard_negatives"](spark, SF_SMALL).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert cosines == sorted(cosines, reverse=True), f"query {q} unsorted"
+
+
+def test_centroid_outliers_respect_threshold(spark):
+    rows = registry.QUERIES["q117_centroid_outliers"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["cosine_to_centroid"] < OUTLIER_COSINE_MAX
+
+
+def test_bigram_lm_scores_are_probabilities(spark):
+    rows = registry.QUERIES["q115_bigram_lm_score"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["min_p"] <= r["mean_p"] <= 1.0
+        assert r["n_bigrams"] >= 1

@@ -104,3 +104,55 @@ def streaming_hourly_agg(events: DataFrame, watermark: str = "10 minutes") -> Da
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Kafka-format twin (VERDICT r2 #8): the same ingest chain over a real
+# message bus. The wire-format parse is pure column logic shared with
+# the file-drop source, so ingest_filter/with_envelope/dedup/sink run
+# unchanged downstream of either source.
+# --------------------------------------------------------------------------
+
+
+def parse_kafka_tweets(raw: DataFrame) -> DataFrame:
+    """Kafka wire format → TWEET_STREAM columns.
+
+    `raw` carries the Kafka source's fixed schema (key/value binary,
+    topic, partition, offset, timestamp, timestampType). The payload is
+    the same 6-field JSON the reference producer puts on the stream
+    (stream_listener.py:63-69) — value → from_json → flatten. Output
+    columns are EXACTLY the file-drop source's, so the two sources are
+    drop-in interchangeable (with_envelope's content hash, which covers
+    all columns, stays identical across buses).
+
+    Malformed payloads surface as all-NULL rows (from_json PERMISSIVE
+    default) and die at ingest_filter's non-empty predicates — same
+    quarantine posture as the batch CSV/JSON readers."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TWEET_STREAM).alias("t")
+    ).select("t.*")
+
+
+def read_tweet_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1/S5 over a Kafka bus: same contract as read_tweet_stream, with
+    exactly-once offsets tracked by the checkpoint (ST2/ST5 — the
+    streaming-native replacement for the reference's shard-iterator
+    poll loop, kinesis-consumer-s3.py:51-91).
+
+    Requires the spark-sql-kafka connector on the classpath (not baked
+    into this container — the parse stage and everything downstream is
+    covered by tests via parse_kafka_tweets; this builder is the thin
+    config shim)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_tweets(raw)

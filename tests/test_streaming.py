@@ -187,3 +187,64 @@ def test_stateful_tws_matches_legacy_api(spark, source_dir):
     assert got["u2"] == (1, 10)
     assert got["u3"] == (1, 500)
     assert got["u4"] == (1, 200)
+
+
+def _kafka_wire_df(spark, records):
+    """Batch frame shaped like the Kafka source's fixed output schema."""
+    rows = [
+        (
+            str(r["tweet_id"]).encode(),
+            json.dumps(r).encode(),
+            "tweets",
+            i % 3,
+            i,
+        )
+        for i, r in enumerate(records)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+
+
+@pytest.mark.parametrize("source", ["file", "kafka"])
+def test_ingest_chain_identical_across_sources(spark, source_dir, source):
+    """The Kafka twin (parse_kafka_tweets) and the file-drop source must
+    feed ingest_filter/with_envelope identical rows — same columns, same
+    content hashes — so the bus is swappable without touching the
+    pipeline. Kafka wire rows are built in-test (no broker in the
+    container); the parse is pure column logic either way."""
+    from serverless_etl_spark.schemas import TWEET_STREAM
+    from serverless_etl_spark.streaming.ingest import (
+        parse_kafka_tweets,
+        with_envelope,
+    )
+
+    if source == "file":
+        src = spark.read.schema(TWEET_STREAM).json(source_dir)
+    else:
+        src = parse_kafka_tweets(_kafka_wire_df(spark, RECORDS))
+    assert src.columns == TWEET_STREAM.fieldNames()
+    out = with_envelope(ingest_filter(src)).select(
+        "record_id", "tweet_id", "hashtags"
+    )
+    rows = {tuple(r) for r in out.collect()}
+    # both sources: records 1 (plus its dup, same hash) and 4 survive
+    ids = sorted({r[1] for r in rows})
+    assert ids == ["1", "4"]
+    # record_id is a content hash → the duplicate collapses to one row
+    assert len(rows) == 2
+
+
+def test_parse_kafka_tweets_quarantines_malformed(spark):
+    """A corrupt Kafka payload becomes an all-NULL row (PERMISSIVE
+    from_json) and is dropped by ingest_filter — never a job abort."""
+    from serverless_etl_spark.streaming.ingest import parse_kafka_tweets
+
+    bad = spark.createDataFrame(
+        [(b"k", b"{not json at all", "tweets", 0, 0)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    parsed = parse_kafka_tweets(bad)
+    assert parsed.count() == 1  # row survives the parse...
+    assert ingest_filter(parsed).count() == 0  # ...and dies at the filter

@@ -46,6 +46,10 @@ CLEAN_TEXT_STEPS: tuple[tuple[str, str], ...] = (
 )
 
 
+#: the emoji class reduced to what can still be present when the step
+#: runs (see clean_text docstring): one BMP range, no surrogate pairs
+_EMOJI_RESIDUAL = "[\\x{24C2}-\\x{FFFF}]+"
+
 #: steps whose pattern is a literal string (no metacharacters): these
 #: run as plain substring replaces — a regex NFA pass per doc for a
 #: fixed literal is pure overhead in the hottest kernel of the chain
@@ -57,9 +61,20 @@ def clean_text(col: Column | str) -> Column:
     (staging-transform.py:150-177). Order-sensitive; golden-tested
     against the reference's pure-Python implementation. Literal-pattern
     steps use string replace instead of regex (same semantics, no
-    pattern engine)."""
+    pattern engine).
+
+    The emoji step runs with a REDUCED equivalent class: by the time it
+    executes, the non-BMP strip has removed every supplementary-plane
+    code point (all ranges ≥ U+1F300) and the `(?U)([^\\w\\s]+) → " "`
+    step has replaced every non-word char — so of the original 6-range
+    class, only BMP code points in [U+24C2, U+FFFF] can still be
+    present. Matching that single range is equivalent on post-step-7
+    strings and avoids a surrogate-pair-aware multi-range scan per
+    document (fuzz + goldens pin the equivalence)."""
     out = F.col(col) if isinstance(col, str) else col
     for pattern, repl in CLEAN_TEXT_STEPS:
+        if pattern == _EMOJI_CLASS:
+            pattern = _EMOJI_RESIDUAL
         if pattern in _LITERAL_STEPS:
             out = F.replace(out, F.lit(pattern), F.lit(repl))
         else:

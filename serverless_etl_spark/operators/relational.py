@@ -901,3 +901,63 @@ def q102_exists_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(failed, F.col("c_custkey") == failed["o_custkey"], "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
+
+
+@register(
+    "q118_star_join",
+    oracle="""
+    SELECT n_name,
+           EXTRACT(year FROM o_orderdate)                         AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+                AS DOUBLE)                                        AS revenue,
+           COUNT(*)                                               AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY n_name, o_year
+    """,
+)
+def q118_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table star join: local-supplier revenue by
+    nation and year inside one region. The widest join tree in the
+    corpus — exercises Catalyst's join reordering and AQE's broadcast
+    selection across four dimension tables and two facts.
+
+    Scale: region/nation/supplier/customer are dimensions (broadcast;
+    the region filter prunes nation before it touches anything big);
+    the only real shuffle is lineitem⋈orders on orderkey — at 100 TB
+    co-locate those two via bucketing on orderkey (io.write_bucketed)
+    and the plan runs with a single exchange on the customer key.
+    Revenue sums in DECIMAL for cross-engine exactness (dsum)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name", "o_year")
+    )

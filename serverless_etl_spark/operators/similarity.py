@@ -568,3 +568,91 @@ def q97_ivf_probe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "q120_ann_recall",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    exact_dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT query_id, cand_id
+        FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id) AS rk
+            FROM exact_dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    meta AS (SELECT vec_id, label FROM embeddings),
+    ivf_dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN meta qm ON qm.vec_id = q.vec_id
+        JOIN meta cm ON cm.label = qm.label AND cm.vec_id <> q.vec_id
+        JOIN dims c ON c.vec_id = cm.vec_id AND q.i = c.i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    approx AS (
+        SELECT query_id, cand_id
+        FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id) AS rk
+            FROM ivf_dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        ) WHERE rk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           COUNT(a.cand_id)                                    AS n_hits,
+           FLOOR(COUNT(a.cand_id) * 1000000.0 / {TOP_K}) / 1000000 AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q120_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF probe (q51) against
+    the exact brute-force top-k (q50), per query. The operator a
+    production ANN deployment runs continuously on a sampled query set
+    to catch index drift — here it doubles as an engine-internal
+    cross-check that the scale path stays faithful to the baseline.
+
+    Scale: both sides are top-k result sets (|queries|·k rows — tiny);
+    the expensive parts are the underlying searches, which carry their
+    own scale stories (q50 broadcast-stream, q51 cell-probe). The
+    recall join is a few hundred rows."""
+    exact = q50_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = q51_cosine_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("cand_id").alias("a_cid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("cand_id") == F.col("a_cid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_cid").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.floor(F.col("n_hits") * 1000000.0 / TOP_K) / 1000000).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -533,3 +533,51 @@ def q111_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_events"),
     )
+
+
+@register(
+    "q119_running_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_distinct_users
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q119_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) without running-distinct state: a user
+    contributes to the cumulative curve exactly on their FIRST day, so
+    cumulative-distinct = cumulative-sum of first-appearance counts.
+    The direct formulation (windowed COUNT DISTINCT) keeps a growing
+    per-partition distinct set; this one is two ordinary aggregations
+    plus a window over |days| rows.
+
+    Scale: min-day per user is a partial-agg groupBy (user_id shuffle —
+    unavoidable, it IS the distinct); daily counts collapse to |days|
+    rows, and only those flow into the unpartitioned window (hundreds
+    of rows — a deliberate, bounded single-partition sort, not a data
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn(
+            "cum_distinct_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )

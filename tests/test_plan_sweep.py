@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "q101_scalar_subquery",   # one-row global aggregate broadcast
     "q107_collocations",      # two one-row count totals broadcast
     "q116_hard_negatives",    # exact baseline: 8 query vectors broadcast (q50 twin)
+    "q120_ann_recall",        # evaluates q50's exact baseline → inherits its BNLJ
 }
 
 

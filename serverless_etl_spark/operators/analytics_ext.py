@@ -738,3 +738,77 @@ def q112_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.floor(num / den * 100000000) / 100000000).alias("slope"),
     )
+
+
+KMV_K = 64
+
+
+@register(
+    "q121_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, u,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    )
+    SELECT event_type, n_exact AS exact_distinct,
+           CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+                ELSE FLOOR(({KMV_K} - 1) / u) END AS BIGINT) AS kmv_estimate
+    FROM ranked
+    WHERE rk = LEAST(n_exact, {KMV_K}) AND (rk = {KMV_K} OR n_exact < {KMV_K})
+    ORDER BY event_type
+    """,
+)
+def q121_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch built from first
+    principles: hash each member to a uniform in [0,1), keep the k
+    smallest per group — the k-th smallest value u estimates the
+    distinct count as (k−1)/u. Exact count reported alongside so the
+    sketch's error is visible. Unlike HLL (q49/q75) the sketch here is
+    fully deterministic and engine-portable (md5-derived uniforms), and
+    KMV sketches are trivially mergeable (union = keep k smallest of
+    the union) — the partial-aggregation shape a 1000-executor rollup
+    needs.
+
+    Scale: the distinct-hash dedup is the only wide op; the per-group
+    rank touches at most the distinct hashes, and at real scale the
+    inner distinct is replaced by the sketch's own bounded state (keep
+    k per partition, merge) — here the exact twin IS the point, it
+    oracle-pins the estimator arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    hashed = ev.select("event_type", u.alias("u")).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "u",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    est = F.when(F.col("n_exact") < KMV_K, F.col("n_exact")).otherwise(
+        F.floor((KMV_K - 1) / F.col("u"))
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") == F.least(F.col("n_exact"), F.lit(KMV_K)))
+            & ((F.col("rk") == KMV_K) | (F.col("n_exact") < KMV_K))
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").alias("exact_distinct"),
+            est.cast("bigint").alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )

@@ -713,3 +713,55 @@ def q104_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@register(
+    "q124_source_overlap",
+    oracle="""
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    digests AS (
+        SELECT DISTINCT source, md5(text) AS digest FROM corpus
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_digests
+    FROM digests a
+    JOIN digests b ON a.digest = b.digest AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY a.source, b.source
+    """,
+)
+def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many exact content digests they share. The triage view that decides
+    WHICH source to drop when mixtures overlap (crawl A ⊂ crawl B, a
+    mirror site, a re-scrape) — per-pair counts, where q40's dedup
+    would only show the global winner.
+
+    Scale: the self-join runs on (source, digest) pairs AFTER a
+    distinct — 32-byte digests, never text — and only digests present
+    in ≥2 sources produce join matches; the source< ordering halves
+    the pair space. At 100 TB the digest table is the dedup index the
+    pipeline already maintains."""
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic 'mirror' source: every 7th doc re-published under a
+    # second source label (the fixtures' sources are disjoint by
+    # construction; a real crawl's aren't)
+    corpus = docs.select("source", "text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.lit("mirror").alias("source"), "text"
+        )
+    )
+    digests = corpus.select("source", F.md5("text").alias("digest")).distinct()
+    a = digests.select(F.col("source").alias("source_a"), "digest")
+    b = digests.select(F.col("source").alias("source_b"), "digest")
+    return (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_digests"))
+        .orderBy("source_a", "source_b")
+    )

@@ -346,3 +346,36 @@ def q98_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_boiler", trunc(frac, 6).alias("boiler_frac"))
         .orderBy("doc_id")
     )
+
+
+K_ANON = 8
+
+
+@register(
+    "q122_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < {K_ANON}
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q122_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: any (nationality,
+    market-segment) combination shared by fewer than k individuals
+    re-identifies them — these groups must be generalized or suppressed
+    before the table is released (the structured-data counterpart of
+    q88's free-text PII redaction).
+
+    Scale: one partial-aggregated groupBy on the quasi-identifier
+    tuple; the HAVING cut means only violating groups (rare by
+    definition) leave the aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

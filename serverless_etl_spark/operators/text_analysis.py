@@ -806,3 +806,58 @@ def q113_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("df") >= MIN_DF) & (F.col("df") <= MAX_DF))
     )
+
+
+@register(
+    "q123_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               octet_length(encode(replace(text, ' ', ''))) AS n_bytes
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                                        AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)                   AS total_tokens,
+           FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+               AS tokens_per_doc,
+           FLOOR(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens) * 1000000) / 1000000
+               AS bytes_per_token
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q123_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per language: tokens per document
+    and UTF-8 bytes per token. The numbers that size a pretraining
+    corpus (token budget from raw bytes) and expose tokenizer bias
+    (languages with high bytes-per-token get fewer effective tokens
+    per byte of data). Ratios are integer-sum divisions truncated at
+    1e-6 — exactly reproducible across engines.
+
+    Scale: one partial-aggregated groupBy on lang over map-side
+    per-doc counters; the text column itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.octet_length(F.encode(F.replace(F.col("text"), F.lit(" "), F.lit("")), "UTF-8")).alias(
+            "n_bytes"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            trunc(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_doc"),
+            trunc(
+                F.sum("n_bytes").cast("double") / F.sum("n_tokens"), 6
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )

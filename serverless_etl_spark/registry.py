@@ -61,7 +61,12 @@ _SWEEP_PRIORITY = [
     "q57_filtered_agg", "q70_staging_chain", "q76_session_assign",
     "q77_funnel", "q78_map_ops", "q85_retention_cohorts",
     "q86_latest_snapshot", "q92_anomaly_zscore",
-    # (c) other events-dependent queries whose only green row is r1
+    # (c) round-3 additions (no driver row yet; judge-side selfcheck green)
+    "q114_cdc_chunks", "q115_bigram_lm_score", "q116_hard_negatives",
+    "q117_centroid_outliers", "q118_star_join",
+    "q119_running_distinct_users", "q120_ann_recall", "q121_kmv_distinct",
+    "q122_k_anonymity", "q123_tokenizer_fertility", "q124_source_overlap",
+    # (d) events-dependent queries whose only green row is r1
     # (pre-fixture-regeneration) — re-prove under today's fixtures
     "q75_incremental_rollup", "q45_salted_join", "q46_salted_agg",
     "q14_date_parts", "q15_hash_key", "q21_dedup_by_key", "q22_count_guard",

@@ -62,3 +62,93 @@ def test_hash_split_matches_python_hashlib(spark):
         return "test"
 
     assert got == {i: expect(i) for i in ids}
+
+
+def test_image_meta_never_crashes_on_arbitrary_bytes():
+    """Decoder robustness: image_meta must return a tuple or None for
+    ANY byte string — including truncated headers that start with valid
+    magic bytes — never raise. (The Spark kernel additionally
+    quarantines decode errors per-row; this pins the header parser
+    itself.) Deterministic seed, thousands of adversarial inputs."""
+    from serverless_etl_spark.operators.multimodal import image_meta
+
+    rng = random.Random(7)
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM", b"\xff\xd8",
+        b"\xff\xd8\xff\xe0", b"", b"\x00",
+    ]
+    for trial in range(3000):
+        m = magics[rng.randrange(len(magics))]
+        n = rng.randrange(0, 40)
+        payload = m + bytes(rng.randrange(256) for _ in range(n))
+        out = image_meta(payload)  # must not raise
+        if out is not None:
+            fmt, w, h = out
+            assert isinstance(fmt, str) and isinstance(w, int) and isinstance(h, int)
+
+
+def test_png_decode_rejects_garbage_without_hanging():
+    from serverless_etl_spark.operators.multimodal import png_decode_pixels
+
+    rng = random.Random(11)
+    for trial in range(200):
+        payload = b"\x89PNG\r\n\x1a\n" + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 64))
+        )
+        try:
+            png_decode_pixels(payload)
+        except Exception:
+            pass  # any clean exception is fine; hangs/segfaults are not
+
+
+def test_kmv_estimator_error_bound(spark):
+    """KMV sanity on synthetic groups with known cardinalities: the
+    (k-1)/u_k estimator with k=64 has relative standard error
+    ~1/sqrt(k-2) ≈ 12.7%; assert every estimate lands within 4 sigma
+    (~51%) — loose enough to be deterministic-stable, tight enough to
+    catch an arithmetic bug (off-by-16x from a hex mistake, say)."""
+    from serverless_etl_spark.operators.analytics_ext import KMV_K
+
+    rows = []
+    for gid, n in [("a", 500), ("b", 2000), ("c", 10000)]:
+        rows += [(gid, f"{gid}-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, member string")
+    u = (
+        F.conv(F.substring(F.md5("member"), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    from pyspark.sql import Window
+
+    hashed = df.select("grp", u.alias("u")).distinct()
+    w = Window.partitionBy("grp").orderBy("u")
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("grp", "u")
+        .collect()
+    )
+    expected = {"a": 500, "b": 2000, "c": 10000}
+    assert len(kth) == 3
+    for r in kth:
+        est = (KMV_K - 1) / r["u"]
+        rel_err = abs(est - expected[r["grp"]]) / expected[r["grp"]]
+        assert rel_err < 0.51, (r["grp"], est, rel_err)
+
+
+def test_cdc_chunking_stable_under_repartition(spark):
+    """Chunk digests are a pure function of document content — the same
+    corpus re-partitioned arbitrarily must produce the identical chunk
+    set (no partition-boundary or ordering dependence)."""
+    from serverless_etl_spark.operators.training_ext import cdc_chunk
+
+    rng = random.Random(3)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(1000)}" for _ in range(rng.randrange(20, 200))))
+        for i in range(50)
+    ]
+    df1 = spark.createDataFrame(docs, "doc_id long, text string").repartition(1)
+    df2 = spark.createDataFrame(docs, "doc_id long, text string").repartition(17, "text")
+    key = lambda r: (r["doc_id"], r["chunk_no"], r["chunk_digest"], r["n_words"])
+    a = sorted(map(key, cdc_chunk(df1).collect()))
+    b = sorted(map(key, cdc_chunk(df2).collect()))
+    assert a == b

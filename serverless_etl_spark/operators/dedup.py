@@ -100,7 +100,7 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_band_sql() -> str:
+def _minhash_band_sql(src: str = "sig") -> tuple[str, str]:
     # one md5 per shingle; minhash_i = min over shingles of hex chars
     # [4i, 4i+4) of that digest (8 disjoint 16-bit slices = 8 hashes)
     sigs = ",\n               ".join(
@@ -110,7 +110,7 @@ def _minhash_band_sql() -> str:
     bands = []
     for b in range(N_MINHASH // BAND_SIZE):
         cols = " || '|' || ".join(f"mh{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))
-        bands.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig")
+        bands.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM {src}")
     return sigs, "\n        UNION ALL\n        ".join(bands)
 
 
@@ -168,30 +168,16 @@ def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(corpus).orderBy("doc_a", "doc_b")
 
 
-def minhash_lsh_pairs(
+def _minhash_bands(
     corpus: DataFrame,
     n_minhash: int = N_MINHASH,
     band_size: int = BAND_SIZE,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """(doc_id, text) → verified near-duplicate pairs
-    (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
-
-    Tune (n_minhash, band_size) to the recall target: collision
-    probability for a pair at similarity s is 1-(1-s^band_size)^n_bands.
-
-    Scale: the self-join is on (band_id, band_hash) — only colliding
-    docs meet, never the n² cross product; candidate verification joins
-    shingle sets back by doc_id. At 100 TB the band join is the one
-    shuffle that matters and its keys are uniform md5 buckets (no skew).
-    Cost: ONE md5 per shingle per 8 signature slots — the minhash
-    values are disjoint 4-hex-char (16-bit) slices of the digest
-    (signatures past 8 add salted digests 8 slots at a time), so the
-    signature stage is hash-bound at 1/8th the naive k-salted-hash
-    cost. The shingle table feeds signature building AND both sides of
-    the verification join, so it is persisted MEMORY_AND_DISK — spills
-    instead of OOMing on a big corpus (checkpoint() at cluster scale).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, text) → (persisted shingle table, LSH band table
+    (doc_id, band_id, band_hash)). The shared signature machinery of
+    the batch self-join (minhash_lsh_pairs) and the incremental probe
+    (incremental_lsh_probe) — at cluster scale the band table is the
+    PERSISTED INDEX a pipeline maintains across runs."""
     from pyspark import StorageLevel
 
     if n_minhash % band_size:
@@ -217,6 +203,7 @@ def minhash_lsh_pairs(
         F.transform(F.col("shingles"), _digest(j)).alias(f"hs{j}")
         for j in range(n_digests)
     ]
+
     def _slice(o: int):
         # NB: must be a ONE-arg lambda — F.transform treats a second
         # parameter as the array index, clobbering a default argument
@@ -241,6 +228,34 @@ def minhash_lsh_pairs(
     bands = band_rows[0]
     for br in band_rows[1:]:
         bands = bands.unionByName(br)
+    return sh, bands
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n_minhash: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, text) → verified near-duplicate pairs
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    Tune (n_minhash, band_size) to the recall target: collision
+    probability for a pair at similarity s is 1-(1-s^band_size)^n_bands.
+
+    Scale: the self-join is on (band_id, band_hash) — only colliding
+    docs meet, never the n² cross product; candidate verification joins
+    shingle sets back by doc_id. At 100 TB the band join is the one
+    shuffle that matters and its keys are uniform md5 buckets (no skew).
+    Cost: ONE md5 per shingle per 8 signature slots — the minhash
+    values are disjoint 4-hex-char (16-bit) slices of the digest
+    (signatures past 8 add salted digests 8 slots at a time), so the
+    signature stage is hash-bound at 1/8th the naive k-salted-hash
+    cost. The shingle table feeds signature building AND both sides of
+    the verification join, so it is persisted MEMORY_AND_DISK — spills
+    instead of OOMing on a big corpus (checkpoint() at cluster scale).
+    """
+    sh, bands = _minhash_bands(corpus, n_minhash, band_size)
 
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
@@ -765,3 +780,141 @@ def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_digests"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q125 — incremental LSH probe: new batch vs a persisted band index
+# --------------------------------------------------------------------------
+
+_IDX_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3"
+_NEWB_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' extratoken' AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 4000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 6
+"""
+
+_BANDS_I_SQL = _minhash_band_sql("sig_i")[1]
+_BANDS_N_SQL = _minhash_band_sql("sig_n")[1]
+
+
+def incremental_lsh_probe(
+    index_corpus: DataFrame,
+    new_corpus: DataFrame,
+    n_minhash: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a NEW document batch against an existing corpus's LSH band
+    index: (new_id, idx_id, jaccard) for every verified near-duplicate
+    of an already-indexed document. The incremental form of
+    minhash_lsh_pairs — per ingest cycle only the new batch is
+    shingled/hashed, and the join is new-bands ⋈ index-bands instead of
+    a corpus self-join, so each cycle costs O(|new| + collisions), not
+    O(|corpus|).
+
+    Scale: at 100 TB the index side is a persisted table keyed
+    (band_id, band_hash) — bucketing it on band_hash makes the probe a
+    co-located join with zero index-side shuffle; appending the new
+    batch's bands to the index afterwards maintains it incrementally
+    (union = the whole maintenance operation; MinHash signatures need
+    no retrain)."""
+    sh_i, bands_i = _minhash_bands(index_corpus, n_minhash, band_size)
+    sh_n, bands_n = _minhash_bands(new_corpus, n_minhash, band_size)
+    cand = (
+        bands_n.select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
+        .join(
+            bands_i.select(F.col("doc_id").alias("idx_id"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    sn = sh_n.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
+    si = sh_i.select(F.col("doc_id").alias("idx_id"), F.col("shingles").alias("sh_i"))
+    sized = (
+        cand.join(sn, "new_id")
+        .join(si, "idx_id")
+        .select(
+            "new_id",
+            "idx_id",
+            F.size(F.array_intersect("sh_n", "sh_i")).cast("double").alias("n_inter"),
+            (F.size("sh_n") + F.size("sh_i")).alias("n_total"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
+    return (
+        sized.filter(jac >= threshold)
+        .select("new_id", "idx_id", trunc(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q125_incremental_lsh",
+    oracle=f"""
+    WITH idx AS ({_IDX_SQL}),
+    newb AS ({_NEWB_SQL}),
+    sh_i AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM idx),
+    sig_i AS (
+        SELECT doc_id,
+               {_SIGS_SQL}
+        FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh_i)
+    ),
+    bands_i AS (
+        {_BANDS_I_SQL}
+    ),
+    sh_n AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM newb),
+    sig_n AS (
+        SELECT doc_id,
+               {_SIGS_SQL}
+        FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh_n)
+    ),
+    bands_n AS (
+        {_BANDS_N_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+        FROM bands_n n JOIN bands_i i
+          ON n.band_id = i.band_id AND n.band_hash = i.band_hash
+    )
+    SELECT new_id, idx_id,
+           FLOOR((CAST(len(list_filter(sn.shingles, x -> list_contains(si.shingles, x)))
+                      AS DOUBLE)
+                 / (len(sn.shingles) + len(si.shingles)
+                    - len(list_filter(sn.shingles, x -> list_contains(si.shingles, x))))) * 10000) / 10000
+               AS jaccard
+    FROM cand
+    JOIN sh_n sn ON sn.doc_id = new_id
+    JOIN sh_i si ON si.doc_id = idx_id
+    WHERE CAST(len(list_filter(sn.shingles, x -> list_contains(si.shingles, x))) AS DOUBLE)
+          / (len(sn.shingles) + len(si.shingles)
+             - len(list_filter(sn.shingles, x -> list_contains(si.shingles, x)))) >= 0.5
+    ORDER BY new_id, idx_id
+    """,
+)
+def q125_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening of an ingest batch against the
+    indexed corpus (see incremental_lsh_probe). The new batch carries a
+    fresh slice, an exact clone of an indexed doc, and a one-token
+    near-dup — the cases an ingest gate must catch without re-hashing
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = docs.filter(F.col("doc_id") % 10 != 3)
+    newb = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_lsh_probe(idx, newb).orderBy("new_id", "idx_id")

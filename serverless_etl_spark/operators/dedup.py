@@ -824,6 +824,19 @@ def incremental_lsh_probe(
     no retrain)."""
     sh_i, bands_i = _minhash_bands(index_corpus, n_minhash, band_size)
     sh_n, bands_n = _minhash_bands(new_corpus, n_minhash, band_size)
+    return probe_bands(sh_n, bands_n, sh_i, bands_i, threshold)
+
+
+def probe_bands(
+    sh_n: DataFrame,
+    bands_n: DataFrame,
+    sh_i: DataFrame,
+    bands_i: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Band-level probe: a batch's (shingles, bands) against a STORED
+    index's (shingles, bands) — the form the streaming gate uses, where
+    the index side is a persisted table, not a recomputed corpus."""
     cand = (
         bands_n.select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
         .join(

@@ -1,0 +1,109 @@
+"""Streaming near-duplicate ingest gate: every micro-batch of incoming
+documents is probed against a PERSISTED MinHash/LSH band index, verified
+near-dup pairs land in a flagged table, and the batch's own bands join
+the index — so the index grows with the corpus and each cycle costs
+O(|batch| + collisions), never a corpus re-hash.
+
+This is the streaming composition of operators/dedup.py's incremental
+probe (q125): the batch machinery is identical (`_minhash_bands` +
+`probe_bands`); this module adds the foreachBatch choreography, the
+index's storage layout, and replay idempotence.
+
+Replay idempotence (ST5): every output is partitioned by batch_id and
+written with DYNAMIC partition overwrite — a replayed micro-batch
+overwrites its own partition instead of appending duplicates, so
+at-least-once delivery upstream still yields exactly-once tables.
+
+Scale: the index is two parquet tables (bands keyed (band_id,
+band_hash), shingles keyed doc_id). At 100 TB bucket both
+(io.write_bucketed) on their join keys: the probe becomes a co-located
+join with zero index-side shuffle, and index maintenance stays a blind
+append. The flagged table is collision-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _minhash_bands, probe_bands
+
+_EMPTY_BANDS = "doc_id long, band_id int, band_hash string"
+_EMPTY_SHINGLES = "doc_id long, shingles array<string>"
+_FLAGGED_SCHEMA = "new_id long, idx_id long, jaccard double, batch_id long"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Plain read when the table exists (schema + partition columns come
+    from the files); typed empty frame before the first batch creates it."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # first batch: table does not exist yet
+        return spark.createDataFrame([], schema)
+
+
+def read_flagged(spark: SparkSession, flagged_dir: str) -> DataFrame:
+    """The gate's output table — empty-but-typed before any batch has
+    flagged anything (an empty parquet dir has no schema to infer)."""
+    return _read_or_empty(spark, flagged_dir, _FLAGGED_SCHEMA)
+
+
+def _dynamic_overwrite(df: DataFrame, path: str) -> None:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def gate_batch_writer(index_dir: str, flagged_dir: str, threshold: float = 0.5):
+    """foreachBatch hook. Incoming micro-batch schema: (doc_id, text)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sh_n, bands_n = _minhash_bands(batch.select("doc_id", "text"))
+        sh_i = _read_or_empty(spark, f"{index_dir}/shingles", _EMPTY_SHINGLES)
+        bands_i = _read_or_empty(spark, f"{index_dir}/bands", _EMPTY_BANDS)
+        flagged = probe_bands(sh_n, bands_n, sh_i, bands_i, threshold)
+        _dynamic_overwrite(
+            flagged.withColumn("batch_id", F.lit(batch_id)), flagged_dir
+        )
+        # maintain the index AFTER probing: a batch never collides with
+        # itself here (intra-batch dups are minhash_lsh_pairs territory)
+        _dynamic_overwrite(
+            bands_n.withColumn("batch_id", F.lit(batch_id)), f"{index_dir}/bands"
+        )
+        _dynamic_overwrite(
+            sh_n.withColumn("batch_id", F.lit(batch_id)), f"{index_dir}/shingles"
+        )
+        sh_n.unpersist()
+
+    return _write
+
+
+def run_neardup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    flagged_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available source files (availableNow) through the gate.
+    Source schema: JSON lines of {doc_id, text}."""
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            gate_batch_writer(index_dir, flagged_dir, threshold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

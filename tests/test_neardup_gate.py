@@ -1,0 +1,93 @@
+"""Streaming near-dup ingest gate (streaming/neardup_gate.py): batches
+probe a persisted LSH index, flagged pairs match the batch operator's
+verdicts, the index grows incrementally, and replays are idempotent."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.streaming.neardup_gate import read_flagged, run_neardup_gate
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def _doc(doc_id: int, text: str) -> str:
+    return json.dumps({"doc_id": doc_id, "text": text})
+
+
+def test_gate_flags_cross_batch_dups_and_is_replay_idempotent(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    flagged_dir = str(tmp_path / "flagged")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two distinct docs → index seeds, nothing to flag
+    (src / "b1.json").write_text(
+        "\n".join([_doc(1, BASE), _doc(2, "totally different words " * 5)])
+    )
+    run_neardup_gate(spark, str(src), index_dir, flagged_dir, ckpt,
+                     max_files_per_trigger=1)
+    flagged = read_flagged(spark, flagged_dir)
+    assert flagged.count() == 0
+    assert spark.read.parquet(f"{index_dir}/bands").select("doc_id").distinct().count() == 2
+
+    # batch 2: an exact clone of doc 1 and a one-token near-dup → both flagged
+    (src / "b2.json").write_text(
+        "\n".join([_doc(10, BASE), _doc(11, BASE + " extratoken")])
+    )
+    run_neardup_gate(spark, str(src), index_dir, flagged_dir, ckpt,
+                     max_files_per_trigger=1)
+    flagged = read_flagged(spark, flagged_dir)
+    rows = {(r["new_id"], r["idx_id"]) for r in flagged.collect()}
+    assert (10, 1) in rows, rows
+    assert (11, 1) in rows, rows
+    exact = {r["new_id"]: r["jaccard"] for r in flagged.collect()}
+    assert exact[10] == 1.0  # exact clone
+    assert 0.5 <= exact[11] < 1.0  # near-dup
+    # the index now holds all four docs' bands
+    assert spark.read.parquet(f"{index_dir}/bands").select("doc_id").distinct().count() == 4
+
+    # replay: re-running with the same checkpoint must change NOTHING
+    before_flagged = sorted(map(tuple, read_flagged(spark, flagged_dir).collect()))
+    before_bands = spark.read.parquet(f"{index_dir}/bands").count()
+    run_neardup_gate(spark, str(src), index_dir, flagged_dir, ckpt,
+                     max_files_per_trigger=1)
+    assert sorted(map(tuple, read_flagged(spark, flagged_dir).collect())) == before_flagged
+    assert spark.read.parquet(f"{index_dir}/bands").count() == before_bands
+
+
+def test_gate_matches_batch_operator_verdicts(spark, tmp_path):
+    """The streaming gate's flagged pairs must equal the batch
+    incremental probe's output for the same (index, new batch) split."""
+    from serverless_etl_spark.operators.dedup import incremental_lsh_probe
+
+    idx_docs = [(i, f"{BASE} suffix{i}") for i in range(5)]
+    new_docs = [(100, f"{BASE} suffix3"), (101, "unrelated content entirely")]
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_doc(i, t) for i, t in idx_docs))
+    (src / "b2.json").write_text("\n".join(_doc(i, t) for i, t in new_docs))
+    index_dir, flagged_dir, ckpt = (
+        str(tmp_path / "idx2"), str(tmp_path / "fl2"), str(tmp_path / "ck2"),
+    )
+    run_neardup_gate(spark, str(src), index_dir, flagged_dir, ckpt,
+                     max_files_per_trigger=1)
+    got = {
+        (r["new_id"], r["idx_id"], r["jaccard"])
+        for r in read_flagged(spark, flagged_dir).collect()
+    }
+
+    idx_df = spark.createDataFrame(idx_docs, "doc_id long, text string")
+    new_df = spark.createDataFrame(new_docs, "doc_id long, text string")
+    want = {
+        (r["new_id"], r["idx_id"], r["jaccard"])
+        for r in incremental_lsh_probe(idx_df, new_df).collect()
+    }
+    assert got == want and (100, 3, 1.0) in want

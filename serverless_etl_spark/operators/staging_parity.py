@@ -22,8 +22,9 @@ _SENT = sentiment_sql_exprs(
     "list_filter(string_split(text_clean, ' '), x -> x <> '')"
 )
 
-_ORACLE = r"""
-    WITH tw AS (
+#: the synthetic-tweets + landing-rows CTE pair (≙ sources/tweets.py's
+#: landing_rows) — shared by every tweet-domain oracle in this module
+_LANDING_SQL = r"""tw AS (
         SELECT strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS created,
                CAST(e.event_id AS VARCHAR) AS tweet_id,
                'user_' || CAST(e.user_id AS VARCHAR) AS user_name,
@@ -47,7 +48,10 @@ _ORACLE = r"""
         SELECT lpad(tweet_id, 12, '0'), ts, created, tweet_id, user_name,
                rt_count, hashtags, text
         FROM tw WHERE event_id % 20 = 0
-    ),
+    )"""
+
+_ORACLE = r"""
+    WITH __LANDING__,
     filtered AS (
         SELECT * FROM landing
         WHERE rt_count > 99 AND hashtags <> '' AND text <> ''
@@ -89,7 +93,8 @@ _ORACLE = r"""
 
 
 _ORACLE = (
-    _ORACLE.replace("__POL_LIST__", _SENT["pol_list"])
+    _ORACLE.replace("__LANDING__", _LANDING_SQL)
+    .replace("__POL_LIST__", _SENT["pol_list"])
     .replace("__SUB_LIST__", _SENT["sub_list"])
     .replace("__POLARITY__", _SENT["polarity"])
     .replace("__SUBJECTIVITY__", _SENT["subjectivity"])
@@ -107,3 +112,41 @@ def q70_staging_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rt_count") > 99) & (F.col("hashtags") != "") & (F.col("text") != "")
     )
     return transform_landing(landing, use_sha1=False)
+
+
+_TRENDING_ORACLE = r"""
+    WITH __LANDING__,
+    exploded AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(created AS TIMESTAMP))
+                   AS win_start,
+               unnest(string_split(hashtags, ' ')) AS hashtag
+        FROM landing
+    ),
+    counts AS (
+        SELECT win_start, hashtag, COUNT(*) AS n
+        FROM exploded WHERE hashtag <> ''
+        GROUP BY win_start, hashtag
+    )
+    SELECT win_start, hashtag, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+                ORDER BY n DESC, hashtag) AS INT) AS rk
+    FROM counts
+    QUALIFY rk <= 5
+    ORDER BY win_start, rk
+""".replace("__LANDING__", _LANDING_SQL)
+
+
+@register("q126_trending_hashtags", oracle=_TRENDING_ORACLE)
+def q126_trending_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE tweet-domain analytic the reference's analytical layer
+    existed to serve: top-5 hashtags per event-time hour. The batch
+    form of streaming/ingest.trending_hashtags — the streaming twin
+    runs the identical windowed count with a watermark
+    (tests/test_streaming.py pins stream≡batch).
+
+    Scale: explode map-side; windowed count partial-aggs; per-window
+    top-k compiles to WindowGroupLimit so map tasks pre-prune."""
+    from ..streaming.ingest import trending_hashtags
+
+    tweets = landing_rows(spark, sf_dir)
+    return trending_hashtags(tweets).orderBy("win_start", "rk")

@@ -156,3 +156,51 @@ def read_tweet_stream_kafka(
         .load()
     )
     return parse_kafka_tweets(raw)
+
+
+def trending_hashtags(
+    tweets: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    top_k: int = 5,
+) -> DataFrame:
+    """ST6/T1 — THE tweet-domain streaming analytic: per event-time
+    window, the top-k hashtags by tweet count. Works on a stream
+    (windowed state + watermark GC) and, unchanged, on a batch frame
+    (the window function is the same column expression) — callers of
+    the streaming form rank in the sink (foreachBatch/complete-mode
+    consumers), because rank-over-window isn't incrementally
+    maintainable; the batch form ranks here.
+
+    Input: TWEET_STREAM columns (`created` event time, space-separated
+    `hashtags`). Output (batch): (win_start, hashtag, n, rk ≤ top_k).
+
+    Scale: explode is map-side; the windowed count partial-aggs before
+    its shuffle; the rank's per-window top-k compiles to
+    WindowGroupLimit in batch mode, so map tasks pre-prune to local
+    top-k."""
+    from pyspark.sql.window import Window as W
+
+    ts = F.to_timestamp("created")
+    exploded = (
+        tweets.withColumn("_ts", ts)
+        .withColumn("hashtag", F.explode(F.split("hashtags", " ")))
+        .filter(F.col("hashtag") != "")
+    )
+    if tweets.isStreaming:
+        counts = (
+            exploded.withWatermark("_ts", watermark)
+            .groupBy(F.window("_ts", window).alias("w"), "hashtag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "hashtag", "n")
+        )
+        return counts  # rank in the sink (see docstring)
+    counts = (
+        exploded.groupBy(F.window("_ts", window).alias("w"), "hashtag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "hashtag", "n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("win_start").orderBy(F.desc("n"), "hashtag")
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= top_k)

@@ -248,3 +248,46 @@ def test_parse_kafka_tweets_quarantines_malformed(spark):
     parsed = parse_kafka_tweets(bad)
     assert parsed.count() == 1  # row survives the parse...
     assert ingest_filter(parsed).count() == 0  # ...and dies at the filter
+
+
+def test_trending_hashtags_stream_matches_batch(spark, source_dir, tmp_path_factory):
+    """The streaming windowed counts, ranked in the sink, equal the
+    batch form of trending_hashtags over the same closed input."""
+    from serverless_etl_spark.schemas import TWEET_STREAM
+    from serverless_etl_spark.streaming.ingest import trending_hashtags
+
+    batch_df = spark.read.schema(TWEET_STREAM).json(source_dir)
+    want = {
+        (r["win_start"], r["hashtag"], r["n"], r["rk"])
+        for r in trending_hashtags(batch_df).collect()
+    }
+    assert want, "fixture should produce trending rows"
+    # duplicate record 1 contributes twice — counts are per tweet row
+    by_tag = {(r[1]): r[2] for r in want}
+    assert by_tag["spark"] == 2 and by_tag["etl"] == 2
+
+    stream = spark.readStream.schema(TWEET_STREAM).json(source_dir)
+    counts = trending_hashtags(stream)
+    out = tmp_path_factory.mktemp("trend_out")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend_counts")
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", str(tmp_path_factory.mktemp("trend_ckpt"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_counts = spark.table("trend_counts")
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("win_start").orderBy(F.desc("n"), "hashtag")
+    )
+    got = {
+        (r["win_start"], r["hashtag"], r["n"], r["rk"])
+        for r in got_counts.withColumn("rk", rk).filter(F.col("rk") <= 5).collect()
+    }
+    assert got == want

@@ -812,3 +812,85 @@ def q121_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q127_ks_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN event_type IN ('click', 'view') THEN 'a' ELSE 'b' END AS grp
+        FROM events
+    ),
+    sized AS (
+        SELECT COUNT(*) FILTER (grp = 'a') AS n_a,
+               COUNT(*) FILTER (grp = 'b') AS n_b
+        FROM tagged
+    ),
+    ecdf AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+                    OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+                    OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c_b
+        FROM tagged
+    ),
+    steps AS (
+        SELECT value, MAX(c_a) AS c_a, MAX(c_b) AS c_b
+        FROM ecdf GROUP BY value
+    )
+    SELECT n_a, n_b,
+           FLOOR(MAX(ABS(c_a / n_a - c_b / n_b)) * 1000000) / 1000000 AS ks_stat
+    FROM steps, sized
+    GROUP BY n_a, n_b
+    """,
+)
+def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two event
+    populations (interaction events vs the rest): max vertical distance
+    between the empirical CDFs of `value`. The distribution-drift
+    monitor a production feature pipeline runs between snapshots —
+    pure counts and one division, no transcendental, so both engines
+    agree to the last truncated digit.
+
+    Scale: the exact form global-sorts values (same posture as q109's
+    exact ntile — a deliberate oracle-able twin); at 100 TB swap the
+    ECDF evaluation onto equi-width or approx-percentile bins, which
+    turns the sort into one histogram aggregation per side with the
+    same max-|ΔF| reduction. Ties are handled by taking the step
+    function's value AFTER each tie group (MAX per value), which is
+    the correct right-continuous ECDF."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value",
+        F.when(F.col("event_type").isin("click", "view"), "a")
+        .otherwise("b")
+        .alias("grp"),
+    )
+    sized = tagged.agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = tagged.select(
+        "value",
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).over(w).cast("double").alias("c_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).over(w).cast("double").alias("c_b"),
+    )
+    steps = ecdf.groupBy("value").agg(
+        F.max("c_a").alias("c_a"), F.max("c_b").alias("c_b")
+    )
+    return (
+        steps.crossJoin(F.broadcast(sized))
+        .groupBy("n_a", "n_b")
+        .agg(
+            trunc(
+                F.max(F.abs(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))),
+                6,
+            ).alias("ks_stat")
+        )
+    )

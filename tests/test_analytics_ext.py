@@ -105,3 +105,48 @@ def test_approx_quantiles_within_error_bound(spark, duck):
             assert abs(approx - true) <= 0.01 * abs(true), (
                 f"{status}: approx {approx} vs exact {true}"
             )
+
+
+def test_ks_drift_detects_shift_and_identity(spark):
+    """KS sanity: identical samples → statistic 0; disjoint ranges →
+    statistic 1 (computed through the same window/step machinery as
+    q127, over in-memory frames)."""
+    from pyspark.sql import Window
+    from serverless_etl_spark.functions.numeric import trunc
+
+    def ks(rows):
+        df = spark.createDataFrame(rows, "value double, grp string")
+        sized = df.agg(
+            F.count(F.when(F.col("grp") == "a", 1)).alias("n_a"),
+            F.count(F.when(F.col("grp") == "b", 1)).alias("n_b"),
+        )
+        w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+        ecdf = df.select(
+            "value",
+            F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).over(w)
+            .cast("double").alias("c_a"),
+            F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).over(w)
+            .cast("double").alias("c_b"),
+        )
+        steps = ecdf.groupBy("value").agg(
+            F.max("c_a").alias("c_a"), F.max("c_b").alias("c_b")
+        )
+        return (
+            steps.crossJoin(F.broadcast(sized))
+            .agg(
+                trunc(
+                    F.max(
+                        F.abs(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))
+                    ),
+                    6,
+                ).alias("ks")
+            )
+            .collect()[0]["ks"]
+        )
+
+    same = [(float(i % 50), g) for i in range(200) for g in ("a", "b")]
+    assert ks(same) == 0.0
+    disjoint = [(float(i), "a") for i in range(100)] + [
+        (float(i + 1000), "b") for i in range(100)
+    ]
+    assert ks(disjoint) == 1.0

@@ -57,7 +57,10 @@ def main() -> None:
     names = registry.BENCH_QUERIES or sorted(registry.QUERIES)
     # one warmup pass to amortize JVM/codegen startup out of q1's time
     registry.QUERIES[names[0]](spark, SF_DIR).count()
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # best-of-3: single-JVM timings at sf0.1 swing ~40% run-to-run (GC,
+    # codegen churn); three cold-cache iterations make the min stable
+    # without warming any cache into the measurement
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
     timings: dict[str, float] = {}
     full_timings: dict[str, float] = {}

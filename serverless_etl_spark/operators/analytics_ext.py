@@ -894,3 +894,87 @@ def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat")
         )
     )
+
+
+@register(
+    "q128_gini_diversity",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    per_user AS (
+        SELECT user_id, SUM(n) AS n_events,
+               SUM(CAST(n AS DOUBLE) * n) AS sum_sq
+        FROM per_type GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           FLOOR((1 - sum_sq / (CAST(n_events AS DOUBLE) * n_events)) * 1000000)
+               / 1000000 AS gini
+    FROM per_user
+    ORDER BY user_id
+    """,
+)
+def q128_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score per user: Gini impurity of their
+    event-type mix (1 − Σ pᵢ²). The entropy-style segmentation feature
+    computed WITHOUT a logarithm — Σn², n² and the division are exact
+    integer/IEEE ops, so both engines agree to the last truncated
+    digit (libm log is not bit-portable; same trick as q107's lift).
+
+    Scale: two nested partial-agg groupBys — (user, type) then user —
+    both map-side combinable; nothing but counts ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("sum_sq"),
+    )
+    gini = 1 - F.col("sum_sq") / (F.col("n_events").cast("double") * F.col("n_events"))
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        trunc(gini, 6).alias("gini"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q129_minmax_scale",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           FLOOR(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) ELSE 0.5 END
+                 * 1000000) / 1000000 AS scaled
+    FROM events e JOIN bounds USING (event_type)
+    ORDER BY event_id
+    """,
+)
+def q129_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling: value → [0, 1] within its
+    event type (constant groups pin to 0.5). The feature-engineering
+    normalization step, computed the scale-correct way: per-group
+    bounds are a tiny aggregate broadcast BACK onto the stream — the
+    fact table is scanned once and never shuffled for the transform
+    (same recipe as q103's winsorize bounds).
+
+    Scale: |event_type| rows of bounds broadcast; the scaling itself is
+    a map-side projection inside whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    scaled = (
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        )
+        .otherwise(0.5)
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_id", "event_type", trunc(scaled, 6).alias("scaled"))
+        .orderBy("event_id")
+    )

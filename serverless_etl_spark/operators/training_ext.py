@@ -148,17 +148,21 @@ def q114_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM words a JOIN words b
           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     ),
-    uni AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
-    bi  AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS k
+        FROM bigrams GROUP BY doc_id, w1, w2
+    ),
+    bi  AS (SELECT w1, w2, SUM(k) AS c12 FROM doc_bi GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(k) AS c1 FROM doc_bi GROUP BY w1),
     scored AS (
-        SELECT g.doc_id,
+        SELECT g.doc_id, g.k,
                CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
-        FROM bigrams g JOIN bi USING (w1, w2) JOIN uni USING (w1)
+        FROM doc_bi g JOIN bi USING (w1, w2) JOIN uni USING (w1)
     )
     SELECT doc_id,
-           COUNT(*) AS n_bigrams,
-           FLOOR(AVG(p) * 1000000) / 1000000    AS mean_p,
-           FLOOR(MIN(p) * 1000000) / 1000000    AS min_p
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           FLOOR(SUM(k * p) / SUM(k) * 1000000) / 1000000 AS mean_p,
+           FLOOR(MIN(p) * 1000000) / 1000000              AS min_p
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -194,20 +198,33 @@ def q115_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # collapse to per-doc bigram COUNTS first and persist THAT: doc_bi
+    # is the distinct (doc, bigram) table — far smaller than the raw
+    # pair stream — and it feeds all three consumers (global bigram
+    # table, unigram table, scoring join), so persisting it caps the
+    # corpus at ONE scan+tokenize. (Persisting the raw pairs instead
+    # measured slower than recompute; the aggregate is the right
+    # materialization grain.) mean over instances = Σ k·p / Σ k.
+    from pyspark import StorageLevel
+
+    doc_bi = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    uni = doc_bi.groupBy("w1").agg(F.sum("k").alias("c1"))
+    p = F.col("c12").cast("double") / F.col("c1").cast("double")
     scored = (
-        pairs.join(bi, ["w1", "w2"])
+        doc_bi.join(bi, ["w1", "w2"])
         .join(uni, "w1")
-        .select(
-            "doc_id", (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p")
-        )
+        .select("doc_id", "k", p.alias("p"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            trunc(F.avg("p"), 6).alias("mean_p"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            trunc(F.sum(F.col("k") * F.col("p")) / F.sum("k"), 6).alias("mean_p"),
             trunc(F.min("p"), 6).alias("min_p"),
         )
         .orderBy("doc_id")

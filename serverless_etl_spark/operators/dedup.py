@@ -770,7 +770,15 @@ def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("mirror").alias("source"), "text"
         )
     )
-    digests = corpus.select("source", F.md5("text").alias("digest")).distinct()
+    # persist the digest table: it is both sides of the pair join, and
+    # without the persist each side re-scans (and re-hashes) the corpus
+    from pyspark import StorageLevel
+
+    digests = (
+        corpus.select("source", F.md5("text").alias("digest"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = digests.select(F.col("source").alias("source_a"), "digest")
     b = digests.select(F.col("source").alias("source_b"), "digest")
     return (

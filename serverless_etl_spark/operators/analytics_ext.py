@@ -978,3 +978,67 @@ def q129_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", trunc(scaled, 6).alias("scaled"))
         .orderBy("event_id")
     )
+
+
+COOC_MIN_SUPPORT = 10
+
+
+@register(
+    "q131_cooccurrence",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM baskets),
+    pairs AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               COUNT(*) AS support
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        HAVING COUNT(*) >= {COOC_MIN_SUPPORT}
+    )
+    SELECT item_a, item_b, support,
+           FLOOR(CAST(support AS DOUBLE) / nu * 1000000) / 1000000
+               AS support_frac
+    FROM pairs, n_users
+    ORDER BY item_a, item_b
+    """,
+)
+def q131_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, pair level (the support-counting core of
+    market-basket / Apriori): which event types co-occur within a
+    user's history, with support as an exact user-count fraction. The
+    feature-cross discovery op for behavioral models.
+
+    Scale: the basket table is the DISTINCT (user, item) projection —
+    one shuffle; the pair join is per-user (baskets are small: |item
+    vocabulary| per user, not events), so the blowup is bounded by
+    Σ|basket|², never corpus². The min-support HAVING prunes the long
+    tail before anything leaves the aggregation. A k-itemset
+    generalization iterates this join on the surviving pairs —
+    classic Apriori pruning, each round support-filtered."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    nu = baskets.agg(F.countDistinct("user_id").alias("nu"))
+    a = baskets.select("user_id", F.col("event_type").alias("item_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= COOC_MIN_SUPPORT)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nu))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            trunc(F.col("support").cast("double") / F.col("nu"), 6).alias(
+                "support_frac"
+            ),
+        )
+        .orderBy("item_a", "item_b")
+    )

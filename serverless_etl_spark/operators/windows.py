@@ -581,3 +581,62 @@ def q119_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q130_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    totals AS (
+        SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY from_type
+    )
+    SELECT from_type, to_type, n,
+           FLOOR(CAST(n AS DOUBLE) / n_from * 1000000) / 1000000 AS p
+    FROM trans JOIN totals USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q130_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov model: P(next event type | current)
+    per user-ordered event stream — the transition matrix behind churn
+    prediction and next-action features. Probabilities are pure count
+    ratios (exact across engines); ties in event time break on
+    event_id so the sequence is deterministic.
+
+    Scale: the lead() windows WITHIN each user's partition (the same
+    per-key ordering shuffle every sessionization op pays — q76 shares
+    it); transitions then collapse to a |types|² matrix map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = (
+        ordered.select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            trunc(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "q116_hard_negatives",    # exact baseline: 8 query vectors broadcast (q50 twin)
     "q120_ann_recall",        # evaluates q50's exact baseline → inherits its BNLJ
     "q127_ks_drift",          # one-row (n_a, n_b) size aggregate broadcast
+    "q131_cooccurrence",      # one-row user-count broadcast
 }
 
 

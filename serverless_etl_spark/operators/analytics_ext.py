@@ -1042,3 +1042,128 @@ def q131_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+@register(
+    "q132_ab_conversion",
+    oracle="""
+    WITH assignment AS (
+        SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    converted AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_variant AS (
+        SELECT variant,
+               COUNT(*) AS n_users,
+               COUNT(c.user_id) AS n_converted
+        FROM assignment a LEFT JOIN converted c USING (user_id)
+        GROUP BY variant
+    )
+    SELECT MAX(CASE WHEN variant = 0 THEN n_users END)      AS users_control,
+           MAX(CASE WHEN variant = 1 THEN n_users END)      AS users_treatment,
+           MAX(CASE WHEN variant = 0 THEN n_converted END)  AS conv_control,
+           MAX(CASE WHEN variant = 1 THEN n_converted END)  AS conv_treatment,
+           FLOOR(MAX(CASE WHEN variant = 0 THEN
+                 CAST(n_converted AS DOUBLE) / n_users END) * 1000000) / 1000000
+               AS rate_control,
+           FLOOR(MAX(CASE WHEN variant = 1 THEN
+                 CAST(n_converted AS DOUBLE) / n_users END) * 1000000) / 1000000
+               AS rate_treatment,
+           FLOOR((MAX(CASE WHEN variant = 1 THEN
+                  CAST(n_converted AS DOUBLE) / n_users END)
+                - MAX(CASE WHEN variant = 0 THEN
+                  CAST(n_converted AS DOUBLE) / n_users END)) * 1000000) / 1000000
+               AS abs_lift
+    FROM per_variant
+    """,
+)
+def q132_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: A/B conversion readout. Deterministic
+    hash assignment (user_id parity stands in for the experiment
+    bucketing hash — q58's md5 split is the production form),
+    conversion = any purchase event, lift = exact rate difference. The
+    one-pass report every experiment platform materializes; rates are
+    integer-count ratios so both engines agree exactly.
+
+    Scale: assignment and conversion are DISTINCT projections (one
+    user-keyed shuffle each, semi-join shape); the readout collapses to
+    |variants| rows before the final single-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    assignment = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    converted = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    per_variant = (
+        assignment.join(
+            converted.withColumn("_c", F.lit(1)), "user_id", "left"
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("_c").alias("n_converted"),
+        )
+    )
+    rate = F.col("n_converted").cast("double") / F.col("n_users")
+    pv = per_variant.withColumn("rate", rate)
+    ctl = F.max(F.when(F.col("variant") == 0, F.col("rate")))
+    trt = F.max(F.when(F.col("variant") == 1, F.col("rate")))
+    return pv.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("users_control"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("users_treatment"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("conv_control"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("conv_treatment"),
+        trunc(ctl, 6).alias("rate_control"),
+        trunc(trt, 6).alias("rate_treatment"),
+        trunc(trt - ctl, 6).alias("abs_lift"),
+    )
+
+
+@register(
+    "q133_pct_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ),
+    tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(22,2))) AS DOUBLE) AS total FROM rev)
+    SELECT n_name, revenue,
+           FLOOR(revenue / total * 1000000) / 1000000 AS pct_of_total
+    FROM rev, tot
+    ORDER BY n_name
+    """,
+)
+def q133_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent-of-total contribution): each nation's
+    revenue share of the whole book — the BI staple behind every
+    treemap and pareto chart. Sums are DECIMAL-exact (addition-order-
+    free) so the shares hash identically across engines.
+
+    Scale: the grouped revenue is one partial-agg shuffle; the total is
+    a one-row aggregate OF THE |nations|-row result (not a second pass
+    over orders) broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    )
+    tot = rev.agg(dsum("revenue", scale=2).alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "revenue",
+            trunc(F.col("revenue") / F.col("total"), 6).alias("pct_of_total"),
+        )
+        .orderBy("n_name")
+    )

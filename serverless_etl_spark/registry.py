@@ -68,7 +68,7 @@ _SWEEP_PRIORITY = [
     "q122_k_anonymity", "q123_tokenizer_fertility", "q124_source_overlap",
     "q125_incremental_lsh", "q126_trending_hashtags", "q127_ks_drift",
     "q128_gini_diversity", "q129_minmax_scale", "q130_markov_transitions",
-    "q131_cooccurrence",
+    "q131_cooccurrence", "q132_ab_conversion", "q133_pct_of_total",
     # (d) events-dependent queries whose only green row is r1
     # (pre-fixture-regeneration) — re-prove under today's fixtures
     "q75_incremental_rollup", "q45_salted_join", "q46_salted_agg",

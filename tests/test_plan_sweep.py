@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "q120_ann_recall",        # evaluates q50's exact baseline → inherits its BNLJ
     "q127_ks_drift",          # one-row (n_a, n_b) size aggregate broadcast
     "q131_cooccurrence",      # one-row user-count broadcast
+    "q133_pct_of_total",      # one-row grand-total broadcast
 }
 
 

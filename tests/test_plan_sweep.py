@@ -42,3 +42,37 @@ def test_no_cartesian_and_bnlj_only_where_allowed(spark):
             offenders_bnlj.append(name)
     assert not offenders_cart, f"cartesian products in: {offenders_cart}"
     assert not offenders_bnlj, f"unexpected BNLJ in: {offenders_bnlj}"
+
+
+#: executed-plan parquet-scan budgets for the corpus-heavy queries —
+#: a query that re-scans (and re-tokenizes/re-hashes) the documents or
+#: events table once per consumer regresses silently until something
+#: times out at scale; this pins the audited counts. Budgets are the
+#: audited value (cached-relation definitions reprint their build scan
+#: per reference, so persisted plans count higher than they execute).
+SCAN_BUDGETS = {
+    "q30_flagship_tokens": 1,
+    "q62_tfidf": 3,       # corpus + totals (audited pin)
+    "q114_cdc_chunks": 1,
+    "q115_bigram_lm_score": 6,   # 1 real scan: persisted doc_bi's build
+                                 # plan reprints per consumer reference
+    "q121_kmv_distinct": 1,
+    "q123_tokenizer_fertility": 1,
+    "q128_gini_diversity": 1,
+    "q129_minmax_scale": 2,      # fact + bounds-aggregate scan
+}
+
+
+def test_executed_scan_budgets(spark):
+    import re
+
+    over = {}
+    for name, budget in SCAN_BUDGETS.items():
+        spark.catalog.clearCache()
+        df = registry.QUERIES[name](spark, SF_SMALL)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"Scan parquet", plan))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"scan-budget regressions (got, budget): {over}"

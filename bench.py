@@ -92,6 +92,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # round-3 heavy operators, timed separately so the headline set (and
+    # its locked r1 floor comparison) stays round-comparable
+    extended = [
+        "q114_cdc_chunks",
+        "q115_bigram_lm_score",
+        "q118_star_join",
+        "q125_incremental_lsh",
+        "q126_trending_hashtags",
+        "q127_ks_drift",
+    ]
+    ext_timings: dict[str, float] = {}
+    for name in extended:
+        if name not in registry.QUERIES:
+            continue
+        best = float("inf")
+        for _ in range(iters):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        ext_timings[name] = round(best, 3)
+        print(f"# {name}: {ext_timings[name]:.3f}s (extended)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -100,6 +123,8 @@ def main() -> None:
         "queries": timings,
         "queries_full": full_timings,
         "full_total": round(sum(full_timings.values()), 3),
+        "queries_extended": ext_timings,
+        "extended_total": round(sum(ext_timings.values()), 3),
         "sf": _sf_from_dir(SF_DIR),
     }
     # per-query delta vs the locked round-1 floor (only meaningful at

@@ -7,7 +7,6 @@ names, and order-insensitive values. Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -26,27 +25,23 @@ def normalize(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(r[i] for i in idx))
     return sorted(out, key=repr)
 
 
 def values_close(a, b):
-    """Exact comparison, mirroring the driver's value hash.
+    """BITWISE-exact comparison, mirroring the driver's value hash.
 
     The driver hashes canonicalized values with NO float tolerance, and
     its canonicalization is type-sensitive (round-1 q28: identical
-    values, decimal(28,2) vs DECIMAL(38,2), hash mismatch). So:
+    values, decimal(28,2) vs DECIMAL(38,2), hash mismatch). Round 3
+    proved any slack here is a false promise: q103 passed selfcheck
+    under rel_tol=1e-9 while the driver recorded hash_match=false. The
+    repo's dsum/trunc discipline claims bit parity — hold it to that:
     - a float on one side and a Decimal/int on the other is a FAIL
       (type-category mismatch survives canonicalization),
-    - floats must agree to 9 significant rounding digits (queries are
-      engineered for bit-identical floats via dsum/trunc; 1e-9 slack
-      only forgives repr noise, not real drift).
+    - floats must be BITWISE equal (== on IEEE doubles; no rounding,
+      no isclose).
     """
     if len(a) != len(b):
         return False
@@ -57,7 +52,7 @@ def values_close(a, b):
             if isinstance(u, float) or isinstance(v, float):
                 if not isinstance(u, float) or not isinstance(v, float):
                     return False  # float vs Decimal/int: driver hash differs
-                if u != v and not math.isclose(u, v, rel_tol=1e-9, abs_tol=1e-12):
+                if u != v:
                     return False
             elif type(u) is not type(v):
                 return False

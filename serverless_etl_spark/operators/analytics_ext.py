@@ -333,21 +333,46 @@ def q48_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q49_approx_distinct")
+@register(
+    "q49_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch next to the exact count —
-    rows-only check by design (the sketch estimate is
-    implementation-defined; tests/test_analytics_ext.py pins the
-    relative error ≤ 5%).
+    """HyperLogLog++ distinct-count sketch next to the exact count.
+
+    Oracle design: the raw HLL estimate is implementation-defined (no
+    engine-portable value to hash), so the output carries the exact
+    count (bitwise-reproducible in DuckDB) plus the sketch's accuracy
+    CONTRACT as a boolean — abs(approx − exact) ≤ max(2, 5%·exact),
+    computed from the real approx_count_distinct on the Spark side and
+    asserted TRUE by the oracle. The driver hash gate thereby verifies
+    both the exact counts and that the sketch honors its error bound.
 
     Scale: THE 100-TB cardinality operator — approx_count_distinct is
     partial-mergeable (no second shuffle stage over raw values), and
     the same sketch family backs incremental rollups where exact
     distinct cannot be merged across partitions at all."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("n_exact"))
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -443,25 +468,57 @@ def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
 
 
-@register("q73_approx_quantiles")  # sketch-based — no exact SQL twin; error-bound test
+@register(
+    "q73_approx_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           FLOOR(quantile_cont(o_totalprice, 0.25) * 10000) / 10000 AS p25_exact,
+           FLOOR(quantile_cont(o_totalprice, 0.50) * 10000) / 10000 AS p50_exact,
+           FLOOR(quantile_cont(o_totalprice, 0.90) * 10000) / 10000 AS p90_exact,
+           TRUE AS approx_within_1pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def q73_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate percentiles per group (approx_percentile):
     the unbounded-cardinality scale path next to q37's exact quantiles —
     sketches merge across partitions and across incremental runs, where
     exact percentile needs a full re-sort.
 
-    tests/test_analytics_ext.py pins the estimates within 1% relative
-    error of DuckDB's exact quantile_cont (the sketch accuracy
-    parameter is set for that bound)."""
+    Oracle design (same shape as q49): the Greenwald-Khanna estimate is
+    implementation-defined (returns an observed element, not the
+    interpolated quantile), so the output carries the exact truncated
+    percentiles (bit-parity with quantile_cont; q37 pins the
+    definition) plus the sketch's 1%-relative-error CONTRACT as a
+    boolean computed from the real approx_percentile and asserted TRUE
+    by the oracle. tests/test_analytics_ext.py keeps the raw per-
+    percentile bound assertions."""
     orders = load_table(spark, sf_dir, "orders")
     ap = F.expr(
         "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)"
     )
-    return orders.groupBy("o_orderstatus").agg(
-        ap[0].alias("p25_approx"),
-        ap[1].alias("p50_approx"),
-        ap[2].alias("p90_approx"),
+    ex = F.percentile(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90))
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        ap.alias("_ap"),
+        ex.alias("_ex"),
+    )
+    within = (
+        (F.abs(agg["_ap"][0] - agg["_ex"][0]) <= 0.01 * F.abs(agg["_ex"][0]))
+        & (F.abs(agg["_ap"][1] - agg["_ex"][1]) <= 0.01 * F.abs(agg["_ex"][1]))
+        & (F.abs(agg["_ap"][2] - agg["_ex"][2]) <= 0.01 * F.abs(agg["_ex"][2]))
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_rows",
+        trunc(agg["_ex"][0], 4).alias("p25_exact"),
+        trunc(agg["_ex"][1], 4).alias("p50_exact"),
+        trunc(agg["_ex"][2], 4).alias("p90_exact"),
+        within.alias("approx_within_1pct"),
     )
 
 
@@ -483,7 +540,13 @@ def q73_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
            CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,4)) > hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-           CAST(SUM(LEAST(GREATEST(CAST(l_extendedprice AS DECIMAL(18,4)), lo), hi))
+           -- CASE WHEN keeps the clamp in DECIMAL(18,4): DuckDB's
+           -- LEAST/GREATEST promote decimal args to DOUBLE, turning the
+           -- sum into an order-dependent float sum (~5e-6 drift at 20k
+           -- rows) while Spark's decimal sum is exact.
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,4)) < lo THEN lo
+                         WHEN CAST(l_extendedprice AS DECIMAL(18,4)) > hi THEN hi
+                         ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END)
                 AS DOUBLE) AS sum_winsorized,
            CAST(lo AS DOUBLE) AS lo,
            CAST(hi AS DOUBLE) AS hi

@@ -42,39 +42,37 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
 
 #: Driver-sweep priority (the driver checks the FIRST ~50 registered
-#: names each round; r1+r2 sweeps were disjoint 50-query sets). Round-3
-#: front order: (a) the 15 queries with NO green driver row ever
-#: (q101–q113 registered after both sweeps; q28/q63 failed r1 and were
-#: fixed in r2 — all 15 judge-verified green at sf0.01), then (b) the
-#: 14 queries whose r2 rows were `err` via the io.py events-ts bug,
-#: now fixed (tests/test_storage.py::test_load_events_both_ts_encodings).
+#: names each round; r1/r2/r3 sweeps were disjoint 50-query sets —
+#: cumulative 130/133 green through r3). Round-4 front order per the
+#: r3 verdict: (a) the three non-green rows — q103 (r3 hash-fail, root
+#: cause was the DuckDB oracle's LEAST/GREATEST decimal→double
+#: promotion, now a type-preserving CASE WHEN) and q49/q73 (previously
+#: `no_oracle` by design, now restated with exact-value + accuracy-
+#: contract oracles so they can hash-match); (b) round-4 additions
+#: (never swept); (c) the r1-only greens — queries whose latest green
+#: row predates the round-2 fixture regeneration — so every row's
+#: latest green is on current fixtures.
 _SWEEP_PRIORITY = [
-    # (a) never driver-green
-    "q101_scalar_subquery", "q102_exists_composite", "q103_winsorize",
-    "q104_normalized_dedup", "q105_vocab_coverage", "q106_stratified_topk",
-    "q107_collocations", "q108_mad_robust", "q109_equidepth_hist",
-    "q110_snapshot_diff", "q111_peak_concurrency", "q112_trend_slope",
-    "q113_inverted_index", "q28_cube", "q63_dup_clusters",
-    # (b) r2 err rows (events load), fixed this round
-    "q23_tumbling_window", "q24_sliding_window", "q25_session_window",
-    "q26_first_last_per_group", "q54_lag_delta", "q55_moving_time_window",
-    "q57_filtered_agg", "q70_staging_chain", "q76_session_assign",
-    "q77_funnel", "q78_map_ops", "q85_retention_cohorts",
-    "q86_latest_snapshot", "q92_anomaly_zscore",
-    # (c) round-3 additions (no driver row yet; judge-side selfcheck green)
-    "q114_cdc_chunks", "q115_bigram_lm_score", "q116_hard_negatives",
-    "q117_centroid_outliers", "q118_star_join",
-    "q119_running_distinct_users", "q120_ann_recall", "q121_kmv_distinct",
-    "q122_k_anonymity", "q123_tokenizer_fertility", "q124_source_overlap",
-    "q125_incremental_lsh", "q126_trending_hashtags", "q127_ks_drift",
-    "q128_gini_diversity", "q129_minmax_scale", "q130_markov_transitions",
-    "q131_cooccurrence", "q132_ab_conversion", "q133_pct_of_total",
-    # (d) events-dependent queries whose only green row is r1
-    # (pre-fixture-regeneration) — re-prove under today's fixtures
-    "q75_incremental_rollup", "q45_salted_join", "q46_salted_agg",
-    "q14_date_parts", "q15_hash_key", "q21_dedup_by_key", "q22_count_guard",
-    "q02_filter_project", "q13_json_extract", "q10_window_rank",
-    "q11_window_running",
+    # (a) the r3 punch list
+    "q103_winsorize", "q49_approx_distinct", "q73_approx_quantiles",
+    # (b) round-4 additions (no driver row yet)
+    "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
+    "q137_quality_dashboard",
+    # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
+    "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
+    "q39_json_props", "q45_salted_join", "q46_salted_agg",
+    "q47_resample_gapfill", "q48_histogram", "q71_column_profile",
+    "q72_unpivot", "q40_dedup_exact", "q41_minhash_lsh",
+    "q42_jaccard_pairs", "q43_simhash", "q44_dedup_filter",
+    "q84_asof_generic", "q64_merge_upsert", "q65_scd2_intervals",
+    "q60_multimodal_meta", "q61_frame_sample", "q66_audio_chunks",
+    "q81_multimodal_embed", "q01_pricing_summary", "q02_filter_project",
+    "q03_join_region_revenue", "q04_semi_join", "q05_anti_join",
+    "q06_topk_orders", "q07_union_all", "q08_distinct", "q09_agg_having",
+    "q10_window_rank", "q11_window_running", "q12_case_coalesce",
+    "q13_json_extract", "q14_date_parts", "q15_hash_key",
+    "q16_string_kernels", "q17_rollup", "q18_pivot", "q19_asof_join",
+    "q20_range_join", "q21_dedup_by_key", "q22_count_guard", "q27_set_ops",
 ]
 
 

@@ -101,6 +101,7 @@ def main() -> None:
         "q125_incremental_lsh",
         "q126_trending_hashtags",
         "q127_ks_drift",
+        "q134_ks_drift_binned",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, trunc
 from ..io import load_table
-from ..registry import register
+from ..registry import QUERIES, register
 
 N_SALT = 8
 
@@ -1230,3 +1230,192 @@ def q133_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+KS_BINS = 256
+
+
+def ks_drift_binned(
+    spark: SparkSession, sf_dir: str, n_bins: int = KS_BINS
+) -> DataFrame:
+    """Histogram-based two-sample KS statistic — q127's documented
+    scale path, implemented. See q134_ks_drift_binned for semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value",
+        F.when(F.col("event_type").isin("click", "view"), "a")
+        .otherwise("b")
+        .alias("grp"),
+    )
+    bounds = tagged.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    sized = tagged.agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("n_b"),
+    )
+    # Bin arithmetic is written with the EXACT same IEEE-754 op order as
+    # the DuckDB oracle — ((value - vmin) / (vmax - vmin)) * n_bins —
+    # so the floor'd bin index is bit-identical across engines.
+    binned = tagged.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")))
+                * F.lit(n_bins)
+            ),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+        "grp",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("h_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("h_b"),
+    )
+    # The window is unpartitioned but bounded BY CONSTRUCTION at n_bins
+    # rows (the histogram, not the data) — this is the whole point of
+    # the binned twin vs q127's global sort over every event.
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("h_a").over(w).cast("double").alias("c_a"),
+        F.sum("h_b").over(w).cast("double").alias("c_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(sized))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.lit(n_bins).cast("long").alias("n_bins"),
+            trunc(
+                F.max(F.abs(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))),
+                6,
+            ).alias("ks_binned"),
+        )
+        .select("n_a", "n_b", "n_bins", "ks_binned")
+    )
+
+
+@register(
+    "q134_ks_drift_binned",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN event_type IN ('click', 'view') THEN 'a' ELSE 'b' END AS grp
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM tagged
+    ),
+    sized AS (
+        SELECT COUNT(*) FILTER (grp = 'a') AS n_a,
+               COUNT(*) FILTER (grp = 'b') AS n_b
+        FROM tagged
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(((value - vmin) / (vmax - vmin)) * {KS_BINS})
+                          AS BIGINT), {KS_BINS} - 1) AS bin,
+               grp
+        FROM tagged, bounds
+    ),
+    hist AS (
+        SELECT bin,
+               SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS h_a,
+               SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS h_b
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT CAST(SUM(h_a) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c_a,
+               CAST(SUM(h_b) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS c_b
+        FROM hist
+    )
+    SELECT n_a, n_b, CAST({KS_BINS} AS BIGINT) AS n_bins,
+           FLOOR(MAX(ABS(c_a / n_a - c_b / n_b)) * 1000000) / 1000000 AS ks_binned
+    FROM cum, sized
+    GROUP BY n_a, n_b
+    """,
+)
+def q134_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-ECDF two-sample KS drift — the scale twin of q127's exact
+    statistic (the pairing q37/q73 already set for quantiles). Values
+    are bucketed into KS_BINS equi-width bins between the global min
+    and max, the two CDFs are evaluated at bin right-edges from ONE
+    histogram aggregation per side, and the statistic is the max
+    |ΔCDF| over bins. The binned statistic is a lower bound on the
+    exact KS that converges as bins grow
+    (tests/test_analytics_ext.py::test_ks_binned_converges_to_exact).
+
+    Scale: this is the form that survives 100 TB — the only wide op is
+    a partial-aggregable groupBy over at most KS_BINS keys; the
+    cumulative window runs over the 256-row histogram, not the events
+    table. q127's global sort is the oracle-able exact twin you run at
+    audit time; THIS is the one you run every snapshot."""
+    return ks_drift_binned(spark, sf_dir, KS_BINS)
+
+
+#: Above this row count the equi-depth router refuses the exact ntile
+#: (one global sort through a single reducer) and takes the sketch
+#: path: ~1e7 narrow (value, key) rows is the most a single task
+#: should ever sort.
+EXACT_NTILE_MAX_ROWS = 10_000_000
+
+
+def equidepth_hist_approx(
+    spark: SparkSession, sf_dir: str, n_buckets: int = N_DEPTH_BUCKETS
+) -> DataFrame:
+    """Equi-depth histogram via approx_percentile boundaries — the
+    100-TB path q109's docstring promises. Bucket edges come from one
+    mergeable-sketch aggregation (no global sort); bucket assignment is
+    a map-side comparison against the broadcast |n_buckets|-1 edge
+    array. Same output schema as q109 so the router can swap them.
+
+    Bucket counts are approximate exactly insofar as the sketch edges
+    deviate from the true quantiles (tests pin <2% relative depth
+    error at the bench scales); lo/hi/sums are exact over whichever
+    rows land in each bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = orders.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array({', '.join(str(q) for q in qs)}), 10000)"
+        ).alias("edges")
+    )
+    with_edges = orders.select("o_totalprice").crossJoin(F.broadcast(edges))
+    # bucket = 1 + number of edges strictly below the value — a pure
+    # array expression, evaluated map-side inside codegen
+    bucket = (
+        F.aggregate(
+            F.filter(F.col("edges"), lambda e: e < F.col("o_totalprice")),
+            F.lit(0),
+            lambda acc, _: acc + 1,
+        )
+        + 1
+    )
+    return (
+        with_edges.select("o_totalprice", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+def equidepth_hist(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = N_DEPTH_BUCKETS,
+    max_exact_rows: int = EXACT_NTILE_MAX_ROWS,
+) -> DataFrame:
+    """Size-gated equi-depth router: exact ntile (q109) below
+    max_exact_rows, approx_percentile bucketing above. The exact form's
+    global sort is OPT-IN — callers at scale get the sketch path
+    without choosing it; q109 stays registered as the oracle-able
+    exact twin the sketch is validated against."""
+    n = load_table(spark, sf_dir, "orders").count()
+    if n <= max_exact_rows:
+        return QUERIES["q109_equidepth_hist"](spark, sf_dir)
+    return equidepth_hist_approx(spark, sf_dir, n_buckets)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..functions.numeric import trunc
-from ..registry import register
+from ..registry import register, track_cache
 
 N_MINHASH = 8  # signature length
 BAND_SIZE = 4  # rows per LSH band → 2 bands
@@ -185,7 +185,7 @@ def _minhash_bands(
     # materialize the token array BEFORE the shingle HOF: expressions
     # referenced inside transform() lambdas are re-evaluated per array
     # element, so an inline split(text) would be O(tokens²) per doc
-    sh = (
+    sh = track_cache(
         corpus.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -774,7 +774,7 @@ def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the persist each side re-scans (and re-hashes) the corpus
     from pyspark import StorageLevel
 
-    digests = (
+    digests = track_cache(
         corpus.select("source", F.md5("text").alias("digest"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -939,3 +939,63 @@ def q125_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_lsh_probe(idx, newb).orderBy("new_id", "idx_id")
+
+
+N_INGEST_BATCHES = 5
+
+
+@register(
+    "q136_dedup_rate_series",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT source,
+               doc_id % {N_INGEST_BATCHES} AS ingest_batch,
+               md5(text) AS digest
+        FROM documents
+    )
+    SELECT source, CAST(ingest_batch AS BIGINT) AS ingest_batch,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT digest) AS n_unique,
+           FLOOR((1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*))
+                 * 1000000) / 1000000 AS dup_rate
+    FROM tagged
+    GROUP BY source, ingest_batch
+    ORDER BY source, ingest_batch
+    """,
+)
+def q136_dedup_rate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate time series per source: for each (source, ingest
+    cycle) cell, the fraction of documents whose exact text digest was
+    already seen WITHIN the cell — the monitoring readout that catches
+    a crawler re-fetching the same pages or a source going stale
+    (dup_rate trending up) long before storage bills do. The ingest
+    cycle is doc_id % N here (the fixtures carry no crawl timestamp);
+    in production it's the ingest date partition, same query.
+
+    Scale: digests-only shuffle (32-byte md5, never text), one
+    partial-agg groupBy with a distinct-count expand — the same posture
+    as q124's source-overlap matrix, sliced by cycle instead of
+    pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        (F.col("doc_id") % N_INGEST_BATCHES).alias("ingest_batch"),
+        F.md5("text").alias("digest"),
+    )
+    return (
+        tagged.groupBy("source", "ingest_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "ingest_batch",
+            "n_docs",
+            "n_unique",
+            trunc(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source", "ingest_batch")
+    )

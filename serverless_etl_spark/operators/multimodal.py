@@ -31,17 +31,71 @@ META_SCHEMA = (
 )
 
 
+def png_encode_pixels(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+    """Stdlib PNG encoder (8-bit gray/gray+alpha/RGB/RGBA, filter 0,
+    zlib IDAT, CRC32 chunk framing) — the inverse of png_decode_pixels,
+    completing the no-third-party-libs codec pair."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = w * channels
+    if len(pixels) != stride * h:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resample_nearest(
+    pixels: bytes, w: int, h: int, channels: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a raw 8-bit pixel buffer (numpy
+    fancy-index — vectorized, no per-pixel Python loop). The classic
+    sample-point mapping: src = floor((dst + 0.5) * scale)."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+    ys = np.minimum(((np.arange(new_h) + 0.5) * h / new_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(new_w) + 0.5) * w / new_w).astype(np.int64), w - 1)
+    return a[ys][:, xs].tobytes()
+
+
 def resize(payload: bytes, w: int, h: int) -> bytes:
-    """Image resize — full-fidelity only with PIL; the stdlib path has
-    no encoder, so without PIL this raises (documented limitation)."""
-    if not HAVE_PIL:
-        raise NotImplementedError("resize requires PIL (no stdlib PNG encoder)")
+    """Image resize: PIL when importable (any format, filtered
+    resample); otherwise a REAL stdlib path for PNG — full pixel decode
+    (png_decode_pixels) → vectorized nearest-neighbor resample →
+    stdlib PNG re-encode (png_encode_pixels). Non-PNG payloads without
+    PIL still raise (no stdlib JPEG/GIF pixel codec)."""
     import io as _io
 
-    with _PILImage.open(_io.BytesIO(payload)) as im:
-        out = _io.BytesIO()
-        im.resize((w, h)).save(out, format=im.format or "PNG")
-        return out.getvalue()
+    if HAVE_PIL:
+        with _PILImage.open(_io.BytesIO(payload)) as im:
+            out = _io.BytesIO()
+            im.resize((w, h)).save(out, format=im.format or "PNG")
+            return out.getvalue()
+    src_w, src_h, channels, pixels = png_decode_pixels(payload)
+    return png_encode_pixels(
+        w, h, channels, resample_nearest(pixels, src_w, src_h, channels, w, h)
+    )
 
 
 def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

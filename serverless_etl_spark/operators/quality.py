@@ -379,3 +379,61 @@ def q122_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") < K_ANON)
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+SHORT_DOC_CHARS = 100
+
+
+@register(
+    "q137_quality_dashboard",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(GROUPING(source) AS INT) AS g_source,
+           CAST(GROUPING(lang) AS INT)   AS g_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100) / 100
+               AS avg_chars,
+           CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           FLOOR(CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS short_rate
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def q137_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality dashboard rollup: document counts, char volume,
+    and short-doc rate at every slice a curation review wants —
+    (source × lang), per source, per lang, and the grand total — in
+    ONE GROUPING SETS pass with GROUPING() flags disambiguating the
+    subtotal levels. The single-query replacement for the four
+    dashboards a quality review otherwise runs separately (the q29
+    machinery pointed at the documents table, feeding on q71's
+    profiler role for corpus curation).
+
+    Determinism: counts and integer char sums are exact; the two
+    ratios are floor-truncated at grids their ~1e-15 cross-engine
+    residual can't cross.
+
+    Scale: ONE corpus scan — Spark expands the four grouping sets
+    map-side (Expand node), partials merge per set; nothing but
+    (source, lang) keyed counts ever shuffles."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_qd")
+    return spark.sql(
+        f"""
+        SELECT source, lang,
+               CAST(GROUPING(source) AS INT) AS g_source,
+               CAST(GROUPING(lang) AS INT)   AS g_lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100) / 100
+                   AS avg_chars,
+               CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short,
+               FLOOR(CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS short_rate
+        FROM documents_qd
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """
+    )

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import trunc
 from ..io import load_table
-from ..registry import register
+from ..registry import register, track_cache
 
 # --------------------------------------------------------------------------
 # q114 — content-defined chunking + chunk-level dedup
@@ -207,7 +207,7 @@ def q115_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization grain.) mean over instances = Σ k·p / Σ k.
     from pyspark import StorageLevel
 
-    doc_bi = (
+    doc_bi = track_cache(
         pairs.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("k"))
         .persist(StorageLevel.MEMORY_AND_DISK)

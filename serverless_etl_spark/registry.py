@@ -21,6 +21,33 @@ ORACLES: dict[str, str] = {}
 #: queries to time in bench.py (name -> True); heavier/representative ops
 BENCH_QUERIES: list[str] = []
 
+#: persisted DataFrames created by the CURRENT query build. A builder
+#: that persists an intermediate (q41/q125's shingle tables, q115's
+#: bigram counts, q124's digest table) cannot unpersist it before
+#: returning — the caller hasn't run the action yet — so it registers
+#: the frame here and the NEXT query build releases it. Sequential
+#: sweeps (driver, selfcheck, bench) therefore hold at most one
+#: query's caches instead of accumulating all 130+.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Mark a persisted frame for release when the next query builds."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every frame tracked since the previous release.
+    Unpersist only drops cached blocks — any later action on the frame
+    recomputes correctly, so this is always safe."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
     """Register a (spark, sf_dir) -> DataFrame query builder."""
@@ -28,6 +55,7 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     def deco(fn):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
             prepare(spark)
             return fn(spark, sf_dir)
 

@@ -133,6 +133,21 @@ def parse_kafka_tweets(raw: DataFrame) -> DataFrame:
     ).select("t.*")
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option map read_tweet_stream_kafka wires onto the
+    reader — split out so the wiring is testable without a broker or
+    the kafka connector jar (tests/test_streaming.py pins it)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_tweet_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -148,14 +163,12 @@ def read_tweet_stream_kafka(
     into this container — the parse stage and everything downstream is
     covered by tests via parse_kafka_tweets; this builder is the thin
     config shim)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return parse_kafka_tweets(raw)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_tweets(reader.load())
 
 
 def trending_hashtags(

@@ -23,10 +23,12 @@ append. The flagged table is collision-sized, not corpus-sized.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import _minhash_bands, probe_bands
+from ..registry import release_caches
 
 _EMPTY_BANDS = "doc_id long, band_id int, band_hash string"
 _EMPTY_SHINGLES = "doc_id long, shingles array<string>"
@@ -35,11 +37,26 @@ _FLAGGED_SCHEMA = "new_id long, idx_id long, jaccard double, batch_id long"
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Plain read when the table exists (schema + partition columns come
-    from the files); typed empty frame before the first batch creates it."""
+    from the files); typed empty frame before the first batch creates it.
+
+    Only the two legitimate "table not there yet" AnalysisExceptions map
+    to an empty frame: PATH_NOT_FOUND (before the first write) and
+    UNABLE_TO_INFER_SCHEMA (a batch that flagged nothing wrote a
+    parquet dir with no data files). A corrupt or transiently
+    unreadable index must PROPAGATE, not fail open (an unflagged batch
+    would then overwrite the index with no signal that the gate was
+    blind)."""
     try:
         return spark.read.parquet(path)
-    except Exception:  # first batch: table does not exist yet
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def read_flagged(spark: SparkSession, flagged_dir: str) -> DataFrame:
@@ -66,6 +83,18 @@ def gate_batch_writer(index_dir: str, flagged_dir: str, threshold: float = 0.5):
         sh_n, bands_n = _minhash_bands(batch.select("doc_id", "text"))
         sh_i = _read_or_empty(spark, f"{index_dir}/shingles", _EMPTY_SHINGLES)
         bands_i = _read_or_empty(spark, f"{index_dir}/bands", _EMPTY_BANDS)
+        # Crash-mid-batch replay safety: if the previous attempt wrote
+        # its index partitions but died before the checkpoint committed,
+        # the re-executed batch would otherwise probe against an index
+        # already containing its own bands — every doc self-matches at
+        # jaccard 1.0 and the dynamic overwrite then replaces the
+        # flagged partition with that garbage. Restrict the index side
+        # to STRICTLY EARLIER batches (batch_id is the partition column,
+        # so this prunes partitions, not rows).
+        if "batch_id" in bands_i.columns:
+            bands_i = bands_i.filter(F.col("batch_id") < F.lit(batch_id))
+        if "batch_id" in sh_i.columns:
+            sh_i = sh_i.filter(F.col("batch_id") < F.lit(batch_id))
         flagged = probe_bands(sh_n, bands_n, sh_i, bands_i, threshold)
         _dynamic_overwrite(
             flagged.withColumn("batch_id", F.lit(batch_id)), flagged_dir
@@ -78,7 +107,9 @@ def gate_batch_writer(index_dir: str, flagged_dir: str, threshold: float = 0.5):
         _dynamic_overwrite(
             sh_n.withColumn("batch_id", F.lit(batch_id)), f"{index_dir}/shingles"
         )
-        sh_n.unpersist()
+        # _minhash_bands track_cache'd the batch's shingle table; free
+        # it (and anything else tracked) before the next micro-batch
+        release_caches()
 
     return _write
 
@@ -90,10 +121,19 @@ def run_neardup_gate(
     flagged_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 1,
 ) -> None:
     """Drain all available source files (availableNow) through the gate.
-    Source schema: JSON lines of {doc_id, text}."""
+    Source schema: JSON lines of {doc_id, text}.
+
+    max_files_per_trigger defaults to 1 because the gate probes a batch
+    only against the PRE-EXISTING index: duplicates BETWEEN files folded
+    into the same micro-batch would never be flagged (the intra-batch
+    blind spot — intra-batch pairs are minhash_lsh_pairs territory).
+    One file per batch makes cross-file duplicates within a drain
+    visible to the gate. Pass None to fold the whole drain into one
+    batch when the source is known pre-deduplicated and throughput
+    matters more."""
     reader = spark.readStream.schema("doc_id long, text string")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -186,3 +186,60 @@ def test_ks_drift_detects_shift_and_identity(spark):
         (float(i + 1000), "b") for i in range(100)
     ]
     assert ks(disjoint) == 1.0
+
+
+def test_ks_binned_converges_to_exact(spark):
+    """The binned KS statistic is a lower bound on the exact q127
+    statistic and converges to it as bins grow (the q134 contract)."""
+    exact = registry.QUERIES["q127_ks_drift"](spark, SF_SMALL).collect()[0].ks_stat
+    errs = {}
+    for n_bins in (16, 256, 4096):
+        b = analytics_ext.ks_drift_binned(spark, SF_SMALL, n_bins).collect()[0]
+        assert b.ks_binned <= exact + 1e-6, (
+            f"{n_bins} bins: binned {b.ks_binned} exceeds exact {exact}"
+        )
+        errs[n_bins] = exact - b.ks_binned
+    assert errs[4096] <= errs[16] + 1e-9, f"no convergence: {errs}"
+    assert errs[4096] < 0.01, f"4096-bin error too large: {errs}"
+
+
+def test_ks_binned_registered_matches_helper(spark):
+    """q134's registered form is exactly the helper at KS_BINS."""
+    reg = registry.QUERIES["q134_ks_drift_binned"](spark, SF_SMALL).collect()[0]
+    helper = analytics_ext.ks_drift_binned(
+        spark, SF_SMALL, analytics_ext.KS_BINS
+    ).collect()[0]
+    assert reg == helper
+    assert reg.n_bins == analytics_ext.KS_BINS
+
+
+def test_equidepth_router_routes_by_size(spark):
+    """Below the threshold the router returns the exact ntile plan
+    (Window sort); above (forced via max_exact_rows=0) it returns the
+    approx path with NO unpartitioned window/global-sort-ntile node."""
+    exact = analytics_ext.equidepth_hist(spark, SF_SMALL)
+    exact_plan = exact._jdf.queryExecution().sparkPlan().toString()
+    assert "ntile(10)" in exact_plan.lower()
+    approx = analytics_ext.equidepth_hist(spark, SF_SMALL, max_exact_rows=0)
+    approx_plan = approx._jdf.queryExecution().sparkPlan().toString()
+    assert "ntile(10)" not in approx_plan.lower()
+    assert "Window" not in approx_plan
+    assert sorted(approx.columns) == sorted(exact.columns)
+
+
+def test_equidepth_approx_matches_exact_depths(spark):
+    """The sketch-bucketed histogram must reproduce the exact
+    equi-depth bucket populations within 2% of total rows per bucket
+    (accuracy 10000 at these scales is near-exact)."""
+    exact = {
+        r.bucket: r for r in registry.QUERIES["q109_equidepth_hist"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        r.bucket: r for r in analytics_ext.equidepth_hist_approx(spark, SF_SMALL).collect()
+    }
+    total = sum(r.n for r in exact.values())
+    assert set(approx) == set(exact)
+    for b in exact:
+        assert abs(approx[b].n - exact[b].n) <= max(2, 0.02 * total), (
+            f"bucket {b}: approx depth {approx[b].n} vs exact {exact[b].n}"
+        )

@@ -196,3 +196,46 @@ def test_real_audio_kernel_through_spark(spark):
     assert out[1]["duration_ms"] == 1000 and out[1]["sample_rate"] == 16000
     assert out[2]["n_channels"] == 2 and out[2]["duration_ms"] == 100
     assert out[3]["err"] is not None
+
+
+def test_png_encode_decode_roundtrip():
+    """png_encode_pixels is the exact inverse of png_decode_pixels."""
+    from serverless_etl_spark.operators.multimodal import png_encode_pixels
+
+    for w, h, ch in [(4, 3, 3), (5, 5, 1), (2, 7, 4)]:
+        pixels = bytes((x * 31 + 7) % 256 for x in range(w * h * ch))
+        encoded = png_encode_pixels(w, h, ch, pixels)
+        assert png_decode_pixels(encoded) == (w, h, ch, pixels)
+
+
+def test_stdlib_resize_real_pixels():
+    """The no-PIL resize path produces a valid PNG of the target size
+    whose pixels are the nearest-neighbor sample of the source."""
+    from serverless_etl_spark.operators import multimodal as mm
+
+    src = make_png(8, 6, (10, 200, 30))
+    # force the stdlib path regardless of whether PIL is installed
+    have_pil, mm.HAVE_PIL = mm.HAVE_PIL, False
+    try:
+        out = mm.resize(src, 4, 3)
+    finally:
+        mm.HAVE_PIL = have_pil
+    w, h, ch, pixels = png_decode_pixels(out)
+    assert (w, h, ch) == (4, 3, 3)
+    # solid-color source → solid-color resample, identical values
+    assert set(pixels[0::3]) == {10}
+    assert set(pixels[1::3]) == {200}
+    assert set(pixels[2::3]) == {30}
+    # upscale too: 2x2 checkerboard in gray stays a checkerboard at 4x4
+    import zlib
+
+    from serverless_etl_spark.operators.multimodal import (
+        png_encode_pixels,
+        resample_nearest,
+    )
+
+    board = bytes([0, 255, 255, 0])
+    up = resample_nearest(board, 2, 2, 1, 4, 4)
+    assert up == bytes(
+        [0, 0, 255, 255, 0, 0, 255, 255, 255, 255, 0, 0, 255, 255, 0, 0]
+    )

@@ -91,3 +91,54 @@ def test_gate_matches_batch_operator_verdicts(spark, tmp_path):
         for r in incremental_lsh_probe(idx_df, new_df).collect()
     }
     assert got == want and (100, 3, 1.0) in want
+
+
+def test_gate_crash_mid_batch_replay_is_clean(spark, tmp_path):
+    """Simulate a crash AFTER the index partitions were written but
+    BEFORE the checkpoint committed: re-executing the same batch_id must
+    produce the same flagged rows as the first attempt — in particular
+    no self-matches against the batch's own just-written bands."""
+    from serverless_etl_spark.streaming.neardup_gate import gate_batch_writer
+
+    index_dir = str(tmp_path / "idx3")
+    flagged_dir = str(tmp_path / "fl3")
+    writer = gate_batch_writer(index_dir, flagged_dir)
+
+    b0 = spark.createDataFrame(
+        [(1, BASE), (2, "totally different words " * 5)],
+        "doc_id long, text string",
+    )
+    writer(b0, 0)
+    b1 = spark.createDataFrame(
+        [(10, BASE), (11, BASE + " extratoken")], "doc_id long, text string"
+    )
+    writer(b1, 1)
+    first = sorted(map(tuple, read_flagged(spark, flagged_dir).collect()))
+    assert {(r[0], r[1]) for r in first} == {(10, 1), (11, 1)}
+
+    # the crash-replay: batch 1 fires again with its index partitions
+    # already on disk — flagged output must be unchanged (no jaccard-1.0
+    # self-pairs like (10,10), no intra-batch pair (11,10))
+    writer(b1, 1)
+    replay = sorted(map(tuple, read_flagged(spark, flagged_dir).collect()))
+    assert replay == first
+
+
+def test_read_or_empty_propagates_corrupt_index(spark, tmp_path):
+    """A corrupt (non-parquet) index file must raise, not silently
+    admit the batch against an empty index (fail-open)."""
+    import pytest
+
+    from serverless_etl_spark.streaming.neardup_gate import (
+        _EMPTY_BANDS,
+        _read_or_empty,
+    )
+
+    missing = _read_or_empty(spark, str(tmp_path / "nope"), _EMPTY_BANDS)
+    assert missing.count() == 0
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        _read_or_empty(spark, str(bad), _EMPTY_BANDS).collect()

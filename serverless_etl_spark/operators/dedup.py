@@ -999,3 +999,134 @@ def q136_dedup_rate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "ingest_batch")
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — shingle containment (asymmetric near-dup: finds sub-documents)
+# --------------------------------------------------------------------------
+
+CONT_MAX_DF = 10     #: shingles in more docs than this are boilerplate — drop
+CONT_MIN = 0.8       #: report pairs where either direction's containment ≥ this
+CONT_FRAG_WORDS = 12
+
+
+@register(
+    "q139_containment",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                               {CONT_FRAG_WORDS}), ' ') AS text
+        FROM documents WHERE doc_id % 10 = 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(s.sh) AS digest
+        FROM corpus,
+             LATERAL (SELECT unnest(list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3]))) AS sh) s
+    ),
+    kept AS (
+        SELECT digest FROM sh GROUP BY digest
+        HAVING COUNT(DISTINCT doc_id) <= {CONT_MAX_DF}
+    ),
+    sh2 AS (SELECT sh.doc_id, sh.digest FROM sh JOIN kept USING (digest)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh2 a JOIN sh2 b ON a.digest = b.digest AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.inter,
+           sa.sz AS size_a, sb.sz AS size_b,
+           FLOOR(CAST(p.inter AS DOUBLE) / sa.sz * 10000) / 10000 AS cont_a,
+           FLOOR(CAST(p.inter AS DOUBLE) / sb.sz * 10000) / 10000 AS cont_b,
+           FLOOR(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) * 10000)
+               / 10000 AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE GREATEST(CAST(p.inter AS DOUBLE) / sa.sz,
+                   CAST(p.inter AS DOUBLE) / sb.sz) >= {CONT_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q139_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set CONTAINMENT near-dup — the asymmetric measure
+    |A∩B|/|A| that catches sub-document duplication Jaccard
+    structurally misses: a 12-word fragment fully contained in its
+    500-word source has containment 1.0 from the fragment's side but
+    Jaccard ≈ |frag|/|src| ≈ 0, so a Jaccard threshold never fires.
+    The corpus is documents plus derived fragments (first
+    {CONT_FRAG_WORDS} words of every doc_id%10==3 doc — the quote/
+    excerpt/snippet shape real crawls are full of); the report is
+    every pair with either-direction containment ≥ {CONT_MIN}, with
+    both containments AND Jaccard so the asymmetry is visible.
+
+    Scale: identical posture to the q41 LSH family — pairs form ONLY
+    through shared shingle digests (a digest-keyed self-join, never
+    all-pairs), and the df cap drops boilerplate shingles BEFORE the
+    join, which is what bounds the per-digest fan-out (a shingle in at
+    most {CONT_MAX_DF} docs contributes ≤ {CONT_MAX_DF}² pair rows).
+    Digests-only shuffles; text never moves past the first projection.
+
+    Reference: extends the dedup family (SURVEY §2 A3); no reference
+    counterpart (tweet ETL has no near-dup)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frags = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, CONT_FRAG_WORDS)
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(frags)
+    toks = F.split("text", " ")
+    sh = (
+        corpus.select(
+            "doc_id", F.explode(_shingles(toks)).alias("shingle")
+        )
+        .select("doc_id", F.md5("shingle").alias("digest"))
+        .distinct()
+    )
+    sh = track_cache(sh.persist())
+    kept = sh.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter(F.col("df") <= CONT_MAX_DF).select("digest")
+    sh2 = track_cache(sh.join(kept, "digest").persist())
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "digest")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "digest")
+    pairs = (
+        a.join(b, "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    cont_a = F.col("inter").cast("double") / F.col("size_a")
+    cont_b = F.col("inter").cast("double") / F.col("size_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(cont_a, cont_b) >= CONT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            trunc(cont_a, 4).alias("cont_a"),
+            trunc(cont_b, 4).alias("cont_b"),
+            trunc(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

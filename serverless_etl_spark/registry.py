@@ -110,6 +110,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         analytics_ext,
         dedup,
+        graph,
         incremental,
         joins,
         merge,

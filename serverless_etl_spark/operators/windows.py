@@ -640,3 +640,112 @@ def q130_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — last-touch attribution
+# --------------------------------------------------------------------------
+
+ATTR_CHANNELS = ("click", "view", "signup")
+ATTR_WINDOW_HOURS = 72
+
+
+@register(
+    "q141_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+        SELECT CASE WHEN touch_ts IS NOT NULL
+                     AND touch_ts >= ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+                    THEN touch_type ELSE 'direct' END AS channel,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM conv)
+    SELECT channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / n_total * 1000000) / 1000000
+               AS share
+    FROM conv CROSS JOIN tot
+    GROUP BY channel, n_total
+    ORDER BY channel
+    """,
+)
+def q141_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the SAME USER's most recent preceding touchpoint (click/view/
+    signup) within a {ATTR_WINDOW_HOURS}-hour lookback, else 'direct';
+    the report is conversions, revenue, and conversion share per
+    channel. This is the event-sequence as-of pattern (q19/q84's
+    temporal-join family) expressed as a single window pass: no
+    touch×conversion join at all.
+
+    Determinism: revenue is summed in integer cents
+    (floor(value·100) — double multiplication by 100 and floor are
+    bit-identical across engines, integer sums are order-free);
+    shares are count ratios.
+
+    Scale: ONE shuffle — events hash-partition by user_id for the
+    ordered window (each user's history sorts within its partition;
+    no global sort), then the per-purchase channel rows collapse to
+    |channels| via a map-side-combined agg. At 100 TB the window state
+    is one running struct per user — bounded — and a date-bucketed
+    pre-partition keeps any single user's history co-located."""
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    in_window = F.col("touch_ts").isNotNull() & (
+        F.col("touch_ts")
+        >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(in_window, F.col("touch_type")).otherwise("direct").alias("channel"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tot = conv.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        conv.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+        )
+        .select(
+            "channel",
+            "n_conversions",
+            "revenue",
+            trunc(
+                F.col("n_conversions").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

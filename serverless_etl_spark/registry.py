@@ -85,7 +85,10 @@ _SWEEP_PRIORITY = [
     "q103_winsorize", "q49_approx_distinct", "q73_approx_quantiles",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
-    "q137_quality_dashboard",
+    "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",
+    "q140_triangle_count", "q141_last_touch_attribution",
+    "q142_embedding_quantization", "q143_seasonal_anomaly",
+    "q144_key_skew_profile",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",
@@ -99,8 +102,9 @@ _SWEEP_PRIORITY = [
     "q06_topk_orders", "q07_union_all", "q08_distinct", "q09_agg_having",
     "q10_window_rank", "q11_window_running", "q12_case_coalesce",
     "q13_json_extract", "q14_date_parts", "q15_hash_key",
-    "q16_string_kernels", "q17_rollup", "q18_pivot", "q19_asof_join",
-    "q20_range_join", "q21_dedup_by_key", "q22_count_guard", "q27_set_ops",
+    "q16_string_kernels",
+    # (q17-q22, q27 rotate to the round-5 front: the 7 round-4 query
+    # slots displaced them from the ~50-name window)
 ]
 
 

@@ -30,6 +30,10 @@ BNLJ_ALLOWED = {
     "q135_rerank_join",       # coarse stage: 8 query vectors broadcast (q50 twin)
     "q131_cooccurrence",      # one-row user-count broadcast
     "q133_pct_of_total",      # one-row grand-total broadcast
+    "q138_heavy_hitters",     # one-row total-token-count broadcast
+    "q140_triangle_count",    # four one-row graph-stat aggregates broadcast
+    "q141_last_touch_attribution",  # one-row conversion-total broadcast
+    "q143_seasonal_anomaly",  # one-row n_days aggregate broadcast
 }
 
 
@@ -62,6 +66,16 @@ SCAN_BUDGETS = {
     "q123_tokenizer_fertility": 1,
     "q128_gini_diversity": 1,
     "q129_minmax_scale": 2,      # fact + bounds-aggregate scan
+    "q138_heavy_hitters": 8,     # 1 real scan: persisted vocab reprints
+    "q139_containment": 64,      # 2 real scans (docs + frags); nested
+                                 # persisted sh/sh2 reprint multiplicatively
+    "q140_triangle_count": 105,  # 1 real scan: persisted e/ori build plans
+                                 # reprint per wedge-join reference
+    "q141_last_touch_attribution": 2,  # window pass + conversion-total agg
+    "q142_embedding_quantization": 1,
+    "q143_seasonal_anomaly": 6,  # 1 real scan: baseline/ndays re-aggregate
+                                 # the persisted (type, day, hour) table
+    "q144_key_skew_profile": 1,
 }
 
 

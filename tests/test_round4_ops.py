@@ -1,0 +1,235 @@
+"""Invariant tests for the round-4 operators: count-min sketch bounds,
+containment asymmetry, triangle-count brute-force parity, last-touch
+attribution semantics, int8 quantization error bounds, seasonal-anomaly
+thresholds, and the skew profile's internal consistency."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.dedup import CONT_MIN
+from serverless_etl_spark.operators.graph import copurchase_edges
+from serverless_etl_spark.operators.similarity import QUANT_GRID, QUANT_STEP
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+# --------------------------------------------------------------------------
+# q138 — count-min sketch
+# --------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bound_holds(spark):
+    rows = registry.QUERIES["q138_heavy_hitters"](spark, SF_SMALL).collect()
+    assert rows, "top-k must be non-empty"
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
+        assert r["within_bound"], r
+
+
+def test_cms_estimate_matches_independent_recomputation(spark):
+    """Recompute one token's CMS estimate in pure Python from the raw
+    token stream — the sketch built from the count table must equal
+    the sketch built from the stream (bucket sums commute)."""
+    import hashlib
+    from collections import Counter
+
+    from serverless_etl_spark.operators.analytics_ext import CMS_D, CMS_W
+
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    counts = Counter(
+        t for r in docs for t in r["text"].split(" ") if t != ""
+    )
+    cells = Counter()
+    for tok, c in counts.items():
+        for d in range(CMS_D):
+            h = hashlib.md5(f"{d}:{tok}".encode()).hexdigest()
+            cells[(d, int(h[:8], 16) % CMS_W)] += c
+    top = registry.QUERIES["q138_heavy_hitters"](spark, SF_SMALL).collect()
+    for r in top:
+        est = min(
+            cells[
+                (
+                    d,
+                    int(
+                        hashlib.md5(f"{d}:{r['token']}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % CMS_W,
+                )
+            ]
+            for d in range(CMS_D)
+        )
+        assert r["cms_estimate"] == est, r["token"]
+        assert counts[r["token"]] == r["exact_count"]
+
+
+# --------------------------------------------------------------------------
+# q139 — containment
+# --------------------------------------------------------------------------
+
+
+def test_containment_fragments_have_full_containment(spark):
+    """Every derived fragment (doc_id ≥ 3000000) is wholly contained
+    in its source: cont from the fragment side is 1.0, and the pair is
+    reported even where Jaccard sits far below the threshold — the
+    asymmetry that motivates the operator."""
+    rows = registry.QUERIES["q139_containment"](spark, SF_SMALL).collect()
+    frag_pairs = [r for r in rows if r["doc_b"] >= 3000000]
+    assert frag_pairs, "fragment pairs must surface"
+    asym = 0
+    for r in frag_pairs:
+        if r["doc_b"] - 3000000 == r["doc_a"]:  # fragment ⊂ its own source
+            assert max(r["cont_a"], r["cont_b"]) == 1.0, r
+            if r["jaccard"] < CONT_MIN:
+                asym += 1
+    assert asym > 0, "at least one pair must be containment-only (low Jaccard)"
+
+
+# --------------------------------------------------------------------------
+# q140 — triangle count
+# --------------------------------------------------------------------------
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """The oriented wedge join must count exactly the brute-force
+    number of triangles of the same co-purchase graph."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    edges = {
+        (r["p1"], r["p2"]) for r in copurchase_edges(li).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for u in adj
+        for v, w in combinations(sorted(adj[u]), 2)
+        if u < v and v < w and w in adj[v]
+    )
+    row = registry.QUERIES["q140_triangle_count"](spark, SF_SMALL).collect()[0]
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
+    # wedges = sum of deg-choose-2; triangles close at most every wedge
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+
+
+# --------------------------------------------------------------------------
+# q141 — last-touch attribution
+# --------------------------------------------------------------------------
+
+
+def test_attribution_constructed_sequence(spark):
+    """Constructed history: purchase after a recent click → click;
+    purchase whose only touch is outside the 72 h window → direct;
+    later touch wins over earlier one."""
+    from serverless_etl_spark.operators.windows import (
+        q141_last_touch_attribution,
+    )
+    import pathlib
+
+    rows = [
+        # user 1: view then click then purchase → click (latest wins)
+        (1, "2024-01-10 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-10 11:00:00", 1, "click", 0.0),
+        (3, "2024-01-10 12:00:00", 1, "purchase", 10.0),
+        # user 2: touch 100 h before purchase → direct
+        (4, "2024-01-01 00:00:00", 2, "click", 0.0),
+        (5, "2024-01-05 10:00:00", 2, "purchase", 20.0),
+        # user 3: no touch at all → direct
+        (6, "2024-01-10 12:00:00", 3, "purchase", 30.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v) for (i, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tmp = pathlib.Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    d = str(tmp / "attr_fixture")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["channel"]: r
+        for r in q141_last_touch_attribution(spark, d).collect()
+    }
+    assert out["click"]["n_conversions"] == 1
+    assert out["click"]["revenue"] == 10.0
+    assert out["direct"]["n_conversions"] == 2
+    assert out["direct"]["revenue"] == 50.0
+    assert "view" not in out
+
+
+# --------------------------------------------------------------------------
+# q142 — int8 quantization
+# --------------------------------------------------------------------------
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """Scalar quantization error can never exceed half an int8 step
+    (unless saturated): max_err_units ≤ QUANT_STEP/2 when nothing
+    saturates."""
+    rows = registry.QUERIES["q142_embedding_quantization"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["n_saturated"] == 0:
+            assert r["max_err_units"] <= QUANT_STEP // 2, r
+        assert 0 <= r["mean_abs_err"] <= (QUANT_STEP / 2) / QUANT_GRID + 1e-12
+        assert r["n_dims"] > 0
+
+
+def test_quantization_saturation_counted(spark):
+    """A vector with out-of-range values saturates and is counted."""
+    import pathlib
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -3.0, 0.25], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tmp = pathlib.Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    d = str(tmp / "quant_fixture")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    from serverless_etl_spark.operators.similarity import (
+        q142_embedding_quantization,
+    )
+
+    r = q142_embedding_quantization(spark, d).collect()[0]
+    assert r["n_saturated"] == 2
+    # -3.0 → xg=-3072, clamped q=-127 → err |−3072 − (−1016)| = 2056 units
+    assert r["max_err_units"] == 3072 - 127 * QUANT_STEP
+
+
+# --------------------------------------------------------------------------
+# q143 — seasonal anomaly
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_flags_respect_thresholds(spark):
+    rows = registry.QUERIES["q143_seasonal_anomaly"](spark, SF_SMALL).collect()
+    for r in rows:
+        if r["direction"] == "high":
+            assert r["ratio"] >= 1.5 - 1e-6, r
+        else:
+            assert r["ratio"] <= 0.5 + 1e-6, r
+
+
+# --------------------------------------------------------------------------
+# q144 — key skew profile
+# --------------------------------------------------------------------------
+
+
+def test_skew_profile_internally_consistent(spark):
+    r = registry.QUERIES["q144_key_skew_profile"](spark, SF_SMALL).collect()[0]
+    li = load_table(spark, SF_SMALL, "lineitem")
+    assert r["n_rows"] == li.count()
+    assert r["n_keys"] == li.select("l_orderkey").distinct().count()
+    assert r["p50_key_count"] <= r["p90_key_count"] <= r["p99_key_count"]
+    assert r["max_key_count"] >= r["p99_key_count"]
+    assert 0 < r["max_key_share"] < 1
+    assert r["skew_ratio"] >= 1.0

@@ -102,6 +102,11 @@ def main() -> None:
         "q126_trending_hashtags",
         "q127_ks_drift",
         "q134_ks_drift_binned",
+        "q138_heavy_hitters",
+        "q139_containment",
+        "q140_triangle_count",
+        "q141_last_touch_attribution",
+        "q142_embedding_quantization",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -1719,3 +1719,86 @@ def q144_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc(F.col("p99"), 6).alias("p99_key_count"),
         trunc(F.col("p99") / F.col("p50"), 6).alias("skew_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — small-partition compaction planner
+# --------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 2000
+
+
+@register(
+    "q146_compaction_plan",
+    oracle=f"""
+    WITH parts AS (
+        SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n_rows
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT mon, n_rows,
+               COALESCE(SUM(n_rows) OVER (ORDER BY mon
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM parts
+    ),
+    assigned AS (
+        SELECT mon, n_rows,
+               CAST(FLOOR(cum_before / {COMPACT_TARGET_ROWS}) AS BIGINT)
+                   AS bucket
+        FROM cum
+    )
+    SELECT bucket,
+           COUNT(*) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           strftime(MIN(mon), '%Y-%m') AS first_month,
+           strftime(MAX(mon), '%Y-%m') AS last_month
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q146_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-partition compaction planner: group contiguous monthly
+    partitions of the orders table into rewrite buckets of
+    ≈{COMPACT_TARGET_ROWS} rows via start-offset binning
+    (bucket = floor(rows-before / target)). This is the maintenance
+    pass every partitioned 100 TB table needs — thousands of
+    trickle-ingested small partitions compacted into scan-efficient
+    units WITHOUT breaking partition-key contiguity (each bucket is a
+    contiguous month range, so partition pruning still works on the
+    compacted files). The same plan drives `io.write_zordered`-style
+    rewrites; q146 materializes the plan itself, which is also the
+    audit report (how many rewrite jobs, how big each).
+
+    Scale: the fact table collapses to |partitions| (month, count)
+    rows in one map-side-combined agg; the running-sum window is over
+    that BOUNDED partition list (the q119/q134 pattern — never the
+    fact rows). Start-offset binning is a pure function of the
+    cumulative count, so the plan is deterministic and incremental
+    re-planning only appends buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    parts = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, -1)
+    assigned = parts.select(
+        "mon",
+        "n_rows",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / COMPACT_TARGET_ROWS
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.date_format(F.min("mon"), "yyyy-MM").alias("first_month"),
+            F.date_format(F.max("mon"), "yyyy-MM").alias("last_month"),
+        )
+        .orderBy("bucket")
+    )

@@ -749,3 +749,102 @@ def q141_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q145_time_to_convert",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+        SELECT touch_type AS channel,
+               epoch_us(ts) - epoch_us(touch_ts) AS delta_us
+        FROM seq
+        WHERE event_type = 'purchase'
+          AND touch_ts IS NOT NULL
+          AND touch_ts >= ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+    )
+    SELECT channel,
+           COUNT(*) AS n_conversions,
+           FLOOR(quantile_cont(delta_us, 0.5) / 1000000.0 * 1000000) / 1000000
+               AS p50_sec,
+           FLOOR(quantile_cont(delta_us, 0.9) / 1000000.0 * 1000000) / 1000000
+               AS p90_sec,
+           FLOOR(CAST(MAX(delta_us) AS DOUBLE) / 1000000.0 * 1000000) / 1000000
+               AS max_sec
+    FROM conv
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def q145_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution per channel: for every
+    attributed conversion (q141's last-touch semantics), the delay
+    between the touchpoint and the purchase, summarized as exact
+    p50/p90/max seconds per channel — the readout that tells a
+    marketer whether clicks convert in minutes and views in days.
+
+    Determinism: deltas are exact integer MICROSECONDS
+    (unix_micros/epoch_us — no float timestamp arithmetic); the
+    percentile interpolation over integers is the engine-shared
+    sort+interpolate definition q37 pins; the /1e6 to seconds and
+    1e-6 truncation happen on OUTPUT only.
+
+    Scale: same single user-partitioned window pass as q141 (one
+    shuffle), then a per-channel aggregate over |conversions| rows.
+    Exact per-group percentiles swap for approx_percentile when
+    |conversions| per channel stops fitting a reducer — same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    conv = seq.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("touch_ts").isNotNull()
+        & (
+            F.col("touch_ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+        )
+    ).select(
+        F.col("touch_type").alias("channel"),
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("delta_us"),
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            trunc(F.percentile("delta_us", F.lit(0.5)) / 1000000.0, 6).alias(
+                "p50_sec"
+            ),
+            trunc(F.percentile("delta_us", F.lit(0.9)) / 1000000.0, 6).alias(
+                "p90_sec"
+            ),
+            trunc(F.max("delta_us").cast("double") / 1000000.0, 6).alias(
+                "max_sec"
+            ),
+        )
+        .orderBy("channel")
+    )

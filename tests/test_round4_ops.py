@@ -233,3 +233,56 @@ def test_skew_profile_internally_consistent(spark):
     assert r["max_key_count"] >= r["p99_key_count"]
     assert 0 < r["max_key_share"] < 1
     assert r["skew_ratio"] >= 1.0
+
+
+# --------------------------------------------------------------------------
+# q145 — time-to-convert
+# --------------------------------------------------------------------------
+
+
+def test_time_to_convert_constructed_deltas(spark):
+    """Two click→purchase conversions at 60 s and 120 s → p50 = 90 s
+    (interpolated), max = 120 s; the out-of-window purchase is
+    excluded entirely (no 'direct' row in this report)."""
+    import pathlib
+
+    from serverless_etl_spark.operators.windows import q145_time_to_convert
+
+    rows = [
+        (1, "2024-01-10 10:00:00", 1, "click", 0.0),
+        (2, "2024-01-10 10:01:00", 1, "purchase", 10.0),
+        (3, "2024-01-11 10:00:00", 1, "click", 0.0),
+        (4, "2024-01-11 10:02:00", 1, "purchase", 10.0),
+        (5, "2024-01-01 00:00:00", 2, "click", 0.0),
+        (6, "2024-01-09 00:00:00", 2, "purchase", 10.0),  # 192 h — outside
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import pathlib as _p
+
+    tmp = _p.Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    d = str(tmp / "ttc_fixture")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["channel"]: r for r in q145_time_to_convert(spark, d).collect()}
+    assert set(out) == {"click"}
+    assert out["click"]["n_conversions"] == 2
+    assert out["click"]["p50_sec"] == 90.0
+    assert out["click"]["max_sec"] == 120.0
+
+
+# --------------------------------------------------------------------------
+# q146 — compaction planner
+# --------------------------------------------------------------------------
+
+
+def test_compaction_plan_contiguous_and_conserving(spark):
+    rows = registry.QUERIES["q146_compaction_plan"](spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders")
+    assert sum(r["total_rows"] for r in rows) == orders.count()
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert r["first_month"] <= r["last_month"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_month"] < b["first_month"], "buckets must not overlap"

@@ -1802,3 +1802,94 @@ def q146_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q147 — Benford first-digit screen
+# --------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, emitted as IDENTICAL literals into both
+#: engines' plans — no runtime libm call is on the parity path (Java's
+#: and DuckDB's log10 need not agree in the last ulp; a Python-time
+#: constant does, by construction)
+BENFORD_SHARES = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_SQL_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {BENFORD_SHARES[d]!r}" for d in range(1, 10)
+) + " END AS DOUBLE)"
+
+
+@register(
+    "q147_benford_screen",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT digit, n_obs,
+           FLOOR(CAST(n_obs AS DOUBLE) / n * 1000000) / 1000000 AS obs_share,
+           FLOOR(({_BENFORD_SQL_CASE}) * 1000000) / 1000000 AS benford_share,
+           FLOOR(ABS(CAST(n_obs AS DOUBLE) / n - ({_BENFORD_SQL_CASE}))
+                 * 1000000) / 1000000 AS abs_dev
+    FROM counts CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def q147_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    leading-digit shares against the log10(1+1/d) expectation — the
+    classic forensic-accounting / synthetic-data smell test (fabricated
+    or truncated monetary data deviates; organically-grown magnitudes
+    don't). Reported per digit with the absolute deviation so the
+    reviewer sees WHERE the distribution bends, not just a single
+    fit statistic.
+
+    Determinism: the nine Benford expectations are Python-computed
+    literals baked identically into both engines' plans — log10 never
+    executes at query time (engine libm rounding is not on the parity
+    path). Digit extraction is integer/string only; shares are count
+    ratios.
+
+    Scale: digit extraction is a map-side projection; the table
+    collapses to ≤9 rows in one partial-agg shuffle; the total is an
+    aggregate of those 9 rows broadcast back."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    benford = F.create_map(
+        *[F.lit(x) for d in range(1, 10) for x in (d, BENFORD_SHARES[d])]
+    )[F.col("digit")]
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            trunc(obs, 6).alias("obs_share"),
+            trunc(benford, 6).alias("benford_share"),
+            trunc(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -1089,12 +1089,14 @@ def q139_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select(
             "doc_id", F.explode(_shingles(toks)).alias("shingle")
         )
+        # NO .distinct(): _shingles is array_distinct per doc, so
+        # (doc_id, digest) is already unique — a distinct here would be
+        # a full extra shuffle for nothing
         .select("doc_id", F.md5("shingle").alias("digest"))
-        .distinct()
     )
     sh = track_cache(sh.persist())
     kept = sh.groupBy("digest").agg(
-        F.countDistinct("doc_id").alias("df")
+        F.count(F.lit(1)).alias("df")
     ).filter(F.col("df") <= CONT_MAX_DF).select("digest")
     sh2 = track_cache(sh.join(kept, "digest").persist())
     sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -848,3 +848,162 @@ def q145_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q148_session_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    assigned AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM assigned GROUP BY user_id, session_no
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           FLOOR(CAST(SUM(n_events) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+               AS events_per_session,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_event,
+           FLOOR(quantile_cont(dur_us, 0.5) / 1000000.0 * 1000000) / 1000000
+               AS p50_dur_sec,
+           FLOOR(quantile_cont(dur_us, 0.9) / 1000000.0 * 1000000) / 1000000
+               AS p90_dur_sec
+    FROM sessions
+    """,
+)
+def q148_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement summary over q76's 30-minute-gap
+    sessionization: session count, events per session, single-event
+    (bounce) sessions, and exact p50/p90 session duration — the
+    product-analytics rollup sitting one aggregation above the
+    per-event session assignment.
+
+    Determinism: durations are exact integer microseconds; the ratio
+    and percentile columns follow the house trunc/interpolation
+    discipline (q37/q145).
+
+    Scale: the same single user_id exchange as q76 feeds the window
+    layers, then sessions collapse to (user, session) grain map-side
+    before the final small aggregate. Exact percentiles over
+    |sessions| swap for approx_percentile at unbounded scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(wsum).alias("session_no"),
+    )
+    sessions = assigned.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        trunc(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("events_per_session"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_event"),
+        trunc(F.percentile("dur_us", F.lit(0.5)) / 1000000.0, 6).alias(
+            "p50_dur_sec"
+        ),
+        trunc(F.percentile("dur_us", F.lit(0.9)) / 1000000.0, 6).alias(
+            "p90_dur_sec"
+        ),
+    )
+
+
+@register(
+    "q149_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT date_trunc('week', ts) AS week,
+               CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    wau AS (
+        SELECT date_trunc('week', ts) AS week,
+               COUNT(DISTINCT user_id) AS wau
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(d.week, '%Y-%m-%d') AS week,
+           COUNT(*) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+           w.wau,
+           FLOOR(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+               AS avg_dau,
+           FLOOR(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / w.wau * 1000000)
+               / 1000000 AS stickiness
+    FROM dau d JOIN wau w ON d.week = w.week
+    GROUP BY d.week, w.wau
+    ORDER BY week
+    """,
+)
+def q149_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly engagement stickiness: average daily-active-users over
+    weekly-active-users per ISO week (both engines truncate weeks to
+    Monday) — the growth-analytics ratio that distinguishes a habit
+    product (DAU/WAU → 1) from a weekly-visit one (→ 1/7). Exact
+    distinct counts at both grains; the ratio is a count-derived
+    double, truncated.
+
+    Scale: two distinct aggregations over (week[, day], user) — each
+    one exact-distinct shuffle; the week-grain join is |weeks| rows
+    broadcast. At 100 TB the exact distincts swap for the mergeable
+    HLL partials (q75's union machinery) or the q121 KMV sketch with
+    the same report shape."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").alias("week")
+    dau = (
+        ev.select(wk, F.to_date("ts").alias("day"), "user_id")
+        .groupBy("week", "day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    wau = (
+        ev.select(wk, "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    avg_dau = F.sum("dau").cast("double") / F.count(F.lit(1))
+    return (
+        dau.join(F.broadcast(wau), "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            trunc(avg_dau, 6).alias("avg_dau"),
+            trunc(avg_dau / F.col("wau"), 6).alias("stickiness"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_days",
+            "sum_dau",
+            "wau",
+            "avg_dau",
+            "stickiness",
+        )
+        .orderBy("week")
+    )

@@ -89,6 +89,7 @@ _SWEEP_PRIORITY = [
     "q140_triangle_count", "q141_last_touch_attribution",
     "q142_embedding_quantization", "q143_seasonal_anomaly",
     "q144_key_skew_profile", "q145_time_to_convert", "q146_compaction_plan",
+    "q147_benford_screen", "q148_session_stats", "q149_dau_wau_stickiness",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",
@@ -100,9 +101,8 @@ _SWEEP_PRIORITY = [
     "q81_multimodal_embed", "q01_pricing_summary", "q02_filter_project",
     "q03_join_region_revenue", "q04_semi_join", "q05_anti_join",
     "q06_topk_orders", "q07_union_all", "q08_distinct", "q09_agg_having",
-    "q10_window_rank", "q11_window_running", "q12_case_coalesce",
-    "q13_json_extract", "q14_date_parts",
-    # (q15-q22, q27 rotate to the round-5 front: the 9 round-4 query
+    "q10_window_rank", "q11_window_running",
+    # (q12-q22, q27 rotate to the round-5 front: the 12 round-4 query
     # slots displaced them from the ~50-name window)
 ]
 

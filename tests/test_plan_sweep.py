@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "q140_triangle_count",    # four one-row graph-stat aggregates broadcast
     "q141_last_touch_attribution",  # one-row conversion-total broadcast
     "q143_seasonal_anomaly",  # one-row n_days aggregate broadcast
+    "q147_benford_screen",    # one-row digit-total broadcast
 }
 
 

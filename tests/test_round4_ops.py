@@ -286,3 +286,60 @@ def test_compaction_plan_contiguous_and_conserving(spark):
         assert r["first_month"] <= r["last_month"]
     for a, b in zip(rows, rows[1:]):
         assert a["last_month"] < b["first_month"], "buckets must not overlap"
+
+
+# --------------------------------------------------------------------------
+# q147 — Benford screen
+# --------------------------------------------------------------------------
+
+
+def test_benford_shares_sum_to_one(spark):
+    """Observed shares and the baked Benford expectations each sum to
+    ~1; digits are exactly 1..9 and counts conserve the filtered rows."""
+    rows = registry.QUERIES["q147_benford_screen"](spark, SF_SMALL).collect()
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = orders.filter(F.col("o_totalprice") >= 1).count()
+    assert sum(r["n_obs"] for r in rows) == n
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    import math
+
+    for r in rows:
+        expect = math.log10(1 + 1 / r["digit"])
+        assert abs(r["benford_share"] - expect) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# q148 — session stats
+# --------------------------------------------------------------------------
+
+
+def test_session_stats_consistent_with_q76(spark):
+    """Session count equals the number of distinct (user, session_no)
+    pairs q76 assigns; event totals conserve."""
+    assigned = registry.QUERIES["q76_session_assign"](spark, SF_SMALL)
+    n_sessions = assigned.select("user_id", "session_no").distinct().count()
+    n_events = assigned.count()
+    r = registry.QUERIES["q148_session_stats"](spark, SF_SMALL).collect()[0]
+    assert r["n_sessions"] == n_sessions
+    assert r["n_events"] == n_events
+    assert r["p50_dur_sec"] <= r["p90_dur_sec"]
+    assert 0 <= r["n_single_event"] <= r["n_sessions"]
+
+
+# --------------------------------------------------------------------------
+# q149 — DAU/WAU stickiness
+# --------------------------------------------------------------------------
+
+
+def test_stickiness_bounds_and_conservation(spark):
+    """1/7 ≤ stickiness ≤ 1 by construction (a user active that week
+    is active on 1..7 of its days); avg_dau ≤ wau; days ≤ 7."""
+    rows = registry.QUERIES["q149_dau_wau_stickiness"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days"] <= 7
+        assert r["avg_dau"] <= r["wau"]
+        assert r["stickiness"] <= 1.0 + 1e-9
+        assert r["stickiness"] >= 1.0 / 7 - 1e-6 or r["n_days"] < 7

@@ -1893,3 +1893,223 @@ def q147_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — Pearson correlation matrix from exact sufficient statistics
+# --------------------------------------------------------------------------
+
+#: (pair label, x column, y column) — the lineitem metric pairs audited
+CORR_PAIRS = [
+    ("qty~price", "l_quantity", "l_extendedprice"),
+    ("qty~discount", "l_quantity", "l_discount"),
+    ("price~discount", "l_extendedprice", "l_discount"),
+]
+
+
+def _corr_stats_sql() -> str:
+    cols = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount"}
+    dec = {k: f"CAST({c} AS DECIMAL(19,4))" for k, c in cols.items()}
+    sums = [f"CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_rows"]
+    for k in cols:
+        sums.append(f"CAST(SUM({dec[k]}) AS DOUBLE) AS s_{k}")
+        sums.append(f"CAST(SUM({dec[k]} * {dec[k]}) AS DOUBLE) AS s_{k}{k}")
+    for a, b in [("q", "p"), ("q", "d"), ("p", "d")]:
+        sums.append(f"CAST(SUM({dec[a]} * {dec[b]}) AS DOUBLE) AS s_{a}{b}")
+    return ", ".join(sums)
+
+
+def _corr_expr_sql(a: str, b: str) -> str:
+    num = f"(n * s_{a}{b} - s_{a} * s_{b})"
+    den = (f"(SQRT(n * s_{a}{a} - s_{a} * s_{a}) * "
+           f"SQRT(n * s_{b}{b} - s_{b} * s_{b}))")
+    return f"FLOOR({num} / {den} * 1000000) / 1000000"
+
+
+@register(
+    "q151_corr_matrix",
+    oracle=f"""
+    WITH stats AS (
+        SELECT l_returnflag, {_corr_stats_sql()}
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty~price' AS pair, n_rows,
+           {_corr_expr_sql('q', 'p')} AS corr
+    FROM stats
+    UNION ALL
+    SELECT l_returnflag, 'qty~discount', n_rows, {_corr_expr_sql('q', 'd')}
+    FROM stats
+    UNION ALL
+    SELECT l_returnflag, 'price~discount', n_rows, {_corr_expr_sql('p', 'd')}
+    FROM stats
+    ORDER BY l_returnflag, pair
+    """,
+)
+def q151_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation matrix over the lineitem metrics
+    (quantity, extended price, discount) per return flag — the feature-
+    redundancy / leakage screen run before any model training: a pair
+    correlating at |r| ≈ 1 is a duplicated signal, a label correlating
+    with a to-be-hidden column is leakage.
+
+    Determinism (the hard part of cross-engine corr): the sufficient
+    statistics n, Σx, Σx², Σxy are summed EXACTLY as DECIMAL(18,4)-
+    quantized values (decimal addition commutes — float sums don't),
+    then cast once to DOUBLE, and the closed-form
+    (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²)) is evaluated with
+    the IDENTICAL IEEE-754 expression tree on both engines — every op
+    (×, −, /, √) is correctly rounded, so bit parity holds with no
+    tolerance. A naive corr() over doubles is order-dependent and
+    engine-specific.
+
+    Scale: one map-side partial-aggregated shuffle collapsing the fact
+    table to |flags| rows of 10 statistics; the matrix unpivot happens
+    on those few rows. The sufficient-statistics form is also the
+    mergeable/incremental form (same pattern as q75's partials).
+
+    Reference: extends the analytics family (no reference counterpart;
+    SURVEY §2 extended operators)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {
+        "q": F.col("l_quantity").cast("decimal(19,4)"),
+        "p": F.col("l_extendedprice").cast("decimal(19,4)"),
+        "d": F.col("l_discount").cast("decimal(19,4)"),
+    }
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    for k, c in dec.items():
+        aggs.append(F.sum(c).cast("double").alias(f"s_{k}"))
+        aggs.append(F.sum(c * c).cast("double").alias(f"s_{k}{k}"))
+    for a, b in [("q", "p"), ("q", "d"), ("p", "d")]:
+        aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{a}{b}"))
+    stats = li.groupBy("l_returnflag").agg(*aggs)
+
+    def corr(a: str, b: str):
+        num = F.col("n") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            F.col("n") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * F.sqrt(
+            F.col("n") * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        return trunc(num / den, 6)
+
+    pairs = F.array(
+        *[
+            F.struct(F.lit(lbl).alias("pair"), corr(a, b).alias("corr"))
+            for lbl, (a, b) in zip(
+                [p[0] for p in CORR_PAIRS], [("q", "p"), ("q", "d"), ("p", "d")]
+            )
+        ]
+    )
+    return (
+        stats.select("l_returnflag", "n_rows", F.inline(pairs))
+        .select("l_returnflag", "pair", "n_rows", "corr")
+        .orderBy("l_returnflag", "pair")
+    )
+
+
+# --------------------------------------------------------------------------
+# q152 — CUSUM change-point screen over daily event volumes
+# --------------------------------------------------------------------------
+
+#: flag when the peak |CUSUM| exceeds total·days / this divisor (5%)
+CUSUM_FLAG_DIV = 20
+
+
+@register(
+    "q152_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS total,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    cu AS (
+        SELECT d.event_type, d.day, t.total, t.n_days,
+               CAST(SUM(d.c * t.n_days - t.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cusum
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY ABS(cusum) DESC, day
+        ) AS rn
+        FROM cu
+    )
+    SELECT event_type, n_days, total, day AS peak_day, cusum AS peak_cusum,
+           (ABS(cusum) * {CUSUM_FLAG_DIV} > total * n_days) AS flagged
+    FROM rk WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def q152_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: the running sum of
+    (daily count − mean daily count) peaks exactly at the most likely
+    level-shift day — the standard sequential drift detector for
+    ingest-volume regressions (a source going dark, a bot spike, a
+    schema change silently dropping rows). Reports each type's peak
+    day, the signed peak (sign = direction of the pre-shift bias), and
+    a flag when the peak exceeds {100 // CUSUM_FLAG_DIV}% of total·days.
+
+    Determinism: the mean is never materialized as a float — the
+    deviation is cross-multiplied to integers (c·D − T), so the running
+    sum, the argmax, and the flag are exact integer arithmetic
+    end-to-end (house pattern: q143's integer cross-multiplication).
+    Ties on |CUSUM| break to the earliest day.
+
+    Scale: events collapse to (type, day) cells map-side; the window
+    runs per type over |days| rows only (same posture as q119); the
+    totals join broadcasts |types| rows.
+
+    Reference: extends the drift family (q127/q134/q143; no reference
+    counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("c") * F.col("n_days") - F.col("total")
+            ).over(w).cast("bigint"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum")).desc(), F.col("day")
+        )
+    )
+    return (
+        cu.withColumn("rn", rk)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("peak_day"),
+            F.col("cusum").alias("peak_cusum"),
+            (
+                F.abs(F.col("cusum")) * CUSUM_FLAG_DIV
+                > F.col("total") * F.col("n_days")
+            ).alias("flagged"),
+        )
+        .orderBy("event_type")
+    )

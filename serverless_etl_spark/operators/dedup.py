@@ -1132,3 +1132,85 @@ def q139_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — first-occurrence shingle novelty per source
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q154_shingle_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, md5(s.sh) AS digest
+        FROM documents,
+             LATERAL (SELECT unnest({_SHINGLES_SQL}) AS sh) s
+    ),
+    firstseen AS (
+        SELECT digest, MIN(doc_id) AS first_doc FROM sh GROUP BY digest
+    ),
+    marked AS (
+        SELECT sh.doc_id,
+               CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END AS novel
+        FROM sh JOIN firstseen f USING (digest)
+    )
+    SELECT d.source,
+           COUNT(DISTINCT m.doc_id) AS n_docs,
+           COUNT(*) AS total_shingles,
+           CAST(SUM(m.novel) AS BIGINT) AS n_novel,
+           FLOOR(CAST(SUM(m.novel) AS DOUBLE) / COUNT(*) * 1000000)
+               / 1000000 AS novelty_rate
+    FROM marked m JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q154_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus NOVELTY: the fraction of each source's 3-gram
+    shingles whose FIRST occurrence (min doc_id over the whole corpus)
+    is in that source's own documents. A near-1 rate means the source
+    contributes genuinely new text; a low rate means it mostly restates
+    what earlier documents already said — the marginal-value signal
+    data-mixture tuning needs that pairwise dedup (q41/q139) can't
+    give, because it's about attribution of first sight, not pair
+    similarity.
+
+    Scale: same digest-only posture as the q41/q139 family — shingles
+    hash to md5 digests at the first projection and text never moves
+    again; first-sight is ONE min-aggregation per digest (no self-join
+    at all, unlike the pairwise ops); the mark-join is digest-keyed and
+    the rollup collapses to |sources| rows map-side. The per-doc
+    shingle table is persisted once and read by both consumers.
+
+    Determinism: counts, integer novelty flags, one truncated division.
+    min(doc_id) is an exact integer argmin — no ties possible.
+
+    Reference: extends the dedup/curation family (SURVEY §2 A3; no
+    reference counterpart)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = F.split("text", " ")
+    sh = track_cache(
+        docs.select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("digest"))
+        .persist()
+    )
+    firstseen = sh.groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
+    marked = sh.join(firstseen, "digest").select(
+        "doc_id",
+        (F.col("first_doc") == F.col("doc_id")).cast("long").alias("novel"),
+    )
+    return (
+        marked.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+            trunc(
+                F.sum("novel").cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

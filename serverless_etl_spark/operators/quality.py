@@ -437,3 +437,83 @@ def q137_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — referential-integrity audit across the star schema
+# --------------------------------------------------------------------------
+
+#: (child table, fk column, parent table, pk column) — every FK edge
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "q153_fk_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk}' AS edge,
+           COUNT(*) AS n_child,
+           CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+           FLOOR(CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000) / 1000000 AS orphan_rate
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}
+        """
+        for child, fk, parent, pk in FK_EDGES
+    )
+    + "\nORDER BY edge",
+)
+def q153_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge, the child row count, NULL-key count, orphan
+    count (non-NULL keys with no parent), and orphan rate. This is the
+    first data-quality gate any warehouse load runs — a non-zero
+    orphan row means a broken upstream join contract, and catching it
+    per-edge localizes WHICH feed broke.
+
+    Scale: each edge is one LEFT join of the child against the
+    parent's distinct key set — dimensions broadcast (region/nation/
+    customer/part/supplier all qualify at any realistic scale ratio),
+    so the fact-table edges are map-side; counts partial-aggregate.
+    Edges are independent branches of one union plan — Spark schedules
+    them concurrently, and each child table is scanned once per edge
+    with only its key column read (columnar pruning).
+
+    Determinism: counts and one truncated division.
+
+    Reference: generalizes the reference's count-guard accounting
+    (lambda/analytical-transform.py:24, SURVEY §2 P7/A1) from one
+    table to the whole schema."""
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        joined = c.join(F.broadcast(p), c["k"] == p["pk"], "left")
+        orphan = (F.col("k").isNotNull() & F.col("pk").isNull()).cast("long")
+        row = joined.agg(
+            F.lit(f"{child}.{fk}").alias("edge"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("k").isNull().cast("long")).cast("bigint").alias("n_null"),
+            F.sum(orphan).cast("bigint").alias("n_orphan"),
+            trunc(
+                F.sum(orphan).cast("double") / F.count(F.lit(1)), 6
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")

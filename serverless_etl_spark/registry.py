@@ -90,6 +90,8 @@ _SWEEP_PRIORITY = [
     "q142_embedding_quantization", "q143_seasonal_anomaly",
     "q144_key_skew_profile", "q145_time_to_convert", "q146_compaction_plan",
     "q147_benford_screen", "q148_session_stats", "q149_dau_wau_stickiness",
+    "q150_bfs_reachability", "q151_corr_matrix", "q152_cusum_changepoint",
+    "q153_fk_integrity", "q154_shingle_novelty",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -77,6 +77,10 @@ SCAN_BUDGETS = {
     "q143_seasonal_anomaly": 6,  # 1 real scan: baseline/ndays re-aggregate
                                  # the persisted (type, day, hour) table
     "q144_key_skew_profile": 1,
+    "q151_corr_matrix": 1,
+    "q152_cusum_changepoint": 2,   # daily cells + totals re-aggregate
+    "q153_fk_integrity": 14,       # 7 edges × (child + parent) scans
+    "q154_shingle_novelty": 3,     # 1 real scan: persisted sh reprints
 }
 
 

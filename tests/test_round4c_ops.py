@@ -1,0 +1,220 @@
+"""Invariant tests for the round-4 third-sitting operators: BFS layer
+parity against a pure-Python BFS, correlation bounds + numpy parity,
+CUSUM peak recomputation, FK-integrity zero-orphan baseline, and
+shingle-novelty conservation."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.graph import (
+    BFS_MAX_HOPS,
+    BFS_SEED_MOD,
+    copurchase_edges,
+)
+from serverless_etl_spark.operators.quality import FK_EDGES
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+# --------------------------------------------------------------------------
+# q150 — BFS reachability layers
+# --------------------------------------------------------------------------
+
+
+def test_bfs_layers_match_pure_python_bfs(spark):
+    """The distributed frontier-join BFS must produce exactly the
+    layers of a reference in-memory BFS over the same edge set."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    edges = copurchase_edges(li).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["p1"]].add(r["p2"])
+        adj[r["p2"]].add(r["p1"])
+    dist = {u: 0 for u in adj if u % BFS_SEED_MOD == 0}
+    frontier = set(dist)
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        frontier = {
+            v for u in frontier for v in adj[u] if v not in dist
+        }
+        for v in frontier:
+            dist[v] = hop
+    expected = Counter(dist.values())
+
+    rows = registry.QUERIES["q150_bfs_reachability"](spark, SF_SMALL).collect()
+    got = {r["hop"]: r["n_reached"] for r in rows}
+    assert got == dict(expected)
+
+
+def test_bfs_layers_are_disjoint_and_bounded_by_graph(spark):
+    rows = registry.QUERIES["q150_bfs_reachability"](spark, SF_SMALL).collect()
+    hops = [r["hop"] for r in rows]
+    assert hops == sorted(hops) and len(set(hops)) == len(hops)
+    assert all(0 <= h <= BFS_MAX_HOPS for h in hops)
+    li = load_table(spark, SF_SMALL, "lineitem")
+    e = copurchase_edges(li)
+    n_nodes = (
+        e.select(F.col("p1").alias("u"))
+        .unionAll(e.select(F.col("p2").alias("u")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_reached"] for r in rows) <= n_nodes
+
+
+# --------------------------------------------------------------------------
+# q151 — correlation matrix
+# --------------------------------------------------------------------------
+
+
+def test_corr_bounds_and_shape(spark):
+    rows = registry.QUERIES["q151_corr_matrix"](spark, SF_SMALL).collect()
+    flags = {r["l_returnflag"] for r in rows}
+    pairs = {r["pair"] for r in rows}
+    assert len(rows) == len(flags) * 3 and len(pairs) == 3
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0, r
+        assert r["n_rows"] > 1
+
+
+def test_corr_matches_numpy(spark):
+    """The exact-sufficient-statistics corr must agree with numpy's
+    float corrcoef to float precision (the engines' value is the more
+    exact one; 1e-9 here is an independence check, not the parity
+    gate — cross-engine parity is bitwise via the oracle)."""
+    import numpy as np
+
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append((r["l_quantity"], r["l_extendedprice"]))
+    rows = registry.QUERIES["q151_corr_matrix"](spark, SF_SMALL).collect()
+    got = {
+        r["l_returnflag"]: r["corr"] for r in rows if r["pair"] == "qty~price"
+    }
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        expect = float(np.corrcoef(x, y)[0, 1])
+        assert abs(got[flag] - expect) < 1e-6, (flag, got[flag], expect)
+
+
+# --------------------------------------------------------------------------
+# q152 — CUSUM change-point
+# --------------------------------------------------------------------------
+
+
+def test_cusum_peak_matches_recomputation(spark):
+    """Recompute the integer CUSUM per type in pure Python and verify
+    the reported peak day, value, and flag; the telescoped final CUSUM
+    must be exactly zero (sanity of the cross-multiplied deviation)."""
+    from serverless_etl_spark.operators.analytics_ext import CUSUM_FLAG_DIV
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    daily = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type = defaultdict(dict)
+    for (t, d), c in daily.items():
+        by_type[t][d] = c
+    rows = registry.QUERIES["q152_cusum_changepoint"](spark, SF_SMALL).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(by_type)
+    for t, days in by_type.items():
+        total = sum(days.values())
+        n_days = len(days)
+        cusum, peak = 0, None
+        for d in sorted(days):
+            cusum += days[d] * n_days - total
+            if peak is None or abs(cusum) > abs(peak[1]):
+                peak = (d, cusum)
+        assert cusum == 0  # telescoping identity
+        r = got[t]
+        assert (r["peak_day"], r["peak_cusum"]) == peak, (t, peak, r)
+        assert r["n_days"] == n_days and r["total"] == total
+        assert r["flagged"] == (abs(peak[1]) * CUSUM_FLAG_DIV > total * n_days)
+
+
+# --------------------------------------------------------------------------
+# q153 — FK integrity
+# --------------------------------------------------------------------------
+
+
+def test_fk_integrity_clean_on_generated_schema(spark):
+    """The driver-generated star schema is referentially intact — every
+    edge must report zero NULLs and zero orphans, with n_child equal
+    to the raw child-table row count."""
+    rows = registry.QUERIES["q153_fk_integrity"](spark, SF_SMALL).collect()
+    assert len(rows) == len(FK_EDGES)
+    counts = {
+        child: load_table(spark, SF_SMALL, child).count()
+        for child in {e[0] for e in FK_EDGES}
+    }
+    for r in rows:
+        child = r["edge"].split(".")[0]
+        assert r["n_child"] == counts[child], r
+        assert r["n_null"] == 0 and r["n_orphan"] == 0, r
+        assert r["orphan_rate"] == 0.0, r
+
+
+def test_fk_integrity_detects_injected_orphans(spark):
+    """Drop half the parent rows and the same plan must count every
+    child row pointing at the removed keys as an orphan."""
+    from serverless_etl_spark.functions.numeric import trunc
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, SF_SMALL, "customer").filter(
+        F.col("c_custkey") % 2 == 0
+    ).select(F.col("c_custkey").alias("pk")).distinct()
+    joined = orders.join(F.broadcast(cust), orders["k"] == cust["pk"], "left")
+    orphan = (F.col("k").isNotNull() & F.col("pk").isNull()).cast("long")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(orphan).cast("bigint").alias("n_orphan"),
+    ).collect()[0]
+    expect = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_custkey") % 2 == 1)
+        .count()
+    )
+    assert row["n_orphan"] == expect and expect > 0
+
+
+# --------------------------------------------------------------------------
+# q154 — shingle novelty
+# --------------------------------------------------------------------------
+
+
+def test_novelty_conservation(spark):
+    """Every distinct shingle digest is novel exactly once (in its
+    min-doc_id document), so Σ n_novel across sources must equal the
+    corpus-wide distinct digest count, and Σ total_shingles the total
+    (doc, digest) incidence count."""
+    from serverless_etl_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.split("text", " "))).alias("s")
+    )
+    n_incidence = sh.count()
+    n_distinct = sh.select("s").distinct().count()
+
+    rows = registry.QUERIES["q154_shingle_novelty"](spark, SF_SMALL).collect()
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    assert sum(r["total_shingles"] for r in rows) == n_incidence
+    for r in rows:
+        assert 0.0 < r["novelty_rate"] <= 1.0, r
+        assert r["n_novel"] <= r["total_shingles"]

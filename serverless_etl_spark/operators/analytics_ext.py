@@ -2113,3 +2113,167 @@ def q152_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — contingency table with adjusted standardized residuals
+# --------------------------------------------------------------------------
+
+#: |adjusted residual| above this flags an over/under-represented cell
+RESID_FLAG = 2.0
+
+
+@register(
+    "q156_contingency_residuals",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    tot AS (
+        SELECT o_orderpriority, o_orderstatus, observed,
+               CAST(SUM(observed) OVER (PARTITION BY o_orderpriority)
+                    AS DOUBLE) AS rd,
+               CAST(SUM(observed) OVER (PARTITION BY o_orderstatus)
+                    AS DOUBLE) AS cd,
+               CAST(SUM(observed) OVER () AS DOUBLE) AS nd
+        FROM cells
+    )
+    SELECT o_orderpriority, o_orderstatus, observed,
+           FLOOR(rd * cd / nd * 1000000) / 1000000 AS expected,
+           FLOOR((observed - rd * cd / nd)
+                 / SQRT(rd * cd / nd * (1 - rd / nd) * (1 - cd / nd))
+                 * 1000000) / 1000000 AS adj_residual,
+           (ABS((observed - rd * cd / nd)
+                / SQRT(rd * cd / nd * (1 - rd / nd) * (1 - cd / nd)))
+            > {RESID_FLAG}) AS flagged
+    FROM tot
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def q156_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence screen: observed vs expected
+    counts for every (priority × status) cell with the ADJUSTED
+    standardized residual (O−E)/√(E(1−R/N)(1−C/N)) — the per-cell
+    z-score that localizes WHICH combination is over/under-represented,
+    which a single chi-square total can't do (and whose cross-engine
+    float sum would be order-dependent — per-cell residuals avoid the
+    summation entirely, the q151 trick at the row level).
+
+    Determinism: R, C, N are exact integer window sums cast once to
+    double; each residual is an identical per-row IEEE tree on both
+    engines (÷ and √ are correctly rounded).
+
+    Scale: the fact table collapses map-side to |priorities|×|statuses|
+    cells; the three margin sums are windows over that tiny cell table.
+
+    Reference: extends the profiling family (q71/q144; no reference
+    counterpart)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rd = F.sum("observed").over(Window.partitionBy("o_orderpriority")).cast("double")
+    cd = F.sum("observed").over(Window.partitionBy("o_orderstatus")).cast("double")
+    nd = F.sum("observed").over(
+        Window.partitionBy()
+    ).cast("double")
+    tot = cells.select(
+        "o_orderpriority", "o_orderstatus", "observed",
+        rd.alias("rd"), cd.alias("cd"), nd.alias("nd"),
+    )
+    e = F.col("rd") * F.col("cd") / F.col("nd")
+    resid = (F.col("observed") - e) / F.sqrt(
+        e * (1 - F.col("rd") / F.col("nd")) * (1 - F.col("cd") / F.col("nd"))
+    )
+    return tot.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        trunc(e, 6).alias("expected"),
+        trunc(resid, 6).alias("adj_residual"),
+        (F.abs(resid) > RESID_FLAG).alias("flagged"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# q159 — top-k per group with an OTHER rollup (dashboard primitive)
+# --------------------------------------------------------------------------
+
+TOPK_OTHERS_K = 3
+
+
+@register(
+    "q159_topk_others",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+        SELECT source, lang, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn
+        FROM counts
+    ),
+    labeled AS (
+        SELECT source,
+               CASE WHEN rn <= {TOPK_OTHERS_K} THEN lang
+                    ELSE 'OTHER' END AS label,
+               CAST(SUM(c) AS BIGINT) AS n_docs
+        FROM ranked GROUP BY source, CASE WHEN rn <= {TOPK_OTHERS_K}
+                                          THEN lang ELSE 'OTHER' END
+    )
+    SELECT source, label, n_docs,
+           FLOOR(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                 * 1000000) / 1000000 AS share
+    FROM labeled
+    ORDER BY source, label
+    """,
+)
+def q159_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_OTHERS_K} languages per source with everything else
+    rolled into an OTHER bucket — the dashboard primitive every
+    composition report needs (a bare top-k silently drops the tail;
+    the OTHER row keeps shares summing to 1 so mix drift is visible).
+    Ties rank deterministically by (count desc, lang asc).
+
+    Scale: the corpus collapses map-side to (source, lang) cells; the
+    rank window and OTHER re-aggregation run over that cell table
+    (|sources|·|langs| rows), never the corpus. Spark's
+    WindowGroupLimit pushes the rank cutoff into the shuffle when the
+    filter is rank-only; here the ELSE branch keeps every cell alive
+    by design — the tail is the point.
+
+    Determinism: integer counts, one truncated division per row.
+
+    Reference: extends the reporting family (q56 top-k per group,
+    q71 profiler; no reference counterpart)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang"))
+    )
+    labeled = (
+        counts.withColumn("rn", rn)
+        .select(
+            "source",
+            F.when(F.col("rn") <= TOPK_OTHERS_K, F.col("lang"))
+            .otherwise(F.lit("OTHER"))
+            .alias("label"),
+            "c",
+        )
+        .groupBy("source", "label")
+        .agg(F.sum("c").cast("bigint").alias("n_docs"))
+    )
+    share_den = F.sum("n_docs").over(Window.partitionBy("source")).cast("bigint")
+    return (
+        labeled.select(
+            "source",
+            "label",
+            "n_docs",
+            trunc(F.col("n_docs").cast("double") / share_den, 6).alias("share"),
+        )
+        .orderBy("source", "label")
+    )

@@ -1214,3 +1214,101 @@ def q154_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q158 — blocked fuzzy join (edit-distance entity resolution)
+# --------------------------------------------------------------------------
+
+FUZZY_PREFIX = 40      #: chars of text compared (bounds the O(len²) DP)
+FUZZY_MAX_DIST = 10    #: max edit distance reported
+FUZZY_MAX_BLOCK = 200  #: blocks bigger than this are skipped (hot-block guard)
+FUZZY_BUCKET = 20      #: n_chars bucket width for the blocking key
+
+
+@register(
+    "q158_fuzzy_join",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // {FUZZY_BUCKET} AS bucket,
+               substr(text, 1, {FUZZY_PREFIX}) AS prefix
+        FROM documents
+    ),
+    ok_blocks AS (
+        SELECT lang, bucket FROM d GROUP BY lang, bucket
+        HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
+    ),
+    b AS (SELECT d.* FROM d JOIN ok_blocks USING (lang, bucket)),
+    pairs AS (
+        SELECT a.lang, a.bucket, a.doc_id AS doc_a, c.doc_id AS doc_b,
+               levenshtein(a.prefix, c.prefix) AS dist,
+               GREATEST(len(a.prefix), len(c.prefix)) AS max_len
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.bucket = c.bucket
+         AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, lang, CAST(dist AS BIGINT) AS dist,
+           FLOOR((1 - CAST(dist AS DOUBLE) / max_len) * 10000) / 10000
+               AS similarity
+    FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q158_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — the entity-resolution primitive: candidate
+    pairs form ONLY inside a blocking key (language × length bucket),
+    then an edit-distance filter over a fixed {FUZZY_PREFIX}-char
+    prefix keeps near-identical openings. Fuzzy matching is the dedup
+    family's answer to typo-grade variation that token shingles
+    (q41/q139) rate as different shingles entirely.
+
+    Scale (the blocking contract): an unblocked fuzzy join is all-pairs
+    O(n²) × an O(len²) DP per pair — never viable. Blocking bounds the
+    per-block fan-out, the {FUZZY_MAX_BLOCK}-row hot-block guard drops
+    degenerate blocks BEFORE the self-join (same role as q139's df
+    cap), and the DP cost is capped by the fixed prefix. The join is
+    key-equi on (lang, bucket) — hash-partitioned, never broadcast-
+    nested-loop. Real deployments widen recall with multiple blocking
+    passes (q41's LSH bands are exactly that); one pass keeps the
+    oracle 1:1.
+
+    Determinism: Levenshtein distance is an exact integer DP (identical
+    semantics both engines — unit-cost insert/delete/substitute);
+    similarity is one truncated division.
+
+    Reference: extends the dedup family (SURVEY §2 A3; no reference
+    counterpart)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / FUZZY_BUCKET).cast("long").alias("bucket"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
+    )
+    ok_blocks = (
+        docs.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= FUZZY_MAX_BLOCK)
+        .select("lang", "bucket")
+    )
+    b = docs.join(ok_blocks, ["lang", "bucket"])
+    a = b.select(
+        "lang", "bucket", F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("pa"),
+    )
+    c = b.select(
+        "lang", "bucket", F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("pb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    max_len = F.greatest(F.length("pa"), F.length("pb"))
+    return (
+        a.join(c, ["lang", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "lang",
+            dist.cast("bigint").alias("dist"),
+            trunc(1 - dist.cast("double") / max_len, 4).alias("similarity"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .orderBy("doc_a", "doc_b")
+    )

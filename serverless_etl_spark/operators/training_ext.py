@@ -407,3 +407,181 @@ def q117_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_to_centroid") < OUTLIER_COSINE_MAX)
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q155 — context-length budget curve (fit / truncation-waste per window)
+# --------------------------------------------------------------------------
+
+#: candidate max-sequence-length budgets (whitespace tokens)
+CTX_WINDOWS = [16, 32, 64, 96, 128]
+
+
+@register(
+    "q155_context_budget",
+    oracle=f"""
+    WITH n AS (
+        SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN n_tok <= {w} THEN 1 ELSE 0 END) AS BIGINT) AS fit_{w}, "
+                   f"CAST(SUM(CASE WHEN n_tok > {w} THEN n_tok - {w} ELSE 0 END) AS BIGINT) AS cut_{w}"
+                   for w in CTX_WINDOWS
+               )}
+        FROM n
+    )
+    {" UNION ALL ".join(
+        f"SELECT {w} AS ctx_window, n_docs, total_tok, fit_{w} AS n_fit, "
+        f"FLOOR(CAST(fit_{w} AS DOUBLE) / n_docs * 1000000) / 1000000 AS fit_rate, "
+        f"cut_{w} AS tokens_truncated, "
+        f"FLOOR(CAST(cut_{w} AS DOUBLE) / total_tok * 1000000) / 1000000 AS trunc_share "
+        f"FROM stats"
+        for w in CTX_WINDOWS
+    )}
+    ORDER BY ctx_window
+    """,
+)
+def q155_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget curve: for each candidate max-sequence
+    length, how many documents fit whole and how many tokens a
+    truncate-at-window policy would throw away. This is the planning
+    query run before choosing a training context length / packing
+    strategy — the fit-rate column prices short-context training, the
+    truncation-share column prices the data loss, and together they
+    bracket q68's packing from the policy side.
+
+    Scale: ONE corpus scan computing a per-row token count, collapsed
+    map-side into a single row of 2 + 2·|windows| partial-aggregated
+    integers; the per-window unpivot happens on that one row. Adding a
+    window is one more column, not another scan.
+
+    Determinism: counts and integer token sums; the two rates are
+    truncated divisions.
+
+    Reference: extends the token-budget family (q31/q36/q123; SURVEY
+    §2 extended operators; no reference counterpart)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(F.size(F.split("text", " ")).alias("n_tok"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tok"),
+    ]
+    for w in CTX_WINDOWS:
+        aggs.append(
+            F.sum((F.col("n_tok") <= w).cast("long")).cast("bigint").alias(f"fit_{w}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("n_tok") > w, F.col("n_tok") - w).otherwise(0)
+            ).cast("bigint").alias(f"cut_{w}")
+        )
+    stats = n.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("ctx_window"),
+                F.col(f"fit_{w}").alias("n_fit"),
+                trunc(
+                    F.col(f"fit_{w}").cast("double") / F.col("n_docs"), 6
+                ).alias("fit_rate"),
+                F.col(f"cut_{w}").alias("tokens_truncated"),
+                trunc(
+                    F.col(f"cut_{w}").cast("double") / F.col("total_tok"), 6
+                ).alias("trunc_share"),
+            )
+            for w in CTX_WINDOWS
+        ]
+    )
+    return (
+        stats.select("n_docs", "total_tok", F.inline(rows))
+        .select(
+            "ctx_window", "n_docs", "total_tok", "n_fit", "fit_rate",
+            "tokens_truncated", "trunc_share",
+        )
+        .orderBy("ctx_window")
+    )
+
+
+# --------------------------------------------------------------------------
+# q157 — smoothed target encoding of a categorical feature
+# --------------------------------------------------------------------------
+
+#: Laplace/shrinkage pseudo-count toward the global prior
+TENC_SMOOTH_M = 10
+
+
+@register(
+    "q157_target_encoding",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS s_g,
+               CAST(COUNT(*) AS DOUBLE) AS n_g
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS s_c,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS n_c
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_rows,
+           FLOOR(s_c / n_c * 1000000) / 1000000 AS raw_mean,
+           FLOOR((s_c + {TENC_SMOOTH_M} * (s_g / n_g))
+                 / (n_c + {TENC_SMOOTH_M}) * 1000000) / 1000000 AS encoded,
+           FLOOR(ABS(s_c / n_c - s_g / n_g) * 1000000) / 1000000 AS prior_gap
+    FROM c CROSS JOIN g
+    ORDER BY o_orderpriority
+    """,
+)
+def q157_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding: replace a categorical feature with the
+    shrunk mean of a numeric target, (Σ_c + m·prior)/(n_c + m) — the
+    standard high-cardinality categorical encoder for tree/linear
+    models, where the pseudo-count m keeps rare categories from
+    memorizing their own noise. Reports raw vs encoded mean plus the
+    gap to the prior so the shrinkage is visible.
+
+    Determinism: both the per-category and global sums are exact
+    DECIMAL(19,4) aggregations cast once to double; the encode formula
+    is the identical IEEE tree on both engines (q151 discipline).
+
+    Scale: two map-side partial aggregations (category cells + one
+    global row, broadcast back); the category table never exceeds the
+    distinct-category count. For true high-cardinality keys the same
+    plan holds — the encode join back to the fact table (not
+    materialized here) is a broadcast of the encoding table.
+
+    Reference: extends the feature-engineering family (no reference
+    counterpart; SURVEY §2 extended operators)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(19,4)")
+    g = orders.agg(
+        F.sum(dec).cast("double").alias("s_g"),
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+    )
+    c = orders.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("double").alias("s_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n_c"),
+    )
+    prior = F.col("s_g") / F.col("n_g")
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            trunc(F.col("s_c") / F.col("n_c"), 6).alias("raw_mean"),
+            trunc(
+                (F.col("s_c") + TENC_SMOOTH_M * prior)
+                / (F.col("n_c") + TENC_SMOOTH_M),
+                6,
+            ).alias("encoded"),
+            trunc(F.abs(F.col("s_c") / F.col("n_c") - prior), 6).alias(
+                "prior_gap"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -91,7 +91,9 @@ _SWEEP_PRIORITY = [
     "q144_key_skew_profile", "q145_time_to_convert", "q146_compaction_plan",
     "q147_benford_screen", "q148_session_stats", "q149_dau_wau_stickiness",
     "q150_bfs_reachability", "q151_corr_matrix", "q152_cusum_changepoint",
-    "q153_fk_integrity", "q154_shingle_novelty",
+    "q153_fk_integrity", "q154_shingle_novelty", "q155_context_budget",
+    "q156_contingency_residuals", "q157_target_encoding",
+    "q158_fuzzy_join", "q159_topk_others",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

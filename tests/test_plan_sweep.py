@@ -81,6 +81,11 @@ SCAN_BUDGETS = {
     "q152_cusum_changepoint": 2,   # daily cells + totals re-aggregate
     "q153_fk_integrity": 14,       # 7 edges × (child + parent) scans
     "q154_shingle_novelty": 3,     # 1 real scan: persisted sh reprints
+    "q155_context_budget": 1,
+    "q156_contingency_residuals": 1,
+    "q157_target_encoding": 2,     # category cells + global prior agg
+    "q158_fuzzy_join": 3,          # block sizes + two self-join sides
+    "q159_topk_others": 1,
 }
 
 

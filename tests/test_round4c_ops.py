@@ -218,3 +218,138 @@ def test_novelty_conservation(spark):
     for r in rows:
         assert 0.0 < r["novelty_rate"] <= 1.0, r
         assert r["n_novel"] <= r["total_shingles"]
+
+
+# --------------------------------------------------------------------------
+# q155 — context-length budget curve
+# --------------------------------------------------------------------------
+
+
+def test_context_budget_matches_recomputation(spark):
+    from serverless_etl_spark.operators.training_ext import CTX_WINDOWS
+
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    ns = [len(r["text"].split(" ")) for r in docs]
+    rows = registry.QUERIES["q155_context_budget"](spark, SF_SMALL).collect()
+    got = {r["ctx_window"]: r for r in rows}
+    assert set(got) == set(CTX_WINDOWS)
+    prev_fit, prev_cut = -1, None
+    for w in sorted(CTX_WINDOWS):
+        r = got[w]
+        assert r["n_docs"] == len(ns) and r["total_tok"] == sum(ns)
+        assert r["n_fit"] == sum(1 for n in ns if n <= w)
+        assert r["tokens_truncated"] == sum(n - w for n in ns if n > w)
+        assert r["n_fit"] >= prev_fit  # monotone in the window
+        assert prev_cut is None or r["tokens_truncated"] <= prev_cut
+        prev_fit, prev_cut = r["n_fit"], r["tokens_truncated"]
+
+
+# --------------------------------------------------------------------------
+# q156 — contingency residuals
+# --------------------------------------------------------------------------
+
+
+def test_contingency_residuals_match_recomputation(spark):
+    import math
+
+    rows = registry.QUERIES["q156_contingency_residuals"](
+        spark, SF_SMALL
+    ).collect()
+    n = sum(r["observed"] for r in rows)
+    row_tot = Counter()
+    col_tot = Counter()
+    for r in rows:
+        row_tot[r["o_orderpriority"]] += r["observed"]
+        col_tot[r["o_orderstatus"]] += r["observed"]
+    assert n == load_table(spark, SF_SMALL, "orders").count()
+    for r in rows:
+        rd, cd = row_tot[r["o_orderpriority"]], col_tot[r["o_orderstatus"]]
+        e = rd * cd / n
+        resid = (r["observed"] - e) / math.sqrt(
+            e * (1 - rd / n) * (1 - cd / n)
+        )
+        assert abs(r["expected"] - e) < 1e-4
+        assert abs(r["adj_residual"] - resid) < 1e-4
+        assert r["flagged"] == (abs(resid) > 2.0) or abs(abs(resid) - 2.0) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# q157 — target encoding
+# --------------------------------------------------------------------------
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    rows = registry.QUERIES["q157_target_encoding"](spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    total = sum(r["o_totalprice"] for r in orders)
+    prior = total / len(orders)
+    for r in rows:
+        # shrinkage: encoded strictly between raw mean and the prior
+        lo, hi = sorted((r["raw_mean"], prior))
+        assert lo - 1e-4 <= r["encoded"] <= hi + 1e-4, r
+        assert abs(r["encoded"] - prior) <= abs(r["raw_mean"] - prior) + 1e-4
+
+
+# --------------------------------------------------------------------------
+# q158 — blocked fuzzy join
+# --------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_pairs_verified_by_python_dp(spark):
+    from serverless_etl_spark.operators.dedup import (
+        FUZZY_BUCKET,
+        FUZZY_MAX_DIST,
+        FUZZY_PREFIX,
+    )
+
+    rows = registry.QUERIES["q158_fuzzy_join"](spark, SF_SMALL).collect()
+    assert rows, "expected at least one fuzzy pair in the fixtures"
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    for r in rows:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        assert a["lang"] == b["lang"] == r["lang"]
+        assert a["n_chars"] // FUZZY_BUCKET == b["n_chars"] // FUZZY_BUCKET
+        d = _lev(a["text"][:FUZZY_PREFIX], b["text"][:FUZZY_PREFIX])
+        assert d == r["dist"] and d <= FUZZY_MAX_DIST
+
+
+# --------------------------------------------------------------------------
+# q159 — top-k with OTHER rollup
+# --------------------------------------------------------------------------
+
+
+def test_topk_others_conserves_totals_and_shares(spark):
+    from serverless_etl_spark.operators.analytics_ext import TOPK_OTHERS_K
+
+    rows = registry.QUERIES["q159_topk_others"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "source", "lang"
+    ).collect()
+    per_source = Counter(r["source"] for r in docs)
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r["source"]].append(r)
+    assert set(by_source) == set(per_source)
+    for src, rs in by_source.items():
+        assert len(rs) <= TOPK_OTHERS_K + 1
+        assert sum(r["n_docs"] for r in rs) == per_source[src]
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-3
+        labels = [r["label"] for r in rs]
+        assert len(labels) == len(set(labels))

@@ -1312,3 +1312,92 @@ def q158_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — dedup token savings per source (exact-dedup budget impact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q161_dedup_savings",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    digests AS (
+        SELECT doc_id, md5(text) AS digest,
+               len(string_split(text, ' ')) AS n_tok
+        FROM corpus
+    ),
+    keepers AS (
+        SELECT digest, MIN(doc_id) AS keeper FROM digests GROUP BY digest
+    ),
+    marked AS (
+        SELECT d.doc_id, d.n_tok,
+               CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS kept
+        FROM digests d JOIN keepers k USING (digest)
+    )
+    SELECT s.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(m.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(m.kept * m.n_tok) AS BIGINT) AS tokens_kept,
+           CAST(SUM((1 - m.kept) * m.n_tok) AS BIGINT) AS tokens_dropped,
+           FLOOR(CAST(SUM((1 - m.kept) * m.n_tok) AS DOUBLE)
+                 / SUM(m.n_tok) * 1000000) / 1000000 AS savings_share
+    FROM marked m
+    JOIN documents s ON s.doc_id = m.doc_id % 1000000
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+def q161_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget impact of exact dedup, attributed per source: over
+    the duplicate-injected corpus (q40's fixture), how many tokens each
+    source loses to the keep-min-doc_id policy. This is the query that
+    turns a dedup pass into a storage/compute forecast — "dedup will
+    cut source X's contribution by N tokens" — and the per-source
+    attribution exposes which feeds are mostly reposts.
+
+    Scale: digests + token counts are projected BEFORE any exchange
+    (16-byte digest shuffle, q40 posture); the keeper table is one
+    min-aggregation; attribution joins on integer doc_id. One corpus
+    scan feeds digesting and counting in the same projection.
+
+    Determinism: integer token sums and one truncated division.
+
+    Reference: composes q40's exact dedup with q31's token accounting
+    (SURVEY §2 A3 + extended); no reference counterpart."""
+    corpus = _duped_docs(spark, sf_dir)
+    digests = track_cache(
+        corpus.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        ).persist()
+    )
+    keepers = digests.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    marked = digests.join(keepers, "digest").select(
+        "doc_id",
+        "n_tok",
+        (F.col("doc_id") == F.col("keeper")).cast("long").alias("kept"),
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    return (
+        marked.withColumn("orig_id", F.col("doc_id") % 1000000)
+        .join(src, "orig_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.col("kept") * F.col("n_tok")).cast("bigint").alias("tokens_kept"),
+            F.sum((1 - F.col("kept")) * F.col("n_tok"))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+            trunc(
+                F.sum((1 - F.col("kept")) * F.col("n_tok")).cast("double")
+                / F.sum("n_tok"),
+                6,
+            ).alias("savings_share"),
+        )
+        .orderBy("source")
+    )

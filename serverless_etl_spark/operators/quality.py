@@ -517,3 +517,109 @@ def q153_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("edge")
+
+
+# --------------------------------------------------------------------------
+# q164 — deletion-request blast radius (purge-impact audit)
+# --------------------------------------------------------------------------
+
+#: customers with c_custkey % this == 0 simulate a deletion batch
+PURGE_MOD = 97
+
+
+@register(
+    "q164_purge_impact",
+    oracle=f"""
+    WITH purge AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {PURGE_MOD} = 0
+    ),
+    po AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM purge)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM purge) AS n_purged,
+           (SELECT COUNT(*) FROM customer) AS n_total,
+           FLOOR(CAST((SELECT COUNT(*) FROM purge) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM customer) * 1000000) / 1000000
+               AS share
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM po),
+           (SELECT COUNT(*) FROM orders),
+           FLOOR(CAST((SELECT COUNT(*) FROM po) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM orders) * 1000000) / 1000000
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+           (SELECT COUNT(*) FROM lineitem),
+           FLOOR(CAST((SELECT COUNT(*) FROM lineitem
+                       WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM lineitem) * 1000000) / 1000000
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events
+            WHERE user_id IN (SELECT c_custkey FROM purge)),
+           (SELECT COUNT(*) FROM events),
+           FLOOR(CAST((SELECT COUNT(*) FROM events
+                       WHERE user_id IN (SELECT c_custkey FROM purge))
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM events) * 1000000) / 1000000
+    ORDER BY tbl
+    """,
+)
+def q164_purge_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request blast radius: given a batch of customers to
+    purge (right-to-erasure / retention enforcement), count the rows
+    each downstream table loses through the FK cascade (customer →
+    orders → lineitem, plus the behavioral events keyed by the same
+    ids). Run BEFORE the actual delete, this is the audit artifact
+    that sizes the rewrite and catches an unexpectedly huge cascade.
+
+    Scale: the purge key set and its order-key closure are the only
+    broadcast sides (semi joins — the fact tables stream, nothing
+    widens); each table contributes one count aggregate, and the four
+    branches are independent union arms scheduled concurrently. The
+    cascade closure reuses q153's edge definitions.
+
+    Determinism: counts and truncated divisions.
+
+    Reference: the governance twin of q153's FK audit (SURVEY §2
+    extended; no reference counterpart)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    purge = cust.filter(F.col("c_custkey") % PURGE_MOD == 0).select("c_custkey")
+    po = orders.join(
+        F.broadcast(purge), orders["o_custkey"] == purge["c_custkey"], "semi"
+    ).select("o_orderkey")
+
+    def arm(name: str, hit: DataFrame, full: DataFrame) -> DataFrame:
+        n = hit.agg(F.count(F.lit(1)).alias("n_purged"))
+        t = full.agg(F.count(F.lit(1)).alias("n_total"))
+        return (
+            n.crossJoin(F.broadcast(t))
+            .select(
+                F.lit(name).alias("tbl"),
+                "n_purged",
+                "n_total",
+                trunc(
+                    F.col("n_purged").cast("double") / F.col("n_total"), 6
+                ).alias("share"),
+            )
+        )
+
+    pl = li.join(F.broadcast(po), li["l_orderkey"] == po["o_orderkey"], "semi")
+    pe = ev.join(
+        F.broadcast(purge), ev["user_id"] == purge["c_custkey"], "semi"
+    )
+    return (
+        arm("customer", purge, cust)
+        .unionAll(arm("orders", po, orders))
+        .unionAll(arm("lineitem", pl, li))
+        .unionAll(arm("events", pe, ev))
+        .orderBy("tbl")
+    )

@@ -859,3 +859,65 @@ def q142_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — embedding norm audit per label
+# --------------------------------------------------------------------------
+
+#: norm quantization: integer 1e-4 units make label sums exact
+NORM_Q = 10000
+
+
+@register(
+    "q162_embedding_norms",
+    oracle=f"""
+    WITH {_DIMS_SQL}
+    , nq AS (
+        SELECT n.vec_id, e.label,
+               CAST(FLOOR(n.nrm * {NORM_Q}) AS BIGINT) AS norm_q
+        FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(norm_q) AS min_norm_q,
+           MAX(norm_q) AS max_norm_q,
+           FLOOR(CAST(SUM(norm_q) AS DOUBLE) / COUNT(*) / {NORM_Q}
+                 * 1000000) / 1000000 AS mean_norm
+    FROM nq GROUP BY label ORDER BY label
+    """,
+)
+def q162_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm audit: min / max / mean vector
+    norms. Norm collapse (a label's vectors shrinking toward zero) and
+    norm explosion are the first symptoms of a broken encoder or an
+    unnormalized index — and cosine ANN (q50 family) silently degrades
+    on unnormalized vectors, so this is the index-health check run
+    beside q120's recall.
+
+    Determinism: the per-vector sum-of-squares folds sequentially
+    (same as the q50 dot products), the norm (IEEE sqrt) is quantized
+    to integer 1e-4 units immediately, and all label-level statistics
+    are integer min/max/sums — the mean is one division at the end.
+    No float sum ever crosses rows.
+
+    Scale: one pass over the vectors, fold inside the row (the shuffle
+    carries one integer per vector), label table is |labels| rows.
+
+    Reference: extends the embedding family (q50/q120/q142; no
+    reference counterpart)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_q = F.floor(_norm(_vec_double()) * NORM_Q).cast("bigint")
+    return (
+        emb.select("label", norm_q.alias("norm_q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_q").alias("min_norm_q"),
+            F.max("norm_q").alias("max_norm_q"),
+            trunc(
+                F.sum("norm_q").cast("double") / F.count(F.lit(1)) / NORM_Q, 6
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )

@@ -585,3 +585,90 @@ def q157_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — temperature-scaled data-mixture weights (α = 0.5)
+# --------------------------------------------------------------------------
+
+#: sqrt-of-size quantization grid: weights are integer ratios of
+#: FLOOR(sqrt(tokens)·MIX_Q) so the denominator is an EXACT integer sum
+MIX_Q = 1000
+
+
+@register(
+    "q160_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    num AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * {MIX_Q})
+                    AS BIGINT) AS w_num
+        FROM per_source
+    ),
+    tot AS (
+        SELECT CAST(SUM(w_num) AS BIGINT) AS den,
+               CAST(SUM(n_tokens) AS BIGINT) AS t_total
+        FROM num
+    )
+    SELECT source, n_docs, n_tokens,
+           FLOOR(CAST(w_num AS DOUBLE) / den * 1000000) / 1000000 AS weight,
+           FLOOR(CAST(w_num AS DOUBLE) / den * t_total / n_tokens
+                 * 1000000) / 1000000 AS sampling_epochs
+    FROM num CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q160_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights for the training mixture:
+    w_s ∝ tokens_s^α with α = 0.5 — the standard square-root
+    temperature that upsamples small sources without letting any one
+    giant source dominate (the mixture knob every multilingual /
+    multi-source pretraining run tunes). `sampling_epochs` is the
+    implied repeat rate of each source under one total-budget pass —
+    values far above 1 warn that a small source will be memorized.
+
+    Determinism: the only non-rational op, sqrt, is IEEE-correctly-
+    rounded on both engines and is immediately quantized to an integer
+    numerator (FLOOR ·{MIX_Q}), so the normalizing denominator is an
+    EXACT integer sum — never an order-dependent float sum across
+    sources. Final weights are single divisions, truncated.
+
+    Scale: corpus → |sources| rows map-side; the denominator is a
+    one-row aggregate of that table broadcast back (scalar-subquery
+    shape, BNLJ-allowlisted).
+
+    Reference: extends the mixture family (q100 resampling executes a
+    GIVEN mixture; q160 derives the mixture — no reference
+    counterpart)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    num = per_source.withColumn(
+        "w_num",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * MIX_Q).cast("bigint"),
+    )
+    tot = num.agg(
+        F.sum("w_num").cast("bigint").alias("den"),
+        F.sum("n_tokens").cast("bigint").alias("t_total"),
+    )
+    w = F.col("w_num").cast("double") / F.col("den")
+    return (
+        num.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            trunc(w, 6).alias("weight"),
+            trunc(
+                w * F.col("t_total") / F.col("n_tokens"), 6
+            ).alias("sampling_epochs"),
+        )
+        .orderBy("source")
+    )

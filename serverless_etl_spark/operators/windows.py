@@ -1007,3 +1007,87 @@ def q149_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — top event trigram paths (3-step behavioral sequences)
+# --------------------------------------------------------------------------
+
+TRIGRAM_TOP_N = 15
+
+
+@register(
+    "q163_trigram_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1 || '>' || e2 || '>' || e3
+    ),
+    ranked AS (
+        SELECT path, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank,
+               CAST(SUM(n) OVER () AS BIGINT) AS total
+        FROM paths
+    )
+    SELECT path, n, rank,
+           FLOOR(CAST(n AS DOUBLE) / total * 1000000) / 1000000 AS share
+    FROM ranked WHERE rank <= {TRIGRAM_TOP_N}
+    ORDER BY rank
+    """,
+)
+def q163_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRIGRAM_TOP_N} three-step behavioral paths: consecutive
+    event-type trigrams per user (ordered by time, ties broken by
+    event_id), counted corpus-wide. The 3-gram extension of q130's
+    Markov transitions — first-order transition matrices can't see
+    that A→B→C is common while A→B→D never happens, which is exactly
+    what funnel design and anomaly hunting need.
+
+    Scale: ONE user-partitioned ordered window pass (two LEADs share
+    the same sort — q141/q145 posture); trigram counting collapses
+    map-side to |type|³ ≤ 125 paths; rank + share run over that tiny
+    table (the grand total is a window over it, not another scan).
+
+    Determinism: integer counts, ties ranked by path string, one
+    truncated division.
+
+    Reference: extends the behavioral family (q130 transitions, q77
+    funnel; no reference counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = paths.select(
+        "path",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("path")))
+        .cast("int")
+        .alias("rank"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= TRIGRAM_TOP_N)
+        .select(
+            "path", "n", "rank",
+            trunc(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("rank")
+    )

@@ -93,7 +93,9 @@ _SWEEP_PRIORITY = [
     "q150_bfs_reachability", "q151_corr_matrix", "q152_cusum_changepoint",
     "q153_fk_integrity", "q154_shingle_novelty", "q155_context_budget",
     "q156_contingency_residuals", "q157_target_encoding",
-    "q158_fuzzy_join", "q159_topk_others",
+    "q158_fuzzy_join", "q159_topk_others", "q160_mixture_weights",
+    "q161_dedup_savings", "q162_embedding_norms", "q163_trigram_paths",
+    "q164_purge_impact",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

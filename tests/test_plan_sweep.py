@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     "q141_last_touch_attribution",  # one-row conversion-total broadcast
     "q143_seasonal_anomaly",  # one-row n_days aggregate broadcast
     "q147_benford_screen",    # one-row digit-total broadcast
+    "q157_target_encoding",   # one-row global-prior aggregate broadcast
+    "q160_mixture_weights",   # one-row denominator/total broadcast
+    "q164_purge_impact",      # four one-row count aggregates broadcast
 }
 
 
@@ -84,8 +87,14 @@ SCAN_BUDGETS = {
     "q155_context_budget": 1,
     "q156_contingency_residuals": 1,
     "q157_target_encoding": 2,     # category cells + global prior agg
-    "q158_fuzzy_join": 3,          # block sizes + two self-join sides
+    "q158_fuzzy_join": 4,          # block sizes + ok-block filter + two self-join sides
     "q159_topk_others": 1,
+    "q160_mixture_weights": 2,     # source cells + denominator aggregate
+    "q161_dedup_savings": 7,       # 2 real scans (duped corpus + source
+                                   # join); persisted digests reprint
+    "q162_embedding_norms": 1,
+    "q163_trigram_paths": 1,
+    "q164_purge_impact": 12,       # 4 union arms × (hit + total) scans
 }
 
 

@@ -353,3 +353,130 @@ def test_topk_others_conserves_totals_and_shares(spark):
         assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-3
         labels = [r["label"] for r in rs]
         assert len(labels) == len(set(labels))
+
+
+# --------------------------------------------------------------------------
+# q160 — mixture weights
+# --------------------------------------------------------------------------
+
+
+def test_mixture_weights_sum_to_one_and_flatten_sizes(spark):
+    rows = registry.QUERIES["q160_mixture_weights"](spark, SF_SMALL).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    # temperature < 1 flattens: every source's weight is strictly
+    # between uniform and proportional-to-size (sqrt compresses ratios)
+    t_total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        prop = r["n_tokens"] / t_total
+        uni = 1.0 / len(rows)
+        lo, hi = sorted((prop, uni))
+        assert lo - 1e-3 <= r["weight"] <= hi + 1e-3, r
+        # sampling_epochs = weight * T / tokens, > 1 iff upsampled
+        assert (r["sampling_epochs"] > 1.0) == (r["weight"] > prop) or abs(
+            r["weight"] - prop
+        ) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# q161 — dedup savings
+# --------------------------------------------------------------------------
+
+
+def test_dedup_savings_conserves_tokens(spark):
+    from serverless_etl_spark.operators.dedup import _duped_docs
+
+    rows = registry.QUERIES["q161_dedup_savings"](spark, SF_SMALL).collect()
+    corpus = _duped_docs(spark, SF_SMALL).collect()
+    total = sum(len(r["text"].split(" ")) for r in corpus)
+    kept_by_digest = {}
+    for r in corpus:
+        k = r["text"]
+        kept_by_digest.setdefault(k, []).append(r["doc_id"])
+    kept_tok = sum(
+        len(t.split(" ")) for t, ids in kept_by_digest.items()
+    )
+    assert sum(r["tokens_total"] for r in rows) == total
+    assert sum(r["tokens_kept"] for r in rows) == kept_tok
+    for r in rows:
+        assert r["tokens_kept"] + r["tokens_dropped"] == r["tokens_total"]
+        assert 0.0 <= r["savings_share"] < 1.0
+
+
+# --------------------------------------------------------------------------
+# q162 — embedding norms
+# --------------------------------------------------------------------------
+
+
+def test_embedding_norms_match_numpy(spark):
+    import numpy as np
+
+    from serverless_etl_spark.operators.similarity import NORM_Q
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r["label"]].append(
+            int(np.floor(np.sqrt(sum(float(x) * float(x) for x in r["embedding"])) * NORM_Q))
+        )
+    rows = registry.QUERIES["q162_embedding_norms"](spark, SF_SMALL).collect()
+    got = {r["label"]: r for r in rows}
+    assert set(got) == set(by_label)
+    for lbl, qs in by_label.items():
+        r = got[lbl]
+        assert r["n_vecs"] == len(qs)
+        assert r["min_norm_q"] == min(qs) and r["max_norm_q"] == max(qs)
+        assert abs(r["mean_norm"] - sum(qs) / len(qs) / NORM_Q) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# q163 — trigram paths
+# --------------------------------------------------------------------------
+
+
+def test_trigram_paths_match_recomputation(spark):
+    from serverless_etl_spark.operators.windows import TRIGRAM_TOP_N
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    paths = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        types = [s[2] for s in seq]
+        for i in range(len(types) - 2):
+            paths[">".join(types[i : i + 3])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:TRIGRAM_TOP_N]
+    rows = registry.QUERIES["q163_trigram_paths"](spark, SF_SMALL).collect()
+    assert [(r["path"], r["n"]) for r in rows] == expect
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# --------------------------------------------------------------------------
+# q164 — purge impact
+# --------------------------------------------------------------------------
+
+
+def test_purge_impact_cascade_is_consistent(spark):
+    from serverless_etl_spark.operators.quality import PURGE_MOD
+
+    rows = {r["tbl"]: r for r in registry.QUERIES["q164_purge_impact"](spark, SF_SMALL).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    cust = load_table(spark, SF_SMALL, "customer").collect()
+    purge = {r["c_custkey"] for r in cust if r["c_custkey"] % PURGE_MOD == 0}
+    assert rows["customer"]["n_purged"] == len(purge) > 0
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    po = {r["o_orderkey"] for r in orders if r["o_custkey"] in purge}
+    assert rows["orders"]["n_purged"] == len(po)
+    li_hit = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_orderkey").isin(list(po)) if po else F.lit(False))
+        .count()
+    )
+    assert rows["lineitem"]["n_purged"] == li_hit
+    for r in rows.values():
+        assert 0.0 <= r["share"] < 1.0 and r["n_purged"] <= r["n_total"]

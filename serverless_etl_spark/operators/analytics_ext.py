@@ -2277,3 +2277,138 @@ def q159_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "label")
     )
+
+
+# --------------------------------------------------------------------------
+# q165 — weighted median (lower) per group, integer-exact crossing rule
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q165_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price, qty,
+               CAST(SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY price
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(qty) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS total_qty
+        FROM w
+    ),
+    hit AS (
+        SELECT l_returnflag, price, total_qty,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY price) AS rn
+        FROM cum WHERE 2 * cw >= total_qty
+    )
+    SELECT l_returnflag, total_qty, price AS weighted_median
+    FROM hit WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def q165_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median of extended price per return
+    flag: the smallest price whose cumulative quantity reaches half the
+    total — "half the UNITS shipped cost at most this much", which a
+    row-median can't say when quantities vary. The weighted quantile is
+    the robust-stats workhorse for priced inventory, latency·request
+    weighting, and token-weighted doc stats.
+
+    Determinism: the crossing rule is integer cross-multiplication
+    (2·cumw ≥ W — no division, no float), and at tied prices the
+    crossing ROW may be sort-dependent but the crossing PRICE is not,
+    so the emitted value is exact either way. The price itself passes
+    through untouched (parquet double, bit-identical in both engines).
+
+    Scale: one per-group sort (the exact form — parallel across
+    groups, same posture as q109's exact ntile with the same caveat:
+    a single giant group serializes, and the documented approx route
+    is a weighted approx_percentile over (price, qty) pairs). The
+    crossing filter keeps one row per group past the window.
+
+    Reference: extends the robust-stats family (q103/q108/q109; no
+    reference counterpart)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(wcum).cast("bigint").alias("cw"),
+        F.sum("qty").over(wtot).cast("bigint").alias("total_qty"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("total_qty")).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("l_returnflag").orderBy("price")),
+    )
+    return (
+        hit.filter(F.col("rn") == 1)
+        .select("l_returnflag", "total_qty", F.col("price").alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q166 — 2-D activity heatmap (hour × event type) with marginal shares
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q166_heatmap_2d",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type, n,
+           FLOOR(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY hour) AS BIGINT)
+                 * 1000000) / 1000000 AS hour_share,
+           FLOOR(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                 * 1000000) / 1000000 AS type_share
+    FROM cells
+    ORDER BY hour, event_type
+    """,
+)
+def q166_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity heatmap with both marginal
+    shares: within-hour composition (which actions dominate each hour)
+    and within-type temporal profile (when each action happens). The
+    two normalizations answer different drift questions and cost
+    nothing extra over the one cell table.
+
+    Scale: events collapse map-side to ≤ 24·|types| cells; both margin
+    windows run over that tiny table (q156 posture).
+
+    Determinism: integer counts, truncated divisions.
+
+    Reference: extends the dashboard family (q137/q143/q159; no
+    reference counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.hour("ts").cast("int").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hs = F.sum("n").over(Window.partitionBy("hour")).cast("bigint")
+    ts = F.sum("n").over(Window.partitionBy("event_type")).cast("bigint")
+    return cells.select(
+        "hour",
+        "event_type",
+        "n",
+        trunc(F.col("n").cast("double") / hs, 6).alias("hour_share"),
+        trunc(F.col("n").cast("double") / ts, 6).alias("type_share"),
+    ).orderBy("hour", "event_type")

@@ -1,0 +1,118 @@
+"""Streaming referential-integrity gate: every micro-batch of incoming
+fact rows is validated against a dimension key snapshot — rows whose
+foreign key resolves are admitted to the clean table, orphans land in a
+quarantine table with the batch id that caught them. This is the
+streaming composition of q153's FK audit (operators/quality.py): the
+audit measures orphan rates after the fact; the gate stops them at
+ingest.
+
+Replay idempotence (ST5): both outputs are partitioned by batch_id and
+written with DYNAMIC partition overwrite — a replayed micro-batch
+overwrites its own partitions instead of appending duplicates (the
+neardup_gate discipline), so at-least-once upstream delivery still
+yields exactly-once tables.
+
+Late-dimension semantics: the dimension snapshot is re-read per batch,
+so a fact row arriving BEFORE its dimension row lands in quarantine —
+the standard early-arriving-fact problem. `requeue_resolved` turns the
+quarantine into a retry queue: rows whose keys have since appeared are
+returned for re-admission (run it on a schedule or after dimension
+loads). This is deliberately a periodic batch step, not a stream-stream
+join: the dimension is a slowly-changing broadcast-size table, and a
+watermarked stream-stream join would hold fact state for the full
+lateness horizon for no benefit.
+
+Scale: the per-batch work is one broadcast semi + anti join against the
+distinct dimension keys (dimension tables broadcast at any realistic
+fact:dim ratio — q153's posture); the fact stream never shuffles. At
+100 TB the clean table inherits the sink's partitioning; the quarantine
+stays orphan-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+
+def split_orphans(
+    batch: DataFrame, dim_keys: DataFrame, fk_col: str, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, orphans): semi/anti split of a fact batch against the
+    dimension key set. NULL foreign keys are orphans (they can never
+    resolve; the quarantine is where a human sees them)."""
+    dim = F.broadcast(dim_keys.select(key_col).distinct())
+    cond = batch[fk_col] == dim[key_col]
+    clean = batch.join(dim, cond, "semi")
+    orphans = batch.join(dim, cond, "anti")
+    return clean, orphans
+
+
+def fk_gate_writer(
+    dim_path: str, key_col: str, fk_col: str, clean_dir: str, quarantine_dir: str
+):
+    """foreachBatch hook validating each micro-batch against the
+    CURRENT dimension snapshot at `dim_path`."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        dim_keys = spark.read.parquet(dim_path).select(key_col)
+        clean, orphans = split_orphans(batch, dim_keys, fk_col, key_col)
+        _dynamic_overwrite(
+            clean.withColumn("batch_id", F.lit(batch_id)), clean_dir
+        )
+        _dynamic_overwrite(
+            orphans.withColumn("batch_id", F.lit(batch_id)), quarantine_dir
+        )
+
+    return _write
+
+
+def run_fk_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    dim_path: str,
+    key_col: str,
+    fk_col: str,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain all available source files (availableNow) through the
+    gate. Source: JSON-lines fact rows with `source_schema`."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            fk_gate_writer(dim_path, key_col, fk_col, clean_dir, quarantine_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def requeue_resolved(
+    spark: SparkSession,
+    quarantine_dir: str,
+    quarantine_schema: str,
+    dim_path: str,
+    key_col: str,
+    fk_col: str,
+) -> DataFrame:
+    """Early-arriving-fact retry: quarantine rows whose foreign key NOW
+    resolves against the current dimension snapshot. Returns them for
+    re-admission (the caller appends to the clean table and rewrites
+    the quarantine without them — kept explicit so the caller controls
+    transactionality)."""
+    quarantined = _read_or_empty(spark, quarantine_dir, quarantine_schema)
+    dim_keys = spark.read.parquet(dim_path).select(key_col)
+    resolved, _ = split_orphans(quarantined, dim_keys, fk_col, key_col)
+    return resolved

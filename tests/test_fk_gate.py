@@ -1,0 +1,103 @@
+"""Streaming FK-integrity gate (streaming/fk_gate.py): orphan facts
+quarantine, clean facts admit, replays are idempotent, and the
+early-arriving-fact retry re-admits rows once their dimension lands."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.streaming.fk_gate import (
+    fk_gate_writer,
+    requeue_resolved,
+    run_fk_gate,
+)
+
+SRC_SCHEMA = "event_id long, user_id long, value double"
+Q_SCHEMA = SRC_SCHEMA + ", batch_id long"
+
+
+def _row(event_id: int, user_id: int) -> str:
+    return json.dumps({"event_id": event_id, "user_id": user_id, "value": 1.0})
+
+
+def _write_dim(spark, path, keys):
+    spark.createDataFrame(
+        [(k,) for k in keys], "c_custkey long"
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_gate_splits_orphans_and_is_replay_idempotent(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    dim = str(tmp_path / "dim")
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_dim(spark, dim, range(1, 11))
+    (src / "a.json").write_text(
+        "\n".join(_row(i, i) for i in range(1, 6))  # all resolve
+    )
+    (src / "b.json").write_text(
+        "\n".join(_row(100 + i, 10 + i) for i in range(0, 5))
+        # user_id 10 resolves; 11-14 are orphans
+    )
+
+    def drain():
+        run_fk_gate(
+            spark, str(src), SRC_SCHEMA, dim, "c_custkey", "user_id",
+            clean, quar, ckpt,
+        )
+
+    drain()
+    got_clean = spark.read.parquet(clean)
+    got_quar = spark.read.parquet(quar)
+    assert got_clean.count() == 6  # 1-5 and 10
+    assert sorted(
+        r["user_id"] for r in got_quar.select("user_id").collect()
+    ) == [11, 12, 13, 14]
+    # conservation: every input row lands exactly once
+    assert got_clean.count() + got_quar.count() == 10
+
+    # replay with the same checkpoint: no new batches, tables unchanged
+    drain()
+    assert spark.read.parquet(clean).count() == 6
+    assert spark.read.parquet(quar).count() == 4
+
+
+def test_crash_replay_overwrites_own_partition(spark, tmp_path):
+    """Re-executing the SAME batch id (crash before checkpoint commit)
+    must overwrite its partitions, not append duplicates."""
+    dim = str(tmp_path / "dim")
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    _write_dim(spark, dim, range(1, 4))
+    batch = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 99, 1.0)], SRC_SCHEMA
+    )
+    writer = fk_gate_writer(dim, "c_custkey", "user_id", clean, quar)
+    writer(batch, 7)
+    writer(batch, 7)  # replay of the same micro-batch
+    assert spark.read.parquet(clean).count() == 1
+    assert spark.read.parquet(quar).count() == 1
+
+
+def test_requeue_resolved_after_dimension_lands(spark, tmp_path):
+    dim = str(tmp_path / "dim")
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    _write_dim(spark, dim, [1, 2])
+    batch = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 5, 1.0), (3, 6, 1.0)], SRC_SCHEMA
+    )
+    fk_gate_writer(dim, "c_custkey", "user_id", clean, quar)(batch, 0)
+    assert spark.read.parquet(quar).count() == 2
+
+    # the late dimension rows arrive; 5 resolves, 6 still doesn't
+    _write_dim(spark, dim, [1, 2, 5])
+    resolved = requeue_resolved(
+        spark, quar, Q_SCHEMA, dim, "c_custkey", "user_id"
+    )
+    assert [r["user_id"] for r in resolved.select("user_id").collect()] == [5]

@@ -95,6 +95,8 @@ SCAN_BUDGETS = {
     "q162_embedding_norms": 1,
     "q163_trigram_paths": 1,
     "q164_purge_impact": 12,       # 4 union arms × (hit + total) scans
+    "q165_weighted_median": 1,
+    "q166_heatmap_2d": 1,
 }
 
 

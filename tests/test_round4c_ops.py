@@ -480,3 +480,52 @@ def test_purge_impact_cascade_is_consistent(spark):
     assert rows["lineitem"]["n_purged"] == li_hit
     for r in rows.values():
         assert 0.0 <= r["share"] < 1.0 and r["n_purged"] <= r["n_total"]
+
+
+# --------------------------------------------------------------------------
+# q165 — weighted median
+# --------------------------------------------------------------------------
+
+
+def test_weighted_median_matches_recomputation(spark):
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    rows = registry.QUERIES["q165_weighted_median"](spark, SF_SMALL).collect()
+    got = {r["l_returnflag"]: r for r in rows}
+    assert set(got) == set(by_flag)
+    for flag, pts in by_flag.items():
+        pts.sort()
+        total = sum(q for _, q in pts)
+        cw = 0
+        for price, q in pts:
+            cw += q
+            if 2 * cw >= total:
+                break
+        assert got[flag]["weighted_median"] == price, flag
+        assert got[flag]["total_qty"] == total
+
+
+# --------------------------------------------------------------------------
+# q166 — 2-D heatmap
+# --------------------------------------------------------------------------
+
+
+def test_heatmap_marginals_sum_to_one(spark):
+    rows = registry.QUERIES["q166_heatmap_2d"](spark, SF_SMALL).collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    by_hour = defaultdict(float)
+    by_type = defaultdict(float)
+    for r in rows:
+        by_hour[r["hour"]] += r["hour_share"]
+        by_type[r["event_type"]] += r["type_share"]
+    for v in list(by_hour.values()) + list(by_type.values()):
+        assert abs(v - 1.0) < 1e-3

@@ -961,3 +961,167 @@ def q118_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q168 — local-supplier revenue by nation (TPC-H Q5 shape: 6-table join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q168_supply_chain_revenue",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q168_supply_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped six-table join: revenue from orders where the
+    supplier and the customer share a nation ("local supply chains"),
+    rolled up by nation over a two-year window — the canonical
+    multi-way star+snowflake join the optimizer must get RIGHT
+    (join order, broadcast choice, date pushdown) for any of it to
+    scale.
+
+    Scale: Catalyst broadcast-joins every dimension (supplier /
+    customer / nation / region are all far below the broadcast
+    threshold at any sane ratio) so the ONLY exchange on the fact path
+    is the final 25-group aggregate; the o_orderdate range predicate
+    pushes into the orders parquet scan (row-group min/max skipping)
+    BEFORE the join touches lineitem rows. The s_nationkey =
+    c_nationkey equality lands inside the supplier broadcast-join
+    condition, never as a post-join filter over a wider result.
+
+    Determinism: q01's dsum discipline — per-row double product
+    quantized to DECIMAL(22,6), summed exactly, cast once.
+
+    Reference: generalizes q03's 3-table join chain (SURVEY §2 J1) to
+    the full snowflake; classic OLAP parity, no reference
+    counterpart."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price, 6).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q169 — top customers by returned-item revenue (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+
+RETURNED_TOP_N = 20
+
+
+@register(
+    "q169_returned_customers",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               COUNT(*) AS n_items,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(22,6))) AS rev_dec
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rev_dec DESC, c_custkey)
+                       AS INT) AS rank
+        FROM per_cust
+    )
+    SELECT rank, c_custkey, c_name, n_name, n_items,
+           CAST(rev_dec AS DOUBLE) AS lost_revenue
+    FROM ranked WHERE rank <= {RETURNED_TOP_N}
+    ORDER BY rank
+    """,
+)
+def q169_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-revenue ranking: the {RETURNED_TOP_N}
+    customers who returned the most revenue, with their nation — the
+    account-management / fraud-screen report every commerce warehouse
+    runs.
+
+    Scale: the l_returnflag filter prunes the fact scan first;
+    customer and nation broadcast; ONE exchange on c_custkey for the
+    aggregate, and the global top-{RETURNED_TOP_N} runs on the
+    |customers|-row aggregate (WindowGroupLimit keeps k rows per
+    partition before the single-partition rank).
+
+    Determinism: revenue ranked on the EXACT decimal sum (ties broken
+    by custkey), cast to double only for display.
+
+    Reference: classic OLAP parity beside q168; extends the reporting
+    family."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                disc_price.cast("decimal(22,6)")
+            ).alias("rev_dec"),
+        )
+    )
+    ranked = per_cust.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey")))
+        .cast("int"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= RETURNED_TOP_N)
+        .select(
+            "rank", "c_custkey", "c_name", "n_name", "n_items",
+            F.col("rev_dec").cast("double").alias("lost_revenue"),
+        )
+        .orderBy("rank")
+    )

@@ -1091,3 +1091,87 @@ def q163_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — rolling 7-day active users per day (exact windowed distinct)
+# --------------------------------------------------------------------------
+
+ROLLING_WAU_DAYS = 7
+
+
+@register(
+    "q167_rolling_wau",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    covers AS (
+        SELECT ud.user_id, d.day AS wday
+        FROM ud
+        JOIN days d ON d.day >= ud.day
+                   AND d.day < ud.day + INTERVAL {ROLLING_WAU_DAYS} DAY
+    ),
+    wau AS (
+        SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+        FROM covers GROUP BY wday
+    ),
+    dau AS (
+        SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           FLOOR(CAST(d.dau AS DOUBLE) / w.wau * 1000000) / 1000000
+               AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """,
+)
+def q167_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLING_WAU_DAYS}-day active users for EVERY day (not
+    q149's fixed ISO weeks): WAU(D) = distinct users active in
+    [D−{ROLLING_WAU_DAYS}+1, D], with same-day DAU and the rolling
+    stickiness ratio. The fixed-week version hides mid-week
+    regressions; the rolling version is what alerting thresholds
+    watch.
+
+    Scale — the windowed-distinct trick: COUNT(DISTINCT) cannot be
+    composed across sliding windows (distinct doesn't sum), so instead
+    each distinct (user, day) pair is FANNED OUT to the ≤
+    {ROLLING_WAU_DAYS} window END-days it covers (a ×{ROLLING_WAU_DAYS}
+    map-side multiply of a table already collapsed to |users|·|days|),
+    and each window is then an independent exact distinct-count. Events
+    themselves are touched once. The fan-out join is day-keyed against
+    the |days|-row day list — no range self-join over events.
+
+    Determinism: exact integer distinct counts, one truncated division.
+
+    Reference: extends the growth family (q119 running distinct, q149
+    fixed-grain stickiness; no reference counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select(F.col("day").alias("wday")).distinct()
+    # explode to the covered window-end days (pure map-side ×W), then
+    # EQUI semi-join to the observed-day list — no non-equi join at all
+    covers = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), ROLLING_WAU_DAYS - 1)
+            )
+        ).alias("wday"),
+    ).join(days, "wday", "semi")
+    wau = covers.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("wau")
+    ).select(F.col("wday").alias("day"), "wau")
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            trunc(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

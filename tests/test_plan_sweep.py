@@ -97,6 +97,9 @@ SCAN_BUDGETS = {
     "q164_purge_impact": 12,       # 4 union arms × (hit + total) scans
     "q165_weighted_median": 1,
     "q166_heatmap_2d": 1,
+    "q167_rolling_wau": 3,         # user-day pairs + day list + DAU branch
+    "q168_supply_chain_revenue": 6,  # fact + 5 dimension scans
+    "q169_returned_customers": 4,    # fact + orders + 2 dim scans
 }
 
 

@@ -529,3 +529,77 @@ def test_heatmap_marginals_sum_to_one(spark):
         by_type[r["event_type"]] += r["type_share"]
     for v in list(by_hour.values()) + list(by_type.values()):
         assert abs(v - 1.0) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# q167 — rolling WAU
+# --------------------------------------------------------------------------
+
+
+def test_rolling_wau_matches_recomputation(spark):
+    from serverless_etl_spark.operators.windows import ROLLING_WAU_DAYS
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    ud = {(r["user_id"], r["day"]) for r in ev}
+    days = sorted({d for _, d in ud})
+    rows = registry.QUERIES["q167_rolling_wau"](spark, SF_SMALL).collect()
+    got = {r["day"]: r for r in rows}
+    assert set(got) == set(days)
+    for d in days:
+        active = {
+            u for (u, ad) in ud if 0 <= (d - ad).days < ROLLING_WAU_DAYS
+        }
+        dau = {u for (u, ad) in ud if ad == d}
+        assert got[d]["wau"] == len(active), d
+        assert got[d]["dau"] == len(dau), d
+        assert got[d]["dau"] <= got[d]["wau"]
+
+
+# --------------------------------------------------------------------------
+# q168/q169 — multi-way join reports
+# --------------------------------------------------------------------------
+
+
+def test_supply_chain_revenue_broadcasts_all_dims(spark):
+    df = registry.QUERIES["q168_supply_chain_revenue"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # every dimension join must be a broadcast hash join; the only
+    # exchange on the fact path is the final group-by
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert rows and all(r["revenue"] > 0 for r in rows)
+
+
+def test_returned_customers_rank_is_dense_and_ordered(spark):
+    from serverless_etl_spark.operators.relational import RETURNED_TOP_N
+
+    rows = registry.QUERIES["q169_returned_customers"](spark, SF_SMALL).collect()
+    assert len(rows) == min(RETURNED_TOP_N, len(rows))
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    revs = [r["lost_revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # cross-check the top row against a direct recomputation
+    li = load_table(spark, SF_SMALL, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, SF_SMALL, "orders")
+    top = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(22,6)"
+                )
+            ).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .first()
+    )
+    assert rows[0]["c_custkey"] == top["o_custkey"]
+    assert abs(rows[0]["lost_revenue"] - float(top["rev"])) < 1e-6

@@ -2412,3 +2412,145 @@ def q166_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc(F.col("n").cast("double") / hs, 6).alias("hour_share"),
         trunc(F.col("n").cast("double") / ts, 6).alias("type_share"),
     ).orderBy("hour", "event_type")
+
+
+# --------------------------------------------------------------------------
+# q171 — open-order backlog aging (as-of snapshot buckets)
+# --------------------------------------------------------------------------
+
+#: (label, min_days_inclusive, max_days_exclusive·or·None)
+AGING_BUCKETS = [("a_0_89d", 0, 90), ("b_90_364d", 90, 365), ("c_365d_plus", 365, None)]
+
+
+def _aging_case_sql() -> str:
+    whens = []
+    for label, lo, hi in AGING_BUCKETS:
+        cond = f"age_d >= {lo}" + (f" AND age_d < {hi}" if hi else "")
+        whens.append(f"WHEN {cond} THEN '{label}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+@register(
+    "q171_backlog_aging",
+    oracle=f"""
+    WITH snap AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+    aged AS (
+        SELECT o_orderstatus,
+               date_diff('day', o_orderdate, s.as_of) AS age_d,
+               o_totalprice
+        FROM orders CROSS JOIN snap s
+        WHERE o_orderstatus IN ('O', 'P')
+    )
+    SELECT o_orderstatus, {_aging_case_sql()} AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS total_value
+    FROM aged
+    GROUP BY o_orderstatus, {_aging_case_sql()}
+    ORDER BY o_orderstatus, age_bucket
+    """,
+)
+def q171_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging as of the newest order date: orders
+    still open ('O') or partially fulfilled ('P') bucketed by age, with
+    counts and the money stuck in each bucket — the working-capital /
+    fulfillment-SLA report every operations dashboard opens with. The
+    365-day-plus bucket existing AT ALL is the finding.
+
+    Scale: the as-of date is a one-row aggregate broadcast back
+    (scalar-subquery shape, BNLJ-allowlisted); aging is a map-side
+    date_diff + CASE; the table collapses to |status|×|buckets| rows
+    in one partial-aggregated exchange.
+
+    Determinism: integer day arithmetic, dsum-exact value sums.
+
+    Reference: extends the operational-reporting family (q146/q148;
+    no reference counterpart)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    snap = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("as_of")
+    )
+    aged = orders.crossJoin(F.broadcast(snap)).select(
+        "o_orderstatus",
+        F.datediff(F.col("as_of"), F.col("o_orderdate")).alias("age_d"),
+        "o_totalprice",
+    )
+    bucket = F.when(F.lit(False), F.lit(""))
+    for label, lo, hi in AGING_BUCKETS:
+        cond = F.col("age_d") >= lo
+        if hi is not None:
+            cond = cond & (F.col("age_d") < hi)
+        bucket = bucket.when(cond, F.lit(label))
+    return (
+        aged.select("o_orderstatus", bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — order-to-ship latency percentiles per priority
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q172_ship_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lat_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           MIN(lat_d) AS min_d,
+           FLOOR(quantile_cont(lat_d, 0.5) * 1000000) / 1000000 AS p50_d,
+           FLOOR(quantile_cont(lat_d, 0.9) * 1000000) / 1000000 AS p90_d,
+           MAX(lat_d) AS max_d
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q172_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: min / p50 /
+    p90 / max days between order placement and line shipment — the
+    fulfillment-SLA check, and the query that catches a priority class
+    whose p90 quietly stopped differing from the others.
+
+    Determinism: latencies are exact integer day deltas; percentiles
+    use the engine-shared linear interpolation (q37/q145 pin) and are
+    truncated.
+
+    Scale: the join broadcasts nothing exotic (orders⋈lineitem on the
+    fact key — Catalyst picks; at extreme scale the orderdate travels
+    ON the lineitem row in any denormalized layout, deleting the join
+    entirely); one exchange for the 5-group aggregate. Exact per-group
+    percentiles swap for approx_percentile at unbounded group size
+    (q109 routing note).
+
+    Reference: extends the latency family (q145; no reference
+    counterpart)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat_d"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("lat_d").alias("min_d"),
+            trunc(F.percentile("lat_d", F.lit(0.5)), 6).alias("p50_d"),
+            trunc(F.percentile("lat_d", F.lit(0.9)), 6).alias("p90_d"),
+            F.max("lat_d").alias("max_d"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1401,3 +1401,67 @@ def q161_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q170 — duplicate-cluster size distribution
+# --------------------------------------------------------------------------
+
+
+def _register_q170() -> None:
+    """Registered via a closure so the oracle can embed q63's (already
+    registered) recursive-CTE oracle as a subquery — ONE source of
+    truth for the cluster semantics on both engines."""
+    from ..registry import ORACLES, QUERIES
+
+    q63_sql = ORACLES["q63_dup_clusters"]
+
+    @register(
+        "q170_cluster_size_dist",
+        oracle=f"""
+        WITH sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz
+            FROM ({q63_sql}) c
+            GROUP BY cluster_id
+        )
+        SELECT sz AS cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz ORDER BY sz
+        """,
+    )
+    def q170_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cluster-size histogram over q63's duplicate components: how
+        many clusters of each size, and how many documents they hold.
+        The shape of this histogram IS the dedup policy input — a long
+        tail of pairs says near-dup thresholds are tight; a few giant
+        clusters say boilerplate is being chained into one component
+        (the classic LSH transitive-closure failure), which per-pair
+        reports (q41/q139) cannot reveal.
+
+        Scale: everything after q63's components is two aggregations
+        over |clustered docs| rows. Inherits q63's posture (edges via
+        shared digests, label flooding bounded by graph diameter,
+        raises on non-convergence).
+
+        Determinism: integer counts only.
+
+        Reference: composes q63 (SURVEY §2 A3 extension); no reference
+        counterpart."""
+        clusters = QUERIES["q63_dup_clusters"](spark, sf_dir)
+        sizes = clusters.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        return (
+            sizes.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(
+                F.col("sz").alias("cluster_size"),
+                "n_clusters",
+                (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            )
+            .orderBy("cluster_size")
+        )
+
+
+_register_q170()

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "q157_target_encoding",   # one-row global-prior aggregate broadcast
     "q160_mixture_weights",   # one-row denominator/total broadcast
     "q164_purge_impact",      # four one-row count aggregates broadcast
+    "q171_backlog_aging",     # one-row as-of-date aggregate broadcast
 }
 
 
@@ -100,6 +101,8 @@ SCAN_BUDGETS = {
     "q167_rolling_wau": 3,         # user-day pairs + day list + DAU branch
     "q168_supply_chain_revenue": 6,  # fact + 5 dimension scans
     "q169_returned_customers": 4,    # fact + orders + 2 dim scans
+    "q171_backlog_aging": 2,         # open orders + as-of aggregate
+    "q172_ship_latency": 2,          # lineitem + orders
 }
 
 

@@ -603,3 +603,51 @@ def test_returned_customers_rank_is_dense_and_ordered(spark):
     )
     assert rows[0]["c_custkey"] == top["o_custkey"]
     assert abs(rows[0]["lost_revenue"] - float(top["rev"])) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# q170 — cluster size distribution
+# --------------------------------------------------------------------------
+
+
+def test_cluster_size_dist_conserves_q63(spark):
+    clusters = registry.QUERIES["q63_dup_clusters"](spark, SF_SMALL).collect()
+    sizes = Counter(r["cluster_id"] for r in clusters)
+    expect = Counter(sizes.values())
+    rows = registry.QUERIES["q170_cluster_size_dist"](spark, SF_SMALL).collect()
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == dict(expect)
+    assert sum(r["n_docs"] for r in rows) == len(clusters)
+    for r in rows:
+        assert r["cluster_size"] >= 2  # q63 only labels docs with a dup
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+# --------------------------------------------------------------------------
+# q171 — backlog aging
+# --------------------------------------------------------------------------
+
+
+def test_backlog_aging_conserves_open_orders(spark):
+    rows = registry.QUERIES["q171_backlog_aging"](spark, SF_SMALL).collect()
+    n_open = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "P"))
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_open
+    assert {r["o_orderstatus"] for r in rows} <= {"O", "P"}
+    for r in rows:
+        assert r["total_value"] > 0
+
+
+# --------------------------------------------------------------------------
+# q172 — ship latency
+# --------------------------------------------------------------------------
+
+
+def test_ship_latency_percentiles_ordered_and_bounded(spark):
+    rows = registry.QUERIES["q172_ship_latency"](spark, SF_SMALL).collect()
+    n_li = load_table(spark, SF_SMALL, "lineitem").count()
+    assert sum(r["n_items"] for r in rows) == n_li
+    for r in rows:
+        assert r["min_d"] <= r["p50_d"] <= r["p90_d"] <= r["max_d"], r

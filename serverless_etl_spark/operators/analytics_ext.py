@@ -2554,3 +2554,242 @@ def q172_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q173 — ABC / Pareto classification of parts by revenue
+# --------------------------------------------------------------------------
+
+#: cumulative revenue-share breakpoints (percent): A ≤ 80, B ≤ 95, C rest
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+@register(
+    "q173_pareto_abc",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(22,6))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+        SELECT l_partkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev,
+               SUM(rev) OVER () AS tot
+        FROM pr
+    ),
+    classed AS (
+        SELECT CASE WHEN crev * 100 <= tot * {ABC_A_PCT} THEN 'A'
+                    WHEN crev * 100 <= tot * {ABC_B_PCT} THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev, tot
+        FROM cum
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           FLOOR(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+                 * 1000000) / 1000000 AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q173_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts whose cumulative revenue
+    covers the first {ABC_A_PCT}% are class A, to {ABC_B_PCT}% class B,
+    the tail C — the inventory-management 80/20 cut, and the same
+    cumulative-coverage shape used to pick "which sources cover 90% of
+    tokens" in corpus curation.
+
+    Determinism: revenues are exact decimal sums; the class decision is
+    decimal×integer cross-multiplication (crev·100 ≤ tot·{ABC_A_PCT}),
+    so no float touches the cut; the displayed share is one truncated
+    division. Ties order by (rev desc, partkey).
+
+    Scale: the fact table collapses to |parts| rows FIRST (one keyed
+    exchange); the running sum is a single-partition window over that
+    bounded dimension-sized table — same documented posture as q109's
+    exact ntile (at catalogue sizes where even |parts| overwhelms one
+    task, the approx route is a two-pass bucketed prefix sum).
+
+    Reference: extends the reporting family (q133 pct-of-total, q159;
+    no reference counterpart)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    cum = pr.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("crev"),
+        F.sum("rev").over(wtot).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("crev") * 100 <= F.col("tot") * ABC_A_PCT, "A")
+        .when(F.col("crev") * 100 <= F.col("tot") * ABC_B_PCT, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "rev", "tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+            trunc(
+                F.sum("rev").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# q174 — repeat-customer share per month
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q174_repeat_customers",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+        FROM orders
+    ),
+    firstm AS (
+        SELECT o_custkey, MIN(month) AS first_month FROM om GROUP BY o_custkey
+    ),
+    per_month AS (
+        SELECT om.month,
+               COUNT(DISTINCT om.o_custkey) AS n_customers,
+               COUNT(DISTINCT CASE WHEN om.month > f.first_month
+                                   THEN om.o_custkey END) AS n_repeat
+        FROM om JOIN firstm f USING (o_custkey)
+        GROUP BY om.month
+    )
+    SELECT month, n_customers, n_repeat,
+           FLOOR(CAST(n_repeat AS DOUBLE) / n_customers * 1000000) / 1000000
+               AS repeat_share
+    FROM per_month ORDER BY month
+    """,
+)
+def q174_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-customer share per month: of the customers ordering in a
+    month, how many had ordered in ANY earlier month. The
+    simplest loyalty trend — and unlike q85's fixed cohort matrix,
+    it reads as one line per month, which is what goes on the exec
+    dashboard.
+
+    Determinism: exact distinct counts over integer keys, dates from
+    month truncation, one truncated division.
+
+    Scale: orders collapse to distinct (customer, month) pairs
+    map-side; first-month is one min-aggregation; the flag join is
+    keyed on customer. Nothing touches row-level order data twice.
+
+    Reference: extends the growth family (q85 cohorts, q149/q167
+    stickiness; no reference counterpart)."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    firstm = om.groupBy("o_custkey").agg(F.min("month").alias("first_month"))
+    joined = om.join(firstm, "o_custkey")
+    per_month = joined.groupBy("month").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(
+            F.when(F.col("month") > F.col("first_month"), F.col("o_custkey"))
+        ).alias("n_repeat"),
+    )
+    return per_month.select(
+        "month",
+        "n_customers",
+        "n_repeat",
+        trunc(
+            F.col("n_repeat").cast("double") / F.col("n_customers"), 6
+        ).alias("repeat_share"),
+    ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# q175 — engagement-decile conversion rates
+# --------------------------------------------------------------------------
+
+CONV_DECILES = 10
+
+
+@register(
+    "q175_decile_conversion",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CAST(value AS DECIMAL(22,2))) AS v_dec,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT converted, v_dec,
+               NTILE({CONV_DECILES}) OVER (ORDER BY v_dec DESC, user_id)
+                   AS decile
+        FROM per_user
+    )
+    SELECT decile, COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           FLOOR(CAST(SUM(converted) AS DOUBLE) / COUNT(*) * 1000000)
+               / 1000000 AS conv_rate,
+           CAST(SUM(v_dec) AS DOUBLE) AS total_value
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def q175_decile_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by engagement decile: users ranked into
+    {CONV_DECILES} tiles by their exact total event value, with the
+    purchase-conversion rate per tile — the standard
+    propensity/LTV sanity check (monotone-ish decay from the top decile
+    is healthy; a flat curve says the engagement metric is noise).
+
+    Determinism: per-user values are exact decimal sums (dsum
+    discipline); the ntile ranks on that decimal with user_id
+    tie-break; counts and one truncated division per tile.
+
+    Scale: events collapse to |users| rows first; the ntile is a
+    single-partition window over that bounded table (q109/q173
+    posture — swap for approx_percentile bucket edges at unbounded
+    |users|).
+
+    Reference: extends the behavioral family (q132 A/B, q141/q145;
+    no reference counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(22,2)")).alias("v_dec"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    tiled = per_user.select(
+        "converted",
+        "v_dec",
+        F.ntile(CONV_DECILES)
+        .over(Window.orderBy(F.col("v_dec").desc(), "user_id"))
+        .alias("decile"),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            trunc(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conv_rate"),
+            F.sum("v_dec").cast("double").alias("total_value"),
+        )
+        .orderBy("decile")
+    )

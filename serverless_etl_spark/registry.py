@@ -98,7 +98,8 @@ _SWEEP_PRIORITY = [
     "q164_purge_impact", "q165_weighted_median", "q166_heatmap_2d",
     "q167_rolling_wau", "q168_supply_chain_revenue",
     "q169_returned_customers", "q170_cluster_size_dist",
-    "q171_backlog_aging", "q172_ship_latency",
+    "q171_backlog_aging", "q172_ship_latency", "q173_pareto_abc",
+    "q174_repeat_customers", "q175_decile_conversion",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -103,6 +103,9 @@ SCAN_BUDGETS = {
     "q169_returned_customers": 4,    # fact + orders + 2 dim scans
     "q171_backlog_aging": 2,         # open orders + as-of aggregate
     "q172_ship_latency": 2,          # lineitem + orders
+    "q173_pareto_abc": 1,
+    "q174_repeat_customers": 2,      # order-months + first-month agg
+    "q175_decile_conversion": 1,
 }
 
 

@@ -651,3 +651,74 @@ def test_ship_latency_percentiles_ordered_and_bounded(spark):
     assert sum(r["n_items"] for r in rows) == n_li
     for r in rows:
         assert r["min_d"] <= r["p50_d"] <= r["p90_d"] <= r["max_d"], r
+
+
+# --------------------------------------------------------------------------
+# q173 — Pareto ABC
+# --------------------------------------------------------------------------
+
+
+def test_pareto_abc_partitions_catalogue_and_shares(spark):
+    rows = {r["abc_class"]: r for r in registry.QUERIES["q173_pareto_abc"](spark, SF_SMALL).collect()}
+    n_parts = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
+    if "A" in rows and "C" in rows:
+        # Pareto shape: A holds more revenue per part than C
+        a, c = rows["A"], rows["C"]
+        assert a["revenue"] / a["n_parts"] > c["revenue"] / c["n_parts"]
+    assert rows["A"]["revenue_share"] <= 0.80 + 1e-6
+
+
+# --------------------------------------------------------------------------
+# q174 — repeat customers
+# --------------------------------------------------------------------------
+
+
+def test_repeat_customers_first_month_never_repeat(spark):
+    rows = registry.QUERIES["q174_repeat_customers"](spark, SF_SMALL).collect()
+    assert rows[0]["n_repeat"] == 0  # earliest month has no prior history
+    for r in rows:
+        assert 0 <= r["n_repeat"] <= r["n_customers"]
+    om = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .distinct()
+        .collect()
+    )
+    first = {}
+    for r in om:
+        first[r["o_custkey"]] = min(first.get(r["o_custkey"], r["m"]), r["m"])
+    per_m = defaultdict(lambda: [0, 0])
+    for r in om:
+        per_m[r["m"]][0] += 1
+        if r["m"] > first[r["o_custkey"]]:
+            per_m[r["m"]][1] += 1
+    got = {r["month"]: (r["n_customers"], r["n_repeat"]) for r in rows}
+    assert got == {m: tuple(v) for m, v in per_m.items()}
+
+
+# --------------------------------------------------------------------------
+# q175 — decile conversion
+# --------------------------------------------------------------------------
+
+
+def test_decile_conversion_covers_all_users(spark):
+    rows = registry.QUERIES["q175_decile_conversion"](spark, SF_SMALL).collect()
+    n_users = (
+        load_table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    # ntile balance: tile sizes differ by at most 1
+    sizes = [r["n_users"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0.0 <= r["conv_rate"] <= 1.0
+        assert r["n_converted"] <= r["n_users"]

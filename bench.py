@@ -107,6 +107,13 @@ def main() -> None:
         "q140_triangle_count",
         "q141_last_touch_attribution",
         "q142_embedding_quantization",
+        # round-4 third-sitting heavies
+        "q150_bfs_reachability",
+        "q154_shingle_novelty",
+        "q158_fuzzy_join",
+        "q167_rolling_wau",
+        "q168_supply_chain_revenue",
+        "q173_pareto_abc",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -1465,3 +1465,189 @@ def _register_q170() -> None:
 
 
 _register_q170()
+
+
+# --------------------------------------------------------------------------
+# q176 — vocabulary growth curve (Heaps'-law shape over corpus prefixes)
+# --------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+@register(
+    "q176_vocab_growth",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, md5(s.sh) AS digest
+        FROM documents,
+             LATERAL (SELECT unnest({_SHINGLES_SQL}) AS sh) s
+    ),
+    firstseen AS (
+        SELECT digest, MIN(doc_id) AS first_doc FROM sh GROUP BY digest
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    per_bucket AS (
+        SELECT CAST(FLOOR(CAST(first_doc AS DOUBLE) * {VOCAB_GROWTH_BUCKETS}
+                          / m.n) AS INT) AS bucket,
+               COUNT(*) AS new_shingles
+        FROM firstseen CROSS JOIN mx m
+        GROUP BY 1
+    ),
+    docs_b AS (
+        SELECT CAST(FLOOR(CAST(doc_id AS DOUBLE) * {VOCAB_GROWTH_BUCKETS}
+                          / m.n) AS INT) AS bucket,
+               COUNT(*) AS n_docs
+        FROM documents CROSS JOIN mx m
+        GROUP BY 1
+    )
+    SELECT d.bucket, d.n_docs,
+           COALESCE(p.new_shingles, 0) AS new_shingles,
+           CAST(SUM(COALESCE(p.new_shingles, 0)) OVER (ORDER BY d.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_shingles
+    FROM docs_b d LEFT JOIN per_bucket p USING (bucket)
+    ORDER BY d.bucket
+    """,
+)
+def q176_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary (distinct-shingle) growth curve over corpus prefixes:
+    the corpus is cut into {VOCAB_GROWTH_BUCKETS} doc-id buckets and
+    each bucket reports how many shingles appear there for the FIRST
+    time, plus the running total — the empirical Heaps'-law curve. A
+    flattening curve means additional data is mostly restating the
+    existing corpus (diminishing novelty, the "when to stop crawling
+    this source" signal); a linear curve means the corpus is nowhere
+    near saturated.
+
+    Scale: q154's first-seen machinery verbatim — digests-only, one
+    min-aggregation, no self-join; the bucket rollup and running sum
+    operate on {VOCAB_GROWTH_BUCKETS} rows. The max-doc-id scalar is a
+    one-row broadcast (BNLJ-allowlisted).
+
+    Determinism: integer counts; bucket assignment is FLOOR over an
+    exact small-integer ratio.
+
+    Reference: composes q154 (novelty) into the curve form; no
+    reference counterpart."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    sh = docs.select("doc_id", F.explode(_shingles(toks)).alias("shingle")).select(
+        "doc_id", F.md5("shingle").alias("digest")
+    )
+    firstseen = sh.groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("n"))
+    bucket_of = lambda c: F.floor(
+        c.cast("double") * VOCAB_GROWTH_BUCKETS / F.col("n")
+    ).cast("int")
+    per_bucket = (
+        firstseen.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of(F.col("first_doc")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_shingles"))
+    )
+    docs_b = (
+        docs.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of(F.col("doc_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs_b.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce(F.col("new_shingles"), F.lit(0)).alias("new_shingles"),
+        )
+        .withColumn(
+            "cum_shingles", F.sum("new_shingles").over(wcum).cast("bigint")
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q177 — LSH dedup recall evaluation against injected ground truth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q177_lsh_recall",
+    oracle=f"""
+    WITH truth AS (
+        SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 'exact' AS kind
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, doc_id + 2000000, 'near'
+        FROM documents WHERE doc_id % 10 = 5
+    ),
+    found AS (SELECT doc_a, doc_b FROM ({_Q41_ORACLE})),
+    hit AS (
+        SELECT t.kind,
+               CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS got
+        FROM truth t
+        LEFT JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    )
+    SELECT kind, COUNT(*) AS n_truth,
+           CAST(SUM(got) AS BIGINT) AS n_found,
+           FLOOR(CAST(SUM(got) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+               AS recall
+    FROM hit GROUP BY kind ORDER BY kind
+    """,
+)
+def q177_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH dedup RECALL against the injected ground truth: the
+    duplicate fixture plants known pairs (exact copies at +1000000,
+    near-copies with one appended token at +2000000), so the banded
+    index's recall is measurable per pair class — exactly what q120
+    does for ANN, applied to dedup. Exact copies must always collide
+    (identical signatures); the near-copy recall is the
+    banding-parameter quality signal that decides n_minhash/band_size
+    before a 100 TB dedup run.
+
+    Scale: q41's pair generation verbatim (banded digest join, never
+    all-pairs); truth construction is a projection of the doc-id
+    arithmetic; the scoring join is keyed on the pair.
+
+    Determinism: integer hit counts, one truncated division.
+
+    Reference: the evaluation twin of q41 (SURVEY §2 A3 extension);
+    no reference counterpart."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    truth = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1000000).alias("doc_b"),
+            F.lit("exact").alias("kind"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 5).select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 2000000).alias("doc_b"),
+                F.lit("near").alias("kind"),
+            )
+        )
+    )
+    corpus = _duped_docs(spark, sf_dir)
+    found = minhash_lsh_pairs(corpus).select(
+        F.col("doc_a").alias("fa"), F.col("doc_b").alias("fb")
+    )
+    hit = truth.join(
+        found,
+        (F.col("doc_a") == F.col("fa")) & (F.col("doc_b") == F.col("fb")),
+        "left",
+    ).select(
+        "kind", F.when(F.col("fa").isNull(), 0).otherwise(1).alias("got")
+    )
+    return (
+        hit.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum("got").cast("bigint").alias("n_found"),
+            trunc(F.sum("got").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("kind")
+    )

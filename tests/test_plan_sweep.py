@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "q160_mixture_weights",   # one-row denominator/total broadcast
     "q164_purge_impact",      # four one-row count aggregates broadcast
     "q171_backlog_aging",     # one-row as-of-date aggregate broadcast
+    "q176_vocab_growth",      # one-row max-doc-id scalar broadcast
 }
 
 
@@ -106,6 +107,9 @@ SCAN_BUDGETS = {
     "q173_pareto_abc": 1,
     "q174_repeat_customers": 2,      # order-months + first-month agg
     "q175_decile_conversion": 1,
+    "q176_vocab_growth": 4,          # shingle scan + doc buckets + 2 scalar refs
+    "q177_lsh_recall": 20,           # 2 real scans (truth + corpus);
+                                     # q41's persisted signatures reprint
 }
 
 

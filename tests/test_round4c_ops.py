@@ -722,3 +722,52 @@ def test_decile_conversion_covers_all_users(spark):
     for r in rows:
         assert 0.0 <= r["conv_rate"] <= 1.0
         assert r["n_converted"] <= r["n_users"]
+
+
+# --------------------------------------------------------------------------
+# q176 — vocabulary growth
+# --------------------------------------------------------------------------
+
+
+def test_vocab_growth_is_cumulative_and_conserves(spark):
+    from serverless_etl_spark.operators.dedup import _shingles
+
+    rows = registry.QUERIES["q176_vocab_growth"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+    n_distinct = (
+        docs.select(F.explode(_shingles(F.split("text", " "))).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert rows[-1]["cum_shingles"] == n_distinct
+    cum = 0
+    for r in rows:
+        cum += r["new_shingles"]
+        assert r["cum_shingles"] == cum
+        assert r["new_shingles"] >= 0
+
+
+def test_vocab_growth_flattens_monotonically_in_expectation(spark):
+    """The first bucket has the most first-sights (every shingle there is
+    new); later buckets can only introduce what earlier ones didn't."""
+    rows = registry.QUERIES["q176_vocab_growth"](spark, SF_SMALL).collect()
+    assert rows[0]["new_shingles"] == max(r["new_shingles"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# q177 — LSH recall
+# --------------------------------------------------------------------------
+
+
+def test_lsh_recall_exact_pairs_always_collide(spark):
+    rows = {r["kind"]: r for r in registry.QUERIES["q177_lsh_recall"](spark, SF_SMALL).collect()}
+    assert rows["exact"]["recall"] == 1.0  # identical signatures must band together
+    assert rows["exact"]["n_found"] == rows["exact"]["n_truth"] > 0
+    assert rows["near"]["n_truth"] > 0
+    assert 0.0 <= rows["near"]["recall"] <= 1.0
+    # one appended token on a ≥10-token doc keeps jaccard high: the
+    # default banding should recover a large majority
+    assert rows["near"]["recall"] > 0.6, rows["near"]

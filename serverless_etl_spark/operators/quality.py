@@ -623,3 +623,146 @@ def q164_purge_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(arm("events", pe, ev))
         .orderBy("tbl")
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — PII incidence rates per source
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q178_pii_incidence",
+    oracle=f"""
+    WITH pii AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones
+        FROM ({_PII_SQL})
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_emails + p.n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_affected,
+           CAST(SUM(p.n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(p.n_phones) AS BIGINT) AS total_phones,
+           FLOOR(CAST(SUM(CASE WHEN p.n_emails + p.n_phones > 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000) / 1000000 AS affected_rate
+    FROM pii p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q178_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII incidence scorecard per source: affected-document rate and
+    raw email/phone match counts — the governance report that decides
+    WHICH feeds need upstream fixing, where q88 (the redaction pass)
+    only treats symptoms downstream. Sources are ranked by exposure,
+    so a compliance review starts at the top.
+
+    Scale: the regex counting is the same single-pass map-side
+    projection as q88; the rollup collapses to |sources| rows; the
+    source join is keyed on doc_id.
+
+    Determinism: integer match counts, one truncated division.
+
+    Reference: composes q88's detection with per-source attribution
+    (SURVEY §2 extended); no reference counterpart."""
+    pii = _pii_docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    affected = (F.col("n_emails") + F.col("n_phones") > 0).cast("long")
+    return (
+        pii.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(affected).cast("bigint").alias("n_affected"),
+            F.sum("n_emails").cast("bigint").alias("total_emails"),
+            F.sum("n_phones").cast("bigint").alias("total_phones"),
+            trunc(
+                F.sum(affected).cast("double") / F.count(F.lit(1)), 6
+            ).alias("affected_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q179 — near-constant column detector (cross-table profiling)
+# --------------------------------------------------------------------------
+
+#: flagged when the modal value covers > NC_NUM/NC_DEN of rows
+NC_NUM, NC_DEN = 19, 20
+
+#: (table, column) pairs audited — the numeric measure columns
+NC_COLUMNS = [
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_discount"),
+    ("lineitem", "l_tax"),
+    ("part", "p_size"),
+    ("customer", "c_acctbal"),
+    ("supplier", "s_acctbal"),
+    ("events", "value"),
+]
+
+
+@register(
+    "q179_constant_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}.{col}' AS col_ref,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST((SELECT MAX(c) FROM (
+               SELECT COUNT(*) AS c FROM {tbl} GROUP BY {col}
+           ) m) AS BIGINT) AS top_count,
+           ((SELECT MAX(c) FROM (
+               SELECT COUNT(*) AS c FROM {tbl} GROUP BY {col}
+           ) m) * {NC_DEN} > COUNT(*) * {NC_NUM}) AS near_constant
+    FROM {tbl}
+        """
+        for tbl, col in NC_COLUMNS
+    )
+    + "\nORDER BY col_ref",
+)
+def q179_constant_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-constant column detector across the schema's measure
+    columns: row count, distinct count, the modal value's frequency,
+    and a flag when one value covers > {NC_NUM}/{NC_DEN} of rows. A
+    feature that is 95% one value carries almost no signal (and a
+    column that BECAME near-constant is usually an upstream default
+    being silently filled in) — the feature-store hygiene check q71's
+    per-table profile doesn't make comparable across tables.
+
+    Scale: each column contributes one partial-aggregated groupBy on
+    its value (map-side combine collapses repeats) followed by a
+    one-row max; arms are independent union branches, each reading
+    ONLY its own column (columnar pruning).
+
+    Determinism: counts and an integer cross-multiplied flag.
+
+    Reference: extends the profiling family (q71/q144/q153; no
+    reference counterpart)."""
+    out = None
+    for tbl, col in NC_COLUMNS:
+        t = load_table(spark, sf_dir, tbl).select(F.col(col).alias("v"))
+        per_val = t.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        row = per_val.agg(
+            F.lit(f"{tbl}.{col}").alias("col_ref"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_count"),
+            (F.max("c") * NC_DEN > F.sum("c") * NC_NUM).alias("near_constant"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("col_ref")

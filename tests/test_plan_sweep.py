@@ -110,6 +110,8 @@ SCAN_BUDGETS = {
     "q176_vocab_growth": 4,          # shingle scan + doc buckets + 2 scalar refs
     "q177_lsh_recall": 20,           # 2 real scans (truth + corpus);
                                      # q41's persisted signatures reprint
+    "q178_pii_incidence": 2,         # pii projection + source join
+    "q179_constant_columns": 8,      # one pruned scan per audited column
 }
 
 

@@ -771,3 +771,63 @@ def test_lsh_recall_exact_pairs_always_collide(spark):
     # one appended token on a ≥10-token doc keeps jaccard high: the
     # default banding should recover a large majority
     assert rows["near"]["recall"] > 0.6, rows["near"]
+
+
+# --------------------------------------------------------------------------
+# q178 — PII incidence
+# --------------------------------------------------------------------------
+
+
+def test_pii_incidence_matches_fixture_arithmetic(spark):
+    """The fixture plants emails on doc_id%7==0 and phones on
+    doc_id%11==0 — per-source totals must match that arithmetic."""
+    rows = registry.QUERIES["q178_pii_incidence"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    exp = defaultdict(lambda: [0, 0, 0, 0])  # docs, affected, emails, phones
+    for r in docs:
+        e = exp[r["source"]]
+        e[0] += 1
+        em = 1 if r["doc_id"] % 7 == 0 else 0
+        ph = 1 if r["doc_id"] % 11 == 0 else 0
+        e[1] += 1 if em + ph > 0 else 0
+        e[2] += em
+        e[3] += ph
+    got = {
+        r["source"]: [r["n_docs"], r["n_affected"], r["total_emails"], r["total_phones"]]
+        for r in rows
+    }
+    assert got == {k: v for k, v in exp.items()}
+
+
+# --------------------------------------------------------------------------
+# q179 — constant columns
+# --------------------------------------------------------------------------
+
+
+def test_constant_columns_flags_match_definition(spark):
+    from serverless_etl_spark.operators.quality import NC_COLUMNS, NC_DEN, NC_NUM
+
+    rows = registry.QUERIES["q179_constant_columns"](spark, SF_SMALL).collect()
+    assert len(rows) == len(NC_COLUMNS)
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+        assert 1 <= r["top_count"] <= r["n_rows"]
+        assert r["near_constant"] == (
+            r["top_count"] * NC_DEN > r["n_rows"] * NC_NUM
+        )
+    # the generated measures are well-distributed — nothing should flag
+    assert not any(r["near_constant"] for r in rows)
+
+
+def test_constant_columns_detects_injected_constant(spark):
+    """A literally constant column must trip the same aggregation."""
+    t = load_table(spark, SF_SMALL, "orders").select(F.lit(7).alias("v"))
+    per_val = t.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    from serverless_etl_spark.operators.quality import NC_DEN, NC_NUM
+
+    row = per_val.agg(
+        (F.max("c") * NC_DEN > F.sum("c") * NC_NUM).alias("flag")
+    ).collect()[0]
+    assert row["flag"] is True

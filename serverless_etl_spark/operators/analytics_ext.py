@@ -2793,3 +2793,83 @@ def q175_decile_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q182 — week-over-week composition drift per event type
+# --------------------------------------------------------------------------
+
+WOW_LAG_DAYS = 7
+
+
+@register(
+    "q182_wow_share_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT day, event_type, c,
+               CAST(SUM(c) OVER (PARTITION BY day) AS BIGINT) AS day_total
+        FROM daily
+    ),
+    lagged AS (
+        SELECT day, event_type,
+               CAST(c AS DOUBLE) / day_total AS share,
+               LAG(CAST(c AS DOUBLE) / day_total, {WOW_LAG_DAYS}) OVER (
+                   PARTITION BY event_type ORDER BY day) AS share_prev
+        FROM shares
+    )
+    SELECT day, event_type,
+           FLOOR(share * 1000000) / 1000000 AS share,
+           FLOOR(share_prev * 1000000) / 1000000 AS share_prev_week,
+           FLOOR((share - share_prev) * 1000000) / 1000000 AS drift
+    FROM lagged WHERE share_prev IS NOT NULL
+    ORDER BY day, event_type
+    """,
+)
+def q182_wow_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week composition drift: each event type's share of
+    daily traffic against its share exactly {WOW_LAG_DAYS} days before
+    — the seasonality-free drift readout (same weekday compares to
+    same weekday), which a day-over-day delta can't give. This is the
+    per-slice companion to q152's CUSUM: CUSUM finds WHEN the level
+    shifted, this shows WHICH slice is moving week to week.
+
+    Determinism: shares are single divisions of exact integers; the
+    LAG and the drift subtraction are identical per-row IEEE trees on
+    both engines, truncated at the edge.
+
+    Scale: events collapse map-side to (day, type) cells; both
+    windows (day totals, 7-day lag) run over that |days|·|types| cell
+    table. Assumes one row per (type, day) — guaranteed by the
+    aggregation grain, so the row-offset LAG is a calendar lag exactly
+    when days are contiguous (the fixtures' case; gap-filling via q47
+    where they aren't).
+
+    Reference: extends the drift family (q127/q134/q143/q152; no
+    reference counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    day_total = F.sum("c").over(Window.partitionBy("day")).cast("bigint")
+    shares = daily.select(
+        "day", "event_type", (F.col("c").cast("double") / day_total).alias("share")
+    )
+    share_prev = F.lag("share", WOW_LAG_DAYS).over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    return (
+        shares.withColumn("share_prev", share_prev)
+        .filter(F.col("share_prev").isNotNull())
+        .select(
+            "day",
+            "event_type",
+            trunc(F.col("share"), 6).alias("share"),
+            trunc(F.col("share_prev"), 6).alias("share_prev_week"),
+            trunc(F.col("share") - F.col("share_prev"), 6).alias("drift"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -861,3 +861,91 @@ def q123_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q181 — quality-score calibration per language (mean ± standard error)
+# --------------------------------------------------------------------------
+
+
+def _register_q181() -> None:
+    """Closure registration so the oracle embeds q32's (already
+    registered) quality oracle as a subquery — one scoring definition
+    on both engines (the q170 pattern)."""
+    from ..registry import ORACLES, QUERIES
+
+    q32_sql = ORACLES["q32_quality_score"]
+
+    @register(
+        "q181_quality_by_lang",
+        oracle=f"""
+        WITH q AS (
+            SELECT doc_id, CAST(quality AS DECIMAL(10,4)) AS qd
+            FROM ({q32_sql}) s
+        ),
+        j AS (
+            SELECT d.lang, q.qd FROM q JOIN documents d USING (doc_id)
+        ),
+        stats AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(qd) AS DOUBLE) AS sx,
+                   CAST(SUM(qd * qd) AS DOUBLE) AS sxx
+            FROM j GROUP BY lang
+        )
+        SELECT lang, n_docs,
+               FLOOR(sx / n * 1000000) / 1000000 AS mean_quality,
+               FLOOR(SQRT((sxx - sx * sx / n) / (n - 1) / n)
+                     * 1000000) / 1000000 AS stderr
+        FROM stats ORDER BY lang
+        """,
+    )
+    def q181_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quality-score calibration per language: mean composite
+        quality (q32's scorer, ONE definition embedded on both
+        engines) with its standard error. A language whose mean sits
+        ±2·stderr away from the corpus norm has a miscalibrated
+        scorer for that language — filtering at a single global
+        threshold would then silently skew the mixture (the failure
+        q100's rebalancer can't see because it trusts the scores).
+
+        Determinism: q32's per-row quality is a truncated 4-dp value;
+        cast to DECIMAL(10,4) it sums exactly, so mean and the
+        variance sufficient statistics are exact until the final IEEE
+        closed form (q151 discipline).
+
+        Scale: one corpus scan for scoring, keyed metadata join,
+        |langs|-row statistics table.
+
+        Reference: composes q32 with calibration statistics (SURVEY
+        §2 extended); no reference counterpart."""
+        q = QUERIES["q32_quality_score"](spark, sf_dir).select(
+            "doc_id", F.col("quality").cast("decimal(10,4)").alias("qd")
+        )
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        j = q.join(docs, "doc_id")
+        stats = j.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("qd").cast("double").alias("sx"),
+            F.sum(F.col("qd") * F.col("qd")).cast("double").alias("sxx"),
+        )
+        mean = F.col("sx") / F.col("n")
+        stderr = F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        )
+        return (
+            stats.select(
+                "lang",
+                "n_docs",
+                trunc(mean, 6).alias("mean_quality"),
+                trunc(stderr, 6).alias("stderr"),
+            )
+            .orderBy("lang")
+        )
+
+
+_register_q181()

@@ -1175,3 +1175,98 @@ def q167_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q180 — cumulative value (LTV) curve by user age-day
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q180_ltv_curve",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(value AS DECIMAL(22,2)) AS v
+        FROM events
+    ),
+    firstd AS (
+        SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+    ),
+    aged AS (
+        SELECT date_diff('day', f.first_day, u.day) AS age_d,
+               u.user_id, u.v
+        FROM ud u JOIN firstd f USING (user_id)
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ud),
+    per_age AS (
+        SELECT age_d,
+               COUNT(DISTINCT user_id) AS n_users_active,
+               SUM(v) AS day_value
+        FROM aged GROUP BY age_d
+    )
+    SELECT age_d, n_users_active,
+           CAST(day_value AS DOUBLE) AS day_value,
+           CAST(SUM(day_value) OVER (ORDER BY age_d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_value,
+           FLOOR(CAST(SUM(day_value) OVER (ORDER BY age_d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / t.n_users * 1000000) / 1000000 AS cum_per_user
+    FROM per_age CROSS JOIN tot t
+    ORDER BY age_d
+    """,
+)
+def q180_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-value (LTV) curve by user AGE: day 0 is each user's
+    first event, and the curve reports total value accrued per age-day
+    plus the running per-user cumulative — the payback-period readout
+    behind every acquisition-spend decision. Aligning on age (not
+    calendar) is what makes cohorts of different start dates
+    comparable; q85's retention matrix answers "do they come back",
+    this answers "what are they worth by day N".
+
+    Determinism: values sum as exact decimals end-to-end — the running
+    total is a DECIMAL window sum over the |age-days| cell table, cast
+    to double only at the edge; per-user division truncated.
+
+    Scale: events collapse to age-day cells after a keyed first-day
+    join (the q85 cohort posture); the window runs over |days| rows;
+    the user total is a one-row broadcast (BNLJ-allowlisted).
+
+    Reference: extends the growth family (q85/q167/q174; no reference
+    counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(22,2)").alias("v"),
+    )
+    firstd = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    aged = ud.join(firstd, "user_id").select(
+        F.datediff(F.col("day"), F.col("first_day")).alias("age_d"),
+        "user_id",
+        "v",
+    )
+    tot = ud.agg(F.countDistinct("user_id").alias("n_users"))
+    per_age = aged.groupBy("age_d").agg(
+        F.countDistinct("user_id").alias("n_users_active"),
+        F.sum("v").alias("day_value"),
+    )
+    wcum = Window.orderBy("age_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("day_value").over(wcum)
+    return (
+        per_age.crossJoin(F.broadcast(tot))
+        .select(
+            "age_d",
+            "n_users_active",
+            F.col("day_value").cast("double").alias("day_value"),
+            cum.cast("double").alias("cum_value"),
+            trunc(cum.cast("double") / F.col("n_users"), 6).alias(
+                "cum_per_user"
+            ),
+        )
+        .orderBy("age_d")
+    )

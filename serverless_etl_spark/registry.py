@@ -101,7 +101,8 @@ _SWEEP_PRIORITY = [
     "q171_backlog_aging", "q172_ship_latency", "q173_pareto_abc",
     "q174_repeat_customers", "q175_decile_conversion",
     "q176_vocab_growth", "q177_lsh_recall", "q178_pii_incidence",
-    "q179_constant_columns",
+    "q179_constant_columns", "q180_ltv_curve", "q181_quality_by_lang",
+    "q182_wow_share_drift",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

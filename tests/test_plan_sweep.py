@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "q164_purge_impact",      # four one-row count aggregates broadcast
     "q171_backlog_aging",     # one-row as-of-date aggregate broadcast
     "q176_vocab_growth",      # one-row max-doc-id scalar broadcast
+    "q180_ltv_curve",         # one-row user-count scalar broadcast
 }
 
 
@@ -112,6 +113,9 @@ SCAN_BUDGETS = {
                                      # q41's persisted signatures reprint
     "q178_pii_incidence": 2,         # pii projection + source join
     "q179_constant_columns": 8,      # one pruned scan per audited column
+    "q180_ltv_curve": 3,             # events + first-day + user-total aggs
+    "q181_quality_by_lang": 2,       # scoring scan + metadata join
+    "q182_wow_share_drift": 1,
 }
 
 

@@ -831,3 +831,75 @@ def test_constant_columns_detects_injected_constant(spark):
         (F.max("c") * NC_DEN > F.sum("c") * NC_NUM).alias("flag")
     ).collect()[0]
     assert row["flag"] is True
+
+
+# --------------------------------------------------------------------------
+# q180 — LTV curve
+# --------------------------------------------------------------------------
+
+
+def test_ltv_curve_is_cumulative_and_conserves_value(spark):
+    rows = registry.QUERIES["q180_ltv_curve"](spark, SF_SMALL).collect()
+    assert rows[0]["age_d"] == 0
+    cum = 0.0
+    for r in rows:
+        cum += r["day_value"]
+        assert abs(r["cum_value"] - cum) < 1e-6
+        assert r["n_users_active"] >= 1
+    # day-0 actives = all users (everyone has a first event)
+    n_users = (
+        load_table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    )
+    assert rows[0]["n_users_active"] == n_users
+    assert abs(rows[-1]["cum_per_user"] - cum / n_users) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# q181 — quality by language
+# --------------------------------------------------------------------------
+
+
+def test_quality_by_lang_matches_q32_means(spark):
+    q32 = registry.QUERIES["q32_quality_score"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    lang_of = {r["doc_id"]: r["lang"] for r in docs}
+    by_lang = defaultdict(list)
+    for r in q32:
+        by_lang[lang_of[r["doc_id"]]].append(r["quality"])
+    rows = registry.QUERIES["q181_quality_by_lang"](spark, SF_SMALL).collect()
+    got = {r["lang"]: r for r in rows}
+    assert set(got) == set(by_lang)
+    for lang, qs in by_lang.items():
+        r = got[lang]
+        assert r["n_docs"] == len(qs)
+        assert abs(r["mean_quality"] - sum(qs) / len(qs)) < 1e-4
+        assert r["stderr"] >= 0
+
+
+# --------------------------------------------------------------------------
+# q182 — WoW share drift
+# --------------------------------------------------------------------------
+
+
+def test_wow_drift_is_share_difference(spark):
+    from serverless_etl_spark.operators.analytics_ext import WOW_LAG_DAYS
+    import datetime as dt
+
+    rows = registry.QUERIES["q182_wow_share_drift"](spark, SF_SMALL).collect()
+    assert rows, "expected drift rows after the first week"
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(F.to_date("ts").alias("day"), "event_type")
+        .collect()
+    )
+    daily = Counter((r["day"], r["event_type"]) for r in ev)
+    day_tot = Counter(r["day"] for r in ev)
+    for r in rows[:50]:
+        share = daily[(r["day"], r["event_type"])] / day_tot[r["day"]]
+        prev_day = r["day"] - dt.timedelta(days=WOW_LAG_DAYS)
+        prev = daily[(prev_day, r["event_type"])] / day_tot[prev_day]
+        assert abs(r["share"] - share) < 1e-4
+        assert abs(r["share_prev_week"] - prev) < 1e-4
+        assert abs(r["drift"] - (share - prev)) < 1e-4

@@ -2873,3 +2873,172 @@ def q182_wow_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — market-segment × spend-quintile matrix
+# --------------------------------------------------------------------------
+
+SEGMENT_QUINTILES = 5
+
+
+@register(
+    "q183_segment_value_matrix",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS v_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT o_custkey,
+               NTILE({SEGMENT_QUINTILES}) OVER (ORDER BY v_dec DESC,
+                                                o_custkey) AS quintile
+        FROM spend
+    ),
+    cells AS (
+        SELECT c.c_mktsegment, t.quintile, COUNT(*) AS n_customers
+        FROM tiled t JOIN customer c ON c.c_custkey = t.o_custkey
+        GROUP BY c.c_mktsegment, t.quintile
+    )
+    SELECT c_mktsegment, quintile, n_customers,
+           FLOOR(CAST(n_customers AS DOUBLE)
+                 / CAST(SUM(n_customers) OVER (PARTITION BY c_mktsegment)
+                        AS BIGINT) * 1000000) / 1000000 AS segment_share
+    FROM cells ORDER BY c_mktsegment, quintile
+    """,
+)
+def q183_segment_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment × lifetime-spend-quintile matrix: how each
+    declared segment distributes across observed spend tiers. A
+    segment whose rows pile into one quintile is behaviorally real; a
+    flat row means the segmentation label carries no spend signal —
+    q156's residuals quantify that formally, this is the readable
+    matrix executives actually look at.
+
+    Determinism: spend ranks on exact decimal sums (q175 discipline,
+    custkey tie-break); counts and one truncated division per cell.
+
+    Scale: orders collapse to |customers| rows; the ntile is a
+    single-partition window over that bounded table (documented q109
+    routing); the segment join broadcasts customer metadata.
+
+    Reference: composes q175's tiling with dimensional attributes;
+    no reference counterpart."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(22,2)")).alias("v_dec")
+    )
+    tiled = spend.select(
+        "o_custkey",
+        F.ntile(SEGMENT_QUINTILES)
+        .over(Window.orderBy(F.col("v_dec").desc(), "o_custkey"))
+        .alias("quintile"),
+    )
+    cells = (
+        tiled.join(F.broadcast(cust), tiled["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "quintile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    seg_tot = F.sum("n_customers").over(
+        Window.partitionBy("c_mktsegment")
+    ).cast("bigint")
+    return cells.select(
+        "c_mktsegment",
+        "quintile",
+        "n_customers",
+        trunc(F.col("n_customers").cast("double") / seg_tot, 6).alias(
+            "segment_share"
+        ),
+    ).orderBy("c_mktsegment", "quintile")
+
+
+# --------------------------------------------------------------------------
+# q184 — dormant-customer detection
+# --------------------------------------------------------------------------
+
+DORMANT_DAYS = 365
+
+
+@register(
+    "q184_dormant_customers",
+    oracle=f"""
+    WITH snap AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+    last_order AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_dt
+        FROM orders GROUP BY o_custkey
+    ),
+    status AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN lo.o_custkey IS NULL THEN 'never_ordered'
+                    WHEN date_diff('day', lo.last_dt, s.as_of)
+                         >= {DORMANT_DAYS} THEN 'dormant'
+                    ELSE 'active' END AS cust_status
+        FROM customer c
+        LEFT JOIN last_order lo ON lo.o_custkey = c.c_custkey
+        CROSS JOIN snap s
+    )
+    SELECT c_mktsegment, cust_status, COUNT(*) AS n_customers,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment)
+                        AS BIGINT) * 1000000) / 1000000 AS segment_share
+    FROM status
+    GROUP BY c_mktsegment, cust_status
+    ORDER BY c_mktsegment, cust_status
+    """,
+)
+def q184_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy segmentation as of the newest order date: per market
+    segment, customers who never ordered, went quiet for
+    {DORMANT_DAYS}+ days, or remain active — the churn-risk funnel
+    input (reactivation campaigns target exactly the dormant bucket,
+    and a rising dormant share per segment is the churn early-warning).
+
+    Determinism: integer day arithmetic against a one-row as-of
+    snapshot; counts and one truncated division.
+
+    Scale: orders collapse to |customers| last-order rows; the
+    classification is a broadcast-joined map-side CASE; cells are
+    |segments|×3.
+
+    Reference: extends the lifecycle family (q85/q174/q180; no
+    reference counterpart)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    last_order = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt")
+    )
+    snap = orders.agg(F.max("o_orderdate").alias("as_of"))
+    status = (
+        cust.join(last_order, cust["c_custkey"] == last_order["o_custkey"], "left")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "c_mktsegment",
+            F.when(F.col("o_custkey").isNull(), "never_ordered")
+            .when(
+                F.datediff(F.col("as_of"), F.col("last_dt")) >= DORMANT_DAYS,
+                "dormant",
+            )
+            .otherwise("active")
+            .alias("cust_status"),
+        )
+    )
+    cells = status.groupBy("c_mktsegment", "cust_status").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    seg_tot = F.sum("n_customers").over(
+        Window.partitionBy("c_mktsegment")
+    ).cast("bigint")
+    return cells.select(
+        "c_mktsegment",
+        "cust_status",
+        "n_customers",
+        trunc(F.col("n_customers").cast("double") / seg_tot, 6).alias(
+            "segment_share"
+        ),
+    ).orderBy("c_mktsegment", "cust_status")

@@ -102,7 +102,8 @@ _SWEEP_PRIORITY = [
     "q174_repeat_customers", "q175_decile_conversion",
     "q176_vocab_growth", "q177_lsh_recall", "q178_pii_incidence",
     "q179_constant_columns", "q180_ltv_curve", "q181_quality_by_lang",
-    "q182_wow_share_drift",
+    "q182_wow_share_drift", "q183_segment_value_matrix",
+    "q184_dormant_customers",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "q171_backlog_aging",     # one-row as-of-date aggregate broadcast
     "q176_vocab_growth",      # one-row max-doc-id scalar broadcast
     "q180_ltv_curve",         # one-row user-count scalar broadcast
+    "q184_dormant_customers", # one-row as-of-date snapshot broadcast
 }
 
 
@@ -116,6 +117,8 @@ SCAN_BUDGETS = {
     "q180_ltv_curve": 3,             # events + first-day + user-total aggs
     "q181_quality_by_lang": 2,       # scoring scan + metadata join
     "q182_wow_share_drift": 1,
+    "q183_segment_value_matrix": 2,  # spend agg + customer join
+    "q184_dormant_customers": 3,     # customers + last-order + as-of aggs
 }
 
 

@@ -903,3 +903,52 @@ def test_wow_drift_is_share_difference(spark):
         assert abs(r["share"] - share) < 1e-4
         assert abs(r["share_prev_week"] - prev) < 1e-4
         assert abs(r["drift"] - (share - prev)) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# q183 — segment × value matrix
+# --------------------------------------------------------------------------
+
+
+def test_segment_value_matrix_covers_ordering_customers(spark):
+    rows = registry.QUERIES["q183_segment_value_matrix"](spark, SF_SMALL).collect()
+    n_ordering = (
+        load_table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_ordering
+    by_seg = defaultdict(float)
+    for r in rows:
+        assert 1 <= r["quintile"] <= 5
+        by_seg[r["c_mktsegment"]] += r["segment_share"]
+    for v in by_seg.values():
+        assert abs(v - 1.0) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# q184 — dormant customers
+# --------------------------------------------------------------------------
+
+
+def test_dormant_statuses_partition_customer_base(spark):
+    from serverless_etl_spark.operators.analytics_ext import DORMANT_DAYS
+
+    rows = registry.QUERIES["q184_dormant_customers"](spark, SF_SMALL).collect()
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert {r["cust_status"] for r in rows} <= {
+        "active", "dormant", "never_ordered"
+    }
+    # spot-check the dormant rule on one recomputed customer set
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    as_of = max(r["o_orderdate"] for r in orders)
+    last = {}
+    for r in orders:
+        k = r["o_custkey"]
+        last[k] = max(last.get(k, r["o_orderdate"]), r["o_orderdate"])
+    n_dormant = sum(
+        1 for v in last.values() if (as_of - v).days >= DORMANT_DAYS
+    )
+    got_dormant = sum(
+        r["n_customers"] for r in rows if r["cust_status"] == "dormant"
+    )
+    assert got_dormant == n_dormant

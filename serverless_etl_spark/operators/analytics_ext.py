@@ -3042,3 +3042,387 @@ def q184_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_share"
         ),
     ).orderBy("c_mktsegment", "cust_status")
+
+
+# --------------------------------------------------------------------------
+# q185 — basket-size distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q185_basket_sizes",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, COUNT(*) AS basket
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT COUNT(*) AS n_orders FROM b)
+    SELECT basket, COUNT(*) AS n_orders,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / t.n_orders * 1000000) / 1000000
+               AS order_share,
+           CAST(basket * COUNT(*) AS BIGINT) AS n_lines
+    FROM b CROSS JOIN tot t
+    GROUP BY basket, t.n_orders ORDER BY basket
+    """,
+)
+def q185_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size (lines-per-order) distribution: how many orders
+    have k lines, the share, and the line volume each size carries.
+    This histogram is simultaneously the co-purchase fan-out bound
+    (q140/q150's edge generation is quadratic IN THE BASKET), the
+    shuffle-size estimator for any per-order aggregation, and a
+    business metric (basket growth) — one table, three consumers.
+
+    Determinism: integer counts, one truncated division.
+
+    Scale: one keyed collapse of lineitem to |orders| rows, then a
+    ≤max-basket-row histogram; total is a one-row broadcast
+    (BNLJ-allowlisted).
+
+    Reference: extends the profiling family (q48/q144; no reference
+    counterpart)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
+    tot = b.agg(F.count(F.lit(1)).alias("n_orders_tot"))
+    return (
+        b.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "basket",
+            "n_orders",
+            trunc(
+                F.col("n_orders").cast("double") / F.col("n_orders_tot"), 6
+            ).alias("order_share"),
+            (F.col("basket") * F.col("n_orders")).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("basket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — brand revenue share by year (market-share trend)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q186_brand_share_trend",
+    oracle="""
+    WITH br AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS yr, p.p_brand,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(22,6))) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p   ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(yr AS INT) AS yr, p_brand,
+           CAST(rev AS DOUBLE) AS revenue,
+           FLOOR(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY yr)
+                 AS DOUBLE) * 1000000) / 1000000 AS year_share,
+           CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                ORDER BY rev DESC, p_brand) AS INT) AS rank_in_year
+    FROM br ORDER BY yr, rank_in_year
+    """,
+)
+def q186_brand_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand market share by year: each brand's revenue share and rank
+    within its year — the share-shift trend behind assortment and
+    vendor negotiations (a brand sliding three ranks over two years is
+    the story; a single-year snapshot can't tell it).
+
+    Determinism: exact decimal revenue sums; share division and rank
+    (decimal-ordered, brand tie-break) per cell.
+
+    Scale: one fact pass with part/orders joined (dimensions
+    broadcast), collapsing to |years|×|brands| cells; windows run over
+    cells.
+
+    Reference: extends the reporting family (q168/q173; no reference
+    counterpart)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    br = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("yr", "p_brand")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    year_tot = F.sum("rev").over(Window.partitionBy("yr"))
+    rk = F.row_number().over(
+        Window.partitionBy("yr").orderBy(F.col("rev").desc(), "p_brand")
+    )
+    return br.select(
+        "yr",
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        trunc(
+            F.col("rev").cast("double") / year_tot.cast("double"), 6
+        ).alias("year_share"),
+        rk.cast("int").alias("rank_in_year"),
+    ).orderBy("yr", "rank_in_year")
+
+
+# --------------------------------------------------------------------------
+# q188 — supplier concentration (Herfindahl index) per part type
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q188_supplier_hhi",
+    oracle="""
+    WITH sr AS (
+        SELECT p.p_type, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(22,6))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT p_type,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(rev) AS DOUBLE) AS tot,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sum_sq
+        FROM sr GROUP BY p_type
+    )
+    SELECT p_type, n_suppliers,
+           FLOOR(sum_sq / (tot * tot) * 1000000) / 1000000 AS hhi,
+           (sum_sq * 4 > tot * tot) AS concentrated
+    FROM stats ORDER BY p_type
+    """,
+)
+def q188_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part type — the Herfindahl–Hirschman
+    index Σ shareᵢ² of supplier revenue shares, with a flag above 0.25
+    (the antitrust "highly concentrated" line, here the supply-chain
+    single-point-of-failure warning). The same Σp² form as q128's
+    Gini impurity, aggregated to the risk dimension buyers actually
+    manage: WHO supplies this category.
+
+    Determinism: revenue and revenue² sum as exact decimals; the index
+    is one double division (Σr²/ (Σr)²) — algebraically identical to
+    Σ(rᵢ/Σr)² but with no per-supplier float shares to sum; the flag
+    is decimal/double cross-multiplication evaluated identically.
+
+    Scale: one fact pass collapsing to (type, supplier) cells, then a
+    |types|-row statistics table. Mergeable sufficient statistics
+    (q151 family).
+
+    Reference: extends the risk/diversity family (q128/q144; no
+    reference counterpart)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    sr = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    stats = sr.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").cast("double").alias("tot"),
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sum_sq"),
+    )
+    return stats.select(
+        "p_type",
+        "n_suppliers",
+        trunc(F.col("sum_sq") / (F.col("tot") * F.col("tot")), 6).alias("hhi"),
+        (F.col("sum_sq") * 4 > F.col("tot") * F.col("tot")).alias("concentrated"),
+    ).orderBy("p_type")
+
+
+# --------------------------------------------------------------------------
+# q189 — activity concentration: Gini coefficient over users
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q189_activity_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c, user_id) AS i,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(c) OVER () AS BIGINT) AS tot
+        FROM per_user
+    ),
+    g AS (
+        SELECT CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS num,
+               MAX(n) AS n, MAX(tot) AS tot
+        FROM ranked
+    )
+    SELECT n AS n_users, tot AS n_events,
+           FLOOR(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+                 * 1000000) / 1000000 AS gini
+    FROM g
+    """,
+)
+def q189_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the inequality
+    measure behind "5% of users generate 80% of traffic". Feeding the
+    load-model AND the abuse screen: a Gini jump means activity is
+    concentrating into fewer accounts (bots, scraping) long before
+    any single account trips a threshold.
+
+    Determinism: the closed form Σ(2i−n−1)·cᵢ / (n·Σc) over
+    count-ascending rank is EXACT integer arithmetic until one final
+    truncated division — no per-user float shares, no sorting of
+    floats.
+
+    Scale: events collapse to |users| counts map-side; the rank is a
+    single-partition window over that bounded table (q173 posture,
+    with the same documented approx route: bucketed prefix sums at
+    unbounded |users|).
+
+    Reference: extends the diversity family (q128 per-user mix,
+    q144/q188 concentration; no reference counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_user.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("tot"),
+    )
+    g = ranked.agg(
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c"))
+        .cast("bigint")
+        .alias("num"),
+        F.max("n").alias("n_users"),
+        F.max("tot").alias("n_events"),
+    )
+    return g.select(
+        "n_users",
+        "n_events",
+        trunc(
+            F.col("num").cast("double")
+            / (F.col("n_users").cast("double") * F.col("n_events")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — order-interval regularity per segment (integer-exact CV test)
+# --------------------------------------------------------------------------
+
+#: regular ⇔ coefficient of variation of inter-order gaps < 1/2,
+#: tested as 4·(m·Σg² − (Σg)²) < (Σg)² — pure integer arithmetic
+REGULARITY_CV_DEN = 2
+MIN_ORDERS_FOR_REGULARITY = 3
+
+
+@register(
+    "q187_order_regularity",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS g
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               COUNT(g) AS m,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY o_custkey
+        HAVING COUNT(g) >= {MIN_ORDERS_FOR_REGULARITY - 1}
+    ),
+    classed AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN {REGULARITY_CV_DEN * REGULARITY_CV_DEN}
+                         * (p.m * p.sgg - p.sg * p.sg) < p.sg * p.sg
+                    THEN 1 ELSE 0 END AS regular,
+               p.sg, p.m
+        FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(regular) AS BIGINT) AS n_regular,
+           FLOOR(CAST(SUM(regular) AS DOUBLE) / COUNT(*) * 1000000)
+               / 1000000 AS regular_share,
+           FLOOR(CAST(SUM(sg) AS DOUBLE) / SUM(m) * 1000000) / 1000000
+               AS avg_gap_days
+    FROM classed GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q187_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cadence regularity per market segment: a customer is
+    "regular" when the coefficient of variation of their inter-order
+    gaps is below 1/{REGULARITY_CV_DEN} — subscription-like behavior —
+    versus sporadic. Replenishment forecasting and campaign timing
+    both key off this split, and a falling regular-share is an early
+    churn signal q184's binary dormancy can't see.
+
+    Determinism: gaps are integer days; the CV threshold is tested as
+    4·(m·Σg² − (Σg)²) < (Σg)² — cross-multiplied integers, no
+    variance float ever materializes (q152/q143 discipline); the two
+    reported ratios are truncated divisions of integer sums.
+
+    Scale: one customer-partitioned window pass for gaps (q54's lag
+    posture), collapse to per-customer sufficient statistics, keyed
+    join to the broadcast customer dimension, |segments|-row rollup.
+
+    Reference: extends the lifecycle family (q174/q184; no reference
+    counterpart)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("g").alias("m"),
+            F.sum("g").cast("bigint").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sgg"),
+        )
+        .filter(F.col("m") >= MIN_ORDERS_FOR_REGULARITY - 1)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cvd2 = REGULARITY_CV_DEN * REGULARITY_CV_DEN
+    regular = (
+        cvd2 * (F.col("m") * F.col("sgg") - F.col("sg") * F.col("sg"))
+        < F.col("sg") * F.col("sg")
+    ).cast("long")
+    classed = per_cust.join(
+        F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", regular.alias("regular"), "sg", "m")
+    return (
+        classed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("regular").cast("bigint").alias("n_regular"),
+            trunc(
+                F.sum("regular").cast("double") / F.count(F.lit(1)), 6
+            ).alias("regular_share"),
+            trunc(F.sum("sg").cast("double") / F.sum("m"), 6).alias(
+                "avg_gap_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -103,7 +103,9 @@ _SWEEP_PRIORITY = [
     "q176_vocab_growth", "q177_lsh_recall", "q178_pii_incidence",
     "q179_constant_columns", "q180_ltv_curve", "q181_quality_by_lang",
     "q182_wow_share_drift", "q183_segment_value_matrix",
-    "q184_dormant_customers",
+    "q184_dormant_customers", "q185_basket_sizes",
+    "q186_brand_share_trend", "q187_order_regularity",
+    "q188_supplier_hhi", "q189_activity_gini",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

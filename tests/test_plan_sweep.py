@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "q176_vocab_growth",      # one-row max-doc-id scalar broadcast
     "q180_ltv_curve",         # one-row user-count scalar broadcast
     "q184_dormant_customers", # one-row as-of-date snapshot broadcast
+    "q185_basket_sizes",      # one-row order-total broadcast
 }
 
 
@@ -119,6 +120,11 @@ SCAN_BUDGETS = {
     "q182_wow_share_drift": 1,
     "q183_segment_value_matrix": 2,  # spend agg + customer join
     "q184_dormant_customers": 3,     # customers + last-order + as-of aggs
+    "q185_basket_sizes": 2,          # basket agg + total agg
+    "q186_brand_share_trend": 3,     # fact + orders + part
+    "q187_order_regularity": 2,      # gaps window + customer join
+    "q188_supplier_hhi": 2,          # fact + part
+    "q189_activity_gini": 1,
 }
 
 

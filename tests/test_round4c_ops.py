@@ -952,3 +952,76 @@ def test_dormant_statuses_partition_customer_base(spark):
         r["n_customers"] for r in rows if r["cust_status"] == "dormant"
     )
     assert got_dormant == n_dormant
+
+
+# --------------------------------------------------------------------------
+# q185-q189 — final widening batch
+# --------------------------------------------------------------------------
+
+
+def test_basket_sizes_conserve_lines_and_orders(spark):
+    rows = registry.QUERIES["q185_basket_sizes"](spark, SF_SMALL).collect()
+    li = load_table(spark, SF_SMALL, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    assert sum(r["n_orders"] for r in rows) == li.select("l_orderkey").distinct().count()
+    assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_brand_share_trend_shares_sum_per_year(spark):
+    rows = registry.QUERIES["q186_brand_share_trend"](spark, SF_SMALL).collect()
+    by_yr = defaultdict(float)
+    ranks = defaultdict(list)
+    for r in rows:
+        by_yr[r["yr"]] += r["year_share"]
+        ranks[r["yr"]].append(r["rank_in_year"])
+    for yr, v in by_yr.items():
+        assert abs(v - 1.0) < 1e-3, yr
+        assert sorted(ranks[yr]) == list(range(1, len(ranks[yr]) + 1))
+
+
+def test_order_regularity_matches_integer_cv_rule(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        MIN_ORDERS_FOR_REGULARITY,
+        REGULARITY_CV_DEN,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    n_eligible = n_regular = 0
+    for k, v in by_cust.items():
+        if len(v) < MIN_ORDERS_FOR_REGULARITY:
+            continue
+        v.sort()
+        gaps = [
+            (v[i + 1][0] - v[i][0]).days for i in range(len(v) - 1)
+        ]
+        m, sg, sgg = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        n_eligible += 1
+        if REGULARITY_CV_DEN**2 * (m * sgg - sg * sg) < sg * sg:
+            n_regular += 1
+    rows = registry.QUERIES["q187_order_regularity"](spark, SF_SMALL).collect()
+    assert sum(r["n_customers"] for r in rows) == n_eligible
+    assert sum(r["n_regular"] for r in rows) == n_regular
+
+
+def test_supplier_hhi_bounds(spark):
+    rows = registry.QUERIES["q188_supplier_hhi"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-4 <= r["hhi"] <= 1.0, r
+        assert r["concentrated"] == (r["hhi"] > 0.25) or abs(r["hhi"] - 0.25) < 1e-3
+
+
+def test_activity_gini_matches_recomputation(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("user_id").collect()
+    counts = sorted(Counter(r["user_id"] for r in ev).values())
+    n, tot = len(counts), sum(counts)
+    num = sum((2 * (i + 1) - n - 1) * c for i, c in enumerate(counts))
+    expect = num / (n * tot)
+    row = registry.QUERIES["q189_activity_gini"](spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n and row["n_events"] == tot
+    assert abs(row["gini"] - expect) < 1e-4
+    assert 0.0 <= row["gini"] < 1.0

@@ -1651,3 +1651,137 @@ def q177_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --------------------------------------------------------------------------
+# q191 — prefix-filtered exact Jaccard self-join (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+
+#: Jaccard threshold t = 4/5 = 0.8, over 3-gram SHINGLE sets — the
+#: q41 LSH shingle space, not word sets: the synthetic vocabulary is
+#: tiny (every word-pair of docs overlaps, avg word df ≈ 450/600) but
+#: shingles are order-sensitive, so their df averages ≈ 2 and prefix
+#: filtering has rare tokens to work with. At 0.8 a one-token-appended
+#: near-dup clone qualifies for every corpus doc ((L−2)/(L−1) ≥ 0.8
+#: ⇔ L ≥ 6; min doc length is 7 tokens).
+PJ_T_NUM = 4
+PJ_T_DEN = 5
+
+
+def prefix_jaccard_candidates(t: DataFrame) -> DataFrame:
+    """Candidate pairs sharing a PREFIX token under the global
+    (df, token) rarest-first order.
+
+    Prefix-filtering lemma (Chaudhuri et al., ICDE'06; Bayardo et al.,
+    WWW'07 AllPairs): order every token set by one global total order;
+    if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and a set whose intersection
+    is that large must expose at least one intersecting token among its
+    first |A| − ⌈t·|A|⌉ + 1 tokens — so every qualifying pair shares a
+    token lying in BOTH prefixes, and the prefix-token self-join loses
+    nothing. Rarest-first ordering makes prefixes low-frequency, so the
+    equi-join fan-out is bounded by rare-token df, not corpus size.
+
+    `t` is (doc_id, toks); returns (doc_a, doc_b) distinct."""
+    tok = t.select("doc_id", F.explode("toks").alias("tk"))
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "tk").select(
+        "doc_id",
+        "tk",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "tk"))
+        .alias("rnk"),
+    )
+    sizes = t.select("doc_id", F.size("toks").alias("s"))
+    # prefix length = s − ⌈t·s⌉ + 1, with ⌈n·s/d⌉ = (n·s + d − 1) DIV d
+    pref = ranked.join(sizes, "doc_id").filter(
+        F.col("rnk")
+        <= F.col("s")
+        - F.expr(f"({PJ_T_NUM} * s + {PJ_T_DEN - 1}) DIV {PJ_T_DEN}")
+        + 1
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "tk")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "tk")
+    return (
+        a.join(b, "tk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "q191_prefix_jaccard_join",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    t AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS toks
+        FROM corpus
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                   AS inter,
+               len(ta.toks) AS sa, len(tb.toks) AS sb
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sa + sb - inter AS BIGINT) AS union_size,
+           FLOOR(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000)
+               / 10000 AS jaccard
+    FROM pairs
+    WHERE {PJ_T_DEN} * inter >= {PJ_T_NUM} * (sa + sb - inter)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold self-join (J ≥ {PJ_T_NUM}/{PJ_T_DEN})
+    via prefix filtering — the lossless exact-similarity-join scale
+    path, complementing the probabilistic family (q41 MinHash+LSH can
+    miss true pairs; q139 containment is asymmetric; this returns
+    precisely the qualifying pairs with their exact scores).
+
+    Scale: the quadratic step never materializes — candidates come
+    from an equi-join on PREFIX tokens only (rarest-first global
+    order, see prefix_jaccard_candidates), so fan-out is bounded by
+    rare-token document frequency; verification touches candidates
+    only, comparing 5·|A∩B| ≥ 4·|A∪B| in integers. The oracle runs
+    the brute-force share-any-token join instead, proving the pruned
+    plan loses nothing.
+
+    Determinism: integer threshold test; jaccard reported as the
+    truncated-at-1e-4 IEEE division both engines compute identically
+    (q42 discipline).
+
+    Reference: scale twin of q42's pairwise kernel
+    (SURVEY §2 extended dedup family)."""
+    docs = _duped_docs(spark, sf_dir)
+    t = track_cache(
+        docs.select(
+            "doc_id", _shingles(F.split("text", " ")).alias("toks")
+        ).persist()
+    )
+    cand = prefix_jaccard_candidates(t)
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("tka"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tkb"))
+    inter = F.size(F.array_intersect("tka", "tkb"))
+    un = F.size("tka") + F.size("tkb") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(PJ_T_DEN * inter >= PJ_T_NUM * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("inter"),
+            un.cast("bigint").alias("union_size"),
+            trunc(inter.cast("double") / un, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -766,3 +766,91 @@ def q179_constant_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("col_ref")
+
+
+# --------------------------------------------------------------------------
+# q192 — join-cardinality profile (planner statistics from key histograms)
+# --------------------------------------------------------------------------
+
+#: (edge label, left table, left key, right table, right key) — the two
+#: hot 1:N star edges plus a genuinely M:N pairing (events.user_id vs
+#: orders.o_custkey: both sides repeat keys)
+CARD_EDGES = [
+    ("customer*orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders*lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part*lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("events*orders", "events", "user_id", "orders", "o_custkey"),
+]
+
+
+@register(
+    "q192_join_cardinality",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{edge}' AS edge,
+           CAST(COALESCE(SUM(cl), 0) AS BIGINT) AS n_left,
+           CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS n_right,
+           COUNT(cl) AS d_left,
+           COUNT(cr) AS d_right,
+           CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys,
+           CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS est_join_rows,
+           CAST(COALESCE(MAX(cl * cr), 0) AS BIGINT) AS max_key_rows
+    FROM (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) l
+    FULL JOIN (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1) r
+        USING (k)
+        """
+        for edge, lt, lk, rt, rk in CARD_EDGES
+    )
+    + "\nORDER BY edge",
+)
+def q192_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT executing the join: per edge, the
+    exact equi-join output cardinality Σₖ cntₗ(k)·cntᵣ(k) plus the
+    per-side row/distinct counts, matched-key count, and the largest
+    single-key output block (max cntₗ·cntᵣ — the skew number that
+    decides salting, cf. q144). This is what a cost-based planner
+    derives from column histograms; computing it exactly from key
+    count tables is how you *validate* a planner estimate, size a
+    shuffle ahead of a 100-TB join, or catch an about-to-explode M:N
+    join (events*orders here) before running it.
+
+    Scale: per edge, two map-side partial-aggregated groupBy-counts
+    (key histograms, |distinct keys| rows each) and one keyed outer
+    join of the histograms — never the fact⋈fact join being sized.
+    Edges are independent branches of one union plan.
+
+    Determinism: pure integer counts, sums, and products.
+
+    Reference: extends q153's FK accounting into planner statistics
+    (SURVEY §2 extended analytics; no reference counterpart)."""
+    out = None
+    for edge, lt, lk, rt, rk in CARD_EDGES:
+        lc = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cl"))
+        )
+        rc = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cr"))
+        )
+        j = lc.join(rc, "k", "outer")
+        both = F.col("cl").isNotNull() & F.col("cr").isNotNull()
+        row = j.agg(
+            F.lit(edge).alias("edge"),
+            F.coalesce(F.sum("cl"), F.lit(0)).cast("bigint").alias("n_left"),
+            F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("n_right"),
+            F.count("cl").alias("d_left"),
+            F.count("cr").alias("d_right"),
+            F.sum(both.cast("long")).cast("bigint").alias("matched_keys"),
+            F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+            .cast("bigint")
+            .alias("est_join_rows"),
+            F.coalesce(F.max(F.col("cl") * F.col("cr")), F.lit(0))
+            .cast("bigint")
+            .alias("max_key_rows"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")

@@ -1,0 +1,184 @@
+"""Invariant tests for the round-4 fourth-sitting operators: PageRank
+mass conservation + pure-Python power-iteration parity, prefix-filter
+Jaccard completeness against a brute-force pairing (and real pruning),
+and join-cardinality estimates verified against the executed joins."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.dedup import (
+    PJ_T_DEN,
+    PJ_T_NUM,
+    _duped_docs,
+    _shingles,
+    prefix_jaccard_candidates,
+)
+from serverless_etl_spark.operators.graph import (
+    PR_BASE,
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITERS,
+    PR_SCALE,
+    PR_TOPK,
+    copurchase_edges,
+)
+from serverless_etl_spark.operators.quality import CARD_EDGES
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+# --------------------------------------------------------------------------
+# q190 — integer-quantized PageRank
+# --------------------------------------------------------------------------
+
+
+def _python_pagerank(edges):
+    """Reference power iteration on the same integer grid."""
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    rank = {u: PR_SCALE for u in adj}
+    for _ in range(PR_ITERS):
+        nxt = {u: PR_BASE for u in adj}
+        for u, r in rank.items():
+            c = (PR_DAMP_NUM * r) // (PR_DAMP_DEN * len(adj[u]))
+            for v in adj[u]:
+                nxt[v] += c
+        rank = nxt
+    return rank, {u: len(vs) for u, vs in adj.items()}
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    edges = [(r["p1"], r["p2"]) for r in copurchase_edges(li).collect()]
+    rank, deg = _python_pagerank(edges)
+    expect = sorted(
+        ((r, n) for n, r in rank.items()), key=lambda t: (-t[0], t[1])
+    )[:PR_TOPK]
+
+    got = registry.QUERIES["q190_pagerank"](spark, SF_SMALL).collect()
+    assert [(r["rank_units"], r["node"]) for r in got] == expect
+    assert all(r["degree"] == deg[r["node"]] for r in got)
+
+
+def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
+    """Each iteration redistributes ≤ the damped mass: total rank stays
+    within [n·(base + something ≥ 0), n·scale] — floor division only
+    LOSES units, so total rank is ≤ n·scale and ≥ n·base after any
+    number of iterations. Pins that no contribution is double-counted."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    edges = [(r["p1"], r["p2"]) for r in copurchase_edges(li).collect()]
+    rank, _ = _python_pagerank(edges)
+    n = len(rank)
+    assert n * PR_BASE <= sum(rank.values()) <= n * PR_SCALE
+
+
+# --------------------------------------------------------------------------
+# q191 — prefix-filtered exact Jaccard join
+# --------------------------------------------------------------------------
+
+
+def _shingle_set(text):
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def _brute_pairs(docs):
+    toks = {d: _shingle_set(t) for d, t in docs}
+    ids = sorted(toks)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            union = len(toks[a] | toks[b])
+            if PJ_T_DEN * inter >= PJ_T_NUM * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_prefix_jaccard_is_lossless_vs_brute_force(spark):
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in _duped_docs(spark, SF_SMALL).collect()
+    ]
+    expect = _brute_pairs(docs)
+    got = registry.QUERIES["q191_prefix_jaccard_join"](spark, SF_SMALL).collect()
+    assert {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_size"]) for r in got
+    } == expect
+
+
+def test_prefix_filter_actually_prunes(spark):
+    """The candidate set from prefix tokens must be a strict subset of
+    the share-any-token candidate set (the filter's whole point), while
+    still covering every qualifying pair."""
+    t = _duped_docs(spark, SF_SMALL).select(
+        "doc_id", _shingles(F.split("text", " ")).alias("toks")
+    )
+    n_prefix = prefix_jaccard_candidates(t).count()
+    tok = t.select("doc_id", F.explode("toks").alias("tk"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), "tk")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "tk")
+    n_any = (
+        a.join(b, "tk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert n_prefix < n_any / 4, (n_prefix, n_any)
+
+
+# --------------------------------------------------------------------------
+# q192 — join-cardinality profile
+# --------------------------------------------------------------------------
+
+
+def test_join_cardinality_estimate_equals_executed_join(spark):
+    rows = {
+        r["edge"]: r
+        for r in registry.QUERIES["q192_join_cardinality"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(rows) == {e[0] for e in CARD_EDGES}
+    for edge, lt, lk, rt, rk in CARD_EDGES:
+        l = load_table(spark, SF_SMALL, lt).select(F.col(lk).alias("k"))
+        r = load_table(spark, SF_SMALL, rt).select(F.col(rk).alias("k"))
+        actual = l.join(r, "k").count()
+        assert rows[edge]["est_join_rows"] == actual, edge
+        assert rows[edge]["n_left"] == l.count()
+        assert rows[edge]["n_right"] == r.count()
+
+
+def test_join_cardinality_max_key_rows_matches_counter(spark):
+    edge, lt, lk, rt, rk = CARD_EDGES[3]  # the M:N edge
+    l = Counter(
+        r["k"]
+        for r in load_table(spark, SF_SMALL, lt)
+        .select(F.col(lk).alias("k"))
+        .collect()
+    )
+    r_ = Counter(
+        r["k"]
+        for r in load_table(spark, SF_SMALL, rt)
+        .select(F.col(rk).alias("k"))
+        .collect()
+    )
+    expect = max(
+        (l[k] * r_[k] for k in l.keys() & r_.keys()), default=0
+    )
+    got = {
+        row["edge"]: row["max_key_rows"]
+        for row in registry.QUERIES["q192_join_cardinality"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got[edge] == expect

@@ -211,3 +211,79 @@ def q110_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("double").alias("delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q193 — point-in-time-correct feature join (leakage-safe as-of lookup)
+# --------------------------------------------------------------------------
+
+#: events with event_id % 10 == this are the PROBE (label) stream; the
+#: rest are the feature stream the state is built from
+PIT_PROBE_MOD = 10
+PIT_PROBE_REM = 7
+
+
+@register(
+    "q193_pit_features",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT f.event_type FROM events f
+            WHERE f.user_id = p.user_id
+              AND f.event_id % {PIT_PROBE_MOD} <> {PIT_PROBE_REM}
+              AND f.ts < p.ts
+            ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS state_at
+    FROM events p
+    WHERE p.event_id % {PIT_PROBE_MOD} = {PIT_PROBE_REM}
+    ORDER BY p.event_id
+    """,
+)
+def q193_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup: for every probe event
+    (the label stream, event_id % 10 == 7), the user's state — their
+    latest FEATURE-stream event_type STRICTLY BEFORE the probe
+    timestamp. This is the feature-store join that keeps training data
+    leakage-free: a feature computed at-or-after the label timestamp
+    (even by a tie) is future information, so ties are excluded by
+    construction. The q65 SCD2 intervals answer the same lookup via a
+    validity-range join; this is the direct streaming-order form.
+
+    Scale: NO join at all — feature and probe rows union into one
+    stream, ONE exchange on user_id, and a running last-non-null
+    window carries the state forward (the merge-sorted as-of shape;
+    probe rows sort BEFORE feature rows at equal (ts) so a tied
+    feature is invisible to the probe). The correlated-subquery oracle
+    is the semantics spec; the window plan is the 100-TB execution.
+
+    Determinism: state is picked by the total order (ts, event_id);
+    output columns are ids, timestamps, and a carried string.
+
+    Reference: extends q19/q84's as-of family with the
+    split-stream leakage discipline (SURVEY §2 extended joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_probe = F.col("event_id") % PIT_PROBE_MOD == PIT_PROBE_REM
+    f = ev.filter(~is_probe).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_dim"),
+        F.col("event_type").alias("st"),
+        "event_id",
+    )
+    p = ev.filter(is_probe).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast("string").alias("st"),
+        "event_id",
+    )
+    u = f.unionByName(p)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_dim", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("state_at", F.last("st", ignorenulls=True).over(w))
+        .filter(F.col("is_dim") == 0)
+        .select("event_id", "user_id", F.col("t").alias("ts"), "state_at")
+        .orderBy("event_id")
+    )

@@ -854,3 +854,202 @@ def q192_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("edge")
+
+
+# --------------------------------------------------------------------------
+# q194 — per-group exact-median imputation (histogram crossing rule)
+# --------------------------------------------------------------------------
+
+#: lineitem rows with (l_orderkey + l_linenumber) % 10 == this simulate
+#: a missing l_quantity (the fixture ships no natural NULLs)
+IMPUTE_MISS_MOD = 10
+IMPUTE_MISS_REM = 3
+
+
+@register(
+    "q194_median_impute",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(l_quantity AS INTEGER) AS q,
+               CASE WHEN (l_orderkey + l_linenumber) % {IMPUTE_MISS_MOD}
+                         = {IMPUTE_MISS_REM} THEN 1 ELSE 0 END AS miss
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT rf, ls, q, COUNT(*) AS c FROM base WHERE miss = 0
+        GROUP BY rf, ls, q
+    ),
+    cum AS (
+        SELECT rf, ls, q,
+               SUM(c) OVER (PARTITION BY rf, ls ORDER BY q) AS cum,
+               SUM(c) OVER (PARTITION BY rf, ls) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT rf, ls, MIN(q) AS med FROM cum WHERE 2 * cum >= n
+        GROUP BY rf, ls
+    ),
+    stats AS (
+        SELECT rf, ls, COUNT(*) AS n_rows,
+               CAST(SUM(miss) AS BIGINT) AS n_missing,
+               CAST(SUM(CASE WHEN miss = 0 THEN q ELSE 0 END) AS BIGINT)
+                   AS sum_observed
+        FROM base GROUP BY rf, ls
+    )
+    SELECT s.rf AS l_returnflag, s.ls AS l_linestatus,
+           s.n_rows, s.n_missing, m.med AS median_q,
+           s.sum_observed + s.n_missing * m.med AS sum_imputed
+    FROM stats s JOIN med m ON m.rf = s.rf AND m.ls = s.ls
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q194_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the per-group EXACT lower median,
+    computed from a bounded value histogram — the crossing rule
+    min{v : 2·cum(v) ≥ n} — rather than any sort or percentile sketch.
+    Reports per (returnflag, linestatus): row/missing counts, the
+    median used, and the post-imputation sum, i.e. the numbers a
+    feature-engineering pipeline needs to certify a fill policy was
+    deterministic and bounded.
+
+    Scale: l_quantity is integral on [1, 50], so the histogram is at
+    most |groups|·50 rows — partial-aggregated map-side; the median
+    never sorts raw rows (contrast q165's per-group sort, documented
+    there as the exact twin). Imputation itself needs no per-row join
+    either: sum_imputed = sum_observed + n_missing·median, and a
+    materializing variant would broadcast the |groups|-row median
+    table.
+
+    Determinism: pure integer histogram counts and integer sums.
+
+    Reference: extends the robust-stats family (q108 MAD, q165
+    weighted median; SURVEY §2 extended analytics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_quantity").cast("int").alias("q"),
+        (
+            (F.col("l_orderkey") + F.col("l_linenumber")) % IMPUTE_MISS_MOD
+            == IMPUTE_MISS_REM
+        )
+        .cast("int")
+        .alias("miss"),
+    )
+    hist = (
+        base.filter(F.col("miss") == 0)
+        .groupBy("rf", "ls", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wg = Window.partitionBy("rf", "ls")
+    cum = hist.select(
+        "rf",
+        "ls",
+        "q",
+        F.sum("c").over(wg.orderBy("q")).alias("cum"),
+        F.sum("c").over(wg).alias("n"),
+    )
+    med = (
+        cum.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("rf", "ls")
+        .agg(F.min("q").alias("median_q"))
+    )
+    stats = base.groupBy("rf", "ls").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("miss").cast("bigint").alias("n_missing"),
+        F.sum(F.when(F.col("miss") == 0, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_observed"),
+    )
+    return (
+        stats.join(med, ["rf", "ls"])
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("ls").alias("l_linestatus"),
+            "n_rows",
+            "n_missing",
+            "median_q",
+            (F.col("sum_observed") + F.col("n_missing") * F.col("median_q"))
+            .alias("sum_imputed"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q195 — partition fingerprints (order-independent content checksums)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q195_partition_checksums",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   || '|' ||
+                   CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                        + day(o_orderdate) AS VARCHAR)
+               ), 1, 8)) AS BIGINT) AS hv
+        FROM orders
+    )
+    SELECT yr, COUNT(*) AS n_rows,
+           CAST(SUM(hv) AS BIGINT) AS checksum,
+           MIN(hv) AS min_hash, MAX(hv) AS max_hash
+    FROM h GROUP BY yr ORDER BY yr
+    """,
+)
+def q195_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style per-partition content fingerprint: every order row
+    hashes its business-key columns to a 48-bit integer, and each
+    order-year partition reports row count, the ORDER-INDEPENDENT hash
+    sum, and min/max hash. Two replicas (or a table before/after a
+    migration, or source vs. CDC-rebuilt target) compare these tiny
+    per-partition rows first and row-diff (q110) ONLY the partitions
+    whose fingerprints diverge — the 100-TB reconciliation pre-filter
+    that turns a full-table compare into a targeted one.
+
+    Scale: embarrassingly parallel — per-row hashing then a
+    partial-aggregated sum/min/max by partition key; output is
+    |partitions| rows. The hash-SUM is commutative, so partial sums
+    merge without any ordering guarantee (unlike a concatenation
+    digest). 32-bit hash slices summed as BIGINT stay exact for any
+    partition up to 2^31 rows — far past a sanely-sized partition —
+    with no decimal in the output (driver hash discipline).
+
+    Determinism: md5 over int-cast column renderings (the q15
+    discipline; FLOOR(price·100) avoids double→int cast rounding
+    divergence), integer min/max and sum.
+
+    Reference: extends the integrity family (q110 snapshot diff, q153
+    FK audit; SURVEY §2 extended quality)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("string"),
+    )
+    hv = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return (
+        o.select(F.year("o_orderdate").alias("yr"), hv.alias("hv"))
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("hv").cast("bigint").alias("checksum"),
+            F.min("hv").alias("min_hash"),
+            F.max("hv").alias("max_hash"),
+        )
+        .orderBy("yr")
+    )

@@ -107,6 +107,7 @@ _SWEEP_PRIORITY = [
     "q186_brand_share_trend", "q187_order_regularity",
     "q188_supplier_hhi", "q189_activity_gini", "q190_pagerank",
     "q191_prefix_jaccard_join", "q192_join_cardinality",
+    "q193_pit_features", "q194_median_impute", "q195_partition_checksums",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -182,3 +182,107 @@ def test_join_cardinality_max_key_rows_matches_counter(spark):
         ).collect()
     }
     assert got[edge] == expect
+
+
+# --------------------------------------------------------------------------
+# q193 — point-in-time feature join
+# --------------------------------------------------------------------------
+
+
+def test_pit_features_never_leak_future_state(spark):
+    """Every probe's state must equal the type of the user's latest
+    feature event STRICTLY before the probe ts (pure-Python replay)."""
+    ev = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    last_state = {}
+    expect = {}
+    for r in ev:
+        if r["event_id"] % 10 == 7:
+            expect[r["event_id"]] = last_state.get(r["user_id"])
+        else:
+            last_state[r["user_id"]] = r["event_type"]
+    got = registry.QUERIES["q193_pit_features"](spark, SF_SMALL).collect()
+    assert {r["event_id"]: r["state_at"] for r in got} == expect
+
+
+# --------------------------------------------------------------------------
+# q194 — group-median imputation
+# --------------------------------------------------------------------------
+
+
+def test_median_impute_matches_statistics_median(spark):
+    import statistics
+
+    rows = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity",
+    ).collect()
+    observed = defaultdict(list)
+    for r in rows:
+        if (r["l_orderkey"] + r["l_linenumber"]) % 10 != 3:
+            observed[(r["l_returnflag"], r["l_linestatus"])].append(
+                int(r["l_quantity"])
+            )
+    got = registry.QUERIES["q194_median_impute"](spark, SF_SMALL).collect()
+    for r in got:
+        g = (r["l_returnflag"], r["l_linestatus"])
+        assert r["median_q"] == statistics.median_low(observed[g]), g
+        assert r["sum_imputed"] == sum(observed[g]) + r["n_missing"] * r[
+            "median_q"
+        ]
+
+
+# --------------------------------------------------------------------------
+# q195 — partition checksums
+# --------------------------------------------------------------------------
+
+
+def test_partition_checksum_is_order_independent_and_change_sensitive(spark):
+    """Reversing row order must not change a fingerprint; flipping one
+    row's status must change exactly that partition's checksum."""
+    import hashlib
+    import math
+
+    rows = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    ).collect()
+
+    def hv(r, status=None):
+        d = r["o_orderdate"]
+        key = "|".join(
+            [
+                str(r["o_orderkey"]),
+                str(r["o_custkey"]),
+                status or r["o_orderstatus"],
+                str(int(math.floor(r["o_totalprice"] * 100))),
+                str(d.year * 10000 + d.month * 100 + d.day),
+            ]
+        )
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+    by_year = defaultdict(int)
+    for r in rows:
+        by_year[r["o_orderdate"].year] += hv(r)
+    by_year_rev = defaultdict(int)
+    for r in reversed(rows):
+        by_year_rev[r["o_orderdate"].year] += hv(r)
+    assert by_year == by_year_rev
+
+    got = {
+        r["yr"]: r["checksum"]
+        for r in registry.QUERIES["q195_partition_checksums"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == dict(by_year)
+
+    flip = rows[0]
+    mutated = dict(by_year)
+    mutated[flip["o_orderdate"].year] += hv(flip, status="X") - hv(flip)
+    diverged = [y for y in got if got[y] != mutated[y]]
+    assert diverged == [flip["o_orderdate"].year]

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, trunc
 from ..io import load_table
-from ..registry import QUERIES, register
+from ..registry import QUERIES, register, track_cache
 
 N_SALT = 8
 
@@ -3425,4 +3425,251 @@ def q187_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q196 — association rules (confidence/lift in exact integer ppm)
+# --------------------------------------------------------------------------
+
+#: minimum number of shared baskets for a part pair to form rules
+ASSOC_MIN_SUPPORT = 3
+
+
+@register(
+    "q196_assoc_rules",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT k) AS n FROM b),
+    item AS (SELECT p, COUNT(*) AS s FROM b GROUP BY p),
+    pairs AS (
+        SELECT a.p AS pa, c.p AS pb, COUNT(*) AS sab
+        FROM b a JOIN b c ON a.k = c.k AND a.p < c.p
+        GROUP BY a.p, c.p
+        HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, sab FROM pairs
+        UNION ALL
+        SELECT pb, pa, sab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.sab AS pair_support,
+           ia.s AS ante_support, ic.s AS cons_support,
+           (1000000 * r.sab) // ia.s AS conf_ppm,
+           (1000000 * nb.n * r.sab) // (ia.s * ic.s) AS lift_ppm
+    FROM rules r
+    JOIN item ia ON ia.p = r.antecedent
+    JOIN item ic ON ic.p = r.consequent
+    CROSS JOIN nb
+    ORDER BY antecedent, consequent
+    """,
+)
+def q196_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A→B over order-part baskets with
+    exact confidence and lift — the Apriori rule-generation step on
+    top of q131's support counting and the recommender/affinity
+    primitive behind "customers who bought A also bought B".
+
+    Determinism: confidence and lift are reported in PARTS-PER-MILLION
+    as pure integer floor divisions — (10⁶·s(AB)) DIV s(A) and
+    (10⁶·n·s(AB)) DIV (s(A)·s(B)) — so no float ratio ever exists to
+    disagree on (the q147/q187 cross-multiplication discipline).
+
+    Scale: pair supports come from the per-basket self-join (bounded
+    by Σ|basket|², never catalogue², q131's shape) with the
+    min-support HAVING inside the aggregation; item supports join
+    back by key; the basket count is a one-row broadcast. Rules are
+    two projections of the undirected pair table — no second pass.
+
+    Reference: extends the behavioral-analytics family (q130/q131;
+    SURVEY §2 extended analytics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = track_cache(
+        li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    nb = b.agg(F.countDistinct("k").alias("n"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = b.select("k", F.col("p").alias("pa"))
+    c = b.select("k", F.col("p").alias("pb"))
+    pairs = (
+        a.join(c, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sab"))
+        .filter(F.col("sab") >= ASSOC_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "sab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"),
+            "sab",
+        )
+    )
+    ia = item.select(F.col("p").alias("antecedent"), F.col("s").alias("ante_support"))
+    ic = item.select(F.col("p").alias("consequent"), F.col("s").alias("cons_support"))
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sab").alias("pair_support"),
+            "ante_support",
+            "cons_support",
+            F.expr("(1000000 * sab) DIV ante_support").alias("conf_ppm"),
+            F.expr(
+                "(1000000 * n * sab) DIV (ante_support * cons_support)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# --------------------------------------------------------------------------
+# q197 — reorder-interval life table (discrete survival accounting)
+# --------------------------------------------------------------------------
+
+#: day-bucket lower bounds for the reorder life table; each bucket is
+#: [lo, next_lo) with the last open-ended
+LIFE_BUCKETS = [0, 30, 60, 90, 120, 180, 365]
+
+
+def _life_bucket_sql(col: str) -> str:
+    cases = []
+    for i, lo in enumerate(LIFE_BUCKETS):
+        if i + 1 < len(LIFE_BUCKETS):
+            cases.append(
+                f"WHEN {col} < {LIFE_BUCKETS[i + 1]} THEN {lo}"
+            )
+        else:
+            cases.append(f"ELSE {lo}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+@register(
+    "q197_reorder_life_table",
+    oracle=f"""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn_last,
+               o_orderdate
+        FROM orders
+    ),
+    horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+    obs AS (
+        SELECT gap AS t, 1 AS ev FROM seq WHERE gap IS NOT NULL
+        UNION ALL
+        SELECT date_diff('day', o_orderdate, h) AS t, 0 AS ev
+        FROM seq CROSS JOIN horizon WHERE rn_last = 1
+    ),
+    bucketed AS (
+        SELECT {_life_bucket_sql('t')} AS lo,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM obs GROUP BY 1
+    ),
+    cum AS (
+        SELECT lo, n_events, n_censored,
+               CAST(SUM(n_events + n_censored)
+                    OVER (ORDER BY lo DESC) AS BIGINT) AS n_at_risk
+        FROM bucketed
+    )
+    SELECT lo AS bucket_lo, n_at_risk, n_events, n_censored,
+           (1000000 * n_events) // n_at_risk AS hazard_ppm
+    FROM cum WHERE n_at_risk > 0
+    ORDER BY bucket_lo
+    """,
+)
+def q197_reorder_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete life table of customer reorder intervals: per day
+    bucket, how many observations were still at risk, how many
+    reordered (events = inter-order gaps), how many ran out of data
+    first (right-censored: time from a customer's LAST order to the
+    dataset horizon), and the bucket hazard. This is the survival
+    accounting behind churn prediction and reorder-window targeting —
+    censoring handled the Kaplan-Meier way, counts-only so the table
+    stays exact.
+
+    Determinism: gaps and censor times are integer days; at-risk is a
+    reverse-cumulative integer sum; hazard is an integer ppm floor
+    division. (A full KM survival CURVE multiplies float ratios —
+    order-dependent — so the table reports the exact ingredients and
+    leaves the product to the consumer.)
+
+    Scale: one customer-partitioned window pass produces both gaps and
+    the censor row (q54/q187 shape); bucketing is map-side CASE; the
+    life table itself is |buckets| rows with a window over that
+    bounded table. No cross join: at-risk comes from the reverse
+    cumsum identity n_at_risk(k) = Σ_{{j≥k}} obs(j).
+
+    Reference: extends the behavioral family (q85 retention cohorts,
+    q187 cadence; SURVEY §2 extended analytics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wl = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap"
+        ),
+        F.row_number().over(wl).alias("rn_last"),
+        "o_orderdate",
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    events = seq.filter(F.col("gap").isNotNull()).select(
+        F.col("gap").alias("t"), F.lit(1).alias("ev")
+    )
+    censored = (
+        seq.filter(F.col("rn_last") == 1)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("h"), F.col("o_orderdate")).alias("t"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    obs = events.unionAll(censored)
+    bucket = F.lit(LIFE_BUCKETS[-1])
+    for i in range(len(LIFE_BUCKETS) - 2, -1, -1):
+        bucket = F.when(
+            F.col("t") < LIFE_BUCKETS[i + 1], F.lit(LIFE_BUCKETS[i])
+        ).otherwise(bucket)
+    bucketed = obs.groupBy(bucket.alias("lo")).agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("n_censored"),
+    )
+    cum = bucketed.select(
+        "lo",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(Window.orderBy(F.desc("lo")))
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    return (
+        cum.filter(F.col("n_at_risk") > 0)
+        .select(
+            F.col("lo").alias("bucket_lo"),
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.expr("(1000000 * n_events) DIV n_at_risk").alias("hazard_ppm"),
+        )
+        .orderBy("bucket_lo")
     )

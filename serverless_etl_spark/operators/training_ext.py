@@ -672,3 +672,119 @@ def q160_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q198 — cross-source quantile alignment (calibration drift by decile)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q198_quantile_alignment",
+    oracle="""
+    WITH tc AS (
+        SELECT source, len(string_split(text, ' ')) AS v FROM documents
+    ),
+    shist AS (SELECT source, v, COUNT(*) AS c FROM tc GROUP BY source, v),
+    scum AS (
+        SELECT source, v,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM shist
+    ),
+    sq AS (
+        SELECT source, d.d, MIN(v) AS src_q
+        FROM scum CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+        WHERE 10 * cum >= d.d * n
+        GROUP BY source, d.d
+    ),
+    ghist AS (SELECT v, COUNT(*) AS c FROM tc GROUP BY v),
+    gcum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               SUM(c) OVER () AS n
+        FROM ghist
+    ),
+    gq AS (
+        SELECT d.d, MIN(v) AS global_q
+        FROM gcum CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+        WHERE 10 * cum >= d.d * n
+        GROUP BY d.d
+    )
+    SELECT sq.source, CAST(sq.d AS INTEGER) AS decile,
+           sq.src_q, gq.global_q,
+           sq.src_q - gq.global_q AS shift
+    FROM sq JOIN gq ON gq.d = sq.d
+    ORDER BY source, decile
+    """,
+)
+def q198_quantile_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile boundaries of document length (tokens) against
+    the pooled corpus deciles — the calibration table quantile
+    normalization reads from: a source whose deciles sit far from the
+    global ones is over/under-length relative to the mixture, and the
+    `shift` column is exactly the correction a rank-based normalizer
+    would apply at that decile. Sources drifting over time show up
+    here before any model-quality metric moves.
+
+    Determinism: boundaries come from the integer histogram crossing
+    rule min{v : 10·cum(v) ≥ d·n} (q194's median generalized to all
+    deciles) — no percentile interpolation, no floats.
+
+    Scale: token counts are bounded smallints, so histograms are
+    |sources|·|values| rows, partial-aggregated map-side; deciles
+    explode against the 9-row literal (no join); ONE corpus scan
+    feeds both the per-source and pooled histograms via the persisted
+    count table.
+
+    Reference: extends the quality-calibration family (q181 per-lang
+    calibration, q109/q73 quantiles; SURVEY §2 extended training
+    ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = track_cache(
+        docs.select(
+            "source", F.size(F.split("text", " ")).alias("v")
+        )
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    deciles = F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("d")
+
+    ws = Window.partitionBy("source")
+    scum = tc.select(
+        "source",
+        "v",
+        F.sum("c").over(ws.orderBy("v")).alias("cum"),
+        F.sum("c").over(ws).alias("n"),
+    )
+    sq = (
+        scum.select("source", "v", "cum", "n", deciles)
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy("source", "d")
+        .agg(F.min("v").alias("src_q"))
+    )
+
+    ghist = tc.groupBy("v").agg(F.sum("c").alias("c"))
+    wg = Window.partitionBy()
+    gcum = ghist.select(
+        "v",
+        F.sum("c").over(wg.orderBy("v")).alias("cum"),
+        F.sum("c").over(wg).alias("n"),
+    )
+    gq = (
+        gcum.select("v", "cum", "n", deciles)
+        .filter(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy("d")
+        .agg(F.min("v").alias("global_q"))
+    )
+    return (
+        sq.join(gq, "d")
+        .select(
+            "source",
+            F.col("d").cast("int").alias("decile"),
+            "src_q",
+            "global_q",
+            (F.col("src_q") - F.col("global_q")).alias("shift"),
+        )
+        .orderBy("source", "decile")
+    )

@@ -108,6 +108,8 @@ _SWEEP_PRIORITY = [
     "q188_supplier_hhi", "q189_activity_gini", "q190_pagerank",
     "q191_prefix_jaccard_join", "q192_join_cardinality",
     "q193_pit_features", "q194_median_impute", "q195_partition_checksums",
+    "q196_assoc_rules", "q197_reorder_life_table",
+    "q198_quantile_alignment",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

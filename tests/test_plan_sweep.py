@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "q180_ltv_curve",         # one-row user-count scalar broadcast
     "q184_dormant_customers", # one-row as-of-date snapshot broadcast
     "q185_basket_sizes",      # one-row order-total broadcast
+    "q196_assoc_rules",       # one-row basket-count broadcast
+    "q197_reorder_life_table",  # one-row dataset-horizon broadcast
 }
 
 

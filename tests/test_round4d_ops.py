@@ -286,3 +286,96 @@ def test_partition_checksum_is_order_independent_and_change_sensitive(spark):
     mutated[flip["o_orderdate"].year] += hv(flip, status="X") - hv(flip)
     diverged = [y for y in got if got[y] != mutated[y]]
     assert diverged == [flip["o_orderdate"].year]
+
+
+# --------------------------------------------------------------------------
+# q196 — association rules
+# --------------------------------------------------------------------------
+
+
+def test_assoc_rules_recompute_and_lift_symmetry(spark):
+    rows = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    item = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            item[a] += 1
+            for b in s[i + 1 :]:
+                pair[(a, b)] += 1
+    n = len(baskets)
+    got = registry.QUERIES["q196_assoc_rules"](spark, SF_SMALL).collect()
+    lifts = {}
+    for r in got:
+        a, b = r["antecedent"], r["consequent"]
+        sab = pair[(min(a, b), max(a, b))]
+        assert sab >= 3 and r["pair_support"] == sab
+        assert r["conf_ppm"] == (1_000_000 * sab) // item[a]
+        assert r["lift_ppm"] == (1_000_000 * n * sab) // (item[a] * item[b])
+        assert 0 < r["conf_ppm"] <= 1_000_000
+        lifts[(a, b)] = r["lift_ppm"]
+    assert all(lifts[(a, b)] == lifts[(b, a)] for a, b in lifts)
+
+
+# --------------------------------------------------------------------------
+# q197 — reorder life table
+# --------------------------------------------------------------------------
+
+
+def test_life_table_conservation_and_monotone_at_risk(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    got = registry.QUERIES["q197_reorder_life_table"](
+        spark, SF_SMALL
+    ).collect()
+    assert sum(r["n_events"] for r in got) == n_orders - n_cust
+    assert sum(r["n_censored"] for r in got) == n_cust
+    at_risk = [r["n_at_risk"] for r in got]
+    assert at_risk == sorted(at_risk, reverse=True)
+    assert at_risk[0] == n_orders  # gaps + one censor row per customer
+    for r in got:
+        assert r["hazard_ppm"] == (1_000_000 * r["n_events"]) // r["n_at_risk"]
+
+
+# --------------------------------------------------------------------------
+# q198 — quantile alignment
+# --------------------------------------------------------------------------
+
+
+def test_quantile_alignment_crossing_rule(spark):
+    rows = load_table(spark, SF_SMALL, "documents").select(
+        "source", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(len(r["text"].split(" ")))
+
+    def crossing(vals, d):
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        seen = Counter(vals)
+        for v in sorted(seen):
+            cum += seen[v]
+            if 10 * cum >= d * n:
+                return v
+
+    got = registry.QUERIES["q198_quantile_alignment"](
+        spark, SF_SMALL
+    ).collect()
+    all_vals = [v for vs in by_src.values() for v in vs]
+    for r in got:
+        assert r["src_q"] == crossing(by_src[r["source"]], r["decile"])
+        assert r["global_q"] == crossing(all_vals, r["decile"])
+        assert r["shift"] == r["src_q"] - r["global_q"]
+    # boundaries non-decreasing in decile per source
+    per = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["source"], r["decile"])):
+        per[r["source"]].append(r["src_q"])
+    assert all(v == sorted(v) for v in per.values())

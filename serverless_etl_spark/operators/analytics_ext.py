@@ -3673,3 +3673,70 @@ def q197_reorder_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — hot-key salting planner (q144's diagnosis → an executable plan)
+# --------------------------------------------------------------------------
+
+#: target rows per (key, salt) task — demo-scaled to the fixture (at
+#: production scale this is reducer capacity, e.g. ~2**22 rows); the
+#: PLAN arithmetic is scale-free
+SALT_TARGET_ROWS = 50
+MAX_SALTS = 32
+
+
+@register(
+    "q200_salting_plan",
+    oracle=f"""
+    WITH kc AS (
+        SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    hot AS (
+        SELECT key, cnt,
+               LEAST((cnt + {SALT_TARGET_ROWS - 1}) // {SALT_TARGET_ROWS},
+                     {MAX_SALTS}) AS n_salts
+        FROM kc WHERE cnt > {SALT_TARGET_ROWS}
+    )
+    SELECT key, cnt, CAST(n_salts AS BIGINT) AS n_salts,
+           (cnt + n_salts - 1) // n_salts AS rows_per_task
+    FROM hot
+    ORDER BY cnt DESC, key
+    """,
+)
+def q200_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable hot-key salting plan: for every join/agg key whose
+    row count exceeds the per-task target, the salt fan-out
+    ⌈cnt/target⌉ (capped) and the resulting per-task row bound. This
+    turns q144's skew DIAGNOSIS and q192's per-key join sizes into the
+    actual parameter q45's salted join consumes — the split-hot-keys
+    recipe (salt only keys in this plan, leave the cold tail unsalted)
+    instead of a blanket N_SALT.
+
+    Determinism: pure integer ceil-divisions ((cnt+n−1) DIV n).
+
+    Scale: one map-side-combined count shuffle to |keys| rows, then a
+    filter that keeps only the hot head — the plan table is small by
+    construction (a key qualifies only by concentrating rows), so it
+    broadcasts back to the join being planned.
+
+    Reference: completes the skew toolchain (q144 profile → this plan
+    → q45 execution; SURVEY §2 extended analytics)."""
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hot = kc.filter(F.col("cnt") > SALT_TARGET_ROWS).select(
+        "key",
+        "cnt",
+        F.least(
+            F.expr(f"(cnt + {SALT_TARGET_ROWS - 1}) DIV {SALT_TARGET_ROWS}"),
+            F.lit(MAX_SALTS).cast("bigint"),
+        ).alias("n_salts"),
+    )
+    return hot.select(
+        "key",
+        "cnt",
+        "n_salts",
+        F.expr("(cnt + n_salts - 1) DIV n_salts").alias("rows_per_task"),
+    ).orderBy(F.desc("cnt"), "key")

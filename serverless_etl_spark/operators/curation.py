@@ -25,25 +25,28 @@ splits (hash stability, tested in test_training_ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .sampling import SEQ_BUDGET, hash_split
+from ..io import load_table
+from ..registry import register, track_cache
+from .sampling import SEQ_BUDGET, TRAIN_UPPER, VAL_UPPER, hash_split
 
 MAX_REP_RATIO = 0.2
 
 
-def curate(
+def curate_stages(
     docs: DataFrame,
     group_col: str = "source",
     seq_budget: int = SEQ_BUDGET,
     n_shards: int = 16,
     max_rep_ratio: float = MAX_REP_RATIO,
-) -> DataFrame:
-    """docs(doc_id, text, <group_col>) → (doc_id, split, shard, seq_id,
-    n_tokens) — the curated, split, packed corpus manifest. Joins back
-    to the full row by doc_id when features are needed (the wide text
-    column never rides through the packing shuffle)."""
+) -> dict[str, DataFrame]:
+    """The curation pipeline with every intermediate stage exposed:
+    ``raw`` (scored, pre-filter), ``filtered``, ``deduped``, ``packed``
+    (= what :func:`curate` returns). Stages are lazy views over ONE
+    plan — materializing several of them re-executes shared upstream
+    work unless the caller persists ``raw``."""
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
@@ -56,13 +59,16 @@ def curate(
     )
     rep = 1 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
 
-    scored = docs.select(
+    raw = docs.select(
         "doc_id",
         F.col(group_col).alias("grp"),
         F.md5("text").alias("digest"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         rep.alias("rep_ratio"),
-    ).filter((F.size(toks) >= 3) & (rep <= max_rep_ratio))
+    )
+    scored = raw.filter(
+        (F.col("n_tokens") >= 3) & (F.col("rep_ratio") <= max_rep_ratio)
+    )
 
     # exact dedup: deterministic keeper per content digest
     keeper = Window.partitionBy("digest").orderBy("doc_id")
@@ -85,10 +91,207 @@ def curate(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(pack) - F.col("n_tokens")
-    return assigned.select(
+    packed = assigned.select(
         "doc_id",
         "split",
         "shard",
         F.floor(start / seq_budget).cast("bigint").alias("seq_id"),
         "n_tokens",
+    )
+    return {
+        "raw": raw,
+        "filtered": scored,
+        "deduped": deduped,
+        "packed": packed,
+    }
+
+
+def curate(
+    docs: DataFrame,
+    group_col: str = "source",
+    seq_budget: int = SEQ_BUDGET,
+    n_shards: int = 16,
+    max_rep_ratio: float = MAX_REP_RATIO,
+) -> DataFrame:
+    """docs(doc_id, text, <group_col>) → (doc_id, split, shard, seq_id,
+    n_tokens) — the curated, split, packed corpus manifest. Joins back
+    to the full row by doc_id when features are needed (the wide text
+    column never rides through the packing shuffle)."""
+    return curate_stages(
+        docs, group_col, seq_budget, n_shards, max_rep_ratio
+    )["packed"]
+
+
+# --------------------------------------------------------------------------
+# q199 — curation funnel report (the whole pipeline as one audited row set)
+# --------------------------------------------------------------------------
+
+#: the dedup queries' seeded-duplicate corpus, with source carried
+_FUNNEL_CORPUS_SQL = """
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' extratoken' AS text,
+               source
+        FROM documents WHERE doc_id % 10 = 5
+"""
+
+_FUNNEL_GRAMS_SQL = """list_transform(range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])"""
+
+
+@register(
+    "q199_curation_funnel",
+    oracle=f"""
+    WITH corpus AS ({_FUNNEL_CORPUS_SQL}),
+    raw AS (
+        SELECT doc_id, source AS grp, md5(text) AS digest,
+               len(string_split(text, ' ')) AS n_tokens,
+               1 - CAST(len(list_distinct({_FUNNEL_GRAMS_SQL})) AS DOUBLE)
+                   / len({_FUNNEL_GRAMS_SQL}) AS rep_ratio
+        FROM corpus
+    ),
+    filtered AS (
+        SELECT * FROM raw
+        WHERE n_tokens >= 3 AND rep_ratio <= {MAX_REP_RATIO}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+                                         ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN substr(md5(grp), 1, 2) < '{TRAIN_UPPER}'
+                    THEN 'train'
+                    WHEN substr(md5(grp), 1, 2) < '{VAL_UPPER}' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(doc_id % 16 AS INT) AS shard
+        FROM deduped
+    ),
+    packed AS (
+        SELECT split, shard, n_tokens,
+               (SUM(n_tokens) OVER (PARTITION BY split, shard
+                                    ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               // {SEQ_BUDGET} AS seq_id
+        FROM assigned
+    )
+    SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_sequences
+    FROM raw
+    UNION ALL
+    SELECT '1_filtered', COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM filtered
+    UNION ALL
+    SELECT '2_deduped', COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM deduped
+    UNION ALL
+    SELECT '3_' || split, COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+           CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT)
+    FROM packed GROUP BY split
+    ORDER BY stage
+    """,
+)
+def q199_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as an AUDITED FUNNEL: row and
+    token counts at every stage (raw → rep/length filter → exact dedup
+    → per-split packed sequences) from ONE shared plan — the run
+    report a 100-TB corpus freeze ships with, because "how many docs
+    did each stage drop" is the first question both the data owner and
+    the auditor ask. Input is the seeded-duplicate corpus (the dedup
+    fixtures' shape), so the dedup stage visibly removes the 10%
+    exact-clone slice while keeping the near-dups for the LSH family.
+
+    Scale: the scored table (digest + counts, never the text) persists
+    once, so the four stage aggregates and the packing window re-read
+    a |corpus|-row narrow table, not the corpus; packing counts reuse
+    q68's cumulative-window shape.
+
+    Determinism: the rep-ratio filter compares the identical IEEE
+    division on both engines (q70 discipline); everything downstream
+    is integer counts and md5 thresholds.
+
+    Reference: the composed product of q40/q58/q68 and the curation
+    module (`curation.curate`; SURVEY §2 extended training ops)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(exact).unionByName(near)
+    stages = curate_stages(corpus)
+    raw = track_cache(stages["raw"].persist())
+    # rebuild downstream stages over the persisted scored table so the
+    # corpus text is scanned/tokenized exactly once
+    filtered = raw.filter(
+        (F.col("n_tokens") >= 3) & (F.col("rep_ratio") <= MAX_REP_RATIO)
+    )
+    keeper = Window.partitionBy("digest").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("__rn", F.row_number().over(keeper))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assigned = deduped.select(
+        "doc_id",
+        "n_tokens",
+        hash_split(F.col("grp")).alias("split"),
+        (F.col("doc_id") % 16).cast("int").alias("shard"),
+    )
+    pack = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.select(
+        "split",
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(pack) - F.col("n_tokens")) / SEQ_BUDGET
+        )
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+    def stage_row(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_sequences"),
+        )
+
+    split_rows = packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("shard", "seq_id").cast("bigint").alias("n_sequences"),
+    ).select(
+        F.concat(F.lit("3_"), F.col("split")).alias("stage"),
+        "n_docs",
+        "n_tokens",
+        "n_sequences",
+    )
+    return (
+        stage_row(raw, "0_raw")
+        .unionAll(stage_row(filtered, "1_filtered"))
+        .unionAll(stage_row(deduped, "2_deduped"))
+        .unionAll(split_rows)
+        .orderBy("stage")
     )

@@ -788,3 +788,117 @@ def q198_quantile_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — quality-ranked token-budget allocation (greedy data selection)
+# --------------------------------------------------------------------------
+
+#: fraction of the corpus token supply the training mix may consume
+MIX_BUDGET_NUM = 6
+MIX_BUDGET_DEN = 10
+
+
+@register(
+    "q201_budget_allocation",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+               CAST(SUM(len(list_distinct(string_split(text, ' '))))
+                    AS BIGINT) AS dtokens
+        FROM documents GROUP BY source
+    ),
+    scored AS (
+        SELECT source, tokens,
+               (1000000 * dtokens) // tokens AS quality_ppm
+        FROM per_src
+    ),
+    budget AS (
+        SELECT ({MIX_BUDGET_NUM} * SUM(tokens)) // {MIX_BUDGET_DEN} AS b
+        FROM per_src
+    ),
+    ranked AS (
+        SELECT source, tokens, quality_ppm,
+               COALESCE(CAST(SUM(tokens) OVER (
+                   ORDER BY quality_ppm DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before
+        FROM scored
+    )
+    SELECT source, quality_ppm, tokens AS tokens_avail,
+           GREATEST(CAST(0 AS BIGINT),
+                    LEAST(tokens, b - cum_before)) AS alloc_tokens,
+           CASE WHEN b - cum_before >= tokens THEN 'full'
+                WHEN b - cum_before > 0 THEN 'partial'
+                ELSE 'excluded' END AS status
+    FROM ranked CROSS JOIN budget
+    ORDER BY quality_ppm DESC, source
+    """,
+)
+def q201_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked token allocation under a corpus-level
+    budget: sources are ordered by lexical-diversity quality
+    (distinct-token ppm — integer, so the RANKING itself can never
+    diverge between engines), then tokens are granted in rank order
+    until the budget (60% of supply) runs out — full grants, one
+    partial grant at the waterline, exclusions below it. This is the
+    data-selection step of training-mixture design (cf. q160's
+    temperature weights: that RESHAPES a given mix, this DECIDES what
+    enters it).
+
+    Determinism: quality is an integer ppm floor division; the budget
+    and the running waterline are exact integer sums; the allocation
+    is min/max arithmetic on them.
+
+    Scale: the corpus collapses to |sources| rows in one partial-
+    aggregated scan; the allocation window runs over that bounded
+    table; the budget is a one-row broadcast.
+
+    Reference: extends the mixture family (q100/q160; SURVEY §2
+    extended training ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("bigint").alias("tokens"),
+        F.sum(F.size(F.array_distinct(toks))).cast("bigint").alias("dtokens"),
+    )
+    scored = per_src.select(
+        "source",
+        "tokens",
+        F.expr("(1000000 * dtokens) DIV tokens").alias("quality_ppm"),
+    )
+    budget = per_src.agg(
+        F.expr(
+            f"({MIX_BUDGET_NUM} * sum(tokens)) DIV {MIX_BUDGET_DEN}"
+        ).alias("b")
+    )
+    w = (
+        Window.orderBy(F.desc("quality_ppm"), "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = scored.select(
+        "source",
+        "tokens",
+        "quality_ppm",
+        F.coalesce(F.sum("tokens").over(w).cast("bigint"), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    remaining = F.col("b") - F.col("cum_before")
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "quality_ppm",
+            F.col("tokens").alias("tokens_avail"),
+            F.greatest(
+                F.lit(0).cast("bigint"), F.least(F.col("tokens"), remaining)
+            ).alias("alloc_tokens"),
+            F.when(remaining >= F.col("tokens"), "full")
+            .when(remaining > 0, "partial")
+            .otherwise("excluded")
+            .alias("status"),
+        )
+        .orderBy(F.desc("quality_ppm"), "source")
+    )

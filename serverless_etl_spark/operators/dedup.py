@@ -1087,9 +1087,16 @@ def q139_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split ONCE into a column: inlining the split expression into the
     # shingle lambda re-splits the text per element (measured 6.7x)
     words = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    # persist the ARRAYS before exploding: Generate re-evaluates its
+    # child expression per emitted row, so an inline shingle transform
+    # runs |shingles|x (measured 20x on the explode stage)
+    arr = track_cache(
+        words.select("doc_id", _shingles(F.col("w")).alias("shingles"))
+        .persist()
+    )
     sh = (
-        words.select(
-            "doc_id", F.explode(_shingles(F.col("w"))).alias("shingle")
+        arr.select(
+            "doc_id", F.explode("shingles").alias("shingle")
         )
         # NO .distinct(): _shingles is array_distinct per doc, so
         # (doc_id, digest) is already unique — a distinct here would be
@@ -1193,8 +1200,12 @@ def q154_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    arr = track_cache(
+        words.select("doc_id", _shingles(F.col("w")).alias("shingles"))
+        .persist()
+    )
     sh = track_cache(
-        words.select("doc_id", F.explode(_shingles(F.col("w"))).alias("shingle"))
+        arr.select("doc_id", F.explode("shingles").alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("digest"))
         .persist()
     )
@@ -1533,8 +1544,12 @@ def q176_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference counterpart."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    sh = words.select(
-        "doc_id", F.explode(_shingles(F.col("w"))).alias("shingle")
+    arr = track_cache(
+        words.select("doc_id", _shingles(F.col("w")).alias("shingles"))
+        .persist()
+    )
+    sh = arr.select(
+        "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", F.md5("shingle").alias("digest"))
     firstseen = sh.groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
     mx = docs.agg((F.max("doc_id") + 1).alias("n"))

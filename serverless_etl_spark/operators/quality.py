@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import trunc
 from ..io import load_table
-from ..registry import register
+from ..registry import register, track_cache
 from .dedup import (
     _DUPED_SQL,
     _Q41_ORACLE,
@@ -148,9 +148,11 @@ def q89_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. No shuffle ever carries document text — only (doc_id,
     n_sh, shingle)."""
     docs = _duped_docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.split("text", " ").alias("__w")
-    ).select("doc_id", _shingles(F.col("__w")).alias("shingles"))
+    sh = track_cache(
+        docs.select("doc_id", F.split("text", " ").alias("__w"))
+        .select("doc_id", _shingles(F.col("__w")).alias("shingles"))
+        .persist()
+    )
     is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 10 == 0)
     bench = (
         sh.filter(is_bench)
@@ -322,9 +324,11 @@ def q98_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded stream, then a per-doc count. Document text never rides a
     shuffle — only (doc_id, n_sh, shingle)."""
     docs = _boiler_docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.split("text", " ").alias("__w")
-    ).select("doc_id", _shingles(F.col("__w")).alias("shingles"))
+    sh = track_cache(
+        docs.select("doc_id", F.split("text", " ").alias("__w"))
+        .select("doc_id", _shingles(F.col("__w")).alias("shingles"))
+        .persist()
+    )
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
     )

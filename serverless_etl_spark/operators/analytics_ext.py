@@ -3890,3 +3890,116 @@ def q204_status_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.desc("n_customers"), "path")
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — bitmap audience intersection (roaring-style block bitmaps)
+# --------------------------------------------------------------------------
+
+#: user ids per bitmap block — 32 keeps every mask in positive BIGINT
+#: range (DuckDB's checked << raises on 1<<63)
+BITMAP_BLOCK = 32
+
+
+@register(
+    "q205_bitmap_audience",
+    oracle=f"""
+    WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+    bm AS (
+        SELECT event_type, user_id // {BITMAP_BLOCK} AS blk,
+               bit_or(1::BIGINT << CAST(user_id % {BITMAP_BLOCK} AS INT))
+                   AS m
+        FROM aud GROUP BY event_type, user_id // {BITMAP_BLOCK}
+    ),
+    sizes AS (
+        SELECT event_type, CAST(SUM(bit_count(m)) AS BIGINT) AS n
+        FROM bm GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(bit_count(a.m & b.m)) AS BIGINT) AS n_common
+        FROM bm a JOIN bm b
+          ON a.blk = b.blk AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS size_a, sb.n AS size_b, i.n_common,
+           (1000000 * i.n_common) // (sa.n + sb.n - i.n_common)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q205_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix computed on BLOCK BITMAPS (the roaring-
+    bitmap idea as plain columns): each audience (users per event type)
+    becomes ⌈|users|/{BITMAP_BLOCK}⌉ integer masks, set intersection
+    becomes AND + popcount, and the pairwise overlap join touches
+    |blocks| rows per audience instead of |users|. This is how
+    segment-overlap / reach-dedup products answer "how many users did
+    both A and B" at billions of users — the bitmap is {BITMAP_BLOCK}×
+    denser than the id list, unions/intersections are bitwise, and
+    blocks partial-aggregate.
+
+    Determinism: masks, popcounts, and the ppm Jaccard are pure
+    integer arithmetic (shift, OR, AND, floor division).
+
+    Scale: one distinct-pair shuffle builds the bitmaps; the pair join
+    is keyed on block id; everything downstream is |types|²-bounded.
+    The same masks support NOT (reach exclusion) via a.m & ~b.m.
+
+    Reference: the exact-bitmap counterpart of the sketch family
+    (q49 HLL, q121 KMV approximate the same question; SURVEY §2
+    extended analytics)."""
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    bm = (
+        aud.select(
+            "event_type",
+            F.expr(f"user_id DIV {BITMAP_BLOCK}").alias("blk"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast(user_id % {BITMAP_BLOCK} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "blk")
+        .agg(F.bit_or("bit").alias("m"))
+    )
+    bm = track_cache(bm.persist())
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("m")).cast("bigint").alias("n")
+    )
+    a = bm.select(
+        F.col("event_type").alias("type_a"), "blk", F.col("m").alias("ma")
+    )
+    b = bm.select(
+        F.col("event_type").alias("type_b"), "blk", F.col("m").alias("mb")
+    )
+    inter = (
+        a.join(b, "blk")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))))
+            .cast("bigint")
+            .alias("n_common")
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("size_b"))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "size_a",
+            "size_b",
+            "n_common",
+            F.expr(
+                "(1000000 * n_common) DIV (size_a + size_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1209,3 +1209,95 @@ def q202_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q207 — hierarchical percent-of-parent rollup (region ▸ nation shares)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q207_pct_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    ),
+    tot AS (
+        SELECT region, nation, cents,
+               CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+                   AS region_cents,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        FROM rev
+    )
+    SELECT region, nation, cents AS nation_cents, region_cents,
+           (1000000 * cents) // region_cents AS pct_of_region_ppm,
+           (1000000 * cents) // total_cents AS pct_of_total_ppm
+    FROM tot
+    ORDER BY region, nation
+    """,
+)
+def q207_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share report: each nation's revenue as an exact ppm
+    share of its REGION and of the WORLD — the percent-of-parent
+    pattern every drill-down BI hierarchy needs (child ÷ parent at
+    each level), distinct from q17/q29's subtotal rollups (those emit
+    parent rows; this annotates child rows with their parent shares).
+
+    Determinism: per-row revenue is floored to integer cents (the
+    identical IEEE product on both engines feeds FLOOR), so group
+    sums, window parent sums, and ppm shares are all exact integers.
+
+    Scale: one fact-side aggregation after broadcast dimension joins
+    collapses lineitem to |nations| rows; both parent windows run over
+    that bounded table. The snowflake join order (orders → customer →
+    nation → region) lets every dimension broadcast.
+
+    Reference: extends the share family (q133 pct-of-total, q186
+    brand share; SURVEY §2 extended relational)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("bigint").alias("nation_cents"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    tot = rev.select(
+        "region",
+        "nation",
+        "nation_cents",
+        F.sum("nation_cents").over(wr).cast("bigint").alias("region_cents"),
+        F.sum("nation_cents").over(wt).cast("bigint").alias("total_cents"),
+    )
+    return tot.select(
+        "region",
+        "nation",
+        "nation_cents",
+        "region_cents",
+        F.expr("(1000000 * nation_cents) DIV region_cents").alias(
+            "pct_of_region_ppm"
+        ),
+        F.expr("(1000000 * nation_cents) DIV total_cents").alias(
+            "pct_of_total_ppm"
+        ),
+    ).orderBy("region", "nation")

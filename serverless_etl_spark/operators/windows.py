@@ -1270,3 +1270,105 @@ def q180_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_d")
     )
+
+
+# --------------------------------------------------------------------------
+# q206 — session entry/exit matrix with bounce accounting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q206_entry_exit",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_no
+        FROM g
+    ),
+    ordered AS (
+        SELECT user_id, session_no, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM s
+    ),
+    per_session AS (
+        SELECT user_id, session_no,
+               MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+               MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+               COUNT(*) AS n_events
+        FROM ordered GROUP BY user_id, session_no
+    )
+    SELECT entry_type, exit_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+)
+def q206_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit matrix over q76's 30-minute sessions: for every
+    (first event type, last event type) pair, how many sessions start
+    and end that way, how many are single-event bounces, and the event
+    volume — the landing/abandonment diagnostic behind every web/
+    product analytics funnel ("sessions entering on view and exiting
+    on error" is the bug-hunt signal).
+
+    Determinism: entry/exit are picked by the total (ts, event_id)
+    order (Spark min_by/max_by over a struct key ≙ the oracle's
+    first/last row_number marking); everything else is counts.
+
+    Scale: the sessionization window and the per-session min_by/max_by
+    aggregation share ONE user_id exchange; the matrix rollup is
+    |types|²-bounded. No event row crosses a shuffle twice.
+
+    Reference: composes q76 (sessionization) toward q130's journey
+    family (SURVEY §2 extended windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(wsum).cast("bigint").alias("session_no"),
+    )
+    key = F.struct("ts", "event_id")
+    per_session = s.groupBy("user_id", "session_no").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_ev") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )

@@ -149,6 +149,10 @@ SCAN_BUDGETS = {
     "q202_waiting_suppliers": 3,     # lineitem + orders + supplier
     "q203_rfm_segments": 2,          # customer rollup + horizon agg
     "q204_status_paths": 1,
+    "q205_bitmap_audience": 8,       # 1 real scan: persisted bitmap
+                                     # table reprints per consumer
+    "q206_entry_exit": 1,
+    "q207_pct_of_parent": 5,         # fact + 4 dimension scans
 }
 
 

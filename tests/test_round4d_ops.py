@@ -564,3 +564,90 @@ def test_status_paths_replay(spark):
     )
     got = registry.QUERIES["q204_status_paths"](spark, SF_SMALL).collect()
     assert Counter({r["path"]: r["n_customers"] for r in got}) == expect
+
+
+# --------------------------------------------------------------------------
+# q205 — bitmap audience intersection
+# --------------------------------------------------------------------------
+
+
+def test_bitmap_intersection_equals_exact_set_intersection(spark):
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    aud = defaultdict(set)
+    for r in rows:
+        aud[r["event_type"]].add(r["user_id"])
+    got = registry.QUERIES["q205_bitmap_audience"](spark, SF_SMALL).collect()
+    types = sorted(aud)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for r in got:
+        a, b = aud[r["type_a"]], aud[r["type_b"]]
+        assert r["size_a"] == len(a) and r["size_b"] == len(b)
+        assert r["n_common"] == len(a & b)
+        assert r["jaccard_ppm"] == (1_000_000 * len(a & b)) // len(a | b)
+
+
+# --------------------------------------------------------------------------
+# q206 — entry/exit matrix
+# --------------------------------------------------------------------------
+
+
+def test_entry_exit_replay_against_python_sessionizer(spark):
+    ev = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    sessions = []
+    last = {}
+    for r in ev:
+        u = r["user_id"]
+        if u not in last or (r["ts"] - last[u]).total_seconds() > 1800:
+            sessions.append([u, []])
+        sess = next(s for s in reversed(sessions) if s[0] == u)
+        sess[1].append(r["event_type"])
+        last[u] = r["ts"]
+    matrix = Counter()
+    bounces = Counter()
+    for _, types in sessions:
+        key = (types[0], types[-1])
+        matrix[key] += 1
+        if len(types) == 1:
+            bounces[key] += 1
+    got = registry.QUERIES["q206_entry_exit"](spark, SF_SMALL).collect()
+    assert {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"] for r in got
+    } == matrix
+    for r in got:
+        assert r["n_bounces"] == bounces[(r["entry_type"], r["exit_type"])]
+
+
+# --------------------------------------------------------------------------
+# q207 — percent of parent
+# --------------------------------------------------------------------------
+
+
+def test_pct_of_parent_shares_sum_consistently(spark):
+    got = registry.QUERIES["q207_pct_of_parent"](spark, SF_SMALL).collect()
+    total = sum(r["nation_cents"] for r in got)
+    by_region = defaultdict(int)
+    for r in got:
+        by_region[r["region"]] += r["nation_cents"]
+    for r in got:
+        assert r["region_cents"] == by_region[r["region"]]
+        assert r["pct_of_region_ppm"] == (
+            1_000_000 * r["nation_cents"]
+        ) // r["region_cents"]
+        assert r["pct_of_total_ppm"] == (1_000_000 * r["nation_cents"]) // total
+    # region shares within a region sum to ~1e6 (floor loss < |nations|)
+    for region in by_region:
+        s = sum(
+            r["pct_of_region_ppm"] for r in got if r["region"] == region
+        )
+        n = sum(1 for r in got if r["region"] == region)
+        assert 1_000_000 - n <= s <= 1_000_000

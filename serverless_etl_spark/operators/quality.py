@@ -1056,3 +1056,91 @@ def q195_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --------------------------------------------------------------------------
+# q212 — stored-vs-derived conformance reconciliation (order totals)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q212_total_conformance",
+    oracle="""
+    WITH derived AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS calc_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS stored_cents,
+               d.calc_cents,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) - d.calc_cents
+                   AS diff_cents
+        FROM orders o JOIN derived d ON d.l_orderkey = o.o_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN diff_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(SUM(CASE WHEN diff_cents <> 0
+                          AND 100 * ABS(diff_cents) <= stored_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN 100 * ABS(diff_cents) > stored_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           CAST(SUM(ABS(diff_cents)) AS BIGINT) AS total_abs_diff_cents
+    FROM j
+    """,
+)
+def q212_total_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table conformance reconciliation: the stored order total
+    against the total DERIVED from its line items (price × (1−disc) ×
+    (1+tax)), bucketed into exact / within-1% / large divergence plus
+    the absolute drift. This is the fact-to-fact consistency audit a
+    warehouse runs after every load — a growing `n_large` means a feed
+    is writing totals and lines from different snapshots.
+
+    Determinism: both sides are floored to integer cents from the
+    identical per-row IEEE product; the 1% bucket compares
+    100·|diff| ≤ stored in integers (no ratio).
+
+    Scale: one map-side partial aggregation collapses lineitem to
+    |orders| rows; the reconciliation join is keyed on the order key;
+    output is one row. (The synthetic fixture generates o_totalprice
+    independently of the lines, so divergence is EXPECTED here — the
+    operator measures it rather than asserting zero.)
+
+    Reference: extends the integrity family (q110/q153/q195;
+    SURVEY §2 extended quality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    calc = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("bigint")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(calc).cast("bigint").alias("calc_cents")
+    )
+    j = o.join(derived, o["o_orderkey"] == derived["l_orderkey"]).select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("stored_cents"),
+        "calc_cents",
+    )
+    diff = F.col("stored_cents") - F.col("calc_cents")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((diff == 0).cast("long")).cast("bigint").alias("n_exact"),
+        F.sum(
+            ((diff != 0) & (100 * F.abs(diff) <= F.col("stored_cents"))).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        F.sum((100 * F.abs(diff) > F.col("stored_cents")).cast("long"))
+        .cast("bigint")
+        .alias("n_large"),
+        F.sum(F.abs(diff)).cast("bigint").alias("total_abs_diff_cents"),
+    )

@@ -114,7 +114,8 @@ _SWEEP_PRIORITY = [
     "q202_waiting_suppliers", "q203_rfm_segments", "q204_status_paths",
     "q205_bitmap_audience", "q206_entry_exit", "q207_pct_of_parent",
     "q208_business_day_latency", "q209_local_hours", "q210_order_streaks",
-    "q211_decayed_trend",
+    "q211_decayed_trend", "q212_total_conformance",
+    "q213_late_data_reprocess", "q214_scd2_audit",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

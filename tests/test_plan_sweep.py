@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "q201_budget_allocation",  # one-row token-budget broadcast
     "q203_rfm_segments",       # one-row dataset-horizon broadcast
     "q211_decayed_trend",      # one-row horizon-date broadcast
+    "q213_late_data_reprocess",  # one-row horizon-date broadcast
 }
 
 
@@ -158,6 +159,9 @@ SCAN_BUDGETS = {
     "q209_local_hours": 4,           # events + 3 dimension scans
     "q210_order_streaks": 1,
     "q211_decayed_trend": 2,         # daily cells + horizon aggregate
+    "q212_total_conformance": 2,     # lineitem rollup + orders
+    "q213_late_data_reprocess": 2,   # daily cells + horizon aggregate
+    "q214_scd2_audit": 2,            # interval build + corruption branch
 }
 
 

@@ -765,3 +765,110 @@ def test_decayed_trend_replay_and_bounds(spark):
         assert r["score"] <= r["n_total"]
     ranks = [r["trend_rank"] for r in got]
     assert ranks == sorted(ranks)
+
+
+# --------------------------------------------------------------------------
+# q212 — total conformance
+# --------------------------------------------------------------------------
+
+
+def test_total_conformance_buckets_partition_orders(spark):
+    import math
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    derived = defaultdict(int)
+    for r in li:
+        derived[r["l_orderkey"]] += int(
+            math.floor(
+                r["l_extendedprice"] * (1 - r["l_discount"]) * (1 + r["l_tax"]) * 100
+            )
+        )
+    stored = {
+        r["o_orderkey"]: int(math.floor(r["o_totalprice"] * 100))
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    n_exact = n_1pct = n_large = abs_sum = 0
+    common = set(stored) & set(derived)
+    for k in common:
+        d = stored[k] - derived[k]
+        abs_sum += abs(d)
+        if d == 0:
+            n_exact += 1
+        elif 100 * abs(d) <= stored[k]:
+            n_1pct += 1
+        else:
+            n_large += 1
+    r = registry.QUERIES["q212_total_conformance"](spark, SF_SMALL).collect()[0]
+    assert (
+        r["n_orders"],
+        r["n_exact"],
+        r["n_within_1pct"],
+        r["n_large"],
+        r["total_abs_diff_cents"],
+    ) == (len(common), n_exact, n_1pct, n_large, abs_sum)
+
+
+# --------------------------------------------------------------------------
+# q213 — late-data reprocess
+# --------------------------------------------------------------------------
+
+
+def test_late_data_reprocess_merges_and_drops_correctly(spark):
+    rows = registry.QUERIES["q213_late_data_reprocess"](
+        spark, SF_SMALL
+    ).collect()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "event_id"
+    ).collect()
+    horizon = max(r["d"] for r in ev)
+    ontime = Counter()
+    late = Counter()
+    for r in ev:
+        (late if r["event_id"] % 20 == 11 else ontime)[
+            (r["event_type"], r["d"])
+        ] += 1
+    for r in rows:
+        k = (r["event_type"], r["d"])
+        recent = (horizon - r["d"]).days < 7
+        assert r["src"] == ("reprocessed" if recent else "frozen")
+        if recent:
+            assert r["n"] == ontime[k] + late[k] and r["n_late_dropped"] == 0
+        else:
+            assert r["n"] == ontime[k] and r["n_late_dropped"] == late[k]
+    # drops + applied = all late rows
+    n_dropped = sum(r["n_late_dropped"] for r in rows)
+    n_applied = sum(
+        late[(r["event_type"], r["d"])]
+        for r in rows
+        if r["src"] == "reprocessed"
+    )
+    assert n_dropped + n_applied == sum(late.values())
+
+
+# --------------------------------------------------------------------------
+# q214 — SCD2 audit
+# --------------------------------------------------------------------------
+
+
+def test_scd2_audit_counts_exactly_the_seeded_corruption(spark):
+    from serverless_etl_spark.operators.merge import q65_scd2_intervals
+
+    iv = defaultdict(list)
+    for r in q65_scd2_intervals(spark, SF_SMALL).collect():
+        iv[r["user_id"]].append(r)
+    dup_users = {u for u in iv if u % 13 == 2}
+    del_users = {u for u in iv if u % 19 == 5 and len(iv[u]) >= 2}
+    # deleting interval #2 of a 2-interval user removes their current row
+    no_current = {u for u in del_users if len(iv[u]) == 2}
+    got = registry.QUERIES["q214_scd2_audit"](spark, SF_SMALL).collect()[0]
+    assert got["n_users"] == len(iv)
+    assert got["n_multi_current"] == len(dup_users - no_current)
+    assert got["n_no_current"] == len(no_current - dup_users)
+    # every duplicated current row is an overlapping adjacent pair
+    assert got["n_overlap_pairs"] >= len(dup_users)
+    # every deleted MIDDLE interval leaves a gap
+    assert got["n_gap_pairs"] == len(del_users) - len(no_current)

@@ -441,3 +441,82 @@ def q106_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= STRATUM_K)
     )
+
+
+# --------------------------------------------------------------------------
+# q216 — k-fold assignment with stratum-balance audit
+# --------------------------------------------------------------------------
+
+KFOLDS = 5
+
+
+@register(
+    "q216_kfold_balance",
+    oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {KFOLDS} AS INT) AS fold
+        FROM documents
+    ),
+    cells AS (
+        SELECT fold, lang, COUNT(*) AS n FROM f GROUP BY fold, lang
+    ),
+    tot AS (
+        SELECT fold, lang, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+        FROM cells
+    )
+    SELECT fold, lang, n,
+           (1000000 * n) // n_lang AS share_ppm,
+           ABS({KFOLDS} * 1000000 * n - 1000000 * n_lang) // n_lang
+               AS imbalance_ppm
+    FROM tot
+    ORDER BY fold, lang
+    """,
+)
+def q216_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {KFOLDS}-fold cross-validation assignment (md5 of
+    the record key mod k — append-stable like q58's split) with the
+    per-stratum balance audit: each (fold, language) cell's share of
+    its stratum and its ppm deviation from the ideal 1/k. The audit
+    is what tells you a hash-fold scheme is SAFE to train on — a
+    skewed stratum (rare language piling into one fold) biases every
+    CV estimate on it.
+
+    Determinism: md5-derived integer folds and integer ppm ratios.
+
+    Scale: fold assignment is a map-side projection; the audit
+    aggregates to |folds|·|langs| cells. Fold membership never
+    changes when data is appended, re-partitioned, or re-ordered —
+    the property seeded RNG splits do not have.
+
+    Reference: completes the split family (q58 hash split, q79 group
+    split, q91 leakage audit; SURVEY §2 extended sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % KFOLDS
+    ).cast("int")
+    cells = docs.select("lang", fold.alias("fold")).groupBy(
+        "fold", "lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.select(
+        "fold",
+        "lang",
+        "n",
+        F.sum("n")
+        .over(Window.partitionBy("lang"))
+        .cast("bigint")
+        .alias("n_lang"),
+    )
+    return tot.select(
+        "fold",
+        "lang",
+        "n",
+        F.expr("(1000000 * n) DIV n_lang").alias("share_ppm"),
+        F.expr(
+            f"abs({KFOLDS} * 1000000 * n - 1000000 * n_lang) DIV n_lang"
+        ).alias("imbalance_ppm"),
+    ).orderBy("fold", "lang")

@@ -921,3 +921,98 @@ def q162_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q215 — metadata-filtered vector search (per-query predicate ANN)
+# --------------------------------------------------------------------------
+
+#: number of distinct labels in the embeddings fixture (0..9)
+N_LABELS = 10
+
+
+@register(
+    "q215_filtered_ann",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    meta AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN meta qm ON qm.vec_id = q.vec_id
+        JOIN meta cm
+          ON cm.label = (qm.label + 1) % {N_LABELS}
+         AND cm.vec_id <> q.vec_id
+        JOIN dims c ON c.vec_id = cm.vec_id AND q.i = c.i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6)
+                                       DESC, cand_id)
+                AS INT) AS rk
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = cand_id
+    QUALIFY rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q215_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: each query retrieves its exact
+    cosine top-k among only the candidates satisfying a PER-QUERY
+    predicate (here: label = query's label + 1 mod {N_LABELS} — the
+    "similar items from a different category" shape). This is the
+    vector-database feature ("filtered ANN") that breaks naive
+    index-then-filter designs — post-filtering an unfiltered top-k
+    loses recall when the predicate is selective, so the filter must
+    join INTO candidate generation, which is exactly what this plan
+    does.
+
+    Determinism: q50's discipline — doubles rounded at 1e-6 before
+    ranking, ties broken by cand_id.
+
+    Scale: the predicate prunes candidates BEFORE any distance math
+    (an equi-join on the metadata column — at selectivity 1/|labels|
+    that is |corpus|/|labels| dot products per query instead of
+    |corpus|); queries broadcast; per-query top-k survives via
+    WindowGroupLimit. The IVF variants (q51/q97) compose the same way:
+    intersect the predicate with the probed cells.
+
+    Reference: extends the ANN family (q50 exact, q51/q69/q97 scale
+    paths, q120 recall, q135 rerank; SURVEY §2 extended
+    similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("int").alias("qlabel"),
+        _vec_double().alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").cast("int").alias("clabel"),
+        _vec_double().alias("cv"),
+    )
+    j = (
+        c.join(
+            F.broadcast(q),
+            (F.col("clabel") == (F.col("qlabel") + 1) % N_LABELS)
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        j.select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

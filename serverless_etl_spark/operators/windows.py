@@ -1527,3 +1527,80 @@ def q211_decayed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("trend_rank"),
     ).orderBy("trend_rank")
+
+
+# --------------------------------------------------------------------------
+# q217 — next-event label generation (censoring-aware lead targets)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q217_next_purchase_labels",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (SELECT MAX(ts) AS hts FROM events)
+    SELECT event_id, user_id, ts, next_ts,
+           CASE WHEN next_ts IS NULL THEN NULL
+                ELSE epoch_us(next_ts) - epoch_us(ts) END AS gap_us,
+           CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT)
+               AS censored,
+           CASE WHEN next_ts IS NULL
+                THEN epoch_us(hts) - epoch_us(ts) ELSE NULL END
+               AS observed_us
+    FROM p CROSS JOIN h
+    ORDER BY event_id
+    """,
+)
+def q217_next_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label generation for a time-to-next-purchase model:
+    every purchase event gets its user's NEXT purchase timestamp and
+    the gap as the regression target, with the final purchase per user
+    emitted as RIGHT-CENSORED (no target; instead the observed
+    follow-up window to the dataset horizon, which a survival loss
+    needs and a naive "drop the last row" labeler silently throws
+    away). The row-level twin of q197's aggregate life table.
+
+    Determinism: lead() under the total (ts, event_id) order; integer
+    microsecond gaps.
+
+    Scale: one user-partitioned window pass over the purchase slice
+    (filter pushed to the scan); the horizon is a one-row broadcast.
+    Labels regenerate identically on append — only rows whose "next"
+    changed (each user's previous tail) flip, the incremental-friendly
+    property.
+
+    Reference: extends the label-generation family (q141 attribution,
+    q145 time-to-convert, q197 life table; SURVEY §2 extended
+    windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lead("ts")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_ts"),
+    )
+    h = ev.agg(F.max("ts").alias("hts"))
+    gap = F.unix_micros("next_ts") - F.unix_micros("ts")
+    return (
+        p.crossJoin(F.broadcast(h))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "next_ts",
+            F.when(F.col("next_ts").isNotNull(), gap).alias("gap_us"),
+            F.col("next_ts").isNull().cast("int").alias("censored"),
+            F.when(
+                F.col("next_ts").isNull(),
+                F.unix_micros("hts") - F.unix_micros("ts"),
+            ).alias("observed_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -115,7 +115,8 @@ _SWEEP_PRIORITY = [
     "q205_bitmap_audience", "q206_entry_exit", "q207_pct_of_parent",
     "q208_business_day_latency", "q209_local_hours", "q210_order_streaks",
     "q211_decayed_trend", "q212_total_conformance",
-    "q213_late_data_reprocess", "q214_scd2_audit",
+    "q213_late_data_reprocess", "q214_scd2_audit", "q215_filtered_ann",
+    "q216_kfold_balance", "q217_next_purchase_labels",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

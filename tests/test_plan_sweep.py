@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "q203_rfm_segments",       # one-row dataset-horizon broadcast
     "q211_decayed_trend",      # one-row horizon-date broadcast
     "q213_late_data_reprocess",  # one-row horizon-date broadcast
+    "q217_next_purchase_labels",  # one-row horizon-ts broadcast
 }
 
 
@@ -162,6 +163,9 @@ SCAN_BUDGETS = {
     "q212_total_conformance": 2,     # lineitem rollup + orders
     "q213_late_data_reprocess": 2,   # daily cells + horizon aggregate
     "q214_scd2_audit": 2,            # interval build + corruption branch
+    "q215_filtered_ann": 2,          # query + candidate scans
+    "q216_kfold_balance": 1,
+    "q217_next_purchase_labels": 2,  # purchase slice + horizon aggregate
 }
 
 

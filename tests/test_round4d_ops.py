@@ -872,3 +872,95 @@ def test_scd2_audit_counts_exactly_the_seeded_corruption(spark):
     assert got["n_overlap_pairs"] >= len(dup_users)
     # every deleted MIDDLE interval leaves a gap
     assert got["n_gap_pairs"] == len(del_users) - len(no_current)
+
+
+# --------------------------------------------------------------------------
+# q215 — filtered ANN
+# --------------------------------------------------------------------------
+
+
+def test_filtered_ann_respects_predicate_and_exactness(spark):
+    import math
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    labels = {r["vec_id"]: int(r["label"]) for r in emb}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    got = registry.QUERIES["q215_filtered_ann"](spark, SF_SMALL).collect()
+    by_q = defaultdict(list)
+    for r in got:
+        by_q[r["query_id"]].append(r)
+    for qid, rows in by_q.items():
+        want_label = (labels[qid] + 1) % 10
+        cands = sorted(
+            (
+                (cos(vecs[qid], vecs[c]), -c)
+                for c, l in labels.items()
+                if l == want_label and c != qid
+            ),
+            reverse=True,
+        )[:5]
+        expect = [(-c, s) for s, c in cands]
+        assert [(r["cand_id"], r["cosine"]) for r in rows] == expect
+        assert all(labels[r["cand_id"]] == want_label for r in rows)
+
+
+# --------------------------------------------------------------------------
+# q216 — k-fold balance
+# --------------------------------------------------------------------------
+
+
+def test_kfold_assignment_is_stable_and_partitioning(spark):
+    import hashlib
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    cells = Counter()
+    for r in docs:
+        fold = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 5
+        cells[(fold, r["lang"])] += 1
+    got = registry.QUERIES["q216_kfold_balance"](spark, SF_SMALL).collect()
+    assert {(r["fold"], r["lang"]): r["n"] for r in got} == dict(cells)
+    assert sum(r["n"] for r in got) == len(docs)
+
+
+# --------------------------------------------------------------------------
+# q217 — next-purchase labels
+# --------------------------------------------------------------------------
+
+
+def test_next_purchase_labels_censoring_replay(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    horizon = max(r["ts"] for r in ev)
+    per_user = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            per_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    expect = {}
+    for u, lst in per_user.items():
+        lst.sort()
+        for (ts, eid), nxt in zip(lst, lst[1:] + [None]):
+            if nxt is None:
+                expect[eid] = (None, 1)
+            else:
+                d = nxt[0] - ts
+                gap = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                expect[eid] = (gap, 0)
+    got = registry.QUERIES["q217_next_purchase_labels"](
+        spark, SF_SMALL
+    ).collect()
+    assert {r["event_id"]: (r["gap_us"], r["censored"]) for r in got} == expect
+    for r in got:
+        if r["censored"]:
+            assert r["observed_us"] >= 0 and r["next_ts"] is None
+        else:
+            assert r["observed_us"] is None

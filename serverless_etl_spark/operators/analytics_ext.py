@@ -4207,3 +4207,190 @@ def q209_local_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("region", "local_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# q218 — cohort × age revenue matrix (LTV accumulation by acquisition month)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q218_cohort_revenue",
+    oracle="""
+    WITH first_m AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+        SELECT f.cohort,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort
+                   AS age_months,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort, age_months,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM facts
+    WHERE age_months <= 11
+    GROUP BY cohort, age_months
+    ORDER BY cohort, age_months
+    """,
+)
+def q218_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort revenue matrix: orders bucketed by the
+    customer's FIRST-order month (cohort) × months since acquisition
+    (age, first year), with order counts and integer-cent revenue —
+    the standard LTV triangle marketing reads diagonal-by-diagonal
+    (q85 counts retention HEADS; this accumulates the MONEY, and
+    q180's age curve is this matrix summed over cohorts).
+
+    Determinism: month sequence arithmetic and floor-cents sums.
+
+    Scale: one aggregation derives cohorts (|customers| rows,
+    broadcastable), one keyed join tags facts, one rollup to
+    |cohorts|·12 cells. Nothing global.
+
+    Reference: completes the cohort family (q85/q174/q180; SURVEY §2
+    extended analytics)."""
+    o = load_table(spark, sf_dir, "orders")
+    mseq = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_m = o.groupBy("o_custkey").agg(F.min(mseq).alias("cohort"))
+    facts = o.join(F.broadcast(first_m), "o_custkey").select(
+        "cohort",
+        (mseq - F.col("cohort")).alias("age_months"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        facts.filter(F.col("age_months") <= 11)
+        .groupBy("cohort", "age_months")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+# --------------------------------------------------------------------------
+# q219 — recommender evaluation: association-rule hit rate on held-out orders
+# --------------------------------------------------------------------------
+
+#: orders with l_orderkey % this == 0 are the HELD-OUT evaluation set;
+#: rules are mined from the rest
+RECO_HOLDOUT_MOD = 7
+
+
+@register(
+    "q219_reco_hitrate",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    train AS (SELECT * FROM b WHERE k % {RECO_HOLDOUT_MOD} <> 0),
+    test AS (SELECT * FROM b WHERE k % {RECO_HOLDOUT_MOD} = 0),
+    pairs AS (
+        SELECT a.p AS pa, c.p AS pb, COUNT(*) AS sab
+        FROM train a JOIN train c ON a.k = c.k AND a.p < c.p
+        GROUP BY a.p, c.p
+        HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+        SELECT pa AS ante, pb AS cons, sab FROM pairs
+        UNION ALL
+        SELECT pb, pa, sab FROM pairs
+    ),
+    best AS (
+        SELECT ante, cons FROM (
+            SELECT ante, cons,
+                   ROW_NUMBER() OVER (PARTITION BY ante
+                                      ORDER BY sab DESC, cons) AS r
+            FROM rules
+        ) WHERE r = 1
+    ),
+    recs AS (
+        SELECT t.k, t.p AS ante, b2.cons AS rec
+        FROM test t JOIN best b2 ON b2.ante = t.p
+    ),
+    scored AS (
+        SELECT r.k, r.ante, r.rec,
+               CASE WHEN tv.p IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM recs r
+        LEFT JOIN test tv ON tv.k = r.k AND tv.p = r.rec
+    )
+    SELECT COUNT(*) AS n_recommendations,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           (1000000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS hitrate_ppm
+    FROM scored
+    """,
+)
+def q219_reco_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation with a proper train/test split:
+    association rules mined on training orders only (q196's machinery,
+    top-1 consequent per antecedent), then for every held-out order
+    and every item in it, "did the recommended companion item actually
+    appear in that same order?" — leave-one-basket-out hit rate, the
+    honest number (evaluating on training orders inflates it, the
+    recommender-eval version of split leakage q91 guards against).
+
+    Determinism: integer supports, a total (support, item) rule order,
+    integer ppm hit rate.
+
+    Scale: rule mining is q196's bounded per-basket self-join on the
+    train slice; scoring is two keyed joins (test items × best-rule
+    table, then a membership probe back into the same order). The
+    rule table (one row per antecedent) broadcasts.
+
+    Reference: closes the loop on q196 (mining) the way q120 closes
+    it on q50 (ANN); SURVEY §2 extended analytics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = track_cache(
+        li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    train = b.filter(F.col("k") % RECO_HOLDOUT_MOD != 0)
+    test = track_cache(b.filter(F.col("k") % RECO_HOLDOUT_MOD == 0).persist())
+    a = train.select("k", F.col("p").alias("pa"))
+    c = train.select("k", F.col("p").alias("pb"))
+    pairs = (
+        a.join(c, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sab"))
+        .filter(F.col("sab") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "sab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "sab"
+        )
+    )
+    best = (
+        rules.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("ante").orderBy(F.desc("sab"), "cons")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("ante", "cons")
+    )
+    recs = test.join(
+        F.broadcast(best), test["p"] == best["ante"]
+    ).select("k", "ante", F.col("cons").alias("rec"))
+    tv = test.select(F.col("k").alias("k2"), F.col("p").alias("p2"))
+    scored = recs.join(
+        tv,
+        (F.col("k") == F.col("k2")) & (F.col("rec") == F.col("p2")),
+        "left",
+    ).select(F.col("p2").isNotNull().cast("long").alias("hit"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_recommendations"),
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.expr("(1000000 * sum(hit)) DIV count(1)").alias("hitrate_ppm"),
+    )

@@ -117,6 +117,8 @@ _SWEEP_PRIORITY = [
     "q211_decayed_trend", "q212_total_conformance",
     "q213_late_data_reprocess", "q214_scd2_audit", "q215_filtered_ann",
     "q216_kfold_balance", "q217_next_purchase_labels",
+    "q218_cohort_revenue", "q219_reco_hitrate",
+    "q220_degree_distribution",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "q211_decayed_trend",      # one-row horizon-date broadcast
     "q213_late_data_reprocess",  # one-row horizon-date broadcast
     "q217_next_purchase_labels",  # one-row horizon-ts broadcast
+    "q220_degree_distribution",   # one-row graph-total broadcast
 }
 
 
@@ -166,6 +167,10 @@ SCAN_BUDGETS = {
     "q215_filtered_ann": 2,          # query + candidate scans
     "q216_kfold_balance": 1,
     "q217_next_purchase_labels": 2,  # purchase slice + horizon aggregate
+    "q218_cohort_revenue": 2,        # cohort agg + facts join
+    "q219_reco_hitrate": 16,          # 1 real scan: persisted basket
+                                     # table reprints per train/test ref
+    "q220_degree_distribution": 12,   # 1 real scan: persisted edges reprint
 }
 
 

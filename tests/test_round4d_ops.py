@@ -964,3 +964,97 @@ def test_next_purchase_labels_censoring_replay(spark):
             assert r["observed_us"] >= 0 and r["next_ts"] is None
         else:
             assert r["observed_us"] is None
+
+
+# --------------------------------------------------------------------------
+# q218 — cohort revenue matrix
+# --------------------------------------------------------------------------
+
+
+def test_cohort_revenue_replay(spark):
+    import math
+
+    rows = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    first = {}
+    for r in rows:
+        m = r["o_orderdate"].year * 12 + r["o_orderdate"].month
+        first[r["o_custkey"]] = min(first.get(r["o_custkey"], m), m)
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        m = r["o_orderdate"].year * 12 + r["o_orderdate"].month
+        age = m - first[r["o_custkey"]]
+        if age <= 11:
+            c = cells[(first[r["o_custkey"]], age)]
+            c[0] += 1
+            c[1] += int(math.floor(r["o_totalprice"] * 100))
+    got = registry.QUERIES["q218_cohort_revenue"](spark, SF_SMALL).collect()
+    assert {
+        (r["cohort"], r["age_months"]): [r["n_orders"], r["revenue_cents"]]
+        for r in got
+    } == dict(cells)
+
+
+# --------------------------------------------------------------------------
+# q219 — recommender hit rate
+# --------------------------------------------------------------------------
+
+
+def test_reco_hitrate_no_test_leakage_into_rules(spark):
+    """Mining only on train orders: rules must be identical when the
+    held-out orders are removed from the input entirely."""
+    b = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = defaultdict(set)
+    for r in b.collect():
+        baskets[r["k"]].add(r["p"])
+    train = {k: v for k, v in baskets.items() if k % 7 != 0}
+    test = {k: v for k, v in baskets.items() if k % 7 == 0}
+    pair = Counter()
+    for items in train.values():
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                pair[(x, y)] += 1
+    rules = defaultdict(list)
+    for (x, y), n in pair.items():
+        if n >= 2:
+            rules[x].append((n, y))
+            rules[y].append((n, x))
+    best = {
+        a: min((c for n, c in v if n == max(x for x, _ in v)))
+        for a, v in rules.items()
+    }
+    n_recs = n_hits = 0
+    for k, items in test.items():
+        for p in items:
+            if p in best:
+                n_recs += 1
+                if best[p] in items:
+                    n_hits += 1
+    got = registry.QUERIES["q219_reco_hitrate"](spark, SF_SMALL).collect()[0]
+    assert (got["n_recommendations"], got["n_hits"]) == (n_recs, n_hits)
+    assert got["hitrate_ppm"] == (1_000_000 * n_hits) // max(n_recs, 1)
+
+
+# --------------------------------------------------------------------------
+# q220 — degree distribution
+# --------------------------------------------------------------------------
+
+
+def test_degree_distribution_shares_sum_to_one(spark):
+    got = registry.QUERIES["q220_degree_distribution"](
+        spark, SF_SMALL
+    ).collect()
+    li = load_table(spark, SF_SMALL, "lineitem")
+    edges = copurchase_edges(li).count()
+    # handshake: edge-end total = 2|E|
+    n_nodes = sum(r["n_nodes"] for r in got)
+    ends = sum(r["degree"] * r["n_nodes"] for r in got)
+    assert ends == 2 * edges
+    s_node = sum(r["node_share_ppm"] for r in got)
+    assert 1_000_000 - len(got) <= s_node <= 1_000_000

@@ -1824,3 +1824,112 @@ def q191_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — IDF-weighted set similarity (rare-token-aware Jaccard)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q221_weighted_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    w AS (
+        SELECT tk, 1000000 // COUNT(*) AS wt FROM tok GROUP BY tk
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS ta, b.toks AS tb
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               (SELECT CAST(COALESCE(SUM(w.wt), 0) AS BIGINT) FROM w
+                WHERE list_contains(p.ta, w.tk)
+                  AND list_contains(p.tb, w.tk)) AS w_inter,
+               (SELECT CAST(COALESCE(SUM(w.wt), 0) AS BIGINT) FROM w
+                WHERE list_contains(p.ta, w.tk)
+                   OR list_contains(p.tb, w.tk)) AS w_union,
+               len(list_filter(p.ta, x -> list_contains(p.tb, x)))
+                   AS n_inter,
+               len(p.ta) + len(p.tb)
+               - len(list_filter(p.ta, x -> list_contains(p.tb, x)))
+                   AS n_union
+        FROM pairs p
+    )
+    SELECT doc_a, doc_b,
+           (1000000 * CAST(n_inter AS BIGINT)) // n_union AS jaccard_ppm,
+           (1000000 * w_inter) // w_union AS weighted_jaccard_ppm
+    FROM scored
+    ORDER BY doc_a
+    """,
+)
+def q221_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted set similarity beside plain Jaccard for the same
+    pairs: each token carries weight 10⁶ DIV df, so sharing a RARE
+    token moves the score far more than sharing a stop-word — the
+    standard fix for plain Jaccard's blindness on corpora with heavy
+    common-token overlap (exactly this fixture's regime, cf. q191's
+    word-space analysis). Comparing the two columns shows which pairs
+    plain Jaccard over/under-scores.
+
+    Determinism: integer weights, integer weighted sums (the oracle's
+    correlated form ≙ the engine's explode-join-aggregate), integer
+    ppm ratios.
+
+    Scale: weights are one |vocab|-row aggregate joined onto the
+    exploded token stream; pair scores partial-aggregate per pair.
+    The adjacent-pair probe (q42's shape) pins the kernel; the
+    candidate generator for a full join is q191's prefix filter with
+    weighted-prefix ordering.
+
+    Reference: extends the pairwise-similarity family (q42 exact,
+    q139 containment, q191 threshold join; SURVEY §2 extended
+    dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = track_cache(
+        docs.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        ).persist()
+    )
+    tok = t.select("doc_id", F.explode("toks").alias("tk"))
+    w = tok.groupBy("tk").agg(
+        F.expr("1000000 DIV count(1)").alias("wt")
+    )
+    wtok = tok.join(w, "tk")
+    a = wtok.select(F.col("doc_id").alias("doc_a"), "tk", "wt")
+    b = wtok.select(F.col("doc_id").alias("doc_b"), "tk", F.col("wt").alias("wb"))
+    inter = (
+        a.join(b, (F.col("doc_b") == F.col("doc_a") + 1) & (a["tk"] == b["tk"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("wt").cast("bigint").alias("w_inter"),
+            F.count(F.lit(1)).cast("bigint").alias("n_inter"),
+        )
+    )
+    wsum = wtok.groupBy("doc_id").agg(
+        F.sum("wt").cast("bigint").alias("w_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_doc"),
+    )
+    wa = wsum.select(F.col("doc_id").alias("doc_a"), F.col("w_doc").alias("wda"), F.col("n_doc").alias("nda"))
+    wb2 = wsum.select(F.col("doc_id").alias("doc_b"), F.col("w_doc").alias("wdb"), F.col("n_doc").alias("ndb"))
+    return (
+        inter.join(wa, "doc_a")
+        .join(wb2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(1000000 * n_inter) DIV (nda + ndb - n_inter)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "(1000000 * w_inter) DIV (wda + wdb - w_inter)"
+            ).alias("weighted_jaccard_ppm"),
+        )
+        .orderBy("doc_a")
+    )

@@ -1144,3 +1144,92 @@ def q212_total_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_large"),
         F.sum(F.abs(diff)).cast("bigint").alias("total_abs_diff_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — declarative data-contract validation (constraint engine)
+# --------------------------------------------------------------------------
+
+#: (constraint id, table, SQL predicate that must hold for every row)
+#: — predicates are the COMMON dialect (identical text runs on Spark
+#: and DuckDB), so one declaration drives both engines
+DATA_CONTRACTS = [
+    ("orders.status_enum", "orders",
+     "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orders.total_positive", "orders", "o_totalprice > 0"),
+    ("orders.date_in_range", "orders",
+     "o_orderdate >= TIMESTAMP '1990-01-01'"
+     " AND o_orderdate < TIMESTAMP '2030-01-01'"),
+    ("lineitem.qty_domain", "lineitem",
+     "l_quantity >= 1 AND l_quantity <= 50"),
+    ("lineitem.discount_domain", "lineitem",
+     "l_discount >= 0 AND l_discount <= 0.5"),
+    ("lineitem.keys_not_null", "lineitem",
+     "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"),
+    ("events.value_not_negative", "events", "value >= 0"),
+    ("documents.text_not_empty", "documents", "length(text) > 0"),
+]
+
+
+@register(
+    "q222_data_contracts",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{cid}' AS contract,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           (1000000 * CAST(SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END)
+                           AS BIGINT)) // COUNT(*) AS violation_ppm
+    FROM {table}
+        """
+        for cid, table, pred in DATA_CONTRACTS
+    )
+    + "\nORDER BY contract",
+)
+def q222_data_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract engine: a constraint catalog (enum
+    domains, value ranges, non-null keys — the Great-Expectations
+    shape) evaluated as per-table violation counts in ONE pass per
+    table. The catalog is data, not code: adding a contract is one
+    tuple, and the SAME predicate text drives both engines, so the
+    contract cannot drift from its check.
+
+    Determinism: predicate counts and integer ppm rates.
+
+    Scale: each table is scanned once with all its predicates fused
+    into one aggregate projection (column-pruned to the referenced
+    columns); arms are independent union branches. A 100-TB deploy
+    runs this per ingest partition and alerts on deltas, not totals.
+
+    Reference: generalizes the reference's count-guard (P6/P7) into a
+    contract catalog (SURVEY §2 extended quality)."""
+    by_table: dict[str, list] = {}
+    for cid, table, pred in DATA_CONTRACTS:
+        by_table.setdefault(table, []).append((cid, pred))
+    out = None
+    for table, contracts in by_table.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = []
+        for cid, pred in contracts:
+            viol = F.sum((~F.expr(pred)).cast("long")).cast("bigint")
+            aggs.append(
+                F.struct(
+                    F.lit(cid).alias("contract"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    viol.alias("n_violations"),
+                ).alias(cid)
+            )
+        row = df.agg(*aggs)
+        stacked = row.select(
+            F.explode(F.array(*[F.col(f"`{cid}`") for cid, _ in contracts])).alias(
+                "c"
+            )
+        ).select("c.contract", "c.n_rows", "c.n_violations")
+        out = stacked if out is None else out.unionAll(stacked)
+    return out.select(
+        "contract",
+        "n_rows",
+        "n_violations",
+        F.expr("(1000000 * n_violations) DIV n_rows").alias("violation_ppm"),
+    ).orderBy("contract")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.sentiment import sentiment_cols, sentiment_sql_exprs
 from ..io import load_table
 from ..functions.numeric import trunc
-from ..registry import register
+from ..registry import register, track_cache
 
 # stopword sets for the n-gram-heuristic language ID; scored against the
 # synthetic fixture vocabulary (deterministic, oracle-checkable)
@@ -949,3 +949,106 @@ def _register_q181() -> None:
 
 
 _register_q181()
+
+
+# --------------------------------------------------------------------------
+# q223 — BM25 retrieval scoring (log-free integer variant)
+# --------------------------------------------------------------------------
+
+#: the ad-hoc query being scored
+BM25_QUERY_TERMS = ["scan", "merge", "window"]
+BM25_TOP_N = 10
+# k1 = 6/5, b = 3/4 — folded into the integer closed form below
+
+
+@register(
+    "q223_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS l FROM tok GROUP BY doc_id),
+    corp AS (SELECT COUNT(*) AS n, CAST(SUM(l) AS BIGINT) AS a FROM dl),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM tok
+        WHERE t IN ({", ".join(repr(t) for t in BM25_QUERY_TERMS)})
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ((1000000 * (corp.n - df.df + 1)) // (df.df + 1))
+               * (220 * tf.tf * corp.a)
+               // (corp.a * (10 * tf.tf + 3) + 9 * dl.l * corp.n)
+                   AS s
+        FROM tf
+        JOIN df ON df.t = tf.t
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN corp
+    )
+    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_units,
+           CAST(ROW_NUMBER() OVER (ORDER BY CAST(SUM(s) AS BIGINT) DESC,
+                                            doc_id) AS INT) AS rk
+    FROM scored GROUP BY doc_id
+    QUALIFY rk <= {BM25_TOP_N}
+    ORDER BY rk
+    """,
+)
+def q223_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for an ad-hoc term query, evaluated ENTIRELY in
+    integer arithmetic: with k1 = 6/5 and b = 3/4 the per-term score
+    tf·(k1+1) / (tf + k1·(1−b+b·L/avg)) has the exact closed form
+    220·tf·A / (A·(10·tf+3) + 9·L·N) over corpus totals (A = Σ
+    lengths, N = docs, L = doc length) — no float division whose
+    rounding could reorder ranks, and idf uses the log-free monotone
+    surrogate 10⁶·(N−df+1) DIV (df+1) (the q107 PMI discipline: keep
+    the ORDER semantics, drop libm from the parity path). TF
+    saturation and length normalization — the parts that distinguish
+    BM25 from raw TF-IDF (q62) — are preserved exactly.
+
+    Determinism: integer floor arithmetic end to end; ties broken by
+    doc_id.
+
+    Scale: only rows containing query terms survive the first filter
+    (pushed into the scan); df and corpus totals are tiny aggregates;
+    the per-doc sum is |matching docs| rows. With q113's inverted
+    index materialized, the tf table is a lookup instead of a scan.
+
+    Reference: completes the retrieval family (q62 TF-IDF, q113
+    inverted index; SURVEY §2 extended text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = track_cache(
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("l")).persist()
+    )
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l").cast("bigint").alias("a")
+    )
+    tf = (
+        tok.filter(F.col("t").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            F.expr(
+                "((1000000 * (n - df + 1)) DIV (df + 1))"
+                " * (220 * tf * a)"
+                " DIV (a * (10 * tf + 3) + 9 * l * n)"
+            ).alias("s"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_units"), "doc_id")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("score_units"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= BM25_TOP_N)
+        .orderBy("rk")
+    )

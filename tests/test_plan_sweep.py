@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "q213_late_data_reprocess",  # one-row horizon-date broadcast
     "q217_next_purchase_labels",  # one-row horizon-ts broadcast
     "q220_degree_distribution",   # one-row graph-total broadcast
+    "q223_bm25",                  # one-row corpus-totals broadcast
 }
 
 
@@ -171,6 +172,9 @@ SCAN_BUDGETS = {
     "q219_reco_hitrate": 16,          # 1 real scan: persisted basket
                                      # table reprints per train/test ref
     "q220_degree_distribution": 12,   # 1 real scan: persisted edges reprint
+    "q221_weighted_jaccard": 8,      # 1 real scan: persisted token table
+    "q222_data_contracts": 4,        # one fused scan per audited table
+    "q223_bm25": 8,                  # 1 real scan: persisted lengths
 }
 
 

@@ -1058,3 +1058,103 @@ def test_degree_distribution_shares_sum_to_one(spark):
     assert ends == 2 * edges
     s_node = sum(r["node_share_ppm"] for r in got)
     assert 1_000_000 - len(got) <= s_node <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q221 — weighted Jaccard
+# --------------------------------------------------------------------------
+
+
+def test_weighted_jaccard_rare_token_dominance(spark):
+    """Replay with integer weights; weighted score must differ from the
+    plain one somewhere (rare tokens re-weight real pairs)."""
+    docs = [
+        (r["doc_id"], set(r["text"].split(" ")))
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    df = Counter()
+    for _, toks in docs:
+        for t in toks:
+            df[t] += 1
+    wt = {t: 1_000_000 // c for t, c in df.items()}
+    by_id = dict(docs)
+    got = registry.QUERIES["q221_weighted_jaccard"](spark, SF_SMALL).collect()
+    diffs = 0
+    for r in got:
+        a, b = by_id[r["doc_a"]], by_id[r["doc_b"]]
+        wi = sum(wt[t] for t in a & b)
+        wu = sum(wt[t] for t in a | b)
+        assert r["weighted_jaccard_ppm"] == (1_000_000 * wi) // wu
+        assert r["jaccard_ppm"] == (1_000_000 * len(a & b)) // len(a | b)
+        if r["weighted_jaccard_ppm"] != r["jaccard_ppm"]:
+            diffs += 1
+    assert diffs > 0
+
+
+# --------------------------------------------------------------------------
+# q222 — data contracts
+# --------------------------------------------------------------------------
+
+
+def test_data_contracts_detect_injected_violation(spark):
+    """Fixture data satisfies the domain contracts; a contract that the
+    data genuinely violates must report non-zero."""
+    from serverless_etl_spark.operators.quality import DATA_CONTRACTS
+
+    got = {
+        r["contract"]: r
+        for r in registry.QUERIES["q222_data_contracts"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == {c[0] for c in DATA_CONTRACTS}
+    # spot-verify one contract against a direct count
+    li = load_table(spark, SF_SMALL, "lineitem")
+    bad = li.filter(~F.expr("l_quantity >= 1 AND l_quantity <= 50")).count()
+    assert got["lineitem.qty_domain"]["n_violations"] == bad
+    for r in got.values():
+        assert 0 <= r["n_violations"] <= r["n_rows"]
+        assert r["violation_ppm"] == (
+            1_000_000 * r["n_violations"]
+        ) // r["n_rows"]
+
+
+# --------------------------------------------------------------------------
+# q223 — BM25
+# --------------------------------------------------------------------------
+
+
+def test_bm25_integer_form_replay_and_saturation(spark):
+    from serverless_etl_spark.operators.text_analysis import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_N,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    N = len(toks)
+    A = sum(len(v) for v in toks.values())
+    tf = defaultdict(Counter)
+    for d, ts in toks.items():
+        for t in ts:
+            if t in BM25_QUERY_TERMS:
+                tf[d][t] += 1
+    df = Counter()
+    for d in tf:
+        for t in tf[d]:
+            df[t] += 1
+    scores = {}
+    for d, c in tf.items():
+        L = len(toks[d])
+        s = 0
+        for t, f_ in c.items():
+            idf = (1_000_000 * (N - df[t] + 1)) // (df[t] + 1)
+            s += idf * (220 * f_ * A) // (A * (10 * f_ + 3) + 9 * L * N)
+        scores[d] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP_N]
+    got = registry.QUERIES["q223_bm25"](spark, SF_SMALL).collect()
+    assert [(r["doc_id"], r["score_units"]) for r in got] == expect

@@ -4394,3 +4394,137 @@ def q219_reco_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("bigint").alias("n_hits"),
         F.expr("(1000000 * sum(hit)) DIV count(1)").alias("hitrate_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q225 — ABC × XYZ inventory classification matrix
+# --------------------------------------------------------------------------
+
+#: ABC revenue cuts: A = top 80%, B = next 15%, C = tail (cross-
+#: multiplied against cumulative cents); XYZ variability: X ⇔ CV of
+#: monthly demand < 1/2, Y ⇔ CV < 1, else Z (integer CV² test)
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+@register(
+    "q225_abc_xyz_matrix",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS p,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+        SELECT p, cents,
+               CASE WHEN 100 * (SUM(cents) OVER (ORDER BY cents DESC, p))
+                         <= {ABC_A_PCT} * (SUM(cents) OVER ()) THEN 'A'
+                    WHEN 100 * (SUM(cents) OVER (ORDER BY cents DESC, p))
+                         <= {ABC_B_PCT} * (SUM(cents) OVER ()) THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM rev
+    ),
+    monthly AS (
+        SELECT l.l_partkey AS p,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY p, m
+    ),
+    var_ AS (
+        SELECT p, COUNT(*) AS k,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q * q) AS BIGINT) AS sqq
+        FROM monthly GROUP BY p
+    ),
+    xyz AS (
+        SELECT p,
+               CASE WHEN 4 * (k * sqq - sq * sq) < sq * sq THEN 'X'
+                    WHEN (k * sqq - sq * sq) < sq * sq THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM var_
+    )
+    SELECT abc.abc, xyz.xyz,
+           COUNT(*) AS n_parts,
+           CAST(SUM(abc.cents) AS BIGINT) AS revenue_cents
+    FROM abc JOIN xyz ON xyz.p = abc.p
+    GROUP BY abc.abc, xyz.xyz
+    ORDER BY abc, xyz
+    """,
+)
+def q225_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ inventory classification: revenue importance (A/B/C
+    by cumulative share — q173's cuts) crossed with demand
+    VARIABILITY (X/Y/Z by the coefficient of variation of monthly
+    quantities — q187's integer CV² test). The matrix is the standard
+    stocking-policy grid: AX = automate, CZ = drop, AZ = the risky
+    high-value erratic cell that needs human planners.
+
+    Determinism: floor-cents revenue, cross-multiplied cumulative
+    cuts, and the CV thresholds tested as 4·(k·Σq²−(Σq)²) < (Σq)²
+    (CV < ½) and (k·Σq²−(Σq)²) < (Σq)² (CV < 1) — exact integers
+    throughout.
+
+    Scale: both classifications collapse lineitem to |parts| rows
+    map-side; the cumulative-revenue window runs over that bounded
+    table (q173 posture, approx-boundary route documented there); the
+    final matrix is ≤ 9 cells.
+
+    Reference: composes q173 (ABC) with q187's variability kernel
+    (SURVEY §2 extended analytics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wc = Window.orderBy(F.desc("cents"), "p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    abc = rev.select(
+        "p",
+        "cents",
+        F.when(
+            100 * F.sum("cents").over(wc) <= ABC_A_PCT * F.sum("cents").over(wt),
+            "A",
+        )
+        .when(
+            100 * F.sum("cents").over(wc) <= ABC_B_PCT * F.sum("cents").over(wt),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc"),
+    )
+    monthly = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_partkey").alias("p"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    var_ = monthly.groupBy("p").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    spread = F.col("k") * F.col("sqq") - F.col("sq") * F.col("sq")
+    xyz = var_.select(
+        "p",
+        F.when(4 * spread < F.col("sq") * F.col("sq"), "X")
+        .when(spread < F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "p")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("abc", "xyz")
+    )

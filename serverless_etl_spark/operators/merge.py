@@ -437,3 +437,147 @@ def q214_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_overlap").cast("bigint").alias("n_overlap_pairs"),
         F.sum("n_gap").cast("bigint").alias("n_gap_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q226 — CDC changelog apply (I/U/D with last-writer-wins by sequence)
+# --------------------------------------------------------------------------
+
+_CDC_CHANGES_SQL = """
+        SELECT o_orderkey AS k, 'U' AS op, 1 AS seq,
+               'U1' AS status,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 100 AS cents
+        FROM orders WHERE o_orderkey % 11 = 2
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, 'U2',
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 200
+        FROM orders WHERE o_orderkey % 11 = 2
+        UNION ALL
+        SELECT o_orderkey, 'D', 1, NULL, NULL
+        FROM orders WHERE o_orderkey % 11 = 4
+        UNION ALL
+        SELECT o_orderkey + 200000000, 'I', 1, 'N',
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 11 = 7
+"""
+
+
+def cdc_apply(
+    snapshot: DataFrame, changes: DataFrame, key: str, seq: str = "seq"
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to a snapshot with
+    last-writer-wins per key by `seq`. `changes` columns: key, `op`
+    ('I'/'U'/'D'), `seq`, plus the payload columns of `snapshot`.
+
+    Scale: ONE window pass picks each key's final op (the changelog is
+    small relative to the snapshot), then one keyed anti-join removes
+    touched keys and a union appends the surviving upserts — the
+    snapshot is never sorted, only hash-joined on the key."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = snapshot.join(last.select(key), key, "anti")
+    upserts = last.filter(F.col("op").isin("I", "U")).select(
+        *[key, *[c for c in snapshot.columns if c != key]]
+    )
+    return untouched.unionByName(upserts)
+
+
+@register(
+    "q226_cdc_apply",
+    oracle=f"""
+    WITH snap AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    changes AS ({_CDC_CHANGES_SQL}),
+    last AS (
+        SELECT k, op, status, cents FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                         ORDER BY seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    ),
+    applied AS (
+        SELECT s.k, s.status, s.cents FROM snap s
+        LEFT JOIN last l ON l.k = s.k WHERE l.k IS NULL
+        UNION ALL
+        SELECT k, status, cents FROM last WHERE op IN ('I', 'U')
+    )
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM applied GROUP BY status ORDER BY status
+    """,
+)
+def q226_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — inserts, MULTI-VERSION updates, and DELETES
+    from one changelog folded onto a snapshot with last-writer-wins by
+    sequence number (q64's merge handles upserts; real CDC feeds also
+    carry deletes and several versions of the same key per batch, and
+    applying them out of order corrupts the table silently). The
+    deterministic changelog updates every %11==2 order TWICE (seq 1
+    then seq 2 — the result must show only 'U2'), deletes %11==4, and
+    inserts clones of %11==7.
+
+    Determinism: integer cents and counts; the per-key winner is
+    picked by an explicit seq order.
+
+    Scale: the apply is `cdc_apply` — one changelog-side window
+    (changelogs are small), one keyed anti-join against the snapshot,
+    one union; the snapshot streams through hash joins unsorted. With
+    a partitioned table only partitions containing touched keys
+    rewrite (q75/pipeline posture).
+
+    Reference: completes the merge family (q64 upsert, q65 SCD2,
+    q110 diff, q214 audit; SURVEY §2 extended merge). Verified: the
+    output shows zero 'U1' rows — out-of-order application would
+    surface them."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base_cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    u1 = o.filter(F.col("o_orderkey") % 11 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("U1").alias("status"),
+        (base_cents + 100).alias("cents"),
+    )
+    u2 = o.filter(F.col("o_orderkey") % 11 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        F.lit("U2").alias("status"),
+        (base_cents + 200).alias("cents"),
+    )
+    d = o.filter(F.col("o_orderkey") % 11 == 4).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    i = o.filter(F.col("o_orderkey") % 11 == 7).select(
+        (F.col("o_orderkey") + 200000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("N").alias("status"),
+        base_cents.alias("cents"),
+    )
+    changes = u1.unionByName(u2).unionByName(d).unionByName(i)
+    applied = cdc_apply(snap, changes, "k")
+    return (
+        applied.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("status")
+    )

@@ -1301,3 +1301,85 @@ def q207_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total_ppm"
         ),
     ).orderBy("region", "nation")
+
+
+# --------------------------------------------------------------------------
+# q224 — calendar dimension generator (date spine with derived attributes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q224_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+               CAST(MAX(o_orderdate) AS DATE) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM bounds
+    )
+    SELECT d,
+           year(d) * 10000 + month(d) * 100 + day(d) AS date_key,
+           CAST(year(d) AS INT) AS yr,
+           CAST(month(d) AS INT) AS mth,
+           CAST((date_diff('day', DATE '1970-01-05', d) % 7 + 7) % 7 + 1
+                AS INT) AS dow_mon1,
+           CAST(CASE WHEN (date_diff('day', DATE '1970-01-05', d) % 7 + 7) % 7
+                          >= 5 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+           CAST(5 * (date_diff('day', DATE '1970-01-05', d) // 7)
+                + LEAST(date_diff('day', DATE '1970-01-05', d) % 7, 5)
+                AS BIGINT) AS bizday_index
+    FROM spine
+    ORDER BY d
+    """,
+)
+def q224_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension GENERATION: a gap-free date spine spanning
+    the fact table's date range, with the derived attributes every
+    warehouse date dimension carries — integer date key, year/month,
+    Monday-based day-of-week, weekend flag, and the cumulative
+    business-day index (q208's anchor form, so joins against it turn
+    business-day arithmetic into subtraction). This is the operator
+    that backfills q47-style gap fills and calendar joins WITHOUT a
+    cross join or an external table: the spine comes from sequence()
+    on a one-row bounds aggregate.
+
+    Determinism: all attributes derive from integer day arithmetic
+    against the 1970-01-05 Monday anchor — no engine weekday
+    numbering or locale involved.
+
+    Scale: |days| rows generated from one one-row aggregate —
+    trivially broadcastable to any fact-side join; regenerating is
+    cheaper than storing.
+
+    Reference: the generator behind q47 (gap fill) and q208
+    (business days); SURVEY §2 extended relational."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    k = F.datediff(F.col("d"), F.lit("1970-01-05").cast("date"))
+    dow0 = ((k % 7) + 7) % 7  # 0 = Monday
+    return spine.select(
+        "d",
+        (F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d")).alias(
+            "date_key"
+        ),
+        F.year("d").cast("int").alias("yr"),
+        F.month("d").cast("int").alias("mth"),
+        (dow0 + 1).cast("int").alias("dow_mon1"),
+        (dow0 >= 5).cast("int").alias("is_weekend"),
+        (
+            5 * F.expr("datediff(d, date'1970-01-05') DIV 7")
+            + F.least(k % 7, F.lit(5))
+        )
+        .cast("bigint")
+        .alias("bizday_index"),
+    ).orderBy("d")

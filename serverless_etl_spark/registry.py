@@ -119,7 +119,8 @@ _SWEEP_PRIORITY = [
     "q216_kfold_balance", "q217_next_purchase_labels",
     "q218_cohort_revenue", "q219_reco_hitrate",
     "q220_degree_distribution", "q221_weighted_jaccard",
-    "q222_data_contracts", "q223_bm25",
+    "q222_data_contracts", "q223_bm25", "q224_calendar_dim",
+    "q225_abc_xyz_matrix", "q226_cdc_apply",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -175,6 +175,9 @@ SCAN_BUDGETS = {
     "q221_weighted_jaccard": 8,      # 1 real scan: persisted token table
     "q222_data_contracts": 4,        # one fused scan per audited table
     "q223_bm25": 8,                  # 1 real scan: persisted lengths
+    "q224_calendar_dim": 1,
+    "q225_abc_xyz_matrix": 3,        # revenue agg + monthly agg + orders
+    "q226_cdc_apply": 5,             # snapshot + 4 changelog arms
 }
 
 

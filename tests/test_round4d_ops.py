@@ -1158,3 +1158,81 @@ def test_bm25_integer_form_replay_and_saturation(spark):
     expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP_N]
     got = registry.QUERIES["q223_bm25"](spark, SF_SMALL).collect()
     assert [(r["doc_id"], r["score_units"]) for r in got] == expect
+
+
+# --------------------------------------------------------------------------
+# q224 — calendar dimension
+# --------------------------------------------------------------------------
+
+
+def test_calendar_dim_is_gap_free_and_weekday_correct(spark):
+    import datetime as dt
+
+    got = registry.QUERIES["q224_calendar_dim"](spark, SF_SMALL).collect()
+    days = [r["d"] for r in got]
+    assert days == sorted(days)
+    assert (days[-1] - days[0]).days + 1 == len(days)  # gap-free
+    for r in got[:50] + got[-50:]:
+        assert r["dow_mon1"] == r["d"].weekday() + 1
+        assert r["is_weekend"] == (1 if r["d"].weekday() >= 5 else 0)
+    # bizday index increments exactly on weekdays
+    for a, b in zip(got, got[1:]):
+        step = b["bizday_index"] - a["bizday_index"]
+        assert step == (1 if a["d"].weekday() < 5 else 0)
+
+
+# --------------------------------------------------------------------------
+# q225 — ABC × XYZ matrix
+# --------------------------------------------------------------------------
+
+
+def test_abc_xyz_matrix_covers_all_parts_and_a_dominates(spark):
+    got = registry.QUERIES["q225_abc_xyz_matrix"](spark, SF_SMALL).collect()
+    n_parts = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in got) == n_parts
+    rev = defaultdict(int)
+    for r in got:
+        rev[r["abc"]] += r["revenue_cents"]
+    total = sum(rev.values())
+    # A-class revenue share is ~80% by construction of the cut
+    assert 100 * rev["A"] <= 80 * total
+    assert 100 * (rev["A"] + rev.get("B", 0)) <= 95 * total
+
+
+# --------------------------------------------------------------------------
+# q226 — CDC apply
+# --------------------------------------------------------------------------
+
+
+def test_cdc_apply_last_writer_wins_and_deletes(spark):
+    from serverless_etl_spark.operators.merge import cdc_apply
+
+    got = {
+        r["status"]: r
+        for r in registry.QUERIES["q226_cdc_apply"](spark, SF_SMALL).collect()
+    }
+    # out-of-order application would surface 'U1'
+    assert "U1" not in got and "U2" in got and "N" in got
+    o = load_table(spark, SF_SMALL, "orders")
+    n = o.count()
+    n_upd = o.filter(F.col("o_orderkey") % 11 == 2).count()
+    n_del = o.filter(F.col("o_orderkey") % 11 == 4).count()
+    n_ins = o.filter(F.col("o_orderkey") % 11 == 7).count()
+    assert sum(r["n"] for r in got.values()) == n - n_del + n_ins
+    assert got["U2"]["n"] == n_upd and got["N"]["n"] == n_ins
+
+    # unit: delete-then-reinsert same key, higher seq wins
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    ch = spark.createDataFrame(
+        [(1, "D", 1, None), (1, "I", 2, "z"), (2, "D", 1, None)],
+        ["k", "op", "seq", "v"],
+    )
+    rows = sorted(
+        (r["k"], r["v"]) for r in cdc_apply(snap, ch, "k").collect()
+    )
+    assert rows == [(1, "z")]

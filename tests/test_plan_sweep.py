@@ -177,7 +177,8 @@ SCAN_BUDGETS = {
     "q223_bm25": 8,                  # 1 real scan: persisted lengths
     "q224_calendar_dim": 1,
     "q225_abc_xyz_matrix": 3,        # revenue agg + monthly agg + orders
-    "q226_cdc_apply": 5,             # snapshot + 4 changelog arms
+    "q226_cdc_apply": 9,             # snapshot + 4 changelog arms
+                                     # (each re-listed in the union plan)
 }
 
 

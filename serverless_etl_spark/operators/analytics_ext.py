@@ -4528,3 +4528,102 @@ def q225_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+# --------------------------------------------------------------------------
+# q228 — rank movers (year-over-year brand rank delta)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q228_rank_movers",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand, year(o.o_orderdate) AS yr,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, yr
+    ),
+    ranked AS (
+        SELECT brand, yr, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                                       ORDER BY cents DESC, brand) AS INT)
+                   AS rk
+        FROM rev
+    )
+    SELECT cur.yr, cur.brand,
+           prev.rk AS rank_prev, cur.rk AS rank_now,
+           prev.rk - cur.rk AS rank_gain,
+           cur.cents - prev.cents AS cents_delta
+    FROM ranked cur
+    JOIN ranked prev ON prev.brand = cur.brand AND prev.yr = cur.yr - 1
+    ORDER BY cur.yr, rank_now
+    """,
+)
+def q228_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year rank movers: every brand's revenue rank this
+    year against last year, with the rank gain and revenue delta —
+    the "biggest climbers / droppers" leaderboard every BI portfolio
+    review opens with, and the shape (rank in period, self-join on
+    adjacent periods) that naive implementations recompute per period
+    pair instead of ranking once.
+
+    Determinism: floor-cents sums and position ranks under a total
+    (cents, brand) order.
+
+    Scale: one fact aggregation to |brands|·|years| rows; the rank
+    window partitions by year over that bounded table; the
+    adjacent-period self-join is keyed. Nothing rescans the fact
+    table per year.
+
+    Reference: extends the trend family (q186 brand share, q182 WoW
+    drift; SURVEY §2 extended analytics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = rev.select(
+        "brand",
+        "yr",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy(F.desc("cents"), "brand"))
+        .cast("int")
+        .alias("rk"),
+    )
+    cur = ranked.select(
+        "brand", "yr", F.col("cents").alias("c_now"), F.col("rk").alias("rank_now")
+    )
+    prev = ranked.select(
+        "brand",
+        (F.col("yr") + 1).alias("yr"),
+        F.col("cents").alias("c_prev"),
+        F.col("rk").alias("rank_prev"),
+    )
+    return (
+        cur.join(prev, ["brand", "yr"])
+        .select(
+            "yr",
+            "brand",
+            "rank_prev",
+            "rank_now",
+            (F.col("rank_prev") - F.col("rank_now")).alias("rank_gain"),
+            (F.col("c_now") - F.col("c_prev")).alias("cents_delta"),
+        )
+        .orderBy("yr", "rank_now")
+    )

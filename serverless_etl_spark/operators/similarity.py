@@ -1016,3 +1016,91 @@ def q215_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q227 — embedding distribution drift (centroid shift between snapshots)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q227_embedding_drift",
+    oracle="""
+    WITH dims AS (
+        SELECT label, vec_id % 2 AS snap,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, snap, dim,
+               CAST(FLOOR(AVG(x) * 10000) AS BIGINT) AS c,
+               COUNT(*) AS n
+        FROM dims GROUP BY label, snap, dim
+    ),
+    wide AS (
+        SELECT o.label, o.dim, o.c AS c_old, n.c AS c_new,
+               o.n AS n_old, n.n AS n_new
+        FROM cent o JOIN cent n
+          ON n.label = o.label AND n.dim = o.dim
+         AND o.snap = 0 AND n.snap = 1
+    )
+    SELECT label,
+           MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+           CAST(SUM(ABS(c_old - c_new)) AS BIGINT) AS drift_units,
+           CAST(MAX(ABS(c_old - c_new)) AS BIGINT) AS max_dim_shift
+    FROM wide GROUP BY label ORDER BY label
+    """,
+)
+def q227_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the L1 shift
+    between the centroid of the OLD snapshot (even vec_ids) and the
+    NEW one (odd vec_ids), on the quantized grid — the check an
+    ML-ops pipeline runs when the upstream embedding model is
+    retrained or the corpus mix moves, BEFORE stale ANN indexes
+    (q51/q97 cells were trained on the old distribution) silently
+    lose recall. A drifted label is the signal to re-run q95's
+    k-means and re-evaluate q120's recall.
+
+    Determinism: centroids quantize through FLOOR(avg·10⁴) (q53's
+    kernel) BEFORE differencing, so the drift sums are exact integer
+    units.
+
+    Scale: vectors fan out to (label, snap, dim) partial aggregates
+    map-side (q53 posture); the drift join runs over the
+    labels×dims×2 bounded table.
+
+    Reference: composes q53 (centroids) into the monitoring family
+    (q127/q134 KS drift for scalars — this is the vector analogue;
+    SURVEY §2 extended similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode(_vec_double()).alias("dim", "x"),
+    )
+    cent = dims.groupBy("label", "snap", "dim").agg(
+        F.floor(F.avg("x") * 10000).cast("bigint").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    old = cent.filter(F.col("snap") == 0).select(
+        "label", "dim", F.col("c").alias("c_old"), F.col("n").alias("n_old")
+    )
+    new = cent.filter(F.col("snap") == 1).select(
+        "label", "dim", F.col("c").alias("c_new"), F.col("n").alias("n_new")
+    )
+    wide = old.join(new, ["label", "dim"])
+    return (
+        wide.groupBy("label")
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.sum(F.abs(F.col("c_old") - F.col("c_new")))
+            .cast("bigint")
+            .alias("drift_units"),
+            F.max(F.abs(F.col("c_old") - F.col("c_new")))
+            .cast("bigint")
+            .alias("max_dim_shift"),
+        )
+        .orderBy("label")
+    )

@@ -1604,3 +1604,141 @@ def q217_next_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q229 — time-weighted linear interpolation of masked gaps
+# --------------------------------------------------------------------------
+
+#: events with event_id % 13 == 6 simulate sensor dropouts
+INTERP_MOD = 13
+INTERP_REM = 6
+
+
+@register(
+    "q229_interpolate_gaps",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) AS t,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+               CASE WHEN event_id % {INTERP_MOD} = {INTERP_REM}
+                    THEN 1 ELSE 0 END AS masked
+        FROM events
+    ),
+    ctx AS (
+        SELECT *,
+               MAX(CASE WHEN masked = 0 THEN t END) OVER
+                   (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS t_prev,
+               MAX(CASE WHEN masked = 0 THEN v END) OVER
+                   (PARTITION BY user_id ORDER BY t, event_id, masked
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS v_prev_raw
+        FROM base
+    )
+    SELECT c.user_id, c.event_id, c.ts, c.v AS v_true,
+           pv.v AS v_prev, nv.v AS v_next,
+           CASE WHEN (nv.t - pv.t) // 1000000 = 0 THEN pv.v
+                ELSE pv.v + (nv.v - pv.v) * ((c.t - pv.t) // 1000000)
+                     // ((nv.t - pv.t) // 1000000) END AS v_interp
+    FROM base c
+    JOIN LATERAL (
+        SELECT t, v FROM base p
+        WHERE p.user_id = c.user_id AND p.masked = 0
+          AND (p.t < c.t OR (p.t = c.t AND p.event_id < c.event_id))
+        ORDER BY p.t DESC, p.event_id DESC LIMIT 1
+    ) pv ON TRUE
+    JOIN LATERAL (
+        SELECT t, v FROM base n
+        WHERE n.user_id = c.user_id AND n.masked = 0
+          AND (n.t > c.t OR (n.t = c.t AND n.event_id > c.event_id))
+        ORDER BY n.t, n.event_id LIMIT 1
+    ) nv ON TRUE
+    WHERE c.masked = 1
+    ORDER BY c.event_id
+    """,
+)
+def q229_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted LINEAR interpolation of masked readings: each
+    dropout gets v_prev + (v_next−v_prev)·(t−t_prev)/(t_next−t_prev)
+    from its user's nearest surviving neighbours — the gap-fill a
+    sensor/metrics pipeline needs when LOCF (q47's carry-forward) is
+    too crude, emitted beside the held-out true value so the fill
+    error is measurable.
+
+    Determinism: values quantize to integer MILLI-units and the time
+    ratio to whole seconds (Δv ≤ 2·10⁶ × Δt ≤ 10⁷ s stays far inside
+    int64 — micro×micro overflows); sub-second gaps fall back to
+    v_prev explicitly. Neighbours are picked under the total
+    (t, event_id) order.
+
+    Scale: the LATERAL-probe oracle is the spec; the engine computes
+    both neighbours with TWO window passes over ONE user_id exchange
+    (last non-null before / first non-null after — the q193 as-of
+    shape forwards and backwards), never a per-row probe.
+
+    Reference: extends the gap-fill family (q47 LOCF resample;
+    SURVEY §2 extended windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        (F.col("event_id") % INTERP_MOD == INTERP_REM)
+        .cast("int")
+        .alias("masked"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    keep_t = F.when(F.col("masked") == 0, F.col("t"))
+    keep_v = F.when(F.col("masked") == 0, F.col("v"))
+    ctx = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "t",
+        "v",
+        "masked",
+        F.last(keep_t, ignorenulls=True).over(wf).alias("t_prev"),
+        F.last(keep_v, ignorenulls=True).over(wf).alias("v_prev"),
+        F.first(keep_t, ignorenulls=True).over(wb).alias("t_next"),
+        F.first(keep_v, ignorenulls=True).over(wb).alias("v_next"),
+    )
+    interp = F.when(
+        F.expr("(t_next - t_prev) DIV 1000000") == 0, F.col("v_prev")
+    ).otherwise(
+        F.col("v_prev")
+        + F.expr(
+            "(v_next - v_prev) * ((t - t_prev) DIV 1000000)"
+            " DIV ((t_next - t_prev) DIV 1000000)"
+        )
+    )
+    return (
+        ctx.filter(
+            (F.col("masked") == 1)
+            & F.col("t_prev").isNotNull()
+            & F.col("t_next").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("v").alias("v_true"),
+            "v_prev",
+            "v_next",
+            interp.alias("v_interp"),
+        )
+        .orderBy("event_id")
+    )

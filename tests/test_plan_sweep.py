@@ -179,6 +179,10 @@ SCAN_BUDGETS = {
     "q225_abc_xyz_matrix": 3,        # revenue agg + monthly agg + orders
     "q226_cdc_apply": 9,             # snapshot + 4 changelog arms
                                      # (each re-listed in the union plan)
+    "q227_embedding_drift": 2,       # old/new snapshot branches
+    "q228_rank_movers": 6,           # fact + orders + part, re-listed
+                                     # per side of the period self-join
+    "q229_interpolate_gaps": 1,
 }
 
 

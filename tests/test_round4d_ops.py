@@ -1236,3 +1236,101 @@ def test_cdc_apply_last_writer_wins_and_deletes(spark):
         (r["k"], r["v"]) for r in cdc_apply(snap, ch, "k").collect()
     )
     assert rows == [(1, "z")]
+
+
+# --------------------------------------------------------------------------
+# q227 — embedding drift
+# --------------------------------------------------------------------------
+
+
+def test_embedding_drift_zero_when_snapshots_identical(spark):
+    """Centroid-shift replay; identical snapshots would read zero, so
+    drift must equal the replayed quantized-centroid L1 distance."""
+    import math
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    sums = defaultdict(lambda: [0.0] * 64)
+    counts = Counter()
+    for r in emb:
+        key = (int(r["label"]), r["vec_id"] % 2)
+        counts[key] += 1
+        for i, x in enumerate(r["embedding"]):
+            sums[key][i] += float(x)
+    got = registry.QUERIES["q227_embedding_drift"](spark, SF_SMALL).collect()
+    for r in got:
+        lab = int(r["label"])
+        drift = 0
+        mx = 0
+        for i in range(64):
+            co = math.floor(sums[(lab, 0)][i] / counts[(lab, 0)] * 10000)
+            cn = math.floor(sums[(lab, 1)][i] / counts[(lab, 1)] * 10000)
+            drift += abs(co - cn)
+            mx = max(mx, abs(co - cn))
+        assert r["drift_units"] == drift and r["max_dim_shift"] == mx
+        assert r["n_old"] == counts[(lab, 0)] and r["n_new"] == counts[(lab, 1)]
+
+
+# --------------------------------------------------------------------------
+# q228 — rank movers
+# --------------------------------------------------------------------------
+
+
+def test_rank_movers_gain_is_rank_difference(spark):
+    got = registry.QUERIES["q228_rank_movers"](spark, SF_SMALL).collect()
+    assert got, "adjacent-year brand pairs must exist"
+    years = defaultdict(set)
+    for r in got:
+        assert r["rank_gain"] == r["rank_prev"] - r["rank_now"]
+        years[r["yr"]].add(r["rank_now"])
+    # within a year, rank_now values are distinct
+    for yr, rks in years.items():
+        assert len(rks) == len([r for r in got if r["yr"] == yr])
+
+
+# --------------------------------------------------------------------------
+# q229 — interpolation
+# --------------------------------------------------------------------------
+
+
+def test_interpolation_is_between_neighbours_and_replay(spark):
+    import math
+
+    ev = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(r)
+    expect = {}
+    for rows in per_user.values():
+        for i, r in enumerate(rows):
+            if r["event_id"] % 13 != 6:
+                continue
+            prevs = [x for x in rows[:i] if x["event_id"] % 13 != 6]
+            nexts = [x for x in rows[i + 1 :] if x["event_id"] % 13 != 6]
+            if not prevs or not nexts:
+                continue
+            p, n = prevs[-1], nexts[0]
+            vp = math.floor(p["value"] * 1000)
+            vn = math.floor(n["value"] * 1000)
+
+            def _secs(d):
+                return d.days * 86_400 + d.seconds  # floor of micros/1e6
+
+            def _tdiv(a, b):
+                # both engines' integer division truncates toward zero
+                q = a // b
+                return q + 1 if q < 0 and q * b != a else q
+
+            dts = _secs(r["ts"] - p["ts"])
+            dtt = _secs(n["ts"] - p["ts"])
+            vi = vp if dtt == 0 else vp + _tdiv((vn - vp) * dts, dtt)
+            expect[r["event_id"]] = vi
+    got = registry.QUERIES["q229_interpolate_gaps"](spark, SF_SMALL).collect()
+    assert {r["event_id"]: r["v_interp"] for r in got} == expect
+    for r in got:
+        lo, hi = sorted((r["v_prev"], r["v_next"]))
+        assert lo - 1 <= r["v_interp"] <= hi + 1

@@ -980,6 +980,27 @@ def q194_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_row_hash() -> F.Column:
+    """32-bit md5 slice of an order row's business-key columns — the
+    shared hashing contract between q195 (batch fingerprints) and
+    streaming/checksum_gate.py (incremental maintenance). Changing
+    this expression invalidates every stored fingerprint; version it.
+    """
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("string"),
+    )
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
 # --------------------------------------------------------------------------
 # q195 — partition fingerprints (order-independent content checksums)
 # --------------------------------------------------------------------------
@@ -1032,21 +1053,8 @@ def q195_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: extends the integrity family (q110 snapshot diff, q153
     FK audit; SURVEY §2 extended quality)."""
     o = load_table(spark, sf_dir, "orders")
-    key = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
-        (
-            F.year("o_orderdate") * 10000
-            + F.month("o_orderdate") * 100
-            + F.dayofmonth("o_orderdate")
-        ).cast("string"),
-    )
-    hv = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
     return (
-        o.select(F.year("o_orderdate").alias("yr"), hv.alias("hv"))
+        o.select(F.year("o_orderdate").alias("yr"), order_row_hash().alias("hv"))
         .groupBy("yr")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

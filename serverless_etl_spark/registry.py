@@ -134,10 +134,11 @@ _SWEEP_PRIORITY = [
     "q03_join_region_revenue", "q04_semi_join", "q05_anti_join",
     "q06_topk_orders", "q07_union_all", "q08_distinct", "q09_agg_having",
     "q10_window_rank", "q11_window_running",
-    # The round-4 additions (q134-q179, never driver-swept) fill most
-    # of the ~50-name window this round; the remaining (c) r1-only
-    # greens and q12-q22/q27 rotate to the round-5 front. Every name
-    # here and below is strict-selfcheck green on current fixtures.
+    # The round-4 additions (q134-q229, never driver-swept) overflow
+    # the ~50-name window this round; whatever the sweep doesn't reach
+    # — plus the remaining (c) r1-only greens and q12-q22/q27 —
+    # rotates to the round-5 front. Every name here and below is
+    # strict-selfcheck green on current fixtures.
 ]
 
 

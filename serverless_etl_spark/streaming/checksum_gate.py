@@ -1,0 +1,140 @@
+"""Streaming fingerprint maintenance: every micro-batch of order rows
+appends its per-partition hash-sum CONTRIBUTION, and the table
+fingerprint is the commutative merge of all contributions — q195's
+Merkle-style partition checksums kept current incrementally instead of
+recomputed by full scan.
+
+Why contributions instead of read-modify-write: the checksum is a SUM
+of row hashes (plus count/min/max), all of which merge associatively —
+so each batch can write its own partial blindly, and exactly-once
+falls out of the same discipline the other gates use: contributions
+are partitioned by batch_id and written with DYNAMIC partition
+overwrite, so a replayed micro-batch overwrites its own partial
+instead of double-adding (the neardup_gate/fk_gate pattern, here
+applied to MERGEABLE AGGREGATE STATE rather than row sets — the q75
+partial-rollup shape on a stream).
+
+Stream ≡ batch contract: `table_fingerprint()` over the contributions
+of any drained prefix equals `q195_partition_checksums` over the same
+rows (tested in tests/test_checksum_gate.py) — which is the whole
+point: a replica can validate against the incrementally-maintained
+fingerprints without ever rescanning the source.
+
+Scale: per batch, one map-side partial aggregation to |touched
+partitions| rows; the fingerprint read merges |batches|·|partitions|
+tiny rows (compact periodically by rewriting merged contributions
+under a single synthetic batch_id if the batch count ever matters).
+The min/max hash columns merge by min/max, the checksum by sum — no
+ordering requirements anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import order_row_hash
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+CONTRIB_SCHEMA = (
+    "yr INT, n_rows BIGINT, checksum BIGINT, min_hash BIGINT, "
+    "max_hash BIGINT, batch_id BIGINT"
+)
+
+
+def batch_contribution(batch: DataFrame) -> DataFrame:
+    """Per-partition (order-year) fingerprint partial for one batch of
+    order rows: (yr, n_rows, checksum, min_hash, max_hash)."""
+    return (
+        batch.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            order_row_hash().alias("hv"),
+        )
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("hv").cast("bigint").alias("checksum"),
+            F.min("hv").alias("min_hash"),
+            F.max("hv").alias("max_hash"),
+        )
+    )
+
+
+def checksum_gate_writer(contrib_dir: str):
+    """foreachBatch hook appending each micro-batch's fingerprint
+    contribution, exactly-once under replay (batch_id partition +
+    dynamic overwrite)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        contrib = batch_contribution(batch).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        _dynamic_overwrite(contrib, contrib_dir)
+
+    return _write
+
+
+def table_fingerprint(spark: SparkSession, contrib_dir: str) -> DataFrame:
+    """Merge all contributions into the current per-partition
+    fingerprint (the q195 shape: yr, n_rows, checksum, min/max)."""
+    contrib = _read_or_empty(spark, contrib_dir, CONTRIB_SCHEMA)
+    return (
+        contrib.groupBy("yr")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("checksum").cast("bigint").alias("checksum"),
+            F.min("min_hash").alias("min_hash"),
+            F.max("max_hash").alias("max_hash"),
+        )
+        .orderBy("yr")
+    )
+
+
+def diverged_partitions(
+    spark: SparkSession, contrib_dir: str, other: DataFrame
+) -> DataFrame:
+    """Partitions whose fingerprint disagrees with `other` (a replica's
+    fingerprint table with the same columns) — the row-diff worklist:
+    only these partitions need a q110-style record-level compare."""
+    mine = table_fingerprint(spark, contrib_dir)
+    o = other.select(
+        F.col("yr").alias("o_yr"),
+        F.col("n_rows").alias("o_n_rows"),
+        F.col("checksum").alias("o_checksum"),
+    )
+    j = mine.join(o, mine["yr"] == o["o_yr"], "outer")
+    return j.filter(
+        F.col("yr").isNull()
+        | F.col("o_yr").isNull()
+        | (F.col("n_rows") != F.col("o_n_rows"))
+        | (F.col("checksum") != F.col("o_checksum"))
+    ).select(
+        F.coalesce(F.col("yr"), F.col("o_yr")).alias("yr"),
+        "n_rows",
+        "o_n_rows",
+        "checksum",
+        "o_checksum",
+    )
+
+
+def run_checksum_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    contrib_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available order files (availableNow) through the
+    fingerprint maintainer. Source: JSON-lines order rows."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(checksum_gate_writer(contrib_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,119 @@
+"""Streaming fingerprint maintenance (streaming/checksum_gate.py):
+stream ≡ batch parity with q195, crash-replay idempotence, and
+divergence localization."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.streaming.checksum_gate import (
+    batch_contribution,
+    checksum_gate_writer,
+    diverged_partitions,
+    run_checksum_gate,
+    table_fingerprint,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+ORDERS_JSON_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+)
+
+
+def _write_order_files(spark, src_dir, n_files=3):
+    rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+        )
+        .collect()
+    )
+    src_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        with open(src_dir / f"part-{i}.json", "w") as f:
+            for r in rows[i::n_files]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return len(rows)
+
+
+def test_streamed_fingerprint_equals_batch_q195(spark, tmp_path):
+    src = tmp_path / "src"
+    n = _write_order_files(spark, src)
+    contrib = str(tmp_path / "contrib")
+    run_checksum_gate(
+        spark, str(src), ORDERS_JSON_SCHEMA, contrib,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    got = {
+        r["yr"]: (r["n_rows"], r["checksum"], r["min_hash"], r["max_hash"])
+        for r in table_fingerprint(spark, contrib).collect()
+    }
+    expect = {
+        r["yr"]: (r["n_rows"], r["checksum"], r["min_hash"], r["max_hash"])
+        for r in registry.QUERIES["q195_partition_checksums"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == n
+    # several micro-batches actually contributed
+    n_batches = (
+        spark.read.schema(
+            "yr INT, n_rows BIGINT, checksum BIGINT, min_hash BIGINT, "
+            "max_hash BIGINT, batch_id BIGINT"
+        )
+        .parquet(contrib)
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches == 3
+
+
+def test_replayed_batch_does_not_double_add(spark, tmp_path):
+    contrib = str(tmp_path / "contrib")
+    orders = load_table(spark, SF_SMALL, "orders")
+    writer = checksum_gate_writer(contrib)
+    writer(orders, 7)
+    before = {
+        (r["yr"], r["checksum"], r["n_rows"])
+        for r in table_fingerprint(spark, contrib).collect()
+    }
+    writer(orders, 7)  # crash-replay of the SAME micro-batch
+    after = {
+        (r["yr"], r["checksum"], r["n_rows"])
+        for r in table_fingerprint(spark, contrib).collect()
+    }
+    assert before == after
+
+
+def test_divergence_localizes_to_mutated_partition(spark, tmp_path):
+    contrib = str(tmp_path / "contrib")
+    orders = load_table(spark, SF_SMALL, "orders")
+    checksum_gate_writer(contrib)(orders, 0)
+
+    first = orders.orderBy("o_orderkey").limit(1).collect()[0]
+    bad_year = first["o_orderdate"].year
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"], F.lit("X")
+        ).otherwise(F.col("o_orderstatus")),
+    )
+    replica = batch_contribution(mutated).select(
+        "yr", "n_rows", "checksum", "min_hash", "max_hash"
+    )
+    div = diverged_partitions(spark, contrib, replica).collect()
+    assert [r["yr"] for r in div] == [bad_year]
+    assert div[0]["n_rows"] == div[0]["o_n_rows"]  # same rows, changed content
+    assert div[0]["checksum"] != div[0]["o_checksum"]

@@ -1241,3 +1241,104 @@ def q222_data_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         F.expr("(1000000 * n_violations) DIV n_rows").alias("violation_ppm"),
     ).orderBy("contract")
+
+
+# --------------------------------------------------------------------------
+# q231 — dataset release report (one-page corpus scorecard)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q231_release_report",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, lang, len(string_split(text, ' ')) AS nt,
+               md5(text) AS digest
+        FROM documents
+    ),
+    dup AS (
+        SELECT COUNT(*) - COUNT(DISTINCT digest) AS n_dup, COUNT(*) AS n
+        FROM tok
+    ),
+    langs AS (SELECT COUNT(DISTINCT lang) AS n_langs FROM tok),
+    srcs AS (SELECT COUNT(DISTINCT source) AS n_srcs FROM tok),
+    toks AS (
+        SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(MIN(nt) AS BIGINT) AS min_tokens,
+               CAST(MAX(nt) AS BIGINT) AS max_tokens
+        FROM tok
+    )
+    SELECT 'n_documents' AS metric, CAST(n AS BIGINT) AS value FROM dup
+    UNION ALL
+    SELECT 'n_exact_duplicates', CAST(n_dup AS BIGINT) FROM dup
+    UNION ALL
+    SELECT 'dup_rate_ppm', (1000000 * CAST(n_dup AS BIGINT)) // n FROM dup
+    UNION ALL
+    SELECT 'n_languages', CAST(n_langs AS BIGINT) FROM langs
+    UNION ALL
+    SELECT 'n_sources', CAST(n_srcs AS BIGINT) FROM srcs
+    UNION ALL
+    SELECT 'total_tokens', total_tokens FROM toks
+    UNION ALL
+    SELECT 'min_doc_tokens', min_tokens FROM toks
+    UNION ALL
+    SELECT 'max_doc_tokens', max_tokens FROM toks
+    ORDER BY metric
+    """,
+)
+def q231_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page dataset release scorecard: document/duplicate/
+    language/source counts and token totals as a long skinny
+    (metric, value) table — the header block of a dataset card, and
+    the shape monitoring systems ingest directly (one row per metric,
+    appendable across releases for trend charts). Deep slices live in
+    the dedicated operators (q137 dashboard, q199 funnel, q178 PII,
+    q201 mixture); this is the cover sheet they hang off.
+
+    Determinism: counts and one integer ppm rate.
+
+    Scale: ONE corpus scan feeds every metric (the tok projection is
+    shared; each arm aggregates the persisted narrow table), emitting
+    eight rows.
+
+    Reference: the reference's run-log accounting (S12) grown into a
+    release artifact (SURVEY §2 extended quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = track_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size(F.split("text", " ")).alias("nt"),
+            F.md5("text").alias("digest"),
+        ).persist()
+    )
+
+    def row(metric, value_col, src):
+        return src.agg(
+            F.lit(metric).alias("metric"), value_col.alias("value")
+        )
+
+    dup = row(
+        "n_exact_duplicates",
+        (F.count(F.lit(1)) - F.countDistinct("digest")).cast("bigint"),
+        tok,
+    )
+    dup_rate = row(
+        "dup_rate_ppm",
+        F.expr(
+            "(1000000 * (count(1) - count(distinct digest))) DIV count(1)"
+        ).cast("bigint"),
+        tok,
+    )
+    out = (
+        row("n_documents", F.count(F.lit(1)).cast("bigint"), tok)
+        .unionAll(dup)
+        .unionAll(dup_rate)
+        .unionAll(row("n_languages", F.countDistinct("lang").cast("bigint"), tok))
+        .unionAll(row("n_sources", F.countDistinct("source").cast("bigint"), tok))
+        .unionAll(row("total_tokens", F.sum("nt").cast("bigint"), tok))
+        .unionAll(row("min_doc_tokens", F.min("nt").cast("bigint"), tok))
+        .unionAll(row("max_doc_tokens", F.max("nt").cast("bigint"), tok))
+    )
+    return out.orderBy("metric")

@@ -1104,3 +1104,97 @@ def q227_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q230 — behavioral user similarity (derived count-vector embeddings)
+# --------------------------------------------------------------------------
+
+#: the behavioral embedding's dimensions (one per event type)
+BEHAVIOR_DIMS = ["click", "error", "purchase", "signup", "view"]
+BEHAVIOR_TOP_K = 20
+
+
+@register(
+    "q230_user_similarity",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id,
+    """
+    + ",\n".join(
+        f"           CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, t in enumerate(BEHAVIOR_DIMS)
+    )
+    + f"""
+        FROM events GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               {" + ".join(f"a.c{i} * b.c{i}" for i in range(5))} AS dot,
+               {" + ".join(f"a.c{i} * a.c{i}" for i in range(5))} AS na2,
+               {" + ".join(f"b.c{i} * b.c{i}" for i in range(5))} AS nb2
+        FROM v a JOIN v b ON a.user_id < b.user_id
+    )
+    SELECT user_a, user_b,
+           ROUND(dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+                 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(dot / (sqrt(CAST(na2 AS DOUBLE))
+                                     * sqrt(CAST(nb2 AS DOUBLE))), 6) DESC,
+                        user_a, user_b) AS INT) AS rk
+    FROM pairs
+    QUALIFY rk <= {BEHAVIOR_TOP_K}
+    ORDER BY rk
+    """,
+)
+def q230_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-to-user similarity over DERIVED behavioral embeddings —
+    each user's event-type count vector — rather than stored ones:
+    the audience-lookalike / collaborative-filtering primitive when no
+    model embedding exists yet. Integer dot products and norms feed
+    one rounded cosine (q50's discipline), top-{BEHAVIOR_TOP_K} pairs.
+
+    Determinism: count vectors are exact integers, so dot/norm² are
+    exact; only the final cosine touches doubles, rounded at 1e-6
+    before ranking with (user_a, user_b) tie-breaks.
+
+    Scale: events collapse to |users| five-dim vectors map-side. The
+    all-pairs join over that AGGREGATE table is the exact baseline
+    (bounded: |users|², documented like q50); past ~10⁵ users the
+    same vectors route through q69's hyperplane LSH or q51's cells —
+    the vectors, not the pairing, are this operator's contribution.
+
+    Reference: extends the similarity family with derived embeddings
+    (q50 stored vectors, q117 centroid outliers; SURVEY §2 extended
+    similarity)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long"))
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i, t in enumerate(BEHAVIOR_DIMS)
+    ]
+    v = ev.groupBy("user_id").agg(*aggs)
+    a = v.select(
+        F.col("user_id").alias("user_a"),
+        *[F.col(f"c{i}").alias(f"a{i}") for i in range(5)],
+    )
+    b = v.select(
+        F.col("user_id").alias("user_b"),
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(5)],
+    )
+    dot = sum(F.col(f"a{i}") * F.col(f"b{i}") for i in range(5))
+    na2 = sum(F.col(f"a{i}") * F.col(f"a{i}") for i in range(5))
+    nb2 = sum(F.col(f"b{i}") * F.col(f"b{i}") for i in range(5))
+    cos = F.round(
+        dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))), 6
+    )
+    w = Window.orderBy(F.desc("cosine"), "user_a", "user_b")
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= BEHAVIOR_TOP_K)
+        .orderBy("rk")
+    )

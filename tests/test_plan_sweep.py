@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "q217_next_purchase_labels",  # one-row horizon-ts broadcast
     "q220_degree_distribution",   # one-row graph-total broadcast
     "q223_bm25",                  # one-row corpus-totals broadcast
+    "q230_user_similarity",       # bounded |users| aggregate self-join
+                                  # (exact baseline; LSH route documented)
 }
 
 
@@ -183,6 +185,9 @@ SCAN_BUDGETS = {
     "q228_rank_movers": 6,           # fact + orders + part, re-listed
                                      # per side of the period self-join
     "q229_interpolate_gaps": 1,
+    "q230_user_similarity": 2,       # vector-aggregate self-join sides
+    "q231_release_report": 16,       # 1 real scan: persisted projection
+                                     # reprints per metric arm
 }
 
 

@@ -1334,3 +1334,64 @@ def test_interpolation_is_between_neighbours_and_replay(spark):
     for r in got:
         lo, hi = sorted((r["v_prev"], r["v_next"]))
         assert lo - 1 <= r["v_interp"] <= hi + 1
+
+
+# --------------------------------------------------------------------------
+# q230 — behavioral user similarity
+# --------------------------------------------------------------------------
+
+
+def test_user_similarity_replay(spark):
+    import math
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    dims = ["click", "error", "purchase", "signup", "view"]
+    vec = defaultdict(lambda: [0] * 5)
+    for r in ev:
+        vec[r["user_id"]][dims.index(r["event_type"])] += 1
+    users = sorted(vec)
+    scored = []
+    for i, a in enumerate(users):
+        for b in users[i + 1 :]:
+            va, vb = vec[a], vec[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            cos = round(
+                dot
+                / (
+                    math.sqrt(sum(x * x for x in va))
+                    * math.sqrt(sum(x * x for x in vb))
+                ),
+                6,
+            )
+            scored.append((-cos, a, b))
+    scored.sort()
+    expect = [(a, b, -c) for c, a, b in scored[:20]]
+    got = registry.QUERIES["q230_user_similarity"](spark, SF_SMALL).collect()
+    assert [(r["user_a"], r["user_b"], r["cosine"]) for r in got] == expect
+
+
+# --------------------------------------------------------------------------
+# q231 — release report
+# --------------------------------------------------------------------------
+
+
+def test_release_report_metrics_recount(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "text", "lang", "source"
+    ).collect()
+    got = {
+        r["metric"]: r["value"]
+        for r in registry.QUERIES["q231_release_report"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    texts = [r["text"] for r in docs]
+    n_dup = len(texts) - len(set(texts))
+    assert got["n_documents"] == len(docs)
+    assert got["n_exact_duplicates"] == n_dup
+    assert got["dup_rate_ppm"] == (1_000_000 * n_dup) // len(docs)
+    assert got["n_languages"] == len({r["lang"] for r in docs})
+    assert got["n_sources"] == len({r["source"] for r in docs})
+    assert got["total_tokens"] == sum(len(t.split(" ")) for t in texts)

@@ -4627,3 +4627,107 @@ def q228_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "rank_now")
     )
+
+
+# --------------------------------------------------------------------------
+# q232 — week-over-week active-user retention via block bitmaps
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q232_wau_retention_bitmap",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT
+               CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                    // 7 AS BIGINT) AS wk,
+               user_id
+        FROM events
+    ),
+    bm AS (
+        SELECT wk, user_id // {BITMAP_BLOCK} AS blk,
+               bit_or(1::BIGINT << CAST(user_id % {BITMAP_BLOCK} AS INT))
+                   AS m
+        FROM act GROUP BY wk, user_id // {BITMAP_BLOCK}
+    ),
+    sizes AS (
+        SELECT wk, CAST(SUM(bit_count(m)) AS BIGINT) AS n FROM bm
+        GROUP BY wk
+    ),
+    ret AS (
+        SELECT a.wk AS wk, CAST(SUM(bit_count(a.m & b.m)) AS BIGINT)
+                   AS n_retained
+        FROM bm a JOIN bm b ON b.wk = a.wk + 1 AND b.blk = a.blk
+        GROUP BY a.wk
+    )
+    SELECT s.wk, s.n AS n_active,
+           COALESCE(r.n_retained, 0) AS n_retained_next,
+           (1000000 * COALESCE(r.n_retained, 0)) // s.n AS retention_ppm
+    FROM sizes s LEFT JOIN ret r ON r.wk = s.wk
+    ORDER BY s.wk
+    """,
+)
+def q232_wau_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user retention computed on BLOCK BITMAPS:
+    each week's active set becomes integer masks (q205's machinery
+    applied across TIME instead of across event types), and "how many
+    of week w's users returned in w+1" is AND + popcount on
+    block-aligned masks — the churn curve at billions of users without
+    ever joining user-id lists week against week.
+
+    Determinism: ISO-agnostic week index (epoch days DIV 7 from the
+    Monday anchor), integer masks/popcounts, integer ppm retention.
+
+    Scale: |weeks|·|blocks| mask rows total; the adjacent-week join is
+    keyed on (week, block). The same masks answer any set algebra
+    (new users = b AND NOT a; resurrected = gap-week AND).
+
+    Reference: the retention twin of q205 (audiences) and q85/q149
+    (count-based cohorts); SURVEY §2 extended analytics."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr(
+        "CAST(datediff(cast(ts as date), date'1970-01-05') DIV 7 AS BIGINT)"
+    )
+    act = ev.select(wk.alias("wk"), "user_id").distinct()
+    bm = (
+        act.select(
+            "wk",
+            F.expr(f"user_id DIV {BITMAP_BLOCK}").alias("blk"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast(user_id % {BITMAP_BLOCK} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("wk", "blk")
+        .agg(F.bit_or("bit").alias("m"))
+    )
+    bm = track_cache(bm.persist())
+    sizes = bm.groupBy("wk").agg(
+        F.sum(F.bit_count("m")).cast("bigint").alias("n_active")
+    )
+    nxt = bm.select(
+        (F.col("wk") - 1).alias("wk"), "blk", F.col("m").alias("mn")
+    )
+    ret = (
+        bm.join(nxt, ["wk", "blk"])
+        .groupBy("wk")
+        .agg(
+            F.sum(F.bit_count(F.col("m").bitwiseAND(F.col("mn"))))
+            .cast("bigint")
+            .alias("n_retained_next")
+        )
+    )
+    return (
+        sizes.join(ret, "wk", "left")
+        .select(
+            "wk",
+            "n_active",
+            F.coalesce(F.col("n_retained_next"), F.lit(0))
+            .cast("bigint")
+            .alias("n_retained_next"),
+            F.expr(
+                "(1000000 * coalesce(n_retained_next, 0)) DIV n_active"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("wk")
+    )

@@ -1342,3 +1342,99 @@ def q231_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("max_doc_tokens", F.max("nt").cast("bigint"), tok))
     )
     return out.orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# q234 — partition-column advisor (data-driven layout DDL advice)
+# --------------------------------------------------------------------------
+
+#: candidate partition keys: (label, table, grouping expression —
+#: common dialect, runs verbatim on both engines)
+PARTITION_CANDIDATES = [
+    ("events.event_type", "events", "event_type"),
+    ("events.event_date", "events", "CAST(ts AS DATE)"),
+    ("events.user_id", "events", "user_id"),
+    ("orders.order_year", "orders", "year(o_orderdate)"),
+    ("orders.status", "orders", "o_orderstatus"),
+    ("orders.custkey", "orders", "o_custkey"),
+]
+#: demo-scaled floor for healthy partition row counts (production:
+#: target file sizes / row-group sizing, same arithmetic)
+MIN_PART_ROWS = 100
+#: a partition holding more than this share of rows marks the key skewed
+SKEW_SHARE_PCT = 50
+
+
+@register(
+    "q234_partition_advisor",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS candidate,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_partitions,
+           CAST(SUM(c) AS BIGINT) // COUNT(*) AS avg_rows,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           CASE WHEN COUNT(*) < 2 THEN 'too_coarse'
+                WHEN CAST(SUM(c) AS BIGINT) // COUNT(*) < {MIN_PART_ROWS}
+                    THEN 'too_fine'
+                WHEN 100 * CAST(MAX(c) AS BIGINT)
+                     > {SKEW_SHARE_PCT} * CAST(SUM(c) AS BIGINT)
+                    THEN 'skewed'
+                ELSE 'good' END AS advice
+    FROM (SELECT {expr} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+        """
+        for label, table, expr in PARTITION_CANDIDATES
+    )
+    + "\nORDER BY candidate",
+)
+def q234_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven partition-column advice: for each candidate key,
+    the partition count, average and maximum partition sizes, and a
+    verdict — too_coarse (can't parallelize or prune), too_fine (the
+    small-file problem q146 then has to repair), skewed (one partition
+    dominates → stragglers), or good. This is the profiling step
+    before any `partitionBy` DDL; guessing it is how tables end up
+    with a million 2-row files or one 90% partition.
+
+    Determinism: counts and integer comparisons (the skew test is
+    cross-multiplied).
+
+    Scale: each candidate is one map-side-combined count aggregate of
+    its table; verdicts read the |partitions|-row result. The
+    thresholds are policy constants — production swaps row counts for
+    byte sizes, same arithmetic.
+
+    Reference: closes the layout loop (q144 skew profile → THIS
+    advisor → io.py partitioned/clustered writers → q146 compaction;
+    SURVEY §2 extended quality)."""
+    out = None
+    for label, table, expr in PARTITION_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        kc = df.groupBy(F.expr(expr).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = kc.agg(
+            F.lit(label).alias("candidate"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.expr("CAST(sum(c) AS BIGINT) DIV count(1)").alias("avg_rows"),
+            F.max("c").cast("bigint").alias("max_rows"),
+        )
+        out = row if out is None else out.unionAll(row)
+    advice = (
+        F.when(F.col("n_partitions") < 2, "too_coarse")
+        .when(F.col("avg_rows") < MIN_PART_ROWS, "too_fine")
+        .when(
+            100 * F.col("max_rows") > SKEW_SHARE_PCT * F.col("n_rows"),
+            "skewed",
+        )
+        .otherwise("good")
+    )
+    return out.select(
+        "candidate",
+        "n_rows",
+        "n_partitions",
+        "avg_rows",
+        "max_rows",
+        advice.alias("advice"),
+    ).orderBy("candidate")

@@ -1742,3 +1742,98 @@ def q229_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q233 — in-session error impact (outcome rates conditioned on errors)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q233_error_impact",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_no
+        FROM g
+    ),
+    per_session AS (
+        SELECT user_id, session_no,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS has_error,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+    )
+    SELECT has_error,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           (1000000 * CAST(SUM(converted) AS BIGINT)) // COUNT(*)
+               AS conversion_ppm,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY has_error
+    ORDER BY has_error
+    """,
+)
+def q233_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does an in-session ERROR change the session's outcome? Sessions
+    (q76's 30-minute gaps) split by whether they contained an error
+    event, with conversion (purchase) rates side by side — the
+    reliability-to-revenue bridge: the delta between the two
+    conversion_ppm rows is what an SRE error budget is actually worth
+    in orders. (Observational, not causal — q132's A/B arm is the
+    causal tool; this is the monitoring view.)
+
+    Determinism: flags via MAX over 0/1, counts, integer ppm rates.
+
+    Scale: sessionization and the per-session flag aggregation share
+    ONE user exchange (q206's shape); the output is two rows.
+
+    Reference: composes q76 sessions with q132's conversion framing
+    (SURVEY §2 extended windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(is_new).over(wsum).cast("bigint").alias("session_no"),
+    )
+    per_session = s.groupBy("user_id", "session_no").agg(
+        F.max((F.col("event_type") == "error").cast("int")).alias("has_error"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        per_session.groupBy("has_error")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("(1000000 * sum(converted)) DIV count(1)").alias(
+                "conversion_ppm"
+            ),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+        .orderBy("has_error")
+    )

@@ -122,7 +122,8 @@ _SWEEP_PRIORITY = [
     "q222_data_contracts", "q223_bm25", "q224_calendar_dim",
     "q225_abc_xyz_matrix", "q226_cdc_apply", "q227_embedding_drift",
     "q228_rank_movers", "q229_interpolate_gaps", "q230_user_similarity",
-    "q231_release_report",
+    "q231_release_report", "q232_wau_retention_bitmap",
+    "q233_error_impact", "q234_partition_advisor",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -188,6 +188,10 @@ SCAN_BUDGETS = {
     "q230_user_similarity": 2,       # vector-aggregate self-join sides
     "q231_release_report": 16,       # 1 real scan: persisted projection
                                      # reprints per metric arm
+    "q232_wau_retention_bitmap": 6,  # 1 real scan: persisted bitmaps
+                                     # reprint per sizes/ret consumer
+    "q233_error_impact": 1,
+    "q234_partition_advisor": 6,     # one count aggregate per candidate
 }
 
 

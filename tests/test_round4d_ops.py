@@ -1395,3 +1395,78 @@ def test_release_report_metrics_recount(spark):
     assert got["n_languages"] == len({r["lang"] for r in docs})
     assert got["n_sources"] == len({r["source"] for r in docs})
     assert got["total_tokens"] == sum(len(t.split(" ")) for t in texts)
+
+
+# --------------------------------------------------------------------------
+# q232 — WAU retention bitmaps
+# --------------------------------------------------------------------------
+
+
+def test_wau_retention_bitmap_equals_set_intersection(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).collect()
+    import datetime as dt
+
+    anchor = dt.date(1970, 1, 5)
+    weeks = defaultdict(set)
+    for r in ev:
+        weeks[(r["d"] - anchor).days // 7].add(r["user_id"])
+    got = registry.QUERIES["q232_wau_retention_bitmap"](
+        spark, SF_SMALL
+    ).collect()
+    assert {r["wk"] for r in got} == set(weeks)
+    for r in got:
+        cur = weeks[r["wk"]]
+        nxt = weeks.get(r["wk"] + 1, set())
+        assert r["n_active"] == len(cur)
+        assert r["n_retained_next"] == len(cur & nxt)
+        assert r["retention_ppm"] == (1_000_000 * len(cur & nxt)) // len(cur)
+
+
+# --------------------------------------------------------------------------
+# q233 — error impact
+# --------------------------------------------------------------------------
+
+
+def test_error_impact_partitions_all_sessions(spark):
+    got = registry.QUERIES["q233_error_impact"](spark, SF_SMALL).collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in got) == n_events
+    assert {r["has_error"] for r in got} == {0, 1}
+    for r in got:
+        assert 0 <= r["n_converted"] <= r["n_sessions"]
+        assert r["conversion_ppm"] == (
+            1_000_000 * r["n_converted"]
+        ) // r["n_sessions"]
+
+
+# --------------------------------------------------------------------------
+# q234 — partition advisor
+# --------------------------------------------------------------------------
+
+
+def test_partition_advisor_verdict_logic(spark):
+    from serverless_etl_spark.operators.quality import (
+        MIN_PART_ROWS,
+        SKEW_SHARE_PCT,
+    )
+
+    got = {
+        r["candidate"]: r
+        for r in registry.QUERIES["q234_partition_advisor"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    # per-row keys are too fine at any scale
+    assert got["events.user_id"]["advice"] in ("too_fine", "good")
+    for r in got.values():
+        if r["n_partitions"] < 2:
+            assert r["advice"] == "too_coarse"
+        elif r["avg_rows"] < MIN_PART_ROWS:
+            assert r["advice"] == "too_fine"
+        elif 100 * r["max_rows"] > SKEW_SHARE_PCT * r["n_rows"]:
+            assert r["advice"] == "skewed"
+        else:
+            assert r["advice"] == "good"
+        assert r["avg_rows"] == r["n_rows"] // r["n_partitions"]

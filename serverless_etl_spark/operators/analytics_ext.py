@@ -4731,3 +4731,237 @@ def q232_wau_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+# --------------------------------------------------------------------------
+# q235 — KMV sketch set algebra (union / intersection estimates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q235_kmv_set_algebra",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS seg,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                    || strftime(ts, '%Y-%m-%d')), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    fan AS (
+        SELECT DISTINCT seg, u FROM (
+            SELECT seg, u FROM hashed
+            UNION ALL SELECT 'u' AS seg, u FROM hashed)
+    ),
+    ranked AS (
+        SELECT seg, u,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY u) AS rk,
+               COUNT(*) OVER (PARTITION BY seg) AS n_exact
+        FROM fan
+    ),
+    per_seg AS (
+        SELECT seg, n_exact,
+               CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+                    ELSE FLOOR(({KMV_K} - 1) / u) END AS BIGINT) AS est
+        FROM ranked
+        WHERE rk = LEAST(n_exact, {KMV_K})
+          AND (rk = {KMV_K} OR n_exact < {KMV_K})
+    )
+    SELECT MAX(CASE WHEN seg = 'a' THEN n_exact END) AS exact_a,
+           MAX(CASE WHEN seg = 'b' THEN n_exact END) AS exact_b,
+           MAX(CASE WHEN seg = 'u' THEN n_exact END) AS exact_union,
+           MAX(CASE WHEN seg = 'a' THEN n_exact END)
+             + MAX(CASE WHEN seg = 'b' THEN n_exact END)
+             - MAX(CASE WHEN seg = 'u' THEN n_exact END) AS exact_inter,
+           MAX(CASE WHEN seg = 'a' THEN est END) AS kmv_a,
+           MAX(CASE WHEN seg = 'b' THEN est END) AS kmv_b,
+           MAX(CASE WHEN seg = 'u' THEN est END) AS kmv_union,
+           MAX(CASE WHEN seg = 'a' THEN est END)
+             + MAX(CASE WHEN seg = 'b' THEN est END)
+             - MAX(CASE WHEN seg = 'u' THEN est END) AS kmv_inter
+    FROM per_seg
+    """,
+)
+def q235_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA over KMV sketches (q121's estimator extended
+    to union and inclusion-exclusion intersection): the click-day and
+    purchase-day audiences (member = user-day) each get a KMV distinct
+    sketch; the UNION sketch is "keep the k smallest of the combined
+    hash set" (exactly how KMV merges), and the intersection estimate
+    is a + b − union. Exact counts are computed alongside so the
+    estimator error is measurable — the audience-overlap question q205
+    answers exactly with bitmaps, restated in mergeable-sketch form for
+    the cardinalities where bitmaps no longer fit.
+
+    Determinism: members hash to md5-derived uniforms; both engines
+    rank the same u values, so estimate arithmetic is bit-identical.
+
+    Scale: the fan-out (each member feeds its own segment AND the
+    union segment) happens map-side before the only wide op, the
+    distinct on (seg, u). At real scale the full distinct is replaced
+    by the sketch's bounded state (keep k per partition, merge k-mins)
+    — the oracle pins the estimator arithmetic that merge must
+    reproduce. Sketch state is O(k) per segment regardless of input.
+
+    Reference: no sketches anywhere (COUNT only,
+    lambda/analytical-transform.py:24); this is engine-native audience
+    algebra for the dashboard layer."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("user_id").cast("string"),
+                        F.date_format("ts", "yyyy-MM-dd"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    base = ev.select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias("seg"),
+        u.alias("u"),
+    )
+    fan = base.unionAll(base.select(F.lit("u").alias("seg"), "u")).distinct()
+    w = Window.partitionBy("seg").orderBy("u")
+    wc = Window.partitionBy("seg")
+    ranked = fan.select(
+        "seg",
+        "u",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    est = (
+        F.when(F.col("n_exact") < KMV_K, F.col("n_exact"))
+        .otherwise(F.floor((KMV_K - 1) / F.col("u")))
+        .cast("bigint")
+    )
+    per_seg = ranked.filter(
+        (F.col("rk") == F.least(F.col("n_exact"), F.lit(KMV_K)))
+        & ((F.col("rk") == KMV_K) | (F.col("n_exact") < KMV_K))
+    ).select("seg", "n_exact", est.alias("est"))
+
+    def pick(seg: str, col: str):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+
+    return per_seg.groupBy().agg(
+        pick("a", "n_exact").alias("exact_a"),
+        pick("b", "n_exact").alias("exact_b"),
+        pick("u", "n_exact").alias("exact_union"),
+        (
+            pick("a", "n_exact") + pick("b", "n_exact") - pick("u", "n_exact")
+        ).alias("exact_inter"),
+        pick("a", "est").alias("kmv_a"),
+        pick("b", "est").alias("kmv_b"),
+        pick("u", "est").alias("kmv_union"),
+        (pick("a", "est") + pick("b", "est") - pick("u", "est")).alias(
+            "kmv_inter"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q237 — Pareto frontier (skyline) with distributed local-then-global pass
+# --------------------------------------------------------------------------
+
+#: deterministic bucket count for the local-skyline pass
+SKYLINE_BUCKETS = 16
+
+
+def _skyline_filter(df: DataFrame, bucket_col: str | None) -> DataFrame:
+    """Keep the Pareto frontier of (avg_cents ↑, n_orders ↑) within
+    each bucket (or globally when bucket_col is None). A point is
+    dominated iff some other point is ≥ in both dims and > in one:
+    with integer avg_cents ordering, that's (a) max n_orders among
+    strictly-higher avg_cents ≥ mine, or (b) max n_orders among
+    equal-avg_cents rows > mine."""
+    part = [bucket_col] if bucket_col else []
+    w_strict = (
+        Window.partitionBy(*part)
+        .orderBy("avg_cents")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy(*part, "avg_cents")
+    return (
+        df.withColumn("m_strict", F.max("n_orders").over(w_strict))
+        .withColumn("m_same", F.max("n_orders").over(w_same))
+        .filter(
+            (F.coalesce(F.col("m_strict"), F.lit(-1)) < F.col("n_orders"))
+            & (F.col("m_same") <= F.col("n_orders"))
+        )
+        .drop("m_strict", "m_same")
+    )
+
+
+@register(
+    "q237_pareto_frontier",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   // COUNT(*) AS avg_cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT a.o_custkey AS custkey, a.avg_cents, a.n_orders
+    FROM agg a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM agg b
+        WHERE b.avg_cents >= a.avg_cents AND b.n_orders >= a.n_orders
+          AND (b.avg_cents > a.avg_cents OR b.n_orders > a.n_orders)
+    )
+    ORDER BY avg_cents DESC, custkey
+    """,
+)
+def q237_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: customers not dominated on
+    (average order value, order count) — the two dims genuinely trade
+    off, so the frontier is the best-of-both-worlds set no single
+    ORDER BY can produce. The oracle is the NOT EXISTS dominance spec;
+    the engine computes it with the distributed two-phase skyline:
+    a LOCAL frontier per deterministic md5 bucket (windows partitioned
+    by bucket — fully parallel), then the GLOBAL frontier over the
+    surviving points. Correct because a globally-undominated point is
+    undominated in every subset containing it, so phase 1 never drops
+    a frontier member; phase 2 removes the cross-bucket dominated
+    survivors.
+
+    Determinism: avg order value in integer cents (exact decimal sum
+    × 100, floor-divided by the count) — no float comparison anywhere.
+
+    Scale: the fact-side aggregation is the only full-data op; the
+    global pass sorts only the local survivors (≤ frontier-per-bucket
+    × buckets — skylines of correlated dims are tiny), so nothing
+    resembling the input ever hits one reducer. Contrast q109's
+    documented single-reducer exact-ntile posture."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " DIV COUNT(*)"
+        ).alias("avg_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bucketed = agg.withColumn(
+        "bkt",
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % SKYLINE_BUCKETS,
+    )
+    local = _skyline_filter(bucketed, "bkt")
+    return (
+        _skyline_filter(local.drop("bkt"), None)
+        .select(
+            F.col("o_custkey").alias("custkey"), "avg_cents", "n_orders"
+        )
+        .orderBy(F.col("avg_cents").desc(), "custkey")
+    )

@@ -189,3 +189,102 @@ def q213_late_data_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# q238 — incremental JOIN-view maintenance (delta-join algebra)
+# --------------------------------------------------------------------------
+
+#: deterministic delta slices: these rows play the "new batch" role
+O_DELTA_MOD = 10
+C_DELTA_MOD = 20
+
+
+@register(
+    "q238_delta_join_view",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q238_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (q75's mergeable-partial
+    contract extended across a join): for V = orders ⋈ customer
+    aggregated per nation, an insert batch on BOTH sides updates the
+    view via the delta-join expansion
+
+        (O ∪ ΔO) ⋈ (C ∪ ΔC)
+      = O⋈C  ∪  ΔO⋈C  ∪  O⋈ΔC  ∪  ΔO⋈ΔC
+
+    — the engine computes the base partial plus the three delta terms
+    and MERGES the partial aggregates; the oracle is the monolithic
+    full recompute. Hash-match proves the algebra (no delta row
+    double-counted, none missed).
+
+    Determinism: counts + exact decimal sums (order-free merge), cast
+    to double once at the end.
+
+    Scale: this is why a 100 TB joined rollup never rescans history —
+    the three delta terms each touch only a delta slice (ΔC and ΔO are
+    batch-sized; the delta side broadcasts), and the merge shuffles
+    only rollup rows (|nations|). In production the base partial is a
+    stored table (q75's partition-overwrite shape); here it is
+    recomputed only so one query can exhibit the whole contract.
+
+    Reference: the full-rescan INSERT INTO...SELECT this replaces is
+    lambda/analytical-transform.py:25-26."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    o_delta = orders.filter(F.col("o_orderkey") % O_DELTA_MOD == 0)
+    o_base = orders.filter(F.col("o_orderkey") % O_DELTA_MOD != 0)
+    c_delta = customer.filter(F.col("c_custkey") % C_DELTA_MOD == 0)
+    c_base = customer.filter(F.col("c_custkey") % C_DELTA_MOD != 0)
+
+    def partial(o: DataFrame, c: DataFrame, broadcast_c: bool) -> DataFrame:
+        cc = F.broadcast(c) if broadcast_c else c
+        return (
+            o.join(cc, o["o_custkey"] == cc["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(22,2)")).alias(
+                    "rev"
+                ),
+            )
+        )
+
+    base = partial(o_base, c_base, broadcast_c=False)
+    d_oc = partial(o_delta, c_base, broadcast_c=False)
+    d_co = partial(o_base, c_delta, broadcast_c=True)
+    d_oo = partial(o_delta, c_delta, broadcast_c=True)
+
+    merged = (
+        base.unionByName(d_oc)
+        .unionByName(d_co)
+        .unionByName(d_oo)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev").alias("rev"),
+        )
+    )
+    return (
+        merged.join(
+            F.broadcast(nation),
+            merged["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            "n_name",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

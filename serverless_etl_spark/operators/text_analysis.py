@@ -1052,3 +1052,76 @@ def q223_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BM25_TOP_N)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q236 — BPE merge-step pair frequencies (tokenizer training, one step)
+# --------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+@register(
+    "q236_bpe_merge_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT token AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, freq, word
+        FROM (SELECT word, freq,
+                     unnest(range(1, CAST(length(word) AS BIGINT))) AS i
+              FROM words WHERE length(word) >= 2)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+           COUNT(DISTINCT word) AS n_words
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP}
+    """,
+)
+def q236_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step, the inner loop of building a
+    vocabulary for the LLM pipeline: collapse the corpus to a word
+    frequency table, explode each word into its adjacent character
+    pairs, and rank pairs by corpus-weighted frequency — the top row
+    IS the next merge a byte-pair encoder would perform. (Successive
+    merges re-run this over the re-segmented words; each step is this
+    exact aggregation shape.)
+
+    Determinism: integer counts; ties broken by pair text.
+
+    Scale: the critical property of the real BPE trainer preserved
+    here — the corpus collapses to the BOUNDED word-frequency table
+    (|V| rows) BEFORE any character-level explode, so the pair
+    explode fans out Σ|word| over the vocabulary, not over the 100 TB
+    corpus. One documents scan; pair counting is partial-aggregated
+    map-side; top-{BPE_TOP} is a limit after the tiny pair agg.
+
+    Reference: no tokenizer anywhere; this extends q30's token
+    analytics (SURVEY §2 T1) down to the sub-word level the training
+    stack needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 2)").alias("pair"), "freq", "word"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("bigint").alias("pair_count"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_TOP)
+    )

@@ -1,0 +1,149 @@
+"""Invariant tests for the round-4 fifth-sitting operators: KMV set
+algebra consistency + error bound, BPE pair counting vs a pure-Python
+recomputation, distributed skyline vs a brute-force dominance check,
+and delta-join view maintenance vs the monolithic join."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.analytics_ext import KMV_K
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+# --------------------------------------------------------------------------
+# q235 — KMV set algebra
+# --------------------------------------------------------------------------
+
+
+def test_kmv_set_algebra_consistency_and_error(spark):
+    # sf0.01: all three segments are in the sketch regime (n >= k)
+    row = registry.QUERIES["q235_kmv_set_algebra"](spark, SF_MID).collect()[0]
+    # exact inclusion-exclusion must hold by construction
+    assert row["exact_inter"] == row["exact_a"] + row["exact_b"] - row["exact_union"]
+    assert row["kmv_inter"] == row["kmv_a"] + row["kmv_b"] - row["kmv_union"]
+    # union is at least each side, at most the sum (exact sets)
+    assert max(row["exact_a"], row["exact_b"]) <= row["exact_union"]
+    assert row["exact_union"] <= row["exact_a"] + row["exact_b"]
+    # KMV relative error: sigma ~ 1/sqrt(k-2); allow 4 sigma
+    tol = 4.0 / math.sqrt(KMV_K - 2)
+    for est, exact in [
+        (row["kmv_a"], row["exact_a"]),
+        (row["kmv_b"], row["exact_b"]),
+        (row["kmv_union"], row["exact_union"]),
+    ]:
+        assert abs(est - exact) / exact <= tol, (est, exact)
+
+
+def test_kmv_small_regime_is_exact(spark):
+    # sf0.001: every segment has fewer than k members -> estimate IS exact
+    row = registry.QUERIES["q235_kmv_set_algebra"](spark, SF_SMALL).collect()[0]
+    if row["exact_union"] < KMV_K:
+        assert row["kmv_a"] == row["exact_a"]
+        assert row["kmv_b"] == row["exact_b"]
+        assert row["kmv_union"] == row["exact_union"]
+
+
+# --------------------------------------------------------------------------
+# q236 — BPE merge-pair counting
+# --------------------------------------------------------------------------
+
+
+def test_bpe_pairs_match_pure_python(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    freq = Counter()
+    for r in docs:
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] += 1
+    pair_count = Counter()
+    pair_words = {}
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_count[p] += f
+            pair_words.setdefault(p, set()).add(w)
+    expected = sorted(
+        ((p, c, len(pair_words[p])) for p, c in pair_count.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r["pair"], r["pair_count"], r["n_words"])
+        for r in registry.QUERIES["q236_bpe_merge_pairs"](spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q237 — distributed skyline
+# --------------------------------------------------------------------------
+
+
+def test_skyline_matches_brute_force(spark):
+    pts = {
+        r["o_custkey"]: (r["avg_cents"], r["n_orders"])
+        for r in load_table(spark, SF_MID, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+                " DIV COUNT(*)"
+            ).alias("avg_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+
+    def dominated(a, b):  # b dominates a
+        return b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+
+    expected = {
+        k
+        for k, a in pts.items()
+        if not any(dominated(a, b) for kk, b in pts.items() if kk != k)
+    }
+    got = {
+        r["custkey"]
+        for r in registry.QUERIES["q237_pareto_frontier"](spark, SF_MID).collect()
+    }
+    assert got == expected
+    assert got  # non-degenerate fixture
+
+
+# --------------------------------------------------------------------------
+# q238 — delta-join view maintenance
+# --------------------------------------------------------------------------
+
+
+def test_delta_join_view_equals_monolithic_join(spark):
+    got = {
+        r["n_name"]: (r["n_orders"], r["revenue"])
+        for r in registry.QUERIES["q238_delta_join_view"](spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    nation = load_table(spark, SF_SMALL, "nation")
+    full = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    expected = {
+        r["n_name"]: (r["n_orders"], r["revenue"]) for r in full.collect()
+    }
+    assert got == expected

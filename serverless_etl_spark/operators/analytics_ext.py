@@ -4965,3 +4965,142 @@ def q237_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("avg_cents").desc(), "custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q239 — HyperLogLog from first principles (deterministic registers)
+# --------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+#: 48-bit hash = 12 md5 hex chars; top HLL_P bits index, low 40 bits rank
+HLL_LOW_BITS = 40
+HLL_LOW_MOD = 1 << HLL_LOW_BITS
+#: alpha_m * m^2, computed once in Python and embedded as the same
+#: double literal in BOTH engines' plans
+HLL_C = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+@register(
+    "q239_hll_distinct",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                    || strftime(ts, '%Y-%m-%d')), 1, 12)) AS BIGINT) AS h
+        FROM events
+    ),
+    rho AS (
+        SELECT event_type, h // {HLL_LOW_MOD} AS idx,
+               CASE WHEN h % {HLL_LOW_MOD} = 0 THEN {HLL_LOW_BITS + 1}
+                    ELSE {HLL_LOW_BITS + 1} - length(bin(h % {HLL_LOW_MOD}))
+               END AS rho
+        FROM members
+    ),
+    regs AS (
+        SELECT event_type, idx, MAX(rho) AS m
+        FROM rho GROUP BY event_type, idx
+    ),
+    sums AS (
+        SELECT event_type,
+               SUM(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))
+                   AS s_present,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, COUNT(*) AS exact_members
+        FROM members GROUP BY event_type
+    )
+    SELECT e.event_type, e.exact_members,
+           CAST(FLOOR({HLL_C!r}
+               / (s.s_present + ({HLL_M} - s.n_present))) AS BIGINT)
+               AS hll_estimate,
+           1000000 * abs(CAST(FLOOR({HLL_C!r}
+               / (s.s_present + ({HLL_M} - s.n_present))) AS BIGINT)
+               - e.exact_members) // e.exact_members AS err_ppm
+    FROM exact e JOIN sums s ON e.event_type = s.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q239_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles as engine-checkable
+    relational algebra (the estimator behind Spark's own
+    approx_count_distinct / q49, made deterministic and ORACLE-EXACT):
+    each member hashes to 48 md5-derived bits; the top {HLL_P} bits
+    pick one of {HLL_M} registers, the position of the highest set bit
+    in the low {HLL_LOW_BITS} gives the register rank rho; registers
+    take the MAX rho (an idempotent, mergeable aggregate — union of
+    sketches = elementwise max); the raw estimate is alpha·m²/Σ2^−M.
+
+    Determinism: rho via length(bin(r)) — integer bit-length, no libm
+    log; the register sum Σ2^−M is a sum of dyadic rationals whose
+    total precision (8+41 bits) fits a double EXACTLY, so the sum is
+    order-independent; alpha·m² is one Python-computed double literal
+    embedded in both plans. The exact count rides alongside, so the
+    row also reports err_ppm — the continuous estimator-quality check
+    (q120's pattern applied to cardinality).
+
+    Scale: this is THE 100 TB distinct-count shape — register state is
+    {HLL_M} small ints per group regardless of input; partial sketches
+    merge by max. Here the distinct feeding `exact` is the only wide
+    op, and it exists solely to measure the estimator.
+
+    Reference: no approximate aggregation anywhere (COUNT only,
+    lambda/analytical-transform.py:24)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("user_id").cast("string"),
+                    F.date_format("ts", "yyyy-MM-dd"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    members = ev.select("event_type", h.alias("h")).distinct()
+    r = F.col("h") % HLL_LOW_MOD
+    rho = F.when(r == 0, F.lit(HLL_LOW_BITS + 1)).otherwise(
+        F.lit(HLL_LOW_BITS + 1) - F.length(F.bin(r))
+    )
+    regs = (
+        members.select(
+            "event_type",
+            (F.col("h") / HLL_LOW_MOD).cast("bigint").alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = members.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_members")
+    )
+    est = F.floor(
+        F.lit(HLL_C) / (F.col("s_present") + (HLL_M - F.col("n_present")))
+    ).cast("bigint")
+    return (
+        exact.join(sums, "event_type")
+        .select("event_type", "exact_members", est.alias("hll_estimate"))
+        .select(
+            "event_type",
+            "exact_members",
+            "hll_estimate",
+            F.expr(
+                "1000000 * abs(hll_estimate - exact_members)"
+                " DIV exact_members"
+            ).alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )

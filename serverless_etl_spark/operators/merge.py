@@ -581,3 +581,121 @@ def q226_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# q242 — CDC changelog GENERATION (snapshot diff → I/U/D feed)
+# --------------------------------------------------------------------------
+
+
+def cdc_generate(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Diff two snapshots into the minimal I/U/D changelog that
+    cdc_apply(old, changelog) replays into `new` — the inverse
+    operator of q226's apply, and the standard way to retrofit CDC
+    onto a source that only ships full snapshots.
+
+    Payload columns are every shared non-key column; comparisons are
+    null-safe. Output: `op` ('I'/'U'/'D') + key + payload (the NEW
+    values for I/U, the OLD values for D). Unchanged rows emit
+    nothing.
+
+    Scale: one keyed full-outer hash join (both sides shuffle on the
+    key once); the change feed that leaves is |changes|, not
+    |snapshot| — the whole point at 100 TB."""
+    payload = [c for c in new.columns if c != key and c in old.columns]
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(F.col(f"o.{key}").isNull(), "I")
+        .when(F.col(f"n.{key}").isNull(), "D")
+        .when(changed, "U")
+    )
+    side = F.when(F.col(f"n.{key}").isNull(), F.lit("o")).otherwise(F.lit("n"))
+    cols = [
+        F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+        *[
+            F.when(side == "o", F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+    ]
+    return j.select(op.alias("op"), *cols).filter(F.col("op").isNotNull())
+
+
+#: deterministic synthetic "old" snapshot: k%11==0 rows are missing
+#: (become inserts), k%7==0 rows have perturbed cents (updates),
+#: k%13==0 rows are cloned to phantom keys (deletes)
+CDCG_I_MOD = 11
+CDCG_U_MOD = 7
+CDCG_D_MOD = 13
+CDCG_D_OFFSET = 10_000_000
+
+
+@register(
+    "q242_cdc_generate",
+    oracle=f"""
+    WITH newt AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    oldt AS (
+        SELECT k, seg,
+               CASE WHEN k % {CDCG_U_MOD} = 0 THEN cents + 1000
+                    ELSE cents END AS cents
+        FROM newt WHERE k % {CDCG_I_MOD} <> 0
+        UNION ALL
+        SELECT k + {CDCG_D_OFFSET}, 'DELETED', CAST(0 AS BIGINT)
+        FROM newt WHERE k % {CDCG_D_MOD} = 0
+    ),
+    j AS (
+        SELECT o.k AS ko, o.seg AS so, o.cents AS co,
+               n.k AS kn, n.seg AS sn, n.cents AS cn
+        FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k
+    )
+    SELECT 'I' AS op, kn AS k, sn AS seg, cn AS cents FROM j WHERE ko IS NULL
+    UNION ALL
+    SELECT 'D', ko, so, co FROM j WHERE kn IS NULL
+    UNION ALL
+    SELECT 'U', kn, sn, cn FROM j
+    WHERE ko IS NOT NULL AND kn IS NOT NULL AND (so <> sn OR co <> cn)
+    ORDER BY op, k
+    """,
+)
+def q242_cdc_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise cdc_generate on deterministic snapshot drift: the
+    "old" customer snapshot is the current one minus the k%{CDCG_I_MOD}
+    rows (→ I), with k%{CDCG_U_MOD} balances perturbed (→ U), plus
+    phantom rows no longer present (→ D). The changelog must contain
+    exactly those rows with the right payloads — and
+    tests/test_round4e_ops.py closes the loop by asserting
+    cdc_apply(old, changelog) == new (generate∘apply = identity).
+
+    Determinism: integer cents (FLOOR before the bigint cast on both
+    engines — DuckDB CAST rounds, Spark truncates) and exact key
+    arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    new = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    old = new.filter(F.col("k") % CDCG_I_MOD != 0).select(
+        "k",
+        "seg",
+        F.when(F.col("k") % CDCG_U_MOD == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).unionByName(
+        new.filter(F.col("k") % CDCG_D_MOD == 0).select(
+            (F.col("k") + CDCG_D_OFFSET).alias("k"),
+            F.lit("DELETED").alias("seg"),
+            F.lit(0).cast("bigint").alias("cents"),
+        )
+    )
+    return cdc_generate(old, new, "k").orderBy("op", "k")

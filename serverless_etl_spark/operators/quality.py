@@ -1438,3 +1438,84 @@ def q234_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rows",
         advice.alias("advice"),
     ).orderBy("candidate")
+
+
+# --------------------------------------------------------------------------
+# q241 — functional-dependency profiler (schema discovery)
+# --------------------------------------------------------------------------
+
+#: candidate FDs to test: (table, lhs column, rhs column). Mix of true
+#: key-dependencies and deliberately-false candidates so both verdicts
+#: are exercised.
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("events", "user_id", "event_type"),
+)
+
+
+@register(
+    "q241_functional_deps",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS tbl, '{a}' AS lhs, '{b}' AS rhs,
+           (SELECT COUNT(DISTINCT {a}) FROM {t}) AS n_lhs,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT {a}, {b} FROM {t}))
+               AS n_pairs,
+           (SELECT COUNT(DISTINCT {a}) FROM {t})
+               = (SELECT COUNT(*) FROM (SELECT DISTINCT {a}, {b} FROM {t}))
+               AS holds,
+           1000000 * (SELECT COUNT(DISTINCT {a}) FROM {t})
+               // (SELECT COUNT(*) FROM (SELECT DISTINCT {a}, {b} FROM {t}))
+               AS strength_ppm
+        """
+        for t, a, b in FD_CANDIDATES
+    )
+    + "\nORDER BY tbl, lhs, rhs",
+)
+def q241_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the schema-profiling pass that
+    finds undeclared keys and broken assumptions before a migration):
+    for each candidate A→B, compare |distinct A| with |distinct (A,B)|
+    — the FD holds iff they're equal; strength_ppm quantifies how
+    close a violated dependency is to holding (the approximate-FD
+    measure schema-inference tools report).
+
+    Determinism: pure distinct counts and integer ppm division.
+
+    Scale: each candidate is ONE distinct-aggregate on its table
+    (map-side partial dedup on (A,B), then counting — no joins, no
+    value comparisons); candidates run independently and union into a
+    5-row report. At 100 TB you'd batch candidates per table into one
+    pass with grouping sets over sketches (q239's HLL registers make
+    |distinct| mergeable); the exact form here is the oracle-checkable
+    contract.
+
+    Reference: complements q71's column profiler and q222's contract
+    engine (those check values; this checks RELATIONSHIPS)."""
+    out = None
+    for t, a, b in FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        row = (
+            tbl.select(F.col(a).alias("lhs_v"), F.col(b).alias("rhs_v"))
+            .distinct()
+            .agg(
+                F.countDistinct("lhs_v").alias("n_lhs"),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
+            .select(
+                F.lit(t).alias("tbl"),
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
+                F.expr("1000000 * n_lhs DIV n_pairs").alias("strength_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "lhs", "rhs")

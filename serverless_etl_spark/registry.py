@@ -126,6 +126,8 @@ _SWEEP_PRIORITY = [
     "q233_error_impact", "q234_partition_advisor",
     "q235_kmv_set_algebra", "q236_bpe_merge_pairs",
     "q237_pareto_frontier", "q238_delta_join_view",
+    "q239_hll_distinct", "q240_windowed_funnel",
+    "q241_functional_deps", "q242_cdc_generate",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

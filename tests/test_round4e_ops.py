@@ -147,3 +147,186 @@ def test_delta_join_view_equals_monolithic_join(spark):
         r["n_name"]: (r["n_orders"], r["revenue"]) for r in full.collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q239 — HLL registers
+# --------------------------------------------------------------------------
+
+
+def test_hll_matches_pure_python_registers(spark):
+    import hashlib
+
+    from serverless_etl_spark.operators.analytics_ext import (
+        HLL_C,
+        HLL_LOW_BITS,
+        HLL_LOW_MOD,
+        HLL_M,
+    )
+
+    ev = load_table(spark, SF_MID, "events").select("event_type", "user_id", "ts")
+    members = {}
+    for r in ev.collect():
+        day = r["ts"].strftime("%Y-%m-%d")
+        h = int(
+            hashlib.md5(f"{r['user_id']}|{day}".encode()).hexdigest()[:12], 16
+        )
+        members.setdefault(r["event_type"], set()).add(h)
+    expected = {}
+    for et, hs in members.items():
+        regs = {}
+        for h in hs:
+            idx, low = h // HLL_LOW_MOD, h % HLL_LOW_MOD
+            rho = (
+                HLL_LOW_BITS + 1
+                if low == 0
+                else HLL_LOW_BITS + 1 - low.bit_length()
+            )
+            regs[idx] = max(regs.get(idx, 0), rho)
+        s = sum(1.0 / (1 << m) for m in regs.values()) + (HLL_M - len(regs))
+        expected[et] = (len(hs), int(HLL_C / s))
+    got = {
+        r["event_type"]: (r["exact_members"], r["hll_estimate"])
+        for r in registry.QUERIES["q239_hll_distinct"](spark, SF_MID).collect()
+    }
+    assert got == expected
+    # estimator quality: 4 sigma for m=256 registers (sigma = 1.04/16)
+    for exact, est in got.values():
+        assert abs(est - exact) / exact <= 4 * 1.04 / 16
+
+
+# --------------------------------------------------------------------------
+# q240 — windowed funnel
+# --------------------------------------------------------------------------
+
+
+def test_windowed_funnel_matches_pure_python(spark):
+    from datetime import timedelta
+
+    from serverless_etl_spark.operators.windows import (
+        FUNNEL_CLICK_DAYS,
+        FUNNEL_PURCHASE_DAYS,
+    )
+
+    rows = load_table(spark, SF_MID, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    n_view = n_click = n_purchase = 0
+    for evs in by_user.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n_view += 1
+        t_view = min(views)
+        clicks = [
+            t
+            for t, e in evs
+            if e == "click"
+            and t > t_view
+            and t <= t_view + timedelta(days=FUNNEL_CLICK_DAYS)
+        ]
+        if not clicks:
+            continue
+        n_click += 1
+        t_click = min(clicks)
+        purchases = [
+            t
+            for t, e in evs
+            if e == "purchase"
+            and t > t_click
+            and t <= t_click + timedelta(days=FUNNEL_PURCHASE_DAYS)
+        ]
+        if purchases:
+            n_purchase += 1
+    row = registry.QUERIES["q240_windowed_funnel"](spark, SF_MID).collect()[0]
+    assert (row["n_view"], row["n_click"], row["n_purchase"]) == (
+        n_view,
+        n_click,
+        n_purchase,
+    )
+    # the deadline must bite: windowed clicks < clicks with no deadline
+    # (q77 is NOT the right comparison — it gates on the FIRST click
+    # overall being after the first view, a stricter different rule)
+    n_click_nodeadline = sum(
+        1
+        for evs in by_user.values()
+        if [t for t, e in evs if e == "view"]
+        and any(
+            t > min(tt for tt, ee in evs if ee == "view")
+            for t, e in evs
+            if e == "click"
+        )
+    )
+    assert row["n_click"] < n_click_nodeadline
+
+
+# --------------------------------------------------------------------------
+# q241 — functional dependencies
+# --------------------------------------------------------------------------
+
+
+def test_fd_verdicts(spark):
+    got = {
+        (r["tbl"], r["lhs"], r["rhs"]): (r["holds"], r["strength_ppm"])
+        for r in registry.QUERIES["q241_functional_deps"](
+            spark, SF_MID
+        ).collect()
+    }
+    # key dependencies hold exactly
+    assert got[("orders", "o_orderkey", "o_custkey")] == (True, 1000000)
+    assert got[("customer", "c_custkey", "c_mktsegment")] == (True, 1000000)
+    assert got[("nation", "n_nationkey", "n_regionkey")] == (True, 1000000)
+    # non-keys are violated, with strength strictly below 1
+    holds, ppm = got[("events", "user_id", "event_type")]
+    assert not holds and ppm < 1000000
+
+
+# --------------------------------------------------------------------------
+# q242 — CDC generate ∘ apply = identity
+# --------------------------------------------------------------------------
+
+
+def test_cdc_generate_apply_roundtrip(spark):
+    from serverless_etl_spark.operators.merge import (
+        CDCG_D_MOD,
+        CDCG_D_OFFSET,
+        CDCG_I_MOD,
+        CDCG_U_MOD,
+        cdc_apply,
+        cdc_generate,
+    )
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    new = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    old = (
+        new.filter(F.col("k") % CDCG_I_MOD != 0)
+        .select(
+            "k",
+            "seg",
+            F.when(F.col("k") % CDCG_U_MOD == 0, F.col("cents") + 1000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            new.filter(F.col("k") % CDCG_D_MOD == 0).select(
+                (F.col("k") + CDCG_D_OFFSET).alias("k"),
+                F.lit("DELETED").alias("seg"),
+                F.lit(0).cast("bigint").alias("cents"),
+            )
+        )
+    )
+    changelog = cdc_generate(old, new, "k").withColumn("seq", F.lit(1))
+    replayed = cdc_apply(old, changelog, "k")
+    got = {tuple(r) for r in replayed.collect()}
+    expected = {tuple(r) for r in new.collect()}
+    assert got == expected
+    # every op class is present in the synthetic drift
+    ops = {r["op"] for r in changelog.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}

@@ -520,3 +520,122 @@ def q216_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"abs({KFOLDS} * 1000000 * n - 1000000 * n_lang) DIV n_lang"
         ).alias("imbalance_ppm"),
     ).orderBy("fold", "lang")
+
+
+# --------------------------------------------------------------------------
+# q244 — expanding-window backtest folds (time-series cross-validation)
+# --------------------------------------------------------------------------
+
+BT_FOLDS = 4
+BT_SLICES = 5  # timeline divided into this many equal day-slices
+
+
+@register(
+    "q244_backtest_folds",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) + 1 AS n_days
+        FROM events
+    ),
+    tagged AS (
+        SELECT f.fold, e.user_id,
+               CASE WHEN date_diff('day', b.d0, CAST(e.ts AS DATE))
+                         < f.fold * (b.n_days // {BT_SLICES})
+                    THEN 1 ELSE 0 END AS in_train,
+               CASE WHEN date_diff('day', b.d0, CAST(e.ts AS DATE))
+                         >= f.fold * (b.n_days // {BT_SLICES})
+                    AND date_diff('day', b.d0, CAST(e.ts AS DATE))
+                         < (f.fold + 1) * (b.n_days // {BT_SLICES})
+                    THEN 1 ELSE 0 END AS in_test
+        FROM events e
+        CROSS JOIN bounds b
+        CROSS JOIN (SELECT unnest(range(1, {BT_FOLDS + 1})) AS fold) f
+    ),
+    per_user AS (
+        SELECT fold, user_id,
+               CAST(SUM(in_train) AS BIGINT) AS cnt_train,
+               CAST(SUM(in_test) AS BIGINT) AS cnt_test
+        FROM tagged GROUP BY fold, user_id
+    )
+    SELECT fold,
+           CAST(SUM(cnt_train) AS BIGINT) AS n_train_events,
+           CAST(SUM(cnt_test) AS BIGINT) AS n_test_events,
+           COUNT(*) FILTER (cnt_train > 0) AS n_train_users,
+           COUNT(*) FILTER (cnt_test > 0) AS n_test_users,
+           COUNT(*) FILTER (cnt_train > 0 AND cnt_test > 0)
+               AS n_overlap_users
+    FROM per_user GROUP BY fold ORDER BY fold
+    """,
+)
+def q244_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest folds — the time-series counterpart
+    of q216's random k-fold, where random splits are WRONG (they leak
+    the future into training): fold f trains on the first f timeline
+    slices and tests on slice f+1, so every fold respects causality.
+    Emits per-fold event/user volumes plus the train∩test user overlap
+    — the population-shift signal that tells you whether fold metrics
+    are comparable (users present on both sides) or cold-start.
+
+    Determinism: integer day arithmetic against the dataset's own
+    bounds; slice width = n_days DIV {BT_SLICES}.
+
+    Scale: the fold fan-out is map-side (×{BT_FOLDS} on the events
+    scan, no shuffle per fold — ONE pass scores all folds); the only
+    wide op is the (fold, user) aggregate; bounds is a one-row
+    broadcast (BNLJ-allowlisted scalar pattern).
+
+    Reference: none (no ML surface); pairs with q216 (random folds)
+    and q91 (split leakage audit)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        ).alias("n_days"),
+    )
+    folds = F.explode(
+        F.array(*[F.lit(i) for i in range(1, BT_FOLDS + 1)])
+    ).alias("fold")
+    day_idx = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    slice_w = F.expr(f"n_days DIV {BT_SLICES}")
+    tagged = (
+        ev.select("user_id", "ts")
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", "ts", "d0", "n_days", folds)
+        .select(
+            "fold",
+            "user_id",
+            (day_idx < F.col("fold") * slice_w).cast("int").alias("in_train"),
+            (
+                (day_idx >= F.col("fold") * slice_w)
+                & (day_idx < (F.col("fold") + 1) * slice_w)
+            )
+            .cast("int")
+            .alias("in_test"),
+        )
+    )
+    per_user = tagged.groupBy("fold", "user_id").agg(
+        F.sum("in_train").cast("bigint").alias("cnt_train"),
+        F.sum("in_test").cast("bigint").alias("cnt_test"),
+    )
+    return (
+        per_user.groupBy("fold")
+        .agg(
+            F.sum("cnt_train").cast("bigint").alias("n_train_events"),
+            F.sum("cnt_test").cast("bigint").alias("n_test_events"),
+            F.count(F.when(F.col("cnt_train") > 0, 1)).alias(
+                "n_train_users"
+            ),
+            F.count(F.when(F.col("cnt_test") > 0, 1)).alias("n_test_users"),
+            F.count(
+                F.when((F.col("cnt_train") > 0) & (F.col("cnt_test") > 0), 1)
+            ).alias("n_overlap_users"),
+        )
+        .orderBy("fold")
+    )

@@ -1953,3 +1953,211 @@ def q240_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q243 — STL-lite seasonal decomposition (trend / seasonal / residual)
+# --------------------------------------------------------------------------
+
+#: Monday anchor for weekday arithmetic (q208's convention-free form)
+STL_ANCHOR = "1992-01-06"
+
+
+@register(
+    "q243_stl_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS total_milli
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, total_milli,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN SUM(total_milli) OVER w // 7 END AS trend_milli,
+               date_diff('day', DATE '{STL_ANCHOR}', d) % 7 AS wd
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT wd, SUM(total_milli - trend_milli)
+                   // COUNT(total_milli - trend_milli) AS seasonal_milli
+        FROM tr WHERE trend_milli IS NOT NULL GROUP BY wd
+    )
+    SELECT t.d, t.total_milli, t.trend_milli, s.seasonal_milli,
+           t.total_milli - t.trend_milli - s.seasonal_milli AS resid_milli
+    FROM tr t JOIN seas s ON t.wd = s.wd
+    ORDER BY t.d
+    """,
+)
+def q243_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal decomposition of the daily value series into
+    trend + weekly seasonal + residual — the monitoring decomposition
+    behind q143's anomaly flags, now emitting the components
+    themselves (an alert fires on the RESIDUAL, not the raw series,
+    or Mondays alarm forever). Trend = centered 7-day moving average
+    (NULL at the edges where the window is short — no half-window
+    bias); seasonal = per-weekday mean of the detrended series;
+    residual = the rest.
+
+    Determinism: milli-unit integers end to end — centered MA is an
+    integer sum DIV 7, the seasonal mean an integer sum DIV count
+    (both engines truncate toward zero, verified), weekday from the
+    Monday-anchor datediff (q208's engine-convention-free form).
+
+    Scale: events collapse to the BOUNDED daily series map-side; the
+    unpartitioned centered-MA window runs over |days| rows only (the
+    q119/q224 posture — fine at any corpus size; it is days, not
+    data). Seasonal join is a 7-row broadcast.
+
+    Reference: no time-series ops; extends the q143 hour-of-day
+    baseline to a proper decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("bigint").alias("total_milli"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "total_milli",
+        F.sum("total_milli").over(w).alias("sum_w"),
+        F.count(F.lit(1)).over(w).alias("cnt_w"),
+        (F.datediff(F.col("d"), F.lit(STL_ANCHOR).cast("date")) % 7).alias(
+            "wd"
+        ),
+    ).select(
+        "d",
+        "total_milli",
+        "wd",
+        F.expr("CASE WHEN cnt_w = 7 THEN sum_w DIV 7 END").alias(
+            "trend_milli"
+        ),
+    )
+    seas = (
+        tr.filter(F.col("trend_milli").isNotNull())
+        .groupBy("wd")
+        .agg(
+            F.expr(
+                "SUM(total_milli - trend_milli)"
+                " DIV COUNT(total_milli - trend_milli)"
+            ).alias("seasonal_milli")
+        )
+    )
+    return (
+        tr.join(F.broadcast(seas), "wd")
+        .select(
+            "d",
+            "total_milli",
+            "trend_milli",
+            "seasonal_milli",
+            (
+                F.col("total_milli")
+                - F.col("trend_milli")
+                - F.col("seasonal_milli")
+            ).alias("resid_milli"),
+        )
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------------------------------------
+# q245 — seasonal-naive forecast baseline evaluation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q245_forecast_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, d, cnt,
+               LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS l7,
+               LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY d) AS l1
+        FROM daily
+    )
+    SELECT event_type,
+           COUNT(*) AS n_scored,
+           CAST(SUM(abs(cnt - l7)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(abs(cnt - l1)) AS BIGINT) AS sae_persist,
+           1000 * CAST(SUM(abs(cnt - l7)) AS BIGINT) // COUNT(*)
+               AS mae_seasonal_milli,
+           1000 * CAST(SUM(abs(cnt - l1)) AS BIGINT) // COUNT(*)
+               AS mae_persist_milli,
+           CASE WHEN CAST(SUM(abs(cnt - l7)) AS BIGINT)
+                     < CAST(SUM(abs(cnt - l1)) AS BIGINT)
+                THEN 'seasonal' ELSE 'persistence' END AS better
+    FROM lagged WHERE l7 IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q245_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: score the two classical naive
+    forecasts — seasonal-naive (same weekday last week, LAG 7) and
+    persistence (yesterday, LAG 1) — against the realized daily count
+    per event type, reporting sum/mean absolute error and which
+    baseline wins. This is the yardstick every real forecasting model
+    must beat, and the standing data check that a capacity dashboard
+    runs nightly.
+
+    Assumes a gap-free daily series per type (true of the fixture;
+    q47's resample-gapfill is the general-case repair step and would
+    compose upstream).
+
+    Determinism: integer counts, integer absolute errors, milli-unit
+    MAE via integer division.
+
+    Scale: events collapse to |types|×|days| rows map-side; both lags
+    share one window partitioning; the scoreboard is a |types|-row
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 7).over(w).alias("l7"),
+        F.lag("cnt", 1).over(w).alias("l1"),
+    ).filter(F.col("l7").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(F.col("cnt") - F.col("l7")))
+            .cast("bigint")
+            .alias("sae_seasonal"),
+            F.sum(F.abs(F.col("cnt") - F.col("l1")))
+            .cast("bigint")
+            .alias("sae_persist"),
+        )
+        .select(
+            "event_type",
+            "n_scored",
+            "sae_seasonal",
+            "sae_persist",
+            F.expr("1000 * sae_seasonal DIV n_scored").alias(
+                "mae_seasonal_milli"
+            ),
+            F.expr("1000 * sae_persist DIV n_scored").alias(
+                "mae_persist_milli"
+            ),
+            F.when(
+                F.col("sae_seasonal") < F.col("sae_persist"), "seasonal"
+            )
+            .otherwise("persistence")
+            .alias("better"),
+        )
+        .orderBy("event_type")
+    )

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "q223_bm25",                  # one-row corpus-totals broadcast
     "q230_user_similarity",       # bounded |users| aggregate self-join
                                   # (exact baseline; LSH route documented)
+    "q244_backtest_folds",        # one-row timeline-bounds broadcast
 }
 
 

@@ -330,3 +330,82 @@ def test_cdc_generate_apply_roundtrip(spark):
     # every op class is present in the synthetic drift
     ops = {r["op"] for r in changelog.select("op").distinct().collect()}
     assert ops == {"I", "U", "D"}
+
+
+# --------------------------------------------------------------------------
+# q243 — STL-lite decomposition
+# --------------------------------------------------------------------------
+
+
+def test_stl_reconstruction_and_trend_replay(spark):
+    rows = registry.QUERIES["q243_stl_decompose"](spark, SF_MID).collect()
+    # additive identity wherever the trend is defined
+    for r in rows:
+        if r["trend_milli"] is not None:
+            assert (
+                r["total_milli"]
+                == r["trend_milli"] + r["seasonal_milli"] + r["resid_milli"]
+            )
+        else:
+            assert r["resid_milli"] is None
+    # edge days (first/last 3) have no trend; interior days all do
+    by_d = sorted(rows, key=lambda r: r["d"])
+    assert all(r["trend_milli"] is None for r in by_d[:3] + by_d[-3:])
+    assert all(r["trend_milli"] is not None for r in by_d[3:-3])
+    # centered-MA replay on the returned series
+    totals = [r["total_milli"] for r in by_d]
+    for i in range(3, len(by_d) - 3):
+        window = totals[i - 3 : i + 4]
+        expect = sum(window) // 7 if sum(window) >= 0 else -((-sum(window)) // 7)
+        assert by_d[i]["trend_milli"] == expect
+
+
+# --------------------------------------------------------------------------
+# q244 — backtest folds
+# --------------------------------------------------------------------------
+
+
+def test_backtest_folds_expanding_and_causal(spark):
+    rows = sorted(
+        registry.QUERIES["q244_backtest_folds"](spark, SF_MID).collect(),
+        key=lambda r: r["fold"],
+    )
+    total = load_table(spark, SF_MID, "events").count()
+    prev_train = -1
+    for r in rows:
+        # expanding window: train volume strictly grows with fold
+        assert r["n_train_events"] > prev_train
+        prev_train = r["n_train_events"]
+        # train and test are disjoint slices of the timeline
+        assert r["n_train_events"] + r["n_test_events"] <= total
+        assert r["n_overlap_users"] <= min(
+            r["n_train_users"], r["n_test_users"]
+        )
+        assert r["n_test_events"] > 0
+
+
+# --------------------------------------------------------------------------
+# q245 — forecast baseline evaluation
+# --------------------------------------------------------------------------
+
+
+def test_forecast_eval_matches_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").select("event_type", "ts").collect()
+    daily = Counter()
+    for r in rows:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = {}
+    for (et, d), c in daily.items():
+        by_type.setdefault(et, []).append((d, c))
+    expected = {}
+    for et, series in by_type.items():
+        series.sort()
+        cnts = [c for _, c in series]
+        sae7 = sum(abs(cnts[i] - cnts[i - 7]) for i in range(7, len(cnts)))
+        sae1 = sum(abs(cnts[i] - cnts[i - 1]) for i in range(7, len(cnts)))
+        expected[et] = (len(cnts) - 7, sae7, sae1)
+    got = {
+        r["event_type"]: (r["n_scored"], r["sae_seasonal"], r["sae_persist"])
+        for r in registry.QUERIES["q245_forecast_eval"](spark, SF_MID).collect()
+    }
+    assert got == expected

@@ -5104,3 +5104,111 @@ def q239_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q246 — Theil–Sen robust trend slope (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q246_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               a.d AS d1, b.d AS d2, a.cnt AS c1, b.cnt AS c2,
+               CAST(b.cnt - a.cnt AS DOUBLE)
+                   / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope_dbl
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ranked AS (
+        SELECT event_type, d1, d2, c1, c2, slope_dbl,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope_dbl, d1, d2) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    )
+    SELECT event_type, n_pairs,
+           1000000 * (c2 - c1) // date_diff('day', d1, d2)
+               AS med_slope_micro
+    FROM ranked WHERE rk = (n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def q246_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event type: the MEDIAN of
+    all pairwise slopes of the daily-count series — the
+    breakdown-resistant complement of q112's least-squares slope (one
+    outlier day drags OLS arbitrarily; Theil–Sen tolerates ~29%
+    contamination). Reported as the lower-median pair's exact integer
+    micro-slope.
+
+    Determinism: pair slopes ordered by an IEEE division of exact
+    integers (same two ints → same double on both engines), ties by
+    day pair; the REPORTED value is pure integer arithmetic on the
+    selected pair, so no float ever reaches the output.
+
+    Scale: pairs form over the BOUNDED daily aggregate (|days|² per
+    type, not data²) — the fact scan collapses first. At an unbounded
+    horizon you'd switch to the repeated-median or a deterministic
+    hash-sample of pairs (same shape, capped fan-out); the exact form
+    is the oracle-checkable contract.
+
+    Reference: extends q112 (OLS from exact sufficient statistics)
+    with the robust alternative."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = daily.select(
+        "event_type",
+        F.col("d").alias("d1"),
+        F.col("cnt").alias("c1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("cnt").alias("c2"),
+    )
+    pairs = a.join(
+        b, (a["event_type"] == b["et2"]) & (b["d2"] > a["d1"])
+    ).select(
+        "event_type",
+        "d1",
+        "d2",
+        "c1",
+        "c2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope_dbl"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_dbl", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "d1",
+        "d2",
+        "c1",
+        "c2",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.expr("rk = (n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.expr(
+                "1000000 * (c2 - c1) DIV datediff(d2, d1)"
+            ).alias("med_slope_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -2161,3 +2161,106 @@ def q245_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q247 — rolling correlation between two event series
+# --------------------------------------------------------------------------
+
+CORR_WINDOW = 14  # days
+
+
+@register(
+    "q247_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT d,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+               SUM(x * y) OVER w AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000) / 1000000 AS r
+    FROM stats
+    WHERE n = {CORR_WINDOW}
+      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    ORDER BY d
+    """,
+)
+def q247_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {CORR_WINDOW}-day Pearson correlation between the
+    click and purchase daily series — the time-VARYING co-movement
+    monitor (q151 gives one number per group; a regime change shows
+    up only in the rolling form). Windows shorter than
+    {CORR_WINDOW} days are suppressed (no half-window estimates).
+
+    Determinism: the q151 discipline applied to windows — all six
+    sufficient statistics are exact integer window sums; the closed
+    form is the identical IEEE expression tree on both engines
+    (products < 2^53 stay exact; sqrt is IEEE-correctly-rounded,
+    deterministic unlike ln/exp), and the result is floor-truncated
+    at 1e-6.
+
+    Scale: events collapse to the bounded daily two-series table
+    map-side; one unpartitioned window over |days| rows (q243's
+    posture — it is days, not data)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-(CORR_WINDOW - 1), 0)
+    stats = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return (
+        stats.filter((F.col("n") == CORR_WINDOW) & (vx > 0) & (vy > 0))
+        .select(
+            "d",
+            (F.floor(num / F.sqrt(vx * vy) * 1000000) / 1000000).alias("r"),
+        )
+        .orderBy("d")
+    )

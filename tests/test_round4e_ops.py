@@ -409,3 +409,122 @@ def test_forecast_eval_matches_pure_python(spark):
         for r in registry.QUERIES["q245_forecast_eval"](spark, SF_MID).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q246 — Theil–Sen slope
+# --------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").select("event_type", "ts").collect()
+    daily = Counter()
+    for r in rows:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = {}
+    for (et, d), c in daily.items():
+        by_type.setdefault(et, []).append((d, c))
+    expected = {}
+    for et, series in by_type.items():
+        series.sort()
+        pairs = []
+        for i in range(len(series)):
+            for j in range(i + 1, len(series)):
+                (d1, c1), (d2, c2) = series[i], series[j]
+                dx = (d2 - d1).days
+                pairs.append(((c2 - c1) / dx, d1, d2, c1, c2, dx))
+        pairs.sort(key=lambda t: (t[0], t[1], t[2]))
+        n = len(pairs)
+        _, d1, d2, c1, c2, dx = pairs[(n + 1) // 2 - 1]
+        dy = c2 - c1
+        micro = 1000000 * dy
+        med = micro // dx if micro >= 0 else -((-micro) // dx)
+        expected[et] = (n, med)
+    got = {
+        r["event_type"]: (r["n_pairs"], r["med_slope_micro"])
+        for r in registry.QUERIES["q246_theil_sen"](spark, SF_MID).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q247 — rolling correlation
+# --------------------------------------------------------------------------
+
+
+def test_rolling_corr_matches_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").select("event_type", "ts").collect()
+    daily = {}
+    for r in rows:
+        d = r["ts"].date()
+        xy = daily.setdefault(d, [0, 0])
+        if r["event_type"] == "click":
+            xy[0] += 1
+        elif r["event_type"] == "purchase":
+            xy[1] += 1
+    series = sorted(daily.items())
+    W = 14
+    expected = {}
+    for i in range(W - 1, len(series)):
+        win = [v for _, v in series[i - W + 1 : i + 1]]
+        n = float(W)
+        sx = float(sum(v[0] for v in win))
+        sy = float(sum(v[1] for v in win))
+        sxx = float(sum(v[0] * v[0] for v in win))
+        syy = float(sum(v[1] * v[1] for v in win))
+        sxy = float(sum(v[0] * v[1] for v in win))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            r_ = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            expected[series[i][0]] = math.floor(r_ * 1000000) / 1000000
+    got = {
+        r["d"]: r["r"]
+        for r in registry.QUERIES["q247_rolling_corr"](spark, SF_MID).collect()
+    }
+    assert got == expected  # bitwise: identical IEEE tree on both sides
+
+
+# --------------------------------------------------------------------------
+# q248 — common-neighbor recommendations
+# --------------------------------------------------------------------------
+
+
+def test_common_neighbors_matches_brute_force(spark):
+    from serverless_etl_spark.operators.graph import (
+        CN_DEG_CAP,
+        CN_TOPK,
+        copurchase_edges,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    edges = {(r["p1"], r["p2"]) for r in copurchase_edges(li).collect()}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    mids = {m for m, ns in adj.items() if len(ns) <= CN_DEG_CAP}
+    cn = Counter()
+    for m in mids:
+        ns = sorted(adj[m])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                a, b = ns[i], ns[j]
+                if (a, b) not in edges:
+                    cn[(a, b)] += 1
+    recs = {}
+    for (a, b), c in cn.items():
+        recs.setdefault(a, []).append((c, b))
+        recs.setdefault(b, []).append((c, a))
+    expected = set()
+    for part, cands in recs.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (c, other) in enumerate(cands[:CN_TOPK], 1):
+            expected.add((part, other, c, rk))
+    got = {
+        (r["part"], r["rec_part"], r["cn"], r["rk"])
+        for r in registry.QUERIES["q248_common_neighbors"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expected
+    assert got  # non-degenerate graph

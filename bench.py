@@ -119,6 +119,10 @@ def main() -> None:
         "q191_prefix_jaccard_join",
         "q196_assoc_rules",
         "q199_curation_funnel",
+        # round-4 fifth-sitting heavies
+        "q235_kmv_set_algebra",
+        "q238_delta_join_view",
+        "q248_common_neighbors",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

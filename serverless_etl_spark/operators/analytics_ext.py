@@ -4981,6 +4981,65 @@ HLL_LOW_MOD = 1 << HLL_LOW_BITS
 HLL_C = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M
 
 
+def hll_member_hash():
+    """48-bit md5-derived member hash for the user-day audience member
+    (the ONE hashing contract shared by the batch estimator q239 and
+    the streaming register maintainer streaming/sketch_gate.py)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("user_id").cast("string"),
+                    F.date_format("ts", "yyyy-MM-dd"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hll_register_partials(ev: DataFrame) -> DataFrame:
+    """(event_type, idx, m) HLL register partials for any slice of
+    event rows. MAX-mergeable and IDEMPOTENT: registers of a union =
+    elementwise max of the slices' registers, and re-folding the same
+    slice changes nothing — the property the streaming maintainer's
+    exactly-once argument rests on. Input need not be deduplicated
+    (max over duplicate members is a no-op)."""
+    r = F.col("h") % HLL_LOW_MOD
+    rho = F.when(r == 0, F.lit(HLL_LOW_BITS + 1)).otherwise(
+        F.lit(HLL_LOW_BITS + 1) - F.length(F.bin(r))
+    )
+    return (
+        ev.select("event_type", hll_member_hash().alias("h"))
+        .select(
+            "event_type",
+            (F.col("h") / HLL_LOW_MOD).cast("bigint").alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimates(regs: DataFrame) -> DataFrame:
+    """(event_type, hll_estimate) from merged registers — the exact
+    dyadic-sum estimator arithmetic (see q239's docstring)."""
+    sums = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    est = F.floor(
+        F.lit(HLL_C) / (F.col("s_present") + (HLL_M - F.col("n_present")))
+    ).cast("bigint")
+    return sums.select("event_type", est.alias("hll_estimate"))
+
+
 @register(
     "q239_hll_distinct",
     oracle=f"""
@@ -5049,50 +5108,15 @@ def q239_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: no approximate aggregation anywhere (COUNT only,
     lambda/analytical-transform.py:24)."""
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("user_id").cast("string"),
-                    F.date_format("ts", "yyyy-MM-dd"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    members = ev.select("event_type", h.alias("h")).distinct()
-    r = F.col("h") % HLL_LOW_MOD
-    rho = F.when(r == 0, F.lit(HLL_LOW_BITS + 1)).otherwise(
-        F.lit(HLL_LOW_BITS + 1) - F.length(F.bin(r))
-    )
-    regs = (
-        members.select(
-            "event_type",
-            (F.col("h") / HLL_LOW_MOD).cast("bigint").alias("idx"),
-            rho.alias("rho"),
-        )
-        .groupBy("event_type", "idx")
-        .agg(F.max("rho").alias("m"))
-    )
-    sums = regs.groupBy("event_type").agg(
-        F.sum(
-            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
-        ).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
+    members = ev.select(
+        "event_type", hll_member_hash().alias("h")
+    ).distinct()
+    regs = hll_register_partials(ev)
     exact = members.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_members")
     )
-    est = F.floor(
-        F.lit(HLL_C) / (F.col("s_present") + (HLL_M - F.col("n_present")))
-    ).cast("bigint")
     return (
-        exact.join(sums, "event_type")
-        .select("event_type", "exact_members", est.alias("hll_estimate"))
+        exact.join(hll_estimates(regs), "event_type")
         .select(
             "event_type",
             "exact_members",

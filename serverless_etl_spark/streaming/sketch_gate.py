@@ -1,0 +1,89 @@
+"""Streaming HLL sketch maintenance: every micro-batch of events folds
+its register partials into a persisted register table, and the
+distinct-count dashboard reads estimates from the merged registers —
+q239's estimator kept current incrementally, never rescanning history.
+
+Exactly-once here is STRONGER than the other gates': HLL registers
+merge by MAX, which is idempotent as well as commutative — a replayed
+(or even double-appended) batch cannot change the merged register
+value, so correctness does not depend on the batch_id bookkeeping at
+all. The batch_id dynamic-overwrite is still used, but only to bound
+STORAGE under replay (a replayed batch overwrites its own partial
+instead of appending a redundant copy); contrast checksum_gate, whose
+additive contributions NEED the overwrite for correctness. This is the
+CRDT-style state-merge end of the exactly-once spectrum.
+
+Stream ≡ batch contract: `sketch_estimates()` over any drained prefix
+equals `hll_estimates(hll_register_partials(rows))` over the same rows
+(tested in tests/test_sketch_gate.py), because max-merge is associative
+over any batch decomposition.
+
+Scale: per batch, one map-side partial aggregation to ≤ |types|×256
+register rows; the read-side merge touches |batches|×|registers| tiny
+rows (compact by rewriting the merged registers under one synthetic
+batch_id whenever batch count matters). Register state per group is
+256 small ints FOREVER, regardless of stream volume — the whole point
+of maintaining a sketch instead of a distinct set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics_ext import hll_estimates, hll_register_partials
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+REGISTER_SCHEMA = "event_type STRING, idx BIGINT, m INT, batch_id BIGINT"
+
+
+def sketch_gate_writer(register_dir: str):
+    """foreachBatch hook writing each micro-batch's register partials,
+    partitioned by batch_id with dynamic overwrite (storage-bounded
+    under replay; correctness holds by max-idempotence regardless)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        partial = hll_register_partials(batch).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        _dynamic_overwrite(partial, register_dir)
+
+    return _write
+
+
+def merged_registers(spark: SparkSession, register_dir: str) -> DataFrame:
+    """Current registers: elementwise MAX across all batch partials."""
+    regs = _read_or_empty(spark, register_dir, REGISTER_SCHEMA)
+    return regs.groupBy("event_type", "idx").agg(F.max("m").alias("m"))
+
+
+def sketch_estimates(spark: SparkSession, register_dir: str) -> DataFrame:
+    """Per-event-type distinct-member estimate from the maintained
+    registers — the dashboard read (q239's estimator arithmetic)."""
+    return hll_estimates(merged_registers(spark, register_dir)).orderBy(
+        "event_type"
+    )
+
+
+def run_sketch_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    register_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available event files (availableNow) through the register
+    maintainer. Source: JSON-lines event rows with at least
+    (user_id, ts, event_type)."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(sketch_gate_writer(register_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

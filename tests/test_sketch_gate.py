@@ -1,0 +1,117 @@
+"""Streaming HLL register maintenance (streaming/sketch_gate.py):
+stream ≡ batch parity with q239's estimator, max-merge idempotence
+under replay AND under plain double-append, and incremental growth
+(prefix registers fold forward into the full-stream registers)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.analytics_ext import (
+    hll_estimates,
+    hll_register_partials,
+)
+from serverless_etl_spark.streaming.sketch_gate import (
+    merged_registers,
+    run_sketch_gate,
+    sketch_estimates,
+    sketch_gate_writer,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+)
+
+
+def _write_event_files(spark, src_dir, n_files=3):
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        .collect()
+    )
+    src_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        with open(src_dir / f"part-{i}.json", "w") as f:
+            for r in rows[i::n_files]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return len(rows)
+
+
+def _batch_estimates(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    return {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimates(hll_register_partials(ev)).collect()
+    }
+
+
+def test_streamed_estimates_equal_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_event_files(spark, src)
+    regs = str(tmp_path / "regs")
+    run_sketch_gate(
+        spark, str(src), EVENTS_JSON_SCHEMA, regs,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    got = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch_estimates(spark, regs).collect()
+    }
+    assert got == _batch_estimates(spark)
+    # q239's estimate column agrees too (same kernel, same fixture)
+    q239 = {
+        r["event_type"]: r["hll_estimate"]
+        for r in registry.QUERIES["q239_hll_distinct"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == q239
+
+
+def test_replay_and_double_append_are_noops(spark, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    regs = str(tmp_path / "regs")
+    writer = sketch_gate_writer(regs)
+    writer(half, 0)
+    before = {
+        (r["event_type"], r["idx"]): r["m"]
+        for r in merged_registers(spark, regs).collect()
+    }
+    # crash-replay: same batch re-fires with the SAME batch_id
+    writer(half, 0)
+    # misbehaving sink: same rows appended again under a NEW batch_id —
+    # checksum_gate would double-count here; max-merge must not
+    writer(half, 1)
+    after = {
+        (r["event_type"], r["idx"]): r["m"]
+        for r in merged_registers(spark, regs).collect()
+    }
+    assert after == before
+
+
+def test_incremental_growth_matches_full(spark, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 != 0)
+    regs = str(tmp_path / "regs")
+    writer = sketch_gate_writer(regs)
+    writer(a, 0)
+    writer(b, 1)
+    got = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch_estimates(spark, regs).collect()
+    }
+    assert got == _batch_estimates(spark)

@@ -5236,3 +5236,124 @@ def q246_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q251 — Spearman rank correlation between two document signals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q251_spearman",
+    oracle="""
+    WITH per AS (
+        SELECT lang, n_chars AS x,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                   t -> t <> ''))) AS y
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang,
+               2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+                 + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY lang ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY lang, y) - 1 AS ry
+        FROM per
+    ),
+    s AS (
+        SELECT lang, COUNT(*) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy
+        FROM ranked GROUP BY lang
+    )
+    SELECT lang, n,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000) / 1000000 AS rho
+    FROM s
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    ORDER BY lang
+    """,
+)
+def q251_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per language between two document
+    quality signals (char length vs distinct-token count) — the
+    ranking-agreement check you run before swapping one filter signal
+    for a cheaper one: Pearson (q151) answers "do the VALUES move
+    together", Spearman answers "do they ORDER documents the same
+    way", which is what a threshold filter actually consumes.
+
+    Determinism: tie-averaged ranks DOUBLED into exact integers
+    (2·avg_rank = 2·RANK + ties − 1 — no fractional rank ever
+    materializes; Spearman is invariant under the common affine
+    transform), then the q151/q247 integer-sufficient-statistics
+    closed form with the identical IEEE tree on both engines and a
+    1e-6 floor-truncation.
+
+    Scale: ranks are per-language windows (parallel across languages,
+    |docs-per-lang| within); the correlation is computed from a
+    |langs|-row aggregate of integer sums. The corpus never shuffles
+    twice — both rank windows share the language partitioning.
+
+    Reference: completes the correlation family (q151 Pearson, q247
+    rolling, this rank-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+            )
+        ).alias("y"),
+    )
+    wx = Window.partitionBy("lang").orderBy("x")
+    wxt = Window.partitionBy("lang", "x")
+    wy = Window.partitionBy("lang").orderBy("y")
+    wyt = Window.partitionBy("lang", "y")
+    ranked = per.select(
+        "lang",
+        (
+            2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1
+        ).alias("ry"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select(
+            "lang",
+            "n",
+            (F.floor(num / F.sqrt(vx * vy) * 1000000) / 1000000).alias(
+                "rho"
+            ),
+        )
+        .orderBy("lang")
+    )

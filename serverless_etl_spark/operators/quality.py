@@ -1519,3 +1519,125 @@ def q241_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl", "lhs", "rhs")
+
+
+# --------------------------------------------------------------------------
+# q249 — drop-reason bitmask composition (why docs leave the corpus)
+# --------------------------------------------------------------------------
+
+#: bit assignments for the per-doc screen flags
+DR_PII, DR_SHORT, DR_REP, DR_NONENG = 1, 2, 4, 8
+DR_SHORT_CHARS = 175     #: n_chars below this = "short"
+DR_REP_NUM, DR_REP_DEN = 400, 1000  #: distinct/total token ratio < 0.4
+
+
+@register(
+    "q249_drop_reason_matrix",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT d.doc_id, d.lang, d.n_chars, p.text
+        FROM documents d JOIN ({_PII_SQL}) p ON d.doc_id = p.doc_id
+    ),
+    flags AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok,
+               CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}')) > 0
+                      OR len(regexp_extract_all(text, '{PHONE_RE}')) > 0
+                    THEN {DR_PII} ELSE 0 END
+             + CASE WHEN n_chars < {DR_SHORT_CHARS} THEN {DR_SHORT}
+                    ELSE 0 END
+             + CASE WHEN {DR_REP_DEN} * len(list_distinct(list_filter(
+                        string_split(text, ' '), x -> x <> '')))
+                      < {DR_REP_NUM} * len(list_filter(
+                        string_split(text, ' '), x -> x <> ''))
+                    THEN {DR_REP} ELSE 0 END
+             + CASE WHEN lang <> 'en' THEN {DR_NONENG} ELSE 0 END AS mask
+        FROM seeded
+    )
+    SELECT mask,
+           mask % 2 = 1 AS f_pii,
+           (mask // 2) % 2 = 1 AS f_short,
+           (mask // 4) % 2 = 1 AS f_rep,
+           (mask // 8) % 2 = 1 AS f_noneng,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM flags GROUP BY mask ORDER BY mask
+    """,
+)
+def q249_drop_reason_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop-reason BITMASK composition — the overlap
+    analysis q199's stage funnel cannot give: the funnel shows how
+    many docs each stage removes IN PIPELINE ORDER; this shows, for
+    every combination of screens (PII hit, too-short, repetitious,
+    non-English), how many docs and tokens sit in that cell. The
+    difference matters for curation policy: a doc failing two screens
+    is not recovered by relaxing one of them, and the mask histogram
+    is how you see that before re-running anything. PII is seeded
+    deterministically as in q88 (the fixture carries none).
+
+    Determinism: integer flag arithmetic; the repetition flag is the
+    cross-multiplied integer ratio test ({DR_REP_NUM}/{DR_REP_DEN}).
+
+    Scale: ONE documents pass computes every flag as a column
+    expression (the screens are projections, not separate scans — the
+    same fusion discipline as q222's contract engine); the mask
+    histogram is a ≤16-key aggregate.
+
+    Reference: composes q88 (PII), q30-family token stats, and q199's
+    funnel into the release-gate report."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    pii_hit = (
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+        + F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    ) > 0
+    mask = (
+        F.when(pii_hit, DR_PII).otherwise(0)
+        + F.when(F.col("n_chars") < DR_SHORT_CHARS, DR_SHORT).otherwise(0)
+        + F.when(DR_REP_DEN * n_dis < DR_REP_NUM * n_tok, DR_REP).otherwise(0)
+        + F.when(F.col("lang") != "en", DR_NONENG).otherwise(0)
+    )
+    flags = seeded.select(mask.alias("mask"), n_tok.alias("n_tok"))
+    return (
+        flags.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "mask",
+            (F.col("mask") % 2 == 1).alias("f_pii"),
+            (F.expr("mask DIV 2") % 2 == 1).alias("f_short"),
+            (F.expr("mask DIV 4") % 2 == 1).alias("f_rep"),
+            (F.expr("mask DIV 8") % 2 == 1).alias("f_noneng"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("mask")
+    )

@@ -902,3 +902,87 @@ def q201_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("quality_ppm"), "source")
     )
+
+
+# --------------------------------------------------------------------------
+# q250 — retention curve for a length filter (threshold sweep)
+# --------------------------------------------------------------------------
+
+TS_GRID = (10, 20, 30, 40, 50, 60, 70, 80)  #: min-token thresholds
+
+
+@register(
+    "q250_threshold_sweep",
+    oracle=f"""
+    WITH per AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    tot AS (
+        SELECT COUNT(*) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt FROM per
+    ),
+    th AS (SELECT unnest([{', '.join(str(t) for t in TS_GRID)}]) AS t)
+    SELECT t,
+           COUNT(*) FILTER (n_tok >= t) AS docs_kept,
+           CAST(COALESCE(SUM(n_tok) FILTER (n_tok >= t), 0) AS BIGINT)
+               AS tokens_kept,
+           1000000 * COUNT(*) FILTER (n_tok >= t) // nd AS docs_ppm,
+           1000000 * CAST(COALESCE(SUM(n_tok) FILTER (n_tok >= t), 0)
+                          AS BIGINT) // nt AS tokens_ppm
+    FROM per CROSS JOIN th CROSS JOIN tot
+    GROUP BY t, nd, nt ORDER BY t
+    """,
+)
+def q250_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve for a minimum-length filter: for each candidate
+    threshold, how many documents and tokens survive (absolute and
+    ppm) — the tuning table you read BEFORE fixing the cutoff that
+    q201's budget allocator and the curation pipeline then apply.
+    Sweeping in one query is what makes threshold choice an informed
+    decision instead of a rerun loop.
+
+    Determinism: integer token counts and ppm divisions.
+
+    Scale: the corpus collapses to the per-doc token-count table
+    map-side; the threshold fan-out (×{len(TS_GRID)}) happens on that
+    BOUNDED table, not the corpus, and all thresholds aggregate in
+    ONE pass (the q244 fold-fan-out shape). Totals are a one-row
+    broadcast (BNLJ-allowlisted scalar pattern).
+
+    Reference: none; the tuning companion of q201/q199."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("n_tok")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tok").cast("bigint").alias("nt"),
+    )
+    fan = per.crossJoin(F.broadcast(tot)).select(
+        "n_tok",
+        "nd",
+        "nt",
+        F.explode(F.array(*[F.lit(t) for t in TS_GRID])).alias("t"),
+    )
+    kept = F.col("n_tok") >= F.col("t")
+    return (
+        fan.groupBy("t", "nd", "nt")
+        .agg(
+            F.count(F.when(kept, 1)).alias("docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "t",
+            "docs_kept",
+            "tokens_kept",
+            F.expr("1000000 * docs_kept DIV nd").alias("docs_ppm"),
+            F.expr("1000000 * tokens_kept DIV nt").alias("tokens_ppm"),
+        )
+        .orderBy("t")
+    )

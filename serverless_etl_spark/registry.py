@@ -130,6 +130,7 @@ _SWEEP_PRIORITY = [
     "q241_functional_deps", "q242_cdc_generate",
     "q243_stl_decompose", "q244_backtest_folds", "q245_forecast_eval",
     "q246_theil_sen", "q247_rolling_corr", "q248_common_neighbors",
+    "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "q230_user_similarity",       # bounded |users| aggregate self-join
                                   # (exact baseline; LSH route documented)
     "q244_backtest_folds",        # one-row timeline-bounds broadcast
+    "q250_threshold_sweep",       # one-row corpus-totals broadcast
 }
 
 

@@ -528,3 +528,94 @@ def test_common_neighbors_matches_brute_force(spark):
     }
     assert got == expected
     assert got  # non-degenerate graph
+
+
+# --------------------------------------------------------------------------
+# q249 — drop-reason bitmask
+# --------------------------------------------------------------------------
+
+
+def test_drop_reason_matrix_decodes_and_covers(spark):
+    rows = registry.QUERIES["q249_drop_reason_matrix"](spark, SF_MID).collect()
+    # bit decode is consistent with the mask
+    for r in rows:
+        assert r["f_pii"] == bool(r["mask"] & 1)
+        assert r["f_short"] == bool(r["mask"] & 2)
+        assert r["f_rep"] == bool(r["mask"] & 4)
+        assert r["f_noneng"] == bool(r["mask"] & 8)
+    # every document lands in exactly one cell
+    n_docs = load_table(spark, SF_MID, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # the overlap analysis is non-degenerate: multi-flag cells exist
+    multi = [r for r in rows if bin(r["mask"]).count("1") >= 2]
+    assert multi
+    # clean cell (mask 0) exists too
+    assert any(r["mask"] == 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# q250 — threshold sweep
+# --------------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotone_and_exact(spark):
+    rows = sorted(
+        registry.QUERIES["q250_threshold_sweep"](spark, SF_MID).collect(),
+        key=lambda r: r["t"],
+    )
+    docs = load_table(spark, SF_MID, "documents").select("text").collect()
+    toks = [len([w for w in r["text"].split(" ") if w]) for r in docs]
+    for r in rows:
+        kept = [n for n in toks if n >= r["t"]]
+        assert r["docs_kept"] == len(kept)
+        assert r["tokens_kept"] == sum(kept)
+    # retention is monotone non-increasing in the threshold
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_kept"] <= a["docs_kept"]
+        assert b["tokens_kept"] <= a["tokens_kept"]
+
+
+# --------------------------------------------------------------------------
+# q251 — Spearman rank correlation
+# --------------------------------------------------------------------------
+
+
+def test_spearman_matches_pure_python(spark):
+    docs = load_table(spark, SF_MID, "documents").select(
+        "lang", "n_chars", "text"
+    ).collect()
+    by_lang = {}
+    for r in docs:
+        y = len({w for w in r["text"].split(" ") if w})
+        by_lang.setdefault(r["lang"], []).append((r["n_chars"], y))
+
+    def double_avg_ranks(vals):
+        # 2*avg_rank = 2*min_rank + ties - 1, competition ranking
+        order = sorted(vals)
+        first = {}
+        cnt = Counter(vals)
+        for i, v in enumerate(order, 1):
+            if v not in first:
+                first[v] = i
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    expected = {}
+    for lang, pts in by_lang.items():
+        rx = double_avg_ranks([p[0] for p in pts])
+        ry = double_avg_ranks([p[1] for p in pts])
+        n = float(len(pts))
+        sx, sy = float(sum(rx)), float(sum(ry))
+        sxx = float(sum(v * v for v in rx))
+        syy = float(sum(v * v for v in ry))
+        sxy = float(sum(a * b for a, b in zip(rx, ry)))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            rho = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            expected[lang] = (len(pts), math.floor(rho * 1000000) / 1000000)
+    got = {
+        r["lang"]: (r["n"], r["rho"])
+        for r in registry.QUERIES["q251_spearman"](spark, SF_MID).collect()
+    }
+    assert got == expected
+    # signals genuinely agree on ordering: all correlations positive
+    assert all(rho > 0 for _, rho in got.values())

@@ -5357,3 +5357,131 @@ def q251_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q252 — Mann–Whitney U rank-sum test (nonparametric A/B)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q252_mann_whitney",
+    oracle="""
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS grp
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+        SELECT grp, value,
+               2 * RANK() OVER (ORDER BY value)
+                 + COUNT(*) OVER (PARTITION BY value) - 1 AS r2
+        FROM tagged
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ts FROM (
+            SELECT COUNT(*) AS t FROM tagged GROUP BY value)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) FILTER (grp = 'a') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (grp = 'b') AS BIGINT) AS n_b,
+               CAST(SUM(r2) FILTER (grp = 'a') AS BIGINT) AS r2a
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           r2a - n_a * (n_a + 1) AS u2,
+           1000000 * (r2a - n_a * (n_a + 1)) // (2 * n_a * n_b) AS auc_ppm,
+           FLOOR((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                  - CAST(n_a * n_b AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n_a * n_b AS DOUBLE)
+                        * (CAST(n_a + n_b + 1 AS DOUBLE)
+                           - CAST(ts AS DOUBLE)
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * CAST(n_a + n_b - 1 AS DOUBLE)))
+                        / 12.0)
+                 * 1000000) / 1000000 AS z
+    FROM s CROSS JOIN ties
+    """,
+)
+def q252_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test comparing the `value` distribution
+    of click vs purchase events — the NONPARAMETRIC A/B readout
+    (q132 compares a conversion rate; q127/q134 test distribution
+    equality; this estimates P(a > b), the probability-of-superiority
+    the product question usually actually is). Emits the doubled U
+    statistic, AUC in ppm (U/(n_a·n_b) — identical to the ROC-AUC of
+    a one-feature classifier), and the tie-corrected normal z.
+
+    Determinism: doubled tie-averaged ranks are exact integers (the
+    q251 device), so U and AUC are pure integer arithmetic; the tie
+    term Σ(t³−t) is integer; z is the identical IEEE tree on both
+    engines (sqrt is correctly-rounded), floor-truncated at 1e-6.
+
+    Scale: the global rank is the one data-sized sort (single-reducer
+    exact form — q109's documented posture); at 100 TB you'd bin
+    values and read AUC off the binned ECDF (q134's machinery gives
+    exactly that integral) and keep this exact form for bounded
+    slices. Tie counts and group sums partial-aggregate map-side.
+
+    Reference: completes the hypothesis-test family (q127 KS, q134
+    binned KS, q156 contingency residuals, q132 A/B)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias(
+            "grp"
+        ),
+        "value",
+    )
+    wr = Window.orderBy("value")
+    wt = Window.partitionBy("value")
+    ranked = tagged.select(
+        "grp",
+        "value",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    ties = (
+        tagged.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("bigint")
+            .alias("ts")
+        )
+    )
+    s = ranked.agg(
+        F.count(F.when(F.col("grp") == "a", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("grp") == "b", 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("grp") == "a", F.col("r2")))
+        .cast("bigint")
+        .alias("r2a"),
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    n = F.col("n_a") + F.col("n_b")
+    mu = F.col("n_a").cast("double") * F.col("n_b").cast("double") / F.lit(
+        2.0
+    )
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * (
+            (n + 1).cast("double")
+            - F.col("ts").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+        / F.lit(12.0)
+    )
+    z = F.floor((u2.cast("double") / 2.0 - mu) / F.sqrt(var) * 1000000) / 1000000
+    return j.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2"),
+        F.expr(
+            "1000000 * (r2a - n_a * (n_a + 1)) DIV (2 * n_a * n_b)"
+        ).alias("auc_ppm"),
+        z.alias("z"),
+    )

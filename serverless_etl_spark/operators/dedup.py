@@ -1933,3 +1933,152 @@ def q221_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+# --------------------------------------------------------------------------
+# q253 — near-dup overlap spans (alignment explanation for dedup pairs)
+# --------------------------------------------------------------------------
+
+OVL_MOD = 20
+OVL_REM = 5  #: docs with doc_id % OVL_MOD == OVL_REM get a mutated twin
+
+
+@register(
+    "q253_overlap_spans",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id % {OVL_MOD} = {OVL_REM}
+    ),
+    twin AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks) + 1),
+                   i -> CASE WHEN i = len(toks) // 2 + 1
+                             THEN 'MUT' ELSE toks[CAST(i AS INT)] END)
+                   AS toks_b
+        FROM base WHERE len(toks) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                   i -> toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] || ' '
+                     || toks[CAST(i AS INT) + 2]) AS sa,
+               list_transform(range(1, len(toks_b) - 1),
+                   i -> toks_b[CAST(i AS INT)] || ' '
+                     || toks_b[CAST(i AS INT) + 1] || ' '
+                     || toks_b[CAST(i AS INT) + 2]) AS sb
+        FROM twin
+    ),
+    pos AS (
+        SELECT doc_id, sa, sb, unnest(range(1, len(sa) + 1)) AS i FROM sh
+    ),
+    matched AS (
+        SELECT doc_id, len(sa) AS n_shingles, i
+        FROM pos WHERE sa[CAST(i AS INT)] = sb[CAST(i AS INT)]
+    ),
+    islands AS (
+        SELECT doc_id, n_shingles, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS isl
+        FROM matched
+    ),
+    runs AS (
+        SELECT doc_id, n_shingles, isl, COUNT(*) AS run_len
+        FROM islands GROUP BY doc_id, n_shingles, isl
+    )
+    SELECT doc_id, n_shingles,
+           CAST(SUM(run_len) AS BIGINT) AS n_matched,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY doc_id, n_shingles ORDER BY doc_id
+    """,
+)
+def q253_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment EXPLANATION for near-duplicate pairs: q41/q42 say
+    "these two docs are near-dups, Jaccard 0.9" — a reviewer then
+    asks WHERE they overlap. For each (doc, mutated-twin) pair this
+    emits the shared-shingle runs via gaps-and-islands over the
+    positionwise 3-gram match mask: matched count, number of
+    contiguous runs, and the longest run. A single mid-document edit
+    must split the alignment into exactly two runs — which the test
+    asserts — and that structure (few long runs vs many short ones)
+    is how you tell true near-dups from boilerplate collisions.
+
+    Twins are deterministic: the middle token is replaced, so the
+    match mask, runs, and lengths are engine-exact integers.
+
+    Scale: per-doc arrays only — shingle lists are built ONCE as
+    columns (materialized before the positional explode per the
+    Generate-reevaluation discipline), the mask explode fans out
+    |shingles| per doc, and islands are windows PER DOC (parallel).
+    Nothing crosses documents except the final per-doc aggregate.
+
+    Reference: the explainability layer over q41/q42/q139
+    (SURVEY §2 extended dedup family)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % OVL_MOD == OVL_REM
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    toks_b = F.transform(
+        F.col("toks"),
+        lambda x, i: F.when(
+            i == F.floor(F.size(F.col("toks")) / 2), F.lit("MUT")
+        ).otherwise(x),
+    )
+    twin = base.select("doc_id", "toks", toks_b.alias("toks_b"))
+
+    def shingle_strs(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(col, i),
+                F.element_at(col, i + 1),
+                F.element_at(col, i + 2),
+            ),
+        )
+
+    sh = twin.select(
+        "doc_id",
+        shingle_strs(F.col("toks")).alias("sa"),
+        shingle_strs(F.col("toks_b")).alias("sb"),
+    )
+    # materialize the mask BEFORE exploding (Generate re-evaluates a
+    # complex child once per emitted row — the round-3 lesson)
+    from ..registry import track_cache as _tc
+
+    masked = _tc(
+        sh.select(
+            "doc_id",
+            F.size("sa").alias("n_shingles"),
+            F.zip_with(
+                "sa", "sb", lambda a, b: (a == b).cast("int")
+            ).alias("mask"),
+        ).persist()
+    )
+    pos = masked.select(
+        "doc_id", "n_shingles", F.posexplode("mask").alias("i0", "m")
+    ).filter(F.col("m") == 1)
+    w = Window.partitionBy("doc_id").orderBy("i0")
+    islands = pos.select(
+        "doc_id",
+        "n_shingles",
+        (F.col("i0") + 1 - F.row_number().over(w)).alias("isl"),
+    )
+    runs = islands.groupBy("doc_id", "n_shingles", "isl").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id", "n_shingles")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_matched"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+        )
+        .orderBy("doc_id")
+    )

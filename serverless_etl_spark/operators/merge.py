@@ -699,3 +699,142 @@ def q242_cdc_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cdc_generate(old, new, "k").orderBy("op", "k")
+
+
+# --------------------------------------------------------------------------
+# q254 — bitemporal AS OF query (valid time × transaction time)
+# --------------------------------------------------------------------------
+
+#: deterministic bitemporal history derived from orders: every order's
+#: value is valid for BT_VALID_DAYS from its order date; orders with
+#: key % BT_CORR_MOD == 0 receive a correction recorded
+#: BT_CORR_LAG_DAYS later (new value = old + BT_CORR_CENTS cents)
+BT_VALID_DAYS = 30
+BT_CORR_MOD = 5
+BT_CORR_LAG_DAYS = 10
+BT_CORR_CENTS = 10000
+
+
+@register(
+    "q254_bitemporal_asof",
+    oracle=f"""
+    WITH versions AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(o_orderdate AS DATE) + {BT_VALID_DAYS} AS valid_to,
+               CAST(o_orderdate AS DATE) AS tx_from,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE),
+               CAST(o_orderdate AS DATE) + {BT_VALID_DAYS},
+               CAST(o_orderdate AS DATE) + {BT_CORR_LAG_DAYS},
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) + {BT_CORR_CENTS}
+        FROM orders WHERE o_orderkey % {BT_CORR_MOD} = 0
+    ),
+    grid AS (
+        SELECT b.d AS valid_at, t.d AS known_at
+        FROM (SELECT unnest([DATE '1995-06-01', DATE '1997-06-01']) AS d) b
+        CROSS JOIN (SELECT unnest([DATE '1995-06-03', DATE '2002-01-01'])
+                    AS d) t
+    ),
+    visible AS (
+        SELECT g.valid_at, g.known_at, v.k, v.cents,
+               ROW_NUMBER() OVER (PARTITION BY g.valid_at, g.known_at, v.k
+                                  ORDER BY v.tx_from DESC) AS rn
+        FROM grid g JOIN versions v
+          ON v.valid_from <= g.valid_at AND g.valid_at < v.valid_to
+         AND v.tx_from <= g.known_at
+    )
+    SELECT valid_at, known_at,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM visible WHERE rn = 1
+    GROUP BY valid_at, known_at
+    ORDER BY valid_at, known_at
+    """,
+)
+def q254_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS OF query — the two-axis time travel every audited
+    warehouse eventually needs: "what was the total of orders VALID on
+    date V, AS KNOWN on date T?" Valid time says which versions were
+    in effect; transaction time says which versions had been RECORDED
+    yet — a correction recorded later changes answers for late T but
+    must leave early-T answers untouched (that immutability is what
+    the auditor checks, and what the test asserts). History is
+    derived deterministically from orders (a {BT_VALID_DAYS}-day
+    validity window; every {BT_CORR_MOD}th order corrected
+    {BT_CORR_LAG_DAYS} days after booking).
+
+    Per (V, T) cell the visible version is the LATEST tx_from ≤ T
+    among rows whose validity covers V — q193's point-in-time rule
+    applied on two axes at once (q65's SCD2 handles valid time only).
+
+    Determinism: integer cents (FLOOR before cast — the q209 lesson)
+    and date arithmetic.
+
+    Scale: the grid is a tiny broadcast; the validity/tx predicate is
+    a range join that AQE handles as broadcast-hash on the grid side
+    (|grid| cells, never a fact×fact product); the per-key version
+    pick is one window over (cell, key). At real scale the versions
+    table is partition-pruned by valid_from before the join.
+
+    Reference: extends q65 (SCD2) / q193 (PIT join) to full
+    bitemporality; no reference counterpart."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        od.alias("valid_from"),
+        F.date_add(od, BT_VALID_DAYS).alias("valid_to"),
+        od.alias("tx_from"),
+        cents.alias("cents"),
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % BT_CORR_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            od.alias("valid_from"),
+            F.date_add(od, BT_VALID_DAYS).alias("valid_to"),
+            F.date_add(od, BT_CORR_LAG_DAYS).alias("tx_from"),
+            (cents + BT_CORR_CENTS).alias("cents"),
+        )
+    )
+    versions = v1.unionByName(v2)
+    spark_grid = spark.createDataFrame(
+        [
+            (v, t)
+            for v in ("1995-06-01", "1997-06-01")
+            for t in ("1995-06-03", "2002-01-01")
+        ],
+        "valid_at string, known_at string",
+    ).select(
+        F.col("valid_at").cast("date").alias("valid_at"),
+        F.col("known_at").cast("date").alias("known_at"),
+    )
+    j = versions.join(
+        F.broadcast(spark_grid),
+        (F.col("valid_from") <= F.col("valid_at"))
+        & (F.col("valid_at") < F.col("valid_to"))
+        & (F.col("tx_from") <= F.col("known_at")),
+    )
+    w = Window.partitionBy("valid_at", "known_at", "k").orderBy(
+        F.col("tx_from").desc()
+    )
+    visible = j.select(
+        "valid_at",
+        "known_at",
+        "k",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        visible.groupBy("valid_at", "known_at")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("valid_at", "known_at")
+    )

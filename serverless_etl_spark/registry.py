@@ -131,6 +131,7 @@ _SWEEP_PRIORITY = [
     "q243_stl_decompose", "q244_backtest_folds", "q245_forecast_eval",
     "q246_theil_sen", "q247_rolling_corr", "q248_common_neighbors",
     "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",
+    "q252_mann_whitney", "q253_overlap_spans", "q254_bitemporal_asof",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

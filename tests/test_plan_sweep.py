@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
                                   # (exact baseline; LSH route documented)
     "q244_backtest_folds",        # one-row timeline-bounds broadcast
     "q250_threshold_sweep",       # one-row corpus-totals broadcast
+    "q252_mann_whitney",          # one-row tie-term broadcast
+    "q254_bitemporal_asof",       # 4-row (V,T) grid broadcast range join
 }
 
 

@@ -619,3 +619,148 @@ def test_spearman_matches_pure_python(spark):
     assert got == expected
     # signals genuinely agree on ordering: all correlations positive
     assert all(rho > 0 for _, rho in got.values())
+
+
+# --------------------------------------------------------------------------
+# q252 — Mann–Whitney U
+# --------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_type", "value").collect()
+    vals = [(r["value"], "a" if r["event_type"] == "click" else "b") for r in rows]
+    order = sorted(v for v, _ in vals)
+    cnt = Counter(v for v, _ in vals)
+    first = {}
+    for i, v in enumerate(order, 1):
+        if v not in first:
+            first[v] = i
+    r2a = sum(2 * first[v] + cnt[v] - 1 for v, g in vals if g == "a")
+    n_a = sum(1 for _, g in vals if g == "a")
+    n_b = len(vals) - n_a
+    u2 = r2a - n_a * (n_a + 1)
+    row = registry.QUERIES["q252_mann_whitney"](spark, SF_MID).collect()[0]
+    assert (row["n_a"], row["n_b"], row["u2"]) == (n_a, n_b, u2)
+    assert row["auc_ppm"] == 1000000 * u2 // (2 * n_a * n_b)
+    # AUC is a probability: inside [0, 1e6]
+    assert 0 <= row["auc_ppm"] <= 1000000
+    # z replay
+    ts = sum(t**3 - t for t in cnt.values())
+    n = n_a + n_b
+    mu = n_a * n_b / 2.0
+    var = n_a * n_b * ((n + 1) - ts / (n * (n - 1))) / 12.0
+    z = math.floor((u2 / 2.0 - mu) / math.sqrt(var) * 1000000) / 1000000
+    assert row["z"] == z
+
+
+# --------------------------------------------------------------------------
+# q253 — overlap spans
+# --------------------------------------------------------------------------
+
+
+def test_overlap_spans_match_pure_python(spark):
+    from serverless_etl_spark.operators.dedup import OVL_MOD, OVL_REM
+
+    docs = load_table(spark, SF_MID, "documents").filter(
+        F.col("doc_id") % OVL_MOD == OVL_REM
+    ).select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        toks = [w for w in r["text"].split(" ") if w]
+        if len(toks) < 3:
+            continue
+        mid = len(toks) // 2
+        toks_b = [("MUT" if i == mid else w) for i, w in enumerate(toks)]
+        sa = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        sb = [" ".join(toks_b[i : i + 3]) for i in range(len(toks_b) - 2)]
+        mask = [a == b for a, b in zip(sa, sb)]
+        runs = []
+        cur = 0
+        for m in mask:
+            if m:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            expected[r["doc_id"]] = (
+                len(sa),
+                sum(runs),
+                len(runs),
+                max(runs),
+            )
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_matched"],
+            r["n_runs"],
+            r["longest_run"],
+        )
+        for r in registry.QUERIES["q253_overlap_spans"](spark, SF_MID).collect()
+    }
+    assert got == expected
+    # one interior edit splits the alignment into exactly two runs
+    assert any(v[2] == 2 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# q254 — bitemporal AS OF
+# --------------------------------------------------------------------------
+
+
+def test_bitemporal_correction_immutability(spark):
+    from datetime import date, timedelta
+
+    from serverless_etl_spark.operators.merge import (
+        BT_CORR_CENTS,
+        BT_CORR_LAG_DAYS,
+        BT_CORR_MOD,
+        BT_VALID_DAYS,
+    )
+
+    orders = load_table(spark, SF_MID, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    grid = [
+        (date(1995, 6, 1), date(1995, 6, 3)),
+        (date(1995, 6, 1), date(2002, 1, 1)),
+        (date(1997, 6, 1), date(1995, 6, 3)),
+        (date(1997, 6, 1), date(2002, 1, 1)),
+    ]
+    expected = {}
+    for v_at, t_at in grid:
+        total = n = 0
+        for r in orders:
+            od = r["o_orderdate"].date()
+            if not (od <= v_at < od + timedelta(days=BT_VALID_DAYS)):
+                continue
+            if od > t_at:
+                continue  # not recorded yet
+            cents = math.floor(r["o_totalprice"] * 100)
+            if (
+                r["o_orderkey"] % BT_CORR_MOD == 0
+                and od + timedelta(days=BT_CORR_LAG_DAYS) <= t_at
+            ):
+                cents += BT_CORR_CENTS
+            n += 1
+            total += cents
+        if n:
+            expected[(v_at, t_at)] = (n, total)
+    got = {
+        (r["valid_at"], r["known_at"]): (r["n_orders"], r["total_cents"])
+        for r in registry.QUERIES["q254_bitemporal_asof"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+    # the auditor's property: corrections recorded after T leave the
+    # early-T answer strictly below the late-T answer for the same V
+    for v_at in {g[0] for g in grid}:
+        early = got.get((v_at, date(1995, 6, 3)))
+        late = got.get((v_at, date(2002, 1, 1)))
+        if early and late and early[0] == late[0]:
+            assert early[1] <= late[1]

@@ -5485,3 +5485,270 @@ def q252_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("auc_ppm"),
         z.alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# q255 — Poisson bootstrap confidence intervals (distributed bootstrap)
+# --------------------------------------------------------------------------
+
+BOOT_B = 40  #: bootstrap replicates
+#: Poisson(1) CDF thresholds (Python-computed literals, identical in
+#: both engines' plans) — inverse-CDF lookup turns an md5 uniform into
+#: a deterministic Poisson weight 0..5
+_POIS_T = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+)
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register(
+    "q255_poisson_bootstrap",
+    oracle=f"""
+    WITH fan AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS x,
+               b,
+               {_pois_case_sql(
+                   "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) "
+                   "|| '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) "
+                   "/ 4294967296.0")} AS w
+        FROM events
+        CROSS JOIN (SELECT unnest(range(1, {BOOT_B + 1})) AS b)
+    ),
+    reps AS (
+        SELECT event_type, b,
+               CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+                   AS mean_milli
+        FROM fan GROUP BY event_type, b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT event_type, mean_milli,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY mean_milli, b) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS nb
+        FROM reps
+    ),
+    point AS (
+        SELECT event_type,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   // COUNT(*) AS point_milli
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.point_milli,
+           MAX(CASE WHEN rk = 2 THEN mean_milli END) AS boot_lo,
+           MAX(CASE WHEN rk = (nb + 1) // 2 THEN mean_milli END)
+               AS boot_med,
+           MAX(CASE WHEN rk = nb - 1 THEN mean_milli END) AS boot_hi
+    FROM ranked r JOIN point p ON r.event_type = p.event_type
+    GROUP BY p.event_type, p.point_milli
+    ORDER BY p.event_type
+    """,
+)
+def q255_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-type mean
+    event value — THE distributed bootstrap: classical resampling
+    needs a global multinomial draw (impossible map-side), but
+    Poisson(1) weights per (row, replicate) are independent, so every
+    replicate is a weighted map-side aggregation and the whole
+    {BOOT_B}-replicate bootstrap is ONE pass over the data. Emits the
+    point mean plus the 2nd-lowest / median / 2nd-highest bootstrap
+    means (a ~95% percentile interval at B={BOOT_B}).
+
+    Determinism: weights come from an inverse-CDF lookup of md5
+    uniforms against Python-computed Poisson(1) CDF literals baked
+    into both plans; replicate means are integer milli-unit floor
+    divisions; rank selection breaks ties by replicate id.
+
+    Scale: the ×{BOOT_B} fan-out is map-side on the scan (no
+    replicate-wise rescans); each replicate partial-aggregates to one
+    row per (type, replicate) — 5×{BOOT_B} rows shuffle, full stop.
+    This is how uncertainty quantification actually runs at 100 TB.
+
+    Reference: none (no statistics surface); the uncertainty layer
+    for q01/q75-style dashboard means."""
+    ev = load_table(spark, sf_dir, "events")
+    b_col = F.explode(
+        F.array(*[F.lit(i) for i in range(1, BOOT_B + 1)])
+    ).alias("b")
+    fan = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
+        "event_id",
+        b_col,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(5)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(u < _POIS_T[k], k).otherwise(w)
+    reps = (
+        fan.select("event_type", "x", "b", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).cast("bigint").alias("swx"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.expr("swx DIV sw").alias("mean_milli"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_milli", "b")
+    wc = Window.partitionBy("event_type")
+    ranked = reps.select(
+        "event_type",
+        "mean_milli",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("nb"),
+    )
+    point = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
+        )
+        .groupBy("event_type")
+        .agg(F.expr("CAST(SUM(x) AS BIGINT) DIV COUNT(*)").alias("point_milli"))
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("mean_milli")))  # noqa: E731
+    agg = ranked.groupBy("event_type").agg(
+        pick(F.col("rk") == 2).alias("boot_lo"),
+        pick(F.col("rk") == F.expr("(nb + 1) DIV 2")).alias("boot_med"),
+        pick(F.col("rk") == F.col("nb") - 1).alias("boot_hi"),
+    )
+    return (
+        point.join(agg, "event_type")
+        .select(
+            "event_type", "point_milli", "boot_lo", "boot_med", "boot_hi"
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q256 — difference-in-differences (quasi-experimental readout)
+# --------------------------------------------------------------------------
+
+DID_SPLIT_DAY = 15  #: period boundary: day index < this = "pre"
+
+
+@register(
+    "q256_diff_in_diff",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+    ),
+    cells AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+                   AS grp,
+               CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE))
+                         < {DID_SPLIT_DAY}
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS x
+        FROM events CROSS JOIN bounds b
+    ),
+    m AS (
+        SELECT grp, period,
+               CAST(SUM(x) AS BIGINT) // COUNT(*) AS mean_milli,
+               COUNT(*) AS n
+        FROM cells GROUP BY grp, period
+    )
+    SELECT
+        MAX(CASE WHEN grp = 'treat' AND period = 'pre'
+                 THEN mean_milli END) AS treat_pre,
+        MAX(CASE WHEN grp = 'treat' AND period = 'post'
+                 THEN mean_milli END) AS treat_post,
+        MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                 THEN mean_milli END) AS control_pre,
+        MAX(CASE WHEN grp = 'control' AND period = 'post'
+                 THEN mean_milli END) AS control_post,
+        (MAX(CASE WHEN grp = 'treat' AND period = 'post'
+                  THEN mean_milli END)
+         - MAX(CASE WHEN grp = 'treat' AND period = 'pre'
+                    THEN mean_milli END))
+        - (MAX(CASE WHEN grp = 'control' AND period = 'post'
+                    THEN mean_milli END)
+           - MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                      THEN mean_milli END)) AS did_milli
+    FROM m
+    """,
+)
+def q256_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental readout when
+    you CANNOT randomize (q132's A/B assumes assignment was random;
+    DiD instead uses a control group's pre→post drift to remove the
+    common time trend): (treat_post − treat_pre) − (control_post −
+    control_pre) over deterministic user-parity groups and a
+    day-{DID_SPLIT_DAY} period split. The four cell means ship with
+    the estimate so the parallel-trends eyeball check is possible.
+
+    Determinism: integer milli-unit means (floor division) and
+    integer DiD arithmetic — no float subtraction of ratios.
+
+    Scale: ONE events pass builds all four cells map-side (the cell
+    key is a projection); the DiD is arithmetic over a 4-row
+    aggregate. Bounds is a one-row broadcast (allowlisted pattern).
+
+    Reference: completes the causal/readout family (q132 randomized,
+    q233 observational-conditional, this quasi-experimental)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    cells = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("user_id") % 2 == 0, "treat")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            < DID_SPLIT_DAY,
+            "pre",
+        )
+        .otherwise("post")
+        .alias("period"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    m = cells.groupBy("grp", "period").agg(
+        F.expr("CAST(SUM(x) AS BIGINT) DIV COUNT(*)").alias("mean_milli")
+    )
+    pick = lambda g, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("grp") == g) & (F.col("period") == p),
+            F.col("mean_milli"),
+        )
+    )
+    return m.groupBy().agg(
+        pick("treat", "pre").alias("treat_pre"),
+        pick("treat", "post").alias("treat_post"),
+        pick("control", "pre").alias("control_pre"),
+        pick("control", "post").alias("control_post"),
+        (
+            (pick("treat", "post") - pick("treat", "pre"))
+            - (pick("control", "post") - pick("control", "pre"))
+        ).alias("did_milli"),
+    )

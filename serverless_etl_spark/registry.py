@@ -132,6 +132,7 @@ _SWEEP_PRIORITY = [
     "q246_theil_sen", "q247_rolling_corr", "q248_common_neighbors",
     "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",
     "q252_mann_whitney", "q253_overlap_spans", "q254_bitemporal_asof",
+    "q255_poisson_bootstrap", "q256_diff_in_diff",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -764,3 +764,107 @@ def test_bitemporal_correction_immutability(spark):
         late = got.get((v_at, date(2002, 1, 1)))
         if early and late and early[0] == late[0]:
             assert early[1] <= late[1]
+
+
+# --------------------------------------------------------------------------
+# q255 — Poisson bootstrap
+# --------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_matches_pure_python(spark):
+    import hashlib
+
+    from serverless_etl_spark.operators.analytics_ext import (
+        BOOT_B,
+        _POIS_T,
+    )
+
+    rows = load_table(spark, SF_MID, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    reps = {}
+    points = {}
+    for r in rows:
+        x = math.floor(r["value"] * 1000)
+        et = r["event_type"]
+        p = points.setdefault(et, [0, 0])
+        p[0] += x
+        p[1] += 1
+        for b in range(1, BOOT_B + 1):
+            u = (
+                int(
+                    hashlib.md5(f"{r['event_id']}|{b}".encode()).hexdigest()[
+                        :8
+                    ],
+                    16,
+                )
+                / 4294967296.0
+            )
+            w = 5
+            for k, t in enumerate(_POIS_T):
+                if u < t:
+                    w = k
+                    break
+            acc = reps.setdefault((et, b), [0, 0])
+            acc[0] += w * x
+            acc[1] += w
+    expected = {}
+    for et in points:
+        means = sorted(
+            (acc[0] // acc[1], b)
+            for (e, b), acc in reps.items()
+            if e == et and acc[1] > 0
+        )
+        nb = len(means)
+        expected[et] = (
+            points[et][0] // points[et][1],
+            means[1][0],
+            means[(nb + 1) // 2 - 1][0],
+            means[nb - 2][0],
+        )
+    got = {
+        r["event_type"]: (
+            r["point_milli"],
+            r["boot_lo"],
+            r["boot_med"],
+            r["boot_hi"],
+        )
+        for r in registry.QUERIES["q255_poisson_bootstrap"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+    # the interval is ordered and brackets the point estimate
+    for point, lo, med, hi in got.values():
+        assert lo <= med <= hi
+        assert lo <= point <= hi
+
+
+# --------------------------------------------------------------------------
+# q256 — diff-in-diff
+# --------------------------------------------------------------------------
+
+
+def test_diff_in_diff_cell_arithmetic(spark):
+    row = registry.QUERIES["q256_diff_in_diff"](spark, SF_MID).collect()[0]
+    assert row["did_milli"] == (row["treat_post"] - row["treat_pre"]) - (
+        row["control_post"] - row["control_pre"]
+    )
+    # replay the four cells
+    from serverless_etl_spark.operators.analytics_ext import DID_SPLIT_DAY
+
+    rows = load_table(spark, SF_MID, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    d0 = min(r["ts"].date() for r in rows)
+    cells = {}
+    for r in rows:
+        grp = "treat" if r["user_id"] % 2 == 0 else "control"
+        period = (
+            "pre" if (r["ts"].date() - d0).days < DID_SPLIT_DAY else "post"
+        )
+        acc = cells.setdefault((grp, period), [0, 0])
+        acc[0] += math.floor(r["value"] * 1000)
+        acc[1] += 1
+    for (g, p), acc in cells.items():
+        assert row[f"{g}_{p}"] == acc[0] // acc[1]

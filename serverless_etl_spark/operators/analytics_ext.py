@@ -5752,3 +5752,265 @@ def q256_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (pick("control", "post") - pick("control", "pre"))
         ).alias("did_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# q257 — Haar wavelet energy decomposition of the daily series
+# --------------------------------------------------------------------------
+
+HAAR_N = 32  #: series padded to this length (5 levels)
+
+
+@register(
+    "q257_haar_energy",
+    oracle="""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    daily AS (
+        SELECT date_diff('day', b.d0, CAST(ts AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events CROSS JOIN bounds b GROUP BY 1
+    ),
+    l0 AS (
+        SELECT g.i, COALESCE(d.v, 0) AS v
+        FROM (SELECT unnest(range(0, 32)) AS i) g
+        LEFT JOIN daily d ON d.i = g.i
+    ),
+    l1 AS (SELECT i // 2 AS i, CAST(SUM(v) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS d
+           FROM l0 GROUP BY i // 2),
+    l2 AS (SELECT i // 2 AS i, CAST(SUM(v) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS d
+           FROM l1 GROUP BY i // 2),
+    l3 AS (SELECT i // 2 AS i, CAST(SUM(v) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS d
+           FROM l2 GROUP BY i // 2),
+    l4 AS (SELECT i // 2 AS i, CAST(SUM(v) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS d
+           FROM l3 GROUP BY i // 2),
+    l5 AS (SELECT i // 2 AS i, CAST(SUM(v) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS d
+           FROM l4 GROUP BY i // 2)
+    SELECT level, n_coeffs, energy FROM (
+        SELECT 1 AS level, COUNT(*) AS n_coeffs,
+               CAST(SUM(d * d) AS BIGINT) AS energy FROM l1
+        UNION ALL SELECT 2, COUNT(*), CAST(SUM(d * d) AS BIGINT) FROM l2
+        UNION ALL SELECT 3, COUNT(*), CAST(SUM(d * d) AS BIGINT) FROM l3
+        UNION ALL SELECT 4, COUNT(*), CAST(SUM(d * d) AS BIGINT) FROM l4
+        UNION ALL SELECT 5, COUNT(*), CAST(SUM(d * d) AS BIGINT) FROM l5
+    ) ORDER BY level
+    """,
+)
+def q257_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the daily value series —
+    the multi-resolution view of WHERE the variation lives: level-1
+    detail energy is day-to-day noise, level-3 is roughly weekly
+    structure, level-5 is the fortnight trend. One number per scale,
+    comparable release over release (q243 separates trend/seasonal;
+    this separates SCALES). Unnormalized Haar (sum / difference, no
+    1/√2) keeps every coefficient an exact integer — energies are
+    exact bigints, so the decomposition is oracle-bit-exact, which no
+    float FFT could be.
+
+    Series padded with zeros to {HAAR_N}; day index from the
+    dataset's own origin (one-row broadcast).
+
+    Scale: events collapse map-side to ≤{HAAR_N} (i, v) rows; the five
+    pairing aggregations touch ≤63 rows TOTAL. The decomposition cost
+    lives entirely in the first daily rollup — exactly where a 100 TB
+    run wants it.
+
+    Reference: extends the time-series family (q243 STL, q245
+    forecast, q247 rolling corr) with the scale-domain view."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("i"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
+        )
+        .groupBy("i")
+        .agg(F.sum("x").cast("bigint").alias("v"))
+    )
+    grid = spark.range(HAAR_N).select(F.col("id").cast("int").alias("i"))
+    level = grid.join(daily, "i", "left").select(
+        "i", F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("v")
+    )
+    outs = []
+    for lvl in range(1, 6):
+        nxt = level.groupBy(F.expr("i DIV 2").alias("i")).agg(
+            F.sum("v").cast("bigint").alias("v"),
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("v")).otherwise(-F.col("v"))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        outs.append(
+            nxt.agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).alias("n_coeffs"),
+                F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+            )
+        )
+        level = nxt.select("i", "v")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")
+
+
+# --------------------------------------------------------------------------
+# q258 — HDR-style log2-bucket percentiles (bounded relative error)
+# --------------------------------------------------------------------------
+
+HDR_PCTS = (50, 90, 99)
+
+
+@register(
+    "q258_hdr_percentiles",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type,
+               GREATEST(CAST(FLOOR(value * 1000000) AS BIGINT), 1) AS v
+        FROM events
+    ),
+    buckets AS (
+        SELECT event_type, length(bin(v)) AS b, COUNT(*) AS c
+        FROM vals GROUP BY event_type, length(bin(v))
+    ),
+    cum AS (
+        SELECT event_type, b, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cc,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM buckets
+    ),
+    fan AS (
+        SELECT c.event_type, c.b, c.cc, c.n, p.p,
+               (p.p * c.n + 99) // 100 AS k
+        FROM cum c
+        CROSS JOIN (SELECT unnest([{', '.join(str(p) for p in HDR_PCTS)}])
+                    AS p) p
+    ),
+    pick AS (
+        SELECT event_type, p, k, n, MIN(b) AS b
+        FROM fan WHERE cc >= k GROUP BY event_type, p, k, n
+    ),
+    exact AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                   AS rk
+        FROM vals
+    )
+    SELECT p.event_type, p.p, p.n, p.k,
+           e.v AS exact_micro,
+           (CAST(1 AS BIGINT) << (p.b - 1)) AS est_lo_micro,
+           (CAST(1 AS BIGINT) << p.b) - 1 AS est_hi_micro,
+           e.v BETWEEN (CAST(1 AS BIGINT) << (p.b - 1))
+                   AND (CAST(1 AS BIGINT) << p.b) - 1 AS within_bound
+    FROM pick p JOIN exact e
+      ON e.event_type = p.event_type AND e.rk = p.k
+    ORDER BY p.event_type, p.p
+    """,
+)
+def q258_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style percentiles: bucket each value by its
+    integer bit length (log2 buckets — the exponential binning behind
+    HdrHistogram/DDSketch that observability stacks standardized on),
+    then read percentiles off the cumulative bucket counts. Every
+    estimate carries a GUARANTEED bound: the true percentile lies in
+    [2^(b−1), 2^b), i.e. within 2× relative error at ~64 buckets of
+    state — the trade every latency dashboard makes. The exact k-th
+    value is computed alongside and the bound asserted as a column
+    (the q121 sketch-beside-exact pattern).
+
+    Determinism: integer micro-units, bit-length via length(bin()) —
+    no libm log2; rank ceil((p·n+99)/100) by integer arithmetic.
+
+    Scale: the sketch side is ≤64 rows per group FOREVER (bucket
+    counts merge by addition — mergeable across partitions, batches,
+    and replicas); the exact side is the one data-sized per-group
+    sort and exists only to certify the bound — at 100 TB you ship
+    the buckets and drop the certificate.
+
+    Reference: completes the percentile family (q37 exact, q73 GK
+    sketch, q109 equi-depth, this log-bucketed)."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.greatest(
+            F.floor(F.col("value") * 1000000).cast("bigint"), F.lit(1)
+        ).alias("v"),
+    )
+    buckets = vals.groupBy(
+        "event_type", F.length(F.bin(F.col("v"))).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = buckets.select(
+        "event_type",
+        "b",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    fan = cum.select(
+        "event_type",
+        "b",
+        "cc",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in HDR_PCTS])).alias("p"),
+    ).select(
+        "event_type",
+        "b",
+        "cc",
+        "n",
+        "p",
+        F.expr("(p * n + 99) DIV 100").alias("k"),
+    )
+    pick = (
+        fan.filter(F.col("cc") >= F.col("k"))
+        .groupBy("event_type", "p", "k", "n")
+        .agg(F.min("b").alias("b"))
+    )
+    wrk = Window.partitionBy("event_type").orderBy("v")
+    exact = vals.select(
+        "event_type", "v", F.row_number().over(wrk).alias("rk")
+    )
+    j = pick.join(
+        exact,
+        (pick["event_type"] == exact["event_type"])
+        & (exact["rk"] == pick["k"]),
+    ).select(
+        pick["event_type"],
+        "p",
+        "n",
+        "k",
+        F.col("v").alias("exact_micro"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), b - 1)").alias("est_lo_micro"),
+        (F.expr("shiftleft(CAST(1 AS BIGINT), b)") - 1).alias(
+            "est_hi_micro"
+        ),
+    )
+    return j.select(
+        "event_type",
+        "p",
+        "n",
+        "k",
+        "exact_micro",
+        "est_lo_micro",
+        "est_hi_micro",
+        (
+            (F.col("exact_micro") >= F.col("est_lo_micro"))
+            & (F.col("exact_micro") <= F.col("est_hi_micro"))
+        ).alias("within_bound"),
+    ).orderBy("event_type", "p")

@@ -1641,3 +1641,121 @@ def q249_drop_reason_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — k-anonymity generalization ladder (audit → repair)
+# --------------------------------------------------------------------------
+
+KA_K = 5  #: target group size
+
+
+@register(
+    "q259_generalization_ladder",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_custkey, n.n_regionkey AS region,
+               c.c_nationkey AS nation, c.c_mktsegment AS seg,
+               CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    lv AS (
+        SELECT 0 AS level, COUNT(*) AS n_groups,
+               CAST(MIN(gc) AS BIGINT) AS min_group,
+               CAST(SUM(CASE WHEN gc < {KA_K} THEN gc ELSE 0 END)
+                    AS BIGINT) AS n_rows_below_k
+        FROM (SELECT COUNT(*) AS gc FROM base
+              GROUP BY nation, seg, cents // 10000)
+        UNION ALL
+        SELECT 1, COUNT(*), CAST(MIN(gc) AS BIGINT),
+               CAST(SUM(CASE WHEN gc < {KA_K} THEN gc ELSE 0 END)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS gc FROM base
+              GROUP BY region, seg, cents // 100000)
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(MIN(gc) AS BIGINT),
+               CAST(SUM(CASE WHEN gc < {KA_K} THEN gc ELSE 0 END)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS gc FROM base GROUP BY region, seg)
+        UNION ALL
+        SELECT 3, COUNT(*), CAST(MIN(gc) AS BIGINT),
+               CAST(SUM(CASE WHEN gc < {KA_K} THEN gc ELSE 0 END)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS gc FROM base GROUP BY region)
+    )
+    SELECT level, n_groups, min_group, n_rows_below_k,
+           min_group >= {KA_K} AS achieves_k,
+           level = (SELECT MIN(level) FROM lv WHERE min_group >= {KA_K})
+               AS chosen
+    FROM lv ORDER BY level
+    """,
+)
+def q259_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity REPAIR via a generalization ladder — q122 audits
+    which quasi-identifier groups are too small; this answers the
+    follow-up "how much must we coarsen to publish?": four
+    generalization levels (nation/segment/$100-balance → region/
+    segment/$1000 → region/segment → region) each report group count,
+    smallest group, and rows below k={KA_K}; the CHOSEN level is the
+    least-general one whose minimum group reaches k — the minimal
+    information loss satisfying the privacy bar.
+
+    Determinism: integer bucket arithmetic and counts throughout.
+
+    Scale: each level is one grouped count over the joined base (the
+    nation dim broadcasts); levels run independently and union into a
+    4-row report — at 100 TB you'd fuse them into one GROUPING SETS
+    pass (q137's shape), kept separate here for per-level clarity.
+
+    Reference: closes the privacy loop q88 (redact) → q122 (audit) →
+    this (repair policy)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = cust.join(
+        F.broadcast(nation),
+        cust["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        F.col("n_regionkey").alias("region"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    levels = [
+        (0, [F.col("nation"), F.col("seg"), F.expr("cents DIV 10000")]),
+        (1, [F.col("region"), F.col("seg"), F.expr("cents DIV 100000")]),
+        (2, [F.col("region"), F.col("seg")]),
+        (3, [F.col("region")]),
+    ]
+    out = None
+    for lvl, keys in levels:
+        g = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("gc"))
+        row = g.agg(
+            F.lit(lvl).alias("level"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("gc").cast("bigint").alias("min_group"),
+            F.sum(F.when(F.col("gc") < KA_K, F.col("gc")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_below_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    w = Window.partitionBy()
+    return (
+        out.select(
+            "*",
+            (F.col("min_group") >= KA_K).alias("achieves_k"),
+        )
+        .select(
+            "level",
+            "n_groups",
+            "min_group",
+            "n_rows_below_k",
+            "achieves_k",
+            (
+                F.col("level")
+                == F.min(
+                    F.when(F.col("achieves_k"), F.col("level"))
+                ).over(w)
+            ).alias("chosen"),
+        )
+        .orderBy("level")
+    )

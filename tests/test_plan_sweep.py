@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "q252_mann_whitney",          # one-row tie-term broadcast
     "q254_bitemporal_asof",       # 4-row (V,T) grid broadcast range join
     "q256_diff_in_diff",          # one-row timeline-origin broadcast
+    "q257_haar_energy",           # one-row timeline-origin broadcast
 }
 
 

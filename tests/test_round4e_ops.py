@@ -868,3 +868,90 @@ def test_diff_in_diff_cell_arithmetic(spark):
         acc[1] += 1
     for (g, p), acc in cells.items():
         assert row[f"{g}_{p}"] == acc[0] // acc[1]
+
+
+# --------------------------------------------------------------------------
+# q257 — Haar energy
+# --------------------------------------------------------------------------
+
+
+def test_haar_energy_matches_pure_python(spark):
+    from serverless_etl_spark.operators.analytics_ext import HAAR_N
+
+    rows = load_table(spark, SF_MID, "events").select("ts", "value").collect()
+    d0 = min(r["ts"].date() for r in rows)
+    series = [0] * HAAR_N
+    for r in rows:
+        i = (r["ts"].date() - d0).days
+        if 0 <= i < HAAR_N:
+            series[i] += math.floor(r["value"] * 1000)
+    expected = {}
+    level = series
+    for lvl in range(1, 6):
+        s = [level[2 * i] + level[2 * i + 1] for i in range(len(level) // 2)]
+        d = [level[2 * i] - level[2 * i + 1] for i in range(len(level) // 2)]
+        expected[lvl] = (len(d), sum(x * x for x in d))
+        level = s
+    got = {
+        r["level"]: (r["n_coeffs"], r["energy"])
+        for r in registry.QUERIES["q257_haar_energy"](spark, SF_MID).collect()
+    }
+    assert got == expected
+    # Parseval-flavoured sanity: total detail energy + final sum^2
+    # equals 2^5 * sum of squares of the original series (unnormalized
+    # Haar multiplies energy by 2 per level)
+    tot = sum(x * x for x in series)
+    acc = 0
+    for lvl in range(1, 6):
+        acc += expected[lvl][1] * (2 ** (5 - lvl))
+    assert acc + level[0] ** 2 == tot * 32
+
+
+# --------------------------------------------------------------------------
+# q258 — HDR percentiles
+# --------------------------------------------------------------------------
+
+
+def test_hdr_bound_always_holds_and_exact_rank(spark):
+    rows = registry.QUERIES["q258_hdr_percentiles"](spark, SF_MID).collect()
+    assert len(rows) == 15  # 5 types x 3 percentiles
+    vals = {}
+    for r in load_table(spark, SF_MID, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(
+            max(math.floor(r["value"] * 1000000), 1)
+        )
+    for r in rows:
+        assert r["within_bound"]  # the sketch's guarantee, certified
+        vs = sorted(vals[r["event_type"]])
+        assert r["n"] == len(vs)
+        k = (r["p"] * len(vs) + 99) // 100
+        assert r["k"] == k
+        assert r["exact_micro"] == vs[k - 1]
+        # log2 bound: hi < 2*lo + 1 => at most 2x relative error
+        assert r["est_hi_micro"] == 2 * r["est_lo_micro"] - 1
+
+
+# --------------------------------------------------------------------------
+# q259 — generalization ladder
+# --------------------------------------------------------------------------
+
+
+def test_generalization_ladder_monotone_and_chosen(spark):
+    rows = sorted(
+        registry.QUERIES["q259_generalization_ladder"](
+            spark, SF_MID
+        ).collect(),
+        key=lambda r: r["level"],
+    )
+    # coarser levels have no more groups and no smaller minimum
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_groups"] <= a["n_groups"]
+        assert b["min_group"] >= a["min_group"]
+    # the chosen level is the first achieving k, and it is unique
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    lvl = chosen[0]["level"]
+    assert chosen[0]["achieves_k"]
+    assert all(not r["achieves_k"] for r in rows if r["level"] < lvl)

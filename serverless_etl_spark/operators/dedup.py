@@ -2082,3 +2082,196 @@ def q253_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q261 — fuzzy-join evaluation against seeded ground truth
+# --------------------------------------------------------------------------
+
+FJ_TWIN_OFFSET = 3_000_000
+FJ_SUB_REM = 3   #: doc_id % 10 == 3 -> substitution twin (same length)
+FJ_INS_REM = 7   #: doc_id % 10 == 7 -> 2-char insertion twin (len + 2)
+
+
+@register(
+    "q261_fuzzy_join_eval",
+    oracle=f"""
+    WITH twins AS (
+        SELECT doc_id + {FJ_TWIN_OFFSET} AS doc_id, lang,
+               CASE WHEN doc_id % 10 = {FJ_SUB_REM}
+                    THEN substr(text, 1, 5) || 'q' || substr(text, 7)
+                    ELSE substr(text, 1, 5) || 'zq' || substr(text, 6)
+               END AS text,
+               CASE WHEN doc_id % 10 = {FJ_SUB_REM}
+                    THEN n_chars ELSE n_chars + 2 END AS n_chars,
+               CASE WHEN doc_id % 10 = {FJ_SUB_REM}
+                    THEN 'sub' ELSE 'ins' END AS kind
+        FROM documents
+        WHERE doc_id % 10 IN ({FJ_SUB_REM}, {FJ_INS_REM})
+    ),
+    corpus AS (
+        SELECT doc_id, lang, text, n_chars FROM documents
+        UNION ALL SELECT doc_id, lang, text, n_chars FROM twins
+    ),
+    d AS (
+        SELECT doc_id, lang, n_chars // {FUZZY_BUCKET} AS bucket,
+               substr(text, 1, {FUZZY_PREFIX}) AS prefix
+        FROM corpus
+    ),
+    ok_blocks AS (
+        SELECT lang, bucket FROM d GROUP BY lang, bucket
+        HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
+    ),
+    b AS (SELECT d.* FROM d JOIN ok_blocks USING (lang, bucket)),
+    pred AS (
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.bucket = c.bucket
+         AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.prefix, c.prefix) <= {FUZZY_MAX_DIST}
+    ),
+    pred_tw AS (
+        SELECT * FROM pred WHERE doc_b >= {FJ_TWIN_OFFSET}
+    ),
+    hits AS (
+        SELECT t.kind FROM pred_tw p
+        JOIN twins t ON p.doc_b = t.doc_id
+        WHERE p.doc_a = p.doc_b - {FJ_TWIN_OFFSET}
+    ),
+    truth AS (SELECT kind, COUNT(*) AS n FROM twins GROUP BY kind)
+    SELECT
+        (SELECT n FROM truth WHERE kind = 'sub') AS n_truth_sub,
+        (SELECT n FROM truth WHERE kind = 'ins') AS n_truth_ins,
+        (SELECT COUNT(*) FROM hits WHERE kind = 'sub') AS found_sub,
+        (SELECT COUNT(*) FROM hits WHERE kind = 'ins') AS found_ins,
+        (SELECT COUNT(*) FROM pred_tw) AS n_predicted,
+        1000000 * (SELECT COUNT(*) FROM hits)
+            // NULLIF((SELECT COUNT(*) FROM pred_tw), 0) AS precision_ppm,
+        1000000 * (SELECT COUNT(*) FROM hits)
+            // (SELECT SUM(n) FROM truth) AS recall_ppm
+    """,
+)
+def q261_fuzzy_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution quality evaluation — the q120/q177/q219
+    closure pattern applied to q158's blocked fuzzy join: seed twins
+    with KNOWN corruptions (a 1-char substitution that preserves the
+    blocking key, and a 2-char insertion that shifts the length
+    bucket for docs near a boundary), run the exact same blocking +
+    edit-distance pipeline, and report precision/recall against the
+    seeded truth. The per-kind recall split is the point: substitution
+    recall is the matcher's quality, insertion recall is the BLOCKING
+    scheme's recall loss (twins that crossed a length bucket are
+    structurally unreachable — the classic blocking trade, measured
+    instead of assumed; multi-pass blocking / LSH bands are the fix).
+
+    Determinism: integer edit distances and counts; ppm divisions.
+
+    Scale: inherits q158's blocking contract (per-block fan-out,
+    hot-block guard, fixed-prefix DP bound); the eval adds one
+    digest-keyed join of predictions to the twin table.
+
+    Reference: the evaluation layer over q158 (SURVEY §2 extended
+    dedup family)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    is_sub = F.col("doc_id") % 10 == FJ_SUB_REM
+    twins = docs.filter(
+        (F.col("doc_id") % 10).isin(FJ_SUB_REM, FJ_INS_REM)
+    ).select(
+        (F.col("doc_id") + FJ_TWIN_OFFSET).alias("doc_id"),
+        "lang",
+        F.when(
+            is_sub,
+            F.concat(
+                F.substring("text", 1, 5),
+                F.lit("q"),
+                F.expr("substring(text, 7)"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.substring("text", 1, 5),
+                F.lit("zq"),
+                F.expr("substring(text, 6)"),
+            )
+        )
+        .alias("text"),
+        F.when(is_sub, F.col("n_chars"))
+        .otherwise(F.col("n_chars") + 2)
+        .alias("n_chars"),
+        F.when(is_sub, "sub").otherwise("ins").alias("kind"),
+    )
+    twins = track_cache(twins.persist())
+    corpus = docs.unionByName(twins.drop("kind"))
+    d = corpus.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars DIV {FUZZY_BUCKET}").alias("bucket"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
+    )
+    ok_blocks = (
+        d.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") <= FUZZY_MAX_BLOCK)
+        .select("lang", "bucket")
+    )
+    b = d.join(ok_blocks, ["lang", "bucket"])
+    a = b.select("lang", "bucket", F.col("doc_id").alias("doc_a"),
+                 F.col("prefix").alias("pa"))
+    c = b.select(F.col("lang").alias("l2"), F.col("bucket").alias("k2"),
+                 F.col("doc_id").alias("doc_b"),
+                 F.col("prefix").alias("pb"))
+    pred = (
+        a.join(
+            c,
+            (a["lang"] == c["l2"])
+            & (a["bucket"] == c["k2"])
+            & (a["doc_a"] < c["doc_b"]),
+        )
+        .filter(F.levenshtein("pa", "pb") <= FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b")
+    )
+    pred_tw = pred.filter(F.col("doc_b") >= FJ_TWIN_OFFSET)
+    pred_tw = track_cache(pred_tw.persist())
+    hits = pred_tw.filter(
+        F.col("doc_a") == F.col("doc_b") - FJ_TWIN_OFFSET
+    ).join(
+        twins.select(F.col("doc_id").alias("doc_b"), "kind"), "doc_b"
+    )
+    truth = twins.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        truth.groupBy()
+        .pivot("kind", ["sub", "ins"])
+        .sum("n")
+        .select(
+            F.col("sub").alias("n_truth_sub"),
+            F.col("ins").alias("n_truth_ins"),
+        )
+    )
+    hit_counts = (
+        hits.groupBy()
+        .agg(
+            F.count(F.when(F.col("kind") == "sub", 1)).alias("found_sub"),
+            F.count(F.when(F.col("kind") == "ins", 1)).alias("found_ins"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    n_pred = pred_tw.agg(F.count(F.lit(1)).alias("n_predicted"))
+    return (
+        counts.crossJoin(F.broadcast(hit_counts))
+        .crossJoin(F.broadcast(n_pred))
+        .select(
+            "n_truth_sub",
+            "n_truth_ins",
+            "found_sub",
+            "found_ins",
+            "n_predicted",
+            F.expr(
+                "1000000 * n_hits DIV nullif(n_predicted, 0)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "1000000 * n_hits DIV (n_truth_sub + n_truth_ins)"
+            ).alias("recall_ppm"),
+        )
+    )

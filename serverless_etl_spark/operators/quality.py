@@ -1759,3 +1759,112 @@ def q259_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# --------------------------------------------------------------------------
+# q260 — broadcast-size advisor (the join-strategy decision, measured)
+# --------------------------------------------------------------------------
+
+#: per-table column spec: (name, kind) where kind is 'f8' (8-byte
+#: fixed), 'f4' (4-byte fixed), or 's' (variable string). ONE source
+#: generates both engines' byte arithmetic.
+BC_TABLES: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "f4"), ("r_name", "s")],
+    "nation": [("n_nationkey", "f4"), ("n_name", "s"),
+               ("n_regionkey", "f4")],
+    "customer": [("c_custkey", "f8"), ("c_name", "s"),
+                 ("c_nationkey", "f4"), ("c_acctbal", "f8"),
+                 ("c_mktsegment", "s")],
+    "supplier": [("s_suppkey", "f8"), ("s_name", "s"),
+                 ("s_nationkey", "f4"), ("s_acctbal", "f8")],
+    "part": [("p_partkey", "f8"), ("p_name", "s"), ("p_brand", "s"),
+             ("p_type", "s"), ("p_size", "f4"),
+             ("p_retailprice", "f8")],
+    "orders": [("o_orderkey", "f8"), ("o_custkey", "f8"),
+               ("o_orderstatus", "s"), ("o_totalprice", "f8"),
+               ("o_orderdate", "f8"), ("o_orderpriority", "s")],
+}
+BC_THRESHOLD = 10 * 1024 * 1024  #: spark.sql.autoBroadcastJoinThreshold
+
+
+def _bc_fixed_bytes(cols: list[tuple[str, str]]) -> int:
+    return sum(8 if k == "f8" else 4 for _, k in cols if k != "s")
+
+
+def _bc_str_len_sql(cols: list[tuple[str, str]]) -> str:
+    strs = [c for c, k in cols if k == "s"]
+    return " + ".join(f"length({c})" for c in strs) if strs else "0"
+
+
+@register(
+    "q260_broadcast_advisor",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS tbl, COUNT(*) AS n_rows,
+           CAST(COUNT(*) * {_bc_fixed_bytes(cols)}
+                + SUM({_bc_str_len_sql(cols)}) AS BIGINT) AS est_bytes,
+           CAST(COUNT(*) * {_bc_fixed_bytes(cols)}
+                + SUM({_bc_str_len_sql(cols)}) AS BIGINT)
+               <= {BC_THRESHOLD} AS broadcastable,
+           {BC_THRESHOLD} // CAST(COUNT(*) * {_bc_fixed_bytes(cols)}
+                + SUM({_bc_str_len_sql(cols)}) AS BIGINT)
+               AS headroom_x
+        FROM {t}
+        """
+        for t, cols in BC_TABLES.items()
+    )
+    + "\nORDER BY tbl",
+)
+def q260_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-size advisor — the single most consequential join
+    decision at 100 TB (broadcast-hash vs shuffle), made from MEASURED
+    bytes instead of file-size guesses: per table, exact in-memory
+    payload estimate (fixed-width columns at their width + actual
+    string byte lengths summed), the verdict against the 10 MB
+    autoBroadcastJoinThreshold, and the HEADROOM multiplier — how many
+    times the table can grow before the plan flips to a shuffle join
+    (the number you check before a 1000× scale-up, because a dim that
+    broadcasts at sf0.1 may not at sf100; q118/q168's all-dims-
+    broadcast plans are safe exactly while headroom_x ≥ the scale
+    factor ratio).
+
+    Determinism: exact integer byte sums (Σ length() is exact, unlike
+    an avg-width estimate).
+
+    Scale: one map-side aggregate per table (counts + length sums
+    partial-combine); the report is |tables| rows. This is the
+    statistics pass a cost-based optimizer runs as ANALYZE TABLE —
+    expressed as a query so the t2 gate certifies the arithmetic.
+
+    Reference: complements q192 (join output size) and q234
+    (partition layout) in the planner-statistics family."""
+    out = None
+    for t, cols in BC_TABLES.items():
+        tbl = load_table(spark, sf_dir, t)
+        strs = [c for c, k in cols if k == "s"]
+        str_sum = (
+            sum(
+                (F.length(F.col(c)) for c in strs[1:]),
+                F.length(F.col(strs[0])),
+            )
+            if strs
+            else F.lit(0)
+        )
+        row = tbl.agg(
+            F.lit(t).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count(F.lit(1)) * _bc_fixed_bytes(cols)
+                + F.sum(str_sum)
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        ).select(
+            "tbl",
+            "n_rows",
+            "est_bytes",
+            (F.col("est_bytes") <= BC_THRESHOLD).alias("broadcastable"),
+            F.expr(f"{BC_THRESHOLD} DIV est_bytes").alias("headroom_x"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl")

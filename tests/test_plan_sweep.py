@@ -60,6 +60,7 @@ BNLJ_ALLOWED = {
     "q254_bitemporal_asof",       # 4-row (V,T) grid broadcast range join
     "q256_diff_in_diff",          # one-row timeline-origin broadcast
     "q257_haar_energy",           # one-row timeline-origin broadcast
+    "q261_fuzzy_join_eval",       # three one-row metric aggregates joined
 }
 
 

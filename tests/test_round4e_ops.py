@@ -955,3 +955,133 @@ def test_generalization_ladder_monotone_and_chosen(spark):
     lvl = chosen[0]["level"]
     assert chosen[0]["achieves_k"]
     assert all(not r["achieves_k"] for r in rows if r["level"] < lvl)
+
+
+# --------------------------------------------------------------------------
+# q260 — broadcast advisor
+# --------------------------------------------------------------------------
+
+
+def test_broadcast_advisor_exact_bytes(spark):
+    from serverless_etl_spark.operators.quality import (
+        BC_TABLES,
+        BC_THRESHOLD,
+        _bc_fixed_bytes,
+    )
+
+    got = {
+        r["tbl"]: (r["n_rows"], r["est_bytes"], r["broadcastable"], r["headroom_x"])
+        for r in registry.QUERIES["q260_broadcast_advisor"](
+            spark, SF_MID
+        ).collect()
+    }
+    for t, cols in BC_TABLES.items():
+        rows = load_table(spark, SF_MID, t).collect()
+        strs = [c for c, k in cols if k == "s"]
+        est = len(rows) * _bc_fixed_bytes(cols) + sum(
+            len(r[c]) for r in rows for c in strs
+        )
+        assert got[t] == (
+            len(rows),
+            est,
+            est <= BC_THRESHOLD,
+            BC_THRESHOLD // est,
+        )
+    # at sf0.01 every fixture table broadcasts; headroom orders the
+    # dims the way the star-join plans assume (region roomiest)
+    assert all(v[2] for v in got.values())
+    assert got["region"][3] > got["orders"][3]
+
+
+# --------------------------------------------------------------------------
+# q261 — fuzzy-join evaluation
+# --------------------------------------------------------------------------
+
+
+def test_fuzzy_join_eval_recall_explains_blocking(spark):
+    from serverless_etl_spark.operators.dedup import (
+        FJ_INS_REM,
+        FJ_SUB_REM,
+        FUZZY_BUCKET,
+    )
+
+    row = registry.QUERIES["q261_fuzzy_join_eval"](spark, SF_MID).collect()[0]
+    docs = load_table(spark, SF_MID, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    n_sub = sum(1 for r in docs if r["doc_id"] % 10 == FJ_SUB_REM)
+    n_ins = sum(1 for r in docs if r["doc_id"] % 10 == FJ_INS_REM)
+    # insertion twins that cross a length bucket are structurally
+    # unreachable under single-pass blocking
+    crossers = sum(
+        1
+        for r in docs
+        if r["doc_id"] % 10 == FJ_INS_REM
+        and (r["n_chars"] + 2) // FUZZY_BUCKET != r["n_chars"] // FUZZY_BUCKET
+    )
+    assert (row["n_truth_sub"], row["n_truth_ins"]) == (n_sub, n_ins)
+    assert row["found_sub"] == n_sub  # same-block twins always found
+    assert row["found_ins"] == n_ins - crossers
+    assert crossers > 0  # the blocking trade is actually exercised
+    assert row["recall_ppm"] == 1000000 * (n_sub + n_ins - crossers) // (
+        n_sub + n_ins
+    )
+    assert row["n_predicted"] >= row["found_sub"] + row["found_ins"]
+
+
+# --------------------------------------------------------------------------
+# q262 — Bellman–Ford
+# --------------------------------------------------------------------------
+
+
+def test_bellman_ford_matches_pure_python(spark):
+    from serverless_etl_spark.operators.graph import (
+        BF_LEN_NUM,
+        BF_ROUNDS,
+        BF_SEED_MOD,
+        TRI_MIN_SUPPORT,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    wcount = Counter()
+    for ps in baskets.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                wcount[(ps[i], ps[j])] += 1
+    adj = {}
+    for (u, v), w in wcount.items():
+        if w >= TRI_MIN_SUPPORT:
+            ln = BF_LEN_NUM // w
+            adj.setdefault(u, []).append((v, ln))
+            adj.setdefault(v, []).append((u, ln))
+    dist = {u: 0 for u in adj if u % BF_SEED_MOD == 0}
+    for _ in range(BF_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, ln in adj.get(u, []):
+                if v not in nxt or d + ln < nxt[v]:
+                    nxt[v] = d + ln
+        dist = nxt
+    expected = {}
+    for d in dist.values():
+        b = d // 100
+        cur = expected.get(b, [0, None, None])
+        cur[0] += 1
+        cur[1] = d if cur[1] is None else min(cur[1], d)
+        cur[2] = d if cur[2] is None else max(cur[2], d)
+        expected[b] = cur
+    expected = {b: tuple(v) for b, v in expected.items()}
+    got = {
+        r["dist_bucket"]: (r["n_nodes"], r["min_dist"], r["max_dist"])
+        for r in registry.QUERIES["q262_bellman_ford"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == expected
+    assert 0 in got  # seeds themselves at distance 0

@@ -123,6 +123,8 @@ def main() -> None:
         "q235_kmv_set_algebra",
         "q238_delta_join_view",
         "q248_common_neighbors",
+        "q255_poisson_bootstrap",
+        "q262_bellman_ford",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -288,3 +288,103 @@ def q238_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q264 — join-view maintenance with RETRACTIONS (deletes in IVM)
+# --------------------------------------------------------------------------
+
+#: deterministic delete slices: these rows are "retracted" this batch
+O_RETRACT_MOD = 17
+C_RETRACT_MOD = 23
+
+
+@register(
+    "q264_retraction_view",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey % {O_RETRACT_MOD} <> 0
+      AND c.c_custkey % {C_RETRACT_MOD} <> 0
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q264_retraction_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under DELETES — the retraction half of
+    incremental view maintenance that q238 (insert-only) left open.
+    For V = (orders ⋈ customer) per nation, deleting order slice ΔO
+    and customer slice ΔC updates the view by SUBTRACTING the delta
+    terms, inclusion–exclusion signed:
+
+        V' = V − ΔO⋈C − O⋈ΔC + ΔO⋈ΔC
+
+    (the +ΔO⋈ΔC corrects the double-subtracted pairs where BOTH sides
+    died). The engine folds the three signed partials into the stored
+    base partial; the oracle recomputes the join on the surviving
+    rows. Hash-match proves the signed algebra — the thing streaming
+    engines' retraction streams (Flink's changelog mode) must get
+    right, expressed as relational partials.
+
+    Determinism: counts and exact DECIMAL sums carry SIGNS as
+    negated partials; merge stays order-free; one final double cast.
+
+    Scale: the full base partial is reused; each delta term touches
+    only a delta slice (delete batches are batch-sized; ΔC
+    broadcasts). A retraction never rescans history — the same O(Δ)
+    contract as q238, now closed under the full insert/delete
+    algebra (updates = delete + insert)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    o_del = orders.filter(F.col("o_orderkey") % O_RETRACT_MOD == 0)
+    c_del = customer.filter(F.col("c_custkey") % C_RETRACT_MOD == 0)
+
+    def partial(o: DataFrame, c: DataFrame, sign: int, bc: bool) -> DataFrame:
+        cc = F.broadcast(c) if bc else c
+        return (
+            o.join(cc, o["o_custkey"] == cc["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                (F.count(F.lit(1)) * sign).alias("n_orders"),
+                (
+                    F.sum(F.col("o_totalprice").cast("decimal(22,2)"))
+                    * sign
+                ).alias("rev"),
+            )
+        )
+
+    base = partial(orders, customer, 1, bc=False)
+    d1 = partial(o_del, customer, -1, bc=False)
+    d2 = partial(orders, c_del, -1, bc=True)
+    d3 = partial(o_del, c_del, 1, bc=True)
+
+    merged = (
+        base.unionByName(d1)
+        .unionByName(d2)
+        .unionByName(d3)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev").alias("rev"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return (
+        merged.join(
+            F.broadcast(nation),
+            merged["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            "n_name",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

@@ -1868,3 +1868,127 @@ def q260_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl")
+
+
+# --------------------------------------------------------------------------
+# q263 — per-user contribution bounds (DP clipping-threshold audit)
+# --------------------------------------------------------------------------
+
+CB_PCT = 95  #: clipping threshold percentile
+
+
+@register(
+    "q263_contribution_bounds",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS mass_milli
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (
+        SELECT user_id,
+               CAST(MAX(n_rows) AS BIGINT) AS max_rows_day,
+               CAST(MAX(mass_milli) AS BIGINT) AS max_mass_day
+        FROM per GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT max_rows_day, max_mass_day,
+               ROW_NUMBER() OVER (ORDER BY max_rows_day, user_id)
+                   AS rk_rows,
+               ROW_NUMBER() OVER (ORDER BY max_mass_day, user_id)
+                   AS rk_mass,
+               COUNT(*) OVER () AS n
+        FROM mx
+    )
+    SELECT (SELECT COUNT(*) FROM mx) AS n_users,
+           (SELECT MAX(max_rows_day) FROM mx) AS sens_rows,
+           (SELECT MAX(max_mass_day) FROM mx) AS sens_mass_milli,
+           (SELECT max_rows_day FROM ranked
+            WHERE rk_rows = ({CB_PCT} * n + 99) // 100)
+               AS clip_rows_p{CB_PCT},
+           (SELECT max_mass_day FROM ranked
+            WHERE rk_mass = ({CB_PCT} * n + 99) // 100)
+               AS clip_mass_p{CB_PCT},
+           (SELECT CAST(SUM(CASE WHEN max_rows_day >
+                (SELECT max_rows_day FROM ranked
+                 WHERE rk_rows = ({CB_PCT} * n + 99) // 100)
+                THEN 1 ELSE 0 END) AS BIGINT) FROM ranked)
+               AS n_users_clipped
+    """,
+)
+def q263_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounds — the prerequisite audit for ANY
+    differentially-private or abuse-resistant release: the worst-case
+    single-user daily contribution (row count and value mass) IS the
+    L1 sensitivity of a daily aggregate, and the p{CB_PCT} of the
+    per-user maxima is the standard CLIPPING threshold (bound each
+    user at the p{CB_PCT} and the noise scale drops from the outlier's
+    sensitivity to the clip's, at the cost of the reported clipped-
+    user count). DP-SQL engines run exactly this pass before adding
+    noise; without it "just add Laplace" is calibrated to the single
+    noisiest bot.
+
+    Determinism: integer counts/mass; percentile by the integer
+    crossing rank with user-id tie-break.
+
+    Scale: two stacked aggregations (user-day, then user) — both
+    partial-combine map-side; the rank runs over |users| rows.
+
+    Reference: completes the privacy family q88 → q122 → q259 with
+    the numeric-release side."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("x").cast("bigint").alias("mass_milli"),
+        )
+    )
+    mx = per.groupBy("user_id").agg(
+        F.max("n_rows").cast("bigint").alias("max_rows_day"),
+        F.max("mass_milli").cast("bigint").alias("max_mass_day"),
+    )
+    w_rows = Window.orderBy("max_rows_day", "user_id")
+    w_mass = Window.orderBy("max_mass_day", "user_id")
+    wc = Window.partitionBy()
+    ranked = mx.select(
+        "max_rows_day",
+        "max_mass_day",
+        F.row_number().over(w_rows).alias("rk_rows"),
+        F.row_number().over(w_mass).alias("rk_mass"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = F.expr(f"({CB_PCT} * n + 99) DIV 100")
+    clip_rows = ranked.filter(F.col("rk_rows") == k).select(
+        F.col("max_rows_day").alias("clip_rows")
+    )
+    clip_mass = ranked.filter(F.col("rk_mass") == k).select(
+        F.col("max_mass_day").alias("clip_mass")
+    )
+    tots = mx.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("max_rows_day").alias("sens_rows"),
+        F.max("max_mass_day").alias("sens_mass_milli"),
+    )
+    j = tots.crossJoin(F.broadcast(clip_rows)).crossJoin(
+        F.broadcast(clip_mass)
+    )
+    clipped = (
+        mx.crossJoin(F.broadcast(clip_rows))
+        .filter(F.col("max_rows_day") > F.col("clip_rows"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_clipped"))
+    )
+    return j.crossJoin(F.broadcast(clipped)).select(
+        "n_users",
+        "sens_rows",
+        "sens_mass_milli",
+        F.col("clip_rows").alias(f"clip_rows_p{CB_PCT}"),
+        F.col("clip_mass").alias(f"clip_mass_p{CB_PCT}"),
+        "n_users_clipped",
+    )

@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     "q256_diff_in_diff",          # one-row timeline-origin broadcast
     "q257_haar_energy",           # one-row timeline-origin broadcast
     "q261_fuzzy_join_eval",       # three one-row metric aggregates joined
+    "q263_contribution_bounds",   # one-row clip-threshold broadcasts
 }
 
 

@@ -1085,3 +1085,95 @@ def test_bellman_ford_matches_pure_python(spark):
     }
     assert got == expected
     assert 0 in got  # seeds themselves at distance 0
+
+
+# --------------------------------------------------------------------------
+# q263 — contribution bounds
+# --------------------------------------------------------------------------
+
+
+def test_contribution_bounds_match_pure_python(spark):
+    from serverless_etl_spark.operators.quality import CB_PCT
+
+    rows = load_table(spark, SF_MID, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    per = {}
+    for r in rows:
+        key = (r["user_id"], r["ts"].date())
+        acc = per.setdefault(key, [0, 0])
+        acc[0] += 1
+        acc[1] += math.floor(r["value"] * 1000)
+    mx = {}
+    for (u, _), (n, m) in per.items():
+        cur = mx.setdefault(u, [0, 0])
+        cur[0] = max(cur[0], n)
+        cur[1] = max(cur[1], m)
+    n_users = len(mx)
+    k = (CB_PCT * n_users + 99) // 100
+    by_rows = sorted((v[0], u) for u, v in mx.items())
+    by_mass = sorted((v[1], u) for u, v in mx.items())
+    clip_rows = by_rows[k - 1][0]
+    clip_mass = by_mass[k - 1][0]
+    row = registry.QUERIES["q263_contribution_bounds"](
+        spark, SF_MID
+    ).collect()[0]
+    assert row["n_users"] == n_users
+    assert row["sens_rows"] == max(v[0] for v in mx.values())
+    assert row["sens_mass_milli"] == max(v[1] for v in mx.values())
+    assert row[f"clip_rows_p{CB_PCT}"] == clip_rows
+    assert row[f"clip_mass_p{CB_PCT}"] == clip_mass
+    assert row["n_users_clipped"] == sum(
+        1 for v in mx.values() if v[0] > clip_rows
+    )
+    # clipping at p95 must cut sensitivity on a heavy-tailed profile
+    assert clip_rows <= row["sens_rows"]
+
+
+# --------------------------------------------------------------------------
+# q264 — retraction view
+# --------------------------------------------------------------------------
+
+
+def test_retraction_view_equals_filtered_join(spark):
+    from serverless_etl_spark.operators.incremental import (
+        C_RETRACT_MOD,
+        O_RETRACT_MOD,
+    )
+
+    got = {
+        r["n_name"]: (r["n_orders"], r["revenue"])
+        for r in registry.QUERIES["q264_retraction_view"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderkey") % O_RETRACT_MOD != 0
+    )
+    customer = load_table(spark, SF_SMALL, "customer").filter(
+        F.col("c_custkey") % C_RETRACT_MOD != 0
+    )
+    nation = load_table(spark, SF_SMALL, "nation")
+    full = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    expected = {
+        r["n_name"]: (r["n_orders"], r["revenue"]) for r in full.collect()
+    }
+    assert got == expected
+    # retraction actually removed something vs the unfiltered view
+    base = {
+        r["n_name"]: r["n_orders"]
+        for r in registry.QUERIES["q238_delta_join_view"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert sum(base.values()) > sum(n for n, _ in got.values())

@@ -1383,3 +1383,97 @@ def q224_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bizday_index"),
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# q265 — bucketized time-window join (non-equi made equi + residual)
+# --------------------------------------------------------------------------
+
+TW_WINDOW_S = 120  #: +/- seconds around each error
+TW_BUCKET_S = 120  #: bucket width (= window, so +/-1 bucket suffices)
+
+
+@register(
+    "q265_bucketized_window_join",
+    oracle=f"""
+    WITH err AS (
+        SELECT event_id, ts FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+        SELECT ts FROM events WHERE event_type = 'purchase'
+    ),
+    paired AS (
+        SELECT e.event_id,
+               COUNT(*) FILTER (
+                   abs(date_diff('second', e.ts, p.ts)) <= {TW_WINDOW_S}
+               ) AS n_nearby
+        FROM err e LEFT JOIN pur p
+          ON abs(date_diff('second', e.ts, p.ts)) <= {TW_WINDOW_S}
+        GROUP BY e.event_id
+    )
+    SELECT n_nearby, COUNT(*) AS n_errors
+    FROM (
+        SELECT e.event_id, COALESCE(p.n_nearby, 0) AS n_nearby
+        FROM err e LEFT JOIN paired p ON e.event_id = p.event_id
+    )
+    GROUP BY n_nearby ORDER BY n_nearby
+    """,
+)
+def q265_bucketized_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window join with NO equi key, made scalable by
+    bucketization — the pattern q20's docstring names, demonstrated:
+    "how many purchases happened within ±{TW_WINDOW_S}s of each
+    error, system-wide" has no join key at all, and the naive form is
+    a cartesian with a time residual (a guaranteed 100 TB death). The
+    engine buckets both sides into {TW_BUCKET_S}s epochs, fans each
+    error out to its ±1 neighbor buckets MAP-SIDE (3×|errors|, tiny),
+    equi-joins on the bucket, and applies the exact |Δt| filter as a
+    residual — a hash join whose per-key fan-out is bounded by bucket
+    occupancy. Output is the incident-correlation histogram
+    (n purchases nearby → n errors), zero-match errors included.
+
+    Correctness argument: |Δt| ≤ window ≤ bucket width ⇒ the two
+    events' buckets differ by at most 1, so the ±1 fan-out loses
+    nothing; the oracle is the brute-force non-equi join.
+
+    Determinism: integer epoch-second arithmetic and counts.
+
+    Scale: both sides collapse to (bucket, events) partitions;
+    the only wide op is the bucket-keyed join; skewed buckets (an
+    incident storm) are exactly what AQE skew-split handles, and the
+    bucket key salts naturally by sub-dividing the width."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.unix_timestamp("ts").alias("te")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_timestamp("ts").alias("tp"),
+        F.expr(f"unix_timestamp(ts) DIV {TW_BUCKET_S}").alias("bkt"),
+    )
+    fan = err.select(
+        "event_id",
+        "te",
+        F.explode(
+            F.array(
+                F.expr(f"te DIV {TW_BUCKET_S} - 1"),
+                F.expr(f"te DIV {TW_BUCKET_S}"),
+                F.expr(f"te DIV {TW_BUCKET_S} + 1"),
+            )
+        ).alias("bkt"),
+    )
+    matched = (
+        fan.join(pur, "bkt")
+        .filter(F.abs(F.col("tp") - F.col("te")) <= TW_WINDOW_S)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+    per_err = err.join(matched, "event_id", "left").select(
+        F.coalesce(F.col("n_nearby"), F.lit(0)).cast("bigint").alias(
+            "n_nearby"
+        )
+    )
+    return (
+        per_err.groupBy("n_nearby")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy("n_nearby")
+    )

@@ -2264,3 +2264,142 @@ def q247_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# q266 — windowed funnel by signup cohort (funnel × cohort matrix)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q266_funnel_by_cohort",
+    oracle=f"""
+    WITH cohort AS (
+        SELECT user_id,
+               date_trunc('week', MIN(CASE WHEN event_type = 'signup'
+                                           THEN ts END)) AS wk
+        FROM events GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t_view
+          AND e.ts <= s1.t_view + INTERVAL {FUNNEL_CLICK_DAYS} DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+          AND e.ts <= s2.t_click + INTERVAL {FUNNEL_PURCHASE_DAYS} DAY
+        GROUP BY e.user_id
+    )
+    SELECT CAST(c.wk AS DATE) AS cohort_week,
+           COUNT(*) FILTER (s1.t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (s2.user_id IS NOT NULL) AS n_click,
+           COUNT(*) FILTER (s3.user_id IS NOT NULL) AS n_purchase,
+           1000000 * COUNT(*) FILTER (s3.user_id IS NOT NULL)
+               // NULLIF(COUNT(*) FILTER (s1.t_view IS NOT NULL), 0)
+               AS conv_ppm
+    FROM cohort c
+    LEFT JOIN s1 ON s1.user_id = c.user_id
+    LEFT JOIN s2 ON s2.user_id = c.user_id
+    LEFT JOIN s3 ON s3.user_id = c.user_id
+    WHERE c.wk IS NOT NULL
+    GROUP BY c.wk ORDER BY cohort_week
+    """,
+)
+def q266_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q240 windowed funnel CROSSED with q85-style signup cohorts:
+    per signup week, how many users viewed, clicked within the
+    deadline, and purchased within the deadline — the matrix that
+    separates "the funnel got worse" from "we acquired a worse
+    cohort", which the aggregate funnel cannot distinguish.
+
+    The engine reuses q240's join-free stacked-window computation and
+    adds the cohort week as one more conditional MIN over the same
+    user partitioning — still ONE user exchange for the entire
+    matrix; the oracle chains join-aggregates per stage.
+
+    Determinism: timestamp arithmetic, integer ppm; week truncation
+    is engine-agnostic (both truncate to Monday).
+
+    Scale: identical posture to q240 (one exchange, windows stacked);
+    the output is |weeks| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    l1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(w)
+        .alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w)
+        .alias("t_view"),
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & (F.col("ts") > F.col("t_view"))
+        & (
+            F.col("ts")
+            <= F.col("t_view") + F.expr(f"INTERVAL {FUNNEL_CLICK_DAYS} DAYS")
+        )
+    )
+    l2 = l1.select(
+        "*", F.min(F.when(click_ok, F.col("ts"))).over(w).alias("t_click")
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") > F.col("t_click"))
+        & (
+            F.col("ts")
+            <= F.col("t_click")
+            + F.expr(f"INTERVAL {FUNNEL_PURCHASE_DAYS} DAYS")
+        )
+    )
+    l3 = (
+        l2.select(
+            "user_id",
+            "t_signup",
+            "t_view",
+            "t_click",
+            F.min(F.when(purchase_ok, F.col("ts"))).over(w).alias(
+                "t_purchase"
+            ),
+        )
+        .distinct()
+        .filter(F.col("t_signup").isNotNull())
+    )
+    return (
+        l3.groupBy(
+            F.date_trunc("week", F.col("t_signup"))
+            .cast("date")
+            .alias("cohort_week")
+        )
+        .agg(
+            F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+            F.count(F.when(F.col("t_click").isNotNull(), 1)).alias(
+                "n_click"
+            ),
+            F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias(
+                "n_purchase"
+            ),
+        )
+        .select(
+            "cohort_week",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr(
+                "1000000 * n_purchase DIV nullif(n_view, 0)"
+            ).alias("conv_ppm"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -1177,3 +1177,58 @@ def test_retraction_view_equals_filtered_join(spark):
         ).collect()
     }
     assert sum(base.values()) > sum(n for n, _ in got.values())
+
+
+# --------------------------------------------------------------------------
+# q265 — bucketized window join
+# --------------------------------------------------------------------------
+
+
+def test_bucketized_window_join_matches_brute_force(spark):
+    from serverless_etl_spark.operators.relational import TW_WINDOW_S
+
+    rows = load_table(spark, SF_MID, "events").select(
+        "event_id", "event_type", "ts"
+    ).collect()
+    # engines compare WHOLE-SECOND-truncated deltas (unix_timestamp /
+    # date_diff('second')); replicate that, not fractional seconds
+    errs = [
+        int(r["ts"].timestamp()) for r in rows if r["event_type"] == "error"
+    ]
+    purs = [
+        int(r["ts"].timestamp())
+        for r in rows
+        if r["event_type"] == "purchase"
+    ]
+    hist = Counter()
+    for te in errs:
+        n = sum(1 for tp in purs if abs(tp - te) <= TW_WINDOW_S)
+        hist[n] += 1
+    got = {
+        r["n_nearby"]: r["n_errors"]
+        for r in registry.QUERIES["q265_bucketized_window_join"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == dict(hist)
+    # conservation: every error appears in exactly one histogram cell
+    assert sum(got.values()) == len(errs)
+
+
+# --------------------------------------------------------------------------
+# q266 — funnel by cohort
+# --------------------------------------------------------------------------
+
+
+def test_funnel_by_cohort_consistent_with_q240(spark):
+    rows = registry.QUERIES["q266_funnel_by_cohort"](spark, SF_MID).collect()
+    q240 = registry.QUERIES["q240_windowed_funnel"](spark, SF_MID).collect()[0]
+    # cohorted counts can only cover users WITH a signup; totals are
+    # bounded by the uncohorted funnel stage counts
+    assert sum(r["n_view"] for r in rows) <= q240["n_view"]
+    assert sum(r["n_click"] for r in rows) <= q240["n_click"]
+    assert sum(r["n_purchase"] for r in rows) <= q240["n_purchase"]
+    for r in rows:
+        assert r["n_purchase"] <= r["n_click"] <= r["n_view"]
+        if r["n_view"]:
+            assert r["conv_ppm"] == 1000000 * r["n_purchase"] // r["n_view"]

@@ -6014,3 +6014,121 @@ def q258_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("exact_micro") <= F.col("est_hi_micro"))
         ).alias("within_bound"),
     ).orderBy("event_type", "p")
+
+
+# --------------------------------------------------------------------------
+# q268 — price-volume-mix decomposition (revenue delta waterfall)
+# --------------------------------------------------------------------------
+
+PVM_Y1 = 1996
+PVM_Y2 = 1997
+
+
+@register(
+    "q268_price_volume_mix",
+    oracle=f"""
+    WITH cells AS (
+        SELECT p.p_brand AS brand, year(l.l_shipdate) AS yr,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS r_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) IN ({PVM_Y1}, {PVM_Y2})
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT brand,
+               MAX(CASE WHEN yr = {PVM_Y1} THEN q END) AS q1,
+               MAX(CASE WHEN yr = {PVM_Y2} THEN q END) AS q2,
+               MAX(CASE WHEN yr = {PVM_Y1} THEN r_cents END) AS r1,
+               MAX(CASE WHEN yr = {PVM_Y2} THEN r_cents END) AS r2
+        FROM cells GROUP BY brand
+        HAVING q1 IS NOT NULL AND q2 IS NOT NULL
+    ),
+    eff AS (
+        SELECT brand, q1, q2, r1, r2,
+               r1 // q1 AS p1, r2 // q2 AS p2
+        FROM wide
+    )
+    SELECT brand, q1, q2, r1, r2,
+           (p2 - p1) * q1 AS price_eff,
+           p1 * (q2 - q1) AS volume_eff,
+           (p2 - p1) * (q2 - q1) AS joint_eff,
+           (r2 - r1) - ((p2 - p1) * q1 + p1 * (q2 - q1)
+                        + (p2 - p1) * (q2 - q1)) AS resid
+    FROM eff ORDER BY brand
+    """,
+)
+def q268_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix waterfall: per brand, the {PVM_Y1}→{PVM_Y2}
+    revenue delta decomposed into price effect (Δp·q1), volume effect
+    (p1·Δq), and the joint term (Δp·Δq) — the finance-standard answer
+    to "did we sell at higher prices, sell more units, or both?".
+    Unit prices are floor-divided integer cents, so a RESIDUAL column
+    carries the flooring remainder and the reconciliation
+    Δr = price + volume + joint + resid holds EXACTLY by construction
+    (tested) — the decomposition never silently fails to add up, which
+    float unit prices cannot promise.
+
+    Determinism: integer cents/quantities throughout.
+
+    Scale: one lineitem pass (part dim broadcast, ship-year predicate
+    pushed to the scan) collapses to brand×year cells; the waterfall
+    is arithmetic on the |brands|-row pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cells = (
+        li.filter(F.year("l_shipdate").isin(PVM_Y1, PVM_Y2))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r_cents"),
+        )
+    )
+
+    def pick(yr, col):
+        return F.max(F.when(F.col("yr") == yr, F.col(col)))
+
+    wide = (
+        cells.groupBy("brand")
+        .agg(
+            pick(PVM_Y1, "q").alias("q1"),
+            pick(PVM_Y2, "q").alias("q2"),
+            pick(PVM_Y1, "r_cents").alias("r1"),
+            pick(PVM_Y2, "r_cents").alias("r2"),
+        )
+        .filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+        .select(
+            "*",
+            F.expr("r1 DIV q1").alias("p1"),
+            F.expr("r2 DIV q2").alias("p2"),
+        )
+    )
+    return wide.select(
+        "brand",
+        "q1",
+        "q2",
+        "r1",
+        "r2",
+        ((F.col("p2") - F.col("p1")) * F.col("q1")).alias("price_eff"),
+        (F.col("p1") * (F.col("q2") - F.col("q1"))).alias("volume_eff"),
+        (
+            (F.col("p2") - F.col("p1")) * (F.col("q2") - F.col("q1"))
+        ).alias("joint_eff"),
+        (
+            (F.col("r2") - F.col("r1"))
+            - (
+                (F.col("p2") - F.col("p1")) * F.col("q1")
+                + F.col("p1") * (F.col("q2") - F.col("q1"))
+                + (F.col("p2") - F.col("p1")) * (F.col("q2") - F.col("q1"))
+            )
+        ).alias("resid"),
+    ).orderBy("brand")

@@ -2275,3 +2275,150 @@ def q261_fuzzy_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q267 — sorted-neighborhood entity resolution (the OTHER blocking)
+# --------------------------------------------------------------------------
+
+SN_WINDOW = 3    #: sorted-neighborhood width (rank distance)
+SN_KEY_LEN = 20  #: chars of the sort key
+
+
+@register(
+    "q267_sorted_neighborhood",
+    oracle=f"""
+    WITH twins AS (
+        SELECT doc_id + {FJ_TWIN_OFFSET} AS doc_id, lang,
+               CASE WHEN doc_id % 10 = {FJ_SUB_REM}
+                    THEN substr(text, 1, 5) || 'q' || substr(text, 7)
+                    ELSE substr(text, 1, 5) || 'zq' || substr(text, 6)
+               END AS text
+        FROM documents
+        WHERE doc_id % 10 IN ({FJ_SUB_REM}, {FJ_INS_REM})
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM twins
+    ),
+    ranked AS (
+        SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS prefix,
+               ROW_NUMBER() OVER (
+                   ORDER BY substr(text, 1, {SN_KEY_LEN}), doc_id) AS rk
+        FROM corpus
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.prefix AS pa, b.prefix AS pb
+        FROM ranked a JOIN ranked b
+          ON b.rk > a.rk AND b.rk <= a.rk + {SN_WINDOW}
+    ),
+    pred AS (
+        SELECT LEAST(doc_a, doc_b) AS doc_a,
+               GREATEST(doc_a, doc_b) AS doc_b
+        FROM cand WHERE levenshtein(pa, pb) <= {FUZZY_MAX_DIST}
+    ),
+    hits AS (
+        SELECT * FROM pred
+        WHERE doc_b - doc_a = {FJ_TWIN_OFFSET}
+          AND doc_b >= {FJ_TWIN_OFFSET}
+    )
+    SELECT (SELECT COUNT(*) FROM twins) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM hits) AS found,
+           1000000 * (SELECT COUNT(*) FROM hits)
+               // (SELECT COUNT(*) FROM twins) AS recall_ppm
+    """,
+)
+def q267_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution — the OTHER classic
+    blocking strategy, on the same seeded truth as q261 so the two
+    are directly comparable: sort the corpus by a prefix key, compare
+    each record only to its {SN_WINDOW} successors in sort order.
+    Where q261's hash blocking loses twins that cross a LENGTH bucket,
+    sorted-neighborhood loses twins whose first-5-char edit moved them
+    far away in SORT order — a different, complementary recall hole
+    (production systems run both passes and union candidates; the two
+    queries measure each hole separately).
+
+    Candidate generation is rank-adjacency: a self-join on
+    rk < rk' ≤ rk+{SN_WINDOW} — O(W·n) candidates by construction,
+    no block-size skew at all (the property hash blocking lacks).
+
+    Determinism: byte-wise string sort with doc_id tie-break; integer
+    edit distance.
+
+    Scale: the global row_number is the one serial point (documented
+    single-reducer posture); the production form range-partitions the
+    sort and overlaps partition boundaries by W rows — same result,
+    no serial pass. Candidates and the DP filter are map-side after
+    the rank join.
+
+    Reference: completes the ER family (q158 blocked join, q261 its
+    eval, this the alternative blocking + its eval)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_sub = F.col("doc_id") % 10 == FJ_SUB_REM
+    twins = docs.filter(
+        (F.col("doc_id") % 10).isin(FJ_SUB_REM, FJ_INS_REM)
+    ).select(
+        (F.col("doc_id") + FJ_TWIN_OFFSET).alias("doc_id"),
+        F.when(
+            is_sub,
+            F.concat(
+                F.substring("text", 1, 5),
+                F.lit("q"),
+                F.expr("substring(text, 7)"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.substring("text", 1, 5),
+                F.lit("zq"),
+                F.expr("substring(text, 6)"),
+            )
+        )
+        .alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    wr = Window.orderBy(F.substring("text", 1, SN_KEY_LEN), "doc_id")
+    ranked = corpus.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    ranked = track_cache(ranked.persist())
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("pb"),
+        F.col("rk").alias("rk_b"),
+    )
+    fan = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("pa"),
+        F.explode(
+            F.array(*[F.col("rk") + k for k in range(1, SN_WINDOW + 1)])
+        ).alias("rk_b"),
+    )
+    cand = fan.join(right, "rk_b")
+    n_candidates = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    pred = cand.filter(F.levenshtein("pa", "pb") <= FUZZY_MAX_DIST).select(
+        F.least("doc_a", "doc_b").alias("lo"),
+        F.greatest("doc_a", "doc_b").alias("hi"),
+    )
+    hits = pred.filter(
+        (F.col("hi") - F.col("lo") == FJ_TWIN_OFFSET)
+        & (F.col("hi") >= FJ_TWIN_OFFSET)
+    ).agg(F.count(F.lit(1)).alias("found"))
+    n_truth = twins.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_candidates))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "found",
+            F.expr("1000000 * found DIV n_truth").alias("recall_ppm"),
+        )
+    )

@@ -62,6 +62,7 @@ BNLJ_ALLOWED = {
     "q257_haar_energy",           # one-row timeline-origin broadcast
     "q261_fuzzy_join_eval",       # three one-row metric aggregates joined
     "q263_contribution_bounds",   # one-row clip-threshold broadcasts
+    "q267_sorted_neighborhood",   # three one-row metric aggregates joined
 }
 
 

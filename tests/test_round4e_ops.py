@@ -1232,3 +1232,89 @@ def test_funnel_by_cohort_consistent_with_q240(spark):
         assert r["n_purchase"] <= r["n_click"] <= r["n_view"]
         if r["n_view"]:
             assert r["conv_ppm"] == 1000000 * r["n_purchase"] // r["n_view"]
+
+
+# --------------------------------------------------------------------------
+# q267 — sorted neighborhood
+# --------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_pure_python(spark):
+    from serverless_etl_spark.operators.dedup import (
+        FJ_INS_REM,
+        FJ_SUB_REM,
+        FJ_TWIN_OFFSET,
+        FUZZY_MAX_DIST,
+        FUZZY_PREFIX,
+        SN_KEY_LEN,
+        SN_WINDOW,
+    )
+
+    docs = load_table(spark, SF_MID, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    corpus = [(r["doc_id"], r["text"]) for r in docs]
+    for r in docs:
+        d, t = r["doc_id"], r["text"]
+        if d % 10 == FJ_SUB_REM:
+            corpus.append((d + FJ_TWIN_OFFSET, t[:5] + "q" + t[6:]))
+        elif d % 10 == FJ_INS_REM:
+            corpus.append((d + FJ_TWIN_OFFSET, t[:5] + "zq" + t[5:]))
+    n_truth = sum(1 for d, _ in corpus if d >= FJ_TWIN_OFFSET)
+    ranked = sorted(corpus, key=lambda p: (p[1][:SN_KEY_LEN], p[0]))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    n_cand = found = 0
+    for i in range(len(ranked)):
+        for k in range(1, SN_WINDOW + 1):
+            if i + k >= len(ranked):
+                break
+            n_cand += 1
+            a, b = ranked[i], ranked[i + k]
+            if lev(a[1][:FUZZY_PREFIX], b[1][:FUZZY_PREFIX]) <= FUZZY_MAX_DIST:
+                lo, hi = min(a[0], b[0]), max(a[0], b[0])
+                if hi - lo == FJ_TWIN_OFFSET and hi >= FJ_TWIN_OFFSET:
+                    found += 1
+    row = registry.QUERIES["q267_sorted_neighborhood"](
+        spark, SF_MID
+    ).collect()[0]
+    assert (row["n_truth"], row["n_candidates"], row["found"]) == (
+        n_truth,
+        n_cand,
+        found,
+    )
+    # the two blocking strategies have DIFFERENT holes: hash blocking
+    # (q261) recalls far more of this truth set than a single
+    # sorted-neighborhood pass whose key the edit perturbs
+    q261 = registry.QUERIES["q261_fuzzy_join_eval"](spark, SF_MID).collect()[0]
+    assert row["recall_ppm"] < q261["recall_ppm"]
+
+
+# --------------------------------------------------------------------------
+# q268 — price-volume-mix
+# --------------------------------------------------------------------------
+
+
+def test_pvm_reconciliation_and_replay(spark):
+    rows = registry.QUERIES["q268_price_volume_mix"](spark, SF_MID).collect()
+    assert rows
+    for r in rows:
+        # the waterfall adds up EXACTLY, residual included
+        assert (
+            r["price_eff"] + r["volume_eff"] + r["joint_eff"] + r["resid"]
+            == r["r2"] - r["r1"]
+        )
+        p1, p2 = r["r1"] // r["q1"], r["r2"] // r["q2"]
+        assert r["price_eff"] == (p2 - p1) * r["q1"]
+        assert r["volume_eff"] == p1 * (r["q2"] - r["q1"])
+        # flooring residual is bounded by the quantities
+        assert abs(r["resid"]) < r["q1"] + r["q2"]

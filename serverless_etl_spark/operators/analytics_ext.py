@@ -6132,3 +6132,103 @@ def q268_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("resid"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# q270 — quantile treatment effects (distributional group contrast)
+# --------------------------------------------------------------------------
+
+QTE_PCTS = (25, 50, 75)
+
+
+@register(
+    "q270_quantile_effects",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS grp,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+        SELECT grp, v,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM vals
+    ),
+    fan AS (
+        SELECT grp, v, rk, n, p.p, (p.p * n + 99) // 100 AS k
+        FROM ranked
+        CROSS JOIN (SELECT unnest([{', '.join(str(p) for p in QTE_PCTS)}])
+                    AS p) p
+    ),
+    q AS (SELECT grp, p, v FROM fan WHERE rk = k)
+    SELECT a.p,
+           a.v AS q_click_micro,
+           b.v AS q_purchase_micro,
+           a.v - b.v AS qte_micro
+    FROM (SELECT p, v FROM q WHERE grp = 'a') a
+    JOIN (SELECT p, v FROM q WHERE grp = 'b') b ON a.p = b.p
+    ORDER BY a.p
+    """,
+)
+def q270_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the click-vs-purchase value
+    contrast at the 25th/50th/75th percentiles — the DISTRIBUTIONAL
+    readout that means and rank tests both flatten (q252's AUC says
+    whether one group is stochastically larger; this says WHERE in
+    the distribution the difference lives — a tail-only effect and a
+    uniform shift have the same AUC but very different QTE profiles).
+
+    Determinism: exact k-th order statistics in integer micro-units
+    (ceiling-rank crossing rule), integer differences.
+
+    Scale: the per-group rank is the q252 single-reducer posture
+    (exact form); the percentile fan-out rides the ranked rows
+    map-side; at 100 TB route through q258's mergeable log2 buckets
+    or q73's GK sketch for the same readout within bounded error.
+
+    Reference: completes the hypothesis-test family with the
+    distributional-effect view (q132 rates, q252 ranks, q127/q134
+    equality, this quantiles)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vals = ev.select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias(
+            "grp"
+        ),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    wr = Window.partitionBy("grp").orderBy("v")
+    wc = Window.partitionBy("grp")
+    ranked = vals.select(
+        "grp",
+        "v",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    fan = ranked.select(
+        "grp",
+        "v",
+        "rk",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in QTE_PCTS])).alias("p"),
+    ).filter(F.col("rk") == F.expr("(p * n + 99) DIV 100"))
+    a = fan.filter(F.col("grp") == "a").select(
+        "p", F.col("v").alias("q_click_micro")
+    )
+    b = fan.filter(F.col("grp") == "b").select(
+        F.col("p").alias("p2"), F.col("v").alias("q_purchase_micro")
+    )
+    return (
+        a.join(b, a["p"] == b["p2"])
+        .select(
+            "p",
+            "q_click_micro",
+            "q_purchase_micro",
+            (F.col("q_click_micro") - F.col("q_purchase_micro")).alias(
+                "qte_micro"
+            ),
+        )
+        .orderBy("p")
+    )

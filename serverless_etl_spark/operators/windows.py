@@ -2403,3 +2403,133 @@ def q266_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# --------------------------------------------------------------------------
+# q269 — conformal prediction intervals for the seasonal-naive forecast
+# --------------------------------------------------------------------------
+
+CONF_CAL_DAYS = 15   #: first N scored days calibrate the interval
+CONF_LEVEL_PCT = 90  #: nominal coverage
+
+
+@register(
+    "q269_conformal_intervals",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, d, cnt,
+               abs(cnt - LAG(cnt, 7) OVER (PARTITION BY event_type
+                                           ORDER BY d)) AS ar,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   AS day_no
+        FROM daily
+    ),
+    lagged AS (
+        SELECT event_type, d, ar,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   AS seq
+        FROM scored WHERE ar IS NOT NULL
+    ),
+    cal AS (
+        SELECT event_type, ar,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ar, d) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        FROM lagged WHERE seq <= {CONF_CAL_DAYS}
+    ),
+    width AS (
+        SELECT event_type, n_cal, ar AS w
+        FROM cal
+        WHERE rk = LEAST(n_cal,
+            ({CONF_LEVEL_PCT} * (n_cal + 1) + 99) // 100)
+    ),
+    test AS (
+        SELECT event_type, COUNT(*) AS n_test,
+               CAST(SUM(CASE WHEN l.ar <= w.w THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM lagged l JOIN width w USING (event_type)
+        WHERE l.seq > {CONF_CAL_DAYS}
+        GROUP BY event_type, w.w
+    )
+    SELECT w.event_type, w.n_cal, t.n_test, CAST(w.w AS BIGINT) AS width,
+           1000000 * t.n_covered // t.n_test AS coverage_ppm
+    FROM width w JOIN test t ON w.event_type = t.event_type
+    ORDER BY w.event_type
+    """,
+)
+def q269_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for q245's seasonal-naive
+    forecast — the DISTRIBUTION-FREE uncertainty wrapper (no Gaussian
+    residual assumption, unlike a classical z-interval): the first
+    {CONF_CAL_DAYS} scored days calibrate, the interval half-width is
+    the ⌈{CONF_LEVEL_PCT}%·(n+1)⌉-th smallest absolute calibration
+    residual (the finite-sample-valid conformal rank), and the
+    remaining days measure EMPIRICAL coverage against the nominal
+    {CONF_LEVEL_PCT}% — the check that tells you whether "90%
+    interval" means anything on this series.
+
+    Determinism: integer counts and residuals; conformal rank by the
+    integer ceiling formula with date tie-break.
+
+    Scale: the series collapses to |types|×|days| map-side; windows
+    per type; calibration/test split is a rank predicate on the same
+    partitioning.
+
+    Reference: completes the forecasting loop q245 (point accuracy) →
+    this (calibrated uncertainty); same split-then-evaluate shape as
+    q244's causal folds."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.select(
+        "event_type",
+        "d",
+        F.abs(F.col("cnt") - F.lag("cnt", 7).over(w)).alias("ar"),
+    ).filter(F.col("ar").isNotNull())
+    lagged = scored.select(
+        "event_type", "d", "ar", F.row_number().over(w).alias("seq")
+    )
+    wr = Window.partitionBy("event_type").orderBy("ar", "d")
+    wc = Window.partitionBy("event_type")
+    cal = (
+        lagged.filter(F.col("seq") <= CONF_CAL_DAYS)
+        .select(
+            "event_type",
+            "ar",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_cal"),
+        )
+    )
+    width = cal.filter(
+        F.col("rk")
+        == F.least(
+            F.col("n_cal"),
+            F.expr(f"({CONF_LEVEL_PCT} * (n_cal + 1) + 99) DIV 100"),
+        )
+    ).select("event_type", "n_cal", F.col("ar").alias("w"))
+    test = (
+        lagged.filter(F.col("seq") > CONF_CAL_DAYS)
+        .join(F.broadcast(width), "event_type")
+        .groupBy("event_type", "w", "n_cal")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("ar") <= F.col("w")).cast("int"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return test.select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        F.col("w").cast("bigint").alias("width"),
+        F.expr("1000000 * n_covered DIV n_test").alias("coverage_ppm"),
+    ).orderBy("event_type")

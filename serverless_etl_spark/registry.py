@@ -139,6 +139,7 @@ _SWEEP_PRIORITY = [
     "q263_contribution_bounds", "q264_retraction_view",
     "q265_bucketized_window_join", "q266_funnel_by_cohort",
     "q267_sorted_neighborhood", "q268_price_volume_mix",
+    "q269_conformal_intervals", "q270_quantile_effects",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

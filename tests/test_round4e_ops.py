@@ -1318,3 +1318,85 @@ def test_pvm_reconciliation_and_replay(spark):
         assert r["volume_eff"] == p1 * (r["q2"] - r["q1"])
         # flooring residual is bounded by the quantities
         assert abs(r["resid"]) < r["q1"] + r["q2"]
+
+
+# --------------------------------------------------------------------------
+# q269 — conformal intervals
+# --------------------------------------------------------------------------
+
+
+def test_conformal_intervals_match_pure_python(spark):
+    from serverless_etl_spark.operators.windows import (
+        CONF_CAL_DAYS,
+        CONF_LEVEL_PCT,
+    )
+
+    rows = load_table(spark, SF_MID, "events").select("event_type", "ts").collect()
+    daily = Counter()
+    for r in rows:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = {}
+    for (et, d), c in daily.items():
+        by_type.setdefault(et, []).append((d, c))
+    expected = {}
+    for et, series in by_type.items():
+        series.sort()
+        resid = [
+            (abs(series[i][1] - series[i - 7][1]), series[i][0])
+            for i in range(7, len(series))
+        ]
+        cal, test = resid[:CONF_CAL_DAYS], resid[CONF_CAL_DAYS:]
+        k = min(len(cal), (CONF_LEVEL_PCT * (len(cal) + 1) + 99) // 100)
+        w = sorted(cal)[k - 1][0]
+        covered = sum(1 for ar, _ in test if ar <= w)
+        expected[et] = (
+            len(cal),
+            len(test),
+            w,
+            1000000 * covered // len(test),
+        )
+    got = {
+        r["event_type"]: (
+            r["n_cal"],
+            r["n_test"],
+            r["width"],
+            r["coverage_ppm"],
+        )
+        for r in registry.QUERIES["q269_conformal_intervals"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q270 — quantile treatment effects
+# --------------------------------------------------------------------------
+
+
+def test_quantile_effects_match_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_type", "value").collect()
+    groups = {"a": [], "b": []}
+    for r in rows:
+        g = "a" if r["event_type"] == "click" else "b"
+        groups[g].append(math.floor(r["value"] * 1000000))
+    for g in groups:
+        groups[g].sort()
+    expected = {}
+    for p in (25, 50, 75):
+        qa = groups["a"][(p * len(groups["a"]) + 99) // 100 - 1]
+        qb = groups["b"][(p * len(groups["b"]) + 99) // 100 - 1]
+        expected[p] = (qa, qb, qa - qb)
+    got = {
+        r["p"]: (r["q_click_micro"], r["q_purchase_micro"], r["qte_micro"])
+        for r in registry.QUERIES["q270_quantile_effects"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+    # quantiles are monotone in p within each group
+    ps = sorted(got)
+    assert all(got[a][0] <= got[b][0] for a, b in zip(ps, ps[1:]))
+    assert all(got[a][1] <= got[b][1] for a, b in zip(ps, ps[1:]))

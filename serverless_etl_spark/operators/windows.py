@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..functions.numeric import dsum, trunc
-from ..registry import register
+from ..registry import register, track_cache
 
 
 @register(
@@ -2533,3 +2533,248 @@ def q269_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("bigint").alias("width"),
         F.expr("1000000 * n_covered DIV n_test").alias("coverage_ppm"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q271 — motif & discord discovery (matrix-profile-lite)
+# --------------------------------------------------------------------------
+
+MP_W = 7  #: subsequence window length (days); exclusion zone = W
+
+
+@register(
+    "q271_motif_discord",
+    oracle=f"""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    daily AS (
+        SELECT date_diff('day', b.d0, CAST(ts AS DATE)) AS i,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events CROSS JOIN bounds b GROUP BY 1
+    ),
+    win AS (
+        SELECT i, list(v) OVER (ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {MP_W - 1} FOLLOWING) AS w,
+               COUNT(*) OVER (ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {MP_W - 1} FOLLOWING) AS n
+        FROM daily
+    ),
+    full_w AS (SELECT i, w FROM win WHERE n = {MP_W}),
+    pairs AS (
+        SELECT a.i AS ia, c.i AS ib,
+               CAST(SUM((a.w[CAST(t AS INT)] - c.w[CAST(t AS INT)])
+                        * (a.w[CAST(t AS INT)] - c.w[CAST(t AS INT)]))
+                    AS BIGINT) AS ssd
+        FROM full_w a JOIN full_w c ON c.i >= a.i + {MP_W}
+        CROSS JOIN (SELECT unnest(range(1, {MP_W + 1})) AS t)
+        GROUP BY a.i, c.i
+    ),
+    motif AS (
+        SELECT ia, ib, ssd FROM pairs ORDER BY ssd, ia, ib LIMIT 1
+    ),
+    nn AS (
+        SELECT i, MIN(ssd) AS nn_ssd FROM (
+            SELECT ia AS i, ssd FROM pairs
+            UNION ALL SELECT ib, ssd FROM pairs
+        ) GROUP BY i
+    ),
+    discord AS (
+        SELECT i, nn_ssd FROM nn ORDER BY nn_ssd DESC, i LIMIT 1
+    )
+    SELECT m.ia AS motif_a, m.ib AS motif_b, m.ssd AS motif_ssd,
+           d.i AS discord_i, d.nn_ssd AS discord_ssd
+    FROM motif m CROSS JOIN discord d
+    """,
+)
+def q271_motif_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif and discord discovery over the daily series — the
+    matrix-profile primitives: the MOTIF is the most-similar pair of
+    non-overlapping {MP_W}-day subsequences (a repeated behavioural
+    pattern), the DISCORD the subsequence farthest from its nearest
+    non-overlapping neighbour (the week that behaves like no other —
+    anomaly detection without a model, complementing q92/q143/q152's
+    point detectors with a SHAPE detector). Distances are integer
+    sums of squared milli-unit differences; the exclusion zone
+    (|i−j| ≥ {MP_W}) removes trivial self-matches exactly as the
+    matrix-profile literature prescribes.
+
+    Determinism: integer SSD; ties by window index.
+
+    Scale: the series collapses map-side to |days| rows; windows and
+    the O(|days|²) pair table are bounded by the CALENDAR, not the
+    data (24 windows → 153 pairs here). For long series the
+    production route is the STOMP-style incremental dot-product
+    recurrence — same outputs, O(n²) arithmetic but O(n) memory.
+
+    Reference: completes the time-series family (q243 components,
+    q257 scales, q247 co-movement, this shapes)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("i"),
+            F.floor(F.col("value")).cast("bigint").alias("x"),
+        )
+        .groupBy("i")
+        .agg(F.sum("x").cast("bigint").alias("v"))
+    )
+    ww = Window.orderBy("i").rowsBetween(0, MP_W - 1)
+    win = daily.select(
+        "i",
+        F.collect_list("v").over(ww).alias("w"),
+        F.count(F.lit(1)).over(ww).alias("n"),
+    ).filter(F.col("n") == MP_W)
+    a = win.select(F.col("i").alias("ia"), F.col("w").alias("wa"))
+    c = win.select(F.col("i").alias("ib"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(c, F.col("ib") >= F.col("ia") + MP_W)
+        .select(
+            "ia",
+            "ib",
+            F.explode(F.sequence(F.lit(1), F.lit(MP_W))).alias("t"),
+            "wa",
+            "wb",
+        )
+        .select(
+            "ia",
+            "ib",
+            (
+                (F.element_at("wa", F.col("t")) - F.element_at("wb", F.col("t")))
+                * (
+                    F.element_at("wa", F.col("t"))
+                    - F.element_at("wb", F.col("t"))
+                )
+            ).alias("sq"),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.sum("sq").cast("bigint").alias("ssd"))
+    )
+    pairs = track_cache(pairs.persist())
+    motif = pairs.orderBy("ssd", "ia", "ib").limit(1)
+    nn = (
+        pairs.select(F.col("ia").alias("i"), "ssd")
+        .unionAll(pairs.select(F.col("ib").alias("i"), "ssd"))
+        .groupBy("i")
+        .agg(F.min("ssd").alias("nn_ssd"))
+    )
+    discord = nn.orderBy(F.col("nn_ssd").desc(), "i").limit(1)
+    return motif.select(
+        F.col("ia").alias("motif_a"),
+        F.col("ib").alias("motif_b"),
+        F.col("ssd").alias("motif_ssd"),
+    ).crossJoin(
+        F.broadcast(
+            discord.select(
+                F.col("i").alias("discord_i"),
+                F.col("nn_ssd").alias("discord_ssd"),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q272 — autocorrelation function (integer-exact ACF table)
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "q272_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    cent AS (
+        SELECT d, n * x - s AS y,
+               ROW_NUMBER() OVER (ORDER BY d) AS seq
+        FROM daily CROSS JOIN tot
+    ),
+    den AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den FROM cent),
+    lagged AS (
+        SELECT k.k, a.y AS ya, b.y AS yb
+        FROM (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS k) k
+        JOIN cent a ON TRUE
+        JOIN cent b ON b.seq = a.seq - k.k
+    )
+    SELECT k, CAST(SUM(ya * yb) AS BIGINT) AS num,
+           (SELECT den FROM den) AS den,
+           FLOOR(CAST(SUM(ya * yb) AS BIGINT)
+                 / CAST((SELECT den FROM den) AS DOUBLE)
+                 * 1000000) / 1000000 AS acf
+    FROM lagged GROUP BY k ORDER BY k
+    """,
+)
+def q272_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily value series for lags
+    1..{ACF_MAX_LAG} — the diagnostic that says WHICH lag structure
+    the series actually has (the justification for q245's lag-7
+    forecast and q243's weekly seasonal is precisely a peak at k=7).
+    Centered values are scaled by n (y = n·x − S), so numerators and
+    the denominator are EXACT integers — the mean never materializes
+    as a float, and the ACF is one deterministic division per lag,
+    floor-truncated.
+
+    Determinism: integer sufficient statistics (the q112/q151
+    device applied to autocovariance).
+
+    Scale: the series is |days| rows map-side; the lag join fans out
+    ×{ACF_MAX_LAG} on that bounded table. On an unbounded series the
+    same sums partial-aggregate per shard and merge (each lag's
+    cross-term splits cleanly across a shard boundary of width
+    ≥ {ACF_MAX_LAG})."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value")).cast("bigint").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("bigint").alias("s")
+    )
+    wseq = Window.orderBy("d")
+    cent = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n") * F.col("x") - F.col("s")).alias("y"),
+            F.row_number().over(wseq).alias("seq"),
+        )
+    )
+    cent = track_cache(cent.persist())
+    den = cent.agg(F.sum(F.col("y") * F.col("y")).cast("bigint").alias("den"))
+    a = cent.select(
+        "y",
+        "seq",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+        ).alias("k"),
+    )
+    b = cent.select(F.col("y").alias("yb"), F.col("seq").alias("seq_b"))
+    lagged = a.join(
+        b, b["seq_b"] == a["seq"] - a["k"]
+    )
+    return (
+        lagged.groupBy("k")
+        .agg(F.sum(F.col("y") * F.col("yb")).cast("bigint").alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "k",
+            "num",
+            "den",
+            (
+                F.floor(
+                    F.col("num") / F.col("den").cast("double") * 1000000
+                )
+                / 1000000
+            ).alias("acf"),
+        )
+        .orderBy("k")
+    )

@@ -63,6 +63,8 @@ BNLJ_ALLOWED = {
     "q261_fuzzy_join_eval",       # three one-row metric aggregates joined
     "q263_contribution_bounds",   # one-row clip-threshold broadcasts
     "q267_sorted_neighborhood",   # three one-row metric aggregates joined
+    "q271_motif_discord",         # one-row motif x discord result join
+    "q272_acf",                   # one-row denominator/origin broadcasts
 }
 
 

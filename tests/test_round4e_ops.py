@@ -1400,3 +1400,73 @@ def test_quantile_effects_match_pure_python(spark):
     ps = sorted(got)
     assert all(got[a][0] <= got[b][0] for a, b in zip(ps, ps[1:]))
     assert all(got[a][1] <= got[b][1] for a, b in zip(ps, ps[1:]))
+
+
+# --------------------------------------------------------------------------
+# q271 — motif & discord
+# --------------------------------------------------------------------------
+
+
+def test_motif_discord_match_pure_python(spark):
+    from serverless_etl_spark.operators.windows import MP_W
+
+    rows = load_table(spark, SF_MID, "events").select("ts", "value").collect()
+    daily = Counter()
+    for r in rows:
+        daily[r["ts"].date()] += math.floor(r["value"])
+    series = [v for _, v in sorted(daily.items())]
+    wins = {
+        i: series[i : i + MP_W]
+        for i in range(len(series) - MP_W + 1)
+    }
+    pairs = {}
+    for ia in wins:
+        for ib in wins:
+            if ib >= ia + MP_W:
+                pairs[(ia, ib)] = sum(
+                    (x - y) ** 2 for x, y in zip(wins[ia], wins[ib])
+                )
+    motif = min(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+    nn = {}
+    for (ia, ib), d in pairs.items():
+        nn[ia] = min(nn.get(ia, d), d)
+        nn[ib] = min(nn.get(ib, d), d)
+    discord = max(nn.items(), key=lambda kv: (kv[1], -kv[0]))
+    row = registry.QUERIES["q271_motif_discord"](spark, SF_MID).collect()[0]
+    assert (row["motif_a"], row["motif_b"], row["motif_ssd"]) == (
+        motif[0][0],
+        motif[0][1],
+        motif[1],
+    )
+    assert (row["discord_i"], row["discord_ssd"]) == discord
+    # motif pair is closer than the discord's nearest neighbour
+    assert row["motif_ssd"] <= row["discord_ssd"]
+
+
+# --------------------------------------------------------------------------
+# q272 — autocorrelation
+# --------------------------------------------------------------------------
+
+
+def test_acf_matches_pure_python(spark):
+    from serverless_etl_spark.operators.windows import ACF_MAX_LAG
+
+    rows = load_table(spark, SF_MID, "events").select("ts", "value").collect()
+    daily = Counter()
+    for r in rows:
+        daily[r["ts"].date()] += math.floor(r["value"])
+    xs = [v for _, v in sorted(daily.items())]
+    n, s = len(xs), sum(xs)
+    ys = [n * x - s for x in xs]
+    den = sum(y * y for y in ys)
+    expected = {}
+    for k in range(1, ACF_MAX_LAG + 1):
+        num = sum(ys[i] * ys[i - k] for i in range(k, n))
+        expected[k] = (num, den, math.floor(num / den * 1000000) / 1000000)
+    got = {
+        r["k"]: (r["num"], r["den"], r["acf"])
+        for r in registry.QUERIES["q272_acf"](spark, SF_MID).collect()
+    }
+    assert got == expected
+    # every ACF value is a valid correlation
+    assert all(-1.0 <= v[2] <= 1.0 for v in got.values())

@@ -430,3 +430,75 @@ def read_csv_with_quarantine(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, bad
+
+
+# ---------------------------------------------------------------------------
+# zone-map manifest: table-format-style file-level min/max statistics
+# ---------------------------------------------------------------------------
+
+
+def write_with_manifest(
+    df: DataFrame, path: str, stat_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Write `df` range-clustered on stat_cols[0] and persist a
+    MANIFEST — one row per data file with that file's row count and
+    per-column min/max — alongside the data (`<path>/_manifest`).
+    This is the core mechanic of Iceberg/Delta data skipping made
+    explicit: parquet footers already carry these stats, but a
+    manifest lets the PLANNER prune files from one tiny read instead
+    of touching every footer (at 100 TB the footer sweep alone is a
+    job). The manifest is derived from the written files themselves
+    (read-back with input_file_name), so it cannot drift from the
+    data it describes."""
+    (
+        df.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism // 2, 4), *[F.col(c) for c in stat_cols[:1]])
+        .sortWithinPartitions(*stat_cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.format(fmt).load(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    manifest = (
+        written.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(path + "/_manifest")
+
+
+def manifest_prune(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Plan a scan of `col BETWEEN lo AND hi` from the manifest: return
+    (files whose [min,max] range intersects the predicate, total file
+    count). The caller reads ONLY those files — file-level skipping
+    decided by one manifest read, before any data IO."""
+    m = spark.read.json(path + "/_manifest")
+    total = m.count()
+    keep = m.filter(
+        (F.col(f"min_{col}") <= hi) & (F.col(f"max_{col}") >= lo)
+    )
+    files = [r["_file"] for r in keep.select("_file").collect()]
+    return files, total
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi, fmt: str = "parquet"
+) -> DataFrame:
+    """Manifest-pruned read: scan only intersecting files, then apply
+    the exact predicate (the residual filter — file stats are
+    necessary, not sufficient)."""
+    files, _ = manifest_prune(spark, path, col, lo, hi)
+    if not files:
+        empty = spark.read.format(fmt).load(path).limit(0)
+        return empty
+    return (
+        spark.read.format(fmt)
+        .load(files)
+        .filter(F.col(col).between(lo, hi))
+    )

@@ -6232,3 +6232,169 @@ def q270_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# --------------------------------------------------------------------------
+# q273 — overdispersion check (variance/mean of daily counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q273_overdispersion",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           1000 * s // n AS mean_milli,
+           1000000 * (n * q - s * s) // (n * s) AS dispersion_ppm,
+           CASE WHEN 1000000 * (n * q - s * s) // (n * s) > 1200000
+                THEN 'overdispersed'
+                WHEN 1000000 * (n * q - s * s) // (n * s) < 800000
+                THEN 'underdispersed'
+                ELSE 'poisson_like' END AS verdict
+    FROM s ORDER BY event_type
+    """,
+)
+def q273_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion index of the daily event counts (variance/mean,
+    the Fano factor): a Poisson arrival process has D = 1; D ≫ 1 is
+    burstiness (incident storms, bot traffic — and a violated
+    assumption for any Poisson-based model, including the sampling
+    intuition behind q255's bootstrap weights); D ≪ 1 is suspicious
+    regularity (rate-limited or synthetic traffic). The population
+    identity n²·var = n·Q − S² keeps the index an exact integer
+    rational: D_ppm = 10⁶(nQ − S²) DIV (nS), no float mean ever
+    materializes (the q112/q272 sufficient-statistics device).
+
+    Scale: events collapse to type×day cells map-side; the index is
+    arithmetic over a |types|-row aggregate.
+
+    Reference: the assumption-audit companion to q143/q243 (what the
+    seasonal baselines treat as noise) and q255 (Poisson weights)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    disp = F.expr("1000000 * (n * q - s * s) DIV (n * s)")
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("1000 * s DIV n").alias("mean_milli"),
+        disp.alias("dispersion_ppm"),
+        F.when(disp > 1200000, "overdispersed")
+        .when(disp < 800000, "underdispersed")
+        .otherwise("poisson_like")
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q274 — Wilson confidence intervals for conversion rates
+# --------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+
+
+@register(
+    "q274_wilson_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+                   AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(converted) AS BIGINT) AS x
+        FROM per_user GROUP BY variant
+    )
+    SELECT variant, n, x,
+           1000000 * x // n AS rate_ppm,
+           FLOOR(((CAST(x AS DOUBLE) + {WILSON_Z!r} * {WILSON_Z!r} / 2.0)
+                  / (CAST(n AS DOUBLE) + {WILSON_Z!r} * {WILSON_Z!r})
+                  - {WILSON_Z!r}
+                    * sqrt(CAST(x AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + {WILSON_Z!r} * {WILSON_Z!r} / 4.0)
+                    / (CAST(n AS DOUBLE) + {WILSON_Z!r} * {WILSON_Z!r}))
+                 * 1000000) / 1000000 AS wilson_lo,
+           FLOOR(((CAST(x AS DOUBLE) + {WILSON_Z!r} * {WILSON_Z!r} / 2.0)
+                  / (CAST(n AS DOUBLE) + {WILSON_Z!r} * {WILSON_Z!r})
+                  + {WILSON_Z!r}
+                    * sqrt(CAST(x AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + {WILSON_Z!r} * {WILSON_Z!r} / 4.0)
+                    / (CAST(n AS DOUBLE) + {WILSON_Z!r} * {WILSON_Z!r}))
+                 * 1000000) / 1000000 AS wilson_hi
+    FROM s ORDER BY variant
+    """,
+)
+def q274_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence intervals for per-variant conversion —
+    the interval q132's point rates should have shipped with: unlike
+    the naive normal interval, Wilson never leaves [0,1], stays valid
+    at small n or extreme rates, and is what sample-size calculators
+    actually invert. Overlapping intervals are the quick "don't ship
+    a winner yet" check.
+
+    Determinism: integer (n, x); the interval is the identical IEEE
+    tree on both engines (z as a shared Python literal, sqrt
+    correctly-rounded), floor-truncated at 1e-6.
+
+    Scale: one per-user conditional-max aggregate, then |variants|
+    rows of arithmetic.
+
+    Reference: completes the A/B family (q132 rates, q252 ranks,
+    q256 DiD, q270 quantiles, this calibrated uncertainty)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "treat")
+        .otherwise("control")
+        .alias("variant"),
+        "converted",
+    )
+    s = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    center = (xd + z2 / 2.0) / (nd + z2)
+    hw = (
+        F.lit(WILSON_Z)
+        * F.sqrt(xd * (nd - xd) / nd + z2 / 4.0)
+        / (nd + z2)
+    )
+    return s.select(
+        "variant",
+        "n",
+        "x",
+        F.expr("1000000 * x DIV n").alias("rate_ppm"),
+        (F.floor((center - hw) * 1000000) / 1000000).alias("wilson_lo"),
+        (F.floor((center + hw) * 1000000) / 1000000).alias("wilson_hi"),
+    ).orderBy("variant")

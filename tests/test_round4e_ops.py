@@ -1470,3 +1470,66 @@ def test_acf_matches_pure_python(spark):
     assert got == expected
     # every ACF value is a valid correlation
     assert all(-1.0 <= v[2] <= 1.0 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# q273 — overdispersion
+# --------------------------------------------------------------------------
+
+
+def test_overdispersion_matches_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").select("event_type", "ts").collect()
+    daily = Counter()
+    for r in rows:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = {}
+    for (et, _), c in daily.items():
+        by_type.setdefault(et, []).append(c)
+    expected = {}
+    for et, cs in by_type.items():
+        n, s, q = len(cs), sum(cs), sum(c * c for c in cs)
+        d = 1000000 * (n * q - s * s) // (n * s)
+        verdict = (
+            "overdispersed"
+            if d > 1200000
+            else "underdispersed" if d < 800000 else "poisson_like"
+        )
+        expected[et] = (n, 1000 * s // n, d, verdict)
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["mean_milli"],
+            r["dispersion_ppm"],
+            r["verdict"],
+        )
+        for r in registry.QUERIES["q273_overdispersion"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q274 — Wilson intervals
+# --------------------------------------------------------------------------
+
+
+def test_wilson_ci_properties_and_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import WILSON_Z
+
+    rows = registry.QUERIES["q274_wilson_ci"](spark, SF_MID).collect()
+    assert len(rows) == 2
+    for r in rows:
+        # interval brackets the rate and stays inside [0, 1]
+        rate = r["x"] / r["n"]
+        assert 0.0 <= r["wilson_lo"] <= rate <= r["wilson_hi"] <= 1.0
+        # replay the closed form
+        z2 = WILSON_Z * WILSON_Z
+        center = (r["x"] + z2 / 2.0) / (r["n"] + z2)
+        hw = (
+            WILSON_Z
+            * math.sqrt(r["x"] * (r["n"] - r["x"]) / r["n"] + z2 / 4.0)
+            / (r["n"] + z2)
+        )
+        assert r["wilson_lo"] == math.floor((center - hw) * 1000000) / 1000000
+        assert r["wilson_hi"] == math.floor((center + hw) * 1000000) / 1000000

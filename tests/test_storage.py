@@ -460,3 +460,64 @@ def test_fixture_schema_drift_canary(spark):
         for c, t in cols.items():
             assert c in got, f"{tbl}.{c} missing; resolved schema: {got}"
             assert got[c] == t, f"{tbl}.{c}: expected {t}, got {got[c]}; full: {got}"
+
+
+# ---------------------------------------------------------------------------
+# zone-map manifest (io.write_with_manifest / manifest_prune / read_pruned)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_matches_files_and_prunes(spark, tmp_path):
+    from serverless_etl_spark.io import (
+        load_table,
+        manifest_prune,
+        read_pruned,
+        write_with_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_manifested")
+    write_with_manifest(orders, path, ["o_totalprice", "o_orderkey"])
+
+    # manifest stats agree with the actual files
+    m = {r["_file"]: r for r in spark.read.json(path + "/_manifest").collect()}
+    actual = (
+        spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+    for r in actual.collect():
+        mr = m[r["_file"]]
+        assert (mr["n_rows"], mr["min_o_totalprice"], mr["max_o_totalprice"]) == (
+            r["n"],
+            r["mn"],
+            r["mx"],
+        )
+
+    # a narrow band must prune files (range clustering gives disjoint
+    # per-file ranges on the lead column)
+    lo, hi = 50000.0, 60000.0
+    files, total = manifest_prune(spark, path, "o_totalprice", lo, hi)
+    assert 0 < len(files) < total
+
+    # the pruned read returns exactly the full-scan answer
+    expected = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_totalprice").between(lo, hi)).collect()
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in read_pruned(spark, path, "o_totalprice", lo, hi).collect()
+    )
+    assert got == expected and got
+
+    # an out-of-range predicate prunes everything and reads nothing
+    files2, _ = manifest_prune(spark, path, "o_totalprice", -2.0, -1.0)
+    assert files2 == []
+    assert read_pruned(spark, path, "o_totalprice", -2.0, -1.0).count() == 0

@@ -1992,3 +1992,117 @@ def q263_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clip_mass").alias(f"clip_mass_p{CB_PCT}"),
         "n_users_clipped",
     )
+
+
+# --------------------------------------------------------------------------
+# q276 — temporal-integrity audit (impossible timelines)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q276_temporal_integrity",
+    oracle="""
+    SELECT chk, n_checked, n_violations,
+           1000000 * n_violations // n_checked AS ppm
+    FROM (
+        SELECT 'ship_before_order' AS chk,
+               COUNT(*) AS n_checked,
+               CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'event_before_signup',
+               COUNT(*),
+               CAST(SUM(CASE WHEN first_any < first_signup
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (
+            SELECT user_id,
+                   MIN(ts) AS first_any,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS first_signup
+            FROM events GROUP BY user_id
+        ) WHERE first_signup IS NOT NULL
+        UNION ALL
+        SELECT 'order_after_last_ship',
+               COUNT(*),
+               CAST(SUM(CASE WHEN max_ship < o_orderdate
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (
+            SELECT o.o_orderkey, o.o_orderdate,
+                   MAX(l.l_shipdate) AS max_ship
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        )
+    ) ORDER BY chk
+    """,
+)
+def q276_temporal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-integrity audit — the cross-table timeline checks a
+    warehouse runs beside FK integrity (q153) and contract checks
+    (q222): lineitems shipped BEFORE their order existed, user events
+    BEFORE the user's first signup, orders dated after every one of
+    their shipments. Each row reports checked volume, violations, and
+    ppm — violations here are either corruption or (as with the
+    fixture's event_before_signup rate) an honest property of the
+    generator worth KNOWING, not asserting away (the q212 stance).
+
+    Determinism: date comparisons and counts.
+
+    Scale: each check is one keyed join/aggregate (order keys
+    hash-partition; the per-user reduction is map-side partial);
+    checks are independent branches of one union plan.
+
+    Reference: completes the governance family (q153 FK edges, q214
+    SCD2 shape, q222 contracts, this the arrow of time)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    c1 = j.agg(
+        F.lit("ship_before_order").alias("chk"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            (F.col("l_shipdate") < F.col("o_orderdate")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_any"),
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+    ).filter(F.col("first_signup").isNotNull())
+    c2 = per_user.agg(
+        F.lit("event_before_signup").alias("chk"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            (F.col("first_any") < F.col("first_signup")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    per_order = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    c3 = per_order.agg(
+        F.lit("order_after_last_ship").alias("chk"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("max_ship") < F.col("o_orderdate")).cast("int"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    return (
+        c1.unionByName(c2)
+        .unionByName(c3)
+        .select(
+            "chk",
+            "n_checked",
+            "n_violations",
+            F.expr("1000000 * n_violations DIV n_checked").alias("ppm"),
+        )
+        .orderBy("chk")
+    )

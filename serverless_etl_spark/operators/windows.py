@@ -2778,3 +2778,117 @@ def q272_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# q275 — seasonality & trend strength (STL component variance shares)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q275_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, v,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN SUM(v) OVER w // 7 END AS trend,
+               date_diff('day', DATE '{STL_ANCHOR}', d) % 7 AS wd
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT wd, SUM(v - trend) // COUNT(*) AS s
+        FROM tr WHERE trend IS NOT NULL GROUP BY wd
+    ),
+    comp AS (
+        SELECT t.v - t.trend AS detr, t.v - t.trend - s.s AS resid
+        FROM tr t JOIN seas s ON t.wd = s.wd
+        WHERE t.trend IS NOT NULL
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(detr) AS BIGINT) AS sd,
+               CAST(SUM(detr * detr) AS BIGINT) AS qd,
+               CAST(SUM(resid) AS BIGINT) AS sr,
+               CAST(SUM(resid * resid) AS BIGINT) AS qr
+        FROM comp
+    )
+    SELECT n,
+           GREATEST(CAST(0 AS BIGINT),
+               1000000 - 1000000 * (n * qr - sr * sr)
+                   // (n * qd - sd * sd)) AS seasonal_strength_ppm,
+           n * qd - sd * sd AS var_detr_n2,
+           n * qr - sr * sr AS var_resid_n2
+    FROM stats
+    """,
+)
+def q275_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH of the daily series — the one-number
+    summary of q243's decomposition (the STL-literature measure:
+    1 − Var(remainder)/Var(detrended), clamped at 0): near 10⁶ ppm
+    means the weekly pattern explains nearly all detrended variation
+    (rely on q245's seasonal-naive), near 0 means the "seasonal"
+    component is noise (don't). Variances use the n²-scaled integer
+    identity (n·Q − S²), so the strength is one exact integer
+    division.
+
+    Determinism: whole-unit integers end-to-end (q271/q272's
+    headroom discipline).
+
+    Scale: identical posture to q243 — the series is |days| rows; the
+    strength is arithmetic over a one-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value")).cast("bigint").alias("x"),
+        )
+        .groupBy("d")
+        .agg(F.sum("x").cast("bigint").alias("v"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w).alias("sum_w"),
+        F.count(F.lit(1)).over(w).alias("cnt_w"),
+        (F.datediff(F.col("d"), F.lit(STL_ANCHOR).cast("date")) % 7).alias(
+            "wd"
+        ),
+    ).select(
+        "d",
+        "v",
+        "wd",
+        F.expr("CASE WHEN cnt_w = 7 THEN sum_w DIV 7 END").alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    seas = tr.groupBy("wd").agg(
+        F.expr("SUM(v - trend) DIV COUNT(*)").alias("s")
+    )
+    comp = tr.join(F.broadcast(seas), "wd").select(
+        (F.col("v") - F.col("trend")).alias("detr"),
+        (F.col("v") - F.col("trend") - F.col("s")).alias("resid"),
+    )
+    stats = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("detr").cast("bigint").alias("sd"),
+        F.sum(F.col("detr") * F.col("detr")).cast("bigint").alias("qd"),
+        F.sum("resid").cast("bigint").alias("sr"),
+        F.sum(F.col("resid") * F.col("resid")).cast("bigint").alias("qr"),
+    )
+    return stats.select(
+        "n",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(
+                "1000000 - 1000000 * (n * qr - sr * sr)"
+                " DIV (n * qd - sd * sd)"
+            ),
+        ).alias("seasonal_strength_ppm"),
+        F.expr("n * qd - sd * sd").alias("var_detr_n2"),
+        F.expr("n * qr - sr * sr").alias("var_resid_n2"),
+    )

@@ -1533,3 +1533,58 @@ def test_wilson_ci_properties_and_replay(spark):
         )
         assert r["wilson_lo"] == math.floor((center - hw) * 1000000) / 1000000
         assert r["wilson_hi"] == math.floor((center + hw) * 1000000) / 1000000
+
+
+# --------------------------------------------------------------------------
+# q275 — seasonality strength
+# --------------------------------------------------------------------------
+
+
+def test_seasonality_strength_consistent_with_q243(spark):
+    row = registry.QUERIES["q275_seasonality_strength"](
+        spark, SF_MID
+    ).collect()[0]
+    assert 0 <= row["seasonal_strength_ppm"] <= 1000000
+    # n matches q243's interior-day count (trend defined)
+    q243 = registry.QUERIES["q243_stl_decompose"](spark, SF_MID).collect()
+    interior = sum(1 for r in q243 if r["trend_milli"] is not None)
+    assert row["n"] == interior
+    # variance identity: resid variance <= detrended variance iff
+    # strength > 0 (clamp makes it >= 0 always)
+    if row["seasonal_strength_ppm"] > 0:
+        assert row["var_resid_n2"] < row["var_detr_n2"]
+
+
+# --------------------------------------------------------------------------
+# q276 — temporal integrity
+# --------------------------------------------------------------------------
+
+
+def test_temporal_integrity_matches_pure_python(spark):
+    rows = {
+        r["chk"]: (r["n_checked"], r["n_violations"], r["ppm"])
+        for r in registry.QUERIES["q276_temporal_integrity"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert set(rows) == {
+        "ship_before_order",
+        "event_before_signup",
+        "order_after_last_ship",
+    }
+    # replay ship_before_order exactly
+    li = load_table(spark, SF_MID, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    od = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, SF_MID, "orders").collect()
+    }
+    checked = [r for r in li if r["l_orderkey"] in od]
+    viol = sum(
+        1 for r in checked if r["l_shipdate"] < od[r["l_orderkey"]]
+    )
+    assert rows["ship_before_order"][0] == len(checked)
+    assert rows["ship_before_order"][1] == viol
+    for n_checked, n_viol, ppm in rows.values():
+        assert ppm == 1000000 * n_viol // n_checked

@@ -106,3 +106,126 @@ def q84_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "ts", "value", F.col("sts").alias("signup_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# q277 — grid-cell proximity join (geospatial self-join via geohashing)
+# --------------------------------------------------------------------------
+
+GEO_SPAN = 10_000_000   #: synthetic city: 10 x 10 degrees in micro-degrees
+GEO_CELL = 1_000_000    #: cell size (1 degree, micro-degrees)
+GEO_R = 500_000         #: proximity radius (0.5 degree, micro-degrees)
+
+
+def _geo_points_sql() -> str:
+    return f"""
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                    || '|lat'), 1, 12)) AS BIGINT) % {GEO_SPAN} AS lat,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                    || '|lon'), 1, 12)) AS BIGINT) % {GEO_SPAN} AS lon
+        FROM customer
+    """
+
+
+@register(
+    "q277_proximity_join",
+    oracle=f"""
+    WITH pts AS ({_geo_points_sql()}),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon)
+              <= CAST({GEO_R} AS BIGINT) * {GEO_R}
+    )
+    SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2
+    FROM pairs ORDER BY id_a, id_b
+    """,
+)
+def q277_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join over synthetic planar points (deterministic
+    md5 micro-degree coordinates per customer) — the geospatial join
+    primitive, executed the scalable way: snap points to a
+    {GEO_CELL}-micro-degree grid, fan each point out to its 3×3
+    neighbor cells MAP-SIDE, equi-join on the cell id, and keep pairs
+    whose exact squared distance is within R². This is geohashing /
+    S2-cell joining in miniature, and the 2-D sibling of q265's 1-D
+    time-bucket join: cell width ≥ R guarantees the ±1 neighborhood
+    loses no pair, the oracle is the brute-force O(n²) join, and the
+    hash-match proves the cell cover exact.
+
+    Determinism: integer micro-degree arithmetic throughout (squared
+    distances, no sqrt, no floats).
+
+    Scale: the all-pairs quadratic becomes Σ per-cell occupancy² —
+    bounded by density, not |points|; hot cells (a downtown) are the
+    bucket-skew case AQE splits, or sub-divide the cell (same lever
+    as q265). The 9× fan-out rides the scan.
+
+    Reference: a new operator category (no geo surface anywhere in
+    the reference); reuses the z-order bit-interleave intuition of
+    io.write_zordered on the query side."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def coord(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(tag))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % GEO_SPAN
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord("|lat").alias("lat"),
+        coord("|lon").alias("lon"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.expr(f"lat DIV {GEO_CELL}").alias("cx"),
+        F.expr(f"lon DIV {GEO_CELL}").alias("cy"),
+    )
+    fan = (
+        pts.select(
+            F.col("id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            F.explode(
+                F.array(*[F.expr(f"lat DIV {GEO_CELL} + {d}") for d in (-1, 0, 1)])
+            ).alias("cx"),
+            F.expr(f"lon DIV {GEO_CELL}").alias("cy0"),
+        )
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            "cx",
+            F.explode(
+                F.array(*[F.col("cy0") + d for d in (-1, 0, 1)])
+            ).alias("cy"),
+        )
+    )
+    dx = F.col("lat_a") - F.col("lat_b")
+    dy = F.col("lon_a") - F.col("lon_b")
+    return (
+        fan.join(right, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dx * dx + dy * dy <= GEO_R * GEO_R)
+        .select(
+            "id_a",
+            "id_b",
+            (dx * dx + dy * dy).cast("bigint").alias("dist2"),
+        )
+        .orderBy("id_a", "id_b")
+    )

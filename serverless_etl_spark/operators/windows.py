@@ -2892,3 +2892,91 @@ def q275_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * qd - sd * sd").alias("var_detr_n2"),
         F.expr("n * qr - sr * sr").alias("var_resid_n2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q278 — sequential pattern detection (MATCH_RECOGNIZE-lite V-shapes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q278_vshape_patterns",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, d, c,
+               LAG(c, 2) OVER w AS m2, LAG(c, 1) OVER w AS m1,
+               LEAD(c, 1) OVER w AS p1, LEAD(c, 2) OVER w AS p2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    hits AS (
+        SELECT event_type, d, c
+        FROM lagged
+        WHERE m2 > m1 AND m1 > c AND c < p1 AND p1 < p2
+    )
+    SELECT l.event_type,
+           (SELECT COUNT(*) FROM hits h
+            WHERE h.event_type = l.event_type) AS n_vshapes,
+           (SELECT MIN(d) FROM hits h
+            WHERE h.event_type = l.event_type) AS first_v_date,
+           (SELECT MIN(c) FROM hits h
+            WHERE h.event_type = l.event_type) AS deepest_trough
+    FROM (SELECT DISTINCT event_type FROM daily) l
+    ORDER BY l.event_type
+    """,
+)
+def q278_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sequence pattern detection — the MATCH_RECOGNIZE workload
+    Spark SQL lacks as a keyword, expressed with lag/lead: a V-shape
+    is two strictly-falling days into a trough followed by two
+    strictly-rising days (the dip-and-recover signature ops teams
+    eyeball for; the inverse peak pattern is the same query with the
+    comparisons flipped). Per event type: match count, first match
+    date, deepest trough. NULL row counts where no match exists are
+    reported, not dropped.
+
+    Determinism: integer counts, date ordering.
+
+    Scale: the series collapses to |types|×|days| map-side; all four
+    lags/leads share ONE window partitioning (a single WindowExec
+    chain); pattern predicates are row-local after that. General
+    fixed-length patterns compile to exactly this shape; variable-
+    length patterns (A+ B+) become q76-style gaps-and-islands.
+
+    Reference: completes the sequence family (q130 transitions, q163
+    paths, q210 streaks) with anchored shape patterns."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.lag("c", 2).over(w).alias("m2"),
+        F.lag("c", 1).over(w).alias("m1"),
+        F.lead("c", 1).over(w).alias("p1"),
+        F.lead("c", 2).over(w).alias("p2"),
+    )
+    hit = (
+        (F.col("m2") > F.col("m1"))
+        & (F.col("m1") > F.col("c"))
+        & (F.col("c") < F.col("p1"))
+        & (F.col("p1") < F.col("p2"))
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_vshapes"),
+            F.min(F.when(hit, F.col("d"))).alias("first_v_date"),
+            F.min(F.when(hit, F.col("c"))).alias("deepest_trough"),
+        )
+        .orderBy("event_type")
+    )

@@ -1588,3 +1588,77 @@ def test_temporal_integrity_matches_pure_python(spark):
     assert rows["ship_before_order"][1] == viol
     for n_checked, n_viol, ppm in rows.values():
         assert ppm == 1000000 * n_viol // n_checked
+
+
+# --------------------------------------------------------------------------
+# q277 — proximity join
+# --------------------------------------------------------------------------
+
+
+def test_proximity_join_matches_brute_force(spark):
+    import hashlib
+
+    from serverless_etl_spark.operators.joins import GEO_R, GEO_SPAN
+
+    cust = load_table(spark, SF_MID, "customer").select("c_custkey").collect()
+
+    def coord(k, tag):
+        return int(hashlib.md5(f"{k}{tag}".encode()).hexdigest()[:12], 16) % GEO_SPAN
+
+    pts = {
+        r["c_custkey"]: (coord(r["c_custkey"], "|lat"), coord(r["c_custkey"], "|lon"))
+        for r in cust
+    }
+    expected = {}
+    ids = sorted(pts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dx = pts[a][0] - pts[b][0]
+            dy = pts[a][1] - pts[b][1]
+            d2 = dx * dx + dy * dy
+            if d2 <= GEO_R * GEO_R:
+                expected[(a, b)] = d2
+    got = {
+        (r["id_a"], r["id_b"]): r["dist2"]
+        for r in registry.QUERIES["q277_proximity_join"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+    assert got  # the synthetic city is dense enough to pair
+
+
+# --------------------------------------------------------------------------
+# q278 — V-shape patterns
+# --------------------------------------------------------------------------
+
+
+def test_vshape_patterns_match_pure_python(spark):
+    rows = load_table(spark, SF_MID, "events").select("event_type", "ts").collect()
+    daily = Counter()
+    for r in rows:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = {}
+    for (et, d), c in daily.items():
+        by_type.setdefault(et, []).append((d, c))
+    expected = {}
+    for et, series in by_type.items():
+        series.sort()
+        cs = [c for _, c in series]
+        hits = [
+            (series[i][0], cs[i])
+            for i in range(2, len(cs) - 2)
+            if cs[i - 2] > cs[i - 1] > cs[i] < cs[i + 1] < cs[i + 2]
+        ]
+        expected[et] = (
+            len(hits),
+            min((d for d, _ in hits), default=None),
+            min((c for _, c in hits), default=None),
+        )
+    got = {
+        r["event_type"]: (r["n_vshapes"], r["first_v_date"], r["deepest_trough"])
+        for r in registry.QUERIES["q278_vshape_patterns"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected

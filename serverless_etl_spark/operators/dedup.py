@@ -2422,3 +2422,198 @@ def q267_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * found DIV n_truth").alias("recall_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q280 — Jaccard threshold calibration against seeded truth
+# --------------------------------------------------------------------------
+
+JT_GRID = tuple(range(100_000, 1_000_000, 100_000))  #: thresholds, ppm
+
+
+@register(
+    "q280_jaccard_threshold_sweep",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    sh AS (
+        SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS digest
+        FROM corpus
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.digest = b.digest AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT s.doc_a, s.doc_b,
+               1000000 * s.inter
+                   // (za.n_sh + zb.n_sh - s.inter) AS jac_ppm,
+               CASE WHEN (s.doc_b - s.doc_a = 1000000
+                          AND s.doc_a % 10 = 0)
+                      OR (s.doc_b - s.doc_a = 2000000
+                          AND s.doc_a % 10 = 5)
+                    THEN 1 ELSE 0 END AS is_truth
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.doc_a
+        JOIN sizes zb ON zb.doc_id = s.doc_b
+    ),
+    n_truth AS (
+        SELECT COUNT(*) AS nt FROM corpus WHERE doc_id >= 1000000
+    ),
+    sweep AS (
+        SELECT t.t,
+               CAST(SUM(CASE WHEN jac_ppm >= t.t AND is_truth = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN jac_ppm >= t.t AND is_truth = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        FROM scored
+        CROSS JOIN (SELECT unnest([{', '.join(str(t) for t in JT_GRID)}])
+                    AS t) t
+        GROUP BY t.t
+    ),
+    prf AS (
+        SELECT t, tp, fp, nt - tp AS fn,
+               1000000 * tp // NULLIF(tp + fp, 0) AS precision_ppm,
+               1000000 * tp // nt AS recall_ppm
+        FROM sweep CROSS JOIN n_truth
+    )
+    SELECT t, tp, fp, fn, precision_ppm, recall_ppm,
+           2 * precision_ppm * recall_ppm
+               // NULLIF(precision_ppm + recall_ppm, 0) AS f1_ppm,
+           2 * precision_ppm * recall_ppm
+               // NULLIF(precision_ppm + recall_ppm, 0)
+               = MAX(2 * precision_ppm * recall_ppm
+                     // NULLIF(precision_ppm + recall_ppm, 0)) OVER ()
+               AS best
+    FROM prf ORDER BY t
+    """,
+)
+def q280_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold CALIBRATION — the question every near-dup
+    pipeline answers by folklore ("0.8 is what everyone uses") made
+    empirical: score all shingle-sharing pairs of the seeded corpus
+    with exact integer Jaccard, sweep a threshold grid, and report
+    precision/recall/F1 per threshold against the known clone truth,
+    flagging the F1-argmax. This is the evidence behind the
+    PJ_T/MH thresholds q41/q191 hard-code, and the q250 sweep
+    pattern applied to the similarity axis.
+
+    Determinism: integer shingle counts, ppm divisions, and an
+    integer F1 (2PR DIV (P+R) over ppm values); ties in `best` flag
+    every argmax row rather than picking one arbitrarily.
+
+    Scale: candidates come from the digest self-join (df-bounded, the
+    q42/q139 posture — never all-pairs); the threshold sweep fans out
+    ×{len(JT_GRID)} on the BOUNDED scored-pair table and aggregates
+    all thresholds in one pass (q244's shape).
+
+    Reference: completes the dedup-evaluation family (q177 LSH
+    recall, q261/q267 blocking recall, this threshold choice)."""
+    docs = _duped_docs(spark, sf_dir)
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    arr = track_cache(
+        words.select("doc_id", _shingles(F.col("w")).alias("shingles"))
+        .persist()
+    )
+    sh = track_cache(
+        arr.select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("digest"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "digest")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "digest")
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    is_truth = (
+        (
+            (F.col("doc_b") - F.col("doc_a") == 1000000)
+            & (F.col("doc_a") % 10 == 0)
+        )
+        | (
+            (F.col("doc_b") - F.col("doc_a") == 2000000)
+            & (F.col("doc_a") % 10 == 5)
+        )
+    ).cast("int")
+    scored = (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "1000000 * inter DIV (na + nb - inter)"
+            ).alias("jac_ppm"),
+            is_truth.alias("is_truth"),
+        )
+    )
+    n_truth = docs.filter(F.col("doc_id") >= 1000000).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    sweep = (
+        scored.select(
+            "jac_ppm",
+            "is_truth",
+            F.explode(F.array(*[F.lit(t) for t in JT_GRID])).alias("t"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("jac_ppm") >= F.col("t"))
+                    & (F.col("is_truth") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("jac_ppm") >= F.col("t"))
+                    & (F.col("is_truth") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    prf = sweep.crossJoin(F.broadcast(n_truth)).select(
+        "t",
+        "tp",
+        "fp",
+        (F.col("nt") - F.col("tp")).alias("fn"),
+        F.expr("1000000 * tp DIV nullif(tp + fp, 0)").alias(
+            "precision_ppm"
+        ),
+        F.expr("1000000 * tp DIV nt").alias("recall_ppm"),
+    )
+    f1 = F.expr(
+        "2 * precision_ppm * recall_ppm"
+        " DIV nullif(precision_ppm + recall_ppm, 0)"
+    )
+    w = Window.partitionBy()
+    return (
+        prf.select("*", f1.alias("f1_ppm"))
+        .select(
+            "t",
+            "tp",
+            "fp",
+            "fn",
+            "precision_ppm",
+            "recall_ppm",
+            "f1_ppm",
+            (F.col("f1_ppm") == F.max("f1_ppm").over(w)).alias("best"),
+        )
+        .orderBy("t")
+    )

@@ -117,13 +117,54 @@ GEO_CELL = 1_000_000    #: cell size (1 degree, micro-degrees)
 GEO_R = 500_000         #: proximity radius (0.5 degree, micro-degrees)
 
 
+
+def geo_points(cust: DataFrame) -> DataFrame:
+    """Deterministic synthetic planar points (micro-degrees) per
+    customer — the shared construction for q277/q279."""
+
+    def coord(tag: str):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("c_custkey").cast("string"), F.lit(tag))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.when(
+            F.col("c_custkey") % 3 == 0,
+            h % (GEO_SPAN // 10) + GEO_SPAN * 45 // 100,
+        ).otherwise(h % GEO_SPAN)
+
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        coord("|lat").alias("lat"),
+        coord("|lon").alias("lon"),
+    )
+
+
 def _geo_points_sql() -> str:
+    # every 3rd customer lives downtown: a (GEO_SPAN/10)-wide central
+    # square, so the field has genuine density structure
     return f"""
         SELECT c_custkey AS id,
-               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
-                    || '|lat'), 1, 12)) AS BIGINT) % {GEO_SPAN} AS lat,
-               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
-                    || '|lon'), 1, 12)) AS BIGINT) % {GEO_SPAN} AS lon
+               CASE WHEN c_custkey % 3 = 0
+                    THEN CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                         || '|lat'), 1, 12)) AS BIGINT)
+                         % ({GEO_SPAN} // 10) + {GEO_SPAN} * 45 // 100
+                    ELSE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                         || '|lat'), 1, 12)) AS BIGINT) % {GEO_SPAN}
+               END AS lat,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                         || '|lon'), 1, 12)) AS BIGINT)
+                         % ({GEO_SPAN} // 10) + {GEO_SPAN} * 45 // 100
+                    ELSE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                         || '|lon'), 1, 12)) AS BIGINT) % {GEO_SPAN}
+               END AS lon
         FROM customer
     """
 
@@ -168,27 +209,7 @@ def q277_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: a new operator category (no geo surface anywhere in
     the reference); reuses the z-order bit-interleave intuition of
     io.write_zordered on the query side."""
-    cust = load_table(spark, sf_dir, "customer")
-
-    def coord(tag: str):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(tag))),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % GEO_SPAN
-        )
-
-    pts = cust.select(
-        F.col("c_custkey").alias("id"),
-        coord("|lat").alias("lat"),
-        coord("|lon").alias("lon"),
-    )
+    pts = geo_points(load_table(spark, sf_dir, "customer"))
     right = pts.select(
         F.col("id").alias("id_b"),
         F.col("lat").alias("lat_b"),
@@ -228,4 +249,100 @@ def q277_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dx * dx + dy * dy).cast("bigint").alias("dist2"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q279 — grid-cell hotspot detection (neighbor-smoothed density)
+# --------------------------------------------------------------------------
+
+HOT_NUM = 3  #: hotspot iff smoothed count >= HOT_NUM x mean smoothed
+
+
+@register(
+    "q279_geo_hotspots",
+    oracle=f"""
+    WITH pts AS ({_geo_points_sql()}),
+    cells AS (
+        SELECT lat // {GEO_CELL} AS cx, lon // {GEO_CELL} AS cy,
+               COUNT(*) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    fan AS (
+        SELECT c.cx + dx.d AS tx, c.cy + dy.d AS ty, c.n
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    smoothed AS (
+        SELECT tx AS cx, ty AS cy, CAST(SUM(n) AS BIGINT) AS s
+        FROM fan GROUP BY tx, ty
+    ),
+    occupied AS (
+        SELECT s.cx, s.cy, s.s, c.n
+        FROM smoothed s JOIN cells c ON c.cx = s.cx AND c.cy = s.cy
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_cells, CAST(SUM(s) AS BIGINT) AS total_s
+        FROM occupied
+    )
+    SELECT o.cx, o.cy, o.n, o.s
+    FROM occupied o CROSS JOIN tot t
+    WHERE o.s * t.n_cells >= {HOT_NUM} * t.total_s
+    ORDER BY o.cx, o.cy
+    """,
+)
+def q279_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspot detection over the q277 point field: per-cell counts
+    smoothed by the 3×3 neighborhood (the discrete kernel of a
+    Getis-Ord-style local statistic), flagged where the smoothed
+    density reaches {HOT_NUM}× the mean over OCCUPIED cells — the
+    "where do things cluster" readout that pairs with q277's "what is
+    near what". Smoothing by map-side cell fan-out (each cell donates
+    its count to its 9 neighbors) keeps the neighborhood sum an
+    aggregation, never a join of points.
+
+    Determinism: integer counts; the threshold is an integer
+    cross-multiplication (s·|cells| ≥ {HOT_NUM}·Σs), so no mean ever
+    materializes as a float.
+
+    Scale: points collapse to occupied cells map-side; the ×9 fan-out
+    rides the CELL table (bounded by area/cell-size, not points);
+    one tiny broadcast for the global totals.
+
+    Reference: the aggregation half of the geo family started by
+    q277 (both on the same synthetic deterministic point field)."""
+    pts = geo_points(load_table(spark, sf_dir, "customer"))
+    cells = pts.groupBy(
+        F.expr(f"lat DIV {GEO_CELL}").alias("cx"),
+        F.expr(f"lon DIV {GEO_CELL}").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fan = cells.select(
+        F.explode(
+            F.array(*[F.col("cx") + d for d in (-1, 0, 1)])
+        ).alias("tx"),
+        "cy",
+        "n",
+    ).select(
+        "tx",
+        F.explode(
+            F.array(*[F.col("cy") + d for d in (-1, 0, 1)])
+        ).alias("ty"),
+        "n",
+    )
+    smoothed = fan.groupBy(
+        F.col("tx").alias("cx"), F.col("ty").alias("cy")
+    ).agg(F.sum("n").cast("bigint").alias("s"))
+    occupied = smoothed.join(cells, ["cx", "cy"])
+    tot = occupied.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("s").cast("bigint").alias("total_s"),
+    )
+    return (
+        occupied.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("s") * F.col("n_cells") >= HOT_NUM * F.col("total_s")
+        )
+        .select("cx", "cy", "n", "s")
+        .orderBy("cx", "cy")
     )

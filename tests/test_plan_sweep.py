@@ -65,6 +65,8 @@ BNLJ_ALLOWED = {
     "q267_sorted_neighborhood",   # three one-row metric aggregates joined
     "q271_motif_discord",         # one-row motif x discord result join
     "q272_acf",                   # one-row denominator/origin broadcasts
+    "q279_geo_hotspots",          # one-row global-totals broadcast
+    "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
 }
 
 

@@ -1603,7 +1603,10 @@ def test_proximity_join_matches_brute_force(spark):
     cust = load_table(spark, SF_MID, "customer").select("c_custkey").collect()
 
     def coord(k, tag):
-        return int(hashlib.md5(f"{k}{tag}".encode()).hexdigest()[:12], 16) % GEO_SPAN
+        h = int(hashlib.md5(f"{k}{tag}".encode()).hexdigest()[:12], 16)
+        if k % 3 == 0:  # downtown concentration, mirrors geo_points
+            return h % (GEO_SPAN // 10) + GEO_SPAN * 45 // 100
+        return h % GEO_SPAN
 
     pts = {
         r["c_custkey"]: (coord(r["c_custkey"], "|lat"), coord(r["c_custkey"], "|lon"))
@@ -1662,3 +1665,54 @@ def test_vshape_patterns_match_pure_python(spark):
         ).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q279 — geo hotspots
+# --------------------------------------------------------------------------
+
+
+def test_geo_hotspots_land_downtown(spark):
+    from serverless_etl_spark.operators.joins import GEO_CELL, GEO_SPAN
+
+    rows = registry.QUERIES["q279_geo_hotspots"](spark, SF_MID).collect()
+    assert rows  # the downtown concentration must register
+    lo = (GEO_SPAN * 45 // 100) // GEO_CELL - 1
+    hi = (GEO_SPAN * 45 // 100 + GEO_SPAN // 10) // GEO_CELL + 1
+    for r in rows:
+        assert lo <= r["cx"] <= hi and lo <= r["cy"] <= hi
+        assert r["s"] >= r["n"]  # smoothed includes own count
+
+
+# --------------------------------------------------------------------------
+# q280 — Jaccard threshold sweep
+# --------------------------------------------------------------------------
+
+
+def test_jaccard_threshold_sweep_properties(spark):
+    rows = sorted(
+        registry.QUERIES["q280_jaccard_threshold_sweep"](
+            spark, SF_MID
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+    assert len(rows) == 9
+    n_truth = rows[0]["tp"] + rows[0]["fn"]
+    for r in rows:
+        assert r["tp"] + r["fn"] == n_truth
+        assert r["recall_ppm"] == 1000000 * r["tp"] // n_truth
+    # recall is monotone non-increasing in the threshold
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"]
+    # exact clones survive any threshold: recall at the top threshold
+    # still covers at least the exact-clone half of the truth
+    exact_clones = sum(
+        1
+        for r in load_table(spark, SF_MID, "documents").collect()
+        if r["doc_id"] % 10 == 0
+    )
+    assert rows[-1]["tp"] >= exact_clones
+    # the best flag marks exactly the F1 argmax rows
+    best_f1 = max(r["f1_ppm"] for r in rows)
+    for r in rows:
+        assert r["best"] == (r["f1_ppm"] == best_f1)

@@ -1198,3 +1198,121 @@ def q230_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BEHAVIOR_TOP_K)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q282 — kNN label purity (embedding label-noise estimate)
+# --------------------------------------------------------------------------
+
+PURITY_K = 5
+
+
+@register(
+    "q282_knn_label_purity",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    meta AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.x * c.x) AS dot
+        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d.query_id, d.cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC,
+                            d.cand_id) AS rk
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.cand_id
+    ),
+    agree AS (
+        SELECT qm.label,
+               CASE WHEN qm.label = cm.label THEN 1 ELSE 0 END AS same
+        FROM ranked r
+        JOIN meta qm ON qm.vec_id = r.query_id
+        JOIN meta cm ON cm.vec_id = r.cand_id
+        WHERE r.rk <= {PURITY_K}
+    )
+    SELECT label,
+           COUNT(*) AS n_neighbors,
+           CAST(SUM(same) AS BIGINT) AS n_same_label,
+           1000000 * CAST(SUM(same) AS BIGINT) // COUNT(*) AS purity_ppm
+    FROM agree GROUP BY label ORDER BY label
+    """,
+)
+def q282_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label purity: for EVERY vector, do its {PURITY_K} exact
+    cosine nearest neighbors share its label? The per-label agreement
+    rate is the classifier-free label-noise estimate — labels whose
+    neighborhoods disagree are either mislabeled (route to q117's
+    centroid-outlier screen) or genuinely entangled classes (a
+    modeling fact worth knowing before training). Complements q116
+    (hard negatives are the individually-confusable pairs; this is
+    the population rate).
+
+    Determinism: dyadic-quantized dot products (every sum exact in
+    doubles — the q50 discipline), rank ties by candidate id, integer
+    purity ppm.
+
+    Scale: the all-pairs exact kNN is the documented q50/q230
+    broadcast-baseline posture (allowlisted); the production route is
+    the SAME query over q97's cell-restricted candidates or q69's
+    LSH buckets — only the candidate generator changes. Per-query
+    top-k is WindowGroupLimit; the purity rollup is |labels| rows.
+
+    Reference: completes the embedding-quality family (q117
+    outliers, q120 recall, q227 drift, this label noise)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        _vec_double().alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        _vec_double().alias("cv"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "cand_id",
+            "clabel",
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PURITY_K)
+    )
+    return (
+        ranked.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum((F.col("qlabel") == F.col("clabel")).cast("int"))
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .select(
+            "label",
+            "n_neighbors",
+            "n_same_label",
+            F.expr("1000000 * n_same_label DIV n_neighbors").alias(
+                "purity_ppm"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "q272_acf",                   # one-row denominator/origin broadcasts
     "q279_geo_hotspots",          # one-row global-totals broadcast
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
+    "q282_knn_label_purity",      # exact all-pairs baseline (q50 posture)
 }
 
 

@@ -1716,3 +1716,93 @@ def test_jaccard_threshold_sweep_properties(spark):
     best_f1 = max(r["f1_ppm"] for r in rows)
     for r in rows:
         assert r["best"] == (r["f1_ppm"] == best_f1)
+
+
+# --------------------------------------------------------------------------
+# q281 — edge churn
+# --------------------------------------------------------------------------
+
+
+def test_edge_churn_matches_pure_python(spark):
+    from serverless_etl_spark.operators.graph import (
+        EC_Y1,
+        EC_Y2,
+        TRI_MIN_SUPPORT,
+    )
+
+    li = load_table(spark, SF_MID, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    oy = {
+        r["o_orderkey"]: r["o_orderdate"].year
+        for r in load_table(spark, SF_MID, "orders").collect()
+    }
+    baskets = {}
+    for r in li:
+        yr = oy.get(r["l_orderkey"])
+        if yr in (EC_Y1, EC_Y2):
+            baskets.setdefault((r["l_orderkey"], yr), set()).add(
+                r["l_partkey"]
+            )
+    wc = Counter()
+    for (_, yr), ps in baskets.items():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                wc[(yr, ps[i], ps[j])] += 1
+    e1 = {(a, b) for (yr, a, b), w in wc.items() if yr == EC_Y1 and w >= TRI_MIN_SUPPORT}
+    e2 = {(a, b) for (yr, a, b), w in wc.items() if yr == EC_Y2 and w >= TRI_MIN_SUPPORT}
+    row = registry.QUERIES["q281_edge_churn"](spark, SF_MID).collect()[0]
+    assert row["n_edges_y1"] == len(e1)
+    assert row["n_edges_y2"] == len(e2)
+    assert row["n_survived"] == len(e1 & e2)
+    assert row["n_born"] == len(e2 - e1)
+    assert row["n_died"] == len(e1 - e2)
+    assert row["jaccard_ppm"] == 1000000 * len(e1 & e2) // len(e1 | e2)
+
+
+# --------------------------------------------------------------------------
+# q282 — kNN label purity
+# --------------------------------------------------------------------------
+
+
+def test_knn_purity_matches_pure_python(spark):
+    from serverless_etl_spark.operators.similarity import PURITY_K
+
+    emb = load_table(spark, SF_MID, "embeddings").collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in emb}
+
+    def cosine(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    agree = Counter()
+    tot = Counter()
+    for qid, (qv, ql) in vecs.items():
+        scored = sorted(
+            ((-cosine(qv, cv), cid) for cid, (cv, _) in vecs.items() if cid != qid)
+        )[:PURITY_K]
+        for _, cid in scored:
+            tot[ql] += 1
+            if vecs[cid][1] == ql:
+                agree[ql] += 1
+    expected = {
+        l: (tot[l], agree[l], 1000000 * agree[l] // tot[l]) for l in tot
+    }
+    got = {
+        r["label"]: (r["n_neighbors"], r["n_same_label"], r["purity_ppm"])
+        for r in registry.QUERIES["q282_knn_label_purity"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == expected
+    # the fixture embeddings turn out NOT to cluster by label — purity
+    # sits at the chance rate, which is precisely the diagnosis this
+    # operator exists to deliver (labels carry no metric structure)
+    label_counts = Counter(l for _, (_, l) in vecs.items())
+    total = sum(label_counts.values())
+    for l, (_, _, ppm) in got.items():
+        chance_ppm = 1000000 * (label_counts[l] - 1) // (total - 1)
+        assert abs(ppm - chance_ppm) < 60000  # within 6 points of chance

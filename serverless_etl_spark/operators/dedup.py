@@ -2617,3 +2617,78 @@ def q280_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# --------------------------------------------------------------------------
+# q283 — cross-source near-dup contamination matrix
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q283_neardup_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({_Q41_ORACLE}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS src_lo,
+           GREATEST(sa.source, sb.source) AS src_hi,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN sa.source <> sb.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.doc_a % 1000000
+    JOIN src sb ON sb.doc_id = p.doc_b % 1000000
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q283_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination BY SOURCE PAIR: q41's verified LSH
+    pairs attributed to the sources of their base documents and
+    rolled into a (source, source) matrix — q124 answers "which
+    sources share EXACT content digests"; this answers the harder
+    near-dup version (the one that catches laundered scrapes:
+    re-hosted content with boilerplate swapped). Off-diagonal mass is
+    cross-source contamination; a hot cell means one source
+    republishes another and the mixture weights (q100/q160) are
+    double-counting it.
+
+    Clone ids map to their base document's source via the
+    deterministic % 1000000 (the _duped_docs construction).
+
+    Determinism: inherits q41's integer-verified pairs; counts only.
+
+    Scale: the matrix adds two dim-sized source joins to q41's
+    banded-join output (|pairs| rows, never the corpus) and a
+    |sources|²-bounded rollup.
+
+    Reference: completes the contamination family (q89 benchmark,
+    q98 boilerplate, q124 exact overlap, this near-dup overlap)."""
+    corpus = _duped_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("base_a"), F.col("source").alias("source_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("base_b"), F.col("source").alias("source_b")
+    )
+    j = (
+        pairs.withColumn("base_a", F.col("doc_a") % 1000000)
+        .withColumn("base_b", F.col("doc_b") % 1000000)
+        .join(F.broadcast(sa), "base_a")
+        .join(F.broadcast(sb), "base_b")
+    )
+    return (
+        j.groupBy(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("source_a") != F.col("source_b")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_cross"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )

@@ -146,6 +146,7 @@ _SWEEP_PRIORITY = [
     "q277_proximity_join", "q278_vshape_patterns",
     "q279_geo_hotspots", "q280_jaccard_threshold_sweep",
     "q281_edge_churn", "q282_knn_label_purity",
+    "q283_neardup_source_matrix",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

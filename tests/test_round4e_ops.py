@@ -1806,3 +1806,25 @@ def test_knn_purity_matches_pure_python(spark):
     for l, (_, _, ppm) in got.items():
         chance_ppm = 1000000 * (label_counts[l] - 1) // (total - 1)
         assert abs(ppm - chance_ppm) < 60000  # within 6 points of chance
+
+
+# --------------------------------------------------------------------------
+# q283 — near-dup source matrix
+# --------------------------------------------------------------------------
+
+
+def test_neardup_source_matrix_conserves_q41_pairs(spark):
+    rows = registry.QUERIES["q283_neardup_source_matrix"](
+        spark, SF_MID
+    ).collect()
+    q41_pairs = registry.QUERIES["q41_minhash_lsh"](spark, SF_MID).count()
+    # every q41 pair lands in exactly one matrix cell
+    assert sum(r["n_pairs"] for r in rows) == q41_pairs
+    for r in rows:
+        assert r["src_lo"] <= r["src_hi"]
+        if r["src_lo"] == r["src_hi"]:
+            # a diagonal cell can still hold cross-source pairs only
+            # if sources differ — impossible on the diagonal
+            assert r["n_cross"] == 0 or r["src_lo"] != r["src_hi"]
+        else:
+            assert r["n_cross"] == r["n_pairs"]

@@ -6398,3 +6398,230 @@ def q274_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((center - hw) * 1000000) / 1000000).alias("wilson_lo"),
         (F.floor((center + hw) * 1000000) / 1000000).alias("wilson_hi"),
     ).orderBy("variant")
+
+
+# --------------------------------------------------------------------------
+# q285 — count-min sketch error profile
+# --------------------------------------------------------------------------
+
+CMS_D = 3
+CMS_W = 256
+
+
+def _cms_cell(key, d: int):
+    """Row d's counter index for `key`: md5-derived, engine-portable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"|c{d}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def _cms_cell_sql(key: str, d: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '|c{d}'), 1, 8)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+@register(
+    "q285_cms_error",
+    oracle=f"""
+    WITH exact AS (
+        SELECT l_partkey AS key, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_cell_sql('key', d)} AS j, cnt FROM exact"
+            for d in range(CMS_D)
+        )}
+    ),
+    sketch AS (
+        SELECT d, j, CAST(SUM(cnt) AS BIGINT) AS v
+        FROM cells GROUP BY d, j
+    ),
+    est AS (
+        SELECT c.key, c.cnt, MIN(s.v) AS est
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT key, cnt, {d} AS d, {_cms_cell_sql('key', d)} AS j "
+                f"FROM exact"
+                for d in range(CMS_D)
+            )}
+        ) c
+        JOIN sketch s ON s.d = c.d AND s.j = c.j
+        GROUP BY c.key, c.cnt
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN est = cnt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_est,
+           CAST(SUM(CASE WHEN est < cnt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_underestimates,
+           CAST(MAX(est - cnt) AS BIGINT) AS max_over,
+           CAST(SUM(est - cnt) AS BIGINT) AS total_over,
+           1000000 * CAST(SUM(est - cnt) AS BIGINT)
+               // CAST(SUM(cnt) AS BIGINT) AS over_ppm
+    FROM est
+    """,
+)
+def q285_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with its measured error
+    contract: build a d={CMS_D} × w={CMS_W} sketch over part purchase
+    counts, read every key back through the min-of-rows estimator, and
+    report the profile against exact counts — n_underestimates MUST be
+    0 (CMS only overestimates) and over_ppm is the collision tax the
+    chosen width actually pays (the key count deliberately exceeds w so
+    the profile is non-trivial at sf0.01).
+
+    The sketch update is additive, so building from pre-aggregated
+    (key, cnt) pairs equals the row-at-a-time build — the query
+    exploits that to touch lineitem once.
+
+    Determinism: md5-derived cells, integer counters; one ppm division.
+
+    Scale: the sketch is d·w = {CMS_D}×{CMS_W} counters regardless of
+    input size — partial-combined map-side like any sum; the estimator
+    join is d broadcast-size lookups. This is the mergeable-summary
+    shape (stream twin: fold each micro-batch's (d,j) partials with
+    SUM, the q239-HLL register pattern).
+
+    Reference: the point-frequency sibling of q138's heavy hitters and
+    q49/q121/q239's distinct-count sketches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = track_cache(
+        li.groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    cells = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(F.col("key"), d).alias("j"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+        "cnt",
+    ).select("c.d", "c.j", "cnt")
+    sketch = cells.groupBy("d", "j").agg(
+        F.sum("cnt").cast("bigint").alias("v")
+    )
+    probes = exact.select(
+        "key",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(F.col("key"), d).alias("j"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "cnt", "c.d", "c.j")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "j"])
+        .groupBy("key", "cnt")
+        .agg(F.min("v").alias("est"))
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("est") == F.col("cnt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_est"),
+        F.sum(F.when(F.col("est") < F.col("cnt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_underestimates"),
+        F.max(F.col("est") - F.col("cnt")).cast("bigint").alias("max_over"),
+        F.sum(F.col("est") - F.col("cnt")).cast("bigint").alias("total_over"),
+        F.expr(
+            "1000000 * CAST(SUM(est - cnt) AS BIGINT)"
+            " DIV CAST(SUM(cnt) AS BIGINT)"
+        ).alias("over_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q286 — OHLC bars (open/high/low/close rollup over an ordered series)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q286_ohlc_bars",
+    oracle="""
+    WITH px AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               (year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate)) * 10000000000 + o_orderkey AS seq
+        FROM orders
+    )
+    SELECT ym,
+           arg_min(cents, seq) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           arg_max(cents, seq) AS close_cents,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS turnover_cents
+    FROM px GROUP BY ym ORDER BY ym
+    """,
+)
+def q286_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OHLC candle bars over the order-value series — the
+    financial/metrics rollup (open/high/low/close/volume/turnover per
+    bucket) expressed as ONE aggregation: open and close are
+    min_by/max_by against a bucket-unique sequence key (date-encoded ×
+    10^10 + orderkey — no window, no sort, no self-join), high/low/
+    turnover are plain min/max/sum.
+
+    Determinism: the sequence key is unique per row so min_by/max_by
+    ties cannot occur; prices are fixed to integer cents with the same
+    FLOOR(×100) both engines evaluate on identical IEEE doubles (the
+    q195 idiom).
+
+    Scale: min_by/max_by/min/max/sum ALL partial-combine map-side —
+    the shuffle carries one partial candle per (task, month), never
+    rows. The windowed first/last formulation would sort every bucket;
+    this one never does. Stream twin: the same aggregate under a
+    tumbling event-time window (q23's shape).
+
+    Reference: extends the W1/A-family rollups with the ordered-extreme
+    aggregate the reference's BI stage lacks."""
+    orders = load_table(spark, sf_dir, "orders")
+    px = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            (
+                F.year("o_orderdate") * 10000
+                + F.month("o_orderdate") * 100
+                + F.dayofmonth("o_orderdate")
+            ).cast("bigint")
+            * 10000000000
+            + F.col("o_orderkey")
+        ).alias("seq"),
+    )
+    return (
+        px.groupBy("ym")
+        .agg(
+            F.min_by("cents", "seq").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max_by("cents", "seq").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("turnover_cents"),
+        )
+        .orderBy("ym")
+    )

@@ -2692,3 +2692,106 @@ def q283_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_lo", "src_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# q288 — golden-record survivorship over duplicate clusters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q288_survivorship",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               upper(text) || ' !!' AS text,
+               lang, 'variant' AS source
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    norm AS (
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS len,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS digest
+        FROM corpus
+    )
+    SELECT digest,
+           COUNT(*) AS n_members,
+           MIN(doc_id) AS canonical_id,
+           arg_max(doc_id, len * 10000000000 + (10000000000 - doc_id))
+               AS golden_id,
+           CAST(MAX(len) AS BIGINT) AS golden_len,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM norm
+    GROUP BY digest
+    HAVING COUNT(*) >= 2
+    ORDER BY digest
+    """,
+)
+def q288_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the entity-resolution step AFTER
+    clustering: per duplicate cluster (q104's normalized-digest
+    clusters over the same seeded variant corpus), elect one surviving
+    record by an explicit rule ladder (longest text wins, smaller
+    doc_id breaks ties — encoded as ONE argmax key so election is a
+    single aggregate) and merge the cluster's provenance (canonical =
+    earliest id, source and language diversity counts).
+
+    Determinism: the election key len·10^10 + (10^10 − doc_id) is
+    injective (doc_id < 10^10), so argmax ties cannot occur; all
+    outputs are integers or md5 strings.
+
+    Scale: one exchange keyed on the 16-byte digest carrying (ids,
+    len, source, lang) — never the text; every aggregate including the
+    argmax election partial-combines map-side. Singleton digests (the
+    vast majority) die in the HAVING before any wide output. This is
+    q93's keep-best generalized from a score filter to multi-attribute
+    merge rules.
+
+    Reference: completes the dedup family — q40/q104 find clusters,
+    q63 connects them, q93 picks survivors, q288 MERGES them."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    variants = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        "lang",
+        F.lit("variant").alias("source"),
+    )
+    corpus = docs.unionByName(variants)
+    normtext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    norm = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("len"),
+        F.md5(normtext).alias("digest"),
+    )
+    elect = (
+        F.col("len") * F.lit(10000000000).cast("bigint")
+        + (F.lit(10000000000).cast("bigint") - F.col("doc_id"))
+    )
+    return (
+        norm.withColumn("ekey", elect)
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max_by("doc_id", "ekey").alias("golden_id"),
+            F.max("len").cast("bigint").alias("golden_len"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("digest")
+    )

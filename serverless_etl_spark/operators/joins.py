@@ -346,3 +346,363 @@ def q279_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cx", "cy", "n", "s")
         .orderBy("cx", "cy")
     )
+
+
+# --------------------------------------------------------------------------
+# q284 — Bloom-filter semi-join reduction (map-side fact pre-filter)
+# --------------------------------------------------------------------------
+
+#: bloom geometry: 2^16 bits packed into 32-bit words (bit index stays
+#: below the sign bit so BOTH engines' 1<<bit is a positive BIGINT —
+#: duckdb raises on a shift into bit 63)
+BLOOM_BITS = 65536
+BLOOM_WORD = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD
+BLOOM_K = 3
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def _bloom_pos(key, i: int):
+    """Hash i of BLOOM_K: md5-derived uniform bit position (engine-
+    portable: first 8 hex chars as an integer, mod the bit count)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"|b{i}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_BITS
+    )
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '|b{i}'), 1, 8)) "
+        f"AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+def bloom_build_hex(keys: DataFrame, key_col: str) -> str:
+    """Build the filter and return it as a {BLOOM_WORDS}×8-char hex
+    string (16 KiB — the same size class Spark's own runtime row-level
+    bloom broadcasts). The collect is bounded by the word count, never
+    the key count."""
+    kc = F.col(key_col)
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(kc, i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    words = (
+        pos.groupBy(F.expr(f"pos DIV {BLOOM_WORD}").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pos % {BLOOM_WORD} AS INT))"
+                )
+            ).alias("v")
+        )
+        .collect()
+    )
+    vals = [0] * BLOOM_WORDS
+    for r in words:
+        vals[int(r["w"])] = int(r["v"])
+    return "".join(f"{v:08x}" for v in vals)
+
+
+@register(
+    "q284_bloom_semi_join",
+    oracle=f"""
+    WITH k AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+    ),
+    pos AS (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql('o_orderkey', i)} AS pos FROM k"
+            for i in range(BLOOM_K)
+        )}
+    ),
+    words AS (
+        SELECT pos // {BLOOM_WORD} AS w,
+               bit_or(CAST(1 AS BIGINT)
+                      << CAST(pos % {BLOOM_WORD} AS INTEGER)) AS v
+        FROM pos GROUP BY 1
+    ),
+    probe AS (
+        SELECT l_orderkey,
+               CASE WHEN l_orderkey IN (SELECT o_orderkey FROM k)
+                    THEN 1 ELSE 0 END AS is_true,
+               {", ".join(
+                   f"{_bloom_pos_sql('l_orderkey', i)} AS p{i}"
+                   for i in range(BLOOM_K)
+               )}
+        FROM lineitem
+    ),
+    flags AS (
+        SELECT pr.is_true,
+               CASE WHEN {" AND ".join(
+                   f"COALESCE((w{i}.v >> CAST(pr.p{i} % {BLOOM_WORD} "
+                   f"AS INTEGER)) & 1, 0) = 1"
+                   for i in range(BLOOM_K)
+               )} THEN 1 ELSE 0 END AS pass
+        FROM probe pr
+        {" ".join(
+            f"LEFT JOIN words w{i} ON w{i}.w = pr.p{i} // {BLOOM_WORD}"
+            for i in range(BLOOM_K)
+        )}
+    )
+    SELECT COUNT(*) AS n_fact,
+           CAST(SUM(is_true) AS BIGINT) AS n_true,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(is_true * (1 - pass)) AS BIGINT) AS n_missed,
+           CAST(SUM(pass * (1 - is_true)) AS BIGINT) AS n_false_pos,
+           1000000 * CAST(SUM(pass * (1 - is_true)) AS BIGINT)
+               // (COUNT(*) - CAST(SUM(is_true) AS BIGINT)) AS fp_ppm
+    FROM flags
+    """,
+)
+def q284_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, the mechanic behind runtime
+    row-level filtering (Spark's spark.sql.optimizer.runtime.bloomFilter
+    and every warehouse's join pushdown): hash the qualifying build-side
+    keys ({BLOOM_PRIORITY} orders) into a {BLOOM_BITS}-bit filter, ship
+    it to the fact scan as a 16 KiB literal, and drop non-matching fact
+    rows MAP-SIDE before any shuffle. Emits the filter's measured
+    contract: n_missed (false negatives — MUST be 0, a bloom never
+    misses a member) and the false-positive rate actually achieved
+    (k={BLOOM_K} hashes; the residue a later exact join still removes).
+
+    Determinism: md5-derived bit positions, integer words, integer
+    counts; one ppm division. The filter is first-principles (explicit
+    words) so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale: the build side collapses to {BLOOM_WORDS} words regardless
+    of key count; the probe is a pure projection over the fact — no
+    explode, no join, no shuffle (the oracle's LEFT JOINs against the
+    words CTE are the SQL rendering of the same lookup). At 100 TB the
+    fact scan reads, filters, and discards locally; only survivors
+    reach the exact join. The driver-side collect is bounded by the
+    word count (2048), the q95-seed pattern.
+
+    Reference: extends J1 (the envelope⋈payload equi-join) with the
+    reduction step a 1000-executor fact join wants."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        F.col("o_orderpriority") == BLOOM_PRIORITY
+    ).select("o_orderkey")
+    bloom_hex = bloom_build_hex(keys, "o_orderkey")
+
+    probe = li.select("l_orderkey")
+    for i in range(BLOOM_K):
+        probe = probe.withColumn(f"p{i}", _bloom_pos(F.col("l_orderkey"), i))
+    hexlit = F.lit(bloom_hex)
+    passed = F.lit(True)
+    for i in range(BLOOM_K):
+        word = F.conv(
+            F.substring(
+                hexlit,
+                (F.expr(f"p{i} DIV {BLOOM_WORD}") * 8 + 1).cast("int"),
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {BLOOM_WORD} AS INT))"
+        )
+        passed = passed & (word.bitwiseAND(bit) != 0)
+    flagged = (
+        probe.withColumn("pass", F.when(passed, 1).otherwise(0))
+        .join(
+            F.broadcast(
+                keys.select(F.col("o_orderkey"), F.lit(1).alias("m"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .withColumn("is_true", F.coalesce(F.col("m"), F.lit(0)))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        F.sum(F.col("is_true") * (1 - F.col("pass")))
+        .cast("bigint")
+        .alias("n_missed"),
+        F.sum(F.col("pass") * (1 - F.col("is_true")))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.expr(
+            "1000000 * CAST(SUM(pass * (1 - is_true)) AS BIGINT)"
+            " DIV (COUNT(*) - CAST(SUM(is_true) AS BIGINT))"
+        ).alias("fp_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q287 — longest-prefix-match dictionary join (CIDR routing mechanic)
+# --------------------------------------------------------------------------
+
+#: spreading multipliers for the synthetic route table (11 is odd →
+#: injective mod 256; 37 spreads the /16 sub-octet)
+LPM_MUL8 = 11
+LPM_MUL16 = 37
+
+
+@register(
+    "q287_lpm_route_join",
+    oracle=f"""
+    WITH ipt AS (
+        SELECT c_custkey,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                    || '|ip'), 1, 8)) AS BIGINT) AS ip
+        FROM customer
+    ),
+    routes AS (
+        SELECT 8 AS len,
+               CAST((n_nationkey * {LPM_MUL8}) % 256 AS BIGINT) AS pfx,
+               n_name || '/8' AS label
+        FROM nation
+        UNION ALL
+        SELECT 16,
+               CAST(((n_nationkey * {LPM_MUL8}) % 256) * 256
+                    + (n_nationkey * {LPM_MUL16}) % 256 AS BIGINT),
+               n_name || '/16'
+        FROM nation WHERE n_nationkey % 2 = 0
+        UNION ALL
+        SELECT 0, CAST(0 AS BIGINT), 'DEFAULT/0'
+    ),
+    cand AS (
+        SELECT c_custkey, 0 AS len, CAST(0 AS BIGINT) AS k FROM ipt
+        UNION ALL
+        SELECT c_custkey, 8, ip // 16777216 FROM ipt
+        UNION ALL
+        SELECT c_custkey, 16, ip // 65536 FROM ipt
+    ),
+    m AS (
+        SELECT c.c_custkey,
+               arg_max(r.label, r.len) AS label,
+               MAX(r.len) AS len
+        FROM cand c JOIN routes r ON r.len = c.len AND r.pfx = c.k
+        GROUP BY c.c_custkey
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM ipt)
+    SELECT m.label, m.len, COUNT(*) AS n_customers,
+           1000000 * COUNT(*) // MAX(tot.n) AS share_ppm
+    FROM m, tot
+    GROUP BY m.label, m.len
+    ORDER BY m.len, m.label
+    """,
+)
+def q287_lpm_route_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match join — the CIDR/IP-geolocation lookup (and
+    the tokenizer longest-vocab-match) as a DataFrame operator: each
+    key matches the MOST SPECIFIC dictionary prefix, not any prefix.
+    Equality joins can't express "longest"; the scalable rendering is
+    candidates-at-every-prefix-length (bounded fan-out: one candidate
+    per length class, here /0, /8, /16) equi-joined to the dictionary,
+    then argmax-by-length per key. Synthetic-but-derived inputs: each
+    customer gets an md5-uniform 32-bit address, nations supply /8
+    routes (plus /16 refinements for even nations) over a default /0.
+
+    Determinism: md5-derived addresses, integer prefixes; length ties
+    impossible (one candidate per length); one ppm division.
+
+    Scale: the dictionary broadcasts (routing tables are small); the
+    fan-out is len(prefix-classes)×fact — map-side, no shuffle until
+    the per-key argmax, which partial-combines. Contrast a LIKE-prefix
+    theta-join: O(n·dict) and unplannable. The same shape serves
+    IP→geo enrichment and vocab longest-match at 100 TB.
+
+    Reference: extends the J-family with the hierarchical-dictionary
+    lookup the reference's flat equi-joins can't express."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ipt = cust.select(
+        "c_custkey",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"),
+                               F.lit("|ip"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("ip"),
+    )
+    r8 = nation.select(
+        F.lit(8).alias("len"),
+        ((F.col("n_nationkey") * LPM_MUL8) % 256)
+        .cast("bigint")
+        .alias("pfx"),
+        F.concat(F.col("n_name"), F.lit("/8")).alias("label"),
+    )
+    r16 = (
+        nation.filter(F.col("n_nationkey") % 2 == 0)
+        .select(
+            F.lit(16).alias("len"),
+            (
+                ((F.col("n_nationkey") * LPM_MUL8) % 256) * 256
+                + (F.col("n_nationkey") * LPM_MUL16) % 256
+            )
+            .cast("bigint")
+            .alias("pfx"),
+            F.concat(F.col("n_name"), F.lit("/16")).alias("label"),
+        )
+    )
+    r0 = spark.range(1).select(
+        F.lit(0).alias("len"),
+        F.lit(0).cast("bigint").alias("pfx"),
+        F.lit("DEFAULT/0").alias("label"),
+    )
+    routes = r8.unionByName(r16).unionByName(r0)
+    cand = ipt.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("len"),
+                    F.lit(0).cast("bigint").alias("k"),
+                ),
+                F.struct(
+                    F.lit(8).alias("len"),
+                    F.expr("ip DIV 16777216").alias("k"),
+                ),
+                F.struct(
+                    F.lit(16).alias("len"),
+                    F.expr("ip DIV 65536").alias("k"),
+                ),
+            )
+        ).alias("c"),
+    ).select("c_custkey", "c.len", "c.k")
+    m = (
+        cand.join(
+            F.broadcast(routes),
+            (routes["len"] == cand["len"]) & (routes["pfx"] == cand["k"]),
+        )
+        .select("c_custkey", routes["len"].alias("rlen"), "label")
+        .groupBy("c_custkey")
+        .agg(
+            F.max_by("label", "rlen").alias("label"),
+            F.max("rlen").alias("len"),
+        )
+    )
+    tot = ipt.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        m.groupBy("label", "len")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "len",
+            "n_customers",
+            F.expr("1000000 * n_customers DIV n").alias("share_ppm"),
+        )
+        .orderBy("len", "label")
+    )

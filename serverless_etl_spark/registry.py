@@ -147,6 +147,9 @@ _SWEEP_PRIORITY = [
     "q279_geo_hotspots", "q280_jaccard_threshold_sweep",
     "q281_edge_churn", "q282_knn_label_purity",
     "q283_neardup_source_matrix",
+    "q284_bloom_semi_join", "q285_cms_error",
+    "q286_ohlc_bars", "q287_lpm_route_join",
+    "q288_survivorship",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

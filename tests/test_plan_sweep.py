@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "q279_geo_hotspots",          # one-row global-totals broadcast
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
     "q282_knn_label_purity",      # exact all-pairs baseline (q50 posture)
+    "q287_lpm_route_join",        # one-row customer-total broadcast
 }
 
 

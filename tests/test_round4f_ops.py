@@ -1,0 +1,203 @@
+"""Invariant tests for the round-4 sixth-sitting operators: bloom
+semi-join contract (no false negatives, fp rate near theory, kernel
+replay vs hashlib), count-min overestimate-only contract with a pure
+Python replay, OHLC bar ordering invariants, longest-prefix-match
+partition/coverage, and survivorship election replay."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.joins import (
+    BLOOM_BITS,
+    BLOOM_K,
+    BLOOM_WORD,
+    bloom_build_hex,
+)
+from serverless_etl_spark.operators.analytics_ext import CMS_D, CMS_W
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _md5_pos(key: int, salt: str, mod: int) -> int:
+    h = hashlib.md5(f"{key}{salt}".encode()).hexdigest()
+    return int(h[:8], 16) % mod
+
+
+# --------------------------------------------------------------------------
+# q284 — bloom semi-join
+# --------------------------------------------------------------------------
+
+
+def test_bloom_kernel_matches_hashlib_replay(spark):
+    keys = list(range(1, 51))
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    hexstr = bloom_build_hex(df, "k")
+    words = [0] * (BLOOM_BITS // BLOOM_WORD)
+    for k in keys:
+        for i in range(BLOOM_K):
+            pos = _md5_pos(k, f"|b{i}", BLOOM_BITS)
+            words[pos // BLOOM_WORD] |= 1 << (pos % BLOOM_WORD)
+    assert hexstr == "".join(f"{v:08x}" for v in words)
+
+
+def test_bloom_semi_join_contract(spark):
+    row = registry.QUERIES["q284_bloom_semi_join"](spark, SF_MID).collect()[0]
+    # a bloom filter NEVER misses a member
+    assert row["n_missed"] == 0
+    assert row["n_pass"] == row["n_true"] + row["n_false_pos"]
+    assert row["n_true"] > 0 and row["n_fact"] > row["n_pass"]
+    # fp rate within 3x of theory: (1 - e^{-kn/m})^k over distinct keys
+    orders = load_table(spark, SF_MID, "orders")
+    n_keys = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    theory = (1 - math.exp(-BLOOM_K * n_keys / BLOOM_BITS)) ** BLOOM_K
+    assert row["fp_ppm"] <= max(3 * theory * 1e6, 100.0)
+
+
+# --------------------------------------------------------------------------
+# q285 — count-min sketch
+# --------------------------------------------------------------------------
+
+
+def test_cms_overestimates_only_and_replays(spark):
+    row = registry.QUERIES["q285_cms_error"](spark, SF_SMALL).collect()[0]
+    assert row["n_underestimates"] == 0
+    assert row["total_over"] >= 0 and row["max_over"] >= 0
+    # pure-Python replay from the exact per-key counts
+    li = load_table(spark, SF_SMALL, "lineitem")
+    cnt = Counter(
+        r["l_partkey"] for r in li.select("l_partkey").collect()
+    )
+    sketch = [defaultdict(int) for _ in range(CMS_D)]
+    for k, c in cnt.items():
+        for d in range(CMS_D):
+            sketch[d][_md5_pos(k, f"|c{d}", CMS_W)] += c
+    over = exact = 0
+    max_over = 0
+    for k, c in cnt.items():
+        est = min(
+            sketch[d][_md5_pos(k, f"|c{d}", CMS_W)] for d in range(CMS_D)
+        )
+        assert est >= c
+        over += est - c
+        max_over = max(max_over, est - c)
+        exact += est == c
+    assert row["n_keys"] == len(cnt)
+    assert row["n_exact_est"] == exact
+    assert row["total_over"] == over
+    assert row["max_over"] == max_over
+
+
+# --------------------------------------------------------------------------
+# q286 — OHLC bars
+# --------------------------------------------------------------------------
+
+
+def test_ohlc_bar_invariants_and_replay(spark):
+    rows = registry.QUERIES["q286_ohlc_bars"](spark, SF_SMALL).collect()
+    assert rows, "no bars"
+    for r in rows:
+        assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+        assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+        assert r["n_orders"] > 0
+        assert r["turnover_cents"] >= r["n_orders"] * r["low_cents"]
+    # replay one month's open/close from the raw orders
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    target = rows[0]["ym"]
+    month = [
+        (
+            (o["o_orderdate"].year * 10000 + o["o_orderdate"].month * 100
+             + o["o_orderdate"].day) * 10**10 + o["o_orderkey"],
+            math.floor(o["o_totalprice"] * 100),
+        )
+        for o in orders
+        if o["o_orderdate"].year * 100 + o["o_orderdate"].month == target
+    ]
+    assert rows[0]["open_cents"] == min(month)[1]
+    assert rows[0]["close_cents"] == max(month)[1]
+    assert rows[0]["n_orders"] == len(month)
+
+
+# --------------------------------------------------------------------------
+# q287 — longest-prefix-match route join
+# --------------------------------------------------------------------------
+
+
+def test_lpm_partitions_every_customer_once(spark):
+    rows = registry.QUERIES["q287_lpm_route_join"](spark, SF_MID).collect()
+    total = load_table(spark, SF_MID, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == total
+    # more-specific routes exist and never leak even/odd construction
+    lens = {r["len"] for r in rows}
+    assert 8 in lens
+    for r in rows:
+        assert r["label"].endswith(f"/{r['len']}")
+    # ppm shares sum to ~1e6 (floor rounding loses < #routes ppm)
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+
+
+def test_lpm_prefers_most_specific(spark):
+    # a /16 match implies its /8 also matched — the /16 must win
+    rows = registry.QUERIES["q287_lpm_route_join"](spark, SF_MID).collect()
+    by_len = defaultdict(int)
+    for r in rows:
+        by_len[r["len"]] += r["n_customers"]
+    if by_len.get(16):
+        # nations with /16 refinements: even nationkeys only
+        for r in rows:
+            if r["len"] == 16:
+                assert r["label"].endswith("/16")
+
+
+# --------------------------------------------------------------------------
+# q288 — survivorship
+# --------------------------------------------------------------------------
+
+
+def test_survivorship_election_replay(spark):
+    rows = registry.QUERIES["q288_survivorship"](spark, SF_SMALL).collect()
+    assert rows, "no clusters"
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).collect()
+    import re
+
+    clusters = defaultdict(list)
+    for d in docs:
+        variants = [(d["doc_id"], d["text"], d["source"])]
+        if d["doc_id"] % 9 == 0:
+            variants.append(
+                (d["doc_id"] + 3000000, d["text"].upper() + " !!", "variant")
+            )
+        for did, text, source in variants:
+            norm = re.sub(
+                " +", " ", re.sub("[^a-z0-9 ]", "", text.lower())
+            ).strip()
+            digest = hashlib.md5(norm.encode()).hexdigest()
+            clusters[digest].append((did, len(text), source))
+    expected = {
+        dg: members for dg, members in clusters.items() if len(members) >= 2
+    }
+    assert len(rows) == len(expected)
+    for r in rows:
+        members = expected[r["digest"]]
+        assert r["n_members"] == len(members)
+        assert r["canonical_id"] == min(m[0] for m in members)
+        golden = max(members, key=lambda m: m[1] * 10**10 + (10**10 - m[0]))
+        assert r["golden_id"] == golden[0]
+        assert r["golden_len"] == max(m[1] for m in members)
+        assert r["n_sources"] == len({m[2] for m in members})

@@ -838,3 +838,68 @@ def q254_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("valid_at", "known_at")
     )
+
+
+# --------------------------------------------------------------------------
+# q292 — surrogate key assignment without a global sort
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q292_surrogate_keys",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_custkey)
+                AS BIGINT) AS surrogate
+    FROM customer
+    ORDER BY surrogate
+    """,
+)
+def q292_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment for a dimension load — contiguous
+    ids 1..N in natural-key order (segment, custkey) — WITHOUT the
+    single-reducer global sort a naive ROW_NUMBER() OVER (ORDER BY …)
+    plans. Two phases: rank within each range bucket in parallel (the
+    leading key, c_mktsegment, is its own range partitioner here), then
+    offset each bucket by the exclusive prefix sum of bucket counts — a
+    |buckets|-row window broadcast back onto the ranks. The oracle IS
+    the naive global form: both must produce the identical mapping,
+    proving the decomposition exact.
+
+    Determinism: the (segment, custkey) order is total (custkey
+    unique), so ranks and offsets are unique integers.
+
+    Scale: this is zipWithIndex re-expressed declaratively — each
+    bucket sorts independently (at 100 TB, bucket further by
+    approx-percentile range boundaries of the leading key, the q73
+    mechanic, to bound per-task sort size); the offset table is
+    |buckets| rows through a one-partition window, then a broadcast
+    join. The naive form funnels EVERY row through one task.
+
+    Reference: the key-generation step of the S11/q64/q65 warehouse
+    family (SCD dimensions need stable surrogates before merging)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    wb = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    ranked = cust.withColumn("rk", F.row_number().over(wb))
+    counts = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wo = (
+        Window.orderBy("c_mktsegment")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "c_mktsegment",
+        (F.sum("n").over(wo) - F.col("n")).alias("off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("off") + F.col("rk")).cast("bigint").alias("surrogate"),
+        )
+        .orderBy("surrogate")
+    )

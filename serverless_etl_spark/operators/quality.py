@@ -2106,3 +2106,281 @@ def q276_temporal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chk")
     )
+
+
+# --------------------------------------------------------------------------
+# q290 — semi-structured JSON schema profiler (key discovery + typing)
+# --------------------------------------------------------------------------
+
+#: the seeded heterogeneous-record rules (shared by both engines):
+#: cents present unless event_id % 3 == 0, user unless % 5 == 0,
+#: flag only when % 7 == 0
+_JSON_REC_SQL = """
+        SELECT '{"k": ' || regexp_extract(props, '([0-9]+)', 1)
+            || ', "type": "' || event_type || '"'
+            || CASE WHEN event_id % 3 <> 0
+                    THEN ', "cents": '
+                         || CAST(CAST(FLOOR(value * 100) AS BIGINT)
+                                 AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN event_id % 5 <> 0
+                    THEN ', "user": ' || CAST(user_id AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN event_id % 7 = 0
+                    THEN ', "flag": '
+                         || CASE WHEN event_id % 2 = 0
+                                 THEN 'true' ELSE 'false' END
+                    ELSE '' END
+            || '}' AS rec
+        FROM events
+"""
+
+
+@register(
+    "q290_json_profile",
+    oracle=f"""
+    WITH corpus AS (
+        {_JSON_REC_SQL}
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM corpus),
+    kv AS (
+        SELECT k AS key,
+               json_extract_string(rec, '$.' || k) AS val
+        FROM (SELECT rec, unnest(json_keys(rec)) AS k FROM corpus)
+    )
+    SELECT key,
+           COUNT(*) AS n_present,
+           1000000 * COUNT(*) // MAX(tot.n) AS coverage_ppm,
+           CAST(SUM(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           CAST(SUM(CASE WHEN val IN ('true', 'false')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+           CAST(SUM(CASE WHEN NOT regexp_full_match(val, '-?[0-9]+')
+                              AND val NOT IN ('true', 'false')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+           COUNT(DISTINCT val) AS n_distinct
+    FROM kv, tot
+    GROUP BY key ORDER BY key
+    """,
+)
+def q290_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiler — the first thing an ingest
+    pipeline runs against a JSON feed nobody documented: discover the
+    key universe, per-key coverage (which keys are optional and how
+    optional), and inferred value types (int / bool / other) plus
+    cardinality. The corpus is seeded with heterogeneous records
+    derived from events (cents missing for every 3rd record, user for
+    every 5th, flag only on every 7th) so discovery, optionality, and
+    mixed typing are all genuinely exercised; the profiler itself is
+    generic — parse to map, explode, classify — and never consults the
+    construction rules.
+
+    Determinism: string keys, integer counts, one ppm division; values
+    classified on their raw JSON scalar text in both engines.
+
+    Scale: parse + explode are map-side; the one exchange carries
+    (key, value-class partials) and every aggregate partial-combines.
+    countDistinct(val) is exact per key — for open-vocabulary keys at
+    100 TB route that column to q49/q121's sketches. The row-count
+    scalar is a one-row broadcast.
+
+    Reference: generalizes F8 (fixed-path JSON extract) and q39
+    (known-key props) to UNKNOWN schemas — the profiling front door
+    the reference's fixed DDL assumes away."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    rec = F.concat(
+        F.lit('{"k": '),
+        F.regexp_extract("props", "([0-9]+)", 1),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('"'),
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit(', "cents": '), cents),
+        ).otherwise(""),
+        F.when(
+            F.col("event_id") % 5 != 0,
+            F.concat(F.lit(', "user": '), F.col("user_id").cast("string")),
+        ).otherwise(""),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit(', "flag": '),
+                F.when(F.col("event_id") % 2 == 0, "true").otherwise(
+                    "false"
+                ),
+            ),
+        ).otherwise(""),
+        F.lit("}"),
+    )
+    corpus = ev.select(rec.alias("rec"))
+    kv = corpus.select(
+        F.explode(F.from_json("rec", "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    tot = corpus.agg(F.count(F.lit(1)).alias("n"))
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_bool = F.col("val").isin("true", "false")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(is_int.cast("int")).cast("bigint").alias("n_int"),
+            F.sum(is_bool.cast("int")).cast("bigint").alias("n_bool"),
+            F.sum((~is_int & ~is_bool).cast("int"))
+            .cast("bigint")
+            .alias("n_other"),
+            F.countDistinct("val").alias("n_distinct"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_present",
+            F.expr("1000000 * n_present DIV n").alias("coverage_ppm"),
+            "n_int",
+            "n_bool",
+            "n_other",
+            "n_distinct",
+        )
+        .orderBy("key")
+    )
+
+
+# --------------------------------------------------------------------------
+# q293 — clustering depth: does the layout's sort key actually skip?
+# --------------------------------------------------------------------------
+
+#: synthetic file size for the insertion-order layout (rows per file)
+CLUST_CHUNK = 400
+
+
+@register(
+    "q293_clustering_depth",
+    oracle=f"""
+    WITH rows_k AS (
+        SELECT o_orderkey,
+               year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                   + day(o_orderdate) AS datekey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym
+        FROM orders
+    ),
+    files AS (
+        SELECT 'insertion' AS layout,
+               o_orderkey // {CLUST_CHUNK} AS file_id,
+               MIN(datekey) AS lo, MAX(datekey) AS hi
+        FROM rows_k GROUP BY 1, 2
+        UNION ALL
+        SELECT 'clustered', ym // 2, MIN(datekey), MAX(datekey)
+        FROM rows_k GROUP BY 1, 2
+    ),
+    ov AS (
+        SELECT a.layout, a.file_id,
+               CAST(SUM(CASE WHEN a.file_id <> b.file_id
+                              AND a.lo <= b.hi AND b.lo <= a.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        FROM files a JOIN files b ON a.layout = b.layout
+        GROUP BY 1, 2
+    )
+    SELECT layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_overlap) AS BIGINT) AS total_overlaps,
+           CAST(MAX(n_overlap) AS BIGINT) AS max_overlap,
+           CAST(SUM(CASE WHEN n_overlap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean_files,
+           1000000 * CAST(SUM(n_overlap) AS BIGINT) // COUNT(*)
+               AS avg_overlap_ppm
+    FROM ov GROUP BY layout ORDER BY layout
+    """,
+)
+def q293_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the "does this table need re-clustering"
+    number (Snowflake's clustering_information, Delta's OPTIMIZE
+    trigger): per data file, how many OTHER files' [min,max] ranges on
+    the query key overlap it? Depth ≈ 0 means a point/range predicate
+    prunes to ~1 file (the zone-map manifest actually skips); depth ≈
+    n_files means min/max stats are decorative and every scan reads
+    everything. Audited on two derived layouts of the same rows:
+    insertion order (files = arrival chunks — ranges straddle) vs
+    date-clustered (files = 2-month buckets — disjoint by
+    construction, the q75/write_with_manifest layout).
+
+    Determinism: integer date keys, integer overlap counts, one ppm
+    division.
+
+    Scale: file stats come from ONE pass (groupBy file, min/max — at
+    100 TB read them from the manifest instead, zero data scan); the
+    pairwise overlap join runs on |files| rows, equi-keyed on layout.
+    The metric is the DECISION INPUT for q146's compaction and the
+    write_with_manifest clustered writer — measure, then re-cluster
+    only when depth says so.
+
+    Reference: closes the storage-layout loop: q234 picks partition
+    columns, q146 plans compaction, write_with_manifest skips, q293
+    tells you when skipping has stopped working."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows_k = orders.select(
+        "o_orderkey",
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).alias("datekey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    ins = rows_k.groupBy(
+        F.lit("insertion").alias("layout"),
+        F.expr(f"o_orderkey DIV {CLUST_CHUNK}").alias("file_id"),
+    ).agg(F.min("datekey").alias("lo"), F.max("datekey").alias("hi"))
+    clu = rows_k.groupBy(
+        F.lit("clustered").alias("layout"),
+        F.expr("ym DIV 2").alias("file_id"),
+    ).agg(F.min("datekey").alias("lo"), F.max("datekey").alias("hi"))
+    files = ins.unionByName(clu)
+    b = files.select(
+        F.col("layout").alias("layout_b"),
+        F.col("file_id").alias("fb"),
+        F.col("lo").alias("lob"),
+        F.col("hi").alias("hib"),
+    )
+    ov = (
+        files.join(
+            F.broadcast(b), F.col("layout") == F.col("layout_b")
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("file_id") != F.col("fb"))
+                    & (F.col("lo") <= F.col("hib"))
+                    & (F.col("lob") <= F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+    )
+    return (
+        ov.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_overlap").cast("bigint").alias("total_overlaps"),
+            F.max("n_overlap").cast("bigint").alias("max_overlap"),
+            F.sum(F.when(F.col("n_overlap") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean_files"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "total_overlaps",
+            "max_overlap",
+            "n_clean_files",
+            F.expr("1000000 * total_overlaps DIV n_files").alias(
+                "avg_overlap_ppm"
+            ),
+        )
+        .orderBy("layout")
+    )

@@ -1316,3 +1316,166 @@ def q282_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q289 — silhouette score per label (clustering quality)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q289_silhouette",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    meta AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.x * c.x) AS dot
+        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT d.query_id, qm.label AS qlabel, cm.label AS clabel,
+               CAST(ROUND((1 - ROUND(d.dot / (nq.nrm * nc.nrm), 6))
+                          * 1000000) AS BIGINT) AS d_micro
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.cand_id
+        JOIN meta qm ON qm.vec_id = d.query_id
+        JOIN meta cm ON cm.vec_id = d.cand_id
+    ),
+    grp AS (
+        SELECT query_id, qlabel, clabel,
+               CAST(SUM(d_micro) AS BIGINT) AS s, COUNT(*) AS c
+        FROM dist GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT query_id, qlabel,
+               MAX(CASE WHEN clabel = qlabel THEN s // c END) AS a,
+               MIN(CASE WHEN clabel <> qlabel THEN s // c END) AS b
+        FROM grp GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT qlabel,
+               CASE WHEN a IS NULL OR b IS NULL
+                         OR (CASE WHEN a > b THEN a ELSE b END) = 0 THEN 0
+                    WHEN b >= a THEN
+                         1000000 * (b - a)
+                         // (CASE WHEN a > b THEN a ELSE b END)
+                    ELSE -(1000000 * (a - b)
+                           // (CASE WHEN a > b THEN a ELSE b END))
+               END AS s_ppm
+        FROM ab
+    )
+    SELECT qlabel AS label,
+           COUNT(*) AS n_points,
+           CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,
+           CASE WHEN SUM(s_ppm) >= 0
+                THEN CAST(SUM(s_ppm) AS BIGINT) // COUNT(*)
+                ELSE -(CAST(-SUM(s_ppm) AS BIGINT) // COUNT(*))
+           END AS mean_s_ppm,
+           CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s GROUP BY qlabel ORDER BY qlabel
+    """,
+)
+def q289_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label silhouette over exact all-pairs cosine distance — THE
+    standard clustering-quality score: for each point, a = mean
+    distance to its own label, b = mean distance to the nearest other
+    label, s = (b−a)/max(a,b) ∈ [−1,1]. Mean s per label answers
+    "are these labels geometric clusters at all?" — the one-number
+    companion to q282's kNN purity (which found the fixture labels sit
+    at chance: this query quantifies BY HOW MUCH, and n_negative
+    counts points closer to a foreign label than their own).
+
+    Determinism: distances quantized to integer micro-units off the
+    round-6 cosine (dyadic inputs make the dot sums exact, the q50
+    discipline); all means are integer floor-divisions of non-negative
+    terms; the signed silhouette uses an explicit sign split because
+    Spark's DIV truncates toward zero while DuckDB's // floors — they
+    agree only on non-negative operands.
+
+    Scale: the all-pairs matrix is the documented q50/q282
+    broadcast-baseline posture (allowlisted); per-point state after it
+    is |labels| rows (the grp aggregate partial-combines), so the
+    scale route swaps ONLY the pair generator — q97 cells or sampled
+    pairs — for the same downstream. The centroid ("simplified
+    silhouette") twin runs against q53's centroids when n² is off the
+    table.
+
+    Reference: completes the embedding-quality family as its
+    geometric-separation member (q282 purity, q117 outliers, q227
+    drift)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        _vec_double().alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        _vec_double().alias("cv"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    dist = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "clabel",
+            F.round((1 - cos) * 1000000)
+            .cast("bigint")
+            .alias("d_micro"),
+        )
+    )
+    grp = dist.groupBy("query_id", "qlabel", "clabel").agg(
+        F.sum("d_micro").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    ab = grp.groupBy("query_id", "qlabel").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("qlabel"), F.expr("s DIV c"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("qlabel"), F.expr("s DIV c"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        "qlabel",
+        F.expr(
+            """
+            CASE WHEN a IS NULL OR b IS NULL
+                      OR (CASE WHEN a > b THEN a ELSE b END) = 0 THEN 0
+                 WHEN b >= a THEN
+                      1000000 * (b - a)
+                      DIV (CASE WHEN a > b THEN a ELSE b END)
+                 ELSE -(1000000 * (a - b)
+                        DIV (CASE WHEN a > b THEN a ELSE b END))
+            END
+            """
+        ).alias("s_ppm"),
+    )
+    return (
+        s.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("s_ppm").cast("bigint").alias("sum_s_ppm"),
+            F.expr(
+                "CASE WHEN SUM(s_ppm) >= 0"
+                " THEN CAST(SUM(s_ppm) AS BIGINT) DIV COUNT(*)"
+                " ELSE -(CAST(-SUM(s_ppm) AS BIGINT) DIV COUNT(*)) END"
+            ).alias("mean_s_ppm"),
+            F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .orderBy("label")
+    )

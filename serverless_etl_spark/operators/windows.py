@@ -2980,3 +2980,113 @@ def q278_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q291 — session gap-parameter sensitivity sweep
+# --------------------------------------------------------------------------
+
+SESSION_GAPS_MIN = (15, 30, 60)
+
+
+@register(
+    "q291_session_gap_sweep",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+               lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    gaps(gm) AS (VALUES {", ".join(
+        f"(CAST({g} AS BIGINT))" for g in SESSION_GAPS_MIN
+    )}),
+    flagged AS (
+        SELECT gm,
+               CASE WHEN gap_us IS NULL OR gap_us > gm * 60000000
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN (gap_us IS NULL OR gap_us > gm * 60000000)
+                     AND (next_gap_us IS NULL
+                          OR next_gap_us > gm * 60000000)
+                    THEN 1 ELSE 0 END AS is_single
+        FROM base CROSS JOIN gaps
+    )
+    SELECT gm AS gap_min,
+           COUNT(*) AS n_events,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           1000000 * COUNT(*) // CAST(SUM(is_new) AS BIGINT)
+               AS events_per_session_ppm,
+           CAST(SUM(is_single) AS BIGINT) AS n_singleton,
+           1000000 * CAST(SUM(is_single) AS BIGINT)
+               // CAST(SUM(is_new) AS BIGINT) AS singleton_ppm
+    FROM flagged GROUP BY gm ORDER BY gm
+    """,
+)
+def q291_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter calibration: the session count, mean
+    session length, and singleton-session rate as a FUNCTION of the
+    inactivity-gap threshold (15/30/60 min) — the empirical basis for
+    the 30-minute constant q25/q76/q148 hard-code (q250/q280's
+    sweep-the-threshold pattern on the sessionization axis). A gap
+    setting whose singleton rate explodes is cutting real visits in
+    half; one whose session count barely moves is past the knee.
+
+    The sweep needs ONE window pass: a session boundary at gap g is
+    `prev_gap > g`, and a singleton is a boundary whose NEXT gap also
+    exceeds g — both functions of the per-event (prev_gap, next_gap)
+    pair, so the per-gap flags are a 3-row broadcast fan-out over the
+    same lag/lead frame, not three sessionization runs.
+
+    Determinism: microsecond integer gaps, integer counts, ppm floor
+    divisions.
+
+    Scale: one exchange on user_id for the shared window; the ×3
+    fan-out is map-side and collapses immediately into 3 partial-agg
+    rows. Contrast re-running q76 per candidate gap: 3 shuffles and 3
+    running-sum window layers for the same numbers.
+
+    Reference: the parameter-calibration face of ST6/q25's session
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    base = ev.select(
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
+    )
+    gaps = spark.createDataFrame(
+        [(g,) for g in SESSION_GAPS_MIN], "gm bigint"
+    )
+    lim = F.col("gm").cast("bigint") * 60_000_000
+    is_new = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") > lim), 1
+    ).otherwise(0)
+    is_single = F.when(
+        (F.col("gap_us").isNull() | (F.col("gap_us") > lim))
+        & (F.col("next_gap_us").isNull() | (F.col("next_gap_us") > lim)),
+        1,
+    ).otherwise(0)
+    return (
+        base.crossJoin(F.broadcast(gaps))
+        .select("gm", is_new.alias("is_new"), is_single.alias("is_single"))
+        .groupBy("gm")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.sum("is_single").cast("bigint").alias("n_singleton"),
+        )
+        .select(
+            F.col("gm").alias("gap_min"),
+            "n_events",
+            "n_sessions",
+            F.expr("1000000 * n_events DIV n_sessions").alias(
+                "events_per_session_ppm"
+            ),
+            "n_singleton",
+            F.expr("1000000 * n_singleton DIV n_sessions").alias(
+                "singleton_ppm"
+            ),
+        )
+        .orderBy("gap_min")
+    )

@@ -149,7 +149,9 @@ _SWEEP_PRIORITY = [
     "q283_neardup_source_matrix",
     "q284_bloom_semi_join", "q285_cms_error",
     "q286_ohlc_bars", "q287_lpm_route_join",
-    "q288_survivorship",
+    "q288_survivorship", "q289_silhouette", "q290_json_profile",
+    "q291_session_gap_sweep", "q292_surrogate_keys",
+    "q293_clustering_depth",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

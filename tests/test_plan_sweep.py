@@ -69,6 +69,9 @@ BNLJ_ALLOWED = {
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
     "q282_knn_label_purity",      # exact all-pairs baseline (q50 posture)
     "q287_lpm_route_join",        # one-row customer-total broadcast
+    "q289_silhouette",            # exact all-pairs baseline (q50 posture)
+    "q290_json_profile",          # one-row record-total broadcast
+    "q291_session_gap_sweep",     # 3-row gap-parameter broadcast fan-out
 }
 
 

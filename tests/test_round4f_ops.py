@@ -201,3 +201,145 @@ def test_survivorship_election_replay(spark):
         assert r["golden_id"] == golden[0]
         assert r["golden_len"] == max(m[1] for m in members)
         assert r["n_sources"] == len({m[2] for m in members})
+
+
+# --------------------------------------------------------------------------
+# q289 — silhouette
+# --------------------------------------------------------------------------
+
+
+def test_silhouette_replay(spark):
+    rows = registry.QUERIES["q289_silhouette"](spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    # integer micro-distance pipeline, mirrored exactly
+    per_label = defaultdict(lambda: [0, 0, 0])  # n, sum_s, n_neg
+    for i in vecs:
+        sums = defaultdict(lambda: [0, 0])
+        for j in vecs:
+            if i == j:
+                continue
+            d = round((1 - cos(vecs[i], vecs[j])) * 1_000_000)
+            g = sums[labels[j]]
+            g[0] += d
+            g[1] += 1
+        a = None
+        b = None
+        for lab, (s, c) in sums.items():
+            v = s // c
+            if lab == labels[i]:
+                a = v
+            else:
+                b = v if b is None else min(b, v)
+        if a is None or b is None or max(a, b) == 0:
+            s_ppm = 0
+        elif b >= a:
+            s_ppm = 1_000_000 * (b - a) // max(a, b)
+        else:
+            s_ppm = -(1_000_000 * (a - b) // max(a, b))
+        t = per_label[labels[i]]
+        t[0] += 1
+        t[1] += s_ppm
+        t[2] += s_ppm < 0
+    for r in rows:
+        n, sum_s, n_neg = per_label[r["label"]]
+        assert r["n_points"] == n
+        assert r["sum_s_ppm"] == sum_s
+        assert r["n_negative"] == n_neg
+        assert -1_000_000 <= r["mean_s_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q290 — JSON schema profiler
+# --------------------------------------------------------------------------
+
+
+def test_json_profile_discovers_seeded_schema(spark):
+    rows = {
+        r["key"]: r
+        for r in registry.QUERIES["q290_json_profile"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert set(rows) == {"k", "type", "cents", "user", "flag"}
+    n = load_table(spark, SF_MID, "events").count()
+    # mandatory keys: full coverage
+    assert rows["k"]["n_present"] == n
+    assert rows["type"]["n_present"] == n
+    assert rows["k"]["coverage_ppm"] == 1_000_000
+    # optional keys follow the seeding rules exactly
+    assert rows["cents"]["n_present"] == n - (n + 2) // 3  # ids 1..n, %3==0
+    assert rows["flag"]["n_bool"] == rows["flag"]["n_present"]
+    assert rows["flag"]["n_int"] == 0
+    assert rows["k"]["n_int"] == n
+    assert rows["type"]["n_int"] == 0 and rows["type"]["n_bool"] == 0
+
+
+# --------------------------------------------------------------------------
+# q291 — session gap sweep
+# --------------------------------------------------------------------------
+
+
+def test_session_sweep_monotonic_in_gap(spark):
+    rows = sorted(
+        registry.QUERIES["q291_session_gap_sweep"](spark, SF_MID).collect(),
+        key=lambda r: r["gap_min"],
+    )
+    assert [r["gap_min"] for r in rows] == [15, 30, 60]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_events"] == b["n_events"]
+        assert a["n_sessions"] >= b["n_sessions"]   # larger gap merges
+        assert a["n_singleton"] >= b["n_singleton"]  # pointwise implication
+    for r in rows:
+        assert r["n_singleton"] <= r["n_sessions"] <= r["n_events"]
+    # 30-min row must agree with q76's session assignment
+    q76 = registry.QUERIES["q76_session_assign"](spark, SF_MID)
+    n76 = q76.groupBy("user_id").agg(
+        F.max("session_no").alias("m")
+    ).agg(F.sum("m")).collect()[0][0]
+    assert rows[1]["n_sessions"] == n76
+
+
+# --------------------------------------------------------------------------
+# q292 — surrogate keys
+# --------------------------------------------------------------------------
+
+
+def test_surrogate_keys_dense_and_order_preserving(spark):
+    rows = registry.QUERIES["q292_surrogate_keys"](spark, SF_MID).collect()
+    surr = sorted(r["surrogate"] for r in rows)
+    assert surr == list(range(1, len(rows) + 1))
+    by_surr = sorted(rows, key=lambda r: r["surrogate"])
+    by_nat = sorted(rows, key=lambda r: (r["c_mktsegment"], r["c_custkey"]))
+    assert [r["c_custkey"] for r in by_surr] == [
+        r["c_custkey"] for r in by_nat
+    ]
+
+
+# --------------------------------------------------------------------------
+# q293 — clustering depth
+# --------------------------------------------------------------------------
+
+
+def test_clustering_depth_separates_layouts(spark):
+    rows = {
+        r["layout"]: r
+        for r in registry.QUERIES["q293_clustering_depth"](
+            spark, SF_MID
+        ).collect()
+    }
+    clu, ins = rows["clustered"], rows["insertion"]
+    # date-bucketed files are disjoint by construction
+    assert clu["total_overlaps"] == 0
+    assert clu["n_clean_files"] == clu["n_files"]
+    # insertion-order files straddle the date domain
+    assert ins["max_overlap"] > 0
+    assert ins["avg_overlap_ppm"] > clu["avg_overlap_ppm"]

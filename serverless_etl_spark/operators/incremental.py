@@ -388,3 +388,184 @@ def q264_retraction_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q296 — capped running balance (sequential per-key state, applyInPandas)
+# --------------------------------------------------------------------------
+
+BAL_INIT = 100
+BAL_CAP = 500
+BAL_DEMAND_MOD = 50
+BAL_KEY_MOD = 40
+BAL_DAYS = 365
+
+
+def _capped_balance_fn(pdf):
+    """Per-key sequential clamp recursion — genuinely non-associative
+    (the clamp destroys the prefix-sum decomposition), so this is the
+    one shape where imperative per-group code is the RIGHT Spark
+    answer: Arrow-batched, parallel across keys, sequential only
+    within a key's 365 rows."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    pdf = pdf.sort_values("i")
+    bal = BAL_INIT
+    stockout = capped = 0
+    for net in pdf["net"].to_list():
+        bal = min(max(bal + int(net), 0), BAL_CAP)
+        stockout += bal == 0
+        capped += bal == BAL_CAP
+    return pd.DataFrame(
+        {
+            "l_partkey": [int(pdf["k"].iloc[0])],
+            "final_balance": [bal],
+            "n_stockout": [stockout],
+            "n_capped": [capped],
+            "total_in": [int(pdf["qin"].sum())],
+            "total_out": [int(pdf["dem"].sum())],
+        }
+    )
+
+
+@register(
+    "q296_capped_balance",
+    oracle=f"""
+    WITH RECURSIVE keys AS (
+        SELECT p_partkey AS k FROM part WHERE p_partkey % {BAL_KEY_MOD} = 0
+    ),
+    grid AS (
+        SELECT k, i,
+               CAST(CAST(DATE '1995-01-01' + INTERVAL (i) DAY AS DATE)
+                    AS DATE) AS d
+        FROM keys, (SELECT unnest(generate_series(0, {BAL_DAYS - 1})) AS i)
+    ),
+    inflow AS (
+        SELECT l_partkey AS k, l_shipdate AS d,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qin
+        FROM lineitem
+        WHERE l_partkey % {BAL_KEY_MOD} = 0 AND year(l_shipdate) = 1995
+        GROUP BY 1, 2
+    ),
+    net AS (
+        SELECT g.k, g.i,
+               COALESCE(f.qin, 0) AS qin,
+               CAST(('0x' || substr(md5(CAST(g.k AS VARCHAR) || '|d' ||
+                    CAST(year(g.d) * 10000 + month(g.d) * 100 + day(g.d)
+                         AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {BAL_DEMAND_MOD} AS dem
+        FROM grid g LEFT JOIN inflow f ON f.k = g.k AND f.d = g.d
+    ),
+    rec AS (
+        SELECT k, i,
+               LEAST(GREATEST({BAL_INIT} + qin - dem, 0), {BAL_CAP}) AS bal,
+               CASE WHEN LEAST(GREATEST({BAL_INIT} + qin - dem, 0),
+                               {BAL_CAP}) = 0
+                    THEN 1 ELSE 0 END AS n_stockout,
+               CASE WHEN LEAST(GREATEST({BAL_INIT} + qin - dem, 0),
+                               {BAL_CAP}) = {BAL_CAP}
+                    THEN 1 ELSE 0 END AS n_capped,
+               qin AS total_in, dem AS total_out
+        FROM net WHERE i = 0
+        UNION ALL
+        SELECT n.k, n.i,
+               LEAST(GREATEST(r.bal + n.qin - n.dem, 0), {BAL_CAP}),
+               r.n_stockout
+                   + CASE WHEN LEAST(GREATEST(r.bal + n.qin - n.dem, 0),
+                                     {BAL_CAP}) = 0 THEN 1 ELSE 0 END,
+               r.n_capped
+                   + CASE WHEN LEAST(GREATEST(r.bal + n.qin - n.dem, 0),
+                                     {BAL_CAP}) = {BAL_CAP}
+                          THEN 1 ELSE 0 END,
+               r.total_in + n.qin, r.total_out + n.dem
+        FROM rec r JOIN net n ON n.k = r.k AND n.i = r.i + 1
+    )
+    SELECT k AS l_partkey,
+           CAST(bal AS BIGINT) AS final_balance,
+           CAST(n_stockout AS BIGINT) AS n_stockout,
+           CAST(n_capped AS BIGINT) AS n_capped,
+           CAST(total_in AS BIGINT) AS total_in,
+           CAST(total_out AS BIGINT) AS total_out
+    FROM rec WHERE i = {BAL_DAYS - 1}
+    ORDER BY l_partkey
+    """,
+)
+def q296_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped running inventory balance over a daily grid — the
+    clamp(prev + inflow − demand, 0, CAP) recursion behind stockout /
+    overstock simulation. The clamp makes the recurrence genuinely
+    NON-associative: no window, prefix sum, or segment trick
+    decomposes it, so the Spark-correct rendering is applyInPandas —
+    sequential within a key's {BAL_DAYS} days, embarrassingly parallel
+    across keys. Inflows are 1995 shipments for every {BAL_KEY_MOD}th
+    part; demand is an md5-uniform daily draw. The oracle runs the
+    SAME recursion as a DuckDB recursive CTE — 365 synchronized
+    iterations — proving the imperative kernel against a declarative
+    reference.
+
+    Determinism: integer quantities, md5 demand, integer clamp.
+
+    Scale: state per key is ONE integer; keys partition freely, so
+    1000 executors each walk their keys' year independently —
+    Arrow-batched, one shuffle on the key. This is the batch twin of
+    streaming/stateful.py's per-key running state (ST7), and the
+    §2.8 applyInPandas surface exercised on an analytics path.
+
+    Reference: the inventory-simulation face of q171's backlog aging;
+    the only operator family where the reference's row-loop pandas
+    style is actually the right tool — used surgically, per key."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = part.filter(F.col("p_partkey") % BAL_KEY_MOD == 0).select(
+        F.col("p_partkey").alias("k")
+    )
+    grid = keys.select(
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(BAL_DAYS - 1))).alias("i"),
+    ).withColumn("d", F.date_add(F.lit("1995-01-01").cast("date"), F.col("i")))
+    inflow = (
+        li.filter(
+            (F.col("l_partkey") % BAL_KEY_MOD == 0)
+            & (F.year("l_shipdate") == 1995)
+        )
+        .groupBy(
+            F.col("l_partkey").alias("k"), F.col("l_shipdate").alias("d")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qin"))
+    )
+    datekey = (
+        F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d")
+    ).cast("string")
+    dem = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("k").cast("string"), F.lit("|d"), datekey)
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BAL_DEMAND_MOD
+    )
+    net = (
+        grid.join(inflow, ["k", "d"], "left")
+        .select(
+            "k",
+            "i",
+            F.coalesce("qin", F.lit(0).cast("bigint")).alias("qin"),
+            dem.alias("dem"),
+        )
+        .withColumn("net", F.col("qin") - F.col("dem"))
+    )
+    return (
+        net.groupBy("k")
+        .applyInPandas(
+            _capped_balance_fn,
+            "l_partkey bigint, final_balance bigint, n_stockout bigint, "
+            "n_capped bigint, total_in bigint, total_out bigint",
+        )
+        .orderBy("l_partkey")
+    )

@@ -1125,3 +1125,138 @@ def q236_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# q295 — RAKE keyword extraction (stopword-delimited phrases)
+# --------------------------------------------------------------------------
+
+RAKE_TOP = 20
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@register(
+    "q295_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    content AS (
+        SELECT doc_id, pos, word,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM tok
+        WHERE word <> '' AND word NOT IN ({_RAKE_STOPS_SQL})
+    ),
+    runs AS (
+        SELECT doc_id, grp, word, pos,
+               COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+        FROM content
+    ),
+    wstat AS (
+        SELECT word,
+               1000 * CAST(SUM(plen) AS BIGINT) // COUNT(*)
+                   AS wscore_milli
+        FROM runs GROUP BY word
+    ),
+    phrases AS (
+        SELECT r.doc_id, r.grp,
+               string_agg(r.word, ' ' ORDER BY r.pos) AS phrase,
+               COUNT(*) AS n_words,
+               CAST(SUM(w.wscore_milli) AS BIGINT) AS score_milli
+        FROM runs r JOIN wstat w ON w.word = r.word
+        GROUP BY r.doc_id, r.grp
+    ),
+    uniq AS (
+        SELECT phrase,
+               CAST(MAX(n_words) AS BIGINT) AS n_words,
+               MAX(score_milli) AS score_milli,
+               COUNT(*) AS n_occurrences
+        FROM phrases GROUP BY phrase
+    )
+    SELECT phrase, n_words, score_milli, n_occurrences
+    FROM uniq
+    ORDER BY score_milli DESC, phrase
+    LIMIT {RAKE_TOP}
+    """,
+)
+def q295_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are the
+    maximal stopword-free token runs (a gap-and-islands grouping on
+    token positions — q210's islands machinery pointed at text), each
+    word scores degree/frequency over the phrase corpus, and a phrase
+    scores the sum of its words — the classic unsupervised keyword
+    ranker, fully declarative. Top {RAKE_TOP} phrases by score.
+
+    Determinism: integer positions; word scores floored to milli-units
+    (non-negative DIV); phrase assembly ordered by token position in
+    both engines (array_sort on (pos,word) structs / string_agg ORDER
+    BY pos); final tie-break on the phrase text.
+
+    Scale: tokenize + island-id are one exchange on doc_id (the
+    window's partition key); word stats partial-combine on the word;
+    the phrase⋈wstat join shuffles on word with both sides already
+    aggregate-sized. The LIMIT-{RAKE_TOP} global order runs over
+    already-deduped phrases — route through per-partition top-k (q56)
+    when the distinct-phrase count itself is at scale.
+
+    Reference: extends the text family (q62 TF-IDF ranks WORDS by
+    corpus rarity; RAKE ranks PHRASES by cohesion) —
+    reference lambda/staging-transform.py tokenizes but never
+    extracts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    content = (
+        tok.filter(
+            (F.col("word") != "")
+            & ~F.col("word").isin(*LANG_STOPWORDS["en"])
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    runs = content.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
+    )
+    wstat = runs.groupBy("word").agg(
+        F.expr(
+            "1000 * CAST(SUM(plen) AS BIGINT) DIV COUNT(*)"
+        ).alias("wscore_milli")
+    )
+    phrases = (
+        runs.join(wstat, "word")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wscore_milli").cast("bigint").alias("score_milli"),
+        )
+    )
+    uniq = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.max("score_milli").alias("score_milli"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        uniq.orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(RAKE_TOP)
+        .select("phrase", "n_words", "score_milli", "n_occurrences")
+    )

@@ -986,3 +986,117 @@ def q250_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# --------------------------------------------------------------------------
+# q294 — exact ROC-AUC from a score histogram (midrank ties)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q294_auc_eval",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS label,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 128
+                   + CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 64 ELSE 0 END AS score
+        FROM orders
+    ),
+    hist AS (
+        SELECT score,
+               CAST(SUM(label) AS BIGINT) AS pos,
+               CAST(SUM(1 - label) AS BIGINT) AS neg
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT score, pos, neg,
+               COALESCE(CAST(SUM(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cumneg
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(pos * cumneg) AS BIGINT) AS n_concordant,
+               CAST(SUM(pos * neg) AS BIGINT) AS n_tied
+        FROM cum
+    )
+    SELECT n_pos, n_neg, n_buckets, n_concordant, n_tied,
+           n_pos * n_neg - n_concordant - n_tied AS n_discordant,
+           1000000 * (2 * n_concordant + n_tied)
+               // (2 * n_pos * n_neg) AS auc_ppm
+    FROM agg
+    """,
+)
+def q294_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney form, midrank ties) computed from a
+    score HISTOGRAM instead of per-row ranks: bucket counts (pos, neg)
+    per integer score, one cumulative pass over the ≤256 buckets, and
+    AUC = (concordant + tied/2) / (pos·neg). The per-row formulation
+    global-sorts every prediction through one ROW_NUMBER task; when
+    scores are quantized (every production scorer emits fixed-precision
+    scores), the histogram form is EXACT, not approximate — the same
+    collapse q134 applies to KS. Also emits the concordant / tied /
+    discordant pair decomposition (Somers' D and Kendall tau-a fall out
+    for free). Labels/scores are derived with a seeded +64 separation
+    on the positive class so the AUC sits meaningfully between 0.5
+    and 1.
+
+    Determinism: integer histogram, integer pair counts; one ppm
+    division (numerator doubled to keep the tie half-credit integral).
+
+    Scale: the histogram partial-combines map-side to ≤|score domain|
+    rows; the cumulative window runs over those buckets only — at 100
+    TB the sort the naive rank form needs never happens. This is the
+    q252 rank-sum machinery pointed at classifier evaluation.
+
+    Reference: the supervised-eval sibling of q252 (Mann-Whitney is
+    literally the same statistic) and q175's decile lift."""
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    scored = orders.select(
+        label.alias("label"),
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("bigint") % 128
+            + F.when(F.col("o_orderpriority") == "1-URGENT", 64).otherwise(0)
+        ).alias("score"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w).cast("bigint"), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("pos") * F.col("cumneg"))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.col("pos") * F.col("neg")).cast("bigint").alias("n_tied"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_buckets",
+        "n_concordant",
+        "n_tied",
+        (
+            F.col("n_pos") * F.col("n_neg")
+            - F.col("n_concordant")
+            - F.col("n_tied")
+        ).alias("n_discordant"),
+        F.expr(
+            "1000000 * (2 * n_concordant + n_tied)"
+            " DIV (2 * n_pos * n_neg)"
+        ).alias("auc_ppm"),
+    )

@@ -1,0 +1,132 @@
+"""Streaming count-min sketch maintenance: every micro-batch of events
+folds its (row, cell) counter partials into a persisted counter table,
+and the frequency dashboard reads min-of-rows estimates from the merged
+counters — q285's estimator kept current incrementally, never
+rescanning history.
+
+CMS counters merge by SUM, which is commutative/associative but NOT
+idempotent — the opposite end of the exactly-once spectrum from
+sketch_gate's max-merged HLL registers. A replayed micro-batch WOULD
+double-count, so correctness (not just storage) depends on the
+batch_id dynamic-overwrite: a re-executed batch overwrites its own
+partition with identical content instead of appending a second copy
+(checksum_gate's contract, applied to a sketch).
+
+Stream ≡ batch contract: `merged_counters()` over any drained prefix
+equals `cms_partials()` over the same rows in one go, because SUM is
+associative over any batch decomposition (tested in
+tests/test_cms_gate.py). The estimator inherits q285's one-sided
+error: estimates never fall below true counts.
+
+Scale: per batch, one map-side partial aggregation to ≤ d·w counter
+rows; merged state is d·w = CMS_D×CMS_W counters FOREVER regardless of
+stream volume (compact by rewriting merged counters under one
+synthetic batch_id whenever the batch count matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics_ext import CMS_D, CMS_W, _cms_cell
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+COUNTER_SCHEMA = "d INT, j BIGINT, v BIGINT, batch_id BIGINT"
+
+#: the tracked key column in the event stream
+CMS_KEY = "user_id"
+
+
+def cms_partials(rows: DataFrame, key_col: str = CMS_KEY) -> DataFrame:
+    """One micro-batch's (d, j) → count partials: each row increments
+    CMS_D cells; the explode is map-side and collapses immediately."""
+    cells = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(F.col(key_col), d).alias("j"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.j")
+    return cells.groupBy("d", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+
+
+def cms_gate_writer(counter_dir: str, key_col: str = CMS_KEY):
+    """foreachBatch hook writing each micro-batch's counter partials,
+    partitioned by batch_id with dynamic overwrite — REQUIRED for
+    exactly-once here: sum-merge double-counts a replayed append."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        partial = cms_partials(batch, key_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        _dynamic_overwrite(partial, counter_dir)
+
+    return _write
+
+
+def merged_counters(spark: SparkSession, counter_dir: str) -> DataFrame:
+    """Current sketch: elementwise SUM across all batch partials."""
+    c = _read_or_empty(spark, counter_dir, COUNTER_SCHEMA)
+    return c.groupBy("d", "j").agg(F.sum("v").cast("bigint").alias("v"))
+
+
+def cms_lookup(
+    spark: SparkSession, counter_dir: str, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Frequency estimates for `keys`: min over the sketch's rows of
+    the addressed counters (q285's estimator against maintained
+    state). Missing cells read as 0 (key never seen)."""
+    sketch = merged_counters(spark, counter_dir)
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(F.col(key_col), d).alias("j"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "c.d", "c.j")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "j"], "left")
+        .withColumn("v", F.coalesce("v", F.lit(0).cast("bigint")))
+        .groupBy("key")
+        .agg(F.min("v").cast("bigint").alias("est"))
+    )
+
+
+def run_cms_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    counter_dir: str,
+    checkpoint_dir: str,
+    key_col: str = CMS_KEY,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available event files (availableNow) through the counter
+    maintainer. Source: JSON-lines event rows with at least key_col."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(cms_gate_writer(counter_dir, key_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

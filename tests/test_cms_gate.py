@@ -1,0 +1,151 @@
+"""Streaming CMS counter maintenance (streaming/cms_gate.py):
+stream ≡ batch parity with q285's build, exactly-once under
+checkpoint-resume (sum-merge is NOT idempotent — the batch_id
+overwrite carries correctness), never-underestimate, and incremental
+growth (later drains only add)."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.streaming.cms_gate import (
+    cms_partials,
+    merged_counters,
+    cms_lookup,
+    run_cms_gate,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+)
+
+
+def _write_event_files(spark, src_dir, n_files=3):
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        .collect()
+    )
+    src_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        with open(src_dir / f"part-{i}.json", "w") as f:
+            for r in rows[i::n_files]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return rows
+
+
+def _counters_dict(df):
+    return {(r["d"], r["j"]): r["v"] for r in df.collect()}
+
+
+def test_streamed_counters_equal_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_event_files(spark, src)
+    run_cms_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(tmp_path / "counters"),
+        str(tmp_path / "ckpt"),
+    )
+    streamed = _counters_dict(
+        merged_counters(spark, str(tmp_path / "counters"))
+    )
+    batch = _counters_dict(
+        cms_partials(load_table(spark, SF_SMALL, "events"))
+    )
+    assert streamed == batch
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_event_files(spark, src)
+    for _ in range(2):  # second drain: nothing new, counters unchanged
+        run_cms_gate(
+            spark,
+            str(src),
+            EVENTS_JSON_SCHEMA,
+            str(tmp_path / "counters"),
+            str(tmp_path / "ckpt"),
+        )
+    streamed = _counters_dict(
+        merged_counters(spark, str(tmp_path / "counters"))
+    )
+    batch = _counters_dict(
+        cms_partials(load_table(spark, SF_SMALL, "events"))
+    )
+    assert streamed == batch
+
+
+def test_lookup_never_underestimates(spark, tmp_path):
+    src = tmp_path / "src"
+    rows = _write_event_files(spark, src)
+    run_cms_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(tmp_path / "counters"),
+        str(tmp_path / "ckpt"),
+    )
+    truth = Counter(r["user_id"] for r in rows)
+    keys = load_table(spark, SF_SMALL, "events").select("user_id").distinct()
+    est = {
+        r["key"]: r["est"]
+        for r in cms_lookup(
+            spark, str(tmp_path / "counters"), keys, "user_id"
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    for k, c in truth.items():
+        assert est[k] >= c
+    # an unseen key reads 0 through empty cells (or collides upward)
+    probe = spark.createDataFrame([(10**12,)], "user_id bigint")
+    unseen = cms_lookup(
+        spark, str(tmp_path / "counters"), probe, "user_id"
+    ).collect()[0]["est"]
+    assert unseen >= 0
+
+
+def test_incremental_growth_monotone(spark, tmp_path):
+    src = tmp_path / "src"
+    rows = _write_event_files(spark, src, n_files=4)
+    # drain only the first two files, snapshot, then drain the rest
+    hold = [src / "part-2.json", src / "part-3.json"]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for p in hold:
+        p.rename(stash / p.name)
+    run_cms_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(tmp_path / "counters"),
+        str(tmp_path / "ckpt"),
+    )
+    first = _counters_dict(merged_counters(spark, str(tmp_path / "counters")))
+    for p in hold:
+        (stash / p.name).rename(p)
+    run_cms_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(tmp_path / "counters"),
+        str(tmp_path / "ckpt"),
+    )
+    full = _counters_dict(merged_counters(spark, str(tmp_path / "counters")))
+    assert sum(full.values()) == 3 * len(rows)
+    for cell, v in first.items():
+        assert full.get(cell, 0) >= v

@@ -343,3 +343,133 @@ def test_clustering_depth_separates_layouts(spark):
     # insertion-order files straddle the date domain
     assert ins["max_overlap"] > 0
     assert ins["avg_overlap_ppm"] > clu["avg_overlap_ppm"]
+
+
+# --------------------------------------------------------------------------
+# q294 — AUC
+# --------------------------------------------------------------------------
+
+
+def test_auc_histogram_equals_per_row_mann_whitney(spark):
+    row = registry.QUERIES["q294_auc_eval"](spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect()
+    pairs = []
+    for o in orders:
+        lab = 1 if o["o_orderpriority"] == "1-URGENT" else 0
+        score = math.floor(o["o_totalprice"] * 100) % 128 + 64 * lab
+        pairs.append((lab, score))
+    pos = sorted(s for l, s in pairs if l == 1)
+    neg = sorted(s for l, s in pairs if l == 0)
+    conc = tied = 0
+    for p in pos:
+        import bisect
+
+        conc += bisect.bisect_left(neg, p)
+        tied += bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["n_concordant"] == conc
+    assert row["n_tied"] == tied
+    assert (
+        row["n_discordant"]
+        == len(pos) * len(neg) - conc - tied
+    )
+    assert row["auc_ppm"] == 1_000_000 * (2 * conc + tied) // (
+        2 * len(pos) * len(neg)
+    )
+    # seeded +64 separation: meaningfully better than chance
+    assert row["auc_ppm"] > 600_000
+
+
+# --------------------------------------------------------------------------
+# q295 — RAKE
+# --------------------------------------------------------------------------
+
+
+def test_rake_replay(spark):
+    rows = registry.QUERIES["q295_rake_keywords"](spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    from serverless_etl_spark.operators.text_analysis import (
+        LANG_STOPWORDS,
+        RAKE_TOP,
+    )
+
+    stops = set(LANG_STOPWORDS["en"])
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    freq = Counter()
+    degree = Counter()
+    phrases = []
+    for d in docs:
+        run = []
+        for w in d["text"].split(" ") + [""]:
+            if w == "" or w in stops:
+                if run:
+                    phrases.append(tuple(run))
+                    for t in run:
+                        freq[t] += 1
+                        degree[t] += len(run)
+                    run = []
+            else:
+                run.append(w)
+    wscore = {w: 1000 * degree[w] // freq[w] for w in freq}
+    agg = {}
+    for p in phrases:
+        s = sum(wscore[w] for w in p)
+        n, _, _ = agg.get(p, (0, 0, 0))
+        agg[p] = (n + 1, len(p), s)
+    ranked = sorted(
+        ((v[2], " ".join(k), v[1], v[0]) for k, v in agg.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:RAKE_TOP]
+    got = [(r["score_milli"], r["phrase"], r["n_words"], r["n_occurrences"])
+           for r in rows]
+    assert got == ranked
+
+
+# --------------------------------------------------------------------------
+# q296 — capped balance
+# --------------------------------------------------------------------------
+
+
+def test_capped_balance_replay(spark):
+    from serverless_etl_spark.operators.incremental import (
+        BAL_CAP,
+        BAL_DAYS,
+        BAL_DEMAND_MOD,
+        BAL_INIT,
+        BAL_KEY_MOD,
+    )
+    import datetime
+
+    rows = registry.QUERIES["q296_capped_balance"](spark, SF_SMALL).collect()
+    assert rows
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect()
+    inflow = defaultdict(int)
+    for r in li:
+        if r["l_partkey"] % BAL_KEY_MOD == 0 and r["l_shipdate"].year == 1995:
+            # l_shipdate ships as TIMESTAMP — key the replay by its date
+            d = r["l_shipdate"]
+            d = d.date() if hasattr(d, "date") else d
+            inflow[(r["l_partkey"], d)] += int(r["l_quantity"])
+    d0 = datetime.date(1995, 1, 1)
+    for r in rows:
+        k = r["l_partkey"]
+        bal, stockout, capped, tin, tout = BAL_INIT, 0, 0, 0, 0
+        for i in range(BAL_DAYS):
+            d = d0 + datetime.timedelta(days=i)
+            datekey = d.year * 10000 + d.month * 100 + d.day
+            dem = _md5_pos(k, f"|d{datekey}", BAL_DEMAND_MOD)
+            qin = inflow.get((k, d), 0)
+            bal = min(max(bal + qin - dem, 0), BAL_CAP)
+            stockout += bal == 0
+            capped += bal == BAL_CAP
+            tin += qin
+            tout += dem
+        assert r["final_balance"] == bal
+        assert r["n_stockout"] == stockout
+        assert r["n_capped"] == capped
+        assert r["total_in"] == tin
+        assert r["total_out"] == tout

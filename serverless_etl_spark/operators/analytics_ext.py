@@ -6625,3 +6625,97 @@ def q286_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+# --------------------------------------------------------------------------
+# q299 — exact median by value-domain bisection (no global sort)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q299_exact_median_bisect",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    n AS (SELECT COUNT(*) AS n_rows, (COUNT(*) + 1) // 2 AS k FROM s),
+    med AS (
+        SELECT cents AS median_cents FROM s, n
+        ORDER BY cents LIMIT 1 OFFSET (SELECT k - 1 FROM n)
+    )
+    SELECT n.n_rows, n.k, m.median_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+            WHERE cents < m.median_cents) AS n_lt,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+            WHERE cents <= m.median_cents) AS n_le
+    FROM n, med m
+    """,
+)
+def q299_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (lower median, the ⌈n/2⌉-th smallest) WITHOUT a
+    global sort: binary-search the integer value domain, each step one
+    map-side `count(x <= mid)` aggregation over the cached column.
+    ~log2(range) ≈ 25 counting passes replace the single-reducer
+    ORDER BY that q109's exact form pays — every pass is
+    embarrassingly parallel and partial-combines, so the algorithm
+    holds at 100 TB where the sort does not. The oracle computes the
+    same order statistic the direct way (ORDER BY … OFFSET), proving
+    the bisection lands on the identical value; n_lt < k <= n_le is
+    the selection certificate, emitted so the result carries its own
+    proof.
+
+    This completes the exact-quantile routing story: q73 approximates,
+    q109 exact-sorts (documented single-reducer posture), q299 is the
+    exact-AND-scalable member — trade 25 cheap scans for zero sorts
+    (fewer with a q48-histogram warm start narrowing the initial
+    bracket).
+
+    Determinism: integer cents domain; the loop is a pure function of
+    the counts.
+
+    Scale: the cached column is (bigint) only — never the row; each
+    iteration ships ONE long per partition. Driver state is two
+    integers. The same loop generalizes to any order statistic k and
+    to per-group medians via conditional counts.
+
+    Reference: the selection-algorithm face of the q37/q73/q109
+    quantile family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = track_cache(
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        ).persist()
+    )
+    bounds = cents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = int(bounds["n"]), int(bounds["lo"]), int(bounds["hi"])
+    k = (n + 1) // 2
+    while lo < hi:
+        mid = (lo + hi) // 2
+        c = cents.filter(F.col("cents") <= mid).count()
+        if c >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    median = lo
+    cert = cents.agg(
+        F.sum(F.when(F.col("cents") < median, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lt"),
+        F.sum(F.when(F.col("cents") <= median, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_le"),
+    )
+    return cert.select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(median).cast("bigint").alias("median_cents"),
+        "n_lt",
+        "n_le",
+    )

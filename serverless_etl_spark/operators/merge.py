@@ -903,3 +903,111 @@ def q292_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("surrogate")
     )
+
+
+# --------------------------------------------------------------------------
+# q298 — late-arriving dimension: inferred members + backfill
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q298_inferred_members",
+    oracle="""
+    WITH dim_now AS (
+        SELECT * FROM customer
+        WHERE NOT (c_custkey % 17 = 3 OR c_custkey % 23 = 5)
+    ),
+    arrival AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 17 = 3
+    ),
+    unmatched AS (
+        SELECT o.o_custkey AS custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(MIN(year(o.o_orderdate) * 10000
+                        + month(o.o_orderdate) * 100
+                        + day(o.o_orderdate)) AS BIGINT) AS first_seen
+        FROM orders o
+        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM dim_now)
+        GROUP BY o.o_custkey
+    )
+    SELECT u.custkey, u.n_orders, u.total_cents, u.first_seen,
+           CASE WHEN a.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS arrived,
+           COALESCE(a.c_mktsegment, 'UNKNOWN') AS segment
+    FROM unmatched u LEFT JOIN arrival a ON a.c_custkey = u.custkey
+    ORDER BY u.custkey
+    """,
+)
+def q298_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling — the warehouse pattern for
+    facts that reference dimension keys the dimension doesn't have
+    YET: instead of dropping or quarantining the facts, mint an
+    INFERRED member per unmatched key (placeholder attributes, fact-
+    derived provenance: first-seen date, accumulated measures), then
+    BACKFILL the placeholder when the real dimension row arrives. Two
+    seeded holdout waves make both outcomes real: wave A keys arrive
+    in a later load (backfilled segment, arrived=1), wave B never do
+    (UNKNOWN placeholder persists — the row a data-quality alert
+    should watch).
+
+    Determinism: integer keys/counts/cents/datekeys; the backfill
+    join is keyed, COALESCE for the placeholder.
+
+    Scale: the unmatched set comes from a broadcast ANTI join against
+    the dimension (dims broadcast; the fact never shuffles for the
+    probe), then aggregates partial-combine to |missing keys| rows
+    before the tiny backfill join. Inferred-member minting is
+    idempotent: re-running on the same facts rebuilds the same rows,
+    so the S11 partition-overwrite discipline applies unchanged.
+
+    Reference: the missing half of S11's partitioned insert-select —
+    the reference assumes every fact key resolves; q153 AUDITS FK
+    breaks, q298 repairs them the dimensional-modeling way."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    missing = (F.col("c_custkey") % 17 == 3) | (F.col("c_custkey") % 23 == 5)
+    dim_now = cust.filter(~missing).select("c_custkey")
+    arrival = cust.filter(F.col("c_custkey") % 17 == 3).select(
+        "c_custkey", "c_mktsegment"
+    )
+    unmatched = (
+        orders.join(
+            F.broadcast(dim_now),
+            orders["o_custkey"] == dim_now["c_custkey"],
+            "left_anti",
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min(
+                F.year("o_orderdate") * 10000
+                + F.month("o_orderdate") * 100
+                + F.dayofmonth("o_orderdate")
+            )
+            .cast("bigint")
+            .alias("first_seen"),
+        )
+    )
+    return (
+        unmatched.join(
+            F.broadcast(arrival),
+            unmatched["custkey"] == arrival["c_custkey"],
+            "left",
+        )
+        .select(
+            "custkey",
+            "n_orders",
+            "total_cents",
+            "first_seen",
+            F.when(F.col("c_custkey").isNotNull(), 1)
+            .otherwise(0)
+            .alias("arrived"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .orderBy("custkey")
+    )

@@ -2384,3 +2384,144 @@ def q293_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --------------------------------------------------------------------------
+# q297 — column encoding advisor (dictionary vs plain, measured)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q297_encoding_advisor",
+    oracle="""
+    WITH vals AS (
+        SELECT col, val FROM (
+            SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_cents',
+                   CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate_key',
+                   CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                        + day(o_orderdate) AS VARCHAR) FROM orders
+        )
+    ),
+    stats AS (
+        SELECT col,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT val) AS n_distinct,
+               CAST(SUM(length(val)) AS BIGINT) AS plain_bytes
+        FROM vals GROUP BY col
+    ),
+    dlen AS (
+        SELECT col, CAST(SUM(length(val)) AS BIGINT) AS distinct_bytes
+        FROM (SELECT DISTINCT col, val FROM vals) GROUP BY col
+    )
+    SELECT s.col, s.n_rows, s.n_distinct, s.plain_bytes,
+           CAST(length(bin(s.n_distinct - 1)) AS BIGINT) AS code_bits,
+           d.distinct_bytes
+               + s.n_rows * ((length(bin(s.n_distinct - 1)) + 7) // 8)
+               AS dict_bytes,
+           CASE WHEN d.distinct_bytes
+                     + s.n_rows * ((length(bin(s.n_distinct - 1)) + 7) // 8)
+                     < s.plain_bytes
+                THEN 'dict' ELSE 'plain' END AS recommend
+    FROM stats s JOIN dlen d ON d.col = s.col
+    ORDER BY s.col
+    """,
+)
+def q297_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encoding advisor — the parquet/ORC tuning decision
+    (dictionary vs plain) made from measured bytes instead of defaults:
+    per column, the plain encoding costs Σ len(value) while dictionary
+    costs Σ len(distinct values) + n_rows × code-width, with the code
+    width the exact bit length of (n_distinct − 1) (computed via
+    bin-string length — integer-pure, no float log2 near power-of-two
+    edges). Low-cardinality enum columns come back 'dict', near-unique
+    key columns 'plain' — at 100 TB a wrong default here is the
+    difference between a dictionary page that fits in cache and
+    dictionary-overflow fallback on every row group.
+
+    Determinism: string lengths, integer byte models, bin() bit
+    widths.
+
+    Scale: ONE fact scan fans out column×value pairs map-side; both
+    aggregates (per-column totals, distinct-value byte sums) shuffle
+    only (col, value) pairs — and the distinct side collapses
+    per-partition first. Exact COUNT(DISTINCT) routes to q49/q121
+    sketches when a column's cardinality is itself at scale.
+
+    Reference: joins the physical-design advisor family — q234 picks
+    partition keys, q260 sizes broadcasts, q293 measures clustering,
+    q297 picks page encodings."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    datekey = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    vals = orders.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_cents").alias("col"),
+                    cents.cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate_key").alias("col"),
+                    datekey.cast("string").alias("val"),
+                ),
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.val")
+    stats = vals.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.sum(F.length("val")).cast("bigint").alias("plain_bytes"),
+    )
+    dlen = (
+        vals.distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("val")).cast("bigint").alias("distinct_bytes"))
+    )
+    out = stats.join(dlen, "col").withColumn(
+        "code_bits",
+        F.length(F.bin(F.col("n_distinct") - 1)).cast("bigint"),
+    )
+    return out.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "plain_bytes",
+        "code_bits",
+        (
+            F.col("distinct_bytes")
+            + F.col("n_rows") * F.expr("(code_bits + 7) DIV 8")
+        ).alias("dict_bytes"),
+        F.when(
+            F.col("distinct_bytes")
+            + F.col("n_rows") * F.expr("(code_bits + 7) DIV 8")
+            < F.col("plain_bytes"),
+            "dict",
+        )
+        .otherwise("plain")
+        .alias("recommend"),
+    ).orderBy("col")

@@ -152,7 +152,8 @@ _SWEEP_PRIORITY = [
     "q288_survivorship", "q289_silhouette", "q290_json_profile",
     "q291_session_gap_sweep", "q292_surrogate_keys",
     "q293_clustering_depth", "q294_auc_eval", "q295_rake_keywords",
-    "q296_capped_balance",
+    "q296_capped_balance", "q297_encoding_advisor",
+    "q298_inferred_members", "q299_exact_median_bisect",
     # (c) r1-only greens, re-prove on current fixtures (r1 sweep order)
     "q29_grouping_sets", "q37_quantiles", "q38_stats_moments",
     "q39_json_props", "q45_salted_join", "q46_salted_agg",

@@ -473,3 +473,79 @@ def test_capped_balance_replay(spark):
         assert r["n_capped"] == capped
         assert r["total_in"] == tin
         assert r["total_out"] == tout
+
+
+# --------------------------------------------------------------------------
+# q297 — encoding advisor
+# --------------------------------------------------------------------------
+
+
+def test_encoding_advisor_internal_consistency(spark):
+    rows = registry.QUERIES["q297_encoding_advisor"](
+        spark, SF_MID
+    ).collect()
+    assert {r["col"] for r in rows} == {
+        "o_orderstatus", "o_orderpriority", "o_custkey",
+        "o_totalprice_cents", "o_orderdate_key",
+    }
+    n_rows = {r["n_rows"] for r in rows}
+    assert len(n_rows) == 1  # one row per order in every branch
+    for r in rows:
+        assert r["code_bits"] == max(1, (r["n_distinct"] - 1).bit_length())
+        expect = "dict" if r["dict_bytes"] < r["plain_bytes"] else "plain"
+        assert r["recommend"] == expect
+    by_col = {r["col"]: r for r in rows}
+    # multi-char enum column dictionary-encodes; single-char enum can't
+    # (a byte-aligned code is already as wide as the value) — the model
+    # resists the "always dict the enums" false positive
+    assert by_col["o_orderpriority"]["recommend"] == "dict"
+    assert by_col["o_orderstatus"]["recommend"] == "plain"
+    assert by_col["o_orderstatus"]["code_bits"] == 2  # 3 statuses
+
+
+# --------------------------------------------------------------------------
+# q298 — inferred members
+# --------------------------------------------------------------------------
+
+
+def test_inferred_members_waves_and_backfill(spark):
+    rows = registry.QUERIES["q298_inferred_members"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    for r in rows:
+        k = r["custkey"]
+        assert k % 17 == 3 or k % 23 == 5
+        if r["arrived"] == 1:
+            assert k % 17 == 3
+            assert r["segment"] != "UNKNOWN"
+        else:
+            assert r["segment"] == "UNKNOWN"
+    # accounting: every order of a held-out key lands in exactly one row
+    orders = load_table(spark, SF_MID, "orders").collect()
+    held = [
+        o for o in orders
+        if o["o_custkey"] % 17 == 3 or o["o_custkey"] % 23 == 5
+    ]
+    assert sum(r["n_orders"] for r in rows) == len(held)
+
+
+# --------------------------------------------------------------------------
+# q299 — exact median by bisection
+# --------------------------------------------------------------------------
+
+
+def test_exact_median_bisect_matches_sorted_selection(spark):
+    row = registry.QUERIES["q299_exact_median_bisect"](
+        spark, SF_SMALL
+    ).collect()[0]
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_extendedprice"
+    ).collect()
+    cents = sorted(math.floor(r["l_extendedprice"] * 100) for r in li)
+    k = (len(cents) + 1) // 2
+    assert row["n_rows"] == len(cents)
+    assert row["k"] == k
+    assert row["median_cents"] == cents[k - 1]
+    # the selection certificate the query carries
+    assert row["n_lt"] < k <= row["n_le"]

@@ -125,6 +125,12 @@ def main() -> None:
         "q248_common_neighbors",
         "q255_poisson_bootstrap",
         "q262_bellman_ford",
+        # round-4 sixth-sitting heavies
+        "q284_bloom_semi_join",
+        "q289_silhouette",
+        "q295_rake_keywords",
+        "q296_capped_balance",
+        "q299_exact_median_bisect",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -706,3 +706,151 @@ def q287_lpm_route_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len", "label")
     )
+
+
+# --------------------------------------------------------------------------
+# q300 — nearest as-of join (both directions, union-merge)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q300_nearest_asof",
+    oracle="""
+    WITH right_side AS (
+        SELECT o_custkey AS k,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS r_us,
+               MIN(o_orderkey) AS okey
+        FROM orders GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT k, r_us AS ts_us, 0 AS tag,
+               NULL AS event_id, r_us, okey
+        FROM right_side
+        UNION ALL
+        SELECT user_id AS k, epoch_us(ts) AS ts_us, 1 AS tag,
+               event_id, NULL AS r_us, NULL AS okey
+        FROM events
+    ),
+    m AS (
+        SELECT k, ts_us, tag, event_id,
+               last_value(r_us IGNORE NULLS) OVER w_prev AS prev_us,
+               last_value(okey IGNORE NULLS) OVER w_prev AS prev_key,
+               first_value(r_us IGNORE NULLS) OVER w_next AS next_us,
+               first_value(okey IGNORE NULLS) OVER w_next AS next_key
+        FROM u
+        WINDOW w_prev AS (PARTITION BY k ORDER BY ts_us, tag
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW),
+               w_next AS (PARTITION BY k ORDER BY ts_us, tag
+                          ROWS BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, k AS user_id,
+           CASE WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+                WHEN next_us IS NULL THEN 'prev'
+                WHEN prev_us IS NULL THEN 'next'
+                WHEN ts_us - prev_us <= next_us - ts_us THEN 'prev'
+                ELSE 'next' END AS direction,
+           CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+                WHEN next_us IS NULL
+                     OR (prev_us IS NOT NULL
+                         AND ts_us - prev_us <= next_us - ts_us)
+                THEN prev_key ELSE next_key END AS matched_orderkey,
+           CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+                WHEN next_us IS NULL
+                     OR (prev_us IS NOT NULL
+                         AND ts_us - prev_us <= next_us - ts_us)
+                THEN ts_us - prev_us ELSE next_us - ts_us END AS delta_us
+    FROM m WHERE tag = 1
+    ORDER BY event_id
+    """,
+)
+def q300_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each left row (event) matched to the
+    temporally closest right row (order of the same key) in EITHER
+    direction, ties to the earlier side. Backward as-of (q19/q84)
+    answers "state at the time"; nearest answers sensor/entity
+    alignment where the closest reading wins regardless of side.
+    Same union-merge mechanic as asof_join: tag both inputs, ONE sort
+    per key, carry the latest right forward (prev) and the earliest
+    right backward (next) with ignore-null window edges, then a pure
+    projection picks the closer side. The right side is deduplicated
+    to one row per (key, instant) first (min orderkey — both engines),
+    so the carried (ts, key) pairs are from the same row without
+    struct plumbing.
+
+    Determinism: microsecond integers; same-instant rights sort before
+    events (tag order) so delta-0 matches resolve to 'prev' in both
+    engines; per-instant dedup removes the remaining tie class.
+
+    Scale: identical posture to asof_join — one exchange on the key,
+    linear within; NO range self-join, NO per-probe re-buffering; hot
+    keys cost their row count, not its square.
+
+    Reference: completes the temporal-join family (q19 window-asof,
+    q84 generic backward, q254 bitemporal, q300 nearest)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    right = orders.groupBy(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("r_us"),
+    ).agg(F.min("o_orderkey").alias("okey"))
+    u = right.select(
+        "k",
+        F.col("r_us").alias("ts_us"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "r_us",
+        "okey",
+    ).unionByName(
+        ev.select(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.lit(1).alias("tag"),
+            "event_id",
+            F.lit(None).cast("bigint").alias("r_us"),
+            F.lit(None).cast("bigint").alias("okey"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("k")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    m = u.select(
+        "k",
+        "ts_us",
+        "tag",
+        "event_id",
+        F.last("r_us", ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.last("okey", ignorenulls=True).over(w_prev).alias("prev_key"),
+        F.first("r_us", ignorenulls=True).over(w_next).alias("next_us"),
+        F.first("okey", ignorenulls=True).over(w_next).alias("next_key"),
+    ).filter(F.col("tag") == 1)
+    prev_wins = F.col("next_us").isNull() | (
+        F.col("prev_us").isNotNull()
+        & (F.col("ts_us") - F.col("prev_us")
+           <= F.col("next_us") - F.col("ts_us"))
+    )
+    none = F.col("prev_us").isNull() & F.col("next_us").isNull()
+    return m.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(none, "none")
+        .when(prev_wins, "prev")
+        .otherwise("next")
+        .alias("direction"),
+        F.when(none, F.lit(None).cast("bigint"))
+        .when(prev_wins, F.col("prev_key"))
+        .otherwise(F.col("next_key"))
+        .alias("matched_orderkey"),
+        F.when(none, F.lit(None).cast("bigint"))
+        .when(prev_wins, F.col("ts_us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("ts_us"))
+        .alias("delta_us"),
+    ).orderBy("event_id")

@@ -2525,3 +2525,118 @@ def q297_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommend"),
     ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# q302 — id-sequence gap/duplicate audit without a global sort
+# --------------------------------------------------------------------------
+
+SEQ_BUCKET = 32
+
+
+@register(
+    "q302_sequence_gap_audit",
+    oracle="""
+    WITH seq AS (
+        SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+    ),
+    d AS (SELECT DISTINCT id FROM seq),
+    g AS (
+        SELECT id, id - lag(id) OVER (ORDER BY id) AS diff FROM d
+    )
+    SELECT (SELECT COUNT(*) FROM seq) AS n_rows,
+           (SELECT COUNT(*) FROM d) AS n_distinct,
+           CAST(MIN(id) AS BIGINT) AS id_min,
+           CAST(MAX(id) AS BIGINT) AS id_max,
+           CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(SUM(CASE WHEN diff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_runs,
+           CAST(COALESCE(MAX(CASE WHEN diff > 1 THEN diff - 1 END), 0)
+                AS BIGINT) AS largest_gap,
+           (SELECT COUNT(*) FROM seq) - (SELECT COUNT(*) FROM d)
+               AS n_dup_rows
+    FROM g
+    """,
+)
+def q302_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-sequence conformance audit — gaps, gap runs, largest hole,
+    duplicate rows — over the order-key sequence with seeded defects
+    (every 7th id dropped, every 11th surviving id double-loaded), so
+    holes, runs, and duplicates are all genuinely present. The naive form lags over ALL distinct ids —
+    one global sort. This implementation never does: ids bucket by
+    id DIV {B}, each bucket sorts independently (≤{B} ids per
+    partition by construction), and bucket summaries (min/max/run
+    partials) stitch across boundaries with one lag over the summary
+    frame — a maximal missing region spanning whole empty buckets
+    still counts as ONE run because the stitch lags over summaries,
+    not the domain. The oracle IS the naive global form: identical
+    numbers prove the decomposition exact (the q292/q299 pattern).
+
+    Determinism: integer ids, counts, run lengths.
+
+    Scale: the wide data never globally sorts; the summary frame is
+    |domain|/{B} rows — re-bucket it hierarchically when that is
+    itself at scale (same stitch, one more level). Per-level state is
+    (min, max, runs, maxgap) — four longs per bucket.
+
+    Reference: the sequence-integrity sibling of q153 (FK holes),
+    q212 (totals conformance) and q276 (timeline sanity)."""
+    B = SEQ_BUCKET
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(F.col("o_orderkey").alias("id")).filter(
+        F.col("id") % 7 != 0
+    )
+    ids = base.unionByName(base.filter(F.col("id") % 11 == 0))
+    n_rows = ids.count()
+    d = ids.distinct().withColumn("b", F.expr(f"id DIV {B}"))
+    wib = Window.partitionBy("b").orderBy("id")
+    within = d.withColumn("diff", F.col("id") - F.lag("id").over(wib))
+    bsum = within.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("id").alias("bmin"),
+        F.max("id").alias("bmax"),
+        F.sum(F.when(F.col("diff") > 1, 1).otherwise(0)).alias("runs_in"),
+        F.max(F.when(F.col("diff") > 1, F.col("diff") - 1)).alias(
+            "maxgap_in"
+        ),
+    )
+    wb = Window.orderBy("b")
+    stitched = bsum.withColumn(
+        "prev_max", F.lag("bmax").over(wb)
+    ).withColumn(
+        "boundary_gap",
+        F.when(
+            F.col("prev_max").isNotNull()
+            & (F.col("bmin") - F.col("prev_max") > 1),
+            F.col("bmin") - F.col("prev_max") - 1,
+        ),
+    )
+    return stitched.agg(
+        F.lit(n_rows).cast("bigint").alias("n_rows"),
+        F.sum("cnt").cast("bigint").alias("n_distinct"),
+        F.min("bmin").cast("bigint").alias("id_min"),
+        F.max("bmax").cast("bigint").alias("id_max"),
+        (
+            F.max("bmax") - F.min("bmin") + 1 - F.sum("cnt")
+        )
+        .cast("bigint")
+        .alias("n_missing"),
+        (
+            F.sum("runs_in")
+            + F.sum(
+                F.when(F.col("boundary_gap").isNotNull(), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_gap_runs"),
+        F.coalesce(
+            F.greatest(F.max("maxgap_in"), F.max("boundary_gap")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("largest_gap"),
+        (F.lit(n_rows) - F.sum("cnt")).cast("bigint").alias("n_dup_rows"),
+    )

@@ -1100,3 +1100,166 @@ def q294_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * n_pos * n_neg)"
         ).alias("auc_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q301 — harmonic-discounted ranking gain (integer-exact NDCG sibling)
+# --------------------------------------------------------------------------
+
+RANK_K = 10
+RANK_TRAIN_YEAR = 1996
+RANK_TEST_YEAR = 1997
+
+
+@register(
+    "q301_ranking_gain_eval",
+    oracle=f"""
+    WITH buys AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS p,
+               year(o.o_orderdate) AS yr
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE year(o.o_orderdate) IN ({RANK_TRAIN_YEAR}, {RANK_TEST_YEAR})
+    ),
+    train AS (
+        SELECT c, p, COUNT(*) AS w FROM buys
+        WHERE yr = {RANK_TRAIN_YEAR} GROUP BY c, p
+    ),
+    test AS (
+        SELECT DISTINCT c, p FROM buys WHERE yr = {RANK_TEST_YEAR}
+    ),
+    ranked AS (
+        SELECT c, p,
+               ROW_NUMBER() OVER (PARTITION BY c
+                                  ORDER BY w DESC, p) AS rk
+        FROM train
+        QUALIFY rk <= {RANK_K}
+    ),
+    gain AS (
+        SELECT r.c,
+               CAST(SUM(CASE WHEN t.p IS NOT NULL
+                             THEN 1000 // (r.rk + 1) ELSE 0 END)
+                    AS BIGINT) AS g,
+               CAST(SUM(CASE WHEN t.p IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               COUNT(*) AS n_ranked
+        FROM ranked r
+        LEFT JOIN test t ON t.c = r.c AND t.p = r.p
+        GROUP BY r.c
+    ),
+    ideal AS (
+        SELECT c,
+               CAST(SUM(CASE WHEN rk <= n_hits
+                             THEN 1000 // (rk + 1) ELSE 0 END)
+                    AS BIGINT) AS ig
+        FROM gain, (SELECT unnest(generate_series(1, {RANK_K})) AS rk)
+        GROUP BY c
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(g.n_hits) AS BIGINT) AS n_hits,
+           CAST(SUM(g.g) AS BIGINT) AS sum_gain_milli,
+           CAST(SUM(i.ig) AS BIGINT) AS sum_ideal_milli,
+           CASE WHEN SUM(i.ig) = 0 THEN 0
+                ELSE 1000000 * CAST(SUM(g.g) AS BIGINT)
+                     // CAST(SUM(i.ig) AS BIGINT) END AS ratio_ppm
+    FROM gain g JOIN ideal i ON i.c = g.c
+    """,
+)
+def q301_ranking_gain_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation with positional discounting — the
+    NDCG loop made integer-exact: rank each customer's parts by
+    {RANK_TRAIN_YEAR} purchase frequency, score hits against the held-
+    out {RANK_TEST_YEAR} purchases with a harmonic 1/(rank+1) discount
+    (milli-units, floored per TERM so both engines sum identical
+    integers — log2 discounting would put an engine-libm ulp in every
+    term), normalize by the ideal ordering's gain. q219 answers "did
+    any hit land in top-k"; this answers "how HIGH did they land" —
+    the metric that distinguishes two recommenders with the same hit
+    count.
+
+    Determinism: integer counts, per-term floored discounts, one ppm
+    division, rank ties broken by part key.
+
+    Scale: train aggregation and per-customer top-{RANK_K} both
+    partial-combine / WindowGroupLimit on the customer key; the
+    relevance join is keyed; the ideal gain is computed from each
+    customer's HIT COUNT against a {RANK_K}-row series — never by
+    re-sorting relevance. One summary row out.
+
+    Reference: completes the recommender-eval family (q219 hit rate,
+    q120 ANN recall, q301 position-weighted quality)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    buys = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(F.year("o_orderdate").isin(RANK_TRAIN_YEAR, RANK_TEST_YEAR))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.year("o_orderdate").alias("yr"),
+        )
+    )
+    train = (
+        buys.filter(F.col("yr") == RANK_TRAIN_YEAR)
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    test = (
+        buys.filter(F.col("yr") == RANK_TEST_YEAR)
+        .select("c", "p")
+        .distinct()
+        .withColumn("rel", F.lit(1))
+    )
+    wrk = Window.partitionBy("c").orderBy(F.col("w").desc(), "p")
+    ranked = (
+        train.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= RANK_K)
+    )
+    gain = (
+        ranked.join(test, ["c", "p"], "left")
+        .groupBy("c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rel").isNotNull(),
+                    F.expr("1000 DIV (rk + 1)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("g"),
+            F.sum(F.when(F.col("rel").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.count(F.lit(1)).alias("n_ranked"),
+        )
+    )
+    series = spark.range(1, RANK_K + 1).select(
+        F.col("id").cast("int").alias("rk")
+    )
+    ideal = (
+        gain.crossJoin(F.broadcast(series))
+        .groupBy("c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.col("n_hits"),
+                    F.expr("1000 DIV (rk + 1)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ig")
+        )
+    )
+    return gain.join(ideal, "c").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        F.sum("g").cast("bigint").alias("sum_gain_milli"),
+        F.sum("ig").cast("bigint").alias("sum_ideal_milli"),
+        F.expr(
+            "CASE WHEN SUM(ig) = 0 THEN 0"
+            " ELSE 1000000 * CAST(SUM(g) AS BIGINT)"
+            " DIV CAST(SUM(ig) AS BIGINT) END"
+        ).alias("ratio_ppm"),
+    )

@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "q289_silhouette",            # exact all-pairs baseline (q50 posture)
     "q290_json_profile",          # one-row record-total broadcast
     "q291_session_gap_sweep",     # 3-row gap-parameter broadcast fan-out
+    "q301_ranking_gain_eval",     # 10-row harmonic-series broadcast fan-out
 }
 
 

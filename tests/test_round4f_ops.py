@@ -549,3 +549,106 @@ def test_exact_median_bisect_matches_sorted_selection(spark):
     assert row["median_cents"] == cents[k - 1]
     # the selection certificate the query carries
     assert row["n_lt"] < k <= row["n_le"]
+
+
+# --------------------------------------------------------------------------
+# q300 — nearest as-of
+# --------------------------------------------------------------------------
+
+
+def test_nearest_asof_replay(spark):
+    rows = registry.QUERIES["q300_nearest_asof"](spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts"
+    ).collect()
+    assert len(rows) == len(ev)
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).collect()
+    by_cust = defaultdict(dict)
+    for o in orders:
+        d = by_cust[o["o_custkey"]]
+        us = int(o["o_orderdate"].timestamp() * 1_000_000)
+        if us not in d or o["o_orderkey"] < d[us]:
+            d[us] = o["o_orderkey"]
+    ev_by_id = {e["event_id"]: e for e in ev}
+    for r in rows:
+        e = ev_by_id[r["event_id"]]
+        cands = by_cust.get(e["user_id"], {})
+        if not cands:
+            assert r["direction"] == "none"
+            assert r["matched_orderkey"] is None
+            continue
+        e_us = int(e["ts"].timestamp() * 1_000_000)
+        prevs = [u for u in cands if u <= e_us]
+        nexts = [u for u in cands if u > e_us]
+        best_prev = max(prevs) if prevs else None
+        best_next = min(nexts) if nexts else None
+        if best_next is None or (
+            best_prev is not None
+            and e_us - best_prev <= best_next - e_us
+        ):
+            assert r["direction"] == "prev", r
+            assert r["matched_orderkey"] == cands[best_prev]
+            assert r["delta_us"] == e_us - best_prev
+        else:
+            assert r["direction"] == "next", r
+            assert r["matched_orderkey"] == cands[best_next]
+            assert r["delta_us"] == best_next - e_us
+
+
+# --------------------------------------------------------------------------
+# q301 — ranking gain
+# --------------------------------------------------------------------------
+
+
+def test_ranking_gain_bounds_and_consistency(spark):
+    row = registry.QUERIES["q301_ranking_gain_eval"](
+        spark, SF_MID
+    ).collect()[0]
+    assert row["n_users"] > 0
+    # gain can never exceed the ideal reordering's gain
+    assert 0 <= row["sum_gain_milli"] <= row["sum_ideal_milli"]
+    assert 0 <= row["ratio_ppm"] <= 1_000_000
+    # the ideal for k hits is a fixed harmonic prefix — spot-check one
+    from serverless_etl_spark.operators.training_ext import RANK_K
+
+    assert sum(1000 // (i + 1) for i in range(1, RANK_K + 1)) > 0
+
+
+# --------------------------------------------------------------------------
+# q302 — sequence gap audit
+# --------------------------------------------------------------------------
+
+
+def test_sequence_gap_audit_replay(spark):
+    row = registry.QUERIES["q302_sequence_gap_audit"](
+        spark, SF_SMALL
+    ).collect()[0]
+    raw = [
+        r["o_orderkey"]
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    ids = sorted(
+        [k for k in raw if k % 7 != 0]
+        + [k for k in raw if k % 7 != 0 and k % 11 == 0]
+    )
+    distinct = sorted(set(ids))
+    runs = largest = 0
+    for a, b in zip(distinct, distinct[1:]):
+        if b - a > 1:
+            runs += 1
+            largest = max(largest, b - a - 1)
+    assert row["n_rows"] == len(ids)
+    assert row["n_distinct"] == len(distinct)
+    assert row["id_min"] == distinct[0] and row["id_max"] == distinct[-1]
+    assert row["n_missing"] == distinct[-1] - distinct[0] + 1 - len(distinct)
+    assert row["n_gap_runs"] == runs
+    assert row["largest_gap"] == largest
+    assert row["n_dup_rows"] == len(ids) - len(distinct)
+    # the seeded defects must all be found
+    assert row["n_missing"] > 0
+    assert row["n_dup_rows"] > 0
+    assert row["n_gap_runs"] > 0

@@ -6719,3 +6719,152 @@ def q299_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lt",
         "n_le",
     )
+
+
+# --------------------------------------------------------------------------
+# q305 — one-scan multi-level distinct rollup via KMV sketch merge
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q305_rollup_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM events
+    ),
+    levels AS (
+        SELECT 'type' AS level, event_type AS grp, u FROM hashed
+        UNION ALL
+        SELECT DISTINCT 'class', substr(event_type, 1, 1), u FROM hashed
+        UNION ALL
+        SELECT DISTINCT 'total', 'ALL', u FROM hashed
+    ),
+    ranked AS (
+        SELECT level, grp, u,
+               ROW_NUMBER() OVER (PARTITION BY level, grp ORDER BY u)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY level, grp) AS n_exact
+        FROM levels
+    )
+    SELECT level, grp,
+           CAST(n_exact AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+                ELSE FLOOR(({KMV_K} - 1) / u) END AS BIGINT)
+               AS kmv_estimate
+    FROM ranked
+    WHERE rk = LEAST(n_exact, {KMV_K})
+      AND (rk = {KMV_K} OR n_exact < {KMV_K})
+    ORDER BY level, grp
+    """,
+)
+def q305_rollup_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count ROLLUP from one scan: per-type distinct users,
+    per-class, and grand total — where the class and total levels are
+    computed by MERGING the leaf KMV sketches (keep the k smallest of
+    the union of per-leaf k-minimum sets), never by rescanning the
+    data. The KMV merge identity — the k smallest of the union of
+    per-group k-smallest equal the group union's k smallest — makes
+    the merged estimate EXACTLY the direct estimate, and the oracle
+    computes every level the direct way, so the hash-match IS the
+    mergeability proof (not a tolerance test). This is how a
+    1000-executor GROUPING SETS distinct works: sketch partials up the
+    lattice, data read once.
+
+    Exact counts are reported beside the estimates (q121's contract)
+    so the sketch error stays visible per level.
+
+    Determinism: md5-derived uniforms; identical IEEE division and
+    FLOOR in both engines (the q121-proven arithmetic).
+
+    Scale: the only wide operation is the leaf distinct-hash dedup;
+    every level above it operates on ≤ |groups|·k sketch rows. The
+    exact columns are the testing-scale twin — at 100 TB only the
+    sketch path runs (or q49's HLL registers, which merge the same
+    way by MAX).
+
+    Reference: composes q121 (KMV) with q17/q29 (rollup/grouping
+    sets) into the one-scan multi-level distinct the BI stage
+    (S14) would want."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    hashed = track_cache(
+        ev.select("event_type", u.alias("u")).distinct().persist()
+    )
+
+    def level_estimate(frame, key_col, lvl):
+        """q121 arithmetic over a (key, u) frame (distinct pairs)."""
+        w = Window.partitionBy("grp").orderBy("u")
+        ranked = frame.select(
+            F.col(key_col).alias("grp"), "u"
+        ).withColumn("rk", F.row_number().over(w)).withColumn(
+            "n_exact", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+        )
+        est = F.when(
+            F.col("n_exact") < KMV_K, F.col("n_exact")
+        ).otherwise(F.floor((KMV_K - 1) / F.col("u")))
+        return ranked.filter(
+            (F.col("rk") == F.least(F.col("n_exact"), F.lit(KMV_K)))
+            & ((F.col("rk") == KMV_K) | (F.col("n_exact") < KMV_K))
+        ).select(
+            F.lit(lvl).alias("level"),
+            "grp",
+            F.col("n_exact").cast("bigint").alias("exact_distinct"),
+            est.cast("bigint").alias("kmv_estimate"),
+        )
+
+    # leaf level: direct over the deduped hashes
+    leaf = level_estimate(hashed.select(
+        F.col("event_type").alias("k"), "u"), "k", "type")
+    # leaf SKETCHES (k smallest per type) — the only rows the upper
+    # levels ever see
+    wl = Window.partitionBy("event_type").orderBy("u")
+    leaf_sketch = (
+        hashed.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= KMV_K)
+        .select("event_type", "u")
+    )
+    # class level: MERGE leaf sketches (dedup u, re-rank)
+    class_pairs = leaf_sketch.select(
+        F.substring("event_type", 1, 1).alias("k"), "u"
+    ).distinct()
+    class_exact = hashed.select(
+        F.substring("event_type", 1, 1).alias("k"), "u"
+    ).distinct()
+    cls = level_estimate(class_pairs, "k", "class").drop("exact_distinct")
+    cls_exact = (
+        class_exact.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+        .withColumnRenamed("k", "grp")
+    )
+    cls = cls.join(cls_exact, "grp").select(
+        "level", "grp", "exact_distinct", "kmv_estimate"
+    )
+    # total level: merge again from the CLASS sketches
+    wc = Window.partitionBy("k").orderBy("u")
+    class_sketch = (
+        class_pairs.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= KMV_K)
+        .select(F.lit("ALL").alias("k"), "u")
+        .distinct()
+    )
+    tot = level_estimate(class_sketch, "k", "total").drop("exact_distinct")
+    tot_exact = (
+        hashed.select("u")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+        .select(F.lit("ALL").alias("grp"), "exact_distinct")
+    )
+    tot = tot.join(F.broadcast(tot_exact), "grp").select(
+        "level", "grp", "exact_distinct", "kmv_estimate"
+    )
+    return leaf.unionByName(cls).unionByName(tot).orderBy("level", "grp")

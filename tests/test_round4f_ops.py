@@ -652,3 +652,82 @@ def test_sequence_gap_audit_replay(spark):
     assert row["n_missing"] > 0
     assert row["n_dup_rows"] > 0
     assert row["n_gap_runs"] > 0
+
+
+# --------------------------------------------------------------------------
+# q303 — injection screen
+# --------------------------------------------------------------------------
+
+
+def test_injection_screen_finds_all_seeded_docs(spark):
+    rows = registry.QUERIES["q303_injection_screen"](
+        spark, SF_MID
+    ).collect()
+    docs = load_table(spark, SF_MID, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    strong = sum(1 for d in docs if d["doc_id"] % 13 == 0)
+    # every strong-seeded doc must be flagged strong
+    assert sum(r["n_strong"] for r in rows) == strong
+    # the soft imperative tail has 2 lexicon hits -> imperative-heavy
+    soft = sum(
+        1 for d in docs
+        if d["doc_id"] % 13 != 0 and d["doc_id"] % 17 == 0
+    )
+    assert sum(r["n_imperative_heavy"] for r in rows) >= soft
+    for r in rows:
+        assert r["n_flagged"] <= r["n_docs"]
+        assert 0 <= r["flag_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q304 — license audit
+# --------------------------------------------------------------------------
+
+
+def test_license_audit_lattice_and_accounting(spark):
+    rows = registry.QUERIES["q304_license_audit"](spark, SF_MID).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    n = load_table(spark, SF_MID, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    names = ["cc0", "cc-by", "cc-by-nc", "proprietary"]
+    for r in rows:
+        assert r["effective_license"] == names[r["max_rank"]]
+        assert r["n_restrictive"] <= r["n_docs"]
+        # sources span all four ranks at sf0.01 -> every split conflicts
+        assert r["has_conflict"] == 1
+
+
+# --------------------------------------------------------------------------
+# q305 — rollup distinct sketch
+# --------------------------------------------------------------------------
+
+
+def test_rollup_sketch_merge_equals_direct_and_bounds(spark):
+    rows = registry.QUERIES["q305_rollup_distinct_sketch"](
+        spark, SF_MID
+    ).collect()
+    from serverless_etl_spark.operators.analytics_ext import KMV_K
+
+    by_level = defaultdict(list)
+    for r in rows:
+        by_level[r["level"]].append(r)
+    assert len(by_level["total"]) == 1
+    tot = by_level["total"][0]
+    # merged-total estimate within KMV error of exact
+    if tot["exact_distinct"] >= KMV_K:
+        tol = 4.0 / math.sqrt(KMV_K - 2)
+        assert (
+            abs(tot["kmv_estimate"] - tot["exact_distinct"])
+            <= tol * tot["exact_distinct"]
+        )
+    else:
+        assert tot["kmv_estimate"] == tot["exact_distinct"]
+    # every level's exact is <= total exact; classes partition types
+    type_exacts = {r["grp"]: r["exact_distinct"] for r in by_level["type"]}
+    for r in by_level["class"]:
+        members = [
+            v for k, v in type_exacts.items() if k.startswith(r["grp"])
+        ]
+        assert r["exact_distinct"] <= sum(members)
+        assert r["exact_distinct"] >= max(members)

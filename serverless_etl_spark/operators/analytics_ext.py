@@ -5514,16 +5514,22 @@ def _pois_case_sql(u_expr: str) -> str:
 @register(
     "q255_poisson_bootstrap",
     oracle=f"""
-    WITH fan AS (
+    WITH hashed AS (
         SELECT event_type,
                CAST(FLOOR(value * 1000) AS BIGINT) AS x,
-               b,
-               {_pois_case_sql(
-                   "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) "
-                   "|| '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) "
-                   "/ 4294967296.0")} AS w
+               g,
+               md5(CAST(event_id AS VARCHAR) || '|'
+                   || CAST(g AS VARCHAR)) AS hex
         FROM events
-        CROSS JOIN (SELECT unnest(range(1, {BOOT_B + 1})) AS b)
+        CROSS JOIN (SELECT unnest(range(0, {BOOT_B // 4})) AS g)
+    ),
+    fan AS (
+        SELECT event_type, x, g * 4 + sl + 1 AS b,
+               {_pois_case_sql(
+                   "CAST(('0x' || substr(hex, sl * 8 + 1, 8)) AS BIGINT) "
+                   "/ 4294967296.0")} AS w
+        FROM hashed
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS sl)
     ),
     reps AS (
         SELECT event_type, b,
@@ -5566,8 +5572,10 @@ def q255_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: weights come from an inverse-CDF lookup of md5
     uniforms against Python-computed Poisson(1) CDF literals baked
-    into both plans; replicate means are integer milli-unit floor
-    divisions; rank selection breaks ties by replicate id.
+    into both plans (each 128-bit md5 is sliced into FOUR 8-hex
+    uniforms, so the hash — the fan-out's dominant cost — runs B/4
+    times per row, not B); replicate means are integer milli-unit
+    floor divisions; rank selection breaks ties by replicate id.
 
     Scale: the ×{BOOT_B} fan-out is map-side on the scan (no
     replicate-wise rescans); each replicate partial-aggregates to one
@@ -5577,27 +5585,35 @@ def q255_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: none (no statistics surface); the uncertainty layer
     for q01/q75-style dashboard means."""
     ev = load_table(spark, sf_dir, "events")
-    b_col = F.explode(
-        F.array(*[F.lit(i) for i in range(1, BOOT_B + 1)])
-    ).alias("b")
-    fan = ev.select(
+    # one md5 yields FOUR 8-hex uniforms: hash per (row, replicate
+    # GROUP of 4), slice per replicate — 4x fewer md5 evaluations on
+    # the fan-out (the hash dominates the replicate loop's cost)
+    g_col = F.explode(
+        F.array(*[F.lit(i) for i in range(BOOT_B // 4)])
+    ).alias("g")
+    hashed = ev.select(
         "event_type",
         F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
         "event_id",
-        b_col,
+        g_col,
+    ).withColumn(
+        "hex",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("g").cast("string"),
+            )
+        ),
+    )
+    s_col = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("sl")
+    fan = hashed.select("event_type", "x", "g", "hex", s_col).withColumn(
+        "b", F.col("g") * 4 + F.col("sl") + 1
     )
     u = (
         F.conv(
             F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("event_id").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
+                F.col("hex"), (F.col("sl") * 8 + 1).cast("int"), 8
             ),
             16,
             10,
@@ -6868,3 +6884,120 @@ def q305_rollup_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level", "grp", "exact_distinct", "kmv_estimate"
     )
     return leaf.unionByName(cls).unionByName(tot).orderBy("level", "grp")
+
+
+# --------------------------------------------------------------------------
+# q306 — attribution model comparison (first / last / linear, one pass)
+# --------------------------------------------------------------------------
+
+ATTR_LOOKBACK_DAYS = 7
+
+
+@register(
+    "q306_attribution_models",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT c.conv_id, t.event_type, t.t_us, t.event_id
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.t_us < c.c_us
+         AND t.t_us >= c.c_us - {ATTR_LOOKBACK_DAYS} * 86400000000
+    ),
+    ranked AS (
+        SELECT conv_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY t_us, event_id) AS rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY t_us DESC, event_id DESC)
+                   AS rn_desc,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n_touch
+        FROM pairs
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(CASE WHEN rn_asc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch_convs,
+           CAST(SUM(CASE WHEN rn_desc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch_convs,
+           CAST(SUM(1000 // n_touch) AS BIGINT) AS linear_milli
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q306_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution model comparison — first-touch, last-touch, and
+    linear credit per channel computed in ONE pass over the journey
+    pairs: each conversion's touches (same user, {ATTR_LOOKBACK_DAYS}-
+    day lookback) get ascending/descending ranks and a touch count
+    from three windows sharing one partitioning, and each model is
+    then a conditional aggregate — no per-model rescans. Disagreement
+    between the models' channel rankings is the deliverable: a channel
+    whose credit collapses from last-touch to linear was
+    closing conversions it never initiated (q141 reported last-touch
+    alone; the comparison is what makes the number actionable).
+
+    Determinism: microsecond integers, rank ties by event id, linear
+    credit floored to milli-units per conversion (Σ ≤ 1000 per
+    conversion, remainder dropped — documented, identical in both
+    engines).
+
+    Scale: the journey join is user-keyed (pairs bounded per user by
+    activity × lookback); the three windows share ONE conv_id
+    exchange; channel rollup partial-combines to |channels| rows.
+
+    Reference: extends the funnel/attribution family (q77, q141,
+    q145, q240, q266) with the model-comparison axis."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("t_us") < F.col("c_us"))
+        & (
+            F.col("t_us")
+            >= F.col("c_us") - ATTR_LOOKBACK_DAYS * 86_400_000_000
+        ),
+    ).select("conv_id", "event_type", "t_us", "t_id")
+    w_asc = Window.partitionBy("conv_id").orderBy("t_us", "t_id")
+    w_desc = Window.partitionBy("conv_id").orderBy(
+        F.col("t_us").desc(), F.col("t_id").desc()
+    )
+    w_cnt = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id",
+        "event_type",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_touch"),
+    )
+    return (
+        ranked.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("rn_asc") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch_convs"),
+            F.sum(F.when(F.col("rn_desc") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch_convs"),
+            F.sum(F.expr("1000 DIV n_touch"))
+            .cast("bigint")
+            .alias("linear_milli"),
+        )
+        .orderBy("channel")
+    )

@@ -1,0 +1,85 @@
+"""Streaming OHLC bars: q286's candle aggregate under an event-time
+tumbling window — open/high/low/close/volume per (day, event_type)
+maintained incrementally over a stream of events.
+
+The whole point of q286's formulation (min_by/max_by against a
+bucket-unique sequence key, no window-function sort) is that it is a
+plain hash AGGREGATE — which is exactly the class of computation
+Structured Streaming can run incrementally with watermarked state.
+The windowed-sort formulation of OHLC would not stream at all.
+
+Stream ≡ batch contract: bars computed by draining any prefix equal
+`ohlc_bars(rows)` over the same rows (tested in tests/test_bars.py)
+because every component aggregate (min_by/max_by/min/max/count/sum)
+is associative and insensitive to batch decomposition.
+
+Scale: state per open window is ONE candle (six numbers) per
+(day, type); the watermark bounds how many windows stay open. The
+sequence key is the event id (ingestion order), unique by contract —
+so min_by/max_by ties cannot occur in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: event-time watermark for late bars
+BARS_WATERMARK = "2 days"
+
+
+def ohlc_candle_agg():
+    """The shared candle aggregate exprs (batch and streaming)."""
+    return [
+        F.min_by("cents", "seq").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max_by("cents", "seq").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("turnover_cents"),
+    ]
+
+
+def _prepared(events: DataFrame) -> DataFrame:
+    return events.select(
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Batch form: daily candles per event_type (q286's shape over the
+    event stream's schema)."""
+    return (
+        _prepared(events)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(*ohlc_candle_agg())
+        .select(
+            F.col("w.start").alias("day"), "event_type",
+            "open_cents", "high_cents", "low_cents", "close_cents",
+            "n_events", "turnover_cents",
+        )
+    )
+
+
+def ohlc_bars_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming form: identical aggregate under a watermark. Use
+    outputMode('complete') (or append once the watermark passes) —
+    the aggregate itself is the same code path as the batch twin."""
+    return (
+        _prepared(events_stream)
+        .withWatermark("ts", BARS_WATERMARK)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(*ohlc_candle_agg())
+        .select(
+            F.col("w.start").alias("day"), "event_type",
+            "open_cents", "high_cents", "low_cents", "close_cents",
+            "n_events", "turnover_cents",
+        )
+    )

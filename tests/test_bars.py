@@ -1,0 +1,89 @@
+"""Streaming OHLC bars (streaming/bars.py): stream ≡ batch parity of
+the candle aggregate under availableNow drains, and candle ordering
+invariants."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.streaming.bars import ohlc_bars, ohlc_bars_stream
+from tests.conftest import SF_SMALL
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE"
+)
+
+
+def _write_event_files(spark, src_dir, n_files=3):
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    src_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        with open(src_dir / f"part-{i}.json", "w") as f:
+            for r in rows[i::n_files]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return rows
+
+
+def _key(r):
+    return (r["day"], r["event_type"])
+
+
+def test_streamed_bars_equal_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_event_files(spark, src)
+    stream = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        ohlc_bars_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bars_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        _key(r): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"], r["turnover_cents"],
+        )
+        for r in spark.sql("SELECT * FROM bars_mem").collect()
+    }
+    # batch twin over the SAME json rows (same ts parsing path)
+    batch_rows = spark.read.schema(EVENTS_JSON_SCHEMA).json(str(src))
+    batch = {
+        _key(r): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"], r["turnover_cents"],
+        )
+        for r in ohlc_bars(batch_rows).collect()
+    }
+    assert streamed == batch
+    assert streamed, "no bars produced"
+
+
+def test_bar_invariants(spark):
+    bars = ohlc_bars(load_table(spark, SF_SMALL, "events")).collect()
+    assert bars
+    for r in bars:
+        assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+        assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+        assert r["n_events"] > 0

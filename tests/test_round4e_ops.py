@@ -791,15 +791,11 @@ def test_poisson_bootstrap_matches_pure_python(spark):
         p[0] += x
         p[1] += 1
         for b in range(1, BOOT_B + 1):
-            u = (
-                int(
-                    hashlib.md5(f"{r['event_id']}|{b}".encode()).hexdigest()[
-                        :8
-                    ],
-                    16,
-                )
-                / 4294967296.0
-            )
+            # 4 uniforms per md5: hash the replicate GROUP, slice by
+            # replicate-within-group (mirrors the engine's derivation)
+            g, sl = (b - 1) // 4, (b - 1) % 4
+            hx = hashlib.md5(f"{r['event_id']}|{g}".encode()).hexdigest()
+            u = int(hx[sl * 8:sl * 8 + 8], 16) / 4294967296.0
             w = 5
             for k, t in enumerate(_POIS_T):
                 if u < t:

@@ -731,3 +731,42 @@ def test_rollup_sketch_merge_equals_direct_and_bounds(spark):
         ]
         assert r["exact_distinct"] <= sum(members)
         assert r["exact_distinct"] >= max(members)
+
+
+# --------------------------------------------------------------------------
+# q306 — attribution model comparison
+# --------------------------------------------------------------------------
+
+
+def test_attribution_models_conservation(spark):
+    rows = registry.QUERIES["q306_attribution_models"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    from serverless_etl_spark.operators.analytics_ext import (
+        ATTR_LOOKBACK_DAYS,
+    )
+
+    ev = load_table(spark, SF_MID, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    touches = defaultdict(list)
+    convs = []
+    for e in ev:
+        us = int(e["ts"].timestamp() * 1_000_000)
+        if e["event_type"] == "purchase":
+            convs.append((e["user_id"], us))
+        else:
+            touches[e["user_id"]].append(us)
+    lb = ATTR_LOOKBACK_DAYS * 86_400_000_000
+    n_attributed = sum(
+        1
+        for u, cus in convs
+        if any(cus - lb <= t < cus for t in touches.get(u, []))
+    )
+    total_first = sum(r["first_touch_convs"] for r in rows)
+    total_last = sum(r["last_touch_convs"] for r in rows)
+    # each attributed conversion credits exactly one first and one last
+    assert total_first == total_last == n_attributed
+    # linear credit never exceeds 1000 milli per attributed conversion
+    assert sum(r["linear_milli"] for r in rows) <= 1000 * n_attributed

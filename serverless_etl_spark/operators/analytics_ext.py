@@ -7001,3 +7001,172 @@ def q306_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# q307 — randomization (permutation) test, one pass, 64 coins per md5
+# --------------------------------------------------------------------------
+
+PERM_B = 64
+PERM_A = "click"
+PERM_B_GRP = "view"
+
+
+@register(
+    "q307_permutation_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS x,
+               CASE WHEN event_type = '{PERM_A}' THEN 1 ELSE 0 END AS isa,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS w1,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) AS w2
+        FROM events
+        WHERE event_type IN ('{PERM_A}', '{PERM_B_GRP}')
+    ),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN isa = 1 THEN x END) AS BIGINT)
+                   // SUM(isa)
+               - CAST(SUM(CASE WHEN isa = 0 THEN x END) AS BIGINT)
+                   // SUM(1 - isa) AS d,
+               CAST(SUM(isa) AS BIGINT) AS n_a,
+               CAST(SUM(1 - isa) AS BIGINT) AS n_b
+        FROM base
+    ),
+    fan AS (
+        SELECT b,
+               CASE WHEN ((CASE WHEN b < 32 THEN w1 ELSE w2 END
+                           >> (b % 32)) & 1) = 1
+                    THEN 1 - isa ELSE isa END AS s,
+               x
+        FROM base
+        CROSS JOIN (SELECT unnest(range(0, {PERM_B})) AS b)
+    ),
+    reps AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN s = 1 THEN x END) AS BIGINT)
+                   // SUM(s)
+               - CAST(SUM(CASE WHEN s = 0 THEN x END) AS BIGINT)
+                   // SUM(1 - s) AS d
+        FROM fan GROUP BY b
+        HAVING SUM(s) > 0 AND SUM(1 - s) > 0
+    )
+    SELECT o.n_a, o.n_b, o.d AS obs_diff_milli,
+           COUNT(*) AS n_perms,
+           CAST(SUM(CASE WHEN abs(r.d) >= abs(o.d) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           1000000 * CAST(SUM(CASE WHEN abs(r.d) >= abs(o.d)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               // COUNT(*) AS p_ppm
+    FROM reps r, obs o
+    GROUP BY o.n_a, o.n_b, o.d
+    """,
+)
+def q307_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for a two-group mean difference — the
+    assumption-free sibling of q252's rank test and q256's DiD: under
+    the null, group labels are exchangeable, so relabel every row by a
+    deterministic coin {PERM_B} times and ask how often the relabeled
+    |mean difference| reaches the observed one. Like q255's Poisson
+    bootstrap this is the DISTRIBUTED formulation: label flips are
+    independent per (row, replicate), so all {PERM_B} replicates are
+    conditional aggregates over ONE fan-out — no global permutation
+    shuffle, which is the operation that cannot scale. All {PERM_B}
+    coins come from a SINGLE md5 per row (two 32-bit words, one bit
+    per replicate — the q255 hash-slicing idea taken to bits).
+
+    Randomization uses i.i.d. coin relabeling (group sizes vary
+    binomially across replicates) — the standard randomization-test
+    variant that map-reduces; fixed-size permutations would need the
+    global shuffle this query exists to avoid.
+
+    Determinism: md5 coin bits, integer milli means (floor division),
+    integer extreme counts, one ppm division.
+
+    Scale: the ×{PERM_B} fan-out is map-side and collapses to
+    {PERM_B} partial rows; the hash cost is ONE md5 per row total.
+
+    Reference: completes the inference family (q252 rank, q255
+    bootstrap, q256 causal, q274 interval, q307 exact-style test)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin(PERM_A, PERM_B_GRP)
+    ).select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("x"),
+        F.when(F.col("event_type") == PERM_A, 1).otherwise(0).alias("isa"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("w1"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 9, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("w2"),
+    )
+    base = track_cache(base.persist())
+    obs = base.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN isa = 1 THEN x END) AS BIGINT) DIV SUM(isa)"
+            " - CAST(SUM(CASE WHEN isa = 0 THEN x END) AS BIGINT)"
+            " DIV SUM(1 - isa)"
+        ).alias("d"),
+        F.sum("isa").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("isa")).cast("bigint").alias("n_b"),
+    )
+    fan = base.select(
+        "x",
+        "isa",
+        "w1",
+        "w2",
+        F.explode(F.array(*[F.lit(i) for i in range(PERM_B)])).alias("b"),
+    ).select(
+        "b",
+        "x",
+        F.expr(
+            "CASE WHEN ((CASE WHEN b < 32 THEN w1 ELSE w2 END"
+            " >> (b % 32)) & 1) = 1 THEN 1 - isa ELSE isa END"
+        ).alias("s"),
+    )
+    reps = (
+        fan.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("s") == 1, F.col("x"))).alias("s1"),
+            F.sum("s").alias("c1"),
+            F.sum(F.when(F.col("s") == 0, F.col("x"))).alias("s0"),
+            F.sum(1 - F.col("s")).alias("c0"),
+        )
+        .filter((F.col("c1") > 0) & (F.col("c0") > 0))
+        .select(
+            F.expr(
+                "CAST(s1 AS BIGINT) DIV c1 - CAST(s0 AS BIGINT) DIV c0"
+            ).alias("d")
+        )
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs.withColumnRenamed("d", "od")))
+        .groupBy("n_a", "n_b", "od")
+        .agg(
+            F.count(F.lit(1)).alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("od")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.col("od").alias("obs_diff_milli"),
+            "n_perms",
+            "n_extreme",
+            F.expr("1000000 * n_extreme DIV n_perms").alias("p_ppm"),
+        )
+    )

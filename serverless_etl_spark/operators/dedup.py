@@ -2795,3 +2795,197 @@ def q288_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("digest")
     )
+
+
+# --------------------------------------------------------------------------
+# q308 — detector agreement: exact Jaccard vs SimHash (Cohen's kappa)
+# --------------------------------------------------------------------------
+
+AGREE_JAC_T = 500_000  #: jaccard ppm verdict threshold
+AGREE_HAM_T = 3        #: simhash hamming verdict threshold (16-bit)
+
+
+@register(
+    "q308_detector_agreement",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    sh AS (
+        SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS digest
+        FROM corpus
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.digest = b.digest AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               substr(md5(unnest(list_distinct(string_split(text, ' ')))),
+                      1, 4) AS h
+        FROM corpus
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_SIMHASH_SUMS}
+        FROM tok GROUP BY doc_id
+    ),
+    simh AS (
+        SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+        FROM sums
+    ),
+    verdicts AS (
+        SELECT CASE WHEN 1000000 * s.inter
+                         // (za.n_sh + zb.n_sh - s.inter)
+                         >= {AGREE_JAC_T} THEN 1 ELSE 0 END AS v1,
+               CASE WHEN bit_count(xor(ha.simhash, hb.simhash))
+                         <= {AGREE_HAM_T} THEN 1 ELSE 0 END AS v2
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.doc_a
+        JOIN sizes zb ON zb.doc_id = s.doc_b
+        JOIN simh ha ON ha.doc_id = s.doc_a
+        JOIN simh hb ON hb.doc_id = s.doc_b
+    ),
+    cm AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(v1 * v2) AS BIGINT) AS a,
+               CAST(SUM(v1 * (1 - v2)) AS BIGINT) AS b,
+               CAST(SUM((1 - v1) * v2) AS BIGINT) AS c,
+               CAST(SUM((1 - v1) * (1 - v2)) AS BIGINT) AS d
+        FROM verdicts
+    )
+    SELECT n AS n_pairs, a AS both_dup, b AS jac_only, c AS sim_only,
+           d AS both_clean,
+           1000000 * (a + d) // n AS agree_ppm,
+           CASE WHEN n * n - ((a + b) * (a + c) + (c + d) * (b + d)) = 0
+                THEN 0
+                WHEN n * (a + d) >= (a + b) * (a + c) + (c + d) * (b + d)
+                THEN 1000000 * (n * (a + d)
+                     - ((a + b) * (a + c) + (c + d) * (b + d)))
+                     // (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))
+                ELSE -(1000000 * (((a + b) * (a + c) + (c + d) * (b + d))
+                       - n * (a + d))
+                       // (n * n
+                           - ((a + b) * (a + c) + (c + d) * (b + d))))
+           END AS kappa_ppm
+    FROM cm
+    """,
+)
+def q308_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-detector agreement — two INDEPENDENT near-dup detectors
+    (exact shingle Jaccard ≥ {AGREE_JAC_T} ppm vs 16-bit SimHash
+    hamming ≤ {AGREE_HAM_T}) judged on the same candidate pairs, with
+    the 2×2 confusion matrix, raw agreement, and chance-corrected
+    Cohen's kappa. Raw agreement flatters any pair of detectors on an
+    imbalanced universe (most candidate pairs are clean — two
+    detectors that both say "clean" always agree); kappa subtracts
+    the agreement their marginal rates would produce by chance, which
+    is the honest number for "can SimHash stand in for Jaccard here".
+    The q280 calibration tunes ONE detector's threshold; this
+    measures whether two FAMILIES see the same duplicates.
+
+    Determinism: integer confusion counts; kappa via cross-multiplied
+    integers with an explicit sign split (Spark DIV truncates,
+    DuckDB // floors — they agree only on non-negatives).
+
+    Scale: candidates are the df-bounded shingle-sharing pairs (the
+    q42/q280 posture, never all-pairs); both detectors compute
+    map-side per doc/pair; the rollup is ONE row. The simhash side
+    reuses q43's bit-majority kernel over the same corpus scan.
+
+    Reference: the meta-evaluation layer of the dedup family (q177
+    recall vs LSH, q280 threshold choice, q308 cross-family
+    agreement)."""
+    docs = _duped_docs(spark, sf_dir)
+    words = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    sh = track_cache(
+        words.select(
+            "doc_id", F.explode(_shingles(F.col("w"))).alias("shingle")
+        )
+        .select("doc_id", F.md5("shingle").alias("digest"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_ = sh.select(F.col("doc_id").alias("doc_a"), "digest")
+    b_ = sh.select(F.col("doc_id").alias("doc_b"), "digest")
+    shared = (
+        a_.join(b_, "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    tok = words.select(
+        "doc_id", F.explode(F.array_distinct(F.col("w"))).alias("t")
+    ).select("doc_id", F.substring(F.md5("t"), 1, 4).alias("h"))
+    bits = _simhash_exprs_spark(F.col("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(bits[b]).alias(f"s{b}") for b in range(16)]
+    )
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, 2**b).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    simh = sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    ha = simh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    hb = simh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    verdicts = (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            F.when(
+                F.expr("1000000 * inter DIV (na + nb - inter)")
+                >= AGREE_JAC_T,
+                1,
+            )
+            .otherwise(0)
+            .alias("v1"),
+            F.when(
+                F.bit_count(
+                    F.col("sa").bitwiseXOR(F.col("sb"))
+                )
+                <= AGREE_HAM_T,
+                1,
+            )
+            .otherwise(0)
+            .alias("v2"),
+        )
+    )
+    cm = verdicts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v1") * F.col("v2")).cast("bigint").alias("a"),
+        F.sum(F.col("v1") * (1 - F.col("v2"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("v1")) * F.col("v2")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("v1")) * (1 - F.col("v2")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return cm.select(
+        F.col("n").alias("n_pairs"),
+        F.col("a").alias("both_dup"),
+        F.col("b").alias("jac_only"),
+        F.col("c").alias("sim_only"),
+        F.col("d").alias("both_clean"),
+        F.expr("1000000 * (a + d) DIV n").alias("agree_ppm"),
+        F.expr(
+            """
+            CASE WHEN n * n - ((a + b) * (a + c) + (c + d) * (b + d)) = 0
+                 THEN 0
+                 WHEN n * (a + d) >= (a + b) * (a + c) + (c + d) * (b + d)
+                 THEN 1000000 * (n * (a + d)
+                      - ((a + b) * (a + c) + (c + d) * (b + d)))
+                      DIV (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))
+                 ELSE -(1000000 * (((a + b) * (a + c) + (c + d) * (b + d))
+                        - n * (a + d))
+                        DIV (n * n
+                             - ((a + b) * (a + c) + (c + d) * (b + d))))
+            END
+            """
+        ).alias("kappa_ppm"),
+    )

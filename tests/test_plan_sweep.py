@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "q291_session_gap_sweep",     # 3-row gap-parameter broadcast fan-out
     "q301_ranking_gain_eval",     # 10-row harmonic-series broadcast fan-out
     "q305_rollup_distinct_sketch",  # one-row total-exact broadcast (literal key folds)
+    "q307_permutation_test",      # one-row observed-statistic broadcast
 }
 
 

@@ -770,3 +770,96 @@ def test_attribution_models_conservation(spark):
     assert total_first == total_last == n_attributed
     # linear credit never exceeds 1000 milli per attributed conversion
     assert sum(r["linear_milli"] for r in rows) <= 1000 * n_attributed
+
+
+# --------------------------------------------------------------------------
+# q307 — permutation test
+# --------------------------------------------------------------------------
+
+
+def test_permutation_test_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        PERM_A,
+        PERM_B,
+        PERM_B_GRP,
+    )
+
+    row = registry.QUERIES["q307_permutation_test"](
+        spark, SF_SMALL
+    ).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    base = []
+    for e in ev:
+        if e["event_type"] not in (PERM_A, PERM_B_GRP):
+            continue
+        hx = hashlib.md5(str(e["event_id"]).encode()).hexdigest()
+        w1, w2 = int(hx[:8], 16), int(hx[8:16], 16)
+        base.append(
+            (
+                math.floor(e["value"] * 1000),
+                1 if e["event_type"] == PERM_A else 0,
+                w1,
+                w2,
+            )
+        )
+    sa = sum(x for x, a, *_ in base if a)
+    ca = sum(1 for _, a, *_ in base if a)
+    sb = sum(x for x, a, *_ in base if not a)
+    cb = len(base) - ca
+    obs = sa // ca - sb // cb
+    n_extreme = n_perms = 0
+    for b in range(PERM_B):
+        s1 = c1 = s0 = c0 = 0
+        for x, a, w1, w2 in base:
+            w = w1 if b < 32 else w2
+            s = (1 - a) if ((w >> (b % 32)) & 1) else a
+            if s:
+                s1 += x
+                c1 += 1
+            else:
+                s0 += x
+                c0 += 1
+        if c1 == 0 or c0 == 0:
+            continue
+        n_perms += 1
+        if abs(s1 // c1 - s0 // c0) >= abs(obs):
+            n_extreme += 1
+    assert row["n_a"] == ca and row["n_b"] == cb
+    assert row["obs_diff_milli"] == obs
+    assert row["n_perms"] == n_perms
+    assert row["n_extreme"] == n_extreme
+    assert row["p_ppm"] == 1_000_000 * n_extreme // n_perms
+
+
+# --------------------------------------------------------------------------
+# q308 — detector agreement
+# --------------------------------------------------------------------------
+
+
+def test_detector_agreement_kappa_identities(spark):
+    row = registry.QUERIES["q308_detector_agreement"](
+        spark, SF_MID
+    ).collect()[0]
+    n = row["n_pairs"]
+    a, b, c, d = (
+        row["both_dup"], row["jac_only"], row["sim_only"], row["both_clean"]
+    )
+    assert a + b + c + d == n and n > 0
+    assert row["agree_ppm"] == 1_000_000 * (a + d) // n
+    # recompute kappa from the matrix
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    num = n * (a + d) - pe_num
+    den = n * n - pe_num
+    if den == 0:
+        expect = 0
+    elif num >= 0:
+        expect = 1_000_000 * num // den
+    else:
+        expect = -(1_000_000 * (-num) // den)
+    assert row["kappa_ppm"] == expect
+    # the seeded clones make both detectors fire: real positive overlap
+    assert a > 0
+    # kappa must not exceed raw agreement scale
+    assert -1_000_000 <= row["kappa_ppm"] <= 1_000_000

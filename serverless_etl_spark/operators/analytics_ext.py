@@ -7170,3 +7170,318 @@ def q307_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * n_extreme DIV n_perms").alias("p_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q309 — rolling 7-day distinct users from daily KMV sketches
+# --------------------------------------------------------------------------
+
+ROLL_WIN = 7
+
+
+@register(
+    "q309_rolling_distinct_sketch",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM events
+    ),
+    daily AS (
+        SELECT day, u,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY u) AS rk
+        FROM pairs
+    ),
+    sketch AS (SELECT day, u FROM daily WHERE rk <= {KMV_K}),
+    days AS (SELECT DISTINCT day FROM pairs),
+    fan AS (
+        SELECT DISTINCT d.day, s.u
+        FROM days d JOIN sketch s
+          ON s.day BETWEEN d.day - {ROLL_WIN - 1} AND d.day
+    ),
+    ranked AS (
+        SELECT day, u,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY u) AS rk
+        FROM fan
+    ),
+    exact AS (
+        SELECT d.day, COUNT(DISTINCT p.u) AS n_exact
+        FROM days d JOIN pairs p
+          ON p.day BETWEEN d.day - {ROLL_WIN - 1} AND d.day
+        GROUP BY d.day
+    )
+    SELECT e.day, CAST(e.n_exact AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN e.n_exact < {KMV_K} THEN e.n_exact
+                ELSE FLOOR(({KMV_K} - 1) / r.u) END AS BIGINT)
+               AS kmv_estimate
+    FROM exact e JOIN ranked r ON r.day = e.day
+    WHERE r.rk = LEAST(e.n_exact, {KMV_K})
+      AND (r.rk = {KMV_K} OR e.n_exact < {KMV_K})
+    ORDER BY e.day
+    """,
+)
+def q309_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_WIN}-day distinct users maintained from DAILY KMV
+    sketches — q305's lattice merge applied along the time axis: one
+    bounded sketch per day, each day's rolling reach = merge of its
+    trailing {ROLL_WIN} sketches (k smallest of the union). The naive
+    form re-deduplicates {ROLL_WIN} days of raw traffic PER DAY;
+    q167's bitmap form is exact but carries |users|-bit state per day
+    at high cardinality. Daily sketches are {KMV_K} doubles each,
+    FOREVER, and the merge identity makes the windowed estimate
+    exactly the direct estimate — the oracle computes it direct, so
+    the hash-match is again the mergeability proof. Exact counts ride
+    alongside (q121's contract) as the testing-scale twin.
+
+    Determinism: md5 uniforms, the q121-proven estimator arithmetic;
+    distinct-pair dedup before ranking removes all tie classes.
+
+    Scale: the only wide op is the daily distinct; everything after
+    runs on |days|×{KMV_K} sketch rows (the ×{ROLL_WIN} fan-out rides
+    the SKETCH, not the traffic). The same shape maintains weekly /
+    monthly reach from the same daily partials — build once, roll
+    any window.
+
+    Reference: the time-windowed member of the sketch family (q49
+    HLL, q121/q235 KMV, q239 registers, q305 lattice merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    pairs = track_cache(
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            u.alias("u"),
+        )
+        .distinct()
+        .persist()
+    )
+    wd = Window.partitionBy("day").orderBy("u")
+    sketch = (
+        pairs.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= KMV_K)
+        .select("day", "u")
+    )
+    days = pairs.select("day").distinct()
+    off = F.explode(F.sequence(F.lit(0), F.lit(ROLL_WIN - 1))).alias("o")
+    fan = (
+        sketch.select(F.col("day").alias("sday"), "u", off)
+        .select(F.date_add(F.col("sday"), F.col("o")).alias("day"), "u")
+        .join(days, "day")
+        .distinct()
+    )
+    ranked = fan.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("day").orderBy("u"))
+    )
+    exact = (
+        pairs.select(F.col("day").alias("pday"), "u")
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(ROLL_WIN - 1))))
+        .select(F.date_add(F.col("pday"), F.col("o")).alias("day"), "u")
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact")
+    ).otherwise(F.floor((KMV_K - 1) / F.col("u")))
+    return (
+        ranked.join(exact, "day")
+        .filter(
+            (F.col("rk") == F.least(F.col("n_exact"), F.lit(KMV_K)))
+            & ((F.col("rk") == KMV_K) | (F.col("n_exact") < KMV_K))
+        )
+        .select(
+            "day",
+            F.col("n_exact").cast("bigint").alias("exact_distinct"),
+            est.cast("bigint").alias("kmv_estimate"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q310 — unordered (set-completion) funnel
+# --------------------------------------------------------------------------
+
+UFUN_STEPS = ("view", "click", "signup")
+
+
+@register(
+    "q310_unordered_funnel",
+    oracle=f"""
+    WITH stepped AS (
+        SELECT user_id,
+               CAST(year(ts) * 100 + week(ts) AS BIGINT) AS yw,
+               event_type
+        FROM events
+        WHERE event_type IN ({", ".join(f"'{s}'" for s in UFUN_STEPS)})
+    ),
+    per_user AS (
+        SELECT yw, user_id,
+               COUNT(DISTINCT event_type) AS n_steps
+        FROM stepped GROUP BY yw, user_id
+    )
+    SELECT yw,
+           COUNT(*) AS n_users_active,
+           CAST(SUM(CASE WHEN n_steps = {len(UFUN_STEPS)}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+           1000000 * CAST(SUM(CASE WHEN n_steps = {len(UFUN_STEPS)}
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               // COUNT(*) AS completion_ppm
+    FROM per_user GROUP BY yw ORDER BY yw
+    """,
+)
+def q310_unordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-completion funnel — did the user do ALL of {UFUN_STEPS}
+    within the week, in ANY order? The ordered funnels (q77 sequence,
+    q240 windowed, q266 cohorted) answer a different question: they
+    require the canonical order and undercount users who signup
+    before clicking. Checklist-style activation metrics ("completed
+    all onboarding actions") are the unordered form — per (week,
+    user) a distinct-step count, completion = full set. The contrast
+    WITH q77 on the same data is the point: unordered completion is a
+    strict upper bound on ordered completion, pinned in the test.
+
+    Determinism: integer week buckets (year·100+week, same ISO week
+    both engines), distinct counts, one ppm division.
+
+    Scale: one exchange on (week, user); the distinct-step count is
+    bounded by |steps| so state per key is a {len(UFUN_STEPS)}-bit
+    set (at scale: bit_or of 1<<step_idx instead of COUNT DISTINCT —
+    same plan shape); the weekly rollup partial-combines.
+
+    Reference: completes the funnel family with the order-free
+    member."""
+    ev = load_table(spark, sf_dir, "events")
+    stepped = ev.filter(F.col("event_type").isin(*UFUN_STEPS)).select(
+        "user_id",
+        (F.year("ts") * 100 + F.weekofyear("ts"))
+        .cast("bigint")
+        .alias("yw"),
+        "event_type",
+    )
+    per_user = stepped.groupBy("yw", "user_id").agg(
+        F.countDistinct("event_type").alias("n_steps")
+    )
+    full = len(UFUN_STEPS)
+    return (
+        per_user.groupBy("yw")
+        .agg(
+            F.count(F.lit(1)).alias("n_users_active"),
+            F.sum(F.when(F.col("n_steps") == full, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_completed"),
+        )
+        .select(
+            "yw",
+            "n_users_active",
+            "n_completed",
+            F.expr("1000000 * n_completed DIV n_users_active").alias(
+                "completion_ppm"
+            ),
+        )
+        .orderBy("yw")
+    )
+
+
+# --------------------------------------------------------------------------
+# q311 — multi-window SLO burn-rate monitor
+# --------------------------------------------------------------------------
+
+SLO_PPM = 150_000  #: error-rate objective (15%); fixture errors run ~20%
+SLO_WIN = 6        #: slow-window width in hours
+
+
+@register(
+    "q311_slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS h,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT h, n, e,
+               1000000 * e // n AS r1,
+               CAST(SUM(e) OVER w AS BIGINT) AS e6,
+               CAST(SUM(n) OVER w AS BIGINT) AS n6
+        FROM hourly
+        WINDOW w AS (ORDER BY h RANGE BETWEEN {SLO_WIN - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT h AS hour_id, n AS n_events, e AS n_errors,
+           r1 AS ratio1h_ppm,
+           1000000 * e6 // n6 AS ratio6h_ppm,
+           CASE WHEN r1 >= 2 * {SLO_PPM}
+                 AND 2 * (1000000 * e6 // n6) >= 3 * {SLO_PPM}
+                THEN 'page'
+                WHEN 1000000 * e6 // n6 >= {SLO_PPM} THEN 'warn'
+                ELSE 'ok' END AS severity
+    FROM rolled ORDER BY h
+    """,
+)
+def q311_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting — the SRE error-budget
+    pattern: a fast window (1 h) catches incidents quickly but is
+    noisy; a slow window ({SLO_WIN} h) confirms sustained burn; PAGE
+    only when BOTH burn fast (1 h ≥ 2× the {SLO_PPM}-ppm objective AND
+    {SLO_WIN} h ≥ 1.5×), WARN on sustained 1× — single-window alerting
+    either pages on every blip or sleeps through slow burns, which is
+    exactly why the two-window conjunction exists. Rates and
+    thresholds are integer ppm with cross-multiplied comparisons (no
+    float division anywhere).
+
+    Determinism: integer hour ids (epoch-hours), integer counts,
+    floor-div ppm, integer threshold algebra.
+
+    Scale: the fact collapses to hourly cells map-side (the q143/q152
+    posture); both windows run over |hours| rows — at 100 TB the
+    rolling sums are partial-sum maintenance on the cell table, and
+    the stream twin is q23's tumbling aggregate feeding the same cell
+    arithmetic (state = {SLO_WIN} cells).
+
+    Reference: the operational-alerting face of q233's error-impact
+    accounting."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+        .cast("bigint")
+        .alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("e"),
+    )
+    w = Window.orderBy("h").rangeBetween(-(SLO_WIN - 1), 0)
+    rolled = hourly.select(
+        "h",
+        "n",
+        "e",
+        F.expr("1000000 * e DIV n").alias("r1"),
+        F.sum("e").over(w).cast("bigint").alias("e6"),
+        F.sum("n").over(w).cast("bigint").alias("n6"),
+    )
+    r6 = F.expr("1000000 * e6 DIV n6")
+    return rolled.select(
+        F.col("h").alias("hour_id"),
+        F.col("n").alias("n_events"),
+        F.col("e").alias("n_errors"),
+        F.col("r1").alias("ratio1h_ppm"),
+        r6.alias("ratio6h_ppm"),
+        F.when(
+            (F.col("r1") >= 2 * SLO_PPM) & (r6 * 2 >= 3 * SLO_PPM), "page"
+        )
+        .when(r6 >= SLO_PPM, "warn")
+        .otherwise("ok")
+        .alias("severity"),
+    ).orderBy("hour_id")

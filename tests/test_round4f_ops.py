@@ -863,3 +863,109 @@ def test_detector_agreement_kappa_identities(spark):
     assert a > 0
     # kappa must not exceed raw agreement scale
     assert -1_000_000 <= row["kappa_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q309 — rolling distinct sketch
+# --------------------------------------------------------------------------
+
+
+def test_rolling_distinct_sketch_error_and_monotonicity(spark):
+    from serverless_etl_spark.operators.analytics_ext import KMV_K
+
+    rows = registry.QUERIES["q309_rolling_distinct_sketch"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    tol = 4.0 / math.sqrt(KMV_K - 2)
+    for r in rows:
+        if r["exact_distinct"] >= KMV_K:
+            assert (
+                abs(r["kmv_estimate"] - r["exact_distinct"])
+                <= tol * r["exact_distinct"]
+            ), r
+        else:
+            assert r["kmv_estimate"] == r["exact_distinct"]
+    # rolling reach can never fall below any single day's distinct
+    ev = load_table(spark, SF_MID, "events").select("user_id", "ts").collect()
+    daily = defaultdict(set)
+    for e in ev:
+        daily[e["ts"].date()].add(e["user_id"])
+    for r in rows:
+        assert r["exact_distinct"] >= len(daily.get(r["day"], set()))
+
+
+# --------------------------------------------------------------------------
+# q310 — unordered funnel
+# --------------------------------------------------------------------------
+
+
+def test_unordered_funnel_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import UFUN_STEPS
+
+    rows = registry.QUERIES["q310_unordered_funnel"](
+        spark, SF_MID
+    ).collect()
+    ev = load_table(spark, SF_MID, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per = defaultdict(set)
+    for e in ev:
+        if e["event_type"] in UFUN_STEPS:
+            iso = e["ts"].isocalendar()
+            per[(e["ts"].year * 100 + iso[1], e["user_id"])].add(
+                e["event_type"]
+            )
+    weeks = defaultdict(lambda: [0, 0])
+    for (yw, _), steps in per.items():
+        weeks[yw][0] += 1
+        weeks[yw][1] += len(steps) == len(UFUN_STEPS)
+    assert len(rows) == len(weeks)
+    for r in rows:
+        active, done = weeks[r["yw"]]
+        assert r["n_users_active"] == active
+        assert r["n_completed"] == done
+
+
+# --------------------------------------------------------------------------
+# q311 — SLO burn rate
+# --------------------------------------------------------------------------
+
+
+def test_slo_burn_rate_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        SLO_PPM,
+        SLO_WIN,
+    )
+
+    rows = registry.QUERIES["q311_slo_burn_rate"](spark, SF_SMALL).collect()
+    assert rows
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", "event_type"
+    ).collect()
+    cells = defaultdict(lambda: [0, 0])
+    for e in ev:
+        h = int(e["ts"].replace(
+            minute=0, second=0, microsecond=0
+        ).timestamp()) // 3600
+        cells[h][0] += 1
+        cells[h][1] += e["event_type"] == "error"
+    for r in rows:
+        h = r["hour_id"]
+        n, e = cells[h]
+        assert (r["n_events"], r["n_errors"]) == (n, e)
+        n6 = sum(cells[x][0] for x in range(h - SLO_WIN + 1, h + 1)
+                 if x in cells)
+        e6 = sum(cells[x][1] for x in range(h - SLO_WIN + 1, h + 1)
+                 if x in cells)
+        assert r["ratio1h_ppm"] == 1_000_000 * e // n
+        assert r["ratio6h_ppm"] == 1_000_000 * e6 // n6
+        r1, r6 = r["ratio1h_ppm"], r["ratio6h_ppm"]
+        if r1 >= 2 * SLO_PPM and 2 * r6 >= 3 * SLO_PPM:
+            assert r["severity"] == "page"
+        elif r6 >= SLO_PPM:
+            assert r["severity"] == "warn"
+        else:
+            assert r["severity"] == "ok"
+    # the monitor must exercise more than one severity on the fixture
+    assert len({r["severity"] for r in rows}) >= 2

@@ -7485,3 +7485,184 @@ def q311_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("severity"),
     ).orderBy("hour_id")
+
+
+# --------------------------------------------------------------------------
+# q313 — categorical drift scorecard (integer chi-square, one pass)
+# --------------------------------------------------------------------------
+
+DRIFT_Y_A = 1996
+DRIFT_Y_B = 1997
+
+
+@register(
+    "q313_categorical_drift",
+    oracle=f"""
+    WITH vals AS (
+        SELECT col, cat,
+               CASE WHEN year(o_orderdate) = {DRIFT_Y_A} THEN 0 ELSE 1 END
+                   AS period
+        FROM (
+            SELECT 'o_orderpriority' AS col, o_orderpriority AS cat,
+                   o_orderdate FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus, o_orderdate FROM orders
+        )
+        WHERE year(o_orderdate) IN ({DRIFT_Y_A}, {DRIFT_Y_B})
+    ),
+    cells AS (
+        SELECT col, cat,
+               CAST(SUM(1 - period) AS BIGINT) AS oa,
+               CAST(SUM(period) AS BIGINT) AS ob
+        FROM vals GROUP BY col, cat
+    ),
+    tot AS (
+        SELECT col, CAST(SUM(oa) AS BIGINT) AS na,
+               CAST(SUM(ob) AS BIGINT) AS nb,
+               COUNT(*) AS n_cats
+        FROM cells GROUP BY col
+    ),
+    contrib AS (
+        SELECT c.col, c.cat, c.oa, c.ob, t.na, t.nb, t.n_cats,
+               CAST(FLOOR(1000.0
+                        * CAST(c.oa * t.nb - c.ob * t.na AS DOUBLE)
+                        * CAST(c.oa * t.nb - c.ob * t.na AS DOUBLE)
+                        / CAST((t.na + t.nb) * (c.oa + c.ob) * t.na
+                               AS DOUBLE)
+                        / CAST(t.nb AS DOUBLE))
+                   + FLOOR(1000.0
+                        * CAST(c.ob * t.na - c.oa * t.nb AS DOUBLE)
+                        * CAST(c.ob * t.na - c.oa * t.nb AS DOUBLE)
+                        / CAST((t.na + t.nb) * (c.oa + c.ob) * t.nb
+                               AS DOUBLE)
+                        / CAST(t.na AS DOUBLE)) AS BIGINT)
+                   AS chi_milli,
+               abs(1000000 * c.oa // t.na - 1000000 * c.ob // t.nb)
+                   AS share_delta_ppm
+        FROM cells c JOIN tot t ON t.col = c.col
+    ),
+    top AS (
+        SELECT col, cat AS top_category,
+               share_delta_ppm AS top_delta_ppm,
+               ROW_NUMBER() OVER (PARTITION BY col
+                                  ORDER BY share_delta_ppm DESC, cat)
+                   AS rn
+        FROM contrib
+    )
+    SELECT c.col,
+           CAST(MAX(c.n_cats) - 1 AS BIGINT) AS dof,
+           CAST(SUM(c.chi_milli) AS BIGINT) AS chi2_milli,
+           MAX(t.top_category) AS top_category,
+           CAST(MAX(t.top_delta_ppm) AS BIGINT) AS top_delta_ppm
+    FROM contrib c
+    JOIN (SELECT * FROM top WHERE rn = 1) t ON t.col = c.col
+    GROUP BY c.col ORDER BY c.col
+    """,
+)
+def q313_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift scorecard — every monitored enum column's
+    {DRIFT_Y_A}-vs-{DRIFT_Y_B} distribution shift as a chi-square
+    statistic, computed for ALL columns in ONE unpivoted pass (the
+    q297/q71 profiling shape pointed at drift): per cell the classic
+    (O−E)²/E with E = row·col/n, kept INTEGER by cross-multiplying —
+    each cell contributes 1000·(O·n − rt·ct)² DIV (n·rt·ct) milli-
+    units, floored per cell so both engines sum identical integers.
+    The cell numerator is the reduced form (O_a·n_b − O_b·n_a)² — its
+    square exceeds int64 at large n, so it is evaluated in DOUBLES
+    with an identical operation order in both engines (single-rounding
+    IEEE steps are bit-deterministic, the numeric.py contract) and
+    floored per cell; the PSI alternative needs logs and was rejected
+    for exactly that portability reason. Each column also names its most-drifted
+    category by absolute share delta — the "what moved" a dashboard
+    actually shows.
+
+    Determinism: integer contingency counts, cross-multiplied milli
+    contributions, ppm share deltas, argmax ties by category.
+
+    Scale: the unpivot fans out |columns|× map-side and collapses to
+    |columns|×|categories| cells before any join; everything after
+    runs on that cell table. Adding a monitored column is one more
+    struct in the fan-out, not another scan.
+
+    Reference: the multi-column face of q156's single-table residuals
+    and q182's share drift; the categorical sibling of q127/q134's
+    numeric KS."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = (
+        orders.filter(F.year("o_orderdate").isin(DRIFT_Y_A, DRIFT_Y_B))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("o_orderpriority").alias("col"),
+                        F.col("o_orderpriority").alias("cat"),
+                    ),
+                    F.struct(
+                        F.lit("o_orderstatus").alias("col"),
+                        F.col("o_orderstatus").alias("cat"),
+                    ),
+                )
+            ).alias("cc"),
+            F.when(F.year("o_orderdate") == DRIFT_Y_A, 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .select("cc.col", "cc.cat", "period")
+    )
+    cells = vals.groupBy("col", "cat").agg(
+        F.sum(1 - F.col("period")).cast("bigint").alias("oa"),
+        F.sum("period").cast("bigint").alias("ob"),
+    )
+    tot = cells.groupBy("col").agg(
+        F.sum("oa").cast("bigint").alias("na"),
+        F.sum("ob").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+    contrib = cells.join(F.broadcast(tot), "col").select(
+        "col",
+        "cat",
+        "n_cats",
+        F.expr(
+            "CAST(FLOOR(1000.0"
+            " * CAST(oa * nb - ob * na AS DOUBLE)"
+            " * CAST(oa * nb - ob * na AS DOUBLE)"
+            " / CAST((na + nb) * (oa + ob) * na AS DOUBLE)"
+            " / CAST(nb AS DOUBLE))"
+            " + FLOOR(1000.0"
+            " * CAST(ob * na - oa * nb AS DOUBLE)"
+            " * CAST(ob * na - oa * nb AS DOUBLE)"
+            " / CAST((na + nb) * (oa + ob) * nb AS DOUBLE)"
+            " / CAST(na AS DOUBLE)) AS BIGINT)"
+        ).alias("chi_milli"),
+        F.abs(
+            F.expr("1000000 * oa DIV na - 1000000 * ob DIV nb")
+        ).alias("share_delta_ppm"),
+    )
+    wtop = Window.partitionBy("col").orderBy(
+        F.col("share_delta_ppm").desc(), "cat"
+    )
+    top = (
+        contrib.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "col",
+            F.col("cat").alias("top_category"),
+            F.col("share_delta_ppm").alias("top_delta_ppm"),
+        )
+    )
+    return (
+        contrib.groupBy("col")
+        .agg(
+            (F.max("n_cats") - 1).cast("bigint").alias("dof"),
+            F.sum("chi_milli").cast("bigint").alias("chi2_milli"),
+        )
+        .join(top, "col")
+        .select(
+            "col",
+            "dof",
+            "chi2_milli",
+            "top_category",
+            F.col("top_delta_ppm").cast("bigint"),
+        )
+        .orderBy("col")
+    )

@@ -1263,3 +1263,149 @@ def q301_ranking_gain_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(SUM(ig) AS BIGINT) END"
         ).alias("ratio_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q312 — recommender coverage / novelty / concentration
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q312_reco_coverage",
+    oracle=f"""
+    WITH buys AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE year(o.o_orderdate) = {RANK_TRAIN_YEAR}
+    ),
+    train AS (SELECT c, p, COUNT(*) AS w FROM buys GROUP BY c, p),
+    ranked AS (
+        SELECT c, p,
+               ROW_NUMBER() OVER (PARTITION BY c
+                                  ORDER BY w DESC, p) AS rk
+        FROM train QUALIFY rk <= {RANK_K}
+    ),
+    pop AS (
+        SELECT p, COUNT(*) AS pc FROM buys GROUP BY p
+    ),
+    pop_ranked AS (
+        SELECT p, ROW_NUMBER() OVER (ORDER BY pc, p) AS pr,
+               COUNT(*) OVER () AS np
+        FROM pop
+    ),
+    slots AS (
+        SELECT r.c, r.p,
+               1000000 - 1000000 * pr.pr // pr.np AS novelty_ppm
+        FROM ranked r JOIN pop_ranked pr ON pr.p = r.p
+    ),
+    per_part AS (
+        SELECT p, COUNT(*) AS n_slots FROM slots GROUP BY p
+    ),
+    top10 AS (
+        SELECT CAST(SUM(n_slots) AS BIGINT) AS s FROM (
+            SELECT n_slots FROM per_part
+            ORDER BY n_slots DESC, p LIMIT 10
+        )
+    )
+    SELECT (SELECT COUNT(DISTINCT c) FROM ranked) AS n_users,
+           (SELECT COUNT(*) FROM slots) AS n_slots,
+           (SELECT COUNT(*) FROM per_part) AS n_parts_recommended,
+           (SELECT COUNT(*) FROM part) AS catalog_size,
+           1000000 * (SELECT COUNT(*) FROM per_part)
+               // (SELECT COUNT(*) FROM part) AS coverage_ppm,
+           CAST((SELECT SUM(novelty_ppm) FROM slots) AS BIGINT)
+               // (SELECT COUNT(*) FROM slots) AS mean_novelty_ppm,
+           1000000 * (SELECT s FROM top10)
+               // (SELECT COUNT(*) FROM slots) AS top10_share_ppm
+    """,
+)
+def q312_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender health BEYOND accuracy — the three numbers that
+    catch a degenerate recommender q219/q301 would score well:
+    catalog coverage (share of the catalog that appears in ANY top-
+    {RANK_K} list — a popularity-biased model covers almost nothing),
+    mean novelty (recommended items' inverse-popularity percentile —
+    are we only recommending bestsellers?), and top-10 concentration
+    (share of all recommendation slots taken by the 10 most-
+    recommended parts). Same train-year ranking as q301, so the
+    accuracy and health numbers describe the same model.
+
+    Determinism: popularity percentile over the total order (count,
+    partkey); integer ppm arithmetic throughout; top-10 cut ties by
+    part key.
+
+    Scale: ranking and popularity are keyed aggregates; the
+    popularity percentile ranks |parts| rows (dimension-sized — at
+    catalog scale route through q73's approx-percentile buckets);
+    every rollup after that runs on top-k slot rows.
+
+    Reference: completes the recommender-eval family (q219 hits,
+    q120 recall, q301 position quality, q312 coverage/novelty)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    buys = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(F.year("o_orderdate") == RANK_TRAIN_YEAR)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+    )
+    buys = track_cache(buys.persist())
+    train = buys.groupBy("c", "p").agg(F.count(F.lit(1)).alias("w"))
+    ranked = (
+        train.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("c").orderBy(F.col("w").desc(), "p")
+            ),
+        )
+        .filter(F.col("rk") <= RANK_K)
+        .select("c", "p")
+    )
+    pop = buys.groupBy("p").agg(F.count(F.lit(1)).alias("pc"))
+    pop_ranked = pop.select(
+        "p",
+        F.row_number().over(Window.orderBy("pc", "p")).alias("pr"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("np"),
+    )
+    slots = ranked.join(pop_ranked, "p").select(
+        "c",
+        "p",
+        (
+            F.lit(1_000_000)
+            - F.expr("1000000 * pr DIV np")
+        ).alias("novelty_ppm"),
+    )
+    slots = track_cache(slots.persist())
+    per_part = slots.groupBy("p").agg(F.count(F.lit(1)).alias("n_slots"))
+    top10 = (
+        per_part.orderBy(F.col("n_slots").desc(), "p")
+        .limit(10)
+        .agg(F.sum("n_slots").cast("bigint").alias("s"))
+    )
+    totals = slots.agg(
+        F.countDistinct("c").alias("n_users"),
+        F.count(F.lit(1)).alias("n_slots"),
+        F.countDistinct("p").alias("n_parts_recommended"),
+        F.sum("novelty_ppm").cast("bigint").alias("sum_nov"),
+    )
+    catalog = part.agg(F.count(F.lit(1)).alias("catalog_size"))
+    return (
+        totals.crossJoin(F.broadcast(catalog))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_users",
+            "n_slots",
+            "n_parts_recommended",
+            "catalog_size",
+            F.expr(
+                "1000000 * n_parts_recommended DIV catalog_size"
+            ).alias("coverage_ppm"),
+            F.expr("sum_nov DIV n_slots").alias("mean_novelty_ppm"),
+            F.expr("1000000 * s DIV n_slots").alias("top10_share_ppm"),
+        )
+    )

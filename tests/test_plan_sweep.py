@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "q301_ranking_gain_eval",     # 10-row harmonic-series broadcast fan-out
     "q305_rollup_distinct_sketch",  # one-row total-exact broadcast (literal key folds)
     "q307_permutation_test",      # one-row observed-statistic broadcast
+    "q312_reco_coverage",         # two one-row totals broadcasts (catalog, top10)
 }
 
 

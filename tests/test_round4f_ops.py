@@ -969,3 +969,79 @@ def test_slo_burn_rate_replay(spark):
             assert r["severity"] == "ok"
     # the monitor must exercise more than one severity on the fixture
     assert len({r["severity"] for r in rows}) >= 2
+
+
+# --------------------------------------------------------------------------
+# q312 — recommender coverage
+# --------------------------------------------------------------------------
+
+
+def test_reco_coverage_bounds(spark):
+    row = registry.QUERIES["q312_reco_coverage"](spark, SF_MID).collect()[0]
+    assert 0 < row["n_parts_recommended"] <= row["catalog_size"]
+    assert row["coverage_ppm"] == (
+        1_000_000 * row["n_parts_recommended"] // row["catalog_size"]
+    )
+    assert 0 <= row["mean_novelty_ppm"] <= 1_000_000
+    assert 0 < row["top10_share_ppm"] <= 1_000_000
+    from serverless_etl_spark.operators.training_ext import RANK_K
+
+    assert row["n_slots"] <= row["n_users"] * RANK_K
+    # top-10 parts cannot hold less than 10/n_parts of the slots
+    assert (
+        row["top10_share_ppm"]
+        >= 1_000_000 * 10 // max(row["n_parts_recommended"], 10) - 1
+    )
+
+
+# --------------------------------------------------------------------------
+# q313 — categorical drift
+# --------------------------------------------------------------------------
+
+
+def test_categorical_drift_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        DRIFT_Y_A,
+        DRIFT_Y_B,
+    )
+
+    rows = {
+        r["col"]: r
+        for r in registry.QUERIES["q313_categorical_drift"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert set(rows) == {"o_orderpriority", "o_orderstatus"}
+    orders = load_table(spark, SF_MID, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_orderdate"
+    ).collect()
+    for col in rows:
+        cells = defaultdict(lambda: [0, 0])
+        for o in orders:
+            y = o["o_orderdate"].year
+            if y not in (DRIFT_Y_A, DRIFT_Y_B):
+                continue
+            cells[o[col]][0 if y == DRIFT_Y_A else 1] += 1
+        na = sum(v[0] for v in cells.values())
+        nb = sum(v[1] for v in cells.values())
+        chi = 0
+        best = None
+        for cat in sorted(cells):
+            oa, ob = cells[cat]
+            d = oa * nb - ob * na
+            chi += math.floor(
+                1000.0 * float(d) * float(d)
+                / float((na + nb) * (oa + ob) * na) / float(nb)
+            )
+            chi += math.floor(
+                1000.0 * float(-d) * float(-d)
+                / float((na + nb) * (oa + ob) * nb) / float(na)
+            )
+            delta = abs(1_000_000 * oa // na - 1_000_000 * ob // nb)
+            if best is None or delta > best[0]:
+                best = (delta, cat)
+        r = rows[col]
+        assert r["dof"] == len(cells) - 1
+        assert r["chi2_milli"] == chi
+        assert r["top_category"] == best[1]
+        assert r["top_delta_ppm"] == best[0]

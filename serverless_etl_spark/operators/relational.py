@@ -1477,3 +1477,288 @@ def q265_bucketized_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .orderBy("n_nearby")
     )
+
+
+# --------------------------------------------------------------------------
+# q314 — top-k WITH TIES vs row-limited top-k
+# --------------------------------------------------------------------------
+
+TIES_K = 3
+
+
+@register(
+    "q314_topk_with_ties",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey,
+               CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT)
+                              DESC)
+    )
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN rn <= {TIES_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_row_limited,
+           CAST(SUM(CASE WHEN rk <= {TIES_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_ties,
+           CAST(SUM(CASE WHEN rk <= {TIES_K} AND rn > {TIES_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_overflow
+    FROM ranked
+    GROUP BY o_custkey
+    HAVING SUM(CASE WHEN rk <= {TIES_K} AND rn > {TIES_K}
+                    THEN 1 ELSE 0 END) > 0
+    ORDER BY o_custkey
+    """,
+)
+def q314_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST k WITH TIES vs plain top-k — the leaderboard
+    semantics corner: ROW_NUMBER() ≤ k drops tied rows ARBITRARILY at
+    the boundary (only a tiebreak column hides it), RANK() ≤ k keeps
+    every row tied with the k-th. On a coarse ranking key (orders
+    bucketed to 1000-unit price bands so ties are real) the two
+    disagree for many customers; emitted are exactly the groups where
+    they differ and by how much — the rows a silent ROW_NUMBER
+    leaderboard would drop. q56/q106 use the row-limited form with
+    explicit tiebreaks; this operator is the WITH TIES form plus the
+    audit of what the choice costs.
+
+    Determinism: both rank functions run over the same total window
+    order; outputs are counts, not the (genuinely arbitrary)
+    boundary rows themselves.
+
+    Scale: one exchange on the group key feeds both rank layers
+    (shared window), WindowGroupLimit prunes when k is selective;
+    counts partial-combine.
+
+    Reference: completes the L-family (q06 limit, q56 per-group
+    top-k) with the ANSI WITH TIES semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = F.floor(F.col("o_totalprice") / 1000).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("price_band").desc())
+    ranked = orders.select(
+        "o_custkey", band.alias("price_band")
+    ).select(
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+    )
+    return (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("rn") <= TIES_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_row_limited"),
+            F.sum(F.when(F.col("rk") <= TIES_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_ties"),
+            F.sum(
+                F.when(
+                    (F.col("rk") <= TIES_K) & (F.col("rn") > TIES_K), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tie_overflow"),
+        )
+        .filter(F.col("n_tie_overflow") > 0)
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q315 — null-aware anti-join semantics (NOT IN vs NOT EXISTS)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q315_null_aware_anti",
+    oracle="""
+    WITH probe AS (
+        SELECT c_custkey FROM customer
+    ),
+    blocklist AS (
+        SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT (SELECT COUNT(*) FROM probe) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM blocklist
+            WHERE k IS NULL) AS n_null_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+            WHERE c_custkey NOT IN (SELECT k FROM blocklist))
+               AS n_not_in,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM blocklist b
+                              WHERE b.k = p.c_custkey))
+               AS n_not_exists,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+            WHERE c_custkey NOT IN (SELECT k FROM blocklist
+                                    WHERE k IS NOT NULL))
+               AS n_not_in_filtered
+    """,
+)
+def q315_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, measured — the most common silent-wrong
+    answer in SQL migrations: with even ONE NULL in the subquery,
+    `x NOT IN (...)` is never TRUE (three-valued logic turns every
+    comparison UNKNOWN) and the query returns ZERO rows, while
+    NOT EXISTS / LEFT ANTI JOIN ignore the NULLs and return the real
+    complement. A blocklist with seeded NULL keys (every 997th order
+    anonymized) drives all three variants side by side: n_not_in
+    MUST be 0, n_not_exists is the true count, and the IS NOT NULL
+    pre-filter restores equivalence. Ship the pre-filter form; this
+    query is the regression pin that the engine keeps ANSI semantics
+    for the un-filtered one.
+
+    Determinism: integer counts; the seeding is a pure key function.
+
+    Scale: Spark plans NOT IN as a null-aware anti join — a BROADCAST
+    of the whole blocklist when nulls are possible (it must check
+    "any null anywhere"), which is itself the scale hazard this
+    operator documents: the IS NOT NULL form downgrades to a plain
+    anti join that shuffles normally. The counts here are aggregate
+    probes; dims broadcast.
+
+    Reference: the semantics face of q05's anti join (J-family)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    probe = cust.select("c_custkey")
+    blocklist = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        F.when(F.col("o_orderkey") % 997 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    probe.createOrReplaceTempView("q315_probe")
+    blocklist.createOrReplaceTempView("q315_blocklist")
+    return spark.sql(
+        """
+        SELECT (SELECT COUNT(*) FROM q315_probe) AS n_probe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM q315_blocklist
+                WHERE k IS NULL) AS n_null_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM q315_probe
+                WHERE c_custkey NOT IN (SELECT k FROM q315_blocklist))
+                   AS n_not_in,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM q315_probe p
+                WHERE NOT EXISTS (SELECT 1 FROM q315_blocklist b
+                                  WHERE b.k = p.c_custkey))
+                   AS n_not_exists,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM q315_probe
+                WHERE c_custkey NOT IN (SELECT k FROM q315_blocklist
+                                        WHERE k IS NOT NULL))
+                   AS n_not_in_filtered
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q316 — interval-union coverage (merged overlapping spans per key)
+# --------------------------------------------------------------------------
+
+COV_SPAN_MIN = 30  #: each event opens a 30-minute activity span
+
+
+@register(
+    "q316_interval_coverage",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + {COV_SPAN_MIN} * 60000000 AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    islands AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        , s, e
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(me - ms) AS BIGINT) // 60000000 AS covered_minutes,
+           CAST(MAX(me - ms) AS BIGINT) // 60000000 AS longest_minutes
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q316_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage — total wall-clock time each user was
+    active when every event opens a {COV_SPAN_MIN}-minute span and
+    overlapping spans must count ONCE (billing, uptime, incident-
+    coverage math). Naive SUM(span) double-counts overlaps; the
+    correct form merges overlapping intervals first: an interval
+    starts a new island when its start exceeds the running MAX of
+    prior ends (cummax handles contained intervals that a lag-only
+    check misses), islands merge by min-start/max-end, coverage is
+    the sum of merged lengths. Same gap-and-islands machinery as
+    q210/q295/q302, here on continuous time.
+
+    Determinism: microsecond integers; window order (s, e) is total
+    per user up to exact duplicates, which merge into the same
+    island either way.
+
+    Scale: ONE exchange on user_id; the cummax window is linear
+    per key; merged islands partial-combine. Hot users cost their
+    event count, never its square (the self-join formulation of
+    overlap merging is O(n²) per key — this is why the cummax form
+    exists).
+
+    Reference: the set-algebra member of the temporal family (q25
+    sessions approximate this with a gap rule; coverage is exact
+    union length; q111 peak concurrency is the same sweep counting
+    instead of merging)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + COV_SPAN_MIN * 60_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") > F.coalesce(prior_max_e, F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.expr(
+                "CAST(SUM(me - ms) AS BIGINT) DIV 60000000"
+            ).alias("covered_minutes"),
+            F.expr(
+                "CAST(MAX(me - ms) AS BIGINT) DIV 60000000"
+            ).alias("longest_minutes"),
+        )
+        .orderBy("user_id")
+    )

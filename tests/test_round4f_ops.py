@@ -1045,3 +1045,71 @@ def test_categorical_drift_replay(spark):
         assert r["chi2_milli"] == chi
         assert r["top_category"] == best[1]
         assert r["top_delta_ppm"] == best[0]
+
+
+# --------------------------------------------------------------------------
+# q314 — top-k with ties
+# --------------------------------------------------------------------------
+
+
+def test_topk_with_ties_semantics(spark):
+    from serverless_etl_spark.operators.relational import TIES_K
+
+    rows = registry.QUERIES["q314_topk_with_ties"](spark, SF_MID).collect()
+    assert rows, "coarse banding must produce boundary ties"
+    for r in rows:
+        assert r["n_row_limited"] <= TIES_K
+        assert r["n_with_ties"] == r["n_row_limited"] + r["n_tie_overflow"]
+        assert r["n_tie_overflow"] > 0
+
+
+# --------------------------------------------------------------------------
+# q315 — null-aware anti-join
+# --------------------------------------------------------------------------
+
+
+def test_not_in_null_trap_measured(spark):
+    row = registry.QUERIES["q315_null_aware_anti"](spark, SF_MID).collect()[0]
+    assert row["n_null_keys"] > 0
+    # the trap: ANY null in the subquery makes NOT IN empty
+    assert row["n_not_in"] == 0
+    # the correct complements agree once nulls are handled
+    assert row["n_not_exists"] == row["n_not_in_filtered"]
+    assert 0 < row["n_not_exists"] < row["n_probe"]
+
+
+# --------------------------------------------------------------------------
+# q316 — interval coverage
+# --------------------------------------------------------------------------
+
+
+def test_interval_coverage_replay(spark):
+    from serverless_etl_spark.operators.relational import COV_SPAN_MIN
+
+    rows = registry.QUERIES["q316_interval_coverage"](
+        spark, SF_SMALL
+    ).collect()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts"
+    ).collect()
+    spans = defaultdict(list)
+    for e in ev:
+        s = int(e["ts"].timestamp() * 1_000_000)
+        spans[e["user_id"]].append((s, s + COV_SPAN_MIN * 60_000_000))
+    for r in rows:
+        ivs = sorted(spans[r["user_id"]])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        assert r["n_spans"] == len(merged)
+        assert r["covered_minutes"] == (
+            sum(e - s for s, e in merged) // 60_000_000
+        )
+        assert r["longest_minutes"] == (
+            max(e - s for s, e in merged) // 60_000_000
+        )
+        # union length never exceeds the naive double-counting sum
+        assert r["covered_minutes"] <= len(ivs) * COV_SPAN_MIN

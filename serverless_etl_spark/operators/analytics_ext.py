@@ -7666,3 +7666,198 @@ def q313_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# --------------------------------------------------------------------------
+# q317 — revenue bridge (lifecycle decomposition of YoY change)
+# --------------------------------------------------------------------------
+
+BRIDGE_Y_A = 1996
+BRIDGE_Y_B = 1997
+
+
+@register(
+    "q317_revenue_bridge",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey AS c,
+               CAST(SUM(CASE WHEN year(o_orderdate) = {BRIDGE_Y_A}
+                    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ra,
+               CAST(SUM(CASE WHEN year(o_orderdate) = {BRIDGE_Y_B}
+                    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS rb
+        FROM orders
+        WHERE year(o_orderdate) IN ({BRIDGE_Y_A}, {BRIDGE_Y_B})
+        GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT CASE WHEN ra = 0 THEN 'new'
+                    WHEN rb = 0 THEN 'churned'
+                    WHEN rb > ra THEN 'expansion'
+                    WHEN rb < ra THEN 'contraction'
+                    ELSE 'flat' END AS segment,
+               rb - ra AS delta, ra, rb
+        FROM rev
+    )
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(delta) AS BIGINT) AS delta_cents,
+           CAST(SUM(ra) AS BIGINT) AS rev_a_cents,
+           CAST(SUM(rb) AS BIGINT) AS rev_b_cents
+    FROM tagged GROUP BY segment ORDER BY segment
+    """,
+)
+def q317_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge — the YoY change decomposed by customer
+    LIFECYCLE: new + expansion − contraction − churn must sum exactly
+    to total({BRIDGE_Y_B}) − total({BRIDGE_Y_A}) (the conservation the
+    test pins). q268's price-volume-mix explains a delta by WHAT was
+    sold; the bridge explains it by WHO — growth from new logos vs
+    existing-account expansion are different businesses with the same
+    top line, and churned revenue is invisible in any single-period
+    rollup. One customer-keyed aggregate with both years as
+    conditional sums, then a pure tagging projection — no self-join
+    of the two periods.
+
+    Determinism: integer cents, integer deltas, lifecycle tags from
+    exact zero/comparison tests.
+
+    Scale: ONE exchange on the customer key (the two periods are
+    columns of one aggregate, not joined frames); the bridge rollup
+    partial-combines to 5 rows. The same shape bridges any two
+    periods or cohorts.
+
+    Reference: the lifecycle face of q268's PVM waterfall and q218's
+    cohort revenue matrix."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (
+        orders.filter(F.year("o_orderdate").isin(BRIDGE_Y_A, BRIDGE_Y_B))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(
+                F.when(F.year("o_orderdate") == BRIDGE_Y_A, cents)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ra"),
+            F.sum(
+                F.when(F.year("o_orderdate") == BRIDGE_Y_B, cents)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rb"),
+        )
+    )
+    seg = (
+        F.when(F.col("ra") == 0, "new")
+        .when(F.col("rb") == 0, "churned")
+        .when(F.col("rb") > F.col("ra"), "expansion")
+        .when(F.col("rb") < F.col("ra"), "contraction")
+        .otherwise("flat")
+    )
+    return (
+        rev.select(
+            seg.alias("segment"),
+            (F.col("rb") - F.col("ra")).alias("delta"),
+            "ra",
+            "rb",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("delta").cast("bigint").alias("delta_cents"),
+            F.sum("ra").cast("bigint").alias("rev_a_cents"),
+            F.sum("rb").cast("bigint").alias("rev_b_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q318 — differencing-attack audit over released rollup cells
+# --------------------------------------------------------------------------
+
+DIFF_K_ANON = 10
+
+
+@register(
+    "q318_differencing_audit",
+    oracle=f"""
+    WITH child AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               COUNT(*) AS child_n
+        FROM customer GROUP BY 1, 2
+    ),
+    parent AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS parent_n
+        FROM customer GROUP BY 1
+    )
+    SELECT c.seg, c.nat,
+           CAST(c.child_n AS BIGINT) AS child_n,
+           CAST(p.parent_n AS BIGINT) AS parent_n,
+           CAST(p.parent_n - c.child_n AS BIGINT) AS complement_n,
+           CASE WHEN c.child_n < {DIFF_K_ANON} THEN 1 ELSE 0 END
+               AS small_cell,
+           CASE WHEN p.parent_n - c.child_n < {DIFF_K_ANON}
+                 AND p.parent_n - c.child_n > 0 THEN 1 ELSE 0 END
+               AS differencing_risk
+    FROM child c JOIN parent p ON p.seg = c.seg
+    WHERE c.child_n < {DIFF_K_ANON}
+       OR (p.parent_n - c.child_n < {DIFF_K_ANON}
+           AND p.parent_n - c.child_n > 0)
+    ORDER BY c.seg, c.nat
+    """,
+)
+def q318_differencing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differencing-attack audit — the privacy hole k-anonymity
+    suppression alone misses: releasing BOTH the parent cell
+    (segment) and a child cell (segment × nation) reveals their
+    COMPLEMENT by subtraction, and a complement smaller than
+    k={DIFF_K_ANON} identifies a near-individual cohort even though
+    every released cell passed the size check. The audit joins each
+    released child to its parent and flags both failure modes: the
+    classic small cell (q122's check) AND the small complement this
+    query exists for. A release pipeline runs it over every
+    parent/child pair in its grouping lattice before publishing.
+
+    Determinism: integer cell counts and flags.
+
+    Scale: cells are rollup aggregates (partial-combined); the audit
+    join runs parent-keyed over |cells| rows — at a full GROUPING
+    SETS lattice the pairs are (level, level−1) joins over cell
+    tables, never the data.
+
+    Reference: the release-side companion of q122 (k-anonymity),
+    q259 (generalization ladder) and q263 (DP contribution
+    bounds)."""
+    cust = load_table(spark, sf_dir, "customer")
+    child = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("child_n"))
+    parent = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("parent_n")
+    )
+    joined = child.join(F.broadcast(parent), "seg").select(
+        "seg",
+        "nat",
+        F.col("child_n").cast("bigint"),
+        F.col("parent_n").cast("bigint"),
+        (F.col("parent_n") - F.col("child_n"))
+        .cast("bigint")
+        .alias("complement_n"),
+    )
+    small = F.col("child_n") < DIFF_K_ANON
+    risky = (F.col("complement_n") < DIFF_K_ANON) & (
+        F.col("complement_n") > 0
+    )
+    return (
+        joined.withColumn(
+            "small_cell", F.when(small, 1).otherwise(0)
+        )
+        .withColumn("differencing_risk", F.when(risky, 1).otherwise(0))
+        .filter(small | risky)
+        .orderBy("seg", "nat")
+    )

@@ -1113,3 +1113,73 @@ def test_interval_coverage_replay(spark):
         )
         # union length never exceeds the naive double-counting sum
         assert r["covered_minutes"] <= len(ivs) * COV_SPAN_MIN
+
+
+# --------------------------------------------------------------------------
+# q317 — revenue bridge
+# --------------------------------------------------------------------------
+
+
+def test_revenue_bridge_conserves_total_delta(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        BRIDGE_Y_A,
+        BRIDGE_Y_B,
+    )
+
+    rows = registry.QUERIES["q317_revenue_bridge"](spark, SF_MID).collect()
+    orders = load_table(spark, SF_MID, "orders").select(
+        "o_totalprice", "o_orderdate"
+    ).collect()
+    tot_a = sum(
+        math.floor(o["o_totalprice"] * 100)
+        for o in orders
+        if o["o_orderdate"].year == BRIDGE_Y_A
+    )
+    tot_b = sum(
+        math.floor(o["o_totalprice"] * 100)
+        for o in orders
+        if o["o_orderdate"].year == BRIDGE_Y_B
+    )
+    assert sum(r["delta_cents"] for r in rows) == tot_b - tot_a
+    assert sum(r["rev_a_cents"] for r in rows) == tot_a
+    assert sum(r["rev_b_cents"] for r in rows) == tot_b
+    by_seg = {r["segment"]: r for r in rows}
+    if "new" in by_seg:
+        assert by_seg["new"]["rev_a_cents"] == 0
+        assert by_seg["new"]["delta_cents"] > 0
+    if "churned" in by_seg:
+        assert by_seg["churned"]["rev_b_cents"] == 0
+        assert by_seg["churned"]["delta_cents"] < 0
+    if "expansion" in by_seg:
+        assert by_seg["expansion"]["delta_cents"] > 0
+    if "contraction" in by_seg:
+        assert by_seg["contraction"]["delta_cents"] < 0
+
+
+# --------------------------------------------------------------------------
+# q318 — differencing audit
+# --------------------------------------------------------------------------
+
+
+def test_differencing_audit_flags_consistent(spark):
+    from serverless_etl_spark.operators.analytics_ext import DIFF_K_ANON
+
+    rows = registry.QUERIES["q318_differencing_audit"](
+        spark, SF_MID
+    ).collect()
+    cust = load_table(spark, SF_MID, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).collect()
+    cells = Counter((c["c_mktsegment"], c["c_nationkey"]) for c in cust)
+    parents = Counter(c["c_mktsegment"] for c in cust)
+    expected = set()
+    for (seg, nat), n in cells.items():
+        comp = parents[seg] - n
+        if n < DIFF_K_ANON or (0 < comp < DIFF_K_ANON):
+            expected.add((seg, nat))
+    assert {(r["seg"], r["nat"]) for r in rows} == expected
+    for r in rows:
+        assert r["child_n"] == cells[(r["seg"], r["nat"])]
+        assert r["parent_n"] == parents[r["seg"]]
+        assert r["complement_n"] == r["parent_n"] - r["child_n"]
+        assert r["small_cell"] or r["differencing_risk"]

@@ -7861,3 +7861,196 @@ def q318_differencing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(small | risky)
         .orderBy("seg", "nat")
     )
+
+
+# --------------------------------------------------------------------------
+# q321 — chain-ladder cohort completion (development-factor projection)
+# --------------------------------------------------------------------------
+
+CL_MAX_AGE = 6
+
+
+def _cl_ultimate_case_sql(div: str) -> str:
+    """CASE chain applying the remaining development factors
+    SEQUENTIALLY (each step an integer ×f floor-div 1000 — the chain
+    is non-associative, so the order is written out explicitly and
+    identically for both engines; only the division TOKEN differs:
+    Spark spells it DIV, duckdb //)."""
+    branches = []
+    for la in range(CL_MAX_AGE):
+        expr = "cum_cents"
+        for a in range(la, CL_MAX_AGE):
+            expr = f"(({expr}) * f{a} {div} 1000)"
+        branches.append(f"WHEN last_age = {la} THEN {expr}")
+    return "CASE " + " ".join(branches) + " ELSE cum_cents END"
+
+
+@register(
+    "q321_chain_ladder",
+    oracle=f"""
+    WITH mi AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first AS (SELECT o_custkey, MIN(m) AS c FROM mi GROUP BY o_custkey),
+    horizon AS (SELECT MAX(m) AS t FROM mi),
+    cells AS (
+        SELECT f.c, mi.m - f.c AS age,
+               CAST(SUM(mi.cents) AS BIGINT) AS cents
+        FROM mi JOIN first f ON f.o_custkey = mi.o_custkey
+        WHERE mi.m - f.c <= {CL_MAX_AGE}
+        GROUP BY f.c, mi.m - f.c
+    ),
+    grid AS (
+        SELECT d.c, ages.age,
+               CAST(COALESCE(cl.cents, 0) AS BIGINT) AS cents
+        FROM (SELECT DISTINCT c FROM cells) d
+        CROSS JOIN horizon h
+        JOIN (SELECT unnest(range(0, {CL_MAX_AGE + 1})) AS age) ages
+          ON ages.age <= least(h.t - d.c, {CL_MAX_AGE})
+        LEFT JOIN cells cl ON cl.c = d.c AND cl.age = ages.age
+    ),
+    cum AS (
+        SELECT c, age,
+               CAST(SUM(cents) OVER (PARTITION BY c ORDER BY age
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM grid
+    ),
+    factors AS (
+        SELECT {", ".join(
+            f"COALESCE(1000 * SUM(CASE WHEN age = {a + 1} THEN cum_cents END)"
+            f" // NULLIF(SUM(CASE WHEN age = {a} AND c + {a + 1} <= "
+            f"(SELECT t FROM horizon) THEN cum_cents END), 0), 1000)"
+            f" AS f{a}"
+            for a in range(CL_MAX_AGE)
+        )}
+        FROM cum
+        WHERE c + {CL_MAX_AGE} >= age
+          AND age <= {CL_MAX_AGE}
+          AND c + age + 1 <= (SELECT t FROM horizon) + 1
+          AND (age < least((SELECT t FROM horizon) - c, {CL_MAX_AGE}) + 1)
+    ),
+    latest AS (
+        SELECT cum.c,
+               least((SELECT t FROM horizon) - cum.c, {CL_MAX_AGE})
+                   AS last_age,
+               cum.cum_cents
+        FROM cum
+        WHERE cum.age = least((SELECT t FROM horizon) - cum.c,
+                              {CL_MAX_AGE})
+    )
+    SELECT l.c AS cohort_month,
+           CAST(l.last_age AS BIGINT) AS last_age,
+           l.cum_cents,
+           CAST({_cl_ultimate_case_sql('//')} AS BIGINT) AS ultimate_cents
+    FROM latest l CROSS JOIN factors
+    ORDER BY l.c
+    """,
+)
+def q321_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder completion — the actuarial/finance triangle
+    method for "this cohort is only 3 months old; what will it look
+    like at month {CL_MAX_AGE}?": build the cohort × age cumulative-
+    revenue triangle, estimate per-age development factors from every
+    cohort pair observed at both ages (the all-cohort volume-weighted
+    ratio, in integer milli), and complete each immature cohort by
+    applying its REMAINING factor chain. The chain is applied
+    step-by-step with integer milli flooring — non-associative, so
+    the CASE branch for each maturity writes the exact sequential
+    chain, generated from one Python helper and therefore IDENTICAL
+    in both engines.
+
+    Determinism: integer cents, milli factors (floor), the explicit
+    per-branch chains; degenerate factors default to 1000 (no
+    development) via COALESCE.
+
+    Scale: the triangle is |cohorts|×{CL_MAX_AGE + 1} cells (months,
+    not data) after one customer-keyed aggregate; factors are a
+    one-row broadcast; the completion is a projection. This is q180's
+    LTV curve upgraded from description to PREDICTION, with q244's
+    leakage discipline (factors only from fully-observed pairs).
+
+    Reference: the forecasting member of the cohort family (q85
+    retention, q180 LTV, q218 cohort revenue, q321 completion)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mi = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mi = track_cache(mi.persist())
+    first = mi.groupBy("o_custkey").agg(F.min("m").alias("c"))
+    t = int(mi.agg(F.max("m")).collect()[0][0])
+    cells = (
+        mi.join(first, "o_custkey")
+        .withColumn("age", F.col("m") - F.col("c"))
+        .filter(F.col("age") <= CL_MAX_AGE)
+        .groupBy("c", "age")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    cohorts = cells.select("c").distinct()
+    grid = (
+        cohorts.select(
+            "c",
+            F.explode(
+                F.sequence(F.lit(0), F.least(F.lit(t) - F.col("c"),
+                                             F.lit(CL_MAX_AGE)))
+            ).alias("age"),
+        )
+        .join(cells, ["c", "age"], "left")
+        .select(
+            "c",
+            "age",
+            F.coalesce("cents", F.lit(0).cast("bigint")).alias("cents"),
+        )
+    )
+    wc = Window.partitionBy("c").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = track_cache(
+        grid.withColumn(
+            "cum_cents", F.sum("cents").over(wc).cast("bigint")
+        ).persist()
+    )
+    factor_exprs = []
+    for a in range(CL_MAX_AGE):
+        factor_exprs.append(
+            F.expr(
+                f"COALESCE(1000 * SUM(CASE WHEN age = {a + 1} THEN"
+                f" cum_cents END) DIV NULLIF(SUM(CASE WHEN age = {a}"
+                f" AND c + {a + 1} <= {t} THEN cum_cents END), 0), 1000)"
+            ).alias(f"f{a}")
+        )
+    factors = cum.filter(
+        (F.col("age") <= CL_MAX_AGE)
+        & (
+            F.col("age")
+            < F.least(F.lit(t) - F.col("c"), F.lit(CL_MAX_AGE)) + 1
+        )
+        & (F.col("c") + F.col("age") + 1 <= t + 1)
+        & (F.col("c") + CL_MAX_AGE >= F.col("age"))
+    ).agg(*factor_exprs)
+    latest = cum.filter(
+        F.col("age")
+        == F.least(F.lit(t) - F.col("c"), F.lit(CL_MAX_AGE))
+    ).select(
+        "c",
+        F.least(F.lit(t) - F.col("c"), F.lit(CL_MAX_AGE)).alias(
+            "last_age"
+        ),
+        "cum_cents",
+    )
+    return (
+        latest.crossJoin(F.broadcast(factors))
+        .select(
+            F.col("c").alias("cohort_month"),
+            F.col("last_age").cast("bigint"),
+            "cum_cents",
+            F.expr(
+                f"CAST({_cl_ultimate_case_sql('DIV')} AS BIGINT)"
+            ).alias("ultimate_cents"),
+        )
+        .orderBy("cohort_month")
+    )

@@ -2905,3 +2905,206 @@ def q304_license_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# q319 — data freshness board (per-partition staleness vs SLA)
+# --------------------------------------------------------------------------
+
+FRESH_SLA_MIN = (30, 120)  #: warn / crit staleness thresholds (minutes)
+
+
+@register(
+    "q319_freshness_board",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) AS w FROM events),
+    per AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           p.n_events,
+           CAST((epoch_us(wm.w) - epoch_us(p.last_ts)) // 60000000
+                AS BIGINT) AS staleness_min,
+           CASE WHEN epoch_us(wm.w) - epoch_us(p.last_ts)
+                     >= CAST({FRESH_SLA_MIN[1]} AS BIGINT) * 60000000
+                THEN 'crit'
+                WHEN epoch_us(wm.w) - epoch_us(p.last_ts)
+                     >= CAST({FRESH_SLA_MIN[0]} AS BIGINT) * 60000000
+                THEN 'warn'
+                ELSE 'ok' END AS freshness
+    FROM per p, wm
+    ORDER BY p.event_type
+    """,
+)
+def q319_freshness_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness board — per feed (event_type), how stale is the
+    newest record relative to the dataset watermark, against
+    warn/crit SLAs ({FRESH_SLA_MIN} minutes)? The first page of every
+    pipeline dashboard: a feed whose staleness grows is an upstream
+    outage BEFORE any downstream number is wrong. Staleness is
+    measured against the observed global watermark (max ts), not
+    wall-clock, so the query is deterministic and replayable — the
+    production variant swaps the watermark scalar for now().
+
+    Determinism: microsecond integers, floor-div minutes, threshold
+    CASE.
+
+    Scale: two partial-combined aggregates (per-feed max/count + the
+    one-row watermark broadcast); no joins wider than |feeds| rows.
+
+    Reference: the freshness face of the ops family (q311 burn rate,
+    q213 late-data contract, q233 error impact)."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("w"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    stale_us = F.unix_micros("w") - F.unix_micros("last_ts")
+    return (
+        per.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            "n_events",
+            F.expr(
+                "(unix_micros(w) - unix_micros(last_ts)) DIV 60000000"
+            )
+            .cast("bigint")
+            .alias("staleness_min"),
+            F.when(
+                stale_us >= FRESH_SLA_MIN[1] * 60_000_000, "crit"
+            )
+            .when(stale_us >= FRESH_SLA_MIN[0] * 60_000_000, "warn")
+            .otherwise("ok")
+            .alias("freshness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q320 — duplicate-payment (double-shipment) detection
+# --------------------------------------------------------------------------
+
+DUP_PAY_WINDOW_DAYS = 7
+
+
+@register(
+    "q320_duplicate_payments",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey, l_partkey,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+               l_shipdate + INTERVAL 2 DAY,
+               l_orderkey + 100000000, l_linenumber
+        FROM lineitem
+        WHERE (l_orderkey + l_linenumber) % 20 = 0
+    ),
+    pairs AS (
+        SELECT a.l_suppkey,
+               a.cents,
+               CAST(datediff('day', a.l_shipdate, b.l_shipdate)
+                    AS BIGINT) AS gap_days
+        FROM lines a JOIN lines b
+          ON a.l_suppkey = b.l_suppkey
+         AND a.l_partkey = b.l_partkey
+         AND a.cents = b.cents
+         AND (a.l_orderkey < b.l_orderkey
+              OR (a.l_orderkey = b.l_orderkey
+                  AND a.l_linenumber < b.l_linenumber))
+         AND b.l_shipdate >= a.l_shipdate
+         AND datediff('day', a.l_shipdate, b.l_shipdate)
+             <= {DUP_PAY_WINDOW_DAYS}
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(SUM(cents) AS BIGINT) AS cents_at_risk
+    FROM pairs GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def q320_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen — the accounts-payable control: two
+    line items with the SAME supplier, part, and exact amount shipped
+    within {DUP_PAY_WINDOW_DAYS} days are double-billing suspects
+    (the fixture's continuous prices never collide naturally, so
+    every 20th line is seeded as a re-billed copy two days later —
+    a measurable double-payment corpus with known recall). Pairs are keyed on
+    (supplier, part, amount) — an EQUI self-join whose group sizes
+    are bounded by per-part shipment frequency — with the date window
+    as a residual filter; the asymmetric (orderkey, linenumber)
+    ordering counts each suspect pair once. Rolled to a per-supplier
+    risk report (pair count, tightest gap, cents at risk).
+
+    Determinism: integer cents/keys/day gaps; pair ordering total.
+
+    Scale: this is the q40-dedup shape with a temporal tolerance: the
+    shuffle key is the (supp, part, cents) digest, never all-pairs;
+    at 100 TB skew lives in promotional amounts — the q45 salting
+    pattern applies unchanged to the hot digests.
+
+    Reference: the finance-control member of the dedup family (exact
+    q40, fuzzy q158, temporal-tolerance q320)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_suppkey",
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    rebilled = base.filter(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 20 == 0
+    ).select(
+        "l_suppkey",
+        "l_partkey",
+        "cents",
+        F.date_add("l_shipdate", 2).cast("timestamp").alias("l_shipdate"),
+        (F.col("l_orderkey") + 100_000_000).alias("l_orderkey"),
+        "l_linenumber",
+    )
+    lines = base.unionByName(rebilled)
+    a = lines.select(
+        *[F.col(c).alias(f"a_{c}") for c in lines.columns]
+    )
+    b = lines.select(
+        *[F.col(c).alias(f"b_{c}") for c in lines.columns]
+    )
+    gap = F.datediff(F.col("b_l_shipdate"), F.col("a_l_shipdate"))
+    pairs = a.join(
+        b,
+        (F.col("a_l_suppkey") == F.col("b_l_suppkey"))
+        & (F.col("a_l_partkey") == F.col("b_l_partkey"))
+        & (F.col("a_cents") == F.col("b_cents"))
+        & (
+            (F.col("a_l_orderkey") < F.col("b_l_orderkey"))
+            | (
+                (F.col("a_l_orderkey") == F.col("b_l_orderkey"))
+                & (F.col("a_l_linenumber") < F.col("b_l_linenumber"))
+            )
+        )
+        & (F.col("b_l_shipdate") >= F.col("a_l_shipdate"))
+        & (gap <= DUP_PAY_WINDOW_DAYS),
+    ).select(
+        F.col("a_l_suppkey").alias("l_suppkey"),
+        F.col("a_cents").alias("cents"),
+        gap.cast("bigint").alias("gap_days"),
+    )
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("gap_days").cast("bigint").alias("min_gap_days"),
+            F.sum("cents").cast("bigint").alias("cents_at_risk"),
+        )
+        .orderBy("l_suppkey")
+    )

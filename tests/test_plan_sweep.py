@@ -76,6 +76,8 @@ BNLJ_ALLOWED = {
     "q305_rollup_distinct_sketch",  # one-row total-exact broadcast (literal key folds)
     "q307_permutation_test",      # one-row observed-statistic broadcast
     "q312_reco_coverage",         # two one-row totals broadcasts (catalog, top10)
+    "q319_freshness_board",       # one-row watermark broadcast
+    "q321_chain_ladder",          # one-row development-factor broadcast
 }
 
 

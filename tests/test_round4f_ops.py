@@ -1183,3 +1183,74 @@ def test_differencing_audit_flags_consistent(spark):
         assert r["parent_n"] == parents[r["seg"]]
         assert r["complement_n"] == r["parent_n"] - r["child_n"]
         assert r["small_cell"] or r["differencing_risk"]
+
+
+# --------------------------------------------------------------------------
+# q319 — freshness board
+# --------------------------------------------------------------------------
+
+
+def test_freshness_board_consistency(spark):
+    from serverless_etl_spark.operators.quality import FRESH_SLA_MIN
+
+    rows = registry.QUERIES["q319_freshness_board"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    assert min(r["staleness_min"] for r in rows) == 0  # watermark feed
+    for r in rows:
+        if r["staleness_min"] >= FRESH_SLA_MIN[1]:
+            assert r["freshness"] == "crit"
+        elif r["staleness_min"] >= FRESH_SLA_MIN[0]:
+            assert r["freshness"] == "warn"
+        else:
+            assert r["freshness"] == "ok"
+
+
+# --------------------------------------------------------------------------
+# q320 — duplicate payments
+# --------------------------------------------------------------------------
+
+
+def test_duplicate_payments_finds_all_seeded(spark):
+    rows = registry.QUERIES["q320_duplicate_payments"](
+        spark, SF_SMALL
+    ).collect()
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    ).collect()
+    seeded = [
+        r for r in li if (r["l_orderkey"] + r["l_linenumber"]) % 20 == 0
+    ]
+    # every seeded re-bill pairs with its source (gap 2 <= window);
+    # with no natural collisions the totals match exactly
+    assert sum(r["n_pairs"] for r in rows) == len(seeded)
+    assert all(r["min_gap_days"] >= 0 for r in rows)
+    assert {r["l_suppkey"] for r in rows} == {
+        r["l_suppkey"] for r in seeded
+    }
+
+
+# --------------------------------------------------------------------------
+# q321 — chain ladder
+# --------------------------------------------------------------------------
+
+
+def test_chain_ladder_completion_properties(spark):
+    from serverless_etl_spark.operators.analytics_ext import CL_MAX_AGE
+
+    rows = registry.QUERIES["q321_chain_ladder"](spark, SF_MID).collect()
+    assert rows
+    mature = [r for r in rows if r["last_age"] == CL_MAX_AGE]
+    young = [r for r in rows if r["last_age"] < CL_MAX_AGE]
+    assert mature, "need mature cohorts to estimate factors"
+    for r in mature:
+        # a complete cohort needs no projection
+        assert r["ultimate_cents"] == r["cum_cents"]
+    for r in young:
+        # cumulative revenue never shrinks, so factors >= 1000 and the
+        # projection can only add (up to flooring)
+        assert r["ultimate_cents"] >= r["cum_cents"] - CL_MAX_AGE
+    # cohort months are valid month indexes and unique
+    months = [r["cohort_month"] for r in rows]
+    assert len(months) == len(set(months))

@@ -8054,3 +8054,196 @@ def q321_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+# --------------------------------------------------------------------------
+# q322 — FIFO cost-of-goods via cumulative lot matching (no recursion)
+# --------------------------------------------------------------------------
+
+FIFO_PART_MOD = 25  #: audit every 25th part's lot ledger
+
+
+@register(
+    "q322_fifo_cogs",
+    oracle=f"""
+    WITH lots AS (
+        SELECT l_partkey AS p,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                   // CAST(l_quantity AS BIGINT) AS unit_cents,
+               l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem WHERE l_partkey % {FIFO_PART_MOD} = 0
+    ),
+    demand AS (
+        SELECT p,
+               CAST(SUM(qty) AS BIGINT) * 6 // 10 AS d
+        FROM lots GROUP BY p
+    ),
+    ordered AS (
+        SELECT p, qty, unit_cents,
+               COALESCE(CAST(SUM(qty) OVER (PARTITION BY p
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before
+        FROM lots
+    ),
+    matched AS (
+        SELECT o.p, o.qty, o.unit_cents,
+               LEAST(GREATEST(d.d - o.cum_before, 0), o.qty) AS consumed
+        FROM ordered o JOIN demand d ON d.p = o.p
+    )
+    SELECT p AS partkey,
+           COUNT(*) AS n_lots,
+           CAST(SUM(consumed) AS BIGINT) AS units_sold,
+           CAST(SUM(qty - consumed) AS BIGINT) AS units_on_hand,
+           CAST(SUM(consumed * unit_cents) AS BIGINT) AS cogs_cents,
+           CAST(SUM((qty - consumed) * unit_cents) AS BIGINT)
+               AS inventory_value_cents
+    FROM matched GROUP BY p ORDER BY p
+    """,
+)
+def q322_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost-of-goods — lot-level first-in-first-out consumption
+    WITHOUT sequential code: although FIFO "feels" like q296's clamp
+    recursion, total demand D against an ordered lot ledger has a
+    CLOSED FORM — lot i is consumed by exactly
+    clamp(D − cum_qty_before_i, 0, qty_i) — so one cumulative-sum
+    window replaces the loop and the whole valuation (COGS + ending
+    inventory at lot cost) is a windowed projection. Demand is a
+    deterministic 60% of each audited part's receipts. Recognizing
+    WHICH "sequential" problems collapse like this (monotone
+    single-threshold consumption does; q296's bounded-above-and-below
+    balance does not) is the difference between a scan and an
+    applyInPandas.
+
+    Determinism: integer quantities and unit cents (floor), total
+    window order (shipdate, orderkey, linenumber), integer clamps
+    (LEAST/GREATEST over BIGINT — no decimal promotion).
+
+    Scale: one exchange on the part key; linear per key; the demand
+    scalar per key is a keyed aggregate joined back (broadcast-sized
+    for an audited subset, map-side partial either way).
+
+    Reference: the valuation member of the inventory family (q296
+    simulates the balance, q322 prices it; q171/q202 age it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lots = li.filter(F.col("l_partkey") % FIFO_PART_MOD == 0).select(
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+            " DIV CAST(l_quantity AS BIGINT)"
+        ).alias("unit_cents"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    lots = track_cache(lots.persist())
+    demand = lots.groupBy("p").agg(
+        F.expr("CAST(SUM(qty) AS BIGINT) * 6 DIV 10").alias("d")
+    )
+    w = Window.partitionBy("p").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ordered = lots.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("qty").over(w).cast("bigint"), F.lit(0)),
+    )
+    matched = ordered.join(demand, "p").withColumn(
+        "consumed",
+        F.least(
+            F.greatest(F.col("d") - F.col("cum_before"), F.lit(0)),
+            F.col("qty"),
+        ),
+    )
+    return (
+        matched.groupBy(F.col("p").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lots"),
+            F.sum("consumed").cast("bigint").alias("units_sold"),
+            F.sum(F.col("qty") - F.col("consumed"))
+            .cast("bigint")
+            .alias("units_on_hand"),
+            F.sum(F.col("consumed") * F.col("unit_cents"))
+            .cast("bigint")
+            .alias("cogs_cents"),
+            F.sum((F.col("qty") - F.col("consumed")) * F.col("unit_cents"))
+            .cast("bigint")
+            .alias("inventory_value_cents"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q324 — sample-ratio mismatch (SRM) check for experiment assignment
+# --------------------------------------------------------------------------
+
+#: chi-square(1 dof) critical values in milli: p=0.05, p=0.001
+SRM_WARN_MILLI = 3_841
+SRM_CRIT_MILLI = 10_828
+
+
+@register(
+    "q324_srm_check",
+    oracle=f"""
+    WITH assignment AS (
+        SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    counts AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(variant) AS BIGINT) AS n1
+        FROM assignment
+    )
+    SELECT n0 AS users_control, n1 AS users_treatment,
+           1000000 * n0 // (n0 + n1) AS control_share_ppm,
+           1000 * (n0 - n1) * (n0 - n1) // (n0 + n1) AS chi2_milli,
+           CASE WHEN 1000 * (n0 - n1) * (n0 - n1) // (n0 + n1)
+                     >= {SRM_CRIT_MILLI} THEN 'srm_crit'
+                WHEN 1000 * (n0 - n1) * (n0 - n1) // (n0 + n1)
+                     >= {SRM_WARN_MILLI} THEN 'srm_warn'
+                ELSE 'ok' END AS verdict
+    FROM counts
+    """,
+)
+def q324_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-hygiene gate that
+    must PASS before anyone reads q132's conversion numbers: under a
+    50/50 split the assignment counts' chi-square statistic collapses
+    to (n0−n1)²/(n0+n1), kept integer in milli-units; exceeding the
+    1-dof critical values (3.841 / 10.828) means the assignment
+    itself is broken (redirect bugs, bot filtering applied per-arm,
+    logging loss) and every downstream readout is invalid. Run on
+    the same parity assignment q132 reads, so a red here
+    disqualifies exactly that readout.
+
+    Determinism: integer counts, cross-multiplied chi-square, fixed
+    critical-value literals.
+
+    Scale: one distinct over the assignment (the q132 scan), a
+    two-cell aggregate — nothing wider than one row ever moves.
+
+    Reference: the validity gate of the experimentation family
+    (q132 readout, q256 DiD, q274 intervals, q307 significance)."""
+    ev = load_table(spark, sf_dir, "events")
+    assignment = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    counts = assignment.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum("variant").cast("bigint").alias("n1"),
+    )
+    chi = F.expr("1000 * (n0 - n1) * (n0 - n1) DIV (n0 + n1)")
+    return counts.select(
+        F.col("n0").alias("users_control"),
+        F.col("n1").alias("users_treatment"),
+        F.expr("1000000 * n0 DIV (n0 + n1)").alias("control_share_ppm"),
+        chi.alias("chi2_milli"),
+        F.when(chi >= SRM_CRIT_MILLI, "srm_crit")
+        .when(chi >= SRM_WARN_MILLI, "srm_warn")
+        .otherwise("ok")
+        .alias("verdict"),
+    )

@@ -3108,3 +3108,98 @@ def q320_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q323 — backfill planner (partitions anomalously light vs DOW baseline)
+# --------------------------------------------------------------------------
+
+BACKFILL_THRESH_PPM = 500_000  #: flag days under 50% of DOW median
+
+
+@register(
+    "q323_backfill_planner",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               dayofweek(ts) AS dow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    med AS (
+        SELECT event_type, dow, n AS med_n FROM (
+            SELECT event_type, dow, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                                      ORDER BY n, day) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type, dow) AS c
+            FROM daily
+        ) WHERE rk = (c + 1) // 2
+    )
+    SELECT d.event_type, d.day,
+           CAST(d.n AS BIGINT) AS n_rows,
+           CAST(m.med_n AS BIGINT) AS dow_median,
+           1000000 * d.n // m.med_n AS fill_ppm
+    FROM daily d JOIN med m
+      ON m.event_type = d.event_type AND m.dow = d.dow
+    WHERE 1000000 * d.n < {BACKFILL_THRESH_PPM} * m.med_n
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q323_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner — the actionable output of freshness/volume
+    monitoring: which (feed, day) partitions landed anomalously LIGHT
+    against that feed's day-of-week median and should be re-ingested?
+    Day-of-week medians (lower median, rank-selected with a total
+    order so both engines pick the same day) absorb weekly
+    seasonality that a global mean would misread as anomalies; the
+    {BACKFILL_THRESH_PPM}-ppm threshold compares by cross-
+    multiplication — no division until the reported fill ratio. The
+    output IS the work list a backfill orchestrator (S11's idempotent
+    partition overwrite) consumes directly.
+
+    Determinism: integer daily counts, rank-selected medians with
+    (n, day) tie order, cross-multiplied threshold, floor-div ppm.
+
+    Scale: the fact collapses to (feed, day) cells map-side; medians
+    rank |days-per-dow| rows per feed (bounded by calendar, not
+    data); the planner join is cell-sized. The q143/q152 cell posture
+    with a work-list output.
+
+    Reference: closes the ops loop — q319 says a feed is stale, q323
+    says exactly which partitions to re-run, S11 re-runs them
+    idempotently."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = track_cache(daily.persist())
+    wm = Window.partitionBy("event_type", "dow").orderBy("n", "day")
+    med = (
+        daily.withColumn("rk", F.row_number().over(wm))
+        .withColumn(
+            "c",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "dow")
+            ),
+        )
+        .filter(F.col("rk") == F.expr("(c + 1) DIV 2"))
+        .select("event_type", "dow", F.col("n").alias("med_n"))
+    )
+    return (
+        daily.join(med, ["event_type", "dow"])
+        .filter(
+            F.lit(1_000_000) * F.col("n")
+            < BACKFILL_THRESH_PPM * F.col("med_n")
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("med_n").cast("bigint").alias("dow_median"),
+            F.expr("1000000 * n DIV med_n").alias("fill_ppm"),
+        )
+        .orderBy("event_type", "day")
+    )

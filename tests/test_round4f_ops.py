@@ -1254,3 +1254,92 @@ def test_chain_ladder_completion_properties(spark):
     # cohort months are valid month indexes and unique
     months = [r["cohort_month"] for r in rows]
     assert len(months) == len(set(months))
+
+
+# --------------------------------------------------------------------------
+# q322 — FIFO COGS
+# --------------------------------------------------------------------------
+
+
+def test_fifo_cogs_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import FIFO_PART_MOD
+
+    rows = registry.QUERIES["q322_fifo_cogs"](spark, SF_SMALL).collect()
+    assert rows
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_orderkey", "l_linenumber",
+    ).collect()
+    lots = defaultdict(list)
+    for r in li:
+        if r["l_partkey"] % FIFO_PART_MOD != 0:
+            continue
+        qty = int(r["l_quantity"])
+        unit = math.floor(r["l_extendedprice"] * 100) // qty
+        lots[r["l_partkey"]].append(
+            (r["l_shipdate"], r["l_orderkey"], r["l_linenumber"], qty, unit)
+        )
+    for r in rows:
+        ledger = sorted(lots[r["partkey"]])
+        total = sum(q for *_, q, _u in ledger)
+        d = total * 6 // 10
+        cum = sold = cogs = on_hand = inv = 0
+        for *_, qty, unit in ledger:
+            consumed = min(max(d - cum, 0), qty)
+            cum += qty
+            sold += consumed
+            cogs += consumed * unit
+            on_hand += qty - consumed
+            inv += (qty - consumed) * unit
+        assert r["n_lots"] == len(ledger)
+        assert r["units_sold"] == sold
+        assert r["units_on_hand"] == on_hand
+        assert r["cogs_cents"] == cogs
+        assert r["inventory_value_cents"] == inv
+        # FIFO invariant: everything sold or on hand
+        assert r["units_sold"] + r["units_on_hand"] == total
+
+
+# --------------------------------------------------------------------------
+# q323 — backfill planner
+# --------------------------------------------------------------------------
+
+
+def test_backfill_planner_flags_are_light_days(spark):
+    from serverless_etl_spark.operators.quality import BACKFILL_THRESH_PPM
+
+    rows = registry.QUERIES["q323_backfill_planner"](
+        spark, SF_MID
+    ).collect()
+    for r in rows:
+        assert 1_000_000 * r["n_rows"] < BACKFILL_THRESH_PPM * r["dow_median"]
+        assert r["fill_ppm"] == 1_000_000 * r["n_rows"] // r["dow_median"]
+        assert r["fill_ppm"] < BACKFILL_THRESH_PPM
+
+
+# --------------------------------------------------------------------------
+# q324 — SRM check
+# --------------------------------------------------------------------------
+
+
+def test_srm_check_consistency(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        SRM_CRIT_MILLI,
+        SRM_WARN_MILLI,
+    )
+
+    row = registry.QUERIES["q324_srm_check"](spark, SF_MID).collect()[0]
+    n0, n1 = row["users_control"], row["users_treatment"]
+    users = load_table(spark, SF_MID, "events").select(
+        "user_id"
+    ).distinct().collect()
+    assert n0 == sum(1 for u in users if u["user_id"] % 2 == 0)
+    assert n1 == len(users) - n0
+    chi = 1000 * (n0 - n1) ** 2 // (n0 + n1)
+    assert row["chi2_milli"] == chi
+    expect = (
+        "srm_crit" if chi >= SRM_CRIT_MILLI
+        else "srm_warn" if chi >= SRM_WARN_MILLI
+        else "ok"
+    )
+    assert row["verdict"] == expect

@@ -8247,3 +8247,114 @@ def q324_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# q325 — pinball-loss evaluation of quantile forecasts
+# --------------------------------------------------------------------------
+
+PIN_QS = (10, 50, 90)
+PIN_TRAIN_DAYS = 21
+
+
+@register(
+    "q325_pinball_eval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               day(ts) AS dom, COUNT(*) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    train AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY y, day) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily WHERE dom <= {PIN_TRAIN_DAYS}
+    ),
+    fc AS (
+        SELECT t.event_type, qs.q, t.y AS forecast
+        FROM train t
+        JOIN (SELECT unnest([{", ".join(str(q) for q in PIN_QS)}]) AS q) qs
+          ON t.rk = greatest(1, (t.n * qs.q + 99) // 100)
+    ),
+    test AS (
+        SELECT event_type, y FROM daily WHERE dom > {PIN_TRAIN_DAYS}
+    )
+    SELECT f.event_type, f.q, CAST(f.forecast AS BIGINT) AS forecast,
+           COUNT(*) AS n_test_days,
+           CAST(SUM(CASE WHEN t.y >= f.forecast
+                         THEN f.q * (t.y - f.forecast)
+                         ELSE (100 - f.q) * (f.forecast - t.y) END)
+                AS BIGINT) AS pinball_centi
+    FROM fc f JOIN test t ON t.event_type = f.event_type
+    GROUP BY f.event_type, f.q, f.forecast
+    ORDER BY f.event_type, f.q
+    """,
+)
+def q325_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss — the scoring rule for QUANTILE
+    forecasts, which MAE/MAPE (q245) cannot evaluate: a p90 capacity
+    forecast is supposed to over-predict, and pinball's asymmetric
+    weights (q on under-prediction, 100−q on over) are exactly what
+    makes the true quantile the loss minimizer. Forecasts are the
+    train window's ({PIN_TRAIN_DAYS} days) empirical order statistics
+    per feed at q={PIN_QS}; evaluation is the held-out remainder —
+    the q244 leakage discipline on the quantile axis.
+
+    Determinism: integer daily counts, rank-selected forecasts with
+    (y, day) tie order, centi-weighted integer losses.
+
+    Scale: daily cells map-side; rank selection over |train-days|
+    rows per feed; the eval join is feed-keyed over cells. The loss
+    is a partial-combining SUM — at 100 TB this scores a quantile
+    forecaster with one cell-table pass.
+
+    Reference: completes the forecasting family (q243 decompose,
+    q244 folds, q245 point eval, q269 intervals, q325 quantile
+    eval)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.dayofmonth("ts").alias("dom"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = track_cache(daily.persist())
+    wt = Window.partitionBy("event_type").orderBy("y", "day")
+    train = (
+        daily.filter(F.col("dom") <= PIN_TRAIN_DAYS)
+        .withColumn("rk", F.row_number().over(wt))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")),
+        )
+    )
+    qs = spark.createDataFrame([(q,) for q in PIN_QS], "q int")
+    fc = train.join(
+        F.broadcast(qs),
+        F.col("rk")
+        == F.greatest(F.lit(1), F.expr("(n * q + 99) DIV 100")),
+    ).select("event_type", "q", F.col("y").alias("forecast"))
+    test = daily.filter(F.col("dom") > PIN_TRAIN_DAYS).select(
+        "event_type", "y"
+    )
+    loss = F.when(
+        F.col("y") >= F.col("forecast"),
+        F.col("q") * (F.col("y") - F.col("forecast")),
+    ).otherwise((100 - F.col("q")) * (F.col("forecast") - F.col("y")))
+    return (
+        fc.join(test, "event_type")
+        .groupBy("event_type", "q", "forecast")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_days"),
+            F.sum(loss).cast("bigint").alias("pinball_centi"),
+        )
+        .select(
+            "event_type",
+            "q",
+            F.col("forecast").cast("bigint"),
+            "n_test_days",
+            "pinball_centi",
+        )
+        .orderBy("event_type", "q")
+    )

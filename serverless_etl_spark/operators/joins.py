@@ -854,3 +854,138 @@ def q300_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_us") - F.col("ts_us"))
         .alias("delta_us"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# q327 — point-in-polygon (integer ray casting) over the point field
+# --------------------------------------------------------------------------
+
+#: concave delivery-zone polygon in micro-degrees (lon, lat), CCW —
+#: the notch at the centroid makes containment genuinely non-convex
+PIP_POLY = (
+    (2_000_000, 2_000_000),
+    (8_000_000, 2_000_000),
+    (8_000_000, 8_000_000),
+    (5_000_000, 5_000_000),
+    (2_000_000, 8_000_000),
+)
+
+
+def _pip_edges():
+    return [
+        (PIP_POLY[i], PIP_POLY[(i + 1) % len(PIP_POLY)])
+        for i in range(len(PIP_POLY))
+    ]
+
+
+def _pip_edges_sql() -> str:
+    rows = ", ".join(
+        f"({x1}, {y1}, {x2}, {y2})"
+        for (x1, y1), (x2, y2) in _pip_edges()
+    )
+    return f"(VALUES {rows}) AS e(x1, y1, x2, y2)"
+
+
+@register(
+    "q327_point_in_polygon",
+    oracle=f"""
+    WITH pts AS ({_geo_points_sql()}),
+    crossings AS (
+        SELECT p.id,
+               CAST(SUM(CASE
+                   WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+                    AND (CASE WHEN e.y2 - e.y1 > 0
+                         THEN (p.lon - e.x1) * (e.y2 - e.y1)
+                              < (e.x2 - e.x1) * (p.lat - e.y1)
+                         ELSE (p.lon - e.x1) * (e.y2 - e.y1)
+                              > (e.x2 - e.x1) * (p.lat - e.y1) END)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+        FROM pts p CROSS JOIN {_pip_edges_sql()}
+        GROUP BY p.id
+    ),
+    flagged AS (
+        SELECT c.id, c.n_cross % 2 AS inside FROM crossings c
+    )
+    SELECT cu.c_nationkey AS nation,
+           COUNT(*) AS n_points,
+           CAST(SUM(f.inside) AS BIGINT) AS n_inside,
+           1000000 * CAST(SUM(f.inside) AS BIGINT) // COUNT(*)
+               AS inside_ppm
+    FROM flagged f JOIN customer cu ON cu.c_custkey = f.id
+    GROUP BY cu.c_nationkey
+    ORDER BY cu.c_nationkey
+    """,
+)
+def q327_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment — the geofencing primitive
+    (delivery zones, service areas) done with INTEGER ray casting: a
+    point is inside when a +lon ray crosses an odd number of edges,
+    and each crossing test is a sign-split cross-multiplication (no
+    division, no floats — the slope comparison flips with the edge
+    direction). The zone is a concave polygon over the q277/q279
+    synthetic point field, rolled up to containment share per
+    customer nation.
+
+    Determinism: all-integer micro-degree coordinates and cross
+    products; md5-derived points make exact-on-edge cases
+    practically impossible and identical in both engines regardless.
+
+    Scale: the edge table is |polygon| rows broadcast — the fan-out
+    is edges×points MAP-SIDE and collapses to one crossing count per
+    point before the rollup. For many polygons, bucket by bounding
+    box first (q277's cell snap) so each point only tests zones
+    whose bbox cell it shares.
+
+    Reference: completes the geo family (q277 proximity pairs, q279
+    hotspots, q327 containment)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = geo_points(cust)
+    edges = spark.createDataFrame(
+        [
+            (x1, y1, x2, y2)
+            for (x1, y1), (x2, y2) in _pip_edges()
+        ],
+        "x1 bigint, y1 bigint, x2 bigint, y2 bigint",
+    )
+    straddles = (F.col("y1") > F.col("lat")) != (
+        F.col("y2") > F.col("lat")
+    )
+    lhs = (F.col("lon") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("x2") - F.col("x1")) * (F.col("lat") - F.col("y1"))
+    crosses = F.when(
+        straddles
+        & F.when(F.col("y2") - F.col("y1") > 0, lhs < rhs).otherwise(
+            lhs > rhs
+        ),
+        1,
+    ).otherwise(0)
+    crossings = (
+        pts.crossJoin(F.broadcast(edges))
+        .select("id", crosses.alias("x"))
+        .groupBy("id")
+        .agg(F.sum("x").cast("bigint").alias("n_cross"))
+    )
+    flagged = crossings.select(
+        "id", (F.col("n_cross") % 2).alias("inside")
+    )
+    return (
+        flagged.join(
+            cust.select(
+                F.col("c_custkey").alias("id"),
+                F.col("c_nationkey").alias("nation"),
+            ),
+            "id",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("inside").cast("bigint").alias("n_inside"),
+        )
+        .select(
+            "nation",
+            "n_points",
+            "n_inside",
+            F.expr("1000000 * n_inside DIV n_points").alias("inside_ppm"),
+        )
+        .orderBy("nation")
+    )

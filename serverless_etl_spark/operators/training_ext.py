@@ -1409,3 +1409,170 @@ def q312_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * s DIV n_slots").alias("top10_share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q326 — pairwise ranker preference (interleaving-style offline eval)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q326_ranker_interleave_eval",
+    oracle=f"""
+    WITH buys AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS p,
+               year(o.o_orderdate) AS yr
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE year(o.o_orderdate) IN ({RANK_TRAIN_YEAR}, {RANK_TEST_YEAR})
+    ),
+    train AS (
+        SELECT c, p, COUNT(*) AS w FROM buys
+        WHERE yr = {RANK_TRAIN_YEAR} GROUP BY c, p
+    ),
+    rank_a AS (
+        SELECT c, p,
+               ROW_NUMBER() OVER (PARTITION BY c
+                                  ORDER BY w DESC, p) AS ra
+        FROM train QUALIFY ra <= {RANK_K}
+    ),
+    pop AS (
+        SELECT p, COUNT(*) AS pc FROM buys
+        WHERE yr = {RANK_TRAIN_YEAR} GROUP BY p
+    ),
+    rank_b AS (
+        SELECT p, ROW_NUMBER() OVER (ORDER BY pc DESC, p) AS rb
+        FROM pop QUALIFY rb <= {RANK_K}
+    ),
+    hits AS (
+        SELECT DISTINCT c, p FROM buys WHERE yr = {RANK_TEST_YEAR}
+    ),
+    judged AS (
+        SELECT h.c,
+               COALESCE(a.ra, {RANK_K + 1}) AS ra,
+               COALESCE(b.rb, {RANK_K + 1}) AS rb
+        FROM hits h
+        LEFT JOIN rank_a a ON a.c = h.c AND a.p = h.p
+        LEFT JOIN rank_b b ON b.p = h.p
+        WHERE COALESCE(a.ra, {RANK_K + 1}) <= {RANK_K}
+           OR COALESCE(b.rb, {RANK_K + 1}) <= {RANK_K}
+    )
+    SELECT COUNT(DISTINCT c) AS n_customers,
+           COUNT(*) AS n_judged_hits,
+           CAST(SUM(CASE WHEN ra < rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_personalized,
+           CAST(SUM(CASE WHEN rb < ra THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_popularity,
+           CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties,
+           CASE WHEN SUM(CASE WHEN ra <> rb THEN 1 ELSE 0 END) = 0
+                THEN 500000
+                ELSE 1000000 * CAST(SUM(CASE WHEN ra < rb THEN 1 ELSE 0
+                     END) AS BIGINT)
+                     // CAST(SUM(CASE WHEN ra <> rb THEN 1 ELSE 0 END)
+                             AS BIGINT) END AS pref_personalized_ppm
+    FROM judged
+    """,
+)
+def q326_ranker_interleave_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise ranker preference — the offline analogue of interleaved
+    evaluation: for every held-out {RANK_TEST_YEAR} purchase that
+    EITHER ranker surfaced in its top-{RANK_K}, which ranker placed
+    it higher — the personalized co-purchase model (q301's) or the
+    popularity baseline? An item one ranker surfaces and the other
+    misses counts as a win at rank {RANK_K + 1} for the misser, the
+    balanced-interleave attribution rule. The preference ratio over
+    decided comparisons is the A/B answer you get WITHOUT an online
+    experiment — and a personalized model that cannot beat popularity
+    here should not ship.
+
+    Determinism: integer ranks (total tie orders), integer win
+    counts, one ppm division with an explicit all-ties fallback.
+
+    Scale: ranker A is a per-customer WindowGroupLimit; ranker B is
+    one |parts|-row global rank broadcast; judgment joins are keyed
+    on the hit set. No interleave simulation loop — the balanced
+    rule reduces to a rank comparison, which is why this formulation
+    scales.
+
+    Reference: the model-comparison member of the recommender-eval
+    family (q219 hits, q301 gain, q312 health, q326 preference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    buys = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(F.year("o_orderdate").isin(RANK_TRAIN_YEAR, RANK_TEST_YEAR))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.year("o_orderdate").alias("yr"),
+        )
+    )
+    buys = track_cache(buys.persist())
+    train = (
+        buys.filter(F.col("yr") == RANK_TRAIN_YEAR)
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rank_a = (
+        train.withColumn(
+            "ra",
+            F.row_number().over(
+                Window.partitionBy("c").orderBy(F.col("w").desc(), "p")
+            ),
+        )
+        .filter(F.col("ra") <= RANK_K)
+        .select("c", "p", "ra")
+    )
+    pop = (
+        buys.filter(F.col("yr") == RANK_TRAIN_YEAR)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    rank_b = (
+        pop.withColumn(
+            "rb",
+            F.row_number().over(Window.orderBy(F.col("pc").desc(), "p")),
+        )
+        .filter(F.col("rb") <= RANK_K)
+        .select("p", "rb")
+    )
+    hits = (
+        buys.filter(F.col("yr") == RANK_TEST_YEAR)
+        .select("c", "p")
+        .distinct()
+    )
+    miss = F.lit(RANK_K + 1)
+    judged = (
+        hits.join(rank_a, ["c", "p"], "left")
+        .join(F.broadcast(rank_b), "p", "left")
+        .select(
+            "c",
+            F.coalesce("ra", miss).alias("ra"),
+            F.coalesce("rb", miss).alias("rb"),
+        )
+        .filter((F.col("ra") <= RANK_K) | (F.col("rb") <= RANK_K))
+    )
+    return judged.agg(
+        F.countDistinct("c").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_judged_hits"),
+        F.sum(F.when(F.col("ra") < F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wins_personalized"),
+        F.sum(F.when(F.col("rb") < F.col("ra"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wins_popularity"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN ra <> rb THEN 1 ELSE 0 END) = 0"
+            " THEN 500000"
+            " ELSE 1000000 * CAST(SUM(CASE WHEN ra < rb THEN 1 ELSE 0"
+            " END) AS BIGINT)"
+            " DIV CAST(SUM(CASE WHEN ra <> rb THEN 1 ELSE 0 END)"
+            " AS BIGINT) END"
+        ).alias("pref_personalized_ppm"),
+    )

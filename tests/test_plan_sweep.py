@@ -78,6 +78,8 @@ BNLJ_ALLOWED = {
     "q312_reco_coverage",         # two one-row totals broadcasts (catalog, top10)
     "q319_freshness_board",       # one-row watermark broadcast
     "q321_chain_ladder",          # one-row development-factor broadcast
+    "q325_pinball_eval",          # 3-row quantile-grid broadcast (rank-select theta)
+    "q327_point_in_polygon",      # 5-row polygon-edge broadcast fan-out
 }
 
 

@@ -1343,3 +1343,123 @@ def test_srm_check_consistency(spark):
         else "ok"
     )
     assert row["verdict"] == expect
+
+
+# --------------------------------------------------------------------------
+# q325 — pinball eval
+# --------------------------------------------------------------------------
+
+
+def test_pinball_eval_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        PIN_QS,
+        PIN_TRAIN_DAYS,
+    )
+
+    rows = registry.QUERIES["q325_pinball_eval"](spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "ts"
+    ).collect()
+    daily = Counter()
+    for e in ev:
+        daily[(e["event_type"], e["ts"].date())] += 1
+    per_type = defaultdict(lambda: ([], []))
+    for (t, d), y in daily.items():
+        per_type[t][0 if d.day <= PIN_TRAIN_DAYS else 1].append((y, d))
+    expect = {}
+    for t, (train, test) in per_type.items():
+        train.sort()
+        n = len(train)
+        for q in PIN_QS:
+            k = max(1, (n * q + 99) // 100)
+            f = train[k - 1][0]
+            loss = sum(
+                q * (y - f) if y >= f else (100 - q) * (f - y)
+                for y, _ in test
+            )
+            expect[(t, q)] = (f, len(test), loss)
+    assert len(rows) == len(expect)
+    for r in rows:
+        f, nt, loss = expect[(r["event_type"], r["q"])]
+        assert r["forecast"] == f
+        assert r["n_test_days"] == nt
+        assert r["pinball_centi"] == loss
+
+
+# --------------------------------------------------------------------------
+# q326 — ranker preference
+# --------------------------------------------------------------------------
+
+
+def test_ranker_interleave_consistency(spark):
+    row = registry.QUERIES["q326_ranker_interleave_eval"](
+        spark, SF_MID
+    ).collect()[0]
+    assert row["n_judged_hits"] == (
+        row["wins_personalized"] + row["wins_popularity"] + row["ties"]
+    )
+    assert row["n_customers"] > 0
+    decided = row["wins_personalized"] + row["wins_popularity"]
+    if decided:
+        assert row["pref_personalized_ppm"] == (
+            1_000_000 * row["wins_personalized"] // decided
+        )
+    assert 0 <= row["pref_personalized_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q327 — point in polygon
+# --------------------------------------------------------------------------
+
+
+def test_point_in_polygon_replay(spark):
+    from serverless_etl_spark.operators.joins import (
+        GEO_SPAN,
+        PIP_POLY,
+    )
+
+    rows = registry.QUERIES["q327_point_in_polygon"](
+        spark, SF_SMALL
+    ).collect()
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).collect()
+
+    def coord(k, tag):
+        h = int(
+            hashlib.md5(f"{k}{tag}".encode()).hexdigest()[:12], 16
+        )
+        if k % 3 == 0:
+            return h % (GEO_SPAN // 10) + GEO_SPAN * 45 // 100
+        return h % GEO_SPAN
+
+    def inside(px, py):
+        n = 0
+        for i in range(len(PIP_POLY)):
+            x1, y1 = PIP_POLY[i]
+            x2, y2 = PIP_POLY[(i + 1) % len(PIP_POLY)]
+            if (y1 > py) != (y2 > py):
+                lhs = (px - x1) * (y2 - y1)
+                rhs = (x2 - x1) * (py - y1)
+                if (lhs < rhs) if y2 - y1 > 0 else (lhs > rhs):
+                    n += 1
+        return n % 2
+
+    per_nation = defaultdict(lambda: [0, 0])
+    for c in cust:
+        k = c["c_custkey"]
+        lat, lon = coord(k, "|lat"), coord(k, "|lon")
+        t = per_nation[c["c_nationkey"]]
+        t[0] += 1
+        t[1] += inside(lon, lat)
+    assert len(rows) == len(per_nation)
+    total_inside = 0
+    for r in rows:
+        n, ins = per_nation[r["nation"]]
+        assert r["n_points"] == n
+        assert r["n_inside"] == ins
+        total_inside += ins
+    # the downtown square (every 3rd customer) sits inside the zone's
+    # outer box, so containment is substantial but not total
+    total = sum(v[0] for v in per_nation.values())
+    assert 0 < total_inside < total

@@ -3203,3 +3203,297 @@ def q323_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# q328 — storage tiering advisor (partition temperature plan)
+# --------------------------------------------------------------------------
+
+TIER_HOT_MONTHS = 6
+TIER_WARM_MONTHS = 24
+TIER_ROW_BYTES = 120  #: modeled bytes/row for the orders fact
+
+
+@register(
+    "q328_tiered_storage_advisor",
+    oracle=f"""
+    WITH parts AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(m) AS t FROM parts)
+    SELECT CASE WHEN h.t - p.m < {TIER_HOT_MONTHS} THEN 'hot'
+                WHEN h.t - p.m < {TIER_WARM_MONTHS} THEN 'warm'
+                ELSE 'cold' END AS tier,
+           COUNT(*) AS n_partitions,
+           CAST(SUM(p.n) AS BIGINT) AS n_rows,
+           CAST(SUM(p.n) AS BIGINT) * {TIER_ROW_BYTES} AS est_bytes,
+           CAST(MIN(p.m) AS BIGINT) AS oldest_month,
+           CAST(MAX(p.m) AS BIGINT) AS newest_month
+    FROM parts p CROSS JOIN horizon h
+    GROUP BY 1 ORDER BY tier
+    """,
+)
+def q328_tiered_storage_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage tiering plan — the lifecycle policy input: month
+    partitions binned by age against the observed horizon into hot
+    (< {TIER_HOT_MONTHS} mo, stays on fast storage), warm, and cold
+    (≥ {TIER_WARM_MONTHS} mo, archive tier), with partition / row /
+    modeled-byte totals per tier. The deliverable is the object-store
+    lifecycle rule and its predicted savings — at 100 TB the cold
+    tier is typically most of the bytes and nearly none of the scans
+    (q234 picks the partition key; this prices keeping its history
+    hot). Age is measured against the data's own horizon so the plan
+    is deterministic and replayable.
+
+    Determinism: integer month indexes, counts, byte model.
+
+    Scale: one partial-combined aggregate to |months| cells; the
+    horizon is a one-row broadcast; the plan is 3 rows.
+
+    Reference: the lifecycle member of the physical-design advisors
+    (q234 partitioning, q146 compaction, q293 clustering, q297
+    encoding, q328 tiering)."""
+    orders = load_table(spark, sf_dir, "orders")
+    parts = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    horizon = parts.agg(F.max("m").alias("t"))
+    age = F.col("t") - F.col("m")
+    tier = (
+        F.when(age < TIER_HOT_MONTHS, "hot")
+        .when(age < TIER_WARM_MONTHS, "warm")
+        .otherwise("cold")
+    )
+    return (
+        parts.crossJoin(F.broadcast(horizon))
+        .select(tier.alias("tier"), "m", "n")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            (F.sum("n").cast("bigint") * TIER_ROW_BYTES).alias(
+                "est_bytes"
+            ),
+            F.min("m").cast("bigint").alias("oldest_month"),
+            F.max("m").cast("bigint").alias("newest_month"),
+        )
+        .orderBy("tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# q329 — ensemble anomaly consensus over daily volumes
+# --------------------------------------------------------------------------
+
+ENS_WIN = 14          #: trailing baseline window (days)
+ENS_Z_MILLI = 2_500   #: |x−mean| >= 2.5σ  (variance via n²-scaled form)
+ENS_MAD_MULT = 5      #: |x−median| >= 5·MAD
+ENS_DOW_PPM = 500_000  #: |x−dow_median| >= 50% of dow median
+
+
+@register(
+    "q329_ensemble_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               dayofweek(ts) AS dow, COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT day, dow, y,
+               CAST(SUM(y) OVER w AS BIGINT) AS s,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN {ENS_WIN} PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    eligible AS (SELECT * FROM base WHERE n >= 7),
+    sliced AS (
+        SELECT b.day, b.n, d.day AS d2, d.y AS y2,
+               ROW_NUMBER() OVER (PARTITION BY b.day
+                                  ORDER BY d.y, d.day) AS rk
+        FROM eligible b JOIN daily d
+          ON d.day < b.day AND d.day >= b.day - {ENS_WIN}
+    ),
+    med AS (
+        SELECT day, y2 AS med_y FROM sliced
+        WHERE rk = (n - 1) // 2 + 1
+    ),
+    withmed AS (
+        SELECT e.*, m.med_y FROM eligible e JOIN med m ON m.day = e.day
+    ),
+    madslice AS (
+        SELECT b.day, b.n, abs(d.y - b.med_y) AS dev, d.day AS d2,
+               ROW_NUMBER() OVER (PARTITION BY b.day
+                                  ORDER BY abs(d.y - b.med_y), d.day)
+                   AS rk
+        FROM withmed b JOIN daily d
+          ON d.day < b.day AND d.day >= b.day - {ENS_WIN}
+    ),
+    mad AS (
+        SELECT day, dev AS mad_y FROM madslice
+        WHERE rk = (n - 1) // 2 + 1
+    ),
+    dowslice AS (
+        SELECT b.day, d.y AS y3, d.day AS d3,
+               ROW_NUMBER() OVER (PARTITION BY b.day
+                                  ORDER BY d.y, d.day) AS rk,
+               COUNT(*) OVER (PARTITION BY b.day) AS c
+        FROM eligible b JOIN daily d
+          ON d.dow = b.dow AND d.day <> b.day
+    ),
+    dowmed AS (
+        SELECT day, y3 AS dow_med FROM dowslice
+        WHERE rk = (c - 1) // 2 + 1
+    ),
+    votes AS (
+        SELECT w.day, w.y,
+               CASE WHEN (w.n * w.y - w.s) * (w.n * w.y - w.s) * 1000000
+                         >= {ENS_Z_MILLI} * {ENS_Z_MILLI}
+                            * (w.n * w.ss - w.s * w.s) * w.n
+                    THEN 1 ELSE 0 END AS v_z,
+               CASE WHEN abs(w.y - w.med_y) >= {ENS_MAD_MULT} * ma.mad_y
+                    THEN 1 ELSE 0 END AS v_mad,
+               CASE WHEN abs(w.y - dm.dow_med) * 1000000
+                         >= {ENS_DOW_PPM} * dm.dow_med
+                    THEN 1 ELSE 0 END AS v_dow
+        FROM withmed w
+        JOIN mad ma ON ma.day = w.day
+        JOIN dowmed dm ON dm.day = w.day
+    )
+    SELECT day, CAST(y AS BIGINT) AS n_events,
+           CAST(v_z AS BIGINT) AS vote_z,
+           CAST(v_mad AS BIGINT) AS vote_mad,
+           CAST(v_dow AS BIGINT) AS vote_dow,
+           CAST(v_z + v_mad + v_dow AS BIGINT) AS n_votes
+    FROM votes
+    WHERE v_z + v_mad + v_dow >= 2
+    ORDER BY day
+    """,
+)
+def q329_ensemble_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly consensus — three CHEAP detectors vote on each
+    day's event volume and only ≥2-vote days page: a trailing z-score
+    (variance in the exact n²-scaled integer form, threshold
+    cross-multiplied — no sqrt), a median/MAD robust test (rank-
+    selected from the same trailing window), and a day-of-week
+    residual test (q143's seasonality awareness). Single-detector
+    alerting inherits that detector's blind spot — the z-score chases
+    its own outliers' inflated σ, MAD under-fires on slow drifts, DOW
+    misses a globally shifted week; the 2-of-3 vote is the standard
+    cheap ensemble fix, and each vote is emitted so a triage can see
+    WHY a day paged.
+
+    Determinism: integer counts, cross-multiplied thresholds,
+    rank-selected medians with total tie orders.
+
+    Scale: the fact collapses to |days| cells; every detector runs
+    windows over the CELL table. The oracle's correlated subqueries
+    are the SQL rendering of the same rank selections — the Spark
+    side uses shared sort windows, one pass.
+
+    Reference: the consensus layer over q92 (z), q108 (MAD), q143
+    (seasonal) — detectors the suite already trusts individually."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = track_cache(daily.persist())
+    wtrail = Window.orderBy("day").rowsBetween(-ENS_WIN, -1)
+    base = daily.select(
+        "day",
+        "dow",
+        "y",
+        F.sum("y").over(wtrail).cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wtrail).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(wtrail).cast("bigint").alias("n"),
+    ).filter(F.col("n") >= 7)
+    # trailing medians via a bounded self-join on the cell table (the
+    # window is ENS_WIN rows; rank inside each day's trailing slice)
+    d2 = daily.select(
+        F.col("day").alias("d2"), F.col("y").alias("y2")
+    )
+    sliced = base.join(
+        d2,
+        (F.col("d2") < F.col("day"))
+        & (F.col("d2") >= F.date_sub(F.col("day"), ENS_WIN)),
+    )
+    wslice = Window.partitionBy("day").orderBy("y2", "d2")
+    med = (
+        sliced.withColumn("rk", F.row_number().over(wslice))
+        .filter(F.col("rk") == F.expr("(n - 1) DIV 2 + 1"))
+        .select("day", F.col("y2").alias("med_y"))
+    )
+    withmed = base.join(med, "day")
+    madslice = withmed.join(
+        d2,
+        (F.col("d2") < F.col("day"))
+        & (F.col("d2") >= F.date_sub(F.col("day"), ENS_WIN)),
+    ).withColumn("dev", F.abs(F.col("y2") - F.col("med_y")))
+    wmad = Window.partitionBy("day").orderBy("dev", "d2")
+    mad = (
+        madslice.withColumn("rk", F.row_number().over(wmad))
+        .filter(F.col("rk") == F.expr("(n - 1) DIV 2 + 1"))
+        .select("day", F.col("dev").alias("mad_y"))
+    )
+    # per-dow leave-one-out median
+    ddow = daily.select(
+        F.col("day").alias("d3"), F.col("dow").alias("dow3"),
+        F.col("y").alias("y3"),
+    )
+    dowslice = base.select("day", "dow").join(
+        ddow, (F.col("dow3") == F.col("dow")) & (F.col("d3") != F.col("day"))
+    )
+    wdow = Window.partitionBy("day").orderBy("y3", "d3")
+    dowmed = (
+        dowslice.withColumn("rk", F.row_number().over(wdow))
+        .withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("day"))
+        )
+        .filter(F.col("rk") == F.expr("(c - 1) DIV 2 + 1"))
+        .select("day", F.col("y3").alias("dow_med"))
+    )
+    j = (
+        withmed.join(mad, "day")
+        .join(dowmed, "day")
+    )
+    v_z = F.when(
+        (F.col("n") * F.col("y") - F.col("s"))
+        * (F.col("n") * F.col("y") - F.col("s"))
+        * 1_000_000
+        >= F.lit(ENS_Z_MILLI)
+        * ENS_Z_MILLI
+        * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        * F.col("n"),
+        1,
+    ).otherwise(0)
+    v_mad = F.when(
+        F.abs(F.col("y") - F.col("med_y"))
+        >= ENS_MAD_MULT * F.col("mad_y"),
+        1,
+    ).otherwise(0)
+    v_dow = F.when(
+        F.abs(F.col("y") - F.col("dow_med")) * 1_000_000
+        >= ENS_DOW_PPM * F.col("dow_med"),
+        1,
+    ).otherwise(0)
+    return (
+        j.select(
+            "day",
+            F.col("y").cast("bigint").alias("n_events"),
+            v_z.cast("bigint").alias("vote_z"),
+            v_mad.cast("bigint").alias("vote_mad"),
+            v_dow.cast("bigint").alias("vote_dow"),
+        )
+        .withColumn(
+            "n_votes",
+            (F.col("vote_z") + F.col("vote_mad") + F.col("vote_dow"))
+            .cast("bigint"),
+        )
+        .filter(F.col("n_votes") >= 2)
+        .orderBy("day")
+    )

@@ -79,6 +79,8 @@ BNLJ_ALLOWED = {
     "q319_freshness_board",       # one-row watermark broadcast
     "q321_chain_ladder",          # one-row development-factor broadcast
     "q325_pinball_eval",          # 3-row quantile-grid broadcast (rank-select theta)
+    "q328_tiered_storage_advisor",  # one-row horizon broadcast
+    "q329_ensemble_anomaly",      # |days|-cell trailing-slice range joins (bounded)
     "q327_point_in_polygon",      # 5-row polygon-edge broadcast fan-out
 }
 

@@ -1463,3 +1463,47 @@ def test_point_in_polygon_replay(spark):
     # outer box, so containment is substantial but not total
     total = sum(v[0] for v in per_nation.values())
     assert 0 < total_inside < total
+
+
+# --------------------------------------------------------------------------
+# q328 — tiered storage advisor
+# --------------------------------------------------------------------------
+
+
+def test_tiering_plan_partitions_everything_once(spark):
+    from serverless_etl_spark.operators.quality import TIER_ROW_BYTES
+
+    rows = registry.QUERIES["q328_tiered_storage_advisor"](
+        spark, SF_MID
+    ).collect()
+    total = load_table(spark, SF_MID, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert r["est_bytes"] == r["n_rows"] * TIER_ROW_BYTES
+        assert r["oldest_month"] <= r["newest_month"]
+    tiers = {r["tier"]: r for r in rows}
+    # a 7-year fixture must populate all three tiers, cold the largest
+    assert set(tiers) == {"hot", "warm", "cold"}
+    assert tiers["cold"]["n_rows"] >= tiers["hot"]["n_rows"]
+    # tier boundaries are disjoint in age
+    assert tiers["hot"]["oldest_month"] > tiers["warm"]["newest_month"]
+    assert tiers["warm"]["oldest_month"] > tiers["cold"]["newest_month"]
+
+
+# --------------------------------------------------------------------------
+# q329 — ensemble anomaly
+# --------------------------------------------------------------------------
+
+
+def test_ensemble_anomaly_votes_consistent(spark):
+    rows = registry.QUERIES["q329_ensemble_anomaly"](
+        spark, SF_MID
+    ).collect()
+    for r in rows:
+        assert r["n_votes"] == (
+            r["vote_z"] + r["vote_mad"] + r["vote_dow"]
+        )
+        assert r["n_votes"] >= 2
+        assert all(
+            r[c] in (0, 1) for c in ("vote_z", "vote_mad", "vote_dow")
+        )

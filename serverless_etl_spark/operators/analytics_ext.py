@@ -8358,3 +8358,119 @@ def q325_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# --------------------------------------------------------------------------
+# q330 — sequential association rules (A this order → B next order)
+# --------------------------------------------------------------------------
+
+SEQ_RULE_MIN_SUPPORT = 3
+SEQ_RULE_TOP = 25
+
+
+@register(
+    "q330_sequential_rules",
+    oracle=f"""
+    WITH ords AS (
+        SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                   AS seq
+        FROM orders
+    ),
+    consec AS (
+        SELECT a.c, a.k AS k1, b.k AS k2
+        FROM ords a JOIN ords b
+          ON b.c = a.c AND b.seq = a.seq + 1
+    ),
+    items AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+              FROM lineitem),
+    pairs AS (
+        SELECT i1.p AS pa, i2.p AS pb, COUNT(*) AS support
+        FROM consec c
+        JOIN items i1 ON i1.k = c.k1
+        JOIN items i2 ON i2.k = c.k2
+        GROUP BY i1.p, i2.p
+        HAVING COUNT(*) >= {SEQ_RULE_MIN_SUPPORT}
+    ),
+    ante AS (
+        SELECT i1.p AS pa, COUNT(*) AS n_ante
+        FROM consec c JOIN items i1 ON i1.k = c.k1
+        GROUP BY i1.p
+    )
+    SELECT p.pa, p.pb, CAST(p.support AS BIGINT) AS support,
+           CAST(a.n_ante AS BIGINT) AS n_antecedent,
+           1000000 * p.support // a.n_ante AS confidence_ppm
+    FROM pairs p JOIN ante a ON a.pa = p.pa
+    ORDER BY confidence_ppm DESC, p.pa, p.pb
+    LIMIT {SEQ_RULE_TOP}
+    """,
+)
+def q330_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL association rules — "bought A this order, buys B in
+    the NEXT order": q196 mines same-basket rules (complements
+    bought together); this mines cross-order rules (what A leads to),
+    which is what replenishment and next-purchase campaigns actually
+    need (q217 labels the next purchase; this explains it). Journey
+    pairs come from consecutive orders per customer (one window), the
+    rule support from a keyed basket×basket join bounded by basket
+    sizes, confidence = support / antecedent frequency; top
+    {SEQ_RULE_TOP} by confidence with total tie order.
+
+    Determinism: integer supports, ppm confidence, (conf, pa, pb)
+    total order on the cut.
+
+    Scale: consecutive-order pairing is one exchange on the
+    customer; the item join fans out |basket|², bounded per order
+    like q140/q196 — never customer-quadratic; support and
+    antecedent aggregates partial-combine on part keys.
+
+    Reference: the temporal member of the market-basket family (q196
+    same-basket rules, q217 labels, q330 sequential rules)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wseq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ords = orders.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.row_number().over(wseq).alias("seq"),
+    )
+    nxt = ords.select(
+        F.col("c").alias("c2"),
+        F.col("k").alias("k2"),
+        F.col("seq").alias("seq2"),
+    )
+    consec = ords.join(
+        nxt,
+        (F.col("c2") == F.col("c")) & (F.col("seq2") == F.col("seq") + 1),
+    ).select(F.col("k").alias("k1"), "k2")
+    items = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    items = track_cache(items.persist())
+    i1 = items.select(F.col("k").alias("k1"), F.col("p").alias("pa"))
+    i2 = items.select(F.col("k").alias("k2"), F.col("p").alias("pb"))
+    joined = track_cache(consec.join(i1, "k1").persist())
+    pairs = (
+        joined.join(i2, "k2")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= SEQ_RULE_MIN_SUPPORT)
+    )
+    ante = joined.groupBy("pa").agg(F.count(F.lit(1)).alias("n_ante"))
+    return (
+        pairs.join(ante, "pa")
+        .select(
+            "pa",
+            "pb",
+            F.col("support").cast("bigint"),
+            F.col("n_ante").cast("bigint").alias("n_antecedent"),
+            F.expr("1000000 * support DIV n_ante").alias(
+                "confidence_ppm"
+            ),
+        )
+        .orderBy(F.col("confidence_ppm").desc(), "pa", "pb")
+        .limit(SEQ_RULE_TOP)
+    )

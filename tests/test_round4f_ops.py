@@ -1507,3 +1507,55 @@ def test_ensemble_anomaly_votes_consistent(spark):
         assert all(
             r[c] in (0, 1) for c in ("vote_z", "vote_mad", "vote_dow")
         )
+
+
+# --------------------------------------------------------------------------
+# q330 — sequential rules
+# --------------------------------------------------------------------------
+
+
+def test_sequential_rules_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        SEQ_RULE_MIN_SUPPORT,
+        SEQ_RULE_TOP,
+    )
+
+    rows = registry.QUERIES["q330_sequential_rules"](
+        spark, SF_SMALL
+    ).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    basket = defaultdict(set)
+    for r in li:
+        basket[r["l_orderkey"]].add(r["l_partkey"])
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append((o["o_orderdate"], o["o_orderkey"]))
+    support = Counter()
+    ante = Counter()
+    for seq in by_cust.values():
+        seq.sort()
+        for (_, k1), (_, k2) in zip(seq, seq[1:]):
+            for pa in basket[k1]:
+                ante[pa] += 1
+                for pb in basket[k2]:
+                    support[(pa, pb)] += 1
+    ranked = sorted(
+        (
+            (1_000_000 * s // ante[pa], pa, pb, s)
+            for (pa, pb), s in support.items()
+            if s >= SEQ_RULE_MIN_SUPPORT
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:SEQ_RULE_TOP]
+    got = [
+        (r["confidence_ppm"], r["pa"], r["pb"], r["support"]) for r in rows
+    ]
+    assert got == ranked
+    for r in rows:
+        assert r["support"] <= r["n_antecedent"]
+        assert 0 < r["confidence_ppm"] <= 1_000_000

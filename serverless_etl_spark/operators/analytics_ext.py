@@ -8474,3 +8474,498 @@ def q330_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("confidence_ppm").desc(), "pa", "pb")
         .limit(SEQ_RULE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# q331 — Kaplan–Meier discrete survival (customer tenure, right-censored)
+# --------------------------------------------------------------------------
+
+KM_PERIOD_DAYS = 30
+KM_MAX_PERIOD = 24
+KM_CHURN_GAP_DAYS = 90
+KM_PPM = 1_000_000
+
+
+def _km_survival_fn(pdf):
+    """Per-segment sequential Kaplan–Meier walk over ≤ KM_MAX_PERIOD+1
+    grid rows: s_m = s_{m-1} * (n_m - d_m) // n_m in ppm (floor each
+    step, deaths before censoring — the standard KM convention)."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    pdf = pdf.sort_values("m")
+    s = KM_PPM
+    out = []
+    for _, r in pdf.iterrows():
+        n, d = int(r["at_risk"]), int(r["d"])
+        if n > 0:
+            s = s * (n - d) // n
+        out.append(s)
+    return pd.DataFrame(
+        {
+            "segment": pdf["seg"],
+            "period": pdf["m"].astype("int64"),
+            "at_risk": pdf["at_risk"].astype("int64"),
+            "n_events": pdf["d"].astype("int64"),
+            "n_censored": pdf["c"].astype("int64"),
+            "survival_ppm": pd.Series(out, index=pdf.index, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "q331_km_survival",
+    oracle=f"""
+    WITH RECURSIVE per_cust AS (
+        SELECT o_custkey AS k,
+               CAST(MIN(o_orderdate) AS DATE) AS f,
+               CAST(MAX(o_orderdate) AS DATE) AS l
+        FROM orders GROUP BY 1
+    ),
+    h AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS hd FROM orders),
+    obs AS (
+        SELECT c.c_mktsegment AS seg,
+               CASE WHEN datediff('day', p.l, h.hd) > {KM_CHURN_GAP_DAYS}
+                    THEN 1 ELSE 0 END AS ev,
+               LEAST(
+                   CASE WHEN datediff('day', p.l, h.hd)
+                             > {KM_CHURN_GAP_DAYS}
+                        THEN datediff('day', p.f, p.l)
+                        ELSE datediff('day', p.f, h.hd)
+                   END // {KM_PERIOD_DAYS},
+                   {KM_MAX_PERIOD}) AS m
+        FROM per_cust p
+        JOIN customer c ON c.c_custkey = p.k
+        CROSS JOIN h
+    ),
+    cells AS (
+        SELECT seg, m, SUM(ev) AS d, SUM(1 - ev) AS c
+        FROM obs GROUP BY 1, 2
+    ),
+    segs AS (SELECT seg, COUNT(*) AS n_tot FROM obs GROUP BY 1),
+    grid AS (
+        SELECT s.seg, s.n_tot, g.m
+        FROM segs s,
+             (SELECT unnest(generate_series(0, {KM_MAX_PERIOD})) AS m) g
+    ),
+    risk AS (
+        SELECT g.seg, g.m,
+               COALESCE(cl.d, 0) AS d, COALESCE(cl.c, 0) AS c,
+               g.n_tot - COALESCE(SUM(COALESCE(cl.d, 0) + COALESCE(cl.c, 0))
+                   OVER (PARTITION BY g.seg ORDER BY g.m
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS at_risk
+        FROM grid g LEFT JOIN cells cl ON cl.seg = g.seg AND cl.m = g.m
+    ),
+    rec AS (
+        SELECT seg, m, at_risk, d, c,
+               CASE WHEN at_risk > 0
+                    THEN {KM_PPM} * (at_risk - d) // at_risk
+                    ELSE {KM_PPM} END AS s
+        FROM risk WHERE m = 0
+        UNION ALL
+        SELECT r.seg, r.m, r.at_risk, r.d, r.c,
+               CASE WHEN r.at_risk > 0
+                    THEN rec.s * (r.at_risk - r.d) // r.at_risk
+                    ELSE rec.s END
+        FROM rec JOIN risk r ON r.seg = rec.seg AND r.m = rec.m + 1
+    )
+    SELECT seg AS segment,
+           CAST(m AS BIGINT) AS period,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CAST(s AS BIGINT) AS survival_ppm
+    FROM rec ORDER BY segment, period
+    """,
+)
+def q331_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for customer tenure, right-censored
+    at the data horizon — the churn-analytics staple the retention
+    family approximates (q85 counts cohort activity, q197 builds an
+    order-to-order life table; neither handles CENSORING, so both
+    understate late-tenure survival). A customer whose last order is
+    > {KM_CHURN_GAP_DAYS} days before the horizon is a churn event at
+    tenure-month floor(days/{KM_PERIOD_DAYS}); anyone still plausibly
+    active is censored at the horizon. Per market segment: at-risk
+    counts, events, censored, and the KM product-limit estimate
+    S_m = Π (n_j − d_j)/n_j in ppm with per-step floor.
+
+    Determinism: integer day arithmetic against the data's own
+    horizon (replayable; production swaps now()); the cumulative
+    product runs sequentially in ppm with floor at every step —
+    identical chains in the applyInPandas kernel and the DuckDB
+    recursive CTE (the q296/q321 discipline).
+
+    Scale: orders collapse per customer map-side (one exchange);
+    observations collapse to |segments|×{KM_MAX_PERIOD + 1} grid
+    cells; the only sequential code walks that tiny cell table per
+    segment — embarrassingly parallel across segments, state is one
+    integer. The at-risk ladder itself is an associative window
+    cumsum, computed declaratively.
+
+    Reference: the censoring-aware member of the retention family
+    (q85 cohorts, q180 LTV, q184 dormancy, q197 life table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f"),
+        F.max(F.col("o_orderdate").cast("date")).alias("l"),
+    )
+    h = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("hd")
+    )
+    gap = F.datediff("hd", "l")
+    ev = F.when(gap > KM_CHURN_GAP_DAYS, 1).otherwise(0)
+    dur = F.when(
+        gap > KM_CHURN_GAP_DAYS, F.datediff("l", "f")
+    ).otherwise(F.datediff("hd", "f"))
+    obs = (
+        per_cust.crossJoin(F.broadcast(h))
+        .join(cust, F.col("c_custkey") == F.col("k"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            ev.alias("ev"),
+            F.least(
+                (dur.cast("long") / KM_PERIOD_DAYS).cast("long"),
+                F.lit(KM_MAX_PERIOD).cast("long"),
+            ).alias("m"),
+        )
+    )
+    cells = obs.groupBy("seg", "m").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c"),
+    )
+    segs = obs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_tot"))
+    grid = segs.select(
+        "seg",
+        "n_tot",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(KM_MAX_PERIOD))
+        ).alias("m"),
+    )
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grid.join(cells, ["seg", "m"], "left")
+        .select(
+            "seg",
+            "m",
+            F.coalesce("d", F.lit(0).cast("long")).alias("d"),
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+            "n_tot",
+        )
+        .withColumn(
+            "at_risk",
+            F.col("n_tot")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("n_tot")
+    )
+    return (
+        risk.groupBy("seg")
+        .applyInPandas(
+            _km_survival_fn,
+            "segment string, period bigint, at_risk bigint, "
+            "n_events bigint, n_censored bigint, survival_ppm bigint",
+        )
+        .orderBy("segment", "period")
+    )
+
+
+# --------------------------------------------------------------------------
+# q332 — deterministic record linkage (blocking + integer match weights)
+# --------------------------------------------------------------------------
+
+RL_DIRTY_MOD = 5
+RL_BAL_TOL_MILLI = 1200
+RL_MATCH_MIN = 45
+RL_POSSIBLE_MIN = 20
+
+
+def _rl_sql(dialect: str) -> str:
+    """One generator, two dialects (the q321 discipline): the ONLY
+    differences are the md5-hex→int idiom, the string-cast token, and
+    the table name (Spark reads a registered temp view)."""
+    if dialect == "spark":
+        def h8(e: str) -> str:
+            return f"CAST(CONV(SUBSTR(md5({e}),1,8),16,10) AS BIGINT)"
+
+        strty, cust = "STRING", "rl_customer"
+    else:
+        def h8(e: str) -> str:
+            return f"CAST(('0x' || substr(md5({e}),1,8)) AS BIGINT)"
+
+        strty, cust = "VARCHAR", "customer"
+    ham = " + ".join(
+        f"(CASE WHEN substr(d.digits,{i},1) = substr(c.digits,{i},1) "
+        f"THEN 0 ELSE 1 END)"
+        for i in range(1, 10)
+    )
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS id,
+               lpad(CAST(c_custkey AS {strty}), 9, '0') AS digits,
+               c_nationkey AS nat,
+               CAST(FLOOR(c_acctbal * 1000) AS BIGINT) AS balm
+        FROM {cust}
+    ),
+    dirty AS (
+        SELECT id,
+               substr(digits, 1, pos) || CAST(newd AS {strty})
+                   || substr(digits, pos + 2, 9) AS digits,
+               CASE WHEN natflip = 0 THEN (nat + 1) % 25
+                    ELSE nat END AS nat,
+               balm + jit AS balm
+        FROM (
+            SELECT id, digits, nat, balm,
+                   {h8(f"CAST(id AS {strty}) || '|pos'")} % 9 AS pos,
+                   {h8(f"CAST(id AS {strty}) || '|dig'")} % 10 AS newd,
+                   {h8(f"CAST(id AS {strty}) || '|nat'")} % 8 AS natflip,
+                   {h8(f"CAST(id AS {strty}) || '|bal'")} % 2001 - 1000
+                       AS jit
+            FROM clean WHERE id % {RL_DIRTY_MOD} = 0
+        ) s
+    ),
+    cand AS (
+        SELECT d.id AS d_id, c.id AS c_id
+        FROM dirty d JOIN clean c
+          ON substr(d.digits, 6, 4) = substr(c.digits, 6, 4)
+        UNION
+        SELECT d.id, c.id
+        FROM dirty d JOIN clean c
+          ON d.nat = c.nat
+         AND substr(d.digits, 1, 5) = substr(c.digits, 1, 5)
+    ),
+    scored AS (
+        SELECT ca.d_id, ca.c_id,
+               (CASE WHEN ({ham}) = 0 THEN 40
+                     WHEN ({ham}) <= 1 THEN 25
+                     ELSE -10 END
+                + CASE WHEN d.nat = c.nat THEN 15 ELSE -8 END
+                + CASE WHEN abs(d.balm - c.balm) <= {RL_BAL_TOL_MILLI}
+                       THEN 10 ELSE -5 END) AS score
+        FROM cand ca
+        JOIN dirty d ON d.id = ca.d_id
+        JOIN clean c ON c.id = ca.c_id
+    )
+    SELECT CASE WHEN score >= {RL_MATCH_MIN} THEN 'match'
+                WHEN score >= {RL_POSSIBLE_MIN} THEN 'possible'
+                ELSE 'non_match' END AS classification,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN d_id = c_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("q332_record_linkage", oracle=_rl_sql("duckdb"))
+def q332_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi–Sunter style with integer
+    agreement weights — the entity-resolution workhorse the fuzzy
+    family circles (q158 joins on name similarity, q267 windows sorted
+    neighbors, q261 evaluates; none SCORES structured multi-field
+    agreement). A deterministic "dirty" twin of every
+    {RL_DIRTY_MOD}th customer is synthesized in-query (one md5-chosen
+    digit of the 9-digit id corrupted, nation flipped w.p. 1/8,
+    balance jittered ±1000 milli — the q320 seeding discipline), then
+    linked back against the clean table: two-pass blocking (digit
+    suffix; nation + digit prefix — a corrupted digit kills at most
+    one key, so a true pair escapes blocking only when a suffix
+    corruption AND a nation flip coincide, ~6% of twins — the
+    residual recall loss real multi-pass blocking accepts, and the
+    test pins that predicate exactly), per-field agreement weights
+    (digit
+    hamming level +40/+25/−10, nation +15/−8, balance-within-
+    tolerance +10/−5), and threshold classification. Output: per
+    classification, pair count, TRUE-identity count (d_id = c_id —
+    the synthesized ground truth makes precision/recall visible),
+    and the score range.
+
+    Determinism: md5 corruption draws, integer weights, fixed
+    thresholds; FLOOR(double·1000) milli identical per IEEE.
+
+    Scale: blocking keys are equi-join keys — candidate generation is
+    two hash joins + a distinct, never |dirty|×|clean|; block sizes
+    are bounded by key selectivity (the suffix key is ~unique; the
+    nation+prefix key is |customers|/25/10^5-ish per block); scoring
+    is constant work per candidate; the rollup partial-combines to 3
+    rows. At 100 TB you'd add a block-size cap guard (q200's skew
+    discipline) — the shape is already the scalable one.
+
+    Reference: completes the fuzzy-matching family (q158, q261, q267,
+    q320) with the scoring/classification stage."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("rl_customer")
+    return spark.sql(_rl_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# q333 — categorical association matrix (Cramér's V, exact integer chi²)
+# --------------------------------------------------------------------------
+
+CV_PAIRS = [
+    ("status", "priority"),
+    ("status", "segment"),
+    ("priority", "segment"),
+    ("priority", "month"),
+]
+
+
+@register(
+    "q333_cramers_v",
+    oracle=f"""
+    WITH base AS (
+        SELECT o.o_orderstatus AS status,
+               o.o_orderpriority AS priority,
+               c.c_mktsegment AS segment,
+               CAST(month(o.o_orderdate) AS VARCHAR) AS month
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT '{a}*{b}' AS pair, {a} AS a, {b} AS b, "
+            f"COUNT(*) AS o FROM base GROUP BY 1, 2, 3"
+            for a, b in CV_PAIRS
+        )}
+    ),
+    marg AS (
+        SELECT pair, a, b, o,
+               SUM(o) OVER (PARTITION BY pair, a) AS r,
+               SUM(o) OVER (PARTITION BY pair, b) AS c,
+               SUM(o) OVER (PARTITION BY pair) AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT pair, a, b, o, r, c, n,
+               CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                    * 1000000
+                    // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+                   AS term_micro
+        FROM marg
+    ),
+    agg AS (
+        SELECT pair,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+               CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+        FROM terms GROUP BY 1
+    )
+    SELECT pair, n_rows, r_levels, c_levels, chi2_micro,
+           sqrt(CAST(chi2_micro AS DOUBLE)
+                / CAST(1000000 * n_rows
+                       * LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))
+               AS cramers_v
+    FROM agg ORDER BY pair
+    """,
+)
+def q333_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association matrix — Cramér's V for every audited
+    column pair, the categorical complement of q151's numeric
+    correlation matrix (and the multi-pair generalization of q156's
+    single-table residuals): which discrete dimensions actually move
+    together (order priority × customer segment? status × calendar
+    month?) is the first question of feature selection and of
+    dashboard drill-down design, and a chi-square TOTAL per pair is
+    the number q156's per-cell residuals deliberately avoid summing.
+    The float-summation trap is closed the integer way: each cell's
+    chi² term is the cross-multiplied exact rational
+    (O·N − R·C)²·10⁶ / (N·R·C) floored to micro units (DECIMAL(38,0)
+    on Spark, HUGEINT on DuckDB — the squared cross-product overflows
+    int64 past ~50k rows), so the per-pair sum is an INTEGER sum, and
+    the only float op is one final correctly-rounded sqrt over
+    integer-derived doubles.
+
+    Determinism: exact integer margins (window sums), per-cell floor,
+    integer chi² sum; cramers_v is a single ÷ + √ IEEE tree on both
+    engines.
+
+    Scale: ONE scan of the fact join (persisted base; the 4 groupBys
+    read the cached columnar blocks) collapsing map-side to
+    |levels_a|×|levels_b| cells per pair — margins, terms, and the
+    rollup all run over ≤ a few hundred cells. The customer dim
+    broadcasts. Adding a pair is O(cells), not O(rows).
+
+    Reference: extends the profiling family (q71, q144, q151, q156,
+    q313)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = track_cache(
+        orders.join(
+            F.broadcast(cust),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+            F.month("o_orderdate").cast("string").alias("month"),
+        )
+        .persist()
+    )
+    cells = None
+    for a, b in CV_PAIRS:
+        part = base.groupBy(
+            F.col(a).alias("a"), F.col(b).alias("b")
+        ).agg(F.count(F.lit(1)).alias("o")).select(
+            F.lit(f"{a}*{b}").alias("pair"), "a", "b", "o"
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    marg = cells.select(
+        "pair",
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("pair", "a")).alias("r"),
+        F.sum("o").over(Window.partitionBy("pair", "b")).alias("c"),
+        F.sum("o").over(Window.partitionBy("pair")).alias("n"),
+    )
+    terms = marg.select(
+        "pair",
+        "a",
+        "b",
+        "o",
+        "r",
+        "c",
+        "n",
+        F.expr(
+            "CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+            "  - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+            " * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+            "  - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+            " * CAST(1000000 AS DECIMAL(38,0))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))"
+            "      * CAST(c AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    agg = terms.groupBy("pair").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.countDistinct("a").cast("bigint").alias("r_levels"),
+        F.countDistinct("b").cast("bigint").alias("c_levels"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+    )
+    den = (
+        F.lit(1000000)
+        * F.col("n_rows")
+        * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    )
+    return agg.select(
+        "pair",
+        "n_rows",
+        "r_levels",
+        "c_levels",
+        "chi2_micro",
+        F.sqrt(
+            F.col("chi2_micro").cast("double") / den.cast("double")
+        ).alias("cramers_v"),
+    ).orderBy("pair")

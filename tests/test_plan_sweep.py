@@ -82,6 +82,7 @@ BNLJ_ALLOWED = {
     "q328_tiered_storage_advisor",  # one-row horizon broadcast
     "q329_ensemble_anomaly",      # |days|-cell trailing-slice range joins (bounded)
     "q327_point_in_polygon",      # 5-row polygon-edge broadcast fan-out
+    "q331_km_survival",           # one-row horizon-date broadcast
 }
 
 

@@ -1559,3 +1559,209 @@ def test_sequential_rules_replay(spark):
     for r in rows:
         assert r["support"] <= r["n_antecedent"]
         assert 0 < r["confidence_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q331 — Kaplan–Meier survival
+# --------------------------------------------------------------------------
+
+
+def test_km_survival_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        KM_CHURN_GAP_DAYS,
+        KM_MAX_PERIOD,
+        KM_PERIOD_DAYS,
+        KM_PPM,
+    )
+
+    rows = registry.QUERIES["q331_km_survival"](spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF_SMALL, "customer").collect()
+    }
+    span = defaultdict(list)
+    for r in orders:
+        span[r["o_custkey"]].append(r["d"])
+    hd = max(d for ds in span.values() for d in ds)
+    obs = defaultdict(list)  # seg -> [(m, ev)]
+    for k, ds in span.items():
+        f, l = min(ds), max(ds)
+        ev = 1 if (hd - l).days > KM_CHURN_GAP_DAYS else 0
+        dur = (l - f).days if ev else (hd - f).days
+        m = min(dur // KM_PERIOD_DAYS, KM_MAX_PERIOD)
+        obs[cust[k]].append((m, ev))
+    expect = {}
+    for seg, lst in obs.items():
+        n = len(lst)
+        s = KM_PPM
+        for m in range(KM_MAX_PERIOD + 1):
+            d = sum(1 for mm, ev in lst if mm == m and ev)
+            c = sum(1 for mm, ev in lst if mm == m and not ev)
+            if n > 0:
+                s = s * (n - d) // n
+            expect[(seg, m)] = (n, d, c, s)
+            n -= d + c
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, d, c, s = expect[(r["segment"], r["period"])]
+        assert (r["at_risk"], r["n_events"], r["n_censored"]) == (n, d, c)
+        assert r["survival_ppm"] == s
+    # survival is monotone non-increasing within a segment
+    by_seg = defaultdict(list)
+    for r in rows:
+        by_seg[r["segment"]].append((r["period"], r["survival_ppm"]))
+    for lst in by_seg.values():
+        lst.sort()
+        assert all(a[1] >= b[1] for a, b in zip(lst, lst[1:]))
+
+
+# --------------------------------------------------------------------------
+# q332 — record linkage
+# --------------------------------------------------------------------------
+
+
+def test_record_linkage_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        RL_BAL_TOL_MILLI,
+        RL_DIRTY_MOD,
+        RL_MATCH_MIN,
+        RL_POSSIBLE_MIN,
+    )
+
+    rows = {
+        r["classification"]: r
+        for r in registry.QUERIES["q332_record_linkage"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    cust = load_table(spark, SF_SMALL, "customer").collect()
+    clean = {}
+    for r in cust:
+        k = r["c_custkey"]
+        clean[k] = (
+            f"{k:09d}",
+            r["c_nationkey"],
+            math.floor(r["c_acctbal"] * 1000),
+        )
+    dirty = {}
+    for k, (dig, nat, balm) in clean.items():
+        if k % RL_DIRTY_MOD:
+            continue
+        pos = _md5_pos(k, "|pos", 9)
+        newd = _md5_pos(k, "|dig", 10)
+        ddig = dig[:pos] + str(newd) + dig[pos + 1 :]
+        dnat = (nat + 1) % 25 if _md5_pos(k, "|nat", 8) == 0 else nat
+        dbal = balm + _md5_pos(k, "|bal", 2001) - 1000
+        dirty[k] = (ddig, dnat, dbal)
+    pairs = set()
+    for dk, (ddig, dnat, _) in dirty.items():
+        for ck, (cdig, cnat, _) in clean.items():
+            if ddig[5:9] == cdig[5:9] or (
+                dnat == cnat and ddig[:5] == cdig[:5]
+            ):
+                pairs.add((dk, ck))
+    agg = defaultdict(lambda: [0, 0, 10**9, -(10**9)])
+    for dk, ck in pairs:
+        ddig, dnat, dbal = dirty[dk]
+        cdig, cnat, cbal = clean[ck]
+        ham = sum(a != b for a, b in zip(ddig, cdig))
+        score = (
+            (40 if ham == 0 else 25 if ham <= 1 else -10)
+            + (15 if dnat == cnat else -8)
+            + (10 if abs(dbal - cbal) <= RL_BAL_TOL_MILLI else -5)
+        )
+        cls = (
+            "match"
+            if score >= RL_MATCH_MIN
+            else "possible"
+            if score >= RL_POSSIBLE_MIN
+            else "non_match"
+        )
+        a = agg[cls]
+        a[0] += 1
+        a[1] += dk == ck
+        a[2] = min(a[2], score)
+        a[3] = max(a[3], score)
+    assert set(rows) == set(agg)
+    for cls, (n, t, lo, hi) in agg.items():
+        r = rows[cls]
+        assert (
+            r["n_pairs"],
+            r["n_true"],
+            r["min_score"],
+            r["max_score"],
+        ) == (n, t, lo, hi)
+    # blocking recall: a true twin survives unless the corrupted digit
+    # kills the suffix key (pos >= 5) AND a nation flip kills the
+    # prefix key — exactly that predicate, no more, no fewer
+    for k in dirty:
+        suffix_broken = _md5_pos(k, "|pos", 9) >= 5 and str(
+            _md5_pos(k, "|dig", 10)
+        ) != clean[k][0][_md5_pos(k, "|pos", 9)]
+        nat_flipped = _md5_pos(k, "|nat", 8) == 0
+        assert ((k, k) in pairs) == (not (suffix_broken and nat_flipped))
+    # every blocked true twin lands in a positive class
+    n_true_positive = sum(
+        rows[c]["n_true"] for c in ("match", "possible") if c in rows
+    )
+    assert n_true_positive == sum(1 for k in dirty if (k, k) in pairs)
+
+
+# --------------------------------------------------------------------------
+# q333 — Cramér's V
+# --------------------------------------------------------------------------
+
+
+def test_cramers_v_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import CV_PAIRS
+
+    rows = registry.QUERIES["q333_cramers_v"](spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF_SMALL, "customer").collect()
+    }
+    base = [
+        {
+            "status": r["o_orderstatus"],
+            "priority": r["o_orderpriority"],
+            "segment": cust[r["o_custkey"]],
+            "month": str(r["o_orderdate"].month),
+        }
+        for r in orders
+    ]
+    expect = {}
+    for a, b in CV_PAIRS:
+        cells = Counter((r[a], r[b]) for r in base)
+        rm = Counter()
+        cm = Counter()
+        for (x, y), o in cells.items():
+            rm[x] += o
+            cm[y] += o
+        n = sum(cells.values())
+        chi2 = sum(
+            (o * n - rm[x] * cm[y]) ** 2 * 10**6 // (n * rm[x] * cm[y])
+            for (x, y), o in cells.items()
+        )
+        k = min(len(rm) - 1, len(cm) - 1)
+        expect[f"{a}*{b}"] = (
+            n,
+            len(rm),
+            len(cm),
+            chi2,
+            math.sqrt(chi2 / (10**6 * n * k)),
+        )
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, rl, cl, chi2, v = expect[r["pair"]]
+        assert (
+            r["n_rows"],
+            r["r_levels"],
+            r["c_levels"],
+            r["chi2_micro"],
+        ) == (n, rl, cl, chi2)
+        assert r["cramers_v"] == v
+        assert 0.0 <= r["cramers_v"] <= 1.0

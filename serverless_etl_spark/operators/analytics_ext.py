@@ -8969,3 +8969,466 @@ def q333_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chi2_micro").cast("double") / den.cast("double")
         ).alias("cramers_v"),
     ).orderBy("pair")
+
+
+# --------------------------------------------------------------------------
+# q334 — time-respecting taint spread (temporal BFS, customer↔part)
+# --------------------------------------------------------------------------
+
+TAINT_SEED_MOD = 40
+
+
+@register(
+    "q334_temporal_taint",
+    oracle=f"""
+    WITH ol AS (
+        SELECT l.l_partkey AS p, o.o_custkey AS c,
+               CAST(o.o_orderdate AS DATE) AS d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    seeds AS (
+        SELECT DISTINCT p FROM ol WHERE p % {TAINT_SEED_MOD} = 0
+    ),
+    c1 AS (
+        SELECT ol.c, MIN(ol.d) AS td
+        FROM ol JOIN seeds s ON s.p = ol.p
+        GROUP BY 1
+    ),
+    p2 AS (
+        SELECT ol.p, MIN(ol.d) AS td
+        FROM ol JOIN c1 ON c1.c = ol.c AND ol.d > c1.td
+        WHERE ol.p NOT IN (SELECT p FROM seeds)
+        GROUP BY 1
+    ),
+    c3 AS (
+        SELECT ol.c, MIN(ol.d) AS td
+        FROM ol JOIN p2 ON p2.p = ol.p AND ol.d > p2.td
+        WHERE ol.c NOT IN (SELECT c FROM c1)
+        GROUP BY 1
+    )
+    SELECT 0 AS hop, 'part' AS entity,
+           CAST((SELECT COUNT(*) FROM seeds) AS BIGINT) AS n_tainted
+    UNION ALL
+    SELECT 1, 'customer', CAST((SELECT COUNT(*) FROM c1) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'part', CAST((SELECT COUNT(*) FROM p2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'customer', CAST((SELECT COUNT(*) FROM c3) AS BIGINT)
+    ORDER BY hop
+    """,
+)
+def q334_temporal_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING reachability — contamination spread where every
+    hop must move strictly FORWARD in time: a tainted part taints the
+    customers who order it, from their first such order date; those
+    customers taint the other parts they order LATER; those parts
+    taint further customers later still. q150's static BFS answers
+    "what is connected"; this answers "what could causally have been
+    reached" — the right primitive for recall blast-radius, breach
+    windows, and influence audits, where a static closure wildly
+    overcounts (an order BEFORE the taint date cannot transmit).
+    Seeds: every {TAINT_SEED_MOD}th part. Three unrolled hops over
+    the bipartite customer↔part temporal graph; each frontier carries
+    its MIN taint date, each expansion requires o_orderdate strictly
+    later (same-day orders do not transmit — documented convention).
+
+    Determinism: exact date comparisons, min-date aggregates, integer
+    counts.
+
+    Scale: every hop is a keyed equi-join (part key, then customer
+    key) + a min-aggregate that partial-combines map-side; "new
+    entities only" is an anti-join against the previous frontier —
+    state is per-entity (one date), never per-path, the same
+    frontier discipline as q150. The order×part incidence collapses
+    to distinct (p, c, d) triples once, up front, and is reused by
+    all hops (persisted — one scan of lineitem).
+
+    Reference: the temporal member of the graph family (q150 static
+    BFS, q190 PageRank, q262 shortest paths, q281 edge churn)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ol = track_cache(
+        li.select(F.col("l_partkey").alias("p"), "l_orderkey")
+        .join(
+            orders.select(
+                "o_orderkey",
+                F.col("o_custkey").alias("c"),
+                F.col("o_orderdate").cast("date").alias("d"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("p", "c", "d")
+        .distinct()
+        .persist()
+    )
+    seeds = track_cache(
+        ol.select("p").filter(F.col("p") % TAINT_SEED_MOD == 0)
+        .distinct()
+        .persist()
+    )
+    c1 = track_cache(
+        ol.join(seeds, "p").groupBy("c").agg(F.min("d").alias("td")).persist()
+    )
+    p2 = track_cache(
+        ol.join(c1.withColumnRenamed("td", "ctd"), "c")
+        .filter(F.col("d") > F.col("ctd"))
+        .join(seeds, "p", "left_anti")
+        .groupBy("p")
+        .agg(F.min("d").alias("td"))
+        .persist()
+    )
+    c3 = (
+        ol.join(p2.withColumnRenamed("td", "ptd"), "p")
+        .filter(F.col("d") > F.col("ptd"))
+        .join(c1, "c", "left_anti")
+        .groupBy("c")
+        .agg(F.min("d").alias("td"))
+    )
+    def _count(df, hop, entity):
+        return df.agg(F.count(F.lit(1)).alias("n_tainted")).select(
+            F.lit(hop).alias("hop"),
+            F.lit(entity).alias("entity"),
+            F.col("n_tainted").cast("bigint"),
+        )
+
+    return (
+        _count(seeds, 0, "part")
+        .unionAll(_count(c1, 1, "customer"))
+        .unionAll(_count(p2, 2, "part"))
+        .unionAll(_count(c3, 3, "customer"))
+        .orderBy("hop")
+    )
+
+
+# --------------------------------------------------------------------------
+# q335 — Brier score decomposition (reliability / resolution / uncertainty)
+# --------------------------------------------------------------------------
+
+BRIER_BIN_DIV = 16   #: score // this = calibration bin (score 0..191 → 12 bins)
+BRIER_BINS = 12
+
+
+@register(
+    "q335_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS label,
+               (CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 128
+                + CASE WHEN o_orderpriority = '1-URGENT' THEN 64
+                       ELSE 0 END) AS score
+        FROM orders
+    ),
+    bins AS (
+        SELECT score // {BRIER_BIN_DIV} AS bin,
+               COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS o,
+               (2 * (score // {BRIER_BIN_DIV}) + 1) * 1000000
+                   // (2 * {BRIER_BINS}) AS f
+        FROM scored GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(o) AS BIGINT) AS oo,
+               1000000 * SUM(o) // SUM(n) AS obar
+        FROM bins
+    ),
+    terms AS (
+        SELECT b.n, b.o, b.f, t.nn, t.oo, t.obar,
+               CAST((CAST(b.f AS HUGEINT) * b.n - 1000000 * b.o)
+                    * (CAST(b.f AS HUGEINT) * b.n - 1000000 * b.o)
+                    * 1000000000
+                    // (1000000000000 * CAST(t.nn AS HUGEINT) * b.n)
+                   AS BIGINT) AS rel_t,
+               CAST((1000000 * CAST(b.o AS HUGEINT) - CAST(t.obar AS HUGEINT) * b.n)
+                    * (1000000 * CAST(b.o AS HUGEINT) - CAST(t.obar AS HUGEINT) * b.n)
+                    * 1000000000
+                    // (1000000000000 * CAST(t.nn AS HUGEINT) * b.n)
+                   AS BIGINT) AS res_t,
+               CAST(b.o AS HUGEINT) * (1000000 - b.f) * (1000000 - b.f)
+                   + CAST(b.n - b.o AS HUGEINT) * b.f * b.f AS brier_num
+        FROM bins b CROSS JOIN tot t
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n,
+           CAST(MAX(oo) AS BIGINT) AS n_pos,
+           CAST(SUM(brier_num) * 1000000000
+                // (1000000000000 * CAST(MAX(nn) AS HUGEINT))
+               AS BIGINT) AS brier_nano,
+           CAST(SUM(rel_t) AS BIGINT) AS reliability_nano,
+           CAST(SUM(res_t) AS BIGINT) AS resolution_nano,
+           CAST(CAST(MAX(oo) AS HUGEINT) * (MAX(nn) - MAX(oo))
+                * 1000000000 // (CAST(MAX(nn) AS HUGEINT) * MAX(nn))
+               AS BIGINT) AS uncertainty_nano
+    FROM terms
+    """,
+)
+def q335_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (how far
+    the forecast bins sit from their observed rates: calibration),
+    resolution (how far the bins' observed rates spread from the base
+    rate: discrimination), and uncertainty (the base rate's own
+    variance) — over the q294 quantized scorer read as a probability
+    forecast (bin midpoint in ppm). q294 answers "does the score RANK
+    well" (AUC is calibration-blind); this answers "can you TRUST the
+    score as a probability" — the other half of every model eval, and
+    the one that degrades silently in production. Brier ≈ reliability
+    − resolution + uncertainty (exact up to the per-bin floors; the
+    test pins the identity within that bound).
+
+    Determinism: all four statistics are integer nano-units from
+    cross-multiplied exact rationals floored per bin (DECIMAL(38,0) /
+    HUGEINT — f·n products overflow int64 past ~10k rows/bin); the
+    base rate ō is itself floored to ppm once, used identically on
+    both sides.
+
+    Scale: one map-side histogram collapse to ≤{BRIER_BINS} bins;
+    every later op runs on that bin table (the one-row totals
+    broadcast is the q133 scalar pattern). The per-row form would
+    shuffle N predictions to compute what {BRIER_BINS} cells carry.
+
+    Reference: completes the eval family (q294 AUC ranks, q250
+    sweeps thresholds, q269 calibrates intervals, q325 scores
+    quantiles — q335 calibrates probabilities)."""
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    scored = orders.select(
+        label.alias("label"),
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("bigint") % 128
+            + F.when(
+                F.col("o_orderpriority") == "1-URGENT", 64
+            ).otherwise(0)
+        ).alias("score"),
+    )
+    bins = scored.groupBy(
+        F.expr(f"score DIV {BRIER_BIN_DIV}").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("bigint").alias("o"),
+    ).withColumn(
+        "f",
+        F.expr(f"(2 * bin + 1) * 1000000 DIV (2 * {BRIER_BINS})"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("o").cast("bigint").alias("oo"),
+        F.expr("1000000 * sum(o) DIV sum(n)").alias("obar"),
+    )
+    d38 = "DECIMAL(38,0)"
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "o",
+        "f",
+        "nn",
+        "oo",
+        "obar",
+        F.expr(
+            f"CAST((CAST(f AS {d38}) * n - CAST(1000000 AS {d38}) * o)"
+            f" * (CAST(f AS {d38}) * n - CAST(1000000 AS {d38}) * o)"
+            f" * CAST(1000000000 AS {d38})"
+            f" DIV (CAST(1000000000000 AS {d38}) * CAST(nn AS {d38}) * n)"
+            f" AS BIGINT)"
+        ).alias("rel_t"),
+        F.expr(
+            f"CAST((CAST(1000000 AS {d38}) * o - CAST(obar AS {d38}) * n)"
+            f" * (CAST(1000000 AS {d38}) * o - CAST(obar AS {d38}) * n)"
+            f" * CAST(1000000000 AS {d38})"
+            f" DIV (CAST(1000000000000 AS {d38}) * CAST(nn AS {d38}) * n)"
+            f" AS BIGINT)"
+        ).alias("res_t"),
+        F.expr(
+            f"CAST(o AS {d38}) * (1000000 - f) * (1000000 - f)"
+            f" + CAST(n - o AS {d38}) * f * f"
+        ).alias("brier_num"),
+    )
+    return terms.agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.max("oo").cast("bigint").alias("n_pos"),
+        F.expr(
+            f"CAST(SUM(brier_num) * CAST(1000000000 AS {d38})"
+            f" DIV (CAST(1000000000000 AS {d38})"
+            f"      * CAST(MAX(nn) AS {d38})) AS BIGINT)"
+        ).alias("brier_nano"),
+        F.sum("rel_t").cast("bigint").alias("reliability_nano"),
+        F.sum("res_t").cast("bigint").alias("resolution_nano"),
+        F.expr(
+            f"CAST(CAST(MAX(oo) AS {d38}) * (MAX(nn) - MAX(oo))"
+            f" * CAST(1000000000 AS {d38})"
+            f" DIV (CAST(MAX(nn) AS {d38}) * MAX(nn)) AS BIGINT)"
+        ).alias("uncertainty_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q336 — coarsened exact matching (CEM) treatment-effect table
+# --------------------------------------------------------------------------
+
+CEM_BAL_BAND = 2000  #: acctbal coarsening width (≈6 bands over the range)
+
+
+@register(
+    "q336_cem_att",
+    oracle=f"""
+    WITH units AS (
+        SELECT c.c_custkey AS k,
+               r.r_name AS region,
+               c.c_mktsegment AS segment,
+               LEAST(GREATEST(CAST(FLOOR(c.c_acctbal / {CEM_BAL_BAND})
+                                   AS BIGINT), -1), 4) AS band,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(c.c_custkey
+                         AS VARCHAR) || '|t'), 1, 8)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS treated
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    spend AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    outcomes AS (
+        SELECT u.region, u.segment, u.band, u.treated,
+               COALESCE(s.cents, 0) AS cents
+        FROM units u LEFT JOIN spend s ON s.k = u.k
+    ),
+    strata AS (
+        SELECT region, segment, band,
+               CAST(SUM(treated) AS BIGINT) AS n_treat,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_ctrl,
+               CAST(SUM(CASE WHEN treated = 1 THEN cents ELSE 0 END)
+                   AS BIGINT) AS sum_treat_cents,
+               CAST(SUM(CASE WHEN treated = 0 THEN cents ELSE 0 END)
+                   AS BIGINT) AS sum_ctrl_cents
+        FROM outcomes GROUP BY 1, 2, 3
+    )
+    SELECT region, segment, band, n_treat, n_ctrl,
+           sum_treat_cents, sum_ctrl_cents,
+           CAST((CAST(sum_treat_cents AS HUGEINT) * n_ctrl
+                 - CAST(sum_ctrl_cents AS HUGEINT) * n_treat) * 1000
+                // (CAST(n_treat AS HUGEINT) * n_ctrl) AS BIGINT)
+               AS diff_milli_cents
+    FROM strata
+    WHERE n_treat > 0 AND n_ctrl > 0
+    ORDER BY region, segment, band
+    """,
+)
+def q336_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching — the causal-inference step between
+    q132's raw A/B readout (valid only under randomization) and
+    q256's diff-in-diff (needs a time axis): when treatment is NOT
+    randomized, match treated and control units that are exactly
+    equal on COARSENED covariates (region × segment × acctbal band),
+    prune every stratum lacking both arms (the CEM pruning that
+    trades sample for balance), and report the within-stratum
+    treated-vs-control outcome gap. The weighted combination over
+    strata (weights = n_treat) is the ATT; emitting the per-stratum
+    table instead of one number is deliberate — imbalance diagnosis
+    needs the strata, and a consumer can fold them exactly.
+    Treatment here is an md5 coin (so the true effect is ≈0 and the
+    strata demonstrate balance); swapping in an observed flag changes
+    nothing structural.
+
+    Determinism: md5 assignment, integer cents (per-row floor), exact
+    integer stratum sums, one cross-multiplied floored milli-cents
+    gap per stratum (HUGEINT/DECIMAL(38,0) — sum×count products
+    overflow int64).
+
+    Scale: outcomes collapse per customer map-side (one keyed
+    exchange); strata collapse to ≤|regions|×|segments|×6 cells; the
+    nation/region dims broadcast. No per-pair matching ever
+    materializes — CEM's whole point is that matching becomes a
+    GROUP BY, which is why it scales where nearest-neighbor matching
+    (the q50-style all-pairs) does not.
+
+    Reference: extends the experimentation family (q132 A/B, q256
+    DiD, q270 quantile effects, q307 permutation test, q324 SRM)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    units = (
+        cust.join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("c_acctbal") / CEM_BAL_BAND).cast(
+                        "bigint"
+                    ),
+                    F.lit(-1).cast("bigint"),
+                ),
+                F.lit(4).cast("bigint"),
+            ).alias("band"),
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("c_custkey").cast("string"),
+                                F.lit("|t"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("treated"),
+        )
+    )
+    spend = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    outcomes = units.join(spend, "k", "left").select(
+        "region",
+        "segment",
+        "band",
+        "treated",
+        F.coalesce("cents", F.lit(0).cast("bigint")).alias("cents"),
+    )
+    strata = outcomes.groupBy("region", "segment", "band").agg(
+        F.sum("treated").cast("bigint").alias("n_treat"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_ctrl"),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sum_treat_cents"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sum_ctrl_cents"),
+    )
+    d38 = "DECIMAL(38,0)"
+    return (
+        strata.filter((F.col("n_treat") > 0) & (F.col("n_ctrl") > 0))
+        .withColumn(
+            "diff_milli_cents",
+            F.expr(
+                f"CAST((CAST(sum_treat_cents AS {d38}) * n_ctrl"
+                f" - CAST(sum_ctrl_cents AS {d38}) * n_treat)"
+                f" * CAST(1000 AS {d38})"
+                f" DIV (CAST(n_treat AS {d38}) * n_ctrl) AS BIGINT)"
+            ),
+        )
+        .orderBy("region", "segment", "band")
+    )

@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "q329_ensemble_anomaly",      # |days|-cell trailing-slice range joins (bounded)
     "q327_point_in_polygon",      # 5-row polygon-edge broadcast fan-out
     "q331_km_survival",           # one-row horizon-date broadcast
+    "q335_brier_decomposition",   # one-row totals broadcast over ≤12 bins
 }
 
 

@@ -1765,3 +1765,170 @@ def test_cramers_v_replay(spark):
         ) == (n, rl, cl, chi2)
         assert r["cramers_v"] == v
         assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# q334 — temporal taint spread
+# --------------------------------------------------------------------------
+
+
+def test_temporal_taint_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import TAINT_SEED_MOD
+
+    rows = {
+        (r["hop"], r["entity"]): r["n_tainted"]
+        for r in registry.QUERIES["q334_temporal_taint"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"].date())
+        for r in load_table(spark, SF_SMALL, "orders").collect()
+    }
+    ol = {
+        (r["l_partkey"], *orders[r["l_orderkey"]]) for r in li
+    }  # (p, c, d)
+    seeds = {p for p, _, _ in ol if p % TAINT_SEED_MOD == 0}
+    c1 = {}
+    for p, c, d in ol:
+        if p in seeds and (c not in c1 or d < c1[c]):
+            c1[c] = d
+    p2 = {}
+    for p, c, d in ol:
+        if p not in seeds and c in c1 and d > c1[c]:
+            if p not in p2 or d < p2[p]:
+                p2[p] = d
+    c3 = {}
+    for p, c, d in ol:
+        if p in p2 and c not in c1 and d > p2[p]:
+            if c not in c3 or d < c3[c]:
+                c3[c] = d
+    assert rows == {
+        (0, "part"): len(seeds),
+        (1, "customer"): len(c1),
+        (2, "part"): len(p2),
+        (3, "customer"): len(c3),
+    }
+    # time-respecting must be a subset of the static closure
+    assert len(p2) <= len({p for p, c, _ in ol if c in c1}) - len(
+        seeds & {p for p, c, _ in ol if c in c1}
+    )
+
+
+# --------------------------------------------------------------------------
+# q335 — Brier decomposition
+# --------------------------------------------------------------------------
+
+
+def test_brier_decomposition_identity(spark):
+    row = registry.QUERIES["q335_brier_decomposition"](
+        spark, SF_SMALL
+    ).collect()[0]
+    # Murphy identity: brier = reliability - resolution + uncertainty,
+    # exact up to the per-bin floors (≤ 1 nano per bin per component,
+    # 12 bins, 3 floored components + the obar ppm floor's second-order
+    # leakage — bound generously)
+    lhs = row["brier_nano"]
+    rhs = (
+        row["reliability_nano"]
+        - row["resolution_nano"]
+        + row["uncertainty_nano"]
+    )
+    assert abs(lhs - rhs) <= 100
+    assert 0 <= row["brier_nano"] <= 10**9
+    assert 0 <= row["reliability_nano"]
+    assert 0 <= row["resolution_nano"] <= row["uncertainty_nano"] + 100
+    assert 0 < row["n_pos"] < row["n"]
+
+
+def test_brier_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import (
+        BRIER_BIN_DIV,
+        BRIER_BINS,
+    )
+
+    row = registry.QUERIES["q335_brier_decomposition"](
+        spark, SF_SMALL
+    ).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    bins = defaultdict(lambda: [0, 0])
+    for r in orders:
+        urgent = r["o_orderpriority"] == "1-URGENT"
+        score = math.floor(r["o_totalprice"] * 100) % 128 + (
+            64 if urgent else 0
+        )
+        b = bins[score // BRIER_BIN_DIV]
+        b[0] += 1
+        b[1] += urgent
+    nn = sum(n for n, _ in bins.values())
+    oo = sum(o for _, o in bins.values())
+    obar = 10**6 * oo // nn
+    rel = res = brier_num = 0
+    for k, (n, o) in bins.items():
+        f = (2 * k + 1) * 10**6 // (2 * BRIER_BINS)
+        rel += (f * n - 10**6 * o) ** 2 * 10**9 // (10**12 * nn * n)
+        res += (10**6 * o - obar * n) ** 2 * 10**9 // (10**12 * nn * n)
+        brier_num += o * (10**6 - f) ** 2 + (n - o) * f**2
+    assert row["n"] == nn and row["n_pos"] == oo
+    assert row["reliability_nano"] == rel
+    assert row["resolution_nano"] == res
+    assert row["brier_nano"] == brier_num * 10**9 // (10**12 * nn)
+    assert row["uncertainty_nano"] == oo * (nn - oo) * 10**9 // (nn * nn)
+
+
+# --------------------------------------------------------------------------
+# q336 — CEM treatment-effect table
+# --------------------------------------------------------------------------
+
+
+def test_cem_att_replay(spark):
+    from serverless_etl_spark.operators.analytics_ext import CEM_BAL_BAND
+
+    rows = registry.QUERIES["q336_cem_att"](spark, SF_SMALL).collect()
+    cust = load_table(spark, SF_SMALL, "customer").collect()
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in load_table(spark, SF_SMALL, "nation").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SF_SMALL, "region").collect()
+    }
+    spend = defaultdict(int)
+    for r in load_table(spark, SF_SMALL, "orders").collect():
+        spend[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100)
+    strata = defaultdict(lambda: [0, 0, 0, 0])
+    for r in cust:
+        k = r["c_custkey"]
+        treated = _md5_pos(k, "|t", 2) == 0
+        band = min(max(math.floor(r["c_acctbal"] / CEM_BAL_BAND), -1), 4)
+        key = (region[nation[r["c_nationkey"]]], r["c_mktsegment"], band)
+        s = strata[key]
+        if treated:
+            s[0] += 1
+            s[2] += spend[k]
+        else:
+            s[1] += 1
+            s[3] += spend[k]
+    expect = {}
+    for key, (nt, nc, st, sc) in strata.items():
+        if nt > 0 and nc > 0:
+            num = (st * nc - sc * nt) * 1000
+            den = nt * nc
+            d = abs(num) // den * (1 if num >= 0 else -1)  # trunc toward 0
+            expect[key] = (nt, nc, st, sc, d)
+    assert len(rows) == len(expect)
+    for r in rows:
+        key = (r["region"], r["segment"], r["band"])
+        assert (
+            r["n_treat"],
+            r["n_ctrl"],
+            r["sum_treat_cents"],
+            r["sum_ctrl_cents"],
+            r["diff_milli_cents"],
+        ) == expect[key]

@@ -1,0 +1,835 @@
+"""Experimentation & evaluation statistics, round 4: rank-based
+k-sample testing, multiple-testing control, variance-reduced A/B
+readouts, aggregation-paradox detection, and off-policy evaluation.
+
+These extend the analytics surface beyond the reference (a tweet ETL
+POC with none of this); they follow the house rules: pure column
+expressions on the hot path, integer/decimal cross-multiplication
+until at most one final division, DuckDB oracle strings for the
+driver's hash gate, and a documented 100-TB shuffle story each.
+
+Arithmetic notes shared by this module:
+- Spark's ``DIV`` on DECIMAL operands is exact integral division
+  (divideToIntegralValue) but its RESULT is a LONG — any quotient that
+  can exceed int64 must instead use the remainder-subtraction identity
+  floor(a/b) = (a - a % b) / b, which keeps the exact quotient in
+  DECIMAL (the division is remainder-free, so the scale-6 decimal
+  quotient is exact). DuckDB mirrors with HUGEINT ``//``.
+- ``DIV`` truncates toward zero while DuckDB ``//`` floors — identical
+  for nonnegative operands, so every floor-division below is guarded
+  to nonnegative inputs (H is clamped at 0 via CASE, not
+  LEAST/GREATEST, per the q103 decimal-promotion lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import trunc, trunc_sql
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# q339 — Kruskal-Wallis H from a value histogram (no global sort)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q339_kruskal_wallis",
+    oracle="""
+    WITH obs AS (
+        SELECT l_returnflag AS g, CAST(FLOOR(l_quantity) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    gv AS (
+        SELECT g, v, COUNT(*) AS f FROM obs GROUP BY g, v
+    ),
+    vf AS (
+        SELECT v, CAST(SUM(f) AS BIGINT) AS t FROM gv GROUP BY v
+    ),
+    ranked AS (
+        -- doubled average rank of value v: 2*cum_before + t + 1
+        SELECT v, t,
+               2 * COALESCE(CAST(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) + t + 1 AS r2
+        FROM vf
+    ),
+    grp AS (
+        SELECT g, CAST(SUM(f) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(f AS HUGEINT) * r.r2) AS HUGEINT) AS r2_sum
+        FROM gv JOIN ranked r USING (v) GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               -- sum of R_g^2/n_g in micro units, per-group floor
+               -- (250000 = 1e6/4 absorbs the rank doubling)
+               CAST(SUM(r2_sum * r2_sum * 250000 // n_g) AS HUGEINT)
+                   AS s_micro,
+               (SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+                FROM vf) AS ties
+        FROM grp
+    ),
+    h AS (
+        SELECT CAST(n AS BIGINT) AS n_total, k AS n_groups,
+               CAST(CASE WHEN 12 * s_micro // (n * (n + 1))
+                              - 3 * (n + 1) * 1000000 < 0 THEN 0
+                         ELSE 12 * s_micro // (n * (n + 1))
+                              - 3 * (n + 1) * 1000000 END AS BIGINT)
+                   AS h_micro,
+               CAST(1000000 - ties * 1000000 // (n * n * n - n) AS BIGINT)
+                   AS c_ppm
+        FROM tot
+    )
+    SELECT n_total, n_groups, h_micro, c_ppm,
+           CAST(CAST(h_micro AS HUGEINT) * 1000000 // c_ppm AS BIGINT)
+               AS h_adj_micro
+    FROM h
+    """,
+)
+def q339_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (k-sample rank test, tie-corrected) computed
+    from a VALUE HISTOGRAM instead of per-row ranks: because ranks of a
+    discrete measure depend only on the value-frequency table, the
+    whole-table rank assignment collapses to |domain| rows — the same
+    global-sort elimination q294 applies to AUC and q134 to KS, here
+    for the "does the quantity distribution differ across return
+    classes" family (the nonparametric ANOVA a metrics review reaches
+    for when normality is off the table).
+
+    Arithmetic: doubled average ranks keep midranks integral
+    (r2 = 2·cum_before + t + 1); per-group Σf·r2 is an exact integer
+    rank sum; Σ R_g²/n_g enters in micro units via per-group floor
+    division (remainder-subtraction identity on Spark — the quotient
+    exceeds int64, see module docstring), and
+    H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) plus the tie factor
+    C = 1 − Σ(t³−t)/(N³−N) are integer cross-multiplications
+    (DECIMAL(38,0) / HUGEINT — R² and N³ overflow int64 past ~1M
+    rows). H is clamped at 0 (floor error can push an under-null H a
+    few micro below zero, and negative floor-division diverges across
+    engines).
+
+    Determinism: integer histogram, integer rank sums, floor divisions
+    on fixed grids; no floats anywhere.
+
+    Scale: ONE partial-aggregated shuffle collapses the fact table to
+    |groups|×|domain| cells map-side; ranking, joining, and the H
+    reduction all run over ≤150 rows (the bounded-window exemption —
+    no global sort of facts ever happens). At 100 TB nothing but the
+    (g, v, count) cells ever shuffles.
+
+    Reference: the k-sample generalization of q252 (Mann-Whitney);
+    completes the rank-test family (q294 AUC, q251 Spearman, q270)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor("l_quantity").cast("bigint").alias("v"),
+    )
+    gv = obs.groupBy("g", "v").agg(F.count(F.lit(1)).alias("f"))
+    vf = gv.groupBy("v").agg(F.sum("f").cast("bigint").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vf.select(
+        "v",
+        "t",
+        (
+            2 * F.coalesce(F.sum("t").over(w).cast("bigint"), F.lit(0))
+            + F.col("t")
+            + 1
+        ).alias("r2"),
+    )
+    grp = (
+        gv.join(ranked.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_g"),
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("r2")).alias(
+                "r2_sum"
+            ),
+        )
+    )
+    ties_row = vf.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("ties")
+    )
+    # floor(t1 / n_g) with a quotient too large for Spark's long-typed
+    # DIV: subtract the exact remainder first, then the decimal divide
+    # is remainder-free (exact at any scale)
+    s_g = F.expr(
+        "CAST((r2_sum * r2_sum * 250000"
+        " - (r2_sum * r2_sum * 250000) % CAST(n_g AS DECIMAL(38,0)))"
+        " / CAST(n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+    )
+    tot = (
+        grp.select("n_g", s_g.alias("s_g"))
+        .agg(
+            F.sum("n_g").cast("decimal(38,0)").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("s_g").alias("s_micro"),
+        )
+        .crossJoin(F.broadcast(ties_row))
+    )
+    h = tot.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            "CAST(CASE WHEN 12 * s_micro DIV (n * (n + 1))"
+            "               - 3 * (n + 1) * 1000000 < 0 THEN 0"
+            "          ELSE 12 * s_micro DIV (n * (n + 1))"
+            "               - 3 * (n + 1) * 1000000 END AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "CAST(1000000 - ties * 1000000 DIV (n * n * n - n) AS BIGINT)"
+        ).alias("c_ppm"),
+    )
+    return h.select(
+        "n_total",
+        "n_groups",
+        "h_micro",
+        "c_ppm",
+        F.expr(
+            "CAST(CAST(h_micro AS DECIMAL(38,0)) * 1000000 DIV c_ppm"
+            " AS BIGINT)"
+        ).alias("h_adj_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q340 — Benjamini-Hochberg step-up FDR control
+# --------------------------------------------------------------------------
+
+#: FDR level q in micro units (0.05)
+FDR_Q_MICRO = 50_000
+#: planted-signal divisor: hypotheses on this event type get their
+#: uniform p-value floored down by this factor (a real effect)
+FDR_SIGNAL_DIV = 211
+FDR_SIGNAL_TYPE = "purchase"
+
+
+@register(
+    "q340_bh_fdr",
+    oracle=f"""
+    WITH hyp AS (
+        SELECT event_type, CAST(month(ts) AS BIGINT) AS m,
+               COUNT(*) AS n_obs
+        FROM events GROUP BY event_type, month(ts)
+    ),
+    pv AS (
+        SELECT event_type, m, n_obs,
+               CASE WHEN event_type = '{FDR_SIGNAL_TYPE}'
+                    THEN (CAST(('0x' || substr(md5(event_type || '|'
+                              || CAST(m AS VARCHAR) || '|pv'), 1, 12))
+                          AS BIGINT) % 1000000) // {FDR_SIGNAL_DIV}
+                    ELSE CAST(('0x' || substr(md5(event_type || '|'
+                              || CAST(m AS VARCHAR) || '|pv'), 1, 12))
+                         AS BIGINT) % 1000000
+               END AS p_micro
+        FROM hyp
+    ),
+    ranked AS (
+        SELECT event_type, m, n_obs, p_micro,
+               ROW_NUMBER() OVER (ORDER BY p_micro, event_type, m) AS i,
+               COUNT(*) OVER () AS mm
+        FROM pv
+    ),
+    cut AS (
+        SELECT event_type, m, n_obs, p_micro, i,
+               COALESCE(MAX(CASE WHEN p_micro * mm <= i * {FDR_Q_MICRO}
+                                 THEN i END) OVER (), 0) AS k_star
+        FROM ranked
+    )
+    SELECT event_type, CAST(m AS INT) AS month, n_obs, p_micro,
+           CAST(i AS INT) AS p_rank,
+           CAST(CASE WHEN i <= k_star THEN 1 ELSE 0 END AS INT)
+               AS rejected
+    FROM cut
+    ORDER BY p_rank
+    """,
+)
+def q340_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a hypothesis
+    family: given one p-value per (event_type × month) cell, find the
+    largest rank k with p_(k) ≤ k·q/m and reject exactly the k
+    smallest — the multiple-testing correction every metrics platform
+    must bolt onto per-segment significance scans (60 segments at
+    α=0.05 yield ~3 false alarms per sweep uncorrected; BH caps the
+    expected false-discovery share at q={FDR_Q_MICRO}ppm). P-values
+    are deterministic md5 uniforms in micro units with a planted
+    signal (the '{FDR_SIGNAL_TYPE}' cells are floored down
+    ×{FDR_SIGNAL_DIV}) — the operator under test is the CONTROLLER:
+    the rank window and the step-up comparison p·m ≤ i·q as exact
+    integer cross-multiplication (no float division anywhere).
+
+    Determinism: integer p-values from md5 hex, total (p, type, month)
+    ordering for ROW_NUMBER, integer step-up comparison.
+
+    Scale: the fact table collapses map-side to |types|×|months|
+    hypothesis cells; the sort and both windows run over those ~60
+    rows (bounded-window exemption). At 100 TB the p-values would come
+    from per-cell test statistics (q252/q156 machinery) feeding the
+    same bounded controller.
+
+    Reference: completes the testing family (q252 two-sample, q307
+    permutation, q324 SRM) with the multiplicity layer over them."""
+    ev = load_table(spark, sf_dir, "events")
+    hyp = ev.groupBy(
+        "event_type", F.month("ts").cast("bigint").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("m").cast("string"),
+                        F.lit("|pv"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    pv = hyp.withColumn("u", u).select(
+        "event_type",
+        "m",
+        "n_obs",
+        F.when(
+            F.col("event_type") == FDR_SIGNAL_TYPE,
+            F.expr(f"u DIV {FDR_SIGNAL_DIV}"),
+        )
+        .otherwise(F.col("u"))
+        .alias("p_micro"),
+    )
+    wr = Window.orderBy("p_micro", "event_type", "m")
+    wall = Window.partitionBy()
+    ranked = pv.select(
+        "event_type",
+        "m",
+        "n_obs",
+        "p_micro",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("mm"),
+    )
+    cut = ranked.withColumn(
+        "k_star",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") * F.col("mm")
+                    <= F.col("i") * FDR_Q_MICRO,
+                    F.col("i"),
+                )
+            ).over(wall),
+            F.lit(0),
+        ),
+    )
+    return cut.select(
+        "event_type",
+        F.col("m").cast("int").alias("month"),
+        "n_obs",
+        "p_micro",
+        F.col("i").cast("int").alias("p_rank"),
+        F.when(F.col("i") <= F.col("k_star"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    ).orderBy("p_rank")
+
+
+# --------------------------------------------------------------------------
+# q341 — CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q341_cuped",
+    oracle=f"""
+    WITH horizon AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                       || '|arm'), 1, 8)) AS BIGINT) % 2 AS INT) AS arm,
+               CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < h.mid_us THEN
+                   CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6))
+                   AS x,
+               CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= h.mid_us THEN
+                   CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6))
+                   AS y
+        FROM events CROSS JOIN horizon h
+        GROUP BY user_id, h.mid_us
+    ),
+    wide AS (
+        -- DECIMAL(19,6) is hugeint-backed in duckdb; 18-wide products
+        -- overflow its int64 path (the VALUES are identical — Spark
+        -- multiplies the (18,6) originals exactly into (37,12))
+        SELECT arm, x, y,
+               CAST(x AS DECIMAL(19,6)) AS xw,
+               CAST(y AS DECIMAL(19,6)) AS yw
+        FROM per_user
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(xw * xw) AS DOUBLE) AS sxx,
+               CAST(SUM(xw * yw) AS DOUBLE) AS sxy,
+               CAST(SUM(yw * yw) AS DOUBLE) AS syy
+        FROM wide
+    ),
+    arm_stats AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS DOUBLE) AS asx,
+               CAST(SUM(y) AS DOUBLE) AS asy
+        FROM per_user GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           {trunc_sql("a.asy / a.n_users", 6)} AS mean_y,
+           {trunc_sql(
+               "a.asy / a.n_users - ((p.n * p.sxy - p.sx * p.sy)"
+               " / (p.n * p.sxx - p.sx * p.sx))"
+               " * (a.asx / a.n_users - p.sx / p.n)", 6)} AS mean_y_cuped,
+           {trunc_sql(
+               "(p.n * p.sxy - p.sx * p.sy)"
+               " / (p.n * p.sxx - p.sx * p.sx)", 6)} AS theta,
+           {trunc_sql(
+               "((p.n * p.sxy - p.sx * p.sy) * (p.n * p.sxy - p.sx * p.sy))"
+               " / ((p.n * p.sxx - p.sx * p.sx)"
+               "    * (p.n * p.syy - p.sy * p.sy))", 6)} AS var_reduction
+    FROM arm_stats a CROSS JOIN pooled p
+    ORDER BY a.arm
+    """,
+)
+def q341_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-user pre-period
+    covariate X (event value before the timeline midpoint) adjusts the
+    experiment metric Y (value after) via Y' = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) pooled across arms — the industry-standard
+    variance reduction that typically cuts A/B confidence intervals
+    30-50% because last period's behavior predicts this period's.
+    Emits per-arm raw and adjusted means, the pooled θ, and the
+    achieved variance-reduction ratio (= corr², the fraction of metric
+    variance the covariate removes).
+
+    Arithmetic: the timeline midpoint is compared in integer
+    MICROSECONDS (epoch_us both sides — interval halving in timestamp
+    space rounds differently across engines); per-user X/Y are exact
+    DECIMAL(18,6) sums (events' values are 6-dp quantized — the dsum
+    discipline); ΣX², ΣXY, ΣY² stay exact in DECIMAL(38,12); θ, the
+    adjusted means, and corr² are then a fixed IEEE tree over
+    exact-sum-derived doubles, floor-truncated at 1e-6.
+
+    Determinism: md5 arm assignment, integer time comparison, decimal
+    sufficient statistics, single-division float tree, trunc grid.
+
+    Scale: one shuffle to per-user partials (map-side combine), then
+    two bounded aggregates (one-row pooled + |arms| rows) joined by
+    broadcast; the midpoint is a one-row aggregate broadcast (both
+    BNLJ-allowlisted scalar patterns). Nothing but (user, x, y) ever
+    shuffles; at 100 TB this is the q132/q256 posture with the
+    covariate bolted on.
+
+    Reference: upgrades q132's A/B readout; the causal-family
+    companion of q256 (diff-in-diff) and q324 (SRM gate)."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        F.expr(
+            "(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2"
+        ).alias("mid_us")
+    )
+    evh = ev.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "value",
+        (F.unix_micros("ts") < F.col("mid_us")).alias("pre"),
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|arm"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    per_user = (
+        evh.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("pre"), F.col("value").cast("decimal(18,6)"))),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("pre"), F.col("value").cast("decimal(18,6)"))
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+        .select("user_id", "x", "y", arm.alias("arm"))
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    arm_stats = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("asx"),
+        F.sum("y").cast("double").alias("asy"),
+    )
+    j = arm_stats.crossJoin(F.broadcast(pooled))
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = cov_num / varx_num
+    mean_y = F.col("asy") / F.col("n_users")
+    mean_x = F.col("asx") / F.col("n_users")
+    pooled_mx = F.col("sx") / F.col("n")
+    return j.select(
+        "arm",
+        "n_users",
+        trunc(mean_y, 6).alias("mean_y"),
+        trunc(mean_y - theta * (mean_x - pooled_mx), 6).alias(
+            "mean_y_cuped"
+        ),
+        trunc(theta, 6).alias("theta"),
+        trunc((cov_num * cov_num) / (varx_num * vary_num), 6).alias(
+            "var_reduction"
+        ),
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# q342 — Simpson's-paradox flip detector
+# --------------------------------------------------------------------------
+
+#: discount at or above this is the "treated" exposure
+SIMPSON_HI_DISC = 0.05
+#: quantity band width for stratification
+SIMPSON_BAND = 10
+
+
+@register(
+    "q342_simpsons_flip",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(FLOOR(l_quantity / {SIMPSON_BAND}) AS BIGINT)
+                   AS stratum,
+               CASE WHEN l_discount >= {SIMPSON_HI_DISC} THEN 1 ELSE 0 END
+                   AS hi,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem
+    ),
+    strata AS (
+        SELECT stratum,
+               CAST(SUM(hi) AS BIGINT) AS n_hi,
+               CAST(SUM(hi * ret) AS BIGINT) AS ret_hi,
+               CAST(SUM(1 - hi) AS BIGINT) AS n_lo,
+               CAST(SUM((1 - hi) * ret) AS BIGINT) AS ret_lo
+        FROM base GROUP BY stratum
+    ),
+    pooled AS (
+        SELECT CASE WHEN SUM(ret_hi) * SUM(n_lo) > SUM(ret_lo) * SUM(n_hi)
+                    THEN 1
+                    WHEN SUM(ret_hi) * SUM(n_lo) < SUM(ret_lo) * SUM(n_hi)
+                    THEN -1 ELSE 0 END AS pooled_sign
+        FROM strata
+    )
+    SELECT s.stratum, s.n_hi, s.ret_hi, s.n_lo, s.ret_lo,
+           CAST(CASE WHEN s.ret_hi * s.n_lo > s.ret_lo * s.n_hi THEN 1
+                     WHEN s.ret_hi * s.n_lo < s.ret_lo * s.n_hi THEN -1
+                     ELSE 0 END AS INT) AS stratum_sign,
+           CAST(p.pooled_sign AS INT) AS pooled_sign,
+           CAST(CASE WHEN (CASE WHEN s.ret_hi * s.n_lo > s.ret_lo * s.n_hi
+                                THEN 1
+                                WHEN s.ret_hi * s.n_lo < s.ret_lo * s.n_hi
+                                THEN -1 ELSE 0 END) * p.pooled_sign = -1
+                     THEN 1 ELSE 0 END AS INT) AS flip
+    FROM strata s CROSS JOIN pooled p
+    ORDER BY s.stratum
+    """,
+)
+def q342_simpsons_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the association between high
+    discount and return rate is computed POOLED and PER STRATUM
+    (quantity band), and any stratum whose association sign opposes
+    the pooled sign is flagged — the aggregation paradox that makes
+    naive dashboard comparisons lie when a confounder (order size)
+    correlates with both exposure and outcome. The canonical check
+    before anyone reads q132/q341's topline as causal.
+
+    Arithmetic: rate comparisons are pure integer cross-multiplication
+    (r_hi·n_lo vs r_lo·n_hi — never a float rate), so sign and flip
+    are exact; products are int64-safe to ~3e9 rows per stratum (route
+    to DECIMAL(38,0) past that).
+
+    Determinism: integer counts and comparisons only.
+
+    Scale: one map-side partial aggregation collapses the fact table
+    to |strata| cells; the pooled row is a broadcast over those cells
+    (BNLJ-allowlisted one-row pattern). Nothing else shuffles.
+
+    Reference: guards the experiment family (q132, q256, q341); the
+    stratified companion of q156's independence residuals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.when(F.col("l_discount") >= SIMPSON_HI_DISC, 1).otherwise(0)
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    base = li.select(
+        F.floor(F.col("l_quantity") / SIMPSON_BAND)
+        .cast("bigint")
+        .alias("stratum"),
+        hi.alias("hi"),
+        ret.alias("ret"),
+    )
+    strata = base.groupBy("stratum").agg(
+        F.sum("hi").cast("bigint").alias("n_hi"),
+        F.sum(F.col("hi") * F.col("ret")).cast("bigint").alias("ret_hi"),
+        F.sum(1 - F.col("hi")).cast("bigint").alias("n_lo"),
+        F.sum((1 - F.col("hi")) * F.col("ret"))
+        .cast("bigint")
+        .alias("ret_lo"),
+    )
+    pooled = strata.agg(
+        F.when(
+            F.sum("ret_hi") * F.sum("n_lo") > F.sum("ret_lo") * F.sum("n_hi"),
+            1,
+        )
+        .when(
+            F.sum("ret_hi") * F.sum("n_lo") < F.sum("ret_lo") * F.sum("n_hi"),
+            -1,
+        )
+        .otherwise(0)
+        .alias("pooled_sign")
+    )
+    s_sign = (
+        F.when(
+            F.col("ret_hi") * F.col("n_lo") > F.col("ret_lo") * F.col("n_hi"),
+            1,
+        )
+        .when(
+            F.col("ret_hi") * F.col("n_lo") < F.col("ret_lo") * F.col("n_hi"),
+            -1,
+        )
+        .otherwise(0)
+    )
+    return (
+        strata.crossJoin(F.broadcast(pooled))
+        .select(
+            "stratum",
+            "n_hi",
+            "ret_hi",
+            "n_lo",
+            "ret_lo",
+            s_sign.cast("int").alias("stratum_sign"),
+            F.col("pooled_sign").cast("int").alias("pooled_sign"),
+            F.when(s_sign * F.col("pooled_sign") == -1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("flip"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# --------------------------------------------------------------------------
+# q343 — off-policy evaluation (IPS / SNIPS) of a target policy
+# --------------------------------------------------------------------------
+
+#: logging-policy propensities over the 3 actions, in tenths; the
+#: slot→action mapping rotates by md5(context) so each context prefers
+#: a different action
+IPS_PROPS_T = (5, 3, 2)
+#: per-slot reward rate in percent — slot 0 (the context's most-logged
+#: action) converts best
+IPS_REWARD_PCT = (60, 30, 10)
+
+
+def _ips_sql_u(expr: str, salt: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr} || '{salt}'), 1, 8)) AS BIGINT)"
+        f" % {mod}"
+    )
+
+
+@register(
+    "q343_ips_offpolicy",
+    oracle=f"""
+    WITH rounds AS (
+        SELECT event_type AS ctx,
+               {_ips_sql_u("event_type", "|rot", 3)} AS rot,
+               {_ips_sql_u("CAST(event_id AS VARCHAR)", "|act", 10)} AS u_act,
+               {_ips_sql_u("CAST(event_id AS VARCHAR)", "|rew", 100)} AS u_rew
+        FROM events
+    ),
+    drawn AS (
+        -- logged action: inverse-CDF draw over the slot propensities
+        -- ({IPS_PROPS_T[0]}/10, {IPS_PROPS_T[1]}/10,
+        -- {IPS_PROPS_T[2]}/10); slot s maps to action (s + rot) % 3
+        SELECT ctx, rot, u_rew,
+               CASE WHEN u_act < {IPS_PROPS_T[0]} THEN 0
+                    WHEN u_act < {IPS_PROPS_T[0] + IPS_PROPS_T[1]} THEN 1
+                    ELSE 2 END AS slot
+        FROM rounds
+    ),
+    judged AS (
+        SELECT ctx,
+               (slot + rot) % 3 AS action,
+               CASE slot WHEN 0 THEN {IPS_PROPS_T[0]}
+                         WHEN 1 THEN {IPS_PROPS_T[1]}
+                         ELSE {IPS_PROPS_T[2]} END AS p10,
+               CASE WHEN u_rew < (CASE slot
+                        WHEN 0 THEN {IPS_REWARD_PCT[0]}
+                        WHEN 1 THEN {IPS_REWARD_PCT[1]}
+                        ELSE {IPS_REWARD_PCT[2]} END)
+                    THEN 1 ELSE 0 END AS r,
+               -- target policy: the context's slot-0 action
+               rot % 3 AS pi_action
+        FROM drawn
+    ),
+    contrib AS (
+        SELECT ctx, r,
+               CASE WHEN action = pi_action THEN 1 ELSE 0 END AS m,
+               10000000 // p10 AS w_micro
+        FROM judged
+    )
+    SELECT ctx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(m) AS BIGINT) AS n_match,
+           CAST(SUM(r) * 1000000 // COUNT(*) AS BIGINT) AS logged_ppm,
+           CAST(SUM(CAST(m AS HUGEINT) * r * w_micro) // COUNT(*)
+                AS BIGINT) AS ips_micro,
+           CAST(CASE WHEN SUM(CAST(m AS HUGEINT) * w_micro) > 0
+                THEN SUM(CAST(m AS HUGEINT) * r * w_micro) * 1000000
+                     // SUM(CAST(m AS HUGEINT) * w_micro)
+                ELSE 0 END AS BIGINT) AS snips_ppm
+    FROM contrib
+    GROUP BY ctx
+    ORDER BY ctx
+    """,
+)
+def q343_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation: estimate what a TARGET action policy
+    would have earned from logs collected under a DIFFERENT stochastic
+    logging policy, via inverse-propensity scoring — the standard
+    counterfactual readout for recommender/ranker changes evaluated
+    before any live test (and the RLHF-adjacent "would this policy
+    have scored better on logged preferences" loop). Emits the
+    unbiased IPS mean and the self-normalized SNIPS ratio (lower
+    variance, slight bias) per context, beside the logging policy's
+    realized value for reference.
+
+    The bandit rounds derive deterministically from events: the
+    logging policy draws one of 3 actions by inverse-CDF over
+    context-rotated propensities {IPS_PROPS_T}/10, rewards are
+    Bernoulli in percent units with slot-dependent rates
+    {IPS_REWARD_PCT}, and the target policy picks each context's
+    slot-0 action — so IPS must recover ≈ the slot-0 reward rate from
+    logs where that action fired only half the time.
+
+    Arithmetic: propensity reciprocals enter as floor(10⁷/p10) micro
+    weights (one deterministic floor per distinct propensity); all
+    sums are integer; IPS/SNIPS are single floor-divisions over
+    DECIMAL(38,0)/HUGEINT products.
+
+    Determinism: md5 draws, integer weights, integer sums.
+
+    Scale: pure map-side row math (no join — propensities and the
+    policy are CASE tables) followed by one partial-aggregated groupBy
+    on |contexts| keys: a single scan with a ~5-row result, the
+    cheapest possible shape at 100 TB.
+
+    Reference: extends the eval family (q294 AUC, q301 ranking gain,
+    q306 attribution, q326 interleave) with the counterfactual
+    estimator."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def u(expr, salt, mod):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8), 16, 10
+            ).cast("bigint")
+            % mod
+        )
+
+    rounds = ev.select(
+        F.col("event_type").alias("ctx"),
+        u(F.col("event_type"), "|rot", 3).alias("rot"),
+        u(F.col("event_id").cast("string"), "|act", 10).alias("u_act"),
+        u(F.col("event_id").cast("string"), "|rew", 100).alias("u_rew"),
+    )
+    slot = (
+        F.when(F.col("u_act") < IPS_PROPS_T[0], 0)
+        .when(F.col("u_act") < IPS_PROPS_T[0] + IPS_PROPS_T[1], 1)
+        .otherwise(2)
+    )
+    drawn = rounds.select("ctx", "rot", "u_rew", slot.alias("slot"))
+    p10 = (
+        F.when(F.col("slot") == 0, IPS_PROPS_T[0])
+        .when(F.col("slot") == 1, IPS_PROPS_T[1])
+        .otherwise(IPS_PROPS_T[2])
+    )
+    rate = (
+        F.when(F.col("slot") == 0, IPS_REWARD_PCT[0])
+        .when(F.col("slot") == 1, IPS_REWARD_PCT[1])
+        .otherwise(IPS_REWARD_PCT[2])
+    )
+    judged = drawn.select(
+        "ctx",
+        ((F.col("slot") + F.col("rot")) % 3).alias("action"),
+        p10.alias("p10"),
+        F.when(F.col("u_rew") < rate, 1).otherwise(0).alias("r"),
+        (F.col("rot") % 3).alias("pi_action"),
+    )
+    contrib = judged.select(
+        "ctx",
+        "r",
+        F.when(F.col("action") == F.col("pi_action"), 1)
+        .otherwise(0)
+        .alias("m"),
+        F.expr("10000000 DIV p10").alias("w_micro"),
+    )
+    agg = contrib.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("n_match"),
+        F.sum("r").cast("bigint").alias("sum_r"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("r") * F.col("w_micro")
+        ).alias("num"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("w_micro")).alias(
+            "den"
+        ),
+    )
+    return agg.select(
+        "ctx",
+        "n",
+        "n_match",
+        F.expr("CAST(sum_r * 1000000 DIV n AS BIGINT)").alias("logged_ppm"),
+        F.expr("CAST(num DIV n AS BIGINT)").alias("ips_micro"),
+        F.expr(
+            "CAST(CASE WHEN den > 0 THEN num * 1000000 DIV den"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("snips_ppm"),
+    ).orderBy("ctx")

@@ -386,6 +386,91 @@ def q122_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: minimum distinct sensitive values per released equivalence class
+L_DIVERSITY = 3
+#: acctbal band width for the sensitive attribute
+LDIV_BAND = 2000
+
+
+@register(
+    "q337_l_diversity",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {LDIV_BAND}) AS BIGINT) AS sens
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, sens, COUNT(*) AS cnt
+        FROM tagged GROUP BY c_nationkey, c_mktsegment, sens
+    ),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(SUM(cnt) AS BIGINT) AS group_size,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               CAST(MAX(cnt) AS BIGINT) AS modal_count
+        FROM cells GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_distinct, modal_count
+    FROM classes
+    WHERE l_distinct < {L_DIVERSITY} OR 2 * modal_count > group_size
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q337_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the layer k-anonymity (q122) misses: an
+    equivalence class can be large yet still leak the SENSITIVE
+    attribute if everyone in it shares the same value (homogeneity
+    attack) or one value dominates (probabilistic inference). Flags
+    quasi-identifier classes (nationality × market segment) whose
+    account-balance band has fewer than {L_DIVERSITY} distinct values
+    OR a modal value covering more than half the class — both released
+    only after suppression/generalization.
+
+    Arithmetic: the dominance test is integer cross-multiplication
+    (2·modal > size — never a float share); the sensitive band is
+    FLOOR over an IEEE division both engines compute identically.
+
+    Scale: two stacked partial-aggregated groupBys — (QI, sens) cells
+    then QI classes — each collapsing map-side; only violating classes
+    (rare by definition) leave the final filter. The same
+    one-shuffle-per-grain shape as q122, which this subsumes.
+
+    Reference: completes the privacy family (q88 redaction, q122
+    k-anonymity, q263 DP contribution bounds, q318 differencing)."""
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / LDIV_BAND)
+            .cast("bigint")
+            .alias("sens"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("group_size"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("cnt").cast("bigint").alias("modal_count"),
+    )
+    return (
+        classes.filter(
+            (F.col("l_distinct") < L_DIVERSITY)
+            | (2 * F.col("modal_count") > F.col("group_size"))
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_distinct",
+            "modal_count",
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 SHORT_DOC_CHARS = 100
 
 

@@ -1103,6 +1103,135 @@ def q294_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q338 — exact average precision (PR-AUC) from the same score histogram
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q338_average_precision",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS label,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 128
+                   + CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 64 ELSE 0 END AS score
+        FROM orders
+    ),
+    hist AS (
+        SELECT score,
+               CAST(SUM(label) AS BIGINT) AS pos,
+               CAST(SUM(1 - label) AS BIGINT) AS neg
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        -- cumulative counts INCLUDING the current bucket, walking
+        -- thresholds from the highest score down
+        SELECT score, pos, neg,
+               CAST(SUM(pos) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumpos,
+               CAST(SUM(pos + neg) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumall
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               COUNT(*) AS n_buckets,
+               -- Σ_b pos_b * precision_after_b in nano units,
+               -- per-bucket floor
+               CAST(SUM(CAST(pos AS HUGEINT) * cumpos * 1000000000
+                        // cumall) AS HUGEINT) AS ap_nano_sum
+        FROM cum
+    )
+    SELECT n_pos, n_neg, n_buckets,
+           CAST(ap_nano_sum // (n_pos * 1000) AS BIGINT) AS ap_ppm,
+           1000000 * n_pos // (n_pos + n_neg) AS prevalence_ppm
+    FROM agg
+    """,
+)
+def q338_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) from the SAME score histogram as q294's ROC-AUC:
+    walking thresholds from the top score down,
+    AP = Σ_b (ΔR_b)·P_b = Σ_b pos_b·cumpos_b/cumall_b / n_pos, where
+    ties collapse into one threshold block exactly as every
+    fixed-precision production scorer ties them. AP is the metric that
+    matters when positives are rare — ROC-AUC saturates near 1 on
+    imbalanced data while AP still discriminates (its baseline is the
+    prevalence, emitted beside it).
+
+    Arithmetic: integer histogram; each block's pos_b·cumpos_b/cumall_b
+    term enters in nano units via per-bucket floor (HUGEINT /
+    DECIMAL(38,0) — pos·cumpos·10⁹ overflows int64 past ~100k rows);
+    the final /n_pos is one floor-division to ppm. No floats anywhere.
+
+    Determinism: integer histogram, integer cumulative window over the
+    DESC score order, fixed floor grids.
+
+    Scale: identical to q294 — the histogram partial-combines map-side
+    to ≤|score domain| buckets and every window runs over those
+    buckets only; the per-row rank formulation's global sort never
+    happens.
+
+    Reference: the PR-curve twin of q294 (ROC); with q250's threshold
+    sweep these three cover the classifier-eval triangle."""
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    scored = orders.select(
+        label.alias("label"),
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("bigint") % 128
+            + F.when(F.col("o_orderpriority") == "1-URGENT", 64).otherwise(0)
+        ).alias("score"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "score",
+        "pos",
+        "neg",
+        F.sum("pos").over(w).cast("bigint").alias("cumpos"),
+        F.sum(F.col("pos") + F.col("neg"))
+        .over(w)
+        .cast("bigint")
+        .alias("cumall"),
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.expr(
+                "CAST(pos AS DECIMAL(38,0)) * cumpos * 1000000000"
+                " DIV cumall"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ap_nano_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_buckets",
+        F.expr(
+            "CAST(ap_nano_sum DIV (CAST(n_pos AS DECIMAL(38,0)) * 1000)"
+            " AS BIGINT)"
+        ).alias("ap_ppm"),
+        F.expr("1000000 * n_pos DIV (n_pos + n_neg)").alias(
+            "prevalence_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # q301 — harmonic-discounted ranking gain (integer-exact NDCG sibling)
 # --------------------------------------------------------------------------
 

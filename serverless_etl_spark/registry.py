@@ -83,6 +83,10 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 _SWEEP_PRIORITY = [
     # (a) the r3 punch list
     "q103_winsorize", "q49_approx_distinct", "q73_approx_quantiles",
+    # (b2) round-4 in-round additions (newest, never swept)
+    "q337_l_diversity", "q338_average_precision", "q339_kruskal_wallis",
+    "q340_bh_fdr", "q341_cuped", "q342_simpsons_flip",
+    "q343_ips_offpolicy",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",
@@ -181,6 +185,7 @@ def load_all() -> None:
         analytics_ext,
         curation,
         dedup,
+        experiments,
         graph,
         incremental,
         joins,

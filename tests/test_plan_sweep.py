@@ -84,6 +84,9 @@ BNLJ_ALLOWED = {
     "q327_point_in_polygon",      # 5-row polygon-edge broadcast fan-out
     "q331_km_survival",           # one-row horizon-date broadcast
     "q335_brier_decomposition",   # one-row totals broadcast over ≤12 bins
+    "q339_kruskal_wallis",        # one-row tie-term broadcast onto one-row tot
+    "q341_cuped",                 # one-row midpoint + one-row pooled broadcasts
+    "q342_simpsons_flip",         # one-row pooled-sign broadcast over |strata|
 }
 
 

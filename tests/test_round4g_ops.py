@@ -1,0 +1,265 @@
+"""Invariant tests for the round-4 seventh-sitting operators:
+l-diversity flag logic, average-precision replay vs a pure-Python
+histogram walk, Kruskal-Wallis replay + tie-correction bounds, BH
+step-up prefix property and planted-signal detection, CUPED
+mean-preservation, Simpson sign consistency, and IPS recovery of the
+target policy's true value."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import duckdb
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+# --------------------------------------------------------------------------
+# q337 — l-diversity
+# --------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_only_violations(spark):
+    rows = registry.QUERIES["q337_l_diversity"](spark, SF_MID).collect()
+    assert rows, "fixtures should contain at least one violating class"
+    for r in rows:
+        assert r["l_distinct"] >= 1
+        assert r["modal_count"] <= r["group_size"]
+        assert r["l_distinct"] <= r["group_size"]
+        # flagged ⇒ genuinely violating one of the two rules
+        assert r["l_distinct"] < 3 or 2 * r["modal_count"] > r["group_size"]
+
+
+def test_l_diversity_subsumes_small_k_classes(spark):
+    # any class of size 1 or 2 violates l<3 and must be flagged
+    con = _duck(SF_MID)
+    small = con.execute(
+        """
+        SELECT COUNT(*) FROM (
+            SELECT c_nationkey, c_mktsegment FROM customer
+            GROUP BY 1, 2 HAVING COUNT(*) < 3
+        )
+        """
+    ).fetchone()[0]
+    flagged = registry.QUERIES["q337_l_diversity"](spark, SF_MID).count()
+    assert flagged >= small
+
+
+# --------------------------------------------------------------------------
+# q338 — average precision
+# --------------------------------------------------------------------------
+
+
+def _ap_replay(sf_dir: str):
+    con = _duck(sf_dir)
+    hist = con.execute(
+        """
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 128
+               + CASE WHEN o_orderpriority = '1-URGENT' THEN 64 ELSE 0 END
+               AS score,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS pos,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+               AS neg
+        FROM orders GROUP BY 1 ORDER BY score DESC
+        """
+    ).fetchall()
+    n_pos = sum(p for _, p, _ in hist)
+    cumpos = cumall = 0
+    nano = 0
+    for _, p, ng in hist:
+        cumpos += p
+        cumall += p + ng
+        nano += p * cumpos * 1_000_000_000 // cumall
+    return nano // (n_pos * 1000), n_pos
+
+
+def test_average_precision_matches_python_replay(spark):
+    row = registry.QUERIES["q338_average_precision"](
+        spark, SF_SMALL
+    ).collect()[0]
+    ap, n_pos = _ap_replay(SF_SMALL)
+    assert row["ap_ppm"] == ap
+    assert row["n_pos"] == n_pos
+    # the +64 planted separation makes the scorer real: AP must beat
+    # its random baseline (prevalence), and stay a valid probability
+    assert row["prevalence_ppm"] < row["ap_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q339 — Kruskal-Wallis
+# --------------------------------------------------------------------------
+
+
+def _kw_replay(sf_dir: str):
+    con = _duck(sf_dir)
+    cells = con.execute(
+        """
+        SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT), COUNT(*)
+        FROM lineitem GROUP BY 1, 2
+        """
+    ).fetchall()
+    vf = defaultdict(int)
+    gf = defaultdict(dict)
+    for g, v, f in cells:
+        vf[v] += f
+        gf[g][v] = f
+    r2 = {}
+    cum = 0
+    for v in sorted(vf):
+        r2[v] = 2 * cum + vf[v] + 1
+        cum += vf[v]
+    n = cum
+    s_micro = 0
+    for g, fv in gf.items():
+        n_g = sum(fv.values())
+        r2_sum = sum(f * r2[v] for v, f in fv.items())
+        s_micro += r2_sum * r2_sum * 250000 // n_g
+    h = 12 * s_micro // (n * (n + 1)) - 3 * (n + 1) * 1000000
+    h = max(h, 0)
+    ties = sum(t**3 - t for t in vf.values())
+    c_ppm = 1000000 - ties * 1000000 // (n**3 - n)
+    return n, h, c_ppm, h * 1000000 // c_ppm
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    row = registry.QUERIES["q339_kruskal_wallis"](spark, SF_SMALL).collect()[
+        0
+    ]
+    n, h, c_ppm, h_adj = _kw_replay(SF_SMALL)
+    assert row["n_total"] == n
+    assert row["h_micro"] == h
+    assert row["c_ppm"] == c_ppm
+    assert row["h_adj_micro"] == h_adj
+    # tie correction shrinks the denominator: C ≤ 1 so H_adj ≥ H
+    assert 0 < row["c_ppm"] <= 1_000_000
+    assert row["h_adj_micro"] >= row["h_micro"]
+
+
+# --------------------------------------------------------------------------
+# q340 — Benjamini-Hochberg
+# --------------------------------------------------------------------------
+
+
+def test_bh_fdr_step_up_properties(spark):
+    rows = registry.QUERIES["q340_bh_fdr"](spark, SF_MID).collect()
+    m = len(rows)
+    by_rank = sorted(rows, key=lambda r: r["p_rank"])
+    # rejections are exactly a prefix of the p-value ranking
+    rejected = [r["rejected"] for r in by_rank]
+    k = sum(rejected)
+    assert rejected == [1] * k + [0] * (m - k)
+    # step-up definition: the last rejected rank satisfies the BH bound
+    if k:
+        assert by_rank[k - 1]["p_micro"] * m <= by_rank[k - 1]["p_rank"] * 50_000
+    # nothing beyond k* may satisfy the bound (maximality)
+    for r in by_rank[k:]:
+        assert r["p_micro"] * m > r["p_rank"] * 50_000
+    # the planted signal is found: every purchase-cell p was divided by
+    # 211, so with q=0.05 over ~60 cells at least one must reject
+    assert any(
+        r["event_type"] == "purchase" and r["rejected"] for r in rows
+    )
+
+
+def test_bh_fdr_p_values_replay_md5(spark):
+    rows = registry.QUERIES["q340_bh_fdr"](spark, SF_MID).collect()
+    for r in rows[:10]:
+        h = hashlib.md5(
+            f"{r['event_type']}|{r['month']}|pv".encode()
+        ).hexdigest()
+        p = int(h[:12], 16) % 1_000_000
+        if r["event_type"] == "purchase":
+            p //= 211
+        assert r["p_micro"] == p
+
+
+# --------------------------------------------------------------------------
+# q341 — CUPED
+# --------------------------------------------------------------------------
+
+
+def test_cuped_preserves_pooled_mean_and_reduces_variance(spark):
+    rows = registry.QUERIES["q341_cuped"](spark, SF_MID).collect()
+    assert len(rows) == 2
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["n_users"] * r["mean_y"] for r in rows) / n
+    adj = sum(r["n_users"] * r["mean_y_cuped"] for r in rows) / n
+    # adjusting by θ(X − X̄_pooled) re-centers but cannot move the
+    # pooled mean (Σ n_a·θ·(X̄_a − X̄) = 0); trunc grids leave ≤2e-6
+    assert abs(raw - adj) < 5e-6
+    r0 = rows[0]
+    assert 0.0 <= r0["var_reduction"] <= 1.0
+    # the synthetic events are near-independent across periods, so the
+    # reduction is small — but corr² must still be strictly positive
+    assert r0["var_reduction"] > 0.0
+    assert rows[0]["theta"] == rows[1]["theta"]
+
+
+# --------------------------------------------------------------------------
+# q342 — Simpson flip
+# --------------------------------------------------------------------------
+
+
+def test_simpsons_flip_sign_consistency(spark):
+    rows = registry.QUERIES["q342_simpsons_flip"](spark, SF_MID).collect()
+    con = _duck(SF_MID)
+    total = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert sum(r["n_hi"] + r["n_lo"] for r in rows) == total
+    pooled = {r["pooled_sign"] for r in rows}
+    assert len(pooled) == 1
+    for r in rows:
+        lhs = r["ret_hi"] * r["n_lo"]
+        rhs = r["ret_lo"] * r["n_hi"]
+        want = 1 if lhs > rhs else (-1 if lhs < rhs else 0)
+        assert r["stratum_sign"] == want
+        assert r["flip"] == (
+            1 if r["stratum_sign"] * r["pooled_sign"] == -1 else 0
+        )
+
+
+# --------------------------------------------------------------------------
+# q343 — IPS off-policy evaluation
+# --------------------------------------------------------------------------
+
+
+def test_ips_recovers_target_policy_value(spark):
+    rows = registry.QUERIES["q343_ips_offpolicy"](spark, SF_MID).collect()
+    assert rows
+    for r in rows:
+        # the target policy (slot-0 action, 60% reward) beats the
+        # logging mixture (0.5·60 + 0.3·30 + 0.2·10 = 41%) — IPS must
+        # see that from logged data alone
+        assert r["ips_micro"] > r["logged_ppm"]
+        # SNIPS is a weighted mean of rewards: a valid rate
+        assert 0 <= r["snips_ppm"] <= 1_000_000
+        # matched rounds are roughly the slot-0 propensity (50%)
+        assert 0.35 < r["n_match"] / r["n"] < 0.65
+        # unbiasedness at this n: IPS within ±10pp of the true 60%
+        assert abs(r["ips_micro"] - 600_000) < 100_000
+
+
+def test_ips_draw_replays_md5(spark):
+    rows = registry.QUERIES["q343_ips_offpolicy"](spark, SF_MID).collect()
+    # replay the rot draw per context
+    for r in rows:
+        rot = (
+            int(hashlib.md5(f"{r['ctx']}|rot".encode()).hexdigest()[:8], 16)
+            % 3
+        )
+        assert rot in (0, 1, 2)  # target = rot % 3; smoke the mapping

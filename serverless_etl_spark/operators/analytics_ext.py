@@ -7527,15 +7527,13 @@ DRIFT_Y_B = 1997
                CAST(FLOOR(1000.0
                         * CAST(c.oa * t.nb - c.ob * t.na AS DOUBLE)
                         * CAST(c.oa * t.nb - c.ob * t.na AS DOUBLE)
-                        / CAST((t.na + t.nb) * (c.oa + c.ob) * t.na
-                               AS DOUBLE)
-                        / CAST(t.nb AS DOUBLE))
+                        / CAST((t.na + t.nb) * (c.oa + c.ob) AS DOUBLE)
+                        / CAST(t.na AS DOUBLE))
                    + FLOOR(1000.0
                         * CAST(c.ob * t.na - c.oa * t.nb AS DOUBLE)
                         * CAST(c.ob * t.na - c.oa * t.nb AS DOUBLE)
-                        / CAST((t.na + t.nb) * (c.oa + c.ob) * t.nb
-                               AS DOUBLE)
-                        / CAST(t.na AS DOUBLE)) AS BIGINT)
+                        / CAST((t.na + t.nb) * (c.oa + c.ob) AS DOUBLE)
+                        / CAST(t.nb AS DOUBLE)) AS BIGINT)
                    AS chi_milli,
                abs(1000000 * c.oa // t.na - 1000000 * c.ob // t.nb)
                    AS share_delta_ppm
@@ -7626,13 +7624,13 @@ def q313_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR(1000.0"
             " * CAST(oa * nb - ob * na AS DOUBLE)"
             " * CAST(oa * nb - ob * na AS DOUBLE)"
-            " / CAST((na + nb) * (oa + ob) * na AS DOUBLE)"
-            " / CAST(nb AS DOUBLE))"
+            " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
+            " / CAST(na AS DOUBLE))"
             " + FLOOR(1000.0"
             " * CAST(ob * na - oa * nb AS DOUBLE)"
             " * CAST(ob * na - oa * nb AS DOUBLE)"
-            " / CAST((na + nb) * (oa + ob) * nb AS DOUBLE)"
-            " / CAST(na AS DOUBLE)) AS BIGINT)"
+            " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
+            " / CAST(nb AS DOUBLE)) AS BIGINT)"
         ).alias("chi_milli"),
         F.abs(
             F.expr("1000000 * oa DIV na - 1000000 * ob DIV nb")

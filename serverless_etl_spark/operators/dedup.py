@@ -2989,3 +2989,148 @@ def q308_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("kappa_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q345 — greedy coverage-maximizing subset selection (facility location)
+# --------------------------------------------------------------------------
+
+#: number of greedy selection rounds
+COVER_K = 5
+
+
+def _cover_oracle() -> str:
+    """Unrolled K-stage greedy selection: each stage counts UNCOVERED
+    shingles per candidate doc, takes the (gain DESC, doc_id) argmax,
+    and folds its shingles into the covered set."""
+    parts = [
+        f"WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles"
+        " FROM documents),",
+        "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),",
+        "tot AS (SELECT COUNT(DISTINCT s) AS n_total FROM ex),",
+    ]
+    sel_union = None
+    for k in range(1, COVER_K + 1):
+        if k == 1:
+            parts.append(
+                "c1 AS (SELECT doc_id, COUNT(*) AS gain FROM ex"
+                " GROUP BY doc_id),"
+            )
+        else:
+            parts.append(
+                f"c{k} AS (SELECT e.doc_id, COUNT(*) AS gain FROM ex e"
+                f" WHERE NOT EXISTS (SELECT 1 FROM cov{k-1} c"
+                f" WHERE c.s = e.s)"
+                f" AND e.doc_id NOT IN (SELECT doc_id FROM ({sel_union}))"
+                f" GROUP BY e.doc_id),"
+            )
+        parts.append(
+            f"s{k} AS (SELECT doc_id, gain FROM c{k}"
+            f" ORDER BY gain DESC, doc_id LIMIT 1),"
+        )
+        if k == 1:
+            parts.append(
+                "cov1 AS (SELECT DISTINCT e.s FROM ex e"
+                " JOIN s1 USING (doc_id)),"
+            )
+        else:
+            parts.append(
+                f"cov{k} AS (SELECT s FROM cov{k-1} UNION"
+                f" SELECT e.s FROM ex e JOIN s{k} USING (doc_id)),"
+            )
+        stage_sel = f"SELECT doc_id FROM s{k}"
+        sel_union = (
+            stage_sel if sel_union is None else f"{sel_union} UNION {stage_sel}"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT {k} AS step, s{k}.doc_id, s{k}.gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{k}) AS covered"
+        f" FROM s{k}"
+        for k in range(1, COVER_K + 1)
+    )
+    parts.append(f"steps AS ({steps})")
+    return "\n".join(parts) + f"""
+    SELECT CAST(step AS INT) AS step, doc_id,
+           CAST(gain AS BIGINT) AS gain, covered,
+           covered * 1000000 // t.n_total AS coverage_ppm
+    FROM steps CROSS JOIN tot t
+    ORDER BY step
+    """
+
+
+@register("q345_greedy_coverage", oracle=_cover_oracle())
+def q345_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coverage-maximizing subset selection (the facility-
+    location submodular objective): pick {COVER_K} documents, each
+    round taking the doc that adds the most NOT-YET-COVERED distinct
+    3-gram shingles — the classic "which K examples summarize this
+    corpus" selector used for training-subset construction, few-shot
+    pool picking, and dedup-aware sampling. Greedy is (1−1/e)-optimal
+    for submodular coverage, and each round's marginal gain is exactly
+    the quantity a curation review wants to see diminish.
+
+    Determinism: distinct-shingle counts are integers; argmax breaks
+    ties by doc_id; coverage ppm is one floor division.
+
+    Scale: the shingle table is built ONCE and persisted; each of the
+    K rounds is one anti-join against the covered set plus a
+    partial-aggregated count — K·O(corpus) total, never O(n²), and
+    the covered set grows by ≤ one doc's shingles per round (broadcast
+    side while small; at benchmark-suite scale it stays tiny). The
+    driver loop collects exactly one (doc_id, gain) row per round —
+    bounded, like q95's k-means seeds.
+
+    Reference: the selection layer over the dedup family (q41, q154
+    novelty, q176 vocab growth); the optimization dual of q201's
+    budget allocator."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cache(
+        docs.select(
+            "doc_id",
+            _shingles(F.split(F.col("text"), " ")).alias("shingles"),
+        ).persist()
+    )
+    ex = track_cache(
+        sh.select("doc_id", F.explode("shingles").alias("s")).persist()
+    )
+    n_total = ex.select("s").distinct().count()
+    covered = None
+    selected: list[int] = []
+    rows: list[tuple[int, int, int, int, int]] = []
+    for step in range(1, COVER_K + 1):
+        cand = ex
+        if selected:
+            cand = cand.filter(~F.col("doc_id").isin(selected))
+        if covered is not None:
+            cand = cand.join(covered, "s", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id"))
+            .first()
+        )
+        if top is None:
+            break
+        sel_sh = ex.filter(F.col("doc_id") == top["doc_id"]).select("s")
+        covered = (
+            sel_sh.distinct()
+            if covered is None
+            else covered.union(sel_sh).distinct()
+        )
+        covered = track_cache(covered.persist())
+        cov_n = covered.count()
+        selected.append(top["doc_id"])
+        rows.append(
+            (
+                step,
+                top["doc_id"],
+                top["gain"],
+                cov_n,
+                cov_n * 1_000_000 // n_total,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, doc_id bigint, gain bigint, covered bigint,"
+        " coverage_ppm bigint",
+    )

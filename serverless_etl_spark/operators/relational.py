@@ -1762,3 +1762,100 @@ def q316_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q344 — hierarchical subtree rollup via materialized ancestor chains
+# --------------------------------------------------------------------------
+
+#: reporting-tree fan-out: manager(c) = c DIV 7, applied up the chain
+ORG_FANOUT = 7
+#: fixed unroll depth — 7^8 ≈ 5.7M covers every fixture's key space,
+#: and a FIXED unroll keeps the plan and oracle identical across sf
+#: dirs (levels past the chain top yield ancestor 0 and are filtered)
+ORG_LEVELS = 8
+ORG_TOP = 100
+
+
+@register(
+    "q344_org_rollup",
+    oracle=f"""
+    WITH ex AS (
+        {" UNION ALL ".join(
+            f"SELECT c_custkey // {ORG_FANOUT ** k} AS mgr, {k} AS lvl,"
+            f" c_acctbal AS bal FROM customer"
+            for k in range(1, ORG_LEVELS + 1)
+        )}
+    ),
+    rolled AS (
+        SELECT mgr,
+               CAST(COUNT(*) AS BIGINT) AS n_subtree,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_direct,
+               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS subtree_bal
+        FROM ex WHERE mgr > 0
+        GROUP BY mgr
+    )
+    SELECT mgr, n_subtree, n_direct, subtree_bal
+    FROM rolled
+    ORDER BY subtree_bal DESC, mgr
+    LIMIT {ORG_TOP}
+    """,
+)
+def q344_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup WITHOUT recursion: every customer's
+    full management chain (manager = key DIV {ORG_FANOUT}, repeated) is
+    materialized as a pure-arithmetic ancestor array, exploded, and
+    aggregated — each node's count/balance lands on ALL its ancestors
+    in ONE shuffle. This is the scale-out answer to the org-chart /
+    BOM-explosion recursive CTE: a recursive self-join runs one
+    iteration per tree level with a shuffle each, while the ancestor
+    chain needs no join at all when the parent edge is computable (and
+    when it isn't, the same shape works off a precomputed
+    materialized-path column — the standard hierarchy denormalization).
+    Emits each manager's total reporting-subtree size, direct-report
+    count, and subtree balance; top {ORG_TOP} by balance.
+
+    Determinism: integer floor-division ancestors (keys positive, so
+    Spark DIV ≡ DuckDB //), exact DECIMAL(18,2) balance sums cast to
+    double, total (balance DESC, mgr) order before the LIMIT.
+
+    Scale: the ancestor fan-out (×{ORG_LEVELS}) is map-side arithmetic
+    on the already-read row — no join, no iteration, no driver loop;
+    one partial-aggregated shuffle on mgr, then TakeOrdered for the
+    top slice. Depth bound: {ORG_FANOUT}^{ORG_LEVELS} ≈ 5.7M keys;
+    deeper key spaces raise ORG_LEVELS (cost is linear in depth ×
+    rows, all map-side).
+
+    Reference: the hierarchy twin of q17's rollup (fixed-level) and
+    q150's BFS (edge-table propagation) — this one is for trees whose
+    parent edge is a function of the key or a materialized path."""
+    customer = load_table(spark, sf_dir, "customer")
+    anc = F.array(
+        *[
+            F.struct(
+                F.expr(f"c_custkey DIV {ORG_FANOUT ** k}").alias("mgr"),
+                F.lit(k).alias("lvl"),
+            )
+            for k in range(1, ORG_LEVELS + 1)
+        ]
+    )
+    ex = customer.select(
+        F.explode(anc).alias("a"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    ).select(F.col("a.mgr").alias("mgr"), F.col("a.lvl").alias("lvl"), "bal")
+    rolled = (
+        ex.filter(F.col("mgr") > 0)
+        .groupBy("mgr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subtree"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_direct"),
+            F.sum("bal").cast("double").alias("subtree_bal"),
+        )
+    )
+    return rolled.orderBy(
+        F.col("subtree_bal").desc(), F.col("mgr")
+    ).limit(ORG_TOP)

@@ -1,0 +1,168 @@
+"""Streaming distribution-drift gate: every micro-batch's categorical
+distribution (event_type by default) is scored against a persisted
+REFERENCE profile with the same integer chi-square q313 uses for
+batch drift, and the per-batch verdict row (score, flag) is appended
+to a scores table — the alerting loop that tells an ingest pipeline
+"this batch does not look like production" BEFORE it lands.
+
+Exactly-once: the gate keeps NO cross-batch state (the reference is
+read-only and each batch is scored alone), so replay safety reduces to
+the scores table, which is partitioned by batch_id and written with
+dynamic overwrite — a re-executed micro-batch rewrites its own
+partition with identical content (checksum_gate's contract). The
+chi-square's per-cell floors make "identical content" literal: the
+score is a deterministic integer.
+
+Stream ≡ batch contract: `drift_score(batch, ref)` is the SAME
+function the foreachBatch hook runs, so scoring a drained file's rows
+directly equals the gate's recorded row (tested in
+tests/test_drift_gate.py), and its arithmetic mirrors q313's
+two-sample form with the reference as period A.
+
+Scale: per batch, one map-side partial aggregation to |categories|
+cells, a broadcast join against the (tiny) reference profile, and a
+one-row result. The reference itself is |categories| rows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+#: monitored categorical column
+DRIFT_COL = "event_type"
+REF_SCHEMA = "cat STRING, oa BIGINT"
+SCORE_SCHEMA = (
+    "n_rows BIGINT, n_cats BIGINT, chi2_milli BIGINT, drifted INT,"
+    " batch_id BIGINT"
+)
+#: default alert threshold in milli units — chi-square well past any
+#: small-dof critical value; callers tune per dof
+DRIFT_THRESHOLD_MILLI = 50_000
+
+
+def reference_profile(rows: DataFrame, col: str = DRIFT_COL) -> DataFrame:
+    """Category counts of the reference window (cat, oa)."""
+    return rows.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("oa")
+    )
+
+
+def drift_score(
+    batch: DataFrame, ref: DataFrame, col: str = DRIFT_COL
+) -> DataFrame:
+    """One-row chi-square drift score of `batch` against `ref`.
+
+    Per-cell contribution mirrors q313 exactly: with na/nb the side
+    totals and oa/ob the cell counts, each cell adds
+    floor(1000·(oa·nb − ob·na)²/((na+nb)(oa+ob)·na·nb)) split into the
+    two classic (O−E)²/E terms — evaluated in doubles with an
+    identical operation order on any engine, floored per cell, summed
+    as integers. Categories absent from one side count 0 there."""
+    bc = batch.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ob")
+    )
+    cells = (
+        ref.join(bc, "cat", "full_outer")
+        .select(
+            "cat",
+            F.coalesce("oa", F.lit(0)).cast("bigint").alias("oa"),
+            F.coalesce("ob", F.lit(0)).cast("bigint").alias("ob"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("oa").cast("bigint").alias("na"),
+        F.sum("ob").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+    )
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        "oa",
+        "ob",
+        "na",
+        "nb",
+        "n_cats",
+        F.expr(
+            "CAST(FLOOR(1000.0"
+            " * CAST(oa * nb - ob * na AS DOUBLE)"
+            " * CAST(oa * nb - ob * na AS DOUBLE)"
+            " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
+            " / CAST(na AS DOUBLE))"
+            " + FLOOR(1000.0"
+            " * CAST(ob * na - oa * nb AS DOUBLE)"
+            " * CAST(ob * na - oa * nb AS DOUBLE)"
+            " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
+            " / CAST(nb AS DOUBLE)) AS BIGINT)"
+        ).alias("chi_milli"),
+    )
+    return contrib.agg(
+        F.max("nb").alias("n_rows"),
+        F.max("n_cats").alias("n_cats"),
+        F.sum("chi_milli").cast("bigint").alias("chi2_milli"),
+    )
+
+
+def drift_gate_writer(
+    ref_dir: str,
+    scores_dir: str,
+    col: str = DRIFT_COL,
+    threshold_milli: int = DRIFT_THRESHOLD_MILLI,
+):
+    """foreachBatch hook: score the batch against the persisted
+    reference and record one verdict row under the batch's own
+    partition (dynamic overwrite → replay rewrites identical bytes)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        ref = _read_or_empty(spark, ref_dir, REF_SCHEMA)
+        row = (
+            drift_score(batch, ref, col)
+            .select(
+                "n_rows",
+                "n_cats",
+                "chi2_milli",
+                F.when(F.col("chi2_milli") > threshold_milli, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("drifted"),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+        )
+        _dynamic_overwrite(row, scores_dir)
+
+    return _write
+
+
+def read_scores(spark: SparkSession, scores_dir: str) -> DataFrame:
+    return _read_or_empty(spark, scores_dir, SCORE_SCHEMA)
+
+
+def run_drift_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    ref_dir: str,
+    scores_dir: str,
+    checkpoint_dir: str,
+    col: str = DRIFT_COL,
+    threshold_milli: int = DRIFT_THRESHOLD_MILLI,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available event files (availableNow) through the drift
+    scorer. max_files_per_trigger defaults to 1 so each dropped file
+    is scored alone — folding a drain into one batch would average a
+    drifted file against healthy ones."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_gate_writer(ref_dir, scores_dir, col, threshold_milli)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,126 @@
+"""Streaming drift gate (streaming/drift_gate.py): stream ≡ batch
+parity (the foreachBatch hook runs the same drift_score the test calls
+directly), a planted drifted file is flagged while in-distribution
+files are not, and replay after checkpoint deletion rewrites identical
+score rows (stateless gate + batch_id dynamic overwrite)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.streaming.drift_gate import (
+    DRIFT_THRESHOLD_MILLI,
+    drift_score,
+    read_scores,
+    reference_profile,
+    run_drift_gate,
+)
+from tests.conftest import SF_SMALL
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+)
+
+
+def _setup(spark, tmp_path):
+    """Reference profile from the fixture events; two stream files:
+    part-0 re-samples the reference distribution (healthy), part-1 is
+    all one category (drifted)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    ref_dir = tmp_path / "ref"
+    reference_profile(ev).write.mode("overwrite").parquet(str(ref_dir))
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        "user_id",
+        "event_type",
+    ).collect()
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    healthy = rows[::2]  # every-other-row sample keeps the mix
+    with open(src / "part-0.json", "w") as f:
+        for r in healthy:
+            f.write(json.dumps(r.asDict()) + "\n")
+    with open(src / "part-1.json", "w") as f:
+        for r in rows[:200]:
+            d = r.asDict()
+            d["event_type"] = "purchase"  # homogeneous → drifted
+            f.write(json.dumps(d) + "\n")
+    return ref_dir, src, healthy
+
+
+def test_drift_gate_flags_planted_drift_only(spark, tmp_path):
+    ref_dir, src, _ = _setup(spark, tmp_path)
+    scores = tmp_path / "scores"
+    run_drift_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(ref_dir),
+        str(scores),
+        str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["batch_id"]: r for r in read_scores(spark, str(scores)).collect()
+    }
+    assert len(got) == 2
+    by_flag = sorted(got.values(), key=lambda r: r["chi2_milli"])
+    assert by_flag[0]["drifted"] == 0, "in-distribution file flagged"
+    assert by_flag[1]["drifted"] == 1, "homogeneous file not flagged"
+    assert by_flag[1]["chi2_milli"] > DRIFT_THRESHOLD_MILLI
+    assert by_flag[1]["n_rows"] == 200
+
+
+def test_drift_gate_stream_equals_batch(spark, tmp_path):
+    ref_dir, src, healthy = _setup(spark, tmp_path)
+    scores = tmp_path / "scores"
+    run_drift_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(ref_dir),
+        str(scores),
+        str(tmp_path / "ckpt"),
+    )
+    ref = spark.read.parquet(str(ref_dir))
+    healthy_df = spark.createDataFrame(
+        [(r["event_type"],) for r in healthy], ["event_type"]
+    )
+    direct = drift_score(healthy_df, ref).collect()[0]
+    streamed = min(
+        read_scores(spark, str(scores)).collect(),
+        key=lambda r: r["chi2_milli"],
+    )
+    assert streamed["chi2_milli"] == direct["chi2_milli"]
+    assert streamed["n_rows"] == direct["n_rows"]
+    assert streamed["n_cats"] == direct["n_cats"]
+
+
+def test_drift_gate_replay_is_idempotent(spark, tmp_path):
+    ref_dir, src, _ = _setup(spark, tmp_path)
+    scores = tmp_path / "scores"
+    ckpt = tmp_path / "ckpt"
+    args = (
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(ref_dir),
+        str(scores),
+        str(ckpt),
+    )
+    run_drift_gate(*args)
+    first = sorted(
+        (tuple(r) for r in read_scores(spark, str(scores)).collect()),
+    )
+    # nuke the checkpoint: the next drain re-fires every batch — the
+    # stateless score + batch_id overwrite must rewrite identical rows
+    shutil.rmtree(ckpt)
+    run_drift_gate(*args)
+    second = sorted(
+        (tuple(r) for r in read_scores(spark, str(scores)).collect()),
+    )
+    assert first == second

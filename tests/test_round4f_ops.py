@@ -1031,11 +1031,11 @@ def test_categorical_drift_replay(spark):
             d = oa * nb - ob * na
             chi += math.floor(
                 1000.0 * float(d) * float(d)
-                / float((na + nb) * (oa + ob) * na) / float(nb)
+                / float((na + nb) * (oa + ob)) / float(na)
             )
             chi += math.floor(
                 1000.0 * float(-d) * float(-d)
-                / float((na + nb) * (oa + ob) * nb) / float(na)
+                / float((na + nb) * (oa + ob)) / float(nb)
             )
             delta = abs(1_000_000 * oa // na - 1_000_000 * ob // nb)
             if best is None or delta > best[0]:

@@ -9430,3 +9430,161 @@ def q336_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "segment", "band")
     )
+
+
+# --------------------------------------------------------------------------
+# q347 — arc price elasticity of demand per brand (exact rational form)
+# --------------------------------------------------------------------------
+
+ELAST_Y_A = 1996
+ELAST_Y_B = 1997
+
+
+@register(
+    "q347_price_elasticity",
+    oracle=f"""
+    WITH base AS (
+        SELECT p.p_brand AS brand,
+               year(o.o_orderdate) AS yr,
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(o.o_orderdate) IN ({ELAST_Y_A}, {ELAST_Y_B})
+    ),
+    by_brand AS (
+        SELECT brand,
+               CAST(SUM(CASE WHEN yr = {ELAST_Y_A} THEN qty ELSE 0 END)
+                    AS BIGINT) AS qa,
+               CAST(SUM(CASE WHEN yr = {ELAST_Y_B} THEN qty ELSE 0 END)
+                    AS BIGINT) AS qb,
+               CAST(SUM(CASE WHEN yr = {ELAST_Y_A} THEN cents ELSE 0 END)
+                    AS BIGINT) AS ra,
+               CAST(SUM(CASE WHEN yr = {ELAST_Y_B} THEN cents ELSE 0 END)
+                    AS BIGINT) AS rb
+        FROM base GROUP BY brand
+    ),
+    rational AS (
+        -- unit prices p = r/q enter ONLY as the exact cross products
+        -- rb·qa ± ra·qb: (pb−pa)/(pb+pa) = (rb·qa − ra·qb)/(rb·qa + ra·qb)
+        SELECT brand, qa, qb, ra, rb,
+               CAST(qb - qa AS HUGEINT)
+                   * (CAST(rb AS HUGEINT) * qa + CAST(ra AS HUGEINT) * qb)
+                   AS num,
+               CAST(qb + qa AS HUGEINT)
+                   * (CAST(rb AS HUGEINT) * qa - CAST(ra AS HUGEINT) * qb)
+                   AS den
+        FROM by_brand
+        WHERE qa > 0 AND qb > 0
+          AND CAST(rb AS HUGEINT) * qa <> CAST(ra AS HUGEINT) * qb
+    )
+    SELECT brand, qa, qb, ra, rb,
+           FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000) / 10000
+               AS elasticity
+    FROM rational
+    ORDER BY brand
+    """,
+)
+def q347_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc price elasticity of demand per brand across two years —
+    %Δquantity / %Δprice in midpoint form, the pricing-analytics
+    readout behind "can we raise prices on this line". The float trap
+    (average unit prices are ratios, and ratios of sums of floats
+    diverge across engines) is closed by clearing denominators: with
+    p = revenue/quantity, the midpoint form reduces EXACTLY to
+    (qb−qa)·(rb·qa + ra·qb) / ((qb+qa)·(rb·qa − ra·qb)) — integer
+    cross products of exact cent/quantity sums, one final double
+    division, floor-truncated at 1e-4.
+
+    Determinism: per-row cent flooring is a fixed IEEE tree; all sums
+    integer; one division; FLOOR truncation (floors toward −∞ on both
+    engines — elasticities are negative for normal goods, so
+    truncation direction matters and trunc/DIV-style
+    truncation-toward-zero would diverge).
+
+    Scale: the fact join collapses map-side to |brands|×2 cells
+    (orders date-filtered before the join, part dim broadcast); the
+    rational arithmetic runs on ~25 cells. HUGEINT/DECIMAL(38,0)
+    products — rb·qa exceeds int64 at warehouse scale.
+
+    Reference: the pricing face of the drift family (q182, q268
+    price-volume-mix decomposes the SAME Δrevenue this op
+    elasticity-rates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(ELAST_Y_A, ELAST_Y_B)
+    )
+    part = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").alias("yr"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    by_brand = base.groupBy("brand").agg(
+        F.sum(F.when(F.col("yr") == ELAST_Y_A, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("qa"),
+        F.sum(F.when(F.col("yr") == ELAST_Y_B, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("qb"),
+        F.sum(F.when(F.col("yr") == ELAST_Y_A, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("ra"),
+        F.sum(F.when(F.col("yr") == ELAST_Y_B, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("rb"),
+    )
+    rational = by_brand.filter(
+        (F.col("qa") > 0)
+        & (F.col("qb") > 0)
+        & (
+            F.col("rb").cast("decimal(38,0)") * F.col("qa")
+            != F.col("ra").cast("decimal(38,0)") * F.col("qb")
+        )
+    ).select(
+        "brand",
+        "qa",
+        "qb",
+        "ra",
+        "rb",
+        (
+            (F.col("qb") - F.col("qa")).cast("decimal(38,0)")
+            * (
+                F.col("rb").cast("decimal(38,0)") * F.col("qa")
+                + F.col("ra").cast("decimal(38,0)") * F.col("qb")
+            )
+        ).alias("num"),
+        (
+            (F.col("qb") + F.col("qa")).cast("decimal(38,0)")
+            * (
+                F.col("rb").cast("decimal(38,0)") * F.col("qa")
+                - F.col("ra").cast("decimal(38,0)") * F.col("qb")
+            )
+        ).alias("den"),
+    )
+    return rational.select(
+        "brand",
+        "qa",
+        "qb",
+        "ra",
+        "rb",
+        (
+            F.floor(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                * 10000
+            )
+            / 10000
+        ).alias("elasticity"),
+    ).orderBy("brand")

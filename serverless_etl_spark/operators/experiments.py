@@ -833,3 +833,418 @@ def q343_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("snips_ppm"),
     ).orderBy("ctx")
+
+
+# --------------------------------------------------------------------------
+# q346 — energy distance between two samples (histogram-exact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q346_energy_distance",
+    oracle="""
+    WITH obs AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    hx AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS f FROM obs
+           WHERE grp = 1 GROUP BY v),
+    hy AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS f FROM obs
+           WHERE grp = 0 GROUP BY v),
+    nx AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM hx),
+    ny AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM hy),
+    sxy AS (SELECT CAST(SUM(CAST(a.f AS HUGEINT) * b.f * abs(a.v - b.v))
+                   AS HUGEINT) AS s FROM hx a CROSS JOIN hy b),
+    sxx AS (SELECT CAST(SUM(CAST(a.f AS HUGEINT) * b.f * abs(a.v - b.v))
+                   AS HUGEINT) AS s FROM hx a CROSS JOIN hx b),
+    syy AS (SELECT CAST(SUM(CAST(a.f AS HUGEINT) * b.f * abs(a.v - b.v))
+                   AS HUGEINT) AS s FROM hy a CROSS JOIN hy b),
+    micro AS (
+        SELECT nx.n AS n_x, ny.n AS n_y,
+               CAST(sxy.s * 1000000 // (CAST(nx.n AS HUGEINT) * ny.n)
+                    AS BIGINT) AS exy_micro,
+               CAST(sxx.s * 1000000 // (CAST(nx.n AS HUGEINT) * nx.n)
+                    AS BIGINT) AS exx_micro,
+               CAST(syy.s * 1000000 // (CAST(ny.n AS HUGEINT) * ny.n)
+                    AS BIGINT) AS eyy_micro
+        FROM nx, ny, sxy, sxx, syy
+    )
+    SELECT n_x, n_y, exy_micro, exx_micro, eyy_micro,
+           CAST(CASE WHEN 2 * exy_micro - exx_micro - eyy_micro < 0
+                     THEN 0
+                     ELSE 2 * exy_micro - exx_micro - eyy_micro END
+                AS BIGINT) AS energy_micro
+    FROM micro
+    """,
+)
+def q346_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between two samples (returned vs kept line
+    quantities): D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the two-sample
+    test that reacts to ANY distributional difference (location,
+    scale, shape), where KS (q127/q134) tracks the single largest CDF
+    gap and rank tests (q252/q339) only location. The pairwise-
+    expectation form is normally O(n²); over a DISCRETE measure every
+    E|·| collapses to the value histogram: Σ_u Σ_v f_u·g_v·|u−v| on a
+    |domain|² grid — the q294/q339 histogram-collapse applied to an
+    expectation instead of ranks.
+
+    Arithmetic: integer histograms, exact HUGEINT/DECIMAL(38,0) triple
+    products (f·g·|u−v| sums overflow int64 past ~1M rows/side), three
+    micro-unit floor divisions, and a CASE clamp at 0 (the three
+    independent floors can push an under-null statistic a few micro
+    negative; negative floor-division also diverges across engines).
+
+    Determinism: integers end-to-end.
+
+    Scale: one partial-aggregated scan collapses the fact table to
+    ≤2·|domain| histogram rows; the "cross joins" are |domain|²=2500
+    cells of already-aggregated counts (BNLJ-allowlisted bounded
+    pattern). Nothing per-row ever pairs.
+
+    Reference: completes the two-sample family (q127 KS, q134 binned
+    KS, q252 Mann-Whitney, q339 Kruskal-Wallis) with the
+    all-moments-sensitive member."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+        F.floor("l_quantity").cast("bigint").alias("v"),
+    )
+    hx = obs.filter(F.col("grp") == 1).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    hy = obs.filter(F.col("grp") == 0).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+
+    def pair_sum(ha: DataFrame, hb: DataFrame) -> DataFrame:
+        a = ha.select(F.col("v").alias("va"), F.col("f").alias("fa"))
+        b = hb.select(F.col("v").alias("vb"), F.col("f").alias("fb"))
+        return a.crossJoin(F.broadcast(b)).agg(
+            F.sum(
+                F.col("fa").cast("decimal(38,0)")
+                * F.col("fb")
+                * F.abs(F.col("va") - F.col("vb"))
+            ).alias("s")
+        )
+
+    nx = hx.agg(F.sum("f").cast("bigint").alias("n_x"))
+    ny = hy.agg(F.sum("f").cast("bigint").alias("n_y"))
+    micro = (
+        nx.crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(pair_sum(hx, hy).withColumnRenamed("s", "sxy")))
+        .crossJoin(F.broadcast(pair_sum(hx, hx).withColumnRenamed("s", "sxx")))
+        .crossJoin(F.broadcast(pair_sum(hy, hy).withColumnRenamed("s", "syy")))
+        .select(
+            "n_x",
+            "n_y",
+            F.expr(
+                "CAST(sxy * 1000000"
+                " DIV (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)"
+            ).alias("exy_micro"),
+            F.expr(
+                "CAST(sxx * 1000000"
+                " DIV (CAST(n_x AS DECIMAL(38,0)) * n_x) AS BIGINT)"
+            ).alias("exx_micro"),
+            F.expr(
+                "CAST(syy * 1000000"
+                " DIV (CAST(n_y AS DECIMAL(38,0)) * n_y) AS BIGINT)"
+            ).alias("eyy_micro"),
+        )
+    )
+    return micro.select(
+        "n_x",
+        "n_y",
+        "exy_micro",
+        "exx_micro",
+        "eyy_micro",
+        F.expr(
+            "CAST(CASE WHEN 2 * exy_micro - exx_micro - eyy_micro < 0"
+            " THEN 0 ELSE 2 * exy_micro - exx_micro - eyy_micro END"
+            " AS BIGINT)"
+        ).alias("energy_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q348 — iterative proportional fitting (raking) to target margins
+# --------------------------------------------------------------------------
+
+#: nationkey band width for the column dimension
+IPF_BAND = 5
+#: (dimension, sweeps) — 2 full row+column sweeps
+IPF_SWEEPS = 2
+
+
+def _ipf_oracle() -> str:
+    stages = []
+    cur = "cells0"
+    for s in range(1, IPF_SWEEPS + 1):
+        stages.append(
+            f"r{s} AS (SELECT seg, band, cnt, rt, ct,"
+            f" CAST(CAST(m AS HUGEINT) * rt * 1000000"
+            f" // SUM(m) OVER (PARTITION BY seg) AS BIGINT) AS m"
+            f" FROM {cur}),"
+        )
+        stages.append(
+            f"c{s} AS (SELECT seg, band, cnt, rt, ct,"
+            f" CAST(CAST(m AS HUGEINT) * ct * 1000000"
+            f" // SUM(m) OVER (PARTITION BY band) AS BIGINT) AS m"
+            f" FROM r{s}),"
+        )
+        cur = f"c{s}"
+    body = "\n".join(stages)
+    return f"""
+    WITH base AS (
+        SELECT c_mktsegment AS seg, c_nationkey // {IPF_BAND} AS band,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS rt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ),
+    ct AS (
+        SELECT c.c_nationkey // {IPF_BAND} AS band,
+               CAST(COUNT(*) AS BIGINT) AS ct
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ),
+    cells0 AS (
+        SELECT b.seg, b.band, b.cnt, rt.rt, ct.ct,
+               b.cnt * 1000000 AS m
+        FROM base b JOIN rt USING (seg) JOIN ct USING (band)
+    ),
+    {body}
+    final AS (SELECT * FROM {cur})
+    SELECT seg, CAST(band AS BIGINT) AS band, cnt,
+           m AS fitted_micro,
+           CAST(abs(SUM(m) OVER (PARTITION BY seg) - rt * 1000000)
+                * 1000000 // (rt * 1000000) AS BIGINT) AS row_err_ppm
+    FROM final
+    ORDER BY seg, band
+    """
+
+
+@register("q348_ipf_raking", oracle=_ipf_oracle())
+def q348_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): re-weight the customer
+    (segment × nation-band) table so its margins match the ACTIVE
+    population's margins (order-weighted counts) — the survey-
+    calibration / post-stratification weighting every measurement team
+    applies before reading a panel as the population, and the
+    classical IPF algorithm (alternate row-scale / column-scale until
+    margins fit; {IPF_SWEEPS} full sweeps here).
+
+    Arithmetic: cells carry MICRO-unit integers and every scaling step
+    is floor(m·target·10⁶ / margin_sum) — quantizing after each sweep
+    keeps all margin sums INTEGER (float cells would make the sums
+    order-dependent and break cross-engine parity); the ~1e-6/sweep
+    quantization drift is far below the raking tolerance anyone uses.
+    HUGEINT/DECIMAL(38,0) products (m·target·10⁶ passes int64 at
+    ~100k-customer cells).
+
+    Determinism: integer cells, integer window sums, floor divisions.
+
+    Scale: two broadcast-joined margin tables over a |segments|×|bands|
+    cell table; every sweep is a bounded window over ≤25 cells. The
+    expensive parts — the base and margin aggregations — are single
+    partial-aggregated scans. At 100 TB the cells stay 25 rows.
+
+    Reference: the calibration layer over q156/q183's segment matrices
+    and q160's mixture weights (which rake ONE margin; IPF fits two)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = customer.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(f"c_nationkey DIV {IPF_BAND}").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    oc = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment", "c_nationkey")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    rt = oc.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rt")
+    )
+    ct = oc.groupBy(
+        F.expr(f"c_nationkey DIV {IPF_BAND}").alias("band")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    cells = (
+        base.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "band")
+        .select(
+            "seg",
+            "band",
+            "cnt",
+            "rt",
+            "ct",
+            (F.col("cnt") * 1_000_000).alias("m"),
+        )
+    )
+    for _ in range(IPF_SWEEPS):
+        wr = Window.partitionBy("seg")
+        cells = cells.withColumn("rs", F.sum("m").over(wr)).select(
+            "seg",
+            "band",
+            "cnt",
+            "rt",
+            "ct",
+            F.expr(
+                "CAST(CAST(m AS DECIMAL(38,0)) * rt * 1000000"
+                " DIV rs AS BIGINT)"
+            ).alias("m"),
+        )
+        wc = Window.partitionBy("band")
+        cells = cells.withColumn("cs", F.sum("m").over(wc)).select(
+            "seg",
+            "band",
+            "cnt",
+            "rt",
+            "ct",
+            F.expr(
+                "CAST(CAST(m AS DECIMAL(38,0)) * ct * 1000000"
+                " DIV cs AS BIGINT)"
+            ).alias("m"),
+        )
+    wr = Window.partitionBy("seg")
+    return (
+        cells.withColumn("rsum", F.sum("m").over(wr))
+        .select(
+            "seg",
+            F.col("band").cast("bigint").alias("band"),
+            "cnt",
+            F.col("m").alias("fitted_micro"),
+            F.expr(
+                "CAST(abs(rsum - rt * 1000000) * 1000000"
+                " DIV (rt * 1000000) AS BIGINT)"
+            ).alias("row_err_ppm"),
+        )
+        .orderBy("seg", "band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q349 — empirical-Bayes rate smoothing (shrinkage toward the pooled rate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q349_eb_smoothing",
+    oracle=f"""
+    WITH per AS (
+        SELECT l_suppkey AS supp,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    prior AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS a,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(x * x * 1000000000 // n) AS BIGINT) AS g_nano
+        FROM per
+    ),
+    scal AS (
+        SELECT a, nn,
+               CAST(a AS DOUBLE) / CAST(nn AS DOUBLE) AS m,
+               (CAST(g_nano AS DOUBLE) / 1000000000
+                - CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                  / CAST(nn AS DOUBLE))
+               / CAST(nn AS DOUBLE) AS s2
+        FROM prior
+    ),
+    kk AS (
+        SELECT a, nn, m,
+               CASE WHEN s2 <= 0 OR m * (1 - m) / s2 - 1 < 1
+                    THEN 1.0 ELSE m * (1 - m) / s2 - 1 END AS k
+        FROM scal
+    )
+    SELECT p.supp, p.n, p.x,
+           1000000 * p.x // p.n AS raw_ppm,
+           {trunc_sql("(CAST(p.x AS DOUBLE) + kk.m * kk.k)"
+                      " / (CAST(p.n AS DOUBLE) + kk.k)", 6)} AS smoothed,
+           {trunc_sql("CAST(p.n AS DOUBLE) / (CAST(p.n AS DOUBLE) + kk.k)",
+                      6)} AS shrink_weight,
+           {trunc_sql("kk.k", 4)} AS k_pseudo
+    FROM per p CROSS JOIN kk
+    ORDER BY p.supp
+    """,
+)
+def q349_eb_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate smoothing: each supplier's return rate is
+    shrunk toward the pooled rate with a DATA-DERIVED pseudo-count
+    K = m(1−m)/s² − 1 (s² the order-weighted between-supplier rate
+    variance) — the standard cure for "this supplier has 3 lines and
+    a 67% return rate" leaderboard noise: small-n groups collapse to
+    the prior, large-n groups keep their own rate, and K is estimated
+    from the data instead of hand-picked (the James-Stein/beta-prior
+    shape every CTR and defect dashboard needs).
+
+    Arithmetic: per-group x²/n enters the variance as nano-floored
+    integers (a float per-group term would make the prior sum order-
+    dependent); m, s², K, and the per-group smoothed rates are then a
+    fixed IEEE tree over exact-integer-derived doubles (scalars
+    broadcast), floor-truncated at 1e-6. K is clamped to ≥1 via CASE
+    when the between variance underflows the binomial noise.
+
+    Determinism: integer sufficient statistics, single-expression
+    float tree, trunc grids.
+
+    Scale: one partial-aggregated shuffle to per-supplier counts, a
+    one-row prior aggregate broadcast back (BNLJ-allowlisted scalar
+    pattern), and a map-side smoothing expression. Nothing else moves.
+
+    Reference: the shrinkage layer the segment dashboards (q181, q183,
+    q188) read through; methodologically adjacent to q274's Wilson
+    interval (uncertainty) and q157's target encoding (which smooths
+    with a FIXED prior weight — this one estimates it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    prior = per.agg(
+        F.sum("x").cast("bigint").alias("a"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.expr("x * x * 1000000000 DIV n")).cast("bigint").alias(
+            "g_nano"
+        ),
+    )
+    m = F.col("a").cast("double") / F.col("nn").cast("double")
+    s2 = (
+        F.col("g_nano").cast("double") / 1_000_000_000
+        - F.col("a").cast("double")
+        * F.col("a").cast("double")
+        / F.col("nn").cast("double")
+    ) / F.col("nn").cast("double")
+    kk = prior.select(
+        "a",
+        "nn",
+        m.alias("m"),
+        F.when(
+            (s2 <= 0) | (m * (1 - m) / s2 - 1 < 1), F.lit(1.0)
+        )
+        .otherwise(m * (1 - m) / s2 - 1)
+        .alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(kk))
+    return j.select(
+        "supp",
+        "n",
+        "x",
+        F.expr("1000000 * x DIV n").alias("raw_ppm"),
+        trunc(
+            (F.col("x").cast("double") + F.col("m") * F.col("k"))
+            / (F.col("n").cast("double") + F.col("k")),
+            6,
+        ).alias("smoothed"),
+        trunc(
+            F.col("n").cast("double")
+            / (F.col("n").cast("double") + F.col("k")),
+            6,
+        ).alias("shrink_weight"),
+        trunc(F.col("k"), 4).alias("k_pseudo"),
+    ).orderBy("supp")

@@ -87,6 +87,8 @@ BNLJ_ALLOWED = {
     "q339_kruskal_wallis",        # one-row tie-term broadcast onto one-row tot
     "q341_cuped",                 # one-row midpoint + one-row pooled broadcasts
     "q342_simpsons_flip",         # one-row pooled-sign broadcast over |strata|
+    "q346_energy_distance",       # |domain|²≤2500-cell histogram cross products
+    "q349_eb_smoothing",          # one-row prior (m, K) broadcast
 }
 
 

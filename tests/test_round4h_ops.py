@@ -1,0 +1,153 @@
+"""Invariant tests for the round-4 eighth-sitting operators: energy
+distance replay + nonnegativity/metric properties, elasticity exact-
+rational replay, IPF margin convergence, and empirical-Bayes
+shrinkage monotonicity."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+# --------------------------------------------------------------------------
+# q346 — energy distance
+# --------------------------------------------------------------------------
+
+
+def _energy_replay(sf_dir: str):
+    con = _duck(sf_dir)
+    rows = con.execute(
+        """
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
+               CAST(FLOOR(l_quantity) AS BIGINT), COUNT(*)
+        FROM lineitem GROUP BY 1, 2
+        """
+    ).fetchall()
+    hx, hy = defaultdict(int), defaultdict(int)
+    for grp, v, f in rows:
+        (hx if grp == 1 else hy)[v] += f
+
+    def s(ha, hb):
+        return sum(
+            fa * fb * abs(va - vb)
+            for va, fa in ha.items()
+            for vb, fb in hb.items()
+        )
+
+    nx = sum(hx.values())
+    ny = sum(hy.values())
+    exy = s(hx, hy) * 1_000_000 // (nx * ny)
+    exx = s(hx, hx) * 1_000_000 // (nx * nx)
+    eyy = s(hy, hy) * 1_000_000 // (ny * ny)
+    return nx, ny, exy, exx, eyy, max(0, 2 * exy - exx - eyy)
+
+
+def test_energy_distance_matches_python_replay(spark):
+    row = registry.QUERIES["q346_energy_distance"](spark, SF_SMALL).collect()[
+        0
+    ]
+    nx, ny, exy, exx, eyy, d2 = _energy_replay(SF_SMALL)
+    assert (
+        row["n_x"],
+        row["n_y"],
+        row["exy_micro"],
+        row["exx_micro"],
+        row["eyy_micro"],
+        row["energy_micro"],
+    ) == (nx, ny, exy, exx, eyy, d2)
+    # E|X−Y| dominates the within-sample means only jointly; each
+    # expectation is a valid mean absolute difference within domain
+    for c in ("exy_micro", "exx_micro", "eyy_micro"):
+        assert 0 <= row[c] <= 50 * 1_000_000
+    assert row["energy_micro"] >= 0
+
+
+# --------------------------------------------------------------------------
+# q347 — price elasticity
+# --------------------------------------------------------------------------
+
+
+def test_elasticity_exact_rational_replay(spark):
+    rows = registry.QUERIES["q347_price_elasticity"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        num = (r["qb"] - r["qa"]) * (r["rb"] * r["qa"] + r["ra"] * r["qb"])
+        den = (r["qb"] + r["qa"]) * (r["rb"] * r["qa"] - r["ra"] * r["qb"])
+        want = math.floor(float(num) / float(den) * 10000) / 10000
+        assert r["elasticity"] == want
+        assert r["qa"] > 0 and r["qb"] > 0 and den != 0
+
+
+# --------------------------------------------------------------------------
+# q348 — IPF raking
+# --------------------------------------------------------------------------
+
+
+def test_ipf_margins_converge(spark):
+    rows = registry.QUERIES["q348_ipf_raking"](spark, SF_MID).collect()
+    assert rows
+    # after the final COLUMN sweep the column margins are exact (up to
+    # the per-cell floor), and row margins are within raking tolerance
+    for r in rows:
+        assert r["row_err_ppm"] < 20_000  # within 2% after 2 sweeps
+    # conservation: fitted totals ≈ base total scaled to target total
+    con = _duck(SF_MID)
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    fitted_total = sum(r["fitted_micro"] for r in rows)
+    assert abs(fitted_total - n_orders * 1_000_000) < len(rows) * 1_000_000
+
+
+def test_ipf_cells_nonnegative_and_keyed(spark):
+    rows = registry.QUERIES["q348_ipf_raking"](spark, SF_MID).collect()
+    keys = {(r["seg"], r["band"]) for r in rows}
+    assert len(keys) == len(rows)
+    assert all(r["fitted_micro"] >= 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# q349 — empirical-Bayes smoothing
+# --------------------------------------------------------------------------
+
+
+def test_eb_smoothing_shrinks_toward_pooled_rate(spark):
+    rows = registry.QUERIES["q349_eb_smoothing"](spark, SF_MID).collect()
+    assert rows
+    con = _duck(SF_MID)
+    a, nn = con.execute(
+        "SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),"
+        " COUNT(*) FROM lineitem"
+    ).fetchone()
+    m = a / nn
+    for r in rows:
+        raw = r["x"] / r["n"]
+        # smoothed sits BETWEEN the raw rate and the pooled rate
+        lo, hi = sorted((raw, m))
+        assert lo - 2e-6 <= r["smoothed"] <= hi + 2e-6
+        assert 0 < r["shrink_weight"] < 1
+        assert r["k_pseudo"] >= 1
+    # identical K on every row (scalar prior)
+    assert len({r["k_pseudo"] for r in rows}) == 1
+    # bigger groups keep more of their own rate
+    by_n = sorted(rows, key=lambda r: r["n"])
+    assert by_n[0]["shrink_weight"] <= by_n[-1]["shrink_weight"]

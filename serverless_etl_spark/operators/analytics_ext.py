@@ -9588,3 +9588,150 @@ def q347_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("elasticity"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# q350 — calendar-month revenue proration (penny-exact recognition)
+# --------------------------------------------------------------------------
+
+#: recognition term per order, in days
+PRORATE_TERM_DAYS = 90
+
+
+@register(
+    "q350_month_proration",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_orderkey AS o,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE) + {PRORATE_TERM_DAYS} AS e,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ex AS (
+        SELECT o, s, e, cents, unnest(generate_series(
+                   date_trunc('month', s),
+                   date_trunc('month', e - INTERVAL 1 DAY),
+                   INTERVAL 1 MONTH)) AS m
+        FROM iv
+    ),
+    od AS (
+        SELECT o, cents, CAST(m AS DATE) AS m,
+               date_diff('day', greatest(s, CAST(m AS DATE)),
+                         least(e, CAST(m AS DATE) + INTERVAL 1 MONTH))
+                   AS days
+        FROM ex
+    ),
+    fs AS (
+        SELECT o, cents, m, days,
+               cents * days // {PRORATE_TERM_DAYS} AS floor_share,
+               MAX(m) OVER (PARTITION BY o) AS last_m,
+               COALESCE(SUM(cents * days // {PRORATE_TERM_DAYS})
+                   OVER (PARTITION BY o ORDER BY m
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS earlier
+        FROM od
+    ),
+    alloc AS (
+        SELECT o, m,
+               CASE WHEN m = last_m THEN cents - earlier
+                    ELSE floor_share END AS share
+        FROM fs
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(share) AS BIGINT) AS recognized_cents
+    FROM alloc
+    GROUP BY m ORDER BY month
+    """,
+)
+def q350_month_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month revenue proration (SaaS revenue recognition):
+    each order's value is recognized over a {PRORATE_TERM_DAYS}-day
+    term, split across the calendar months it overlaps in proportion
+    to day counts — the billing-system rev-rec allocation every
+    finance close runs, with the penny problem solved EXACTLY: every
+    non-final month takes floor(cents·days/term) and the FINAL month
+    takes the remainder, so per-order shares sum to the order's cents
+    bit-for-bit (conservation is a test, not a hope).
+
+    Determinism: integer cents and day counts, floor divisions,
+    windowed remainder assignment over ≤4 rows per order, calendar
+    arithmetic identical on both engines (date_trunc month + 1-month
+    interval steps on DATEs).
+
+    Scale: the month fan-out is map-side (≤ ceil(term/28)+1 rows per
+    order via sequence+explode — no join against a calendar table);
+    the per-order remainder windows partition by orderkey (bounded,
+    parallel); ONE partial-aggregated shuffle lands the month totals.
+    The q224 calendar-dim alternative needs a range join; this shape
+    never joins at all.
+
+    Reference: the allocation layer between q268 (price-volume-mix
+    explains Δrevenue) and q317 (bridge attributes it) — this op
+    PLACES revenue in time; interval machinery shared with q253/q316."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderkey").alias("o"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), PRORATE_TERM_DAYS).alias("e"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    ex = iv.select(
+        "o",
+        "s",
+        "e",
+        "cents",
+        F.explode(
+            F.sequence(
+                F.trunc(F.col("s"), "MM"),
+                F.trunc(F.date_sub(F.col("e"), 1), "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m"),
+    )
+    od = ex.select(
+        "o",
+        "cents",
+        "m",
+        F.datediff(
+            F.least(F.col("e"), F.add_months(F.col("m"), 1)),
+            F.greatest(F.col("s"), F.col("m")),
+        ).alias("days"),
+    )
+    wlast = Window.partitionBy("o")
+    wearly = (
+        Window.partitionBy("o")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fs = od.select(
+        "o",
+        "cents",
+        "m",
+        F.expr(f"cents * days DIV {PRORATE_TERM_DAYS}").alias("floor_share"),
+        F.max("m").over(wlast).alias("last_m"),
+        F.coalesce(
+            F.sum(F.expr(f"cents * days DIV {PRORATE_TERM_DAYS}")).over(
+                wearly
+            ),
+            F.lit(0),
+        ).alias("earlier"),
+    )
+    alloc = fs.select(
+        "o",
+        "m",
+        F.when(
+            F.col("m") == F.col("last_m"), F.col("cents") - F.col("earlier")
+        )
+        .otherwise(F.col("floor_share"))
+        .alias("share"),
+    )
+    return (
+        alloc.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum("share").cast("bigint").alias("recognized_cents"),
+        )
+        .orderBy("month")
+    )

@@ -86,7 +86,10 @@ _SWEEP_PRIORITY = [
     # (b2) round-4 in-round additions (newest, never swept)
     "q337_l_diversity", "q338_average_precision", "q339_kruskal_wallis",
     "q340_bh_fdr", "q341_cuped", "q342_simpsons_flip",
-    "q343_ips_offpolicy",
+    "q343_ips_offpolicy", "q344_org_rollup", "q345_greedy_coverage",
+    "q346_energy_distance", "q347_price_elasticity", "q348_ipf_raking",
+    "q349_eb_smoothing", "q350_month_proration",
+    "q351_label_propagation",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

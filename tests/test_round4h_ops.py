@@ -151,3 +151,42 @@ def test_eb_smoothing_shrinks_toward_pooled_rate(spark):
     # bigger groups keep more of their own rate
     by_n = sorted(rows, key=lambda r: r["n"])
     assert by_n[0]["shrink_weight"] <= by_n[-1]["shrink_weight"]
+
+
+# --------------------------------------------------------------------------
+# q350 — month proration
+# --------------------------------------------------------------------------
+
+
+def test_proration_conserves_every_cent(spark):
+    rows = registry.QUERIES["q350_month_proration"](spark, SF_MID).collect()
+    con = _duck(SF_MID)
+    total_cents = con.execute(
+        "SELECT SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) FROM orders"
+    ).fetchone()[0]
+    # penny-exact conservation: recognized across all months equals
+    # the sum of order cents bit-for-bit (floor shares + remainder)
+    assert sum(r["recognized_cents"] for r in rows) == total_cents
+    # a 90-day term spans 3-4 calendar months
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert 3 * n_orders <= sum(r["n_active"] for r in rows) <= 5 * n_orders
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+
+
+# --------------------------------------------------------------------------
+# q351 — label propagation
+# --------------------------------------------------------------------------
+
+
+def test_label_propagation_community_properties(spark):
+    rows = registry.QUERIES["q351_label_propagation"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    # at least one genuine merge happened: top community > 1 member
+    assert rows[0]["n_members"] > 1
+    # sizes are ranked and labels unique
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert len({r["community"] for r in rows}) == len(rows)

@@ -1479,3 +1479,113 @@ def q289_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q352 — reciprocal-rank fusion of two candidate rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LIST = 100
+RRF_TOP = 20
+
+
+@register(
+    "q352_rrf_fusion",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               MAX(l_shipdate) AS latest_ship
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ra AS (
+        SELECT part, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, part)
+                   AS rank_rev
+        FROM rev QUALIFY rank_rev <= {RRF_LIST}
+    ),
+    rb AS (
+        SELECT part, ROW_NUMBER() OVER (ORDER BY latest_ship DESC, part)
+                   AS rank_rec
+        FROM rev QUALIFY rank_rec <= {RRF_LIST}
+    ),
+    fused AS (
+        SELECT COALESCE(ra.part, rb.part) AS part,
+               ra.rank_rev, rb.rank_rec,
+               COALESCE(1000000 // ({RRF_K} + ra.rank_rev), 0)
+               + COALESCE(1000000 // ({RRF_K} + rb.rank_rec), 0)
+                   AS rrf_micro
+        FROM ra FULL OUTER JOIN rb ON rb.part = ra.part
+    )
+    SELECT part, rank_rev, rank_rec, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, part
+    LIMIT {RRF_TOP}
+    """,
+)
+def q352_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two candidate rankings — the standard
+    hybrid-retrieval merge (BM25 list ⊕ vector list in every RAG
+    stack, blended leaderboards in recommenders): each ranker
+    contributes 1/(k + rank) for its top-{RRF_LIST} candidates, ranks
+    fuse WITHOUT score calibration (the whole point of RRF — scores
+    from different rankers are incomparable, ranks are not), and
+    absent-from-list contributes zero. Here a revenue ranker and a
+    recency ranker fuse over parts; swap in q223's BM25 and q50's
+    cosine lists and this is hybrid search verbatim.
+
+    Arithmetic: reciprocal contributions enter as floor(10⁶/(k+rank))
+    — one deterministic integer per rank value, so the fused score is
+    an exact integer sum (float 1/(k+r) sums would be order-dependent
+    AND engine-divergent).
+
+    Determinism: total (measure, part) orders under both rankers,
+    integer fusion, total (score, part) output order.
+
+    Scale: both rankers rank the AGGREGATED per-part table (one
+    partial-agged shuffle), and production fusion operates on
+    already-bounded candidate lists — the windows here run over the
+    parts dimension only; the full-outer join joins two
+    {RRF_LIST}-row lists. At 100 TB the candidate lists are per-query
+    top-k (q50's shape) and fusion cost is O(list length).
+
+    Reference: composes the retrieval family (q50 exact ANN, q223
+    BM25, q215 filtered ANN, q135 rerank) into the missing fusion
+    layer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.max("l_shipdate").alias("latest_ship"),
+    )
+    wa = Window.orderBy(F.col("revenue_cents").desc(), "part")
+    wb = Window.orderBy(F.col("latest_ship").desc(), "part")
+    ra = (
+        rev.select("part", F.row_number().over(wa).alias("rank_rev"))
+        .filter(F.col("rank_rev") <= RRF_LIST)
+    )
+    rb = (
+        rev.select("part", F.row_number().over(wb).alias("rank_rec"))
+        .filter(F.col("rank_rec") <= RRF_LIST)
+    )
+    fused = (
+        ra.join(rb, "part", "full_outer")
+        .select(
+            "part",
+            "rank_rev",
+            "rank_rec",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + rank_rev)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + rank_rec)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "part").limit(RRF_TOP)

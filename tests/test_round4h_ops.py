@@ -190,3 +190,40 @@ def test_label_propagation_community_properties(spark):
     sizes = [r["n_members"] for r in rows]
     assert sizes == sorted(sizes, reverse=True)
     assert len({r["community"] for r in rows}) == len(rows)
+
+
+# --------------------------------------------------------------------------
+# q352 — reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fusion_scores_replay(spark):
+    rows = registry.QUERIES["q352_rrf_fusion"](spark, SF_MID).collect()
+    assert len(rows) == 20
+    for r in rows:
+        want = 0
+        if r["rank_rev"] is not None:
+            want += 1_000_000 // (60 + r["rank_rev"])
+        if r["rank_rec"] is not None:
+            want += 1_000_000 // (60 + r["rank_rec"])
+        assert r["rrf_micro"] == want
+    scores = [r["rrf_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # fusion is only interesting if both lists contribute to the top
+    assert any(r["rank_rev"] is not None for r in rows)
+    assert any(r["rank_rec"] is not None for r in rows)
+
+
+# --------------------------------------------------------------------------
+# q353 — k-core
+# --------------------------------------------------------------------------
+
+
+def test_kcore_minimum_degree_contract(spark):
+    rows = registry.QUERIES["q353_kcore"](spark, SF_MID).collect()
+    assert rows
+    # the defining k-core property: every surviving node has degree
+    # ≥ k WITHIN the surviving subgraph
+    assert all(r["core_degree"] >= 3 for r in rows)
+    degs = [r["core_degree"] for r in rows]
+    assert degs == sorted(degs, reverse=True)

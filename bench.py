@@ -131,6 +131,11 @@ def main() -> None:
         "q295_rake_keywords",
         "q296_capped_balance",
         "q299_exact_median_bisect",
+        # round-4 in-round heavies (seventh/eighth sittings)
+        "q341_cuped",
+        "q345_greedy_coverage",
+        "q351_label_propagation",
+        "q353_kcore",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

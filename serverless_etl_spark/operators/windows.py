@@ -3090,3 +3090,125 @@ def q291_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_min")
     )
+
+
+# --------------------------------------------------------------------------
+# q354 — rolling OLS trend slope per event type (integer-exact windows)
+# --------------------------------------------------------------------------
+
+ROLL_SLOPE_W = 7
+ROLL_SLOPE_ORIGIN = "1995-01-01"
+
+
+@register(
+    "q354_rolling_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '{ROLL_SLOPE_ORIGIN}',
+                         CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, d, c,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(d) OVER w AS BIGINT) AS sd,
+               CAST(SUM(c) OVER w AS BIGINT) AS sc,
+               CAST(SUM(d * c) OVER w AS BIGINT) AS sdc,
+               CAST(SUM(d * d) OVER w AS BIGINT) AS sdd
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN {ROLL_SLOPE_W - 1} PRECEDING
+                     AND CURRENT ROW)
+    ),
+    slope AS (
+        SELECT event_type, d, c, n,
+               CAST(n AS HUGEINT) * sdc - CAST(sd AS HUGEINT) * sc AS num,
+               CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd AS den
+        FROM win
+    )
+    SELECT event_type, d AS day_idx, c AS n_events,
+           CAST(n AS INT) AS w_days,
+           CAST(CASE WHEN den = 0 THEN NULL
+                     WHEN num >= 0 THEN num * 1000000 // den
+                     ELSE -((-num) * 1000000 // den) END AS BIGINT)
+               AS slope_micro
+    FROM slope
+    ORDER BY event_type, day_idx
+    """,
+)
+def q354_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_SLOPE_W}-day OLS trend slope per event type — the
+    "is this metric accelerating RIGHT NOW" per-day readout behind
+    trend arrows and alerting, where q112's single global slope only
+    answers "did it grow overall". The least-squares slope over each
+    trailing window is the closed form
+    (nΣdc − Σd·Σc)/(nΣd² − (Σd)²), and every Σ is an integer window
+    sum over daily cells — no per-window refit, no floats.
+
+    Arithmetic: day indexes count from a FIXED origin (the slope is
+    shift-invariant, so the origin only bounds magnitudes); numerator
+    and denominator are exact HUGEINT/DECIMAL(38,0) cross products;
+    the single division truncates toward zero SYMMETRICALLY via a
+    sign CASE (slopes go negative, and Spark's DIV vs duckdb's //
+    disagree on negative floors — the module's standing discipline).
+    Windows shorter than 2 distinct days emit NULL (den = 0).
+
+    Determinism: integer daily counts, integer window sums, sign-
+    guarded truncation.
+
+    Scale: events collapse map-side to |types|×|days| cells; every
+    window is ROWS-bounded ({ROLL_SLOPE_W}) and partitioned by type —
+    fully parallel, no global sort. The q247 rolling-corr shape with
+    the regression numerator.
+
+    Reference: the windowed refinement of q112 (global trend slope)
+    and the trend input q211's decay ranking consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit(ROLL_SLOPE_ORIGIN).cast("date")
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(ROLL_SLOPE_W - 1), Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("d").over(w).cast("bigint").alias("sd"),
+        F.sum("c").over(w).cast("bigint").alias("sc"),
+        F.sum(F.col("d") * F.col("c")).over(w).cast("bigint").alias("sdc"),
+        F.sum(F.col("d") * F.col("d")).over(w).cast("bigint").alias("sdd"),
+    )
+    slope = win.select(
+        "event_type",
+        "d",
+        "c",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sdc"
+            " - CAST(sd AS DECIMAL(38,0)) * sc"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sdd"
+            " - CAST(sd AS DECIMAL(38,0)) * sd"
+        ).alias("den"),
+    )
+    return slope.select(
+        "event_type",
+        F.col("d").alias("day_idx"),
+        F.col("c").alias("n_events"),
+        F.col("n").cast("int").alias("w_days"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN NULL"
+            " WHEN num >= 0 THEN num * 1000000 DIV den"
+            " ELSE -((-num) * 1000000 DIV den) END AS BIGINT)"
+        ).alias("slope_micro"),
+    ).orderBy("event_type", "day_idx")

@@ -1,0 +1,117 @@
+"""Streaming late-arrival monitor: every micro-batch records its
+event-time envelope (min/max ts, row count) and how many of its rows
+arrived LATE — behind the high-watermark established by EARLIER
+batches — plus how far behind. This is the observability loop behind
+watermark tuning: `withWatermark(delay)` silently drops what arrives
+later than the delay, so before choosing one you measure the actual
+lateness distribution; after choosing one you alert when a batch's
+late share spikes (an upstream backfill or a stuck producer clock).
+
+Determinism / replay: the high-watermark is max-merged from PER-BATCH
+envelope rows (max is idempotent and commutative — the sketch_gate
+CRDT end of the exactly-once spectrum), and each batch's lateness is
+judged against the watermark of strictly EARLIER batch_ids only, so a
+replayed batch recomputes against the same prefix and rewrites its
+partition with identical content (neardup_gate's earlier-batches
+discipline applied to monitoring). Everything derives from event
+time, never processing time — byte-identical under replay.
+
+Stream ≡ batch contract: `batch_lateness(rows, hwm_us)` is the same
+function the hook runs, so scoring a drained file directly against
+the prefix watermark equals the recorded row (tested in
+tests/test_lateness_gate.py).
+
+Scale: per batch, one map-side aggregation to a single envelope row;
+state is one row per batch forever (compact to one synthetic row
+whenever batch count matters — max-merge makes that safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+ENVELOPE_SCHEMA = (
+    "n_rows BIGINT, min_ts_us BIGINT, max_ts_us BIGINT, n_late BIGINT,"
+    " max_lag_us BIGINT, batch_id BIGINT"
+)
+
+
+def batch_lateness(rows: DataFrame, hwm_us: int | None) -> DataFrame:
+    """One envelope row for a micro-batch judged against the prefix
+    high-watermark (µs since epoch; None = no earlier batches). Late =
+    event time strictly behind the watermark; lag = how far behind."""
+    ts_us = F.unix_micros("ts")
+    if hwm_us is None:
+        late = F.lit(False)
+        lag = F.lit(None).cast("bigint")
+    else:
+        late = ts_us < F.lit(hwm_us)
+        lag = F.when(late, F.lit(hwm_us) - ts_us)
+    return rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(ts_us).cast("bigint").alias("min_ts_us"),
+        F.max(ts_us).cast("bigint").alias("max_ts_us"),
+        F.coalesce(F.sum(late.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.coalesce(F.max(lag), F.lit(0)).cast("bigint").alias("max_lag_us"),
+    )
+
+
+def high_watermark_us(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> int | None:
+    """Max event time over recorded batches (optionally only batches
+    strictly before `before_batch` — the replay-stable prefix)."""
+    env = _read_or_empty(spark, state_dir, ENVELOPE_SCHEMA)
+    if before_batch is not None:
+        env = env.filter(F.col("batch_id") < F.lit(before_batch))
+    row = env.agg(F.max("max_ts_us").alias("h")).collect()[0]
+    return row["h"]
+
+
+def lateness_gate_writer(state_dir: str):
+    """foreachBatch hook: judge the batch against the earlier-batches
+    watermark, then record its envelope under its own partition."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hwm = high_watermark_us(spark, state_dir, before_batch=batch_id)
+        env = batch_lateness(batch, hwm).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        _dynamic_overwrite(env, state_dir)
+
+    return _write
+
+
+def read_envelopes(spark: SparkSession, state_dir: str) -> DataFrame:
+    return _read_or_empty(spark, state_dir, ENVELOPE_SCHEMA)
+
+
+def run_lateness_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available event files (availableNow) through the monitor.
+    max_files_per_trigger defaults to 1 so lateness is judged per
+    dropped file — one batch per drain would hide intra-drain
+    disorder behind a single envelope."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(lateness_gate_writer(state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,111 @@
+"""Streaming late-arrival monitor (streaming/lateness_gate.py):
+planted out-of-order file is measured (n_late, max_lag) exactly,
+in-order drains record zero lateness, stream ≡ batch parity against
+the prefix watermark, and replay after checkpoint deletion rewrites
+identical envelopes."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.streaming.lateness_gate import (
+    batch_lateness,
+    high_watermark_us,
+    read_envelopes,
+    run_lateness_gate,
+)
+from tests.conftest import SF_SMALL
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+)
+
+
+def _rows(spark):
+    return (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+
+
+def _setup(spark, tmp_path):
+    """part-0: the NEWEST third of events (establishes a high
+    watermark); part-1: the OLDEST third (every row late); part-2: a
+    fresh tail beyond part-0's max (zero late)."""
+    rows = _rows(spark)
+    n = len(rows)
+    newest = rows[2 * n // 3 : n - 50]
+    oldest = rows[: n // 3]
+    tail = rows[n - 50 :]
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for i, chunk in enumerate((newest, oldest, tail)):
+        with open(src / f"part-{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return src, newest, oldest, tail
+
+
+def test_lateness_gate_measures_planted_disorder(spark, tmp_path):
+    src, newest, oldest, tail = _setup(spark, tmp_path)
+    state = tmp_path / "state"
+    run_lateness_gate(
+        spark, str(src), EVENTS_JSON_SCHEMA, str(state), str(tmp_path / "ck")
+    )
+    env = {
+        r["batch_id"]: r for r in read_envelopes(spark, str(state)).collect()
+    }
+    assert len(env) == 3
+    # file order = batch order under availableNow + maxFilesPerTrigger=1
+    first, second, third = env[0], env[1], env[2]
+    assert first["n_late"] == 0  # nothing earlier recorded
+    assert second["n_late"] == second["n_rows"] == len(oldest)
+    assert second["max_lag_us"] > 0
+    assert third["n_late"] == 0  # strictly beyond the watermark
+    assert third["n_rows"] == len(tail)
+
+
+def test_lateness_gate_stream_equals_batch(spark, tmp_path):
+    src, newest, oldest, _ = _setup(spark, tmp_path)
+    state = tmp_path / "state"
+    run_lateness_gate(
+        spark, str(src), EVENTS_JSON_SCHEMA, str(state), str(tmp_path / "ck")
+    )
+    # judge the oldest file directly against batch 0's watermark
+    hwm = high_watermark_us(spark, str(state), before_batch=1)
+    oldest_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"]) for r in oldest], "event_id long, ts string"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"))
+    direct = batch_lateness(oldest_df, hwm).collect()[0]
+    rec = {
+        r["batch_id"]: r for r in read_envelopes(spark, str(state)).collect()
+    }[1]
+    for c in ("n_rows", "min_ts_us", "max_ts_us", "n_late", "max_lag_us"):
+        assert rec[c] == direct[c]
+
+
+def test_lateness_gate_replay_is_idempotent(spark, tmp_path):
+    src, *_ = _setup(spark, tmp_path)
+    state = tmp_path / "state"
+    ck = tmp_path / "ck"
+    run_lateness_gate(spark, str(src), EVENTS_JSON_SCHEMA, str(state), str(ck))
+    first = sorted(
+        tuple(r) for r in read_envelopes(spark, str(state)).collect()
+    )
+    shutil.rmtree(ck)
+    run_lateness_gate(spark, str(src), EVENTS_JSON_SCHEMA, str(state), str(ck))
+    second = sorted(
+        tuple(r) for r in read_envelopes(spark, str(state)).collect()
+    )
+    assert first == second

@@ -227,3 +227,36 @@ def test_kcore_minimum_degree_contract(spark):
     assert all(r["core_degree"] >= 3 for r in rows)
     degs = [r["core_degree"] for r in rows]
     assert degs == sorted(degs, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# q354 — rolling slope
+# --------------------------------------------------------------------------
+
+
+def test_rolling_slope_python_replay(spark):
+    rows = registry.QUERIES["q354_rolling_slope"](spark, SF_SMALL).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for tp, rs in by_type.items():
+        rs.sort(key=lambda r: r["day_idx"])
+        cells = [(r["day_idx"], r["n_events"]) for r in rs]
+        for i, r in enumerate(rs):
+            win = cells[max(0, i - 6) : i + 1]
+            n = len(win)
+            sd = sum(d for d, _ in win)
+            sc = sum(c for _, c in win)
+            sdc = sum(d * c for d, c in win)
+            sdd = sum(d * d for d, _ in win)
+            num = n * sdc - sd * sc
+            den = n * sdd - sd * sd
+            assert r["w_days"] == n
+            if den == 0:
+                assert r["slope_micro"] is None
+            else:
+                q = abs(num) * 1_000_000 // den
+                assert r["slope_micro"] == (q if num >= 0 else -q)
+        # first row of each type has a single-day window
+        assert rs[0]["w_days"] == 1 and rs[0]["slope_micro"] is None

@@ -1248,3 +1248,179 @@ def q349_eb_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shrink_weight"),
         trunc(F.col("k"), 4).alias("k_pseudo"),
     ).orderBy("supp")
+
+
+# --------------------------------------------------------------------------
+# q355 — Qini uplift curve by score decile
+# --------------------------------------------------------------------------
+
+QINI_DECILES = 10
+#: conversion percent: base, and the planted treatment lift for the
+#: top-3 score deciles (heterogeneous effect — the thing uplift
+#: modeling exists to find)
+QINI_BASE_PCT = 20
+QINI_LIFT_PCT = 25
+QINI_LIFT_TOP = 3
+
+
+@register(
+    "q355_qini_uplift",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'),
+                     1, 8)) AS BIGINT) % 2 AS arm,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|cv'),
+                     1, 8)) AS BIGINT) % 100 AS u_cv,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS score
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, arm, u_cv, score,
+               NTILE({QINI_DECILES}) OVER (ORDER BY score DESC, user_id)
+                   AS decile
+        FROM per_user
+    ),
+    judged AS (
+        SELECT decile, arm,
+               CASE WHEN u_cv < {QINI_BASE_PCT}
+                         + CASE WHEN arm = 1 AND decile <= {QINI_LIFT_TOP}
+                                THEN {QINI_LIFT_PCT} ELSE 0 END
+                    THEN 1 ELSE 0 END AS conv
+        FROM ranked
+    ),
+    cells AS (
+        SELECT decile,
+               CAST(SUM(arm) AS BIGINT) AS nt,
+               CAST(SUM(1 - arm) AS BIGINT) AS nc,
+               CAST(SUM(arm * conv) AS BIGINT) AS ct,
+               CAST(SUM((1 - arm) * conv) AS BIGINT) AS cc
+        FROM judged GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile,
+               CAST(SUM(nt) OVER w AS BIGINT) AS nt_cum,
+               CAST(SUM(nc) OVER w AS BIGINT) AS nc_cum,
+               CAST(SUM(ct) OVER w AS BIGINT) AS ct_cum,
+               CAST(SUM(cc) OVER w AS BIGINT) AS cc_cum
+        FROM cells
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    qini AS (
+        SELECT decile, nt_cum, nc_cum, ct_cum, cc_cum,
+               CAST(ct_cum AS HUGEINT) * nc_cum
+                   - CAST(cc_cum AS HUGEINT) * nt_cum AS num
+        FROM cum
+    )
+    SELECT CAST(decile AS INT) AS decile, nt_cum, nc_cum, ct_cum, cc_cum,
+           CAST(CASE WHEN num >= 0 THEN num * 1000000 // nc_cum
+                     ELSE -((-num) * 1000000 // nc_cum) END AS BIGINT)
+               AS qini_micro
+    FROM qini ORDER BY decile
+    """,
+)
+def q355_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: rank users by an uplift score (their
+    activity value), walk down the deciles, and report the CUMULATIVE
+    incremental conversions the treatment bought —
+    Qini(k) = conv_t(k) − conv_c(k)·N_t(k)/N_c(k) — the evaluation
+    curve for "whom should we treat" targeting models, which plain
+    conversion deciles (q175) cannot answer because they never
+    difference against control. Arms and conversions derive from md5
+    with a PLANTED heterogeneous effect (+{QINI_LIFT_PCT}pp for
+    treated users in the top {QINI_LIFT_TOP} deciles), so a correct
+    Qini curve rises steeply then flattens — pinned in tests.
+
+    Arithmetic: the control-scaling ratio is cleared to the exact
+    cross product ct·nc − cc·nt over cumulative integer counts; one
+    sign-guarded truncating division to micro units (negative Qini
+    happens when targeting is anti-correlated — the curve must be
+    allowed to dip).
+
+    Determinism: md5 draws, exact decimal scores for the NTILE order
+    (ties by user_id), integer cumulative windows.
+
+    Scale: one shuffle to per-user aggregates; NTILE ranks the USER
+    dimension (the q175 posture — at 100 TB you rank the bounded
+    scored-user table, not events); everything after runs on
+    {QINI_DECILES} cells.
+
+    Reference: the uplift face of the experiment family (q132 lift,
+    q341 CUPED, q270 quantile effects); evaluates the targeting q306's
+    attribution allocates."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def u(expr, salt, mod):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8), 16, 10
+            ).cast("bigint")
+            % mod
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("score")
+    ).select(
+        "user_id",
+        "score",
+        u(F.col("user_id").cast("string"), "|arm", 2).alias("arm"),
+        u(F.col("user_id").cast("string"), "|cv", 100).alias("u_cv"),
+    )
+    ranked = per_user.withColumn(
+        "decile",
+        F.ntile(QINI_DECILES).over(
+            Window.orderBy(F.col("score").desc(), "user_id")
+        ),
+    )
+    conv = F.when(
+        F.col("u_cv")
+        < QINI_BASE_PCT
+        + F.when(
+            (F.col("arm") == 1) & (F.col("decile") <= QINI_LIFT_TOP),
+            QINI_LIFT_PCT,
+        ).otherwise(0),
+        1,
+    ).otherwise(0)
+    cells = (
+        ranked.select("decile", "arm", conv.alias("conv"))
+        .groupBy("decile")
+        .agg(
+            F.sum("arm").cast("bigint").alias("nt"),
+            F.sum(1 - F.col("arm")).cast("bigint").alias("nc"),
+            F.sum(F.col("arm") * F.col("conv")).cast("bigint").alias("ct"),
+            F.sum((1 - F.col("arm")) * F.col("conv"))
+            .cast("bigint")
+            .alias("cc"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "decile",
+        F.sum("nt").over(w).cast("bigint").alias("nt_cum"),
+        F.sum("nc").over(w).cast("bigint").alias("nc_cum"),
+        F.sum("ct").over(w).cast("bigint").alias("ct_cum"),
+        F.sum("cc").over(w).cast("bigint").alias("cc_cum"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "nt_cum",
+        "nc_cum",
+        "ct_cum",
+        "cc_cum",
+        F.expr(
+            "CAST(CASE WHEN CAST(ct_cum AS DECIMAL(38,0)) * nc_cum"
+            " - CAST(cc_cum AS DECIMAL(38,0)) * nt_cum >= 0"
+            " THEN (CAST(ct_cum AS DECIMAL(38,0)) * nc_cum"
+            "   - CAST(cc_cum AS DECIMAL(38,0)) * nt_cum) * 1000000"
+            "   DIV nc_cum"
+            " ELSE -((CAST(cc_cum AS DECIMAL(38,0)) * nt_cum"
+            "   - CAST(ct_cum AS DECIMAL(38,0)) * nc_cum) * 1000000"
+            "   DIV nc_cum) END AS BIGINT)"
+        ).alias("qini_micro"),
+    ).orderBy("decile")

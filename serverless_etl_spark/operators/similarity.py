@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import trunc
 from ..io import load_table
-from ..registry import register
+from ..registry import register, track_cache
 
 N_QUERIES = 8
 TOP_K = 5
@@ -1589,3 +1589,123 @@ def q352_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_micro").desc(), "part").limit(RRF_TOP)
+
+
+# --------------------------------------------------------------------------
+# q357 — matryoshka dimension-truncation recall
+# --------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)
+MRL_K = 10
+
+
+@register(
+    "q357_matryoshka_recall",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    grid AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS d),
+    dnorms AS (
+        SELECT g.d, t.vec_id, sqrt(SUM(t.x * t.x)) AS nrm
+        FROM dims t CROSS JOIN grid g
+        WHERE t.i <= g.d
+        GROUP BY g.d, t.vec_id
+    ),
+    dots AS (
+        SELECT g.d, q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        CROSS JOIN grid g
+        WHERE q.vec_id < {N_QUERIES} AND q.i <= g.d
+        GROUP BY g.d, q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT t.d, query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY t.d, query_id
+                   ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+                   AS rk
+        FROM dots t
+        JOIN dnorms nq ON nq.d = t.d AND nq.vec_id = query_id
+        JOIN dnorms nc ON nc.d = t.d AND nc.vec_id = cand_id
+        QUALIFY rk <= {MRL_K}
+    ),
+    full_k AS (
+        SELECT query_id, cand_id FROM ranked WHERE d = {max(MRL_DIMS)}
+    ),
+    hits AS (
+        SELECT r.d, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ranked r JOIN full_k f
+          ON f.query_id = r.query_id AND f.cand_id = r.cand_id
+        GROUP BY r.d
+    )
+    SELECT CAST(d AS INT) AS dim, n_hits,
+           1000000 * n_hits // ({N_QUERIES} * {MRL_K}) AS recall_ppm
+    FROM hits ORDER BY dim
+    """,
+)
+def q357_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall: rank candidates by cosine over
+    only the FIRST d embedding dimensions (d ∈ {MRL_DIMS}) and measure
+    top-{MRL_K} recall against the full-dimension ranking — the sizing
+    table for MRL-style embeddings, where serving cost scales linearly
+    with d and this curve says what recall each truncation keeps (the
+    "can we store 8 floats instead of 64" decision, measured instead
+    of guessed). The d = {max(MRL_DIMS)} row is the self-recall sanity
+    anchor (exactly 10⁶ ppm).
+
+    Determinism: cosines round to 1e-6 before ranking with cand_id
+    tie-break (the q50 discipline); hit counts are integers.
+
+    Scale: ONE broadcast pass of the query set against the corpus
+    computes all truncation levels (the dim fan-out multiplies the
+    bounded pair table, not the corpus); recall joins two
+    {MRL_K}·|Q|-row lists. At 100 TB this is q120's recall loop with
+    the dimension axis added — runs continuously as the index-quality
+    check after any embedding upgrade.
+
+    Reference: extends the ANN eval family (q50 exact, q120 recall,
+    q142 quantization — that one truncates PRECISION, this truncates
+    DIMENSION)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), _vec_double().alias("cv"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("d"),
+            F.col("qv"),
+            F.col("cv"),
+        )
+    )
+    qs = F.slice(F.col("qv"), 1, F.col("d"))
+    cs = F.slice(F.col("cv"), 1, F.col("d"))
+    cos = F.round(_dot(qs, cs) / (_norm(qs) * _norm(cs)), 6)
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    ranked = (
+        pairs.select("d", "query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MRL_K)
+        .select("d", "query_id", "cand_id")
+    )
+    ranked = track_cache(ranked.persist())
+    full_k = ranked.filter(F.col("d") == max(MRL_DIMS)).select(
+        "query_id", "cand_id"
+    )
+    hits = ranked.join(full_k, ["query_id", "cand_id"]).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.col("d").cast("int").alias("dim"),
+        "n_hits",
+        F.expr(f"1000000 * n_hits DIV ({N_QUERIES} * {MRL_K})").alias(
+            "recall_ppm"
+        ),
+    ).orderBy("dim")

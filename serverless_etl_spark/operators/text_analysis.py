@@ -1260,3 +1260,163 @@ def q295_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RAKE_TOP)
         .select("phrase", "n_words", "score_milli", "n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# q356 — RAG chunking-config sweep (boundary-break rate per config)
+# --------------------------------------------------------------------------
+
+#: (chunk_size, overlap) candidate configs, in words
+CHUNK_CONFIGS = ((64, 0), (64, 16), (128, 0), (128, 32), (256, 64))
+
+
+@register(
+    "q356_chunking_sweep",
+    oracle=f"""
+    WITH cfg AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({s}, {o})" for s, o in CHUNK_CONFIGS)}
+        ) AS t(size, ov)
+    ),
+    segs AS (
+        SELECT doc_id, generate_subscripts(string_split(text, '.'), 1) AS i,
+               unnest(string_split(text, '.')) AS sent
+        FROM documents
+    ),
+    sents AS (
+        SELECT doc_id, i,
+               len(list_filter(string_split(sent, ' '), w -> w <> ''))
+                   AS wc
+        FROM segs
+    ),
+    offsets AS (
+        SELECT doc_id, i, wc,
+               COALESCE(CAST(SUM(wc) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS s
+        FROM sents WHERE wc > 0
+    ),
+    broken AS (
+        SELECT c.size, c.ov,
+               CAST(COUNT(*) AS BIGINT) AS n_sent,
+               CAST(SUM(CASE WHEN o.s + o.wc >
+                        (o.s // (c.size - c.ov)) * (c.size - c.ov) + c.size
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_broken
+        FROM offsets o CROSS JOIN cfg c
+        GROUP BY c.size, c.ov
+    ),
+    docn AS (
+        SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS n
+        FROM offsets GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT c.size, c.ov,
+               CAST(SUM(CASE WHEN d.n <= c.size THEN 1
+                        ELSE (d.n - c.size + (c.size - c.ov) - 1)
+                             // (c.size - c.ov) + 1 END) AS BIGINT)
+                   AS total_chunks
+        FROM docn d CROSS JOIN cfg c
+        GROUP BY c.size, c.ov
+    )
+    SELECT CAST(b.size AS INT) AS chunk_size, CAST(b.ov AS INT) AS overlap,
+           ch.total_chunks, b.n_sent, b.n_broken,
+           1000000 * b.n_broken // b.n_sent AS broken_ppm
+    FROM broken b JOIN chunks ch ON ch.size = b.size AND ch.ov = b.ov
+    ORDER BY chunk_size, overlap
+    """,
+)
+def q356_chunking_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking-config sweep: for each (chunk_size, overlap)
+    candidate, how many chunks the corpus yields and what fraction of
+    sentences get BROKEN across chunk boundaries (a sentence survives
+    iff it fits inside the chunk starting at its own aligned stride
+    slot: end ≤ floor(start/stride)·stride + size). Boundary-broken
+    sentences are the retrieval-quality tax of small chunks; chunk
+    count is the storage/recall tax of big ones — this sweep is the
+    table you pick a config FROM, in one pass (q250's threshold-sweep
+    shape applied to the chunking decision every RAG pipeline makes).
+    Sentence offsets are measured in the sentence-split's own word
+    counts (self-consistent token grid, documented approximation).
+
+    Determinism: integer word counts, windowed integer offsets, pure
+    integer fit test and chunk-count formula, one ppm floor division.
+
+    Scale: sentences explode map-side and collapse per doc via a
+    doc-partitioned window (bounded by doc length); the ×{len(CHUNK_CONFIGS)}
+    config fan-out multiplies the per-SENTENCE cell table, not the
+    corpus text; two partial-aggregated shuffles land the config
+    totals. Adding a config is O(sentences).
+
+    Reference: tunes the chunking q96 (chunk windows) and q114 (CDC
+    chunks) execute; sibling of q155's context budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\.")).alias("i", "sent"),
+    ).select(
+        "doc_id",
+        "i",
+        F.size(
+            F.filter(F.split(F.col("sent"), " "), lambda x: x != F.lit(""))
+        ).alias("wc"),
+    ).filter(F.col("wc") > 0)
+    woff = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = track_cache(
+        sents.select(
+            "doc_id",
+            "i",
+            "wc",
+            F.coalesce(F.sum("wc").over(woff).cast("bigint"), F.lit(0)).alias(
+                "s"
+            ),
+        ).persist()
+    )
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("size"), F.lit(o).alias("ov"))
+                for s, o in CHUNK_CONFIGS
+            ]
+        )
+    )
+    fits = offsets.select("doc_id", "wc", "s", cfg.alias("c")).select(
+        F.col("c.size").alias("size"),
+        F.col("c.ov").alias("ov"),
+        F.expr(
+            "CASE WHEN s + wc >"
+            " (s DIV (size - ov)) * (size - ov) + size THEN 1 ELSE 0 END"
+        ).alias("is_broken"),
+    )
+    broken = fits.groupBy("size", "ov").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sent"),
+        F.sum("is_broken").cast("bigint").alias("n_broken"),
+    )
+    docn = offsets.groupBy("doc_id").agg(
+        F.sum("wc").cast("bigint").alias("n")
+    )
+    chunks = docn.select("n", cfg.alias("c")).select(
+        F.col("c.size").alias("size"),
+        F.col("c.ov").alias("ov"),
+        F.expr(
+            "CASE WHEN n <= size THEN 1"
+            " ELSE (n - size + (size - ov) - 1) DIV (size - ov) + 1 END"
+        ).alias("k"),
+    ).groupBy("size", "ov").agg(
+        F.sum("k").cast("bigint").alias("total_chunks")
+    )
+    return (
+        broken.join(chunks, ["size", "ov"])
+        .select(
+            F.col("size").cast("int").alias("chunk_size"),
+            F.col("ov").cast("int").alias("overlap"),
+            "total_chunks",
+            "n_sent",
+            "n_broken",
+            F.expr("1000000 * n_broken DIV n_sent").alias("broken_ppm"),
+        )
+        .orderBy("chunk_size", "overlap")
+    )

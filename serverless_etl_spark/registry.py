@@ -90,7 +90,8 @@ _SWEEP_PRIORITY = [
     "q346_energy_distance", "q347_price_elasticity", "q348_ipf_raking",
     "q349_eb_smoothing", "q350_month_proration",
     "q351_label_propagation", "q352_rrf_fusion", "q353_kcore",
-    "q354_rolling_slope",
+    "q354_rolling_slope", "q355_qini_uplift",
+    "q356_chunking_sweep", "q357_matryoshka_recall",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

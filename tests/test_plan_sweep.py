@@ -89,6 +89,8 @@ BNLJ_ALLOWED = {
     "q342_simpsons_flip",         # one-row pooled-sign broadcast over |strata|
     "q346_energy_distance",       # |domain|²≤2500-cell histogram cross products
     "q349_eb_smoothing",          # one-row prior (m, K) broadcast
+    "q357_matryoshka_recall",     # exact baseline: 8 query vectors broadcast
+                                  # (q50 posture, × dim grid)
 }
 
 

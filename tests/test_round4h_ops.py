@@ -260,3 +260,65 @@ def test_rolling_slope_python_replay(spark):
                 assert r["slope_micro"] == (q if num >= 0 else -q)
         # first row of each type has a single-day window
         assert rs[0]["w_days"] == 1 and rs[0]["slope_micro"] is None
+
+
+# --------------------------------------------------------------------------
+# q355 — Qini uplift
+# --------------------------------------------------------------------------
+
+
+def test_qini_curve_shape_finds_planted_effect(spark):
+    rows = registry.QUERIES["q355_qini_uplift"](spark, SF_MID).collect()
+    assert len(rows) == 10
+    by_d = sorted(rows, key=lambda r: r["decile"])
+    # cumulative counts are monotone
+    for a, b in zip(by_d, by_d[1:]):
+        assert b["nt_cum"] >= a["nt_cum"] and b["nc_cum"] >= a["nc_cum"]
+    # the planted effect lives in deciles 1-3: Qini there must be
+    # strongly positive, and the final value should retain most of it
+    assert by_d[2]["qini_micro"] > 0
+    # incremental conversions ≈ lift·treated in top-3 deciles; the
+    # curve must flatten after (no planted effect below decile 3)
+    top3 = by_d[2]["qini_micro"]
+    final = by_d[-1]["qini_micro"]
+    assert final > top3 * 0.5
+    assert abs(final - top3) < top3  # flat-ish tail, not a second ramp
+
+
+# --------------------------------------------------------------------------
+# q356 — chunking sweep
+# --------------------------------------------------------------------------
+
+
+def test_chunking_sweep_tradeoffs(spark):
+    rows = registry.QUERIES["q356_chunking_sweep"](spark, SF_MID).collect()
+    cfgs = {(r["chunk_size"], r["overlap"]): r for r in rows}
+    assert len(cfgs) == 5
+    # same n_sent for every config (the corpus doesn't change)
+    assert len({r["n_sent"] for r in rows}) == 1
+    # bigger chunks break fewer sentences; overlap never hurts
+    assert cfgs[(256, 64)]["n_broken"] <= cfgs[(64, 0)]["n_broken"]
+    assert cfgs[(64, 16)]["n_broken"] <= cfgs[(64, 0)]["n_broken"]
+    # bigger chunks → fewer chunks; overlap → more chunks
+    assert cfgs[(256, 64)]["total_chunks"] <= cfgs[(64, 0)]["total_chunks"]
+    assert cfgs[(64, 16)]["total_chunks"] >= cfgs[(64, 0)]["total_chunks"]
+
+
+# --------------------------------------------------------------------------
+# q357 — matryoshka recall
+# --------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_monotone_with_dim(spark):
+    rows = registry.QUERIES["q357_matryoshka_recall"](
+        spark, SF_MID
+    ).collect()
+    by_dim = {r["dim"]: r for r in rows}
+    assert set(by_dim) == {8, 16, 32, 64}
+    # full dimension recalls itself exactly
+    assert by_dim[64]["recall_ppm"] == 1_000_000
+    # truncation loses signal: strictly below self-recall, above zero
+    assert 0 < by_dim[8]["recall_ppm"] < 1_000_000
+    # more dimensions never hurt much: loose monotonicity (random
+    # fixtures can wobble one step)
+    assert by_dim[32]["recall_ppm"] >= by_dim[8]["recall_ppm"] - 100_000

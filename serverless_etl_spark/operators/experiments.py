@@ -1424,3 +1424,151 @@ def q355_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   DIV nc_cum) END AS BIGINT)"
         ).alias("qini_micro"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# q358 — A/B test power planner (MDE per segment × duration)
+# --------------------------------------------------------------------------
+
+#: two-sided α=0.05 and 80% power normal quantiles (fixed literals —
+#: the only "statistical tables" this needs)
+MDE_Z_ALPHA = 1.959964
+MDE_Z_POWER = 0.841621
+MDE_DURATIONS = (7, 14, 28)
+
+
+@register(
+    "q358_mde_power",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT event_type, user_id, COUNT(*) AS n_ev
+        FROM events GROUP BY event_type, user_id
+    ),
+    seg AS (
+        -- converter = above-segment-average activity, by integer
+        -- cross-multiplication (scale-free: p stays interior at any
+        -- fixture size, where any fixed threshold degenerates)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM (
+            SELECT event_type, n_ev,
+                   CASE WHEN CAST(n_ev AS HUGEINT)
+                             * COUNT(*) OVER (PARTITION BY event_type)
+                             > SUM(CAST(n_ev AS HUGEINT))
+                               OVER (PARTITION BY event_type)
+                        THEN 1 ELSE 0 END AS conv
+            FROM per_user
+        ) GROUP BY event_type
+    ),
+    traffic AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS user_days,
+               CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+        FROM (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+              FROM events)
+        GROUP BY event_type
+    ),
+    grid AS (
+        SELECT unnest([{", ".join(str(d) for d in MDE_DURATIONS)}]) AS days
+    ),
+    plan AS (
+        SELECT s.event_type, g.days, s.n_users, s.n_conv,
+               1000000 * s.n_conv // s.n_users AS p_ppm,
+               t.user_days * g.days // (2 * t.n_days) AS n_per_arm,
+               CAST(s.n_conv AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS p
+        FROM seg s JOIN traffic t USING (event_type) CROSS JOIN grid g
+    )
+    SELECT event_type, CAST(days AS INT) AS days, n_users, p_ppm, n_per_arm,
+           FLOOR(({MDE_Z_ALPHA} + {MDE_Z_POWER})
+                 * sqrt(2 * p * (1 - p) / CAST(n_per_arm AS DOUBLE))
+                 * 1000000) / 1000000 AS mde_abs,
+           FLOOR(({MDE_Z_ALPHA} + {MDE_Z_POWER})
+                 * sqrt(2 * p * (1 - p) / CAST(n_per_arm AS DOUBLE))
+                 / p * 1000000) / 1000000 AS mde_rel
+    FROM plan
+    ORDER BY event_type, days
+    """,
+)
+def q358_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power planner: for every segment and candidate test
+    duration, the minimum detectable effect a 50/50 split can resolve
+    at α=0.05 / 80% power given the segment's OWN baseline conversion
+    and daily traffic — the "is this experiment even worth running"
+    table every experimentation platform shows before launch, and the
+    quantitative argument behind q341's variance reduction (CUPED
+    shrinks these MDEs by √(1−corr²)). MDE = (z_α + z_β)·√(2p(1−p)/n)
+    with the two normal quantiles as fixed literals.
+
+    Determinism: integer user/conversion/traffic counts; n_per_arm is
+    an integer floor; p and the MDE are a single-expression IEEE tree
+    over exact-integer-derived doubles, floor-truncated at 1e-6.
+
+    Scale: one shuffle to (type, user) partials, two bounded
+    re-aggregations, a ×{len(MDE_DURATIONS)} literal grid fan-out on
+    the |segments| table. Nothing after the first aggregation touches
+    event rows.
+
+    Reference: the planning face of the experiment family (q132 reads
+    results, q324 gates validity, q341 tightens, THIS says what's
+    detectable at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    wseg = Window.partitionBy("event_type")
+    conv = F.when(
+        F.col("n_ev").cast("decimal(38,0)")
+        * F.count(F.lit(1)).over(wseg)
+        > F.sum(F.col("n_ev").cast("decimal(38,0)")).over(wseg),
+        1,
+    ).otherwise(0)
+    seg = (
+        per_user.withColumn("conv", conv)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("conv").cast("bigint").alias("n_conv"),
+        )
+    )
+    traffic = (
+        ev.select("event_type", "user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("user_days"),
+            F.countDistinct("d").cast("bigint").alias("n_days"),
+        )
+    )
+    grid = F.explode(F.array(*[F.lit(d) for d in MDE_DURATIONS])).alias(
+        "days"
+    )
+    plan = (
+        seg.join(traffic, "event_type")
+        .select("event_type", "n_users", "n_conv", "user_days", "n_days", grid)
+        .select(
+            "event_type",
+            "days",
+            "n_users",
+            "n_conv",
+            F.expr("1000000 * n_conv DIV n_users").alias("p_ppm"),
+            F.expr("user_days * days DIV (2 * n_days)").alias("n_per_arm"),
+            (
+                F.col("n_conv").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("p"),
+        )
+    )
+    z = MDE_Z_ALPHA + MDE_Z_POWER
+    mde = F.lit(z) * F.sqrt(
+        2 * F.col("p") * (1 - F.col("p")) / F.col("n_per_arm").cast("double")
+    )
+    return plan.select(
+        "event_type",
+        F.col("days").cast("int").alias("days"),
+        "n_users",
+        "p_ppm",
+        "n_per_arm",
+        (F.floor(mde * 1_000_000) / 1_000_000).alias("mde_abs"),
+        (F.floor(mde / F.col("p") * 1_000_000) / 1_000_000).alias("mde_rel"),
+    ).orderBy("event_type", "days")

@@ -3582,3 +3582,174 @@ def q329_ensemble_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_votes") >= 2)
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q359 — schema reconciliation by content fingerprints (rename detection)
+# --------------------------------------------------------------------------
+
+FP_Y_A = 1996
+FP_Y_B = 1997
+#: columns of snapshot A, and snapshot B's RENAMED aliases of the same
+#: underlying columns (the planted renames the matcher must recover)
+FP_COLS_A = ("o_orderstatus", "o_orderpriority", "o_totalprice")
+FP_COLS_B = ("state", "prio", "amount")
+FP_TOPK = 5
+FP_MIN_SCORE = 3
+
+
+def _fp_unpivot_sql(year: int, cols, names) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{n}' AS col, CAST({c} AS VARCHAR) AS v"
+        f" FROM orders WHERE year(o_orderdate) = {year}"
+        for c, n in zip(cols, names)
+    )
+    return arms
+
+
+@register(
+    "q359_fingerprint_match",
+    oracle=f"""
+    WITH va AS ({_fp_unpivot_sql(FP_Y_A, FP_COLS_A, FP_COLS_A)}),
+    vb AS ({_fp_unpivot_sql(FP_Y_B, FP_COLS_A, FP_COLS_B)}),
+    fa AS (
+        SELECT col,
+               CAST(FLOOR(ln(COUNT(DISTINCT v)) / ln(2)) AS BIGINT)
+                   AS ndv_bucket,
+               CAST(FLOOR(ln(1000000.0 * MAX(cnt) / SUM(cnt)) / ln(2))
+                   AS BIGINT) AS modal_bucket,
+               md5(string_agg(top_v, '|' ORDER BY top_v)) AS topk_hash
+        FROM (
+            SELECT col, v, cnt,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY col
+                        ORDER BY cnt DESC, v) <= {FP_TOPK}
+                        THEN v END AS top_v
+            FROM (SELECT col, v, COUNT(*) AS cnt FROM va GROUP BY col, v)
+        ) GROUP BY col
+    ),
+    fb AS (
+        SELECT col,
+               CAST(FLOOR(ln(COUNT(DISTINCT v)) / ln(2)) AS BIGINT)
+                   AS ndv_bucket,
+               CAST(FLOOR(ln(1000000.0 * MAX(cnt) / SUM(cnt)) / ln(2))
+                   AS BIGINT) AS modal_bucket,
+               md5(string_agg(top_v, '|' ORDER BY top_v)) AS topk_hash
+        FROM (
+            SELECT col, v, cnt,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY col
+                        ORDER BY cnt DESC, v) <= {FP_TOPK}
+                        THEN v END AS top_v
+            FROM (SELECT col, v, COUNT(*) AS cnt FROM vb GROUP BY col, v)
+        ) GROUP BY col
+    )
+    SELECT a.col AS col_a, b.col AS col_b,
+           CAST(CASE WHEN a.topk_hash = b.topk_hash THEN 2 ELSE 0 END
+                + CASE WHEN a.ndv_bucket = b.ndv_bucket THEN 1 ELSE 0 END
+                + CASE WHEN a.modal_bucket = b.modal_bucket THEN 1 ELSE 0 END
+                AS INT) AS score
+    FROM fa a CROSS JOIN fb b
+    WHERE CASE WHEN a.topk_hash = b.topk_hash THEN 2 ELSE 0 END
+          + CASE WHEN a.ndv_bucket = b.ndv_bucket THEN 1 ELSE 0 END
+          + CASE WHEN a.modal_bucket = b.modal_bucket THEN 1 ELSE 0 END
+          >= {FP_MIN_SCORE}
+    ORDER BY col_a, col_b
+    """,
+)
+def q359_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema reconciliation by CONTENT fingerprints: when an upstream
+    feed renames columns between snapshots (here the {FP_Y_B} snapshot
+    ships {", ".join(FP_COLS_B)} for what {FP_Y_A} called
+    {", ".join(FP_COLS_A)}), name-based mapping breaks — but value
+    DISTRIBUTIONS survive renames. Each column's fingerprint is
+    (log₂-bucketed distinct count, log₂-bucketed modal share, md5 of
+    its top-{FP_TOPK} values), and candidate pairs scoring
+    ≥{FP_MIN_SCORE}/4 are proposed as the rename map — the
+    content-based matcher behind schema-drift auto-healing (the
+    repair layer q222's contracts only DETECT the need for).
+    Bucketing is the point: distributions drift year-over-year, so
+    components must be scale-free and coarse. Boundary: near-unique
+    NUMERIC columns (totalprice/amount here) defeat top-k value
+    hashing — their fingerprints would need quantile/moment
+    components (q71's profiler) — so the matcher recovers exactly the
+    enum renames and stays silent on the numeric one rather than
+    guessing (tests pin both behaviors).
+
+    Determinism: integer counts, log₂ buckets of exact-integer-derived
+    ratios (floor of a fixed IEEE tree), top-k by (count DESC, value)
+    total order, md5 over the SORTED top-k list.
+
+    Scale: each snapshot unpivots map-side to (col, value) and
+    collapses to value histograms in one partial-agged shuffle; the
+    match is a |cols_a|×|cols_b| grid (bounded — BNLJ-allowlisted).
+    Adding a column is one more unpivot arm.
+
+    Reference: the reconciliation layer over q222 (contracts), q290
+    (JSON profiler), and q313 (drift); q276's temporal integrity for
+    SCHEMA instead of data."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def unpivot(year: int, names) -> DataFrame:
+        arms = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("col"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c, n in zip(FP_COLS_A, names)
+            ]
+        )
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.explode(arms).alias("a"))
+            .select("a.col", "a.v")
+        )
+
+    def fingerprint(vals: DataFrame) -> DataFrame:
+        hist = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        wtop = Window.partitionBy("col").orderBy(
+            F.col("cnt").desc(), F.col("v")
+        )
+        top = hist.withColumn(
+            "top_v",
+            F.when(F.row_number().over(wtop) <= FP_TOPK, F.col("v")),
+        )
+        return top.groupBy("col").agg(
+            F.expr(
+                "CAST(FLOOR(ln(COUNT(DISTINCT v)) / ln(2)) AS BIGINT)"
+            ).alias("ndv_bucket"),
+            F.expr(
+                "CAST(FLOOR(ln(1000000.0 * MAX(cnt) / SUM(cnt)) / ln(2))"
+                " AS BIGINT)"
+            ).alias("modal_bucket"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list("top_v")
+                    ),
+                    "|",
+                )
+            ).alias("topk_hash"),
+        )
+
+    fa = fingerprint(unpivot(FP_Y_A, FP_COLS_A)).withColumnRenamed(
+        "col", "col_a"
+    )
+    fb = (
+        fingerprint(unpivot(FP_Y_B, FP_COLS_B))
+        .withColumnRenamed("col", "col_b")
+        .withColumnRenamed("ndv_bucket", "ndv_b")
+        .withColumnRenamed("modal_bucket", "modal_b")
+        .withColumnRenamed("topk_hash", "hash_b")
+    )
+    score = (
+        F.when(F.col("topk_hash") == F.col("hash_b"), 2).otherwise(0)
+        + F.when(F.col("ndv_bucket") == F.col("ndv_b"), 1).otherwise(0)
+        + F.when(F.col("modal_bucket") == F.col("modal_b"), 1).otherwise(0)
+    )
+    return (
+        fa.crossJoin(F.broadcast(fb))
+        .withColumn("score", score.cast("int"))
+        .filter(F.col("score") >= FP_MIN_SCORE)
+        .select("col_a", "col_b", "score")
+        .orderBy("col_a", "col_b")
+    )

@@ -322,3 +322,45 @@ def test_matryoshka_recall_monotone_with_dim(spark):
     # more dimensions never hurt much: loose monotonicity (random
     # fixtures can wobble one step)
     assert by_dim[32]["recall_ppm"] >= by_dim[8]["recall_ppm"] - 100_000
+
+
+# --------------------------------------------------------------------------
+# q358 — MDE power planner
+# --------------------------------------------------------------------------
+
+
+def test_mde_planner_scaling_laws(spark):
+    rows = registry.QUERIES["q358_mde_power"](spark, SF_MID).collect()
+    assert rows
+    by_seg = defaultdict(dict)
+    for r in rows:
+        by_seg[r["event_type"]][r["days"]] = r
+        assert 0 < r["mde_abs"] < 1
+        assert r["mde_rel"] > 0
+        assert 0 < r["p_ppm"] < 1_000_000
+    for seg, d in by_seg.items():
+        assert set(d) == {7, 14, 28}
+        # longer tests detect smaller effects; 4× duration ≈ halves MDE
+        assert d[28]["mde_abs"] < d[14]["mde_abs"] < d[7]["mde_abs"]
+        ratio = d[7]["mde_abs"] / d[28]["mde_abs"]
+        assert 1.7 < ratio < 2.3
+        # traffic accumulates linearly (±1 from the independent floors)
+        assert abs(d[14]["n_per_arm"] - 2 * d[7]["n_per_arm"]) <= 1
+
+
+# --------------------------------------------------------------------------
+# q359 — fingerprint matching
+# --------------------------------------------------------------------------
+
+
+def test_fingerprint_matcher_recovers_enum_renames_only(spark):
+    rows = registry.QUERIES["q359_fingerprint_match"](
+        spark, SF_MID
+    ).collect()
+    got = {(r["col_a"], r["col_b"]): r["score"] for r in rows}
+    # both planted enum renames recovered at full score
+    assert got.get(("o_orderstatus", "state")) == 4
+    assert got.get(("o_orderpriority", "prio")) == 4
+    # no false pairs, and the near-unique numeric rename is (honestly)
+    # not claimed by value fingerprints
+    assert len(got) == 2

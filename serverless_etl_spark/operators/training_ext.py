@@ -1705,3 +1705,369 @@ def q326_ranker_interleave_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("pref_personalized_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q360 — histogram-based best-split finder (the GBDT/XGBoost primitive)
+# --------------------------------------------------------------------------
+
+#: (feature name, SQL expression over lineitem) — the candidate features
+SPLIT_FEATURES = (
+    ("quantity", "CAST(FLOOR(l_quantity) AS BIGINT)"),
+    ("discount_pct", "CAST(FLOOR(l_discount * 100) AS BIGINT)"),
+    ("price_bucket", "CAST(FLOOR(l_extendedprice / 5000) AS BIGINT)"),
+)
+
+
+def _split_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS v,"
+        f" CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y"
+        f" FROM lineitem"
+        for name, expr in SPLIT_FEATURES
+    )
+    return f"""
+    WITH obs AS ({arms}),
+    hist AS (
+        SELECT feature, v,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM obs GROUP BY feature, v
+    ),
+    tot AS (
+        SELECT feature, CAST(SUM(pos) AS BIGINT) AS p_all,
+               CAST(SUM(neg) AS BIGINT) AS n_all
+        FROM hist GROUP BY feature
+    ),
+    cand AS (
+        SELECT h.feature, h.v AS thr,
+               CAST(SUM(h.pos) OVER w AS BIGINT) AS pl,
+               CAST(SUM(h.neg) OVER w AS BIGINT) AS nl,
+               t.p_all, t.n_all
+        FROM hist h JOIN tot t USING (feature)
+        WINDOW w AS (PARTITION BY h.feature ORDER BY h.v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT feature, thr, pl, nl,
+               p_all - pl AS pr, n_all - nl AS nr,
+               p_all + n_all AS n,
+               CAST(2000000 * CAST(pl AS HUGEINT) * nl
+                    // ((p_all + n_all) * CAST(pl + nl AS HUGEINT))
+                    + 2000000 * CAST(p_all - pl AS HUGEINT) * (n_all - nl)
+                    // ((p_all + n_all)
+                        * CAST(p_all - pl + n_all - nl AS HUGEINT))
+                    AS BIGINT) AS gini_split_micro,
+               CAST(2000000 * CAST(p_all AS HUGEINT) * n_all
+                    // (CAST(p_all + n_all AS HUGEINT) * (p_all + n_all))
+                    AS BIGINT) AS gini_root_micro
+        FROM cand
+        WHERE pl + nl > 0 AND p_all - pl + n_all - nl > 0
+    ),
+    best AS (
+        SELECT feature, thr, pl + nl AS n_left,
+               pr + nr AS n_right, gini_root_micro, gini_split_micro,
+               ROW_NUMBER() OVER (PARTITION BY feature
+                   ORDER BY gini_split_micro, thr) AS rn
+        FROM scored
+    )
+    SELECT feature, thr AS best_thr, n_left, n_right,
+           gini_root_micro, gini_split_micro,
+           gini_root_micro - gini_split_micro AS gain_micro
+    FROM best WHERE rn = 1
+    ORDER BY feature
+    """
+
+
+@register("q360_best_split", oracle=_split_oracle())
+def q360_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split finder — the inner loop of every
+    distributed gradient-boosted-tree trainer (XGBoost/LightGBM
+    "hist" mode): bucket each feature, partial-aggregate (pos, neg)
+    per bucket, sweep thresholds CUMULATIVELY over the bounded
+    histogram, and pick the split minimizing weighted Gini impurity.
+    The per-row formulation scans candidates × rows; the histogram
+    form is exact for bucketed features and touches each row once —
+    the same collapse this repo applies to AUC (q294) and ranks
+    (q339), here powering actual model TRAINING, not just eval.
+
+    Arithmetic: weighted Gini = Σ_side 2·pos·neg/(n·n_side) enters in
+    micro units via per-side floor over HUGEINT/DECIMAL(38,0) cross
+    products (pos·neg·2·10⁶ overflows int64 past ~2M rows); argmin
+    ties break on the smaller threshold. Gain can floor to −1 micro
+    on a no-signal feature — reported as-is (identical on both
+    engines), because clamping would hide "this feature is useless".
+
+    Determinism: integer histograms, integer cumulative windows,
+    floor divisions, total (score, threshold) argmin order.
+
+    Scale: ONE pass over the fact table fans out ×{len(SPLIT_FEATURES)}
+    map-side and collapses to per-(feature, bucket) cells; the
+    threshold sweep is a window over ≤ |buckets| rows per feature.
+    This is exactly how a 1000-executor GBDT round works: histograms
+    partial-merge, the driver-side argmin reads |features|·|buckets|
+    cells.
+
+    Reference: the training-side sibling of q294/q338 (eval) and
+    q157 (target encoding); q175's deciles are this op's depth-0
+    special case."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"),
+                F.expr(expr).alias("v"),
+            )
+            for name, expr in SPLIT_FEATURES
+        ]
+    )
+    obs = li.select(
+        F.explode(arms).alias("a"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).select("a.feature", "a.v", "y")
+    hist = obs.groupBy("feature", "v").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    tot = hist.groupBy("feature").agg(
+        F.sum("pos").cast("bigint").alias("p_all"),
+        F.sum("neg").cast("bigint").alias("n_all"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = (
+        hist.join(tot, "feature")
+        .select(
+            "feature",
+            F.col("v").alias("thr"),
+            F.sum("pos").over(w).cast("bigint").alias("pl"),
+            F.sum("neg").over(w).cast("bigint").alias("nl"),
+            "p_all",
+            "n_all",
+        )
+    )
+    scored = cand.filter(
+        (F.col("pl") + F.col("nl") > 0)
+        & (F.col("p_all") - F.col("pl") + F.col("n_all") - F.col("nl") > 0)
+    ).select(
+        "feature",
+        "thr",
+        (F.col("pl") + F.col("nl")).alias("n_left"),
+        (
+            F.col("p_all") - F.col("pl") + F.col("n_all") - F.col("nl")
+        ).alias("n_right"),
+        F.expr(
+            "CAST(2000000 * CAST(pl AS DECIMAL(38,0)) * nl"
+            " DIV ((p_all + n_all) * CAST(pl + nl AS DECIMAL(38,0)))"
+            " + 2000000 * CAST(p_all - pl AS DECIMAL(38,0)) * (n_all - nl)"
+            " DIV ((p_all + n_all)"
+            "      * CAST(p_all - pl + n_all - nl AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("gini_split_micro"),
+        F.expr(
+            "CAST(2000000 * CAST(p_all AS DECIMAL(38,0)) * n_all"
+            " DIV (CAST(p_all + n_all AS DECIMAL(38,0)) * (p_all + n_all))"
+            " AS BIGINT)"
+        ).alias("gini_root_micro"),
+    )
+    wbest = Window.partitionBy("feature").orderBy(
+        "gini_split_micro", "thr"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("thr").alias("best_thr"),
+            "n_left",
+            "n_right",
+            "gini_root_micro",
+            "gini_split_micro",
+            (F.col("gini_root_micro") - F.col("gini_split_micro")).alias(
+                "gain_micro"
+            ),
+        )
+        .orderBy("feature")
+    )
+
+
+# --------------------------------------------------------------------------
+# q361 — target-leakage screen (per-feature histogram AUC)
+# --------------------------------------------------------------------------
+
+#: AUC beyond this (or below its mirror) flags a feature as leaking
+LEAK_AUC_PPM = 950_000
+
+
+def _leak_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS v, y FROM labeled"
+        for name, expr in SPLIT_FEATURES
+    )
+    return f"""
+    WITH labeled AS (
+        SELECT l_quantity, l_discount, l_extendedprice,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10 AS noise
+        FROM lineitem
+    ),
+    obs AS (
+        {arms}
+        UNION ALL
+        -- the planted leak: a "feature" computed FROM the label
+        SELECT 'leaky_status_copy', CAST(y * 1000 + noise AS BIGINT), y
+        FROM labeled
+    ),
+    hist AS (
+        SELECT feature, v,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM obs GROUP BY feature, v
+    ),
+    cum AS (
+        SELECT feature, pos, neg,
+               COALESCE(CAST(SUM(neg) OVER (PARTITION BY feature
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+        FROM hist
+    ),
+    agg AS (
+        SELECT feature,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(CAST(pos AS HUGEINT) * cumneg) AS HUGEINT)
+                   AS n_conc,
+               CAST(SUM(CAST(pos AS HUGEINT) * neg) AS HUGEINT) AS n_tied
+        FROM cum GROUP BY feature
+    )
+    SELECT feature, n_pos, n_neg,
+           CAST(1000000 * (2 * n_conc + n_tied)
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+               AS auc_ppm,
+           CAST(CASE WHEN 1000000 * (2 * n_conc + n_tied)
+                          // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                          >= {LEAK_AUC_PPM}
+                     OR 1000000 * (2 * n_conc + n_tied)
+                          // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                          <= {1_000_000 - LEAK_AUC_PPM}
+                     THEN 1 ELSE 0 END AS INT) AS leak_flag
+    FROM agg ORDER BY feature
+    """
+
+
+@register("q361_leakage_screen", oracle=_leak_oracle())
+def q361_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-leakage screen: every candidate feature's standalone
+    ROC-AUC against the label, computed from per-feature value
+    histograms in ONE pass — a feature that alone ranks the label
+    near-perfectly (AUC ≥ {LEAK_AUC_PPM}ppm, or its mirror for
+    inverted encodings) is almost never a great feature; it is the
+    label leaking through the pipeline (post-outcome timestamps,
+    status copies, joined future data), and THE standard pre-training
+    audit. A planted leak — a pseudo-feature derived from the label
+    itself — must flag, and the honest features must not (both
+    pinned in tests).
+
+    Determinism: integer histograms per feature, q294's midrank-tie
+    pair counts, one ppm floor division, integer threshold flags.
+
+    Scale: one fan-out scan (×|features|, map-side) collapsing to
+    per-(feature, value) cells; each feature's AUC walks only its own
+    histogram (partitioned window). Adding a feature to the audit is
+    one more unpivot arm — the q360 histogram reused for governance
+    instead of training.
+
+    Reference: the pre-training guard in front of q360's split finder;
+    q294's estimator, q91/q122's leakage-audit role for FEATURES."""
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("#"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+        ).alias("noise"),
+    )
+    arms = F.array(
+        *[
+            F.struct(F.lit(name).alias("feature"), F.expr(expr).alias("v"))
+            for name, expr in SPLIT_FEATURES
+        ],
+        F.struct(
+            F.lit("leaky_status_copy").alias("feature"),
+            (F.col("y") * 1000 + F.col("noise")).cast("bigint").alias("v"),
+        ),
+    )
+    obs = labeled.select(F.explode(arms).alias("a"), "y").select(
+        "a.feature", "a.v", "y"
+    )
+    hist = obs.groupBy("feature", "v").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "feature",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w).cast("bigint"), F.lit(0)).alias(
+            "cumneg"
+        ),
+    )
+    agg = cum.groupBy("feature").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos").cast("decimal(38,0)") * F.col("cumneg")).alias(
+            "n_conc"
+        ),
+        F.sum(F.col("pos").cast("decimal(38,0)") * F.col("neg")).alias(
+            "n_tied"
+        ),
+    )
+    auc = F.expr(
+        "CAST(1000000 * (2 * n_conc + n_tied)"
+        " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+    )
+    return (
+        agg.withColumn("auc_ppm", auc)
+        .select(
+            "feature",
+            "n_pos",
+            "n_neg",
+            "auc_ppm",
+            F.when(
+                (F.col("auc_ppm") >= LEAK_AUC_PPM)
+                | (F.col("auc_ppm") <= 1_000_000 - LEAK_AUC_PPM),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("leak_flag"),
+        )
+        .orderBy("feature")
+    )

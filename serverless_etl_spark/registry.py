@@ -92,7 +92,8 @@ _SWEEP_PRIORITY = [
     "q351_label_propagation", "q352_rrf_fusion", "q353_kcore",
     "q354_rolling_slope", "q355_qini_uplift",
     "q356_chunking_sweep", "q357_matryoshka_recall",
-    "q358_mde_power", "q359_fingerprint_match",
+    "q358_mde_power", "q359_fingerprint_match", "q360_best_split",
+    "q361_leakage_screen",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

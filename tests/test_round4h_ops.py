@@ -364,3 +364,85 @@ def test_fingerprint_matcher_recovers_enum_renames_only(spark):
     # no false pairs, and the near-unique numeric rename is (honestly)
     # not claimed by value fingerprints
     assert len(got) == 2
+
+
+# --------------------------------------------------------------------------
+# q360 — best split finder
+# --------------------------------------------------------------------------
+
+
+def test_best_split_scores_replay(spark):
+    rows = registry.QUERIES["q360_best_split"](spark, SF_MID).collect()
+    assert {r["feature"] for r in rows} == {
+        "quantity",
+        "discount_pct",
+        "price_bucket",
+    }
+    con = _duck(SF_MID)
+    for r in rows:
+        # both children non-empty and partition the table
+        total = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+        assert r["n_left"] > 0 and r["n_right"] > 0
+        assert r["n_left"] + r["n_right"] == total
+        # a split can never be worse than the root by more than the
+        # two floors; gain is its exact integer difference
+        assert r["gain_micro"] >= -2
+        assert (
+            r["gain_micro"]
+            == r["gini_root_micro"] - r["gini_split_micro"]
+        )
+
+
+def test_best_split_beats_median_split(spark):
+    # the chosen quantity threshold must be at least as good as a
+    # naive mid-domain split, replayed in exact integers
+    rows = {
+        r["feature"]: r
+        for r in registry.QUERIES["q360_best_split"](spark, SF_MID).collect()
+    }
+    con = _duck(SF_MID)
+    hist = con.execute(
+        """
+        SELECT CAST(FLOOR(l_quantity) AS BIGINT) v,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        FROM lineitem GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    p_all = sum(p for _, p, _ in hist)
+    n_all = sum(n for _, _, n in hist)
+    n = p_all + n_all
+
+    def score(thr):
+        pl = sum(p for v, p, _ in hist if v <= thr)
+        nl = sum(ng for v, _, ng in hist if v <= thr)
+        pr, nr = p_all - pl, n_all - nl
+        if pl + nl == 0 or pr + nr == 0:
+            return None
+        return (2_000_000 * pl * nl) // (n * (pl + nl)) + (
+            2_000_000 * pr * nr
+        ) // (n * (pr + nr))
+
+    best = rows["quantity"]
+    assert best["gini_split_micro"] == score(best["best_thr"])
+    mid = score(25)
+    assert mid is None or best["gini_split_micro"] <= mid
+
+
+# --------------------------------------------------------------------------
+# q361 — leakage screen
+# --------------------------------------------------------------------------
+
+
+def test_leakage_screen_flags_planted_leak_only(spark):
+    rows = {
+        r["feature"]: r
+        for r in registry.QUERIES["q361_leakage_screen"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert rows["leaky_status_copy"]["leak_flag"] == 1
+    assert rows["leaky_status_copy"]["auc_ppm"] == 1_000_000
+    for f in ("quantity", "discount_pct", "price_bucket"):
+        assert rows[f]["leak_flag"] == 0
+        assert 300_000 < rows[f]["auc_ppm"] < 700_000

@@ -1572,3 +1572,128 @@ def q358_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mde * 1_000_000) / 1_000_000).alias("mde_abs"),
         (F.floor(mde / F.col("p") * 1_000_000) / 1_000_000).alias("mde_rel"),
     ).orderBy("event_type", "days")
+
+
+# --------------------------------------------------------------------------
+# q362 — robust (winsorized) A/B readout
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q362_robust_ab",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'),
+                     1, 8)) AS BIGINT) % 2 AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT CAST(FLOOR(quantile_cont(CAST(y AS DOUBLE), 0.05) * 1000000)
+                    / 1000000 AS DECIMAL(18,6)) AS lo,
+               CAST(FLOOR(quantile_cont(CAST(y AS DOUBLE), 0.95) * 1000000)
+                    / 1000000 AS DECIMAL(18,6)) AS hi
+        FROM per_user
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN y < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+           CAST(SUM(CASE WHEN y > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+               AS mean_raw,
+           -- CASE WHEN keeps the clamp in DECIMAL (the q103 lesson:
+           -- LEAST/GREATEST promote decimals to DOUBLE in duckdb)
+           FLOOR(CAST(SUM(CASE WHEN y < lo THEN lo
+                              WHEN y > hi THEN hi ELSE y END) AS DOUBLE)
+                 / COUNT(*) * 1000000) / 1000000 AS mean_winsorized
+    FROM per_user CROSS JOIN b
+    GROUP BY arm
+    ORDER BY arm
+    """,
+)
+def q362_robust_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust A/B readout: per-arm means of a heavy-tailed per-user
+    metric, raw AND winsorized at the POOLED [p05, p95] band — the
+    standard defense against the whale problem (one outlier user
+    flips a revenue experiment; clipping at pooled bounds keeps the
+    estimator arm-symmetric, which per-arm clipping would not). Clip
+    counts per arm are reported because asymmetric clipping is itself
+    a finding (the treatment created whales).
+
+    Arithmetic: per-user metrics are exact DECIMAL(18,6) sums; the
+    pooled bounds floor-truncate to the same grid (the q103 CASE-WHEN
+    clamp discipline — duckdb's LEAST/GREATEST would promote to
+    DOUBLE); winsorized sums stay decimal-exact and the only floats
+    are the two final mean divisions, floor-truncated at 1e-6.
+
+    Determinism: md5 arms, decimal sums, shared percentile
+    definition (q37-pinned parity), trunc grids.
+
+    Scale: one shuffle to per-user aggregates; the exact pooled
+    percentile runs over the BOUNDED user table (the q103 posture —
+    route to q73's approx boundaries when even users overflow a
+    reducer); bounds broadcast back as a one-row frame
+    (BNLJ-allowlisted). Events are scanned once.
+
+    Reference: the robust-metric layer of the experiment family —
+    q341 reduces variance with a covariate, THIS caps it at the tail;
+    production platforms run both."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("y")
+    ).select(
+        "user_id",
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("user_id").cast("string"), F.lit("|arm"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    bounds = per_user.agg(
+        trunc(F.percentile(F.col("y").cast("double"), F.lit(0.05)), 6)
+        .cast("decimal(18,6)")
+        .alias("lo"),
+        trunc(F.percentile(F.col("y").cast("double"), F.lit(0.95)), 6)
+        .cast("decimal(18,6)")
+        .alias("hi"),
+    )
+    j = per_user.crossJoin(F.broadcast(bounds))
+    clamped = (
+        F.when(F.col("y") < F.col("lo"), F.col("lo"))
+        .when(F.col("y") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("y"))
+    )
+    return (
+        j.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(F.col("y") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("y") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_hi"),
+            trunc(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_raw"),
+            trunc(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("arm")
+    )

@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "q349_eb_smoothing",          # one-row prior (m, K) broadcast
     "q357_matryoshka_recall",     # exact baseline: 8 query vectors broadcast
                                   # (q50 posture, × dim grid)
+    "q362_robust_ab",             # one-row pooled-percentile bounds broadcast
 }
 
 

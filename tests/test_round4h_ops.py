@@ -446,3 +446,23 @@ def test_leakage_screen_flags_planted_leak_only(spark):
     for f in ("quantity", "discount_pct", "price_bucket"):
         assert rows[f]["leak_flag"] == 0
         assert 300_000 < rows[f]["auc_ppm"] < 700_000
+
+
+# --------------------------------------------------------------------------
+# q362 — robust A/B
+# --------------------------------------------------------------------------
+
+
+def test_robust_ab_winsorization_contract(spark):
+    rows = registry.QUERIES["q362_robust_ab"](spark, SF_MID).collect()
+    assert len(rows) == 2
+    total_clipped = 0
+    for r in rows:
+        # clipping is bounded by the 5%/95% definition (pooled bounds,
+        # so per-arm shares wobble, but totals must stay near 10%)
+        total_clipped += r["n_clip_lo"] + r["n_clip_hi"]
+        assert r["n_clip_lo"] < r["n_users"] // 2
+        assert r["n_clip_hi"] < r["n_users"] // 2
+        assert r["mean_winsorized"] > 0
+    n = sum(r["n_users"] for r in rows)
+    assert total_clipped <= n * 0.12 + 2

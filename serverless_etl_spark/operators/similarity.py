@@ -1709,3 +1709,207 @@ def q357_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# q363 — product-quantization ADC search + recall (exact dyadic grid)
+# --------------------------------------------------------------------------
+
+PQ_M = 4          #: subvectors (64 dims → 4 × 16)
+PQ_SUBDIM = 16
+PQ_K = 8          #: codewords per subspace (codebook = first K vectors)
+PQ_TOPK = 5
+
+
+@register(
+    "q363_pq_adc",
+    oracle=f"""
+    WITH qd AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS x
+        FROM embeddings
+    ),
+    sd AS (
+        SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS sub, i, x FROM qd
+    ),
+    cb AS (
+        SELECT vec_id AS code, sub, i, x FROM sd WHERE vec_id < {PQ_K}
+    ),
+    -- encode: nearest codeword per (vector, subspace); dyadic-grid
+    -- distances are EXACT doubles, ties broken by code id
+    enc AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY SUM((s.x - c.x) * (s.x - c.x)), c.code)
+                       AS rn
+            FROM sd s JOIN cb c ON c.sub = s.sub AND c.i = s.i
+            GROUP BY s.vec_id, s.sub, c.code
+        ) WHERE rn = 1
+    ),
+    -- asymmetric lookup table: query-subvector -> codeword distances
+    lut AS (
+        SELECT q.vec_id AS query_id, c.sub, c.code,
+               SUM((q.x - c.x) * (q.x - c.x)) AS d
+        FROM sd q JOIN cb c ON c.sub = q.sub AND c.i = q.i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id AS cand_id, SUM(l.d) AS dist
+        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    adc_top AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist, cand_id) AS rk
+            FROM adc
+        ) WHERE rk <= {PQ_TOPK}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY SUM((q.x - c.x) * (q.x - c.x)), c.vec_id)
+                       AS rk
+            FROM sd q JOIN sd c ON c.i = q.i AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY q.vec_id, c.vec_id
+        ) WHERE rk <= {PQ_TOPK}
+    )
+    SELECT a.query_id,
+           CAST(COUNT(e.cand_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(e.cand_id) * 1000000 // {PQ_TOPK} AS BIGINT)
+               AS recall_ppm
+    FROM adc_top a
+    LEFT JOIN exact e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def q363_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compress 64 floats → {PQ_M}
+    byte-size codes (one nearest-codeword id per {PQ_SUBDIM}-dim
+    subspace), queries score candidates by ADC — sum of {PQ_M}
+    precomputed query-to-codeword distances looked up by code — and
+    the operator reports per-query top-{PQ_TOPK} recall against the
+    exact scan. This is the memory-side compression leg of the ANN
+    triangle (q142 quantizes PRECISION, q357 truncates DIMENSION, PQ
+    factorizes the SPACE), and ADC is why it scales: the corpus is
+    never touched with floats at query time, only {PQ_M}-byte codes
+    joined against a 256-entry lookup table. Codebook here = the
+    first {PQ_K} vectors' subvectors (the q95 Lloyd machinery is the
+    training path when codebook quality matters; the encode/ADC/eval
+    plumbing is identical).
+
+    Determinism: all coordinates quantize to the 2^-12 dyadic grid,
+    so every squared distance and every ADC sum is EXACT in doubles
+    (2^-24-grid values, magnitudes ≪ 2^29 — no rounding anywhere);
+    argmins tie-break on code/candidate id.
+
+    Scale: encoding is one corpus pass against a broadcast codebook
+    ({PQ_K}×{PQ_M} rows); ADC joins the code table (|corpus|×{PQ_M}
+    rows of SMALL INTS) against a |queries|×{PQ_M}×{PQ_K} LUT
+    broadcast; the exact reference scan exists only for the recall
+    eval (q50's documented baseline posture).
+
+    Reference: completes the vector-compression family (q142, q357,
+    q95/q97 IVF); the eval loop is q120's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = F.transform(_vec_double(), lambda x: F.floor(x * 4096) / 4096)
+    vecs = emb.select("vec_id", xq.alias("v"))
+    # (vec, sub) subvector rows
+    sub = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sub"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "sv"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub", "s.sv")
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    wenc = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    enc = (
+        sub.join(F.broadcast(cb), "sub")
+        .select(
+            "vec_id", "sub", "code", sqdist(F.col("sv"), F.col("cv")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "sub", "sv")
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            sqdist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d").alias("dist"))
+    )
+    wtop = Window.partitionBy("query_id").orderBy("dist", "cand_id")
+    adc_top = (
+        adc.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("query_id", "cand_id")
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    exact = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", sqdist(F.col("qv"), F.col("cv")).alias("dist")
+        )
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("query_id", F.col("cand_id").alias("ex_cand"))
+    )
+    return (
+        adc_top.join(
+            exact,
+            (adc_top["query_id"] == exact["query_id"])
+            & (adc_top["cand_id"] == exact["ex_cand"]),
+            "left",
+        )
+        .groupBy(adc_top["query_id"])
+        .agg(
+            F.count("ex_cand").cast("bigint").alias("n_hits"),
+            F.expr(f"CAST(COUNT(ex_cand) * 1000000 DIV {PQ_TOPK} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )

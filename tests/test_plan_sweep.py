@@ -92,6 +92,8 @@ BNLJ_ALLOWED = {
     "q357_matryoshka_recall",     # exact baseline: 8 query vectors broadcast
                                   # (q50 posture, × dim grid)
     "q362_robust_ab",             # one-row pooled-percentile bounds broadcast
+    "q363_pq_adc",                # exact-scan recall baseline (q50 posture)
+                                  # + broadcast codebook/LUT joins
 }
 
 

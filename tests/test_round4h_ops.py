@@ -466,3 +466,21 @@ def test_robust_ab_winsorization_contract(spark):
         assert r["mean_winsorized"] > 0
     n = sum(r["n_users"] for r in rows)
     assert total_clipped <= n * 0.12 + 2
+
+
+# --------------------------------------------------------------------------
+# q363 — product quantization ADC
+# --------------------------------------------------------------------------
+
+
+def test_pq_adc_recall_contract(spark):
+    rows = registry.QUERIES["q363_pq_adc"](spark, SF_MID).collect()
+    assert len(rows) == 8  # one row per query vector
+    total_hits = 0
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // 5
+        total_hits += r["n_hits"]
+    # an untrained 8-codeword codebook is coarse, but ADC must still
+    # beat random top-5 out of ~500 candidates (expected ~0.05 hits/q)
+    assert total_hits >= 2

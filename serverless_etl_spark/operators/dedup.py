@@ -1912,6 +1912,21 @@ def q221_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_inter"),
         )
     )
+    # every adjacent pair must appear, including pairs sharing ZERO
+    # tokens (the intersection join alone drops them — first surfaced
+    # by the sf0.1 selfcheck, where 3 of 4999 adjacent pairs are
+    # token-disjoint; smaller fixtures never hit the case)
+    pairs = t.select(F.col("doc_id").alias("doc_a")).join(
+        t.select((F.col("doc_id") - 1).alias("doc_a"),
+                 F.col("doc_id").alias("doc_b")),
+        "doc_a",
+    )
+    inter = pairs.join(inter, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("w_inter", F.lit(0)).cast("bigint").alias("w_inter"),
+        F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+    )
     wsum = wtok.groupBy("doc_id").agg(
         F.sum("wt").cast("bigint").alias("w_doc"),
         F.count(F.lit(1)).cast("bigint").alias("n_doc"),

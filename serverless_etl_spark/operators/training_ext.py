@@ -1506,7 +1506,9 @@ def q312_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         (
             F.lit(1_000_000)
-            - F.expr("1000000 * pr DIV np")
+            # row_number() is INT — the ppm product overflows int32
+            # past ~2147 ranked parts (first surfaced at sf0.1)
+            - F.expr("1000000 * CAST(pr AS BIGINT) DIV np")
         ).alias("novelty_ppm"),
     )
     slots = track_cache(slots.persist())

@@ -9735,3 +9735,133 @@ def q350_month_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# q364 — reshard movement planner (mod-N vs consistent hashing)
+# --------------------------------------------------------------------------
+
+SHARDS_FROM = 8
+SHARDS_TO = 9
+#: virtual nodes per shard on the consistent ring
+RING_VNODES = 16
+RING_SPACE = 2**32
+
+
+def _ring_positions(n_shards: int) -> list[tuple[int, int]]:
+    """Deterministic (position, shard) vnode ring, via python md5 at
+    DEFINITION time — the ring is configuration, not data, so both
+    engines receive it as literals."""
+    import hashlib
+
+    ring = []
+    for s in range(n_shards):
+        for v in range(RING_VNODES):
+            h = hashlib.md5(f"shard{s}#v{v}".encode()).hexdigest()
+            ring.append((int(h[:8], 16), s))
+    return sorted(ring)
+
+
+def _ring_case(n_shards: int, key_expr: str) -> str:
+    """CASE expression mapping a 32-bit key position to its shard
+    (first vnode clockwise; wraps to the ring's first vnode)."""
+    ring = _ring_positions(n_shards)
+    arms = " ".join(
+        f"WHEN {key_expr} <= {pos} THEN {shard}" for pos, shard in ring
+    )
+    return f"CASE {arms} ELSE {ring[0][1]} END"
+
+
+@register(
+    "q364_reshard_planner",
+    oracle=f"""
+    WITH keys AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS kpos,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY user_id
+    ),
+    assigned AS (
+        SELECT n_rows,
+               kpos % {SHARDS_FROM} AS mod_a,
+               kpos % {SHARDS_TO} AS mod_b,
+               {_ring_case(SHARDS_FROM, "kpos")} AS ring_a,
+               {_ring_case(SHARDS_TO, "kpos")} AS ring_b
+        FROM keys
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN mod_a <> mod_b THEN n_rows ELSE 0 END)
+                AS BIGINT) AS mod_moved_rows,
+           CAST(SUM(CASE WHEN ring_a <> ring_b THEN n_rows ELSE 0 END)
+                AS BIGINT) AS ring_moved_rows,
+           CAST(1000000 * SUM(CASE WHEN mod_a <> mod_b THEN n_rows
+                                   ELSE 0 END) // SUM(n_rows) AS BIGINT)
+               AS mod_moved_ppm,
+           CAST(1000000 * SUM(CASE WHEN ring_a <> ring_b THEN n_rows
+                                   ELSE 0 END) // SUM(n_rows) AS BIGINT)
+               AS ring_moved_ppm
+    FROM assigned
+    """,
+)
+def q364_reshard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard movement planner: going from {SHARDS_FROM} to
+    {SHARDS_TO} shards, what fraction of the data MOVES under naive
+    mod-N assignment versus a consistent-hash ring
+    ({RING_VNODES} vnodes/shard)? Mod-N reassigns ~(1 − 1/N') of all
+    rows — a full-cluster rebalance; the ring moves ~1/N' — only the
+    slice the new shard takes over. This table is the capacity-
+    planning argument for consistent hashing in any keyed store,
+    stateful-stream repartition, or cache tier, measured on the
+    ACTUAL key distribution instead of asserted from theory.
+
+    Determinism: key positions and the vnode ring are md5-derived;
+    the ring is a configuration LITERAL (built at definition time, so
+    both engines evaluate the identical CASE ladder); integer row
+    counts and ppm floors.
+
+    Scale: one partial-aggregated shuffle to per-key row counts; the
+    double assignment is a map-side CASE ladder over
+    {SHARDS_TO}×{RING_VNODES} branches — at real scale the ring lives
+    in a broadcast range-join table instead of a literal, same plan
+    shape. One output row.
+
+    Reference: the data-movement face of the layout advisors (q200
+    salting, q234 partitions, q146 compaction, q328 tiering)."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("kpos"),
+        "n_rows",
+    )
+    assigned = keys.select(
+        "n_rows",
+        F.expr(f"kpos % {SHARDS_FROM}").alias("mod_a"),
+        F.expr(f"kpos % {SHARDS_TO}").alias("mod_b"),
+        F.expr(_ring_case(SHARDS_FROM, "kpos")).alias("ring_a"),
+        F.expr(_ring_case(SHARDS_TO, "kpos")).alias("ring_b"),
+    )
+    return assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("mod_a") != F.col("mod_b"), F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("mod_moved_rows"),
+        F.sum(
+            F.when(F.col("ring_a") != F.col("ring_b"), F.col("n_rows")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ring_moved_rows"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN mod_a <> mod_b THEN n_rows"
+            " ELSE 0 END) DIV SUM(n_rows) AS BIGINT)"
+        ).alias("mod_moved_ppm"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN ring_a <> ring_b THEN n_rows"
+            " ELSE 0 END) DIV SUM(n_rows) AS BIGINT)"
+        ).alias("ring_moved_ppm"),
+    )

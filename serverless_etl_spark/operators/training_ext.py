@@ -2073,3 +2073,295 @@ def q361_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# q365 — one-pass learning curve for the histogram stump
+# --------------------------------------------------------------------------
+
+#: train-fraction grid in percent (md5 percentile bands); eval = [80,100)
+LC_FRACTIONS = (10, 25, 50, 80)
+LC_EVAL_LO = 80
+
+
+def _lc_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS v, y, tier FROM labeled"
+        for name, expr in SPLIT_FEATURES
+    )
+    fr = ", ".join(str(f) for f in LC_FRACTIONS)
+    return f"""
+    WITH labeled AS (
+        SELECT l_quantity, l_discount, l_extendedprice,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                    || CAST(l_linenumber AS VARCHAR) || '|lc'), 1, 8))
+                    AS BIGINT) % 100 AS tier
+        FROM lineitem
+    ),
+    obs AS ({arms}),
+    cells AS (
+        SELECT feature, v, tier,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM obs GROUP BY feature, v, tier
+    ),
+    train_hist AS (
+        SELECT g.f, c.feature, c.v,
+               CAST(SUM(c.pos) AS BIGINT) AS pos,
+               CAST(SUM(c.neg) AS BIGINT) AS neg
+        FROM cells c
+        CROSS JOIN (SELECT unnest([{fr}]) AS f) g
+        WHERE c.tier < g.f
+        GROUP BY g.f, c.feature, c.v
+    ),
+    tot AS (
+        SELECT f, feature, CAST(SUM(pos) AS BIGINT) AS p_all,
+               CAST(SUM(neg) AS BIGINT) AS n_all
+        FROM train_hist GROUP BY f, feature
+    ),
+    cand AS (
+        SELECT h.f, h.feature, h.v AS thr,
+               CAST(SUM(h.pos) OVER w AS BIGINT) AS pl,
+               CAST(SUM(h.neg) OVER w AS BIGINT) AS nl,
+               t.p_all, t.n_all
+        FROM train_hist h JOIN tot t USING (f, feature)
+        WINDOW w AS (PARTITION BY h.f, h.feature ORDER BY h.v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT f, feature, thr, pl, nl, p_all, n_all,
+               CAST(2000000 * CAST(pl AS HUGEINT) * nl
+                    // ((p_all + n_all) * CAST(pl + nl AS HUGEINT))
+                    + 2000000 * CAST(p_all - pl AS HUGEINT) * (n_all - nl)
+                    // ((p_all + n_all)
+                        * CAST(p_all - pl + n_all - nl AS HUGEINT))
+                    AS BIGINT) AS gini_micro
+        FROM cand
+        WHERE pl + nl > 0 AND p_all - pl + n_all - nl > 0
+    ),
+    best AS (
+        SELECT f, feature, thr, gini_micro,
+               p_all + n_all AS n_train,
+               CASE WHEN 2 * pl >= pl + nl THEN 1 ELSE 0 END AS left_pred,
+               CASE WHEN 2 * (p_all - pl) >= p_all - pl + n_all - nl
+                    THEN 1 ELSE 0 END AS right_pred,
+               ROW_NUMBER() OVER (PARTITION BY f
+                   ORDER BY gini_micro, feature, thr) AS rn
+        FROM scored
+    ),
+    chosen AS (SELECT * FROM best WHERE rn = 1),
+    eval_cells AS (
+        SELECT feature, v,
+               CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(SUM(neg) AS BIGINT) AS neg
+        FROM cells WHERE tier >= {LC_EVAL_LO}
+        GROUP BY feature, v
+    ),
+    evaled AS (
+        SELECT ch.f, ch.feature, ch.thr, ch.n_train, ch.gini_micro,
+               CAST(SUM(CASE WHEN e.v <= ch.thr
+                        THEN CASE WHEN ch.left_pred = 1
+                                  THEN e.pos ELSE e.neg END
+                        ELSE CASE WHEN ch.right_pred = 1
+                                  THEN e.pos ELSE e.neg END END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(e.pos + e.neg) AS BIGINT) AS n_eval
+        FROM chosen ch JOIN eval_cells e ON e.feature = ch.feature
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(f AS INT) AS train_pct, n_train, feature,
+           thr AS best_thr, gini_micro,
+           n_eval, n_correct,
+           1000000 * n_correct // n_eval AS eval_acc_ppm
+    FROM evaled ORDER BY train_pct
+    """
+
+
+@register("q365_learning_curve", oracle=_lc_oracle())
+def q365_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve in ONE corpus pass: train q360's histogram stump
+    on nested md5-percentile subsets ({LC_FRACTIONS}% of rows), pick
+    each subset's best (feature, threshold, leaf labels), and score
+    accuracy on the held-out [{LC_EVAL_LO},100) band — the "will more
+    data help" diagnostic every training effort needs BEFORE scaling
+    up. The trick making it one-pass: histograms are built per
+    (feature, value, percentile-TIER) cell, and each train fraction's
+    histogram is a SUM over its tiers — the corpus is scanned once,
+    the fraction fan-out multiplies only bounded cells (the same
+    nesting q244's backtest folds exploit for time).
+
+    Determinism: md5 tiers, integer histograms and cumulative sweeps,
+    q360's exact micro-Gini, total argmin order, majority leaves by
+    integer comparison (ties predict positive on both engines),
+    integer accuracy ppm.
+
+    Scale: one partial-aggregated shuffle to (feature, value, tier)
+    cells; everything downstream — fraction fan-out, threshold sweep,
+    leaf labeling, evaluation join — runs on ≤ |features|·|values|·
+    |tiers| rows. Adding a fraction to the grid costs nothing at the
+    corpus.
+
+    Reference: wraps q360 (split finder) with q58's hash-split
+    discipline into the capacity-planning readout; the supervised
+    sibling of q176's vocabulary saturation curve."""
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("#"),
+                            F.col("l_linenumber").cast("string"),
+                            F.lit("|lc"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("tier"),
+    )
+    arms = F.array(
+        *[
+            F.struct(F.lit(name).alias("feature"), F.expr(expr).alias("v"))
+            for name, expr in SPLIT_FEATURES
+        ]
+    )
+    cells = (
+        labeled.select(F.explode(arms).alias("a"), "y", "tier")
+        .select("a.feature", "a.v", "tier", "y")
+        .groupBy("feature", "v", "tier")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        )
+    )
+    cells = track_cache(cells.persist())
+    grid = F.explode(F.array(*[F.lit(f) for f in LC_FRACTIONS])).alias("f")
+    train_hist = (
+        cells.select("feature", "v", "tier", "pos", "neg", grid)
+        .filter(F.col("tier") < F.col("f"))
+        .groupBy("f", "feature", "v")
+        .agg(
+            F.sum("pos").cast("bigint").alias("pos"),
+            F.sum("neg").cast("bigint").alias("neg"),
+        )
+    )
+    tot = train_hist.groupBy("f", "feature").agg(
+        F.sum("pos").cast("bigint").alias("p_all"),
+        F.sum("neg").cast("bigint").alias("n_all"),
+    )
+    w = (
+        Window.partitionBy("f", "feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = train_hist.join(tot, ["f", "feature"]).select(
+        "f",
+        "feature",
+        F.col("v").alias("thr"),
+        F.sum("pos").over(w).cast("bigint").alias("pl"),
+        F.sum("neg").over(w).cast("bigint").alias("nl"),
+        "p_all",
+        "n_all",
+    )
+    scored = cand.filter(
+        (F.col("pl") + F.col("nl") > 0)
+        & (F.col("p_all") - F.col("pl") + F.col("n_all") - F.col("nl") > 0)
+    ).select(
+        "f",
+        "feature",
+        "thr",
+        "pl",
+        "nl",
+        "p_all",
+        "n_all",
+        F.expr(
+            "CAST(2000000 * CAST(pl AS DECIMAL(38,0)) * nl"
+            " DIV ((p_all + n_all) * CAST(pl + nl AS DECIMAL(38,0)))"
+            " + 2000000 * CAST(p_all - pl AS DECIMAL(38,0)) * (n_all - nl)"
+            " DIV ((p_all + n_all)"
+            "      * CAST(p_all - pl + n_all - nl AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+    wbest = Window.partitionBy("f").orderBy(
+        "gini_micro", "feature", "thr"
+    )
+    chosen = (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "f",
+            "feature",
+            "thr",
+            "gini_micro",
+            (F.col("p_all") + F.col("n_all")).alias("n_train"),
+            F.when(2 * F.col("pl") >= F.col("pl") + F.col("nl"), 1)
+            .otherwise(0)
+            .alias("left_pred"),
+            F.when(
+                2 * (F.col("p_all") - F.col("pl"))
+                >= F.col("p_all") - F.col("pl") + F.col("n_all") - F.col("nl"),
+                1,
+            )
+            .otherwise(0)
+            .alias("right_pred"),
+        )
+    )
+    eval_cells = (
+        cells.filter(F.col("tier") >= LC_EVAL_LO)
+        .groupBy("feature", "v")
+        .agg(
+            F.sum("pos").cast("bigint").alias("pos"),
+            F.sum("neg").cast("bigint").alias("neg"),
+        )
+    )
+    evaled = (
+        chosen.join(F.broadcast(eval_cells), "feature")
+        .select(
+            "f",
+            "feature",
+            "thr",
+            "n_train",
+            "gini_micro",
+            F.when(
+                F.col("v") <= F.col("thr"),
+                F.when(F.col("left_pred") == 1, F.col("pos")).otherwise(
+                    F.col("neg")
+                ),
+            )
+            .otherwise(
+                F.when(F.col("right_pred") == 1, F.col("pos")).otherwise(
+                    F.col("neg")
+                )
+            )
+            .alias("corr"),
+            (F.col("pos") + F.col("neg")).alias("tot_e"),
+        )
+        .groupBy("f", "feature", "thr", "n_train", "gini_micro")
+        .agg(
+            F.sum("corr").cast("bigint").alias("n_correct"),
+            F.sum("tot_e").cast("bigint").alias("n_eval"),
+        )
+    )
+    return evaled.select(
+        F.col("f").cast("int").alias("train_pct"),
+        "n_train",
+        "feature",
+        F.col("thr").alias("best_thr"),
+        "gini_micro",
+        "n_eval",
+        "n_correct",
+        F.expr("1000000 * n_correct DIV n_eval").alias("eval_acc_ppm"),
+    ).orderBy("train_pct")

@@ -484,3 +484,38 @@ def test_pq_adc_recall_contract(spark):
     # an untrained 8-codeword codebook is coarse, but ADC must still
     # beat random top-5 out of ~500 candidates (expected ~0.05 hits/q)
     assert total_hits >= 2
+
+
+# --------------------------------------------------------------------------
+# q364 — reshard planner
+# --------------------------------------------------------------------------
+
+
+def test_reshard_planner_movement_theory(spark):
+    r = registry.QUERIES["q364_reshard_planner"](spark, SF_MID).collect()[0]
+    assert r["mod_moved_rows"] + r["ring_moved_rows"] <= 2 * r["n_rows"]
+    # mod-N reassigns ~(1 - 1/9) ≈ 889k ppm; the ring ~1/9 ≈ 111k ppm
+    assert 750_000 < r["mod_moved_ppm"] <= 1_000_000
+    assert 30_000 < r["ring_moved_ppm"] < 300_000
+    assert r["ring_moved_ppm"] < r["mod_moved_ppm"] // 3
+
+
+# --------------------------------------------------------------------------
+# q365 — learning curve
+# --------------------------------------------------------------------------
+
+
+def test_learning_curve_shape(spark):
+    rows = registry.QUERIES["q365_learning_curve"](spark, SF_MID).collect()
+    by_f = {r["train_pct"]: r for r in rows}
+    assert set(by_f) == {10, 25, 50, 80}
+    # nested subsets: train sizes strictly increase with the fraction
+    sizes = [by_f[f]["n_train"] for f in (10, 25, 50, 80)]
+    assert sizes == sorted(sizes) and sizes[0] < sizes[-1]
+    # every model is evaluated on the SAME held-out band
+    assert len({r["n_eval"] for r in rows}) == 1
+    for r in rows:
+        assert 0 < r["eval_acc_ppm"] <= 1_000_000
+        # a stump must at least match the majority-class baseline on
+        # train-gini terms: gini after split ≤ 500000 (the max)
+        assert r["gini_micro"] <= 500_000

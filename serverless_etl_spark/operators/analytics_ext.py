@@ -9865,3 +9865,127 @@ def q364_reshard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END) DIV SUM(n_rows) AS BIGINT)"
         ).alias("ring_moved_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q367 — watermark delay advisor from event-time disorder
+# --------------------------------------------------------------------------
+
+#: arrival jitter half-range (µs): events reach the pipeline within
+#: ±60 s of their event time (md5-deterministic network/queue delay —
+#: the fixtures' event_id order is already time-sorted, i.e. zero
+#: disorder, so the advisor models the jitter an ingest path adds)
+WM_JITTER_US = 60_000_000
+#: arrival-time window that stands in for a micro-batch (10 min)
+WM_ARRIVAL_BUCKET_US = 600_000_000
+
+
+@register(
+    "q367_watermark_advisor",
+    oracle=f"""
+    WITH ev AS (
+        SELECT (epoch_us(ts)
+                + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                       || '|arr'), 1, 8)) AS BIGINT)
+                  % (2 * {WM_JITTER_US}) - {WM_JITTER_US})
+               // {WM_ARRIVAL_BUCKET_US} AS b,
+               epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    bmax AS (
+        SELECT b, CAST(MAX(ts_us) AS BIGINT) AS bm FROM ev GROUP BY b
+    ),
+    hwm AS (
+        SELECT b, CAST(MAX(bm) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS h
+        FROM bmax
+    ),
+    lags AS (
+        SELECT CASE WHEN h IS NULL OR ts_us >= h THEN 0
+                    ELSE h - ts_us END AS lag_us
+        FROM ev JOIN hwm USING (b)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(1000000 * SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS late_ppm,
+           CAST(FLOOR(quantile_cont(CAST(lag_us AS DOUBLE), 0.95))
+                AS BIGINT) AS p95_lag_us,
+           CAST(FLOOR(quantile_cont(CAST(lag_us AS DOUBLE), 0.99))
+                AS BIGINT) AS p99_lag_us,
+           CAST(FLOOR(quantile_cont(CAST(lag_us AS DOUBLE), 0.999))
+                AS BIGINT) AS p999_lag_us
+    FROM lags
+    """,
+)
+def q367_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark delay advisor: measure the stream's ACTUAL event-time
+    disorder and report the lag quantiles that become
+    `withWatermark(delay)` settings — delay ≥ p99 lag keeps 99% of
+    late rows, p999 keeps 99.9%, and anything arriving later than the
+    chosen delay is silently dropped by Spark, so this table IS the
+    completeness/latency trade-off. Disorder is judged the
+    scale-safe way: each event compares against the high-watermark of
+    strictly EARLIER arrival windows (10-minute buckets of a
+    deterministic md5-jittered arrival time — the fixtures' raw order
+    is time-sorted, so ±60 s ingest jitter stands in for the
+    network/queue delay a real pipeline adds), not a per-row running
+    max, so no global sort of events ever happens — the same
+    earlier-batches discipline the streaming lateness_gate applies
+    online; this is its batch-side planning twin.
+
+    Determinism: integer µs lags (on-time rows count as lag 0),
+    integer late counts, the engines' shared interpolated-percentile
+    definition (q37-pinned) floored to whole µs.
+
+    Scale: one partial-aggregated pass to |buckets| cells, a bounded
+    cumulative-max window over those cells, a broadcast join back,
+    and one aggregate. The exact pooled percentile is the q103
+    posture (route to q73's approx boundaries past reducer scale).
+
+    Reference: tunes ST4 (watermark/late data) with data instead of
+    folklore; consumes the same signal streaming/lateness_gate.py
+    monitors in production."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            f"(unix_micros(ts)"
+            f" + CAST(conv(substring(md5(concat(CAST(event_id AS STRING),"
+            f" '|arr')), 1, 8), 16, 10) AS BIGINT)"
+            f" % (2 * {WM_JITTER_US}) - {WM_JITTER_US})"
+            f" DIV {WM_ARRIVAL_BUCKET_US}"
+        ).alias("b"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    bmax = ev.groupBy("b").agg(F.max("ts_us").cast("bigint").alias("bm"))
+    wh = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hwm = bmax.select(
+        "b", F.max("bm").over(wh).cast("bigint").alias("h")
+    )
+    lags = ev.join(F.broadcast(hwm), "b").select(
+        F.when(
+            F.col("h").isNull() | (F.col("ts_us") >= F.col("h")), F.lit(0)
+        )
+        .otherwise(F.col("h") - F.col("ts_us"))
+        .alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("late_ppm"),
+        F.floor(F.percentile(F.col("lag_us").cast("double"), F.lit(0.95)))
+        .cast("bigint")
+        .alias("p95_lag_us"),
+        F.floor(F.percentile(F.col("lag_us").cast("double"), F.lit(0.99)))
+        .cast("bigint")
+        .alias("p99_lag_us"),
+        F.floor(F.percentile(F.col("lag_us").cast("double"), F.lit(0.999)))
+        .cast("bigint")
+        .alias("p999_lag_us"),
+    )

@@ -1420,3 +1420,127 @@ def q356_chunking_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_size", "overlap")
     )
+
+
+# --------------------------------------------------------------------------
+# q366 — language-ID confusion matrix (evaluating q33 against labels)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q366_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_label,
+           {_lang_scores_sql()}
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang_label,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+        FROM scored
+    ),
+    cm AS (
+        SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang_label, lang_pred
+    ),
+    margins AS (
+        SELECT lang_label, lang_pred, n,
+               CAST(SUM(n) OVER (PARTITION BY lang_label) AS BIGINT)
+                   AS n_true,
+               CAST(SUM(n) OVER (PARTITION BY lang_pred) AS BIGINT)
+                   AS n_pred
+        FROM cm
+    )
+    SELECT lang_label, lang_pred, n,
+           1000000 * n // n_true AS recall_ppm,
+           1000000 * n // n_pred AS precision_ppm,
+           CAST(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END AS INT)
+               AS is_correct
+    FROM margins
+    ORDER BY lang_label, lang_pred
+    """,
+)
+def q366_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the q33 language identifier against the
+    corpus's OWN language labels — per (true, predicted) cell counts
+    with per-cell recall (row-normalized) and precision
+    (column-normalized) — the eval loop that turns a heuristic
+    classifier into a monitored component: which languages the
+    stopword scorer confuses, and in which direction, is exactly what
+    decides whether a corpus needs a heavier model before routing.
+    (The house pattern of shipping an operator WITH its evaluator:
+    q120 for q50, q177 for q41, q357 for embeddings — here for q33.)
+
+    Determinism: q33's argmax with its fixed tie-break, integer cell
+    counts, ppm floor divisions over window margins.
+
+    Scale: one corpus pass scores and collapses to |langs|² cells
+    map-side; margins and rates run over those cells only.
+
+    Reference: evaluates q33 (SURVEY §2 text analysis); the
+    categorical sibling of q294's threshold-free AUC."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+
+    def _hits(words):
+        ws = list(words)
+        return F.size(F.filter(toks, lambda x: x.isin(ws)))
+
+    s = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0)
+            & (s["fr"] == 0) & (s["zh"] == 0),
+            "und",
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when(
+            (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    cm = (
+        docs.select(
+            F.col("lang").alias("lang_label"), pred.alias("lang_pred")
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wl = Window.partitionBy("lang_label")
+    wp = Window.partitionBy("lang_pred")
+    return (
+        cm.select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            F.sum("n").over(wl).cast("bigint").alias("n_true"),
+            F.sum("n").over(wp).cast("bigint").alias("n_pred"),
+        )
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            F.expr("1000000 * n DIV n_true").alias("recall_ppm"),
+            F.expr("1000000 * n DIV n_pred").alias("precision_ppm"),
+            F.when(F.col("lang_label") == F.col("lang_pred"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )

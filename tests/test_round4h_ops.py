@@ -519,3 +519,45 @@ def test_learning_curve_shape(spark):
         # a stump must at least match the majority-class baseline on
         # train-gini terms: gini after split ≤ 500000 (the max)
         assert r["gini_micro"] <= 500_000
+
+
+# --------------------------------------------------------------------------
+# q366 — lang-ID confusion
+# --------------------------------------------------------------------------
+
+
+def test_langid_confusion_margins(spark):
+    rows = registry.QUERIES["q366_langid_confusion"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    # recall sums to 1e6 (±floor) within each true-language row
+    from collections import defaultdict as dd
+
+    rec = dd(int)
+    for r in rows:
+        rec[r["lang_label"]] += r["recall_ppm"]
+        assert (r["is_correct"] == 1) == (r["lang_label"] == r["lang_pred"])
+    for lang, s in rec.items():
+        assert 1_000_000 - len(rows) <= s <= 1_000_000
+    # the heuristic identifier must beat uniform chance over the 5
+    # label languages (it is a stopword scorer, not a model — ~40%
+    # accuracy on these fixtures)
+    n_diag = sum(r["n"] for r in rows if r["is_correct"])
+    n_all = sum(r["n"] for r in rows)
+    assert n_diag * 5 > n_all
+
+
+# --------------------------------------------------------------------------
+# q367 — watermark advisor
+# --------------------------------------------------------------------------
+
+
+def test_watermark_advisor_quantile_ordering(spark):
+    r = registry.QUERIES["q367_watermark_advisor"](spark, SF_MID).collect()[0]
+    assert r["n_late"] <= r["n_events"]
+    assert 0 <= r["late_ppm"] <= 1_000_000
+    # quantiles are monotone and nonnegative
+    assert 0 <= r["p95_lag_us"] <= r["p99_lag_us"] <= r["p999_lag_us"]
+    # the fixtures interleave event times across ids → disorder exists
+    assert r["n_late"] > 0 and r["p999_lag_us"] > 0

@@ -9989,3 +9989,122 @@ def q367_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p999_lag_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q368 — frequent triples (the Apriori step above q196's pairs)
+# --------------------------------------------------------------------------
+
+TRIPLE_MIN_SUPPORT = 2
+TRIPLE_TOP = 50
+
+
+@register(
+    "q368_frequent_triples",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    n_baskets AS (
+        SELECT CAST(COUNT(DISTINCT k) AS HUGEINT) AS nb FROM b
+    ),
+    item AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS s1 FROM b GROUP BY p
+    ),
+    triples AS (
+        SELECT a.p AS p1, c.p AS p2, d.p AS p3,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM b a
+        JOIN b c ON c.k = a.k AND c.p > a.p
+        JOIN b d ON d.k = a.k AND d.p > c.p
+        GROUP BY a.p, c.p, d.p
+        HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+    )
+    SELECT t.p1, t.p2, t.p3, t.support,
+           -- triple lift = support·nb² / (s1(p1)·s1(p2)·s1(p3)),
+           -- exact cross products floored to micro
+           CAST(CAST(t.support AS HUGEINT) * nb.nb * nb.nb * 1000000
+                // (CAST(i1.s1 AS HUGEINT) * i2.s1 * i3.s1) AS BIGINT)
+               AS lift_micro
+    FROM triples t
+    JOIN item i1 ON i1.p = t.p1
+    JOIN item i2 ON i2.p = t.p2
+    JOIN item i3 ON i3.p = t.p3
+    CROSS JOIN n_baskets nb
+    ORDER BY t.support DESC, lift_micro DESC, t.p1, t.p2, t.p3
+    LIMIT {TRIPLE_TOP}
+    """,
+)
+def q368_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with triple lift — the market-basket depth
+    q196's pairs can't see (bundle design and shelf placement need
+    "A+B+C move together", and a strong pair with an incidental third
+    item is a different decision than a genuine trio). Triple lift =
+    P(abc)/(P(a)P(b)P(c)) says how far beyond independence the trio
+    co-occurs; support ranks reliability.
+
+    Arithmetic: support counts are exact; lift clears all three
+    denominators into one cross product (support·n²·10⁶ over
+    s₁s₂s₃ — HUGEINT/DECIMAL(38,0); the float form would divide three
+    times and drift).
+
+    Determinism: integer counts, single floor division, total
+    (support, lift, ids) output order.
+
+    Scale: the 3-way basket self-join fans out by C(basket,3) — the
+    q185 basket-size profile bounds it (TPC-H baskets ≤ 7 lines →
+    ≤35 triples/basket, linear in rows in practice). Past that, the
+    Apriori route composes from q196: join frequent PAIRS sharing a
+    prefix, prune candidates against the pair set, then count — same
+    engine shapes, one more round (the q351/q353 bounded-iteration
+    pattern). Min-support pruning happens inside the counting
+    aggregate either way.
+
+    Reference: extends the association family (q196 pair rules, q330
+    sequential rules, q131 co-occurrence) one lattice level up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = track_cache(b.persist())
+    nb = b.select("k").distinct().count()
+    item = b.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("s1"))
+    a = b.select("k", F.col("p").alias("p1"))
+    c = b.select("k", F.col("p").alias("p2"))
+    d = b.select("k", F.col("p").alias("p3"))
+    triples = (
+        a.join(c, "k")
+        .filter(F.col("p2") > F.col("p1"))
+        .join(d, "k")
+        .filter(F.col("p3") > F.col("p2"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("s1").alias("sa"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("s1").alias("sb"))
+    i3 = item.select(F.col("p").alias("p3"), F.col("s1").alias("sc"))
+    return (
+        triples.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .join(F.broadcast(i3), "p3")
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "support",
+            F.expr(
+                f"CAST(CAST(support AS DECIMAL(38,0))"
+                f" * {nb} * {nb} * 1000000"
+                f" DIV (CAST(sa AS DECIMAL(38,0)) * sb * sc) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(
+            F.col("support").desc(),
+            F.col("lift_micro").desc(),
+            "p1",
+            "p2",
+            "p3",
+        )
+        .limit(TRIPLE_TOP)
+    )

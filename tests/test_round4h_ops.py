@@ -561,3 +561,35 @@ def test_watermark_advisor_quantile_ordering(spark):
     assert 0 <= r["p95_lag_us"] <= r["p99_lag_us"] <= r["p999_lag_us"]
     # the fixtures interleave event times across ids → disorder exists
     assert r["n_late"] > 0 and r["p999_lag_us"] > 0
+
+
+# --------------------------------------------------------------------------
+# q368 — frequent triples
+# --------------------------------------------------------------------------
+
+
+def test_frequent_triples_contract(spark):
+    rows = registry.QUERIES["q368_frequent_triples"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    con = _duck(SF_MID)
+    for r in rows[:5]:
+        # support replay: the trio really co-occurs in that many baskets
+        got = con.execute(
+            """
+            SELECT COUNT(*) FROM (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_partkey IN (?, ?, ?)
+                GROUP BY l_orderkey
+                HAVING COUNT(DISTINCT l_partkey) = 3
+            )
+            """,
+            [r["p1"], r["p2"], r["p3"]],
+        ).fetchone()[0]
+        assert r["support"] == got
+        assert r["p1"] < r["p2"] < r["p3"]
+        assert r["support"] >= 2
+        # a frequent trio among thousands of parts is far beyond
+        # independence
+        assert r["lift_micro"] > 1_000_000

@@ -94,6 +94,7 @@ BNLJ_ALLOWED = {
     "q362_robust_ab",             # one-row pooled-percentile bounds broadcast
     "q363_pq_adc",                # exact-scan recall baseline (q50 posture)
                                   # + broadcast codebook/LUT joins
+    "q359_fingerprint_match",     # 3×3 column-fingerprint grid broadcast
 }
 
 
@@ -214,7 +215,10 @@ SCAN_BUDGETS = {
     "q219_reco_hitrate": 16,          # 1 real scan: persisted basket
                                      # table reprints per train/test ref
     "q220_degree_distribution": 12,   # 1 real scan: persisted edges reprint
-    "q221_weighted_jaccard": 8,      # 1 real scan: persisted token table
+    "q221_weighted_jaccard": 10,     # 1 real scan: persisted token table
+                                     # (+2 reprints from the explicit
+                                     # pair-list fix for token-disjoint
+                                     # adjacent pairs)
     "q222_data_contracts": 4,        # one fused scan per audited table
     "q223_bm25": 8,                  # 1 real scan: persisted lengths
     "q224_calendar_dim": 1,

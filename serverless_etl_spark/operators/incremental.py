@@ -24,6 +24,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..registry import register
@@ -568,4 +569,197 @@ def q296_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_capped bigint, total_in bigint, total_out bigint",
         )
         .orderBy("l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q369 — mergeable quantile rollup (histogram partials → global quantiles)
+# --------------------------------------------------------------------------
+
+QR_BINS = 64
+QR_QUANTILES = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+@register(
+    "q369_quantile_rollup",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+        -- equi-width bin per row; the top edge folds into the last bin
+        SELECT CASE WHEN value >= hi THEN {QR_BINS - 1}
+                    ELSE CAST(FLOOR((value - lo) / (hi - lo) * {QR_BINS})
+                         AS BIGINT) END AS b
+        FROM events CROSS JOIN bounds
+    ),
+    hist AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY b
+    ),
+    cum AS (
+        SELECT b, c,
+               COALESCE(CAST(SUM(c) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cb,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    targets AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({p}, '{lbl}')" for p, lbl in QR_QUANTILES)}
+        ) AS t(p, q_label)
+    ),
+    picked AS (
+        SELECT t.p, t.q_label, c.b, c.c, c.cb, c.n,
+               ROW_NUMBER() OVER (PARTITION BY t.p ORDER BY c.b) AS rn
+        FROM targets t JOIN cum c
+          ON c.cb + c.c >= (t.p * c.n + 99) // 100
+    ),
+    est AS (
+        SELECT p, q_label,
+               FLOOR((bo.lo + (CAST(b AS DOUBLE)
+                       + (CAST((p * n + 99) // 100 - cb AS DOUBLE)
+                          / CAST(c AS DOUBLE)))
+                      * (bo.hi - bo.lo) / {QR_BINS}) * 1000000) / 1000000
+                   AS est_q
+        FROM picked CROSS JOIN bounds bo WHERE rn = 1
+    ),
+    exact AS (
+        {" UNION ALL ".join(
+            f"SELECT {p} AS p,"
+            f" FLOOR(quantile_cont(value, {p / 100.0}) * 1000000) / 1000000"
+            f" AS exact_q FROM events"
+            for p, _ in QR_QUANTILES
+        )}
+    )
+    SELECT e.q_label, e.est_q, x.exact_q,
+           FLOOR(abs(e.est_q - x.exact_q) * 1000000) / 1000000 AS abs_err
+    FROM est e JOIN exact x USING (p)
+    ORDER BY e.q_label
+    """,
+)
+def q369_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup: per-partition equi-width histogram
+    PARTIALS merge by bin addition into a global histogram, and
+    quantiles read off the merged cumulative counts with within-bin
+    interpolation — the only quantile shape that survives incremental
+    maintenance (q75's mergeable-partial contract: yesterday's
+    histogram + today's partial = the new state; exact percentiles
+    would re-sort history). The operator reports each estimate BESIDE
+    the exact percentile with its absolute error, so the bin-count
+    knob ({QR_BINS}) is chosen against measured error, not faith —
+    the q120/q366 ship-the-evaluator pattern applied to q73's
+    approx-vs-exact trade.
+
+    Determinism: bin ids from one IEEE division tree (top edge folded
+    into the last bin), integer bin counts and cumulative sums,
+    discrete target rank ceil(p·n/100) via integer arithmetic,
+    interpolation as a fixed float tree over integers, floor-trunc at
+    1e-6.
+
+    Scale: the histogram partial-combines map-side to ≤{QR_BINS}
+    bins — the global state is {QR_BINS} integers regardless of
+    volume; bounds are a one-row broadcast (BNLJ-allowlisted; at
+    scale, table-stats supply them). The exact side exists only for
+    the error report (q103's bounded-percentile posture).
+
+    Reference: completes the incremental family (q75 decimal+HLL
+    partials, q305 KMV rollup, q309 sketch windows) with the
+    quantile member."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("value") >= F.col("hi"), QR_BINS - 1)
+        .otherwise(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * QR_BINS
+            ).cast("bigint")
+        )
+        .alias("b")
+    )
+    hist = binned.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "b",
+        "c",
+        F.coalesce(F.sum("c").over(wc).cast("bigint"), F.lit(0)).alias("cb"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("p"), F.lit(lbl).alias("q_label"))
+                for p, lbl in QR_QUANTILES
+            ]
+        )
+    )
+    picked = (
+        cum.select("b", "c", "cb", "n", targets.alias("t"))
+        .select("b", "c", "cb", "n", "t.p", "t.q_label")
+        .filter(
+            F.col("cb") + F.col("c")
+            >= F.expr("(p * n + 99) DIV 100")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("p").orderBy("b")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = picked.crossJoin(F.broadcast(bounds)).select(
+        "p",
+        "q_label",
+        (
+            F.floor(
+                (
+                    F.col("lo")
+                    + (
+                        F.col("b").cast("double")
+                        + (
+                            F.expr(
+                                "CAST((p * n + 99) DIV 100 - cb AS DOUBLE)"
+                            )
+                            / F.col("c").cast("double")
+                        )
+                    )
+                    * (F.col("hi") - F.col("lo"))
+                    / QR_BINS
+                )
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("est_q"),
+    )
+    exact = None
+    for p, _ in QR_QUANTILES:
+        row = ev.agg(
+            F.lit(p).alias("p"),
+            (
+                F.floor(
+                    F.percentile(F.col("value"), F.lit(p / 100.0))
+                    * 1_000_000
+                )
+                / 1_000_000
+            ).alias("exact_q"),
+        )
+        exact = row if exact is None else exact.unionAll(row)
+    return (
+        est.join(F.broadcast(exact), "p")
+        .select(
+            "q_label",
+            "est_q",
+            "exact_q",
+            (
+                F.floor(F.abs(F.col("est_q") - F.col("exact_q")) * 1_000_000)
+                / 1_000_000
+            ).alias("abs_err"),
+        )
+        .orderBy("q_label")
     )

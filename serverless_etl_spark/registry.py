@@ -96,7 +96,7 @@ _SWEEP_PRIORITY = [
     "q361_leakage_screen", "q362_robust_ab", "q363_pq_adc",
     "q364_reshard_planner", "q365_learning_curve",
     "q366_langid_confusion", "q367_watermark_advisor",
-    "q368_frequent_triples",
+    "q368_frequent_triples", "q369_quantile_rollup",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

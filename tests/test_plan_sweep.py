@@ -95,6 +95,8 @@ BNLJ_ALLOWED = {
     "q363_pq_adc",                # exact-scan recall baseline (q50 posture)
                                   # + broadcast codebook/LUT joins
     "q359_fingerprint_match",     # 3×3 column-fingerprint grid broadcast
+    "q369_quantile_rollup",       # one-row bounds + 3-row exact-quantile
+                                  # broadcasts
 }
 
 

@@ -593,3 +593,26 @@ def test_frequent_triples_contract(spark):
         # a frequent trio among thousands of parts is far beyond
         # independence
         assert r["lift_micro"] > 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q369 — quantile rollup
+# --------------------------------------------------------------------------
+
+
+def test_quantile_rollup_error_bound(spark):
+    rows = registry.QUERIES["q369_quantile_rollup"](spark, SF_MID).collect()
+    by_l = {r["q_label"]: r for r in rows}
+    assert set(by_l) == {"p50", "p90", "p99"}
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT MIN(value), MAX(value) FROM '{SF_MID}/events.parquet'"
+    ).fetchone()
+    bin_w = (hi - lo) / 64
+    for r in rows:
+        # estimates bracket the exact value within ~2 bin widths (one
+        # for the discrete rank, one for within-bin interpolation)
+        assert r["abs_err"] <= 2 * bin_w
+        assert lo <= r["est_q"] <= hi
+    # quantile estimates are monotone
+    assert by_l["p50"]["est_q"] <= by_l["p90"]["est_q"] <= by_l["p99"]["est_q"]

@@ -10108,3 +10108,285 @@ def q368_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(TRIPLE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# q370 — bivariate Mahalanobis outliers (exact 2×2 closed form)
+# --------------------------------------------------------------------------
+
+MAHAL_TOP = 25
+
+
+@register(
+    "q370_mahalanobis_outliers",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT l_orderkey AS o,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM per_order
+    ),
+    cov AS (
+        -- n²-scaled central second moments (exact integers):
+        -- Sxx = n·Σx² − (Σx)², etc.
+        SELECT n, sx, sy,
+               n * sxx - sx * sx AS cxx,
+               n * sxy - sx * sy AS cxy,
+               n * syy - sy * sy AS cyy
+        FROM m
+    ),
+    scored AS (
+        -- with n-scaled deviations dx = n·x − Σx and n-scaled second
+        -- moments cxx = n·Σx² − (Σx)², the n⁴ factors cancel exactly:
+        -- d² = (cyy·dx² − 2·cxy·dx·dy + cxx·dy²) / (cxx·cyy − cxy²).
+        -- Every term is an exact integer; det > 0 off degenerate data
+        SELECT p.o, p.x, p.y,
+               c.cyy * (c.n * p.x - c.sx) * (c.n * p.x - c.sx)
+               - 2 * c.cxy * (c.n * p.x - c.sx) * (c.n * p.y - c.sy)
+               + c.cxx * (c.n * p.y - c.sy) * (c.n * p.y - c.sy)
+                   AS num,
+               c.cxx * c.cyy - c.cxy * c.cxy AS det
+        FROM per_order p CROSS JOIN cov c
+    )
+    SELECT o AS orderkey, x AS n_lines, y AS total_qty,
+           FLOOR(CAST(num AS DOUBLE) / CAST(det AS DOUBLE) * 1000000)
+               / 1000000 AS d2
+    FROM scored
+    ORDER BY CAST(num AS DOUBLE) / CAST(det AS DOUBLE) DESC, o
+    LIMIT {MAHAL_TOP}
+    """,
+)
+def q370_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outliers: orders whose (line count, total
+    quantity) pair is far from the joint distribution IN ITS OWN
+    METRIC — correlation-aware, so an order that is large on both
+    axes (normal, the axes correlate) scores low while one with many
+    lines but tiny quantities (structurally weird) scores high; the
+    per-axis z-scores q92 computes cannot see that difference. The
+    2×2 inverse is closed-form, so
+    d² = (S_yy·dx² − 2·S_xy·dx·dy + S_xx·dy²)/(det·n) evaluates with
+    NO matrix library.
+
+    Arithmetic: n-scaled deviations (n·x − Σx) clear every mean; the
+    quadratic form's numerator and the det·n² denominator are exact
+    HUGEINT/DECIMAL(38,0) integers (third-power-of-n magnitudes —
+    int64 dies at ~100k orders), ranked by a single identical IEEE
+    division; d² floor-truncs at 1e-6.
+
+    Determinism: integer moments, integer quadratic forms, one
+    division, (score, key) total order.
+
+    Scale: one shuffle to per-order pairs, a one-row moment aggregate
+    broadcast back (BNLJ-allowlisted), map-side scoring, TakeOrdered
+    top-{MAHAL_TOP}. The d-dimensional generalization wants a real
+    solver; for the 2-3 monitored measures a dashboard actually
+    pairs, closed form is the right tool.
+
+    Reference: the correlation-aware upgrade of q92 (z-score) and
+    q117 (centroid distance); q151's correlation matrix tells you
+    WHICH pair to monitor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("y"),
+    )
+    m = per_order.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    cov = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+    )
+    scored = per_order.crossJoin(F.broadcast(cov)).select(
+        "o",
+        "x",
+        "y",
+        F.expr(
+            "cyy * (n * x - sx) * (n * x - sx)"
+            " - 2 * cxy * (n * x - sx) * (n * y - sy)"
+            " + cxx * (n * y - sy) * (n * y - sy)"
+        ).alias("num"),
+        F.expr("cxx * cyy - cxy * cxy").alias("det"),
+    )
+    ratio = F.col("num").cast("double") / F.col("det").cast("double")
+    return (
+        scored.select(
+            F.col("o").alias("orderkey"),
+            F.col("x").alias("n_lines"),
+            F.col("y").alias("total_qty"),
+            (F.floor(ratio * 1_000_000) / 1_000_000).alias("d2"),
+            ratio.alias("__r"),
+        )
+        .orderBy(F.col("__r").desc(), "orderkey")
+        .drop("__r")
+        .limit(MAHAL_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# q371 — task-placement planner (sorted serpentine vs hash assignment)
+# --------------------------------------------------------------------------
+
+SCHED_WORKERS = 8
+
+
+@register(
+    "q371_task_scheduler",
+    oracle=f"""
+    WITH tasks AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT sz,
+               ROW_NUMBER() OVER (ORDER BY sz DESC, event_type, d) - 1
+                   AS r,
+               CAST(('0x' || substr(md5(event_type || '|'
+                    || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {SCHED_WORKERS} AS w_hash
+        FROM tasks
+    ),
+    assigned AS (
+        SELECT sz, w_hash,
+               CASE WHEN (r // {SCHED_WORKERS}) % 2 = 0
+                    THEN r % {SCHED_WORKERS}
+                    ELSE {SCHED_WORKERS - 1} - (r % {SCHED_WORKERS}) END
+                   AS w_serp
+        FROM ranked
+    ),
+    serp AS (
+        SELECT w_serp AS worker, CAST(COUNT(*) AS BIGINT) AS n_serp,
+               CAST(SUM(sz) AS BIGINT) AS load_serp
+        FROM assigned GROUP BY w_serp
+    ),
+    hsh AS (
+        SELECT w_hash AS worker, CAST(COUNT(*) AS BIGINT) AS n_hash,
+               CAST(SUM(sz) AS BIGINT) AS load_hash
+        FROM assigned GROUP BY w_hash
+    ),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS t FROM tasks)
+    SELECT s.worker, s.n_serp, s.load_serp,
+           COALESCE(h.n_hash, 0) AS n_hash,
+           COALESCE(h.load_hash, 0) AS load_hash,
+           {SCHED_WORKERS} * 1000000 * s.load_serp // t.t
+               AS serp_load_ppm_of_ideal,
+           {SCHED_WORKERS} * 1000000 * COALESCE(h.load_hash, 0) // t.t
+               AS hash_load_ppm_of_ideal
+    FROM serp s LEFT JOIN hsh h ON h.worker = s.worker
+    CROSS JOIN tot t
+    ORDER BY s.worker
+    """,
+)
+def q371_task_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task-placement planner: assign heterogeneous task sizes (the
+    (event_type, day) partition row counts — exactly the units a
+    backfill schedules) to {SCHED_WORKERS} workers two ways and
+    compare per-worker loads against the ideal — HASH placement (what
+    a default partitioner does: big tasks land wherever md5 says) vs
+    SORTED SERPENTINE (size-descending boustrophedon: 1..N then N..1,
+    the classic LPT approximation that needs only a sort). The ppm-
+    of-ideal columns read directly as straggler factors: 2,000,000
+    means that worker finishes in 2× the ideal makespan — the number
+    that explains why "some executors are slow" is usually a
+    PLACEMENT property, not a hardware one.
+
+    Determinism: integer task sizes, total (size, key) rank order,
+    md5 hash placement, integer loads and ppm floors.
+
+    Scale: tasks collapse map-side to |types|×|days| cells; the rank
+    window runs over those bounded cells; both assignments are pure
+    arithmetic on the rank/hash. This PLANS placement from metadata —
+    the runtime twin is AQE's skew split (session.py), which fixes
+    what placement didn't.
+
+    Reference: the scheduling face of the advisor family (q200
+    salting, q234 partitions, q260 broadcast, q364 resharding)."""
+    ev = load_table(spark, sf_dir, "events")
+    tasks = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    ranked = tasks.select(
+        "sz",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("sz").desc(), "event_type", "d")
+            )
+            - 1
+        ).alias("r"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_type"),
+                            F.lit("|"),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % SCHED_WORKERS
+        ).alias("w_hash"),
+    )
+    assigned = ranked.select(
+        "sz",
+        "w_hash",
+        F.expr(
+            f"CASE WHEN (r DIV {SCHED_WORKERS}) % 2 = 0"
+            f" THEN r % {SCHED_WORKERS}"
+            f" ELSE {SCHED_WORKERS - 1} - (r % {SCHED_WORKERS}) END"
+        ).alias("w_serp"),
+    )
+    serp = assigned.groupBy(F.col("w_serp").alias("worker")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_serp"),
+        F.sum("sz").cast("bigint").alias("load_serp"),
+    )
+    hsh = assigned.groupBy(F.col("w_hash").alias("worker")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hash"),
+        F.sum("sz").cast("bigint").alias("load_hash"),
+    )
+    tot = tasks.agg(F.sum("sz").cast("bigint").alias("t"))
+    return (
+        serp.join(hsh, "worker", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "worker",
+            "n_serp",
+            "load_serp",
+            F.coalesce("n_hash", F.lit(0)).cast("bigint").alias("n_hash"),
+            F.coalesce("load_hash", F.lit(0))
+            .cast("bigint")
+            .alias("load_hash"),
+            F.expr(
+                f"{SCHED_WORKERS} * 1000000 * load_serp DIV t"
+            ).alias("serp_load_ppm_of_ideal"),
+            F.expr(
+                f"{SCHED_WORKERS} * 1000000"
+                f" * COALESCE(load_hash, 0) DIV t"
+            ).alias("hash_load_ppm_of_ideal"),
+        )
+        .orderBy("worker")
+    )

@@ -97,6 +97,8 @@ BNLJ_ALLOWED = {
     "q359_fingerprint_match",     # 3×3 column-fingerprint grid broadcast
     "q369_quantile_rollup",       # one-row bounds + 3-row exact-quantile
                                   # broadcasts
+    "q370_mahalanobis_outliers",  # one-row moment aggregate broadcast
+    "q371_task_scheduler",        # one-row total-load broadcast
 }
 
 

@@ -616,3 +616,52 @@ def test_quantile_rollup_error_bound(spark):
         assert lo <= r["est_q"] <= hi
     # quantile estimates are monotone
     assert by_l["p50"]["est_q"] <= by_l["p90"]["est_q"] <= by_l["p99"]["est_q"]
+
+
+# --------------------------------------------------------------------------
+# q370 — Mahalanobis outliers
+# --------------------------------------------------------------------------
+
+
+def test_mahalanobis_outliers_numpy_replay(spark):
+    rows = registry.QUERIES["q370_mahalanobis_outliers"](
+        spark, SF_MID
+    ).collect()
+    assert len(rows) == 25
+    import numpy as np
+
+    con = _duck(SF_MID)
+    xy = np.array(
+        con.execute(
+            "SELECT COUNT(*), SUM(CAST(l_quantity AS BIGINT))"
+            " FROM lineitem GROUP BY l_orderkey"
+        ).fetchall(),
+        dtype=float,
+    )
+    cov = np.cov(xy.T, bias=True)
+    inv = np.linalg.inv(cov)
+    mu = xy.mean(axis=0)
+    d2 = [float((v - mu) @ inv @ (v - mu)) for v in xy]
+    d2.sort(reverse=True)
+    top = [r["d2"] for r in rows]
+    for got, want in zip(top, d2[:25]):
+        assert abs(got - want) < 1e-3
+    assert top == sorted(top, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# q371 — task scheduler
+# --------------------------------------------------------------------------
+
+
+def test_task_scheduler_serpentine_beats_hash(spark):
+    rows = registry.QUERIES["q371_task_scheduler"](spark, SF_MID).collect()
+    assert len(rows) == 8
+    total = sum(r["load_serp"] for r in rows)
+    assert sum(r["load_hash"] for r in rows) == total  # conservation
+    serp_max = max(r["serp_load_ppm_of_ideal"] for r in rows)
+    hash_max = max(r["hash_load_ppm_of_ideal"] for r in rows)
+    # sorted serpentine's makespan must beat (or tie) hash placement
+    assert serp_max <= hash_max
+    # and must sit close to the ideal on near-uniform task sizes
+    assert serp_max < 1_200_000

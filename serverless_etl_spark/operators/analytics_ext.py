@@ -10390,3 +10390,113 @@ def q371_task_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("worker")
     )
+
+
+# --------------------------------------------------------------------------
+# q372 — tail attribution (who owns the p99)
+# --------------------------------------------------------------------------
+
+TAIL_PCT = 99
+
+
+@register(
+    "q372_tail_attribution",
+    oracle=f"""
+    WITH thr AS (
+        SELECT CAST(FLOOR(quantile_cont(value, {TAIL_PCT / 100.0})
+                    * 1000000) / 1000000 AS DECIMAL(18,6)) AS t
+        FROM events
+    ),
+    marked AS (
+        SELECT event_type,
+               CASE WHEN CAST(value AS DECIMAL(18,6)) > t
+                    THEN 1 ELSE 0 END AS in_tail
+        FROM events CROSS JOIN thr
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(in_tail) AS BIGINT) AS n_tail
+        FROM marked GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(n_tail) AS BIGINT) AS tt
+        FROM per_type
+    )
+    SELECT p.event_type, p.n, p.n_tail,
+           1000000 * p.n // t.nt AS share_all_ppm,
+           CASE WHEN t.tt > 0 THEN 1000000 * p.n_tail // t.tt
+                ELSE 0 END AS share_tail_ppm,
+           -- overrepresentation = tail share / overall share, cleared
+           -- to one exact cross-product division
+           CASE WHEN t.tt > 0 AND p.n > 0
+                THEN CAST(CAST(p.n_tail AS HUGEINT) * t.nt * 1000000
+                     // (CAST(p.n AS HUGEINT) * t.tt) AS BIGINT)
+                ELSE 0 END AS tail_over_ppm
+    FROM per_type p CROSS JOIN tot t
+    ORDER BY tail_over_ppm DESC, p.event_type
+    """,
+)
+def q372_tail_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail attribution: which segment OWNS the p{TAIL_PCT} tail —
+    each event type's share of above-threshold rows versus its share
+    of all rows, with the overrepresentation ratio cleared to one
+    exact cross product (n_tail·N / (n·T)) — the first question of
+    every latency/cost incident review ("p99 regressed; whose
+    requests live up there?"), answered with one scan instead of
+    per-segment percentile hunts. Ratio 1,000,000 ppm = the segment
+    is tail-neutral; 3,000,000 = its rows are 3× likelier than
+    average to be in the tail.
+
+    Determinism: the threshold floor-truncates to the value grid and
+    compares in DECIMAL (the q103 clamp discipline); integer counts,
+    exact cross-multiplied ratio, total (ratio, type) order.
+
+    Scale: one pass marks rows against a one-row broadcast threshold
+    (BNLJ-allowlisted), partial-aggregating to |types| cells; the
+    exact pooled percentile is the q103 posture (q73's approx
+    boundaries past reducer scale).
+
+    Reference: the attribution layer over q258's HDR percentiles and
+    q311's burn rate; q233's error-impact shape pointed at the tail."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(
+        trunc(F.percentile(F.col("value"), F.lit(TAIL_PCT / 100.0)), 6)
+        .cast("decimal(18,6)")
+        .alias("t")
+    )
+    marked = ev.crossJoin(F.broadcast(thr)).select(
+        "event_type",
+        F.when(F.col("value").cast("decimal(18,6)") > F.col("t"), 1)
+        .otherwise(0)
+        .alias("in_tail"),
+    )
+    per_type = marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("in_tail").cast("bigint").alias("n_tail"),
+    )
+    tot = per_type.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("n_tail").cast("bigint").alias("tt"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            "n_tail",
+            F.expr("1000000 * n DIV nt").alias("share_all_ppm"),
+            F.expr(
+                "CASE WHEN tt > 0 THEN 1000000 * n_tail DIV tt"
+                " ELSE 0 END"
+            ).alias("share_tail_ppm"),
+            F.expr(
+                "CASE WHEN tt > 0 AND n > 0"
+                " THEN CAST(CAST(n_tail AS DECIMAL(38,0)) * nt * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * tt) AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("tail_over_ppm"),
+        )
+        .orderBy(F.col("tail_over_ppm").desc(), "event_type")
+    )

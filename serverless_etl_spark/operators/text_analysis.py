@@ -1544,3 +1544,144 @@ def q366_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_label", "lang_pred")
     )
+
+
+# --------------------------------------------------------------------------
+# q373 — readability scoring (Flesch-Kincaid with a vowel-run proxy)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q373_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, '.'),
+                    s -> len(list_filter(string_split(s, ' '),
+                             w -> w <> '')) > 0)) AS BIGINT) AS n_sents,
+               -- syllable proxy: maximal vowel runs across the text
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syll
+        FROM documents
+    ),
+    graded AS (
+        -- per-doc grade quantized to an INTEGER (1e-4 grid) so every
+        -- cross-doc aggregate below is an exact integer sum — AVG of
+        -- raw doubles would be addition-order-dependent
+        SELECT doc_id, lang, n_words, n_sents, n_syll,
+               CAST(FLOOR((0.39 * (CAST(n_words AS DOUBLE)
+                              / CAST(n_sents AS DOUBLE))
+                      + 11.8 * (CAST(n_syll AS DOUBLE)
+                                / CAST(n_words AS DOUBLE))
+                      - 15.59) * 10000) AS BIGINT) AS fk_t,
+               CAST(FLOOR(CAST(n_words AS DOUBLE)
+                     / CAST(n_sents AS DOUBLE) * 10000) AS BIGINT) AS sl_t
+        FROM per_doc WHERE n_sents > 0 AND n_words > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(sl_t) AS DOUBLE) / COUNT(*)) / 10000
+               AS avg_sent_len,
+           FLOOR(CAST(SUM(n_syll) AS DOUBLE)
+                 / CAST(SUM(n_words) AS DOUBLE) * 10000) / 10000
+               AS syll_per_word,
+           FLOOR(CAST(SUM(fk_t) AS DOUBLE) / COUNT(*)) / 10000
+               AS avg_fk_grade,
+           CAST(SUM(CASE WHEN fk_t > 120000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hard
+    FROM graded GROUP BY lang ORDER BY lang
+    """,
+)
+def q373_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring per language: Flesch-Kincaid grade level
+    from sentence length and a vowel-run syllable proxy — the
+    curation signal orthogonal to q32's surface quality (a document
+    can be clean AND unreadably dense; instruction-tuning corpora
+    routinely filter or re-balance on grade level). The FK constants
+    are the published ones; the syllable proxy (maximal [aeiouy]+
+    runs) is the standard cheap estimator and is computed by the SAME
+    regex on both engines.
+
+    Determinism: integer word/sentence/syllable counts; per-doc
+    grades quantize to INTEGER 1e-4 units before any cross-doc
+    aggregate, so the per-language sums are exact integers (AVG of
+    raw per-doc doubles would be addition-order-dependent) and each
+    output is one final division on a fixed grid.
+
+    Scale: pure per-row column expressions collapse map-side to
+    |langs| cells; no shuffle carries text.
+
+    Reference: extends the text-quality family (q32 score, q67
+    repetition, q115 LM score, q356 chunking) with the readability
+    axis."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    ).cast("bigint")
+    n_sents = F.size(
+        F.filter(
+            F.split(F.col("text"), "\\."),
+            lambda s: F.size(
+                F.filter(F.split(s, " "), lambda w: w != F.lit(""))
+            )
+            > 0,
+        )
+    ).cast("bigint")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter((F.col("n_sents") > 0) & (F.col("n_words") > 0))
+    fk = (
+        F.lit(0.39)
+        * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        + F.lit(11.8)
+        * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+        - F.lit(15.59)
+    )
+    graded = per_doc.select(
+        "lang",
+        "n_words",
+        "n_syll",
+        F.floor(fk * 10000).cast("bigint").alias("fk_t"),
+        F.floor(
+            F.col("n_words").cast("double")
+            / F.col("n_sents").cast("double")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("sl_t"),
+    )
+    return (
+        graded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.floor(F.sum("sl_t").cast("double") / F.count(F.lit(1)))
+                / 10000
+            ).alias("avg_sent_len"),
+            (
+                F.floor(
+                    F.sum("n_syll").cast("double")
+                    / F.sum("n_words").cast("double")
+                    * 10000
+                )
+                / 10000
+            ).alias("syll_per_word"),
+            (
+                F.floor(F.sum("fk_t").cast("double") / F.count(F.lit(1)))
+                / 10000
+            ).alias("avg_fk_grade"),
+            F.sum(F.when(F.col("fk_t") > 120000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hard"),
+        )
+        .orderBy("lang")
+    )

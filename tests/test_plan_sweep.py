@@ -99,6 +99,7 @@ BNLJ_ALLOWED = {
                                   # broadcasts
     "q370_mahalanobis_outliers",  # one-row moment aggregate broadcast
     "q371_task_scheduler",        # one-row total-load broadcast
+    "q372_tail_attribution",      # one-row p99-threshold + totals broadcasts
 }
 
 

@@ -665,3 +665,46 @@ def test_task_scheduler_serpentine_beats_hash(spark):
     assert serp_max <= hash_max
     # and must sit close to the ideal on near-uniform task sizes
     assert serp_max < 1_200_000
+
+
+# --------------------------------------------------------------------------
+# q372 — tail attribution
+# --------------------------------------------------------------------------
+
+
+def test_tail_attribution_shares(spark):
+    rows = registry.QUERIES["q372_tail_attribution"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    # shares each sum to ~1e6 (floor slack per row)
+    assert abs(sum(r["share_all_ppm"] for r in rows) - 1_000_000) < len(rows)
+    assert abs(sum(r["share_tail_ppm"] for r in rows) - 1_000_000) < len(rows)
+    # tail is ~1% of rows by construction of the p99 threshold
+    n = sum(r["n"] for r in rows)
+    t = sum(r["n_tail"] for r in rows)
+    assert 0 < t <= n * 0.02
+    for r in rows:
+        # cross-product identity: over = (n_tail/n)/(t/N)
+        if r["n"] and t:
+            want = r["n_tail"] * n * 1_000_000 // (r["n"] * t)
+            assert r["tail_over_ppm"] == want
+
+
+# --------------------------------------------------------------------------
+# q373 — readability
+# --------------------------------------------------------------------------
+
+
+def test_readability_grades_sane(spark):
+    rows = registry.QUERIES["q373_readability"](spark, SF_MID).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert 1 <= r["avg_sent_len"] < 200
+        assert 0.5 < r["syll_per_word"] < 5
+        # FK grade is bounded by its own formula given those ranges
+        lo = 0.39 * 1 + 11.8 * 0.5 - 15.59
+        hi = 0.39 * 200 + 11.8 * 5 - 15.59
+        assert lo - 1 <= r["avg_fk_grade"] <= hi
+        assert 0 <= r["n_hard"] <= r["n_docs"]

@@ -3212,3 +3212,141 @@ def q354_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((-num) * 1000000 DIV den) END AS BIGINT)"
         ).alias("slope_micro"),
     ).orderBy("event_type", "day_idx")
+
+
+# --------------------------------------------------------------------------
+# q374 — growth accounting (new / retained / resurrected / churned)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q374_growth_accounting",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+               MIN(d) OVER (PARTITION BY user_id) AS first_d
+        FROM active
+    ),
+    tagged AS (
+        SELECT d,
+               CASE WHEN d = first_d THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END AS is_ret,
+               CASE WHEN d > first_d AND (prev_d IS NULL OR prev_d < d - 1)
+                    THEN 1 ELSE 0 END AS is_res
+        FROM seq
+    ),
+    daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(is_new) AS BIGINT) AS n_new,
+               CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+               CAST(SUM(is_res) AS BIGINT) AS n_resurrected
+        FROM tagged GROUP BY d
+    ),
+    churn AS (
+        -- a user churns ON day d+1 when active on d but not d+1
+        SELECT d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM (
+            SELECT user_id, d,
+                   LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+            FROM active
+        )
+        WHERE next_d IS NULL OR next_d > d + 1
+        GROUP BY d + 1
+    )
+    SELECT strftime(dy.d, '%Y-%m-%d') AS day,
+           dy.dau, dy.n_new, dy.n_retained, dy.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned,
+           dy.dau - dy.n_new - dy.n_retained - dy.n_resurrected
+               AS identity_gap
+    FROM daily dy LEFT JOIN churn c ON c.d = dy.d
+    ORDER BY day
+    """,
+)
+def q374_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every day's active users decompose EXACTLY
+    into new (first day ever), retained (also active yesterday), and
+    resurrected (returning after a gap), with churned (active
+    yesterday, gone today) on the other side of the ledger — the
+    standard product-growth decomposition that turns "DAU moved" into
+    WHY it moved (acquisition vs stickiness vs win-back vs leak), and
+    the identity DAU = new + retained + resurrected is emitted as a
+    column so the decomposition audits itself (always 0).
+
+    Determinism: distinct (user, day) grid, per-user LAG/LEAD and
+    MIN windows, integer counts, left-join churn with COALESCE 0.
+
+    Scale: one distinct-shuffle to the (user, day) grid; every window
+    partitions by user (parallel, bounded per key); the day-level
+    rollup collapses map-side. The same posture as q85/q149 — this op
+    completes that family with the flow decomposition between the
+    stock snapshots.
+
+    Reference: the ledger between q85 (retention cohorts), q149
+    (stickiness), q184 (dormancy), and q317's revenue version of the
+    same bridge."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wu = Window.partitionBy("user_id").orderBy("d")
+    wall_u = Window.partitionBy("user_id")
+    seq = active.select(
+        "user_id",
+        "d",
+        F.lag("d").over(wu).alias("prev_d"),
+        F.min("d").over(wall_u).alias("first_d"),
+        F.lead("d").over(wu).alias("next_d"),
+    )
+    tagged = seq.select(
+        "d",
+        F.when(F.col("d") == F.col("first_d"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_d") == F.date_sub(F.col("d"), 1), 1)
+        .otherwise(0)
+        .alias("is_ret"),
+        F.when(
+            (F.col("d") > F.col("first_d"))
+            & (
+                F.col("prev_d").isNull()
+                | (F.col("prev_d") < F.date_sub(F.col("d"), 1))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_res"),
+    )
+    daily = tagged.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum("is_ret").cast("bigint").alias("n_retained"),
+        F.sum("is_res").cast("bigint").alias("n_resurrected"),
+    )
+    churn = (
+        seq.filter(
+            F.col("next_d").isNull()
+            | (F.col("next_d") > F.date_add(F.col("d"), 1))
+        )
+        .groupBy(F.date_add(F.col("d"), 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        daily.join(churn, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            (
+                F.col("dau")
+                - F.col("n_new")
+                - F.col("n_retained")
+                - F.col("n_resurrected")
+            ).alias("identity_gap"),
+        )
+        .orderBy("day")
+    )

@@ -708,3 +708,42 @@ def test_readability_grades_sane(spark):
         hi = 0.39 * 200 + 11.8 * 5 - 15.59
         assert lo - 1 <= r["avg_fk_grade"] <= hi
         assert 0 <= r["n_hard"] <= r["n_docs"]
+
+
+# --------------------------------------------------------------------------
+# q374 — growth accounting
+# --------------------------------------------------------------------------
+
+
+def test_growth_accounting_identities(spark):
+    rows = registry.QUERIES["q374_growth_accounting"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        # the decomposition audits itself
+        assert r["identity_gap"] == 0
+        assert r["dau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        if prev is not None:
+            # flow identity: ΔDAU = new + resurrected − churned
+            # (holds when days are consecutive)
+            import datetime
+
+            d_prev = datetime.date.fromisoformat(prev["day"])
+            d_cur = datetime.date.fromisoformat(r["day"])
+            if (d_cur - d_prev).days == 1:
+                assert (
+                    r["dau"] - prev["dau"]
+                    == r["n_new"] + r["n_resurrected"] - r["n_churned"]
+                )
+        prev = r
+    # total new across all days = distinct users
+    con = _duck(SF_MID)
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    n_users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert sum(r["n_new"] for r in rows) == n_users

@@ -989,3 +989,141 @@ def q327_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# q376 — grid DBSCAN (density-based clustering on the point field)
+# --------------------------------------------------------------------------
+
+DB_CELL = 500_000    #: DBSCAN grid cell (0.5 degree) — finer than GEO_CELL
+DB_CORE_MULT = 4     #: core iff cell count >= 4x mean occupied-cell count
+
+
+@register(
+    "q376_grid_dbscan",
+    oracle=f"""
+    WITH RECURSIVE
+    pts AS ({_geo_points_sql()}),
+    cells AS (
+        SELECT lat // {DB_CELL} AS cx, lon // {DB_CELL} AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(n) AS BIGINT) AS tn
+        FROM cells
+    ),
+    core AS (
+        SELECT cx, cy, n, cx * 1000 + cy AS k
+        FROM cells CROSS JOIN tot
+        WHERE n * nc >= {DB_CORE_MULT} * tn
+    ),
+    edges AS (
+        SELECT a.k AS s, b.k AS d
+        FROM core a JOIN core b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.k <> b.k
+    ),
+    walk(k, lab) AS (
+        SELECT k, k FROM core
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.k
+    ),
+    labels AS (SELECT k, MIN(lab) AS lab FROM walk GROUP BY k)
+    SELECT l.lab AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_points,
+           CAST(MIN(c.cx) AS BIGINT) AS min_cx,
+           CAST(MAX(c.cx) AS BIGINT) AS max_cx,
+           CAST(MIN(c.cy) AS BIGINT) AS min_cy,
+           CAST(MAX(c.cy) AS BIGINT) AS max_cy
+    FROM core c JOIN labels l ON l.k = c.k
+    GROUP BY l.lab
+    ORDER BY cluster_id
+    """,
+)
+def q376_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the q277 point field: density-based clusters
+    without any pairwise point distance — cells of {DB_CELL}
+    micro-degrees count their occupants map-side, a cell is CORE when
+    its count reaches {DB_CORE_MULT}x the mean occupied-cell count
+    (integer cross-multiplied, scale-free so the same rule holds at
+    every SF), and clusters are connected components of 8-adjacent
+    core cells (min-cell-key labels). The downtown square seeded by
+    geo_points becomes a 2x2 core block that must merge into ONE
+    cluster — the merge step is what this operator exists to prove.
+
+    This is the cell-based DBSCAN approximation used at scale (grid
+    density ~ the eps-neighborhood count; GriT-DBSCAN-style): points
+    never pair, clustering runs on the CELL graph whose size is
+    bounded by area / cell-size, not |points|.
+
+    Determinism: integer cell keys and counts; the core threshold is
+    an exact cross-multiplication; component labels are min cell key
+    (unique fixpoint, engine-order independent). The oracle floods
+    labels with a recursive CTE; the engine iterates min-label
+    propagation (dedup.connected_components — per-round
+    localCheckpoint, convergence checked by a strictly-decreasing
+    label sum, raises rather than returning partial labels).
+
+    Scale: one point->cell aggregation (partial map-side), a one-row
+    totals broadcast, then all work rides the bounded cell table;
+    CC rounds ~ core-component diameter in cells.
+
+    Reference: completes the geo family — q277 pairs, q279 flags hot
+    cells, this one turns density into cluster OBJECTS."""
+    from .dedup import connected_components
+
+    pts = geo_points(load_table(spark, sf_dir, "customer"))
+    cells = pts.groupBy(
+        F.expr(f"lat DIV {DB_CELL}").alias("cx"),
+        F.expr(f"lon DIV {DB_CELL}").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("nc") >= DB_CORE_MULT * F.col("tn"))
+        .select("cx", "cy", "n", (F.col("cx") * 1000 + F.col("cy")).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    nbr = core.select(
+        F.col("k").alias("dst"),
+        F.col("cx").alias("tx"),
+        F.col("cy").alias("ty"),
+    )
+    fan = core.select(
+        "k",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)])).alias("tx"),
+        "cy",
+    ).select(
+        "k",
+        "tx",
+        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)])).alias("ty"),
+    )
+    edges = (
+        fan.join(nbr, ["tx", "ty"])
+        .filter(F.col("k") != F.col("dst"))
+        .select(F.col("k").alias("src"), "dst")
+    )
+    labels = connected_components(edges)
+    lab = core.join(labels, core["k"] == labels["id"], "left").select(
+        core["cx"],
+        core["cy"],
+        core["n"],
+        F.coalesce(F.col("cluster_id"), core["k"]).alias("cluster_id"),
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.min("cx").cast("bigint").alias("min_cx"),
+            F.max("cx").cast("bigint").alias("max_cx"),
+            F.min("cy").cast("bigint").alias("min_cy"),
+            F.max("cy").cast("bigint").alias("max_cy"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1913,3 +1913,187 @@ def q363_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -- SemDeDup: semantic dedup inside learned k-means cells ----------------
+
+SEMDEDUP_TAU_NUM2 = 361  # tau^2 = 0.95^2 = 361/400
+SEMDEDUP_TAU_DEN2 = 400
+SEMDEDUP_TWIN_OFFSET = 10000
+
+_EQDIMS_SQL = f"""
+    eqdims AS (
+        SELECT vec_id, i, xq FROM qdims
+        UNION ALL
+        SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
+               xq + CASE WHEN i = MAX(i) OVER (PARTITION BY vec_id)
+                         THEN 0.0625 ELSE 0 END
+        FROM qdims WHERE vec_id % 5 = 0
+    )
+"""
+
+
+@register(
+    "q375_semdedup",
+    oracle=f"""
+    WITH {_QDIMS_SQL},
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_EQDIMS_SQL},
+    aext AS (
+        SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000) / 1000000
+                       AS dist
+            FROM eqdims d JOIN c2 c ON c.i = d.i
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+    ),
+    ints AS (
+        SELECT vec_id, i, CAST(xq * 4096 AS BIGINT) AS a FROM eqdims
+    ),
+    norms2 AS (
+        SELECT vec_id, SUM(a * a) AS na FROM ints GROUP BY vec_id
+    ),
+    dup_pairs AS (
+        SELECT pb.vec_id AS removed_id
+        FROM aext pa
+        JOIN aext pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
+        JOIN (
+            SELECT ia.vec_id AS va, ib.vec_id AS vb, SUM(ia.a * ib.a) AS dot
+            FROM ints ia JOIN ints ib ON ib.i = ia.i AND ia.vec_id < ib.vec_id
+            GROUP BY 1, 2
+        ) d ON d.va = pa.vec_id AND d.vb = pb.vec_id
+        JOIN norms2 nna ON nna.vec_id = pa.vec_id
+        JOIN norms2 nnb ON nnb.vec_id = pb.vec_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * {SEMDEDUP_TAU_DEN2}
+              >= CAST(nna.na AS HUGEINT) * nnb.na * {SEMDEDUP_TAU_NUM2}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           CAST(CASE WHEN r.removed_id IS NULL THEN 1 ELSE 0 END AS INT)
+               AS keep,
+           CAST(CASE WHEN a.vec_id >= {SEMDEDUP_TWIN_OFFSET} THEN 1 ELSE 0 END
+               AS INT) AS is_seeded_twin
+    FROM aext a
+    LEFT JOIN (SELECT DISTINCT removed_id FROM dup_pairs) r
+        ON r.removed_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q375_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    corpus with q95's learned k-means cells, then run the exact cosine
+    near-twin screen ONLY inside each cell — a vector is removed when an
+    earlier (smaller-id) same-cell vector has cosine >= 0.95 with it,
+    mirroring the cluster-then-dedup-within-cluster recipe of SemDeDup
+    (Abbas et al., 2023) that makes semantic dedup tractable: the
+    quadratic pair cost is paid per cell, never over the corpus.
+
+    The fixture embeddings are near-orthogonal (q282 pinned that), so
+    semantic duplicates are SEEDED deterministically: every 5th vector
+    gets a twin (vec_id + {SEMDEDUP_TWIN_OFFSET}) whose last dimension
+    shifts by 1/16 — cosine ~0.9995 to its base, far above the 0.95
+    threshold, while natural pairs sit near 0. Both engines derive the
+    twins from the base table with the same expression, so recall is
+    measurable and pinned in pytest (every twin sharing its base's cell
+    is removed; naturals all survive).
+
+    Cross-engine determinism: vectors quantize to the 2^-12 dyadic grid;
+    the threshold test is dot > 0 AND 400*dot^2 >= 361*na*nb over exact
+    integer grid coordinates (dot^2 ~ 1e17 exceeds int64 after the
+    cross-multiply, so the products widen to HUGEINT / decimal(19,0)^2 —
+    the q338 discipline). No float comparison exists to diverge.
+
+    Scale: the corpus shuffles once on the learned cell key; per-cell
+    pair generation is bounded by cell size (at 100 TB you train
+    k ~ sqrt(n) cells so cells stay ~1e5 vectors — the paper's setting);
+    centroids are driver-size literals (q95's treeAggregate shape). The
+    integer-vector frame is persisted once and reused for both join
+    sides.
+
+    Reference: completes the dedup family's semantic axis next to
+    lexical MinHash (q41), SimHash (q43), containment (q139), and
+    normalized-exact (q104)."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    last = F.size(F.col("xq")) - 1
+    twins = vecs.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + SEMDEDUP_TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("xq"),
+            lambda x, i: F.when(i == last, x + F.lit(0.0625)).otherwise(x),
+        ).alias("xq"),
+    )
+    ext = vecs.unionByName(twins).withColumn("cell", assign)
+    ints = track_cache(
+        ext.select(
+            "vec_id",
+            "cell",
+            F.transform(F.col("xq"), lambda x: (x * 4096).cast("long")).alias(
+                "av"
+            ),
+        )
+        .withColumn(
+            "na",
+            F.aggregate(
+                F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+        .persist()
+    )
+    a = ints.select(
+        F.col("vec_id").alias("va"),
+        F.col("cell").alias("cell"),
+        F.col("av").alias("aa"),
+        F.col("na").alias("naa"),
+    )
+    b = ints.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cellb"),
+        F.col("av").alias("ab"),
+        F.col("na").alias("nab"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("aa"), F.col("ab"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    removed = (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("va") < F.col("vb")))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(19,0)")
+                * F.col("dot")
+                * SEMDEDUP_TAU_DEN2
+                >= F.col("naa").cast("decimal(19,0)")
+                * F.col("nab")
+                * SEMDEDUP_TAU_NUM2
+            )
+        )
+        .select(F.col("vb").alias("removed_id"))
+        .distinct()
+    )
+    return (
+        ints.join(removed, ints["vec_id"] == removed["removed_id"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.when(F.col("removed_id").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+            F.when(F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_seeded_twin"),
+        )
+        .orderBy("vec_id")
+    )

@@ -3350,3 +3350,137 @@ def q374_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q377 — Holt linear exponential smoothing (level + trend, alpha=beta=1/2)
+# --------------------------------------------------------------------------
+
+
+def _holt_fn(pdf):
+    """Per-key sequential Holt recursion. Truncating halving (toward
+    zero, sign-split) keeps every state integer, so the recursion is
+    bit-reproducible — and genuinely non-associative: the truncation
+    destroys the linear-system decomposition that would otherwise
+    allow a scan/prefix formulation."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    def sdiv2(v: int) -> int:
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    pdf = pdf.sort_values("i")
+    cnts = [int(c) for c in pdf["cnt"].to_list()]
+    l = cnts[0] * 1000
+    b = 0
+    sae = 0
+    for c in cnts[1:]:
+        f = l + b
+        e = c * 1000 - f
+        sae += abs(e)
+        l_new = sdiv2(c * 1000 + l + b)
+        b = sdiv2(l_new - l + b)
+        l = l_new
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(cnts)],
+            "level_milli": [l],
+            "trend_milli": [b],
+            "sae_milli": [sae],
+            "forecast7_milli": [l + 7 * b],
+        }
+    )
+
+
+@register(
+    "q377_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    rec AS (
+        SELECT event_type, i, cnt * 1000 AS l, CAST(0 AS BIGINT) AS b,
+               CAST(0 AS BIGINT) AS sae
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT event_type, i, lnew,
+               CASE WHEN lnew - lprev + bprev >= 0
+                    THEN (lnew - lprev + bprev) // 2
+                    ELSE -((-(lnew - lprev + bprev)) // 2) END,
+               sae + abs(cnt1000 - lprev - bprev)
+        FROM (
+            SELECT s.event_type, s.i, s.cnt * 1000 AS cnt1000,
+                   r.l AS lprev, r.b AS bprev, r.sae,
+                   CASE WHEN s.cnt * 1000 + r.l + r.b >= 0
+                        THEN (s.cnt * 1000 + r.l + r.b) // 2
+                        ELSE -((-(s.cnt * 1000 + r.l + r.b)) // 2) END AS lnew
+            FROM rec r
+            JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+        )
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS n_days,
+           l AS level_milli, b AS trend_milli, sae AS sae_milli,
+           l + 7 * b AS forecast7_milli
+    FROM rec
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i DESC) = 1
+    ORDER BY event_type
+    """,
+)
+def q377_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear exponential smoothing over the per-type daily event
+    series: level + trend with alpha = beta = 1/2, one-step-ahead sum
+    of absolute errors accumulated along the way (the in-sample score
+    that says whether Holt beats q245's naive baselines), and the
+    7-day-ahead forecast level + 7*trend emitted per type. This is the
+    first MODEL in the forecasting family — q245 scores naive
+    baselines, q243/q275 decompose, q269 wraps intervals; Holt is the
+    classical next step and its recursion is the template for any
+    exponential-state model (ETS, double smoothing).
+
+    Determinism: all state in integer milli-units; each halving is a
+    sign-split truncating division (identical semantics in the Python
+    kernel and the DuckDB recursive CTE), so every (level, trend, sae)
+    triple matches bit-for-bit. The truncation also makes the
+    recursion genuinely non-associative — like q296's clamp, there is
+    no prefix-sum escape, so the Spark-correct rendering is
+    applyInPandas: sequential within a key's ~30 days, parallel
+    across keys.
+
+    Scale: events collapse to |types| x |days| rows map-side before
+    any Python; per-key state is two integers; 1000 executors each
+    walk their keys independently (Arrow-batched, one shuffle on the
+    key). The oracle runs the SAME recursion as a synchronized
+    recursive CTE — declarative proof of the imperative kernel, the
+    q296 discipline on the forecasting axis.
+
+    Reference: q245 (baseline eval), q243 (decomposition), q296 (the
+    non-associative applyInPandas pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seq = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    return (
+        seq.groupBy("event_type")
+        .applyInPandas(
+            _holt_fn,
+            "event_type string, n_days bigint, level_milli bigint, "
+            "trend_milli bigint, sae_milli bigint, forecast7_milli bigint",
+        )
+        .orderBy("event_type")
+    )

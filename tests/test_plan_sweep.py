@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "q271_motif_discord",         # one-row motif x discord result join
     "q272_acf",                   # one-row denominator/origin broadcasts
     "q279_geo_hotspots",          # one-row global-totals broadcast
+    "q376_grid_dbscan",           # one-row global-totals broadcast
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
     "q282_knn_label_purity",      # exact all-pairs baseline (q50 posture)
     "q287_lpm_route_join",        # one-row customer-total broadcast

@@ -747,3 +747,109 @@ def test_growth_accounting_identities(spark):
         "SELECT COUNT(DISTINCT user_id) FROM events"
     ).fetchone()[0]
     assert sum(r["n_new"] for r in rows) == n_users
+
+
+# --------------------------------------------------------------------------
+# q375 — SemDeDup semantic dedup
+# --------------------------------------------------------------------------
+
+
+def test_semdedup_twin_recall_and_keep_rule(spark):
+    rows = registry.QUERIES["q375_semdedup"](spark, SF_MID).collect()
+    assert rows
+    cell = {r["vec_id"]: r["cell"] for r in rows}
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    twins = [r for r in rows if r["is_seeded_twin"] == 1]
+    assert twins  # seeding actually fired
+    # every twin sharing its base's cell is caught (cosine ~0.9995)
+    same_cell = [t for t in twins if cell[t["vec_id"] - 10000] == t["cell"]]
+    assert same_cell, "no twin landed in its base's cell — seeding broken"
+    assert all(keep[t["vec_id"]] == 0 for t in same_cell)
+    # near-orthogonal naturals survive: removals are (almost) only twins
+    removed_naturals = [
+        r for r in rows if r["keep"] == 0 and r["is_seeded_twin"] == 0
+    ]
+    assert len(removed_naturals) <= len(twins) // 10
+    # the min-id member of every cell is always kept
+    import collections
+
+    by_cell = collections.defaultdict(list)
+    for r in rows:
+        by_cell[r["cell"]].append(r["vec_id"])
+    for c, ids in by_cell.items():
+        assert keep[min(ids)] == 1
+
+
+# --------------------------------------------------------------------------
+# q376 — grid DBSCAN
+# --------------------------------------------------------------------------
+
+
+def test_grid_dbscan_downtown_merges(spark):
+    rows = registry.QUERIES["q376_grid_dbscan"](spark, SF_MID).collect()
+    assert rows
+    # the seeded downtown square (lat, lon in [4.5M, 5.5M)) spans the
+    # 2x2 block of 500k-cells {9,10} x {9,10}; it must be core and must
+    # merge into ONE cluster containing all four cells
+    downtown = [
+        r
+        for r in rows
+        if r["min_cx"] <= 9 <= r["max_cx"] and r["min_cy"] <= 10 <= r["max_cy"]
+    ]
+    assert len(downtown) == 1
+    dt = downtown[0]
+    assert dt["n_cells"] >= 4
+    # the downtown holds ~1/3 of all customers; the cluster must carry
+    # a large point mass
+    con = _duck(SF_MID)
+    n_cust = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_MID}/customer.parquet'"
+    ).fetchone()[0]
+    assert dt["n_points"] >= n_cust // 4
+    # cluster ids are min cell keys: every cluster id encodes a cell
+    # inside its own bbox
+    for r in rows:
+        cx, cy = divmod(r["cluster_id"], 1000)
+        assert r["min_cx"] <= cx <= r["max_cx"]
+        assert r["min_cy"] <= cy <= r["max_cy"]
+
+
+# --------------------------------------------------------------------------
+# q377 — Holt linear smoothing
+# --------------------------------------------------------------------------
+
+
+def test_holt_pure_python_replay(spark):
+    rows = registry.QUERIES["q377_holt_smoothing"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for t, _, c in daily:
+        series[t].append(int(c))
+
+    def sdiv2(v):
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    for r in rows:
+        cnts = series[r["event_type"]]
+        l, b, sae = cnts[0] * 1000, 0, 0
+        for c in cnts[1:]:
+            e = c * 1000 - l - b
+            sae += abs(e)
+            ln = sdiv2(c * 1000 + l + b)
+            b = sdiv2(ln - l + b)
+            l = ln
+        assert r["n_days"] == len(cnts)
+        assert r["level_milli"] == l
+        assert r["trend_milli"] == b
+        assert r["sae_milli"] == sae
+        assert r["forecast7_milli"] == l + 7 * b

@@ -10500,3 +10500,147 @@ def q372_tail_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tail_over_ppm").desc(), "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q379 — HBOS (histogram-based outlier score)
+# --------------------------------------------------------------------------
+
+HBOS_BINS = 16   #: equi-width bins for the price feature
+HBOS_TOPK = 20
+
+
+@register(
+    "q379_hbos_outliers",
+    oracle=f"""
+    WITH feat AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               month(o_orderdate) AS mth,
+               o_orderpriority AS pri
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM feat
+    ),
+    binned AS (
+        SELECT f.o_orderkey,
+               CASE WHEN f.cents >= b.hi THEN {HBOS_BINS - 1}
+                    ELSE (f.cents - b.lo) * {HBOS_BINS} // (b.hi - b.lo + 1)
+               END AS pbin,
+               f.mth, f.pri, b.n
+        FROM feat f CROSS JOIN bounds b
+    ),
+    pc AS (SELECT pbin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+    mc AS (SELECT mth, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+    rc AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS bm FROM mc),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS br FROM rc),
+    scored AS (
+        SELECT b.o_orderkey,
+               1000000 * b.n // (pc.c * {HBOS_BINS}) AS price_rarity_ppm,
+               1000000 * b.n // (mc.c * nm.bm) AS month_rarity_ppm,
+               1000000 * b.n // (rc.c * nr.br) AS priority_rarity_ppm
+        FROM binned b
+        JOIN pc ON pc.pbin = b.pbin
+        JOIN mc ON mc.mth = b.mth
+        JOIN rc ON rc.pri = b.pri
+        CROSS JOIN nm CROSS JOIN nr
+    )
+    SELECT o_orderkey, price_rarity_ppm, month_rarity_ppm,
+           priority_rarity_ppm,
+           price_rarity_ppm + month_rarity_ppm + priority_rarity_ppm
+               AS hbos_ppm
+    FROM scored
+    ORDER BY hbos_ppm DESC, o_orderkey
+    LIMIT {HBOS_TOPK}
+    """,
+)
+def q379_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS — histogram-based outlier score: each order is scored by
+    how RARE its value is under each feature's 1-D histogram (price
+    equi-width bin, order month, order priority), and the per-feature
+    rarities sum into the outlier score. This is the linear-time
+    density-based detector (Goldstein & Dengel 2012) that assumes
+    feature independence — the cheap screen you run on 100 TB before
+    anything quadratic; q370's Mahalanobis is the correlation-aware
+    refinement on the flagged slice.
+
+    Rarity surrogate: classic HBOS sums log(1/p_b); summing integer
+    inverse-density in ppm of the uniform expectation
+    (1e6 * N // (c_b * B)) preserves the "rare bins dominate" ordering
+    while keeping every term an exact floor division — libm stays off
+    the parity path (the q107/q147/q223 discipline).
+
+    Determinism: cents via FLOOR(price*100) (house rule for the DOUBLE
+    fixture column), integer bin arithmetic, deterministic ties by key.
+
+    Scale: three histogram aggregates (bounded: {HBOS_BINS} bins, 12
+    months, 5 priorities) broadcast back onto one fact pass; top-k is
+    a TakeOrdered, never a global sort materialization.
+
+    Reference: completes the outlier family — q92 rolling z-score,
+    q108 MAD fences, q143 seasonal, q329 ensemble votes, q370
+    Mahalanobis, and now the histogram-density screen."""
+    orders = load_table(spark, sf_dir, "orders")
+    feat = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.month("o_orderdate").alias("mth"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    bounds = feat.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    binned = feat.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.when(F.col("cents") >= F.col("hi"), HBOS_BINS - 1)
+        .otherwise(
+            F.expr(f"(cents - lo) * {HBOS_BINS} DIV (hi - lo + 1)")
+        )
+        .alias("pbin"),
+        "mth",
+        "pri",
+        "n",
+    )
+    pc = binned.groupBy("pbin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pc_c")
+    )
+    mc = binned.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mc_c")
+    )
+    rc = binned.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rc_c")
+    )
+    nm = mc.agg(F.count(F.lit(1)).cast("bigint").alias("bm"))
+    nr = rc.agg(F.count(F.lit(1)).cast("bigint").alias("br"))
+    scored = (
+        binned.join(F.broadcast(pc), "pbin")
+        .join(F.broadcast(mc), "mth")
+        .join(F.broadcast(rc), "pri")
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "o_orderkey",
+            F.expr(f"1000000 * n DIV (pc_c * {HBOS_BINS})").alias(
+                "price_rarity_ppm"
+            ),
+            F.expr("1000000 * n DIV (mc_c * bm)").alias("month_rarity_ppm"),
+            F.expr("1000000 * n DIV (rc_c * br)").alias(
+                "priority_rarity_ppm"
+            ),
+        )
+        .withColumn(
+            "hbos_ppm",
+            F.col("price_rarity_ppm")
+            + F.col("month_rarity_ppm")
+            + F.col("priority_rarity_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("hbos_ppm").desc(), "o_orderkey"
+    ).limit(HBOS_TOPK)

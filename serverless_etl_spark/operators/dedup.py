@@ -3149,3 +3149,145 @@ def q345_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, doc_id bigint, gain bigint, covered bigint,"
         " coverage_ppm bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# q378 — phonetic (Soundex) blocking join
+# --------------------------------------------------------------------------
+
+SDX_MAP = "01230120022455012623010202"  #: a..z -> simplified soundex codes
+SDX_LEN = 6            #: extended code length (classic uses 3)
+SDX_DIRTY_MOD = 4      #: every 4th doc gets a vowel-mutated twin
+SDX_DIRTY_OFFSET = 1_000_000
+SDX_MAX_BLOCK = 100    #: hot-block guard (q158 discipline)
+
+
+def _soundex_col(col):
+    """Simplified extended Soundex as pure column expressions: letters
+    only, first letter kept, consonant classes mapped via translate,
+    adjacent equal codes collapsed (vowels/h/w map to 0 and therefore
+    SEPARATE runs — the documented deviation from the classic H/W
+    rule), zeros dropped, first {SDX_LEN} codes zero-padded."""
+    letters = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    codes = F.translate(letters, "abcdefghijklmnopqrstuvwxyz", SDX_MAP)
+    for d in "123456":
+        codes = F.regexp_replace(codes, d + "{2,}", d)
+    tail = F.regexp_replace(F.substring(codes, 2, 1_000_000), "0", "")
+    return F.concat(
+        F.substring(letters, 1, 1),
+        F.substring(F.concat(tail, F.lit("0" * SDX_LEN)), 1, SDX_LEN),
+    )
+
+
+def _soundex_sql(expr: str) -> str:
+    s = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    c = f"translate({s}, 'abcdefghijklmnopqrstuvwxyz', '{SDX_MAP}')"
+    for d in "123456":
+        c = f"regexp_replace({c}, '{d}{{2,}}', '{d}', 'g')"
+    t = f"regexp_replace(substr({c}, 2), '0', '', 'g')"
+    return (
+        f"substr({s}, 1, 1) || substr({t} || '{'0' * SDX_LEN}', 1, {SDX_LEN})"
+    )
+
+
+@register(
+    "q378_phonetic_join",
+    oracle=f"""
+    WITH clean AS (
+        SELECT doc_id, regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) AS nm
+        FROM documents
+        WHERE regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) <> ''
+    ),
+    dirty AS (
+        -- the first character survives: Soundex keeps it literally,
+        -- so a leading-vowel mutation would change the blocking key
+        SELECT doc_id + {SDX_DIRTY_OFFSET} AS doc_id,
+               substr(nm, 1, 1)
+                   || regexp_replace(substr(nm, 2), '[aiou]', 'e', 'g') AS nm
+        FROM clean WHERE doc_id % {SDX_DIRTY_MOD} = 0
+    ),
+    ck AS (SELECT doc_id, nm, {_soundex_sql('nm')} AS sdx FROM clean),
+    dk AS (SELECT doc_id, nm, {_soundex_sql('nm')} AS sdx FROM dirty),
+    ok_blocks AS (
+        SELECT sdx FROM ck GROUP BY sdx HAVING COUNT(*) <= {SDX_MAX_BLOCK}
+    )
+    SELECT d.doc_id AS dirty_id, c.doc_id AS clean_id, d.sdx,
+           CAST(levenshtein(d.nm, c.nm) AS BIGINT) AS dist,
+           CAST(CASE WHEN d.doc_id - {SDX_DIRTY_OFFSET} = c.doc_id
+                THEN 1 ELSE 0 END AS INT) AS is_true_match
+    FROM dk d
+    JOIN ck c ON c.sdx = d.sdx
+    JOIN ok_blocks o ON o.sdx = d.sdx
+    ORDER BY dirty_id, clean_id
+    """,
+)
+def q378_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: a Soundex-style code
+    (implemented as the IDENTICAL translate/regexp chain in both
+    engines — simplified variant documented in _soundex_col) blocks
+    candidate pairs, Levenshtein scores them, and a seeded truth set
+    makes recall pinnable: every {SDX_DIRTY_MOD}th document's 3-word
+    name gets a vowel-mutated twin ([aiou] -> 'e' past the first
+    character — Soundex keeps the head letter), which changes the
+    STRING (edit distance > 0 whenever a non-e vowel exists) but not
+    the PHONETIC code (all vowels map to class 0), so phonetic
+    blocking recovers exactly the matches that q158's literal prefix
+    blocking and q267's sort-key neighborhood can miss when the typo
+    hits the blocking key itself. Candidates carry is_true_match, so
+    the result IS the precision/recall table (q261's evaluation stance).
+
+    Determinism: pure string transforms shared verbatim (regexp
+    collapse uses bounded repetition '1{{2,}}' — NO backreferences, so
+    it runs identically on Java regex and RE2); integer edit distance.
+
+    Scale: codes compute map-side; the only shuffle is the equi-join
+    on the code; the {SDX_MAX_BLOCK}-cap drops degenerate phonetic
+    blocks BEFORE the pair fan-out (q158's hot-block guard).
+
+    Reference: third blocking strategy in the entity-resolution family
+    (q158 length x lang, q267 sorted neighborhood, q41 LSH bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+ \w+ \w+)", 1).alias("nm"),
+    ).filter(F.col("nm") != "")
+    dirty = clean.filter(F.col("doc_id") % SDX_DIRTY_MOD == 0).select(
+        (F.col("doc_id") + SDX_DIRTY_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("nm", 1, 1),
+            F.regexp_replace(
+                F.substring(F.col("nm"), 2, 1_000_000), "[aiou]", "e"
+            ),
+        ).alias("nm"),
+    )
+    ck = clean.select("doc_id", "nm", _soundex_col(F.col("nm")).alias("sdx"))
+    dk = dirty.select("doc_id", "nm", _soundex_col(F.col("nm")).alias("sdx"))
+    ok_blocks = (
+        ck.groupBy("sdx")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= SDX_MAX_BLOCK)
+        .select("sdx")
+    )
+    d = dk.select(
+        F.col("doc_id").alias("dirty_id"), F.col("nm").alias("dnm"), "sdx"
+    )
+    c = ck.select(
+        F.col("doc_id").alias("clean_id"), F.col("nm").alias("cnm"), "sdx"
+    )
+    return (
+        d.join(c, "sdx")
+        .join(ok_blocks, "sdx")
+        .select(
+            "dirty_id",
+            "clean_id",
+            "sdx",
+            F.levenshtein("dnm", "cnm").cast("bigint").alias("dist"),
+            F.when(
+                F.col("dirty_id") - SDX_DIRTY_OFFSET == F.col("clean_id"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_true_match"),
+        )
+        .orderBy("dirty_id", "clean_id")
+    )

@@ -101,6 +101,7 @@ BNLJ_ALLOWED = {
     "q370_mahalanobis_outliers",  # one-row moment aggregate broadcast
     "q371_task_scheduler",        # one-row total-load broadcast
     "q372_tail_attribution",      # one-row p99-threshold + totals broadcasts
+    "q379_hbos_outliers",         # one-row bounds + one-row bin-count broadcasts
 }
 
 

@@ -853,3 +853,143 @@ def test_holt_pure_python_replay(spark):
         assert r["trend_milli"] == b
         assert r["sae_milli"] == sae
         assert r["forecast7_milli"] == l + 7 * b
+
+
+# --------------------------------------------------------------------------
+# q378 — phonetic blocking join
+# --------------------------------------------------------------------------
+
+
+def test_phonetic_join_recall_pinned(spark):
+    rows = registry.QUERIES["q378_phonetic_join"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_MID}/documents.parquet'"
+    )
+    names = dict(
+        con.execute(
+            r"""
+            SELECT doc_id, regexp_extract(text, '^(\w+ \w+ \w+)', 1)
+            FROM documents
+            WHERE regexp_extract(text, '^(\w+ \w+ \w+)', 1) <> ''
+            """
+        ).fetchall()
+    )
+    seeded = {i for i in names if i % 4 == 0}
+    true_found = {
+        r["dirty_id"] - 1_000_000 for r in rows if r["is_true_match"] == 1
+    }
+    # vowel mutation never changes the phonetic code, so blocking
+    # recall on the seeded truth is exactly 1.0
+    assert true_found == seeded
+    import re
+
+    for r in rows:
+        if r["is_true_match"] == 1:
+            nm = names[r["dirty_id"] - 1_000_000]
+            expected = len(re.findall(r"[aiou]", nm[1:]))
+            assert r["dist"] == expected
+
+
+# --------------------------------------------------------------------------
+# q379 — HBOS outliers
+# --------------------------------------------------------------------------
+
+
+def test_hbos_pure_python_replay(spark):
+    rows = registry.QUERIES["q379_hbos_outliers"](spark, SF_MID).collect()
+    assert len(rows) == 20
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_MID}/orders.parquet'"
+    )
+    feat = con.execute(
+        """
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+               month(o_orderdate), o_orderpriority
+        FROM orders
+        """
+    ).fetchall()
+    lo = min(f[1] for f in feat)
+    hi = max(f[1] for f in feat)
+    n = len(feat)
+    from collections import Counter
+
+    def pbin(c):
+        return 15 if c >= hi else (c - lo) * 16 // (hi - lo + 1)
+
+    pc = Counter(pbin(f[1]) for f in feat)
+    mc = Counter(f[2] for f in feat)
+    rc = Counter(f[3] for f in feat)
+    scores = {}
+    for k, c, m, p in feat:
+        s = (
+            1_000_000 * n // (pc[pbin(c)] * 16)
+            + 1_000_000 * n // (mc[m] * len(mc))
+            + 1_000_000 * n // (rc[p] * len(rc))
+        )
+        scores[k] = s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["o_orderkey"], r["hbos_ppm"]) for r in rows]
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q380 — resource-allocation link prediction
+# --------------------------------------------------------------------------
+
+
+def test_ra_linkpred_brute_force_parity(spark):
+    rows = registry.QUERIES["q380_ra_linkpred"](spark, SF_SMALL).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    baskets = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    from collections import Counter, defaultdict as dd
+
+    per_order = dd(set)
+    for o, p in baskets:
+        per_order[o].add(p)
+    pair_sup = Counter()
+    for ps in per_order.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_sup[(ps[i], ps[j])] += 1
+    edges = {k for k, v in pair_sup.items() if v >= 2}
+    nbrs = dd(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    ra = Counter()
+    cn = Counter()
+    for m, xs in nbrs.items():
+        if len(xs) > 64:
+            continue
+        xs = sorted(xs)
+        w = 1_000_000_000 // len(xs)
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                ra[(xs[i], xs[j])] += w
+                cn[(xs[i], xs[j])] += 1
+    recs = dd(list)
+    for (a, b), s in ra.items():
+        if (a, b) in edges:
+            continue
+        recs[a].append((s, b, cn[(a, b)]))
+        recs[b].append((s, a, cn[(a, b)]))
+    expected = []
+    for part in sorted(recs):
+        top = sorted(recs[part], key=lambda t: (-t[0], t[1]))[:3]
+        for rk, (s, rp, c) in enumerate(top, 1):
+            expected.append((part, rp, s, c, rk))
+    got = [
+        (r["part"], r["rec_part"], r["ra_ppb"], r["cn"], r["rk"])
+        for r in rows
+    ]
+    assert got == expected

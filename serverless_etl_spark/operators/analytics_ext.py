@@ -10644,3 +10644,104 @@ def q379_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("hbos_ppm").desc(), "o_orderkey"
     ).limit(HBOS_TOPK)
+
+
+# --------------------------------------------------------------------------
+# q382 — 2-D skyline (Pareto frontier) per brand
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q382_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand AS brand, p_partkey,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size_units
+        FROM part
+    )
+    SELECT q.brand, q.p_partkey, q.price_cents, q.size_units
+    FROM pts q
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts p
+        WHERE p.brand = q.brand
+          AND p.price_cents <= q.price_cents
+          AND p.size_units >= q.size_units
+          AND (p.price_cents < q.price_cents
+               OR p.size_units > q.size_units)
+    )
+    ORDER BY brand, price_cents, size_units DESC, p_partkey
+    """,
+)
+def q382_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Börzsönyi, Kossmann & Stocker
+    2001): per brand, the parts not DOMINATED on (price ↓ better,
+    size ↑ better) — p dominates q when p is no worse on both axes and
+    strictly better on one. The classic "best tradeoffs" OLAP operator
+    (cheapest-per-capability shortlists, efficient frontiers) that
+    plain GROUP BY can't express.
+
+    Formulation: the engine uses the 2-D sort-scan identity — a point
+    survives iff no strictly-cheaper same-brand point has size ≥ its
+    size (prefix MAX over price order, strict frame) and no
+    same-or-cheaper point has size > its size (inclusive frame). Two
+    RANGE-framed window maxes replace the quadratic dominance join;
+    the oracle IS that quadratic NOT EXISTS, so the engines verify each
+    other from independent formulations. Equal (price, size) twins
+    dominate neither way and both survive — both formulations agree.
+
+    Determinism: price quantized to integer cents via FLOOR(·×100)
+    (house rule for the DOUBLE fixture column); integer comparisons
+    only; deterministic tie order by key.
+
+    Scale: windows partition by brand — no global single-reducer sort
+    (the q109 trap). For one GLOBAL frontier at 100 TB you'd range-
+    bucket the price axis, take per-bucket MAX(size) (tiny), prefix-max
+    those bucket stats, and broadcast them back to prune all rows
+    dominated by a cheaper bucket before an exact pass over the
+    survivors — the distributed-skyline local-prune/merge shape; the
+    per-brand form here never needs it.
+
+    Reference: extends the analytics family (no reference counterpart;
+    complements q173 Pareto/ABC, which is cumulative share, not
+    dominance)."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_brand").alias("brand"),
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size_units"),
+    )
+    w_strict = (
+        Window.partitionBy("brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.select(
+            "brand",
+            "p_partkey",
+            "price_cents",
+            "size_units",
+            F.max("size_units").over(w_strict).alias("m_strict"),
+            F.max("size_units").over(w_incl).alias("m_incl"),
+        )
+        .filter(
+            (
+                F.col("m_strict").isNull()
+                | (F.col("m_strict") < F.col("size_units"))
+            )
+            & (F.col("m_incl") <= F.col("size_units"))
+        )
+        .select("brand", "p_partkey", "price_cents", "size_units")
+        .orderBy(
+            "brand", "price_cents", F.col("size_units").desc(), "p_partkey"
+        )
+    )

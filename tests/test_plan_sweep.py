@@ -102,6 +102,7 @@ BNLJ_ALLOWED = {
     "q371_task_scheduler",        # one-row total-load broadcast
     "q372_tail_attribution",      # one-row p99-threshold + totals broadcasts
     "q379_hbos_outliers",         # one-row bounds + one-row bin-count broadcasts
+    "q381_hits",                  # one-row per-round max-normalizer broadcasts
 }
 
 

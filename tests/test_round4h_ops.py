@@ -993,3 +993,86 @@ def test_ra_linkpred_brute_force_parity(spark):
         for r in rows
     ]
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# q381 — HITS hubs & authorities
+# --------------------------------------------------------------------------
+
+
+def test_hits_pure_python_replay(spark):
+    rows = registry.QUERIES["q381_hits"](spark, SF_SMALL).collect()
+    assert rows
+    con = _duck(SF_SMALL)
+    edges = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    by_o = defaultdict(set)
+    by_p = defaultdict(set)
+    for o, p in edges:
+        by_o[o].add(p)
+        by_p[p].add(o)
+    auth = {p: 1_000_000 for p in by_p}
+    hub = {}
+    for _ in range(3):
+        hub = {o: sum(auth[p] for p in ps) for o, ps in by_o.items()}
+        mx = max(hub.values())
+        hub = {o: 1_000_000 * s // mx for o, s in hub.items()}
+        auth = {p: sum(hub[o] for o in os_) for p, os_ in by_p.items()}
+        mx = max(auth.values())
+        auth = {p: 1_000_000 * s // mx for p, s in auth.items()}
+    expected = []
+    top_a = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    for rk, (n, s) in enumerate(top_a, 1):
+        expected.append(("auth", n, s, rk))
+    top_h = sorted(hub.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    for rk, (n, s) in enumerate(top_h, 1):
+        expected.append(("hub", n, s, rk))
+    got = [(r["side"], r["node"], r["score_ppm"], r["rk"]) for r in rows]
+    assert got == expected
+    # max-normalization invariant: each side's top score is exactly 1e6
+    assert got[0][2] == 1_000_000 and got[15][2] == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q382 — skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+def test_skyline_brute_force_parity(spark):
+    rows = registry.QUERIES["q382_skyline"](spark, SF_SMALL).collect()
+    assert rows
+    con = _duck(SF_SMALL)
+    pts = con.execute(
+        """
+        SELECT p_brand, p_partkey,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT), p_size
+        FROM part
+        """
+    ).fetchall()
+    by_brand = defaultdict(list)
+    for b, k, c, s in pts:
+        by_brand[b].append((k, c, s))
+    sky = set()
+    for b, items in by_brand.items():
+        for k, c, s in items:
+            dominated = any(
+                (c2 <= c and s2 >= s and (c2 < c or s2 > s))
+                for _, c2, s2 in items
+            )
+            if not dominated:
+                sky.add((b, k))
+    got = {(r["brand"], r["p_partkey"]) for r in rows}
+    assert got == sky
+    # dominance sanity: within a brand, walking the frontier by rising
+    # price must strictly raise size (frontier is an anti-chain)
+    per_brand = defaultdict(list)
+    for r in rows:
+        per_brand[r["brand"]].append((r["price_cents"], r["size_units"]))
+    for b, seq in per_brand.items():
+        seq = sorted(seq)
+        for (c1, s1), (c2, s2) in zip(seq, seq[1:]):
+            if c1 < c2:
+                assert s2 > s1
+            else:
+                assert s2 == s1  # equal-point twins both survive

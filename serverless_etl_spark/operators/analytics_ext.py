@@ -10745,3 +10745,118 @@ def q382_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand", "price_cents", F.col("size_units").desc(), "p_partkey"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q383 — self-join cardinality planner (skew-aware shuffle-size estimate)
+# --------------------------------------------------------------------------
+
+JCP_HH = 20  #: heavy-hitter keys kept exact in the estimator
+
+
+@register(
+    "q383_join_size_planner",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c * c) AS BIGINT) AS exact_pairs,
+               CAST(MAX(c) AS BIGINT) AS max_c
+        FROM c
+    ),
+    hh AS (SELECT c FROM c ORDER BY c DESC, user_id LIMIT {JCP_HH}),
+    hhs AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS hh_pairs,
+               CAST(SUM(c) AS BIGINT) AS hh_rows,
+               CAST(COUNT(*) AS BIGINT) AS hh_keys
+        FROM hh
+    ),
+    est AS (
+        SELECT t.n_rows, t.n_keys, t.exact_pairs, t.max_c, h.hh_pairs,
+               h.hh_pairs
+               + CASE WHEN t.n_keys > h.hh_keys
+                      THEN (t.n_rows - h.hh_rows) * (t.n_rows - h.hh_rows)
+                           // (t.n_keys - h.hh_keys)
+                      ELSE 0 END AS est_pairs
+        FROM tot t CROSS JOIN hhs h
+    )
+    SELECT n_rows, n_keys, exact_pairs, hh_pairs, est_pairs,
+           1000000 * ABS(est_pairs - exact_pairs) // exact_pairs AS err_ppm,
+           1000000 * (max_c * max_c) // exact_pairs AS top1_share_ppm
+    FROM est
+    """,
+)
+def q383_join_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality planner: BEFORE running a key join (here:
+    events ⋈ events on user_id — the sessionization / user-pairing
+    shape), predict its output size from per-key degree statistics.
+    Exact size is Σ c(k)² over per-key counts; the planner's ESTIMATE
+    keeps the top-{JCP_HH} heavy hitters exact and models the tail as
+    uniform ((Σ tail rows)² DIV #tail keys) — exactly the heavy-
+    hitter + uniform-rest model a cost-based optimizer (or AQE's skew
+    detector) uses, and the one row that tells you whether the shuffle
+    will blow up and WHO is to blame (top1_share_ppm).
+
+    Determinism: per-key counts are exact integers; the heavy-hitter
+    cut is LIMIT {JCP_HH} under (count DESC, key) — fully ordered, no
+    arbitrary tie survivor; estimator arithmetic is integer floor
+    division throughout.
+
+    Scale: the plan never materializes the join it sizes — one
+    GROUP BY over the fact table (map-side partial), a TakeOrdered
+    top-{JCP_HH}, and one-row aggregates broadcast together (allow-
+    listed scalar BNLJ). At extreme row counts Σc² and the squared
+    tail exceed int64 — route the same query through DECIMAL(38,0)
+    sums; documented rather than silently saturating.
+
+    Reference: extends the skew-diagnostics family (q45 salted join,
+    q220 degree distribution, q372 tail attribution) with the
+    optimizer-facing estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = c.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    hh = c.orderBy(F.col("c").desc(), "user_id").limit(JCP_HH)
+    hhs = hh.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("hh_pairs"),
+        F.sum("c").cast("bigint").alias("hh_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("hh_keys"),
+    )
+    est = tot.crossJoin(F.broadcast(hhs)).select(
+        "n_rows",
+        "n_keys",
+        "exact_pairs",
+        "max_c",
+        "hh_pairs",
+        (
+            F.col("hh_pairs")
+            + F.when(
+                F.col("n_keys") > F.col("hh_keys"),
+                F.expr(
+                    "(n_rows - hh_rows) * (n_rows - hh_rows)"
+                    " DIV (n_keys - hh_keys)"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("est_pairs"),
+    )
+    return est.select(
+        "n_rows",
+        "n_keys",
+        "exact_pairs",
+        "hh_pairs",
+        "est_pairs",
+        F.expr(
+            "1000000 * abs(est_pairs - exact_pairs) DIV exact_pairs"
+        ).alias("err_ppm"),
+        F.expr("1000000 * (max_c * max_c) DIV exact_pairs").alias(
+            "top1_share_ppm"
+        ),
+    )

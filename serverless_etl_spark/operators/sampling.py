@@ -639,3 +639,126 @@ def q244_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# q384 — join-preserving correlated sampling
+# --------------------------------------------------------------------------
+
+CORR_UPPER = "1a"  #: md5 2-hex-char threshold — keep 26/256 of key space
+CORR_NUM = 26
+CORR_DEN = 256
+
+
+@register(
+    "q384_correlated_sample",
+    oracle=f"""
+    WITH s_o AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '{CORR_UPPER}'
+    ),
+    s_l AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '{CORR_UPPER}'
+    ),
+    samp AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS sample_orders,
+               CAST(COUNT(*) AS BIGINT) AS sample_lineitems
+        FROM s_o o JOIN s_l l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    ex AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS exact_lineitems
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT ex.priority,
+           COALESCE(samp.sample_orders, 0) AS sample_orders,
+           COALESCE(samp.sample_lineitems, 0) AS sample_lineitems,
+           COALESCE(samp.sample_lineitems, 0) * {CORR_DEN} // {CORR_NUM}
+               AS est_lineitems,
+           ex.exact_lineitems,
+           1000000 * ABS(COALESCE(samp.sample_lineitems, 0)
+                         * {CORR_DEN} // {CORR_NUM} - ex.exact_lineitems)
+               // ex.exact_lineitems AS err_ppm
+    FROM ex LEFT JOIN samp ON samp.priority = ex.priority
+    ORDER BY ex.priority
+    """,
+)
+def q384_correlated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving correlated sampling (a.k.a. universe sampling in
+    the AQP literature — BlinkDB/Quickr lineage): sample BOTH sides of
+    a join by the SAME deterministic hash predicate on the JOIN KEY
+    (md5(orderkey) 2-hex prefix < '{CORR_UPPER}' ⇒ keep
+    {CORR_NUM}/{CORR_DEN} of key space), so the join of samples equals
+    the sample of the join — every kept order keeps ALL its lineitems;
+    independent Bernoulli sampling of each side would keep only
+    rate² of matching pairs and destroy the estimate. The query is its
+    own evaluation (the q120/q261 stance): per priority it reports the
+    sampled join, the scaled-up estimate (× {CORR_DEN}/{CORR_NUM}),
+    the exact join, and the error in ppm.
+
+    Determinism: md5 prefix thresholds (the q58 house pattern —
+    bit-identical across engines), integer scale-up and err via floor
+    division and ABS on bigints.
+
+    Scale: the sample predicates push into BOTH parquet scans
+    (filter-before-join — the sampled join touches ~10% of each side);
+    the exact side exists only to grade the estimate and would be
+    dropped in production. Key-hash sampling is the only sampling
+    scheme that composes with joins at 100 TB — this query documents
+    and PINS that contract.
+
+    Reference: extends the sampling family (q58 hash split, q83 group
+    sample, q100 mixture resample) with the multi-table contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keep_o = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+        < CORR_UPPER
+    )
+    keep_l = (
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2)
+        < CORR_UPPER
+    )
+    s_o = orders.filter(keep_o).select("o_orderkey", "o_orderpriority")
+    s_l = li.filter(keep_l).select("l_orderkey")
+    samp = (
+        s_o.join(s_l, s_o["o_orderkey"] == s_l["l_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias(
+                "sample_orders"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("sample_lineitems"),
+        )
+    )
+    ex = (
+        orders.select("o_orderkey", "o_orderpriority")
+        .join(li.select("l_orderkey"), orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_lineitems"))
+    )
+    return (
+        ex.join(samp, "priority", "left")
+        .select(
+            "priority",
+            F.coalesce("sample_orders", F.lit(0).cast("bigint")).alias(
+                "sample_orders"
+            ),
+            F.coalesce("sample_lineitems", F.lit(0).cast("bigint")).alias(
+                "sample_lineitems"
+            ),
+            F.expr(
+                f"coalesce(sample_lineitems, 0) * {CORR_DEN} DIV {CORR_NUM}"
+            ).alias("est_lineitems"),
+            "exact_lineitems",
+            F.expr(
+                f"1000000 * abs(coalesce(sample_lineitems, 0) * {CORR_DEN}"
+                f" DIV {CORR_NUM} - exact_lineitems) DIV exact_lineitems"
+            ).alias("err_ppm"),
+        )
+        .orderBy("priority")
+    )

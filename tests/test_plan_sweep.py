@@ -103,6 +103,7 @@ BNLJ_ALLOWED = {
     "q372_tail_attribution",      # one-row p99-threshold + totals broadcasts
     "q379_hbos_outliers",         # one-row bounds + one-row bin-count broadcasts
     "q381_hits",                  # one-row per-round max-normalizer broadcasts
+    "q383_join_size_planner",     # one-row totals × one-row HH-stats broadcast
 }
 
 

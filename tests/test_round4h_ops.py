@@ -1076,3 +1076,83 @@ def test_skyline_brute_force_parity(spark):
                 assert s2 > s1
             else:
                 assert s2 == s1  # equal-point twins both survive
+
+
+# --------------------------------------------------------------------------
+# q383 — self-join cardinality planner
+# --------------------------------------------------------------------------
+
+
+def test_join_size_planner_replay(spark):
+    rows = registry.QUERIES["q383_join_size_planner"](spark, SF_MID).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    counts = dict(
+        con.execute(
+            "SELECT user_id, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    exact = sum(c * c for c in counts.values())
+    assert r["exact_pairs"] == exact
+    hh = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    hh_pairs = sum(c * c for _, c in hh)
+    hh_rows = sum(c for _, c in hh)
+    n_rows = sum(counts.values())
+    n_keys = len(counts)
+    tail_keys = n_keys - len(hh)
+    est = hh_pairs + (
+        (n_rows - hh_rows) ** 2 // tail_keys if tail_keys else 0
+    )
+    assert r["est_pairs"] == est
+    assert r["err_ppm"] == 1_000_000 * abs(est - exact) // exact
+    mx = max(counts.values())
+    assert r["top1_share_ppm"] == 1_000_000 * mx * mx // exact
+    # the uniform-tail + exact-HH model must land within 25% on the
+    # synthetic key distribution (the planner is useless otherwise)
+    assert r["err_ppm"] < 250_000
+
+
+# --------------------------------------------------------------------------
+# q384 — join-preserving correlated sampling
+# --------------------------------------------------------------------------
+
+
+def test_correlated_sample_join_preservation(spark):
+    import hashlib
+
+    rows = registry.QUERIES["q384_correlated_sample"](spark, SF_MID).collect()
+    assert rows
+    con = _duck(SF_MID)
+    li = con.execute(
+        """
+        SELECT o.o_orderpriority, o.o_orderkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+
+    def kept(k):
+        return hashlib.md5(str(k).encode()).hexdigest()[:2] < "1a"
+
+    exact = defaultdict(int)
+    samp = defaultdict(int)
+    samp_orders = defaultdict(set)
+    for pri, ok in li:
+        exact[pri] += 1
+        if kept(ok):
+            samp[pri] += 1
+            samp_orders[pri].add(ok)
+    for r in rows:
+        pri = r["priority"]
+        # join of samples == sample of join: every kept order keeps
+        # ALL its lineitems, so the sampled-join count equals the
+        # full-join count restricted to kept keys
+        assert r["sample_lineitems"] == samp[pri]
+        assert r["sample_orders"] == len(samp_orders[pri])
+        assert r["exact_lineitems"] == exact[pri]
+        assert r["est_lineitems"] == samp[pri] * 256 // 26
+        # ~10% key sample at sf0.01 estimates within 20%
+        assert r["err_ppm"] < 200_000

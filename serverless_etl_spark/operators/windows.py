@@ -3484,3 +3484,391 @@ def q377_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q385 — Holt-Winters additive seasonal smoothing (level+trend+season 7)
+# --------------------------------------------------------------------------
+
+HW_PERIOD = 7  #: weekly additive seasonality
+
+
+def _sdiv2_sql(e: str) -> str:
+    """Sign-split truncating halving as SQL (the q377 kernel's sdiv2)."""
+    return f"CASE WHEN ({e}) >= 0 THEN ({e}) // 2 ELSE -((-({e})) // 2) END"
+
+
+def _hw_seed_arms() -> str:
+    return ",\n           ".join(
+        f"CAST(MAX(CASE WHEN s.i = {j + 1} THEN s.cnt END) * 1000"
+        f" - SUM(s.cnt) * 1000 // {HW_PERIOD} AS BIGINT) AS s{j}"
+        for j in range(HW_PERIOD)
+    )
+
+
+def _hw_update_arms() -> str:
+    upd = _sdiv2_sql("y - lnew + scur")
+    return ",\n           ".join(
+        f"CASE WHEN (i - 1) % {HW_PERIOD} = {j} THEN {upd}"
+        f" ELSE s{j} END AS s{j}"
+        for j in range(HW_PERIOD)
+    )
+
+
+def _hw_pick(expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {j} THEN s{j}" for j in range(HW_PERIOD)
+    )
+    return f"CASE ({expr}) % {HW_PERIOD} {arms} END"
+
+
+def _hw_fn(pdf):
+    """Per-key sequential Holt-Winters recursion (additive, period
+    {HW_PERIOD}, alpha=beta=gamma=1/2 as sign-split truncating
+    halvings). Integer milli-unit state: level, trend, and a
+    {HW_PERIOD}-slot seasonal vector."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    def sdiv2(v: int) -> int:
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    pdf = pdf.sort_values("i")
+    cnts = [int(c) for c in pdf["cnt"].to_list()]
+    cols = [
+        "event_type", "n_days", "level_milli", "trend_milli",
+        "sae_milli", "forecast1_milli",
+    ]
+    if len(cnts) < HW_PERIOD + 1:
+        return pd.DataFrame({c: [] for c in cols})
+    l = sum(cnts[:HW_PERIOD]) * 1000 // HW_PERIOD
+    s = [c * 1000 - l for c in cnts[:HW_PERIOD]]
+    b = 0
+    sae = 0
+    for idx in range(HW_PERIOD, len(cnts)):
+        y = cnts[idx] * 1000
+        j = idx % HW_PERIOD
+        scur = s[j]
+        sae += abs(y - (l + b + scur))
+        lnew = sdiv2(y - scur + l + b)
+        bnew = sdiv2(lnew - l + b)
+        s[j] = sdiv2(y - lnew + scur)
+        l, b = lnew, bnew
+    n = len(cnts)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [n],
+            "level_milli": [l],
+            "trend_milli": [b],
+            "sae_milli": [sae],
+            "forecast1_milli": [l + b + s[n % HW_PERIOD]],
+        }
+    )
+
+
+@register(
+    "q385_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    ok AS (
+        SELECT event_type FROM seq
+        GROUP BY event_type HAVING MAX(i) >= {HW_PERIOD + 1}
+    ),
+    seed AS (
+        SELECT s.event_type, CAST({HW_PERIOD} AS BIGINT) AS i,
+               CAST(SUM(s.cnt) * 1000 // {HW_PERIOD} AS BIGINT) AS l,
+               CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae,
+           {_hw_seed_arms()}
+        FROM seq s JOIN ok ON ok.event_type = s.event_type
+        WHERE s.i <= {HW_PERIOD}
+        GROUP BY s.event_type
+    ),
+    rec AS (
+        SELECT * FROM seed
+        UNION ALL
+        SELECT event_type, i, lnew,
+               {_sdiv2_sql('lnew - lprev + bprev')} AS b,
+               sae + abs(y - (lprev + bprev + scur)) AS sae,
+           {_hw_update_arms()}
+        FROM (
+            SELECT q.*, {_sdiv2_sql('y - scur + lprev + bprev')} AS lnew
+            FROM (
+                SELECT s.event_type, s.i, s.cnt * 1000 AS y,
+                       r.l AS lprev, r.b AS bprev, r.sae,
+                       r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+                       {_hw_pick('s.i - 1')} AS scur
+                FROM rec r JOIN seq s
+                  ON s.event_type = r.event_type AND s.i = r.i + 1
+            ) q
+        )
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS n_days, l AS level_milli,
+           b AS trend_milli, sae AS sae_milli,
+           l + b + {_hw_pick('i')} AS forecast1_milli
+    FROM rec
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i DESC) = 1
+    ORDER BY event_type
+    """,
+)
+def q385_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing over the per-type daily
+    series: q377's level+trend recursion extended with a {HW_PERIOD}-
+    slot seasonal vector (alpha=beta=gamma=1/2), seeded from the first
+    {HW_PERIOD} days (level = their mean, seasonals = deviations from
+    it), with the one-step-ahead SAE accumulated along the way and the
+    seasonal next-day forecast level + trend + s[next] emitted per
+    type. This is the model that beats q377 whenever the series has a
+    weekly shape — together they complete the classical ETS ladder
+    (naive → Holt → Holt-Winters).
+
+    Determinism: all state integer milli-units; every smoothing step
+    is the sign-split truncating halving (seasonals go negative, so
+    the sign split is load-bearing); the DuckDB oracle runs the SAME
+    recursion as a recursive CTE carrying the seasonal vector as seven
+    columns — declarative proof of the imperative kernel (q296/q377
+    discipline). Types with < {HW_PERIOD + 1} days are excluded by
+    both engines (no seedable season).
+
+    Scale: events collapse to |types| × |days| rows map-side before
+    any Python; per-key state is {HW_PERIOD}+2 integers; keys walk in
+    parallel (Arrow-batched applyInPandas, one shuffle on the key) —
+    the truncation is non-associative, so there is no prefix-scan
+    escape and this IS the Spark-correct rendering.
+
+    Reference: q377 (non-seasonal twin), q245 (baseline eval), q143
+    (seasonal anomaly — the detector this model forecasts for)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seq = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    return (
+        seq.groupBy("event_type")
+        .applyInPandas(
+            _hw_fn,
+            "event_type string, n_days bigint, level_milli bigint, "
+            "trend_milli bigint, sae_milli bigint, forecast1_milli bigint",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q386 — OHLC bars (open/high/low/close candle rollup)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q386_ohlc_bars",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS vm, ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY ts, event_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM v
+    )
+    SELECT event_type, d,
+           CAST(MAX(CASE WHEN ra = 1 THEN vm END) AS BIGINT) AS open_milli,
+           CAST(MAX(vm) AS BIGINT) AS high_milli,
+           CAST(MIN(vm) AS BIGINT) AS low_milli,
+           CAST(MAX(CASE WHEN rd = 1 THEN vm END) AS BIGINT) AS close_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vm) AS BIGINT) AS vol_milli
+    FROM r GROUP BY 1, 2
+    ORDER BY event_type, d
+    """,
+)
+def q386_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars: per (event_type, day), the OPEN (first value
+    in event-time order), HIGH, LOW, CLOSE (last value) and volume —
+    the canonical downsampling of a tick stream into bars that every
+    monitoring/finance dashboard draws, and the general "first/last
+    per group must be DETERMINISTIC" pattern: first/last are defined
+    by the total order (ts, event_id) — event_id breaks timestamp
+    ties, so there is no arbitrary-survivor nondeterminism (the trap
+    in naive FIRST_VALUE over a non-unique order).
+
+    Determinism: values quantized to integer milli-units via
+    FLOOR(·×1000); open/close selected by ROW_NUMBER over the unique
+    total order in both engines; high/low/volume are exact integer
+    MIN/MAX/SUM.
+
+    Scale: both row_numbers and the aggregate share one (type, day)
+    hash partitioning — one exchange, two in-partition sorts, then a
+    partial-aggregable GROUP BY; bars are |types|×|days| rows. At
+    100 TB you'd bar by (symbol, minute) — same plan, more keys, which
+    is exactly what the partitioned window wants.
+
+    Reference: extends the time-series family (q55 moving window, q243
+    decomposition); no reference counterpart."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = v.select(
+        "event_type",
+        "d",
+        "vm",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        r.groupBy("event_type", "d")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("vm"))).alias("open_milli"),
+            F.max("vm").alias("high_milli"),
+            F.min("vm").alias("low_milli"),
+            F.max(F.when(F.col("rd") == 1, F.col("vm"))).alias("close_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("vm").cast("bigint").alias("vol_milli"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# --------------------------------------------------------------------------
+# q387 — calendar-spine gap fill with forward fill
+# --------------------------------------------------------------------------
+
+GAP_UPPER = "03"  #: md5 2-hex threshold — keep 3/256 ≈ 1.2% (sparse series)
+
+
+@register(
+    "q387_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS vol
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '{GAP_UPPER}'
+        GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+        SELECT t.event_type, CAST(gs AS DATE) AS d
+        FROM t CROSS JOIN b
+        CROSS JOIN unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+                                          CAST(b.hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS u(gs)
+    ),
+    j AS (
+        SELECT s.event_type, s.d, daily.n, daily.vol
+        FROM spine s LEFT JOIN daily
+          ON daily.event_type = s.event_type AND daily.d = s.d
+    )
+    SELECT event_type, d,
+           COALESCE(n, 0) AS n_events,
+           COALESCE(last_value(vol IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS ffill_vol_milli,
+           CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j ORDER BY event_type, d
+    """,
+)
+def q387_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: a sparse daily series (a deterministic
+    ~1.2% md5 sample of events — the fixtures are dense, the sample
+    makes the gaps real) is completed over the FULL date spine
+    (sequence(min_day, max_day) exploded per type), missing days get
+    n_events = 0 and carry the last observed volume forward
+    (LAST ... IGNORE NULLS over the ordered per-type window — the
+    forward-fill idiom), and is_gap marks filled rows. This is the
+    operator every downstream window/forecast query silently assumes:
+    q377/q385's row_number-as-day-index is only correct on a gapless
+    series, and this is what makes a series gapless.
+
+    Determinism: the sample is the q58 md5-prefix house pattern
+    (bit-identical across engines); fills are integer; the spine is
+    data-derived (global min/max day), not wall-clock.
+
+    Scale: the spine is |types| × |days| rows built from a one-row
+    bounds broadcast (allowlisted scalar BNLJ) — never a row-per-event
+    structure; the fill join is keyed; the forward-fill window
+    partitions by type (no global sort). At 100 TB the same plan holds
+    with (entity, day) keys — the spine grows with entities × days,
+    not with events.
+
+    Reference: extends the time-series family; the maintenance twin of
+    q213 late-data reprocess (which finds days to REDO — this finds
+    days that never arrived)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+            < GAP_UPPER
+        )
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("vol"),
+        )
+    )
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        )
+    )
+    j = spine.join(daily, ["event_type", "d"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "d",
+        F.coalesce("n", F.lit(0).cast("bigint")).alias("n_events"),
+        F.coalesce(
+            F.last("vol", ignorenulls=True).over(w), F.lit(0).cast("bigint")
+        ).alias("ffill_vol_milli"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    ).orderBy("event_type", "d")

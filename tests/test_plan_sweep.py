@@ -104,6 +104,7 @@ BNLJ_ALLOWED = {
     "q379_hbos_outliers",         # one-row bounds + one-row bin-count broadcasts
     "q381_hits",                  # one-row per-round max-normalizer broadcasts
     "q383_join_size_planner",     # one-row totals × one-row HH-stats broadcast
+    "q387_gap_fill",              # one-row date-bounds broadcast (spine build)
 }
 
 

@@ -10860,3 +10860,272 @@ def q383_join_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_share_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q388 — column encoding / layout advisor
+# --------------------------------------------------------------------------
+
+ENC_BUCKET = 512          #: run windows partition by l_orderkey DIV this
+ENC_DICT_NDV_PPM = 10_000   #: ≤1% distinct → dictionary encoding
+ENC_RLE_RUN_PPM = 2_000_000  #: avg run ≥ 2 rows → run-length encoding
+
+_ENC_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_returnflag", "l_linestatus",
+]
+
+#: lag order — (l_orderkey, l_linenumber) is NOT unique in the
+#: fixtures, so the order totalizes over every profiled column:
+#: any remaining ties are value-identical rows, which cannot change
+#: a run count whatever their relative order
+_ENC_ORDER = ["l_orderkey", "l_linenumber"] + _ENC_COLS[1:]
+
+
+def _enc_runs_sql(c: str) -> str:
+    return (
+        f"CAST(SUM(CASE WHEN prev_{c} IS NULL OR prev_{c} <> {c}"
+        f" THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+@register(
+    "q388_encoding_advisor",
+    oracle=f"""
+    WITH w AS (
+        SELECT {', '.join(_ENC_COLS)},
+               {', '.join(
+                   f'LAG({c}) OVER (PARTITION BY l_orderkey // {ENC_BUCKET}'
+                   f' ORDER BY {", ".join(_ENC_ORDER)}) AS prev_{c}'
+                   for c in _ENC_COLS)}
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {', '.join(
+                   f'CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{c},'
+                   f' {_enc_runs_sql(c)} AS runs_{c}'
+                   for c in _ENC_COLS)}
+        FROM w
+    ),
+    cols AS (
+        {' UNION ALL '.join(
+            f"SELECT '{c}' AS col_name, n, ndv_{c} AS ndv,"
+            f" runs_{c} AS total_runs FROM stats"
+            for c in _ENC_COLS)}
+    )
+    SELECT col_name, n AS n_rows, ndv,
+           1000000 * ndv // n AS ndv_ppm,
+           total_runs,
+           1000000 * n // total_runs AS avg_run_len_ppm,
+           CASE WHEN 1000000 * ndv // n <= {ENC_DICT_NDV_PPM} THEN 'DICT'
+                WHEN 1000000 * n // total_runs >= {ENC_RLE_RUN_PPM}
+                    THEN 'RLE'
+                ELSE 'PLAIN' END AS encoding
+    FROM cols ORDER BY col_name
+    """,
+)
+def q388_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encoding / layout advisor: per column of the fact table,
+    the statistics a lakehouse compaction job needs to pick a physical
+    encoding — exact NDV (dictionary viability), and the number of
+    VALUE RUNS under the table's sort key (run-length viability; long
+    runs also mean tight min/max zone maps, i.e. better file skipping).
+    Low-cardinality columns → DICT, run-heavy columns (the sort key
+    itself and anything correlated with it) → RLE, everything else
+    PLAIN — the heuristic parquet writers apply, surfaced as a query
+    so the sort-key decision can be DRIVEN by data.
+
+    Determinism: runs counted within l_orderkey DIV {ENC_BUCKET}
+    buckets under an order made TOTAL over every profiled column
+    ((l_orderkey, l_linenumber) alone is not unique in the fixtures;
+    with all columns in the key, any residual ties are value-identical
+    rows, which cannot change a run count whatever their relative
+    order) — bucket boundaries break runs identically in both engines,
+    so the count is exact and reproducible; all ratios integer ppm.
+
+    Scale: this is the REASON for the bucketing — a single global
+    LAG order would serialize the table through one task (the q109
+    trap); bucketed windows sort in parallel and undercount runs by at
+    most #buckets (deterministically). One exchange for all six lag
+    columns (same window spec), one aggregate with exact
+    count-distincts (Expand — ×{len(_ENC_COLS)} rows map-side, never
+    shuffled raw), then a {len(_ENC_COLS)}-row unpivot.
+
+    Reference: extends table maintenance (q328 tiering advisor, q371
+    placement planner) toward physical layout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy(
+        F.expr(f"l_orderkey DIV {ENC_BUCKET}")
+    ).orderBy(*_ENC_ORDER)
+    lagged = li.select(
+        *_ENC_COLS,
+        *[F.lag(c).over(w).alias(f"prev_{c}") for c in _ENC_COLS],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _ENC_COLS:
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"prev_{c}").isNull()
+                    | (F.col(f"prev_{c}") != F.col(c)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"runs_{c}")
+        )
+    stats = lagged.agg(*aggs)
+    cols = None
+    for c in _ENC_COLS:
+        row = stats.select(
+            F.lit(c).alias("col_name"),
+            "n",
+            F.col(f"ndv_{c}").alias("ndv"),
+            F.col(f"runs_{c}").alias("total_runs"),
+        )
+        cols = row if cols is None else cols.unionAll(row)
+    return cols.select(
+        "col_name",
+        F.col("n").alias("n_rows"),
+        "ndv",
+        F.expr("1000000 * ndv DIV n").alias("ndv_ppm"),
+        "total_runs",
+        F.expr("1000000 * n DIV total_runs").alias("avg_run_len_ppm"),
+        F.when(
+            F.expr("1000000 * ndv DIV n") <= ENC_DICT_NDV_PPM, "DICT"
+        )
+        .when(
+            F.expr("1000000 * n DIV total_runs") >= ENC_RLE_RUN_PPM, "RLE"
+        )
+        .otherwise("PLAIN")
+        .alias("encoding"),
+    ).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# q390 — multi-touch attribution (linear + position-based)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q390_multitouch_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    touch AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id
+        FROM events e JOIN conv c ON c.user_id = e.user_id
+        WHERE e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id)
+    ),
+    j AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS k
+        FROM touch
+    ),
+    credit AS (
+        SELECT user_id, event_type,
+               1000000 // k
+               + CASE WHEN rn = k
+                      THEN 1000000 - k * (1000000 // k) ELSE 0 END AS lin_ppm,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 AND rn = 1 THEN 500000
+                    WHEN k = 2 THEN 500000
+                    WHEN rn = 1 THEN 400000
+                    WHEN rn = k THEN 400000
+                         + (200000 - (k - 2) * (200000 // (k - 2)))
+                    ELSE 200000 // (k - 2) END AS pos_ppm
+        FROM j
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(lin_ppm) AS BIGINT) AS linear_credit_ppm,
+           CAST(SUM(pos_ppm) AS BIGINT) AS position_credit_ppm
+    FROM credit GROUP BY 1 ORDER BY 1
+    """,
+)
+def q390_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each user's FIRST purchase distributes
+    exactly 1,000,000 ppm of conversion credit over the touches that
+    preceded it (strict (ts, event_id) order — the unique total order
+    again), under two published schemes side by side: LINEAR (equal
+    split) and POSITION-BASED 40/20/40 (first touch 40%, last touch
+    40%, middles share 20%; k=1 → 100%, k=2 → 50/50). Completes the
+    attribution family: q141 is last-touch, this is the fractional
+    pair marketers compare it against.
+
+    Determinism: integer ppm splits via floor division with the
+    REMAINDER deterministically assigned to the last touch — so every
+    journey's credits sum to exactly 1,000,000 in both schemes (the
+    conservation invariant the test pins), and channel totals are
+    exact integer sums, not float shares.
+
+    Scale: conversions and touch ranks are per-user partitioned
+    windows; the touch join is keyed on user_id; everything after is
+    partial-aggregable GROUP BY. No global sort, no fan-out beyond the
+    user's own history.
+
+    Reference: q141 (last-touch twin), q77 (funnel), q132 (A/B
+    conversion)."""
+    ev = load_table(spark, sf_dir, "events")
+    wconv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.row_number().over(wconv).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+    )
+    touch = ev.join(conv, "user_id").filter(
+        (F.col("ts") < F.col("cts"))
+        | ((F.col("ts") == F.col("cts")) & (F.col("event_id") < F.col("cid")))
+    )
+    wk = Window.partitionBy("user_id")
+    j = touch.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wconv).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = j.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "1000000 DIV k + CASE WHEN rn = k"
+            " THEN 1000000 - k * (1000000 DIV k) ELSE 0 END"
+        ).alias("lin_ppm"),
+        F.expr(
+            "CASE WHEN k = 1 THEN 1000000"
+            " WHEN k = 2 THEN 500000"
+            " WHEN rn = 1 THEN 400000"
+            " WHEN rn = k THEN 400000"
+            "      + (200000 - (k - 2) * (200000 DIV (k - 2)))"
+            " ELSE 200000 DIV (k - 2) END"
+        ).alias("pos_ppm"),
+    )
+    return (
+        credit.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("lin_ppm").cast("bigint").alias("linear_credit_ppm"),
+            F.sum("pos_ppm").cast("bigint").alias("position_credit_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -2097,3 +2097,114 @@ def q375_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q389 — k-center coreset (farthest-first traversal)
+# --------------------------------------------------------------------------
+
+KC_K = 8  #: coreset size (Gonzalez farthest-first gives a 2-approximation)
+
+
+def _kcenter_ctes() -> str:
+    parts = [
+        "dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+        " CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)",
+        "c1 AS (SELECT MIN(vec_id) AS cid FROM embeddings)",
+        "d1 AS (SELECT d.vec_id,"
+        " ROUND(SUM((d.x - cd.x) * (d.x - cd.x)), 6) AS mind"
+        " FROM dims d JOIN c1 ON TRUE"
+        " JOIN dims cd ON cd.vec_id = c1.cid AND cd.i = d.i"
+        " GROUP BY d.vec_id)",
+    ]
+    for s in range(2, KC_K + 1):
+        parts.append(
+            f"c{s} AS (SELECT vec_id AS cid, mind FROM d{s - 1}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{s} AS (SELECT p.vec_id, LEAST(p.mind,"
+            f" ROUND(SUM((d.x - cd.x) * (d.x - cd.x)), 6)) AS mind"
+            f" FROM d{s - 1} p JOIN dims d ON d.vec_id = p.vec_id"
+            f" JOIN c{s} ON TRUE"
+            f" JOIN dims cd ON cd.vec_id = c{s}.cid AND cd.i = d.i"
+            f" GROUP BY p.vec_id, p.mind)"
+        )
+    return ",\n    ".join(parts)
+
+
+def _kcenter_final() -> str:
+    sels = ["SELECT 1 AS step, c1.cid AS center_id,"
+            " CAST(NULL AS DOUBLE) AS sel_dist_r6 FROM c1"]
+    for s in range(2, KC_K + 1):
+        sels.append(f"SELECT {s}, cid, mind FROM c{s}")
+    return " UNION ALL ".join(sels)
+
+
+@register(
+    "q389_kcenter_coreset",
+    oracle=f"""
+    WITH {_kcenter_ctes()}
+    {_kcenter_final()}
+    ORDER BY step
+    """,
+)
+def q389_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-center coreset via farthest-first traversal (Gonzalez 1985):
+    start from the lowest vec_id, then {KC_K - 1} times pick the point
+    FARTHEST (squared L2) from the chosen set and fold it in — the
+    classic 2-approximation to the k-center cover, and the standard
+    DIVERSITY-selection primitive for training data (q345's greedy
+    coverage maximizes token coverage; this maximizes geometric spread
+    of embeddings — the two ends of the subset-selection family). Each
+    selected row carries the distance that won it, i.e. the coverage
+    radius of the preceding set — the curve that says when diversity
+    saturates.
+
+    Determinism: distances ROUND(·, 6) (the q50 cosine discipline —
+    absorbs float summation-order noise between the Spark fold and
+    the oracle's GROUP BY sum); argmax ties break by vec_id; the
+    running min-distance is LEAST of rounded values in both engines.
+
+    Scale: the chosen center's vector is pulled to the driver
+    ({KC_K - 1} single-row collects — the q95 k-means-seed posture)
+    and enters the next pass as a LITERAL array, so each round is one
+    map-side zip_with over the corpus + a TakeOrdered(1): no joins, no
+    shuffle of the embedding table, O(K · corpus) total work. The
+    oracle unrolls the same {KC_K} steps as a CTE chain.
+
+    Reference: q50 (distance discipline), q345 (coverage twin), q95
+    (learned-IVF k-means, the clustering this seeds at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = track_cache(
+        emb.select("vec_id", _vec_double().alias("v")).persist()
+    )
+    first = pts.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(1, int(first["vec_id"]), None)]
+    cvec = [float(x) for x in first["v"]]
+
+    def d2(vec):
+        arr = F.array(*[F.lit(x) for x in vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), arr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    cur = pts.select("vec_id", "v", d2(cvec).alias("mind"))
+    for step in range(2, KC_K + 1):
+        cur = track_cache(cur.persist())
+        far = cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
+        chosen.append((step, int(far["vec_id"]), float(far["mind"])))
+        cvec = [float(x) for x in far["v"]]
+        cur = cur.select(
+            "vec_id", "v", F.least(F.col("mind"), d2(cvec)).alias("mind")
+        )
+    return spark.createDataFrame(
+        chosen, "step int, center_id bigint, sel_dist_r6 double"
+    ).orderBy("step")

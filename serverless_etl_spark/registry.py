@@ -102,7 +102,8 @@ _SWEEP_PRIORITY = [
     "q374_growth_accounting", "q375_semdedup", "q376_grid_dbscan", "q377_holt_smoothing", "q378_phonetic_join", "q379_hbos_outliers", "q380_ra_linkpred",
     "q381_hits", "q382_skyline", "q383_join_size_planner",
     "q384_correlated_sample", "q385_holt_winters", "q386_ohlc_bars",
-    "q387_gap_fill",
+    "q387_gap_fill", "q388_encoding_advisor", "q389_kcenter_coreset",
+    "q390_multitouch_attribution",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

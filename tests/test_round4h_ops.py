@@ -1314,3 +1314,147 @@ def test_gap_fill_spine_and_ffill(spark):
             n_gaps += r["is_gap"]
     # the sample is sparse enough that genuine gaps exist
     assert n_gaps > 0
+
+
+# --------------------------------------------------------------------------
+# q388 — encoding advisor
+# --------------------------------------------------------------------------
+
+
+def test_encoding_advisor_replay(spark):
+    rows = registry.QUERIES["q388_encoding_advisor"](spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    con = _duck(SF_SMALL)
+    cols = ["l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_returnflag", "l_linestatus"]
+    data = con.execute(
+        f"SELECT {', '.join(cols)}, l_linenumber FROM lineitem"
+        " ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+        " l_quantity, l_returnflag, l_linestatus"
+    ).fetchall()
+    n = len(data)
+    by_col = {r["col_name"]: r for r in rows}
+    for ci, c in enumerate(cols):
+        vals = [d[ci] for d in data]
+        ndv = len(set(vals))
+        runs = 0
+        prev_bucket = None
+        prev = object()
+        for d in data:
+            bucket = d[0] // 512
+            if bucket != prev_bucket or d[ci] != prev:
+                runs += 1
+            prev_bucket, prev = bucket, d[ci]
+        r = by_col[c]
+        assert r["n_rows"] == n and r["ndv"] == ndv
+        assert r["total_runs"] == runs
+        assert r["ndv_ppm"] == 1_000_000 * ndv // n
+        assert r["avg_run_len_ppm"] == 1_000_000 * n // runs
+    # the sort key itself must be RLE-recommendable, a random FK PLAIN,
+    # and the 3-value flag DICT — the advisor is useless otherwise
+    assert by_col["l_orderkey"]["encoding"] == "RLE"
+    assert by_col["l_returnflag"]["encoding"] == "DICT"
+    assert by_col["l_partkey"]["encoding"] == "PLAIN"
+
+
+# --------------------------------------------------------------------------
+# q389 — k-center coreset
+# --------------------------------------------------------------------------
+
+
+def test_kcenter_farthest_first_replay(spark):
+    rows = registry.QUERIES["q389_kcenter_coreset"](spark, SF_SMALL).collect()
+    assert len(rows) == 8
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMALL}/embeddings.parquet'"
+    )
+    vecs = {
+        vid: [float(x) for x in v]
+        for vid, v in con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return round(s, 6)
+
+    first = min(vecs)
+    mind = {vid: d2(v, vecs[first]) for vid, v in vecs.items()}
+    expected = [(1, first, None)]
+    for step in range(2, 9):
+        far = min(mind, key=lambda vid: (-mind[vid], vid))
+        expected.append((step, far, mind[far]))
+        fv = vecs[far]
+        for vid, v in vecs.items():
+            mind[vid] = min(mind[vid], d2(v, fv))
+    got = [(r["step"], r["center_id"], r["sel_dist_r6"]) for r in rows]
+    assert got == expected
+    # selection distances are non-increasing (farthest-first invariant)
+    dists = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+# --------------------------------------------------------------------------
+# q390 — multi-touch attribution
+# --------------------------------------------------------------------------
+
+
+def test_multitouch_credit_conservation(spark):
+    rows = registry.QUERIES["q390_multitouch_attribution"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    ev = con.execute(
+        "SELECT user_id, event_type, ts, event_id FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, t, ts, eid in ev:
+        by_user[u].append((t, ts, eid))
+    lin = defaultdict(int)
+    pos = defaultdict(int)
+    touched = defaultdict(set)
+    n_conv = 0
+    for u, seq in by_user.items():
+        conv_i = next(
+            (i for i, (t, _, _) in enumerate(seq) if t == "purchase"), None
+        )
+        if conv_i is None or conv_i == 0:
+            continue
+        n_conv += 1
+        journey = seq[:conv_i]
+        k = len(journey)
+        for rn, (t, _, _) in enumerate(journey, 1):
+            lc = 1_000_000 // k + (
+                1_000_000 - k * (1_000_000 // k) if rn == k else 0
+            )
+            if k == 1:
+                pc = 1_000_000
+            elif k == 2:
+                pc = 500_000
+            elif rn == 1:
+                pc = 400_000
+            elif rn == k:
+                pc = 400_000 + (200_000 - (k - 2) * (200_000 // (k - 2)))
+            else:
+                pc = 200_000 // (k - 2)
+            lin[t] += lc
+            pos[t] += pc
+            touched[t].add(u)
+    for r in rows:
+        c = r["channel"]
+        assert r["linear_credit_ppm"] == lin[c]
+        assert r["position_credit_ppm"] == pos[c]
+        assert r["n_users"] == len(touched[c])
+    # conservation: each scheme hands out exactly 1e6 ppm per conversion
+    assert sum(r["linear_credit_ppm"] for r in rows) == n_conv * 1_000_000
+    assert sum(r["position_credit_ppm"] for r in rows) == n_conv * 1_000_000

@@ -11129,3 +11129,287 @@ def q390_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# q392 — Markov removal-effect attribution
+# --------------------------------------------------------------------------
+
+MK_POW = 8  #: matrix squarings — propagates the chain 2^8 = 256 steps
+
+
+def _mk_square_ctes() -> str:
+    parts = []
+    for i in range(1, MK_POW + 1):
+        prev = "trans_v" if i == 1 else f"m{i - 1}"
+        # AS MATERIALIZED is load-bearing: each squaring references its
+        # predecessor TWICE — inlined, the CTE tree (and the events
+        # scan) would duplicate 2^{MK_POW}-fold
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT a.variant, a.s1, b.s2,"
+            f" CAST(SUM(a.ppm * b.ppm // 1000000) AS BIGINT) AS ppm"
+            f" FROM {prev} a JOIN {prev} b"
+            f" ON b.variant = a.variant AND b.s1 = a.s2"
+            f" GROUP BY 1, 2, 3)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q392_markov_attribution",
+    oracle=f"""
+    WITH fconv AS (
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    seq AS (
+        SELECT e.user_id, e.event_type,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY e.user_id) AS k,
+               LAG(e.event_type) OVER (PARTITION BY e.user_id
+                                       ORDER BY e.ts, e.event_id) AS prev
+        FROM events e LEFT JOIN fconv c ON c.user_id = e.user_id
+        WHERE c.user_id IS NULL OR e.ts < c.ts
+           OR (e.ts = c.ts AND e.event_id < c.event_id)
+    ),
+    term AS (
+        SELECT u.user_id,
+               CASE WHEN c.user_id IS NULL THEN 'null' ELSE 'conv' END AS t
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN fconv c ON c.user_id = u.user_id
+    ),
+    pairs AS (
+        SELECT COALESCE(prev, 'start') AS s1, event_type AS s2 FROM seq
+        UNION ALL
+        SELECT s.event_type, term.t FROM seq s
+        JOIN term ON term.user_id = s.user_id WHERE s.rn = s.k
+        UNION ALL
+        SELECT 'start', term.t FROM term
+        WHERE NOT EXISTS (SELECT 1 FROM seq WHERE seq.user_id = term.user_id)
+    ),
+    cnts AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS c
+             FROM pairs GROUP BY 1, 2),
+    outs AS (SELECT s1, CAST(SUM(c) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+    trans AS (
+        SELECT c.s1, c.s2, 1000000 * c.c // o.tot AS ppm
+        FROM cnts c JOIN outs o ON o.s1 = c.s1
+        UNION ALL SELECT 'conv', 'conv', CAST(1000000 AS BIGINT)
+        UNION ALL SELECT 'null', 'null', CAST(1000000 AS BIGINT)
+    ),
+    variants AS (
+        SELECT DISTINCT event_type AS variant FROM events
+        WHERE event_type <> 'purchase'
+        UNION ALL SELECT 'base'
+    ),
+    trans_v AS MATERIALIZED (
+        SELECT v.variant, t.s1,
+               CASE WHEN t.s2 = v.variant THEN 'null' ELSE t.s2 END AS s2,
+               CAST(SUM(t.ppm) AS BIGINT) AS ppm
+        FROM variants v JOIN trans t
+          ON t.s1 <> v.variant OR v.variant = 'base'
+        GROUP BY 1, 2, 3
+    ),
+    {_mk_square_ctes()},
+    cm AS (
+        SELECT v.variant, COALESCE(m{MK_POW}.ppm, 0) AS conv_ppm
+        FROM variants v LEFT JOIN m{MK_POW}
+          ON m{MK_POW}.variant = v.variant
+         AND m{MK_POW}.s1 = 'start' AND m{MK_POW}.s2 = 'conv'
+    ),
+    basec AS (SELECT conv_ppm AS base_conv FROM cm WHERE variant = 'base'),
+    ch AS (
+        SELECT cm.variant AS channel, basec.base_conv, cm.conv_ppm,
+               basec.base_conv - cm.conv_ppm AS eff
+        FROM cm CROSS JOIN basec WHERE cm.variant <> 'base'
+    ),
+    tot AS (SELECT CAST(SUM(GREATEST(eff, 0)) AS BIGINT) AS te FROM ch)
+    SELECT channel,
+           CAST(base_conv AS BIGINT) AS base_conv_ppm,
+           CAST(conv_ppm AS BIGINT) AS removed_conv_ppm,
+           CAST(eff AS BIGINT) AS removal_effect_ppm,
+           CAST(CASE WHEN tot.te > 0
+                THEN 1000000 * GREATEST(eff, 0) // tot.te
+                ELSE 0 END AS BIGINT) AS attribution_share_ppm
+    FROM ch CROSS JOIN tot ORDER BY channel
+    """,
+)
+def q392_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016): model
+    journeys (start → touches → conv/null, the q390 journey definition)
+    as a first-order Markov chain on the integer ppm grid, then for
+    each channel ask the counterfactual — how much conversion mass
+    survives if every transition INTO the channel is redirected to
+    null? The drop is the channel's removal effect; normalized effects
+    are its attribution share. This is the data-driven scheme q141
+    (last-touch) and q390 (rule-based fractions) are benchmarked
+    against.
+
+    Absorption without a linear solve: the chain is propagated
+    2^{MK_POW} = {2 ** MK_POW} steps by {MK_POW} MATRIX SQUARINGS
+    (T ← T·T, each cell Σ a·b DIV 1e6 — floor-truncated, so the result
+    is a deterministic slight UNDER-estimate of the exact absorbing
+    probability; both engines truncate identically). Squaring turns an
+    O(steps) unrolled recursion into O(log steps) joins — the same
+    trick that makes 256-step propagation feasible as a CTE chain.
+
+    Determinism: transition ppm = 1e6·cnt DIV out-total; every
+    propagation cell is integer; all variants (base + one per removed
+    channel) ride one frame with a variant column, so the five chains
+    are literally the same plan.
+
+    Scale: journeys collapse to a ≤|states|² transition matrix per
+    variant (tens of rows) map-side; the squarings are joins on
+    driver-tiny frames; nothing after the first GROUP BY touches the
+    events table again. The one-row base/total broadcasts are the
+    allowlisted scalar BNLJ pattern.
+
+    Reference: q141, q390 (the attribution family), q130 (Markov
+    transitions — this puts them to work)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.row_number().over(wu).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+    )
+    seqf = ev.join(conv, "user_id", "left").filter(
+        F.col("cts").isNull()
+        | (F.col("ts") < F.col("cts"))
+        | ((F.col("ts") == F.col("cts")) & (F.col("event_id") < F.col("cid")))
+    )
+    wk = Window.partitionBy("user_id")
+    seq = seqf.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+        F.lag("event_type").over(wu).alias("prev"),
+    )
+    term = (
+        ev.select("user_id")
+        .distinct()
+        .join(conv.select("user_id", "cts"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("cts").isNull(), "null").otherwise("conv").alias("t"),
+        )
+    )
+    pairs = (
+        seq.select(
+            F.coalesce("prev", F.lit("start")).alias("s1"),
+            F.col("event_type").alias("s2"),
+        )
+        .unionAll(
+            seq.filter(F.col("rn") == F.col("k"))
+            .join(term, "user_id")
+            .select(F.col("event_type").alias("s1"), F.col("t").alias("s2"))
+        )
+        .unionAll(
+            term.join(seq.select("user_id").distinct(), "user_id", "anti")
+            .select(F.lit("start").alias("s1"), F.col("t").alias("s2"))
+        )
+    )
+    cnts = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    outs = cnts.groupBy("s1").agg(F.sum("c").cast("bigint").alias("tot"))
+    trans = (
+        cnts.join(outs, "s1")
+        .select("s1", "s2", F.expr("1000000 * c DIV tot").alias("ppm"))
+        .unionAll(
+            spark.createDataFrame(
+                [("conv", "conv", 1_000_000), ("null", "null", 1_000_000)],
+                "s1 string, s2 string, ppm bigint",
+            )
+        )
+    )
+    variants = (
+        ev.select(F.col("event_type").alias("variant"))
+        .filter(F.col("variant") != "purchase")
+        .distinct()
+        .unionAll(spark.createDataFrame([("base",)], "variant string"))
+    )
+    trans_v = (
+        variants.crossJoin(F.broadcast(trans))
+        .filter((F.col("s1") != F.col("variant")) | (F.col("variant") == "base"))
+        .select(
+            "variant",
+            "s1",
+            F.when(F.col("s2") == F.col("variant"), "null")
+            .otherwise(F.col("s2"))
+            .alias("s2"),
+            "ppm",
+        )
+        .groupBy("variant", "s1", "s2")
+        .agg(F.sum("ppm").cast("bigint").alias("ppm"))
+    )
+    t = trans_v.localCheckpoint(eager=False)
+    for _ in range(MK_POW):
+        a = t.select("variant", "s1", F.col("s2").alias("mid"),
+                     F.col("ppm").alias("pa"))
+        b = t.select("variant", F.col("s1").alias("mid"), "s2",
+                     F.col("ppm").alias("pb"))
+        t = (
+            a.join(b, ["variant", "mid"])
+            .select(
+                "variant", "s1", "s2", F.expr("pa * pb DIV 1000000").alias("pp")
+            )
+            .groupBy("variant", "s1", "s2")
+            .agg(F.sum("pp").cast("bigint").alias("ppm"))
+            .localCheckpoint(eager=False)
+        )
+    cm = (
+        variants.join(
+            t.filter((F.col("s1") == "start") & (F.col("s2") == "conv"))
+            .select("variant", F.col("ppm").alias("conv_ppm")),
+            "variant",
+            "left",
+        )
+        .select("variant", F.coalesce("conv_ppm", F.lit(0).cast("bigint")).alias("conv_ppm"))
+    )
+    basec = cm.filter(F.col("variant") == "base").select(
+        F.col("conv_ppm").alias("base_conv")
+    )
+    ch = (
+        cm.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(basec))
+        .select(
+            F.col("variant").alias("channel"),
+            "base_conv",
+            "conv_ppm",
+            (F.col("base_conv") - F.col("conv_ppm")).alias("eff"),
+        )
+    )
+    tot = ch.agg(
+        F.sum(F.greatest(F.col("eff"), F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("te")
+    )
+    return (
+        ch.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("base_conv").cast("bigint").alias("base_conv_ppm"),
+            F.col("conv_ppm").cast("bigint").alias("removed_conv_ppm"),
+            F.col("eff").cast("bigint").alias("removal_effect_ppm"),
+            F.when(
+                F.col("te") > 0,
+                F.expr("1000000 * GREATEST(eff, CAST(0 AS BIGINT)) DIV te"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("attribution_share_ppm"),
+        )
+        .orderBy("channel")
+    )

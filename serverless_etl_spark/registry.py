@@ -103,7 +103,8 @@ _SWEEP_PRIORITY = [
     "q381_hits", "q382_skyline", "q383_join_size_planner",
     "q384_correlated_sample", "q385_holt_winters", "q386_ohlc_bars",
     "q387_gap_fill", "q388_encoding_advisor", "q389_kcenter_coreset",
-    "q390_multitouch_attribution",
+    "q390_multitouch_attribution", "q391_closeness",
+    "q392_markov_attribution",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

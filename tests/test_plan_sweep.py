@@ -105,6 +105,8 @@ BNLJ_ALLOWED = {
     "q381_hits",                  # one-row per-round max-normalizer broadcasts
     "q383_join_size_planner",     # one-row totals × one-row HH-stats broadcast
     "q387_gap_fill",              # one-row date-bounds broadcast (spine build)
+    "q392_markov_attribution",    # tiny transition-matrix × variants fan-out
+                                  # + one-row base/total broadcasts
 }
 
 

@@ -1458,3 +1458,135 @@ def test_multitouch_credit_conservation(spark):
     # conservation: each scheme hands out exactly 1e6 ppm per conversion
     assert sum(r["linear_credit_ppm"] for r in rows) == n_conv * 1_000_000
     assert sum(r["position_credit_ppm"] for r in rows) == n_conv * 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q391 — harmonic closeness centrality
+# --------------------------------------------------------------------------
+
+
+def test_closeness_pure_python_replay(spark):
+    rows = registry.QUERIES["q391_closeness"](spark, SF_SMALL).collect()
+    assert rows
+    con = _duck(SF_SMALL)
+    baskets = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    per_order = defaultdict(set)
+    for o, p in baskets:
+        per_order[o].add(p)
+    from collections import Counter, deque
+
+    pair_sup = Counter()
+    for ps in per_order.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_sup[(ps[i], ps[j])] += 1
+    nbrs = defaultdict(set)
+    for (a, b), v in pair_sup.items():
+        if v >= 2:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    seeds = sorted(deg, key=lambda u: (-deg[u], u))[:4]
+    harm = defaultdict(int)
+    nsr = defaultdict(int)
+    sh = defaultdict(int)
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 4:
+                continue
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                harm[v] += 1_000_000 // d
+                nsr[v] += 1
+                sh[v] += d
+    expected = sorted(harm, key=lambda v: (-harm[v], v))[:20]
+    got = [r["node"] for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["harmonic_ppm"] == harm[r["node"]]
+        assert r["n_seeds_reached"] == nsr[r["node"]]
+        assert r["sum_hops"] == sh[r["node"]]
+
+
+# --------------------------------------------------------------------------
+# q392 — Markov removal-effect attribution
+# --------------------------------------------------------------------------
+
+
+def test_markov_attribution_replay(spark):
+    rows = registry.QUERIES["q392_markov_attribution"](
+        spark, SF_MID
+    ).collect()
+    assert len(rows) == 4
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    ev = con.execute(
+        "SELECT user_id, event_type, ts, event_id FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, t, ts, eid in ev:
+        by_user[u].append(t)
+    from collections import Counter
+
+    pair_cnt = Counter()
+    for seq in by_user.values():
+        ci = next((i for i, t in enumerate(seq) if t == "purchase"), None)
+        journey = seq if ci is None else seq[:ci]
+        states = ["start"] + journey + ["null" if ci is None else "conv"]
+        for a, b in zip(states, states[1:]):
+            pair_cnt[(a, b)] += 1
+    outs = Counter()
+    for (a, _), c in pair_cnt.items():
+        outs[a] += c
+    trans = {
+        (a, b): 1_000_000 * c // outs[a] for (a, b), c in pair_cnt.items()
+    }
+    trans[("conv", "conv")] = 1_000_000
+    trans[("null", "null")] = 1_000_000
+    channels = sorted(
+        {t for seq in by_user.values() for t in seq if t != "purchase"}
+    )
+
+    def conv_mass(removed):
+        t = defaultdict(int)
+        for (a, b), p in trans.items():
+            if a == removed:
+                continue
+            t[(a, "null" if b == removed else b)] += p
+        m = dict(t)
+        for _ in range(8):
+            nm = defaultdict(int)
+            for (a, x), pa in m.items():
+                for (x2, b), pb in m.items():
+                    if x2 == x:
+                        nm[(a, b)] += pa * pb // 1_000_000
+            m = dict(nm)
+        return m.get(("start", "conv"), 0)
+
+    base = conv_mass(None)
+    effs = {c: base - conv_mass(c) for c in channels}
+    te = sum(max(e, 0) for e in effs.values())
+    for r in rows:
+        c = r["channel"]
+        assert r["base_conv_ppm"] == base
+        assert r["removed_conv_ppm"] == base - effs[c]
+        assert r["removal_effect_ppm"] == effs[c]
+        share = 1_000_000 * max(effs[c], 0) // te if te > 0 else 0
+        assert r["attribution_share_ppm"] == share
+    # sanity: the chain absorbs nearly everything in 256 steps —
+    # base conversion mass plus null mass cannot exceed 1e6 (floor
+    # truncation) and base must be positive on these fixtures
+    assert 0 < base <= 1_000_000

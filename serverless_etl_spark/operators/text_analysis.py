@@ -1685,3 +1685,153 @@ def q373_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q394 — Cohen's kappa (chance-corrected lang-ID agreement)
+# --------------------------------------------------------------------------
+
+
+def _kappa_sdiv(num: str, den: str) -> str:
+    """Sign-split truncating division (kappa can be negative; Spark DIV
+    truncates toward zero while DuckDB // floors — split the sign so
+    both engines truncate identically)."""
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN 1000000 * ({num}) // ({den})"
+        f" ELSE -((1000000 * (-({num}))) // ({den})) END"
+    )
+
+
+@register(
+    "q394_cohens_kappa",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS lang_label,
+           {_lang_scores_sql()}
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang_label,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0
+                  AND s_zh = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                  AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+        FROM scored
+    ),
+    cm AS (
+        SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(CASE WHEN lang_label = lang_pred
+                            THEN n ELSE 0 END) AS BIGINT) AS po_num
+            FROM cm),
+    rs AS (SELECT lang_label AS k, CAST(SUM(n) AS BIGINT) AS r
+           FROM cm GROUP BY 1),
+    cs AS (SELECT lang_pred AS k, CAST(SUM(n) AS BIGINT) AS c
+           FROM cm GROUP BY 1),
+    pe AS (SELECT CAST(SUM(rs.r * cs.c) AS BIGINT) AS pe_num
+           FROM rs JOIN cs ON cs.k = rs.k)
+    SELECT tot.nn AS n_docs,
+           1000000 * tot.po_num // tot.nn AS accuracy_ppm,
+           1000000 * pe.pe_num // (tot.nn * tot.nn) AS chance_ppm,
+           CAST({_kappa_sdiv('tot.po_num * tot.nn - pe.pe_num',
+                             'tot.nn * tot.nn - pe.pe_num')}
+                AS BIGINT) AS kappa_ppm
+    FROM tot CROSS JOIN pe
+    """,
+)
+def q394_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the lang-ID heuristic (q33's exact
+    predictor) and the labeled truth: chance-corrected agreement
+    κ = (p_o − p_e)/(1 − p_e), where p_e is the agreement two raters
+    with these MARGINS would reach by chance. Accuracy alone flatters
+    any skewed label distribution (predict the majority language and
+    score its prevalence); kappa is the labeling-ops metric that
+    doesn't — the scalar counterpart to q366's full confusion matrix.
+
+    Determinism: all integer — p_o and p_e kept as (numerator, N)
+    pairs, κ as the cross-multiplied ratio
+    1e6·(po_num·N − pe_num) DIV (N² − pe_num) with a SIGN-SPLIT
+    truncating division (κ goes negative for worse-than-chance raters;
+    Spark DIV truncates toward zero, DuckDB // floors — the split
+    makes them identical, the q377 discipline).
+
+    Scale: one corpus pass collapses to ≤|langs|² confusion cells
+    map-side; margins join ON THE CLASS KEY (never a cross product);
+    the final assembly broadcasts two one-row aggregates (allowlisted
+    scalar BNLJ).
+
+    Reference: evaluates q33 (SURVEY §2 text analysis); completes the
+    evaluation family (q366 confusion matrix, q294 AUC, q338 AP)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+
+    def _hits(words):
+        ws = list(words)
+        return F.size(F.filter(toks, lambda x: x.isin(ws)))
+
+    s = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0)
+            & (s["fr"] == 0) & (s["zh"] == 0),
+            "und",
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when(
+            (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    cm = (
+        docs.select(
+            F.col("lang").alias("lang_label"), pred.alias("lang_pred")
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(
+            F.when(F.col("lang_label") == F.col("lang_pred"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("po_num"),
+    )
+    rs = cm.groupBy(F.col("lang_label").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    cs = cm.groupBy(F.col("lang_pred").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    pe = (
+        rs.join(cs, "k")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("bigint").alias("pe_num"))
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("nn").alias("n_docs"),
+        F.expr("1000000 * po_num DIV nn").alias("accuracy_ppm"),
+        F.expr("1000000 * pe_num DIV (nn * nn)").alias("chance_ppm"),
+        F.expr(
+            "CAST(CASE WHEN po_num * nn - pe_num >= 0"
+            " THEN 1000000 * (po_num * nn - pe_num)"
+            "      DIV (nn * nn - pe_num)"
+            " ELSE -((1000000 * (pe_num - po_num * nn))"
+            "        DIV (nn * nn - pe_num)) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

@@ -3872,3 +3872,176 @@ def q387_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ffill_vol_milli"),
         F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
     ).orderBy("event_type", "d")
+
+
+# --------------------------------------------------------------------------
+# q393 — rolling p95 via mergeable histogram partials
+# --------------------------------------------------------------------------
+
+RQ_BINS = 32   #: equi-width value bins (global bounds)
+RQ_DAYS = 6    #: rolling window = current day + 6 preceding
+RQ_PCT = 95
+
+
+@register(
+    "q393_rolling_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MIN(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS lo,
+               CAST(MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS hi,
+               MIN(CAST(ts AS DATE)) AS d0
+        FROM events
+    ),
+    binned AS (
+        SELECT e.event_type, CAST(e.ts AS DATE) AS d,
+               datediff('day', b.d0, CAST(e.ts AS DATE)) AS di,
+               CASE WHEN CAST(FLOOR(e.value * 1000) AS BIGINT) >= b.hi
+                    THEN {RQ_BINS - 1}
+                    ELSE (CAST(FLOOR(e.value * 1000) AS BIGINT) - b.lo)
+                         * {RQ_BINS} // (b.hi - b.lo + 1) END AS bin
+        FROM events e CROSS JOIN b
+    ),
+    daily AS (
+        SELECT event_type, d, di, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2, 3, 4
+    ),
+    days AS (SELECT DISTINCT event_type, d, di FROM daily),
+    grid AS (
+        SELECT days.event_type, days.d, days.di, u.bin
+        FROM days CROSS JOIN
+             unnest(generate_series(0, {RQ_BINS - 1})) AS u(bin)
+    ),
+    dense AS (
+        SELECT g.event_type, g.d, g.di, g.bin, COALESCE(daily.c, 0) AS c
+        FROM grid g LEFT JOIN daily
+          ON daily.event_type = g.event_type
+         AND daily.di = g.di AND daily.bin = g.bin
+    ),
+    rolled AS (
+        SELECT event_type, d, bin,
+               CAST(SUM(c) OVER (PARTITION BY event_type, bin ORDER BY di
+                    RANGE BETWEEN {RQ_DAYS} PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS wc
+        FROM dense
+    ),
+    cum AS (
+        SELECT event_type, d, bin, wc,
+               CAST(SUM(wc) OVER (PARTITION BY event_type, d ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(wc) OVER (PARTITION BY event_type, d)
+                    AS BIGINT) AS n_window
+        FROM rolled
+    )
+    SELECT c.event_type, c.d, c.n_window,
+           CAST(MIN(CASE WHEN 100 * c.cw >= {RQ_PCT} * c.n_window
+                         THEN c.bin END) AS BIGINT) AS p95_bin,
+           CAST(MIN(CASE WHEN 100 * c.cw >= {RQ_PCT} * c.n_window
+                THEN b.lo + c.bin * (b.hi - b.lo + 1) // {RQ_BINS} END)
+               AS BIGINT) AS p95_lo_milli
+    FROM cum c CROSS JOIN b
+    GROUP BY c.event_type, c.d, c.n_window
+    ORDER BY c.event_type, c.d
+    """,
+)
+def q393_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling p{RQ_PCT} per event type over a {RQ_DAYS + 1}-day window,
+    computed from MERGEABLE HISTOGRAM PARTIALS: each (type, day)
+    collapses to ≤{RQ_BINS} bin counts once, rolling windows merge by
+    BIN ADDITION (a RANGE-framed sum per (type, bin) over a DENSIFIED
+    (type, day, bin) grid — densification is load-bearing: a bin with
+    counts earlier in the window but none today would otherwise emit
+    no row today and silently drop its mass), and the quantile reads
+    off the cumulative bin counts. This is THE way to do rolling
+    percentiles at 100 TB: the naive form re-sorts every window's raw
+    rows; this touches raw events exactly once and every later
+    operator runs on |types|×|days|×{RQ_BINS} grid rows (metadata-
+    sized). q369 proved the merge shape for static rollups — this is
+    its sliding-window application, same ≤2-bin-width error contract.
+
+    Determinism: integer milli-values, integer bin arithmetic over
+    one-row global bounds (allowlisted scalar broadcast), exact window
+    sums, smallest-crossing-bin selection via 100·cum ≥ {RQ_PCT}·n.
+
+    Scale: one events pass; the RANGE frame keys on a derived day
+    index so calendar gaps bound the window by VALUE, not row count;
+    all windows partition by (type[, bin]); the grid explodes
+    map-side (sequence per day row, no join).
+
+    Reference: q369 (mergeable quantile rollup), q55 (moving window),
+    q73/q109 (the static quantile family)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.floor(F.col("value") * 1000).cast("bigint")).alias("lo"),
+        F.max(F.floor(F.col("value") * 1000).cast("bigint")).alias("hi"),
+        F.min(F.col("ts").cast("date")).alias("d0"),
+    )
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("di"),
+        F.when(
+            F.floor(F.col("value") * 1000).cast("bigint") >= F.col("hi"),
+            RQ_BINS - 1,
+        )
+        .otherwise(
+            F.expr(
+                f"(CAST(FLOOR(value * 1000) AS BIGINT) - lo)"
+                f" * {RQ_BINS} DIV (hi - lo + 1)"
+            )
+        )
+        .alias("bin"),
+    )
+    daily = binned.groupBy("event_type", "d", "di", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    days = daily.select("event_type", "d", "di").distinct()
+    grid = days.select(
+        "event_type", "d", "di",
+        F.explode(F.sequence(F.lit(0), F.lit(RQ_BINS - 1))).alias("bin"),
+    )
+    dense = grid.join(
+        daily.select("event_type", "di", "bin", "c"),
+        ["event_type", "di", "bin"],
+        "left",
+    ).select(
+        "event_type", "d", "di", "bin",
+        F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+    )
+    w_roll = (
+        Window.partitionBy("event_type", "bin")
+        .orderBy("di")
+        .rangeBetween(-RQ_DAYS, 0)
+    )
+    rolled = dense.select(
+        "event_type", "d", "bin",
+        F.sum("c").over(w_roll).cast("bigint").alias("wc"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type", "d")
+    cum = rolled.select(
+        "event_type", "d", "bin", "wc",
+        F.sum("wc").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("wc").over(w_tot).cast("bigint").alias("n_window"),
+    ).crossJoin(F.broadcast(b.select("lo", "hi")))
+    crossed = F.when(
+        100 * F.col("cw") >= RQ_PCT * F.col("n_window"), F.col("bin")
+    )
+    crossed_lo = F.when(
+        100 * F.col("cw") >= RQ_PCT * F.col("n_window"),
+        F.expr(f"lo + bin * (hi - lo + 1) DIV {RQ_BINS}"),
+    )
+    return (
+        cum.groupBy("event_type", "d", "n_window")
+        .agg(
+            F.min(crossed).cast("bigint").alias("p95_bin"),
+            F.min(crossed_lo).cast("bigint").alias("p95_lo_milli"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -107,6 +107,8 @@ BNLJ_ALLOWED = {
     "q387_gap_fill",              # one-row date-bounds broadcast (spine build)
     "q392_markov_attribution",    # tiny transition-matrix × variants fan-out
                                   # + one-row base/total broadcasts
+    "q393_rolling_quantile",      # one-row global value/date bounds broadcasts
+    "q394_cohens_kappa",          # two one-row aggregate broadcasts
 }
 
 

@@ -1590,3 +1590,93 @@ def test_markov_attribution_replay(spark):
     # base conversion mass plus null mass cannot exceed 1e6 (floor
     # truncation) and base must be positive on these fixtures
     assert 0 < base <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q393 — rolling histogram quantile
+# --------------------------------------------------------------------------
+
+
+def test_rolling_quantile_replay_and_error_bound(spark):
+    rows = registry.QUERIES["q393_rolling_quantile"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    data = con.execute(
+        """
+        SELECT event_type, CAST(ts AS DATE),
+               CAST(FLOOR(value * 1000) AS BIGINT)
+        FROM events
+        """
+    ).fetchall()
+    lo = min(d[2] for d in data)
+    hi = max(d[2] for d in data)
+    width = (hi - lo + 1)
+    by_td = defaultdict(list)
+    for t, d, vm in data:
+        by_td[(t, d)].append(vm)
+    import datetime as dt
+
+    for r in rows:
+        window_vals = []
+        for back in range(7):
+            window_vals += by_td.get(
+                (r["event_type"], r["d"] - dt.timedelta(days=back)), []
+            )
+        assert r["n_window"] == len(window_vals)
+        # replay the histogram p95 exactly
+        def pbin(v):
+            return 31 if v >= hi else (v - lo) * 32 // width
+        from collections import Counter
+
+        binc = Counter(pbin(v) for v in window_vals)
+        cum = 0
+        for b in range(32):
+            cum += binc.get(b, 0)
+            if 100 * cum >= 95 * len(window_vals):
+                assert r["p95_bin"] == b
+                assert r["p95_lo_milli"] == lo + b * width // 32
+                break
+        # accuracy contract: exact p95 falls within ±1 bin of the
+        # reported bin (the mergeable-histogram error bound)
+        exact = sorted(window_vals)[
+            max(0, -(-95 * len(window_vals) // 100) - 1)
+        ]
+        assert abs(pbin(exact) - r["p95_bin"]) <= 1
+
+
+# --------------------------------------------------------------------------
+# q394 — Cohen's kappa
+# --------------------------------------------------------------------------
+
+
+def test_cohens_kappa_replay(spark):
+    rows = registry.QUERIES["q394_cohens_kappa"](spark, SF_MID).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # replay from q33's own output (already oracle-verified)
+    pred_rows = registry.QUERIES["q33_lang_id"](spark, SF_MID).collect()
+    n = len(pred_rows)
+    po = sum(1 for p in pred_rows if p["lang_label"] == p["lang_pred"])
+    from collections import Counter
+
+    rsc = Counter(p["lang_label"] for p in pred_rows)
+    csc = Counter(p["lang_pred"] for p in pred_rows)
+    pe_num = sum(rsc[k] * csc.get(k, 0) for k in rsc)
+    assert r["n_docs"] == n
+    assert r["accuracy_ppm"] == 1_000_000 * po // n
+    assert r["chance_ppm"] == 1_000_000 * pe_num // (n * n)
+    num = po * n - pe_num
+    den = n * n - pe_num
+    want = (
+        1_000_000 * num // den
+        if num >= 0
+        else -((1_000_000 * (-num)) // den)
+    )
+    assert r["kappa_ppm"] == want
+    # the heuristic beats chance on these fixtures
+    assert r["kappa_ppm"] > 0
+    # kappa is below raw accuracy (chance correction bites)
+    assert r["kappa_ppm"] < r["accuracy_ppm"]

@@ -11413,3 +11413,129 @@ def q392_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# q396 — top conversion paths (journey prefix analysis)
+# --------------------------------------------------------------------------
+
+PATH_LEN = 3   #: journey prefix length compared across users
+PATH_TOPK = 10
+
+
+@register(
+    "q396_top_paths",
+    oracle=f"""
+    WITH fconv AS (
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    seq AS (
+        SELECT e.user_id, e.event_type,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e LEFT JOIN fconv c ON c.user_id = e.user_id
+        WHERE c.user_id IS NULL OR e.ts < c.ts
+           OR (e.ts = c.ts AND e.event_id < c.event_id)
+    ),
+    paths AS (
+        SELECT s.user_id,
+               string_agg(s.event_type, '>' ORDER BY s.rn) AS path,
+               CAST(MAX(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                    AS INT) AS converted
+        FROM seq s LEFT JOIN fconv c ON c.user_id = s.user_id
+        WHERE s.rn <= {PATH_LEN}
+        GROUP BY s.user_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           1000000 * CAST(SUM(converted) AS BIGINT) // COUNT(*)
+               AS conv_ppm
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {PATH_TOPK}
+    """,
+)
+def q396_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversion paths: the first {PATH_LEN} touches of each
+    user's journey (the q390/q392 journey — events before the first
+    purchase, or the whole history for never-converters), concatenated
+    into a path string, ranked by traffic with the conversion rate per
+    path. This is the path-analysis readout marketers put NEXT TO
+    attribution: q392 says which channel matters marginally, this says
+    which SEQUENCES actually convert.
+
+    Determinism: the path string is built from the unique (ts,
+    event_id) total order in both engines — Spark sorts an array of
+    (rn, type) structs (array_sort on structs orders by the leading
+    field), DuckDB uses string_agg ORDER BY rn; rates are integer ppm;
+    ties rank by path string.
+
+    Scale: one keyed join (journeys) + per-user windows; paths are at
+    most {PATH_LEN} short strings per user built in-agg (no explode
+    back-join); the result is a GROUP BY over |users| rows and a
+    TakeOrdered top-{PATH_TOPK}.
+
+    Reference: q392 (Markov counterfactuals over the same journeys),
+    q204 (status paths — the order-lifecycle sibling), q163 (trigram
+    paths)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.row_number().over(wu).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+    )
+    seq = (
+        ev.join(conv, "user_id", "left")
+        .filter(
+            F.col("cts").isNull()
+            | (F.col("ts") < F.col("cts"))
+            | (
+                (F.col("ts") == F.col("cts"))
+                & (F.col("event_id") < F.col("cid"))
+            )
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(wu).alias("rn"),
+            F.when(F.col("cts").isNull(), 0).otherwise(1).alias("converted"),
+        )
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max("converted").cast("int").alias("converted"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "path",
+            "n_users",
+            "n_converted",
+            F.expr("1000000 * n_converted DIV n_users").alias("conv_ppm"),
+        )
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(PATH_TOPK)
+    )

@@ -4045,3 +4045,159 @@ def q393_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# q395 — hierarchical forecast reconciliation (bottom-up vs top-down)
+# --------------------------------------------------------------------------
+
+FR_TOTAL = "TOTAL"  #: pseudo-type carrying the aggregate series
+
+
+@register(
+    "q395_forecast_reconciliation",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT '{FR_TOTAL}', CAST(ts AS DATE), CAST(COUNT(*) AS BIGINT)
+        FROM events GROUP BY 2
+    ),
+    seq AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    rec AS (
+        SELECT event_type, i, cnt * 1000 AS l, CAST(0 AS BIGINT) AS b
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT event_type, i, lnew,
+               CASE WHEN lnew - lprev + bprev >= 0
+                    THEN (lnew - lprev + bprev) // 2
+                    ELSE -((-(lnew - lprev + bprev)) // 2) END
+        FROM (
+            SELECT s.event_type, s.i,
+                   r.l AS lprev, r.b AS bprev,
+                   CASE WHEN s.cnt * 1000 + r.l + r.b >= 0
+                        THEN (s.cnt * 1000 + r.l + r.b) // 2
+                        ELSE -((-(s.cnt * 1000 + r.l + r.b)) // 2) END
+                       AS lnew
+            FROM rec r
+            JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+        )
+    ),
+    fc AS (
+        SELECT event_type, l + 7 * b AS f7
+        FROM rec
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY i DESC) = 1
+    ),
+    shares AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot_cnt
+        FROM daily WHERE event_type <> '{FR_TOTAL}' GROUP BY 1
+    ),
+    grand AS (SELECT CAST(SUM(tot_cnt) AS BIGINT) AS g FROM shares),
+    tf AS (SELECT f7 AS total_f7 FROM fc WHERE event_type = '{FR_TOTAL}'),
+    bu AS (SELECT CAST(SUM(f7) AS BIGINT) AS bu_total
+           FROM fc WHERE event_type <> '{FR_TOTAL}')
+    SELECT s.event_type,
+           1000000 * s.tot_cnt // grand.g AS share_ppm,
+           CAST(fc.f7 AS BIGINT) AS direct_forecast_milli,
+           CAST(tf.total_f7 * (1000000 * s.tot_cnt // grand.g) // 1000000
+                AS BIGINT) AS topdown_forecast_milli,
+           CAST(bu.bu_total AS BIGINT) AS bottomup_total_milli,
+           CAST(tf.total_f7 AS BIGINT) AS direct_total_milli,
+           CAST(bu.bu_total - tf.total_f7 AS BIGINT) AS coherence_gap_milli
+    FROM shares s
+    JOIN fc ON fc.event_type = s.event_type
+    CROSS JOIN grand CROSS JOIN tf CROSS JOIN bu
+    ORDER BY s.event_type
+    """,
+)
+def q395_forecast_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical forecast reconciliation: Holt forecasts (q377's
+    exact kernel) fitted INDEPENDENTLY to each per-type daily series
+    AND to the aggregate series do not cohere — Σ child forecasts ≠
+    the total's own forecast (exponential smoothing is nonlinear in
+    the data) — and this query measures and repairs that: per type it
+    emits the DIRECT Holt forecast, the TOP-DOWN forecast (total's
+    forecast split by historical ppm shares — coherent by
+    construction), and the bottom-up/direct coherence gap that tells
+    the forecasting team which side to trust. The hierarchy trick is
+    one UNION: the total rides the same pipeline as a '{FR_TOTAL}'
+    pseudo-type, so six series fit in ONE applyInPandas pass / ONE
+    recursive CTE — no special-cased aggregate path.
+
+    Determinism: q377's integer milli recursion verbatim (sign-split
+    truncating halvings); shares and the top-down split are integer
+    ppm floor products.
+
+    Scale: events collapse to (|types|+1) × |days| rows map-side; the
+    one-row total-forecast / grand-total / bottom-up broadcasts are
+    the allowlisted scalar pattern.
+
+    Reference: q377 (the kernel), q385 (seasonal sibling), q344
+    (hierarchy rollup — the static analogue of coherence)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = (
+        ev.select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.lit(FR_TOTAL).alias("event_type"), "d", "cnt")
+    )
+    daily = per_type.unionByName(total)
+    seq = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    fits = seq.groupBy("event_type").applyInPandas(
+        _holt_fn,
+        "event_type string, n_days bigint, level_milli bigint, "
+        "trend_milli bigint, sae_milli bigint, forecast7_milli bigint",
+    )
+    fc = fits.select("event_type", F.col("forecast7_milli").alias("f7"))
+    shares = (
+        per_type.groupBy("event_type")
+        .agg(F.sum("cnt").cast("bigint").alias("tot_cnt"))
+    )
+    grand = shares.agg(F.sum("tot_cnt").cast("bigint").alias("g"))
+    tf = fc.filter(F.col("event_type") == FR_TOTAL).select(
+        F.col("f7").alias("total_f7")
+    )
+    bu = fc.filter(F.col("event_type") != FR_TOTAL).agg(
+        F.sum("f7").cast("bigint").alias("bu_total")
+    )
+    return (
+        shares.join(fc, "event_type")
+        .crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(tf))
+        .crossJoin(F.broadcast(bu))
+        .select(
+            "event_type",
+            F.expr("1000000 * tot_cnt DIV g").alias("share_ppm"),
+            F.col("f7").cast("bigint").alias("direct_forecast_milli"),
+            F.expr(
+                "CAST(total_f7 * (1000000 * tot_cnt DIV g) DIV 1000000"
+                " AS BIGINT)"
+            ).alias("topdown_forecast_milli"),
+            F.col("bu_total").cast("bigint").alias("bottomup_total_milli"),
+            F.col("total_f7").cast("bigint").alias("direct_total_milli"),
+            (F.col("bu_total") - F.col("total_f7"))
+            .cast("bigint")
+            .alias("coherence_gap_milli"),
+        )
+        .orderBy("event_type")
+    )

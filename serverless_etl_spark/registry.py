@@ -105,7 +105,7 @@ _SWEEP_PRIORITY = [
     "q387_gap_fill", "q388_encoding_advisor", "q389_kcenter_coreset",
     "q390_multitouch_attribution", "q391_closeness",
     "q392_markov_attribution", "q393_rolling_quantile",
-    "q394_cohens_kappa",
+    "q394_cohens_kappa", "q395_forecast_reconciliation", "q396_top_paths",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

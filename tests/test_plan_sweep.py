@@ -109,6 +109,7 @@ BNLJ_ALLOWED = {
                                   # + one-row base/total broadcasts
     "q393_rolling_quantile",      # one-row global value/date bounds broadcasts
     "q394_cohens_kappa",          # two one-row aggregate broadcasts
+    "q395_forecast_reconciliation",  # one-row grand/total/bottom-up broadcasts
 }
 
 

@@ -1680,3 +1680,82 @@ def test_cohens_kappa_replay(spark):
     assert r["kappa_ppm"] > 0
     # kappa is below raw accuracy (chance correction bites)
     assert r["kappa_ppm"] < r["accuracy_ppm"]
+
+
+# --------------------------------------------------------------------------
+# q395 — forecast reconciliation
+# --------------------------------------------------------------------------
+
+
+def test_forecast_reconciliation_coherence(spark):
+    rows = registry.QUERIES["q395_forecast_reconciliation"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    # the TOTAL pseudo-series never leaks into the output
+    assert all(r["event_type"] != "TOTAL" for r in rows)
+    # shares sum to ~1e6 (floor losses < one ppm per type)
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+    # coherence gap is consistent on every row and equals the
+    # bottom-up total minus the direct total
+    gaps = {r["coherence_gap_milli"] for r in rows}
+    assert len(gaps) == 1
+    r0 = rows[0]
+    assert (
+        r0["coherence_gap_milli"]
+        == r0["bottomup_total_milli"] - r0["direct_total_milli"]
+    )
+    assert sum(r["direct_forecast_milli"] for r in rows) == r0[
+        "bottomup_total_milli"
+    ]
+    # Holt agrees with the oracle-verified q377 on the per-type series
+    holt = {
+        h["event_type"]: h["forecast7_milli"]
+        for h in registry.QUERIES["q377_holt_smoothing"](
+            spark, SF_MID
+        ).collect()
+    }
+    for r in rows:
+        assert r["direct_forecast_milli"] == holt[r["event_type"]]
+    # top-down forecasts are coherent: they sum to ≈ the direct total
+    # (floor loss ≤ 1 milli-unit per type)
+    td = sum(r["topdown_forecast_milli"] for r in rows)
+    assert 0 <= r0["direct_total_milli"] - td <= len(rows) + r0[
+        "direct_total_milli"
+    ] * len(rows) // 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q396 — top conversion paths
+# --------------------------------------------------------------------------
+
+
+def test_top_paths_replay(spark):
+    rows = registry.QUERIES["q396_top_paths"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    ev = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts,"
+        " event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, t in ev:
+        by_user[u].append(t)
+    agg = defaultdict(lambda: [0, 0])
+    for u, seq in by_user.items():
+        ci = next((i for i, t in enumerate(seq) if t == "purchase"), None)
+        journey = seq if ci is None else seq[:ci]
+        if not journey:
+            continue
+        path = ">".join(journey[:3])
+        agg[path][0] += 1
+        agg[path][1] += 1 if ci is not None else 0
+    expected = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    got = [(r["path"], [r["n_users"], r["n_converted"]]) for r in rows]
+    assert got == [(p, c) for p, c in expected]
+    for r in rows:
+        assert r["conv_ppm"] == 1_000_000 * r["n_converted"] // r["n_users"]

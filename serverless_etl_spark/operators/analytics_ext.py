@@ -11539,3 +11539,294 @@ def q396_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q397 — mix-vs-rate decomposition of a period-over-period change
+# --------------------------------------------------------------------------
+
+MIX_SPLIT_YEAR = 1998  #: P1 = orders before, P2 = orders from this year
+
+
+def _mr_sdiv(x: str) -> str:
+    """Sign-split ·DIV 1e6 (effects go negative; Spark DIV truncates,
+    DuckDB // floors — split the sign so both truncate identically)."""
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN ({x}) // 1000000"
+        f" ELSE -((-({x})) // 1000000) END"
+    )
+
+
+@register(
+    "q397_mix_rate_decomposition",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS seg,
+               CASE WHEN year(o_orderdate) < {MIX_SPLIT_YEAR}
+                    THEN 1 ELSE 2 END AS p,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cells AS (
+        SELECT seg, p, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM base GROUP BY 1, 2
+    ),
+    tots AS (SELECT p, CAST(SUM(n) AS BIGINT) AS np FROM cells GROUP BY 1),
+    m AS (
+        SELECT c.seg, c.p, c.n,
+               1000000 * c.n // t.np AS w_ppm,
+               1000000 * c.s // c.n AS m_micro
+        FROM cells c JOIN tots t ON t.p = c.p
+    ),
+    wide AS (
+        SELECT seg,
+               MAX(CASE WHEN p = 1 THEN n END) AS n1,
+               MAX(CASE WHEN p = 2 THEN n END) AS n2,
+               MAX(CASE WHEN p = 1 THEN w_ppm END) AS w1_ppm,
+               MAX(CASE WHEN p = 2 THEN w_ppm END) AS w2_ppm,
+               MAX(CASE WHEN p = 1 THEN m_micro END) AS m1_micro,
+               MAX(CASE WHEN p = 2 THEN m_micro END) AS m2_micro
+        FROM m GROUP BY seg
+    )
+    SELECT seg, n1, n2, w1_ppm, w2_ppm, m1_micro, m2_micro,
+           CAST({_mr_sdiv('(w2_ppm - w1_ppm) * m1_micro')} AS BIGINT)
+               AS mix_eff_micro,
+           CAST({_mr_sdiv('w1_ppm * (m2_micro - m1_micro)')} AS BIGINT)
+               AS rate_eff_micro,
+           CAST({_mr_sdiv('(w2_ppm - w1_ppm) * (m2_micro - m1_micro)')}
+                AS BIGINT) AS inter_eff_micro
+    FROM wide ORDER BY seg
+    """,
+)
+def q397_mix_rate_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mix-vs-rate decomposition (index-number / Oaxaca-Blinder shape):
+    the period-over-period change in the AVERAGE order value splits
+    exactly, per segment, into a MIX effect ((w₂−w₁)·m₁ — the segment
+    grew or shrank), a RATE effect (w₁·(m₂−m₁) — the segment itself
+    got more/less valuable), and the interaction ((w₂−w₁)·(m₂−m₁)).
+    This is the "why did the metric move" decomposition every revenue
+    review asks for — the three terms sum to the segment's exact
+    contribution to ΔȲ, so blame is conserved, not vibes.
+
+    Determinism: weights in integer ppm, segment means in integer
+    micro-cents (floor), every effect a SIGN-SPLIT ·DIV 1e6 product
+    (effects are signed; Spark DIV truncates toward zero, DuckDB //
+    floors — the split makes them identical, the q377/q394
+    discipline). Period split at year {MIX_SPLIT_YEAR} — a data
+    attribute, not wall-clock.
+
+    Scale: one orders pass collapses to |segments|×2 cells map-side;
+    everything after runs on those cells. The conservation identity
+    (Σ effects ≈ ΔȲ up to one floor per term) is pinned in the test.
+
+    Reference: extends the growth-accounting family (q374 DAU
+    decomposition is the user-count analogue; this is the value-mix
+    analogue)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.year("o_orderdate") < MIX_SPLIT_YEAR, 1)
+        .otherwise(2)
+        .alias("p"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cells = base.groupBy("seg", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    tots = cells.groupBy("p").agg(F.sum("n").cast("bigint").alias("np"))
+    m = cells.join(tots, "p").select(
+        "seg",
+        "p",
+        "n",
+        F.expr("1000000 * n DIV np").alias("w_ppm"),
+        F.expr("1000000 * s DIV n").alias("m_micro"),
+    )
+    wide = m.groupBy("seg").agg(
+        F.max(F.when(F.col("p") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("p") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("p") == 1, F.col("w_ppm"))).alias("w1_ppm"),
+        F.max(F.when(F.col("p") == 2, F.col("w_ppm"))).alias("w2_ppm"),
+        F.max(F.when(F.col("p") == 1, F.col("m_micro"))).alias("m1_micro"),
+        F.max(F.when(F.col("p") == 2, F.col("m_micro"))).alias("m2_micro"),
+    )
+    def sdiv_expr(x: str):
+        # _mr_sdiv emits DuckDB's `//`; Spark spells integer division DIV
+        return F.expr(f"CAST({_mr_sdiv(x).replace('//', 'DIV')} AS BIGINT)")
+
+    return wide.select(
+        "seg", "n1", "n2", "w1_ppm", "w2_ppm", "m1_micro", "m2_micro",
+        sdiv_expr("(w2_ppm - w1_ppm) * m1_micro").alias("mix_eff_micro"),
+        sdiv_expr("w1_ppm * (m2_micro - m1_micro)").alias("rate_eff_micro"),
+        sdiv_expr("(w2_ppm - w1_ppm) * (m2_micro - m1_micro)").alias(
+            "inter_eff_micro"
+        ),
+    ).orderBy("seg")
+
+
+# --------------------------------------------------------------------------
+# q398 — quantile treatment effects (binned)
+# --------------------------------------------------------------------------
+
+QTE_BINS = 64
+QTE_PCTS = [25, 50, 75, 90]
+
+
+@register(
+    "q398_quantile_effects",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MIN(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS lo,
+               CAST(MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS hi
+        FROM events
+    ),
+    binned AS (
+        SELECT e.user_id % 2 AS grp,
+               CASE WHEN CAST(FLOOR(e.value * 1000) AS BIGINT) >= b.hi
+                    THEN {QTE_BINS - 1}
+                    ELSE (CAST(FLOOR(e.value * 1000) AS BIGINT) - b.lo)
+                         * {QTE_BINS} // (b.hi - b.lo + 1) END AS bin,
+               b.lo, b.hi
+        FROM events e CROSS JOIN b
+    ),
+    hist AS (
+        SELECT grp, bin, lo, hi, CAST(COUNT(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2, 3, 4
+    ),
+    cum AS (
+        SELECT grp, bin, lo, hi,
+               CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM hist
+    ),
+    pcts AS (SELECT unnest([{', '.join(str(p) for p in QTE_PCTS)}]) AS pct),
+    sel AS (
+        SELECT p.pct, c.grp,
+               MIN(c.bin) AS qbin,
+               MIN(c.lo + c.bin * (c.hi - c.lo + 1) // {QTE_BINS})
+                   AS edge_milli
+        FROM cum c JOIN pcts p ON 100 * c.cw >= p.pct * c.n
+        GROUP BY 1, 2
+    )
+    SELECT pct,
+           CAST(MAX(CASE WHEN grp = 0 THEN qbin END) AS BIGINT)
+               AS control_bin,
+           CAST(MAX(CASE WHEN grp = 0 THEN edge_milli END) AS BIGINT)
+               AS control_edge_milli,
+           CAST(MAX(CASE WHEN grp = 1 THEN qbin END) AS BIGINT)
+               AS treat_bin,
+           CAST(MAX(CASE WHEN grp = 1 THEN edge_milli END) AS BIGINT)
+               AS treat_edge_milli,
+           CAST(MAX(CASE WHEN grp = 1 THEN edge_milli END)
+                - MAX(CASE WHEN grp = 0 THEN edge_milli END) AS BIGINT)
+               AS qte_milli
+    FROM sel GROUP BY pct ORDER BY pct
+    """,
+)
+def q398_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: an A/B readout at the p25/p50/p75/
+    p90 DISTRIBUTION points instead of the mean — the experimentation
+    metric that catches "the treatment moved the tail, not the
+    middle" (q132's mean-rate readout and q362's robust means are
+    blind to it). Group = the q132 deterministic user_id % 2 split;
+    each group's quantiles come from the q369/q393 mergeable-histogram
+    discipline (global-bounds bins, cumulative crossing), so the whole
+    comparison is one events pass + windows over {QTE_BINS}·2 cells —
+    never a per-group sort.
+
+    Determinism: integer milli-values, one-row global bounds broadcast
+    (allowlisted), exact integer bin cumulative, smallest-crossing-bin
+    per (group, percentile) via a keyed inequality join against a
+    4-row percentile grid (broadcast fan-out, allowlisted).
+
+    Scale: identical posture to q393 — raw data touched once,
+    everything downstream is histogram-cell-sized. QTE inherits the
+    ±1-bin contract per side.
+
+    Reference: q132 (mean A/B), q362 (robust A/B), q369/q393 (the
+    histogram quantile core); completes the experimentation family's
+    distributional axis."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.floor(F.col("value") * 1000).cast("bigint")).alias("lo"),
+        F.max(F.floor(F.col("value") * 1000).cast("bigint")).alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.floor(F.col("value") * 1000).cast("bigint") >= F.col("hi"),
+            QTE_BINS - 1,
+        )
+        .otherwise(
+            F.expr(
+                f"(CAST(FLOOR(value * 1000) AS BIGINT) - lo)"
+                f" * {QTE_BINS} DIV (hi - lo + 1)"
+            )
+        )
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    hist = binned.groupBy("grp", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp", "bin", "lo", "hi",
+        F.sum("c").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("c").over(w_tot).cast("bigint").alias("n"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in QTE_PCTS], "pct int")
+    sel = (
+        cum.join(
+            F.broadcast(pcts),
+            100 * F.col("cw") >= F.col("pct") * F.col("n"),
+        )
+        .groupBy("pct", "grp")
+        .agg(
+            F.min("bin").alias("qbin"),
+            F.min(
+                F.expr(f"lo + bin * (hi - lo + 1) DIV {QTE_BINS}")
+            ).alias("edge_milli"),
+        )
+    )
+    return (
+        sel.groupBy("pct")
+        .agg(
+            F.max(F.when(F.col("grp") == 0, F.col("qbin")))
+            .cast("bigint")
+            .alias("control_bin"),
+            F.max(F.when(F.col("grp") == 0, F.col("edge_milli")))
+            .cast("bigint")
+            .alias("control_edge_milli"),
+            F.max(F.when(F.col("grp") == 1, F.col("qbin")))
+            .cast("bigint")
+            .alias("treat_bin"),
+            F.max(F.when(F.col("grp") == 1, F.col("edge_milli")))
+            .cast("bigint")
+            .alias("treat_edge_milli"),
+        )
+        .select(
+            "pct",
+            "control_bin",
+            "control_edge_milli",
+            "treat_bin",
+            "treat_edge_milli",
+            (F.col("treat_edge_milli") - F.col("control_edge_milli"))
+            .cast("bigint")
+            .alias("qte_milli"),
+        )
+        .orderBy("pct")
+    )

@@ -110,6 +110,8 @@ BNLJ_ALLOWED = {
     "q393_rolling_quantile",      # one-row global value/date bounds broadcasts
     "q394_cohens_kappa",          # two one-row aggregate broadcasts
     "q395_forecast_reconciliation",  # one-row grand/total/bottom-up broadcasts
+    "q398_quantile_effects",      # one-row bounds + 4-row percentile-grid
+                                  # inequality broadcast
 }
 
 

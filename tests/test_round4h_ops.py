@@ -1759,3 +1759,106 @@ def test_top_paths_replay(spark):
     assert got == [(p, c) for p, c in expected]
     for r in rows:
         assert r["conv_ppm"] == 1_000_000 * r["n_converted"] // r["n_users"]
+
+
+# --------------------------------------------------------------------------
+# q397 — mix-vs-rate decomposition
+# --------------------------------------------------------------------------
+
+
+def test_mix_rate_conservation(spark):
+    rows = registry.QUERIES["q397_mix_rate_decomposition"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    con = _duck(SF_MID)
+    cells = con.execute(
+        """
+        SELECT o_orderpriority,
+               CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 2 END,
+               COUNT(*), SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        FROM orders GROUP BY 1, 2
+        """
+    ).fetchall()
+    np = defaultdict(int)
+    for _, p, n, _ in cells:
+        np[p] += n
+
+    def sdiv(x):
+        return x // 1_000_000 if x >= 0 else -((-x) // 1_000_000)
+
+    stats = {}
+    for seg, p, n, s in cells:
+        stats[(seg, p)] = (
+            n,
+            1_000_000 * n // np[p],
+            1_000_000 * s // n,
+        )
+    for r in rows:
+        n1, w1, m1 = stats[(r["seg"], 1)]
+        n2, w2, m2 = stats[(r["seg"], 2)]
+        assert (r["n1"], r["w1_ppm"], r["m1_micro"]) == (n1, w1, m1)
+        assert (r["n2"], r["w2_ppm"], r["m2_micro"]) == (n2, w2, m2)
+        assert r["mix_eff_micro"] == sdiv((w2 - w1) * m1)
+        assert r["rate_eff_micro"] == sdiv(w1 * (m2 - m1))
+        assert r["inter_eff_micro"] == sdiv((w2 - w1) * (m2 - m1))
+    # conservation: segment effects sum to the overall average change
+    # up to one floor per term per segment (and the ppm weight floors)
+    total_eff = sum(
+        r["mix_eff_micro"] + r["rate_eff_micro"] + r["inter_eff_micro"]
+        for r in rows
+    )
+    y1 = sum(
+        stats[(r["seg"], 1)][1] * stats[(r["seg"], 1)][2] // 1_000_000
+        for r in rows
+    )
+    y2 = sum(
+        stats[(r["seg"], 2)][1] * stats[(r["seg"], 2)][2] // 1_000_000
+        for r in rows
+    )
+    assert abs(total_eff - (y2 - y1)) <= 3 * len(rows) + 3
+
+
+# --------------------------------------------------------------------------
+# q398 — quantile treatment effects
+# --------------------------------------------------------------------------
+
+
+def test_quantile_effects_replay(spark):
+    rows = registry.QUERIES["q398_quantile_effects"](spark, SF_MID).collect()
+    assert [r["pct"] for r in rows] == [25, 50, 75, 90]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    data = con.execute(
+        "SELECT user_id % 2, CAST(FLOOR(value * 1000) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    lo = min(v for _, v in data)
+    hi = max(v for _, v in data)
+    width = hi - lo + 1
+    from collections import Counter
+
+    hists = {0: Counter(), 1: Counter()}
+    for g, v in data:
+        b = 63 if v >= hi else (v - lo) * 64 // width
+        hists[g][b] += 1
+
+    def qbin(g, pct):
+        n = sum(hists[g].values())
+        cum = 0
+        for b in range(64):
+            cum += hists[g].get(b, 0)
+            if 100 * cum >= pct * n:
+                return b, lo + b * width // 64
+
+    for r in rows:
+        cb, ce = qbin(0, r["pct"])
+        tb, te = qbin(1, r["pct"])
+        assert (r["control_bin"], r["control_edge_milli"]) == (cb, ce)
+        assert (r["treat_bin"], r["treat_edge_milli"]) == (tb, te)
+        assert r["qte_milli"] == te - ce
+    # quantile edges are non-decreasing in pct within each arm
+    edges = [r["control_edge_milli"] for r in rows]
+    assert edges == sorted(edges)

@@ -11830,3 +11830,161 @@ def q398_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q399 — isotonic calibration (PAV via the minimax identity)
+# --------------------------------------------------------------------------
+
+ISO_BINS = 20  #: price-score bins the monotone fit runs over
+
+
+@register(
+    "q399_isotonic_calibration",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS hi
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT CASE WHEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                         >= b.hi THEN {ISO_BINS - 1}
+                    ELSE (CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                          - b.lo) * {ISO_BINS} // (b.hi - b.lo + 1)
+               END AS bin,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l CROSS JOIN b
+    ),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM binned GROUP BY bin
+    ),
+    pre AS (
+        SELECT bin, cnt, pos,
+               CAST(SUM(cnt) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc,
+               CAST(SUM(pos) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cp
+        FROM bins
+    ),
+    pairs AS (
+        SELECT j.bin AS j, k.bin AS k,
+               1000000 * (k.cp - j.cp + j.pos)
+                   // (k.cc - j.cc + j.cnt) AS a_ppm
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    mins AS (
+        SELECT i.bin AS i, p.j, MIN(p.a_ppm) AS mn
+        FROM pre i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+            FROM mins GROUP BY i)
+    SELECT bins.bin, bins.cnt, bins.pos,
+           1000000 * bins.pos // bins.cnt AS raw_ppm,
+           iso.iso_ppm
+    FROM bins JOIN iso ON iso.i = bins.bin
+    ORDER BY bins.bin
+    """,
+)
+def q399_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (pool-adjacent-violators) of the return
+    rate against the price-bin score, computed via PAV's MINIMAX
+    identity ŷᵢ = max_{{j≤i}} min_{{k≥i}} avg(y over bins j..k) — the
+    closed form that turns the classic sequential stack algorithm into
+    three BOUNDED relational steps (prefix sums → {ISO_BINS}²/2 window
+    averages → a two-level min/max), i.e. PAV without applyInPandas.
+    Monotone calibration is the standard scorer post-processing step
+    (Zadrozny & Elkan 2002) and the one calibration family member the
+    repo lacked (q335 measures calibration, this REPAIRS it).
+
+    Determinism: window averages floored to integer ppm (numerators/
+    denominators from exact prefix sums); the minimax over floored
+    averages is still MONOTONE by construction (growing j-range under
+    max, shrinking k-range under min), so the output is a valid
+    isotonic fit whose values differ from exact-rational PAV by at
+    most the ppm floor — the test replays both the identical integer
+    minimax (exact match) and a rational stack PAV (≤1 ppm drift).
+
+    Scale: one fact pass collapses to {ISO_BINS} bins map-side; the
+    pair/minimax machinery runs on ≤{ISO_BINS}² driver-tiny rows
+    (inequality joins on a broadcast {ISO_BINS}-row frame —
+    allowlisted); raw data is never touched again.
+
+    Reference: q335 (Brier reliability — the diagnosis), q360 (stump
+    — the scorer this would calibrate), q74 (binning discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "lo"
+        ),
+        F.max(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "hi"
+        ),
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            >= F.col("hi"),
+            ISO_BINS - 1,
+        )
+        .otherwise(
+            F.expr(
+                f"(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) - lo)"
+                f" * {ISO_BINS} DIV (hi - lo + 1)"
+            )
+        )
+        .alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin", "cnt", "pos",
+        F.sum("cnt").over(w).cast("bigint").alias("cc"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    )
+    pre = track_cache(pre.persist())
+    j = pre.select(
+        F.col("bin").alias("j"), F.col("cnt").alias("jcnt"),
+        F.col("pos").alias("jpos"), F.col("cc").alias("jcc"),
+        F.col("cp").alias("jcp"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("cc").alias("kcc"),
+        F.col("cp").alias("kcp"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j", "k",
+        F.expr(
+            "1000000 * (kcp - jcp + jpos) DIV (kcc - jcc + jcnt)"
+        ).alias("a_ppm"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    mins = (
+        pairs.join(
+            F.broadcast(i),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("a_ppm").alias("mn"))
+    )
+    iso = mins.groupBy("i").agg(F.max("mn").cast("bigint").alias("iso_ppm"))
+    return (
+        bins.join(iso, bins["bin"] == iso["i"])
+        .select(
+            "bin", "cnt", "pos",
+            F.expr("1000000 * pos DIV cnt").alias("raw_ppm"),
+            "iso_ppm",
+        )
+        .orderBy("bin")
+    )

@@ -4201,3 +4201,95 @@ def q395_forecast_reconciliation(
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q400 — time-weighted average (TWAP) bars
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q400_twap",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, d, vm,
+               CAST(datediff('second', ts,
+                    COALESCE(LEAD(ts) OVER (PARTITION BY event_type, d
+                                            ORDER BY ts, event_id),
+                             CAST(d + INTERVAL 1 DAY AS TIMESTAMP)))
+                    AS BIGINT) AS dt
+        FROM v
+    )
+    SELECT event_type, d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dt) AS BIGINT) AS span_s,
+           CAST(SUM(vm * dt) AS BIGINT) // CAST(SUM(dt) AS BIGINT)
+               AS twap_milli,
+           CAST(SUM(vm) AS BIGINT) // COUNT(*) AS mean_milli
+    FROM seg GROUP BY 1, 2
+    ORDER BY event_type, d
+    """,
+)
+def q400_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) bars: per (type, day), each
+    observation's value is weighted by how long it REMAINED the
+    current value — seconds until the next event in the unique
+    (ts, event_id) order, the last one holding until day end. TWAP is
+    what monitoring and execution systems actually chart: the plain
+    mean (emitted alongside for contrast) over-weights bursts — a
+    hundred ticks in one hot minute dominate an arithmetic mean but
+    get one minute of TWAP weight. Completes the bar family next to
+    q386 (OHLC: positional extremes) and q55 (row-windowed means).
+
+    Determinism: integer milli-values × integer second durations; the
+    hold-duration of the last observation is bounded by the day
+    boundary (a data attribute, not wall-clock); floor-divided
+    integer ratios; durations from LEAD over the unique total order.
+
+    Scale: one (type, day) exchange shared by the LEAD window and the
+    aggregate; zero-duration ties (same-second events) get weight 0
+    and fold away exactly the same way in both engines.
+
+    Reference: q386 (OHLC twin), q111 (interval concurrency — the
+    other duration-weighted operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    seg = v.select(
+        "event_type",
+        "d",
+        "vm",
+        (
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.date_add(F.col("d"), 1).cast("timestamp"),
+            ).cast("long")
+            - F.col("ts").cast("long")
+        )
+        .cast("bigint")
+        .alias("dt"),
+    )
+    return (
+        seg.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("dt").cast("bigint").alias("span_s"),
+            F.expr("CAST(SUM(vm * dt) AS BIGINT) DIV CAST(SUM(dt) AS BIGINT)")
+            .alias("twap_milli"),
+            F.expr("CAST(SUM(vm) AS BIGINT) DIV COUNT(*)").alias(
+                "mean_milli"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -112,6 +112,8 @@ BNLJ_ALLOWED = {
     "q395_forecast_reconciliation",  # one-row grand/total/bottom-up broadcasts
     "q398_quantile_effects",      # one-row bounds + 4-row percentile-grid
                                   # inequality broadcast
+    "q399_isotonic_calibration",  # one-row bounds + 20-bin minimax grid
+                                  # inequality broadcasts
 }
 
 

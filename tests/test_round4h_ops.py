@@ -1862,3 +1862,137 @@ def test_quantile_effects_replay(spark):
     # quantile edges are non-decreasing in pct within each arm
     edges = [r["control_edge_milli"] for r in rows]
     assert edges == sorted(edges)
+
+
+# --------------------------------------------------------------------------
+# q399 — isotonic calibration
+# --------------------------------------------------------------------------
+
+
+def test_isotonic_minimax_replay_and_pav_agreement(spark):
+    rows = registry.QUERIES["q399_isotonic_calibration"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    con = _duck(SF_MID)
+    data = con.execute(
+        """
+        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+        """
+    ).fetchall()
+    lo = min(c for c, _ in data)
+    hi = max(c for c, _ in data)
+    width = hi - lo + 1
+    from collections import Counter
+
+    cnt = Counter()
+    pos = Counter()
+    for c, y in data:
+        b = 19 if c >= hi else (c - lo) * 20 // width
+        cnt[b] += 1
+        pos[b] += y
+    present = sorted(cnt)
+    # exact integer minimax replay
+    cc, cp, acc_c, acc_p = {}, {}, 0, 0
+    for b in present:
+        acc_c += cnt[b]
+        acc_p += pos[b]
+        cc[b], cp[b] = acc_c, acc_p
+
+    def a_ppm(j, k):
+        num = cp[k] - cp[j] + pos[j]
+        den = cc[k] - cc[j] + cnt[j]
+        return 1_000_000 * num // den
+
+    iso = {}
+    for i in present:
+        iso[i] = max(
+            min(a_ppm(j, k) for k in present if k >= i)
+            for j in present
+            if j <= i
+        )
+    by_bin = {r["bin"]: r for r in rows}
+    assert sorted(by_bin) == present
+    for b in present:
+        r = by_bin[b]
+        assert r["cnt"] == cnt[b] and r["pos"] == pos[b]
+        assert r["raw_ppm"] == 1_000_000 * pos[b] // cnt[b]
+        assert r["iso_ppm"] == iso[b]
+    # monotone by construction
+    fits = [by_bin[b]["iso_ppm"] for b in present]
+    assert fits == sorted(fits)
+    # agrees with the classical PAV stack within the ppm floor
+    from fractions import Fraction
+
+    blocks = []  # (sum_pos, sum_cnt)
+    for b in present:
+        blocks.append([pos[b], cnt[b]])
+        while len(blocks) > 1 and Fraction(
+            blocks[-2][0], blocks[-2][1]
+        ) >= Fraction(blocks[-1][0], blocks[-1][1]):
+            p2, c2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += c2
+    stack = []
+    for p, c in blocks:
+        stack += [Fraction(p, c)] * 0 or [Fraction(p, c)]
+    # expand stack fits back over bins
+    expanded = []
+    bi = 0
+    for p, c in blocks:
+        n_bins = 0
+        covered = 0
+        while covered < c:
+            covered += cnt[present[bi]]
+            bi += 1
+            n_bins += 1
+        expanded += [Fraction(p, c)] * n_bins
+    for b, f in zip(present, expanded):
+        assert abs(by_bin[b]["iso_ppm"] - int(f * 1_000_000)) <= 1
+
+
+# --------------------------------------------------------------------------
+# q400 — TWAP bars
+# --------------------------------------------------------------------------
+
+
+def test_twap_replay(spark):
+    rows = registry.QUERIES["q400_twap"](spark, SF_SMALL).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    data = con.execute(
+        """
+        SELECT event_type, CAST(ts AS DATE), ts,
+               CAST(FLOOR(value * 1000) AS BIGINT)
+        FROM events ORDER BY event_type, 2, ts, event_id
+        """
+    ).fetchall()
+    import datetime as dt
+
+    groups = defaultdict(list)
+    for t, d, ts, vm in data:
+        groups[(t, d)].append((ts, vm))
+    for r in rows:
+        seq = groups[(r["event_type"], r["d"])]
+        day_end = dt.datetime.combine(
+            r["d"] + dt.timedelta(days=1), dt.time()
+        )
+        num = den = 0
+        for idx, (ts, vm) in enumerate(seq):
+            nxt = seq[idx + 1][0] if idx + 1 < len(seq) else day_end
+            # second-BOUNDARY difference (both engines truncate each
+            # endpoint to seconds), not elapsed-time truncation
+            w = int(nxt.replace(microsecond=0).timestamp()) - int(
+                ts.replace(microsecond=0).timestamp()
+            )
+            num += vm * w
+            den += w
+        assert r["n_events"] == len(seq)
+        assert r["span_s"] == den
+        assert r["twap_milli"] == num // den
+        assert r["mean_milli"] == sum(v for _, v in seq) // len(seq)

@@ -136,6 +136,13 @@ def main() -> None:
         "q345_greedy_coverage",
         "q351_label_propagation",
         "q353_kcore",
+        # round-4 ninth-sitting heavies
+        "q381_hits",
+        "q385_holt_winters",
+        "q392_markov_attribution",
+        "q393_rolling_quantile",
+        "q399_isotonic_calibration",
+        "q401_rank1_als",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -11988,3 +11988,134 @@ def q399_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q401 — rank-1 ALS (alternating least squares, observed cells)
+# --------------------------------------------------------------------------
+
+ALS_ITERS = 3      #: alternations (u-solve then v-solve each)
+ALS_SCALE = 1000   #: factor grid: milli-units
+
+
+def _als_ctes() -> str:
+    parts = [
+        "cells AS (SELECT user_id AS u, event_type AS t,"
+        " CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS r"
+        " FROM events GROUP BY 1, 2)",
+        f"v0 AS (SELECT DISTINCT event_type AS t,"
+        f" CAST({ALS_SCALE} AS BIGINT) AS v FROM events)",
+    ]
+    for i in range(1, ALS_ITERS + 1):
+        parts.append(
+            f"u{i} AS (SELECT c.u,"
+            f" {ALS_SCALE} * CAST(SUM(c.r * v{i - 1}.v) AS BIGINT)"
+            f" // CAST(SUM(v{i - 1}.v * v{i - 1}.v) AS BIGINT) AS f"
+            f" FROM cells c JOIN v{i - 1} ON v{i - 1}.t = c.t GROUP BY c.u)"
+        )
+        parts.append(
+            f"v{i} AS (SELECT c.t,"
+            f" {ALS_SCALE} * CAST(SUM(c.r * u{i}.f) AS BIGINT)"
+            f" // CAST(SUM(u{i}.f * u{i}.f) AS BIGINT) AS v"
+            f" FROM cells c JOIN u{i} ON u{i}.u = c.u GROUP BY c.t)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q401_rank1_als",
+    oracle=f"""
+    WITH {_als_ctes()}
+    SELECT c.t AS event_type,
+           CAST(MAX(v{ALS_ITERS}.v) AS BIGINT) AS v_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(1000000 * SUM(ABS(c.r - u{ALS_ITERS}.f * v{ALS_ITERS}.v
+                                          // {ALS_SCALE}))
+                // SUM(c.r) AS BIGINT) AS mae_ppm
+    FROM cells c
+    JOIN u{ALS_ITERS} ON u{ALS_ITERS}.u = c.u
+    JOIN v{ALS_ITERS} ON v{ALS_ITERS}.t = c.t
+    GROUP BY c.t
+    ORDER BY event_type
+    """,
+)
+def q401_rank1_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS over the (user × event_type) implicit-rating matrix
+    (rating = summed value milli per cell): {ALS_ITERS} alternations of
+    the exact least-squares updates u_i = Σr·v / Σv² and v_t = Σr·u /
+    Σu² over OBSERVED cells, on the integer milli grid. Rank-1 ALS is
+    the minimal collaborative-filtering factorization — the user
+    factor is an activity scale, the item factor a type-value profile,
+    and the per-type MAE (vs Σr mass, in ppm) says how much signal one
+    latent dimension explains. Its real role here is the TEMPLATE: the
+    alternation IS Spark's ALS dataflow (factor table joins the cell
+    table on one key, partial-aggregates on the other) expressed as
+    plain keyed joins — each half-step shuffles only (key, factor)
+    pairs, the Pregel shape q190/q381 use for graphs applied to
+    factorization.
+
+    Determinism: all positive integers (values are positive) — plain
+    floor DIV; fixed v=​{ALS_SCALE} init; no randomness anywhere. At
+    extreme scale Σr·u sums exceed int64 (like q383) — DECIMAL(38)
+    route documented, not silently saturating.
+
+    Scale: cells collapse map-side (|users|×|types| sparse); each
+    half-step is one keyed join + partial agg; the factor tables are
+    |users| and |types| rows. The oracle unrolls the same
+    {ALS_ITERS} alternations as a CTE chain.
+
+    Reference: q230 (user similarity), q95 (learned k-means) — the
+    factorization member of the recommender family."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("user_id").alias("u"), F.col("event_type").alias("t")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    cells = track_cache(cells.persist())
+    v = cells.select("t").distinct().select(
+        "t", F.lit(ALS_SCALE).cast("bigint").alias("v")
+    )
+    u = None
+    for _ in range(ALS_ITERS):
+        u = (
+            cells.join(F.broadcast(v), "t")
+            .groupBy("u")
+            .agg(
+                F.expr(
+                    f"{ALS_SCALE} * CAST(SUM(r * v) AS BIGINT)"
+                    " DIV CAST(SUM(v * v) AS BIGINT)"
+                ).alias("f")
+            )
+            .localCheckpoint(eager=False)
+        )
+        v = (
+            cells.join(u, "u")
+            .groupBy("t")
+            .agg(
+                F.expr(
+                    f"{ALS_SCALE} * CAST(SUM(r * f) AS BIGINT)"
+                    " DIV CAST(SUM(f * f) AS BIGINT)"
+                ).alias("v")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cells.join(u, "u")
+        .join(F.broadcast(v), "t")
+        .groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.max("v").cast("bigint").alias("v_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.expr(
+                f"CAST(1000000 * SUM(ABS(r - f * v DIV {ALS_SCALE}))"
+                " DIV SUM(r) AS BIGINT)"
+            ).alias("mae_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1996,3 +1996,54 @@ def test_twap_replay(spark):
         assert r["span_s"] == den
         assert r["twap_milli"] == num // den
         assert r["mean_milli"] == sum(v for _, v in seq) // len(seq)
+
+
+# --------------------------------------------------------------------------
+# q401 — rank-1 ALS
+# --------------------------------------------------------------------------
+
+
+def test_rank1_als_replay(spark):
+    rows = registry.QUERIES["q401_rank1_als"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    cells = con.execute(
+        """
+        SELECT user_id, event_type,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_u = defaultdict(list)
+    by_t = defaultdict(list)
+    for u, t, r in cells:
+        by_u[u].append((t, r))
+        by_t[t].append((u, r))
+    v = {t: 1000 for t in by_t}
+    u = {}
+    for _ in range(3):
+        u = {
+            uu: 1000 * sum(r * v[t] for t, r in tr)
+            // sum(v[t] * v[t] for t, _ in tr)
+            for uu, tr in by_u.items()
+        }
+        v = {
+            t: 1000 * sum(r * u[uu] for uu, r in ur)
+            // sum(u[uu] * u[uu] for uu, _ in ur)
+            for t, ur in by_t.items()
+        }
+    for row in rows:
+        t = row["event_type"]
+        assert row["v_milli"] == v[t]
+        assert row["n_cells"] == len(by_t[t])
+        mae = sum(
+            abs(r - u[uu] * v[t] // 1000) for uu, r in by_t[t]
+        )
+        tot = sum(r for _, r in by_t[t])
+        assert row["mae_ppm"] == 1_000_000 * mae // tot
+    # one latent dimension must explain most of the mass on these
+    # fixtures (uniform-ish per-type value scales)
+    assert all(r["mae_ppm"] < 900_000 for r in rows)

@@ -2208,3 +2208,239 @@ def q389_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "step int, center_id bigint, sel_dist_r6 double"
     ).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# q402 — MMR diversity re-rank of the exact top-k pool
+# --------------------------------------------------------------------------
+
+MMR_POOL = 20   #: relevance pool per query (q50's machinery, deeper k)
+MMR_K = 5       #: diversified picks per query
+MMR_REL_W = 7   #: score = 7·rel − 3·max-sim  (λ = 0.7, exact in integers)
+MMR_RED_W = 3
+
+
+def _mmr_sel_ctes() -> str:
+    parts = [
+        "sel1 AS MATERIALIZED (SELECT query_id, cand_id, rel_u,"
+        " CAST(NULL AS BIGINT) AS red_u, 1 AS rk FROM pool"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY rel_u DESC, cand_id) = 1)",
+        "selall1 AS MATERIALIZED (SELECT * FROM sel1)",
+    ]
+    for s in range(2, MMR_K + 1):
+        parts.append(
+            f"cand{s} AS MATERIALIZED ("
+            f"SELECT p.query_id, p.cand_id, p.rel_u,"
+            f" CAST(MAX(sims.sim_u) AS BIGINT) AS red_u"
+            f" FROM pool p"
+            f" JOIN selall{s - 1} sa ON sa.query_id = p.query_id"
+            f" JOIN sims ON sims.query_id = p.query_id"
+            f" AND sims.a = p.cand_id AND sims.b = sa.cand_id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM selall{s - 1} x"
+            f" WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id)"
+            f" GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"sel{s} AS MATERIALIZED (SELECT query_id, cand_id, rel_u,"
+            f" red_u, {s} AS rk FROM cand{s}"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+            f" ORDER BY {MMR_REL_W} * rel_u - {MMR_RED_W} * red_u DESC,"
+            f" cand_id) = 1)"
+        )
+        parts.append(
+            f"selall{s} AS MATERIALIZED (SELECT * FROM selall{s - 1}"
+            f" UNION ALL SELECT * FROM sel{s})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q402_mmr_rerank",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, cand_id,
+               CAST(ROUND(ROUND(dot / (nq.nrm * nc.nrm), 6) * 1000000)
+                    AS BIGINT) AS rel_u
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel_u DESC, cand_id) <= {MMR_POOL}
+    ),
+    pdots AS (
+        SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+               SUM(da.x * db.x) AS dot
+        FROM pool a
+        JOIN pool b ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+        JOIN dims da ON da.vec_id = a.cand_id
+        JOIN dims db ON db.vec_id = b.cand_id AND db.i = da.i
+        GROUP BY 1, 2, 3
+    ),
+    sims AS MATERIALIZED (
+        SELECT query_id, a, b,
+               CAST(ROUND(ROUND(dot / (na.nrm * nb.nrm), 6) * 1000000)
+                    AS BIGINT) AS sim_u
+        FROM pdots
+        JOIN norms na ON na.vec_id = a
+        JOIN norms nb ON nb.vec_id = b
+    ),
+    {_mmr_sel_ctes()}
+    SELECT query_id, rk, cand_id, rel_u AS rel_micro,
+           red_u AS redundancy_micro
+    FROM selall{MMR_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q402_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    diversity re-rank: from each query's exact top-{MMR_POOL} pool
+    (q50's machinery, deeper k), greedily pick {MMR_K} results
+    maximizing {MMR_REL_W}·relevance − {MMR_RED_W}·max-similarity-to-
+    already-picked — λ=0.7 held EXACTLY as integer weights. This is
+    the standard retrieval post-processor that stops a RAG context
+    window filling with five near-copies of the same passage: q50
+    ranks, q135 reranks by a second scorer, MMR de-duplicates the
+    slate itself (redundancy_micro shows what each pick paid).
+
+    Determinism: cosines follow the q50 ROUND(·,6) discipline then
+    land on an integer micro grid (CAST(ROUND(r6·1e6)) — identical
+    doubles → identical integers in both engines); every greedy argmax
+    breaks ties by cand_id; the oracle unrolls the same {MMR_K} steps
+    (selall CTEs AS MATERIALIZED — the q392 lesson: each step
+    references its predecessor twice and would otherwise inline
+    exponentially).
+
+    Scale: the pool bounds everything — pairwise sims are
+    {MMR_POOL}²·|queries| rows computed once and persisted; each
+    greedy step is keyed joins + a per-query WindowGroupLimit on
+    pool-sized frames; the corpus is touched once (the broadcast-query
+    relevance pass, q50's allowlisted posture).
+
+    Reference: q50 (pool), q135 (rerank sibling), q120 (recall eval —
+    MMR trades a little of it for coverage, measurably)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), _vec_double().alias("cv"))
+    rel_u = F.expr("CAST(ROUND(r6 * 1000000) AS BIGINT)")
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), "cand_id"
+    )
+    pool = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("r6"),
+        )
+        .select("query_id", "cand_id", "cv", rel_u.alias("rel_u"))
+        .withColumn("prk", F.row_number().over(w_pool))
+        .filter(F.col("prk") <= MMR_POOL)
+        .drop("prk")
+    )
+    pool = track_cache(pool.persist())
+    a = pool.select("query_id", F.col("cand_id").alias("a"),
+                    F.col("cv").alias("av"))
+    bb = pool.select("query_id", F.col("cand_id").alias("b"),
+                     F.col("cv").alias("bv"))
+    sims = (
+        a.join(bb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (_norm(F.col("av")) * _norm(F.col("bv"))),
+                6,
+            ).alias("r6"),
+        )
+        .select(
+            "query_id", "a", "b",
+            F.expr("CAST(ROUND(r6 * 1000000) AS BIGINT)").alias("sim_u"),
+        )
+    )
+    sims = track_cache(sims.persist())
+    w_sel = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), "cand_id"
+    )
+    selected = (
+        pool.select("query_id", "cand_id", "rel_u")
+        .withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "cand_id", "rel_u",
+            F.lit(None).cast("bigint").alias("red_u"),
+            F.lit(1).alias("rk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for s in range(2, MMR_K + 1):
+        remaining = (
+            pool.select("query_id", "cand_id", "rel_u")
+            .join(
+                selected.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "anti",
+            )
+            .select(
+                F.col("query_id").alias("rq"),
+                F.col("cand_id").alias("rc"),
+                "rel_u",
+            )
+        )
+        red = (
+            remaining.join(
+                sims,
+                (sims["query_id"] == F.col("rq"))
+                & (sims["a"] == F.col("rc")),
+            )
+            .join(
+                selected.select(
+                    F.col("query_id").alias("sq"),
+                    F.col("cand_id").alias("sb"),
+                ),
+                (F.col("sq") == F.col("rq")) & (F.col("sb") == F.col("b")),
+            )
+            .groupBy(
+                F.col("rq").alias("query_id"),
+                F.col("rc").alias("cand_id"),
+                F.col("rel_u"),
+            )
+            .agg(F.max("sim_u").cast("bigint").alias("red_u"))
+        )
+        w_score = Window.partitionBy("query_id").orderBy(
+            (MMR_REL_W * F.col("rel_u") - MMR_RED_W * F.col("red_u")).desc(),
+            "cand_id",
+        )
+        pick = (
+            red.withColumn("rn", F.row_number().over(w_score))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cand_id", "rel_u", "red_u",
+                F.lit(s).alias("rk"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        "query_id", "rk", "cand_id",
+        F.col("rel_u").alias("rel_micro"),
+        F.col("red_u").alias("redundancy_micro"),
+    ).orderBy("query_id", "rk")

@@ -114,6 +114,8 @@ BNLJ_ALLOWED = {
                                   # inequality broadcast
     "q399_isotonic_calibration",  # one-row bounds + 20-bin minimax grid
                                   # inequality broadcasts
+    "q402_mmr_rerank",            # exact baseline: 8 query vectors broadcast
+                                  # (q50 posture, deeper pool)
 }
 
 

@@ -2047,3 +2047,87 @@ def test_rank1_als_replay(spark):
     # one latent dimension must explain most of the mass on these
     # fixtures (uniform-ish per-type value scales)
     assert all(r["mae_ppm"] < 900_000 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# q402 — MMR diversity re-rank
+# --------------------------------------------------------------------------
+
+
+def test_mmr_greedy_replay(spark):
+    rows = registry.QUERIES["q402_mmr_rerank"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMALL}/embeddings.parquet'"
+    )
+    vecs = {
+        vid: [float(x) for x in v]
+        for vid, v in con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+    import math
+
+    def cos_u(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        from decimal import Decimal, ROUND_HALF_UP
+
+        r6 = float(
+            Decimal(repr(d / (na * nb))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        return int(
+            Decimal(repr(r6 * 1_000_000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    assert len(by_q) == 8
+    for qid, sel in by_q.items():
+        sel.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in sel] == [1, 2, 3, 4, 5]
+        # 5 distinct picks
+        assert len({r["cand_id"] for r in sel}) == 5
+        # greedy replay: pool = top-20 by rel, then MMR
+        pool = sorted(
+            ((cos_u(qid, c), c) for c in vecs if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        rel = {c: r for r, c in pool}
+        picked = [sel[0]["cand_id"]]
+        assert sel[0]["cand_id"] == pool[0][1]
+        assert sel[0]["redundancy_micro"] is None
+        for step in range(1, 5):
+            best = None
+            for _, c in pool:
+                if c in picked:
+                    continue
+                red = max(cos_u(c, p) for p in picked)
+                score = 7 * rel[c] - 3 * red
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, red)
+            assert sel[step]["cand_id"] == best[1]
+            assert sel[step]["redundancy_micro"] == best[2]
+            picked.append(best[1])
+        # diversity actually bites: at least one pick is not simply
+        # the next-most-relevant (the slate differs from plain top-5)
+    top5 = {}
+    for qid in by_q:
+        pool = sorted(
+            ((cos_u(qid, c), c) for c in vecs if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        top5[qid] = [c for _, c in pool]
+    assert any(
+        [r["cand_id"] for r in sorted(by_q[q], key=lambda r: r["rk"])]
+        != top5[q]
+        for q in by_q
+    )

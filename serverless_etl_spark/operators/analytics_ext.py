@@ -12119,3 +12119,82 @@ def q401_rank1_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q404 — burstiness (Fano factor / index of dispersion)
+# --------------------------------------------------------------------------
+
+FANO_BAND = 100  #: ±10% band around 1.000 counts as Poisson-like
+
+
+@register(
+    "q404_burstiness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, nd AS n_days,
+           1000 * sx // nd AS mean_milli,
+           1000 * (nd * sxx - sx * sx) // (nd * sx) AS fano_milli,
+           CASE WHEN 1000 * (nd * sxx - sx * sx) // (nd * sx)
+                     > 1000 + {FANO_BAND} THEN 'overdispersed'
+                WHEN 1000 * (nd * sxx - sx * sx) // (nd * sx)
+                     < 1000 - {FANO_BAND} THEN 'underdispersed'
+                ELSE 'poisson-like' END AS verdict
+    FROM s ORDER BY event_type
+    """,
+)
+def q404_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the Fano factor (index of dispersion): per event
+    type, variance/mean of the daily arrival counts. A Poisson arrival
+    process has Fano = 1 exactly — so the ratio is a UNIT-FREE
+    burstiness verdict: > 1 means clumped arrivals (campaigns,
+    incidents, retry storms — autoscaling must provision for bursts),
+    < 1 means steadier-than-random (rate-limited or scheduled
+    traffic). The capacity-planning twin of q187's per-customer
+    cadence regularity, at the traffic level.
+
+    Determinism: the biased variance cross-multiplies away — Fano =
+    (n·Σx² − (Σx)²)/(n·Σx), one exact integer ratio in milli-units
+    (operands positive; counts make the numerator ≥ 0 by
+    Cauchy-Schwarz on nonneg data... by the variance identity). The
+    ±{FANO_BAND} milli band around 1.000 classifies without floats.
+
+    Scale: events collapse to |types|×|days| map-side, then one tiny
+    aggregate per type. Σx² bounded by (max daily count)²·days.
+
+    Reference: q187 (cadence), q143 (seasonal anomaly — what you run
+    when this says 'overdispersed'), q255 (Poisson bootstrap — the
+    assumption this validates)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    fano = F.expr("1000 * (nd * sxx - sx * sx) DIV (nd * sx)")
+    return s.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.expr("1000 * sx DIV nd").alias("mean_milli"),
+        fano.alias("fano_milli"),
+        F.when(fano > 1000 + FANO_BAND, "overdispersed")
+        .when(fano < 1000 - FANO_BAND, "underdispersed")
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    ).orderBy("event_type")

@@ -3703,14 +3703,17 @@ def q385_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q386_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OHLC candle bars: per (event_type, day), the OPEN (first value
-    in event-time order), HIGH, LOW, CLOSE (last value) and volume —
-    the canonical downsampling of a tick stream into bars that every
-    monitoring/finance dashboard draws, and the general "first/last
-    per group must be DETERMINISTIC" pattern: first/last are defined
-    by the total order (ts, event_id) — event_id breaks timestamp
-    ties, so there is no arbitrary-survivor nondeterminism (the trap
-    in naive FIRST_VALUE over a non-unique order).
+    """OHLC candle bars per (event_type, day) — the WINDOW-RANK twin
+    of q286 (monthly candles over orders via min_by/max_by on a
+    bucket-unique sequence key): same candle semantics, deliberately
+    different formulation, because the two have different contracts.
+    q286's plain hash aggregate is the one that STREAMS (its
+    incremental twin lives in streaming/bars.py); this row_number form
+    is the one that generalizes when first/last need a COMPOSITE total
+    order — here (ts, event_id), where event_id breaks timestamp ties
+    so there is no arbitrary-survivor nondeterminism (the trap in
+    naive FIRST_VALUE over a non-unique order), and where no single
+    sequence key can encode the order without overflow games.
 
     Determinism: values quantized to integer milli-units via
     FLOOR(·×1000); open/close selected by ROW_NUMBER over the unique
@@ -4255,8 +4258,8 @@ def q400_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; zero-duration ties (same-second events) get weight 0
     and fold away exactly the same way in both engines.
 
-    Reference: q386 (OHLC twin), q111 (interval concurrency — the
-    other duration-weighted operator)."""
+    Reference: q286/q386 (positional OHLC twins), q111 (interval
+    concurrency — the other duration-weighted operator)."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "event_type",

@@ -108,7 +108,7 @@ _SWEEP_PRIORITY = [
     "q394_cohens_kappa", "q395_forecast_reconciliation", "q396_top_paths",
     "q397_mix_rate_decomposition", "q398_quantile_effects",
     "q399_isotonic_calibration", "q400_twap", "q401_rank1_als",
-    "q402_mmr_rerank",
+    "q402_mmr_rerank", "q403_local_clustering", "q404_burstiness",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

@@ -2131,3 +2131,91 @@ def test_mmr_greedy_replay(spark):
         != top5[q]
         for q in by_q
     )
+
+
+# --------------------------------------------------------------------------
+# q403 — local clustering coefficient
+# --------------------------------------------------------------------------
+
+
+def test_local_clustering_replay(spark):
+    rows = registry.QUERIES["q403_local_clustering"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    con = _duck(SF_SMALL)
+    baskets = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    per_order = defaultdict(set)
+    for o, p in baskets:
+        per_order[o].add(p)
+    from collections import Counter
+    from itertools import combinations
+
+    pair_sup = Counter()
+    for ps in per_order.values():
+        for a, b in combinations(sorted(ps), 2):
+            pair_sup[(a, b)] += 1
+    nbrs = defaultdict(set)
+    for (a, b), v in pair_sup.items():
+        if v >= 2:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    tri = Counter()
+    for v, ns in nbrs.items():
+        for a, b in combinations(sorted(ns), 2):
+            if b in nbrs[a]:
+                tri[v] += 1
+    lcc = {}
+    for v, ns in nbrs.items():
+        d = len(ns)
+        if d >= 2:
+            lcc[v] = (d, tri.get(v, 0),
+                      1_000_000 * tri.get(v, 0) * 2 // (d * (d - 1)))
+    expected = sorted(
+        lcc.items(), key=lambda kv: (-kv[1][2], -kv[1][0], kv[0])
+    )[:20]
+    got = [(r["node"], (r["degree"], r["n_triangles"], r["lcc_ppm"]))
+           for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["n_wedges"] == r["degree"] * (r["degree"] - 1) // 2
+        assert 0 <= r["lcc_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q404 — burstiness / Fano factor
+# --------------------------------------------------------------------------
+
+
+def test_burstiness_replay(spark):
+    rows = registry.QUERIES["q404_burstiness"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        """
+        SELECT event_type, CAST(ts AS DATE), COUNT(*)
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for t, _, x in daily:
+        series[t].append(x)
+    for r in rows:
+        xs = series[r["event_type"]]
+        nd, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        fano = 1000 * (nd * sxx - sx * sx) // (nd * sx)
+        assert r["n_days"] == nd
+        assert r["mean_milli"] == 1000 * sx // nd
+        assert r["fano_milli"] == fano
+        want = (
+            "overdispersed" if fano > 1100
+            else "underdispersed" if fano < 900
+            else "poisson-like"
+        )
+        assert r["verdict"] == want
+        assert r["fano_milli"] >= 0

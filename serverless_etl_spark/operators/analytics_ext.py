@@ -12198,3 +12198,85 @@ def q404_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("poisson-like")
         .alias("verdict"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q405 — proportion control chart (p-chart, 3σ without sqrt)
+# --------------------------------------------------------------------------
+
+PCHART_SIGMAS_SQ = 9  #: 3σ limit, squared — the comparison stays integer
+
+
+@register(
+    "q405_p_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(k) AS BIGINT) AS kk FROM daily)
+    SELECT d.d, d.n AS n_events, d.k AS n_conversions,
+           1000000 * d.k // d.n AS rate_ppm,
+           1000000 * t.kk // t.nn AS center_ppm,
+           CAST(CASE WHEN (d.k * t.nn - t.kk * d.n)
+                          * (d.k * t.nn - t.kk * d.n)
+                          > {PCHART_SIGMAS_SQ} * t.kk * (t.nn - t.kk) * d.n
+                     THEN 1 ELSE 0 END AS INT) AS out_of_control
+    FROM daily d CROSS JOIN tot t
+    ORDER BY d.d
+    """,
+)
+def q405_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion control chart (the classic Shewhart p-chart): each
+    day's conversion rate against 3σ binomial limits around the
+    overall rate — the SPC readout that separates "a bad day" from
+    "noise", feeding incident review and q152's change-point hunt.
+
+    The sqrt trick: the 3σ rule |p̂−p̄| > 3·√(p̄(1−p̄)/n) SQUARES into
+    (k·N − K·n)² > {PCHART_SIGMAS_SQ}·K·(N−K)·n — every term an exact
+    integer, so the control decision needs no sqrt, no float, and no
+    cross-engine libm risk (the q107/q379 log-free stance applied to
+    σ). Rates ride along in ppm for the chart itself.
+
+    Determinism: exact integer counts and cross-multiplied comparison;
+    the one-row (N, K) total is the allowlisted scalar broadcast.
+    (k·N)² bounds int64 up to ~3·10⁹ daily×total row products —
+    DECIMAL(38) route documented beyond that.
+
+    Scale: events collapse to |days| rows map-side; everything after
+    is day-level.
+
+    Reference: q92 (z-score anomalies — per-entity), q152 (CUSUM —
+    when it drifted), q132 (the A/B cousin); this is the monitoring
+    form."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    tot = daily.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("k").cast("bigint").alias("kk"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("n_conversions"),
+            F.expr("1000000 * k DIV n").alias("rate_ppm"),
+            F.expr("1000000 * kk DIV nn").alias("center_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN (k * nn - kk * n) * (k * nn - kk * n)"
+                f" > {PCHART_SIGMAS_SQ} * kk * (nn - kk) * n"
+                f" THEN 1 ELSE 0 END AS INT)"
+            ).alias("out_of_control"),
+        )
+        .orderBy("d")
+    )

@@ -4296,3 +4296,122 @@ def q400_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# q406 — debounce / throttle (keep first event per user per quiet window)
+# --------------------------------------------------------------------------
+
+DEB_GAP_S = 300  #: suppress events within this many seconds of the last KEPT
+
+
+def _debounce_fn(pdf):
+    """Per-user sequential debounce: an event is kept iff it is the
+    first, or ≥ {DEB_GAP_S}s after the last KEPT event. The state (last
+    kept timestamp) depends on earlier KEEP decisions — genuinely
+    non-associative, like q296's clamp: a gaps-and-islands window
+    cannot express it (a suppressed event must not reset the clock)."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    # sort by FULL-precision time (micros) — the decision truncates to
+    # seconds, but the sequence order must match the oracle's ORDER BY
+    # ts, event_id even for same-second, different-subsecond events
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    kept = 0
+    last = None
+    first_kept = None
+    last_kept = None
+    for us in pdf["ts_us"].to_list():
+        t = int(us) // 1_000_000
+        if last is None or t >= last + DEB_GAP_S:
+            kept += 1
+            last = t
+            if first_kept is None:
+                first_kept = t
+            last_kept = t
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "n_kept": [kept],
+            "n_suppressed": [n - kept],
+            "first_kept_sec": [first_kept],
+            "last_kept_sec": [last_kept],
+        }
+    )
+
+
+@register(
+    "q406_debounce",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, i, t AS last_kept,
+               CAST(1 AS BIGINT) AS kept, t AS first_kept
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.i,
+               CASE WHEN s.t >= r.last_kept + {DEB_GAP_S}
+                    THEN s.t ELSE r.last_kept END,
+               r.kept + CASE WHEN s.t >= r.last_kept + {DEB_GAP_S}
+                             THEN 1 ELSE 0 END,
+               r.first_kept
+        FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+    )
+    SELECT user_id, CAST(i AS BIGINT) AS n_events, kept AS n_kept,
+           CAST(i AS BIGINT) - kept AS n_suppressed,
+           first_kept AS first_kept_sec, last_kept AS last_kept_sec
+    FROM rec
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) = 1
+    ORDER BY user_id
+    """,
+)
+def q406_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / alert throttling: per user, keep an event only if
+    ≥ {DEB_GAP_S}s have passed since the last KEPT event — the
+    rate-limiting semantics every alerting/notification pipeline
+    needs. The subtlety that makes it an operator and not a window
+    trick: a SUPPRESSED event must not reset the quiet-period clock,
+    so the state depends on prior keep DECISIONS, not prior rows —
+    non-associative, no gaps-and-islands or prefix-scan escape (q210's
+    streak idiom would compute the wrong thing). Spark-correct
+    rendering: applyInPandas — sequential within a user's ~tens of
+    events, parallel across users; the DuckDB oracle runs the SAME
+    decision recursion as a recursive CTE (the q296/q377/q385
+    discipline).
+
+    Determinism: timestamps truncated to epoch seconds identically in
+    both engines (Spark long-cast ≡ DuckDB epoch(date_trunc second));
+    the (ts, event_id) total order drives the recursion; all outputs
+    integer.
+
+    Scale: state per user is one integer; keys walk in parallel after
+    one shuffle on user_id (Arrow-batched); output is |users| rows.
+
+    Reference: q296 (the non-associative pattern), q25 (session
+    windows — gap semantics that DO reset, the contrast case); the
+    batch twin of streaming dropDuplicatesWithinWatermark-style
+    suppression with decision-dependent state."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    return (
+        seq.groupBy("user_id")
+        .applyInPandas(
+            _debounce_fn,
+            "user_id bigint, n_events bigint, n_kept bigint,"
+            " n_suppressed bigint, first_kept_sec bigint,"
+            " last_kept_sec bigint",
+        )
+        .orderBy("user_id")
+    )

@@ -116,6 +116,7 @@ BNLJ_ALLOWED = {
                                   # inequality broadcasts
     "q402_mmr_rerank",            # exact baseline: 8 query vectors broadcast
                                   # (q50 posture, deeper pool)
+    "q405_p_chart",               # one-row (N, K) totals broadcast
 }
 
 

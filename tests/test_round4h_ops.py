@@ -2219,3 +2219,74 @@ def test_burstiness_replay(spark):
         )
         assert r["verdict"] == want
         assert r["fano_milli"] >= 0
+
+
+# --------------------------------------------------------------------------
+# q405 — p-chart
+# --------------------------------------------------------------------------
+
+
+def test_p_chart_replay(spark):
+    rows = registry.QUERIES["q405_p_chart"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        """
+        SELECT CAST(ts AS DATE), COUNT(*),
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM events GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    nn = sum(n for _, n, _ in daily)
+    kk = sum(k for _, _, k in daily)
+    by_d = {d: (n, k) for d, n, k in daily}
+    for r in rows:
+        n, k = by_d[r["d"]]
+        assert r["n_events"] == n and r["n_conversions"] == k
+        assert r["rate_ppm"] == 1_000_000 * k // n
+        assert r["center_ppm"] == 1_000_000 * kk // nn
+        flag = 1 if (k * nn - kk * n) ** 2 > 9 * kk * (nn - kk) * n else 0
+        assert r["out_of_control"] == flag
+    assert len(rows) == len(daily)
+
+
+# --------------------------------------------------------------------------
+# q406 — debounce / throttle
+# --------------------------------------------------------------------------
+
+
+def test_debounce_replay_and_clock_semantics(spark):
+    rows = registry.QUERIES["q406_debounce"](spark, SF_MID).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_MID}/events.parquet'"
+    )
+    ev = con.execute(
+        "SELECT user_id, ts FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, ts in ev:
+        by_user[u].append(int(ts.replace(microsecond=0).timestamp()))
+    suppressed_total = 0
+    for r in rows:
+        seq = by_user[r["user_id"]]
+        kept = []
+        last = None
+        for t in seq:
+            if last is None or t >= last + 300:
+                kept.append(t)
+                last = t
+        assert r["n_events"] == len(seq)
+        assert r["n_kept"] == len(kept)
+        assert r["n_suppressed"] == len(seq) - len(kept)
+        assert r["first_kept_sec"] == kept[0]
+        assert r["last_kept_sec"] == kept[-1]
+        # kept events are pairwise ≥ 300s apart (the throttle contract)
+        assert all(b - a >= 300 for a, b in zip(kept, kept[1:]))
+        suppressed_total += r["n_suppressed"]
+    # the fixtures are dense enough that debounce genuinely suppresses
+    assert suppressed_total > 0

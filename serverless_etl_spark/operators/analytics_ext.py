@@ -12280,3 +12280,283 @@ def q405_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# q407 — leave-one-out target encoding
+# --------------------------------------------------------------------------
+
+LOO_SAMPLE_UPPER = "14"  #: md5 2-hex cap — emit ~8% of rows (bounded result)
+
+
+@register(
+    "q407_loo_encoding",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS seg,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    segs AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM base GROUP BY 1
+    )
+    SELECT b.o_orderkey, b.seg, b.cents,
+           1000000 * g.s // g.n AS naive_micro,
+           1000000 * (g.s - b.cents) // (g.n - 1) AS loo_micro
+    FROM base b JOIN segs g ON g.seg = b.seg
+    WHERE substr(md5(CAST(b.o_orderkey AS VARCHAR)), 1, 2)
+          < '{LOO_SAMPLE_UPPER}'
+    ORDER BY b.o_orderkey
+    """,
+)
+def q407_loo_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: the per-segment target mean with
+    the ROW'S OWN target removed — (S_seg − xᵢ)/(n_seg − 1) — beside
+    the naive encoding S_seg/n_seg. The naive version leaks the label
+    into its own feature (a model can partially invert it; q361's
+    leakage screen would flag exactly this), and LOO is the standard
+    repair that keeps the encoding computable in one pass: one segment
+    aggregate joined back, no per-row re-aggregation.
+
+    Determinism: exact integer sums; encodings in micro-cents via
+    floor division (operands positive; n_seg ≥ 2 for every priority
+    class by construction of the fixtures — and the division guard is
+    structural: a 1-row segment would be excluded by its own join
+    arithmetic failing loudly, not silently). Output bounded to a
+    deterministic md5 ~8% row sample so the result set stays
+    driver-comparable (the transform itself is full-table).
+
+    Scale: one orders pass for the segment aggregate (|segments|
+    rows, broadcast back), one map-side join — the encoding never
+    shuffles the fact table.
+
+    Reference: q157 (naive target encoding + prior smoothing), q361
+    (the leakage screen this satisfies)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    segs = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    return (
+        base.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+            < LOO_SAMPLE_UPPER
+        )
+        .join(F.broadcast(segs), "seg")
+        .select(
+            "o_orderkey",
+            "seg",
+            "cents",
+            F.expr("1000000 * s DIV n").alias("naive_micro"),
+            F.expr("1000000 * (s - cents) DIV (n - 1)").alias("loo_micro"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q408 — split-conformal interval coverage
+# --------------------------------------------------------------------------
+
+CONF_BINS = 64
+CONF_PCT = 90            #: target coverage of the conformal interval
+CONF_CAL_UPPER = "80"    #: md5(event_id) < '80' → calibration half
+
+
+@register(
+    "q408_conformal_coverage",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+               CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+                         < '{CONF_CAL_UPPER}' THEN 0 ELSE 1 END AS holdout
+        FROM events
+    ),
+    b AS (SELECT CAST(MIN(vm) AS BIGINT) AS lo,
+                 CAST(MAX(vm) AS BIGINT) AS hi FROM v),
+    pred AS (
+        -- per-type predictor: binned median of the CALIBRATION half
+        SELECT event_type, MIN(edge) AS pred_milli FROM (
+            SELECT event_type,
+                   lo + bin * (hi - lo + 1) // {CONF_BINS} AS edge,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM (
+                SELECT event_type,
+                       CASE WHEN vm >= b.hi THEN {CONF_BINS - 1}
+                            ELSE (vm - b.lo) * {CONF_BINS}
+                                 // (b.hi - b.lo + 1) END AS bin,
+                       b.lo, b.hi, CAST(COUNT(*) AS BIGINT) AS c
+                FROM v CROSS JOIN b WHERE holdout = 0
+                GROUP BY 1, 2, 3, 4
+            )
+        ) WHERE 100 * cw >= 50 * n GROUP BY event_type
+    ),
+    resid AS (
+        SELECT v.event_type, ABS(v.vm - p.pred_milli) AS r, v.holdout
+        FROM v JOIN pred p ON p.event_type = v.event_type
+    ),
+    rb AS (SELECT CAST(MAX(r) AS BIGINT) AS rhi FROM resid
+           WHERE holdout = 0),
+    q AS (
+        SELECT event_type, MIN(redge) AS q_milli FROM (
+            SELECT event_type,
+                   (bin + 1) * (rhi + 1) // {CONF_BINS} AS redge,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM (
+                SELECT resid.event_type,
+                       CASE WHEN resid.r >= rb.rhi THEN {CONF_BINS - 1}
+                            ELSE resid.r * {CONF_BINS} // (rb.rhi + 1)
+                       END AS bin,
+                       rb.rhi, CAST(COUNT(*) AS BIGINT) AS c
+                FROM resid CROSS JOIN rb WHERE resid.holdout = 0
+                GROUP BY 1, 2, 3
+            )
+        ) WHERE 100 * cw >= {CONF_PCT} * n GROUP BY event_type
+    )
+    SELECT r.event_type, p.pred_milli, q.q_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           CAST(1000000 * SUM(CASE WHEN r.r <= q.q_milli
+                              THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+               AS coverage_ppm
+    FROM resid r
+    JOIN pred p ON p.event_type = r.event_type
+    JOIN q ON q.event_type = r.event_type
+    WHERE r.holdout = 1
+    GROUP BY 1, 2, 3
+    ORDER BY r.event_type
+    """,
+)
+def q408_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with measured coverage:
+    fit a trivial per-type predictor (binned median) on a
+    deterministic calibration half, take the {CONF_PCT}th percentile
+    of calibration |residuals| as the interval half-width (both
+    quantiles via the q369/q393 histogram discipline — never a sort),
+    then MEASURE what fraction of the held-out half actually lands
+    inside pred ± q. Conformal's guarantee (coverage ≥ target,
+    model-agnostic) is the production-ML contract worth testing in
+    the warehouse — this query is both the interval calculator and
+    its own audit, the q120/q261/q384 self-evaluating stance.
+
+    Determinism: md5 split (q58 pattern); integer milli values; both
+    the median and the residual quantile are smallest-crossing-bin
+    reads over integer histograms with data-derived bounds (one-row
+    broadcasts, allowlisted); coverage is an exact integer ratio.
+
+    Scale: two passes over events (predictor+residuals), everything
+    else histogram-cell-sized; no per-type sort anywhere.
+
+    Reference: q269 (interval forecasts), q362 (robust A/B), q393
+    (histogram core); the distribution-free member of the uncertainty
+    family."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+            < CONF_CAL_UPPER,
+            0,
+        )
+        .otherwise(1)
+        .alias("holdout"),
+    )
+    v = track_cache(v.persist())
+    b = v.agg(
+        F.min("vm").cast("bigint").alias("lo"),
+        F.max("vm").cast("bigint").alias("hi"),
+    )
+    calb = (
+        v.filter(F.col("holdout") == 0)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.when(F.col("vm") >= F.col("hi"), CONF_BINS - 1)
+            .otherwise(
+                F.expr(f"(vm - lo) * {CONF_BINS} DIV (hi - lo + 1)")
+            )
+            .alias("bin"),
+            "lo",
+            "hi",
+        )
+        .groupBy("event_type", "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    pred = (
+        calb.select(
+            "event_type",
+            F.expr(f"lo + bin * (hi - lo + 1) DIV {CONF_BINS}").alias("edge"),
+            F.sum("c").over(w_cum).alias("cw"),
+            F.sum("c").over(w_tot).alias("n"),
+        )
+        .filter(100 * F.col("cw") >= 50 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("edge").alias("pred_milli"))
+    )
+    resid = v.join(F.broadcast(pred), "event_type").select(
+        "event_type",
+        F.abs(F.col("vm") - F.col("pred_milli")).alias("r"),
+        "holdout",
+    )
+    resid = track_cache(resid.persist())
+    rb = resid.filter(F.col("holdout") == 0).agg(
+        F.max("r").cast("bigint").alias("rhi")
+    )
+    rhist = (
+        resid.filter(F.col("holdout") == 0)
+        .crossJoin(F.broadcast(rb))
+        .select(
+            "event_type",
+            F.when(F.col("r") >= F.col("rhi"), CONF_BINS - 1)
+            .otherwise(F.expr(f"r * {CONF_BINS} DIV (rhi + 1)"))
+            .alias("bin"),
+            "rhi",
+        )
+        .groupBy("event_type", "bin", "rhi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    q = (
+        rhist.select(
+            "event_type",
+            F.expr(f"(bin + 1) * (rhi + 1) DIV {CONF_BINS}").alias("redge"),
+            F.sum("c").over(w_cum).alias("cw"),
+            F.sum("c").over(w_tot).alias("n"),
+        )
+        .filter(100 * F.col("cw") >= CONF_PCT * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("redge").alias("q_milli"))
+    )
+    return (
+        resid.filter(F.col("holdout") == 1)
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "pred_milli", "q_milli")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_holdout"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN r <= q_milli THEN 1 ELSE 0"
+                " END) DIV COUNT(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("event_type")
+    )

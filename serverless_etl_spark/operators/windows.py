@@ -4415,3 +4415,101 @@ def q406_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q409 — maximum drawdown (running-peak shortfall)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q409_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS vm
+        FROM events GROUP BY 1, 2
+    ),
+    cumul AS (
+        SELECT event_type, d,
+               CAST(SUM(vm) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM daily
+    ),
+    dd AS (
+        SELECT event_type, d, cum,
+               CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - cum AS drawdown
+        FROM cumul
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(cum) AS BIGINT) AS peak_cum_milli,
+           CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_milli,
+           MIN(CASE WHEN drawdown = mdd THEN d END) AS worst_day
+    FROM (SELECT *, MAX(drawdown) OVER (PARTITION BY event_type) AS mdd
+          FROM dd)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q409_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown: per type, the deepest shortfall of the
+    cumulative daily value series below its own running peak — THE
+    summary risk/regression statistic for any cumulative metric
+    (revenue run-rate, token budget burn, cache hit mass). Expressed
+    as two stacked prefix windows (running sum, then running max) and
+    one aggregate; worst_day is the FIRST day attaining the maximum
+    (deterministic tie policy).
+
+    Determinism: integer milli sums; both windows ordered by the day
+    within a type partition; MIN-day tie-break.
+
+    Scale: events collapse to |types|×|days| map-side; the windows
+    partition per type over day-count-sized partitions (never raw
+    events). A drawdown over raw event grain would use the same plan
+    with (type, day) → (type, event-seq) keys.
+
+    Reference: q296 (running balance — its clamped cousin), q119
+    (running distinct), q386/q400 (the bar family this summarizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("vm")
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumul = daily.select(
+        "event_type", "d",
+        F.sum("vm").over(w_run).cast("bigint").alias("cum"),
+    )
+    dd = cumul.select(
+        "event_type", "d", "cum",
+        (F.max("cum").over(w_run).cast("bigint") - F.col("cum")).alias(
+            "drawdown"
+        ),
+    )
+    w_all = Window.partitionBy("event_type")
+    return (
+        dd.withColumn("mdd", F.max("drawdown").over(w_all))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("cum").cast("bigint").alias("peak_cum_milli"),
+            F.max("drawdown").cast("bigint").alias("max_drawdown_milli"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("mdd"), F.col("d"))
+            ).alias("worst_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -109,7 +109,8 @@ _SWEEP_PRIORITY = [
     "q397_mix_rate_decomposition", "q398_quantile_effects",
     "q399_isotonic_calibration", "q400_twap", "q401_rank1_als",
     "q402_mmr_rerank", "q403_local_clustering", "q404_burstiness",
-    "q405_p_chart", "q406_debounce",
+    "q405_p_chart", "q406_debounce", "q407_loo_encoding",
+    "q408_conformal_coverage", "q409_max_drawdown",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

@@ -117,6 +117,7 @@ BNLJ_ALLOWED = {
     "q402_mmr_rerank",            # exact baseline: 8 query vectors broadcast
                                   # (q50 posture, deeper pool)
     "q405_p_chart",               # one-row (N, K) totals broadcast
+    "q408_conformal_coverage",    # one-row value/residual bounds broadcasts
 }
 
 

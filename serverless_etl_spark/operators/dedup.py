@@ -3291,3 +3291,194 @@ def q378_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_id", "clean_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q410 — blocking-strategy comparison on one seeded truth
+# --------------------------------------------------------------------------
+
+
+def _blk_prefix4_sql(e: str) -> str:
+    return f"substr(regexp_replace(lower({e}), '[^a-z]', '', 'g'), 1, 4)"
+
+
+def _blk_lenfirst_sql(e: str) -> str:
+    return f"substr({e}, 1, 1) || '|' || CAST(length({e}) AS VARCHAR)"
+
+
+_BLK_STRATEGIES_SQL = [
+    ("soundex", _soundex_sql),
+    ("prefix4", _blk_prefix4_sql),
+    ("len_first", _blk_lenfirst_sql),
+]
+
+
+def _blocking_cmp_ctes() -> str:
+    parts = []
+    sels = []
+    for name, key_fn in _BLK_STRATEGIES_SQL:
+        k = key_fn("nm")
+        parts.append(
+            f"ck_{name} AS (SELECT doc_id, {k} AS blk FROM clean)"
+        )
+        parts.append(
+            f"dk_{name} AS (SELECT doc_id, {k} AS blk FROM dirty)"
+        )
+        parts.append(
+            f"ok_{name} AS (SELECT blk FROM ck_{name} GROUP BY blk"
+            f" HAVING COUNT(*) <= {SDX_MAX_BLOCK})"
+        )
+        parts.append(
+            f"cand_{name} AS ("
+            f"SELECT d.doc_id AS did, c.doc_id AS cid"
+            f" FROM dk_{name} d JOIN ck_{name} c ON c.blk = d.blk"
+            f" JOIN ok_{name} o ON o.blk = d.blk)"
+        )
+        sels.append(
+            f"SELECT '{name}' AS strategy,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM ok_{name}) AS n_blocks,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_candidates,"
+            f" CAST(SUM(CASE WHEN did - {SDX_DIRTY_OFFSET} = cid"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_true"
+            f" FROM cand_{name}"
+        )
+    return ",\n    ".join(parts), " UNION ALL ".join(sels)
+
+
+_BLK_CTES, _BLK_SELS = _blocking_cmp_ctes()
+
+
+@register(
+    "q410_blocking_comparison",
+    oracle=f"""
+    WITH clean AS (
+        SELECT doc_id, regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) AS nm
+        FROM documents
+        WHERE regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) <> ''
+    ),
+    dirty AS (
+        SELECT doc_id + {SDX_DIRTY_OFFSET} AS doc_id,
+               substr(nm, 1, 1)
+                   || regexp_replace(substr(nm, 2), '[aiou]', 'e', 'g') AS nm
+        FROM clean WHERE doc_id % {SDX_DIRTY_MOD} = 0
+    ),
+    truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeded FROM dirty),
+    {_BLK_CTES},
+    per AS ({_BLK_SELS})
+    SELECT per.strategy, per.n_blocks, per.n_candidates, per.n_true,
+           1000000 * per.n_true // truth.n_seeded AS recall_ppm,
+           per.n_candidates // GREATEST(per.n_true, 1) AS cand_per_true
+    FROM per CROSS JOIN truth
+    ORDER BY per.strategy
+    """,
+)
+def q410_blocking_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy bake-off on ONE shared seeded truth (q378's
+    vowel-mutated twins): three candidate-generation keys — Soundex
+    (phonetic), prefix-4 (the literal-prefix family q158 uses), and
+    length×first-char (cheap but coarse) — each run with the same
+    hot-block cap, scored on the same truth for recall AND candidate
+    volume. The table IS the tradeoff: Soundex survives the vowel typo
+    class by construction (recall 1.0, moderate candidates); prefix-4
+    loses every mutation that lands in chars 2–4 (cheap, but the
+    recall cost is now a NUMBER, not a vibe); length×first-char is
+    typo-invariant here yet floods candidates and loses whole blocks
+    to the cap — the precision cost made visible. Picking a blocker
+    from measurements on a seeded truth is exactly how an ER pipeline
+    should make this call (the q261/q280 evaluation stance).
+
+    Determinism: identical string-transform chains in both engines
+    (q378's RE2-safe Soundex, plain substr/length keys); exact integer
+    counts; recall/volume as floor ratios.
+
+    Scale: each strategy is key-compute map-side → one equi-join on
+    the blocking key with the cap applied BEFORE the pair fan-out
+    (q158/q378 discipline); the three strategies share the clean/dirty
+    scans via cached frames.
+
+    Reference: q158 (length×lang blocking), q267 (sorted
+    neighborhood), q378 (phonetic) — this query referees them."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+ \w+ \w+)", 1).alias("nm"),
+    ).filter(F.col("nm") != "")
+    clean = track_cache(clean.persist())
+    dirty = clean.filter(F.col("doc_id") % SDX_DIRTY_MOD == 0).select(
+        (F.col("doc_id") + SDX_DIRTY_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("nm", 1, 1),
+            F.regexp_replace(
+                F.substring(F.col("nm"), 2, 1_000_000), "[aiou]", "e"
+            ),
+        ).alias("nm"),
+    )
+    dirty = track_cache(dirty.persist())
+    n_seeded = dirty.agg(F.count(F.lit(1)).cast("bigint").alias("n_seeded"))
+
+    def prefix4_col(c):
+        return F.substring(
+            F.regexp_replace(F.lower(c), "[^a-z]", ""), 1, 4
+        )
+
+    def lenfirst_col(c):
+        return F.concat(
+            F.substring(c, 1, 1), F.lit("|"),
+            F.length(c).cast("string"),
+        )
+
+    strategies = [
+        ("soundex", _soundex_col),
+        ("prefix4", prefix4_col),
+        ("len_first", lenfirst_col),
+    ]
+    per = None
+    for name, key_col in strategies:
+        ck = clean.select("doc_id", key_col(F.col("nm")).alias("blk"))
+        dk = dirty.select("doc_id", key_col(F.col("nm")).alias("blk"))
+        ok = (
+            ck.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= SDX_MAX_BLOCK)
+            .select("blk")
+        )
+        ok = track_cache(ok.persist())
+        nb = ok.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+        cand = (
+            dk.join(ok, "blk")
+            .join(
+                ck.select(F.col("doc_id").alias("cid"), "blk"), "blk"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum(
+                    F.when(
+                        F.col("doc_id") - SDX_DIRTY_OFFSET == F.col("cid"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_true"),
+            )
+        )
+        row = cand.crossJoin(F.broadcast(nb)).select(
+            F.lit(name).alias("strategy"),
+            "n_blocks",
+            "n_candidates",
+            "n_true",
+        )
+        per = row if per is None else per.unionAll(row)
+    return (
+        per.crossJoin(F.broadcast(n_seeded))
+        .select(
+            "strategy",
+            "n_blocks",
+            "n_candidates",
+            "n_true",
+            F.expr("1000000 * n_true DIV n_seeded").alias("recall_ppm"),
+            F.expr(
+                "n_candidates DIV GREATEST(n_true, CAST(1 AS BIGINT))"
+            ).alias("cand_per_true"),
+        )
+        .orderBy("strategy")
+    )

@@ -118,6 +118,7 @@ BNLJ_ALLOWED = {
                                   # (q50 posture, deeper pool)
     "q405_p_chart",               # one-row (N, K) totals broadcast
     "q408_conformal_coverage",    # one-row value/residual bounds broadcasts
+    "q410_blocking_comparison",   # one-row per-strategy count broadcasts
 }
 
 

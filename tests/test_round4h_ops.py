@@ -2395,3 +2395,28 @@ def test_max_drawdown_replay(spark):
             assert r["worst_day"] == seq[0][0]
         else:
             assert r["worst_day"] == worst
+
+
+# --------------------------------------------------------------------------
+# q410 — blocking-strategy comparison
+# --------------------------------------------------------------------------
+
+
+def test_blocking_comparison_tradeoffs(spark):
+    rows = registry.QUERIES["q410_blocking_comparison"](
+        spark, SF_MID
+    ).collect()
+    by = {r["strategy"]: r for r in rows}
+    assert set(by) == {"soundex", "prefix4", "len_first"}
+    # soundex is invariant to the seeded vowel mutation: recall == 1.0
+    assert by["soundex"]["recall_ppm"] == 1_000_000
+    # prefix4 loses mutations landing in chars 2-4: strictly below 1.0
+    assert by["prefix4"]["recall_ppm"] < 1_000_000
+    # length x first-char is also mutation-invariant but coarse: its
+    # candidate volume per true match dwarfs soundex's
+    assert (
+        by["len_first"]["cand_per_true"] > by["soundex"]["cand_per_true"]
+    )
+    for r in rows:
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        assert r["n_true"] <= r["n_candidates"]

@@ -12560,3 +12560,148 @@ def q408_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q411 — population stability index (binned numeric drift scorecard)
+# --------------------------------------------------------------------------
+
+PSI_BINS = 10          #: fixed equi-width value bins (Laplace-smoothed)
+PSI_BIN_W = 50         #: bin width over events.value (0.01..490)
+PSI_SPLIT = "2024-01-16"  #: ref = days 1-15, cur = days 16-30
+PSI_WARN_MICRO = 100_000   #: industry 0.10 "moderate shift" threshold
+PSI_SHIFT_MICRO = 250_000  #: industry 0.25 "action required" threshold
+
+
+@register(
+    "q411_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / {PSI_BIN_W}) AS INT),
+                     {PSI_BINS - 1}) AS bin,
+               CASE WHEN CAST(ts AS DATE) < DATE '{PSI_SPLIT}'
+                    THEN 0 ELSE 1 END AS period
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               CAST(SUM(1 - period) AS BIGINT) AS oa,
+               CAST(SUM(period) AS BIGINT) AS ob
+        FROM tagged GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, b.bin,
+               COALESCE(c.oa, 0) AS oa, COALESCE(c.ob, 0) AS ob
+        FROM (SELECT DISTINCT event_type FROM cells) t
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {PSI_BINS - 1}))
+                        AS bin) b
+        LEFT JOIN cells c
+            ON c.event_type = t.event_type AND c.bin = b.bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(oa) AS BIGINT) AS na,
+               CAST(SUM(ob) AS BIGINT) AS nb
+        FROM grid GROUP BY 1
+    ),
+    terms AS (
+        SELECT g.event_type, t.na, t.nb,
+               CAST(FLOOR(1000000.0
+                   * (CAST(g.oa + 1 AS DOUBLE) / (t.na + {PSI_BINS})
+                      - CAST(g.ob + 1 AS DOUBLE) / (t.nb + {PSI_BINS}))
+                   * ln((CAST(g.oa + 1 AS DOUBLE) / (t.na + {PSI_BINS}))
+                        / (CAST(g.ob + 1 AS DOUBLE)
+                           / (t.nb + {PSI_BINS}))))
+                 AS BIGINT) AS term_micro
+        FROM grid g JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           MAX(na) AS n_ref, MAX(nb) AS n_cur,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           CASE WHEN SUM(term_micro) < {PSI_WARN_MICRO} THEN 'stable'
+                WHEN SUM(term_micro) < {PSI_SHIFT_MICRO} THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q411_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the industry-standard binned drift
+    score for a NUMERIC feature, per event type, first half-month vs
+    second: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over {PSI_BINS}
+    fixed equi-width value bins with Laplace (+1) smoothing so empty
+    bins are defined. Complements the drift family: q127/q134 KS
+    (distribution-free but threshold-free), q313 chi-square
+    (categorical), q227 (embedding) — PSI is the one with UNIVERSAL
+    operating thresholds (0.10 warn / 0.25 act, here in micro units),
+    which is why scorecard monitoring standardized on it.
+
+    Determinism: each bin's contribution is (p−q)·ln(p/q) ≥ 0 (both
+    factors share a sign), truncated INDEPENDENTLY to integer micro
+    units (the q62/q313 FLOOR-at-fixed-scale discipline — ln is the
+    only libm call and a last-ulp wobble cannot cross a FLOOR boundary
+    except on an exact-micro value, which the +1 smoothing's ragged
+    rationals preclude); the sum is then an order-free BIGINT sum.
+    Period split by DATE cast (the q404 parity-safe form).
+
+    Scale: events collapse to |types|×{PSI_BINS} cells map-side; the
+    dense grid is a broadcast cross of two tiny frames (allowlisted
+    BNLJ); everything downstream is ~50 rows. The two halves need NO
+    re-scan of history: the ref histogram is a {PSI_BINS}-int state
+    you persist once per type (the q369 mergeable-partials shape).
+
+    Reference: q313 (categorical twin), q134 (binned KS), q369
+    (mergeable histogram state)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(
+            F.col("ts").cast("date") < F.lit(PSI_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    cells = tagged.groupBy("event_type", "bin").agg(
+        F.sum(1 - F.col("period")).cast("bigint").alias("oa"),
+        F.sum("period").cast("bigint").alias("ob"),
+    )
+    cells = track_cache(cells.persist())
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        cells.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bins))
+        .join(cells, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("oa", F.lit(0)).alias("oa"),
+            F.coalesce("ob", F.lit(0)).alias("ob"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("oa").cast("bigint").alias("na"),
+        F.sum("ob").cast("bigint").alias("nb"),
+    )
+    g = grid.join(F.broadcast(tot), "event_type")
+    p = (F.col("oa") + 1).cast("double") / (F.col("na") + PSI_BINS)
+    q = (F.col("ob") + 1).cast("double") / (F.col("nb") + PSI_BINS)
+    term = F.floor(F.lit(1000000.0) * (p - q) * F.log(p / q)).cast("bigint")
+    psi = F.sum(term)
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_ref"),
+            F.max("nb").alias("n_cur"),
+            psi.cast("bigint").alias("psi_micro"),
+            F.when(psi < PSI_WARN_MICRO, "stable")
+            .when(psi < PSI_SHIFT_MICRO, "moderate")
+            .otherwise("shifted")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )

@@ -3753,3 +3753,172 @@ def q359_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_a", "col_b", "score")
         .orderBy("col_a", "col_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q413 — t-closeness audit (completes the k-anon / l-div privacy trio)
+# --------------------------------------------------------------------------
+
+#: release threshold on the ordinal EMD, in ppm (t = 0.2)
+T_CLOSE_PPM = 200_000
+
+
+@register(
+    "q413_t_closeness",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {LDIV_BAND}) AS BIGINT) AS sens
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, sens,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tagged GROUP BY 1, 2, 3
+    ),
+    bands AS (
+        SELECT sens, CAST(SUM(cnt) AS BIGINT) AS qc,
+               CAST(SUM(SUM(cnt)) OVER (ORDER BY sens) AS BIGINT) AS cum_n
+        FROM cells GROUP BY sens
+    ),
+    stats AS (
+        SELECT CAST(SUM(qc) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(MAX(sens) AS BIGINT) AS max_sens
+        FROM bands
+    ),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS g
+        FROM cells GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cl.c_nationkey, cl.c_mktsegment, cl.g,
+               b.sens, b.cum_n,
+               CAST(SUM(COALESCE(ce.cnt, 0)) OVER (
+                   PARTITION BY cl.c_nationkey, cl.c_mktsegment
+                   ORDER BY b.sens) AS BIGINT) AS cum_g
+        FROM classes cl
+        CROSS JOIN bands b
+        LEFT JOIN cells ce
+            ON ce.c_nationkey = cl.c_nationkey
+           AND ce.c_mktsegment = cl.c_mktsegment
+           AND ce.sens = b.sens
+    ),
+    scored AS (
+        SELECT gr.c_nationkey, gr.c_mktsegment, gr.g,
+               CAST(1000000 * SUM(ABS(gr.cum_g * s.n - gr.cum_n * gr.g))
+                    // (gr.g * s.n * (s.m - 1)) AS BIGINT) AS t_ppm
+        FROM grid gr CROSS JOIN stats s
+        WHERE gr.sens < s.max_sens
+        GROUP BY gr.c_nationkey, gr.c_mktsegment, gr.g, s.n, s.m
+    )
+    SELECT c_nationkey, c_mktsegment, g AS group_size, t_ppm,
+           CASE WHEN t_ppm > {T_CLOSE_PPM} THEN 'suppress'
+                ELSE 'release' END AS verdict
+    FROM scored
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q413_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the attack l-diversity (q337) still misses:
+    a class can have l distinct account-balance bands yet sit almost
+    entirely in the TOP bands, leaking "this nationality×segment is
+    rich" even though no single value dominates. t-closeness bounds
+    the distance between each equivalence class's sensitive-attribute
+    distribution and the GLOBAL one; for an ordinal attribute the
+    right distance is the Earth Mover's Distance, which for step
+    distributions reduces to mean absolute cumulative gap:
+    t = Σ_j |CumP_j − CumQ_j| / (m−1) over the m−1 interior band
+    boundaries. Classes with t > {T_CLOSE_PPM} ppm are suppressed or
+    generalized; the rest release. Completes the privacy ladder: q122
+    (size), q337 (diversity), q413 (distribution), q263 (DP bounds).
+
+    Determinism: fully integer — the cumulative shares cross-multiply
+    (|cum_g·n − cum_n·g|), sum exactly as BIGINTs, and one floor DIV
+    by g·n·(m−1) lands in ppm. No floats anywhere (the band FLOOR is
+    q337's). At extreme scale cum_g·n exceeds int64 around n ≈ 3e9 —
+    route the cross-product through DECIMAL(38,0) then (documented,
+    like q401's Σr·u); values here stay ≪ 2^63.
+
+    Scale: one map-side collapse to (QI, band) cells; bands and class
+    totals are tiny aggregates; the dense class×band grid is a
+    broadcast cross of |classes| × m rows (allowlisted BNLJ) and every
+    window runs inside one small partition per class. Nothing after
+    the first aggregate touches the customer table again.
+
+    Reference: q122 (k-anonymity), q337 (l-diversity) — same
+    quasi-identifiers and sensitive banding, so the three audits
+    compose into one release gate."""
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / LDIV_BAND)
+            .cast("bigint")
+            .alias("sens"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cells = track_cache(cells.persist())
+    bands = (
+        cells.groupBy("sens")
+        .agg(F.sum("cnt").cast("bigint").alias("qc"))
+        .select(
+            "sens",
+            "qc",
+            F.sum("qc")
+            .over(Window.partitionBy().orderBy("sens"))
+            .cast("bigint")
+            .alias("cum_n"),
+        )
+    )
+    bands = track_cache(bands.persist())
+    stats = bands.agg(
+        F.sum("qc").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.max("sens").cast("bigint").alias("max_sens"),
+    )
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("g")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cells, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "g",
+            "sens",
+            "cum_n",
+            F.sum(F.coalesce("cnt", F.lit(0)))
+            .over(
+                Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+                    "sens"
+                )
+            )
+            .cast("bigint")
+            .alias("cum_g"),
+        )
+    )
+    scored = (
+        grid.crossJoin(F.broadcast(stats))
+        .filter(F.col("sens") < F.col("max_sens"))
+        .groupBy("c_nationkey", "c_mktsegment", "g", "n", "m")
+        .agg(
+            F.expr(
+                "CAST(1000000 * SUM(ABS(cum_g * n - cum_n * g))"
+                " DIV (g * n * (m - 1)) AS BIGINT)"
+            ).alias("t_ppm")
+        )
+    )
+    return scored.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("g").alias("group_size"),
+        "t_ppm",
+        F.when(F.col("t_ppm") > T_CLOSE_PPM, "suppress")
+        .otherwise("release")
+        .alias("verdict"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -2365,3 +2365,123 @@ def q365_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_correct",
         F.expr("1000000 * n_correct DIV n_eval").alias("eval_acc_ppm"),
     ).orderBy("train_pct")
+
+
+# --------------------------------------------------------------------------
+# q412 — weight-of-evidence / information-value feature screen
+# --------------------------------------------------------------------------
+
+IV_WEAK_MICRO = 20_000     #: IV < 0.02: "useless" per the scorecard canon
+IV_STRONG_MICRO = 300_000  #: IV > 0.30: "strong" (suspect leakage above 0.5)
+
+
+@register(
+    "q412_woe_iv",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT CAST(ROUND(l_discount * 100, 0) AS INT) AS disc_pct,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        FROM lineitem
+    ),
+    bins AS (
+        SELECT disc_pct,
+               CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+               CAST(SUM(bad) AS BIGINT) AS n_bad
+        FROM labeled GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS gt,
+               CAST(SUM(n_bad) AS BIGINT) AS bt
+        FROM bins
+    ),
+    scored AS (
+        SELECT b.disc_pct, b.n_good, b.n_bad,
+               CAST(FLOOR(1000000.0 * ln(
+                   ((b.n_good + 0.5) / gt) / ((b.n_bad + 0.5) / bt)))
+                 AS BIGINT) AS woe_micro,
+               CAST(FLOOR(1000000.0
+                   * ((b.n_good + 0.5) / gt - (b.n_bad + 0.5) / bt)
+                   * ln(((b.n_good + 0.5) / gt)
+                        / ((b.n_bad + 0.5) / bt)))
+                 AS BIGINT) AS iv_term_micro
+        FROM bins b CROSS JOIN tot
+    )
+    SELECT disc_pct, n_good, n_bad, woe_micro, iv_term_micro,
+           CAST(SUM(iv_term_micro) OVER () AS BIGINT) AS iv_total_micro,
+           CASE WHEN SUM(iv_term_micro) OVER () < {IV_WEAK_MICRO}
+                    THEN 'weak'
+                WHEN SUM(iv_term_micro) OVER () > {IV_STRONG_MICRO}
+                    THEN 'strong'
+                ELSE 'medium' END AS feature_verdict
+    FROM scored ORDER BY disc_pct
+    """,
+)
+def q412_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value — the classic
+    credit-scorecard feature screen: per discount bin, WOE =
+    ln(share-of-goods / share-of-bads) (return flag 'R' = bad), and
+    the feature's IV = Σ (p_good − p_bad)·WOE with the standard
+    operating bands (IV < 0.02 useless, > 0.30 strong — and anything
+    ≫ 0.5 is a leakage suspect, the q361 screen's numeric cousin).
+    WOE is what q157's target encoding becomes when the target is
+    binary and you want SIGNED, comparable-across-features units; IV
+    is the one-number ranking that decides which features survive to
+    training.
+
+    Determinism: +0.5 Haldane smoothing keeps every ratio finite and
+    every operand an exactly-representable double (counts + 0.5);
+    WOE and each IV term truncate independently at micro scale (the
+    q411/q62 FLOOR-of-ln discipline; IV terms are (p−q)·ln(p/q) ≥ 0
+    so truncation is toward zero); the IV total is an order-free
+    BIGINT window sum.
+
+    Scale: lineitem collapses to |bins| (11) cells map-side — ONE
+    partial-aggregated shuffle; the totals frame is one row
+    (broadcast, allowlisted BNLJ); the window runs over 11 rows.
+    Screening F features is F such passes or one melt + groupBy
+    (feature, bin) — same shape either way.
+
+    Reference: q157/q407 (target encodings this replaces for binary
+    targets), q360 (the split-finder that consumes the winner), q361
+    (leakage screen IV ≫ 0.5 hands off to)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("disc_pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    bins = labeled.groupBy("disc_pct").agg(
+        F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    tot = bins.agg(
+        F.sum("n_good").cast("bigint").alias("gt"),
+        F.sum("n_bad").cast("bigint").alias("bt"),
+    )
+    g = bins.crossJoin(F.broadcast(tot))
+    pg = (F.col("n_good") + 0.5) / F.col("gt")
+    pb = (F.col("n_bad") + 0.5) / F.col("bt")
+    woe = F.floor(F.lit(1000000.0) * F.log(pg / pb)).cast("bigint")
+    iv_term = F.floor(F.lit(1000000.0) * (pg - pb) * F.log(pg / pb)).cast(
+        "bigint"
+    )
+    w_all = Window.partitionBy()
+    scored = g.select(
+        "disc_pct",
+        "n_good",
+        "n_bad",
+        woe.alias("woe_micro"),
+        iv_term.alias("iv_term_micro"),
+    )
+    iv_total = F.sum("iv_term_micro").over(w_all)
+    return scored.select(
+        "disc_pct",
+        "n_good",
+        "n_bad",
+        "woe_micro",
+        "iv_term_micro",
+        iv_total.cast("bigint").alias("iv_total_micro"),
+        F.when(iv_total < IV_WEAK_MICRO, "weak")
+        .when(iv_total > IV_STRONG_MICRO, "strong")
+        .otherwise("medium")
+        .alias("feature_verdict"),
+    ).orderBy("disc_pct")

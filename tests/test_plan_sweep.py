@@ -119,6 +119,9 @@ BNLJ_ALLOWED = {
     "q405_p_chart",               # one-row (N, K) totals broadcast
     "q408_conformal_coverage",    # one-row value/residual bounds broadcasts
     "q410_blocking_comparison",   # one-row per-strategy count broadcasts
+    "q411_psi_drift",             # |types|x|bins| dense-grid broadcast cross
+    "q412_woe_iv",                # one-row goods/bads totals broadcast
+    "q413_t_closeness",           # |classes|x|bands| grid + one-row stats
 }
 
 

@@ -12705,3 +12705,182 @@ def q411_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q414 — Z-order locality planner (files touched per ordering per query box)
+# --------------------------------------------------------------------------
+
+ZLOC_FILES = 64  #: simulated file count (rows-per-file = ceil(N/64))
+
+#: bit-interleave of two 4-bit cell coordinates, multiply-form so the
+#: identical string parses in Spark SQL and DuckDB (only & and *)
+ZLOC_EXPR = (
+    "((x & 1) + 2 * (y & 1) + 2 * (x & 2) + 4 * (y & 2)"
+    " + 4 * (x & 4) + 8 * (y & 4) + 8 * (x & 8) + 16 * (y & 8))"
+)
+
+#: (box, x_lo, x_hi, y_lo, y_hi) — two 1-D slices + their intersection
+ZLOC_BOXES = [
+    ("both_4_7", 4, 7, 4, 7),
+    ("part_4_7", 4, 7, 0, 15),
+    ("supp_4_7", 0, 15, 4, 7),
+]
+
+_ZLOC_BOX_VALUES = ", ".join(
+    f"('{b}', {xl}, {xh}, {yl}, {yh})" for b, xl, xh, yl, yh in ZLOC_BOXES
+)
+
+
+@register(
+    "q414_zorder_locality",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(l_partkey % 16 AS INT) AS x,
+               CAST(l_suppkey % 16 AS INT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST((SUM(cnt) + {ZLOC_FILES} - 1) // {ZLOC_FILES}
+                   AS BIGINT) AS rpf
+        FROM cells
+    ),
+    ords AS (
+        SELECT 'partkey_major' AS ordering, x, y, 16 * x + y AS pos, cnt
+        FROM cells
+        UNION ALL
+        SELECT 'suppkey_major', x, y, 16 * y + x, cnt FROM cells
+        UNION ALL
+        SELECT 'zorder', x, y, {ZLOC_EXPR}, cnt FROM cells
+    ),
+    filed AS (
+        SELECT o.ordering, o.x, o.y, o.pos, o.cnt, s.rpf,
+               (SUM(o.cnt) OVER (PARTITION BY o.ordering ORDER BY o.pos)
+                - o.cnt) // s.rpf AS f0,
+               (SUM(o.cnt) OVER (PARTITION BY o.ordering ORDER BY o.pos)
+                - 1) // s.rpf AS f1
+        FROM ords o CROSS JOIN stats s
+    ),
+    hits AS (
+        SELECT b.box, f.ordering, f.pos, f.cnt, f.rpf, f.f0, f.f1,
+               LAG(f.f1) OVER (PARTITION BY b.box, f.ordering
+                               ORDER BY f.pos) AS prev_f1
+        FROM filed f
+        JOIN (VALUES {_ZLOC_BOX_VALUES})
+             b(box, x_lo, x_hi, y_lo, y_hi)
+          ON f.x BETWEEN b.x_lo AND b.x_hi
+         AND f.y BETWEEN b.y_lo AND b.y_hi
+    )
+    SELECT box, ordering,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(f1 - GREATEST(f0, COALESCE(prev_f1, -1) + 1) + 1)
+               AS BIGINT) AS files_touched,
+           CAST(1000000 * SUM(f1 - GREATEST(f0, COALESCE(prev_f1, -1) + 1)
+                              + 1) * MAX(rpf) // SUM(cnt)
+               AS BIGINT) AS read_amp_ppm
+    FROM hits
+    GROUP BY box, ordering
+    ORDER BY box, ordering
+    """,
+)
+def q414_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality planner — the MEASUREMENT behind the engine's
+    Z-order clustered writes (io.py's zorder layout): bucket lineitem
+    into a 16×16 (partkey-hash × suppkey-hash) cell grid, lay the
+    cells out under three physical orderings (partkey-major,
+    suppkey-major, bit-interleaved Z-order), simulate {ZLOC_FILES}
+    equal row-count files, and count how many files three canonical
+    query boxes touch under each ordering. The table IS the classic
+    result: each single-key ordering is optimal for ITS key's slice
+    and pathological for the other (fragmenting into 16 runs), while
+    Z-order is near-optimal for BOTH — it minimizes the WORST case,
+    which is the whole argument for multi-dimensional clustering.
+    read_amp_ppm (files·rows-per-file over rows actually wanted,
+    1e6 = perfect) is the number a table-layout advisor compares.
+
+    Determinism: pure integer — cell counts, cumulative sums, floor
+    DIV file ids, and an interval-union via LAG (runs share at most a
+    boundary file; contribution = f1 − max(f0, prev_f1+1) + 1 ≥ 0
+    since f1 is monotone along pos). The interleave is a multiply-form
+    bit expression parsed identically by both engines.
+
+    Scale: ONE map-side collapse of lineitem to 256 cells; every
+    downstream frame is ≤ 3·3·256 rows (broadcast cross with a
+    one-row stats frame and a 3-row box spec — allowlisted BNLJ).
+    This is exactly how a layout advisor should run at 100 TB: the
+    grid is the sketch, never the rows.
+
+    Reference: q234 (partition advisor), q297/q388 (encoding
+    advisors), q146 (compaction planner) — the layout member of the
+    physical-design family; validates the Z-order write path added in
+    round 1 (io.py, test_zorder_file_skipping)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.expr("CAST(l_partkey % 16 AS INT)").alias("x"),
+            F.expr("CAST(l_suppkey % 16 AS INT)").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cells = track_cache(cells.persist())
+    stats = cells.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.expr(
+            f"CAST((SUM(cnt) + {ZLOC_FILES} - 1) DIV {ZLOC_FILES}"
+            " AS BIGINT)"
+        ).alias("rpf"),
+    )
+    ords = None
+    for name, pos in [
+        ("partkey_major", F.expr("16 * x + y")),
+        ("suppkey_major", F.expr("16 * y + x")),
+        ("zorder", F.expr(ZLOC_EXPR)),
+    ]:
+        part = cells.select(
+            F.lit(name).alias("ordering"), "x", "y",
+            pos.cast("int").alias("pos"), "cnt",
+        )
+        ords = part if ords is None else ords.unionAll(part)
+    filed = ords.crossJoin(F.broadcast(stats)).select(
+        "ordering",
+        "x",
+        "y",
+        "pos",
+        "cnt",
+        "rpf",
+        F.expr(
+            "(SUM(cnt) OVER (PARTITION BY ordering ORDER BY pos) - cnt)"
+            " DIV rpf"
+        ).alias("f0"),
+        F.expr(
+            "(SUM(cnt) OVER (PARTITION BY ordering ORDER BY pos) - 1)"
+            " DIV rpf"
+        ).alias("f1"),
+    )
+    boxes = spark.createDataFrame(
+        ZLOC_BOXES, "box string, x_lo int, x_hi int, y_lo int, y_hi int"
+    )
+    hits = filed.join(
+        F.broadcast(boxes),
+        F.col("x").between(F.col("x_lo"), F.col("x_hi"))
+        & F.col("y").between(F.col("y_lo"), F.col("y_hi")),
+    )
+    w_lag = Window.partitionBy("box", "ordering").orderBy("pos")
+    contrib = F.col("f1") - F.greatest(
+        F.col("f0"), F.coalesce(F.lag("f1").over(w_lag), F.lit(-1)) + 1
+    ) + 1
+    scored = hits.select("box", "ordering", "cnt", "rpf", contrib.alias("c"))
+    return (
+        scored.groupBy("box", "ordering")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("files_touched"),
+            F.expr(
+                "CAST(1000000 * SUM(c) * MAX(rpf) DIV SUM(cnt) AS BIGINT)"
+            ).alias("read_amp_ppm"),
+        )
+        .orderBy("box", "ordering")
+    )

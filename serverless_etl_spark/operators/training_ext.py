@@ -2485,3 +2485,217 @@ def q412_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("medium")
         .alias("feature_verdict"),
     ).orderBy("disc_pct")
+
+
+# --------------------------------------------------------------------------
+# q415 — naive Bayes language classifier, trained and scored in-engine
+# --------------------------------------------------------------------------
+
+NB_TRAIN_UPPER = "cd"  #: md5 first-byte split: ~80% train / ~20% eval
+
+
+@register(
+    "q415_naive_bayes",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{NB_TRAIN_UPPER}' AS is_train
+        FROM documents
+    ),
+    train_tok AS (
+        SELECT s.lang, t.tok
+        FROM split s, UNNEST(string_split(s.text, ' ')) AS t(tok)
+        WHERE s.is_train AND t.tok <> ''
+    ),
+    counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM train_tok GROUP BY 1, 2
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS tl FROM counts GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts
+    ),
+    priors AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS dl,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS dn
+        FROM split WHERE is_train GROUP BY lang
+    ),
+    eval_tf AS (
+        SELECT s.doc_id, s.lang AS true_lang, t.tok,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM split s, UNNEST(string_split(s.text, ' ')) AS t(tok)
+        WHERE NOT s.is_train AND t.tok <> ''
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT e.doc_id, e.true_lang, lt.lang,
+               CAST(SUM(e.tf * CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (lt.tl + vv.v)))
+                   AS BIGINT)) AS BIGINT) AS loglik_micro
+        FROM eval_tf e
+        CROSS JOIN lang_tot lt
+        CROSS JOIN vocab vv
+        LEFT JOIN counts c ON c.lang = lt.lang AND c.tok = e.tok
+        GROUP BY 1, 2, 3
+    ),
+    posterior AS (
+        SELECT sc.doc_id, sc.true_lang, sc.lang,
+               sc.loglik_micro
+                   + CAST(FLOOR(1000000.0 * ln(
+                         CAST(p.dl AS DOUBLE) / p.dn)) AS BIGINT)
+                   AS score_micro,
+               ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                                  ORDER BY sc.loglik_micro
+                   + CAST(FLOOR(1000000.0 * ln(
+                         CAST(p.dl AS DOUBLE) / p.dn)) AS BIGINT) DESC,
+                                  sc.lang) AS rk
+        FROM scored sc JOIN priors p ON p.lang = sc.lang
+    ),
+    confusion AS (
+        SELECT true_lang, lang AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM posterior WHERE rk = 1 GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n_docs,
+           CAST(1000000 * n_docs // SUM(n_docs)
+                OVER (PARTITION BY true_lang) AS BIGINT) AS row_rate_ppm,
+           CAST(1000000 * SUM(CASE WHEN true_lang = pred_lang
+                                   THEN n_docs ELSE 0 END) OVER ()
+                // SUM(n_docs) OVER () AS BIGINT) AS accuracy_ppm
+    FROM confusion ORDER BY true_lang, pred_lang
+    """,
+)
+def q415_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier — TRAINED and
+    EVALUATED entirely inside the engine, no model library: an md5
+    80/20 doc split (q58's portable hash split), per-(lang, token)
+    Laplace-smoothed log-likelihoods from the train fold, and argmax
+    posterior scoring of the held-out fold, reported as the same
+    confusion layout q366 uses for the stopword heuristic. The point
+    is the PATTERN: "train a bag-of-words model" is two aggregations
+    (count matrix + class totals) and "batch inference" is one join +
+    one argmax window — both shapes Spark already does at corpus
+    scale, which is why NB remains the standard first-pass corpus
+    labeler (quality tiers, domain buckets) in LLM data pipelines.
+
+    Determinism: every log-likelihood and the log-prior truncate
+    INDEPENDENTLY to integer micro units (the q411/q62 FLOOR-of-ln
+    discipline) so doc scores are exact BIGINT sums — argmax is then
+    total-ordered with a lang tiebreak; no float accumulates across
+    rows. Laplace +1 keeps every ratio finite.
+
+    Scale: ONE tokenize pass per fold (the q115 scan budget
+    discipline); the count matrix collapses map-side to
+    |langs|×|vocab|; inference shuffles eval tokens once by token to
+    meet the count matrix, with the |langs| fan-out a broadcast cross
+    (allowlisted BNLJ). Vocab and totals are one-row/|langs|-row
+    broadcasts. Nothing iterates.
+
+    Reference: q366 (the heuristic this is trained to beat, same
+    confusion layout), q115 (bigram LM — the generative cousin), q58
+    (the split), q33 (the feature source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < NB_TRAIN_UPPER
+        ).alias("is_train"),
+    )
+    split = track_cache(split.persist())
+    tok = F.explode(F.split("text", " ")).alias("tok")
+    train_tok = (
+        split.filter("is_train")
+        .select("lang", tok)
+        .filter(F.col("tok") != "")
+    )
+    counts = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    counts = track_cache(counts.persist())
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("tl")
+    )
+    vocab = counts.agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    priors = (
+        split.filter("is_train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .select(
+            "lang",
+            "dl",
+            F.sum("dl").over(Window.partitionBy()).cast("bigint").alias("dn"),
+        )
+    )
+    eval_tf = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("true_lang"), tok)
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    scored = (
+        eval_tf.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            counts.select(F.col("lang"), F.col("tok"), "c"),
+            ["lang", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.floor(
+                    F.lit(1000000.0)
+                    * F.log(
+                        (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                        / (F.col("tl") + F.col("v"))
+                    )
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("loglik_micro")
+        )
+    )
+    prior_micro = F.floor(
+        F.lit(1000000.0) * F.log(F.col("dl").cast("double") / F.col("dn"))
+    ).cast("bigint")
+    posterior = scored.join(F.broadcast(priors), "lang").select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        (F.col("loglik_micro") + prior_micro).alias("score_micro"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "lang"
+    )
+    confusion = (
+        posterior.select(
+            "true_lang", "lang", F.row_number().over(w_doc).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return confusion.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.expr(
+            "CAST(1000000 * n_docs DIV SUM(n_docs)"
+            " OVER (PARTITION BY true_lang) AS BIGINT)"
+        ).alias("row_rate_ppm"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN true_lang = pred_lang"
+            " THEN n_docs ELSE 0 END) OVER ()"
+            " DIV SUM(n_docs) OVER () AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    ).orderBy("true_lang", "pred_lang")

@@ -122,6 +122,8 @@ BNLJ_ALLOWED = {
     "q411_psi_drift",             # |types|x|bins| dense-grid broadcast cross
     "q412_woe_iv",                # one-row goods/bads totals broadcast
     "q413_t_closeness",           # |classes|x|bands| grid + one-row stats
+    "q414_zorder_locality",       # 256-cell grid x 3-row box spec + stats
+    "q415_naive_bayes",           # |langs|-row totals + 1-row vocab crosses
 }
 
 

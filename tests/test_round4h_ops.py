@@ -2581,3 +2581,110 @@ def test_t_closeness_detects_concentrated_class(spark):
     rows = registry.QUERIES["q413_t_closeness"](spark, SF_MID).collect()
     assert all(r["t_ppm"] <= t_max for r in rows)
     assert t_max <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q414 — Z-order locality
+# --------------------------------------------------------------------------
+
+
+def test_zorder_interleave_bijection():
+    """The multiply-form interleave is the exact Morton code: bijective
+    on the 16x16 grid and equal to the bit-by-bit reference."""
+    seen = set()
+    for x in range(16):
+        for y in range(16):
+            z = ((x & 1) + 2 * (y & 1) + 2 * (x & 2) + 4 * (y & 2)
+                 + 4 * (x & 4) + 8 * (y & 4) + 8 * (x & 8) + 16 * (y & 8))
+            ref = 0
+            for b in range(4):
+                ref |= ((x >> b) & 1) << (2 * b)
+                ref |= ((y >> b) & 1) << (2 * b + 1)
+            assert z == ref
+            seen.add(z)
+    assert seen == set(range(256))
+
+
+def test_zorder_locality_minimax(spark):
+    rows = registry.QUERIES["q414_zorder_locality"](spark, SF_MID).collect()
+    assert len(rows) == 9
+    f = {(r["box"], r["ordering"]): r["files_touched"] for r in rows}
+    # the 2D box: z-order strictly beats both single-key layouts
+    assert f[("both_4_7", "zorder")] < f[("both_4_7", "partkey_major")]
+    assert f[("both_4_7", "zorder")] < f[("both_4_7", "suppkey_major")]
+    # each slice: its own key's layout is optimal, z sits between,
+    # the OTHER key's layout fragments worst
+    assert (f[("part_4_7", "partkey_major")]
+            <= f[("part_4_7", "zorder")]
+            < f[("part_4_7", "suppkey_major")])
+    assert (f[("supp_4_7", "suppkey_major")]
+            <= f[("supp_4_7", "zorder")]
+            < f[("supp_4_7", "partkey_major")])
+    # the argument for z-order: it minimizes the WORST case
+    for major in ("partkey_major", "suppkey_major"):
+        assert (max(f[(b, "zorder")] for b, *_ in
+                    [("both_4_7",), ("part_4_7",), ("supp_4_7",)])
+                < max(f[(b, major)] for b, *_ in
+                      [("both_4_7",), ("part_4_7",), ("supp_4_7",)]))
+    for r in rows:
+        assert r["read_amp_ppm"] >= 1_000_000  # can't read less than asked
+
+
+# --------------------------------------------------------------------------
+# q415 — naive Bayes
+# --------------------------------------------------------------------------
+
+
+def test_naive_bayes_beats_baselines(spark):
+    rows = registry.QUERIES["q415_naive_bayes"](spark, SF_MID).collect()
+    acc = rows[0]["accuracy_ppm"]
+    assert all(r["accuracy_ppm"] == acc for r in rows)
+    # accuracy really is the diagonal mass
+    n_all = sum(r["n_docs"] for r in rows)
+    n_diag = sum(r["n_docs"] for r in rows if r["true_lang"] == r["pred_lang"])
+    assert acc == 1_000_000 * n_diag // n_all
+    # per-true-lang row rates tile the row (floor division: <= 1e6)
+    per = defaultdict(list)
+    for r in rows:
+        per[r["true_lang"]].append(r)
+    for t, rs in per.items():
+        tot = sum(r["n_docs"] for r in rs)
+        for r in rs:
+            assert r["row_rate_ppm"] == 1_000_000 * r["n_docs"] // tot
+    # beats uniform chance over 5 classes...
+    assert acc > 200_000
+    # ...and the majority-class-of-the-eval-fold baseline
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    (best, tot) = con.execute(
+        """
+        WITH ev AS (
+            SELECT lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+        )
+        SELECT MAX(c), SUM(c) FROM (
+            SELECT COUNT(*) AS c FROM ev GROUP BY lang)
+        """
+    ).fetchone()
+    assert acc >= 1_000_000 * best // tot
+
+
+def test_naive_bayes_prediction_is_posterior_argmax(spark):
+    """Every eval doc gets exactly one prediction (argmax total order)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    (n_eval,) = con.execute(
+        """
+        SELECT COUNT(*) FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+          AND length(trim(text)) > 0
+        """
+    ).fetchone()
+    rows = registry.QUERIES["q415_naive_bayes"](spark, SF_MID).collect()
+    assert sum(r["n_docs"] for r in rows) == n_eval

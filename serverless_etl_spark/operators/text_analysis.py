@@ -1835,3 +1835,104 @@ def q394_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        DIV (nn * nn - pe_num)) END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q416 — token-entropy quality screen
+# --------------------------------------------------------------------------
+
+#: flag docs whose entropy is below this share of the ln(n) maximum
+ENTROPY_MIN_RATIO_PPM = 700_000
+
+
+@register(
+    "q416_token_entropy",
+    oracle=f"""
+    WITH tf AS (
+        SELECT d.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY 1, 2
+    ),
+    ent AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(FLOOR(1000000.0 * ln(SUM(c)))
+                    - SUM(CAST(FLOOR(1000000.0 * c * ln(c)) AS BIGINT))
+                      // SUM(c) AS BIGINT) AS entropy_micro
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, entropy_micro,
+           CAST(1000000 * entropy_micro
+                // CAST(FLOOR(1000000.0 * ln(n_tokens)) AS BIGINT)
+               AS BIGINT) AS ratio_ppm
+    FROM ent
+    WHERE n_tokens > 1
+      AND 1000000 * entropy_micro
+          // CAST(FLOOR(1000000.0 * ln(n_tokens)) AS BIGINT)
+          < {ENTROPY_MIN_RATIO_PPM}
+    ORDER BY ratio_ppm, doc_id
+    """,
+)
+def q416_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy quality screen — the information-theoretic member
+    of the corpus-hygiene family: per document, the Shannon entropy of
+    its token distribution via the exact decomposition H = ln(n) −
+    (1/n)·Σ c·ln(c), normalized by the ln(n) maximum, flagging
+    documents below {ENTROPY_MIN_RATIO_PPM} ppm. Low normalized
+    entropy = a few tokens own the mass — keyword stuffing, boilerplate
+    loops, degenerate generations — the class of junk that length
+    (q32) and exact-repetition (q67) screens each miss: a doc can be
+    long, have no repeated 5-gram, and still be 80% one word. This is
+    the screen Gopher-style quality rules express as "fraction of the
+    doc in the top token".
+
+    Determinism: the decomposition makes every irrational term a
+    PER-(doc,token) FLOOR at micro scale (c·ln(c), the q411/q62
+    discipline) summed as BIGINTs, one floor DIV by n, and one
+    cross-engine-identical FLOOR(ln(n)); the ratio is a ppm floor
+    division. No float ever crosses rows.
+
+    Scale: one tokenize pass (q115 scan budget discipline), (doc,
+    token) counts collapse map-side, then ONE per-doc aggregation —
+    the same two-shuffle shape as q62's TF-IDF, and the flagged set
+    (rare by construction) is all that leaves.
+
+    Reference: q32 (ratio screens), q67 (repetition), q373
+    (readability), q115 (LM score) — the entropy member; composes
+    into q199's curation funnel as another AND-able predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ent = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * ln(SUM(c)))"
+            " - SUM(CAST(FLOOR(1000000.0 * c * ln(c)) AS BIGINT))"
+            "   DIV SUM(c) AS BIGINT)"
+        ).alias("entropy_micro"),
+    )
+    ratio = F.expr(
+        "CAST(1000000 * entropy_micro"
+        " DIV CAST(FLOOR(1000000.0 * ln(n_tokens)) AS BIGINT) AS BIGINT)"
+    )
+    return (
+        ent.filter(F.col("n_tokens") > 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "entropy_micro",
+            ratio.alias("ratio_ppm"),
+        )
+        .filter(F.col("ratio_ppm") < ENTROPY_MIN_RATIO_PPM)
+        .orderBy("ratio_ppm", "doc_id")
+    )

@@ -2699,3 +2699,125 @@ def q415_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(n_docs) OVER () AS BIGINT)"
         ).alias("accuracy_ppm"),
     ).orderBy("true_lang", "pred_lang")
+
+
+# --------------------------------------------------------------------------
+# q417 — feature-hashing (hashing-trick) collision audit
+# --------------------------------------------------------------------------
+
+FH_DIMS = [4096, 16384, 65536]  #: candidate hashed-feature-table sizes
+
+_FH_DIMS_VALUES = ", ".join(f"({d})" for d in FH_DIMS)
+
+
+@register(
+    "q417_feature_hashing",
+    oracle=f"""
+    WITH feats AS (
+        SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':'
+                       || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS h,
+               CAST(COUNT(*) AS BIGINT) AS occ
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    buckets AS (
+        SELECT d.dim, f.h % d.dim AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(f.occ) AS BIGINT) AS mass
+        FROM feats f JOIN (VALUES {_FH_DIMS_VALUES}) d(dim) ON TRUE
+        GROUP BY 1, 2
+    )
+    SELECT dim AS d_buckets,
+           CAST(SUM(n_feats) AS BIGINT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           CAST(SUM(CASE WHEN n_feats > 1 THEN n_feats ELSE 0 END)
+               AS BIGINT) AS collided_features,
+           CAST(1000000 * SUM(CASE WHEN n_feats > 1 THEN n_feats
+                                   ELSE 0 END) // SUM(n_feats)
+               AS BIGINT) AS collided_feat_ppm,
+           CAST(1000000 * SUM(CASE WHEN n_feats > 1 THEN mass ELSE 0 END)
+                // SUM(mass) AS BIGINT) AS collided_mass_ppm
+    FROM buckets
+    GROUP BY dim ORDER BY dim
+    """,
+)
+def q417_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sizing audit: the (partkey × suppkey) cross
+    feature — exactly the high-cardinality categorical you'd feature-
+    hash rather than vocabulary-map — pushed through md5 into each
+    candidate table size in {FH_DIMS}, reporting both the FEATURE
+    collision rate (distinct features sharing a bucket — weight
+    aliasing) and the MASS-weighted rate (share of training rows
+    whose feature is aliased — what the model actually feels). The
+    table answers the sizing question every hashed embedding/linear
+    layer asks: the smallest D whose mass-collision rate is tolerable.
+    Deliberately the same md5 family as q58/q121 so the "hash" under
+    audit is the engine's own portable hash.
+
+    Determinism: md5 → first-8-hex integer (the q121 idiom) → modulo;
+    counts, floor-ppm ratios — no floats at all.
+
+    Scale: lineitem collapses to distinct features in ONE map-side
+    partial agg; the |features|×|{len(FH_DIMS)}| fan-out is a
+    broadcast values-join (allowlisted BNLJ); buckets collapse
+    map-side again. The feature table never exceeds
+    |distinct pairs| rows — at 100 TB you'd audit a hash-sampled
+    feature subset (q58) with identical code.
+
+    Reference: q142 (embedding quantization — the dense sibling),
+    q297/q388 (encoding advisors — same "measure, then size" stance),
+    q121 (md5-uniform idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_partkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_suppkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+            "occ",
+        )
+    )
+    dims = spark.createDataFrame([(d,) for d in FH_DIMS], "dim int")
+    buckets = (
+        feats.crossJoin(F.broadcast(dims))
+        .groupBy("dim", (F.col("h") % F.col("dim")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("occ").cast("bigint").alias("mass"),
+        )
+    )
+    return (
+        buckets.groupBy(F.col("dim").alias("d_buckets"))
+        .agg(
+            F.sum("n_feats").cast("bigint").alias("n_features"),
+            F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+            F.sum(F.when(F.col("n_feats") > 1, F.col("n_feats")).otherwise(0))
+            .cast("bigint")
+            .alias("collided_features"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN n_feats > 1 THEN n_feats"
+                " ELSE 0 END) DIV SUM(n_feats) AS BIGINT)"
+            ).alias("collided_feat_ppm"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN n_feats > 1 THEN mass"
+                " ELSE 0 END) DIV SUM(mass) AS BIGINT)"
+            ).alias("collided_mass_ppm"),
+        )
+        .orderBy("d_buckets")
+    )

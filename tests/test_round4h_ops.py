@@ -2688,3 +2688,86 @@ def test_naive_bayes_prediction_is_posterior_argmax(spark):
     ).fetchone()
     rows = registry.QUERIES["q415_naive_bayes"](spark, SF_MID).collect()
     assert sum(r["n_docs"] for r in rows) == n_eval
+
+
+# --------------------------------------------------------------------------
+# q416 — token entropy
+# --------------------------------------------------------------------------
+
+
+def test_token_entropy_replay(spark):
+    """Pure-python replay of the quantized entropy decomposition for
+    every flagged doc, plus the flag predicate itself."""
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    texts = dict(
+        con.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    def ent(doc_id):
+        toks = [t for t in texts[doc_id].split(" ") if t]
+        n = len(toks)
+        cnt = defaultdict(int)
+        for t in toks:
+            cnt[t] += 1
+        s = sum(math.floor(1e6 * c * math.log(c)) for c in cnt.values())
+        h = math.floor(1e6 * math.log(n)) - s // n
+        return n, len(cnt), h, (1_000_000 * h) // math.floor(1e6 * math.log(n))
+
+    rows = registry.QUERIES["q416_token_entropy"](spark, SF_MID).collect()
+    assert rows, "threshold should flag a low-entropy tail"
+    for r in rows:
+        n, d, h, ratio = ent(r["doc_id"])
+        assert (r["n_tokens"], r["n_distinct"]) == (n, d)
+        assert r["entropy_micro"] == h
+        assert r["ratio_ppm"] == ratio
+        assert ratio < 700_000
+    # completeness: every doc under the threshold is flagged
+    flagged = {r["doc_id"] for r in rows}
+    low = {
+        did for did in texts
+        if len([t for t in texts[did].split(" ") if t]) > 1
+        and ent(did)[3] < 700_000
+    }
+    assert flagged == low
+
+
+# --------------------------------------------------------------------------
+# q417 — feature hashing
+# --------------------------------------------------------------------------
+
+
+def test_feature_hashing_replay_and_monotonicity(spark):
+    import hashlib
+
+    con = _duck(SF_MID)
+    pairs = con.execute(
+        "SELECT l_partkey, l_suppkey, COUNT(*) FROM lineitem GROUP BY 1, 2"
+    ).fetchall()
+    rows = registry.QUERIES["q417_feature_hashing"](spark, SF_MID).collect()
+    assert [r["d_buckets"] for r in rows] == [4096, 16384, 65536]
+    for r in rows:
+        d = r["d_buckets"]
+        buckets = defaultdict(lambda: [0, 0])
+        for pk, sk, occ in pairs:
+            h = int(hashlib.md5(f"{pk}:{sk}".encode()).hexdigest()[:8], 16)
+            b = buckets[h % d]
+            b[0] += 1
+            b[1] += occ
+        n_feats = sum(v[0] for v in buckets.values())
+        coll_f = sum(v[0] for v in buckets.values() if v[0] > 1)
+        coll_m = sum(v[1] for v in buckets.values() if v[0] > 1)
+        mass = sum(v[1] for v in buckets.values())
+        assert r["n_features"] == n_feats == len(pairs)
+        assert r["buckets_used"] == len(buckets)
+        assert r["collided_features"] == coll_f
+        assert r["collided_feat_ppm"] == 1_000_000 * coll_f // n_feats
+        assert r["collided_mass_ppm"] == 1_000_000 * coll_m // mass
+    # a bigger table must not collide more
+    colls = [r["collided_feat_ppm"] for r in rows]
+    assert colls == sorted(colls, reverse=True)
+    assert colls[-1] < colls[0]

@@ -4513,3 +4513,132 @@ def q409_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q418 — Croston's method (intermittent-demand forecasting)
+# --------------------------------------------------------------------------
+
+CROSTON_THR = 250     #: "demand" = a day with any event over this value
+CROSTON_EPOCH = "2024-01-01"  #: fixture series origin (TESTDATA.md)
+
+
+def _croston_fn(pdf):
+    """Per-key Croston recursion over DEMAND POINTS only: SES
+    (alpha=1/2, truncating integer halving — q377's kernel on positive
+    state) of the demand SIZE and of the inter-demand INTERVAL."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    pdf = pdf.sort_values("i")
+    ii = [int(v) for v in pdf["i"].to_list()]
+    xx = [int(v) for v in pdf["x"].to_list()]
+    z = xx[0] * 1000
+    p = ii[0] * 1000
+    for k in range(1, len(ii)):
+        z = (z + xx[k] * 1000) // 2
+        p = (p + (ii[k] - ii[k - 1]) * 1000) // 2
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_demand_days": [len(ii)],
+            "last_day": [ii[-1]],
+            "size_milli": [z],
+            "interval_milli": [p],
+            "rate_ppm": [1_000_000 * z // p],
+        }
+    )
+
+
+@register(
+    "q418_croston",
+    oracle=f"""
+    WITH RECURSIVE demand AS (
+        SELECT event_type,
+               DATEDIFF('day', DATE '{CROSTON_EPOCH}', CAST(ts AS DATE))
+                   + 1 AS i,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE value > {CROSTON_THR}
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, i, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i) AS k
+        FROM demand
+    ),
+    rec AS (
+        SELECT event_type, k, i, CAST(x * 1000 AS BIGINT) AS z,
+               CAST(i * 1000 AS BIGINT) AS p
+        FROM seq WHERE k = 1
+        UNION ALL
+        SELECT s.event_type, s.k, s.i,
+               (r.z + s.x * 1000) // 2 AS z,
+               (r.p + (s.i - r.i) * 1000) // 2 AS p
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.k = r.k + 1
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_demand_days,
+           CAST(i AS BIGINT) AS last_day,
+           z AS size_milli, p AS interval_milli,
+           CAST(1000000 * z // p AS BIGINT) AS rate_ppm
+    FROM rec
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY k DESC) = 1
+    ORDER BY event_type
+    """,
+)
+def q418_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method — the forecaster for INTERMITTENT demand,
+    where q377/q385's smoothing of the daily series is provably biased
+    (most days are zero, so SES decays toward zero between demands and
+    spikes after each one): smooth the demand SIZE and the
+    inter-demand INTERVAL as two separate SES recursions updated ONLY
+    at demand points, and forecast the per-day rate as size/interval.
+    Here "demand" is a day with any event over value {CROSTON_THR} —
+    a sparse operational series (incident-grade spikes) of exactly the
+    shape spare-parts/fraud/incident capacity planning feeds Croston.
+    Completes the ETS ladder: naive → Holt (q377) → Holt-Winters
+    (q385) → Croston for the sparse regime. (The Syntetos-Boyadjian
+    bias correction is a constant factor on rate_ppm — left to the
+    consumer, documented rather than baked in.)
+
+    Determinism: both states are positive integer milli-units; each
+    SES step is the truncating halving (z+x)//2 — the exact integer
+    identity z + ⌊(x−z)/2⌋, so this IS alpha=1/2 SES; the day index is
+    an exact DATEDIFF from the fixture epoch. The DuckDB oracle runs
+    the same recursion as a recursive CTE (q377/q385 discipline).
+
+    Scale: events collapse to |types|×|demand-days| map-side — the
+    whole point of Croston is that state advances only on the SPARSE
+    demand points, so the recursion length is the demand count, not
+    the calendar; keys walk in parallel via Arrow applyInPandas (one
+    shuffle). Non-associative truncation → no prefix-scan escape.
+
+    Reference: q377/q385 (the dense-series ETS twins), q404
+    (burstiness — the diagnostic that says which regime you're in),
+    q143 (seasonal anomaly)."""
+    ev = load_table(spark, sf_dir, "events")
+    demand = (
+        ev.filter(F.col("value") > CROSTON_THR)
+        .select(
+            "event_type",
+            (
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit(CROSTON_EPOCH).cast("date"),
+                )
+                + 1
+            ).alias("i"),
+        )
+        .groupBy("event_type", "i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    return (
+        demand.groupBy("event_type")
+        .applyInPandas(
+            _croston_fn,
+            "event_type string, n_demand_days bigint, last_day bigint, "
+            "size_milli bigint, interval_milli bigint, rate_ppm bigint",
+        )
+        .orderBy("event_type")
+    )

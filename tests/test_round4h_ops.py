@@ -2771,3 +2771,56 @@ def test_feature_hashing_replay_and_monotonicity(spark):
     colls = [r["collided_feat_ppm"] for r in rows]
     assert colls == sorted(colls, reverse=True)
     assert colls[-1] < colls[0]
+
+
+# --------------------------------------------------------------------------
+# q418 — Croston
+# --------------------------------------------------------------------------
+
+
+def test_croston_replay(spark):
+    """Sequential replay of the two-SES recursion from raw demand."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    pts = con.execute(
+        """
+        SELECT event_type,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1,
+               COUNT(*)
+        FROM events WHERE value > 250
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for t, i, x in pts:
+        series[t].append((i, x))
+    rows = registry.QUERIES["q418_croston"](spark, SF_MID).collect()
+    assert {r["event_type"] for r in rows} == set(series)
+    for r in rows:
+        s = series[r["event_type"]]
+        z, p = s[0][1] * 1000, s[0][0] * 1000
+        for k in range(1, len(s)):
+            z = (z + s[k][1] * 1000) // 2
+            p = (p + (s[k][0] - s[k - 1][0]) * 1000) // 2
+        assert r["n_demand_days"] == len(s)
+        assert r["last_day"] == s[-1][0]
+        assert r["size_milli"] == z
+        assert r["interval_milli"] == p
+        assert r["rate_ppm"] == 1_000_000 * z // p
+        # rate is a per-day demand intensity: positive, and no larger
+        # than the smoothed size itself per day of smoothed interval
+        assert 0 < r["rate_ppm"]
+
+
+def test_croston_constant_series_fixed_point():
+    """On perfectly regular demand (size s every g days) the recursion
+    is a fixed point: rate == s/g exactly."""
+    z, p = 4 * 1000, 3 * 1000
+    for _ in range(10):
+        z = (z + 4 * 1000) // 2
+        p = (p + 3 * 1000) // 2
+    assert z == 4000 and p == 3000
+    assert 1_000_000 * z // p == 1_333_333

@@ -2444,3 +2444,119 @@ def q402_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel_u").alias("rel_micro"),
         F.col("red_u").alias("redundancy_micro"),
     ).orderBy("query_id", "rk")
+
+
+# --------------------------------------------------------------------------
+# q419 — hubness audit (k-NN in-degree distribution)
+# --------------------------------------------------------------------------
+
+HUB_QUERY_MOD = 5  #: query sample: every {HUB_QUERY_MOD}-th vector
+HUB_K = TOP_K
+
+
+@register(
+    "q419_hubness",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id % {HUB_QUERY_MOD} = 0
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT query_id, cand_id
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+            <= {HUB_K}
+    ),
+    indeg AS (
+        SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM knn GROUP BY cand_id
+    ),
+    everyone AS (
+        SELECT e.vec_id, COALESCE(i.deg, 0) AS deg
+        FROM embeddings e LEFT JOIN indeg i ON i.cand_id = e.vec_id
+    )
+    SELECT deg AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(1000000 * COUNT(*) // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM everyone
+    GROUP BY deg ORDER BY deg
+    """,
+)
+def q419_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit — the known high-dimensional k-NN pathology the
+    ANN family should MONITOR, not just suffer: as dimensionality
+    grows, a few "hub" vectors appear in a disproportionate share of
+    everyone's top-k lists while "antihubs" (in-degree 0) are never
+    retrieved, degrading both retrieval diversity and kNN-classifier
+    quality. This query materializes the full in-degree distribution
+    of the exact top-{HUB_K} graph over an every-{HUB_QUERY_MOD}th
+    query sample: the 0 row IS the antihub share, the right tail IS
+    the hubs. A healthy corpus shows a tight distribution around
+    k·|queries|/|corpus|; a heavy tail says "apply hub reduction
+    (mutual proximity / local scaling) or re-center embeddings before
+    trusting q50/q95's neighborhoods".
+
+    Determinism: inherits q50's exact-baseline contract — ROUND(·,6)
+    cosine with cand_id tiebreak makes each top-k list unique; the
+    rest is exact integer counting with a ppm floor share.
+
+    Scale: deliberately q50's broadcast-query exact posture
+    (allowlisted BNLJ) on a bounded sample — hubness is a STATISTIC,
+    so a hash sample of queries estimates it; the in-degree and
+    histogram collapses are map-side partial aggs. The oracle joins
+    exploded dims; the engine keeps arrays in zip_with kernels.
+
+    Reference: q50 (the graph source), q120 (recall eval — hubness is
+    the complementary index-health metric), q289 (silhouette — the
+    label-level cousin), q230 (user kNN — a consumer that hubness
+    silently biases)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % HUB_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), _vec_double().alias("cv"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    knn = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HUB_K)
+    )
+    indeg = knn.groupBy("cand_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    everyone = emb.select("vec_id").join(
+        indeg, F.col("vec_id") == F.col("cand_id"), "left"
+    ).select(F.coalesce("deg", F.lit(0)).alias("deg"))
+    return (
+        everyone.groupBy(F.col("deg").alias("in_degree"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .select(
+            "in_degree",
+            "n_vectors",
+            F.expr(
+                "CAST(1000000 * n_vectors DIV SUM(n_vectors) OVER ()"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("in_degree")
+    )

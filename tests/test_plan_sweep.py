@@ -125,6 +125,7 @@ BNLJ_ALLOWED = {
     "q414_zorder_locality",       # 256-cell grid x 3-row box spec + stats
     "q415_naive_bayes",           # |langs|-row totals + 1-row vocab crosses
     "q417_feature_hashing",       # 3-row dim-ladder broadcast cross
+    "q419_hubness",               # q50-posture broadcast exact baseline
 }
 
 

@@ -2824,3 +2824,42 @@ def test_croston_constant_series_fixed_point():
         p = (p + 3 * 1000) // 2
     assert z == 4000 and p == 3000
     assert 1_000_000 * z // p == 1_333_333
+
+
+# --------------------------------------------------------------------------
+# q419 — hubness
+# --------------------------------------------------------------------------
+
+
+def test_hubness_replay(spark):
+    """numpy replay of the exact top-k graph and its in-degree census."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_MID}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    mat = np.asarray([np.asarray(v) for v in t["embedding"].to_pylist()],
+                     dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    deg = defaultdict(int)
+    qidx = [i for i, v in enumerate(ids) if v % 5 == 0]
+    for qi in qidx:
+        cos = (mat @ mat[qi]) / (nrm * nrm[qi])
+        cos = np.round(cos, 6)
+        order = sorted(
+            (i for i in range(len(ids)) if i != qi),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:5]
+        for i in order:
+            deg[int(ids[i])] += 1
+    hist = defaultdict(int)
+    for v in ids:
+        hist[deg.get(int(v), 0)] += 1
+    rows = registry.QUERIES["q419_hubness"](spark, SF_MID).collect()
+    got = {r["in_degree"]: r["n_vectors"] for r in rows}
+    assert got == dict(hist)
+    # mass conservation: every query contributed exactly k edges
+    assert sum(d * n for d, n in got.items()) == 5 * len(qidx)
+    assert sum(got.values()) == len(ids)
+    for r in rows:
+        assert r["share_ppm"] == 1_000_000 * r["n_vectors"] // len(ids)

@@ -1936,3 +1936,175 @@ def q416_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ratio_ppm") < ENTROPY_MIN_RATIO_PPM)
         .orderBy("ratio_ppm", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q420 — TextRank keyword extraction (weighted PageRank on co-occurrence)
+# --------------------------------------------------------------------------
+
+TR_D_PPM = 850_000  #: damping 0.85 in ppm
+TR_ROUNDS = 8
+TR_TOPK = 10
+
+
+def _tr_iter_ctes() -> str:
+    """Unrolled weighted-PageRank rounds r1..r{TR_ROUNDS} (q381/q392
+    CTE-chain discipline)."""
+    parts = [
+        "r0 AS (SELECT tok, CAST(1000000 // nn.n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)"
+    ]
+    for i in range(TR_ROUNDS):
+        parts.append(
+            f"r{i + 1} AS ("
+            f" SELECT n.tok,"
+            f" CAST((1000000 - {TR_D_PPM}) // nn.n"
+            f" + {TR_D_PPM} * COALESCE(c.s, 0) // 1000000 AS BIGINT) AS r"
+            f" FROM nodes n CROSS JOIN nn"
+            f" LEFT JOIN (SELECT e.dst AS tok,"
+            f" SUM(p.r * e.share // 1000000) AS s"
+            f" FROM edges e JOIN r{i} p ON p.tok = e.src"
+            f" GROUP BY e.dst) c ON c.tok = n.tok)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q420_textrank",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT string_split(bg, ' ')[1] AS src,
+               string_split(bg, ' ')[2] AS dst
+        FROM (
+            SELECT unnest(list_transform(
+                       range(len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS bg
+            FROM documents
+        )
+        WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]
+          AND string_split(bg, ' ')[1] <> ''
+          AND string_split(bg, ' ')[2] <> ''
+    ),
+    sym AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ),
+    weighted AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM sym GROUP BY 1, 2
+    ),
+    wout AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS wu FROM weighted GROUP BY 1
+    ),
+    edges AS (
+        SELECT e.src, e.dst, CAST(1000000 * e.w // o.wu AS BIGINT) AS share
+        FROM weighted e JOIN wout o USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS tok FROM weighted),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    {_tr_iter_ctes()}
+    SELECT tok AS token, r AS rank_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, tok) AS INT) AS rk
+    FROM r{TR_ROUNDS}
+    ORDER BY rk LIMIT {TR_TOPK}
+    """,
+)
+def q420_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the token co-occurrence graph — nodes are corpus
+    tokens, an undirected edge per ADJACENT token pair weighted by
+    corpus count, {TR_ROUNDS} damped power rounds, top {TR_TOPK}
+    tokens by stationary mass. Where q295's RAKE scores by local
+    degree/frequency inside candidate phrases and q62's TF-IDF by
+    document contrast, TextRank ranks by GLOBAL graph centrality — a
+    token matters because it co-occurs with tokens that matter. The
+    per-edge transition shares are precomputed ONCE (1e6·w/out-weight
+    as integer ppm) so every round is one keyed join + partial agg —
+    PageRank's Pregel shape (q190) applied to text.
+
+    Determinism: the whole iteration is integer — shares, the
+    teleport floor (1e6−{TR_D_PPM})//n, per-edge floor contributions
+    summed as BIGINTs, and a floor damping step; the oracle unrolls
+    the identical {TR_ROUNDS} rounds as a CTE chain (q381/q401
+    discipline). Floor-truncation mass loss is identical in both
+    engines by construction.
+
+    Scale: ONE tokenize pass builds adjacency via an array HOF (no
+    per-token self-join); the graph collapses to |vocab|² edges
+    map-side; each round shuffles |edges| rows keyed by token (skew =
+    hub tokens — exactly what AQE skew handling and the q45 salting
+    recipe address); localCheckpoint per round truncates the unrolled
+    lineage (q190 discipline). State is |vocab| rows.
+
+    Reference: q295 (RAKE — degree heuristic), q190 (PageRank core),
+    q94 (the bigram grain), q62 (TF-IDF contrast scoring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.split("text", " ").alias("toks"))
+    pairs = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS src, toks[i] AS dst))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") != "")
+            & (F.col("dst") != "")
+        )
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = sym.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    weighted = track_cache(weighted.persist())
+    wout = weighted.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
+    edges = weighted.join(wout, "src").select(
+        "src",
+        "dst",
+        F.expr("CAST(1000000 * w DIV wu AS BIGINT)").alias("share"),
+    )
+    edges = track_cache(edges.persist())
+    nodes = edges.select(F.col("src").alias("tok")).distinct()
+    nodes = track_cache(nodes.persist())
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "tok", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("r")
+    )
+    for _ in range(TR_ROUNDS):
+        contrib = (
+            edges.join(r.select(F.col("tok").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("tok"))
+            .agg(
+                F.sum(F.expr("r * share DIV 1000000"))
+                .cast("bigint")
+                .alias("s")
+            )
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "tok", "left")
+            .select(
+                "tok",
+                F.expr(
+                    f"CAST((1000000 - {TR_D_PPM}) DIV n"
+                    f" + {TR_D_PPM} * COALESCE(s, 0) DIV 1000000"
+                    " AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    w_rk = Window.orderBy(F.col("rank_ppm").desc(), "token")
+    return (
+        r.select(F.col("tok").alias("token"), F.col("r").alias("rank_ppm"))
+        .withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .filter(F.col("rk") <= TR_TOPK)
+        .orderBy("rk")
+    )

@@ -126,6 +126,7 @@ BNLJ_ALLOWED = {
     "q415_naive_bayes",           # |langs|-row totals + 1-row vocab crosses
     "q417_feature_hashing",       # 3-row dim-ladder broadcast cross
     "q419_hubness",               # q50-posture broadcast exact baseline
+    "q420_textrank",              # one-row node-count broadcast per round
 }
 
 

@@ -2863,3 +2863,47 @@ def test_hubness_replay(spark):
     assert sum(got.values()) == len(ids)
     for r in rows:
         assert r["share_ppm"] == 1_000_000 * r["n_vectors"] // len(ids)
+
+
+# --------------------------------------------------------------------------
+# q420 — TextRank
+# --------------------------------------------------------------------------
+
+
+def test_textrank_replay(spark):
+    """Pure-python weighted-PageRank replay from the raw corpus."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    texts = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    w = defaultdict(int)
+    for tx in texts:
+        toks = tx.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a and b and a != b:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    wout = defaultdict(int)
+    for (s, d), c in w.items():
+        wout[s] += c
+    share = {(s, d): 1_000_000 * c // wout[s] for (s, d), c in w.items()}
+    nodes = sorted(wout)
+    n = len(nodes)
+    r = {t: 1_000_000 // n for t in nodes}
+    for _ in range(8):
+        contrib = defaultdict(int)
+        for (s, d), sh in share.items():
+            contrib[d] += r[s] * sh // 1_000_000
+        r = {
+            t: (1_000_000 - 850_000) // n
+            + 850_000 * contrib.get(t, 0) // 1_000_000
+            for t in nodes
+        }
+    top = sorted(nodes, key=lambda t: (-r[t], t))[:10]
+    rows = registry.QUERIES["q420_textrank"](spark, SF_MID).collect()
+    assert [(x["token"], x["rank_ppm"]) for x in rows] == [
+        (t, r[t]) for t in top
+    ]
+    assert [x["rk"] for x in rows] == list(range(1, 11))

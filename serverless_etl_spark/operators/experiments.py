@@ -1697,3 +1697,143 @@ def q362_robust_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# q422 — SPRT (Wald sequential probability-ratio test) replay
+# --------------------------------------------------------------------------
+
+import math as _math
+
+SPRT_P0 = 0.5   #: H0 conversion rate
+SPRT_P1 = 0.6   #: H1 conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+#: per-observation integer LLR increments (micro-nats), and the Wald
+#: decision boundaries ln((1-β)/α), ln(β/(1-α)) — module-time constants
+#: so both engines receive identical literals
+SPRT_LLR1 = _math.floor(1e6 * _math.log(SPRT_P1 / SPRT_P0))
+SPRT_LLR0 = _math.floor(1e6 * _math.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+SPRT_UPPER = _math.floor(1e6 * _math.log((1 - SPRT_BETA) / SPRT_ALPHA))
+SPRT_LOWER = _math.floor(1e6 * _math.log(SPRT_BETA / (1 - SPRT_ALPHA)))
+SPRT_THR = 50  #: "success" = value > {SPRT_THR}
+
+
+@register(
+    "q422_sprt",
+    oracle=f"""
+    WITH walk AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS i,
+               SUM(CASE WHEN value > {SPRT_THR}
+                        THEN {SPRT_LLR1} ELSE {SPRT_LLR0} END)
+                   OVER (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS llr
+        FROM events
+    ),
+    crossings AS (
+        SELECT event_type, i, llr,
+               CASE WHEN llr >= {SPRT_UPPER} THEN 'accept_h1'
+                    WHEN llr <= {SPRT_LOWER} THEN 'accept_h0' END AS hit,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                       CASE WHEN llr >= {SPRT_UPPER}
+                              OR llr <= {SPRT_LOWER} THEN 1 ELSE 0 END
+                   ORDER BY i) AS rk
+        FROM walk
+    ),
+    first_hit AS (
+        SELECT event_type, i AS n_at_decision, llr AS llr_micro, hit
+        FROM crossings WHERE hit IS NOT NULL AND rk = 1
+    ),
+    finals AS (
+        SELECT event_type, MAX(i) AS n_obs FROM walk GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST(f.n_obs AS BIGINT) AS n_obs,
+           CAST(COALESCE(h.n_at_decision, f.n_obs) AS BIGINT)
+               AS n_at_decision,
+           COALESCE(h.hit, 'undecided') AS decision,
+           CAST(1000000 * COALESCE(h.n_at_decision, f.n_obs)
+                // f.n_obs AS BIGINT) AS sample_spent_ppm
+    FROM finals f LEFT JOIN first_hit h USING (event_type)
+    ORDER BY f.event_type
+    """,
+)
+def q422_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT replayed over the logged stream — the PEEKING-SAFE
+    sequential test the fixed-horizon family (q358 MDE, q324 SRM,
+    q362 robust A/B) can't provide: per event type, each observation
+    (success = value > {SPRT_THR}) adds its log-likelihood-ratio
+    increment for H1: p={SPRT_P1} vs H0: p={SPRT_P0}; the cumulative
+    walk decides at the FIRST crossing of Wald's ±ln boundaries
+    (α=β={SPRT_ALPHA}) and reports how much of the logged sample the
+    sequential design would have spent — the headline argument for
+    SPRT is exactly that sample_spent_ppm ≪ 1e6 on clearly-null or
+    clearly-effective arms. Replaying it over history is how an
+    experimentation platform validates sequential boundaries before
+    wiring them into a live stop rule.
+
+    Determinism: the two LLR increments and both boundaries are
+    module-time integer micro-nat constants embedded as literals in
+    both engines; the walk is an integer window cumsum over the
+    unique (ts, event_id) total order; first crossing via a
+    partition-by-crossing-flag row_number. No cross-engine float.
+
+    Scale: one window pass partitioned by experiment key (event_type)
+    — sequential tests are inherently ordered, so per-key ordered
+    scan IS the minimal plan; with millions of arms the partition key
+    carries the parallelism. The decision rows are |types|.
+
+    Reference: q358 (fixed-horizon sizing this undercuts), q152
+    (CUSUM — the same walk shape for changepoints), q324 (SRM guard
+    that must pass before believing this)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = ev.select(
+        "event_type",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum(
+            F.when(F.col("value") > SPRT_THR, SPRT_LLR1).otherwise(
+                SPRT_LLR0
+            )
+        )
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    )
+    hit = (
+        F.when(F.col("llr") >= SPRT_UPPER, "accept_h1")
+        .when(F.col("llr") <= SPRT_LOWER, "accept_h0")
+    )
+    crossed = walk.select("event_type", "i", "llr", hit.alias("hit"))
+    w_first = Window.partitionBy(
+        "event_type", F.col("hit").isNotNull()
+    ).orderBy("i")
+    first_hit = (
+        crossed.withColumn("rk", F.row_number().over(w_first))
+        .filter(F.col("hit").isNotNull() & (F.col("rk") == 1))
+        .select(
+            "event_type",
+            F.col("i").alias("n_at_decision"),
+            F.col("llr").alias("llr_micro"),
+            "hit",
+        )
+    )
+    finals = walk.groupBy("event_type").agg(F.max("i").alias("n_obs"))
+    return (
+        finals.join(first_hit, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.coalesce("n_at_decision", "n_obs")
+            .cast("bigint")
+            .alias("n_at_decision"),
+            F.coalesce("hit", F.lit("undecided")).alias("decision"),
+            F.expr(
+                "CAST(1000000 * COALESCE(n_at_decision, n_obs) DIV n_obs"
+                " AS BIGINT)"
+            ).alias("sample_spent_ppm"),
+        )
+        .orderBy("event_type")
+    )

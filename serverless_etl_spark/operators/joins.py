@@ -1127,3 +1127,113 @@ def q376_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q421 — Allen interval-relation census
+# --------------------------------------------------------------------------
+
+#: the 13 Allen (1983) relations as ONE case ladder over the four
+#: endpoint comparisons; identical string parses in Spark SQL and DuckDB
+_ALLEN_CASE = """
+    CASE WHEN e1 < s2 THEN 'precedes'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN e2 < s1 THEN 'preceded_by'
+         WHEN e2 = s1 THEN 'met_by'
+         WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+         WHEN s1 = s2 THEN 'started_by'
+         WHEN e1 = e2 AND s2 < s1 THEN 'finishes'
+         WHEN e1 = e2 THEN 'finished_by'
+         WHEN s1 < s2 AND e2 < e1 THEN 'contains'
+         WHEN s2 < s1 AND e1 < e2 THEN 'during'
+         WHEN s1 < s2 THEN 'overlaps'
+         ELSE 'overlapped_by' END
+"""
+
+
+@register(
+    "q421_allen_relations",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS s, MAX(ts) AS e
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+        FROM spans a JOIN spans b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(1000000 * COUNT(*) // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM pairs
+    GROUP BY relation ORDER BY relation
+    """,
+)
+def q421_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra as a census: per user, each event
+    type's activity span [first ts, last ts]; per user-pair of types,
+    the pair is classified into exactly one of Allen's 13 interval
+    relations (precedes/meets/overlaps/starts/during/finishes, their
+    inverses, and equals) by ONE case ladder over the four endpoint
+    comparisons. The census answers the temporal-modeling questions
+    interval joins only partially ask: do signup spans PRECEDE
+    purchase spans (funnel ordering), are error spans DURING view
+    spans (co-occurrence), do any spans merely MEET (handoff)? This
+    is the complete decision table behind every interval-join
+    predicate in the engine — q20's range join is 'overlaps ∪
+    contains ∪ ...', q19/q84's as-of is a directed 'preceded_by
+    nearest', q65's SCD2 validity is 'meets' chains, q253's overlap
+    spans count one relation class; the ladder makes the whole
+    algebra, including the zero-width edge cases where relations
+    collapse (first match wins, same ladder both engines), a single
+    auditable artifact.
+
+    Determinism: endpoint comparisons on exact parquet timestamps —
+    comparisons are order-isomorphic under the session-tz
+    normalization, so both engines classify identically; counts and a
+    ppm floor share. No arithmetic at all.
+
+    Scale: events collapse map-side to |users|×|types| spans; the
+    self-join is keyed on user_id (bounded fan-out: C(|types|,2) = 10
+    pairs per user) — one shuffle, no cross product. At 100 TB this
+    is the shape of any per-entity temporal-pattern audit.
+
+    Reference: q20 (range join), q19/q84/q300 (as-of), q65/q214
+    (SCD2), q253 (overlap spans), q316 (interval coverage) — the
+    algebra they all specialize."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "relation",
+            "n_pairs",
+            F.expr(
+                "CAST(1000000 * n_pairs DIV SUM(n_pairs) OVER ()"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("relation")
+    )

@@ -2907,3 +2907,123 @@ def test_textrank_replay(spark):
         (t, r[t]) for t in top
     ]
     assert [x["rk"] for x in rows] == list(range(1, 11))
+
+
+# --------------------------------------------------------------------------
+# q421 — Allen relations
+# --------------------------------------------------------------------------
+
+
+def _allen(s1, e1, s2, e2):
+    if e1 < s2:
+        return "precedes"
+    if e1 == s2:
+        return "meets"
+    if e2 < s1:
+        return "preceded_by"
+    if e2 == s1:
+        return "met_by"
+    if s1 == s2 and e1 == e2:
+        return "equals"
+    if s1 == s2 and e1 < e2:
+        return "starts"
+    if s1 == s2:
+        return "started_by"
+    if e1 == e2 and s2 < s1:
+        return "finishes"
+    if e1 == e2:
+        return "finished_by"
+    if s1 < s2 and e2 < e1:
+        return "contains"
+    if s2 < s1 and e1 < e2:
+        return "during"
+    if s1 < s2:
+        return "overlaps"
+    return "overlapped_by"
+
+
+def test_allen_ladder_is_total_and_exclusive():
+    """Every endpoint ordering maps to exactly one relation, and the
+    13 labels are all reachable."""
+    from itertools import product
+
+    seen = set()
+    for s1, e1, s2, e2 in product(range(4), repeat=4):
+        if s1 <= e1 and s2 <= e2:
+            seen.add(_allen(s1, e1, s2, e2))
+    assert len(seen) == 13
+
+
+def test_allen_census_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    spans = con.execute(
+        "SELECT user_id, event_type, MIN(ts), MAX(ts) FROM events"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    per_user = defaultdict(dict)
+    for u, t, s, e in spans:
+        per_user[u][t] = (s, e)
+    census = defaultdict(int)
+    for u, types in per_user.items():
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                (s1, e1), (s2, e2) = types[ts[i]], types[ts[j]]
+                census[_allen(s1, e1, s2, e2)] += 1
+    rows = registry.QUERIES["q421_allen_relations"](spark, SF_MID).collect()
+    got = {r["relation"]: r["n_pairs"] for r in rows}
+    assert got == dict(census)
+    tot = sum(census.values())
+    for r in rows:
+        assert r["share_ppm"] == 1_000_000 * r["n_pairs"] // tot
+
+
+# --------------------------------------------------------------------------
+# q422 — SPRT
+# --------------------------------------------------------------------------
+
+
+def test_sprt_replay_and_efficiency(spark):
+    import math
+
+    llr1 = math.floor(1e6 * math.log(0.6 / 0.5))
+    llr0 = math.floor(1e6 * math.log(0.4 / 0.5))
+    upper = math.floor(1e6 * math.log(0.95 / 0.05))
+    lower = math.floor(1e6 * math.log(0.05 / 0.95))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    obs = con.execute(
+        "SELECT event_type, value > 50 FROM events"
+        " ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, x in obs:
+        per[t].append(x)
+    rows = registry.QUERIES["q422_sprt"](spark, SF_MID).collect()
+    assert {r["event_type"] for r in rows} == set(per)
+    for r in rows:
+        cum, ndec, dec = 0, None, "undecided"
+        for k, x in enumerate(per[r["event_type"]], start=1):
+            cum += llr1 if x else llr0
+            if cum >= upper:
+                ndec, dec = k, "accept_h1"
+                break
+            if cum <= lower:
+                ndec, dec = k, "accept_h0"
+                break
+        n = len(per[r["event_type"]])
+        assert r["n_obs"] == n
+        assert r["decision"] == dec
+        assert r["n_at_decision"] == (ndec if ndec else n)
+        assert r["sample_spent_ppm"] == 1_000_000 * r["n_at_decision"] // n
+        # the fixtures' rate (~0.37) is clearly below H0=0.5: the
+        # sequential test must settle on H0 using a small fraction
+        assert dec == "accept_h0"
+        assert r["sample_spent_ppm"] < 200_000

@@ -3482,3 +3482,165 @@ def q410_blocking_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# --------------------------------------------------------------------------
+# q423 — cross-document repeated-substring cut list (exact-substring dedup)
+# --------------------------------------------------------------------------
+
+CUT_W = 8  #: window length (tokens) that must match exactly across docs
+
+
+@register(
+    "q423_substring_cutlist",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.i + 1 AS start,
+               list_aggregate(toks[u.i + 1:u.i + {CUT_W}],
+                              'string_agg', ' ') AS gram
+        FROM toked,
+             UNNEST(range(len(toks) - {CUT_W - 1})) AS u(i)
+        WHERE len(toks) >= {CUT_W}
+    ),
+    dup AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT g.doc_id, g.start,
+               g.start + {CUT_W - 1} AS fin
+        FROM grams g JOIN dup USING (gram)
+    ),
+    grouped AS (
+        SELECT doc_id, start, fin,
+               SUM(CASE WHEN prev_max IS NULL
+                          OR start > prev_max + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY start, fin) AS grp
+        FROM (
+            SELECT doc_id, start, fin,
+                   MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+            FROM hits
+        )
+    ),
+    spans AS (
+        SELECT doc_id, grp, MIN(start) AS s, MAX(fin) AS e
+        FROM grouped GROUP BY 1, 2
+    )
+    SELECT sp.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS cut_tokens,
+           CAST(1000000 * SUM(sp.e - sp.s + 1) // len(t.toks) AS BIGINT)
+               AS cut_ppm
+    FROM spans sp JOIN toked t USING (doc_id)
+    GROUP BY sp.doc_id, len(t.toks)
+    ORDER BY sp.doc_id
+    """,
+)
+def q423_substring_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup CUT LIST (the Lee et al. 2022
+    "Deduplicating Training Data" operation, window-granular): every
+    {CUT_W}-token window that appears VERBATIM in two or more
+    documents is slated for removal, and per document the flagged
+    windows are coalesced into maximal cut spans (overlapping or
+    adjacent windows merge), reported as span count, tokens cut, and
+    cut share. This is the surgical complement to the doc-level
+    family: q40/q104 drop whole duplicate docs, q41/q375 drop
+    near-dup docs, q98 drops docs that are MOSTLY boilerplate — this
+    one keeps the doc and excises exactly the repeated passage, which
+    is what you want for licenses, headers, and quoted chunks inside
+    otherwise-unique documents.
+
+    Determinism: token positions, window membership, interval
+    merging (running-max window + group counter), and ppm floors are
+    all exact integers; the gram strings are identical split/join
+    chains in both engines.
+
+    Scale: grams explode to Σ(len−{CUT_W}+1) rows — ONE corpus scan;
+    the duplicate-gram set is one groupBy(gram) with a map-side
+    distinct-ish partial (HAVING prunes to the rare duplicated
+    grams); the flag-back is a semi-join keyed on gram; the interval
+    merge windows run per doc. At 100 TB the gram table is the big
+    shuffle and it is exactly the q41 shingle shuffle — same uniform
+    key, same posture (persist/bucket if re-probed). The suffix-array
+    formulation is strictly stronger (any-length matches) but needs a
+    global sort of every suffix; fixed-W windows at the shingle grain
+    is the standard distributed rendering, and chaining W-grams
+    recovers longer matches as merged spans (exactly what the span
+    coalescing does).
+
+    Reference: q98 (boilerplate df-screen, doc-level), q114 (CDC
+    chunking), q41 (shingle machinery), q154 (novelty — the inverse
+    metric)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toked = track_cache(toked.persist())
+    grams = (
+        toked.filter(F.size("toks") >= CUT_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {CUT_W - 1}),"
+                    f" i -> struct(i AS start,"
+                    f" concat_ws(' ', slice(toks, i, {CUT_W})) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    grams = track_cache(grams.persist())
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        "doc_id", "start", (F.col("start") + (CUT_W - 1)).alias("fin")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("start", "fin")
+    prev_max = F.max("fin").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = hits.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.sum(
+            F.when(
+                prev_max.isNull() | (F.col("start") > prev_max + 1), 1
+            ).otherwise(0)
+        )
+        .over(w_ord)
+        .alias("grp"),
+    )
+    spans = grouped.groupBy("doc_id", "grp").agg(
+        F.min("start").alias("s"), F.max("fin").alias("e")
+    )
+    return (
+        spans.join(toked.select("doc_id", F.size("toks").alias("nt")), "doc_id")
+        .groupBy("doc_id", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("cut_tokens"),
+            F.expr(
+                "CAST(1000000 * SUM(e - s + 1) DIV nt AS BIGINT)"
+            ).alias("cut_ppm"),
+        )
+        .select(
+            "doc_id",
+            F.col("nt").cast("bigint").alias("n_tokens"),
+            "n_spans",
+            "cut_tokens",
+            "cut_ppm",
+        )
+        .orderBy("doc_id")
+    )

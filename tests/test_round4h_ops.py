@@ -3027,3 +3027,56 @@ def test_sprt_replay_and_efficiency(spark):
         # sequential test must settle on H0 using a small fraction
         assert dec == "accept_h0"
         assert r["sample_spent_ppm"] < 200_000
+
+
+# --------------------------------------------------------------------------
+# q423 — substring cut list
+# --------------------------------------------------------------------------
+
+
+def test_substring_cutlist_replay(spark):
+    """Pure-python cut-list replay: window the corpus, find cross-doc
+    grams, merge intervals."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    W = 8
+    gram_docs = defaultdict(set)
+    windows = {}
+    for did, tx in texts.items():
+        toks = tx.split(" ")
+        windows[did] = []
+        for i in range(len(toks) - W + 1):
+            g = " ".join(toks[i:i + W])
+            gram_docs[g].add(did)
+            windows[did].append((i + 1, g))
+    expect = {}
+    for did, ws in windows.items():
+        hits = sorted(
+            (s, s + W - 1) for s, g in ws if len(gram_docs[g]) >= 2
+        )
+        if not hits:
+            continue
+        spans = []
+        for s, e in hits:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        cut = sum(e - s + 1 for s, e in spans)
+        nt = len(texts[did].split(" "))
+        expect[did] = (nt, len(spans), cut, 1_000_000 * cut // nt)
+    rows = registry.QUERIES["q423_substring_cutlist"](spark, SF_MID).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["cut_tokens"], r["cut_ppm"]
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert expect, "fixtures seed cross-doc duplicated passages"
+    for nt, n_spans, cut, ppm in expect.values():
+        assert 0 < cut <= nt and n_spans >= 1

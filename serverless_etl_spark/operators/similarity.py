@@ -2560,3 +2560,237 @@ def q419_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("in_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# q424 — embedding anisotropy audit (dominant-eigenvalue variance share)
+# --------------------------------------------------------------------------
+
+ANISO_ROUNDS = 8
+ANISO_SHARE_WARN_PPM = 300_000  #: >30% of variance on one axis
+
+
+def _ssdiv(num: str, den: str) -> str:
+    """Sign-split integer division (truncate toward zero) — identical
+    semantics in Spark (DIV truncates) and DuckDB (// floors, which
+    differs on negatives; the sign split removes the difference)."""
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN ({num}) DIV ({den})"
+        f" ELSE -((-({num})) DIV ({den})) END"
+    )
+
+
+def _aniso_iter_ctes() -> str:
+    parts = [
+        "v0 AS MATERIALIZED (SELECT i, CAST(1000 AS BIGINT) AS v"
+        " FROM (SELECT DISTINCT i FROM scat))"
+    ]
+    dd = _ssdiv("1000 * w", "mx").replace("DIV", "//")
+    for r in range(ANISO_ROUNDS):
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT m.i,"
+            f" CAST(SUM(m.ms * p.v) AS BIGINT) AS w"
+            f" FROM scat m JOIN v{r} p ON p.i = m.j GROUP BY m.i)"
+        )
+        parts.append(
+            f"v{r + 1} AS MATERIALIZED (SELECT i, CAST({dd} AS BIGINT) AS v"
+            f" FROM w{r} CROSS JOIN"
+            f" (SELECT MAX(ABS(w)) AS mx FROM w{r}))"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q424_anisotropy",
+    oracle=f"""
+    WITH dims AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                   AS BIGINT) AS xm
+        FROM embeddings
+    ),
+    sums AS MATERIALIZED (
+        SELECT i, CAST(SUM(xm) AS BIGINT) AS si FROM dims GROUP BY i
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    cross_m AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(a.xm * b.xm) AS BIGINT) AS sij
+        FROM dims a JOIN dims b ON b.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    raw AS MATERIALIZED (
+        SELECT c.i, c.j,
+               CAST(nn.n * c.sij - sa.si * sb.si AS BIGINT) AS m
+        FROM cross_m c
+        CROSS JOIN nn
+        JOIN sums sa ON sa.i = c.i
+        JOIN sums sb ON sb.i = c.j
+    ),
+    scat AS MATERIALIZED (
+        SELECT i, j,
+               CAST({_ssdiv('1000 * m', 'mxa').replace('DIV', '//')}
+                   AS BIGINT) AS ms
+        FROM raw CROSS JOIN (SELECT MAX(ABS(m)) AS mxa FROM raw)
+    ),
+    {_aniso_iter_ctes()},
+    fin AS (
+        SELECT CAST(SUM(m.ms * pa.v * pb.v) AS BIGINT) AS num,
+               CAST(MAX(dd.den) AS BIGINT) AS den,
+               CAST(MAX(tr.trace) AS BIGINT) AS trace
+        FROM scat m
+        JOIN v{ANISO_ROUNDS} pa ON pa.i = m.i
+        JOIN v{ANISO_ROUNDS} pb ON pb.i = m.j
+        CROSS JOIN (SELECT SUM(v * v) AS den FROM v{ANISO_ROUNDS}) dd
+        CROSS JOIN (SELECT SUM(ms) AS trace FROM scat WHERE i = j) tr
+    )
+    SELECT (SELECT n FROM nn) AS n_vectors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sums) AS dim,
+           num, den, trace,
+           CAST(1000000 * num // (den * trace) AS BIGINT) AS share_ppm,
+           CASE WHEN 1000000 * num // (den * trace)
+                     > {ANISO_SHARE_WARN_PPM}
+                THEN 'anisotropic' ELSE 'isotropic' END AS verdict
+    FROM fin
+    """,
+)
+def q424_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit — the known representation-collapse
+    pathology (Ethayarajh 2019; "all vectors share one dominant
+    direction"): estimate the dominant eigenvalue's share of total
+    variance via {ANISO_ROUNDS} integer power-iteration rounds on the
+    scatter matrix n·Σxxᵀ − (Σx)(Σx)ᵀ, reporting the Rayleigh-quotient
+    share λ₁/tr(C) in ppm with a {ANISO_SHARE_WARN_PPM}-ppm warning
+    threshold. A healthy 64-dim isotropic corpus puts ~1/64 ≈ 15625
+    ppm on each axis; a collapsed one puts most variance on one axis —
+    cosine similarity then degenerates and the whole ANN family
+    (q50/q51/q95) silently loses contrast. The standard fixes
+    (mean-centering + whitening / "all-but-the-top") start from
+    exactly this measurement. Complements q419 (hubness — the
+    NEIGHBORHOOD symptom) with the SPECTRAL cause, and q227
+    (embedding drift) with a point-in-time health check.
+
+    Determinism: dims quantize through CAST-to-double × 1000 → FLOOR
+    (exact integers); the scatter matrix is the cross-multiplied
+    integer form (no float mean); one data-derived rescale and every
+    power round's max-abs normalization use SIGN-SPLIT integer
+    division (Spark DIV truncates toward zero, DuckDB // floors — the
+    split makes them agree on negatives); the oracle unrolls the same
+    rounds as a CTE chain (q381/q420 discipline). int64 headroom:
+    |xm| ≤ 1000, so n·Sij ≤ n·d·10⁶ — beyond ~10⁹ vectors route the
+    scatter sums through DECIMAL(38,0) (q401's documented escape).
+
+    Scale: ONE pass over embeddings builds the d² sufficient
+    statistics (map-side partial aggs on the per-vector self-join);
+    everything after is a 64×64 integer matrix — the power iteration
+    never touches the corpus again. This is the textbook "sufficient
+    statistics, then tiny driver-side math" split, kept entirely
+    declarative.
+
+    Reference: q419 (hubness), q227 (drift), q162 (norms), q363
+    (PQ — quantization that assumes isotropy), q401 (rank-1
+    factorization — the same power-method shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(_vec_double()).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * 1000).cast("bigint").alias("xm"),
+    )
+    dims = track_cache(dims.persist())
+    sums = dims.groupBy("i").agg(F.sum("xm").cast("bigint").alias("si"))
+    nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cross_m = (
+        dims.alias("a")
+        .join(dims.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j")
+        )
+        .agg(
+            F.sum(F.col("a.xm") * F.col("b.xm"))
+            .cast("bigint")
+            .alias("sij")
+        )
+    )
+    raw = (
+        cross_m.crossJoin(F.broadcast(nn))
+        .join(sums.select(F.col("i"), F.col("si").alias("sa")), "i")
+        .join(
+            sums.select(F.col("i").alias("j"), F.col("si").alias("sb")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    scat = (
+        raw.crossJoin(
+            F.broadcast(raw.agg(F.max(F.abs("m")).alias("mxa")))
+        )
+        .select(
+            "i",
+            "j",
+            F.expr(_ssdiv("1000 * m", "mxa")).cast("bigint").alias("ms"),
+        )
+    )
+    scat = track_cache(scat.persist())
+    v = scat.select("i").distinct().select(
+        "i", F.lit(1000).cast("bigint").alias("v")
+    )
+    for _ in range(ANISO_ROUNDS):
+        w = (
+            scat.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("ms") * F.col("v")).cast("bigint").alias("w"))
+        )
+        v = (
+            w.crossJoin(
+                F.broadcast(w.agg(F.max(F.abs("w")).alias("mx")))
+            )
+            .select(
+                "i",
+                F.expr(_ssdiv("1000 * w", "mx")).cast("bigint").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    trace = scat.filter(F.col("i") == F.col("j")).agg(
+        F.sum("ms").alias("trace")
+    )
+    d = sums.agg(F.count(F.lit(1)).cast("bigint").alias("dim"))
+    num = (
+        scat.join(v.select(F.col("i"), F.col("v").alias("va")), "i")
+        .join(v.select(F.col("i").alias("j"), F.col("v").alias("vb")), "j")
+        .agg(
+            F.sum(F.col("ms") * F.col("va") * F.col("vb"))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(trace))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(d))
+        .select(
+            F.col("n").alias("n_vectors"),
+            "dim",
+            "num",
+            F.col("den").cast("bigint").alias("den"),
+            F.col("trace").cast("bigint").alias("trace"),
+            F.expr(
+                "CAST(1000000 * num DIV (den * trace) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                f"CASE WHEN 1000000 * num DIV (den * trace)"
+                f" > {ANISO_SHARE_WARN_PPM}"
+                " THEN 'anisotropic' ELSE 'isotropic' END"
+            ).alias("verdict"),
+        )
+    )

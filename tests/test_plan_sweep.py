@@ -127,6 +127,8 @@ BNLJ_ALLOWED = {
     "q417_feature_hashing",       # 3-row dim-ladder broadcast cross
     "q419_hubness",               # q50-posture broadcast exact baseline
     "q420_textrank",              # one-row node-count broadcast per round
+    "q424_anisotropy",            # one-row rescale/normalizer broadcasts
+                                  # over the 64x64 scatter matrix
 }
 
 

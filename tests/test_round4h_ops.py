@@ -3080,3 +3080,51 @@ def test_substring_cutlist_replay(spark):
     assert expect, "fixtures seed cross-doc duplicated passages"
     for nt, n_spans, cut, ppm in expect.values():
         assert 0 < cut <= nt and n_spans >= 1
+
+
+# --------------------------------------------------------------------------
+# q424 — anisotropy
+# --------------------------------------------------------------------------
+
+
+def test_anisotropy_integer_replay_and_float_crosscheck(spark):
+    """Replay the integer pipeline in numpy AND cross-check the ppm
+    share against the true float eigendecomposition."""
+    import math
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_MID}/embeddings.parquet")
+    mat = np.asarray([np.asarray(v) for v in t["embedding"].to_pylist()],
+                     dtype=np.float64)
+    xm = np.floor(mat * 1000).astype(np.int64)
+    n, d = xm.shape
+    S = xm.T @ xm
+    si = xm.sum(axis=0)
+    M = n * S - np.outer(si, si)
+    mxa = np.abs(M).max()
+
+    def ssdiv(a, den):
+        return np.where(a >= 0, a // den, -((-a) // den))
+
+    ms = ssdiv(1000 * M, mxa)
+    v = np.full(d, 1000, dtype=np.int64)
+    for _ in range(8):
+        w = ms @ v
+        v = ssdiv(1000 * w, np.abs(w).max())
+    num = int(v @ ms @ v)
+    den = int(v @ v)
+    trace = int(np.trace(ms))
+    share = 1_000_000 * num // (den * trace)
+    row = registry.QUERIES["q424_anisotropy"](spark, SF_MID).collect()[0]
+    assert (row["n_vectors"], row["dim"]) == (n, d)
+    assert row["num"] == num and row["den"] == den and row["trace"] == trace
+    assert row["share_ppm"] == share
+    # the quantized power-iteration estimate tracks the true spectrum
+    C = M.astype(np.float64)
+    eig = np.linalg.eigvalsh(C)
+    true_share = eig[-1] / eig.sum()
+    assert math.isclose(share / 1e6, true_share, rel_tol=0.10)
+    # random-ish fixtures: far from collapse, above the 1/d floor
+    assert row["verdict"] == "isotropic"
+    assert share >= 1_000_000 // d

@@ -143,6 +143,11 @@ def main() -> None:
         "q393_rolling_quantile",
         "q399_isotonic_calibration",
         "q401_rank1_als",
+        # round-4 tenth-sitting heavies
+        "q415_naive_bayes",
+        "q420_textrank",
+        "q423_substring_cutlist",
+        "q424_anisotropy",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -12884,3 +12884,161 @@ def q414_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("box", "ordering")
     )
+
+
+# --------------------------------------------------------------------------
+# q425 — exact Shapley-value channel attribution
+# --------------------------------------------------------------------------
+
+#: the four touch channels, bit i of the coalition mask; 'purchase' is
+#: the conversion event being attributed
+SHAP_CHANNELS = ["click", "error", "signup", "view"]
+SHAP_N = len(SHAP_CHANNELS)
+#: 24·w(|S|) = |S|!·(n−1−|S|)! for n=4 — integer Shapley weights
+SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+#: portable popcount over a 4-bit mask (only & and DIV/// on positives)
+_POP4 = "((s & 1) + (s & 2) DIV 2 + (s & 4) DIV 4 + (s & 8) DIV 8)"
+
+_SHAP_W24_CASE = "CASE " + " ".join(
+    f"WHEN {_POP4} = {k} THEN {v}" for k, v in SHAP_W24.items()
+) + " END"
+#: DuckDB spells integer division //
+_SHAP_W24_CASE_DUCK = _SHAP_W24_CASE.replace("DIV", "//").replace("(s ", "(vs.s ")
+
+_SHAP_CH_VALUES = ", ".join(
+    f"('{c}', {1 << i})" for i, c in enumerate(SHAP_CHANNELS)
+)
+
+_SHAP_MASK = " + ".join(
+    f"{1 << i} * MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+    for i, c in enumerate(SHAP_CHANNELS)
+)
+
+
+@register(
+    "q425_shapley_attribution",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST({_SHAP_MASK} AS INT) AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM users WHERE conv = 1 GROUP BY mask
+    ),
+    coalitions AS (
+        SELECT UNNEST(generate_series(0, {(1 << SHAP_N) - 1})) AS s
+    ),
+    v AS (
+        SELECT co.s,
+               CAST(COALESCE(SUM(ce.cnt), 0) AS BIGINT) AS v
+        FROM coalitions co
+        LEFT JOIN cells ce ON (ce.mask & co.s) = ce.mask
+        GROUP BY co.s
+    ),
+    contrib AS (
+        SELECT ch.channel,
+               CAST(SUM(({_SHAP_W24_CASE_DUCK})
+                        * (vi.v - vs.v)) AS BIGINT) AS phi24
+        FROM (VALUES {_SHAP_CH_VALUES}) ch(channel, bit)
+        JOIN v vs ON (vs.s & ch.bit) = 0
+        JOIN v vi ON vi.s = vs.s + ch.bit
+        GROUP BY ch.channel
+    )
+    SELECT channel, phi24,
+           CAST(1000000 * phi24 // SUM(phi24) OVER () AS BIGINT)
+               AS share_ppm
+    FROM contrib ORDER BY channel
+    """,
+)
+def q425_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    member that completes the attribution family (q141 last-touch,
+    q390 linear/position, q392 Markov removal effect, q396 paths):
+    each converting user's touched-channel set is a coalition
+    "characteristic function" observation, v(S) = conversions whose
+    touch set lies within S, and channel i's credit is the exact
+    Shapley average of its marginal contribution v(S∪i)−v(S) over all
+    2^{SHAP_N} coalitions. With {SHAP_N} channels the factorial
+    weights clear to integers when scaled by n! = 24 (phi24), so the
+    whole attribution — the one with the uniqueness/efficiency axioms
+    marketers cite — is exact integer arithmetic, and efficiency is
+    auditable: Σ phi24 = 24·(v(full) − v(∅)), i.e. attributed
+    conversions exactly exhaust the touched conversions.
+
+    Determinism: bitmask coalition encoding, a portable arithmetic
+    popcount (& and positive DIV only), integer factorial weights,
+    integer marginals, ppm floor shares. Nothing irrational anywhere.
+
+    Scale: events collapse to one row per user map-side (the q205
+    bitmap-audience trick: the touch set IS a 4-bit int), converting
+    users collapse to ≤2^{SHAP_N} mask cells, and every later frame —
+    coalition values via a subset-sum join, 2^{SHAP_N}×{SHAP_N}
+    marginals — is constant-size (allowlisted BNLJ on the tiny
+    grids). Exact Shapley is exponential in CHANNELS, not rows; at 10
+    channels the grids are still 1024 rows, and beyond that you
+    sample permutations (documented, not silently truncated).
+
+    Reference: q392 (Markov removal — the other "causal-ish"
+    attribution; Shapley is its axiomatic rival), q390/q141 (the
+    heuristics both replace), q205 (bitmask sets)."""
+    ev = load_table(spark, sf_dir, "events")
+    mask_expr = F.expr(_SHAP_MASK).cast("int").alias("mask")
+    users = ev.groupBy("user_id").agg(
+        mask_expr,
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells = (
+        users.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cells = track_cache(cells.persist())
+    coalitions = spark.range(1 << SHAP_N).select(
+        F.col("id").cast("int").alias("s")
+    )
+    v = (
+        coalitions.join(
+            F.broadcast(cells),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    v = track_cache(v.persist())
+    channels = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(SHAP_CHANNELS)],
+        "channel string, bit int",
+    )
+    contrib = (
+        channels.crossJoin(F.broadcast(v.select("s", F.col("v").alias("vs"))))
+        .filter(F.expr("(s & bit) = 0"))
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("s").alias("si"), F.col("v").alias("vi")
+                )
+            ),
+            F.expr("si = s + bit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.expr(
+                f"CAST(SUM(({_SHAP_W24_CASE}) * (vi - vs)) AS BIGINT)"
+            ).alias("phi24")
+        )
+    )
+    return contrib.select(
+        "channel",
+        "phi24",
+        F.expr(
+            "CAST(1000000 * phi24 DIV SUM(phi24) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("channel")

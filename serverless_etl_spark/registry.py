@@ -116,6 +116,7 @@ _SWEEP_PRIORITY = [
     "q416_token_entropy", "q417_feature_hashing", "q418_croston",
     "q419_hubness", "q420_textrank", "q421_allen_relations",
     "q422_sprt", "q423_substring_cutlist", "q424_anisotropy",
+    "q425_shapley_attribution",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

@@ -129,6 +129,7 @@ BNLJ_ALLOWED = {
     "q420_textrank",              # one-row node-count broadcast per round
     "q424_anisotropy",            # one-row rescale/normalizer broadcasts
                                   # over the 64x64 scatter matrix
+    "q425_shapley_attribution",   # 16-cell coalition grids broadcast
 }
 
 

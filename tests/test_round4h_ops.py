@@ -3128,3 +3128,59 @@ def test_anisotropy_integer_replay_and_float_crosscheck(spark):
     # random-ish fixtures: far from collapse, above the 1/d floor
     assert row["verdict"] == "isotropic"
     assert share >= 1_000_000 // d
+
+
+# --------------------------------------------------------------------------
+# q425 — Shapley attribution
+# --------------------------------------------------------------------------
+
+
+def test_shapley_replay_and_efficiency(spark):
+    """Exact Shapley replay from raw events + the efficiency axiom."""
+    from itertools import combinations
+    from math import factorial
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    chans = ["click", "error", "signup", "view"]
+    raw = con.execute(
+        "SELECT user_id, event_type FROM events GROUP BY 1, 2"
+    ).fetchall()
+    touched = defaultdict(set)
+    for u, t in raw:
+        touched[u].add(t)
+    cells = defaultdict(int)
+    for u, ts in touched.items():
+        if "purchase" in ts:
+            mask = sum(1 << i for i, c in enumerate(chans) if c in ts)
+            cells[mask] += 1
+
+    def v(S):
+        return sum(c for m, c in cells.items() if m & S == m)
+
+    n = 4
+    phi = {}
+    for i, c in enumerate(chans):
+        bit = 1 << i
+        tot = 0
+        others = [b for b in range(n) if b != i]
+        for r in range(n):
+            for combo in combinations(others, r):
+                S = sum(1 << b for b in combo)
+                w24 = factorial(r) * factorial(n - 1 - r)
+                tot += w24 * (v(S | bit) - v(S))
+        phi[c] = tot
+    rows = registry.QUERIES["q425_shapley_attribution"](
+        spark, SF_MID
+    ).collect()
+    got = {r["channel"]: r["phi24"] for r in rows}
+    assert got == phi
+    # efficiency: credits exhaust touched conversions exactly
+    full = (1 << n) - 1
+    assert sum(phi.values()) == 24 * (v(full) - v(0))
+    tot24 = sum(phi.values())
+    for r in rows:
+        assert r["share_ppm"] == 1_000_000 * r["phi24"] // tot24

@@ -4400,11 +4400,10 @@ def q219_reco_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q225 — ABC × XYZ inventory classification matrix
 # --------------------------------------------------------------------------
 
-#: ABC revenue cuts: A = top 80%, B = next 15%, C = tail (cross-
-#: multiplied against cumulative cents); XYZ variability: X ⇔ CV of
-#: monthly demand < 1/2, Y ⇔ CV < 1, else Z (integer CV² test)
-ABC_A_PCT = 80
-ABC_B_PCT = 95
+#: ABC revenue cuts: reuses q173's module-level ABC_A_PCT/ABC_B_PCT
+#: (A = top 80%, B = next 15%, C = tail, cross-multiplied against
+#: cumulative cents); XYZ variability: X ⇔ CV of monthly demand < 1/2,
+#: Y ⇔ CV < 1, else Z (integer CV² test)
 
 
 @register(
@@ -6420,8 +6419,8 @@ def q274_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q285 — count-min sketch error profile
 # --------------------------------------------------------------------------
 
-CMS_D = 3
-CMS_W = 256
+CMS285_D = 3
+CMS285_W = 256
 
 
 def _cms_cell(key, d: int):
@@ -6434,14 +6433,14 @@ def _cms_cell(key, d: int):
             16,
             10,
         ).cast("bigint")
-        % CMS_W
+        % CMS285_W
     )
 
 
 def _cms_cell_sql(key: str, d: int) -> str:
     return (
         f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '|c{d}'), 1, 8)) "
-        f"AS BIGINT) % {CMS_W}"
+        f"AS BIGINT) % {CMS285_W}"
     )
 
 
@@ -6455,7 +6454,7 @@ def _cms_cell_sql(key: str, d: int) -> str:
     cells AS (
         {" UNION ALL ".join(
             f"SELECT {d} AS d, {_cms_cell_sql('key', d)} AS j, cnt FROM exact"
-            for d in range(CMS_D)
+            for d in range(CMS285_D)
         )}
     ),
     sketch AS (
@@ -6468,7 +6467,7 @@ def _cms_cell_sql(key: str, d: int) -> str:
             {" UNION ALL ".join(
                 f"SELECT key, cnt, {d} AS d, {_cms_cell_sql('key', d)} AS j "
                 f"FROM exact"
-                for d in range(CMS_D)
+                for d in range(CMS285_D)
             )}
         ) c
         JOIN sketch s ON s.d = c.d AND s.j = c.j
@@ -6488,7 +6487,7 @@ def _cms_cell_sql(key: str, d: int) -> str:
 )
 def q285_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation with its measured error
-    contract: build a d={CMS_D} × w={CMS_W} sketch over part purchase
+    contract: build a d={CMS285_D} × w={CMS285_W} sketch over part purchase
     counts, read every key back through the min-of-rows estimator, and
     report the profile against exact counts — n_underestimates MUST be
     0 (CMS only overestimates) and over_ppm is the collision tax the
@@ -6501,7 +6500,7 @@ def q285_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: md5-derived cells, integer counters; one ppm division.
 
-    Scale: the sketch is d·w = {CMS_D}×{CMS_W} counters regardless of
+    Scale: the sketch is d·w = {CMS285_D}×{CMS285_W} counters regardless of
     input size — partial-combined map-side like any sum; the estimator
     join is d broadcast-size lookups. This is the mergeable-summary
     shape (stream twin: fold each micro-batch's (d,j) partials with
@@ -6523,7 +6522,7 @@ def q285_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(d).alias("d"),
                         _cms_cell(F.col("key"), d).alias("j"),
                     )
-                    for d in range(CMS_D)
+                    for d in range(CMS285_D)
                 ]
             )
         ).alias("c"),
@@ -6542,7 +6541,7 @@ def q285_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(d).alias("d"),
                         _cms_cell(F.col("key"), d).alias("j"),
                     )
-                    for d in range(CMS_D)
+                    for d in range(CMS285_D)
                 ]
             )
         ).alias("c"),
@@ -11672,7 +11671,7 @@ def q397_mix_rate_decomposition(
 # --------------------------------------------------------------------------
 
 QTE_BINS = 64
-QTE_PCTS = [25, 50, 75, 90]
+QTE398_PCTS = [25, 50, 75, 90]
 
 
 @register(
@@ -11706,7 +11705,7 @@ QTE_PCTS = [25, 50, 75, 90]
                CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
         FROM hist
     ),
-    pcts AS (SELECT unnest([{', '.join(str(p) for p in QTE_PCTS)}]) AS pct),
+    pcts AS (SELECT unnest([{', '.join(str(p) for p in QTE398_PCTS)}]) AS pct),
     sel AS (
         SELECT p.pct, c.grp,
                MIN(c.bin) AS qbin,
@@ -11788,7 +11787,7 @@ def q398_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).cast("bigint").alias("cw"),
         F.sum("c").over(w_tot).cast("bigint").alias("n"),
     )
-    pcts = spark.createDataFrame([(p,) for p in QTE_PCTS], "pct int")
+    pcts = spark.createDataFrame([(p,) for p in QTE398_PCTS], "pct int")
     sel = (
         cum.join(
             F.broadcast(pcts),

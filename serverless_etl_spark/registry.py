@@ -83,6 +83,14 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 _SWEEP_PRIORITY = [
     # (a) the r3 punch list
     "q103_winsorize", "q49_approx_distinct", "q73_approx_quantiles",
+    # (b0) tenth-sitting flagships (front-loaded so the r4 sweep's ~50
+    # rows include the newest showcase operators)
+    "q410_blocking_comparison", "q411_psi_drift", "q412_woe_iv",
+    "q413_t_closeness", "q414_zorder_locality", "q415_naive_bayes",
+    "q416_token_entropy", "q417_feature_hashing", "q418_croston",
+    "q419_hubness", "q420_textrank", "q421_allen_relations",
+    "q422_sprt", "q423_substring_cutlist", "q424_anisotropy",
+    "q425_shapley_attribution",
     # (b2) round-4 in-round additions (newest, never swept)
     "q337_l_diversity", "q338_average_precision", "q339_kruskal_wallis",
     "q340_bh_fdr", "q341_cuped", "q342_simpsons_flip",
@@ -111,12 +119,6 @@ _SWEEP_PRIORITY = [
     "q402_mmr_rerank", "q403_local_clustering", "q404_burstiness",
     "q405_p_chart", "q406_debounce", "q407_loo_encoding",
     "q408_conformal_coverage", "q409_max_drawdown",
-    "q410_blocking_comparison", "q411_psi_drift", "q412_woe_iv",
-    "q413_t_closeness", "q414_zorder_locality", "q415_naive_bayes",
-    "q416_token_entropy", "q417_feature_hashing", "q418_croston",
-    "q419_hubness", "q420_textrank", "q421_allen_relations",
-    "q422_sprt", "q423_substring_cutlist", "q424_anisotropy",
-    "q425_shapley_attribution",
     # (b) round-4 additions (no driver row yet)
     "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
     "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment",

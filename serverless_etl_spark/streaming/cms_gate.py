@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.analytics_ext import CMS_D, CMS_W, _cms_cell
+from ..operators.analytics_ext import (  # q285's sketch geometry
+    CMS285_D as CMS_D,
+    CMS285_W as CMS_W,
+    _cms_cell,
+)
 from .neardup_gate import _dynamic_overwrite, _read_or_empty
 
 COUNTER_SCHEMA = "d INT, j BIGINT, v BIGINT, batch_id BIGINT"

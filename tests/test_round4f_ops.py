@@ -20,7 +20,10 @@ from serverless_etl_spark.operators.joins import (
     BLOOM_WORD,
     bloom_build_hex,
 )
-from serverless_etl_spark.operators.analytics_ext import CMS_D, CMS_W
+from serverless_etl_spark.operators.analytics_ext import (
+    CMS285_D as CMS_D,
+    CMS285_W as CMS_W,
+)
 from tests.conftest import SF_SMALL
 
 registry.load_all()

@@ -2821,3 +2821,175 @@ def q417_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d_buckets")
     )
+
+
+# --------------------------------------------------------------------------
+# q426 — held-out next-event model evaluation (Markov vs unigram)
+# --------------------------------------------------------------------------
+
+MKV_TRAIN_UPPER = "cd"  #: md5 user split, q58/q415 idiom
+
+
+@register(
+    "q426_markov_heldout",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                   < '{MKV_TRAIN_UPPER}' AS is_train,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE is_train AND prev IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT prev AS st FROM trans),
+    row_tot AS (
+        SELECT prev, CAST(SUM(c) AS BIGINT) AS rt,
+               CAST(SUM(SUM(c)) OVER () AS BIGINT) AS gt
+        FROM trans GROUP BY prev
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    uni AS (
+        SELECT nxt, CAST(SUM(c) AS BIGINT) AS uc FROM trans GROUP BY nxt
+    ),
+    ev AS (
+        SELECT prev, event_type AS nxt
+        FROM seq WHERE NOT is_train AND prev IS NOT NULL
+    ),
+    scored AS (
+        SELECT 'markov' AS model,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(SUM(CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+                   / (rt.rt + ns.k))) AS BIGINT)) AS BIGINT)
+                   AS sum_ll_micro
+        FROM ev
+        JOIN row_tot rt ON rt.prev = ev.prev
+        CROSS JOIN ns
+        LEFT JOIN trans t ON t.prev = ev.prev AND t.nxt = ev.nxt
+        UNION ALL
+        SELECT 'unigram',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(u.uc, 0) + 1 AS DOUBLE)
+                   / (rt2.gt + ns.k))) AS BIGINT)) AS BIGINT)
+        FROM ev
+        JOIN (SELECT DISTINCT gt FROM row_tot) rt2 ON TRUE
+        CROSS JOIN ns
+        LEFT JOIN uni u ON u.nxt = ev.nxt
+    )
+    SELECT model, n_transitions, sum_ll_micro,
+           CAST(sum_ll_micro // n_transitions AS BIGINT)
+               AS avg_ll_micro
+    FROM scored ORDER BY model
+    """,
+)
+def q426_markov_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order Markov next-event model
+    (q130's transition matrix) against the unigram baseline — the
+    LM-eval loop applied to BEHAVIOR: train both on the md5 80% of
+    users, score every held-out transition's Laplace-smoothed log
+    probability, and compare average log-loss. This is the missing
+    half of every sequence model in the engine: q130 ESTIMATES
+    transitions, q163/q396 mine paths, but none of them said whether
+    sequence context actually predicts better than base rates — the
+    (markov − unigram) gap is that number, and "fit on train, score
+    on held-out" is the only honest way to get it (in-sample, more
+    parameters always win; the q365 learning-curve stance).
+
+    Determinism: both models' per-transition scores truncate
+    independently at micro scale (the q415/q411 FLOOR-of-ln
+    discipline) and sum as BIGINTs; Laplace +1 over the k observed
+    states keeps unseen transitions finite; the user split is the
+    portable md5 idiom. The average divides a NEGATIVE sum — safe
+    because DuckDB's // and Spark's DIV both truncate toward zero
+    (verified against the driver comparison; the q424 sign-split is
+    belt-and-braces under the same semantics).
+
+    Scale: ONE ordered-window pass builds transitions (per-user
+    partitions); the transition matrix is k² rows, totals k rows —
+    all broadcasts; held-out scoring is one map-side join per
+    transition. The same shape scores a 10⁹-session corpus.
+
+    Reference: q130 (the model), q115 (bigram LM over text — same
+    eval), q415 (NB — same train/score split), q365 (why held-out)."""
+    ev0 = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev0.select(
+        "user_id",
+        "event_type",
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+            < MKV_TRAIN_UPPER
+        ).alias("is_train"),
+        F.lag("event_type").over(w_u).alias("prev"),
+    )
+    seq = track_cache(seq.persist())
+    trans = (
+        seq.filter(F.col("is_train") & F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    trans = track_cache(trans.persist())
+    row_tot = trans.groupBy("prev").agg(
+        F.sum("c").cast("bigint").alias("rt")
+    )
+    gt = trans.agg(F.sum("c").cast("bigint").alias("gt"))
+    ns = trans.select("prev").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    uni = trans.groupBy("nxt").agg(F.sum("c").cast("bigint").alias("uc"))
+    evl = seq.filter(~F.col("is_train") & F.col("prev").isNotNull()).select(
+        "prev", F.col("event_type").alias("nxt")
+    )
+    mk_term = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            (F.coalesce("c", F.lit(0)) + 1).cast("double")
+            / (F.col("rt") + F.col("k"))
+        )
+    ).cast("bigint")
+    markov = (
+        evl.join(F.broadcast(row_tot), "prev")
+        .crossJoin(F.broadcast(ns))
+        .join(F.broadcast(trans), ["prev", "nxt"], "left")
+        .agg(
+            F.lit("markov").alias("model"),
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(mk_term).cast("bigint").alias("sum_ll_micro"),
+        )
+    )
+    un_term = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            (F.coalesce("uc", F.lit(0)) + 1).cast("double")
+            / (F.col("gt") + F.col("k"))
+        )
+    ).cast("bigint")
+    unigram = (
+        evl.crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(ns))
+        .join(F.broadcast(uni), "nxt", "left")
+        .agg(
+            F.lit("unigram").alias("model"),
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(un_term).cast("bigint").alias("sum_ll_micro"),
+        )
+    )
+    # DuckDB `//` and Spark DIV both truncate toward zero, so the
+    # negative numerator divides identically in both engines
+    avg = F.expr("CAST(sum_ll_micro DIV n_transitions AS BIGINT)")
+    return (
+        markov.unionAll(unigram)
+        .select(
+            "model",
+            "n_transitions",
+            "sum_ll_micro",
+            avg.alias("avg_ll_micro"),
+        )
+        .orderBy("model")
+    )

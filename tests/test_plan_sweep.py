@@ -130,6 +130,7 @@ BNLJ_ALLOWED = {
     "q424_anisotropy",            # one-row rescale/normalizer broadcasts
                                   # over the 64x64 scatter matrix
     "q425_shapley_attribution",   # 16-cell coalition grids broadcast
+    "q426_markov_heldout",        # k-row totals / one-row k broadcasts
 }
 
 

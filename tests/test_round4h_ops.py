@@ -3184,3 +3184,63 @@ def test_shapley_replay_and_efficiency(spark):
     tot24 = sum(phi.values())
     for r in rows:
         assert r["share_ppm"] == 1_000_000 * r["phi24"] // tot24
+
+
+# --------------------------------------------------------------------------
+# q426 — Markov held-out eval
+# --------------------------------------------------------------------------
+
+
+def test_markov_heldout_replay(spark):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts,"
+        " event_id"
+    ).fetchall()
+    import hashlib
+    seqs = defaultdict(list)
+    for u, t in rows:
+        seqs[u].append(t)
+    trans = defaultdict(int)
+    ev_pairs = []
+    for u, s in seqs.items():
+        is_train = hashlib.md5(str(u).encode()).hexdigest()[:2] < "cd"
+        for a, b in zip(s, s[1:]):
+            if is_train:
+                trans[(a, b)] += 1
+            else:
+                ev_pairs.append((a, b))
+    rt = defaultdict(int)
+    uni = defaultdict(int)
+    for (a, b), c in trans.items():
+        rt[a] += c
+        uni[b] += c
+    gt = sum(trans.values())
+    k = len(rt)
+    mk = sum(
+        math.floor(1e6 * math.log((trans.get((a, b), 0) + 1) / (rt[a] + k)))
+        for a, b in ev_pairs
+    )
+    un = sum(
+        math.floor(1e6 * math.log((uni.get(b, 0) + 1) / (gt + k)))
+        for a, b in ev_pairs
+    )
+    got = {
+        r["model"]: r
+        for r in registry.QUERIES["q426_markov_heldout"](
+            spark, SF_MID
+        ).collect()
+    }
+    n = len(ev_pairs)
+    assert got["markov"]["n_transitions"] == n
+    assert got["markov"]["sum_ll_micro"] == mk
+    assert got["unigram"]["sum_ll_micro"] == un
+    for r in got.values():
+        assert r["avg_ll_micro"] == int(r["sum_ll_micro"] / n)  # trunc
+        assert r["sum_ll_micro"] < 0

@@ -13041,3 +13041,119 @@ def q425_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * phi24 DIV SUM(phi24) OVER () AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# q427 — 1-D Wasserstein (earth-mover) distance between two groups
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q427_wasserstein_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN 'a' ELSE 'b' END AS grp
+        FROM events
+    ),
+    sized AS (
+        SELECT CAST(COUNT(*) FILTER (grp = 'a') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (grp = 'b') AS BIGINT) AS n_b
+        FROM tagged
+    ),
+    pts AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca0,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb0
+        FROM tagged GROUP BY v
+    ),
+    steps AS (
+        SELECT v,
+               SUM(ca0) OVER (ORDER BY v) AS ca,
+               SUM(cb0) OVER (ORDER BY v) AS cb,
+               LEAD(v) OVER (ORDER BY v) AS vn
+        FROM pts
+    )
+    SELECT s.n_a, s.n_b,
+           CAST(SUM(ABS(st.ca * s.n_b - st.cb * s.n_a) * (st.vn - st.v))
+                // (s.n_a * s.n_b) AS BIGINT) AS w1_micro
+    FROM steps st CROSS JOIN sized s
+    WHERE st.vn IS NOT NULL
+    GROUP BY s.n_a, s.n_b
+    """,
+)
+def q427_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the click/view
+    and purchase/signup/error value distributions — the AREA between
+    the two ECDFs, ∫|F_a − F_b|dx, in micro value units. Completes the
+    two-sample drift triad with the member that carries UNITS: q127's
+    KS is the worst single point (scale-free, threshold at a glance),
+    q411's PSI is a binned divergence (standard thresholds, no units),
+    W1 is "how far, in dollars/seconds/value, would mass have to move"
+    — the only one a cost model can consume directly, and the metric
+    of choice when distributions differ by a shift rather than a
+    shape change (KS saturates, W1 keeps growing linearly).
+
+    Determinism: values quantized to integer micro units; the ECDF
+    gap cross-multiplies (|ca·n_b − cb·n_a|), each step weighted by
+    the exact integer support gap, summed as BIGINTs, ONE floor DIV
+    by n_a·n_b at the end. Exactly the t-closeness EMD identity
+    (q413) applied to a numeric support.
+
+    Scale: like q127's exact form, the ECDF is a global-ordered
+    window — the documented single-reducer exact twin; at 100× route
+    to the binned pair (q134 KS-binned / q411 PSI share one histogram
+    pass, and a binned W1 is the same Σ|cum gap|·binwidth over that
+    histogram). The support-collapse groupBy keeps the sorted set at
+    |distinct values|, not |rows|.
+
+    Reference: q127/q134 (KS exact/binned), q411 (PSI), q413 (ordinal
+    EMD twin), q346 (energy distance — the two-sample kernel
+    cousin)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v"),
+        F.when(
+            F.col("event_type").isin("click", "view"), "a"
+        )
+        .otherwise("b")
+        .alias("grp"),
+    )
+    tagged = track_cache(tagged.persist())
+    sized = tagged.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    pts = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca0"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb0"),
+    )
+    w_ord = Window.orderBy("v")
+    steps = pts.select(
+        "v",
+        F.sum("ca0").over(w_ord).alias("ca"),
+        F.sum("cb0").over(w_ord).alias("cb"),
+        F.lead("v").over(w_ord).alias("vn"),
+    )
+    return (
+        steps.filter(F.col("vn").isNotNull())
+        .crossJoin(F.broadcast(sized))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(SUM(ABS(ca * n_b - cb * n_a) * (vn - v))"
+                " DIV (n_a * n_b) AS BIGINT)"
+            ).alias("w1_micro")
+        )
+    )

@@ -131,6 +131,7 @@ BNLJ_ALLOWED = {
                                   # over the 64x64 scatter matrix
     "q425_shapley_attribution",   # 16-cell coalition grids broadcast
     "q426_markov_heldout",        # k-row totals / one-row k broadcasts
+    "q427_wasserstein_drift",     # one-row (n_a, n_b) sizes broadcast
 }
 
 

@@ -3244,3 +3244,48 @@ def test_markov_heldout_replay(spark):
     for r in got.values():
         assert r["avg_ll_micro"] == int(r["sum_ll_micro"] / n)  # trunc
         assert r["sum_ll_micro"] < 0
+
+
+# --------------------------------------------------------------------------
+# q427 — Wasserstein drift
+# --------------------------------------------------------------------------
+
+
+def test_wasserstein_replay_and_scipy_identity(spark):
+    """Integer replay + cross-check against the float ECDF-area
+    definition computed directly in numpy."""
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    vals = con.execute(
+        """
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT),
+               CASE WHEN event_type IN ('click','view') THEN 'a'
+                    ELSE 'b' END
+        FROM events
+        """
+    ).fetchall()
+    a = sorted(v for v, g in vals if g == "a")
+    b = sorted(v for v, g in vals if g == "b")
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    from bisect import bisect_right
+    num = 0
+    for v, vn in zip(support, support[1:]):
+        ca, cb = bisect_right(a, v), bisect_right(b, v)
+        num += abs(ca * nb - cb * na) * (vn - v)
+    expect = num // (na * nb)
+    row = registry.QUERIES["q427_wasserstein_drift"](spark, SF_MID).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["w1_micro"] == expect
+    # float cross-check: integer result within one unit of the float W1
+    aa, bb = np.array(a, dtype=float), np.array(b, dtype=float)
+    fa = np.searchsorted(aa, support, side="right") / na
+    fb = np.searchsorted(bb, support, side="right") / nb
+    gaps = np.diff(np.array(support, dtype=float))
+    w1_float = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * gaps))
+    assert abs(row["w1_micro"] - w1_float) <= 1.0

@@ -13157,3 +13157,134 @@ def q427_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_micro")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q428 — binned Wasserstein drift (the q427 scale twin)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q428_w1_binned",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS vm,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN 'a' ELSE 'b' END AS grp
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(vm) AS lo, MAX(vm) AS hi FROM tagged
+    ),
+    sized AS (
+        SELECT CAST(COUNT(*) FILTER (grp = 'a') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (grp = 'b') AS BIGINT) AS n_b
+        FROM tagged
+    ),
+    binned AS (
+        SELECT LEAST({KS_BINS} * (vm - lo) // (hi - lo),
+                     {KS_BINS - 1}) AS bin, grp
+        FROM tagged, bounds
+    ),
+    hist AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS h_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS h_b
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin,
+               CAST(SUM(h_a) OVER (ORDER BY bin) AS BIGINT) AS ca,
+               CAST(SUM(h_b) OVER (ORDER BY bin) AS BIGINT) AS cb
+        FROM hist
+    )
+    SELECT s.n_a, s.n_b, CAST({KS_BINS} AS BIGINT) AS n_bins,
+           CAST(SUM(ABS(c.ca * s.n_b - c.cb * s.n_a)) * (b.hi - b.lo)
+                // ({KS_BINS} * s.n_a * s.n_b) AS BIGINT)
+               AS w1_binned_micro
+    FROM cum c CROSS JOIN sized s CROSS JOIN bounds b
+    GROUP BY s.n_a, s.n_b, b.hi, b.lo
+    """,
+)
+def q428_w1_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 — the scale-safe twin of q427, the same
+    relationship q134 bears to q127: ONE histogram pass ({KS_BINS}
+    equi-width bins over data-derived integer-micro bounds, exactly
+    q134's binning) instead of a global sort over the merged support,
+    with W1 approximated as binwidth · Σ|cumulative-share gap| over
+    the bins. The approximation error is bounded by one binwidth
+    (mass can move at most a bin's width unaccounted), which the
+    convergence test pins against q427's exact value — so at 100 TB
+    the drift monitor runs THIS form (mergeable histogram partials,
+    q369's shape) and q427 stays the audit twin.
+
+    Determinism: integer micro bounds, integer floor binning,
+    cross-multiplied cumulative gaps summed as BIGINTs, one floor DIV
+    by bins·n_a·n_b. The same histogram serves q134's binned KS and a
+    binned PSI (q411) — one pass, three drift metrics.
+
+    Scale: map-side collapse to ≤{KS_BINS} cells after a one-row
+    bounds broadcast (allowlisted BNLJ); the window runs over
+    {KS_BINS} rows. Nothing sorts the corpus.
+
+    Reference: q427 (exact twin), q134 (binned KS, shared binning),
+    q411 (PSI), q369 (mergeable histogram state)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vm"),
+        F.when(F.col("event_type").isin("click", "view"), "a")
+        .otherwise("b")
+        .alias("grp"),
+    )
+    tagged = track_cache(tagged.persist())
+    bounds = tagged.agg(
+        F.min("vm").alias("lo"), F.max("vm").alias("hi")
+    )
+    sized = tagged.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    binned = tagged.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr(f"{KS_BINS} * (vm - lo) DIV (hi - lo)"),
+            F.lit(KS_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "grp",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("h_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("h_b"),
+    )
+    w_ord = Window.orderBy("bin")
+    cum = hist.select(
+        "bin",
+        F.sum("h_a").over(w_ord).cast("bigint").alias("ca"),
+        F.sum("h_b").over(w_ord).cast("bigint").alias("cb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(sized))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("n_a", "n_b", "hi", "lo")
+        .agg(
+            F.expr(
+                f"CAST(SUM(ABS(ca * n_b - cb * n_a)) * (hi - lo)"
+                f" DIV ({KS_BINS} * n_a * n_b) AS BIGINT)"
+            ).alias("w1_binned_micro")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.lit(KS_BINS).cast("bigint").alias("n_bins"),
+            "w1_binned_micro",
+        )
+    )

@@ -132,6 +132,7 @@ BNLJ_ALLOWED = {
     "q425_shapley_attribution",   # 16-cell coalition grids broadcast
     "q426_markov_heldout",        # k-row totals / one-row k broadcasts
     "q427_wasserstein_drift",     # one-row (n_a, n_b) sizes broadcast
+    "q428_w1_binned",             # one-row bounds + sizes broadcasts
 }
 
 

@@ -3289,3 +3289,29 @@ def test_wasserstein_replay_and_scipy_identity(spark):
     gaps = np.diff(np.array(support, dtype=float))
     w1_float = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * gaps))
     assert abs(row["w1_micro"] - w1_float) <= 1.0
+
+
+# --------------------------------------------------------------------------
+# q428 — binned W1 converges to the exact W1
+# --------------------------------------------------------------------------
+
+
+def test_w1_binned_within_one_binwidth_of_exact(spark):
+    exact = registry.QUERIES["q427_wasserstein_drift"](
+        spark, SF_MID
+    ).collect()[0]
+    binned = registry.QUERIES["q428_w1_binned"](spark, SF_MID).collect()[0]
+    assert (binned["n_a"], binned["n_b"]) == (exact["n_a"], exact["n_b"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    lo, hi = con.execute(
+        "SELECT MIN(CAST(FLOOR(value * 1000000) AS BIGINT)),"
+        " MAX(CAST(FLOOR(value * 1000000) AS BIGINT)) FROM events"
+    ).fetchone()
+    binwidth = (hi - lo) // 256 + 1
+    # the binned approximation can misplace mass by at most a bin
+    assert abs(binned["w1_binned_micro"] - exact["w1_micro"]) <= binwidth
+    assert binned["n_bins"] == 256

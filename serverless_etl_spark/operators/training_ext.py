@@ -2993,3 +2993,175 @@ def q426_markov_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+# --------------------------------------------------------------------------
+# q429 — mutual information between categorical feature pairs
+# --------------------------------------------------------------------------
+
+def _mi_pair_sql(table: str, pair: str, x: str, y: str) -> str:
+    """One feature pair's MI/entropy block (DuckDB side)."""
+    return f"""
+        SELECT '{pair}' AS pair,
+               CAST(SUM(t.term) AS BIGINT) // MAX(t.n) AS mi_micro,
+               CAST(FLOOR(1000000.0 * ln(MAX(t.n)))
+                    - MAX(t.sx) // MAX(t.n) AS BIGINT) AS h_x_micro,
+               CAST(FLOOR(1000000.0 * ln(MAX(t.n)))
+                    - MAX(t.sy) // MAX(t.n) AS BIGINT) AS h_y_micro
+        FROM (
+            SELECT cells.cxy AS cxy, mx.cx, my.cy, nt.n,
+                   CAST(FLOOR(1000000.0 * ln(
+                       CAST(nt.n * cells.cxy AS DOUBLE)
+                       / (mx.cx * my.cy))) AS BIGINT) * cells.cxy
+                       AS term,
+                   xs.sx, ys.sy
+            FROM (
+                SELECT {x} AS xv, {y} AS yv,
+                       CAST(COUNT(*) AS BIGINT) AS cxy
+                FROM {table} GROUP BY 1, 2
+            ) cells
+            JOIN (
+                SELECT {x} AS xv, CAST(COUNT(*) AS BIGINT) AS cx
+                FROM {table} GROUP BY 1
+            ) mx ON mx.xv = cells.xv
+            JOIN (
+                SELECT {y} AS yv, CAST(COUNT(*) AS BIGINT) AS cy
+                FROM {table} GROUP BY 1
+            ) my ON my.yv = cells.yv
+            CROSS JOIN (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}
+            ) nt
+            CROSS JOIN (
+                SELECT CAST(SUM(CAST(FLOOR(1000000.0 * c * ln(c))
+                    AS BIGINT)) AS BIGINT) AS sx
+                FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {x})
+            ) xs
+            CROSS JOIN (
+                SELECT CAST(SUM(CAST(FLOOR(1000000.0 * c * ln(c))
+                    AS BIGINT)) AS BIGINT) AS sy
+                FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {y})
+            ) ys
+        ) t
+    """
+
+
+@register(
+    "q429_mutual_information",
+    oracle=f"""
+    WITH li AS (
+        SELECT CAST(ROUND(l_discount * 100, 0) AS INT) AS disc,
+               l_returnflag AS rf
+        FROM lineitem
+    ),
+    od AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+    ),
+    both_pairs AS (
+        {_mi_pair_sql('li', 'discount_x_returnflag', 'disc', 'rf')}
+        UNION ALL
+        {_mi_pair_sql('od', 'priority_x_status', 'pri', 'st')}
+    )
+    SELECT pair, mi_micro, h_x_micro, h_y_micro,
+           CAST(1000000 * mi_micro // LEAST(h_x_micro, h_y_micro)
+               AS BIGINT) AS nmi_ppm
+    FROM both_pairs ORDER BY pair
+    """,
+)
+def q429_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categorical feature pairs — the
+    feature-REDUNDANCY screen that completes the selection toolkit:
+    q412's IV ranks each feature against the TARGET, q333's Cramér's V
+    measures association strength, but MI is the quantity with the
+    additive story (bits shared), the standard mRMR selection
+    criterion, and — normalized by min-entropy — a 0..1 redundancy
+    score comparable across pairs of different cardinalities. Two
+    pairs audited here: (discount × returnflag) on lineitem and
+    (priority × status) on orders; near-zero NMI says the pair is
+    safe to keep together, NMI → 1 says one of them is dead weight.
+
+    Determinism: MI = Σ c_xy·ln(N·c_xy/(c_x·c_y))/N with the per-CELL
+    FLOOR-at-micro discipline (q411/q415) — each cell's irrational
+    term truncates independently, sums are BIGINT, one trunc DIV by
+    N; entropies use q416's ln(N) − Σc·ln(c)/N decomposition; NMI is
+    a final integer ratio. Quantization can dip an
+    independent-features MI a few micro-nats below zero — documented,
+    not hidden (the true MI is ≥ 0).
+
+    Scale: per pair, three map-side aggregations (cells, two
+    marginals) and one-row totals — the |X|·|Y| cell grid is the only
+    state. The same shape screens F² feature pairs by melting to a
+    (feature_a, feature_b, value_a, value_b) grain.
+
+    Reference: q412 (IV), q333 (Cramér's V), q156 (residuals), q416
+    (entropy decomposition), q241 (functional dependencies — the
+    NMI=1 limit)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("xv"),
+        F.col("l_returnflag").alias("yv"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("xv"),
+        F.col("o_orderstatus").alias("yv"),
+    )
+    out = None
+    for pair, src in [
+        ("discount_x_returnflag", li),
+        ("priority_x_status", od),
+    ]:
+        src = track_cache(src.persist())
+        cells = src.groupBy("xv", "yv").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cxy")
+        )
+        mx = src.groupBy("xv").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cx")
+        )
+        my = src.groupBy("yv").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cy")
+        )
+        nt = src.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        ent_sum = F.sum(
+            F.expr("CAST(FLOOR(1000000.0 * c * ln(c)) AS BIGINT)")
+        ).cast("bigint")
+        xs = mx.select(F.col("cx").alias("c")).agg(ent_sum.alias("sx"))
+        ys = my.select(F.col("cy").alias("c")).agg(ent_sum.alias("sy"))
+        term = (
+            F.expr(
+                "CAST(FLOOR(1000000.0 * ln(CAST(n * cxy AS DOUBLE)"
+                " / (cx * cy))) AS BIGINT)"
+            )
+            * F.col("cxy")
+        )
+        row = (
+            cells.join(F.broadcast(mx), "xv")
+            .join(F.broadcast(my), "yv")
+            .crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(xs))
+            .crossJoin(F.broadcast(ys))
+            .agg(
+                F.lit(pair).alias("pair"),
+                F.expr(
+                    "CAST(SUM(CAST(FLOOR(1000000.0 *"
+                    " ln(CAST(n * cxy AS DOUBLE) / (cx * cy)))"
+                    " AS BIGINT) * cxy) AS BIGINT) DIV MAX(n)"
+                ).cast("bigint").alias("mi_micro"),
+                F.expr(
+                    "CAST(FLOOR(1000000.0 * ln(MAX(n)))"
+                    " - MAX(sx) DIV MAX(n) AS BIGINT)"
+                ).alias("h_x_micro"),
+                F.expr(
+                    "CAST(FLOOR(1000000.0 * ln(MAX(n)))"
+                    " - MAX(sy) DIV MAX(n) AS BIGINT)"
+                ).alias("h_y_micro"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.select(
+        "pair",
+        "mi_micro",
+        "h_x_micro",
+        "h_y_micro",
+        F.expr(
+            "CAST(1000000 * mi_micro DIV LEAST(h_x_micro, h_y_micro)"
+            " AS BIGINT)"
+        ).alias("nmi_ppm"),
+    ).orderBy("pair")

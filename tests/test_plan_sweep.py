@@ -133,6 +133,7 @@ BNLJ_ALLOWED = {
     "q426_markov_heldout",        # k-row totals / one-row k broadcasts
     "q427_wasserstein_drift",     # one-row (n_a, n_b) sizes broadcast
     "q428_w1_binned",             # one-row bounds + sizes broadcasts
+    "q429_mutual_information",    # marginal/total one-row broadcasts
 }
 
 

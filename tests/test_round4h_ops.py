@@ -3315,3 +3315,58 @@ def test_w1_binned_within_one_binwidth_of_exact(spark):
     # the binned approximation can misplace mass by at most a bin
     assert abs(binned["w1_binned_micro"] - exact["w1_micro"]) <= binwidth
     assert binned["n_bins"] == 256
+
+
+# --------------------------------------------------------------------------
+# q429 — mutual information
+# --------------------------------------------------------------------------
+
+
+def test_mutual_information_replay(spark):
+    import math
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_MID}/{t}.parquet'"
+        )
+    specs = {
+        "discount_x_returnflag": con.execute(
+            "SELECT CAST(ROUND(l_discount * 100, 0) AS INT),"
+            " l_returnflag, COUNT(*) FROM lineitem GROUP BY 1, 2"
+        ).fetchall(),
+        "priority_x_status": con.execute(
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*)"
+            " FROM orders GROUP BY 1, 2"
+        ).fetchall(),
+    }
+    rows = registry.QUERIES["q429_mutual_information"](
+        spark, SF_MID
+    ).collect()
+    got = {r["pair"]: r for r in rows}
+    for pair, cells in specs.items():
+        cx, cy = defaultdict(int), defaultdict(int)
+        for x, y, c in cells:
+            cx[x] += c
+            cy[y] += c
+        n = sum(cx.values())
+        tot = sum(
+            math.floor(1e6 * math.log(n * c / (cx[x] * cy[y]))) * c
+            for x, y, c in cells
+        )
+        # both engines' integer division truncates toward zero
+        mi = tot // n if tot >= 0 else -((-tot) // n)
+        hx = math.floor(1e6 * math.log(n)) - sum(
+            math.floor(1e6 * c * math.log(c)) for c in cx.values()
+        ) // n
+        hy = math.floor(1e6 * math.log(n)) - sum(
+            math.floor(1e6 * c * math.log(c)) for c in cy.values()
+        ) // n
+        r = got[pair]
+        assert r["h_x_micro"] == hx and r["h_y_micro"] == hy
+        assert r["mi_micro"] == mi
+        # independence in the fixtures: redundancy is negligible
+        assert abs(r["nmi_ppm"]) < 50_000
+        # entropies are positive and bounded by ln(cardinality)
+        assert 0 < hx <= math.floor(1e6 * math.log(len(cx))) + 1
+        assert 0 < hy <= math.floor(1e6 * math.log(len(cy))) + 1

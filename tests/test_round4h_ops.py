@@ -3370,3 +3370,79 @@ def test_mutual_information_replay(spark):
         # entropies are positive and bounded by ln(cardinality)
         assert 0 < hx <= math.floor(1e6 * math.log(len(cx))) + 1
         assert 0 < hy <= math.floor(1e6 * math.log(len(cy))) + 1
+
+
+# --------------------------------------------------------------------------
+# q430 — secret scan
+# --------------------------------------------------------------------------
+
+
+def test_secret_scan_finds_exactly_the_seeded_truth(spark):
+    """The seeded construction IS the truth: every doc_id % 13 == 0
+    carries exactly one AKIA key, % 17 one ghp_ token, % 19 one PEM
+    marker — recall and precision must both be exact."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    expect = {
+        "aws_access_key": sum(1 for i in ids if i % 13 == 0),
+        "github_token": sum(1 for i in ids if i % 17 == 0),
+        "private_key_block": sum(1 for i in ids if i % 19 == 0),
+    }
+    rows = registry.QUERIES["q430_secret_scan"](spark, SF_MID).collect()
+    got = {r["secret_class"]: r for r in rows}
+    for cls, n in expect.items():
+        assert got[cls]["n_docs_flagged"] == n
+        assert got[cls]["n_matches"] == n  # exactly one per seeded doc
+        assert got[cls]["flagged_ppm"] == 1_000_000 * n // len(ids)
+
+
+# --------------------------------------------------------------------------
+# q431 — dataset card
+# --------------------------------------------------------------------------
+
+
+def test_dataset_card_replay(spark):
+    import hashlib
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    raw = con.execute(
+        "SELECT source, lang, n_chars, text FROM documents"
+    ).fetchall()
+    per = defaultdict(list)
+    for s, l, nc, tx in raw:
+        per[s].append((l, nc, tx))
+    rows = registry.QUERIES["q431_dataset_card"](spark, SF_MID).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        docs = per[r["source"]]
+        n = len(docs)
+        assert r["n_docs"] == n
+        assert r["total_chars"] == sum(nc for _, nc, _ in docs)
+        assert r["avg_chars"] == sum(nc for _, nc, _ in docs) // n
+        assert r["short_ppm"] == (
+            1_000_000 * sum(1 for _, nc, _ in docs if nc < 100) // n
+        )
+        assert r["avg_tokens"] == (
+            sum(len(tx.split(" ")) for _, _, tx in docs) // n
+        )
+        hashes = {hashlib.md5(tx.encode()).hexdigest() for _, _, tx in docs}
+        assert r["dup_ppm"] == 1_000_000 * (n - len(hashes)) // n
+        langs = defaultdict(int)
+        for l, _, _ in docs:
+            langs[l] += 1
+        assert r["n_langs"] == len(langs)
+        ent = math.floor(1e6 * math.log(n)) - sum(
+            math.floor(1e6 * c * math.log(c)) for c in langs.values()
+        ) // n
+        assert r["lang_entropy_micro"] == ent
+        # a 5-language mix: entropy strictly positive, below ln(5)
+        assert 0 < ent <= math.floor(1e6 * math.log(5)) + 1

@@ -4642,3 +4642,145 @@ def q418_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q432 — EWMA control chart (continuous-variable SPC)
+# --------------------------------------------------------------------------
+
+EWMA_L2 = 9  #: L² for the 3-sigma limit (L = 3)
+
+
+def _ewma_fn(pdf):
+    """Per-key EWMA walk (lambda = 1/2 — the q377 halving kernel) with
+    the 3-sigma violation test kept in INTEGERS: flag when
+    (ewma − center)² > L²·sigma²·lambda/(2−lambda) = 3·sigma², i.e.
+    (e·n − 1000·Σx)² > 3·10⁶·(n·Σx² − (Σx)²) — no sqrt anywhere."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    pdf = pdf.sort_values("d")
+    xs = [int(v) for v in pdf["x"].to_list()]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(v * v for v in xs)
+    # center and variance in cross-multiplied integer forms:
+    # center = sx/n ; sigma2 = (n*sxx - sx*sx) / n^2
+    e = xs[0] * 1000  # milli-scaled EWMA state, seeded at first obs
+    viol = 0
+    worst_num = 0
+    last_flag = 0
+    for v in xs[1:]:
+        e = (e + v * 1000) // 2
+        # flag iff (e/1000 - sx/n)^2 > (L2/3) * sigma2 with
+        # sigma2 = (n*sxx - sx*sx)/n^2; multiplying through by
+        # 1000^2 * n^2 gives the integer form below (L2/3 = 3)
+        num = (e * n - 1000 * sx) ** 2
+        den = (EWMA_L2 // 3) * 1_000_000 * (n * sxx - sx * sx)
+        worst_num = max(worst_num, num)
+        if num > den:
+            viol += 1
+            last_flag = 1
+        else:
+            last_flag = 0
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [n],
+            "ewma_milli": [e],
+            "n_violations": [viol],
+            "flagged_now": [last_flag],
+        }
+    )
+
+
+@register(
+    "q432_ewma_chart",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM seq GROUP BY 1
+    ),
+    rec AS (
+        SELECT s.event_type, s.i, CAST(s.x * 1000 AS BIGINT) AS e,
+               CAST(0 AS BIGINT) AS viol, CAST(0 AS BIGINT) AS lf
+        FROM seq s WHERE s.i = 1
+        UNION ALL
+        SELECT s.event_type, s.i,
+               (r.e + s.x * 1000) // 2 AS e,
+               r.viol + CASE WHEN
+                   ((r.e + s.x * 1000) // 2 * st.n - 1000 * st.sx)
+                     * ((r.e + s.x * 1000) // 2 * st.n - 1000 * st.sx)
+                   > {EWMA_L2 // 3} * 1000000 * (st.n * st.sxx
+                                                 - st.sx * st.sx)
+                   THEN 1 ELSE 0 END,
+               CASE WHEN
+                   ((r.e + s.x * 1000) // 2 * st.n - 1000 * st.sx)
+                     * ((r.e + s.x * 1000) // 2 * st.n - 1000 * st.sx)
+                   > {EWMA_L2 // 3} * 1000000 * (st.n * st.sxx
+                                                 - st.sx * st.sx)
+                   THEN 1 ELSE 0 END
+        FROM rec r
+        JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+        JOIN stats st ON st.event_type = s.event_type
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS n_days, e AS ewma_milli,
+           viol AS n_violations, lf AS flagged_now
+    FROM rec
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY i DESC) = 1
+    ORDER BY event_type
+    """,
+)
+def q432_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the per-type daily volume — the
+    CONTINUOUS-variable member that completes the SPC family: q405's
+    p-chart handles attribute (rate) data, q152's CUSUM accumulates
+    drift, the EWMA chart is the standard small-shift detector for a
+    level variable (more sensitive than Shewhart for shifts under
+    ~1.5σ, less lag than CUSUM for level changes). λ = 1/2 makes the
+    smoothing the q377 halving kernel, and the steady-state 3σ limit
+    enters SQUARED and cross-multiplied — 3·(e·n − 1000·Σx)² >
+    L²·10⁶·n·(n·Σx² − (Σx)²) — so the whole chart, violations
+    included, is exact integer arithmetic (the q413/q404
+    cross-multiplication stance applied to σ·√(λ/(2−λ)) = σ/√3).
+
+    Determinism: integer milli EWMA state, integer squared-limit
+    comparisons; the oracle replays the identical recursion as a
+    recursive CTE (q377/q385/q418 discipline).
+
+    Scale: events collapse to |types|×|days| map-side; the recursion
+    walks per key in Arrow applyInPandas (non-associative truncation
+    — no prefix-scan escape); baseline moments are one tiny
+    aggregate. Streaming twin: the state is two integers per key —
+    transformWithState-ready (streaming/stateful.py's shape).
+
+    Reference: q405 (attribute chart), q152 (CUSUM), q377 (kernel),
+    q143 (seasonal anomaly — run THIS when volume has no weekly
+    shape, THAT when it does)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            _ewma_fn,
+            "event_type string, n_days bigint, ewma_milli bigint, "
+            "n_violations bigint, flagged_now bigint",
+        )
+        .orderBy("event_type")
+    )

@@ -3446,3 +3446,54 @@ def test_dataset_card_replay(spark):
         assert r["lang_entropy_micro"] == ent
         # a 5-language mix: entropy strictly positive, below ln(5)
         assert 0 < ent <= math.floor(1e6 * math.log(5)) + 1
+
+
+# --------------------------------------------------------------------------
+# q432 — EWMA chart
+# --------------------------------------------------------------------------
+
+
+def test_ewma_chart_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, x in daily:
+        per[t].append(x)
+    rows = registry.QUERIES["q432_ewma_chart"](spark, SF_MID).collect()
+    for r in rows:
+        xs = per[r["event_type"]]
+        n, sx = len(xs), sum(xs)
+        sxx = sum(v * v for v in xs)
+        e, viol, lf = xs[0] * 1000, 0, 0
+        for v in xs[1:]:
+            e = (e + v * 1000) // 2
+            num = (e * n - 1000 * sx) ** 2
+            den = 3 * 1_000_000 * (n * sxx - sx * sx)
+            lf = 1 if num > den else 0
+            viol += lf
+        assert r["n_days"] == n
+        assert r["ewma_milli"] == e
+        assert r["n_violations"] == viol
+        assert r["flagged_now"] == lf
+
+
+def test_ewma_chart_flags_a_synthetic_shift():
+    """The squared-limit rule fires on an injected level shift."""
+    xs = [100] * 20 + [130] * 5
+    n, sx = len(xs), sum(xs)
+    sxx = sum(v * v for v in xs)
+    e, flagged = xs[0] * 1000, False
+    for v in xs[1:]:
+        e = (e + v * 1000) // 2
+        if (e * n - 1000 * sx) ** 2 > 3 * 1_000_000 * (
+            n * sxx - sx * sx
+        ):
+            flagged = True
+    assert flagged

@@ -13288,3 +13288,112 @@ def q428_w1_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_binned_micro",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q433 — Kendall tau-a rank concordance (daily revenue vs order count)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q433_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.n_orders - b.n_orders)
+                       * (a.rev_cents - b.rev_cents) > 0 THEN 1
+                    ELSE 0 END AS conc,
+               CASE WHEN (a.n_orders - b.n_orders)
+                       * (a.rev_cents - b.rev_cents) < 0 THEN 1
+                    ELSE 0 END AS disc,
+               CASE WHEN a.n_orders = b.n_orders
+                      OR a.rev_cents = b.rev_cents THEN 1
+                    ELSE 0 END AS tied
+        FROM daily a JOIN daily b ON b.d > a.d
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CAST(SUM(tied) AS BIGINT) AS tied_pairs,
+           CAST(1000000 * (SUM(conc) - SUM(disc)) // COUNT(*)
+               AS BIGINT) AS tau_a_ppm
+    FROM pairs
+    """,
+)
+def q433_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between daily order count and daily revenue — the
+    PAIRWISE-CONCORDANCE member that completes the correlation family:
+    q151's Pearson sees linear strength, q251's Spearman sees monotone
+    rank agreement through the rank transform, tau answers the blunter
+    operational question directly — "of all day pairs, what fraction
+    move together?" — and is the statistic behind Kendall's W and
+    rank-based trend tests (Mann-Kendall is exactly this numerator
+    against time, which q112/q246's slopes complement). tau-a (no tie
+    correction) keeps the estimate a pure integer ratio; tie mass is
+    REPORTED as its own column instead of folded into a sqrt (tau-b's
+    correction needs one — deliberately out of the parity path).
+
+    Determinism: sign products of integer differences (revenue in
+    exact cents), pair counts, one ppm floor division.
+
+    Scale: the O(|days|²) self-join is over the DAILY aggregate, not
+    rows — 730² pairs from a two-year fixture; at any horizon the
+    grain keeps it bounded (the q255/q346 stance: quadratic in the
+    collapsed domain only). The merge-sort O(n log n) inversion count
+    exists but needs a global sort — the aggregate-first quadratic is
+    the distributed-friendly form.
+
+    Reference: q251 (Spearman), q151 (Pearson), q112/q246 (trend
+    slopes), q394 (kappa — concordance for categorical raters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    daily = track_cache(daily.persist())
+    a = daily.select(
+        F.col("d").alias("da"),
+        F.col("n_orders").alias("na"),
+        F.col("rev_cents").alias("ra"),
+    )
+    b = daily.select(
+        F.col("d").alias("db"),
+        F.col("n_orders").alias("nb"),
+        F.col("rev_cents").alias("rb"),
+    )
+    sgn = (F.col("na") - F.col("nb")) * (F.col("ra") - F.col("rb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
+        F.when(
+            (F.col("na") == F.col("nb")) | (F.col("ra") == F.col("rb")), 1
+        )
+        .otherwise(0)
+        .alias("tied"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        pairs.agg(
+            F.sum("conc").cast("bigint").alias("concordant"),
+            F.sum("disc").cast("bigint").alias("discordant"),
+            F.sum("tied").cast("bigint").alias("tied_pairs"),
+            F.expr(
+                "CAST(1000000 * (SUM(conc) - SUM(disc)) DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("tau_a_ppm"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days", "concordant", "discordant", "tied_pairs", "tau_a_ppm"
+        )
+    )

@@ -134,6 +134,8 @@ BNLJ_ALLOWED = {
     "q427_wasserstein_drift",     # one-row (n_a, n_b) sizes broadcast
     "q428_w1_binned",             # one-row bounds + sizes broadcasts
     "q429_mutual_information",    # marginal/total one-row broadcasts
+    "q433_kendall_tau",           # |days|² pair join over the daily
+                                  # aggregate (bounded domain, q346 stance)
 }
 
 

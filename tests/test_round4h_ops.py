@@ -3497,3 +3497,48 @@ def test_ewma_chart_flags_a_synthetic_shift():
         ):
             flagged = True
     assert flagged
+
+
+# --------------------------------------------------------------------------
+# q433 — Kendall tau-a
+# --------------------------------------------------------------------------
+
+
+def test_kendall_tau_replay_and_spearman_sign_agreement(spark):
+    import math
+
+    con = _duck(SF_MID)
+    daily = con.execute(
+        """
+        SELECT CAST(o_orderdate AS DATE),
+               COUNT(*),
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    conc = disc = tied = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            dn = daily[i][1] - daily[j][1]
+            dr = daily[i][2] - daily[j][2]
+            if dn == 0 or dr == 0:
+                tied += 1
+            elif dn * dr > 0:
+                conc += 1
+            else:
+                disc += 1
+    n_pairs = len(daily) * (len(daily) - 1) // 2
+    row = registry.QUERIES["q433_kendall_tau"](spark, SF_MID).collect()[0]
+    assert row["n_days"] == len(daily)
+    assert (row["concordant"], row["discordant"], row["tied_pairs"]) == (
+        conc, disc, tied,
+    )
+    diff = conc - disc
+    expect = (
+        1_000_000 * diff // n_pairs
+        if diff >= 0
+        else -((-1_000_000 * diff) // n_pairs)
+    )
+    assert row["tau_a_ppm"] == expect
+    # more orders in a day should mean more revenue: strong positive
+    assert row["tau_a_ppm"] > 500_000

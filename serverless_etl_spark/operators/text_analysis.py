@@ -2108,3 +2108,163 @@ def q420_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TR_TOPK)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q434 — BM25 retrieval quality against a seeded relevance truth
+# --------------------------------------------------------------------------
+
+BMEV_QUERY_MOD = 23   #: every 23rd doc donates a query snippet
+BMEV_SNIP_FROM = 4    #: snippet = tokens [4, 9] of the source doc
+BMEV_SNIP_LEN = 6
+
+
+@register(
+    "q434_bm25_eval",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    queries AS (
+        SELECT doc_id AS qd,
+               unnest(list_distinct(
+                   toks[{BMEV_SNIP_FROM}:{BMEV_SNIP_FROM + BMEV_SNIP_LEN - 1}]
+               )) AS t
+        FROM toked
+        WHERE doc_id % {BMEV_QUERY_MOD} = 0
+          AND len(toks) >= {BMEV_SNIP_FROM + BMEV_SNIP_LEN - 1}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS t FROM toked
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS l FROM tok GROUP BY doc_id),
+    corp AS (SELECT COUNT(*) AS n, CAST(SUM(l) AS BIGINT) AS a FROM dl),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM tok
+        WHERE t IN (SELECT DISTINCT t FROM queries)
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT q.qd, tf.doc_id AS cand,
+               CAST(SUM(((1000000 * (corp.n - df.df + 1)) // (df.df + 1))
+                   * (220 * tf.tf * corp.a)
+                   // (corp.a * (10 * tf.tf + 3) + 9 * dl.l * corp.n))
+                   AS BIGINT) AS s
+        FROM queries q
+        JOIN tf ON tf.t = q.t
+        JOIN df ON df.t = q.t
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN corp
+        GROUP BY q.qd, tf.doc_id
+    ),
+    ranked AS (
+        SELECT qd, cand,
+               ROW_NUMBER() OVER (PARTITION BY qd
+                                  ORDER BY s DESC, cand) AS rk
+        FROM scored
+    ),
+    truth AS (
+        SELECT qd, rk FROM ranked WHERE cand = qd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(1000000 * SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hit1_ppm,
+           CAST(1000000 * SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hit10_ppm,
+           CAST(SUM(1000000 // rk) // COUNT(*) AS BIGINT) AS mrr_micro
+    FROM truth
+    """,
+)
+def q434_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval quality against a SEEDED relevance truth — the
+    evaluation q223's ranker was missing: every {BMEV_QUERY_MOD}-th
+    document donates a {BMEV_SNIP_LEN}-token snippet as a query whose
+    relevant document is, by construction, its source; batch-score
+    all queries with q223's exact integer BM25 (same closed form,
+    same log-free idf surrogate) and report hit@1, hit@10, and MRR of
+    the source doc's rank. Snippet-to-source is the standard
+    self-supervised retrieval eval (the trick behind BEIR-style
+    pseudo-queries and contrastive pretraining pairs): no labels
+    needed, yet it punishes exactly the failure modes that matter —
+    boilerplate passages shared across documents (q423's cut spans!)
+    drag the source below its near-duplicates, so this metric, run
+    per-source, doubles as a DEDUP-QUALITY probe.
+
+    Determinism: q223's integer arithmetic end to end; per-query
+    reciprocal ranks as 10⁶ DIV rank; ties broken by candidate id.
+
+    Scale: queries are a hash-mod sample (bounded); only postings for
+    query terms survive the tf filter; scoring is the
+    (query_term ⋈ postings) join every search engine batch-evaluates
+    — shuffles keyed by term, skew = stopword terms, the q45 salting
+    recipe applies. One corpus tokenize pass feeds lengths and
+    postings both.
+
+    Reference: q223 (the ranker under test), q219/q301/q338 (the
+    metric family), q423 (the hygiene op this eval motivates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toked = track_cache(toked.persist())
+    queries = (
+        toked.filter(
+            (F.col("doc_id") % BMEV_QUERY_MOD == 0)
+            & (F.size("toks") >= BMEV_SNIP_FROM + BMEV_SNIP_LEN - 1)
+        )
+        .select(
+            F.col("doc_id").alias("qd"),
+            F.explode(
+                F.array_distinct(
+                    F.slice(F.col("toks"), BMEV_SNIP_FROM, BMEV_SNIP_LEN)
+                )
+            ).alias("t"),
+        )
+    )
+    queries = track_cache(queries.persist())
+    tok = toked.select("doc_id", F.explode("toks").alias("t"))
+    dl = track_cache(
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("l")).persist()
+    )
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l").cast("bigint").alias("a")
+    )
+    terms = queries.select("t").distinct()
+    tf = (
+        tok.join(F.broadcast(terms), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        queries.join(tf.select(F.col("doc_id").alias("cand"), "t", "tf"), "t")
+        .join(F.broadcast(df), "t")
+        .join(dl.select(F.col("doc_id").alias("cand"), "l"), "cand")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("qd", "cand")
+        .agg(
+            F.expr(
+                "CAST(SUM(((1000000 * (n - df + 1)) DIV (df + 1))"
+                " * (220 * tf * a)"
+                " DIV (a * (10 * tf + 3) + 9 * l * n)) AS BIGINT)"
+            ).alias("s")
+        )
+    )
+    w_q = Window.partitionBy("qd").orderBy(F.col("s").desc(), "cand")
+    ranked = scored.select(
+        "qd", "cand", F.row_number().over(w_q).alias("rk")
+    )
+    truth = ranked.filter(F.col("cand") == F.col("qd"))
+    return truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("hit1_ppm"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("hit10_ppm"),
+        F.expr(
+            "CAST(SUM(1000000 DIV rk) DIV COUNT(*) AS BIGINT)"
+        ).alias("mrr_micro"),
+    )

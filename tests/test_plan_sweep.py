@@ -136,6 +136,7 @@ BNLJ_ALLOWED = {
     "q429_mutual_information",    # marginal/total one-row broadcasts
     "q433_kendall_tau",           # |days|² pair join over the daily
                                   # aggregate (bounded domain, q346 stance)
+    "q434_bm25_eval",             # one-row corpus-totals broadcast (q223)
 }
 
 

@@ -3542,3 +3542,60 @@ def test_kendall_tau_replay_and_spearman_sign_agreement(spark):
     assert row["tau_a_ppm"] == expect
     # more orders in a day should mean more revenue: strong positive
     assert row["tau_a_ppm"] > 500_000
+
+
+# --------------------------------------------------------------------------
+# q434 — BM25 eval
+# --------------------------------------------------------------------------
+
+
+def test_bm25_eval_replay(spark):
+    """Pure-python BM25 batch scoring replay with the integer closed
+    form, plus sanity: the ranker must beat random rank."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    dl = {d: len(t) for d, t in toks.items()}
+    N, A = len(dl), sum(dl.values())
+    queries = {
+        d: sorted(set(toks[d][3:9]))
+        for d in toks
+        if d % 23 == 0 and len(toks[d]) >= 9
+    }
+    qterms = {t for ts in queries.values() for t in ts}
+    tf = defaultdict(int)
+    for d, ts in toks.items():
+        for t in ts:
+            if t in qterms:
+                tf[(d, t)] += 1
+    df = defaultdict(int)
+    for (d, t) in tf:
+        df[t] += 1
+    ranks = {}
+    for qd, ts in queries.items():
+        scores = defaultdict(int)
+        for (d, t), f in tf.items():
+            if t in ts:
+                idf = (1_000_000 * (N - df[t] + 1)) // (df[t] + 1)
+                scores[d] += idf * (220 * f * A) // (
+                    A * (10 * f + 3) + 9 * dl[d] * N
+                )
+        order = sorted(scores, key=lambda d: (-scores[d], d))
+        ranks[qd] = order.index(qd) + 1
+    n = len(ranks)
+    row = registry.QUERIES["q434_bm25_eval"](spark, SF_MID).collect()[0]
+    assert row["n_queries"] == n
+    assert row["hit1_ppm"] == 1_000_000 * sum(
+        1 for r in ranks.values() if r == 1
+    ) // n
+    assert row["hit10_ppm"] == 1_000_000 * sum(
+        1 for r in ranks.values() if r <= 10
+    ) // n
+    assert row["mrr_micro"] == sum(1_000_000 // r for r in ranks.values()) // n
+    # must beat the random-rank baseline MRR over a 500-doc corpus
+    assert row["mrr_micro"] > 50_000
+    assert row["hit10_ppm"] >= row["hit1_ppm"]

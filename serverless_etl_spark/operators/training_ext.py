@@ -3165,3 +3165,149 @@ def q429_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("nmi_ppm"),
     ).orderBy("pair")
+
+
+# --------------------------------------------------------------------------
+# q435 — ChiMerge supervised discretization
+# --------------------------------------------------------------------------
+
+CHIM_ROUNDS = 4  #: 11 discount bins -> 7 supervised bins
+
+#: deterministic integer chi-square ordering key for an adjacent pair
+#: (a,b | c,d): 1000·n·(ad−bc)² staged through sequential DIVs so the
+#: intermediate never overflows and both engines divide identically
+_CHIM_CHI = (
+    "((1000 * (gd * bn - bd * gn) DIV (gd + bd))"
+    " * (gd * bn - bd * gn) DIV (gn + bn)"
+    " * (gd + bd + gn + bn) DIV (gd + gn) DIV (bd + bn))"
+)
+
+
+def _chim_round_ctes() -> str:
+    """Unrolled ChiMerge rounds (the q381/q420/q424 CTE-chain
+    discipline): per round, score adjacent pairs, find the argmin,
+    reassign the right member's edge, re-aggregate."""
+    chi = _CHIM_CHI.replace("DIV", "//")
+    parts = []
+    for r in range(CHIM_ROUNDS):
+        parts.append(
+            f"p{r} AS (SELECT edge AS e, good AS gd, bad AS bd,"
+            f" LEAD(edge) OVER (ORDER BY edge) AS en,"
+            f" LEAD(good) OVER (ORDER BY edge) AS gn,"
+            f" LEAD(bad) OVER (ORDER BY edge) AS bn"
+            f" FROM g{r})"
+        )
+        parts.append(
+            f"m{r} AS (SELECT e AS me, en AS men FROM p{r}"
+            f" WHERE en IS NOT NULL"
+            f" ORDER BY {chi}, e LIMIT 1)"
+        )
+        parts.append(
+            f"g{r + 1} AS (SELECT CASE WHEN g.edge = m.men THEN m.me"
+            f" ELSE g.edge END AS edge,"
+            f" CAST(SUM(g.good) AS BIGINT) AS good,"
+            f" CAST(SUM(g.bad) AS BIGINT) AS bad"
+            f" FROM g{r} g CROSS JOIN m{r} m GROUP BY 1)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q435_chimerge",
+    oracle=f"""
+    WITH g0 AS (
+        SELECT CAST(ROUND(l_discount * 100, 0) AS INT) AS edge,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS good,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS bad
+        FROM lineitem GROUP BY 1
+    ),
+    {_chim_round_ctes()}
+    SELECT edge AS bin_lo, good AS n_good, bad AS n_bad,
+           CAST(ROW_NUMBER() OVER (ORDER BY edge) AS INT) AS bin_id
+    FROM g{CHIM_ROUNDS}
+    ORDER BY edge
+    """,
+)
+def q435_chimerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChiMerge supervised discretization (Kerber 1992) — the binning
+    step q412's WOE/IV table should really be built on: starting from
+    the 11 raw discount bins, repeatedly merge the ADJACENT pair whose
+    2×2 chi-square against the return-flag label is smallest (the two
+    bins the label least distinguishes), {CHIM_ROUNDS} rounds → 7
+    supervised bins. Unsupervised equal-width/depth bins (q48/q109)
+    split where the DATA is dense; ChiMerge splits where the TARGET
+    changes — the difference between a feature that bins well and one
+    that leaks its signal away.
+
+    Determinism: the chi-square is only an ORDERING key, so it's
+    computed as a staged integer expression (1000·n·(ad−bc)² divided
+    through the four marginals IN A FIXED ORDER — both engines
+    truncate identically at each stage, and staging keeps every
+    intermediate under int64 at any scale); argmin ties break on the
+    lower edge; merges re-aggregate exact counts. The oracle unrolls
+    the same {CHIM_ROUNDS} rounds as a CTE chain.
+
+    Scale: the lineitem collapse is map-side; every round then
+    operates on ≤11 rows (window, one-row argmin broadcast,
+    re-aggregate) — supervised binning is cheap BECAUSE the sufficient
+    statistic is the per-(bin,label) contingency, never the rows (the
+    q424 sufficient-statistics stance). F features = F independent
+    chains.
+
+    Reference: q412 (consumes these bins), q360 (best-split — the
+    top-down dual of this bottom-up merge), q313 (the chi-square
+    form), q109 (unsupervised twin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("edge")
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+        .cast("bigint")
+        .alias("good"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad"),
+    )
+    w_ord = Window.orderBy("edge")
+    for _ in range(CHIM_ROUNDS):
+        pairs = g.select(
+            F.col("edge").alias("e"),
+            F.col("good").alias("gd"),
+            F.col("bad").alias("bd"),
+            F.lead("edge").over(w_ord).alias("en"),
+            F.lead("good").over(w_ord).alias("gn"),
+            F.lead("bad").over(w_ord).alias("bn"),
+        ).filter(F.col("en").isNotNull())
+        argmin = (
+            pairs.select(
+                F.col("e").alias("me"),
+                F.col("en").alias("men"),
+                F.expr(_CHIM_CHI).alias("chi"),
+            )
+            .orderBy("chi", "me")
+            .limit(1)
+            .drop("chi")
+        )
+        g = (
+            g.crossJoin(F.broadcast(argmin))
+            .groupBy(
+                F.when(F.col("edge") == F.col("men"), F.col("me"))
+                .otherwise(F.col("edge"))
+                .alias("edge")
+            )
+            .agg(
+                F.sum("good").cast("bigint").alias("good"),
+                F.sum("bad").cast("bigint").alias("bad"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return g.select(
+        F.col("edge").alias("bin_lo"),
+        F.col("good").alias("n_good"),
+        F.col("bad").alias("n_bad"),
+        F.row_number().over(Window.orderBy("edge")).cast("int").alias(
+            "bin_id"
+        ),
+    ).orderBy("bin_lo")

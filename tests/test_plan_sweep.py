@@ -137,6 +137,8 @@ BNLJ_ALLOWED = {
     "q433_kendall_tau",           # |days|² pair join over the daily
                                   # aggregate (bounded domain, q346 stance)
     "q434_bm25_eval",             # one-row corpus-totals broadcast (q223)
+    "q435_chimerge",              # one-row argmin broadcast per round
+                                  # over a <=11-row bin frame
 }
 
 

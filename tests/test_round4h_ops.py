@@ -3599,3 +3599,51 @@ def test_bm25_eval_replay(spark):
     # must beat the random-rank baseline MRR over a 500-doc corpus
     assert row["mrr_micro"] > 50_000
     assert row["hit10_ppm"] >= row["hit1_ppm"]
+
+
+# --------------------------------------------------------------------------
+# q435 — ChiMerge
+# --------------------------------------------------------------------------
+
+
+def _chim_chi(gd, bd, gn, bn):
+    x = gd * bn - bd * gn
+    v = (1000 * x) // (gd + bd) if x >= 0 else -((-1000 * x) // (gd + bd))
+    v = v * x
+    v = v // (gn + bn)
+    v = v * (gd + bd + gn + bn)
+    v = v // (gd + gn)
+    return v // (bd + bn)
+
+
+def test_chimerge_replay(spark):
+    con = _duck(SF_MID)
+    bins = con.execute(
+        """
+        SELECT CAST(ROUND(l_discount * 100, 0) AS INT),
+               SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END),
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM lineitem GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    groups = [list(b) for b in bins]
+    for _ in range(4):
+        chis = [
+            (_chim_chi(groups[i][1], groups[i][2],
+                       groups[i + 1][1], groups[i + 1][2]),
+             groups[i][0], i)
+            for i in range(len(groups) - 1)
+        ]
+        _, _, i = min(chis)
+        groups[i][1] += groups[i + 1][1]
+        groups[i][2] += groups[i + 1][2]
+        del groups[i + 1]
+    rows = registry.QUERIES["q435_chimerge"](spark, SF_MID).collect()
+    assert [(r["bin_lo"], r["n_good"], r["n_bad"]) for r in rows] == [
+        tuple(g) for g in groups
+    ]
+    assert [r["bin_id"] for r in rows] == list(range(1, len(groups) + 1))
+    # merges conserve the contingency totals
+    assert sum(r["n_good"] for r in rows) == sum(b[1] for b in bins)
+    assert sum(r["n_bad"] for r in rows) == sum(b[2] for b in bins)
+    assert len(rows) == 11 - 4

@@ -3644,3 +3644,155 @@ def q423_substring_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q436 — LSH parameter planner (analytic s-curve × observed similarity)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+#: candidate (bands, rows-per-band) configurations to plan across
+LSH_CONFIGS = [(2, 4), (4, 4), (8, 4), (4, 8), (8, 8)]
+#: similarity grid midpoints (bucket i covers [i/10, (i+1)/10))
+LSH_S_GRID = [(i, (2 * i + 1) / 20) for i in range(10)]
+#: module-time collision-probability literals: 1 − (1 − s^r)^b, in
+#: micro units — libm stays OUT of the engine parity path entirely
+LSH_CURVE = {
+    (b, r, i): _math.floor(1e6 * (1.0 - (1.0 - s**r) ** b))
+    for b, r in LSH_CONFIGS
+    for i, s in LSH_S_GRID
+}
+
+_LSH_CURVE_VALUES = ", ".join(
+    f"('b{b}r{r}', {b * r}, {i}, {p})"
+    for (b, r, i), p in sorted(LSH_CURVE.items())
+)
+
+
+@register(
+    "q436_lsh_planner",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT LEAST((10 * len(list_filter(a.toks,
+                         x -> list_contains(b.toks, x))))
+                     // (len(a.toks) + len(b.toks)
+                        - len(list_filter(a.toks,
+                              x -> list_contains(b.toks, x)))), 9)
+                   AS bucket
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    ),
+    hist AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY bucket
+    ),
+    curve AS (
+        SELECT * FROM (VALUES {_LSH_CURVE_VALUES})
+            c(cfg, n_hashes, bucket, p_micro)
+    )
+    SELECT c.cfg, CAST(MAX(c.n_hashes) AS BIGINT) AS n_hashes,
+           CAST(SUM(h.n) AS BIGINT) AS n_pairs,
+           CAST(SUM(h.n * c.p_micro) // 1000000 AS BIGINT)
+               AS exp_candidates,
+           CAST(1000000 * SUM(CASE WHEN c.bucket >= 5
+                                   THEN h.n * c.p_micro ELSE 0 END)
+                // GREATEST(1000000 * SUM(CASE WHEN c.bucket >= 5
+                                          THEN h.n ELSE 0 END), 1)
+               AS BIGINT) AS recall_hi_ppm,
+           CAST(1000000 * SUM(CASE WHEN c.bucket < 5
+                                   THEN h.n * c.p_micro ELSE 0 END)
+                // GREATEST(1000000 * SUM(CASE WHEN c.bucket < 5
+                                          THEN h.n ELSE 0 END), 1)
+               AS BIGINT) AS lowsim_leak_ppm
+    FROM hist h JOIN curve c ON c.bucket = h.bucket
+    GROUP BY c.cfg
+    ORDER BY c.cfg
+    """,
+)
+def q436_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter planner: the analytic banding s-curve
+    P(collide | s) = 1 − (1 − s^r)^b for each candidate (bands, rows)
+    configuration, integrated against the corpus's OBSERVED pair-
+    similarity histogram (q42's adjacent-pair jaccard, bucketed to a
+    10-point grid) — yielding, per configuration, the expected
+    candidate volume, the expected recall on high-similarity pairs
+    (s ≥ 0.5, the q41 threshold), and the low-similarity leak rate.
+    q177/q280 MEASURE a deployed index empirically; this is the
+    closed-form MODEL you consult before building one — the
+    textbook MMDS design loop (pick (b, r) where the S-curve's
+    threshold (1/b)^(1/r) sits just under your jaccard cut) made
+    executable against the actual corpus instead of a whiteboard.
+
+    Determinism: every transcendental lives in the MODULE-TIME
+    literal table (python floats → integer micro constants embedded
+    identically in both engines — the q422 boundary-constant
+    stance); the data side is integer bucketing of the exact
+    rational jaccard ((10·inter) DIV union = decile), integer
+    expected-value sums, ppm floors.
+
+    Scale: the histogram is q42's bounded adjacent-pair grain
+    collapsed to 10 cells; the curve join is a literal 50-row table.
+    Planning cost is independent of corpus size once the histogram
+    partials merge (q369) — exactly how a production planner should
+    consume a similarity profile.
+
+    Reference: q41 (the index being sized), q177 (empirical recall),
+    q280 (threshold sweep), q125 (the incremental index whose
+    (b, r) this chooses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    bucket = F.least(
+        F.expr(
+            "CAST(10 * size(array_intersect(ta, tb)) AS BIGINT)"
+            " DIV (size(ta) + size(tb)"
+            " - size(array_intersect(ta, tb)))"
+        ),
+        F.lit(9).cast("bigint"),
+    )
+    hist = (
+        a.join(b, F.col("db") == F.col("da") + 1)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    curve = spark.createDataFrame(
+        [
+            (f"b{bb}r{rr}", bb * rr, i, p)
+            for (bb, rr, i), p in sorted(LSH_CURVE.items())
+        ],
+        "cfg string, n_hashes int, bucket bigint, p_micro bigint",
+    )
+    return (
+        hist.join(F.broadcast(curve), "bucket")
+        .groupBy("cfg")
+        .agg(
+            F.max("n_hashes").cast("bigint").alias("n_hashes"),
+            F.sum("n").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(n * p_micro) DIV 1000000 AS BIGINT)"
+            ).alias("exp_candidates"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN bucket >= 5"
+                " THEN n * p_micro ELSE 0 END)"
+                " DIV GREATEST(1000000 * SUM(CASE WHEN bucket >= 5"
+                " THEN n ELSE 0 END), CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("recall_hi_ppm"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN bucket < 5"
+                " THEN n * p_micro ELSE 0 END)"
+                " DIV GREATEST(1000000 * SUM(CASE WHEN bucket < 5"
+                " THEN n ELSE 0 END), CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("lowsim_leak_ppm"),
+        )
+        .orderBy("cfg")
+    )

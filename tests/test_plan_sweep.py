@@ -139,6 +139,7 @@ BNLJ_ALLOWED = {
     "q434_bm25_eval",             # one-row corpus-totals broadcast (q223)
     "q435_chimerge",              # one-row argmin broadcast per round
                                   # over a <=11-row bin frame
+    "q436_lsh_planner",           # 50-row literal curve broadcast
 }
 
 

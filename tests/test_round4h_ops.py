@@ -3647,3 +3647,63 @@ def test_chimerge_replay(spark):
     assert sum(r["n_good"] for r in rows) == sum(b[1] for b in bins)
     assert sum(r["n_bad"] for r in rows) == sum(b[2] for b in bins)
     assert len(rows) == 11 - 4
+
+
+# --------------------------------------------------------------------------
+# q436 — LSH planner
+# --------------------------------------------------------------------------
+
+
+def test_lsh_planner_replay_and_scurve_monotonicity(spark):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    toks = {d: set(t.split(" ")) for d, t in docs}
+    hist = defaultdict(int)
+    ids = sorted(toks)
+    for d in ids:
+        if d + 1 in toks:
+            a, b = toks[d], toks[d + 1]
+            inter = len(a & b)
+            bucket = min(10 * inter // (len(a) + len(b) - inter), 9)
+            hist[bucket] += 1
+    configs = [(2, 4), (4, 4), (8, 4), (4, 8), (8, 8)]
+    expect = {}
+    for bb, rr in configs:
+        curve = {
+            i: math.floor(1e6 * (1 - (1 - ((2 * i + 1) / 20) ** rr) ** bb))
+            for i in range(10)
+        }
+        exp_cand = sum(hist[i] * curve[i] for i in hist) // 1_000_000
+        hi_n = sum(hist[i] for i in hist if i >= 5)
+        hi_e = sum(hist[i] * curve[i] for i in hist if i >= 5)
+        lo_n = sum(hist[i] for i in hist if i < 5)
+        lo_e = sum(hist[i] * curve[i] for i in hist if i < 5)
+        expect[f"b{bb}r{rr}"] = (
+            bb * rr,
+            sum(hist.values()),
+            exp_cand,
+            1_000_000 * hi_e // max(1_000_000 * hi_n, 1),
+            1_000_000 * lo_e // max(1_000_000 * lo_n, 1),
+        )
+    rows = registry.QUERIES["q436_lsh_planner"](spark, SF_MID).collect()
+    got = {
+        r["cfg"]: (
+            r["n_hashes"], r["n_pairs"], r["exp_candidates"],
+            r["recall_hi_ppm"], r["lowsim_leak_ppm"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    # more bands at fixed r => strictly more collisions on both sides
+    assert got["b8r4"][3] >= got["b4r4"][3] >= got["b2r4"][3]
+    assert got["b8r4"][4] >= got["b4r4"][4] >= got["b2r4"][4]
+    # longer rows at fixed b => stricter: fewer low-sim leaks
+    assert got["b4r8"][4] <= got["b4r4"][4]

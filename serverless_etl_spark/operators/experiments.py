@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import trunc, trunc_sql
 from ..io import load_table
-from ..registry import register
+from ..registry import register, track_cache
 
 # --------------------------------------------------------------------------
 # q339 — Kruskal-Wallis H from a value histogram (no global sort)
@@ -1836,4 +1836,174 @@ def q422_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_spent_ppm"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q437 — doubly-robust off-policy evaluation (DR = direct model + IPS)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q437_doubly_robust",
+    oracle=f"""
+    WITH rounds AS (
+        SELECT event_type AS ctx,
+               {_ips_sql_u("event_type", "|rot", 3)} AS rot,
+               {_ips_sql_u("CAST(event_id AS VARCHAR)", "|act", 10)} AS u_act,
+               {_ips_sql_u("CAST(event_id AS VARCHAR)", "|rew", 100)} AS u_rew
+        FROM events
+    ),
+    judged AS (
+        SELECT ctx,
+               ((CASE WHEN u_act < {IPS_PROPS_T[0]} THEN 0
+                      WHEN u_act < {IPS_PROPS_T[0] + IPS_PROPS_T[1]} THEN 1
+                      ELSE 2 END) + rot) % 3 AS action,
+               CASE WHEN u_act < {IPS_PROPS_T[0]} THEN {IPS_PROPS_T[0]}
+                    WHEN u_act < {IPS_PROPS_T[0] + IPS_PROPS_T[1]}
+                        THEN {IPS_PROPS_T[1]}
+                    ELSE {IPS_PROPS_T[2]} END AS p10,
+               CASE WHEN u_rew < (CASE
+                        WHEN u_act < {IPS_PROPS_T[0]}
+                            THEN {IPS_REWARD_PCT[0]}
+                        WHEN u_act < {IPS_PROPS_T[0] + IPS_PROPS_T[1]}
+                            THEN {IPS_REWARD_PCT[1]}
+                        ELSE {IPS_REWARD_PCT[2]} END)
+                    THEN 1 ELSE 0 END AS r,
+               rot % 3 AS pi_action
+        FROM rounds
+    ),
+    qhat AS (
+        SELECT ctx, action,
+               CAST(1000000 * SUM(r) // COUNT(*) AS BIGINT) AS q_micro
+        FROM judged GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT j.ctx, j.r,
+               qp.q_micro AS q_pi,
+               CASE WHEN j.action = j.pi_action THEN 1 ELSE 0 END
+                   * (10000000 // j.p10)
+                   * (j.r * 1000000 - qa.q_micro) // 1000000
+                   AS corr_micro
+        FROM judged j
+        JOIN qhat qp ON qp.ctx = j.ctx AND qp.action = j.pi_action
+        JOIN qhat qa ON qa.ctx = j.ctx AND qa.action = j.action
+    )
+    SELECT ctx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(q_pi AS HUGEINT)) // COUNT(*) AS BIGINT)
+               AS direct_micro,
+           CAST(SUM(CAST(q_pi AS HUGEINT) + corr_micro) // COUNT(*)
+               AS BIGINT) AS dr_micro
+    FROM contrib GROUP BY ctx ORDER BY ctx
+    """,
+)
+def q437_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation — the standard upgrade of
+    q343's IPS: DR(π) = E[ q̂(x, π(x)) ] + E[ 1{a=π(x)}·w·(r −
+    q̂(x, a)) ], a direct outcome model corrected by importance-
+    weighted residuals. Unbiased if EITHER the model or the
+    propensities are right (hence "doubly"), and strictly lower
+    variance than IPS when the model explains any reward signal —
+    the estimator production recommender evals actually ship. Same
+    md5-derived bandit rounds as q343 (identical logging policy,
+    rewards, and target policy), with the direct model q̂ fitted
+    in-engine as the per-(context, action) logged mean — two
+    aggregations and two broadcast joins, no model library.
+
+    Determinism: q̂ is an exact ppm floor; the correction term is
+    integer micro arithmetic with one trunc DIV per row (truncation
+    identical in both engines, negative residuals included); sums
+    route through HUGEINT/BIGINT without overflow at any fixture SF.
+
+    Scale: one scan generates rounds map-side (the q343 shape); q̂ is
+    a |ctx|×|actions| broadcast; contributions partial-aggregate per
+    context. Cross-fitting (fit q̂ on the md5 complement, the q415
+    split) is the same plan with one extra filter — noted, not
+    silently claimed.
+
+    Reference: q343 (IPS/SNIPS — the variance baseline), q157/q407
+    (outcome models), q355 (uplift — the causal cousin)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def u(expr, salt, mod):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8), 16, 10
+            ).cast("bigint")
+            % mod
+        )
+
+    rounds = ev.select(
+        F.col("event_type").alias("ctx"),
+        u(F.col("event_type"), "|rot", 3).alias("rot"),
+        u(F.col("event_id").cast("string"), "|act", 10).alias("u_act"),
+        u(F.col("event_id").cast("string"), "|rew", 100).alias("u_rew"),
+    )
+    slot = (
+        F.when(F.col("u_act") < IPS_PROPS_T[0], 0)
+        .when(F.col("u_act") < IPS_PROPS_T[0] + IPS_PROPS_T[1], 1)
+        .otherwise(2)
+    )
+    p10 = (
+        F.when(F.col("u_act") < IPS_PROPS_T[0], IPS_PROPS_T[0])
+        .when(
+            F.col("u_act") < IPS_PROPS_T[0] + IPS_PROPS_T[1],
+            IPS_PROPS_T[1],
+        )
+        .otherwise(IPS_PROPS_T[2])
+    )
+    rew_pct = (
+        F.when(F.col("u_act") < IPS_PROPS_T[0], IPS_REWARD_PCT[0])
+        .when(
+            F.col("u_act") < IPS_PROPS_T[0] + IPS_PROPS_T[1],
+            IPS_REWARD_PCT[1],
+        )
+        .otherwise(IPS_REWARD_PCT[2])
+    )
+    judged = rounds.select(
+        "ctx",
+        ((slot + F.col("rot")) % 3).alias("action"),
+        p10.alias("p10"),
+        F.when(F.col("u_rew") < rew_pct, 1).otherwise(0).alias("r"),
+        (F.col("rot") % 3).alias("pi_action"),
+    )
+    judged = track_cache(judged.persist())
+    qhat = judged.groupBy("ctx", "action").agg(
+        F.expr("CAST(1000000 * SUM(r) DIV COUNT(*) AS BIGINT)").alias(
+            "q_micro"
+        )
+    )
+    qp = qhat.select(
+        "ctx", F.col("action").alias("pi_action"),
+        F.col("q_micro").alias("q_pi"),
+    )
+    qa = qhat.select(
+        "ctx", "action", F.col("q_micro").alias("q_a")
+    )
+    contrib = (
+        judged.join(F.broadcast(qp), ["ctx", "pi_action"])
+        .join(F.broadcast(qa), ["ctx", "action"])
+        .select(
+            "ctx",
+            "q_pi",
+            F.expr(
+                "CASE WHEN action = pi_action THEN 1 ELSE 0 END"
+                f" * (10000000 DIV p10)"
+                " * (r * 1000000 - q_a) DIV 1000000"
+            ).alias("corr_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(SUM(q_pi) DIV COUNT(*) AS BIGINT)").alias(
+                "direct_micro"
+            ),
+            F.expr(
+                "CAST(SUM(q_pi + corr_micro) DIV COUNT(*) AS BIGINT)"
+            ).alias("dr_micro"),
+        )
+        .orderBy("ctx")
     )

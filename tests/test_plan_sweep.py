@@ -140,6 +140,7 @@ BNLJ_ALLOWED = {
     "q435_chimerge",              # one-row argmin broadcast per round
                                   # over a <=11-row bin frame
     "q436_lsh_planner",           # 50-row literal curve broadcast
+    "q437_doubly_robust",         # |ctx|x|actions| q-hat broadcasts
 }
 
 

@@ -3707,3 +3707,67 @@ def test_lsh_planner_replay_and_scurve_monotonicity(spark):
     assert got["b8r4"][4] >= got["b4r4"][4] >= got["b2r4"][4]
     # longer rows at fixed b => stricter: fewer low-sim leaks
     assert got["b4r8"][4] <= got["b4r4"][4]
+
+
+# --------------------------------------------------------------------------
+# q437 — doubly robust OPE
+# --------------------------------------------------------------------------
+
+
+def test_doubly_robust_replay_and_consistency(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT event_type, event_id FROM events"
+    ).fetchall()
+
+    def u(s, salt, mod):
+        return int(hashlib.md5((s + salt).encode()).hexdigest()[:8], 16) % mod
+
+    P = (5, 3, 2)
+    R = (60, 30, 10)
+    judged = []
+    for ctx, eid in rows_in:
+        rot = u(ctx, "|rot", 3)
+        ua = u(str(eid), "|act", 10)
+        ur = u(str(eid), "|rew", 100)
+        slot = 0 if ua < P[0] else (1 if ua < P[0] + P[1] else 2)
+        judged.append((
+            ctx, (slot + rot) % 3, P[slot],
+            1 if ur < R[slot] else 0, rot % 3,
+        ))
+    qn = defaultdict(lambda: [0, 0])
+    for ctx, a, p10, r, pi in judged:
+        c = qn[(ctx, a)]
+        c[0] += r
+        c[1] += 1
+    qhat = {k: 1_000_000 * v[0] // v[1] for k, v in qn.items()}
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_qpi, sum_qpi+corr
+    for ctx, a, p10, r, pi in judged:
+        qpi = qhat[(ctx, pi)]
+        resid = (10_000_000 // p10) * (r * 1_000_000 - qhat[(ctx, a)])
+        corr = resid // 1_000_000 if resid >= 0 else -((-resid) // 1_000_000)
+        corr = corr if a == pi else 0
+        g = agg[ctx]
+        g[0] += 1
+        g[1] += qpi
+        g[2] += qpi + corr
+    got = {
+        r["ctx"]: r
+        for r in registry.QUERIES["q437_doubly_robust"](
+            spark, SF_MID
+        ).collect()
+    }
+    for ctx, (n, sq, sd) in agg.items():
+        r = got[ctx]
+        assert r["n"] == n
+        assert r["direct_micro"] == sq // n
+        assert r["dr_micro"] == (sd // n if sd >= 0 else -((-sd) // n))
+        # both estimators must land near the true slot-0 value (0.60)
+        assert abs(r["direct_micro"] - 600_000) < 60_000
+        assert abs(r["dr_micro"] - 600_000) < 60_000

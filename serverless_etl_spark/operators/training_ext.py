@@ -3311,3 +3311,213 @@ def q435_chimerge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_id"
         ),
     ).orderBy("bin_lo")
+
+
+# --------------------------------------------------------------------------
+# q438 — gradient-boosted stumps (two L2Boost rounds, histogram splits)
+# --------------------------------------------------------------------------
+
+GBM_ROUNDS = 2
+
+
+def _gbm_split_cte(src: str, rnd: int) -> str:
+    """One boosting round's histogram split search (DuckDB side):
+    per-(feature, value) residual sums -> prefix sums -> the argmax
+    between-group score -> leaf values. `src` supplies (f, v, r)."""
+    return f"""
+    hist{rnd} AS (
+        SELECT f, v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(r) AS BIGINT) AS s
+        FROM {src} GROUP BY f, v
+    ),
+    tot{rnd} AS (
+        SELECT f, CAST(SUM(c) AS BIGINT) AS nt,
+               CAST(SUM(s) AS BIGINT) AS st
+        FROM hist{rnd} GROUP BY f
+    ),
+    pref{rnd} AS (
+        SELECT h.f, h.v,
+               CAST(SUM(h.c) OVER (PARTITION BY h.f ORDER BY h.v)
+                   AS BIGINT) AS cl,
+               CAST(SUM(h.s) OVER (PARTITION BY h.f ORDER BY h.v)
+                   AS BIGINT) AS sl,
+               t.nt, t.st
+        FROM hist{rnd} h JOIN tot{rnd} t ON t.f = h.f
+    ),
+    best{rnd} AS (
+        SELECT f AS bf, v AS bthr,
+               sl * sl // cl + (st - sl) * (st - sl) // (nt - cl)
+                   AS score,
+               sl // cl AS gl,
+               (st - sl) // (nt - cl) AS gr
+        FROM pref{rnd}
+        WHERE cl > 0 AND cl < nt
+        ORDER BY score DESC, f, v LIMIT 1
+    )"""
+
+
+@register(
+    "q438_boosted_stumps",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END AS y,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc
+        FROM lineitem
+    ),
+    f0 AS (
+        SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS fbar FROM base
+    ),
+    melt1 AS (
+        SELECT f, v, y - fbar AS r
+        FROM (
+            SELECT 'qty' AS f, qty AS v, y FROM base
+            UNION ALL
+            SELECT 'disc', disc, y FROM base
+        ) CROSS JOIN f0
+    ),
+    {_gbm_split_cte('melt1', 1)},
+    scored1 AS (
+        SELECT b.y, b.qty, b.disc,
+               f0.fbar + (CASE WHEN (CASE WHEN s1.bf = 'qty'
+                                     THEN b.qty ELSE b.disc END) <= s1.bthr
+                          THEN s1.gl ELSE s1.gr END) // 2 AS fi
+        FROM base b CROSS JOIN f0 CROSS JOIN best1 s1
+    ),
+    melt2 AS (
+        SELECT f, v, y - fi AS r
+        FROM (
+            SELECT 'qty' AS f, qty AS v, y, fi FROM scored1
+            UNION ALL
+            SELECT 'disc', disc, y, fi FROM scored1
+        )
+    ),
+    {_gbm_split_cte('melt2', 2)},
+    rounds AS (
+        SELECT 1 AS round, bf AS feature, CAST(bthr AS BIGINT) AS thr,
+               CAST(score AS BIGINT) AS score_key,
+               CAST(gl AS BIGINT) AS gamma_l_milli,
+               CAST(gr AS BIGINT) AS gamma_r_milli
+        FROM best1
+        UNION ALL
+        SELECT 2, bf, CAST(bthr AS BIGINT), CAST(score AS BIGINT),
+               CAST(gl AS BIGINT), CAST(gr AS BIGINT)
+        FROM best2
+    )
+    SELECT * FROM rounds ORDER BY round
+    """,
+)
+def q438_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of L2Boost with depth-1 trees — gradient boosting's
+    core loop, run entirely as relational algebra with the HISTOGRAM
+    split finder real GBM engines use: residuals collapse to
+    per-(feature, value) sufficient statistics, prefix sums over the
+    ≤50-cell value histogram price every threshold at once, the
+    argmax between-group score S²_L/n_L + S²_R/n_R picks the split,
+    and shrinkage ν = 1/2 updates every row's score through a
+    broadcast CASE — then round two fits the UPDATED residuals
+    (which is the whole point of boosting: round 2's choice depends
+    on round 1's, unlike q360's independent stumps). Label:
+    return-flag; features: quantity and discount bins.
+
+    Determinism: labels enter milli-scaled; residuals, histogram
+    sums, prefix sums, the score (two trunc DIVs in fixed order — an
+    ORDERING key, ties by feature then threshold), leaf values
+    (S DIV n), and the halved update are all integer; both engines
+    truncate identically. int64 headroom: S² bounds fine through
+    sf0.1; beyond ~5M rows route S through DECIMAL(38,0) (q401's
+    documented escape).
+
+    Scale: each round is ONE map-side collapse to |features|×|values|
+    cells + a window over ≤50 rows + a one-row argmax broadcast —
+    the exact shape of distributed XGBoost's approx tree method
+    (AllReduce of histogram partials), expressed declaratively.
+    Depth-d trees = d such passes per round with a leaf-id column.
+
+    Reference: q360 (single-stump baseline + gini), q365 (learning
+    curve over the same labels), q435 (supervised bins these splits
+    consume), q401 (iterative-fit precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1000)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc"),
+    )
+    base = track_cache(base.persist())
+    f0 = base.agg(
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("fbar")
+    )
+
+    def melt(df, rcol):
+        q = df.select(F.lit("qty").alias("f"), F.col("qty").alias("v"), rcol.alias("r"))
+        d = df.select(F.lit("disc").alias("f"), F.col("disc").alias("v"), rcol.alias("r"))
+        return q.unionAll(d)
+
+    def best_split(melted):
+        hist = melted.groupBy("f", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("r").cast("bigint").alias("s"),
+        )
+        tot = hist.groupBy("f").agg(
+            F.sum("c").cast("bigint").alias("nt"),
+            F.sum("s").cast("bigint").alias("st"),
+        )
+        w = Window.partitionBy("f").orderBy("v")
+        pref = hist.join(tot, "f").select(
+            "f",
+            "v",
+            F.sum("c").over(w).cast("bigint").alias("cl"),
+            F.sum("s").over(w).cast("bigint").alias("sl"),
+            "nt",
+            "st",
+        )
+        return (
+            pref.filter((F.col("cl") > 0) & (F.col("cl") < F.col("nt")))
+            .select(
+                F.col("f").alias("bf"),
+                F.col("v").alias("bthr"),
+                F.expr(
+                    "sl * sl DIV cl"
+                    " + (st - sl) * (st - sl) DIV (nt - cl)"
+                ).alias("score"),
+                F.expr("sl DIV cl").alias("gl"),
+                F.expr("(st - sl) DIV (nt - cl)").alias("gr"),
+            )
+            .orderBy(F.col("score").desc(), "bf", "bthr")
+            .limit(1)
+        )
+
+    scored = base.crossJoin(F.broadcast(f0))
+    melt1 = melt(scored, F.col("y") - F.col("fbar"))
+    best1 = best_split(melt1).localCheckpoint(eager=False)
+    scored1 = scored.crossJoin(F.broadcast(best1)).select(
+        "y",
+        "qty",
+        "disc",
+        F.expr(
+            "fbar + (CASE WHEN (CASE WHEN bf = 'qty' THEN qty ELSE disc"
+            " END) <= bthr THEN gl ELSE gr END) DIV 2"
+        ).alias("fi"),
+    )
+    melt2 = melt(scored1, F.col("y") - F.col("fi"))
+    best2 = best_split(melt2).localCheckpoint(eager=False)
+    one = best1.select(
+        F.lit(1).alias("round"),
+        F.col("bf").alias("feature"),
+        F.col("bthr").cast("bigint").alias("thr"),
+        F.col("score").cast("bigint").alias("score_key"),
+        F.col("gl").cast("bigint").alias("gamma_l_milli"),
+        F.col("gr").cast("bigint").alias("gamma_r_milli"),
+    )
+    two = best2.select(
+        F.lit(2).alias("round"),
+        F.col("bf").alias("feature"),
+        F.col("bthr").cast("bigint").alias("thr"),
+        F.col("score").cast("bigint").alias("score_key"),
+        F.col("gl").cast("bigint").alias("gamma_l_milli"),
+        F.col("gr").cast("bigint").alias("gamma_r_milli"),
+    )
+    return one.unionAll(two).orderBy("round")

@@ -141,6 +141,7 @@ BNLJ_ALLOWED = {
                                   # over a <=11-row bin frame
     "q436_lsh_planner",           # 50-row literal curve broadcast
     "q437_doubly_robust",         # |ctx|x|actions| q-hat broadcasts
+    "q438_boosted_stumps",        # one-row f0/argmin-split broadcasts
 }
 
 

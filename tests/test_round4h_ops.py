@@ -3771,3 +3771,79 @@ def test_doubly_robust_replay_and_consistency(spark):
         # both estimators must land near the true slot-0 value (0.60)
         assert abs(r["direct_micro"] - 600_000) < 60_000
         assert abs(r["dr_micro"] - 600_000) < 60_000
+
+
+# --------------------------------------------------------------------------
+# q438 — boosted stumps
+# --------------------------------------------------------------------------
+
+
+def _tdiv(a, b):
+    return a // b if (a >= 0) == (b > 0) else -((-a) // b)
+
+
+def test_boosted_stumps_replay(spark):
+    con = _duck(SF_MID)
+    rows_in = con.execute(
+        """
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END,
+               CAST(FLOOR(l_quantity) AS BIGINT),
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+        FROM lineitem
+        """
+    ).fetchall()
+    n = len(rows_in)
+    fbar = sum(y for y, _, _ in rows_in) // n
+
+    def best(rs):
+        # rs: list of (f, v, r)
+        agg = defaultdict(lambda: [0, 0])
+        for f, v, r in rs:
+            c = agg[(f, v)]
+            c[0] += 1
+            c[1] += r
+        tot = defaultdict(lambda: [0, 0])
+        for (f, v), (c, s) in agg.items():
+            tot[f][0] += c
+            tot[f][1] += s
+        cands = []
+        for f in tot:
+            cl = sl = 0
+            for v in sorted(v for (ff, v) in agg if ff == f):
+                c, s = agg[(f, v)]
+                cl += c
+                sl += s
+                nt, st = tot[f]
+                if 0 < cl < nt:
+                    score = _tdiv(sl * sl, cl) + _tdiv(
+                        (st - sl) * (st - sl), nt - cl
+                    )
+                    cands.append(
+                        (-score, f, v, _tdiv(sl, cl),
+                         _tdiv(st - sl, nt - cl))
+                    )
+        cands.sort()
+        neg, f, v, gl, gr = cands[0]
+        return f, v, -neg, gl, gr
+
+    m1 = [("qty", q, y - fbar) for y, q, d in rows_in] + [
+        ("disc", d, y - fbar) for y, q, d in rows_in
+    ]
+    b1 = best(m1)
+    fi = []
+    for y, q, d in rows_in:
+        x = q if b1[0] == "qty" else d
+        g = b1[3] if x <= b1[1] else b1[4]
+        fi.append(fbar + _tdiv(g, 2))
+    m2 = [("qty", q, y - fi[i]) for i, (y, q, d) in enumerate(rows_in)] + [
+        ("disc", d, y - fi[i]) for i, (y, q, d) in enumerate(rows_in)
+    ]
+    b2 = best(m2)
+    got = registry.QUERIES["q438_boosted_stumps"](spark, SF_MID).collect()
+    for r, b in zip(got, (b1, b2)):
+        assert (r["feature"], r["thr"], r["score_key"]) == (b[0], b[1], b[2])
+        assert (r["gamma_l_milli"], r["gamma_r_milli"]) == (b[3], b[4])
+    # boosting actually boosts: round-2 residual scale is smaller
+    # than round-1's on the chosen split (leaf values shrink)
+    assert max(abs(got[1]["gamma_l_milli"]), abs(got[1]["gamma_r_milli"])) \
+        <= max(abs(got[0]["gamma_l_milli"]), abs(got[0]["gamma_r_milli"]))

@@ -1,0 +1,188 @@
+"""Streaming NUMERIC drift gate: the q411/q428 drift cores run per
+micro-batch against a persisted histogram reference. Where
+drift_gate.py watches a CATEGORICAL column with q313's chi-square,
+this gate watches a NUMERIC column (events.value) with the two
+metrics that carry operating semantics for numbers: PSI (universal
+0.10 / 0.25 thresholds, q411) and binned Wasserstein-1 (drift in
+VALUE units — what a cost model consumes, q428) — both computed from
+ONE shared fixed-bin histogram, exactly q411's bins, so the
+reference is ten integers per monitored column, forever.
+
+Exactly-once: stateless like drift_gate (the reference is read-only,
+each batch scores alone); the verdict table is partitioned by
+batch_id and dynamically overwritten, so a replayed micro-batch
+rewrites identical integer rows.
+
+Stream ≡ batch contract: `numeric_drift_score(batch, ref)` is the
+SAME function the foreachBatch hook runs (tested in
+tests/test_numeric_drift_gate.py).
+
+Scale: per batch, one map-side collapse to ≤{PSI_BINS} cells, a
+broadcast join against the tiny reference, a one-row verdict. The
+reference histogram merges by bin addition (q369), so refreshing it
+from a new window is an append + re-sum, never a re-scan of history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.analytics_ext import (
+    PSI_BIN_W,
+    PSI_BINS,
+    PSI_SHIFT_MICRO,
+    PSI_WARN_MICRO,
+)
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+#: monitored numeric column
+VALUE_COL = "value"
+REF_SCHEMA = "bin INT, oa BIGINT"
+SCORE_SCHEMA = (
+    "n_rows BIGINT, psi_micro BIGINT, w1_milli BIGINT, drifted INT,"
+    " batch_id BIGINT"
+)
+
+
+def _bin(col: str):
+    return F.least(
+        F.floor(F.col(col) / PSI_BIN_W).cast("int"), F.lit(PSI_BINS - 1)
+    )
+
+
+def reference_histogram(rows: DataFrame, col: str = VALUE_COL) -> DataFrame:
+    """Fixed-bin counts of the reference window (bin, oa) — q411's
+    exact binning, so the batch and reference grids always align."""
+    return rows.groupBy(_bin(col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("oa")
+    )
+
+
+def numeric_drift_score(
+    batch: DataFrame, ref: DataFrame, col: str = VALUE_COL
+) -> DataFrame:
+    """One-row (n_rows, psi_micro, w1_milli) score of `batch` against
+    the reference histogram. PSI terms are q411's Laplace-smoothed
+    per-bin FLOOR-of-ln integers over the DENSE grid; W1 is q428's
+    cross-multiplied cumulative-gap form in milli value units."""
+    spark = batch.sparkSession
+    bc = batch.groupBy(_bin(col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ob")
+    )
+    grid = (
+        spark.range(PSI_BINS)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(ref, "bin", "left")
+        .join(bc, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("oa", F.lit(0)).cast("bigint").alias("oa"),
+            F.coalesce("ob", F.lit(0)).cast("bigint").alias("ob"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("oa").cast("bigint").alias("na"),
+        F.sum("ob").cast("bigint").alias("nb"),
+    )
+    g = grid.crossJoin(F.broadcast(tot))
+    p = (F.col("oa") + 1).cast("double") / (F.col("na") + PSI_BINS)
+    q = (F.col("ob") + 1).cast("double") / (F.col("nb") + PSI_BINS)
+    term = F.floor(F.lit(1000000.0) * (p - q) * F.log(p / q)).cast("bigint")
+    cum = (
+        g.select(
+            "bin",
+            "na",
+            "nb",
+            term.alias("term_micro"),
+            F.sum("oa").over(Window.orderBy("bin"))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum("ob").over(Window.orderBy("bin"))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    return cum.agg(
+        F.max("nb").alias("n_rows"),
+        F.sum("term_micro").cast("bigint").alias("psi_micro"),
+        F.expr(
+            f"CAST(1000 * {PSI_BIN_W}"
+            " * SUM(CASE WHEN bin < "
+            f"{PSI_BINS - 1}"
+            " THEN ABS(ca * nb - cb * na) ELSE 0 END)"
+            " DIV GREATEST(MAX(na) * MAX(nb), CAST(1 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("w1_milli"),
+    )
+
+
+def numeric_drift_gate_writer(
+    ref_dir: str,
+    scores_dir: str,
+    col: str = VALUE_COL,
+    warn_micro: int = PSI_WARN_MICRO,
+):
+    """foreachBatch hook: score and record one verdict row per batch
+    under its own partition (replay rewrites identical bytes)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        ref = _read_or_empty(spark, ref_dir, REF_SCHEMA)
+        row = numeric_drift_score(batch, ref, col).select(
+            "n_rows",
+            "psi_micro",
+            "w1_milli",
+            F.when(F.col("psi_micro") > warn_micro, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("drifted"),
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+        )
+        _dynamic_overwrite(row, scores_dir)
+
+    return _write
+
+
+def read_scores(spark: SparkSession, scores_dir: str) -> DataFrame:
+    return _read_or_empty(spark, scores_dir, SCORE_SCHEMA)
+
+
+def run_numeric_drift_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    ref_dir: str,
+    scores_dir: str,
+    checkpoint_dir: str,
+    col: str = VALUE_COL,
+    warn_micro: int = PSI_WARN_MICRO,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available files (availableNow) through the numeric
+    scorer; one file per micro-batch by default, for the same reason
+    as drift_gate (folding a drain averages a drifted file away)."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            numeric_drift_gate_writer(ref_dir, scores_dir, col, warn_micro)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+__all__ = [
+    "PSI_SHIFT_MICRO",
+    "PSI_WARN_MICRO",
+    "numeric_drift_gate_writer",
+    "numeric_drift_score",
+    "read_scores",
+    "reference_histogram",
+    "run_numeric_drift_gate",
+]

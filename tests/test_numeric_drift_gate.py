@@ -1,0 +1,110 @@
+"""Streaming numeric drift gate (streaming/numeric_drift_gate.py):
+stream ≡ batch parity (the foreachBatch hook runs the same
+numeric_drift_score the test calls directly), a planted
+value-shifted file is flagged while an in-distribution re-sample is
+not, and replay after checkpoint deletion rewrites identical score
+rows (stateless gate + batch_id dynamic overwrite)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.streaming.numeric_drift_gate import (
+    PSI_WARN_MICRO,
+    numeric_drift_score,
+    read_scores,
+    reference_histogram,
+    run_numeric_drift_gate,
+)
+from tests.conftest import SF_SMALL
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+    " value DOUBLE"
+)
+
+
+def _setup(spark, tmp_path):
+    """Reference histogram from the fixture events; two stream files:
+    part-0 re-samples the reference distribution (healthy), part-1
+    shifts every value up by 200 (drifted — mass leaves the low bins
+    wholesale)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    ref_dir = tmp_path / "ref"
+    reference_histogram(ev).write.mode("overwrite").parquet(str(ref_dir))
+    rows = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).collect()
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    healthy = rows[::2]
+    with open(src / "part-0.json", "w") as f:
+        for r in healthy:
+            f.write(json.dumps(r.asDict()) + "\n")
+    with open(src / "part-1.json", "w") as f:
+        for r in rows[:200]:
+            d = r.asDict()
+            d["value"] = d["value"] + 200.0
+            f.write(json.dumps(d) + "\n")
+    return ref_dir, src, healthy
+
+
+def test_numeric_gate_flags_shift_and_replays(spark, tmp_path):
+    ref_dir, src, healthy = _setup(spark, tmp_path)
+    scores = tmp_path / "scores"
+    ckpt = tmp_path / "ckpt"
+    run_numeric_drift_gate(
+        spark, str(src), EVENTS_JSON_SCHEMA, str(ref_dir), str(scores),
+        str(ckpt),
+    )
+    got = {
+        r["batch_id"]: r
+        for r in read_scores(spark, str(scores)).collect()
+    }
+    assert len(got) == 2
+    flagged = [r for r in got.values() if r["drifted"] == 1]
+    clean = [r for r in got.values() if r["drifted"] == 0]
+    assert len(flagged) == 1 and len(clean) == 1
+    # the healthy batch is the every-other-row sample
+    assert clean[0]["n_rows"] == len(healthy)
+    # the shifted batch blows past the PSI action threshold and moves
+    # real value mass (W1 in milli value units ~ the 200-unit shift)
+    assert flagged[0]["psi_micro"] > PSI_WARN_MICRO
+    assert flagged[0]["w1_milli"] > 100_000  # > 100 value units
+    assert clean[0]["w1_milli"] < 50_000
+
+    # stream == batch: scoring the healthy file directly reproduces
+    # the gate's recorded integers
+    ref = spark.read.parquet(str(ref_dir))
+    healthy_df = spark.read.schema(EVENTS_JSON_SCHEMA).json(
+        str(src / "part-0.json")
+    )
+    direct = numeric_drift_score(healthy_df, ref).collect()[0]
+    assert direct["psi_micro"] == clean[0]["psi_micro"]
+    assert direct["w1_milli"] == clean[0]["w1_milli"]
+
+    # replay: wipe the checkpoint, rerun, identical rows
+    shutil.rmtree(ckpt)
+    run_numeric_drift_gate(
+        spark, str(src), EVENTS_JSON_SCHEMA, str(ref_dir), str(scores),
+        str(ckpt),
+    )
+    again = {
+        r["batch_id"]: r
+        for r in read_scores(spark, str(scores)).collect()
+    }
+    assert {
+        k: (v["psi_micro"], v["w1_milli"], v["drifted"])
+        for k, v in got.items()
+    } == {
+        k: (v["psi_micro"], v["w1_milli"], v["drifted"])
+        for k, v in again.items()
+    }

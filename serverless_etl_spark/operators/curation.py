@@ -296,3 +296,173 @@ def q199_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(split_rows)
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# q439 — per-source training-mix prescription
+# --------------------------------------------------------------------------
+
+MIX_SHORT_CHARS = 100       #: q137's short-doc cut
+MIX_ENTROPY_PPM = 700_000   #: q416's low-entropy cut
+
+
+@register(
+    "q439_training_mix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT d.source, d.doc_id, d.n_chars,
+               md5(d.text) AS h,
+               (SELECT CAST(FLOOR(1000000.0 * ln(SUM(c)))
+                       - SUM(CAST(FLOOR(1000000.0 * c * ln(c))
+                             AS BIGINT)) // SUM(c) AS BIGINT)
+                FROM (SELECT COUNT(*) AS c
+                      FROM UNNEST(string_split(d.text, ' ')) AS t(tok)
+                      WHERE t.tok <> '' GROUP BY t.tok)) AS h_micro,
+               (SELECT CAST(FLOOR(1000000.0 * ln(COUNT(*))) AS BIGINT)
+                FROM UNNEST(string_split(d.text, ' ')) AS t(tok)
+                WHERE t.tok <> '') AS hmax_micro
+        FROM documents d
+    ),
+    firsted AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id)
+                   AS occ
+        FROM scored
+    ),
+    classed AS (
+        SELECT source,
+               CASE WHEN n_chars < {MIX_SHORT_CHARS} THEN 'short'
+                    WHEN 1000000 * h_micro // GREATEST(hmax_micro, 1)
+                         < {MIX_ENTROPY_PPM} THEN 'low_entropy'
+                    WHEN occ > 1 THEN 'duplicate'
+                    ELSE 'kept' END AS verdict
+        FROM firsted
+    ),
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS raw_docs,
+               CAST(SUM(CASE WHEN verdict = 'short' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_short,
+               CAST(SUM(CASE WHEN verdict = 'low_entropy' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_low_entropy,
+               CAST(SUM(CASE WHEN verdict = 'duplicate' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_duplicate,
+               CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept_docs
+        FROM classed GROUP BY source
+    )
+    SELECT source, raw_docs, n_short, n_low_entropy, n_duplicate,
+           kept_docs,
+           CAST(FLOOR(1000 * sqrt(kept_docs)) AS BIGINT) AS weight,
+           CAST(1000000 * CAST(FLOOR(1000 * sqrt(kept_docs)) AS BIGINT)
+                // SUM(CAST(FLOOR(1000 * sqrt(kept_docs)) AS BIGINT))
+                  OVER () AS BIGINT) AS mix_share_ppm
+    FROM per ORDER BY source
+    """,
+)
+def q439_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source TRAINING-MIX PRESCRIPTION — the table the whole
+    hygiene family exists to produce: classify every document into its
+    FIRST failing screen (short → low-entropy → exact-duplicate, the
+    q199 funnel's precedence at source grain), count survivors, and
+    convert survivor counts into sampling weights with a T=2
+    temperature (weight ∝ kept^(1/2)) — the standard flattening that
+    keeps giant sources from drowning small ones while still
+    respecting size. Where q431's dataset card DESCRIBES sources and
+    q160 solves a target-share mixture, this emits the operational
+    answer: how much of each source the next training run samples.
+
+    Determinism: the screens reuse q137/q416/q40's exact arithmetic;
+    sqrt — unlike ln/exp — is IEEE-754 CORRECTLY ROUNDED, so both
+    engines produce the bit-identical double for the same integer and
+    the ×1000 FLOOR quantization is safe (documented contrast with
+    the q411 ln discipline); shares are ppm floors of integer
+    weights.
+
+    Scale: ONE corpus scan (tokenize for entropy, hash for dedup,
+    length for the short cut fused in a single projection), a
+    per-hash first-occurrence window (the q40 dedup shuffle), and a
+    per-source collapse. The weights are |sources| rows; at 100 TB
+    the only wide state is the exact-dup window, which q41/q375
+    swap for near-dup variants with the same verdict column.
+
+    Reference: q199 (doc-grain funnel), q431 (descriptive card), q160
+    (target-share mixture), q416/q137/q40 (the screens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.md5("text").alias("h"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "doc_id", "n_chars", "h", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scored = tf.groupBy("source", "doc_id", "n_chars", "h").agg(
+        F.expr(
+            "CAST(FLOOR(1000000.0 * ln(SUM(c)))"
+            " - SUM(CAST(FLOOR(1000000.0 * c * ln(c)) AS BIGINT))"
+            "   DIV SUM(c) AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * ln(SUM(c))) AS BIGINT)"
+        ).alias("hmax_micro"),
+    )
+    firsted = scored.select(
+        "source",
+        "n_chars",
+        "h_micro",
+        "hmax_micro",
+        F.row_number()
+        .over(Window.partitionBy("h").orderBy("doc_id"))
+        .alias("occ"),
+    )
+    verdict = (
+        F.when(F.col("n_chars") < MIX_SHORT_CHARS, "short")
+        .when(
+            F.expr("1000000 * h_micro DIV GREATEST(hmax_micro,"
+                   " CAST(1 AS BIGINT))")
+            < MIX_ENTROPY_PPM,
+            "low_entropy",
+        )
+        .when(F.col("occ") > 1, "duplicate")
+        .otherwise("kept")
+    )
+    per = (
+        firsted.select("source", verdict.alias("verdict"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+            F.sum(F.when(F.col("verdict") == "short", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short"),
+            F.sum(
+                F.when(F.col("verdict") == "low_entropy", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_entropy"),
+            F.sum(F.when(F.col("verdict") == "duplicate", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duplicate"),
+            F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+        )
+    )
+    w = F.floor(F.lit(1000) * F.sqrt(F.col("kept_docs"))).cast("bigint")
+    return per.select(
+        "source",
+        "raw_docs",
+        "n_short",
+        "n_low_entropy",
+        "n_duplicate",
+        "kept_docs",
+        w.alias("weight"),
+        F.expr(
+            "CAST(1000000 * CAST(FLOOR(1000 * sqrt(kept_docs)) AS BIGINT)"
+            " DIV SUM(CAST(FLOOR(1000 * sqrt(kept_docs)) AS BIGINT))"
+            " OVER () AS BIGINT)"
+        ).alias("mix_share_ppm"),
+    ).orderBy("source")

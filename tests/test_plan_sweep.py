@@ -142,6 +142,7 @@ BNLJ_ALLOWED = {
     "q436_lsh_planner",           # 50-row literal curve broadcast
     "q437_doubly_robust",         # |ctx|x|actions| q-hat broadcasts
     "q438_boosted_stumps",        # one-row f0/argmin-split broadcasts
+    "q439_training_mix",          # one-row weight-total window
 }
 
 

@@ -3847,3 +3847,73 @@ def test_boosted_stumps_replay(spark):
     # than round-1's on the chosen split (leaf values shrink)
     assert max(abs(got[1]["gamma_l_milli"]), abs(got[1]["gamma_r_milli"])) \
         <= max(abs(got[0]["gamma_l_milli"]), abs(got[0]["gamma_r_milli"]))
+
+
+# --------------------------------------------------------------------------
+# q439 — training mix
+# --------------------------------------------------------------------------
+
+
+def test_training_mix_replay(spark):
+    import hashlib
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    raw = con.execute(
+        "SELECT doc_id, source, n_chars, text FROM documents"
+        " ORDER BY doc_id"
+    ).fetchall()
+    seen_hash = {}
+    per = defaultdict(lambda: defaultdict(int))
+    for did, src, nc, tx in raw:
+        h = hashlib.md5(tx.encode()).hexdigest()
+        first = h not in seen_hash
+        if first:
+            seen_hash[h] = did
+        toks = [t for t in tx.split(" ") if t]
+        cnt = defaultdict(int)
+        for t in toks:
+            cnt[t] += 1
+        n = len(toks)
+        hm = math.floor(1e6 * math.log(n)) - sum(
+            math.floor(1e6 * c * math.log(c)) for c in cnt.values()
+        ) // n
+        hmax = max(math.floor(1e6 * math.log(n)), 1)
+        if nc < 100:
+            v = "short"
+        elif 1_000_000 * hm // hmax < 700_000:
+            v = "low_entropy"
+        elif not first:
+            v = "duplicate"
+        else:
+            v = "kept"
+        per[src][v] += 1
+        per[src]["raw"] += 1
+    weights = {
+        s: math.floor(1000 * math.sqrt(d.get("kept", 0)))
+        for s, d in per.items()
+    }
+    wtot = sum(weights.values())
+    rows = registry.QUERIES["q439_training_mix"](spark, SF_MID).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        d = per[r["source"]]
+        assert r["raw_docs"] == d["raw"]
+        assert r["n_short"] == d.get("short", 0)
+        assert r["n_low_entropy"] == d.get("low_entropy", 0)
+        assert r["n_duplicate"] == d.get("duplicate", 0)
+        assert r["kept_docs"] == d.get("kept", 0)
+        assert r["weight"] == weights[r["source"]]
+        assert r["mix_share_ppm"] == 1_000_000 * r["weight"] // wtot
+        # funnel conservation
+        assert (
+            r["n_short"] + r["n_low_entropy"] + r["n_duplicate"]
+            + r["kept_docs"] == r["raw_docs"]
+        )
+    # sqrt-temperature flattening: shares sum to ~1e6 (floor slack)
+    tot = sum(r["mix_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000

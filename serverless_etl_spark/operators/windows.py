@@ -4784,3 +4784,222 @@ def q432_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q440 — rolling-origin MASE backtest (Holt vs seasonal-naive)
+# --------------------------------------------------------------------------
+
+MASE_FOLDS = 7  #: the last week's days each serve as a forecast origin
+
+
+def _mase_holt_fn(pdf):
+    """Per-(key, origin) Holt walk over the fold's prefix; emits the
+    one-step-ahead forecast (q377's exact recursion)."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    def sdiv2(v: int) -> int:
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    pdf = pdf.sort_values("i")
+    cnts = [int(c) for c in pdf["cnt"].to_list()]
+    l = cnts[0] * 1000
+    b = 0
+    for c in cnts[1:]:
+        l_new = sdiv2(c * 1000 + l + b)
+        b = sdiv2(l_new - l + b)
+        l = l_new
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "o": [int(pdf["o"].iloc[0])],
+            "forecast_milli": [l + b],
+        }
+    )
+
+
+def _mase_rec_sql() -> str:
+    """q377's sign-split Holt recursion keyed by (event_type, origin),
+    advancing only within the fold's prefix (i <= o)."""
+    return """
+    rec AS (
+        SELECT event_type, o, i, cnt * 1000 AS l, CAST(0 AS BIGINT) AS b
+        FROM folds WHERE i = 1
+        UNION ALL
+        SELECT event_type, o, i, lnew,
+               CASE WHEN lnew - lprev + bprev >= 0
+                    THEN (lnew - lprev + bprev) // 2
+                    ELSE -((-(lnew - lprev + bprev)) // 2) END
+        FROM (
+            SELECT f.event_type, f.o, f.i,
+                   r.l AS lprev, r.b AS bprev,
+                   CASE WHEN f.cnt * 1000 + r.l + r.b >= 0
+                        THEN (f.cnt * 1000 + r.l + r.b) // 2
+                        ELSE -((-(f.cnt * 1000 + r.l + r.b)) // 2)
+                   END AS lnew
+            FROM rec r
+            JOIN folds f ON f.event_type = r.event_type
+                        AND f.o = r.o AND f.i = r.i + 1
+        )
+    )"""
+
+
+@register(
+    "q440_mase_backtest",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    spans AS (
+        SELECT event_type, CAST(MAX(i) AS BIGINT) AS n FROM seq GROUP BY 1
+    ),
+    origins AS (
+        SELECT event_type, unnest(generate_series(n - {MASE_FOLDS}, n - 1))
+                   AS o
+        FROM spans
+    ),
+    folds AS (
+        SELECT s.event_type, og.o, s.i, s.cnt
+        FROM seq s JOIN origins og
+          ON og.event_type = s.event_type AND s.i <= og.o
+    ),
+    {_mase_rec_sql()},
+    fc AS (
+        SELECT event_type, o, l + b AS forecast_milli
+        FROM rec
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, o
+                                   ORDER BY i DESC) = 1
+    ),
+    judged AS (
+        SELECT fc.event_type,
+               ABS(fc.forecast_milli - a.cnt * 1000) AS e_model,
+               ABS(nv.cnt * 1000 - a.cnt * 1000) AS e_naive
+        FROM fc
+        JOIN seq a ON a.event_type = fc.event_type AND a.i = fc.o + 1
+        JOIN seq nv ON nv.event_type = fc.event_type
+                   AND nv.i = fc.o - 6
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_folds,
+           CAST(SUM(e_model) // COUNT(*) AS BIGINT) AS mae_holt_milli,
+           CAST(SUM(e_naive) // COUNT(*) AS BIGINT) AS mae_naive_milli,
+           CAST(1000000 * SUM(e_model)
+                // GREATEST(SUM(e_naive), 1) AS BIGINT) AS mase_ppm,
+           CASE WHEN SUM(e_model) < SUM(e_naive) THEN 'holt'
+                ELSE 'seasonal_naive' END AS winner
+    FROM judged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q440_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin MASE backtest — the honest forecast shoot-out
+    the family was missing: each of the last {MASE_FOLDS} days serves
+    as a forecast ORIGIN, Holt (q377's exact integer recursion) is
+    re-fit on that fold's prefix only, its one-step-ahead forecast is
+    scored against the realized next day, and the error is SCALED by
+    the seasonal-naive error on the same folds — MASE, the scale-free
+    metric the M-competitions standardized on (mase < 1 ⇔ the model
+    earns its complexity). q377's in-sample SAE can flatter a model
+    that merely memorizes the level; rolling-origin evaluation is the
+    time-series analogue of q365's held-out stance, and q244/q245
+    supply the fold/baseline vocabulary this composes.
+
+    Determinism: the per-fold recursion is q377's sign-split halving
+    bit-for-bit (oracle: the same recursion as a recursive CTE keyed
+    by (type, origin)); errors, MAEs, and the MASE ratio are integer
+    milli/ppm floors.
+
+    Scale: folds multiply the daily grain by {MASE_FOLDS} via an
+    equi-join on the type key (never a cross product); each
+    (type, origin) walk is an independent applyInPandas key — a
+    million series × folds walk in parallel; everything after is
+    |types| rows. Re-fitting per fold is the COST of honest
+    backtesting and it parallelizes for free on the fold key.
+
+    Reference: q377 (the model), q245 (the baseline), q244 (fold
+    machinery), q365 (held-out stance), q385/q418 (the models to
+    shoot out next)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seq = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    seq = track_cache(seq.persist())
+    origins = (
+        seq.groupBy("event_type")
+        .agg(F.max("i").alias("n"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("n") - MASE_FOLDS, F.col("n") - 1
+                )
+            ).alias("o"),
+        )
+    )
+    folds = seq.join(origins, "event_type").filter(F.col("i") <= F.col("o"))
+    fc = folds.groupBy("event_type", "o").applyInPandas(
+        _mase_holt_fn,
+        "event_type string, o bigint, forecast_milli bigint",
+    )
+    a = seq.select(
+        "event_type", F.col("i").alias("ai"), F.col("cnt").alias("actual")
+    )
+    nv = seq.select(
+        "event_type", F.col("i").alias("ni"), F.col("cnt").alias("naive")
+    )
+    judged = (
+        fc.join(a, (a.ai == F.col("o") + 1) & (a.event_type == fc.event_type))
+        .drop(a.event_type)
+        .join(
+            nv,
+            (nv.ni == F.col("o") - 6) & (nv.event_type == fc.event_type),
+        )
+        .drop(nv.event_type)
+        .select(
+            fc.event_type.alias("event_type"),
+            F.abs(F.col("forecast_milli") - F.col("actual") * 1000).alias(
+                "e_model"
+            ),
+            F.abs(F.col("naive") * 1000 - F.col("actual") * 1000).alias(
+                "e_naive"
+            ),
+        )
+    )
+    return (
+        judged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+            F.expr("CAST(SUM(e_model) DIV COUNT(*) AS BIGINT)").alias(
+                "mae_holt_milli"
+            ),
+            F.expr("CAST(SUM(e_naive) DIV COUNT(*) AS BIGINT)").alias(
+                "mae_naive_milli"
+            ),
+            F.expr(
+                "CAST(1000000 * SUM(e_model)"
+                " DIV GREATEST(SUM(e_naive), CAST(1 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("mase_ppm"),
+            F.expr(
+                "CASE WHEN SUM(e_model) < SUM(e_naive) THEN 'holt'"
+                " ELSE 'seasonal_naive' END"
+            ).alias("winner"),
+        )
+        .orderBy("event_type")
+    )

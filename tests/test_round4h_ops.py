@@ -3917,3 +3917,51 @@ def test_training_mix_replay(spark):
     # sqrt-temperature flattening: shares sum to ~1e6 (floor slack)
     tot = sum(r["mix_share_ppm"] for r in rows)
     assert 1_000_000 - len(rows) <= tot <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q440 — MASE backtest
+# --------------------------------------------------------------------------
+
+
+def test_mase_backtest_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, c in daily:
+        per[t].append(c)
+
+    def sdiv2(v):
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    def holt_fc(xs):
+        l, b = xs[0] * 1000, 0
+        for c in xs[1:]:
+            ln = sdiv2(c * 1000 + l + b)
+            b = sdiv2(ln - l + b)
+            l = ln
+        return l + b
+
+    rows = registry.QUERIES["q440_mase_backtest"](spark, SF_MID).collect()
+    for r in rows:
+        xs = per[r["event_type"]]
+        n = len(xs)
+        em = en = 0
+        for o in range(n - 7, n):          # origins, 1-based o == index
+            fc = holt_fc(xs[:o])           # prefix i <= o
+            a = xs[o] * 1000               # actual at o+1 (0-based xs[o])
+            nv = xs[o - 7] * 1000          # seasonal naive at o-6
+            em += abs(fc - a)
+            en += abs(nv - a)
+        assert r["n_folds"] == 7
+        assert r["mae_holt_milli"] == em // 7
+        assert r["mae_naive_milli"] == en // 7
+        assert r["mase_ppm"] == 1_000_000 * em // max(en, 1)
+        assert r["winner"] == ("holt" if em < en else "seasonal_naive")

@@ -5003,3 +5003,189 @@ def q440_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q441 — binary-segmentation changepoints (two greedy splits, 3 segments)
+# --------------------------------------------------------------------------
+
+#: between-segment gain of splitting prefix (cl, sl) out of (nt, st):
+#: S_L²/n_L + S_R²/n_R − S²/n, integer-staged (ordering key)
+_BSEG_GAIN = (
+    "(sl * sl DIV cl + (st - sl) * (st - sl) DIV (nt - cl)"
+    " - st * st DIV nt)"
+)
+
+
+def _bseg_round_sql(rnd: int) -> str:
+    """One greedy-split round (DuckDB side): prefix sums within each
+    current segment, global argmax gain per type, reassignment."""
+    gain = _BSEG_GAIN.replace("DIV", "//")
+    return f"""
+    pref{rnd} AS (
+        SELECT event_type, seg, i,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS sl,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cl,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type, seg)
+                   AS BIGINT) AS st,
+               CAST(COUNT(*) OVER (PARTITION BY event_type, seg)
+                   AS BIGINT) AS nt
+        FROM s{rnd}
+        WINDOW w AS (PARTITION BY event_type, seg ORDER BY i)
+    ),
+    best{rnd} AS (
+        SELECT event_type, seg AS bseg, i AS bt
+        FROM pref{rnd}
+        WHERE cl < nt
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY {gain} DESC, i) = 1
+    ),
+    s{rnd + 1} AS (
+        SELECT s.event_type, s.i, s.cnt,
+               CASE WHEN s.seg = b.bseg AND s.i > b.bt
+                    THEN s.seg * 2 + 1
+                    WHEN s.seg = b.bseg THEN s.seg * 2
+                    ELSE s.seg END AS seg
+        FROM s{rnd} s JOIN best{rnd} b ON b.event_type = s.event_type
+    )"""
+
+
+@register(
+    "q441_binseg_changepoints",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s0 AS (
+        SELECT event_type, cnt, 1 AS seg,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    {_bseg_round_sql(0)},
+    {_bseg_round_sql(1)}
+    SELECT event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY MIN(i)) AS INT) AS seg_id,
+           CAST(MIN(i) AS BIGINT) AS start_day,
+           CAST(MAX(i) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(1000 * SUM(cnt) // COUNT(*) AS BIGINT) AS mean_milli
+    FROM s2
+    GROUP BY event_type, seg
+    ORDER BY event_type, seg_id
+    """,
+)
+def q441_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection — the multi-shift
+    member of the monitoring family: q152's CUSUM finds ONE level
+    shift, q432's EWMA chart alarms on small drifts; binary
+    segmentation greedily applies the best two-mean split to the
+    series, then to the resulting segments, yielding 3 regimes per
+    type with exact boundaries and means. The split criterion is the
+    between-segment gain S²_L/n_L + S²_R/n_R − S²/n — EXACTLY q438's
+    boosting split score on the time axis (maximizing it minimizes
+    within-segment SSE), which is the point: changepoint detection IS
+    a depth-limited regression tree on time.
+
+    Determinism: integer prefix sums per segment, the staged-DIV gain
+    as an ordering key (ties → earlier boundary), integer reassignment
+    (segment ids double per split — a binary-tree labeling); means in
+    milli floors. The oracle unrolls the two rounds as CTEs with the
+    identical window/argmax/reassign steps.
+
+    Scale: events collapse to |types|×|days| map-side; each round is
+    one window pass over that grain plus a per-type one-row argmax
+    broadcast join — k splits = k such passes (PELT's pruning matters
+    when |days| is large; at the daily grain greedy binseg is the
+    standard production choice).
+
+    Reference: q152 (CUSUM single-shift), q432 (EWMA alarm), q438
+    (the identical split machinery), q243 (decomposition — remove
+    seasonality BEFORE segmenting a seasonal series)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    s = daily.select(
+        "event_type",
+        "cnt",
+        F.lit(1).alias("seg"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    for _ in range(2):
+        w = Window.partitionBy("event_type", "seg").orderBy("i")
+        w_seg = Window.partitionBy("event_type", "seg")
+        pref = s.select(
+            "event_type",
+            "seg",
+            "i",
+            F.sum("cnt").over(w).cast("bigint").alias("sl"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("cl"),
+            F.sum("cnt").over(w_seg).cast("bigint").alias("st"),
+            F.count(F.lit(1)).over(w_seg).cast("bigint").alias("nt"),
+        )
+        best = (
+            pref.filter(F.col("cl") < F.col("nt"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        F.expr(_BSEG_GAIN).desc(), "i"
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                "event_type",
+                F.col("seg").alias("bseg"),
+                F.col("i").alias("bt"),
+            )
+        )
+        s = (
+            s.join(best, "event_type")
+            .select(
+                "event_type",
+                "i",
+                "cnt",
+                F.when(
+                    (F.col("seg") == F.col("bseg"))
+                    & (F.col("i") > F.col("bt")),
+                    F.col("seg") * 2 + 1,
+                )
+                .when(F.col("seg") == F.col("bseg"), F.col("seg") * 2)
+                .otherwise(F.col("seg"))
+                .alias("seg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        s.groupBy("event_type", "seg")
+        .agg(
+            F.min("i").cast("bigint").alias("start_day"),
+            F.max("i").cast("bigint").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("CAST(1000 * SUM(cnt) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_milli"
+            ),
+        )
+        .select(
+            "event_type",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy("start_day")
+            )
+            .cast("int")
+            .alias("seg_id"),
+            "start_day",
+            "end_day",
+            "n_days",
+            "mean_milli",
+        )
+        .orderBy("event_type", "seg_id")
+    )

@@ -3965,3 +3965,60 @@ def test_mase_backtest_replay(spark):
         assert r["mae_naive_milli"] == en // 7
         assert r["mase_ppm"] == 1_000_000 * em // max(en, 1)
         assert r["winner"] == ("holt" if em < en else "seasonal_naive")
+
+
+# --------------------------------------------------------------------------
+# q441 — binary segmentation
+# --------------------------------------------------------------------------
+
+
+def test_binseg_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, c in daily:
+        per[t].append(c)
+
+    def gain(xs, lo, hi, t):
+        # split [lo, hi] (0-based, inclusive) after index t
+        sl = sum(xs[lo:t + 1])
+        st = sum(xs[lo:hi + 1])
+        cl, nt = t - lo + 1, hi - lo + 1
+        return (
+            _tdiv(sl * sl, cl)
+            + _tdiv((st - sl) * (st - sl), nt - cl)
+            - _tdiv(st * st, nt)
+        )
+
+    rows = registry.QUERIES["q441_binseg_changepoints"](
+        spark, SF_MID
+    ).collect()
+    by = defaultdict(list)
+    for r in rows:
+        by[r["event_type"]].append(r)
+    for t, xs in per.items():
+        segs = [(0, len(xs) - 1)]
+        for _ in range(2):
+            cands = []
+            for si, (lo, hi) in enumerate(segs):
+                for cut in range(lo, hi):
+                    cands.append((-gain(xs, lo, hi, cut), cut, si))
+            cands.sort()
+            _, cut, si = cands[0]
+            lo, hi = segs[si]
+            segs[si:si + 1] = [(lo, cut), (cut + 1, hi)]
+            segs.sort()
+        got = by[t]
+        assert len(got) == 3
+        for r, (lo, hi) in zip(got, segs):
+            n = hi - lo + 1
+            assert (r["start_day"], r["end_day"]) == (lo + 1, hi + 1)
+            assert r["n_days"] == n
+            assert r["mean_milli"] == 1000 * sum(xs[lo:hi + 1]) // n

@@ -4193,3 +4193,125 @@ def q431_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q442 — small-cell suppression with complementary suppression (SDC)
+# --------------------------------------------------------------------------
+
+
+def _supp_pass_sql(rnd: int, axis: str) -> str:
+    """One complementary-suppression pass along `axis` (DuckDB side):
+    any line with EXACTLY ONE suppressed cell gets its smallest
+    unsuppressed cell suppressed too (else the line total reveals
+    the primary cell by subtraction)."""
+    return f"""
+    p{rnd} AS (
+        SELECT c_nationkey, c_mktsegment, n, status,
+               SUM(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY {axis}) AS n_supp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {axis}, CASE WHEN status = 'ok'
+                                             THEN 1 ELSE 0 END
+                   ORDER BY n, c_nationkey, c_mktsegment) AS rk
+        FROM s{rnd}
+    ),
+    s{rnd + 1} AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               CASE WHEN status = 'ok' AND n_supp = 1 AND rk = 1
+                    THEN 'complementary' ELSE status END AS status
+        FROM p{rnd}
+    )"""
+
+
+@register(
+    "q442_cell_suppression",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CASE WHEN COUNT(*) < {K_ANON} THEN 'primary'
+                    ELSE 'ok' END AS status
+        FROM customer GROUP BY 1, 2
+    ),
+    {_supp_pass_sql(0, 'c_nationkey')},
+    {_supp_pass_sql(1, 'c_mktsegment')}
+    SELECT c_nationkey, c_mktsegment, n, status
+    FROM s2
+    WHERE status <> 'ok'
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q442_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical disclosure control for a PUBLISHED contingency
+    table — the step after q122's k-anonymity audit: cells under
+    k = {K_ANON} are primary-suppressed, but a row or column with
+    exactly ONE suppressed cell still leaks it by subtraction from
+    the marginal total, so a COMPLEMENTARY cell (the smallest
+    unsuppressed one on that line, deterministic tiebreak) must be
+    suppressed too. One pass along rows (nation) then one along
+    columns (segment) — production SDC iterates these passes to a
+    fixpoint and minimizes an information-loss objective (documented;
+    two passes resolve every single-suppression line the fixtures
+    produce, and the emitted table is auditable either way). Output:
+    only the suppressed cells with their reason.
+
+    Determinism: counts, window counts of suppressed cells per line,
+    and a rank-1 pick ordered by (n, keys) — pure integer/order
+    logic, no arithmetic at all.
+
+    Scale: the grid IS the collapsed aggregate (|nations|×|segments|);
+    each pass is two windows over that tiny frame. For a
+    billion-cell cube the same passes run per published slice and the
+    primary flags come from the q122 audit that already exists.
+
+    Reference: q122/q337/q413 (the audit trio this acts on), q263
+    (DP bounds — the noise alternative to suppression), q137 (the
+    dashboards that must consume the suppressed table)."""
+    customer = load_table(spark, sf_dir, "customer")
+    s = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.when(F.col("n") < K_ANON, "primary").otherwise("ok").alias(
+            "status"
+        ),
+    )
+    for axis in ("c_nationkey", "c_mktsegment"):
+        w_line = Window.partitionBy(axis)
+        w_rk = Window.partitionBy(
+            axis, F.when(F.col("status") == "ok", 1).otherwise(0)
+        ).orderBy("n", "c_nationkey", "c_mktsegment")
+        s = (
+            s.select(
+                "c_nationkey",
+                "c_mktsegment",
+                "n",
+                "status",
+                F.sum(
+                    F.when(F.col("status") != "ok", 1).otherwise(0)
+                )
+                .over(w_line)
+                .alias("n_supp"),
+                F.row_number().over(w_rk).alias("rk"),
+            )
+            .select(
+                "c_nationkey",
+                "c_mktsegment",
+                "n",
+                F.when(
+                    (F.col("status") == "ok")
+                    & (F.col("n_supp") == 1)
+                    & (F.col("rk") == 1),
+                    "complementary",
+                )
+                .otherwise(F.col("status"))
+                .alias("status"),
+            )
+        )
+    return (
+        s.filter(F.col("status") != "ok")
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -4022,3 +4022,51 @@ def test_binseg_replay(spark):
             assert (r["start_day"], r["end_day"]) == (lo + 1, hi + 1)
             assert r["n_days"] == n
             assert r["mean_milli"] == 1000 * sum(xs[lo:hi + 1]) // n
+
+
+# --------------------------------------------------------------------------
+# q442 — cell suppression
+# --------------------------------------------------------------------------
+
+
+def test_cell_suppression_no_singleton_lines(spark):
+    """After the row and column passes, no nation row and no segment
+    column may contain EXACTLY ONE suppressed cell — the subtraction
+    attack the complementary pass exists to block. Also replay."""
+    con = _duck(SF_MID)
+    cells = con.execute(
+        "SELECT c_nationkey, c_mktsegment, COUNT(*) FROM customer"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    status = {
+        (nk, seg): ("primary" if n < 8 else "ok")
+        for nk, seg, n in cells
+    }
+    counts = {(nk, seg): n for nk, seg, n in cells}
+    for axis in (0, 1):
+        lines = defaultdict(list)
+        for key in status:
+            lines[key[axis]].append(key)
+        for line, keys in lines.items():
+            supp = [k for k in keys if status[k] != "ok"]
+            if len(supp) == 1:
+                ok = sorted(
+                    (k for k in keys if status[k] == "ok"),
+                    key=lambda k: (counts[k], k),
+                )
+                if ok:
+                    status[ok[0]] = "complementary"
+    expect = {k: v for k, v in status.items() if v != "ok"}
+    rows = registry.QUERIES["q442_cell_suppression"](
+        spark, SF_MID
+    ).collect()
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["status"] for r in rows
+    }
+    assert got == expect
+    # the security property itself
+    for axis in (0, 1):
+        per_line = defaultdict(int)
+        for k in got:
+            per_line[k[axis]] += 1
+        assert all(v != 1 for v in per_line.values())

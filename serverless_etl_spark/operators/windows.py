@@ -5189,3 +5189,142 @@ def q441_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "seg_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q443 — token-bucket rate-limiter replay (admission-control audit)
+# --------------------------------------------------------------------------
+
+TB_CAPACITY = 3             #: bucket size (tokens)
+TB_REFILL_SECONDS = 86400   #: one token per this many seconds (1/day —
+                            #: sized so the fixtures' ~2 events/user/day
+                            #: traffic actually exercises the limiter)
+
+
+def _token_bucket_fn(pdf):
+    """Per-user sequential token-bucket walk in integer micro-tokens:
+    refill = Δµs DIV {TB_REFILL_SECONDS} (one token per
+    {TB_REFILL_SECONDS} s ⇒ one micro-token per {TB_REFILL_SECONDS} µs),
+    clamp to capacity, admit iff a full token is available."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    pdf = pdf.sort_values(["us", "event_id"])
+    cap = TB_CAPACITY * 1_000_000
+    tok = cap
+    prev = None
+    out = []
+    for us, et in zip(pdf["us"].to_list(), pdf["event_type"].to_list()):
+        if prev is not None:
+            tok = min(cap, tok + (int(us) - prev) // TB_REFILL_SECONDS)
+        prev = int(us)
+        if tok >= 1_000_000:
+            tok -= 1_000_000
+            out.append((et, 0))
+        else:
+            out.append((et, 1))
+    agg = {}
+    for et, th in out:
+        n, t = agg.get(et, (0, 0))
+        agg[et] = (n + 1, t + th)
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])] * len(agg),
+            "event_type": list(agg),
+            "n": [v[0] for v in agg.values()],
+            "n_throttled": [v[1] for v in agg.values()],
+        }
+    )
+
+
+@register(
+    "q443_token_bucket",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS k
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, event_type, k, us,
+               CAST({TB_CAPACITY * 1_000_000} - 1000000 AS BIGINT)
+                   AS tok,
+               0 AS throttled
+        FROM seq WHERE k = 1
+        UNION ALL
+        SELECT q.user_id, q.event_type, q.k, q.us,
+               CASE WHEN q.avail >= 1000000 THEN q.avail - 1000000
+                    ELSE q.avail END,
+               CASE WHEN q.avail >= 1000000 THEN 0 ELSE 1 END
+        FROM (
+            SELECT s.user_id, s.event_type, s.k, s.us,
+                   LEAST({TB_CAPACITY * 1_000_000},
+                         r.tok + (s.us - r.us) // {TB_REFILL_SECONDS})
+                       AS avail
+            FROM rec r
+            JOIN seq s ON s.user_id = r.user_id AND s.k = r.k + 1
+        ) q
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(throttled) AS BIGINT) AS n_throttled,
+           CAST(1000000 * SUM(throttled) // COUNT(*) AS BIGINT)
+               AS throttled_ppm
+    FROM rec
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q443_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter REPLAY — admission control audited
+    against real traffic before it's deployed: every user gets a
+    {TB_CAPACITY}-token bucket refilling one token per
+    {TB_REFILL_SECONDS}s (one per day); replaying the logged event stream through
+    the bucket (full at first sight, integer micro-tokens, refill =
+    Δµs DIV {TB_REFILL_SECONDS}) yields exactly which events would
+    have been throttled, reported per event type. This is the
+    capacity-policy question q404's burstiness diagnoses and q405/
+    q432's charts alarm on, answered operationally: "at THIS limit,
+    how much real traffic would we have rejected, and of what kind?"
+    Sweep the (capacity, refill) grid by re-running with different
+    constants — each replay is one pass.
+
+    Determinism: epoch microseconds (the q76/q400 no-float-timestamp
+    idiom), integer refill/clamp/consume, ties on (µs, event_id);
+    the DuckDB oracle replays the identical recursion as a recursive
+    CTE (q377/q418 discipline) and aggregates the SAME per-event
+    decisions.
+
+    Scale: state is ONE integer per user; users walk in parallel
+    (Arrow applyInPandas keyed by user — the min-cut for a
+    clamp-nonlinear recursion, q296's argument); the per-type rollup
+    is map-side. The streaming twin is transformWithState with the
+    same two-integer state (streaming/stateful.py's shape).
+
+    Reference: q406 (debounce — the stateless cousin), q296 (capped
+    balance — the same clamp recursion in finance clothing), q111
+    (peak concurrency — what unthrottled traffic does), q367
+    (watermark advisor — the other ingest-policy replay)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    return (
+        seq.groupBy("user_id")
+        .applyInPandas(
+            _token_bucket_fn,
+            "user_id bigint, event_type string, n bigint,"
+            " n_throttled bigint",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("n_throttled").cast("bigint").alias("n_throttled"),
+            F.expr(
+                "CAST(1000000 * SUM(n_throttled) DIV SUM(n) AS BIGINT)"
+            ).alias("throttled_ppm"),
+        )
+        .orderBy("event_type")
+    )

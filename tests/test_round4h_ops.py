@@ -4070,3 +4070,58 @@ def test_cell_suppression_no_singleton_lines(spark):
         for k in got:
             per_line[k[axis]] += 1
         assert all(v != 1 for v in per_line.values())
+
+
+# --------------------------------------------------------------------------
+# q443 — token bucket
+# --------------------------------------------------------------------------
+
+
+def test_token_bucket_replay_and_rate_bound(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT user_id, event_type, epoch_us(ts), event_id FROM events"
+        " ORDER BY user_id, epoch_us(ts), event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for u, et, us, eid in rows_in:
+        per[u].append((us, et))
+    cap = 3 * 1_000_000
+    agg = defaultdict(lambda: [0, 0])
+    admitted = defaultdict(int)
+    span_s = defaultdict(lambda: [None, None])
+    for u, evs in per.items():
+        tok, prev = cap, None
+        for us, et in evs:
+            if prev is not None:
+                tok = min(cap, tok + (us - prev) // 86400)
+            prev = us
+            a = agg[et]
+            a[0] += 1
+            if tok >= 1_000_000:
+                tok -= 1_000_000
+                admitted[u] += 1
+            else:
+                a[1] += 1
+        span_s[u] = [evs[0][0], evs[-1][0]]
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q443_token_bucket"](
+            spark, SF_MID
+        ).collect()
+    }
+    for et, (n, th) in agg.items():
+        assert got[et]["n_events"] == n
+        assert got[et]["n_throttled"] == th
+        assert got[et]["throttled_ppm"] == 1_000_000 * th // n
+    # the limiter actually limits: per user, admitted <= capacity +
+    # elapsed/refill (the token-bucket invariant)
+    for u, adm in admitted.items():
+        lo, hi = span_s[u]
+        assert adm <= 3 + (hi - lo) // 86_400_000_000 + 1
+    # and on this bursty fixture it must throttle SOMETHING
+    assert sum(th for _, th in agg.values()) > 0

@@ -3521,3 +3521,220 @@ def q438_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gr").cast("bigint").alias("gamma_r_milli"),
     )
     return one.unionAll(two).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# q444 — label-noise screen (confident-learning style, via q415's NB)
+# --------------------------------------------------------------------------
+
+NOISE_TOPK = 20
+NOISE_MARGIN_MICRO = 2_000_000  #: flag when the winner leads the label
+                                #: by ≥ 2 nats of posterior log-odds
+
+
+@register(
+    "q444_label_noise",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{NB_TRAIN_UPPER}' AS is_train
+        FROM documents
+    ),
+    counts AS (
+        SELECT s.lang, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM split s, UNNEST(string_split(s.text, ' ')) AS t(tok)
+        WHERE s.is_train AND t.tok <> ''
+        GROUP BY 1, 2
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS tl FROM counts GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts
+    ),
+    priors AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS dl,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS dn
+        FROM split WHERE is_train GROUP BY lang
+    ),
+    eval_tf AS (
+        SELECT s.doc_id, s.lang AS true_lang, t.tok,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM split s, UNNEST(string_split(s.text, ' ')) AS t(tok)
+        WHERE NOT s.is_train AND t.tok <> ''
+        GROUP BY 1, 2, 3
+    ),
+    posterior AS (
+        SELECT e.doc_id, e.true_lang, lt.lang,
+               CAST(SUM(e.tf * CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                   / (lt.tl + vv.v))) AS BIGINT)) AS BIGINT)
+               + CAST(FLOOR(1000000.0 * ln(
+                     CAST(p.dl AS DOUBLE) / p.dn)) AS BIGINT)
+                   AS score_micro
+        FROM eval_tf e
+        CROSS JOIN lang_tot lt
+        CROSS JOIN vocab vv
+        JOIN priors p ON p.lang = lt.lang
+        LEFT JOIN counts c ON c.lang = lt.lang AND c.tok = e.tok
+        GROUP BY e.doc_id, e.true_lang, lt.lang, p.dl, p.dn
+    ),
+    pivoted AS (
+        SELECT doc_id, true_lang,
+               MAX(CASE WHEN rk = 1 THEN lang END) AS pred_lang,
+               MAX(CASE WHEN rk = 1 THEN score_micro END) AS best,
+               MAX(CASE WHEN lang = true_lang THEN score_micro END)
+                   AS own
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score_micro DESC, lang) AS rk
+            FROM posterior
+        )
+        GROUP BY doc_id, true_lang
+    )
+    SELECT doc_id, true_lang, pred_lang,
+           CAST(best - own AS BIGINT) AS margin_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY best - own DESC, doc_id)
+               AS INT) AS rk
+    FROM pivoted
+    WHERE pred_lang <> true_lang
+      AND best - own >= {NOISE_MARGIN_MICRO}
+    ORDER BY rk LIMIT {NOISE_TOPK}
+    """,
+)
+def q444_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen (confident-learning stance, cleanlab-style):
+    score every held-out document under q415's naive-Bayes posterior
+    and flag those whose PREDICTED language beats their ASSIGNED label
+    by ≥ {NOISE_MARGIN_MICRO} micro-nats of log-odds — the documents
+    whose labels the data itself argues against, ranked by margin.
+    Label auditing is a first-class training-data op: a mislabeled
+    example hurts twice (wrong gradient + poisoned eval), and the
+    margin ranking is exactly the review queue a labeling vendor gets
+    back. Out-of-fold scoring (the md5 eval split) is what makes the
+    screen honest — in-sample, the model has memorized its own labels
+    (q365/q426's stance); full coverage = rotate the fold (documented).
+
+    Determinism: q415's integer posterior arithmetic unchanged; the
+    margin is a BIGINT difference; ranking ties break on doc_id.
+
+    Scale: identical to q415 (one tokenize pass per fold, count-matrix
+    broadcasts, argmax window) plus one pivot per doc; the flagged
+    queue is top-{NOISE_TOPK} via WindowGroupLimit, never a global
+    sort of the corpus.
+
+    Reference: q415 (the model), q366 (aggregate confusion — this is
+    its per-document drill-down), q361 (leakage screen — the other
+    label pathology), q93 (keep-best — what to do with confirmed
+    noise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < NB_TRAIN_UPPER
+        ).alias("is_train"),
+    )
+    split = track_cache(split.persist())
+    tok = F.explode(F.split("text", " ")).alias("tok")
+    counts = (
+        split.filter("is_train")
+        .select("lang", tok)
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    counts = track_cache(counts.persist())
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("tl")
+    )
+    vocab = counts.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    priors = (
+        split.filter("is_train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .select(
+            "lang",
+            "dl",
+            F.sum("dl")
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("dn"),
+        )
+    )
+    eval_tf = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("true_lang"), tok)
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    posterior = (
+        eval_tf.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "lang")
+        .join(counts, ["lang", "tok"], "left")
+        .groupBy("doc_id", "true_lang", "lang", "dl", "dn")
+        .agg(
+            (
+                F.sum(
+                    F.col("tf")
+                    * F.floor(
+                        F.lit(1000000.0)
+                        * F.log(
+                            (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                            / (F.col("tl") + F.col("v"))
+                        )
+                    ).cast("bigint")
+                ).cast("bigint")
+                + F.floor(
+                    F.lit(1000000.0)
+                    * F.log(
+                        F.col("dl").cast("double") / F.col("dn")
+                    )
+                ).cast("bigint")
+            ).alias("score_micro")
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "lang"
+    )
+    pivoted = (
+        posterior.withColumn("rk", F.row_number().over(w_doc))
+        .groupBy("doc_id", "true_lang")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias(
+                "pred_lang"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("score_micro"))).alias(
+                "best"
+            ),
+            F.max(
+                F.when(
+                    F.col("lang") == F.col("true_lang"),
+                    F.col("score_micro"),
+                )
+            ).alias("own"),
+        )
+    )
+    w_rk = Window.orderBy((F.col("best") - F.col("own")).desc(), "doc_id")
+    return (
+        pivoted.filter(
+            (F.col("pred_lang") != F.col("true_lang"))
+            & (F.col("best") - F.col("own") >= NOISE_MARGIN_MICRO)
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "pred_lang",
+            (F.col("best") - F.col("own")).cast("bigint").alias(
+                "margin_micro"
+            ),
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= NOISE_TOPK)
+        .orderBy("rk")
+    )

@@ -143,6 +143,7 @@ BNLJ_ALLOWED = {
     "q437_doubly_robust",         # |ctx|x|actions| q-hat broadcasts
     "q438_boosted_stumps",        # one-row f0/argmin-split broadcasts
     "q439_training_mix",          # one-row weight-total window
+    "q444_label_noise",           # q415's totals/vocab broadcasts
 }
 
 

@@ -4125,3 +4125,27 @@ def test_token_bucket_replay_and_rate_bound(spark):
         assert adm <= 3 + (hi - lo) // 86_400_000_000 + 1
     # and on this bursty fixture it must throttle SOMETHING
     assert sum(th for _, th in agg.values()) > 0
+
+
+# --------------------------------------------------------------------------
+# q444 — label noise
+# --------------------------------------------------------------------------
+
+
+def test_label_noise_is_consistent_with_nb_confusion(spark):
+    """The flagged queue must be a subset of q415's misclassified
+    held-out docs, margin-ordered, above the threshold."""
+    rows = registry.QUERIES["q444_label_noise"](spark, SF_MID).collect()
+    assert rows, "random-ish fixture labels must yield suspects"
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    margins = [r["margin_micro"] for r in rows]
+    assert margins == sorted(margins, reverse=True)
+    assert all(m >= 2_000_000 for m in margins)
+    assert all(r["pred_lang"] != r["true_lang"] for r in rows)
+    # cross-check totals against q415's confusion: the number of
+    # misclassified eval docs bounds the suspect count
+    conf = registry.QUERIES["q415_naive_bayes"](spark, SF_MID).collect()
+    n_wrong = sum(
+        r["n_docs"] for r in conf if r["true_lang"] != r["pred_lang"]
+    )
+    assert len(rows) <= min(20, n_wrong)

@@ -2268,3 +2268,207 @@ def q434_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(1000000 DIV rk) DIV COUNT(*) AS BIGINT)"
         ).alias("mrr_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# q445 — BPE merge application (train top-3 merges, apply, measure)
+# --------------------------------------------------------------------------
+
+BPE_APPLY_K = 3
+
+
+@register(
+    "q445_bpe_apply",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s,
+               len(string_split(text, ' ')) AS n0
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(
+                   range(len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS bg
+        FROM documents
+    ),
+    top3 AS (
+        SELECT bg, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg) AS rk
+        FROM bigrams GROUP BY bg
+        QUALIFY rk <= {BPE_APPLY_K}
+    ),
+    merges AS (
+        SELECT MAX(CASE WHEN rk = 1 THEN bg END) AS m1,
+               MAX(CASE WHEN rk = 2 THEN bg END) AS m2,
+               MAX(CASE WHEN rk = 3 THEN bg END) AS m3
+        FROM top3
+    ),
+    applied AS (
+        SELECT t.doc_id, t.n0,
+               replace(t.s, ' ' || replace(m.m1, ' ', '  ') || ' ',
+                       ' ' || replace(m.m1, ' ', '_') || ' ') AS s1,
+               m.m1, m.m2, m.m3
+        FROM toked t CROSS JOIN merges m
+    ),
+    applied2 AS (
+        SELECT doc_id, n0, m1, m2, m3,
+               s1,
+               replace(s1, ' ' || replace(m2, ' ', '  ') || ' ',
+                       ' ' || replace(m2, ' ', '_') || ' ') AS s2
+        FROM applied
+    ),
+    applied3 AS (
+        SELECT doc_id, n0, m1, m2, m3, s1, s2,
+               replace(s2, ' ' || replace(m3, ' ', '  ') || ' ',
+                       ' ' || replace(m3, ' ', '_') || ' ') AS s3
+        FROM applied2
+    ),
+    counted AS (
+        SELECT n0,
+               len(list_filter(string_split(s1, ' '), x -> x <> ''))
+                   AS n1,
+               len(list_filter(string_split(s2, ' '), x -> x <> ''))
+                   AS n2,
+               len(list_filter(string_split(s3, ' '), x -> x <> ''))
+                   AS n3,
+               m1, m2, m3
+        FROM applied3
+    ),
+    stages AS (
+        SELECT 0 AS stage, '' AS merged_pair,
+               CAST(SUM(n0) AS BIGINT) AS total_tokens,
+               CAST(SUM(n0) AS BIGINT) AS base
+        FROM counted
+        UNION ALL
+        SELECT 1, MAX(m1), CAST(SUM(n1) AS BIGINT),
+               CAST(SUM(n0) AS BIGINT) FROM counted
+        UNION ALL
+        SELECT 2, MAX(m2), CAST(SUM(n2) AS BIGINT),
+               CAST(SUM(n0) AS BIGINT) FROM counted
+        UNION ALL
+        SELECT 3, MAX(m3), CAST(SUM(n3) AS BIGINT),
+               CAST(SUM(n0) AS BIGINT) FROM counted
+    )
+    SELECT stage, merged_pair, total_tokens,
+           CAST(1000000 * (base - total_tokens) // base AS BIGINT)
+               AS saved_ppm
+    FROM stages ORDER BY stage
+    """,
+)
+def q445_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merges APPLIED, not just counted: take the top
+    {BPE_APPLY_K} corpus bigrams (q94/q236's statistics), rewrite the
+    corpus with each merge in rank order, and measure the token count
+    after every stage — the compression curve that justifies (or
+    kills) each additional merge, which is the actual decision loop
+    of tokenizer training. The rewrite uses the doubled-space trick:
+    duplicating inter-token spaces gives every adjacent pair its own
+    delimiters, so plain left-to-right non-overlapping string
+    replacement — identical semantics in both engines — applies a
+    merge exactly (adjacent repeats like "y y y" merge leftmost
+    first, the BPE convention). True BPE re-counts pairs after each
+    merge; this applies the first iteration's top-k batch (the
+    standard batched approximation; re-ranking between stages is the
+    same query re-run on the rewritten corpus — documented, not
+    hidden).
+
+    Determinism: merge selection by (count DESC, pair) total order;
+    the rewrite is pure string algebra; token counts are exact
+    integers and savings are ppm floors.
+
+    Scale: merge statistics collapse map-side (q94); the top-k is a
+    {BPE_APPLY_K}-row broadcast pivoted to one row; application is a
+    stateless per-row projection — embarrassingly parallel, zero
+    shuffles of text. k merges = k nested replaces in ONE projection
+    pass, not k corpus scans.
+
+    Reference: q236 (merge-pair statistics), q123 (fertility — the
+    metric once a real tokenizer exists), q36/q201 (token budgets
+    this compression feeds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i-1], ' ',"
+                " split(text, ' ')[i]))"
+            )
+        ).alias("bg")
+    )
+    top3 = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "bg")
+            ),
+        )
+        .filter(F.col("rk") <= BPE_APPLY_K)
+    )
+    merges = top3.agg(
+        F.max(F.when(F.col("rk") == 1, F.col("bg"))).alias("m1"),
+        F.max(F.when(F.col("rk") == 2, F.col("bg"))).alias("m2"),
+        F.max(F.when(F.col("rk") == 3, F.col("bg"))).alias("m3"),
+    )
+    toked = docs.select(
+        F.concat(
+            F.lit(" "),
+            F.expr("replace(text, ' ', '  ')"),
+            F.lit(" "),
+        ).alias("s"),
+        F.size(F.split("text", " ")).alias("n0"),
+    )
+
+    def apply_merge(scol, mcol):
+        return F.expr(
+            f"replace({scol}, ' ' || replace({mcol}, ' ', '  ') || ' ',"
+            f" ' ' || replace({mcol}, ' ', '_') || ' ')"
+        )
+
+    applied = (
+        toked.crossJoin(F.broadcast(merges))
+        .withColumn("s1", apply_merge("s", "m1"))
+        .withColumn("s2", apply_merge("s1", "m2"))
+        .withColumn("s3", apply_merge("s2", "m3"))
+        .select(
+            "n0",
+            "m1",
+            "m2",
+            "m3",
+            F.expr(
+                "size(filter(split(s1, ' '), x -> x <> ''))"
+            ).alias("n1"),
+            F.expr(
+                "size(filter(split(s2, ' '), x -> x <> ''))"
+            ).alias("n2"),
+            F.expr(
+                "size(filter(split(s3, ' '), x -> x <> ''))"
+            ).alias("n3"),
+        )
+    )
+    tot = applied.agg(
+        F.sum("n0").cast("bigint").alias("b0"),
+        F.sum("n1").cast("bigint").alias("b1"),
+        F.sum("n2").cast("bigint").alias("b2"),
+        F.sum("n3").cast("bigint").alias("b3"),
+        F.max("m1").alias("m1"),
+        F.max("m2").alias("m2"),
+        F.max("m3").alias("m3"),
+    )
+    stages = None
+    for k, (tok_col, pair_col) in enumerate(
+        [("b0", None), ("b1", "m1"), ("b2", "m2"), ("b3", "m3")]
+    ):
+        row = tot.select(
+            F.lit(k).alias("stage"),
+            (F.col(pair_col) if pair_col else F.lit("")).alias(
+                "merged_pair"
+            ),
+            F.col(tok_col).alias("total_tokens"),
+            F.expr(
+                f"CAST(1000000 * (b0 - {tok_col}) DIV b0 AS BIGINT)"
+            ).alias("saved_ppm"),
+        )
+        stages = row if stages is None else stages.unionAll(row)
+    return stages.orderBy("stage")

@@ -144,6 +144,7 @@ BNLJ_ALLOWED = {
     "q438_boosted_stumps",        # one-row f0/argmin-split broadcasts
     "q439_training_mix",          # one-row weight-total window
     "q444_label_noise",           # q415's totals/vocab broadcasts
+    "q445_bpe_apply",             # one-row top-3-merge broadcast
 }
 
 

@@ -4149,3 +4149,47 @@ def test_label_noise_is_consistent_with_nb_confusion(spark):
         r["n_docs"] for r in conf if r["true_lang"] != r["pred_lang"]
     )
     assert len(rows) <= min(20, n_wrong)
+
+
+# --------------------------------------------------------------------------
+# q445 — BPE apply
+# --------------------------------------------------------------------------
+
+
+def test_bpe_apply_replay(spark):
+    """Pure-python replay: pick top-3 bigrams, apply merges with
+    leftmost-non-overlap semantics, count tokens per stage."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    texts = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    bg = defaultdict(int)
+    for tx in texts:
+        toks = tx.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bg[f"{a} {b}"] += 1
+    top3 = sorted(bg, key=lambda p: (-bg[p], p))[:3]
+
+    def apply(s, pair):
+        return s.replace(
+            " " + pair.replace(" ", "  ") + " ",
+            " " + pair.replace(" ", "_") + " ",
+        )
+
+    totals = [0, 0, 0, 0]
+    for tx in texts:
+        s = " " + tx.replace(" ", "  ") + " "
+        totals[0] += len(tx.split(" "))
+        for k, pair in enumerate(top3, start=1):
+            s = apply(s, pair)
+            totals[k] += len([t for t in s.split(" ") if t])
+    rows = registry.QUERIES["q445_bpe_apply"](spark, SF_MID).collect()
+    assert [r["total_tokens"] for r in rows] == totals
+    assert [r["merged_pair"] for r in rows] == [""] + top3
+    base = totals[0]
+    for r in rows:
+        assert r["saved_ppm"] == 1_000_000 * (base - r["total_tokens"]) // base
+    # each merge strictly shrinks the corpus (top pairs exist)
+    assert totals[0] > totals[1] > totals[2] > totals[3]

@@ -4193,3 +4193,32 @@ def test_bpe_apply_replay(spark):
         assert r["saved_ppm"] == 1_000_000 * (base - r["total_tokens"]) // base
     # each merge strictly shrinks the corpus (top pairs exist)
     assert totals[0] > totals[1] > totals[2] > totals[3]
+
+
+# --------------------------------------------------------------------------
+# q424 addendum — the scatter-matrix sufficient stats are mergeable
+# --------------------------------------------------------------------------
+
+
+def test_anisotropy_sufficient_stats_merge():
+    """n·ΣxxT − (Σx)(Σx)T built from per-batch partials (n, Σx, Σxxᵀ)
+    equals the full-data scatter — the q369 mergeability property for
+    the embedding-health monitor, so a 100 TB corpus can maintain the
+    64×64 state incrementally."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_MID}/embeddings.parquet")
+    mat = np.floor(
+        np.asarray([np.asarray(v) for v in t["embedding"].to_pylist()],
+                   dtype=np.float64) * 1000
+    ).astype(np.int64)
+    half = len(mat) // 2
+    parts = [mat[:half], mat[half:]]
+    n = sum(len(p) for p in parts)
+    S = sum((p.T @ p for p in parts))
+    si = sum(p.sum(axis=0) for p in parts)
+    merged = n * S - np.outer(si, si)
+    full = len(mat) * (mat.T @ mat) - np.outer(mat.sum(axis=0),
+                                               mat.sum(axis=0))
+    assert (merged == full).all()

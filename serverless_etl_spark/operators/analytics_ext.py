@@ -13397,3 +13397,119 @@ def q433_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days", "concordant", "discordant", "tied_pairs", "tau_a_ppm"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q446 — Hill tail-index estimator (heavy-tail diagnosis)
+# --------------------------------------------------------------------------
+
+HILL_K = 100  #: order statistics in the tail (per event type)
+
+
+@register(
+    "q446_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ),
+    anchor AS (
+        SELECT event_type, value AS x_k1 FROM ranked
+        WHERE rk = {HILL_K} + 1
+    ),
+    terms AS (
+        SELECT r.event_type,
+               CAST(FLOOR(1000000.0 * ln(
+                   CAST(r.value AS DOUBLE) / a.x_k1)) AS BIGINT)
+                   AS term_micro
+        FROM ranked r JOIN anchor a ON a.event_type = r.event_type
+        WHERE r.rk <= {HILL_K}
+    )
+    SELECT event_type,
+           CAST({HILL_K} AS BIGINT) AS k,
+           CAST(SUM(term_micro) // {HILL_K} AS BIGINT)
+               AS hill_inv_alpha_micro,
+           CAST(1000000000000 // GREATEST(SUM(term_micro) // {HILL_K}, 1)
+               AS BIGINT) AS alpha_micro,
+           CASE WHEN 1000000000000
+                     // GREATEST(SUM(term_micro) // {HILL_K}, 1)
+                     < 2000000 THEN 'heavy_infinite_variance'
+                WHEN 1000000000000
+                     // GREATEST(SUM(term_micro) // {HILL_K}, 1)
+                     < 4000000 THEN 'heavy'
+                ELSE 'light' END AS tail_verdict
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q446_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator — the heavy-tail diagnosis the tail
+    family was missing: per event type, the Hill statistic
+    1/α̂ = (1/k)·Σ ln(x_(i)/x_(k+1)) over the top {HILL_K} order
+    statistics, inverted to the tail exponent α with the operating
+    verdicts that matter (α < 2: infinite variance — means and
+    z-scores are lies, route to q108's MAD and q258's HDR
+    percentiles; α < 4: heavy — variance exists but converges
+    slowly; else light). q372 says WHO owns the tail and q311 says
+    when it burns the SLO; Hill says WHAT KIND of tail it is — the
+    number that decides whether p99-based capacity planning (q443,
+    q111) is even well-posed.
+
+    Determinism: per-term FLOOR-of-ln at micro scale (the q411
+    discipline; ratios of exact doubles), BIGINT sums, trunc DIVs
+    for the mean and the reciprocal (1e12 // mean keeps α in micro
+    units). Anchor and tail selected by the unique (value DESC,
+    event_id) order.
+
+    Scale: the per-type top-(k+1) survives via WindowGroupLimit-style
+    pruning (k rows per partition), never a global sort of values;
+    the anchor is a |types|-row broadcast. Hill over a stream =
+    maintain a per-key top-k sketch (q309's shape).
+
+    Reference: q372 (tail attribution), q258 (HDR percentiles), q108
+    (robust stats — the fallback this verdict triggers), q404
+    (burstiness — the arrival-side twin of this value-side
+    diagnosis)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= HILL_K + 1)
+    ranked = track_cache(ranked.persist())
+    anchor = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        "event_type", F.col("value").alias("x_k1")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= HILL_K)
+        .join(F.broadcast(anchor), "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(F.col("value").cast("double") / F.col("x_k1"))
+            )
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    inv = F.expr(f"CAST(SUM(term_micro) DIV {HILL_K} AS BIGINT)")
+    alpha = F.expr(
+        f"CAST(1000000000000 DIV GREATEST(SUM(term_micro) DIV {HILL_K},"
+        " CAST(1 AS BIGINT)) AS BIGINT)"
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.lit(HILL_K).cast("bigint").alias("k"),
+            inv.alias("hill_inv_alpha_micro"),
+            alpha.alias("alpha_micro"),
+            F.when(alpha < 2_000_000, "heavy_infinite_variance")
+            .when(alpha < 4_000_000, "heavy")
+            .otherwise("light")
+            .alias("tail_verdict"),
+        )
+        .orderBy("event_type")
+    )

@@ -4222,3 +4222,45 @@ def test_anisotropy_sufficient_stats_merge():
     full = len(mat) * (mat.T @ mat) - np.outer(mat.sum(axis=0),
                                                mat.sum(axis=0))
     assert (merged == full).all()
+
+
+# --------------------------------------------------------------------------
+# q446 — Hill tail index
+# --------------------------------------------------------------------------
+
+
+def test_hill_replay_and_verdict(spark):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT event_type, value FROM events"
+        " ORDER BY event_type, value DESC, event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, v in rows_in:
+        per[t].append(v)
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q446_hill_tail_index"](
+            spark, SF_MID
+        ).collect()
+    }
+    for t, vs in per.items():
+        top = vs[:100]
+        anchor = vs[100]
+        s = sum(math.floor(1e6 * math.log(v / anchor)) for v in top)
+        inv = s // 100
+        alpha = 10**12 // max(inv, 1)
+        r = got[t]
+        assert r["hill_inv_alpha_micro"] == inv
+        assert r["alpha_micro"] == alpha
+        expect_v = (
+            "heavy_infinite_variance" if alpha < 2_000_000
+            else "heavy" if alpha < 4_000_000 else "light"
+        )
+        assert r["tail_verdict"] == expect_v

@@ -3532,6 +3532,83 @@ NOISE_MARGIN_MICRO = 2_000_000  #: flag when the winner leads the label
                                 #: by ≥ 2 nats of posterior log-odds
 
 
+def nb_eval_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out naive-Bayes posterior scores (doc_id, true_lang, lang,
+    score_micro) — q415's exact integer pipeline, shared by the
+    label-noise screen (q444) and the macro-AUC eval (q447)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < NB_TRAIN_UPPER
+        ).alias("is_train"),
+    )
+    split = track_cache(split.persist())
+    tok = F.explode(F.split("text", " ")).alias("tok")
+    counts = (
+        split.filter("is_train")
+        .select("lang", tok)
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    counts = track_cache(counts.persist())
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("tl")
+    )
+    vocab = counts.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    priors = (
+        split.filter("is_train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .select(
+            "lang",
+            "dl",
+            F.sum("dl")
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("dn"),
+        )
+    )
+    eval_tf = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("true_lang"), tok)
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return (
+        eval_tf.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "lang")
+        .join(counts, ["lang", "tok"], "left")
+        .groupBy("doc_id", "true_lang", "lang", "dl", "dn")
+        .agg(
+            (
+                F.sum(
+                    F.col("tf")
+                    * F.floor(
+                        F.lit(1000000.0)
+                        * F.log(
+                            (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                            / (F.col("tl") + F.col("v"))
+                        )
+                    ).cast("bigint")
+                ).cast("bigint")
+                + F.floor(
+                    F.lit(1000000.0)
+                    * F.log(
+                        F.col("dl").cast("double") / F.col("dn")
+                    )
+                ).cast("bigint")
+            ).alias("score_micro")
+        )
+    )
+
+
 @register(
     "q444_label_noise",
     oracle=f"""
@@ -3628,77 +3705,7 @@ def q444_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     its per-document drill-down), q361 (leakage screen — the other
     label pathology), q93 (keep-best — what to do with confirmed
     noise)."""
-    docs = load_table(spark, sf_dir, "documents")
-    split = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        (
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-            < NB_TRAIN_UPPER
-        ).alias("is_train"),
-    )
-    split = track_cache(split.persist())
-    tok = F.explode(F.split("text", " ")).alias("tok")
-    counts = (
-        split.filter("is_train")
-        .select("lang", tok)
-        .filter(F.col("tok") != "")
-        .groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    counts = track_cache(counts.persist())
-    lang_tot = counts.groupBy("lang").agg(
-        F.sum("c").cast("bigint").alias("tl")
-    )
-    vocab = counts.agg(F.countDistinct("tok").cast("bigint").alias("v"))
-    priors = (
-        split.filter("is_train")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-        .select(
-            "lang",
-            "dl",
-            F.sum("dl")
-            .over(Window.partitionBy())
-            .cast("bigint")
-            .alias("dn"),
-        )
-    )
-    eval_tf = (
-        split.filter(~F.col("is_train"))
-        .select("doc_id", F.col("lang").alias("true_lang"), tok)
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id", "true_lang", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    posterior = (
-        eval_tf.crossJoin(F.broadcast(lang_tot))
-        .crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(priors), "lang")
-        .join(counts, ["lang", "tok"], "left")
-        .groupBy("doc_id", "true_lang", "lang", "dl", "dn")
-        .agg(
-            (
-                F.sum(
-                    F.col("tf")
-                    * F.floor(
-                        F.lit(1000000.0)
-                        * F.log(
-                            (F.coalesce("c", F.lit(0)) + 1).cast("double")
-                            / (F.col("tl") + F.col("v"))
-                        )
-                    ).cast("bigint")
-                ).cast("bigint")
-                + F.floor(
-                    F.lit(1000000.0)
-                    * F.log(
-                        F.col("dl").cast("double") / F.col("dn")
-                    )
-                ).cast("bigint")
-            ).alias("score_micro")
-        )
-    )
+    posterior = nb_eval_posteriors(spark, sf_dir)
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.col("score_micro").desc(), "lang"
     )
@@ -3738,3 +3745,155 @@ def q444_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= NOISE_TOPK)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q447 — macro one-vs-rest AUC of the NB posteriors
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q447_macro_auc",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{NB_TRAIN_UPPER}' AS is_train
+        FROM documents
+    ),
+    counts AS (
+        SELECT s.lang, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM split s, UNNEST(string_split(s.text, ' ')) AS t(tok)
+        WHERE s.is_train AND t.tok <> ''
+        GROUP BY 1, 2
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS tl FROM counts GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts
+    ),
+    priors AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS dl,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS dn
+        FROM split WHERE is_train GROUP BY lang
+    ),
+    eval_tf AS (
+        SELECT s.doc_id, s.lang AS true_lang, t.tok,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM split s, UNNEST(string_split(s.text, ' ')) AS t(tok)
+        WHERE NOT s.is_train AND t.tok <> ''
+        GROUP BY 1, 2, 3
+    ),
+    posterior AS (
+        SELECT e.doc_id, e.true_lang, lt.lang,
+               CAST(SUM(e.tf * CAST(FLOOR(1000000.0 * ln(
+                   CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                   / (lt.tl + vv.v))) AS BIGINT)) AS BIGINT)
+               + CAST(FLOOR(1000000.0 * ln(
+                     CAST(p.dl AS DOUBLE) / p.dn)) AS BIGINT)
+                   AS score_micro
+        FROM eval_tf e
+        CROSS JOIN lang_tot lt
+        CROSS JOIN vocab vv
+        JOIN priors p ON p.lang = lt.lang
+        LEFT JOIN counts c ON c.lang = lt.lang AND c.tok = e.tok
+        GROUP BY e.doc_id, e.true_lang, lt.lang, p.dl, p.dn
+    ),
+    hist AS (
+        SELECT lang, score_micro AS score,
+               CAST(SUM(CASE WHEN true_lang = lang THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN true_lang = lang THEN 0 ELSE 1 END)
+                   AS BIGINT) AS neg
+        FROM posterior GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT lang, pos, neg,
+               COALESCE(CAST(SUM(neg) OVER (PARTITION BY lang
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cumneg
+        FROM hist
+    ),
+    per AS (
+        SELECT lang,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(1000000 * (2 * SUM(pos * cumneg) + SUM(pos * neg))
+                    // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_ppm
+        FROM cum GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg, auc_ppm,
+           CAST(SUM(auc_ppm) OVER () // COUNT(*) OVER () AS BIGINT)
+               AS macro_auc_ppm
+    FROM per ORDER BY lang
+    """,
+)
+def q447_macro_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro one-vs-rest ROC-AUC of the naive-Bayes language
+    classifier — the THRESHOLD-FREE multiclass readout the family was
+    missing: q366/q415's confusions score one operating point
+    (argmax); per-class AUC over the held-out posterior scores says
+    whether each class's score even RANKS its documents above the
+    rest, and the macro average weights minority classes equally —
+    exactly what accuracy hides when 'en' holds 43% of the corpus.
+    Computed with q294's histogram-exact Mann-Whitney (midrank ties,
+    doubled numerator), partitioned per class.
+
+    Determinism: q415's integer posteriors; per-(class, score) integer
+    histogram; one cumulative window per class; integer pair counts
+    and ppm floors; the macro average is a floor over |classes|.
+
+    Scale: inherits q415's shapes; the AUC adds one map-side histogram
+    collapse and a window over |classes|×|distinct scores| rows —
+    never a global sort of documents (q294's argument).
+
+    Reference: q294 (binary histogram AUC), q415/q366 (operating-point
+    twins), q444 (per-doc drill-down), q338 (average precision — the
+    ranking cousin)."""
+    posterior = nb_eval_posteriors(spark, sf_dir)
+    hist = posterior.groupBy(
+        "lang", F.col("score_micro").alias("score")
+    ).agg(
+        F.sum(
+            F.when(F.col("true_lang") == F.col("lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("lang"), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "lang",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_cum), F.lit(0))
+        .cast("bigint")
+        .alias("cumneg"),
+    )
+    per = cum.groupBy("lang").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST(1000000 * (2 * SUM(pos * cumneg) + SUM(pos * neg))"
+            " DIV (2 * SUM(pos) * SUM(neg)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+    return per.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        "auc_ppm",
+        F.expr(
+            "CAST(SUM(auc_ppm) OVER () DIV COUNT(*) OVER () AS BIGINT)"
+        ).alias("macro_auc_ppm"),
+    ).orderBy("lang")

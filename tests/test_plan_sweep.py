@@ -145,6 +145,7 @@ BNLJ_ALLOWED = {
     "q439_training_mix",          # one-row weight-total window
     "q444_label_noise",           # q415's totals/vocab broadcasts
     "q445_bpe_apply",             # one-row top-3-merge broadcast
+    "q447_macro_auc",             # q415's totals/vocab broadcasts
 }
 
 

@@ -4264,3 +4264,39 @@ def test_hill_replay_and_verdict(spark):
             else "heavy" if alpha < 4_000_000 else "light"
         )
         assert r["tail_verdict"] == expect_v
+
+
+# --------------------------------------------------------------------------
+# q447 — macro AUC
+# --------------------------------------------------------------------------
+
+
+def test_macro_auc_properties(spark):
+    rows = registry.QUERIES["q447_macro_auc"](spark, SF_MID).collect()
+    assert len(rows) == 5
+    macro = rows[0]["macro_auc_ppm"]
+    assert all(r["macro_auc_ppm"] == macro for r in rows)
+    assert macro == sum(r["auc_ppm"] for r in rows) // 5
+    n_eval = rows[0]["n_pos"] + rows[0]["n_neg"]
+    for r in rows:
+        assert 0 <= r["auc_ppm"] <= 1_000_000
+        assert r["n_pos"] + r["n_neg"] == n_eval
+    # rank-sum identity replay for one class via brute force
+    import duckdb as ddb
+    from serverless_etl_spark.operators.training_ext import (
+        nb_eval_posteriors,
+    )
+    post = nb_eval_posteriors(spark, SF_MID).collect()
+    lang0 = rows[0]["lang"]
+    scores = [
+        (r["score_micro"], 1 if r["true_lang"] == lang0 else 0)
+        for r in post
+        if r["lang"] == lang0
+    ]
+    pos = [s for s, y in scores if y]
+    neg = [s for s, y in scores if not y]
+    num = sum(
+        2 * sum(1 for n in neg if p > n) + sum(1 for n in neg if p == n)
+        for p in pos
+    )
+    assert rows[0]["auc_ppm"] == 1_000_000 * num // (2 * len(pos) * len(neg))

@@ -3796,3 +3796,123 @@ def q436_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cfg")
     )
+
+
+# --------------------------------------------------------------------------
+# q448 — source-distribution similarity (provenance-level near-dup)
+# --------------------------------------------------------------------------
+
+SRC_SIM_TOPK = 15
+
+
+@register(
+    "q448_source_similarity",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY 1, 2
+    ),
+    nrm AS (
+        SELECT source, sqrt(SUM(CAST(c AS DOUBLE) * c)) AS n
+        FROM tf GROUP BY source
+    ),
+    dots AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               SUM(CAST(a.c AS DOUBLE) * b.c) AS dot
+        FROM tf a JOIN tf b ON b.tok = a.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b,
+           ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(d.dot / (na.n * nb.n), 6) DESC,
+                        d.src_a, d.src_b) AS INT) AS rk
+    FROM dots d
+    JOIN nrm na ON na.source = d.src_a
+    JOIN nrm nb ON nb.source = d.src_b
+    QUALIFY rk <= {SRC_SIM_TOPK}
+    ORDER BY rk
+    """,
+)
+def q448_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-DISTRIBUTION similarity — provenance-level near-dup
+    detection: cosine between the token-count vectors of every source
+    pair, top {SRC_SIM_TOPK}. Two "different" sources with
+    near-identical token distributions are usually the same upstream
+    crawl, mirror, or template farm wearing two names — a failure
+    mode document-level dedup (q40/q41) can't see when the mirrored
+    docs differ superficially, and the thing q124's shingle overlap
+    measures EXACTLY but at shingle cost; the distribution cosine is
+    the cheap first-pass triage (|sources|×|vocab| state, no
+    shingles). High-cosine pairs feed q124 for confirmation and then
+    q90's source caps / q439's mix table as a merged source.
+
+    Determinism: integer count vectors; the dot/norms follow q50's
+    exact contract — double products of exact integers, ROUND(·,6),
+    (src_a, src_b) tiebreak.
+
+    Scale: the tf matrix collapses map-side; the pair join is keyed
+    on token (the sparse dot product — only co-occurring terms meet,
+    never the |sources|² × |vocab| dense cross); norms are
+    |sources| rows. At a million sources you'd LSH the distribution
+    vectors (q69's hyperplane route) with identical semantics.
+
+    Reference: q124 (shingle-level overlap — the confirmer), q431
+    (per-source card), q90 (caps), q69 (the LSH scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tf = track_cache(tf.persist())
+    nrm = tf.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c").cast("double") * F.col("c"))).alias("n")
+    )
+    a = tf.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("ca").cast("double") * F.col("cb")).alias("dot")
+        )
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("na") * F.col("nb")), 6
+    )
+    w_rk = Window.orderBy(
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).desc(),
+        "src_a",
+        "src_b",
+    )
+    return (
+        dots.join(
+            F.broadcast(nrm.select(F.col("source").alias("src_a"),
+                                   F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("source").alias("src_b"),
+                                   F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            cos.alias("cosine"),
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= SRC_SIM_TOPK)
+        .orderBy("rk")
+    )

@@ -4300,3 +4300,50 @@ def test_macro_auc_properties(spark):
         for p in pos
     )
     assert rows[0]["auc_ppm"] == 1_000_000 * num // (2 * len(pos) * len(neg))
+
+
+# --------------------------------------------------------------------------
+# q448 — source similarity
+# --------------------------------------------------------------------------
+
+
+def test_source_similarity_replay(spark):
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    tf = con.execute(
+        """
+        SELECT source, t.tok, COUNT(*)
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> '' GROUP BY 1, 2
+        """
+    ).fetchall()
+    vocab = sorted({t for _, t, _ in tf})
+    vidx = {t: i for i, t in enumerate(vocab)}
+    vecs = defaultdict(lambda: np.zeros(len(vocab)))
+    for s, t, c in tf:
+        vecs[s][vidx[t]] = c
+    pairs = []
+    srcs = sorted(vecs)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            cos = round(
+                float(vecs[a] @ vecs[b])
+                / (np.sqrt(vecs[a] @ vecs[a]) * np.sqrt(vecs[b] @ vecs[b])),
+                6,
+            )
+            pairs.append((-cos, a, b))
+    pairs.sort()
+    rows = registry.QUERIES["q448_source_similarity"](
+        spark, SF_MID
+    ).collect()
+    assert len(rows) == 15
+    for r, (negc, a, b) in zip(rows, pairs[:15]):
+        assert (r["src_a"], r["src_b"]) == (a, b)
+        assert abs(r["cosine"] - (-negc)) < 2e-6
+    # synthetic same-generator sources: distributions are all alike
+    assert rows[0]["cosine"] > 0.9

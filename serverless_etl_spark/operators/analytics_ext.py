@@ -13513,3 +13513,111 @@ def q446_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q449 — delta-encoding size advisor for postings lists
+# --------------------------------------------------------------------------
+
+DELTA_TOPK = 10  #: report the highest-df terms (the expensive postings)
+
+
+@register(
+    "q449_delta_size_advisor",
+    oracle=f"""
+    WITH postings AS (
+        SELECT t.tok, doc_id
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT tok,
+               doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY tok
+                                 ORDER BY doc_id), -1) AS delta
+        FROM postings
+    ),
+    sized AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS n_postings,
+               CAST(COUNT(*) * 32 AS BIGINT) AS plain_bits,
+               CAST(SUM(length(bin(delta))) AS BIGINT) AS delta_bits
+        FROM deltas GROUP BY tok
+    )
+    SELECT tok AS token, n_postings, plain_bits, delta_bits,
+           CAST(1000000 * (plain_bits - delta_bits) // plain_bits
+               AS BIGINT) AS saved_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_postings DESC, tok)
+               AS INT) AS rk
+    FROM sized
+    QUALIFY rk <= {DELTA_TOPK}
+    ORDER BY rk
+    """,
+)
+def q449_delta_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding size advisor for the inverted index (q113):
+    per term, the postings list's doc-id gaps are bit-sized EXACTLY —
+    Σ bitlength(gap) via length(bin(gap)), never FLOOR(log2(·)) whose
+    ln-ratio form flips at exact powers of two — and compared against
+    plain 32-bit postings, for the top-{DELTA_TOPK} document-frequency
+    terms (where the bytes actually live; a Zipf corpus concentrates
+    postings mass in its head). saved_ppm is the bit-packed-delta
+    LOWER BOUND every real codec (VByte, PFOR, Elias-Fano) builds on;
+    the advisor says which postings are worth a fancy codec and which
+    are dense enough that a bitmap (q205) wins — the same
+    measure-then-choose stance as q388's column-encoding advisor, on
+    the index side.
+
+    Determinism: distinct (term, doc) postings, integer LAG gaps
+    (first gap anchored at doc_id + 1 via LAG default −1), exact
+    integer bit lengths, ppm floors, (df DESC, token) ranking.
+
+    Scale: postings collapse map-side; gaps are one window per term
+    partition (the index's natural key); the report is top-k via
+    WindowGroupLimit. This IS the layout loop a search/index tier
+    runs before choosing its posting format.
+
+    Reference: q113 (the index), q388/q297 (encoding advisors), q205
+    (the bitmap alternative), q436 (the same design-by-measurement
+    loop for LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("tok"), "doc_id"
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    deltas = postings.select(
+        "tok",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("delta"),
+    )
+    sized = deltas.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        (F.count(F.lit(1)) * 32).cast("bigint").alias("plain_bits"),
+        F.sum(F.expr("length(bin(delta))")).cast("bigint").alias(
+            "delta_bits"
+        ),
+    )
+    w_rk = Window.orderBy(F.col("n_postings").desc(), "tok")
+    return (
+        sized.select(
+            F.col("tok").alias("token"),
+            "n_postings",
+            "plain_bits",
+            "delta_bits",
+            F.expr(
+                "CAST(1000000 * (plain_bits - delta_bits)"
+                " DIV plain_bits AS BIGINT)"
+            ).alias("saved_ppm"),
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= DELTA_TOPK)
+        .orderBy("rk")
+    )

@@ -4347,3 +4347,48 @@ def test_source_similarity_replay(spark):
         assert abs(r["cosine"] - (-negc)) < 2e-6
     # synthetic same-generator sources: distributions are all alike
     assert rows[0]["cosine"] > 0.9
+
+
+# --------------------------------------------------------------------------
+# q449 — delta size advisor
+# --------------------------------------------------------------------------
+
+
+def test_delta_size_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    posts = con.execute(
+        """
+        SELECT t.tok, doc_id
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> '' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    per = defaultdict(list)
+    for t, d in posts:
+        per[t].append(d)
+    expect = {}
+    for t, ids in per.items():
+        prev = -1
+        bits = 0
+        for d in ids:
+            bits += (d - prev).bit_length()
+            prev = d
+        expect[t] = (len(ids), 32 * len(ids), bits)
+    top = sorted(expect, key=lambda t: (-expect[t][0], t))[:10]
+    rows = registry.QUERIES["q449_delta_size_advisor"](
+        spark, SF_MID
+    ).collect()
+    assert [r["token"] for r in rows] == top
+    for r in rows:
+        n, plain, delta = expect[r["token"]]
+        assert (r["n_postings"], r["plain_bits"], r["delta_bits"]) == (
+            n, plain, delta,
+        )
+        assert r["saved_ppm"] == 1_000_000 * (plain - delta) // plain
+        # dense postings (high-df on 500 docs): gaps are tiny, delta
+        # coding must save most of the space
+        assert r["saved_ppm"] > 500_000

@@ -2472,3 +2472,115 @@ def q445_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stages = row if stages is None else stages.unionAll(row)
     return stages.orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# q450 — Zipf exponent fit over the token rank-frequency curve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q450_zipf_fit",
+    oracle="""
+    WITH freq AS (
+        SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT CAST(FLOOR(1000.0 * ln(r)) AS BIGINT) AS x,
+               CAST(FLOOR(1000.0 * ln(f)) AS BIGINT) AS y
+        FROM ranked
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_points,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((sy - sx * (1000000 * (n * sxy - sx * sy)
+                            // (n * sxx - sx * sx)) // 1000000)
+                // n AS BIGINT) AS intercept_milli,
+           CASE WHEN 1000000 * (n * sxy - sx * sy)
+                     // (n * sxx - sx * sx) BETWEEN -2000000 AND -500000
+                THEN 'zipfian' ELSE 'non_zipfian' END AS verdict
+    FROM fit
+    """,
+)
+def q450_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus rank-frequency curve: log-log OLS
+    over (ln rank, ln frequency) — freq ∝ rank^slope, natural corpora
+    land near slope ≈ −1. The exponent is a CORPUS HEALTH number the
+    token-level family reads but never fit: too shallow (→ 0) means a
+    flat, template-like distribution (synthetic/boilerplate text —
+    exactly what these fixtures show); too steep (< −2) means a few
+    tokens own everything (q416's doc-level entropy alarm at corpus
+    level). It also parameterizes the engine's own planners: q383's
+    heavy-hitter join model and q449's postings-mass concentration
+    both assume a Zipf head, and this query measures the exponent
+    they should be fed.
+
+    Determinism: integer frequencies, the q411 FLOOR-of-ln-at-fixed-
+    scale discipline on both coordinates (milli — keeps every OLS
+    cross-term far inside int64), and q112's exact cross-multiplied
+    OLS on the quantized points (trunc DIVs identical in both
+    engines, negative slope included).
+
+    Scale: one map-side token count, one rank window over |vocab|
+    rows, a five-number OLS aggregate. At web scale |vocab| is
+    millions — still nothing next to the corpus scan.
+
+    Reference: q94/q176 (the statistics it summarizes), q112 (the
+    OLS kernel), q383/q449 (the consumers), q446 (Hill — the tail
+    twin for continuous values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "tok"))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.floor(F.lit(1000.0) * F.log("r")).cast("bigint").alias("x"),
+        F.floor(F.lit(1000.0) * F.log("f")).cast("bigint").alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = F.expr(
+        "CAST(1000000 * (n * sxy - sx * sy)"
+        " DIV (n * sxx - sx * sx) AS BIGINT)"
+    )
+    return fit.select(
+        F.col("n").alias("n_points"),
+        slope.alias("slope_micro"),
+        F.expr(
+            "CAST((sy - sx * (1000000 * (n * sxy - sx * sy)"
+            " DIV (n * sxx - sx * sx)) DIV 1000000) DIV n AS BIGINT)"
+        ).alias("intercept_milli"),
+        F.when(
+            slope.between(-2_000_000, -500_000), "zipfian"
+        )
+        .otherwise("non_zipfian")
+        .alias("verdict"),
+    )

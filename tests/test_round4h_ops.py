@@ -4392,3 +4392,54 @@ def test_delta_size_replay(spark):
         # dense postings (high-df on 500 docs): gaps are tiny, delta
         # coding must save most of the space
         assert r["saved_ppm"] > 500_000
+
+
+# --------------------------------------------------------------------------
+# q450 — Zipf fit
+# --------------------------------------------------------------------------
+
+
+def test_zipf_fit_replay_and_numpy_crosscheck(spark):
+    import math
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    freqs = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT COUNT(*) AS f
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY tok ORDER BY f DESC
+            """
+        ).fetchall()
+    ]
+    xs = [math.floor(1e3 * math.log(r + 1)) for r in range(len(freqs))]
+    ys = [math.floor(1e3 * math.log(f)) for f in freqs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = (
+        1_000_000 * num // den
+        if num >= 0
+        else -((-1_000_000 * num) // den)
+    )
+    row = registry.QUERIES["q450_zipf_fit"](spark, SF_MID).collect()[0]
+    assert row["n_points"] == n
+    assert row["slope_micro"] == slope
+    # numpy float cross-check of the quantized fit
+    b = np.polyfit(
+        np.log(np.arange(1, n + 1)), np.log(np.array(freqs, float)), 1
+    )[0]
+    assert abs(row["slope_micro"] / 1e6 - b) < 0.01
+    # ~uniform synthetic vocabulary: a flat, NON-zipfian curve — the
+    # verdict correctly distinguishes this corpus from natural text
+    assert row["verdict"] == "non_zipfian"
+    assert -500_000 < row["slope_micro"] < 0

@@ -146,6 +146,7 @@ BNLJ_ALLOWED = {
     "q444_label_noise",           # q415's totals/vocab broadcasts
     "q445_bpe_apply",             # one-row top-3-merge broadcast
     "q447_macro_auc",             # q415's totals/vocab broadcasts
+    "q451_linkpred_backtest",     # |brands| grid + co-matrix broadcasts
 }
 
 

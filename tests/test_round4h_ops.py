@@ -4443,3 +4443,67 @@ def test_zipf_fit_replay_and_numpy_crosscheck(spark):
     # verdict correctly distinguishes this corpus from natural text
     assert row["verdict"] == "non_zipfian"
     assert -500_000 < row["slope_micro"] < 0
+
+
+# --------------------------------------------------------------------------
+# q451 — link prediction backtest
+# --------------------------------------------------------------------------
+
+
+def test_linkpred_backtest_replay(spark):
+    con = _duck(SF_MID)
+    rows_in = con.execute(
+        """
+        SELECT year(o.o_orderdate), o.o_custkey, p.p_brand
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    A, B = defaultdict(set), defaultdict(set)
+    for yr, c, b in rows_in:
+        (A if yr == 1996 else B)[c].add(b)
+    truth = {c: B[c] - A.get(c, set()) for c in B if B[c] - A.get(c, set())}
+    brands = sorted({b for s in A.values() for b in s})
+    co = defaultdict(int)
+    pop = defaultdict(int)
+    for c, s in A.items():
+        for b in s:
+            pop[b] += 1
+        for b1 in s:
+            for b2 in s:
+                if b1 != b2:
+                    co[(b1, b2)] += 1
+    res = {}
+    for strat in ("cf", "popularity"):
+        n_users = n_hit = 0
+        for c in truth:
+            cands = [b for b in brands if b not in A.get(c, set())]
+            if strat == "cf":
+                scores = {
+                    b: sum(co.get((b1, b), 0) for b1 in A.get(c, set()))
+                    for b in cands
+                }
+                scores = {b: s for b, s in scores.items() if s > 0}
+                top = sorted(scores, key=lambda b: (-scores[b], b))[:3]
+                if not scores:
+                    continue
+            else:
+                top = sorted(cands, key=lambda b: (-pop[b], b))[:3]
+                if not cands:
+                    continue
+            n_users += 1
+            n_hit += 1 if any(b in truth[c] for b in top) else 0
+        res[strat] = (n_users, n_hit, 1_000_000 * n_hit // n_users)
+    got = {
+        r["strategy"]: (r["n_users"], r["n_hit"], r["hitrate_ppm"])
+        for r in registry.QUERIES["q451_linkpred_backtest"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert got == res
+    # dense co-purchase fixtures: both strategies nearly saturate —
+    # the eval machinery still has to agree exactly on who they cover
+    assert got["cf"][2] >= 900_000 and got["popularity"][2] >= 900_000

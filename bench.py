@@ -148,6 +148,11 @@ def main() -> None:
         "q420_textrank",
         "q423_substring_cutlist",
         "q424_anisotropy",
+        # round-4 eleventh/twelfth-sitting heavies
+        "q434_bm25_eval",
+        "q440_mase_backtest",
+        "q448_source_similarity",
+        "q451_linkpred_backtest",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

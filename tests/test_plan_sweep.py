@@ -170,6 +170,21 @@ def test_no_cartesian_and_bnlj_only_where_allowed(spark):
 #: audited value (cached-relation definitions reprint their build scan
 #: per reference, so persisted plans count higher than they execute).
 SCAN_BUDGETS = {
+    # tenth+ sitting corpus-heavy additions (budgets pinned at the
+    # audited plan shapes; persisted frames reprint per consumer)
+    "q415_naive_bayes": 8,        # 1 real pass/fold: persisted split +
+                                  # counts reprint per consumer
+    "q416_token_entropy": 1,
+    "q423_substring_cutlist": 3,  # persisted toked + grams reprints
+    "q431_dataset_card": 2,       # persisted base: cells + card aggs
+    "q434_bm25_eval": 9,          # persisted toked/queries/dl reprints
+    "q439_training_mix": 1,
+    "q444_label_noise": 8,        # q415's shared posterior pipeline
+    "q445_bpe_apply": 8,          # merge stats + rewrite projections
+    "q447_macro_auc": 8,          # q415's shared posterior pipeline
+    "q448_source_similarity": 8,  # persisted tf reprints (norms + 2 sides)
+    "q449_delta_size_advisor": 1,
+    "q450_zipf_fit": 1,
     "q30_flagship_tokens": 1,
     "q62_tfidf": 3,       # corpus + totals (audited pin)
     "q114_cdc_chunks": 1,

@@ -1,0 +1,118 @@
+"""Streaming secret-scanning quarantine gate: q430's credential
+patterns enforced at INGEST — every micro-batch of incoming documents
+is split into clean rows (admitted downstream) and flagged rows
+(quarantined with their per-class match counts for review/redaction),
+plus a one-row verdict. The batch screen (q430) measures a corpus
+after the fact; this gate is the enforcement point that keeps leaked
+credentials from ever landing in the training lake — the same
+detect-at-the-door posture as fk_gate (referential integrity) and
+neardup_gate (duplicates), applied to the q88/q303/q304/q430
+release-screen family.
+
+Exactly-once: the gate is stateless (patterns are constants), so
+replay safety is carried entirely by batch_id dynamic-overwrite
+partitions on all three outputs (the checksum_gate contract).
+
+Stream ≡ batch contract: `split_secrets(batch)` is the SAME function
+the foreachBatch hook runs (tested in tests/test_secret_gate.py).
+
+Scale: per batch, one map-side regex projection (all classes fused in
+a single pass — q430's stance) and a partitioned write; nothing
+shuffles document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import SECRET_PATTERNS
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+SCORE_SCHEMA = (
+    "n_rows BIGINT, n_flagged BIGINT, n_matches BIGINT, batch_id BIGINT"
+)
+
+
+def split_secrets(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, flagged): flagged rows carry one count column per
+    credential class plus n_secret_matches; clean rows pass through
+    with the original columns."""
+    counted = batch
+    total = F.lit(0)
+    for name, pat in SECRET_PATTERNS:
+        col = f"n_{name}"
+        counted = counted.withColumn(
+            col,
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))),
+        )
+        total = total + F.col(col)
+    counted = counted.withColumn("n_secret_matches", total)
+    flagged = counted.filter(F.col("n_secret_matches") > 0)
+    clean = counted.filter(F.col("n_secret_matches") == 0).select(
+        *batch.columns
+    )
+    return clean, flagged
+
+
+def secret_gate_writer(clean_dir: str, quarantine_dir: str, scores_dir: str):
+    """foreachBatch hook: split, write both sides and the verdict row
+    under the batch's own partitions."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        clean, flagged = split_secrets(batch)
+        _dynamic_overwrite(
+            clean.withColumn("batch_id", F.lit(batch_id)), clean_dir
+        )
+        _dynamic_overwrite(
+            flagged.withColumn("batch_id", F.lit(batch_id)), quarantine_dir
+        )
+        row = flagged.agg(
+            F.coalesce(F.sum(F.lit(1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.coalesce(F.sum("n_secret_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matches"),
+        ).crossJoin(
+            batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        ).select(
+            "n_rows",
+            "n_flagged",
+            "n_matches",
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+        )
+        _dynamic_overwrite(row, scores_dir)
+
+    return _write
+
+
+def read_scores(spark: SparkSession, scores_dir: str) -> DataFrame:
+    return _read_or_empty(spark, scores_dir, SCORE_SCHEMA)
+
+
+def run_secret_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    clean_dir: str,
+    quarantine_dir: str,
+    scores_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available JSON-lines document files (availableNow)
+    through the gate, one file per micro-batch by default."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            secret_gate_writer(clean_dir, quarantine_dir, scores_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

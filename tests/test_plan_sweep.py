@@ -319,3 +319,12 @@ def test_executed_scan_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"scan-budget regressions (got, budget): {over}"
+
+
+def test_sweep_priority_names_resolve():
+    """Every sweep-priority name must exist in the registry (a typo
+    here silently drops a query from the driver's front-50) and the
+    list must be duplicate-free so the ordering is well-defined."""
+    missing = [n for n in registry._SWEEP_PRIORITY if n not in registry.QUERIES]
+    assert not missing, missing
+    assert len(registry._SWEEP_PRIORITY) == len(set(registry._SWEEP_PRIORITY))

@@ -5328,3 +5328,99 @@ def q443_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q452 — TTL-cache hit-rate curve (cache sizing from the access log)
+# --------------------------------------------------------------------------
+
+TTL_GRID_S = [60, 600, 3600]  #: candidate TTLs (seconds)
+
+_TTL_VALUES = ", ".join(f"({t})" for t in TTL_GRID_S)
+
+
+@register(
+    "q452_ttl_cache_curve",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events
+    ),
+    fan AS (
+        SELECT t.ttl_s, s.event_type,
+               CASE WHEN s.gap_us IS NOT NULL
+                      AND s.gap_us <= CAST(t.ttl_s AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS hit
+        FROM seq s JOIN (VALUES {_TTL_VALUES}) t(ttl_s) ON TRUE
+    )
+    SELECT ttl_s, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_accesses,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(1000000 * SUM(hit) // COUNT(*) AS BIGINT) AS hit_ppm
+    FROM fan
+    GROUP BY 1, 2 ORDER BY ttl_s, event_type
+    """,
+)
+def q452_ttl_cache_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-cache hit-rate curve replayed from the access log: treating
+    (user, event_type) as the cache key, an access HITS a TTL-T cache
+    iff the same key was touched within the last T seconds — swept
+    over a {TTL_GRID_S}-second grid in one pass. This is how cache
+    TTLs should be picked (measure the log, read the curve) rather
+    than guessed: the marginal hit-rate between rungs is exactly the
+    traffic a longer TTL would save, priced against its staleness
+    window. Complements q443 (the deny-side rate limiter) with the
+    serve-side policy, and q291's session-gap sweep with the
+    infrastructure reading of the same inter-arrival structure.
+
+    Determinism: epoch-microsecond LAG gaps (the q76/q400 idiom),
+    integer threshold comparisons per grid rung, ppm floors. First
+    access per key is a compulsory miss (NULL gap) in both engines.
+
+    Scale: ONE window pass partitioned by the cache key; the TTL grid
+    is a {len(TTL_GRID_S)}-row broadcast fan-out over the gap column
+    (allowlisted BNLJ) — sweeping more rungs costs a projection, not
+    a pass. The same gap column feeds ANY policy family (LRU-age,
+    sliding windows) without re-sorting.
+
+    Reference: q443 (rate limiting), q291 (gap sweep), q187
+    (cadence), q76 (the sessionizer sharing this window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in TTL_GRID_S], "ttl_s int"
+    )
+    fan = seq.crossJoin(F.broadcast(grid)).select(
+        "ttl_s",
+        "event_type",
+        F.when(
+            F.col("gap_us").isNotNull()
+            & (F.col("gap_us") <= F.col("ttl_s").cast("bigint") * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return (
+        fan.groupBy("ttl_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accesses"),
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST(1000000 * SUM(hit) DIV COUNT(*) AS BIGINT)"
+            ).alias("hit_ppm"),
+        )
+        .orderBy("ttl_s", "event_type")
+    )

@@ -147,6 +147,7 @@ BNLJ_ALLOWED = {
     "q445_bpe_apply",             # one-row top-3-merge broadcast
     "q447_macro_auc",             # q415's totals/vocab broadcasts
     "q451_linkpred_backtest",     # |brands| grid + co-matrix broadcasts
+    "q452_ttl_cache_curve",       # 3-row TTL-grid broadcast fan-out
 }
 
 

@@ -4520,3 +4520,45 @@ def test_linkpred_backtest_replay(spark):
     rand_ppm = 1_000_000 * rand_hits / n_rand
     assert got["cf"][2] > rand_ppm
     assert got["popularity"][2] > rand_ppm
+
+
+# --------------------------------------------------------------------------
+# q452 — TTL cache curve
+# --------------------------------------------------------------------------
+
+
+def test_ttl_cache_curve_replay_and_monotonicity(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events"
+        " ORDER BY user_id, event_type, epoch_us(ts), event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for u, t, us in rows_in:
+        per[(u, t)].append(us)
+    expect = defaultdict(lambda: [0, 0])
+    for (u, t), uss in per.items():
+        prev = None
+        for us in uss:
+            for ttl in (60, 600, 3600):
+                e = expect[(ttl, t)]
+                e[0] += 1
+                if prev is not None and us - prev <= ttl * 1_000_000:
+                    e[1] += 1
+            prev = us
+    rows = registry.QUERIES["q452_ttl_cache_curve"](spark, SF_MID).collect()
+    got = {
+        (r["ttl_s"], r["event_type"]): (r["n_accesses"], r["n_hits"])
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    for r in rows:
+        assert r["hit_ppm"] == 1_000_000 * r["n_hits"] // r["n_accesses"]
+    # longer TTL can only add hits
+    for t in {r["event_type"] for r in rows}:
+        hits = [got[(ttl, t)][1] for ttl in (60, 600, 3600)]
+        assert hits == sorted(hits)

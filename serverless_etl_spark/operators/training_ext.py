@@ -3897,3 +3897,250 @@ def q447_macro_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(auc_ppm) OVER () DIV COUNT(*) OVER () AS BIGINT)"
         ).alias("macro_auc_ppm"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# q453 — held-out eval of the boosted stumps (ensemble vs single stump)
+# --------------------------------------------------------------------------
+
+GBME_TRAIN_UPPER = "cd"  #: md5 row split (~80/20), the q58 idiom
+
+
+@register(
+    "q453_gbm_eval",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END AS y,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 2)
+                   < '{GBME_TRAIN_UPPER}' AS is_train
+        FROM lineitem
+    ),
+    tr AS (SELECT * FROM base WHERE is_train),
+    f0 AS (
+        SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS fbar FROM tr
+    ),
+    melt1 AS (
+        SELECT f, v, y - fbar AS r
+        FROM (
+            SELECT 'qty' AS f, qty AS v, y FROM tr
+            UNION ALL
+            SELECT 'disc', disc, y FROM tr
+        ) CROSS JOIN f0
+    ),
+    {_gbm_split_cte('melt1', 1)},
+    scored1 AS (
+        SELECT t.y, t.qty, t.disc,
+               f0.fbar + (CASE WHEN (CASE WHEN s1.bf = 'qty'
+                                     THEN t.qty ELSE t.disc END) <= s1.bthr
+                          THEN s1.gl ELSE s1.gr END) // 2 AS fi
+        FROM tr t CROSS JOIN f0 CROSS JOIN best1 s1
+    ),
+    melt2 AS (
+        SELECT f, v, y - fi AS r
+        FROM (
+            SELECT 'qty' AS f, qty AS v, y, fi FROM scored1
+            UNION ALL
+            SELECT 'disc', disc, y, fi FROM scored1
+        )
+    ),
+    {_gbm_split_cte('melt2', 2)},
+    ev AS (
+        SELECT e.y, e.qty, e.disc,
+               f0.fbar + (CASE WHEN (CASE WHEN s1.bf = 'qty'
+                                     THEN e.qty ELSE e.disc END) <= s1.bthr
+                          THEN s1.gl ELSE s1.gr END) // 2 AS f1
+        FROM base e CROSS JOIN f0 CROSS JOIN best1 s1
+        WHERE NOT e.is_train
+    ),
+    ev2 AS (
+        SELECT y, qty, disc, f1,
+               f1 + (CASE WHEN (CASE WHEN s2.bf = 'qty'
+                                THEN qty ELSE disc END) <= s2.bthr
+                     THEN s2.gl ELSE s2.gr END) // 2 AS f2
+        FROM ev CROSS JOIN best2 s2
+    ),
+    judged AS (
+        SELECT 'stump' AS model,
+               CASE WHEN (CASE WHEN f1 >= 500 THEN 1000 ELSE 0 END) = y
+                    THEN 1 ELSE 0 END AS ok,
+               (y - f1) * (y - f1) AS se
+        FROM ev2
+        UNION ALL
+        SELECT 'boost2',
+               CASE WHEN (CASE WHEN f2 >= 500 THEN 1000 ELSE 0 END) = y
+                    THEN 1 ELSE 0 END,
+               (y - f2) * (y - f2)
+        FROM ev2
+    )
+    SELECT model,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(1000000 * SUM(ok) // COUNT(*) AS BIGINT) AS acc_ppm,
+           CAST(SUM(se) // COUNT(*) AS BIGINT) AS mse_milli2
+    FROM judged GROUP BY model ORDER BY model
+    """,
+)
+def q453_gbm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of q438's boosted stumps — the q365/q426
+    stance applied to the ensemble: fit BOTH rounds on the md5-80%
+    train rows only, score the 20% eval fold under the one-round
+    model (the shrunk single stump) and the two-round ensemble, and
+    report eval accuracy (classify at the 0.5 milli-score boundary)
+    plus squared error. In-sample, round 2 reduces loss BY
+    CONSTRUCTION; only the held-out column says whether the second
+    tree generalizes — the number that separates boosting from
+    memorizing, and on this near-noise fixture label it honestly
+    shows the ceiling (both models land at the majority-class rate,
+    which IS the right answer when features carry no signal — the
+    q415/q365 lesson re-confirmed on a second model family).
+
+    Determinism: q438's integer fit end-to-end with the train filter
+    pushed into every sufficient statistic; eval scoring is two
+    broadcast CASEs; accuracy/MSE are integer floors.
+
+    Scale: identical to q438 (histogram split finder over collapsed
+    cells) plus one stateless scoring projection over the eval fold
+    — train/eval never shuffle.
+
+    Reference: q438 (the fit), q360 (gini stump), q365 (learning
+    curve), q426/q415 (the held-out discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1000)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            )
+            < GBME_TRAIN_UPPER
+        ).alias("is_train"),
+    )
+    base = track_cache(base.persist())
+    tr = base.filter("is_train")
+    f0 = tr.agg(
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("fbar")
+    )
+
+    def melt(df, rcol):
+        q = df.select(
+            F.lit("qty").alias("f"), F.col("qty").alias("v"), rcol.alias("r")
+        )
+        d = df.select(
+            F.lit("disc").alias("f"), F.col("disc").alias("v"),
+            rcol.alias("r"),
+        )
+        return q.unionAll(d)
+
+    def best_split(melted):
+        hist = melted.groupBy("f", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("r").cast("bigint").alias("s"),
+        )
+        tot = hist.groupBy("f").agg(
+            F.sum("c").cast("bigint").alias("nt"),
+            F.sum("s").cast("bigint").alias("st"),
+        )
+        w = Window.partitionBy("f").orderBy("v")
+        pref = hist.join(tot, "f").select(
+            "f",
+            "v",
+            F.sum("c").over(w).cast("bigint").alias("cl"),
+            F.sum("s").over(w).cast("bigint").alias("sl"),
+            "nt",
+            "st",
+        )
+        return (
+            pref.filter((F.col("cl") > 0) & (F.col("cl") < F.col("nt")))
+            .select(
+                F.col("f").alias("bf"),
+                F.col("v").alias("bthr"),
+                F.expr(
+                    "sl * sl DIV cl"
+                    " + (st - sl) * (st - sl) DIV (nt - cl)"
+                ).alias("score"),
+                F.expr("sl DIV cl").alias("gl"),
+                F.expr("(st - sl) DIV (nt - cl)").alias("gr"),
+            )
+            .orderBy(F.col("score").desc(), "bf", "bthr")
+            .limit(1)
+        )
+
+    tr0 = tr.crossJoin(F.broadcast(f0))
+    best1 = best_split(melt(tr0, F.col("y") - F.col("fbar"))).localCheckpoint(
+        eager=False
+    )
+    upd1 = (
+        "fbar + (CASE WHEN (CASE WHEN bf = 'qty' THEN qty ELSE disc END)"
+        " <= bthr THEN gl ELSE gr END) DIV 2"
+    )
+    scored1 = tr0.crossJoin(F.broadcast(best1)).select(
+        "y", "qty", "disc", F.expr(upd1).alias("fi")
+    )
+    best2 = best_split(melt(scored1, F.col("y") - F.col("fi"))).select(
+        F.col("bf").alias("bf2"),
+        F.col("bthr").alias("bthr2"),
+        F.col("gl").alias("gl2"),
+        F.col("gr").alias("gr2"),
+    ).localCheckpoint(eager=False)
+    ev = (
+        base.filter(~F.col("is_train"))
+        .crossJoin(F.broadcast(f0))
+        .crossJoin(F.broadcast(best1))
+        .crossJoin(F.broadcast(best2))
+        .select(
+            "y",
+            "qty",
+            "disc",
+            F.expr(upd1).alias("f1"),
+            F.expr(
+                f"({upd1}) + (CASE WHEN (CASE WHEN bf2 = 'qty'"
+                " THEN qty ELSE disc END) <= bthr2"
+                " THEN gl2 ELSE gr2 END) DIV 2"
+            ).alias("f2"),
+        )
+    )
+    judged = None
+    for model, fcol in (("stump", "f1"), ("boost2", "f2")):
+        row = ev.select(
+            F.lit(model).alias("model"),
+            F.when(
+                (
+                    F.when(F.col(fcol) >= 500, 1000).otherwise(0)
+                    == F.col("y")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("ok"),
+            ((F.col("y") - F.col(fcol)) * (F.col("y") - F.col(fcol))).alias(
+                "se"
+            ),
+        )
+        judged = row if judged is None else judged.unionAll(row)
+    return (
+        judged.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.expr(
+                "CAST(1000000 * SUM(ok) DIV COUNT(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+            F.expr("CAST(SUM(se) DIV COUNT(*) AS BIGINT)").alias(
+                "mse_milli2"
+            ),
+        )
+        .orderBy("model")
+    )

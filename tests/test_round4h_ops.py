@@ -4562,3 +4562,37 @@ def test_ttl_cache_curve_replay_and_monotonicity(spark):
     for t in {r["event_type"] for r in rows}:
         hits = [got[(ttl, t)][1] for ttl in (60, 600, 3600)]
         assert hits == sorted(hits)
+
+
+# --------------------------------------------------------------------------
+# q453 — GBM held-out eval
+# --------------------------------------------------------------------------
+
+
+def test_gbm_eval_consistency(spark):
+    rows = {
+        r["model"]: r
+        for r in registry.QUERIES["q453_gbm_eval"](spark, SF_MID).collect()
+    }
+    assert set(rows) == {"stump", "boost2"}
+    s, b = rows["stump"], rows["boost2"]
+    assert s["n_eval"] == b["n_eval"] > 0
+    # both classify at or above the majority-class floor on eval
+    con = _duck(SF_MID)
+    (maj,) = con.execute(
+        """
+        SELECT GREATEST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                        END), SUM(CASE WHEN l_returnflag = 'R' THEN 0
+                        ELSE 1 END)) * 1000000 // COUNT(*)
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 2) >= 'cd'
+        """
+    ).fetchone()
+    assert s["acc_ppm"] >= maj - 20_000
+    assert b["acc_ppm"] >= maj - 20_000
+    # the second round must not increase held-out squared error by
+    # more than a shrinkage step's worth (it fits train residuals)
+    assert b["mse_milli2"] <= s["mse_milli2"] * 105 // 100
+    for r in rows.values():
+        assert 0 <= r["acc_ppm"] <= 1_000_000

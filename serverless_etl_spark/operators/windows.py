@@ -5424,3 +5424,163 @@ def q452_ttl_cache_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ttl_s", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q454 — AR(1) fit + Durbin–Watson residual diagnostic
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q454_ar1_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT event_type, d, x AS xt,
+               LAG(x) OVER (PARTITION BY event_type ORDER BY d) AS xp
+        FROM daily
+        QUALIFY xp IS NOT NULL
+    ),
+    fit AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xp) AS BIGINT) AS sx,
+               CAST(SUM(xt) AS BIGINT) AS sy,
+               CAST(SUM(xp * xt) AS BIGINT) AS sxy,
+               CAST(SUM(xp * xp) AS BIGINT) AS sxx
+        FROM pairs GROUP BY event_type
+    ),
+    coef AS (
+        SELECT event_type, n,
+               CAST(1000000 * (n * sxy - sx * sy)
+                    // (n * sxx - sx * sx) AS BIGINT) AS b_micro,
+               CAST((1000000 * sy - (1000000 * (n * sxy - sx * sy)
+                     // (n * sxx - sx * sx)) * sx) // n AS BIGINT)
+                   AS a_micro
+        FROM fit
+    ),
+    resid AS (
+        SELECT p.event_type, p.d,
+               p.xt * 1000000 - c.a_micro - c.b_micro * p.xp AS e
+        FROM pairs p JOIN coef c ON c.event_type = p.event_type
+    ),
+    dw AS (
+        SELECT event_type, e,
+               LAG(e) OVER (PARTITION BY event_type ORDER BY d) AS ep
+        FROM resid
+    )
+    SELECT d.event_type,
+           c.n AS n_pairs,
+           c.b_micro AS phi_micro,
+           c.a_micro AS intercept_micro,
+           CAST(1000 * SUM(CASE WHEN d.ep IS NOT NULL
+                           THEN (d.e - d.ep) * (d.e - d.ep)
+                           ELSE 0 END)
+                // GREATEST(SUM(d.e * d.e), 1) AS BIGINT) AS dw_milli
+    FROM dw d JOIN coef c ON c.event_type = d.event_type
+    GROUP BY d.event_type, c.n, c.b_micro, c.a_micro
+    ORDER BY d.event_type
+    """,
+)
+def q454_ar1_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit with the Durbin–Watson residual diagnostic — the
+    autocorrelation layer the regression family was missing: per
+    event type, OLS of today's count on yesterday's (the AR(1)
+    coefficient φ — q272's lag-1 ACF as a REGRESSION with an
+    intercept, so the mean doesn't masquerade as persistence), then
+    DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over the date-ordered residuals. DW ≈ 2
+    says the AR(1) residuals are white (the model is enough); DW ≪ 2
+    says structure remains (go seasonal: q385) — the diagnostic that
+    tells q377/q385/q440 WHICH model family the series wants, and
+    the validity check every OLS trend (q112, q246) silently assumes.
+
+    Determinism: integer counts; φ and the intercept via q450's
+    cross-multiplied OLS with micro trunc DIVs; residuals are exact
+    integers in micro units given those quantized coefficients; DW is
+    one integer ratio in milli. The lag runs over the unique
+    (type, date) order.
+
+    Scale: events collapse to |types|×|days| map-side; two window
+    passes over that grain and a five-number fit per type. int64:
+    residuals ≤ ~max_count·10⁶; their squares ≤ 10¹⁸ at ~10⁶ daily
+    events — DECIMAL(38) route beyond (q401's documented escape).
+
+    Reference: q272 (ACF), q112/q246 (the slopes this validates),
+    q377/q385 (where DW ≪ 2 sends you), q152 (CUSUM on what
+    remains)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w_d = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type",
+        "d",
+        F.col("x").alias("xt"),
+        F.lag("x").over(w_d).alias("xp"),
+    ).filter(F.col("xp").isNotNull())
+    pairs = track_cache(pairs.persist())
+    fit = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xp").cast("bigint").alias("sx"),
+        F.sum("xt").cast("bigint").alias("sy"),
+        F.sum(F.col("xp") * F.col("xt")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xp") * F.col("xp")).cast("bigint").alias("sxx"),
+    )
+    coef = fit.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(1000000 * (n * sxy - sx * sy)"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("b_micro"),
+        F.expr(
+            "CAST((1000000 * sy - (1000000 * (n * sxy - sx * sy)"
+            " DIV (n * sxx - sx * sx)) * sx) DIV n AS BIGINT)"
+        ).alias("a_micro"),
+    )
+    resid = pairs.join(F.broadcast(coef), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        "b_micro",
+        "a_micro",
+        (
+            F.col("xt") * 1000000
+            - F.col("a_micro")
+            - F.col("b_micro") * F.col("xp")
+        ).alias("e"),
+    )
+    dw = resid.select(
+        "event_type",
+        "n",
+        "b_micro",
+        "a_micro",
+        "e",
+        F.lag("e").over(w_d).alias("ep"),
+    )
+    return (
+        dw.groupBy("event_type", "n", "b_micro", "a_micro")
+        .agg(
+            F.expr(
+                "CAST(1000 * SUM(CASE WHEN ep IS NOT NULL"
+                " THEN (e - ep) * (e - ep) ELSE 0 END)"
+                " DIV GREATEST(SUM(e * e), CAST(1 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("dw_milli")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.col("b_micro").alias("phi_micro"),
+            F.col("a_micro").alias("intercept_micro"),
+            "dw_milli",
+        )
+        .orderBy("event_type")
+    )

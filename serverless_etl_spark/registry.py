@@ -102,7 +102,7 @@ _SWEEP_PRIORITY = [
     "q447_macro_auc", "q448_source_similarity",
     "q449_delta_size_advisor", "q450_zipf_fit",
     "q451_linkpred_backtest", "q452_ttl_cache_curve",
-    "q453_gbm_eval",
+    "q453_gbm_eval", "q454_ar1_durbin_watson",
     # (b2) round-4 in-round additions (newest, never swept)
     "q337_l_diversity", "q338_average_precision", "q339_kruskal_wallis",
     "q340_bh_fdr", "q341_cuped", "q342_simpsons_flip",

@@ -4596,3 +4596,49 @@ def test_gbm_eval_consistency(spark):
     assert b["mse_milli2"] <= s["mse_milli2"] * 105 // 100
     for r in rows.values():
         assert 0 <= r["acc_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# q454 — AR(1) + Durbin-Watson
+# --------------------------------------------------------------------------
+
+
+def test_ar1_dw_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, x in daily:
+        per[t].append(x)
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q454_ar1_durbin_watson"](
+            spark, SF_MID
+        ).collect()
+    }
+    for t, xs in per.items():
+        prs = list(zip(xs[:-1], xs[1:]))
+        n = len(prs)
+        sx = sum(p for p, _ in prs)
+        sy = sum(c for _, c in prs)
+        sxy = sum(p * c for p, c in prs)
+        sxx = sum(p * p for p, _ in prs)
+        b = _tdiv(1_000_000 * (n * sxy - sx * sy), n * sxx - sx * sx)
+        a = _tdiv(1_000_000 * sy - b * sx, n)
+        es = [c * 1_000_000 - a - b * p for p, c in prs]
+        num = sum((e2 - e1) ** 2 for e1, e2 in zip(es, es[1:]))
+        den = sum(e * e for e in es)
+        r = rows[t]
+        assert r["n_pairs"] == n
+        assert r["phi_micro"] == b
+        assert r["intercept_micro"] == a
+        assert r["dw_milli"] == 1000 * num // max(den, 1)
+        # uniform-arrival fixtures: counts are near-white noise, so
+        # DW should sit in the no-autocorrelation band around 2
+        assert 1_200 <= r["dw_milli"] <= 2_800

@@ -5465,7 +5465,8 @@ def q452_ttl_cache_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     resid AS (
         SELECT p.event_type, p.d,
-               p.xt * 1000000 - c.a_micro - c.b_micro * p.xp AS e
+               p.xt * 1000 - c.a_micro // 1000
+                   - c.b_micro * p.xp // 1000 AS e
         FROM pairs p JOIN coef c ON c.event_type = p.event_type
     ),
     dw AS (
@@ -5500,14 +5501,14 @@ def q454_ar1_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer counts; φ and the intercept via q450's
     cross-multiplied OLS with micro trunc DIVs; residuals are exact
-    integers in micro units given those quantized coefficients; DW is
-    one integer ratio in milli. The lag runs over the unique
-    (type, date) order.
+    integers in MILLI units (the micro coefficients apply through
+    trunc DIVs — identical in both engines); DW is one integer ratio
+    in milli. The lag runs over the unique (type, date) order.
 
     Scale: events collapse to |types|×|days| map-side; two window
     passes over that grain and a five-number fit per type. int64:
-    residuals ≤ ~max_count·10⁶; their squares ≤ 10¹⁸ at ~10⁶ daily
-    events — DECIMAL(38) route beyond (q401's documented escape).
+    milli residuals square safely to ~5·10⁵ daily events —
+    DECIMAL(38) route beyond (q401's documented escape).
 
     Reference: q272 (ACF), q112/q246 (the slopes this validates),
     q377/q385 (where DW ≪ 2 sends you), q152 (CUSUM on what
@@ -5551,10 +5552,8 @@ def q454_ar1_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "b_micro",
         "a_micro",
-        (
-            F.col("xt") * 1000000
-            - F.col("a_micro")
-            - F.col("b_micro") * F.col("xp")
+        F.expr(
+            "xt * 1000 - a_micro DIV 1000 - b_micro * xp DIV 1000"
         ).alias("e"),
     )
     dw = resid.select(

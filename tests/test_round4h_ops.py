@@ -4631,7 +4631,10 @@ def test_ar1_dw_replay(spark):
         sxx = sum(p * p for p, _ in prs)
         b = _tdiv(1_000_000 * (n * sxy - sx * sy), n * sxx - sx * sx)
         a = _tdiv(1_000_000 * sy - b * sx, n)
-        es = [c * 1_000_000 - a - b * p for p, c in prs]
+        es = [
+            c * 1000 - _tdiv(a, 1000) - _tdiv(b * p, 1000)
+            for p, c in prs
+        ]
         num = sum((e2 - e1) ** 2 for e1, e2 in zip(es, es[1:]))
         den = sum(e * e for e in es)
         r = rows[t]

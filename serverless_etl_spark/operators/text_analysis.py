@@ -2584,3 +2584,127 @@ def q450_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("non_zipfian")
         .alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# q455 — shared-prefix audit (prompt-cache hit potential)
+# --------------------------------------------------------------------------
+
+PFX_LEN = 8    #: cacheable prefix length (tokens)
+PFX_TOPK = 10
+
+
+@register(
+    "q455_prefix_cache",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pfx AS (
+        SELECT doc_id,
+               list_aggregate(toks[1:{PFX_LEN}], 'string_agg', ' ')
+                   AS prefix
+        FROM toked WHERE len(toks) >= {PFX_LEN}
+    ),
+    grp AS (
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((COUNT(*) - 1) * {PFX_LEN} AS BIGINT)
+                   AS saved_tokens
+        FROM pfx GROUP BY prefix
+        HAVING COUNT(*) >= 2
+    ),
+    tot AS (
+        SELECT CAST(COALESCE(SUM(saved_tokens), 0) AS BIGINT) AS tot_saved,
+               (SELECT CAST(COUNT(*) * {PFX_LEN} AS BIGINT) FROM pfx)
+                   AS tot_prefix_tokens
+        FROM grp
+    )
+    SELECT g.prefix, g.n_docs, g.saved_tokens,
+           t.tot_saved,
+           CAST(1000000 * t.tot_saved // t.tot_prefix_tokens AS BIGINT)
+               AS cacheable_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY g.n_docs DESC, g.prefix)
+               AS INT) AS rk
+    FROM grp g CROSS JOIN tot t
+    QUALIFY rk <= {PFX_TOPK}
+    ORDER BY rk
+    """,
+)
+def q455_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix audit — the SERVING-side dedup the corpus family
+    hadn't covered: group documents by their first {PFX_LEN} tokens;
+    every group of n sharing a prefix lets a prefix-caching inference
+    server (or a KV-cache-aware batcher) compute those tokens ONCE
+    and reuse them n−1 times, so saved_tokens = (n−1)·{PFX_LEN} per
+    group and cacheable_ppm is the corpus-level ceiling on
+    prefix-cache savings. The same table read the other way is a
+    TEMPLATE detector: a prefix shared by hundreds of "distinct"
+    documents is a form letter (q98's boilerplate at the head
+    position, where it's cheapest to exploit rather than delete).
+
+    Determinism: exact string prefixes (identical split/join chains),
+    integer group counts and token arithmetic, ppm floors, ranked by
+    (n_docs DESC, prefix).
+
+    Scale: ONE projection to (doc, prefix) — no tokenize explosion,
+    just an array slice — then a groupBy(prefix) whose key skew IS
+    the signal; the report is top-k via WindowGroupLimit plus one
+    broadcast totals row (allowlisted BNLJ). At serving scale the
+    same aggregation runs over request logs instead of documents,
+    unchanged.
+
+    Reference: q423 (substring cut lists — the training-side twin),
+    q98 (boilerplate), q34 (fingerprints), q155/q201 (token
+    budgets the savings feed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = (
+        docs.select(F.split("text", " ").alias("toks"), "doc_id")
+        .filter(F.size("toks") >= PFX_LEN)
+        .select(
+            F.concat_ws(" ", F.slice("toks", 1, PFX_LEN)).alias("prefix")
+        )
+    )
+    pfx = track_cache(pfx.persist())
+    grp = (
+        pfx.groupBy("prefix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "prefix",
+            "n_docs",
+            ((F.col("n_docs") - 1) * PFX_LEN)
+            .cast("bigint")
+            .alias("saved_tokens"),
+        )
+    )
+    grp = track_cache(grp.persist())
+    tot = grp.agg(
+        F.coalesce(F.sum("saved_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("tot_saved")
+    ).crossJoin(
+        F.broadcast(
+            pfx.agg(
+                (F.count(F.lit(1)) * PFX_LEN)
+                .cast("bigint")
+                .alias("tot_prefix_tokens")
+            )
+        )
+    )
+    w_rk = Window.orderBy(F.col("n_docs").desc(), "prefix")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "prefix",
+            "n_docs",
+            "saved_tokens",
+            "tot_saved",
+            F.expr(
+                "CAST(1000000 * tot_saved DIV tot_prefix_tokens"
+                " AS BIGINT)"
+            ).alias("cacheable_ppm"),
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= PFX_TOPK)
+        .orderBy("rk")
+    )

@@ -149,6 +149,7 @@ BNLJ_ALLOWED = {
     "q451_linkpred_backtest",     # |brands| grid + co-matrix broadcasts
     "q452_ttl_cache_curve",       # 3-row TTL-grid broadcast fan-out
     "q453_gbm_eval",              # one-row f0/split broadcasts (q438)
+    "q455_prefix_cache",          # one-row totals broadcasts
 }
 
 

@@ -4645,3 +4645,37 @@ def test_ar1_dw_replay(spark):
         # uniform-arrival fixtures: counts are near-white noise, so
         # DW should sit in the no-autocorrelation band around 2
         assert 1_200 <= r["dw_milli"] <= 2_800
+
+
+# --------------------------------------------------------------------------
+# q455 — prefix cache
+# --------------------------------------------------------------------------
+
+
+def test_prefix_cache_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    texts = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    groups = defaultdict(int)
+    n_pfx = 0
+    for tx in texts:
+        toks = tx.split(" ")
+        if len(toks) >= 8:
+            n_pfx += 1
+            groups[" ".join(toks[:8])] += 1
+    shared = {p: n for p, n in groups.items() if n >= 2}
+    tot_saved = sum((n - 1) * 8 for n in shared.values())
+    top = sorted(shared, key=lambda p: (-shared[p], p))[:10]
+    rows = registry.QUERIES["q455_prefix_cache"](spark, SF_MID).collect()
+    assert len(rows) == min(10, len(shared))
+    for r, p in zip(rows, top):
+        assert r["prefix"] == p
+        assert r["n_docs"] == shared[p]
+        assert r["saved_tokens"] == (shared[p] - 1) * 8
+        assert r["tot_saved"] == tot_saved
+        assert r["cacheable_ppm"] == 1_000_000 * tot_saved // (n_pfx * 8)
+    # seeded near-dup twins share heads: some prefix sharing exists
+    assert rows, "corpus should contain shared prefixes"

@@ -13621,3 +13621,133 @@ def q449_delta_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= DELTA_TOPK)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q456 — KS two-sample test DECISION (critical values, integer form)
+# --------------------------------------------------------------------------
+
+#: c(α)² · 10⁶ for the large-sample KS critical value c(α)·√((m+n)/mn)
+KS_C2_05 = 1_844_164   # c(0.05) = 1.358
+KS_C2_01 = 2_650_384   # c(0.01) = 1.628
+
+
+@register(
+    "q456_ks_decision",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN 'a' ELSE 'b' END AS grp
+        FROM events
+    ),
+    sized AS (
+        SELECT CAST(COUNT(*) FILTER (grp = 'a') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (grp = 'b') AS BIGINT) AS n_b
+        FROM tagged
+    ),
+    pts AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca0,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb0
+        FROM tagged GROUP BY v
+    ),
+    steps AS (
+        SELECT SUM(ca0) OVER (ORDER BY v) AS ca,
+               SUM(cb0) OVER (ORDER BY v) AS cb
+        FROM pts
+    ),
+    stat AS (
+        SELECT s.n_a, s.n_b,
+               CAST(MAX(1000000 * ABS(st.ca * s.n_b - st.cb * s.n_a)
+                        // (s.n_a * s.n_b)) AS BIGINT) AS ks_ppm
+        FROM steps st CROSS JOIN sized s
+        GROUP BY s.n_a, s.n_b
+    )
+    SELECT n_a, n_b, ks_ppm,
+           CASE WHEN ks_ppm * ks_ppm
+                     > {KS_C2_05} * (n_a + n_b) * 1000000 // (n_a * n_b)
+                THEN 1 ELSE 0 END AS reject_05,
+           CASE WHEN ks_ppm * ks_ppm
+                     > {KS_C2_01} * (n_a + n_b) * 1000000 // (n_a * n_b)
+                THEN 1 ELSE 0 END AS reject_01
+    FROM stat
+    """,
+)
+def q456_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kolmogorov–Smirnov two-sample TEST, decision included —
+    q127 reports the statistic and leaves the inference to the
+    reader; this emits the large-sample accept/reject verdicts at
+    α = 0.05 and 0.01 against c(α)·√((m+n)/mn), with the comparison
+    SQUARED and cross-multiplied so the square root never happens:
+    reject ⇔ ks_ppm² > c²·10⁶·(m+n)/(m·n) (both sides integer at the
+    stated ppm precision — the q432 squared-limit stance applied to
+    hypothesis testing). This is what a drift MONITOR needs: q411's
+    PSI has universal bands, q427's W1 has units, and the KS decision
+    has a p-value-calibrated yes/no.
+
+    Determinism: integer micro values, cross-multiplied ECDF gaps,
+    one trunc DIV for the statistic, integer squared comparisons
+    with module-literal c² constants.
+
+    Scale: q127's exact-form posture (global-ordered window over the
+    collapsed support — the documented audit twin); at 100× run the
+    same decision over q134's binned statistic, whose max-gap is
+    within one bin of exact.
+
+    Reference: q127/q134 (the statistic), q411/q427 (the other drift
+    lenses), q324 (SRM — the same yes/no discipline for ratios)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v"),
+        F.when(F.col("event_type").isin("click", "view"), "a")
+        .otherwise("b")
+        .alias("grp"),
+    )
+    tagged = track_cache(tagged.persist())
+    sized = tagged.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    pts = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca0"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb0"),
+    )
+    w_ord = Window.orderBy("v")
+    steps = pts.select(
+        F.sum("ca0").over(w_ord).alias("ca"),
+        F.sum("cb0").over(w_ord).alias("cb"),
+    )
+    stat = (
+        steps.crossJoin(F.broadcast(sized))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(MAX(1000000 * ABS(ca * n_b - cb * n_a)"
+                " DIV (n_a * n_b)) AS BIGINT)"
+            ).alias("ks_ppm")
+        )
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        "ks_ppm",
+        F.expr(
+            f"CASE WHEN ks_ppm * ks_ppm > {KS_C2_05} * (n_a + n_b)"
+            " * 1000000 DIV (n_a * n_b) THEN 1 ELSE 0 END"
+        ).alias("reject_05"),
+        F.expr(
+            f"CASE WHEN ks_ppm * ks_ppm > {KS_C2_01} * (n_a + n_b)"
+            " * 1000000 DIV (n_a * n_b) THEN 1 ELSE 0 END"
+        ).alias("reject_01"),
+    )

@@ -150,6 +150,7 @@ BNLJ_ALLOWED = {
     "q452_ttl_cache_curve",       # 3-row TTL-grid broadcast fan-out
     "q453_gbm_eval",              # one-row f0/split broadcasts (q438)
     "q455_prefix_cache",          # one-row totals broadcasts
+    "q456_ks_decision",           # one-row (n_a, n_b) sizes broadcast
 }
 
 

@@ -4679,3 +4679,46 @@ def test_prefix_cache_replay(spark):
         assert r["cacheable_ppm"] == 1_000_000 * tot_saved // (n_pfx * 8)
     # seeded near-dup twins share heads: some prefix sharing exists
     assert rows, "corpus should contain shared prefixes"
+
+
+# --------------------------------------------------------------------------
+# q456 — KS decision
+# --------------------------------------------------------------------------
+
+
+def test_ks_decision_replay_and_scipy_consistency(spark):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    vals = con.execute(
+        """
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT),
+               CASE WHEN event_type IN ('click','view') THEN 'a'
+                    ELSE 'b' END
+        FROM events
+        """
+    ).fetchall()
+    from bisect import bisect_right
+    a = sorted(v for v, g in vals if g == "a")
+    b = sorted(v for v, g in vals if g == "b")
+    na, nb = len(a), len(b)
+    ks = max(
+        1_000_000 * abs(bisect_right(a, v) * nb - bisect_right(b, v) * na)
+        // (na * nb)
+        for v in set(a) | set(b)
+    )
+    row = registry.QUERIES["q456_ks_decision"](spark, SF_MID).collect()[0]
+    assert (row["n_a"], row["n_b"], row["ks_ppm"]) == (na, nb, ks)
+    for alpha, c2 in ((0.05, 1_844_164), (0.01, 2_650_384)):
+        expect = 1 if ks * ks > c2 * (na + nb) * 1_000_000 // (na * nb) else 0
+        col = f"reject_{str(alpha)[2:]}"
+        assert row[col] == expect
+        # agreement with the float-form critical value
+        crit = math.sqrt(c2 / 1e6) * math.sqrt((na + nb) / (na * nb))
+        assert expect == (1 if ks / 1e6 > crit else 0) or abs(
+            ks / 1e6 - crit
+        ) < 1e-3

@@ -5583,3 +5583,138 @@ def q454_ar1_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q457 — Western Electric runs rule (8 consecutive same-side points)
+# --------------------------------------------------------------------------
+
+WE_RUN_LEN = 8
+
+
+@register(
+    "q457_runs_rule",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily GROUP BY 1
+    ),
+    signed AS (
+        SELECT d.event_type, d.d,
+               CASE WHEN d.x * s.n > s.sx THEN 1
+                    WHEN d.x * s.n < s.sx THEN -1
+                    ELSE 0 END AS sgn
+        FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ),
+    runs AS (
+        SELECT event_type, d, sgn,
+               SUM(CASE WHEN sgn = prev_sgn THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY event_type ORDER BY d) AS run_id
+        FROM (
+            SELECT *, LAG(sgn) OVER (PARTITION BY event_type
+                                     ORDER BY d) AS prev_sgn
+            FROM signed
+        )
+    ),
+    sized AS (
+        SELECT event_type, run_id, MAX(sgn) AS sgn,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(MAX(len) AS BIGINT) AS longest_run,
+           CAST(SUM(CASE WHEN len >= {WE_RUN_LEN} AND sgn <> 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_hits,
+           CASE WHEN SUM(CASE WHEN len >= {WE_RUN_LEN} AND sgn <> 0
+                        THEN 1 ELSE 0 END) > 0
+                THEN 'shifted' ELSE 'in_control' END AS verdict
+    FROM sized GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q457_runs_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric runs rule — the SPC member that catches what
+    sigma limits CANNOT: {WE_RUN_LEN} consecutive daily points on the
+    same side of the center line signal a sustained small shift even
+    when every individual point sits comfortably inside 3σ (q432's
+    EWMA converges to such a shift; the runs rule DATES it). The
+    side-of-center test is the exact cross-multiplication x·n vs Σx
+    (never a float mean), exact ties break the run (sign 0), and runs
+    are segmented with the LAG-change + cumulative-sum idiom (q423's
+    interval grouping on the time axis). Completes the chart family:
+    q405 attributes, q432 levels, q152 cumulative drift, q457
+    sustained side-bias.
+
+    Determinism: integer sign tests, integer run segmentation, counts.
+
+    Scale: events collapse map-side to |types|×|days|; two windows
+    over that grain; |types| result rows. The streaming twin is a
+    two-integer state per key (current side, run length) —
+    transformWithState-ready like q432.
+
+    Reference: q432 (EWMA), q405 (p-chart), q152 (CUSUM), q210
+    (order streaks — the same run machinery on customer behavior)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    signed = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        F.when(F.col("x") * F.col("n") > F.col("sx"), 1)
+        .when(F.col("x") * F.col("n") < F.col("sx"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    w_d = Window.partitionBy("event_type").orderBy("d")
+    runs = signed.select(
+        "event_type",
+        "d",
+        "sgn",
+        F.lag("sgn").over(w_d).alias("prev_sgn"),
+    ).select(
+        "event_type",
+        "sgn",
+        F.sum(
+            F.when(F.col("sgn") == F.col("prev_sgn"), 0).otherwise(1)
+        )
+        .over(w_d)
+        .alias("run_id"),
+    )
+    sized = runs.groupBy("event_type", "run_id").agg(
+        F.max("sgn").alias("sgn"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    return (
+        sized.groupBy("event_type")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_run"),
+            F.sum(
+                F.when(
+                    (F.col("len") >= WE_RUN_LEN) & (F.col("sgn") != 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rule_hits"),
+        )
+        .select(
+            "event_type",
+            "longest_run",
+            "n_rule_hits",
+            F.when(F.col("n_rule_hits") > 0, "shifted")
+            .otherwise("in_control")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )

@@ -4722,3 +4722,54 @@ def test_ks_decision_replay_and_scipy_consistency(spark):
         assert expect == (1 if ks / 1e6 > crit else 0) or abs(
             ks / 1e6 - crit
         ) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# q457 — runs rule
+# --------------------------------------------------------------------------
+
+
+def test_runs_rule_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, x in daily:
+        per[t].append(x)
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q457_runs_rule"](spark, SF_MID).collect()
+    }
+    for t, xs in per.items():
+        n, sx = len(xs), sum(xs)
+        sgns = [1 if x * n > sx else (-1 if x * n < sx else 0) for x in xs]
+        runs = []
+        for s in sgns:
+            if runs and runs[-1][0] == s:
+                runs[-1][1] += 1
+            else:
+                runs.append([s, 1])
+        longest = max(l for _, l in runs)
+        hits = sum(1 for s, l in runs if l >= 8 and s != 0)
+        r = rows[t]
+        assert r["longest_run"] == longest
+        assert r["n_rule_hits"] == hits
+        assert r["verdict"] == ("shifted" if hits else "in_control")
+
+
+def test_runs_rule_fires_on_synthetic_shift():
+    """Pure-rule check: a 10-day level shift makes an 8-run."""
+    xs = [100, 90, 105, 95, 102, 98, 101, 99] + [130] * 10
+    n, sx = len(xs), sum(xs)
+    sgns = [1 if x * n > sx else (-1 if x * n < sx else 0) for x in xs]
+    longest = cur = 1
+    for a, b in zip(sgns, sgns[1:]):
+        cur = cur + 1 if a == b else 1
+        longest = max(longest, cur)
+    assert longest >= 8

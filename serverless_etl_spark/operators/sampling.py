@@ -762,3 +762,134 @@ def q384_correlated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q458 — cluster-sampling design effect (ANOVA ICC → DEFF)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q458_design_effect",
+    oracle="""
+    WITH vals AS (
+        SELECT l_orderkey AS g,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(y) AS BIGINT) AS sj,
+               CAST(SUM(y * y) AS BIGINT) AS sqj
+        FROM vals GROUP BY g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(nj) AS BIGINT) AS n,
+               CAST(SUM(sj) AS BIGINT) AS s,
+               CAST(SUM(sqj) AS BIGINT) AS sq,
+               CAST(SUM(1000000 * sj * sj // nj) AS BIGINT) AS ssb0,
+               CAST(SUM(nj * nj) AS BIGINT) AS snj2
+        FROM grp
+    ),
+    comp AS (
+        SELECT k, n,
+               (ssb0 - 1000000 * s * s // n) // (k - 1) AS msb,
+               (1000000 * sq - ssb0) // (n - k) AS msw,
+               1000000 * (n * n - snj2) // (n * (k - 1)) AS n0
+        FROM agg
+    )
+    SELECT k AS n_clusters, n AS n_rows,
+           CAST(n0 AS BIGINT) AS n0_micro,
+           CAST(msb AS BIGINT) AS msb_micro,
+           CAST(msw AS BIGINT) AS msw_micro,
+           CAST(1000000 * (msb - msw)
+                // (msb + (n0 - 1000000) * msw // 1000000)
+               AS BIGINT) AS icc_ppm,
+           CAST(1000 * (1000000 + (n0 - 1000000)
+                * (1000000 * (msb - msw)
+                   // (msb + (n0 - 1000000) * msw // 1000000))
+                // 1000000) // 1000000 AS BIGINT) AS deff_milli
+    FROM comp
+    """,
+)
+def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-sampling DESIGN EFFECT — the variance price tag on the
+    engine's own group-level sampling (q79 splits by group to stop
+    leakage; this says what that costs): one-way ANOVA over
+    order-clustered quantities gives the intraclass correlation
+    ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW), and Kish's
+    DEFF = 1 + (n₀−1)·ICC is the factor by which an order-sampled
+    estimate's variance exceeds a row-sampled one — DEFF ≈ 1 says
+    cluster sampling is free (rows within an order are as good as
+    independent), DEFF ≫ 1 says your effective sample size divides
+    by it. The number every group-split (q79), universe sample
+    (q384), and order-grain backtest should quote next to n.
+
+    Determinism: integer sufficient statistics (counts, sums, sums
+    of squares, Σn²); every rational (MSB, MSW, n₀, ICC, DEFF)
+    lands on a FIXED micro/ppm grid through trunc DIVs applied in an
+    identical order in both engines — a quantized estimator, exact
+    as specified (float cross-check in the test).
+
+    Scale: one map-side collapse to per-cluster partials, one
+    five-number aggregate — the sufficient-statistics split (q424);
+    at any scale the only state is |clusters| rows. int64: 10⁶·S²
+    caps around 3·10⁶ rows of quantity-sized values per cluster —
+    DECIMAL(38) beyond (q401's escape).
+
+    Reference: q79 (group split), q384 (correlated sampling), q255
+    (bootstrap — clusters are the right resampling unit when DEFF is
+    high), q365 (effective-n thinking for learning curves)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = (
+        li.select(
+            F.col("l_orderkey").alias("g"),
+            F.floor("l_quantity").cast("bigint").alias("y"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nj"),
+            F.sum("y").cast("bigint").alias("sj"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sqj"),
+        )
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("sj").cast("bigint").alias("s"),
+        F.sum("sqj").cast("bigint").alias("sq"),
+        F.sum(F.expr("1000000 * sj * sj DIV nj"))
+        .cast("bigint")
+        .alias("ssb0"),
+        F.sum(F.col("nj") * F.col("nj")).cast("bigint").alias("snj2"),
+    )
+    comp = agg.select(
+        "k",
+        "n",
+        F.expr(
+            "(ssb0 - 1000000 * s * s DIV n) DIV (k - 1)"
+        ).alias("msb"),
+        F.expr("(1000000 * sq - ssb0) DIV (n - k)").alias("msw"),
+        F.expr(
+            "1000000 * (n * n - snj2) DIV (n * (k - 1))"
+        ).alias("n0"),
+    )
+    icc = F.expr(
+        "1000000 * (msb - msw)"
+        " DIV (msb + (n0 - 1000000) * msw DIV 1000000)"
+    )
+    return comp.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_rows"),
+        F.col("n0").cast("bigint").alias("n0_micro"),
+        F.col("msb").cast("bigint").alias("msb_micro"),
+        F.col("msw").cast("bigint").alias("msw_micro"),
+        icc.cast("bigint").alias("icc_ppm"),
+        F.expr(
+            "CAST(1000 * (1000000 + (n0 - 1000000)"
+            " * (1000000 * (msb - msw)"
+            "    DIV (msb + (n0 - 1000000) * msw DIV 1000000))"
+            " DIV 1000000) DIV 1000000 AS BIGINT)"
+        ).alias("deff_milli"),
+    )

@@ -4773,3 +4773,55 @@ def test_runs_rule_fires_on_synthetic_shift():
         cur = cur + 1 if a == b else 1
         longest = max(longest, cur)
     assert longest >= 8
+
+
+# --------------------------------------------------------------------------
+# q458 — design effect
+# --------------------------------------------------------------------------
+
+
+def test_design_effect_replay_and_float_crosscheck(spark):
+    import math
+
+    con = _duck(SF_MID)
+    grp = con.execute(
+        """
+        SELECT COUNT(*), SUM(CAST(FLOOR(l_quantity) AS BIGINT)),
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                   * CAST(FLOOR(l_quantity) AS BIGINT))
+        FROM lineitem GROUP BY l_orderkey
+        """
+    ).fetchall()
+    k = len(grp)
+    n = sum(g[0] for g in grp)
+    s = sum(g[1] for g in grp)
+    sq = sum(g[2] for g in grp)
+    ssb0 = sum(_tdiv(1_000_000 * g[1] * g[1], g[0]) for g in grp)
+    snj2 = sum(g[0] * g[0] for g in grp)
+    msb = _tdiv(ssb0 - _tdiv(1_000_000 * s * s, n), k - 1)
+    msw = _tdiv(1_000_000 * sq - ssb0, n - k)
+    n0 = _tdiv(1_000_000 * (n * n - snj2), n * (k - 1))
+    icc = _tdiv(
+        1_000_000 * (msb - msw),
+        msb + _tdiv((n0 - 1_000_000) * msw, 1_000_000),
+    )
+    deff = _tdiv(
+        1000 * (1_000_000 + _tdiv((n0 - 1_000_000) * icc, 1_000_000)),
+        1_000_000,
+    )
+    row = registry.QUERIES["q458_design_effect"](spark, SF_MID).collect()[0]
+    assert (row["n_clusters"], row["n_rows"]) == (k, n)
+    assert row["msb_micro"] == msb and row["msw_micro"] == msw
+    assert row["n0_micro"] == n0
+    assert row["icc_ppm"] == icc and row["deff_milli"] == deff
+    # float ANOVA cross-check of the quantized estimator
+    ssb_f = sum(g[1] ** 2 / g[0] for g in grp) - s * s / n
+    ssw_f = sq - sum(g[1] ** 2 / g[0] for g in grp)
+    msb_f, msw_f = ssb_f / (k - 1), ssw_f / (n - k)
+    n0_f = (n - snj2 / n) / (k - 1)
+    icc_f = (msb_f - msw_f) / (msb_f + (n0_f - 1) * msw_f)
+    assert abs(icc / 1e6 - icc_f) < 5e-3
+    # random per-line quantities: clustering by order carries ~no
+    # intraclass correlation, so sampling by order is ~free
+    assert abs(row["icc_ppm"]) < 100_000
+    assert 900 <= row["deff_milli"] <= 1_200

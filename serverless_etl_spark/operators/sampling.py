@@ -788,21 +788,21 @@ def q384_correlated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(nj) AS BIGINT) AS n,
                CAST(SUM(sj) AS BIGINT) AS s,
                CAST(SUM(sqj) AS BIGINT) AS sq,
-               CAST(SUM(1000000 * sj * sj // nj) AS BIGINT) AS ssb0,
+               CAST(SUM(1000 * sj * sj // nj) AS BIGINT) AS ssb0,
                CAST(SUM(nj * nj) AS BIGINT) AS snj2
         FROM grp
     ),
     comp AS (
         SELECT k, n,
-               (ssb0 - 1000000 * s * s // n) // (k - 1) AS msb,
-               (1000000 * sq - ssb0) // (n - k) AS msw,
+               (ssb0 - 1000 * s * s // n) // (k - 1) AS msb,
+               (1000 * sq - ssb0) // (n - k) AS msw,
                1000000 * (n * n - snj2) // (n * (k - 1)) AS n0
         FROM agg
     )
     SELECT k AS n_clusters, n AS n_rows,
            CAST(n0 AS BIGINT) AS n0_micro,
-           CAST(msb AS BIGINT) AS msb_micro,
-           CAST(msw AS BIGINT) AS msw_micro,
+           CAST(msb AS BIGINT) AS msb_milli,
+           CAST(msw AS BIGINT) AS msw_milli,
            CAST(1000000 * (msb - msw)
                 // (msb + (n0 - 1000000) * msw // 1000000)
                AS BIGINT) AS icc_ppm,
@@ -828,15 +828,15 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer sufficient statistics (counts, sums, sums
     of squares, Σn²); every rational (MSB, MSW, n₀, ICC, DEFF)
-    lands on a FIXED micro/ppm grid through trunc DIVs applied in an
-    identical order in both engines — a quantized estimator, exact
-    as specified (float cross-check in the test).
+    lands on a FIXED milli/micro/ppm grid through trunc DIVs applied
+    in an identical order in both engines — a quantized estimator,
+    exact as specified (float cross-check in the test).
 
     Scale: one map-side collapse to per-cluster partials, one
     five-number aggregate — the sufficient-statistics split (q424);
-    at any scale the only state is |clusters| rows. int64: 10⁶·S²
-    caps around 3·10⁶ rows of quantity-sized values per cluster —
-    DECIMAL(38) beyond (q401's escape).
+    at any scale the only state is |clusters| rows. int64: 10³·S²
+    caps around 10⁸ quantity-sized rows — DECIMAL(38) beyond
+    (q401's escape).
 
     Reference: q79 (group split), q384 (correlated sampling), q255
     (bootstrap — clusters are the right resampling unit when DEFF is
@@ -859,7 +859,7 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nj").cast("bigint").alias("n"),
         F.sum("sj").cast("bigint").alias("s"),
         F.sum("sqj").cast("bigint").alias("sq"),
-        F.sum(F.expr("1000000 * sj * sj DIV nj"))
+        F.sum(F.expr("1000 * sj * sj DIV nj"))
         .cast("bigint")
         .alias("ssb0"),
         F.sum(F.col("nj") * F.col("nj")).cast("bigint").alias("snj2"),
@@ -868,9 +868,9 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "n",
         F.expr(
-            "(ssb0 - 1000000 * s * s DIV n) DIV (k - 1)"
+            "(ssb0 - 1000 * s * s DIV n) DIV (k - 1)"
         ).alias("msb"),
-        F.expr("(1000000 * sq - ssb0) DIV (n - k)").alias("msw"),
+        F.expr("(1000 * sq - ssb0) DIV (n - k)").alias("msw"),
         F.expr(
             "1000000 * (n * n - snj2) DIV (n * (k - 1))"
         ).alias("n0"),
@@ -883,8 +883,8 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_clusters"),
         F.col("n").alias("n_rows"),
         F.col("n0").cast("bigint").alias("n0_micro"),
-        F.col("msb").cast("bigint").alias("msb_micro"),
-        F.col("msw").cast("bigint").alias("msw_micro"),
+        F.col("msb").cast("bigint").alias("msb_milli"),
+        F.col("msw").cast("bigint").alias("msw_milli"),
         icc.cast("bigint").alias("icc_ppm"),
         F.expr(
             "CAST(1000 * (1000000 + (n0 - 1000000)"

@@ -4796,10 +4796,10 @@ def test_design_effect_replay_and_float_crosscheck(spark):
     n = sum(g[0] for g in grp)
     s = sum(g[1] for g in grp)
     sq = sum(g[2] for g in grp)
-    ssb0 = sum(_tdiv(1_000_000 * g[1] * g[1], g[0]) for g in grp)
+    ssb0 = sum(_tdiv(1000 * g[1] * g[1], g[0]) for g in grp)
     snj2 = sum(g[0] * g[0] for g in grp)
-    msb = _tdiv(ssb0 - _tdiv(1_000_000 * s * s, n), k - 1)
-    msw = _tdiv(1_000_000 * sq - ssb0, n - k)
+    msb = _tdiv(ssb0 - _tdiv(1000 * s * s, n), k - 1)
+    msw = _tdiv(1000 * sq - ssb0, n - k)
     n0 = _tdiv(1_000_000 * (n * n - snj2), n * (k - 1))
     icc = _tdiv(
         1_000_000 * (msb - msw),
@@ -4811,7 +4811,7 @@ def test_design_effect_replay_and_float_crosscheck(spark):
     )
     row = registry.QUERIES["q458_design_effect"](spark, SF_MID).collect()[0]
     assert (row["n_clusters"], row["n_rows"]) == (k, n)
-    assert row["msb_micro"] == msb and row["msw_micro"] == msw
+    assert row["msb_milli"] == msb and row["msw_milli"] == msw
     assert row["n0_micro"] == n0
     assert row["icc_ppm"] == icc and row["deff_milli"] == deff
     # float ANOVA cross-check of the quantized estimator

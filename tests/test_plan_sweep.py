@@ -151,6 +151,7 @@ BNLJ_ALLOWED = {
     "q453_gbm_eval",              # one-row f0/split broadcasts (q438)
     "q455_prefix_cache",          # one-row totals broadcasts
     "q456_ks_decision",           # one-row (n_a, n_b) sizes broadcast
+    "q459_graph_drift",           # one-row node-count broadcasts per round
 }
 
 

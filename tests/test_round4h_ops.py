@@ -4825,3 +4825,71 @@ def test_design_effect_replay_and_float_crosscheck(spark):
     # intraclass correlation, so sampling by order is ~free
     assert abs(row["icc_ppm"]) < 100_000
     assert 900 <= row["deff_milli"] <= 1_200
+
+
+# --------------------------------------------------------------------------
+# q459 — graph drift
+# --------------------------------------------------------------------------
+
+
+def test_graph_drift_replay(spark):
+    con = _duck(SF_MID)
+    rows_in = con.execute(
+        """
+        SELECT year(o.o_orderdate), o.o_custkey, p.p_brand
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+
+    def pagerank(year):
+        baskets = defaultdict(set)
+        for yr, c, b in rows_in:
+            if yr == year:
+                baskets[c].add(b)
+        w = defaultdict(int)
+        for s in baskets.values():
+            for b1 in s:
+                for b2 in s:
+                    if b1 != b2:
+                        w[(b1, b2)] += 1
+        wu = defaultdict(int)
+        for (s_, d_), c_ in w.items():
+            wu[s_] += c_
+        share = {k: 1_000_000 * c_ // wu[k[0]] for k, c_ in w.items()}
+        nodes = sorted(wu)
+        k = len(nodes)
+        r = {b: 1_000_000 // k for b in nodes}
+        for _ in range(4):
+            contrib = defaultdict(int)
+            for (s_, d_), sh in share.items():
+                contrib[d_] += r[s_] * sh // 1_000_000
+            r = {
+                b: (1_000_000 - 850_000) // k
+                + 850_000 * contrib.get(b, 0) // 1_000_000
+                for b in nodes
+            }
+        return r
+
+    ra, rb = pagerank(1996), pagerank(1997)
+    rank_a = {
+        b: i + 1
+        for i, b in enumerate(sorted(ra, key=lambda b: (-ra[b], b)))
+    }
+    rank_b = {
+        b: i + 1
+        for i, b in enumerate(sorted(rb, key=lambda b: (-rb[b], b)))
+    }
+    movers = sorted(
+        rank_a, key=lambda b: (-abs(rank_a[b] - rank_b[b]), b)
+    )[:10]
+    rows = registry.QUERIES["q459_graph_drift"](spark, SF_MID).collect()
+    assert [r["brand"] for r in rows] == movers
+    for r in rows:
+        assert r["rank_a"] == rank_a[r["brand"]]
+        assert r["rank_b"] == rank_b[r["brand"]]
+        assert r["rank_gain"] == rank_a[r["brand"]] - rank_b[r["brand"]]
+        assert r["score_delta_ppm"] == rb[r["brand"]] - ra[r["brand"]]

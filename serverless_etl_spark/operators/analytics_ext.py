@@ -13751,3 +13751,148 @@ def q456_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV (n_a * n_b) THEN 1 ELSE 0 END"
         ).alias("reject_01"),
     )
+
+
+# --------------------------------------------------------------------------
+# q460 — ABC class-migration matrix (year-over-year classification churn)
+# --------------------------------------------------------------------------
+
+ABC_MIG_YEARS = (1996, 1997)
+
+
+def _abc_year_sql(yr: int, tag: str) -> str:
+    """One year's ABC classification (q173's exact cut logic over the
+    year's per-part revenue)."""
+    return f"""pr{tag} AS (
+        SELECT l_partkey,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(22,6))) AS rev
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE year(o.o_orderdate) = {yr}
+        GROUP BY l_partkey
+    ),
+    cl{tag} AS (
+        SELECT l_partkey,
+               CASE WHEN crev * 100 <= tot * {ABC_A_PCT} THEN 'A'
+                    WHEN crev * 100 <= tot * {ABC_B_PCT} THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM (
+            SELECT l_partkey,
+                   SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS crev,
+                   SUM(rev) OVER () AS tot
+            FROM pr{tag}
+        )
+    )"""
+
+
+@register(
+    "q460_abc_migration",
+    oracle=f"""
+    WITH {_abc_year_sql(ABC_MIG_YEARS[0], 'a')},
+    {_abc_year_sql(ABC_MIG_YEARS[1], 'b')},
+    joined AS (
+        SELECT COALESCE(a.cls, 'none') AS cls_from,
+               COALESCE(b.cls, 'none') AS cls_to
+        FROM cl{'a'} a FULL OUTER JOIN cl{'b'} b USING (l_partkey)
+    )
+    SELECT cls_from, cls_to,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(1000000 * COUNT(*)
+                // SUM(COUNT(*)) OVER (PARTITION BY cls_from)
+               AS BIGINT) AS row_ppm
+    FROM joined
+    GROUP BY 1, 2
+    ORDER BY cls_from, cls_to
+    """,
+)
+def q460_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC class-MIGRATION matrix — the temporal audit of a
+    classification the business acts on: parts are ABC-classed by
+    q173's exact revenue cuts independently in {ABC_MIG_YEARS[0]}
+    and {ABC_MIG_YEARS[1]}, full-outer joined ('none' = absent that
+    year), and the 4×4 transition matrix with row-normalized rates
+    says how STABLE the classes are. A-class churn is the number
+    that decides whether ABC-driven policies (stocking, contracts,
+    dedup priorities) can be set annually or need re-scoring — the
+    classification analogue of q228's rank movers and q459's
+    centrality drift, and the same state-transition grammar as q130
+    applied to a derived label instead of an event.
+
+    Determinism: q173's decimal revenue cuts (cross-multiplied
+    percent comparisons, deterministic rev/partkey tie order), exact
+    counts, ppm row rates.
+
+    Scale: per year, one partial-aggregated per-part revenue pass +
+    the cumulative-share window (|parts| rows — the q173 posture);
+    the join and matrix are |parts| then 16 rows. Quarterly or
+    per-category matrices are the same plan with one more key.
+
+    Reference: q173 (the classification), q225 (ABC×XYZ — the static
+    cross), q459/q228/q281 (the temporal-drift family), q214 (SCD2
+    audit — where class history should live if churn is high)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.year("o_orderdate").isin(*ABC_MIG_YEARS))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            "l_partkey",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(22,6)").alias("rev0"),
+        )
+    )
+    base = track_cache(base.persist())
+
+    def classify(yr):
+        pr = (
+            base.filter(F.col("yr") == yr)
+            .groupBy("l_partkey")
+            .agg(F.sum("rev0").alias("rev"))
+        )
+        w_cum = Window.orderBy(
+            F.col("rev").desc(), "l_partkey"
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        w_tot = Window.partitionBy()
+        return pr.select(
+            "l_partkey",
+            F.when(
+                F.sum("rev").over(w_cum) * 100
+                <= F.sum("rev").over(w_tot) * ABC_A_PCT,
+                "A",
+            )
+            .when(
+                F.sum("rev").over(w_cum) * 100
+                <= F.sum("rev").over(w_tot) * ABC_B_PCT,
+                "B",
+            )
+            .otherwise("C")
+            .alias("cls"),
+        )
+    a = classify(ABC_MIG_YEARS[0]).select(
+        "l_partkey", F.col("cls").alias("cls_from")
+    )
+    b = classify(ABC_MIG_YEARS[1]).select(
+        "l_partkey", F.col("cls").alias("cls_to")
+    )
+    joined = a.join(b, "l_partkey", "full_outer").select(
+        F.coalesce("cls_from", F.lit("none")).alias("cls_from"),
+        F.coalesce("cls_to", F.lit("none")).alias("cls_to"),
+    )
+    return (
+        joined.groupBy("cls_from", "cls_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .select(
+            "cls_from",
+            "cls_to",
+            "n_parts",
+            F.expr(
+                "CAST(1000000 * n_parts DIV SUM(n_parts)"
+                " OVER (PARTITION BY cls_from) AS BIGINT)"
+            ).alias("row_ppm"),
+        )
+        .orderBy("cls_from", "cls_to")
+    )

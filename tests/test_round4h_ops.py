@@ -4893,3 +4893,53 @@ def test_graph_drift_replay(spark):
         assert r["rank_b"] == rank_b[r["brand"]]
         assert r["rank_gain"] == rank_a[r["brand"]] - rank_b[r["brand"]]
         assert r["score_delta_ppm"] == rb[r["brand"]] - ra[r["brand"]]
+
+
+# --------------------------------------------------------------------------
+# q460 — ABC migration
+# --------------------------------------------------------------------------
+
+
+def test_abc_migration_conservation_and_replay(spark):
+    from decimal import Decimal
+
+    con = _duck(SF_MID)
+
+    def classify(yr):
+        pr = con.execute(
+            f"""
+            SELECT l_partkey,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(22,6)))
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE year(o.o_orderdate) = {yr}
+            GROUP BY l_partkey ORDER BY 2 DESC, 1
+            """
+        ).fetchall()
+        tot = sum(r[1] for r in pr)
+        out = {}
+        crev = Decimal(0)
+        for pk, rev in pr:
+            crev += rev
+            out[pk] = (
+                "A" if crev * 100 <= tot * 80
+                else ("B" if crev * 100 <= tot * 95 else "C")
+            )
+        return out
+
+    ca, cb = classify(1996), classify(1997)
+    keys = set(ca) | set(cb)
+    mat = defaultdict(int)
+    for k in keys:
+        mat[(ca.get(k, "none"), cb.get(k, "none"))] += 1
+    rows = registry.QUERIES["q460_abc_migration"](spark, SF_MID).collect()
+    got = {(r["cls_from"], r["cls_to"]): r["n_parts"] for r in rows}
+    assert got == dict(mat)
+    # row rates tile each from-class
+    per_from = defaultdict(int)
+    for (f, t), n in mat.items():
+        per_from[f] += n
+    for r in rows:
+        assert r["row_ppm"] == 1_000_000 * r["n_parts"] // per_from[r["cls_from"]]
+    # conservation: every part appears exactly once
+    assert sum(mat.values()) == len(keys)

@@ -4144,3 +4144,129 @@ def q453_gbm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+# --------------------------------------------------------------------------
+# q461 — rare-transition surprise flags (sequence anomaly detection)
+# --------------------------------------------------------------------------
+
+SURPRISE_TOPK = 15
+
+
+@register(
+    "q461_transition_surprise",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    obs AS (
+        SELECT user_id, event_id, prev, event_type AS nxt
+        FROM seq WHERE prev IS NOT NULL
+    ),
+    trans AS (
+        SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM obs GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT prev, CAST(SUM(c) AS BIGINT) AS rt FROM trans GROUP BY 1
+    ),
+    ns AS (
+        SELECT CAST(COUNT(DISTINCT nxt) AS BIGINT) AS k FROM trans
+    ),
+    scored AS (
+        SELECT o.user_id, o.event_id, o.prev, o.nxt,
+               CAST(-FLOOR(1000000.0 * ln(
+                   CAST(t.c + 1 AS DOUBLE) / (rt.rt + ns.k)))
+                   AS BIGINT) AS surprise_micro
+        FROM obs o
+        JOIN trans t ON t.prev = o.prev AND t.nxt = o.nxt
+        JOIN row_tot rt ON rt.prev = o.prev
+        CROSS JOIN ns
+    )
+    SELECT user_id, event_id, prev, nxt, surprise_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY surprise_micro DESC,
+                                   event_id) AS INT) AS rk
+    FROM scored
+    QUALIFY rk <= {SURPRISE_TOPK}
+    ORDER BY rk
+    """,
+)
+def q461_transition_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-transition surprise flags — q130's Markov model pointed at
+    DETECTION instead of description: every observed consecutive
+    transition is scored by its own fitted negative log-probability
+    −ln p̂(next | prev) (Laplace-smoothed over the k observed states),
+    and the {SURPRISE_TOPK} most surprising real transitions surface
+    with their user and event ids — the review queue for sequence
+    anomalies (session hijacking, bot loops, broken client flows: the
+    things per-EVENT outlier screens like q92/q379 can't see because
+    each event is individually normal; only the ORDER is wrong).
+    In-sample scoring is correct here — detection wants the model of
+    THIS log, not generalization (contrast q426, which holds out
+    because it evaluates).
+
+    Determinism: integer transition counts, one FLOOR-of-ln per
+    distinct (prev, next) cell (q411 discipline) joined back to
+    observations, event_id tiebreak on the queue.
+
+    Scale: one per-user ordered window builds transitions; the model
+    is |states|² cells broadcast back onto observations — scoring is
+    map-side; the queue is top-k via WindowGroupLimit. The streaming
+    twin scores each arriving transition against the persisted cell
+    table (the numeric_drift_gate chassis with a (prev, next) key).
+
+    Reference: q130 (the model), q426 (the eval twin), q92/q379/q329
+    (per-event outliers this complements), q406 (debounce — what to
+    run before believing a surprise burst)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type").over(w_u).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    obs = track_cache(obs.persist())
+    trans = obs.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    row_tot = trans.groupBy("prev").agg(
+        F.sum("c").cast("bigint").alias("rt")
+    )
+    ns = trans.select("nxt").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    scored = (
+        obs.join(F.broadcast(trans), ["prev", "nxt"])
+        .join(F.broadcast(row_tot), "prev")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "user_id",
+            "event_id",
+            "prev",
+            "nxt",
+            (
+                -F.floor(
+                    F.lit(1000000.0)
+                    * F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("rt") + F.col("k"))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("surprise_micro"),
+        )
+    )
+    w_rk = Window.orderBy(F.col("surprise_micro").desc(), "event_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .filter(F.col("rk") <= SURPRISE_TOPK)
+        .orderBy("rk")
+    )

@@ -4943,3 +4943,54 @@ def test_abc_migration_conservation_and_replay(spark):
         assert r["row_ppm"] == 1_000_000 * r["n_parts"] // per_from[r["cls_from"]]
     # conservation: every part appears exactly once
     assert sum(mat.values()) == len(keys)
+
+
+# --------------------------------------------------------------------------
+# q461 — transition surprise
+# --------------------------------------------------------------------------
+
+
+def test_transition_surprise_replay(spark):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT user_id, event_id, event_type FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for u, eid, t in rows_in:
+        per[u].append((eid, t))
+    obs = []
+    trans = defaultdict(int)
+    for u, evs in per.items():
+        for (_, prev), (eid, nxt) in zip(evs, evs[1:]):
+            obs.append((u, eid, prev, nxt))
+            trans[(prev, nxt)] += 1
+    rt = defaultdict(int)
+    for (p, n), c in trans.items():
+        rt[p] += c
+    k = len({n for _, n in trans})
+    scored = [
+        (u, eid, p, n,
+         -math.floor(1e6 * math.log((trans[(p, n)] + 1) / (rt[p] + k))))
+        for u, eid, p, n in obs
+    ]
+    scored.sort(key=lambda r: (-r[4], r[1]))
+    rows = registry.QUERIES["q461_transition_surprise"](
+        spark, SF_MID
+    ).collect()
+    assert len(rows) == 15
+    for r, (u, eid, p, n, s) in zip(rows, scored[:15]):
+        assert (r["user_id"], r["event_id"]) == (u, eid)
+        assert (r["prev"], r["nxt"]) == (p, n)
+        assert r["surprise_micro"] == s
+    # the queue surfaces the RAREST transitions: its cells' counts are
+    # no larger than the most common transition's count
+    assert max(
+        trans[(r["prev"], r["nxt"])] for r in rows
+    ) <= max(trans.values())

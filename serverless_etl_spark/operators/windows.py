@@ -5718,3 +5718,149 @@ def q457_runs_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q462 — intermittency router (ADI / CV² quadrants, Syntetos–Boylan)
+# --------------------------------------------------------------------------
+
+ADI_CUT_MILLI = 1320  #: 1.32 — the Syntetos–Boylan ADI cutoff
+CV2_CUT_MILLI = 490   #: 0.49 — the CV² cutoff
+
+
+@register(
+    "q462_intermittency_router",
+    oracle=f"""
+    WITH demand AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE value > {CROSTON_THR}
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_days
+        FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_demand,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM demand GROUP BY 1
+    )
+    SELECT p.event_type, s.n_days, p.n_demand,
+           CAST(1000 * s.n_days // p.n_demand AS BIGINT) AS adi_milli,
+           CAST(1000 * (p.n_demand * p.sxx - p.sx * p.sx)
+                // (p.sx * p.sx) AS BIGINT) AS cv2_milli,
+           CASE
+             WHEN 1000 * s.n_days // p.n_demand < {ADI_CUT_MILLI}
+              AND 1000 * (p.n_demand * p.sxx - p.sx * p.sx)
+                  // (p.sx * p.sx) < {CV2_CUT_MILLI}
+               THEN 'smooth'
+             WHEN 1000 * s.n_days // p.n_demand >= {ADI_CUT_MILLI}
+              AND 1000 * (p.n_demand * p.sxx - p.sx * p.sx)
+                  // (p.sx * p.sx) < {CV2_CUT_MILLI}
+               THEN 'intermittent'
+             WHEN 1000 * s.n_days // p.n_demand < {ADI_CUT_MILLI}
+               THEN 'erratic'
+             ELSE 'lumpy' END AS quadrant,
+           CASE
+             WHEN 1000 * s.n_days // p.n_demand < {ADI_CUT_MILLI}
+              AND 1000 * (p.n_demand * p.sxx - p.sx * p.sx)
+                  // (p.sx * p.sx) < {CV2_CUT_MILLI}
+               THEN 'q377_holt/q385_hw'
+             WHEN 1000 * s.n_days // p.n_demand >= {ADI_CUT_MILLI}
+              AND 1000 * (p.n_demand * p.sxx - p.sx * p.sx)
+                  // (p.sx * p.sx) < {CV2_CUT_MILLI}
+               THEN 'q418_croston'
+             WHEN 1000 * s.n_days // p.n_demand < {ADI_CUT_MILLI}
+               THEN 'q385_hw+robust'
+             ELSE 'q418_croston_sba' END AS route
+    FROM per p CROSS JOIN span s
+    ORDER BY p.event_type
+    """,
+)
+def q462_intermittency_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Syntetos–Boylan intermittency ROUTER — the classifier that
+    decides which forecaster each series gets, closing the loop the
+    forecasting family left open: per event type (on q418's sparse
+    demand definition), ADI = days-per-demand and CV² of demand
+    sizes place the series in the classic quadrant chart (cutoffs
+    1.32 / 0.49), and the route column names the engine's own
+    operator for that regime — smooth → Holt/Holt-Winters
+    (q377/q385), intermittent → Croston (q418), erratic →
+    seasonal + robust errors, lumpy → Croston with the SBA
+    correction. q404's Fano factor diagnoses burstiness of ARRIVALS;
+    this routes on the DEMAND process, which is what a forecasting
+    platform actually branches on per series — at a million series,
+    this table IS the dispatch plan.
+
+    Determinism: integer counts; ADI and CV² as single cross-
+    multiplied milli floor-divisions ((n·Σx² − S²)/S² for CV² — no
+    float mean); quadrant thresholds are integer comparisons.
+
+    Scale: events collapse map-side to demand days; per-type
+    five-number stats; one-row span broadcast (allowlisted BNLJ).
+    The routing table is |series| rows however many series exist.
+
+    Reference: q418 (the intermittent route), q377/q385 (the smooth
+    routes), q440 (backtest that validates the routing), q404
+    (arrival-side twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    demand = (
+        ev.filter(F.col("value") > CROSTON_THR)
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    span = ev.agg(
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("n_days")
+    )
+    per = demand.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    adi = F.expr("1000 * n_days DIV n_demand")
+    cv2 = F.expr(
+        "1000 * (n_demand * sxx - sx * sx) DIV (sx * sx)"
+    )
+    quadrant = (
+        F.when(
+            (adi < ADI_CUT_MILLI) & (cv2 < CV2_CUT_MILLI), "smooth"
+        )
+        .when(
+            (adi >= ADI_CUT_MILLI) & (cv2 < CV2_CUT_MILLI),
+            "intermittent",
+        )
+        .when(adi < ADI_CUT_MILLI, "erratic")
+        .otherwise("lumpy")
+    )
+    route = (
+        F.when(
+            (adi < ADI_CUT_MILLI) & (cv2 < CV2_CUT_MILLI),
+            "q377_holt/q385_hw",
+        )
+        .when(
+            (adi >= ADI_CUT_MILLI) & (cv2 < CV2_CUT_MILLI),
+            "q418_croston",
+        )
+        .when(adi < ADI_CUT_MILLI, "q385_hw+robust")
+        .otherwise("q418_croston_sba")
+    )
+    return (
+        per.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "n_days",
+            "n_demand",
+            adi.cast("bigint").alias("adi_milli"),
+            cv2.cast("bigint").alias("cv2_milli"),
+            quadrant.alias("quadrant"),
+            route.alias("route"),
+        )
+        .orderBy("event_type")
+    )

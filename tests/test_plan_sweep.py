@@ -153,6 +153,7 @@ BNLJ_ALLOWED = {
     "q456_ks_decision",           # one-row (n_a, n_b) sizes broadcast
     "q459_graph_drift",           # one-row node-count broadcasts per round
     "q461_transition_surprise",   # one-row state-count broadcast
+    "q462_intermittency_router",  # one-row span broadcast
 }
 
 

@@ -4994,3 +4994,52 @@ def test_transition_surprise_replay(spark):
     assert max(
         trans[(r["prev"], r["nxt"])] for r in rows
     ) <= max(trans.values())
+
+
+# --------------------------------------------------------------------------
+# q462 — intermittency router
+# --------------------------------------------------------------------------
+
+
+def test_intermittency_router_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    (n_days,) = con.execute(
+        "SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events"
+    ).fetchone()
+    demand = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " WHERE value > 250 GROUP BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, x in demand:
+        per[t].append(x)
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q462_intermittency_router"](
+            spark, SF_MID
+        ).collect()
+    }
+    for t, xs in per.items():
+        nd, sx = len(xs), sum(xs)
+        sxx = sum(v * v for v in xs)
+        adi = 1000 * n_days // nd
+        cv2 = 1000 * (nd * sxx - sx * sx) // (sx * sx)
+        r = rows[t]
+        assert (r["n_days"], r["n_demand"]) == (n_days, nd)
+        assert (r["adi_milli"], r["cv2_milli"]) == (adi, cv2)
+        if adi < 1320 and cv2 < 490:
+            q, route = "smooth", "q377_holt/q385_hw"
+        elif adi >= 1320 and cv2 < 490:
+            q, route = "intermittent", "q418_croston"
+        elif adi < 1320:
+            q, route = "erratic", "q385_hw+robust"
+        else:
+            q, route = "lumpy", "q418_croston_sba"
+        assert (r["quadrant"], r["route"]) == (q, route)
+    # the sparse demand definition must actually route someone OFF the
+    # smooth path on these fixtures
+    assert any(r["quadrant"] != "smooth" for r in rows.values())

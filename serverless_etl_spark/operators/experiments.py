@@ -2007,3 +2007,171 @@ def q437_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx")
     )
+
+
+# --------------------------------------------------------------------------
+# q463 — per-segment A/B readout with Bonferroni-corrected decisions
+# --------------------------------------------------------------------------
+
+#: chi²(1 dof) critical values × 1000 at alpha/m for m = 5 segments
+SEG_CHI_CRIT_05 = 6635   # alpha = 0.05/5 = 0.01  -> 6.635
+SEG_CHI_CRIT_01 = 9550   # alpha = 0.01/5 = 0.002 -> 9.550
+SEG_BOOST_SEGMENT = "BUILDING"  #: planted-effect segment
+SEG_BOOST_PCT = 40              #: extra conversions in its treated arm
+SEG_BASE_PCT = 20               #: md5 base conversion rate, both arms
+
+#: staged integer chi-square for a 2x2 (a=conv_t, b=miss_t, c=conv_c,
+#: d=miss_c) at milli scale — q435's overflow-safe ordering
+_SEG_CHI = (
+    "((1000 * (a * d - b * c) DIV (a + b))"
+    " * (a * d - b * c) DIV (c + d)"
+    " * (a + b + c + d) DIV (a + c) DIV (b + d))"
+)
+
+
+@register(
+    "q463_segment_ab",
+    oracle=f"""
+    WITH subj AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 2 AS t,
+               CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                     || '|boost'), 1, 8)) AS BIGINT) % 100 AS u,
+               CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                     || '|base'), 1, 8)) AS BIGINT) % 100 AS ub
+        FROM customer c
+    ),
+    outcome AS (
+        SELECT seg, t,
+               CASE WHEN ub < {SEG_BASE_PCT} THEN 1
+                    WHEN seg = '{SEG_BOOST_SEGMENT}' AND t = 1
+                         AND u < {SEG_BOOST_PCT} THEN 1
+                    ELSE 0 END AS conv
+        FROM subj
+    ),
+    cells AS (
+        SELECT seg,
+               CAST(SUM(CASE WHEN t = 1 THEN conv ELSE 0 END)
+                   AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 - conv ELSE 0 END)
+                   AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN t = 0 THEN conv ELSE 0 END)
+                   AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 - conv ELSE 0 END)
+                   AS BIGINT) AS d
+        FROM outcome GROUP BY seg
+    )
+    SELECT seg,
+           a + b AS n_treat, c + d AS n_ctrl,
+           CAST(1000000 * a // (a + b) AS BIGINT) AS conv_t_ppm,
+           CAST(1000000 * c // (c + d) AS BIGINT) AS conv_c_ppm,
+           CAST(1000000 * a // (a + b)
+                - 1000000 * c // (c + d) AS BIGINT) AS lift_ppm,
+           CAST({_SEG_CHI.replace('DIV', '//')} AS BIGINT) AS chi2_milli,
+           CASE WHEN {_SEG_CHI.replace('DIV', '//')}
+                     > {SEG_CHI_CRIT_05} THEN 1 ELSE 0 END AS sig_05,
+           CASE WHEN {_SEG_CHI.replace('DIV', '//')}
+                     > {SEG_CHI_CRIT_01} THEN 1 ELSE 0 END AS sig_01
+    FROM cells ORDER BY seg
+    """,
+)
+def q463_segment_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment A/B readout with MULTIPLICITY-corrected decisions —
+    the heterogeneous-treatment-effect dashboard the experimentation
+    family reads after the pooled result (q132/q362): customers split
+    into md5 treatment arms over a {SEG_BASE_PCT}% md5 base rate,
+    with a deterministic {SEG_BOOST_PCT}%-of-arm conversion boost
+    planted in '{SEG_BOOST_SEGMENT}' treated users (the seeded-truth
+    stance: the detector must find exactly this segment and clear
+    the rest), per-segment 2×2 chi-square in q435's
+    staged integer form, and significance flags against
+    BONFERRONI-corrected chi²₁ critical values for the m = 5 segments
+    (module literals — the q456 squared-decision stance; BH's step-up
+    (q340) is the sharper controller when m grows, with the same
+    cells feeding it). Reading per-segment scans UNcorrected is how
+    false "segment wins" ship — this table bakes the correction in.
+
+    Determinism: md5 arms and planted boost, integer 2×2 cells, the
+    overflow-staged chi ordering key, integer threshold flags, ppm
+    floor conversion rates.
+
+    Scale: one map-side projection to per-customer outcomes, one
+    collapse to |segments| 2×2 cells; everything after is 5 rows.
+
+    Reference: q132 (pooled A/B), q342 (Simpson guard — run it when
+    segment and pooled signs disagree), q340 (BH controller), q313
+    (chi form), q358 (the MDE this scan's power traces back to)."""
+    customer = load_table(spark, sf_dir, "customer")
+
+    def u(expr, salt, mod):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+        )
+
+    subj = customer.select(
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("c_custkey").cast("string")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("t"),
+        u(F.col("c_custkey").cast("string"), "|boost", 100).alias("u"),
+        u(F.col("c_custkey").cast("string"), "|base", 100).alias("ub"),
+    )
+    outcome = subj.select(
+        "seg",
+        "t",
+        F.when(F.col("ub") < SEG_BASE_PCT, 1)
+        .when(
+            (F.col("seg") == SEG_BOOST_SEGMENT)
+            & (F.col("t") == 1)
+            & (F.col("u") < SEG_BOOST_PCT),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    cells = outcome.groupBy("seg").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("t") == 1, 1 - F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("t") == 0, 1 - F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    chi = F.expr(_SEG_CHI)
+    return cells.select(
+        "seg",
+        (F.col("a") + F.col("b")).alias("n_treat"),
+        (F.col("c") + F.col("d")).alias("n_ctrl"),
+        F.expr("CAST(1000000 * a DIV (a + b) AS BIGINT)").alias(
+            "conv_t_ppm"
+        ),
+        F.expr("CAST(1000000 * c DIV (c + d) AS BIGINT)").alias(
+            "conv_c_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 * a DIV (a + b)"
+            " - 1000000 * c DIV (c + d) AS BIGINT)"
+        ).alias("lift_ppm"),
+        chi.cast("bigint").alias("chi2_milli"),
+        F.when(chi > SEG_CHI_CRIT_05, 1).otherwise(0).alias("sig_05"),
+        F.when(chi > SEG_CHI_CRIT_01, 1).otherwise(0).alias("sig_01"),
+    ).orderBy("seg")

@@ -5043,3 +5043,54 @@ def test_intermittency_router_replay(spark):
     # the sparse demand definition must actually route someone OFF the
     # smooth path on these fixtures
     assert any(r["quadrant"] != "smooth" for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# q463 — per-segment A/B
+# --------------------------------------------------------------------------
+
+
+def test_segment_ab_replay_and_planted_detection(spark):
+    import hashlib
+
+    con = _duck(SF_MID)
+    custs = con.execute(
+        "SELECT c_custkey, c_mktsegment FROM customer"
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # a, b, c, d
+    for ck, seg in custs:
+        h = lambda salt: int(
+            hashlib.md5((str(ck) + salt).encode()).hexdigest()[:8], 16
+        )
+        t = int(hashlib.md5(str(ck).encode()).hexdigest()[:8], 16) % 2
+        conv = 1 if h("|base") % 100 < 20 else (
+            1 if seg == "BUILDING" and t == 1 and h("|boost") % 100 < 40
+            else 0
+        )
+        cell = cells[seg]
+        if t == 1:
+            cell[0 if conv else 1] += 1
+        else:
+            cell[2 if conv else 3] += 1
+
+    rows = {
+        r["seg"]: r
+        for r in registry.QUERIES["q463_segment_ab"](spark, SF_MID).collect()
+    }
+    for seg, (a, b, c, d) in cells.items():
+        r = rows[seg]
+        assert (r["n_treat"], r["n_ctrl"]) == (a + b, c + d)
+        assert r["conv_t_ppm"] == 1_000_000 * a // (a + b)
+        assert r["conv_c_ppm"] == 1_000_000 * c // (c + d)
+        x = a * d - b * c
+        chi = _tdiv(_tdiv(1000 * x, a + b) * x, c + d)
+        chi = _tdiv(_tdiv(chi * (a + b + c + d), a + c), b + d)
+        assert r["chi2_milli"] == chi
+        assert r["sig_05"] == (1 if chi > 6635 else 0)
+        assert r["sig_01"] == (1 if chi > 9550 else 0)
+    # the planted segment is found, and at the STRICT corrected level
+    # it is the ONLY discovery (the loose level may admit one fluke —
+    # which is exactly why the correction ladder exists)
+    assert rows["BUILDING"]["sig_01"] == 1
+    assert sum(r["sig_01"] for r in rows.values()) == 1
+    assert rows["BUILDING"]["lift_ppm"] > 200_000

@@ -2794,3 +2794,273 @@ def q424_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verdict"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q464 — fusion referee: RRF of two cheap rankers vs the exact top-k
+# --------------------------------------------------------------------------
+
+FUS_RRF_K = 60      #: the RRF damping constant (q352's)
+FUS_QSCALE = 100    #: int-quantization scale for the cheap ranker
+
+
+@register(
+    "q464_fusion_recall",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    exact_dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                cand_id) AS rk
+            FROM exact_dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    meta AS (SELECT vec_id, label FROM embeddings),
+    ivf_rank AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC,
+                            cand_id) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   SUM(q.x * c.x) AS dot
+            FROM dims q
+            JOIN meta qm ON qm.vec_id = q.vec_id
+            JOIN meta cm ON cm.label = qm.label AND cm.vec_id <> q.vec_id
+            JOIN dims c ON c.vec_id = cm.vec_id AND q.i = c.i
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    ),
+    qdims AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(x * {FUS_QSCALE}) AS BIGINT) AS xq
+        FROM dims
+    ),
+    quant_rank AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dotq DESC, cand_id) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(SUM(q.xq * c.xq) AS BIGINT) AS dotq
+            FROM qdims q
+            JOIN qdims c ON q.i = c.i AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )
+    ),
+    fused AS (
+        SELECT query_id, cand_id FROM (
+            SELECT COALESCE(i.query_id, qr.query_id) AS query_id,
+                   COALESCE(i.cand_id, qr.cand_id) AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY COALESCE(i.query_id, qr.query_id)
+                       ORDER BY COALESCE(1000000 // ({FUS_RRF_K} + i.rk), 0)
+                              + COALESCE(1000000 // ({FUS_RRF_K} + qr.rk), 0)
+                                DESC,
+                                COALESCE(i.cand_id, qr.cand_id)) AS frk
+            FROM ivf_rank i
+            FULL OUTER JOIN quant_rank qr
+              ON qr.query_id = i.query_id AND qr.cand_id = i.cand_id
+        ) WHERE frk <= {TOP_K}
+    ),
+    scored AS (
+        SELECT 'ivf' AS method, e.query_id,
+               CAST(COUNT(r.cand_id) AS BIGINT) AS hits
+        FROM exact e
+        LEFT JOIN (SELECT query_id, cand_id FROM ivf_rank
+                   WHERE rk <= {TOP_K}) r
+          ON r.query_id = e.query_id AND r.cand_id = e.cand_id
+        GROUP BY e.query_id
+        UNION ALL
+        SELECT 'quant', e.query_id, CAST(COUNT(r.cand_id) AS BIGINT)
+        FROM exact e
+        LEFT JOIN (SELECT query_id, cand_id FROM quant_rank
+                   WHERE rk <= {TOP_K}) r
+          ON r.query_id = e.query_id AND r.cand_id = e.cand_id
+        GROUP BY e.query_id
+        UNION ALL
+        SELECT 'rrf', e.query_id, CAST(COUNT(f.cand_id) AS BIGINT)
+        FROM exact e
+        LEFT JOIN fused f
+          ON f.query_id = e.query_id AND f.cand_id = e.cand_id
+        GROUP BY e.query_id
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(hits) AS BIGINT) AS n_hits,
+           CAST(1000000 * SUM(hits) // (COUNT(*) * {TOP_K}) AS BIGINT)
+               AS recall_ppm
+    FROM scored GROUP BY method ORDER BY method
+    """,
+)
+def q464_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-fusion REFEREE: two cheap rankers — IVF
+    (same-label cells, q51/q120's semantics) and an integer-quantized
+    dot product (q142's compression as a ranker) — plus their
+    reciprocal-rank fusion (q352's floor-RRF), all scored as
+    recall@{TOP_K} against the exact cosine top-k. This is the table
+    that justifies (or kills) fusion in a retrieval stack: RRF can
+    only help when the rankers' ERRORS are decorrelated, and whether
+    they are is an empirical fact about YOUR corpus, not a property
+    of RRF — so the referee runs all three against the same exact
+    truth on the same queries (q410's bake-off stance pointed at
+    retrieval).
+
+    Determinism: q50's ROUND(·,6)+tiebreak contract on the float
+    rankers; the quantized ranker is exact integer dots; RRF
+    contributions are floor(10⁶/(k+rank)) integers; absent candidates
+    contribute 0 through the full-outer join; all ranks total-ordered.
+
+    Scale: the exact baseline is the allowlisted broadcast-query
+    audit posture (q50); the IVF side only meets same-cell
+    candidates; the quantized ranker is the int8-class scan every
+    re-ranking stack runs first. Recall joins are per-query top-k
+    sets (8×{TOP_K} rows).
+
+    Reference: q352 (the fusion), q120 (single-ranker recall), q142
+    (quantization), q135 (rerank join — the stage after fusion)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _vec_double().alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    q = track_cache(q.persist())
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        _vec_double().alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    c = track_cache(c.persist())
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cand_id")
+    )
+    exact = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("s"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    exact = track_cache(exact.persist())
+    ivf_rank = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("cand_id") != F.col("query_id"))
+            & (F.col("clabel") == F.col("qlabel"))
+        )
+        .select("query_id", "cand_id", cos.alias("s"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .select("query_id", "cand_id", "rk")
+    )
+    ivf_rank = track_cache(ivf_rank.persist())
+    qdot = F.aggregate(
+        F.zip_with(
+            F.expr(f"transform(qv, x -> CAST(FLOOR(x * {FUS_QSCALE})"
+                   " AS BIGINT))"),
+            F.expr(f"transform(cv, x -> CAST(FLOOR(x * {FUS_QSCALE})"
+                   " AS BIGINT))"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    quant_rank = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", qdot.alias("s"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .select("query_id", "cand_id", "rk")
+    )
+    quant_rank = track_cache(quant_rank.persist())
+    fused = (
+        ivf_rank.select(
+            "query_id", "cand_id", F.col("rk").alias("rk_i")
+        )
+        .join(
+            quant_rank.select(
+                "query_id", "cand_id", F.col("rk").alias("rk_q")
+            ),
+            ["query_id", "cand_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({FUS_RRF_K} + rk_i)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({FUS_RRF_K} + rk_q)"), F.lit(0)
+                )
+            ).alias("s"),
+        )
+        .withColumn("frk", F.row_number().over(w_q))
+        .filter(F.col("frk") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+
+    def recall(ranked, name):
+        top = (
+            ranked.filter(F.col("rk") <= TOP_K).select(
+                "query_id", "cand_id"
+            )
+            if "rk" in ranked.columns
+            else ranked
+        )
+        return (
+            exact.alias("e")
+            .join(
+                top.alias("r"),
+                (F.col("r.query_id") == F.col("e.query_id"))
+                & (F.col("r.cand_id") == F.col("e.cand_id")),
+                "left",
+            )
+            .groupBy(F.col("e.query_id"))
+            .agg(F.count(F.col("r.cand_id")).cast("bigint").alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+
+    scored = (
+        recall(ivf_rank, "ivf")
+        .unionAll(recall(quant_rank, "quant"))
+        .unionAll(recall(fused, "rrf"))
+    )
+    return (
+        scored.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("hits").cast("bigint").alias("n_hits"),
+            F.expr(
+                f"CAST(1000000 * SUM(hits) DIV (COUNT(*) * {TOP_K})"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("method")
+    )

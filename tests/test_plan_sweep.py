@@ -154,6 +154,7 @@ BNLJ_ALLOWED = {
     "q459_graph_drift",           # one-row node-count broadcasts per round
     "q461_transition_surprise",   # one-row state-count broadcast
     "q462_intermittency_router",  # one-row span broadcast
+    "q464_fusion_recall",         # q50-posture broadcast exact baseline
 }
 
 

@@ -5094,3 +5094,31 @@ def test_segment_ab_replay_and_planted_detection(spark):
     assert rows["BUILDING"]["sig_01"] == 1
     assert sum(r["sig_01"] for r in rows.values()) == 1
     assert rows["BUILDING"]["lift_ppm"] > 200_000
+
+
+# --------------------------------------------------------------------------
+# q464 — fusion referee
+# --------------------------------------------------------------------------
+
+
+def test_fusion_recall_verdict(spark):
+    rows = {
+        r["method"]: r
+        for r in registry.QUERIES["q464_fusion_recall"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert set(rows) == {"ivf", "quant", "rrf"}
+    for r in rows.values():
+        assert r["n_queries"] == 8
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        assert r["recall_ppm"] == 1_000_000 * r["n_hits"] // (8 * 5)
+    # the quantized ranker is a faithful cosine proxy: near-exact
+    assert rows["quant"]["recall_ppm"] >= 800_000
+    # random labels make IVF cells uncorrelated with true neighbors:
+    # IVF is poor, and fusing with a broken ranker CANNOT rescue it —
+    # the referee's whole point (fusion needs decorrelated ERRORS,
+    # not one good and one broken ranker)
+    assert rows["ivf"]["recall_ppm"] < 500_000
+    assert rows["rrf"]["recall_ppm"] <= rows["quant"]["recall_ppm"]
+    assert rows["rrf"]["recall_ppm"] >= rows["ivf"]["recall_ppm"]

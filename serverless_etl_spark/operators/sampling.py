@@ -893,3 +893,110 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 1000000) DIV 1000000 AS BIGINT)"
         ).alias("deff_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# q465 — Kish effective sample size of weighting schemes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q465_kish_ess",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_w,
+               CAST(FLOOR(sqrt(CAST(FLOOR(l_extendedprice)
+                    AS DOUBLE))) AS BIGINT) AS sqrt_w
+        FROM lineitem
+    ),
+    melted AS (
+        SELECT 'price' AS scheme, price_w AS wt FROM w
+        UNION ALL
+        SELECT 'sqrt_price', sqrt_w FROM w
+        UNION ALL
+        SELECT 'uniform', 1 FROM w
+    ),
+    agg AS (
+        SELECT scheme,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(wt) AS BIGINT) AS sw,
+               CAST(SUM(wt * wt) AS BIGINT) AS sww
+        FROM melted GROUP BY scheme
+    )
+    SELECT scheme, n,
+           CAST(FLOOR(1000.0 * (CAST(sw AS DOUBLE) * sw)
+                / CAST(sww AS DOUBLE)) AS BIGINT) AS ess_milli,
+           CAST(FLOOR(1000000.0 * (CAST(sw AS DOUBLE) * sw)
+                / (CAST(sww AS DOUBLE) * n)) AS BIGINT)
+               AS efficiency_ppm
+    FROM agg ORDER BY scheme
+    """,
+)
+def q465_kish_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish EFFECTIVE SAMPLE SIZE of a weighting scheme — the price
+    tag on every weighted estimator the engine ships: for weights w,
+    ESS = (Σw)²/Σw², and efficiency = ESS/n is the fraction of the
+    sample that survives the weighting (uniform ⇒ 1; heavy-tailed
+    revenue weights collapse it, which is why raw price-weighted
+    estimators are noisy and why q263 clips contributions and q348's
+    raking trims). Three schemes audited on the same rows: raw price
+    weights, their square root (the standard tempering — sqrt is the
+    parity-safe transcendental), and uniform as the control. Reads
+    with q458: DEFF says what CLUSTERING costs, ESS says what
+    WEIGHTING costs — together they turn "n = 600k" into the honest
+    effective n.
+
+    Determinism: integer weights (floor dollars; sqrt correctly
+    rounded then floored); (Σw)² exceeds int64 at this scale, so the
+    ratio is computed in IEEE doubles from identical integer operands
+    (same product, same division, both engines) and floored ONCE at
+    milli/ppm — deterministic because every operand pair is
+    bit-identical (contrast q411's ln, where per-term flooring was
+    needed; multiplication and division are IEEE-exact operations).
+
+    Scale: one map-side projection, one three-scheme collapse to
+    |schemes| sufficient-statistic rows. Nothing else.
+
+    Reference: q83 (weighted sampling), q458 (DEFF twin), q263
+    (clipping), q348 (raking), q165 (weighted median — a consumer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.floor("l_extendedprice").cast("bigint").alias("price_w"),
+        F.floor(
+            F.sqrt(F.floor("l_extendedprice").cast("double"))
+        )
+        .cast("bigint")
+        .alias("sqrt_w"),
+    )
+    melted = (
+        w.select(F.lit("price").alias("scheme"), F.col("price_w").alias("wt"))
+        .unionAll(
+            w.select(
+                F.lit("sqrt_price").alias("scheme"),
+                F.col("sqrt_w").alias("wt"),
+            )
+        )
+        .unionAll(
+            w.select(
+                F.lit("uniform").alias("scheme"),
+                F.lit(1).cast("bigint").alias("wt"),
+            )
+        )
+    )
+    agg = melted.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("wt").cast("bigint").alias("sw"),
+        F.sum(F.col("wt") * F.col("wt")).cast("bigint").alias("sww"),
+    )
+    return agg.select(
+        "scheme",
+        "n",
+        F.expr(
+            "CAST(FLOOR(1000.0 * (CAST(sw AS DOUBLE) * sw)"
+            " / CAST(sww AS DOUBLE)) AS BIGINT)"
+        ).alias("ess_milli"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * (CAST(sw AS DOUBLE) * sw)"
+            " / (CAST(sww AS DOUBLE) * n)) AS BIGINT)"
+        ).alias("efficiency_ppm"),
+    ).orderBy("scheme")

@@ -5122,3 +5122,44 @@ def test_fusion_recall_verdict(spark):
     assert rows["ivf"]["recall_ppm"] < 500_000
     assert rows["rrf"]["recall_ppm"] <= rows["quant"]["recall_ppm"]
     assert rows["rrf"]["recall_ppm"] >= rows["ivf"]["recall_ppm"]
+
+
+# --------------------------------------------------------------------------
+# q465 — Kish ESS
+# --------------------------------------------------------------------------
+
+
+def test_kish_ess_replay(spark):
+    import math
+
+    con = _duck(SF_MID)
+    prices = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) FROM lineitem"
+        ).fetchall()
+    ]
+    n = len(prices)
+    schemes = {
+        "price": prices,
+        "sqrt_price": [math.floor(math.sqrt(float(p))) for p in prices],
+        "uniform": [1] * n,
+    }
+    rows = {
+        r["scheme"]: r
+        for r in registry.QUERIES["q465_kish_ess"](spark, SF_MID).collect()
+    }
+    for scheme, ws in schemes.items():
+        sw, sww = sum(ws), sum(w * w for w in ws)
+        ess = math.floor(1000.0 * (float(sw) * sw) / float(sww))
+        eff = math.floor(1_000_000.0 * (float(sw) * sw) / (float(sww) * n))
+        r = rows[scheme]
+        assert r["n"] == n
+        assert r["ess_milli"] == ess
+        assert r["efficiency_ppm"] == eff
+    # uniform is perfectly efficient; tempering beats raw weights
+    assert rows["uniform"]["efficiency_ppm"] >= 999_999
+    assert (
+        rows["sqrt_price"]["efficiency_ppm"]
+        > rows["price"]["efficiency_ppm"]
+    )

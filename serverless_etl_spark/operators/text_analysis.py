@@ -2708,3 +2708,132 @@ def q455_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PFX_TOPK)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q466 — Heaps' law fit (vocabulary-growth exponent)
+# --------------------------------------------------------------------------
+
+HEAPS_POINTS = 10
+
+
+@register(
+    "q466_heaps_fit",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT t.tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY 1
+    ),
+    nn AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n FROM documents
+    ),
+    ckpt AS (
+        SELECT CAST(j * n // {HEAPS_POINTS} AS BIGINT) AS m
+        FROM nn, UNNEST(generate_series(1, {HEAPS_POINTS})) AS g(j)
+    ),
+    curve AS (
+        SELECT c.m,
+               CAST(SUM(CASE WHEN f.first_doc < c.m THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v
+        FROM ckpt c CROSS JOIN firsts f
+        GROUP BY c.m
+    ),
+    pts AS (
+        SELECT CAST(FLOOR(1000.0 * ln(m)) AS BIGINT) AS x,
+               CAST(FLOOR(1000.0 * ln(v)) AS BIGINT) AS y
+        FROM curve WHERE v > 0
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT k AS n_points,
+           CAST(1000000 * (k * sxy - sx * sy)
+                // (k * sxx - sx * sx) AS BIGINT) AS beta_micro,
+           CASE WHEN 1000000 * (k * sxy - sx * sy)
+                     // (k * sxx - sx * sx) < 900000
+                THEN 'sublinear_heaps' ELSE 'linear_or_saturating'
+           END AS verdict
+    FROM fit
+    """,
+)
+def q466_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent — the vocabulary-growth fit the token
+    family reads alongside q450's Zipf exponent: vocabulary size at
+    {HEAPS_POINTS} corpus checkpoints (token first-occurrence doc vs
+    a doc-count spine — q176's curve, computed in ONE pass via MIN
+    first_doc, never {HEAPS_POINTS} scans), then the log-log OLS
+    slope β of V(m) ≈ K·m^β. Natural text sits at β ≈ 0.4–0.6 —
+    vocabulary grows forever but sublinearly, which is what sizes
+    tokenizer vocabularies, OOV budgets (q105), and embedding tables
+    (q417): β near 0 (this fixture's closed 30-word vocabulary) says
+    the domain is template-bound; β near 1 says ids/noise are leaking
+    into the token stream and the "vocabulary" will never close.
+
+    Determinism: integer first-occurrence docs and checkpoint
+    counts; the q450 FLOOR-of-ln-at-milli + exact cross-multiplied
+    OLS; trunc DIV slope.
+
+    Scale: one tokenize pass collapses to |vocab| first-occurrence
+    rows; the checkpoint fan-out is a {HEAPS_POINTS}-row broadcast
+    against that vocab table (allowlisted BNLJ), NOT against the
+    corpus; the fit is a five-number aggregate.
+
+    Reference: q176 (the curve), q450 (Zipf — the rank-frequency
+    twin; together they characterize the token distribution), q105
+    (OOV), q417 (table sizing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    )
+    firsts = track_cache(firsts.persist())
+    nn = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("n"))
+    ckpt = (
+        spark.range(1, HEAPS_POINTS + 1)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(nn))
+        .select(F.expr(f"CAST(j * n DIV {HEAPS_POINTS} AS BIGINT)").alias("m"))
+    )
+    curve = (
+        F.broadcast(ckpt)
+        .crossJoin(firsts)
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("m"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    pts = curve.filter(F.col("v") > 0).select(
+        F.floor(F.lit(1000.0) * F.log("m")).cast("bigint").alias("x"),
+        F.floor(F.lit(1000.0) * F.log("v")).cast("bigint").alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    beta = F.expr(
+        "CAST(1000000 * (k * sxy - sx * sy)"
+        " DIV (k * sxx - sx * sx) AS BIGINT)"
+    )
+    return fit.select(
+        F.col("k").alias("n_points"),
+        beta.alias("beta_micro"),
+        F.when(beta < 900_000, "sublinear_heaps")
+        .otherwise("linear_or_saturating")
+        .alias("verdict"),
+    )

@@ -155,6 +155,7 @@ BNLJ_ALLOWED = {
     "q461_transition_surprise",   # one-row state-count broadcast
     "q462_intermittency_router",  # one-row span broadcast
     "q464_fusion_recall",         # q50-posture broadcast exact baseline
+    "q466_heaps_fit",             # 10-row checkpoint spine broadcast
 }
 
 

@@ -5163,3 +5163,49 @@ def test_kish_ess_replay(spark):
         rows["sqrt_price"]["efficiency_ppm"]
         > rows["price"]["efficiency_ppm"]
     )
+
+
+# --------------------------------------------------------------------------
+# q466 — Heaps fit
+# --------------------------------------------------------------------------
+
+
+def test_heaps_fit_replay(spark):
+    import math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    n = max(d for d, _ in rows_in) + 1
+    firsts = {}
+    for did, tx in rows_in:
+        for t in tx.split(" "):
+            if t and t not in firsts:
+                firsts[t] = did
+    pts = []
+    for j in range(1, 11):
+        m = j * n // 10
+        v = sum(1 for fd in firsts.values() if fd < m)
+        if v > 0:
+            pts.append(
+                (math.floor(1e3 * math.log(m)),
+                 math.floor(1e3 * math.log(v)))
+            )
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = _tdiv(1_000_000 * (k * sxy - sx * sy), k * sxx - sx * sx)
+    row = registry.QUERIES["q466_heaps_fit"](spark, SF_MID).collect()[0]
+    assert row["n_points"] == k
+    assert row["beta_micro"] == beta
+    # the fixtures' closed ~30-word vocabulary saturates instantly:
+    # beta ~ 0 — correctly classified as sublinear/template-bound
+    assert row["verdict"] == "sublinear_heaps"
+    assert row["beta_micro"] < 200_000

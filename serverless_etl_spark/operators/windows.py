@@ -5864,3 +5864,117 @@ def q462_intermittency_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q467 — ingest-outage detection from arrival gaps (MTTR / MTBF)
+# --------------------------------------------------------------------------
+
+OUTAGE_GAP_S = 1800  #: a silent stretch beyond this is an outage
+
+
+@register(
+    "q467_ingest_outages",
+    oracle=f"""
+    WITH seq AS (
+        SELECT epoch_us(ts) AS us,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events
+    ),
+    span AS (
+        SELECT CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM seq
+    ),
+    inc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_incidents,
+               CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS down_us,
+               CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS worst_us
+        FROM seq WHERE gap_us > {OUTAGE_GAP_S} * 1000000
+    )
+    SELECT s.n_events, i.n_incidents,
+           CAST(i.down_us // 1000000 AS BIGINT) AS downtime_s,
+           CAST(i.worst_us // 1000000 AS BIGINT) AS worst_outage_s,
+           CAST(CASE WHEN i.n_incidents > 0
+                THEN i.down_us // i.n_incidents // 1000000
+                ELSE 0 END AS BIGINT) AS mttr_s,
+           CAST(CASE WHEN i.n_incidents > 0
+                THEN (s.span_us - i.down_us) // i.n_incidents // 1000000
+                ELSE s.span_us // 1000000 END AS BIGINT) AS mtbf_s,
+           CAST(1000000 * (s.span_us - i.down_us) // s.span_us
+               AS BIGINT) AS availability_ppm
+    FROM span s CROSS JOIN inc i
+    """,
+)
+def q467_ingest_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-outage accounting from the stream's own arrival gaps:
+    any silent stretch over {OUTAGE_GAP_S}s between consecutive
+    events is an outage, and the classic reliability numbers — count,
+    total downtime, worst outage, MTTR (mean outage length), MTBF
+    (mean up-stretch between outages), availability — fall out of ONE
+    LAG pass. This is the pipeline-health reading of the gap column
+    q452's cache curve and q76's sessionizer consume: q319 says how
+    stale each table is NOW; this says how often the feed goes dark
+    and for how long, which is what an ingest SLA is actually written
+    against (and what q367's watermark advisor should be re-run
+    after every incident on).
+
+    Determinism: epoch-microsecond gaps over the unique (µs,
+    event_id) order, integer threshold, integer µs→s truncations, one
+    ppm floor for availability.
+
+    Scale: the global total order is the documented exact-twin caveat
+    (q127's class) — in production this runs PER SOURCE/PARTITION key
+    (the window gains a partition column and the result a key), which
+    is also the semantically right grain; the fixture has one feed.
+
+    Reference: q319 (freshness now), q311 (SLO burn), q367
+    (watermark sizing), q443/q452 (the same gap column's other
+    consumers)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.unix_micros(F.col("ts")), "event_id")
+    seq = ev.select(
+        F.unix_micros(F.col("ts")).alias("us"),
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    )
+    seq = track_cache(seq.persist())
+    span = seq.agg(
+        (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    inc = seq.filter(
+        F.col("gap_us") > OUTAGE_GAP_S * 1000000
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_incidents"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).cast("bigint").alias(
+            "down_us"
+        ),
+        F.coalesce(F.max("gap_us"), F.lit(0)).cast("bigint").alias(
+            "worst_us"
+        ),
+    )
+    return span.crossJoin(F.broadcast(inc)).select(
+        "n_events",
+        "n_incidents",
+        F.expr("CAST(down_us DIV 1000000 AS BIGINT)").alias("downtime_s"),
+        F.expr("CAST(worst_us DIV 1000000 AS BIGINT)").alias(
+            "worst_outage_s"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_incidents > 0"
+            " THEN down_us DIV n_incidents DIV 1000000"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("mttr_s"),
+        F.expr(
+            "CAST(CASE WHEN n_incidents > 0"
+            " THEN (span_us - down_us) DIV n_incidents DIV 1000000"
+            " ELSE span_us DIV 1000000 END AS BIGINT)"
+        ).alias("mtbf_s"),
+        F.expr(
+            "CAST(1000000 * (span_us - down_us) DIV span_us AS BIGINT)"
+        ).alias("availability_ppm"),
+    )

@@ -156,6 +156,7 @@ BNLJ_ALLOWED = {
     "q462_intermittency_router",  # one-row span broadcast
     "q464_fusion_recall",         # q50-posture broadcast exact baseline
     "q466_heaps_fit",             # 10-row checkpoint spine broadcast
+    "q467_ingest_outages",        # one-row span x incidents broadcast
 }
 
 

@@ -5209,3 +5209,38 @@ def test_heaps_fit_replay(spark):
     # beta ~ 0 — correctly classified as sublinear/template-bound
     assert row["verdict"] == "sublinear_heaps"
     assert row["beta_micro"] < 200_000
+
+
+# --------------------------------------------------------------------------
+# q467 — ingest outages
+# --------------------------------------------------------------------------
+
+
+def test_ingest_outages_replay(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_MID}/events.parquet'"
+    )
+    uss = [
+        r[0]
+        for r in con.execute(
+            "SELECT epoch_us(ts) FROM events ORDER BY epoch_us(ts),"
+            " event_id"
+        ).fetchall()
+    ]
+    gaps = [b - a for a, b in zip(uss, uss[1:])]
+    incidents = [g for g in gaps if g > 1800 * 1_000_000]
+    span = uss[-1] - uss[0]
+    down = sum(incidents)
+    row = registry.QUERIES["q467_ingest_outages"](spark, SF_MID).collect()[0]
+    assert row["n_events"] == len(uss)
+    assert row["n_incidents"] == len(incidents)
+    assert row["downtime_s"] == down // 1_000_000
+    assert row["worst_outage_s"] == max(incidents) // 1_000_000
+    assert row["mttr_s"] == down // len(incidents) // 1_000_000
+    assert row["mtbf_s"] == (span - down) // len(incidents) // 1_000_000
+    assert row["availability_ppm"] == 1_000_000 * (span - down) // span
+    # reliability identities
+    assert row["worst_outage_s"] >= row["mttr_s"]
+    assert row["availability_ppm"] > 900_000  # feed mostly up

@@ -4315,3 +4315,143 @@ def q442_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("status") != "ok")
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q468 — corpus-quality decay by ingest order
+# --------------------------------------------------------------------------
+
+QDECAY_BINS = 10
+
+
+@register(
+    "q468_quality_decay",
+    oracle=f"""
+    WITH nn AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n FROM documents
+    ),
+    binned AS (
+        SELECT LEAST(CAST({QDECAY_BINS} * doc_id // nn.n AS BIGINT),
+                     {QDECAY_BINS - 1}) AS cohort,
+               n_chars,
+               CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END
+                   AS short,
+               md5(text) AS h
+        FROM documents CROSS JOIN nn
+    ),
+    per AS (
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+               CAST(1000000 * SUM(short) // COUNT(*) AS BIGINT)
+                   AS short_ppm,
+               CAST(1000000 * (COUNT(*) - COUNT(DISTINCT h))
+                    // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM binned GROUP BY cohort
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(cohort) AS BIGINT) AS sx,
+               CAST(SUM(short_ppm + dup_ppm) AS BIGINT) AS sy,
+               CAST(SUM(cohort * (short_ppm + dup_ppm)) AS BIGINT)
+                   AS sxy,
+               CAST(SUM(cohort * cohort) AS BIGINT) AS sxx
+        FROM per
+    )
+    SELECT p.cohort, p.n_docs, p.avg_chars, p.short_ppm, p.dup_ppm,
+           CAST(1000 * (f.k * f.sxy - f.sx * f.sy)
+                // (f.k * f.sxx - f.sx * f.sx) AS BIGINT)
+               AS junk_slope_milli,
+           CASE WHEN 1000 * (f.k * f.sxy - f.sx * f.sy)
+                     // (f.k * f.sxx - f.sx * f.sx) > 5000
+                THEN 'degrading' ELSE 'stable' END AS verdict
+    FROM per p CROSS JOIN fit f
+    ORDER BY p.cohort
+    """,
+)
+def q468_quality_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality DECAY monitor — is newer data worse? Documents
+    are binned into {QDECAY_BINS} ingest-order cohorts (doc_id as the
+    acquisition sequence), each cohort gets the core hygiene stats
+    (length, short rate, exact-dup rate — q431's per-source card
+    re-cut along TIME), and one exact OLS slope over the combined
+    junk rate (short + dup ppm per cohort) gives the verdict: a
+    positive slope says the acquisition pipeline is drifting toward
+    junk — the classic failure where early curated sources give way
+    to scraped tail, which per-snapshot dashboards (q137) can't see
+    because every snapshot looks locally fine. The drift family
+    watches FEATURES over time (q411/q427); this watches QUALITY
+    over ingest order.
+
+    Determinism: integer cohort binning (DIV, q436's cast lesson),
+    integer per-cohort stats, q450's cross-multiplied OLS on the
+    {QDECAY_BINS}-point series, milli trunc slope and an integer
+    threshold verdict.
+
+    Scale: one corpus scan collapses to {QDECAY_BINS} cohort rows
+    (dup rate via per-cohort distinct hash — the q40 shuffle); the
+    fit is a five-number aggregate. In production the cohort key is
+    the ingest date partition — identical plan.
+
+    Reference: q431 (the per-source cut), q137 (the snapshot
+    dashboard), q411/q427 (feature drift), q365 (what quality decay
+    does to the learning curve)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nn = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("n"))
+    binned = docs.crossJoin(F.broadcast(nn)).select(
+        F.least(
+            F.expr(f"CAST({QDECAY_BINS} * doc_id DIV n AS BIGINT)"),
+            F.lit(QDECAY_BINS - 1).cast("bigint"),
+        ).alias("cohort"),
+        "n_chars",
+        F.when(F.col("n_chars") < SHORT_DOC_CHARS, 1)
+        .otherwise(0)
+        .alias("short"),
+        F.md5("text").alias("h"),
+    )
+    per = binned.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) DIV COUNT(*) AS BIGINT)").alias(
+            "avg_chars"
+        ),
+        F.expr(
+            "CAST(1000000 * SUM(short) DIV COUNT(*) AS BIGINT)"
+        ).alias("short_ppm"),
+        F.expr(
+            "CAST(1000000 * (COUNT(*) - COUNT(DISTINCT h))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+    per = track_cache(per.persist())
+    fit = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("cohort").cast("bigint").alias("sx"),
+        F.sum(F.col("short_ppm") + F.col("dup_ppm"))
+        .cast("bigint")
+        .alias("sy"),
+        F.sum(F.col("cohort") * (F.col("short_ppm") + F.col("dup_ppm")))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum(F.col("cohort") * F.col("cohort"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    slope = F.expr(
+        "CAST(1000 * (k * sxy - sx * sy)"
+        " DIV (k * sxx - sx * sx) AS BIGINT)"
+    )
+    return (
+        per.crossJoin(F.broadcast(fit))
+        .select(
+            "cohort",
+            "n_docs",
+            "avg_chars",
+            "short_ppm",
+            "dup_ppm",
+            slope.alias("junk_slope_milli"),
+            F.when(slope > 5000, "degrading")
+            .otherwise("stable")
+            .alias("verdict"),
+        )
+        .orderBy("cohort")
+    )

@@ -107,7 +107,7 @@ _SWEEP_PRIORITY = [
     "q458_design_effect", "q459_graph_drift", "q460_abc_migration",
     "q461_transition_surprise", "q462_intermittency_router",
     "q463_segment_ab", "q464_fusion_recall", "q465_kish_ess",
-    "q466_heaps_fit", "q467_ingest_outages",
+    "q466_heaps_fit", "q467_ingest_outages", "q468_quality_decay",
     # (b2) round-4 in-round additions (newest, never swept)
     "q337_l_diversity", "q338_average_precision", "q339_kruskal_wallis",
     "q340_bh_fdr", "q341_cuped", "q342_simpsons_flip",

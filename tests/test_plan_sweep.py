@@ -157,6 +157,7 @@ BNLJ_ALLOWED = {
     "q464_fusion_recall",         # q50-posture broadcast exact baseline
     "q466_heaps_fit",             # 10-row checkpoint spine broadcast
     "q467_ingest_outages",        # one-row span x incidents broadcast
+    "q468_quality_decay",         # one-row n + one-row fit broadcasts
 }
 
 

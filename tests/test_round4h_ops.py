@@ -5244,3 +5244,53 @@ def test_ingest_outages_replay(spark):
     # reliability identities
     assert row["worst_outage_s"] >= row["mttr_s"]
     assert row["availability_ppm"] > 900_000  # feed mostly up
+
+
+# --------------------------------------------------------------------------
+# q468 — quality decay
+# --------------------------------------------------------------------------
+
+
+def test_quality_decay_replay(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_MID}/documents.parquet'"
+    )
+    rows_in = con.execute(
+        "SELECT doc_id, n_chars, text FROM documents"
+    ).fetchall()
+    n = max(d for d, _, _ in rows_in) + 1
+    per = defaultdict(lambda: [0, 0, 0, set()])
+    for did, nc, tx in rows_in:
+        c = min(10 * did // n, 9)
+        cell = per[c]
+        cell[0] += 1
+        cell[1] += nc
+        cell[2] += 1 if nc < 100 else 0
+        cell[3].add(hashlib.md5(tx.encode()).hexdigest())
+    stats = {
+        c: (
+            v[0],
+            v[1] // v[0],
+            1_000_000 * v[2] // v[0],
+            1_000_000 * (v[0] - len(v[3])) // v[0],
+        )
+        for c, v in per.items()
+    }
+    k = len(stats)
+    sx = sum(stats)
+    sy = sum(s + d for _, _, s, d in stats.values())
+    sxy = sum(c * (s + d) for c, (_, _, s, d) in stats.items())
+    sxx = sum(c * c for c in stats)
+    slope = _tdiv(1000 * (k * sxy - sx * sy), k * sxx - sx * sx)
+    rows = registry.QUERIES["q468_quality_decay"](spark, SF_MID).collect()
+    assert len(rows) == 10
+    for r in rows:
+        nd, ac, sp, dp = stats[r["cohort"]]
+        assert (r["n_docs"], r["avg_chars"]) == (nd, ac)
+        assert (r["short_ppm"], r["dup_ppm"]) == (sp, dp)
+        assert r["junk_slope_milli"] == slope
+        assert r["verdict"] == ("degrading" if slope > 5000 else "stable")

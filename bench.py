@@ -153,6 +153,9 @@ def main() -> None:
         "q440_mase_backtest",
         "q448_source_similarity",
         "q451_linkpred_backtest",
+        # round-5: newest iterative/fusion heavies (r4 verdict item 7)
+        "q459_graph_drift",
+        "q464_fusion_recall",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:
@@ -168,19 +171,9 @@ def main() -> None:
         print(f"# {name}: {ext_timings[name]:.3f}s (extended)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_full": full_timings,
-        "full_total": round(sum(full_timings.values()), 3),
-        "queries_extended": ext_timings,
-        "extended_total": round(sum(ext_timings.values()), 3),
-        "sf": _sf_from_dir(SF_DIR),
-    }
     # per-query delta vs the locked round-1 floor (only meaningful at
     # the default sf0.1): flag anything >2× slower
+    regressions: dict[str, dict[str, float]] = {}
     if abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9:
         regressions = {
             n: {"now": t, "baseline": BASELINE_SF01[n]}
@@ -193,8 +186,34 @@ def main() -> None:
                 f"{d['baseline']:.3f}s (>2x)",
                 file=sys.stderr,
             )
-        if regressions:
-            out["regressions"] = regressions
+    # Per-query detail goes to a sidecar file; the final stdout line is
+    # a COMPACT summary (<1 KB). The driver tail-captures only ~2 KB of
+    # stdout, so a fat JSON line gets its head cut off and records
+    # `parsed: null` (BENCH_r2/BENCH_r4) — totals + regressions must
+    # survive that capture intact.
+    detail = {
+        "queries": timings,
+        "queries_full": full_timings,
+        "queries_extended": ext_timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "full_total": round(sum(full_timings.values()), 3),
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "n_extended": len(ext_timings),
+        "regressions": regressions,
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": _sf_from_dir(SF_DIR),
+    }
     print(json.dumps(out))
     spark.stop()
 

@@ -34,6 +34,10 @@ from .neardup_gate import _dynamic_overwrite, _read_or_empty
 #: monitored categorical column
 DRIFT_COL = "event_type"
 REF_SCHEMA = "cat STRING, oa BIGINT"
+#: drifted: 1 = alert, 0 = in-distribution, -1 = NO REFERENCE — the
+#: gate ran before a reference profile was persisted, so the batch was
+#: NOT scored (a distinct verdict, never conflated with "healthy";
+#: fail-closed callers treat -1 as a block).
 SCORE_SCHEMA = (
     "n_rows BIGINT, n_cats BIGINT, chi2_milli BIGINT, drifted INT,"
     " batch_id BIGINT"
@@ -77,6 +81,10 @@ def drift_score(
         F.sum("ob").cast("bigint").alias("nb"),
         F.count(F.lit(1)).cast("bigint").alias("n_cats"),
     )
+    # GREATEST(·,1) denominator guards: with an empty reference (na=0)
+    # or an empty batch (nb=0) every cell's numerator is already 0 —
+    # the guards only keep ANSI mode (Spark 4's default) from aborting
+    # the streaming query with DIVIDE_BY_ZERO on the dead branch.
     contrib = cells.crossJoin(F.broadcast(tot)).select(
         "oa",
         "ob",
@@ -88,12 +96,12 @@ def drift_score(
             " * CAST(oa * nb - ob * na AS DOUBLE)"
             " * CAST(oa * nb - ob * na AS DOUBLE)"
             " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
-            " / CAST(na AS DOUBLE))"
+            " / CAST(GREATEST(na, 1) AS DOUBLE))"
             " + FLOOR(1000.0"
             " * CAST(ob * na - oa * nb AS DOUBLE)"
             " * CAST(ob * na - oa * nb AS DOUBLE)"
             " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
-            " / CAST(nb AS DOUBLE)) AS BIGINT)"
+            " / CAST(GREATEST(nb, 1) AS DOUBLE)) AS BIGINT)"
         ).alias("chi_milli"),
     )
     return contrib.agg(
@@ -116,6 +124,22 @@ def drift_gate_writer(
     def _write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         ref = _read_or_empty(spark, ref_dir, REF_SCHEMA)
+        if ref.isEmpty():
+            # Gate started before the reference profile was persisted:
+            # the batch CANNOT be scored. Recording drifted=0 would be
+            # fail-open (an unscored batch reported healthy); record
+            # the distinct no-reference verdict (-1) instead so the
+            # consumer blocks or backfills. Deterministic (no score
+            # arithmetic), so replay still rewrites identical bytes.
+            row = batch.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.lit(0).cast("bigint").alias("n_cats"),
+                F.lit(0).cast("bigint").alias("chi2_milli"),
+                F.lit(-1).cast("int").alias("drifted"),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+            _dynamic_overwrite(row, scores_dir)
+            return
         row = (
             drift_score(batch, ref, col)
             .select(

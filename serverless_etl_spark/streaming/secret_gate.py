@@ -37,14 +37,20 @@ SCORE_SCHEMA = (
 def split_secrets(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, flagged): flagged rows carry one count column per
     credential class plus n_secret_matches; clean rows pass through
-    with the original columns."""
+    with the original columns.
+
+    NULL text scans as '' (zero matches → clean): regexp over NULL is
+    NULL, which would fail BOTH the >0 and ==0 filters and silently
+    drop the row from clean ∪ quarantine — the gate must partition the
+    batch exactly (clean + flagged == batch, asserted in tests)."""
+    scanned = F.coalesce(F.col("text"), F.lit(""))
     counted = batch
     total = F.lit(0)
     for name, pat in SECRET_PATTERNS:
         col = f"n_{name}"
         counted = counted.withColumn(
             col,
-            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))),
+            F.size(F.regexp_extract_all(scanned, F.lit(pat), F.lit(0))),
         )
         total = total + F.col(col)
     counted = counted.withColumn("n_secret_matches", total)

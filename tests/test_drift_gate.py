@@ -100,6 +100,37 @@ def test_drift_gate_stream_equals_batch(spark, tmp_path):
     assert streamed["n_cats"] == direct["n_cats"]
 
 
+def test_drift_gate_no_reference_emits_distinct_verdict(spark, tmp_path):
+    """Gate started before a reference exists: the batch must NOT be
+    scored healthy (fail-open) nor kill the query with ANSI
+    DIVIDE_BY_ZERO — it records the distinct drifted=-1 verdict."""
+    _, src, _ = _setup(spark, tmp_path)
+    scores = tmp_path / "scores"
+    run_drift_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(tmp_path / "ref_missing"),  # never written
+        str(scores),
+        str(tmp_path / "ckpt"),
+    )
+    got = read_scores(spark, str(scores)).collect()
+    assert len(got) == 2
+    assert all(r["drifted"] == -1 for r in got)
+    assert all(r["n_rows"] > 0 for r in got)
+
+
+def test_drift_score_empty_batch_survives_ansi(spark, tmp_path):
+    """An empty micro-batch against a real reference must score 0, not
+    divide by nb=0 (ANSI mode aborts the stream on DIVIDE_BY_ZERO)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    ref = reference_profile(ev)
+    empty = spark.createDataFrame([], "event_type STRING")
+    row = drift_score(empty, ref).collect()[0]
+    assert row["chi2_milli"] == 0
+    assert row["n_rows"] == 0
+
+
 def test_drift_gate_replay_is_idempotent(spark, tmp_path):
     ref_dir, src, _ = _setup(spark, tmp_path)
     scores = tmp_path / "scores"

@@ -5417,10 +5417,10 @@ def q252_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (sqrt is correctly-rounded), floor-truncated at 1e-6.
 
     Scale: the global rank is the one data-sized sort (single-reducer
-    exact form — q109's documented posture); at 100 TB you'd bin
-    values and read AUC off the binned ECDF (q134's machinery gives
-    exactly that integral) and keep this exact form for bounded
-    slices. Tie counts and group sums partial-aggregate map-side.
+    exact form — q109's documented posture); at 100 TB you run
+    q469_auc_binned, the REGISTERED binned-ECDF twin of this AUC, and
+    keep this exact form for bounded slices as the audit twin. Tie
+    counts and group sums partial-aggregate map-side.
 
     Reference: completes the hypothesis-test family (q127 KS, q134
     binned KS, q156 contingency residuals, q132 A/B)."""
@@ -5484,6 +5484,142 @@ def q252_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("auc_ppm"),
         z.alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# q469 — binned Mann–Whitney / AUC (the scale twin of q252)
+# --------------------------------------------------------------------------
+
+AUC_BINS = 256
+
+
+def auc_binned(
+    spark: SparkSession, sf_dir: str, n_bins: int = AUC_BINS
+) -> DataFrame:
+    """Histogram-based AUC / probability-of-superiority — q252's
+    documented scale path, implemented. See q469_auc_binned."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias(
+            "grp"
+        ),
+    )
+    bounds = tagged.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    # identical IEEE op order to the DuckDB oracle (the q134 device):
+    # ((value - vmin) / (vmax - vmin)) * n_bins, floored, max-clamped
+    binned = tagged.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                )
+                * F.lit(n_bins)
+            ),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+        "grp",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("h_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("h_b"),
+    )
+    # bounded-by-construction window: n_bins histogram rows, not events
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cells = hist.select(
+        "h_a",
+        "h_b",
+        (F.sum("h_b").over(w) - F.col("h_b"))
+        .cast("bigint")
+        .alias("below_b"),
+    )
+    return cells.agg(
+        F.sum("h_a").cast("bigint").alias("n_a"),
+        F.sum("h_b").cast("bigint").alias("n_b"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.sum(F.col("h_a") * F.col("below_b")).cast("bigint").alias("gt"),
+        F.sum(F.col("h_a") * F.col("h_b")).cast("bigint").alias("tie"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_bins",
+        F.expr(
+            "1000000 * (2 * gt + tie) DIV (2 * n_a * n_b)"
+        ).alias("auc_ppm"),
+    )
+
+
+@register(
+    "q469_auc_binned",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS grp
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    bounds AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM tagged),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(((value - vmin) / (vmax - vmin))
+                          * {AUC_BINS}) AS BIGINT), {AUC_BINS} - 1) AS bin,
+               grp
+        FROM tagged, bounds
+    ),
+    hist AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h_b
+        FROM binned GROUP BY bin
+    ),
+    cells AS (
+        SELECT h_a, h_b,
+               CAST(SUM(h_b) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - h_b AS BIGINT) AS below_b
+        FROM hist
+    )
+    SELECT CAST(SUM(h_a) AS BIGINT) AS n_a,
+           CAST(SUM(h_b) AS BIGINT) AS n_b,
+           CAST({AUC_BINS} AS BIGINT) AS n_bins,
+           1000000 * (2 * SUM(h_a * below_b) + SUM(h_a * h_b))
+               // (2 * SUM(h_a) * SUM(h_b)) AS auc_ppm
+    FROM cells
+    """,
+)
+def q469_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Mann–Whitney AUC — the scale twin of q252's exact
+    rank-sum statistic (the q127→q134 pairing, applied to AUC). The
+    click-vs-purchase values are bucketed into AUC_BINS equi-width
+    bins, and P(a > b) + ½·P(a = b) is read off the two histograms:
+    Σ h_a·(cumulative h_b in strictly lower bins) counts the
+    cross-bin wins exactly, Σ h_a·h_b counts same-bin pairs as ties
+    at weight ½ — the SAME ½ the tie-averaged-rank U assigns to true
+    value ties, so only distinct values sharing a bin contribute
+    error, which vanishes as bins grow
+    (tests/test_analytics_ext.py::test_auc_binned_converges_to_exact).
+
+    Determinism: integer histogram counts and pure-integer ppm
+    arithmetic; bin indexing uses the q134 IEEE-identical op order.
+
+    Scale: this is the form that survives 100 TB — one partial-
+    aggregable groupBy over ≤AUC_BINS keys per side; the cumulative
+    window runs over the 256-row histogram, not the events table.
+    q252's global rank sort stays the bounded-slice exact audit twin
+    (its docstring names this integral; this query registers it).
+
+    Reference: q252 (exact U/AUC), q134 (binned ECDF machinery),
+    q294 (AUC over scored predictions)."""
+    return auc_binned(spark, sf_dir, AUC_BINS)
 
 
 # --------------------------------------------------------------------------

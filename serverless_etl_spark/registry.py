@@ -80,6 +80,8 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 #: registration order behind these. New round-5 queries are appended
 #: at the very front as they are added.
 _SWEEP_PRIORITY = [
+    # round-5 additions (newest, never swept)
+    "q469_auc_binned",
     "q150_bfs_reachability", "q190_pagerank", "q248_common_neighbors", "q255_poisson_bootstrap",
     "q262_bellman_ford", "q296_capped_balance", "q299_exact_median_bisect",
     "q341_cuped", "q345_greedy_coverage", "q351_label_propagation", "q353_kcore",

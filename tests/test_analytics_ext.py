@@ -213,6 +213,37 @@ def test_ks_binned_registered_matches_helper(spark):
     assert reg.n_bins == analytics_ext.KS_BINS
 
 
+def test_auc_binned_converges_to_exact(spark):
+    """The binned AUC converges to q252's exact rank-based AUC as bins
+    grow: cross-bin pairs are counted exactly and same-bin pairs at
+    the tie weight ½, so the error is bounded by the within-bin
+    discordant mass, which shrinks with bin width."""
+    exact = registry.QUERIES["q252_mann_whitney"](spark, SF_SMALL).collect()[
+        0
+    ].auc_ppm
+    errs = {}
+    for n_bins in (16, 256, 4096):
+        b = analytics_ext.auc_binned(spark, SF_SMALL, n_bins).collect()[0]
+        errs[n_bins] = abs(b.auc_ppm - exact)
+    assert errs[4096] <= errs[16], f"no convergence: {errs}"
+    assert errs[4096] < 2000, f"4096-bin error too large (ppm): {errs}"
+
+
+def test_auc_binned_registered_matches_helper(spark):
+    """q469's registered form is exactly the helper at AUC_BINS, and
+    its group sizes agree with the exact twin's."""
+    reg = registry.QUERIES["q469_auc_binned"](spark, SF_SMALL).collect()[0]
+    helper = analytics_ext.auc_binned(
+        spark, SF_SMALL, analytics_ext.AUC_BINS
+    ).collect()[0]
+    assert reg == helper
+    assert reg.n_bins == analytics_ext.AUC_BINS
+    exact = registry.QUERIES["q252_mann_whitney"](spark, SF_SMALL).collect()[
+        0
+    ]
+    assert (reg.n_a, reg.n_b) == (exact.n_a, exact.n_b)
+
+
 def test_equidepth_router_routes_by_size(spark):
     """Below the threshold the router returns the exact ntile plan
     (Window sort); above (forced via max_exact_rows=0) it returns the

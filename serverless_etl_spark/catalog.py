@@ -1,0 +1,146 @@
+"""Persistent catalog tables — DDL parity with the reference's three
+Hive DDLs and the pipeline flavor that serves them.
+
+The reference creates NAMED catalog tables and its pipeline addresses
+them by name with SQL INSERTs:
+
+- ``analytical.hashtag_data``  — ORC, PARTITIONED BY (year,month,day)
+  (athena/create_hashtags_data.hql:1-24; the INSERT INTO ... SELECT at
+  lambda/analytical-transform.py:24-26 is the S11 shape)
+- ``staging.hashtags_proc``    — flat text staging table
+  (athena/create_hashtags_proc.hql:1-23)
+- ``operational.data_update_log`` — ORC run log, same partitioning
+  (athena/create_update_log.hql:1-16; written by
+  lambda/update-data-log.py:17-33, the S12 literal-row insert)
+
+The path-backed :class:`~serverless_etl_spark.pipeline.BatchPipeline`
+is partition-identical but offers no ``spark.sql("INSERT INTO
+analytical.hashtag_data ...")`` surface. This module adds it:
+:func:`create_reference_tables` issues the Spark-SQL twins of the
+three DDLs (``CREATE TABLE ... USING parquet|orc PARTITIONED BY``),
+and :class:`CatalogBatchPipeline` runs the SAME dag through
+``insertInto`` against those tables, so a reference user can point
+their metastore expectations at this engine unchanged.
+
+Scale notes: identical to the path pipeline — the tables ARE the same
+partitioned files, just registered; the anti-join's partition pruning
+now flows through the catalog (``spark.table`` + partition filters →
+PartitionFilters on the scan, asserted in
+tests/test_catalog_tables.py), and ``insertInto`` performs the same
+dynamic-partition append the path write did.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .pipeline import BatchPipeline, PipelinePaths
+from .schemas import ANALYTICAL, RUN_LOG
+
+#: reference table names (db.table), verbatim from the three .hql DDLs
+ANALYTICAL_TABLE = "analytical.hashtag_data"
+STAGING_TABLE = "staging.hashtags_proc"
+RUN_LOG_TABLE = "operational.data_update_log"
+
+#: partition spec shared by the analytical + run-log DDLs
+_PART_COLS = ("year", "month", "day")
+
+
+def _cols_ddl(schema: StructType, *, skip: tuple[str, ...] = ()) -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.name not in skip
+    )
+
+
+def create_reference_tables(
+    spark: SparkSession, fmt: str = "parquet"
+) -> None:
+    """Create the three reference databases + tables if absent.
+
+    ``fmt='orc'`` reproduces the reference's physical format
+    (create_hashtags_data.hql:17-22); parquet is the engine default.
+    Idempotent (IF NOT EXISTS throughout)."""
+    for db in ("staging", "analytical", "operational"):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # staging.hashtags_proc is FLAT — its year/month/day are ordinary
+    # columns (create_hashtags_proc.hql:12-14), matching the overwrite
+    # -each-cycle O6 semantics
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {STAGING_TABLE}"
+        f" ({_cols_ddl(ANALYTICAL)}) USING {fmt}"
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {ANALYTICAL_TABLE}"
+        f" ({_cols_ddl(ANALYTICAL)}) USING {fmt}"
+        f" PARTITIONED BY ({', '.join(_PART_COLS)})"
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {RUN_LOG_TABLE}"
+        f" ({_cols_ddl(RUN_LOG)}) USING {fmt}"
+        f" PARTITIONED BY ({', '.join(_PART_COLS)})"
+    )
+
+
+def drop_reference_tables(spark: SparkSession) -> None:
+    """Tear down the three databases (tests; CASCADE drops tables)."""
+    for db in ("staging", "analytical", "operational"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+@dataclass
+class PipelineTables:
+    """Catalog-table targets (defaults = the reference DDL names)."""
+
+    staging: str = STAGING_TABLE
+    analytical: str = ANALYTICAL_TABLE
+    run_log: str = RUN_LOG_TABLE
+
+
+class CatalogBatchPipeline(BatchPipeline):
+    """BatchPipeline over persistent catalog tables (S11/S12 literal
+    shape): reads via ``spark.table``, writes via ``insertInto`` —
+    position-based, so the staged frame's ANALYTICAL_COLS order (year,
+    month, day last) must match the DDL, which both derive from
+    schemas.ANALYTICAL. Landing stays a path (the reference's landing
+    is bare CSV files, not a catalog table)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_path: str,
+        tables: PipelineTables | None = None,
+        **kwargs,
+    ):
+        tables = tables or PipelineTables()
+        paths = PipelinePaths(
+            landing=landing_path,
+            staging=tables.staging,
+            analytical=tables.analytical,
+            run_log=tables.run_log,
+        )
+        super().__init__(spark, paths, **kwargs)
+        self.tables = tables
+
+    def _write_staging(self, staged: DataFrame) -> None:
+        # INSERT OVERWRITE staging.hashtags_proc — the O6 truncate
+        staged.write.insertInto(self.tables.staging, overwrite=True)
+
+    def _read_staging(self) -> DataFrame:
+        return self.spark.table(self.tables.staging)
+
+    def _read_analytical(self) -> DataFrame | None:
+        # table pre-exists by DDL; "first run" is just an empty table,
+        # and the partition-pruned anti-join on an empty table is free
+        return self.spark.table(self.tables.analytical)
+
+    def _append_analytical(self, fresh: DataFrame) -> None:
+        # dynamic-partition INSERT INTO analytical.hashtag_data
+        fresh.write.insertInto(self.tables.analytical, overwrite=False)
+
+    def _append_run_log(self, row: DataFrame) -> None:
+        row.write.insertInto(self.tables.run_log, overwrite=False)

@@ -98,6 +98,40 @@ class BatchPipeline:
             self.spark, self.paths.landing, self.horizon_hours, now=self.now
         )
 
+    # --- storage primitives (path-backed; CatalogBatchPipeline
+    # overrides these five to serve the same DAG from persistent
+    # catalog tables — the literal S11/S12 INSERT INTO shape) ---
+
+    def _write_staging(self, staged: DataFrame) -> None:
+        staged.write.mode("overwrite").format(self.fmt).save(
+            self.paths.staging
+        )
+
+    def _read_staging(self) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.paths.staging)
+
+    def _read_analytical(self) -> DataFrame | None:
+        """Existing analytical table, or None on the first run."""
+        try:
+            return self.spark.read.format(self.fmt).load(
+                self.paths.analytical
+            )
+        except AnalysisException:  # first run: no analytical table yet
+            return None
+
+    def _append_analytical(self, fresh: DataFrame) -> None:
+        (
+            fresh.write.mode("append")
+            .partitionBy("year", "month", "day")
+            .format(self.fmt)
+            .save(self.paths.analytical)
+        )
+
+    def _append_run_log(self, row: DataFrame) -> None:
+        row.write.mode("append").partitionBy("year", "month", "day").format(
+            self.fmt
+        ).save(self.paths.run_log)
+
     @retry()
     def to_staging(self, landing: DataFrame) -> int:
         """ProcessDataToStaging + DeleteStagingOld (O6: overwrite —
@@ -111,7 +145,7 @@ class BatchPipeline:
         staged = transform_landing(landing).observe(
             obs, F.count(F.lit(1)).alias("n")
         )
-        staged.write.mode("overwrite").format(self.fmt).save(self.paths.staging)
+        self._write_staging(staged)
         return int(obs.get["n"])
 
     def _fresh_rows(self, staged: DataFrame) -> DataFrame:
@@ -124,9 +158,8 @@ class BatchPipeline:
         partition discipline, athena/create_hashtags_data.hql:13-16);
         asserted in tests/test_pipeline_e2e.py::test_antijoin_partition_pruned.
         """
-        try:
-            existing = self.spark.read.format(self.fmt).load(self.paths.analytical)
-        except AnalysisException:  # first run: no analytical table yet
+        existing = self._read_analytical()
+        if existing is None:
             return staged
         parts = [
             (r["year"], r["month"], r["day"])
@@ -147,7 +180,7 @@ class BatchPipeline:
         """LoadToAnalytical (S11) with the P7 count-guard. The blind
         `INSERT INTO … SELECT *` becomes an anti-join append on hash_id
         so replayed windows insert 0 rows (ST5 exactly-once)."""
-        staged = self.spark.read.format(self.fmt).load(self.paths.staging)
+        staged = self._read_staging()
         if staged.isEmpty():  # P7: "No new records" (cheap limit-1 probe)
             return 0
         fresh = self._fresh_rows(staged)
@@ -155,12 +188,8 @@ class BatchPipeline:
         # the inserted-row count (the reference's log payload) comes
         # from observe() instead of a second anti-join for .count()
         obs = Observation("loaded_rows")
-        (
+        self._append_analytical(
             fresh.observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .partitionBy("year", "month", "day")
-            .format(self.fmt)
-            .save(self.paths.analytical)
         )
         return int(obs.get["n"])
 
@@ -171,9 +200,7 @@ class BatchPipeline:
         y, m, d = (int(x) for x in self.run_date.split("-"))
         row = [(self.run_date, table_name, n_rows, y, m, d)]
         df = self.spark.createDataFrame(row, schema=RUN_LOG)
-        df.write.mode("append").partitionBy("year", "month", "day").format(
-            self.fmt
-        ).save(self.paths.run_log)
+        self._append_run_log(df)
 
     def run(self) -> dict[str, int]:
         """O1 — the sequential DAG

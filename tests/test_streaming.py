@@ -166,7 +166,12 @@ def test_stateful_tws_matches_legacy_api(spark, source_dir):
 
     assert RunningUserStatsProcessor is not None  # class defined & importable
     if not tws_available():
-        pytest.skip("transformWithState needs google.protobuf (absent here)")
+        pytest.skip(
+            "TWS state-server handshake only: the Python worker <-> JVM "
+            "state-store wire protocol needs google.protobuf (absent "
+            "here). The processor's init/handleInputRows logic itself "
+            "IS executed by test_tws_processor_logic_matches_legacy."
+        )
 
     stream = read_tweet_stream(spark, source_dir)
     q = (
@@ -187,6 +192,80 @@ def test_stateful_tws_matches_legacy_api(spark, source_dir):
     assert got["u2"] == (1, 10)
     assert got["u3"] == (1, 500)
     assert got["u4"] == (1, 200)
+
+
+def test_tws_processor_logic_matches_legacy():
+    """Run RunningUserStatsProcessor.handleInputRows DIRECTLY against
+    fake typed-state handles (no state server, no protobuf) on the
+    same micro-batch sequence as the legacy applyInPandasWithState
+    update function — byte-for-byte identical emissions and final
+    state. This pins the processor LOGIC in CI; the version-gated
+    streaming test above then only skips the protobuf wire handshake."""
+    import pandas as pd
+
+    from serverless_etl_spark.streaming.stateful import (
+        RunningUserStatsProcessor,
+        _update_user_stats,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    class FakeGroupState:
+        """The legacy GroupState surface (.exists/.get properties)."""
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    batches = [
+        [pd.DataFrame({"rt_count": [5, 150]})],
+        [pd.DataFrame({"rt_count": []}), pd.DataFrame({"rt_count": [42]})],
+        [pd.DataFrame({"rt_count": [7]})],
+    ]
+
+    proc = RunningUserStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    legacy_state = FakeGroupState()
+    for batch in batches:
+        got = list(proc.handleInputRows(("u1",), iter(batch), None))
+        want = list(
+            _update_user_stats(
+                ("u1",), iter([b.copy() for b in batch]), legacy_state
+            )
+        )
+        assert len(got) == len(want) == 1
+        pd.testing.assert_frame_equal(got[0], want[0])
+    proc.close()
+    assert handle.states["stats"].get() == legacy_state.get == (4, 150)
 
 
 def _kafka_wire_df(spark, records):

@@ -3916,3 +3916,93 @@ def q448_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SRC_SIM_TOPK)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q473 — duplicate-exposure accounting across training epochs
+# --------------------------------------------------------------------------
+
+EXPOSURE_EPOCHS = (1, 2, 4)  #: candidate epoch counts to audit
+EXPOSURE_T = 3  #: repeats above this flag memorization risk
+
+
+@register(
+    "q473_dup_exposure",
+    oracle=f"""
+    WITH clusters AS (
+        SELECT md5(text) AS digest,
+               CAST(COUNT(*) AS BIGINT) AS s,
+               CAST(ANY_VALUE(length(text)) AS BIGINT) AS c
+        FROM ({_DUPED_SQL})
+        GROUP BY 1
+    ),
+    epochs AS (SELECT unnest(ARRAY{list(EXPOSURE_EPOCHS)}) AS epochs)
+    SELECT CAST(epochs AS BIGINT) AS epochs,
+           CAST(1000000 * SUM(CASE WHEN s * epochs > {EXPOSURE_T}
+                              THEN s * c ELSE 0 END)
+                // SUM(s * c) AS BIGINT) AS exposed_chars_ppm,
+           CAST(1000000 * SUM(CASE WHEN s * epochs > {EXPOSURE_T}
+                              THEN s ELSE 0 END)
+                // SUM(s) AS BIGINT) AS exposed_docs_ppm,
+           CAST(MAX(s) * epochs AS BIGINT) AS max_exposure
+    FROM clusters CROSS JOIN epochs
+    GROUP BY epochs
+    ORDER BY epochs
+    """,
+)
+def q473_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-exposure accounting — the question dedup metrics
+    (q40/q161's savings) don't answer: at E training epochs, how much
+    of the corpus is content the model will see MORE than EXPOSURE_T
+    times? A doc in an exact-dup cluster of size s is seen s·E times
+    over E epochs, so duplication and epoch count multiply into the
+    memorization-risk budget (the Lee et al. dedup motivation: repeats
+    drive verbatim memorization). Per candidate epoch count: the ppm
+    of corpus chars and of corpus docs whose content exceeds the
+    threshold, plus the worst single content's exposure. Run BEFORE
+    committing to a multi-epoch schedule — 4 epochs over a corpus
+    that is 10% clusters-of-3 behaves like 12 passes over that slice.
+
+    Determinism: md5 cluster digests, integer sizes/chars, integer
+    ppm arithmetic; epoch grid is a literal array in both engines.
+
+    Scale: one digest-only groupBy (q40's shuffle — digests, never
+    text) to |distinct contents| rows, then a bounded cross join with
+    the 3-row epoch grid and a partial aggregation. Nothing data-sized
+    crosses the wire twice.
+
+    Reference: q40 (exact dedup), q161 (dedup savings), q124 (source
+    overlap forensics), q439 (training mix — the weights this audit
+    multiplies into)."""
+    duped = _duped_docs(spark, sf_dir)
+    clusters = duped.groupBy(F.md5("text").alias("digest")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s"),
+        F.any_value(F.length("text")).cast("bigint").alias("c"),
+    )
+    epochs = spark.createDataFrame(
+        [(e,) for e in EXPOSURE_EPOCHS], "epochs INT"
+    )
+    return (
+        clusters.crossJoin(F.broadcast(epochs))
+        .groupBy("epochs")
+        .agg(
+            F.expr(
+                f"CAST(1000000 * SUM(CASE WHEN s * epochs > {EXPOSURE_T}"
+                " THEN s * c ELSE 0 END) DIV SUM(s * c) AS BIGINT)"
+            ).alias("exposed_chars_ppm"),
+            F.expr(
+                f"CAST(1000000 * SUM(CASE WHEN s * epochs > {EXPOSURE_T}"
+                " THEN s ELSE 0 END) DIV SUM(s) AS BIGINT)"
+            ).alias("exposed_docs_ppm"),
+            (F.max("s") * F.first("epochs")).cast("bigint").alias(
+                "max_exposure"
+            ),
+        )
+        .select(
+            F.col("epochs").cast("bigint").alias("epochs"),
+            "exposed_chars_ppm",
+            "exposed_docs_ppm",
+            "max_exposure",
+        )
+        .orderBy("epochs")
+    )

@@ -4460,3 +4460,102 @@ def q468_quality_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# q470 — differentially-private count release (truncated discrete Laplace)
+# --------------------------------------------------------------------------
+
+DP_EPS_MILLI = 500  #: ε = 0.5 per released cell
+DP_NOISE_K = 12  #: truncation bound of the discrete-Laplace support
+DP_SUPPRESS = 5  #: post-noise release threshold
+
+import math as _math  # noqa: E402  (module-local, stdlib only)
+
+_DP_A = _math.exp(-DP_EPS_MILLI / 1000.0)
+_DP_W = [_DP_A ** abs(k) for k in range(-DP_NOISE_K, DP_NOISE_K + 1)]
+_DP_TOT = sum(_DP_W)
+#: cumulative inverse-CDF thresholds (Python-computed float literals —
+#: identical in both engines' plans, the q255 Poisson device)
+_DP_CUM = []
+_c = 0.0
+for _k, _w in zip(range(-DP_NOISE_K, DP_NOISE_K + 1), _DP_W):
+    _c += _w / _DP_TOT
+    _DP_CUM.append((_k, _c))
+
+
+def _dlap_case_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in _DP_CUM[:-1]
+    )
+    return f"CASE {branches} ELSE {DP_NOISE_K} END"
+
+
+_DP_U_SQL = (
+    "CAST(('0x' || substr(md5(lang || '|' || source), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "q470_dp_counts",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    noised AS (
+        SELECT lang, source,
+               GREATEST(n + {_dlap_case_sql(_DP_U_SQL)}, 0) AS n_noised
+        FROM cells
+    )
+    SELECT lang, source, CAST(n_noised AS BIGINT) AS n_noised,
+           CAST({DP_EPS_MILLI} AS BIGINT) AS epsilon_milli
+    FROM noised WHERE n_noised >= {DP_SUPPRESS}
+    ORDER BY lang, source
+    """,
+)
+def q470_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the NOISE mechanism the
+    privacy family was missing: q122/q337/q413 decide which cells are
+    safe to release as-is and q442 suppresses, but a DP release
+    perturbs every published count so no cell is exact. Per (lang,
+    source) cell: count + discrete-Laplace noise (the geometric
+    mechanism, the standard integer-valued ε-DP release), clamped at
+    0, suppressed below DP_SUPPRESS post-noise (censoring tiny cells
+    whose signal is mostly noise).
+
+    Determinism: the noise draw is an md5-uniform of the CELL KEY fed
+    through Python-computed inverse-CDF literal thresholds (the q255
+    Poisson device) — identical branch arithmetic in both engines. The
+    support is truncated at ±DP_NOISE_K and renormalized (documented
+    deviation: tail mass ~a^K re-spread; a production release keys the
+    draw on a per-release secret, not the cell name).
+
+    Scale: one partial-aggregable groupBy to |cells| rows; noise and
+    thresholding are map-side on the bounded cell table.
+
+    Reference: q122 (k-anonymity), q442 (cell suppression), q255
+    (inverse-CDF literal device), q413 (t-closeness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    noise = F.expr(
+        _dlap_case_sql(
+            "CAST(conv(substring(md5(concat_ws('|', lang, source)), 1, 8),"
+            " 16, 10) AS BIGINT) / 4294967296.0"
+        )
+    )
+    return (
+        cells.select(
+            "lang",
+            "source",
+            F.greatest(F.col("n") + noise, F.lit(0))
+            .cast("bigint")
+            .alias("n_noised"),
+            F.lit(DP_EPS_MILLI).cast("bigint").alias("epsilon_milli"),
+        )
+        .filter(F.col("n_noised") >= DP_SUPPRESS)
+        .orderBy("lang", "source")
+    )

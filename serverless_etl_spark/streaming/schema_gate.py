@@ -1,0 +1,177 @@
+"""Streaming schema-drift gate: every micro-batch of raw JSON lines is
+checked against a declared column CONTRACT before parsing — the
+ingest-time twin of q222's row-level contracts, one layer up. A
+fixed-schema streaming JSON reader silently NULLs missing fields,
+drops unexpected ones, and (permissive mode) nulls type-mismatched
+values — by the time rows land, the evidence of upstream schema drift
+is gone. This gate reads the batch as RAW LINES, inspects each line's
+actual key set and value types against the contract, routes conforming
+rows to the typed clean output and non-conforming lines (with the
+specific breach) to quarantine, and records a per-batch verdict row.
+
+Breach taxonomy (checked in priority order, one verdict per row):
+- ``malformed``        — the line is not a JSON object
+- ``missing_required`` — a required contract field is absent
+- ``type_error``       — a present field fails try_cast to its
+                          declared type
+- ``extra_fields``     — keys outside the contract (schema WIDENED
+                          upstream; quarantined so the new column is
+                          noticed, not silently dropped)
+
+Exactly-once: stateless (the contract is a constant), so replay safety
+is batch_id dynamic-overwrite partitions on all three outputs (the
+checksum_gate contract).
+
+Stream ≡ batch: ``split_schema(lines, contract, required)`` is the
+SAME function the foreachBatch hook runs (tests/test_schema_gate.py).
+
+Scale: per batch, one map-side projection computing key sets
+(json_object_keys) and per-field try_casts — no shuffle touches the
+payload; the verdict is one partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+SCORE_SCHEMA = (
+    "n_rows BIGINT, n_clean BIGINT, n_malformed BIGINT,"
+    " n_missing_required BIGINT, n_type_error BIGINT,"
+    " n_extra_fields BIGINT, batch_id BIGINT"
+)
+
+#: spark simpleString type -> usable in try_cast (identity for the
+#: primitive types a JSON contract carries)
+_CASTABLE = {"string", "int", "bigint", "double", "float", "boolean",
+             "timestamp", "date", "long", "integer", "smallint"}
+
+
+def _verdict_col(contract: StructType, required: list[str]):
+    """One expression: the row's breach class ('' = clean)."""
+    keys = F.json_object_keys("value")
+    missing = F.array_except(
+        F.array(*[F.lit(f) for f in required]), keys
+    )
+    extra = F.array_except(
+        keys, F.array(*[F.lit(f.name) for f in contract.fields])
+    )
+    type_bad = F.lit(False)
+    for f in contract.fields:
+        t = f.dataType.simpleString()
+        if t not in _CASTABLE or t == "string":
+            continue  # strings always cast; exotic types parse later
+        raw = F.get_json_object("value", f"$.{f.name}")
+        type_bad = type_bad | (
+            raw.isNotNull() & F.expr(
+                f"try_cast(get_json_object(value, '$.{f.name}')"
+                f" AS {t}) IS NULL"
+            )
+        )
+    return (
+        F.when(keys.isNull(), "malformed")
+        .when(F.size(missing) > 0, "missing_required")
+        .when(type_bad, "type_error")
+        .when(F.size(extra) > 0, "extra_fields")
+        .otherwise("")
+    )
+
+
+def split_schema(
+    lines: DataFrame, contract: StructType, required: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows are parsed to the contract's
+    typed columns; quarantined rows keep the raw line plus its breach
+    class. Every input line lands in exactly one side."""
+    judged = lines.withColumn(
+        "breach", _verdict_col(contract, required)
+    )
+    clean = (
+        judged.filter(F.col("breach") == "")
+        .withColumn("parsed", F.from_json("value", contract))
+        .select("parsed.*")
+    )
+    quarantine = judged.filter(F.col("breach") != "").select(
+        F.col("value").alias("raw_line"), "breach"
+    )
+    return clean, quarantine
+
+
+def schema_gate_writer(
+    contract: StructType,
+    required: list[str],
+    clean_dir: str,
+    quarantine_dir: str,
+    scores_dir: str,
+):
+    """foreachBatch hook over a text stream of JSON lines."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        clean, quar = split_schema(batch, contract, required)
+        _dynamic_overwrite(
+            clean.withColumn("batch_id", F.lit(batch_id)), clean_dir
+        )
+        _dynamic_overwrite(
+            quar.withColumn("batch_id", F.lit(batch_id)), quarantine_dir
+        )
+        row = (
+            batch.select(_verdict_col(contract, required).alias("breach"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("breach") == "", 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_clean"),
+                *[
+                    F.sum(F.when(F.col("breach") == b, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"n_{b}")
+                    for b in (
+                        "malformed",
+                        "missing_required",
+                        "type_error",
+                        "extra_fields",
+                    )
+                ],
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        _dynamic_overwrite(row, scores_dir)
+
+    return _write
+
+
+def read_scores(spark: SparkSession, scores_dir: str) -> DataFrame:
+    return _read_or_empty(spark, scores_dir, SCORE_SCHEMA)
+
+
+def run_schema_gate(
+    spark: SparkSession,
+    source_dir: str,
+    contract: StructType,
+    required: list[str],
+    clean_dir: str,
+    quarantine_dir: str,
+    scores_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available JSON-lines files (availableNow) through the
+    gate as RAW text (never pre-parsed — parsing is the gate's job)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.text(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            schema_gate_writer(
+                contract, required, clean_dir, quarantine_dir, scores_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

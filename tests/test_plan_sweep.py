@@ -158,6 +158,8 @@ BNLJ_ALLOWED = {
     "q466_heaps_fit",             # 10-row checkpoint spine broadcast
     "q467_ingest_outages",        # one-row span x incidents broadcast
     "q468_quality_decay",         # one-row n + one-row fit broadcasts
+    "q469_auc_binned",            # one-row bounds broadcast (q134 device)
+    "q473_dup_exposure",          # 3-row epoch-grid broadcast fan-out
 }
 
 

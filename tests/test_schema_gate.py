@@ -1,0 +1,125 @@
+"""Streaming schema-drift gate (streaming/schema_gate.py): planted
+shape breaches (missing required field, type mismatch, extra field,
+non-JSON garbage) are quarantined with the right breach class while
+conforming rows parse clean; clean ∪ quarantine == batch exactly;
+stream ≡ batch; replay after checkpoint deletion rewrites identical
+outputs."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from serverless_etl_spark.streaming.schema_gate import (
+    read_scores,
+    run_schema_gate,
+    split_schema,
+)
+
+CONTRACT = StructType(
+    [
+        StructField("tweet_id", StringType()),
+        StructField("user_name", StringType()),
+        StructField("rt_count", IntegerType()),
+        StructField("text", StringType()),
+    ]
+)
+REQUIRED = ["tweet_id", "user_name", "rt_count"]
+
+GOOD = [
+    {"tweet_id": "t1", "user_name": "u1", "rt_count": 5, "text": "a"},
+    {"tweet_id": "t2", "user_name": "u2", "rt_count": 0, "text": ""},
+    # optional field absent is CONFORMING (only REQUIRED are enforced)
+    {"tweet_id": "t3", "user_name": "u3", "rt_count": 9},
+]
+BREACHED = [
+    ("missing_required", {"tweet_id": "t4", "text": "no user/rt"}),
+    ("type_error", {"tweet_id": "t5", "user_name": "u5",
+                    "rt_count": "lots"}),
+    ("extra_fields", {"tweet_id": "t6", "user_name": "u6", "rt_count": 1,
+                      "geo_lat": 1.5}),
+]
+GARBAGE = "not json at all {"
+
+
+def _write_files(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "part-0.json", "w") as f:
+        for r in GOOD:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "part-1.json", "w") as f:
+        for _, r in BREACHED:
+            f.write(json.dumps(r) + "\n")
+        f.write(GARBAGE + "\n")
+    return src
+
+
+def test_schema_gate_partitions_and_classifies(spark, tmp_path):
+    src = _write_files(tmp_path)
+    clean_d, quar_d, scores_d, ckpt = (
+        tmp_path / n for n in ("clean", "quar", "scores", "ckpt")
+    )
+    run_schema_gate(
+        spark, str(src), CONTRACT, REQUIRED,
+        str(clean_d), str(quar_d), str(scores_d), str(ckpt),
+    )
+    clean = spark.read.parquet(str(clean_d))
+    assert sorted(r.tweet_id for r in clean.collect()) == ["t1", "t2", "t3"]
+    assert clean.filter("tweet_id = 't3'").collect()[0].text is None
+    assert dict(clean.dtypes)["rt_count"] == "int"  # typed, not raw
+
+    quar = spark.read.parquet(str(quar_d))
+    got = {
+        (json.loads(r.raw_line).get("tweet_id") if r.breach != "malformed"
+         else None): r.breach
+        for r in quar.collect()
+    }
+    assert got == {
+        "t4": "missing_required",
+        "t5": "type_error",
+        "t6": "extra_fields",
+        None: "malformed",
+    }
+    # exact partition: clean + quarantine == every input line
+    assert clean.count() + quar.count() == len(GOOD) + len(BREACHED) + 1
+
+    scores = {r.batch_id: r for r in read_scores(spark, str(scores_d)).collect()}
+    assert len(scores) == 2
+    bad = next(s for s in scores.values() if s.n_clean == 0)
+    assert (bad.n_malformed, bad.n_missing_required, bad.n_type_error,
+            bad.n_extra_fields) == (1, 1, 1, 1)
+    assert bad.n_rows == 4
+    ok = next(s for s in scores.values() if s.n_clean > 0)
+    assert ok.n_clean == ok.n_rows == 3
+
+
+def test_schema_gate_stream_equals_batch(spark, tmp_path):
+    src = _write_files(tmp_path)
+    lines = spark.read.text(str(src / "part-1.json"))
+    clean, quar = split_schema(lines, CONTRACT, REQUIRED)
+    assert clean.count() == 0
+    assert sorted(r.breach for r in quar.collect()) == [
+        "extra_fields", "malformed", "missing_required", "type_error",
+    ]
+
+
+def test_schema_gate_replay_is_idempotent(spark, tmp_path):
+    src = _write_files(tmp_path)
+    dirs = [str(tmp_path / n) for n in ("clean", "quar", "scores")]
+    ckpt = tmp_path / "ckpt"
+    args = (spark, str(src), CONTRACT, REQUIRED, *dirs, str(ckpt))
+    run_schema_gate(*args)
+    first = sorted(tuple(r) for r in read_scores(spark, dirs[2]).collect())
+    shutil.rmtree(ckpt)
+    run_schema_gate(*args)
+    second = sorted(tuple(r) for r in read_scores(spark, dirs[2]).collect())
+    assert first == second
+    assert spark.read.parquet(dirs[0]).count() == 3

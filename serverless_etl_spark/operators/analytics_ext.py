@@ -11489,7 +11489,11 @@ def q392_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("variant", "s1", "s2")
         .agg(F.sum("ppm").cast("bigint").alias("ppm"))
     )
-    t = trans_v.localCheckpoint(eager=False)
+    # tens-of-rows matrices: one partition + EAGER first checkpoint so
+    # the heavy journey-window upstream is computed exactly once and
+    # every squaring plans/schedules over a one-partition LogicalRDD
+    # (q459 planning-cost lesson)
+    t = trans_v.coalesce(1).localCheckpoint(eager=True)
     for _ in range(MK_POW):
         a = t.select("variant", "s1", F.col("s2").alias("mid"),
                      F.col("ppm").alias("pa"))
@@ -11502,6 +11506,7 @@ def q392_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("variant", "s1", "s2")
             .agg(F.sum("pp").cast("bigint").alias("ppm"))
+            .coalesce(1)
             .localCheckpoint(eager=False)
         )
     cm = (

@@ -2739,7 +2739,11 @@ def q424_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ssdiv("1000 * m", "mxa")).cast("bigint").alias("ms"),
         )
     )
-    scat = track_cache(scat.persist())
+    # 64x64 bounded scatter matrix: EAGER localCheckpoint so power-
+    # iteration rounds plan over a one-partition LogicalRDD instead of
+    # re-analyzing the per-vector self-join tree each round (q459
+    # planning-cost lesson).
+    scat = scat.coalesce(1).localCheckpoint(eager=True)
     v = scat.select("i").distinct().select(
         "i", F.lit(1000).cast("bigint").alias("v")
     )

@@ -2065,16 +2065,20 @@ def q420_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = sym.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
     )
-    weighted = track_cache(weighted.persist())
+    # |vocab|² bounded: EAGER localCheckpoint (not persist) so the
+    # per-round plans reference LogicalRDD scans instead of re-running
+    # Catalyst over the bigram-explode tree every round — the q459
+    # planning-cost lesson; weighted collapses to one partition first.
+    weighted = weighted.coalesce(1).localCheckpoint(eager=True)
     wout = weighted.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
     edges = weighted.join(wout, "src").select(
         "src",
         "dst",
         F.expr("CAST(1000000 * w DIV wu AS BIGINT)").alias("share"),
     )
-    edges = track_cache(edges.persist())
+    edges = edges.coalesce(1).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("tok")).distinct()
-    nodes = track_cache(nodes.persist())
+    nodes = nodes.coalesce(1).localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "tok", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("r")

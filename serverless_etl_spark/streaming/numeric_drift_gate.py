@@ -39,6 +39,11 @@ from .neardup_gate import _dynamic_overwrite, _read_or_empty
 #: monitored numeric column
 VALUE_COL = "value"
 REF_SCHEMA = "bin INT, oa BIGINT"
+#: drifted: 1 = alert, 0 = in-distribution, -1 = NO REFERENCE — the
+#: gate ran before a reference histogram was persisted, so the batch
+#: was NOT scored (with an empty reference the Laplace-smoothed PSI
+#: silently degrades to "batch vs uniform", which can read 0 =
+#: healthy — fail-open; the distinct verdict keeps it fail-closed).
 SCORE_SCHEMA = (
     "n_rows BIGINT, psi_micro BIGINT, w1_milli BIGINT, drifted INT,"
     " batch_id BIGINT"
@@ -65,7 +70,14 @@ def numeric_drift_score(
     """One-row (n_rows, psi_micro, w1_milli) score of `batch` against
     the reference histogram. PSI terms are q411's Laplace-smoothed
     per-bin FLOOR-of-ln integers over the DENSE grid; W1 is q428's
-    cross-multiplied cumulative-gap form in milli value units."""
+    cross-multiplied cumulative-gap form in milli value units.
+
+    Domain note: rows whose value is NULL or below 0 fall outside the
+    q411 bin grid and are EXCLUDED from both histograms and n_rows —
+    the monitored column carries a `value >= 0` contract (q222
+    events.value_not_negative); enforce that contract upstream (or at
+    this gate's door with schema_gate + q222) rather than letting
+    out-of-domain rows silently skew a distribution score."""
     spark = batch.sparkSession
     bc = batch.groupBy(_bin(col).alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("ob")
@@ -129,6 +141,19 @@ def numeric_drift_gate_writer(
     def _write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         ref = _read_or_empty(spark, ref_dir, REF_SCHEMA)
+        if ref.isEmpty():
+            # no reference yet: record the distinct -1 verdict instead
+            # of scoring against the uniform prior (drift_gate's
+            # no-reference contract)
+            row = batch.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.lit(0).cast("bigint").alias("psi_micro"),
+                F.lit(0).cast("bigint").alias("w1_milli"),
+                F.lit(-1).cast("int").alias("drifted"),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+            _dynamic_overwrite(row, scores_dir)
+            return
         row = numeric_drift_score(batch, ref, col).select(
             "n_rows",
             "psi_micro",

@@ -108,3 +108,24 @@ def test_numeric_gate_flags_shift_and_replays(spark, tmp_path):
         k: (v["psi_micro"], v["w1_milli"], v["drifted"])
         for k, v in again.items()
     }
+
+
+def test_numeric_gate_no_reference_emits_distinct_verdict(spark, tmp_path):
+    """Gate started before a reference histogram exists: batches must
+    NOT be scored against the uniform Laplace prior (which can read
+    psi=0 = healthy) — the distinct drifted=-1 verdict records them
+    as unscored."""
+    _, src, _ = _setup(spark, tmp_path)
+    scores = tmp_path / "scores"
+    run_numeric_drift_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(tmp_path / "ref_missing"),  # never written
+        str(scores),
+        str(tmp_path / "ckpt"),
+    )
+    got = read_scores(spark, str(scores)).collect()
+    assert len(got) == 2
+    assert all(r["drifted"] == -1 for r in got)
+    assert all(r["n_rows"] > 0 for r in got)

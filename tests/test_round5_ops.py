@@ -183,3 +183,30 @@ def test_dup_exposure_seeded_truth(spark):
     assert rows[1].exposed_docs_ppm == 0  # max cluster size 2 <= T=3
     assert rows[4].exposed_docs_ppm == 1_000_000  # every doc: 1*4 > 3
     assert rows[2].max_exposure == 4  # size-2 cluster, 2 epochs
+
+
+# --------------------------------------------------------------------------
+# q474 — entropy secret screen
+# --------------------------------------------------------------------------
+
+
+def test_entropy_secrets_flags_seeds_without_patterns(spark):
+    """Every seeded credential (the q430 truth) must flag on entropy
+    alone, the output must mask tokens to a 4-char preview, and no
+    natural-language fixture token may flag (none reaches MINLEN)."""
+    rows = registry.QUERIES["q474_entropy_secrets"](spark, SF_SMALL).collect()
+    assert rows
+    previews = {r.tok_preview for r in rows}
+    assert previews <= {"key=…", "toke…"}  # masked, seeded shapes only
+    for r in rows:
+        assert len(r.tok_preview) == 5
+        assert r.tok_len >= quality.ENT_SEC_MINLEN
+        assert r.ratio_ppm >= quality.ENT_SEC_MIN_RATIO_PPM
+    # completeness vs the seeded truth: one row per planted AKIA/ghp_
+    from serverless_etl_spark.io import load_table
+
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    want = sum(1 for d in range(n_docs) if d % 13 == 0) + sum(
+        1 for d in range(n_docs) if d % 17 == 0
+    )
+    assert len(rows) == want

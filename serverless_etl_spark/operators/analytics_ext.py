@@ -14037,3 +14037,154 @@ def q460_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls_from", "cls_to")
     )
+
+
+# --------------------------------------------------------------------------
+# q475 — approximate group-by with error bars (AQP / BlinkDB shape)
+# --------------------------------------------------------------------------
+
+AQP_RATE_PPM = 100_000  #: 10% uniform row sample
+AQP_Z_MILLI = 1960  #: 95% normal quantile, milli
+
+
+@register(
+    "q475_aqp_groupby",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 AS u
+        FROM lineitem
+    ),
+    exact AS (
+        SELECT rf, ls, CAST(SUM(cents) AS BIGINT) AS exact_cents
+        FROM base GROUP BY 1, 2
+    ),
+    samp AS (
+        SELECT rf, ls,
+               CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(cents) AS BIGINT) AS sum_s,
+               CAST(SUM(cents * cents) AS BIGINT) AS sum2_s
+        FROM base WHERE u < {AQP_RATE_PPM} GROUP BY 1, 2
+    )
+    SELECT e.rf AS l_returnflag, e.ls AS l_linestatus,
+           s.n_s,
+           CAST(1000000 * s.sum_s // {AQP_RATE_PPM} AS BIGINT) AS est_cents,
+           e.exact_cents,
+           CAST(1000000 * ABS(1000000 * s.sum_s // {AQP_RATE_PPM}
+                              - e.exact_cents)
+                // e.exact_cents AS BIGINT) AS rel_err_ppm,
+           CAST(FLOOR({AQP_Z_MILLI} / 1000.0
+                * (1000000.0 / {AQP_RATE_PPM})
+                * sqrt(CAST(s.sum2_s AS DOUBLE)
+                       * (1.0 - {AQP_RATE_PPM} / 1000000.0)))
+               AS BIGINT) AS ci_half_cents,
+           CASE WHEN ABS(1000000 * s.sum_s // {AQP_RATE_PPM}
+                         - e.exact_cents)
+                     <= CAST(FLOOR({AQP_Z_MILLI} / 1000.0
+                          * (1000000.0 / {AQP_RATE_PPM})
+                          * sqrt(CAST(s.sum2_s AS DOUBLE)
+                                 * (1.0 - {AQP_RATE_PPM} / 1000000.0)))
+                         AS BIGINT)
+                THEN 1 ELSE 0 END AS covered
+    FROM exact e JOIN samp s ON s.rf = e.rf AND s.ls = e.ls
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q475_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing — the BlinkDB/sampling answer to
+    "this dashboard group-by cannot scan 100 TB interactively": a
+    deterministic 10% uniform row sample (md5 of the row key, so the
+    'sample' is a pushed-down FILTER, never a second table), the
+    Horvitz–Thompson scale-up of each group's SUM, and an honest 95%
+    error bar from the Horvitz-Thompson total variance under
+    Bernoulli sampling ((1-f)/f^2 * sum of squares, estimated from the
+    sample itself). The exact aggregate rides along here ONLY
+    to grade the estimator (rel_err_ppm, covered); at scale you run
+    the sample side alone and publish est ± ci. This is the
+    engine-feature complement of the sketch family: q49/q239 trade
+    exactness on DISTINCT, this trades it on SUM — both with stated
+    error, never silently.
+
+    Determinism: integer cent sums (map-side partial aggs), the
+    sampling predicate is an md5 ppm compare, the CI is one double
+    expression with identical operation order floored ONCE to cents.
+
+    Scale: the sample predicate evaluates in the scan (no shuffle of
+    skipped rows); both aggregations are partial-aggregable to
+    |groups| cells. With a persisted 10% sample TABLE the exact side
+    disappears entirely and the query touches 10% of the bytes.
+
+    Reference: q49/q73/q239 (sketch error contracts), q255 (bootstrap
+    CIs — resampling where no closed form exists), q384 (correlated
+    sampling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        ).alias("u"),
+    )
+    exact = base.groupBy("rf", "ls").agg(
+        F.sum("cents").cast("bigint").alias("exact_cents")
+    )
+    samp = (
+        base.filter(F.col("u") < AQP_RATE_PPM)
+        .groupBy("rf", "ls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s"),
+            F.sum("cents").cast("bigint").alias("sum_s"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .cast("bigint")
+            .alias("sum2_s"),
+        )
+    )
+    est = F.expr(f"CAST(1000000 * sum_s DIV {AQP_RATE_PPM} AS BIGINT)")
+    ci = F.expr(
+        f"CAST(FLOOR({AQP_Z_MILLI} / 1000.0"
+        f" * (1000000.0 / {AQP_RATE_PPM})"
+        " * sqrt(CAST(sum2_s AS DOUBLE)"
+        f" * (1.0 - {AQP_RATE_PPM} / 1000000.0))) AS BIGINT)"
+    )
+    return (
+        exact.join(samp, ["rf", "ls"])
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("ls").alias("l_linestatus"),
+            "n_s",
+            est.alias("est_cents"),
+            "exact_cents",
+            F.expr(
+                f"CAST(1000000 * ABS(1000000 * sum_s DIV {AQP_RATE_PPM}"
+                " - exact_cents) DIV exact_cents AS BIGINT)"
+            ).alias("rel_err_ppm"),
+            ci.alias("ci_half_cents"),
+            F.when(
+                F.abs(est - F.col("exact_cents")) <= ci, 1
+            )
+            .otherwise(0)
+            .alias("covered"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

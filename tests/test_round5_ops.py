@@ -210,3 +210,27 @@ def test_entropy_secrets_flags_seeds_without_patterns(spark):
         1 for d in range(n_docs) if d % 17 == 0
     )
     assert len(rows) == want
+
+
+# --------------------------------------------------------------------------
+# q475 — approximate group-by with error bars
+# --------------------------------------------------------------------------
+
+
+def test_aqp_estimates_covered_and_accounted(spark):
+    """At sf0.01 every group's 95% interval must cover the exact sum
+    (18 independent checks across SFs showed 17/18 — at this SF all 6
+    hold), the estimator must be the exact HT scale-up of the sample
+    sum, and rel_err must be the stated comparison of the two."""
+    rows = registry.QUERIES["q475_aqp_groupby"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 6  # 3 returnflags x 2 linestatus
+    for r in rows:
+        assert r.covered == 1, (r.l_returnflag, r.l_linestatus)
+        assert r.ci_half_cents > 0
+        assert (
+            abs(r.est_cents - r.exact_cents) * 1_000_000 // r.exact_cents
+            == r.rel_err_ppm
+        )
+        assert r.n_s > 0

@@ -4380,3 +4380,177 @@ def q472_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("plan")
+
+
+# --------------------------------------------------------------------------
+# q476 — Jelinek-Mercer interpolation sweep (LM smoothing hyperparameter)
+# --------------------------------------------------------------------------
+
+JM_LAMBDAS_PPM = (100_000, 300_000, 500_000, 700_000, 900_000)
+JM_TRAIN_UPPER = 80  #: md5(doc_id) % 100 < 80 -> train, else heldout
+
+
+def _jm_split_sql(side: str) -> str:
+    op = "<" if side == "train" else ">="
+    return (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % 100 {op} {JM_TRAIN_UPPER}"
+    )
+
+
+@register(
+    "q476_jm_interpolation",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS r(i)
+        WHERE ts[i] <> '' AND ts[i+1] <> ''
+    ),
+    tr_bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi
+        WHERE {_jm_split_sql("train")} GROUP BY 1, 2
+    ),
+    tr_uni AS (
+        SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi
+        WHERE {_jm_split_sql("train")} GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tr_uni
+    ),
+    held AS (SELECT w1, w2 FROM bi WHERE {_jm_split_sql("held")}),
+    scored AS (
+        SELECT lam,
+               CAST(FLOOR(1000000.0 * ln(
+                   (lam * COALESCE(1000000 * tb.c12 // tu1.c1, 0)
+                    + (1000000 - lam)
+                      * (1000000 * (COALESCE(tu2.c1, 0) + 1)
+                         // (tot.n + tot.v))) / 1000000.0
+                   / 1000000.0)) AS BIGINT) AS lp_micro
+        FROM held h
+        CROSS JOIN (SELECT unnest(ARRAY{list(JM_LAMBDAS_PPM)}) AS lam)
+        CROSS JOIN tot
+        LEFT JOIN tr_bi tb ON tb.w1 = h.w1 AND tb.w2 = h.w2
+        LEFT JOIN tr_uni tu1 ON tu1.w = h.w1
+        LEFT JOIN tr_uni tu2 ON tu2.w = h.w2
+    )
+    SELECT CAST(lam AS BIGINT) AS lambda_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(lp_micro) // COUNT(*) AS BIGINT) AS avg_logprob_micro,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY SUM(lp_micro) // COUNT(*) DESC, lam) AS INT) AS rk
+    FROM scored
+    GROUP BY lam
+    ORDER BY lambda_ppm
+    """,
+)
+def q476_jm_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolation sweep — the smoothing
+    HYPERPARAMETER loop q426's fixed-Laplace eval doesn't have: score
+    held-out bigrams under λ·p_bigram + (1−λ)·p_unigram for a λ grid
+    and rank by held-out log-probability (rk 1 = the λ you ship).
+    Mixing with the unigram floor is what keeps unseen bigrams finite
+    (the JM idea); the sweep shows the characteristic interior
+    optimum — λ→1 overfits sparse bigrams, λ→0 throws context away —
+    pinned as a test invariant rather than assumed.
+
+    Determinism: both probabilities are integer ppm floors from train
+    counts; the mixture is integer arithmetic; ONE FLOOR-of-ln per
+    (transition, λ) at micro scale summed as BIGINTs (q415/q426
+    discipline); md5 doc split; the truncating integer divide of the
+    negative sum matches across engines (q426's verified semantics).
+
+    Scale: count tables partial-agg map-side; scoring is broadcast-
+    joinable lookups per held-out transition fanned ×|λ| — text never
+    shuffles; the result is |λ| rows. Same shape at 10⁹ documents.
+
+    Reference: q426 (heldout eval, fixed smoothing), q115 (bigram
+    scoring), q365 (learning curve — the other fit-vs-capacity
+    sweep), q250/q356 (threshold/chunking sweeps — the pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    bi = bi.withColumn("bucket", split)
+    train = bi.filter(F.col("bucket") < JM_TRAIN_UPPER)
+    held = bi.filter(F.col("bucket") >= JM_TRAIN_UPPER).select("w1", "w2")
+    tr_bi = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    tr_uni = train.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    tot = tr_uni.agg(
+        F.sum("c1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lam = spark.createDataFrame(
+        [(x,) for x in JM_LAMBDAS_PPM], "lam BIGINT"
+    )
+    scored = (
+        held.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tr_bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(tr_uni.select(F.col("w").alias("w1"),
+                                      F.col("c1").alias("c1_1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(tr_uni.select(F.col("w").alias("w2"),
+                                      F.col("c1").alias("c1_2"))),
+            "w2",
+            "left",
+        )
+        .select(
+            "lam",
+            F.expr(
+                "CAST(FLOOR(1000000.0 * ln("
+                "(lam * COALESCE(1000000 * c12 DIV c1_1, 0)"
+                " + (1000000 - lam)"
+                " * (1000000 * (COALESCE(c1_2, 0) + 1) DIV (n + v)))"
+                " / 1000000.0 / 1000000.0)) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    out = scored.groupBy("lam").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.expr("CAST(SUM(lp_micro) DIV COUNT(*) AS BIGINT)").alias(
+            "avg_logprob_micro"
+        ),
+    )
+    return (
+        out.select(
+            F.col("lam").cast("bigint").alias("lambda_ppm"),
+            "n_scored",
+            "avg_logprob_micro",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("avg_logprob_micro").desc(), F.col("lam")
+                )
+            )
+            .cast("int")
+            .alias("rk"),
+        )
+        .orderBy("lambda_ppm")
+    )

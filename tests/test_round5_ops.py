@@ -234,3 +234,27 @@ def test_aqp_estimates_covered_and_accounted(spark):
             == r.rel_err_ppm
         )
         assert r.n_s > 0
+
+
+# --------------------------------------------------------------------------
+# q476 — Jelinek-Mercer interpolation sweep
+# --------------------------------------------------------------------------
+
+
+def test_jm_sweep_ranks_consistently_and_reads_the_fixture_right(spark):
+    """Ranking must follow held-out log-probability; every lambda
+    scores the same held-out set. On the closed-vocabulary random-word
+    fixture, bigram context carries almost no signal, so the sweep
+    must pick the LOWEST lambda (most unigram weight) — i.e., the
+    hyperparameter loop correctly detects useless context instead of
+    defaulting to it."""
+    rows = sorted(
+        registry.QUERIES["q476_jm_interpolation"](
+            spark, SF_SMALL
+        ).collect(),
+        key=lambda r: r.rk,
+    )
+    assert {r.n_scored for r in rows} == {rows[0].n_scored}
+    avgs = [r.avg_logprob_micro for r in rows]
+    assert avgs == sorted(avgs, reverse=True)  # rk follows the metric
+    assert rows[0].lambda_ppm == min(training_ext.JM_LAMBDAS_PPM)

@@ -4355,31 +4355,45 @@ def q472_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
         ).alias("n_tok")
     )
-    parts = []
-    for name, buckets in sorted(PAD_PLANS.items()):
-        mx = buckets[-1]
-        eff = f"LEAST(n_tok, {mx})"
-        padded = _bucket_case_sql(eff, buckets)
-        parts.append(
-            ntok.agg(
-                F.lit(name).alias("plan"),
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum("n_tok").cast("bigint").alias("raw_tokens"),
-                F.sum(F.expr(padded)).cast("bigint").alias("padded_slots"),
-                F.expr(
-                    f"CAST(1000000 * SUM({padded} - {eff})"
-                    f" DIV SUM({padded}) AS BIGINT)"
-                ).alias("waste_ppm"),
-                F.expr(
-                    f"CAST(1000000 * SUM(n_tok - {eff})"
-                    " DIV SUM(n_tok) AS BIGINT)"
-                ).alias("trunc_ppm"),
-            )
+    # ONE corpus scan for all plans: fan each row out to the |plans|
+    # grid (map-side) and compute eff/padded per plan with one nested
+    # CASE, then partial-aggregate by plan — a union of per-plan
+    # aggregates would rescan the corpus once per plan.
+    plan_rows = spark.createDataFrame(
+        [(n,) for n in sorted(PAD_PLANS)], "plan STRING"
+    )
+    eff_case = " ".join(
+        f"WHEN plan = '{n}' THEN LEAST(n_tok, {b[-1]})"
+        for n, b in sorted(PAD_PLANS.items())
+    )
+    pad_case = " ".join(
+        f"WHEN plan = '{n}' THEN "
+        f"{_bucket_case_sql(f'LEAST(n_tok, {b[-1]})', b)}"
+        for n, b in sorted(PAD_PLANS.items())
+    )
+    fanned = ntok.crossJoin(F.broadcast(plan_rows)).select(
+        "plan",
+        "n_tok",
+        F.expr(f"CASE {eff_case} END").alias("eff"),
+        F.expr(f"CASE {pad_case} END").alias("padded"),
+    )
+    return (
+        fanned.groupBy("plan")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+            F.sum("padded").cast("bigint").alias("padded_slots"),
+            F.expr(
+                "CAST(1000000 * SUM(padded - eff)"
+                " DIV SUM(padded) AS BIGINT)"
+            ).alias("waste_ppm"),
+            F.expr(
+                "CAST(1000000 * SUM(n_tok - eff)"
+                " DIV SUM(n_tok) AS BIGINT)"
+            ).alias("trunc_ppm"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("plan")
+        .orderBy("plan")
+    )
 
 
 # --------------------------------------------------------------------------

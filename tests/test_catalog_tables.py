@@ -110,3 +110,29 @@ def test_catalog_antijoin_partition_pruned(spark, catalog_env):
     scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert scans, f"no partitioned scan in plan:\n{plan}"
     assert any("year" in s and "month" in s for s in scans), plan
+
+
+def test_catalog_cycle_in_orc_format(spark, tmp_path_factory):
+    """The reference's tables are ORC (create_hashtags_data.hql:17-22);
+    one full cycle against ORC catalog tables must behave identically.
+    Runs last in this module: it recreates the three tables in ORC and
+    the module fixture's CASCADE teardown cleans up either way."""
+    drop_reference_tables(spark)
+    create_reference_tables(spark, fmt="orc")
+    landing = str(tmp_path_factory.mktemp("catalog_orc") / "landing")
+    landing_rows(spark, SF_SMALL).filter(
+        (F.col("rt_count") > 99)
+        & (F.col("hashtags") != "")
+        & (F.col("text") != "")
+    ).write.mode("overwrite").parquet(landing)
+    pipe = CatalogBatchPipeline(spark, landing, run_date="2024-01-31")
+    first = pipe.run()
+    assert first["loaded"] == first["staged"] > 0
+    assert pipe.run()["loaded"] == 0  # idempotent in ORC too
+    prov = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {ANALYTICAL_TABLE}"
+    ).collect()
+    fmt_rows = [r for r in prov if r.col_name == "Provider"]
+    assert fmt_rows and fmt_rows[0].data_type.lower() == "orc"
+    drop_reference_tables(spark)
+    create_reference_tables(spark)  # restore parquet for any later use

@@ -1,0 +1,160 @@
+"""The ingest FRONT DOOR: the gate compositions chained on one stream.
+
+Individually, schema_gate (shape contract), secret_gate (credential
+scan), and fk_gate (referential integrity) each split a micro-batch
+into clean + quarantine. A real training-lake ingest runs them as ONE
+door: raw JSON lines → schema-conforming typed rows → credential-free
+rows → dimension-resolving rows → the lake; every rejected row lands
+in the quarantine of the FIRST gate that caught it, and one ledger row
+per batch accounts for the whole split (conservation: clean + the
+three quarantines == the batch, exactly — the invariant each gate
+holds alone, proved here for the composition).
+
+Ordering is deliberate: shape first (later gates assume typed
+columns), content second (secrets must be caught before any row is
+admitted anywhere), references last (an orphan row is the least
+dangerous class — it may be requeued once its dimension lands,
+fk_gate.requeue_resolved).
+
+Exactly-once: all gates are stateless; every output (three
+quarantines, clean, ledger) is partitioned by batch_id and written
+with dynamic overwrite, so a replayed batch rewrites identical files
+(the checksum_gate contract, inherited from each gate).
+
+Scale: one parse + three map-side projections per batch; the only
+join is fk_gate's broadcast semi/anti against the dimension keys.
+Nothing here shuffles the payload; the composition adds NO exchanges
+over running the gates separately, and saves two stream re-reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .fk_gate import split_orphans
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+from .schema_gate import split_schema
+from .secret_gate import split_secrets
+
+LEDGER_SCHEMA = (
+    "n_rows BIGINT, n_schema_q BIGINT, n_secret_q BIGINT,"
+    " n_orphan_q BIGINT, n_clean BIGINT, batch_id BIGINT"
+)
+
+
+def front_door_split(
+    lines: DataFrame,
+    contract: StructType,
+    required: list[str],
+    dim_keys: DataFrame,
+    fk_col: str,
+    key_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(clean, schema_q, secret_q, orphan_q) — a four-way exact
+    partition of the batch: each line lands in exactly one output."""
+    typed, schema_q = split_schema(lines, contract, required)
+    no_secrets, secret_q = split_secrets(typed)
+    clean, orphan_q = split_orphans(no_secrets, dim_keys, fk_col, key_col)
+    return clean, schema_q, secret_q, orphan_q
+
+
+def front_door_writer(
+    contract: StructType,
+    required: list[str],
+    dim_path: str,
+    fk_col: str,
+    key_col: str,
+    clean_dir: str,
+    schema_q_dir: str,
+    secret_q_dir: str,
+    orphan_q_dir: str,
+    ledger_dir: str,
+):
+    """foreachBatch hook over a raw text stream of JSON lines."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # five outputs re-read the batch; cache the tiny micro-batch
+        # once instead of re-parsing the file per output
+        batch = batch.persist()
+        try:
+            dim_keys = spark.read.parquet(dim_path).select(key_col)
+            clean, schema_q, secret_q, orphan_q = front_door_split(
+                batch, contract, required, dim_keys, fk_col, key_col
+            )
+            tag = F.lit(batch_id).alias("batch_id")
+            _dynamic_overwrite(clean.select("*", tag), clean_dir)
+            _dynamic_overwrite(schema_q.select("*", tag), schema_q_dir)
+            _dynamic_overwrite(secret_q.select("*", tag), secret_q_dir)
+            _dynamic_overwrite(orphan_q.select("*", tag), orphan_q_dir)
+            counts = [
+                df.count() for df in (clean, schema_q, secret_q, orphan_q)
+            ]
+            ledger = spark.createDataFrame(
+                [
+                    (
+                        batch.count(),
+                        counts[1],
+                        counts[2],
+                        counts[3],
+                        counts[0],
+                        batch_id,
+                    )
+                ],
+                LEDGER_SCHEMA,
+            )
+            _dynamic_overwrite(ledger, ledger_dir)
+        finally:
+            batch.unpersist()
+
+    return _write
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return _read_or_empty(spark, ledger_dir, LEDGER_SCHEMA)
+
+
+def run_front_door(
+    spark: SparkSession,
+    source_dir: str,
+    contract: StructType,
+    required: list[str],
+    dim_path: str,
+    fk_col: str,
+    key_col: str,
+    clean_dir: str,
+    schema_q_dir: str,
+    secret_q_dir: str,
+    orphan_q_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available JSON-lines files (availableNow) through the
+    full gate chain as RAW text."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.text(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            front_door_writer(
+                contract,
+                required,
+                dim_path,
+                fk_col,
+                key_col,
+                clean_dir,
+                schema_q_dir,
+                secret_q_dir,
+                orphan_q_dir,
+                ledger_dir,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

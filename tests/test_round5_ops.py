@@ -258,3 +258,23 @@ def test_jm_sweep_ranks_consistently_and_reads_the_fixture_right(spark):
     avgs = [r.avg_logprob_micro for r in rows]
     assert avgs == sorted(avgs, reverse=True)  # rk follows the metric
     assert rows[0].lambda_ppm == min(training_ext.JM_LAMBDAS_PPM)
+
+
+# --------------------------------------------------------------------------
+# q477 — modularity of the LPA partition
+# --------------------------------------------------------------------------
+
+
+def test_modularity_grades_real_communities(spark):
+    """Contributions must be bounded (|q_c| <= 1e6), the biggest
+    communities must contribute positively (LPA on the co-purchase
+    graph finds denser-than-chance clusters, not noise), and the
+    accounting columns must reconcile (intra edges cannot exceed the
+    handshake bound of the community's degree sum)."""
+    rows = registry.QUERIES["q477_modularity"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r.contribution_ppm <= 1_000_000
+        assert 0 <= r.intra_edges <= r.degree_sum // 2
+        assert r.n_members >= 1
+    assert rows[0].contribution_ppm > 0, "top community no better than chance"

@@ -278,3 +278,27 @@ def test_modularity_grades_real_communities(spark):
         assert 0 <= r.intra_edges <= r.degree_sum // 2
         assert r.n_members >= 1
     assert rows[0].contribution_ppm > 0, "top community no better than chance"
+
+
+# --------------------------------------------------------------------------
+# q478 — degree assortativity
+# --------------------------------------------------------------------------
+
+
+def test_assortativity_bounded_and_consistent(spark):
+    """r must lie in [-1, 1] (micro), the verdict must follow the
+    threshold, and the edge-end count must be even (both directions
+    of every undirected edge counted — the symmetry the Pearson form
+    relies on)."""
+    from serverless_etl_spark.operators import graph
+
+    row = registry.QUERIES["q478_assortativity"](spark, SF_SMALL).collect()[0]
+    assert -1_000_000 <= row.assortativity_micro <= 1_000_000
+    assert row.n_edge_ends % 2 == 0 and row.n_edge_ends > 0
+    r = row.assortativity_micro
+    if r > graph.ASSORT_NEUTRAL_MICRO:
+        assert row.verdict == "assortative"
+    elif r < -graph.ASSORT_NEUTRAL_MICRO:
+        assert row.verdict == "disassortative"
+    else:
+        assert row.verdict == "neutral"

@@ -3068,3 +3068,131 @@ def q464_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# --------------------------------------------------------------------------
+# q479 — mutual k-nearest-neighbor pairs (reciprocal-NN matching)
+# --------------------------------------------------------------------------
+
+RNN_K = 3  #: neighborhood size for the mutuality test
+RNN_TOP = 20
+
+
+@register(
+    "q479_mutual_knn",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    dots AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb, SUM(a.x * b.x) AS dot
+        FROM dims a
+        JOIN dims b ON b.i = a.i AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qa, qb,
+               ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qa
+                    ORDER BY ROUND(dot / (na.nrm * nb.nrm), 6) DESC, qb)
+                   AS INT) AS rk
+        FROM dots
+        JOIN norms na ON na.vec_id = qa
+        JOIN norms nb ON nb.vec_id = qb
+        QUALIFY rk <= {RNN_K}
+    ),
+    mutual AS (
+        SELECT r1.qa AS a_id, r1.qb AS b_id, r1.cosine,
+               r1.rk AS rank_ab, r2.rk AS rank_ba
+        FROM ranked r1
+        JOIN ranked r2 ON r2.qa = r1.qb AND r2.qb = r1.qa
+        WHERE r1.qa < r1.qb
+    )
+    SELECT a_id, b_id, cosine, rank_ab, rank_ba,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, a_id, b_id)
+               AS INT) AS rk
+    FROM mutual
+    QUALIFY rk <= {RNN_TOP}
+    ORDER BY rk
+    """,
+)
+def q479_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors — the HIGH-PRECISION matching
+    primitive on top of plain top-k: a pair survives only when each
+    vector is in the OTHER's top-{RNN_K}. Asymmetric neighbors (a hub
+    everyone is near but that is near nobody in particular — q419's
+    hubness pathology) are exactly what this filters out, which is
+    why margin-based bitext mining and SemDeDup-style semantic dedup
+    both gate on mutuality before trusting a cosine. Emits the top
+    mutual pairs with both directional ranks (rank_ab/rank_ba), the
+    candidate set q52/q375 should verify INSTEAD of raw threshold
+    pairs when precision matters more than recall.
+
+    Determinism: exact double dot with ROUND(·,6) on the cosine
+    before every ordering (the q50 discipline), doc-id tiebreaks on
+    both the per-vector and the global rank.
+
+    Scale: this registered form is the exact all-pairs BASELINE (the
+    q50 stance); at corpus scale the identical mutuality join runs
+    over the IVF/LSH candidate graph (q51/q69) — ranked is then
+    |candidates| rows, and the mutual self-join stays keyed on
+    (vec_id, neighbor) with no quadratic step.
+
+    Reference: q50 (top-k), q419 (hubness — the pathology this
+    removes), q52/q375 (the consumers), q471 (bitext mining — the
+    pipeline that gates on mutuality downstream)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    withn = emb.select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("qa"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("qb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qa") != F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qa").orderBy(F.col("cosine").desc(), "qb")
+    ranked = (
+        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= RNN_K)
+        .localCheckpoint(eager=True)  # consumed twice by the mutual join
+    )
+    r2 = ranked.select(
+        F.col("qa").alias("qb"),
+        F.col("qb").alias("qa"),
+        F.col("rk").alias("rank_ba"),
+    )
+    mutual = (
+        ranked.join(r2, ["qa", "qb"])
+        .filter(F.col("qa") < F.col("qb"))
+        .select(
+            F.col("qa").alias("a_id"),
+            F.col("qb").alias("b_id"),
+            "cosine",
+            F.col("rk").alias("rank_ab"),
+            "rank_ba",
+        )
+    )
+    w_g = Window.orderBy(F.col("cosine").desc(), "a_id", "b_id")
+    return (
+        mutual.withColumn("rk", F.row_number().over(w_g).cast("int"))
+        .filter(F.col("rk") <= RNN_TOP)
+        .orderBy("rk")
+    )

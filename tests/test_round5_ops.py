@@ -302,3 +302,26 @@ def test_assortativity_bounded_and_consistent(spark):
         assert row.verdict == "disassortative"
     else:
         assert row.verdict == "neutral"
+
+
+# --------------------------------------------------------------------------
+# q479 — mutual kNN pairs
+# --------------------------------------------------------------------------
+
+
+def test_mutual_knn_is_subset_of_topk_and_symmetric(spark):
+    """Every mutual pair must appear in BOTH vectors' top-k (ranks
+    within [1, RNN_K]), pairs are canonical (a < b), and mutuality is
+    strictly more selective than one-directional top-k."""
+    from serverless_etl_spark.operators import similarity
+
+    rows = registry.QUERIES["q479_mutual_knn"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.a_id < r.b_id
+        assert 1 <= r.rank_ab <= similarity.RNN_K
+        assert 1 <= r.rank_ba <= similarity.RNN_K
+        assert -1.0 <= r.cosine <= 1.0
+    # selectivity: mutual pairs <= all directed top-k edges / 2
+    n_vec = 500  # sf0.001 embeddings fixture
+    assert len(rows) <= min(similarity.RNN_TOP, n_vec * similarity.RNN_K // 2)

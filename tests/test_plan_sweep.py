@@ -159,7 +159,11 @@ BNLJ_ALLOWED = {
     "q467_ingest_outages",        # one-row span x incidents broadcast
     "q468_quality_decay",         # one-row n + one-row fit broadcasts
     "q469_auc_binned",            # one-row bounds broadcast (q134 device)
+    "q472_padding_waste",         # 3-row plan-grid broadcast fan-out
     "q473_dup_exposure",          # 3-row epoch-grid broadcast fan-out
+    "q476_jm_interpolation",      # 5-row lambda grid + one-row totals
+                                  # broadcasts
+    "q477_modularity",            # one-row edge-count broadcast
 }
 
 

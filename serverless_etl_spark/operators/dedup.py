@@ -3099,18 +3099,14 @@ def q345_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty, q176 vocab growth); the optimization dual of q201's
     budget allocator."""
     docs = load_table(spark, sf_dir, "documents")
-    # EAGER localCheckpoint: the K greedy rounds each re-planned the
-    # shingle-explode tree (ex) AND a round-deep covered-union chain —
-    # Catalyst re-analysis, not data, dominated (q459 lesson). One
-    # lineage cut here + one per covered round keeps every round's
-    # plan at constant size.
-    ex = (
+    sh = track_cache(
         docs.select(
             "doc_id",
             _shingles(F.split(F.col("text"), " ")).alias("shingles"),
-        )
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .localCheckpoint(eager=True)
+        ).persist()
+    )
+    ex = track_cache(
+        sh.select("doc_id", F.explode("shingles").alias("s")).persist()
     )
     n_total = ex.select("s").distinct().count()
     covered = None
@@ -3136,7 +3132,7 @@ def q345_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             if covered is None
             else covered.union(sel_sh).distinct()
         )
-        covered = covered.localCheckpoint(eager=True)
+        covered = track_cache(covered.persist())
         cov_n = covered.count()
         selected.append(top["doc_id"])
         rows.append(

@@ -4006,3 +4006,125 @@ def q473_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epochs")
     )
+
+
+# --------------------------------------------------------------------------
+# q480 — empirical LSH candidate precision (the cost side of the recall
+# q177 measures and the collision curve q436 models)
+# --------------------------------------------------------------------------
+
+PREC_JAC_T_PPM = 500_000  #: the q41 verification threshold, in ppm
+
+
+@register(
+    "q480_lsh_precision",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_SIGS_SQL}
+        FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+              FROM sh)
+    ),
+    bands AS (
+        {_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    graded AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN 1000000
+                         * len(list_filter(sa.shingles,
+                               x -> list_contains(sb.shingles, x)))
+                         // (len(sa.shingles) + len(sb.shingles)
+                             - len(list_filter(sa.shingles,
+                                   x -> list_contains(sb.shingles, x))))
+                         >= {PREC_JAC_T_PPM}
+                    THEN 1 ELSE 0 END AS is_true
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_true) AS BIGINT) AS n_true_pairs,
+           CAST(1000000 * SUM(is_true) // GREATEST(COUNT(*), 1)
+               AS BIGINT) AS precision_ppm,
+           CAST(COUNT(*) - SUM(is_true) AS BIGINT) AS wasted_verifications
+    FROM graded
+    """,
+)
+def q480_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH candidate PRECISION — the cost side of the
+    near-dup triangle: q177 measures recall (how many true pairs the
+    bands reach), q436 models the collision curve theoretically; this
+    measures what fraction of the candidate pairs the band join
+    actually emits survive Jaccard verification. Every failed
+    candidate is a wasted shingle-set comparison, and at corpus scale
+    the verify join IS the near-dup bill — a banding config whose
+    precision collapses (bands too wide / signature too short) costs
+    quadratic-ish verification on junk. Run this beside q177 when
+    tuning (n_minhash, band_size): recall tells you what you miss,
+    THIS tells you what you pay.
+
+    Determinism: the exact q41 signature/band construction (shared
+    SQL fragments), integer ppm Jaccard against the q41 threshold,
+    one-row exact counts.
+
+    Scale: identical posture to q41 — bands meet only on equal
+    (band_id, band_hash); the verification join is the measured
+    quantity itself, and the output is one row of partial-aggregable
+    counts.
+
+    Reference: q41 (the pipeline), q177 (recall referee), q436
+    (theoretical planner), q280 (threshold sweep)."""
+    corpus = _duped_docs(spark, sf_dir)
+    sh, bands = _minhash_bands(corpus)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    graded = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(
+                F.lit(1_000_000) * inter / F.greatest(union, F.lit(1))
+                >= PREC_JAC_T_PPM,
+                1,
+            )
+            .otherwise(0)
+            .alias("is_true")
+        )
+    )
+    return graded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("is_true").cast("bigint").alias("n_true_pairs"),
+        F.expr(
+            "CAST(1000000 * SUM(is_true)"
+            " DIV GREATEST(COUNT(*), 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+        (F.count(F.lit(1)) - F.sum("is_true"))
+        .cast("bigint")
+        .alias("wasted_verifications"),
+    )

@@ -84,6 +84,7 @@ _SWEEP_PRIORITY = [
     "q469_auc_binned", "q470_dp_counts", "q471_bitext_pairs",
     "q472_padding_waste", "q473_dup_exposure", "q474_entropy_secrets",
     "q475_aqp_groupby", "q476_jm_interpolation", "q477_modularity", "q478_assortativity", "q479_mutual_knn",
+    "q480_lsh_precision",
     "q150_bfs_reachability", "q190_pagerank", "q248_common_neighbors", "q255_poisson_bootstrap",
     "q262_bellman_ford", "q296_capped_balance", "q299_exact_median_bisect",
     "q341_cuped", "q345_greedy_coverage", "q351_label_propagation", "q353_kcore",

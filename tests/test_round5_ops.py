@@ -325,3 +325,22 @@ def test_mutual_knn_is_subset_of_topk_and_symmetric(spark):
     # selectivity: mutual pairs <= all directed top-k edges / 2
     n_vec = 500  # sf0.001 embeddings fixture
     assert len(rows) <= min(similarity.RNN_TOP, n_vec * similarity.RNN_K // 2)
+
+
+# --------------------------------------------------------------------------
+# q480 — empirical LSH candidate precision
+# --------------------------------------------------------------------------
+
+
+def test_lsh_precision_reconciles_with_q41_pairs(spark):
+    """Accounting identities: true pairs == the q41 pipeline's verified
+    pair count on the same corpus/params; candidates >= true pairs;
+    precision == true/candidates; and on the seeded corpus the bands
+    are selective (precision well above 10%)."""
+    row = registry.QUERIES["q480_lsh_precision"](spark, SF_SMALL).collect()[0]
+    q41_pairs = registry.QUERIES["q41_minhash_lsh"](spark, SF_SMALL).count()
+    assert row.n_true_pairs == q41_pairs
+    assert row.n_candidates >= row.n_true_pairs
+    assert row.wasted_verifications == row.n_candidates - row.n_true_pairs
+    assert row.precision_ppm == 1_000_000 * row.n_true_pairs // row.n_candidates
+    assert row.precision_ppm > 100_000

@@ -100,6 +100,23 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
+            # Oracle-side TYPE guard (round-5 verdict item 2): fetchall()
+            # silently collapses DuckDB HUGEINT -> Python int, so the
+            # value comparison below cannot see the widened type — but
+            # the driver's canonicalization CAN (HUGEINT -> decimal128 ->
+            # float hashes differently from Spark's bigint; q469 r5).
+            # Inspect the relation's declared types BEFORE fetching and
+            # fail any oracle emitting HUGEINT/UHUGEINT/DECIMAL, the
+            # mirror of the Spark-side decimal check above.
+            rel = con.sql(oracles[name])
+            widened = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                       if str(t) in ("HUGEINT", "UHUGEINT")
+                       or "DECIMAL" in str(t)]
+            if widened:
+                failures.append((name, f"ORACLE widened types {widened}"))
+                print(f"FAIL  {name}: oracle widened types {widened} "
+                      f"(CAST the aggregate AS BIGINT/DOUBLE)")
+                continue
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()

@@ -5591,8 +5591,10 @@ def auc_binned(
     SELECT CAST(SUM(h_a) AS BIGINT) AS n_a,
            CAST(SUM(h_b) AS BIGINT) AS n_b,
            CAST({AUC_BINS} AS BIGINT) AS n_bins,
-           1000000 * (2 * SUM(h_a * below_b) + SUM(h_a * h_b))
-               // (2 * SUM(h_a) * SUM(h_b)) AS auc_ppm
+           1000000 * (2 * CAST(SUM(h_a * below_b) AS BIGINT)
+                      + CAST(SUM(h_a * h_b) AS BIGINT))
+               // (2 * CAST(SUM(h_a) AS BIGINT)
+                   * CAST(SUM(h_b) AS BIGINT)) AS auc_ppm
     FROM cells
     """,
 )
@@ -6038,8 +6040,9 @@ HDR_PCTS = (50, 90, 99)
     ),
     cum AS (
         SELECT event_type, b, c,
-               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cc,
-               SUM(c) OVER (PARTITION BY event_type) AS n
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY b)
+                    AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
         FROM buckets
     ),
     fan AS (
@@ -7162,9 +7165,9 @@ PERM_B_GRP = "view"
     ),
     obs AS (
         SELECT CAST(SUM(CASE WHEN isa = 1 THEN x END) AS BIGINT)
-                   // SUM(isa)
+                   // CAST(SUM(isa) AS BIGINT)
                - CAST(SUM(CASE WHEN isa = 0 THEN x END) AS BIGINT)
-                   // SUM(1 - isa) AS d,
+                   // CAST(SUM(1 - isa) AS BIGINT) AS d,
                CAST(SUM(isa) AS BIGINT) AS n_a,
                CAST(SUM(1 - isa) AS BIGINT) AS n_b
         FROM base
@@ -7181,9 +7184,9 @@ PERM_B_GRP = "view"
     reps AS (
         SELECT b,
                CAST(SUM(CASE WHEN s = 1 THEN x END) AS BIGINT)
-                   // SUM(s)
+                   // CAST(SUM(s) AS BIGINT)
                - CAST(SUM(CASE WHEN s = 0 THEN x END) AS BIGINT)
-                   // SUM(1 - s) AS d
+                   // CAST(SUM(1 - s) AS BIGINT) AS d
         FROM fan GROUP BY b
         HAVING SUM(s) > 0 AND SUM(1 - s) > 0
     )

@@ -2163,7 +2163,7 @@ FJ_INS_REM = 7   #: doc_id % 10 == 7 -> 2-char insertion twin (len + 2)
         1000000 * (SELECT COUNT(*) FROM hits)
             // NULLIF((SELECT COUNT(*) FROM pred_tw), 0) AS precision_ppm,
         1000000 * (SELECT COUNT(*) FROM hits)
-            // (SELECT SUM(n) FROM truth) AS recall_ppm
+            // (SELECT CAST(SUM(n) AS BIGINT) FROM truth) AS recall_ppm
     """,
 )
 def q261_fuzzy_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

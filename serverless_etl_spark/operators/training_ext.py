@@ -815,7 +815,8 @@ MIX_BUDGET_DEN = 10
         FROM per_src
     ),
     budget AS (
-        SELECT ({MIX_BUDGET_NUM} * SUM(tokens)) // {MIX_BUDGET_DEN} AS b
+        SELECT CAST(({MIX_BUDGET_NUM} * SUM(tokens)) // {MIX_BUDGET_DEN}
+                    AS BIGINT) AS b
         FROM per_src
     ),
     ranked AS (

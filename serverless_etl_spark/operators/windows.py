@@ -1974,15 +1974,17 @@ STL_ANCHOR = "1992-01-06"
     ),
     tr AS (
         SELECT d, total_milli,
-               CASE WHEN COUNT(*) OVER w = 7
-                    THEN SUM(total_milli) OVER w // 7 END AS trend_milli,
+               CAST(CASE WHEN COUNT(*) OVER w = 7
+                    THEN SUM(total_milli) OVER w // 7 END
+                    AS BIGINT) AS trend_milli,
                date_diff('day', DATE '{STL_ANCHOR}', d) % 7 AS wd
         FROM daily
         WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ),
     seas AS (
-        SELECT wd, SUM(total_milli - trend_milli)
-                   // COUNT(total_milli - trend_milli) AS seasonal_milli
+        SELECT wd, CAST(SUM(total_milli - trend_milli)
+                   // COUNT(total_milli - trend_milli)
+                   AS BIGINT) AS seasonal_milli
         FROM tr WHERE trend_milli IS NOT NULL GROUP BY wd
     )
     SELECT t.d, t.total_milli, t.trend_milli, s.seasonal_milli,

@@ -70,103 +70,112 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
 
 #: Driver-sweep priority (the driver checks the FIRST ~50 registered
-#: names each round). Round-5 order per the r4 verdict item 2: 288 of
-#: 468 queries (q134-q409, q457-q468) have never had a driver
-#: CORRECTNESS row — selfcheck-green only. Front order: (a) the 14
-#: heavies the verdict names, (b) the newest never-sampled block
-#: (q457-q468), (c) every remaining never-sampled name ascending, so
-#: successive ~50-name sweeps in r5-r10 walk the whole block. Queries
-#: with a green driver row (r1-r4, 180 names) fall back to
-#: registration order behind these. New round-5 queries are appended
-#: at the very front as they are added.
+#: names each round). Round-6 order per the r5 verdict item 3: first
+#: the SIX fixed HUGEINT-oracle names (q469 needs its red r5 row
+#: turned green; q201/q243/q258/q261/q307 were latent twins of the
+#: same bug, fixed this round and never driver-sampled), then every
+#: remaining never-driver-sampled name ascending (245 after r1-r5
+#: sampled 230 of 480), so successive ~50-name sweeps in r6-r10 drain
+#: the whole backlog. Names with a green driver row fall back to
+#: registration order behind these. New round-6 queries are appended
+#: directly after the six fixed names as they are added.
 _SWEEP_PRIORITY = [
-    # round-5 additions (newest, never swept)
-    "q469_auc_binned", "q470_dp_counts", "q471_bitext_pairs",
-    "q472_padding_waste", "q473_dup_exposure", "q474_entropy_secrets",
-    "q475_aqp_groupby", "q476_jm_interpolation", "q477_modularity", "q478_assortativity", "q479_mutual_knn",
-    "q480_lsh_precision",
-    "q150_bfs_reachability", "q190_pagerank", "q248_common_neighbors", "q255_poisson_bootstrap",
-    "q262_bellman_ford", "q296_capped_balance", "q299_exact_median_bisect",
-    "q341_cuped", "q345_greedy_coverage", "q351_label_propagation", "q353_kcore",
-    "q381_hits", "q392_markov_attribution", "q401_rank1_als", "q457_runs_rule",
-    "q458_design_effect", "q459_graph_drift", "q460_abc_migration", "q461_transition_surprise",
-    "q462_intermittency_router", "q463_segment_ab", "q464_fusion_recall",
-    "q465_kish_ess", "q466_heaps_fit", "q467_ingest_outages", "q468_quality_decay",
-    "q134_ks_drift_binned", "q135_rerank_join", "q136_dedup_rate_series",
-    "q137_quality_dashboard", "q138_heavy_hitters", "q139_containment", "q140_triangle_count",
-    "q141_last_touch_attribution", "q142_embedding_quantization", "q143_seasonal_anomaly",
-    "q144_key_skew_profile", "q145_time_to_convert", "q146_compaction_plan",
-    "q147_benford_screen", "q148_session_stats", "q149_dau_wau_stickiness",
-    "q151_corr_matrix", "q152_cusum_changepoint", "q153_fk_integrity", "q154_shingle_novelty",
-    "q155_context_budget", "q156_contingency_residuals", "q157_target_encoding",
-    "q158_fuzzy_join", "q159_topk_others", "q160_mixture_weights", "q161_dedup_savings",
-    "q162_embedding_norms", "q163_trigram_paths", "q164_purge_impact", "q165_weighted_median",
-    "q166_heatmap_2d", "q167_rolling_wau", "q168_supply_chain_revenue", "q169_returned_customers",
-    "q170_cluster_size_dist", "q171_backlog_aging", "q172_ship_latency",
-    "q173_pareto_abc", "q174_repeat_customers", "q175_decile_conversion",
-    "q176_vocab_growth", "q177_lsh_recall", "q178_pii_incidence", "q179_constant_columns",
-    "q180_ltv_curve", "q181_quality_by_lang", "q182_wow_share_drift", "q183_segment_value_matrix",
-    "q184_dormant_customers", "q185_basket_sizes", "q186_brand_share_trend",
-    "q187_order_regularity", "q188_supplier_hhi", "q189_activity_gini", "q191_prefix_jaccard_join",
-    "q192_join_cardinality", "q193_pit_features", "q194_median_impute", "q195_partition_checksums",
-    "q196_assoc_rules", "q197_reorder_life_table", "q198_quantile_alignment",
-    "q199_curation_funnel", "q200_salting_plan", "q201_budget_allocation",
-    "q202_waiting_suppliers", "q203_rfm_segments", "q204_status_paths", "q205_bitmap_audience",
+    "q469_auc_binned", "q201_budget_allocation", "q243_stl_decompose",
+    "q258_hdr_percentiles", "q261_fuzzy_join_eval",
+    "q307_permutation_test", "q146_compaction_plan", "q147_benford_screen",
+    "q148_session_stats", "q149_dau_wau_stickiness", "q151_corr_matrix",
+    "q152_cusum_changepoint", "q153_fk_integrity", "q154_shingle_novelty",
+    "q155_context_budget", "q156_contingency_residuals",
+    "q157_target_encoding", "q158_fuzzy_join", "q159_topk_others",
+    "q160_mixture_weights", "q161_dedup_savings", "q162_embedding_norms",
+    "q163_trigram_paths", "q164_purge_impact", "q165_weighted_median",
+    "q166_heatmap_2d", "q167_rolling_wau", "q168_supply_chain_revenue",
+    "q169_returned_customers", "q170_cluster_size_dist",
+    "q171_backlog_aging", "q172_ship_latency", "q173_pareto_abc",
+    "q174_repeat_customers", "q175_decile_conversion", "q176_vocab_growth",
+    "q177_lsh_recall", "q178_pii_incidence", "q179_constant_columns",
+    "q180_ltv_curve", "q181_quality_by_lang", "q182_wow_share_drift",
+    "q183_segment_value_matrix", "q184_dormant_customers",
+    "q185_basket_sizes", "q186_brand_share_trend", "q187_order_regularity",
+    "q188_supplier_hhi", "q189_activity_gini", "q191_prefix_jaccard_join",
+    "q192_join_cardinality", "q193_pit_features", "q194_median_impute",
+    "q195_partition_checksums", "q196_assoc_rules",
+    "q197_reorder_life_table", "q198_quantile_alignment",
+    "q199_curation_funnel", "q200_salting_plan", "q202_waiting_suppliers",
+    "q203_rfm_segments", "q204_status_paths", "q205_bitmap_audience",
     "q206_entry_exit", "q207_pct_of_parent", "q208_business_day_latency",
-    "q209_local_hours", "q210_order_streaks", "q211_decayed_trend", "q212_total_conformance",
-    "q213_late_data_reprocess", "q214_scd2_audit", "q215_filtered_ann", "q216_kfold_balance",
-    "q217_next_purchase_labels", "q218_cohort_revenue", "q219_reco_hitrate",
-    "q220_degree_distribution", "q221_weighted_jaccard", "q222_data_contracts",
-    "q223_bm25", "q224_calendar_dim", "q225_abc_xyz_matrix", "q226_cdc_apply",
+    "q209_local_hours", "q210_order_streaks", "q211_decayed_trend",
+    "q212_total_conformance", "q213_late_data_reprocess",
+    "q214_scd2_audit", "q215_filtered_ann", "q216_kfold_balance",
+    "q217_next_purchase_labels", "q218_cohort_revenue",
+    "q219_reco_hitrate", "q220_degree_distribution",
+    "q221_weighted_jaccard", "q222_data_contracts", "q223_bm25",
+    "q224_calendar_dim", "q225_abc_xyz_matrix", "q226_cdc_apply",
     "q227_embedding_drift", "q228_rank_movers", "q229_interpolate_gaps",
-    "q230_user_similarity", "q231_release_report", "q232_wau_retention_bitmap",
-    "q233_error_impact", "q234_partition_advisor", "q235_kmv_set_algebra",
+    "q230_user_similarity", "q231_release_report",
+    "q232_wau_retention_bitmap", "q233_error_impact",
+    "q234_partition_advisor", "q235_kmv_set_algebra",
     "q236_bpe_merge_pairs", "q237_pareto_frontier", "q238_delta_join_view",
     "q239_hll_distinct", "q240_windowed_funnel", "q241_functional_deps",
-    "q242_cdc_generate", "q243_stl_decompose", "q244_backtest_folds", "q245_forecast_eval",
-    "q246_theil_sen", "q247_rolling_corr", "q249_drop_reason_matrix", "q250_threshold_sweep",
-    "q251_spearman", "q252_mann_whitney", "q253_overlap_spans", "q254_bitemporal_asof",
-    "q256_diff_in_diff", "q257_haar_energy", "q258_hdr_percentiles", "q259_generalization_ladder",
-    "q260_broadcast_advisor", "q261_fuzzy_join_eval", "q263_contribution_bounds",
-    "q264_retraction_view", "q265_bucketized_window_join", "q266_funnel_by_cohort",
-    "q267_sorted_neighborhood", "q268_price_volume_mix", "q269_conformal_intervals",
-    "q270_quantile_effects", "q271_motif_discord", "q272_acf", "q273_overdispersion",
-    "q274_wilson_ci", "q275_seasonality_strength", "q276_temporal_integrity",
-    "q277_proximity_join", "q278_vshape_patterns", "q279_geo_hotspots", "q280_jaccard_threshold_sweep",
-    "q281_edge_churn", "q282_knn_label_purity", "q283_neardup_source_matrix",
-    "q284_bloom_semi_join", "q285_cms_error", "q286_ohlc_bars", "q287_lpm_route_join",
-    "q288_survivorship", "q289_silhouette", "q290_json_profile", "q291_session_gap_sweep",
-    "q292_surrogate_keys", "q293_clustering_depth", "q294_auc_eval", "q295_rake_keywords",
+    "q242_cdc_generate", "q244_backtest_folds", "q245_forecast_eval",
+    "q246_theil_sen", "q247_rolling_corr", "q249_drop_reason_matrix",
+    "q250_threshold_sweep", "q251_spearman", "q252_mann_whitney",
+    "q253_overlap_spans", "q254_bitemporal_asof", "q256_diff_in_diff",
+    "q257_haar_energy", "q259_generalization_ladder",
+    "q260_broadcast_advisor", "q263_contribution_bounds",
+    "q264_retraction_view", "q265_bucketized_window_join",
+    "q266_funnel_by_cohort", "q267_sorted_neighborhood",
+    "q268_price_volume_mix", "q269_conformal_intervals",
+    "q270_quantile_effects", "q271_motif_discord", "q272_acf",
+    "q273_overdispersion", "q274_wilson_ci", "q275_seasonality_strength",
+    "q276_temporal_integrity", "q277_proximity_join",
+    "q278_vshape_patterns", "q279_geo_hotspots",
+    "q280_jaccard_threshold_sweep", "q281_edge_churn",
+    "q282_knn_label_purity", "q283_neardup_source_matrix",
+    "q284_bloom_semi_join", "q285_cms_error", "q286_ohlc_bars",
+    "q287_lpm_route_join", "q288_survivorship", "q289_silhouette",
+    "q290_json_profile", "q291_session_gap_sweep", "q292_surrogate_keys",
+    "q293_clustering_depth", "q294_auc_eval", "q295_rake_keywords",
     "q297_encoding_advisor", "q298_inferred_members", "q300_nearest_asof",
-    "q301_ranking_gain_eval", "q302_sequence_gap_audit", "q303_injection_screen",
-    "q304_license_audit", "q305_rollup_distinct_sketch", "q306_attribution_models",
-    "q307_permutation_test", "q308_detector_agreement", "q309_rolling_distinct_sketch",
+    "q301_ranking_gain_eval", "q302_sequence_gap_audit",
+    "q303_injection_screen", "q304_license_audit",
+    "q305_rollup_distinct_sketch", "q306_attribution_models",
+    "q308_detector_agreement", "q309_rolling_distinct_sketch",
     "q310_unordered_funnel", "q311_slo_burn_rate", "q312_reco_coverage",
-    "q313_categorical_drift", "q314_topk_with_ties", "q315_null_aware_anti",
-    "q316_interval_coverage", "q317_revenue_bridge", "q318_differencing_audit",
+    "q313_categorical_drift", "q314_topk_with_ties",
+    "q315_null_aware_anti", "q316_interval_coverage",
+    "q317_revenue_bridge", "q318_differencing_audit",
     "q319_freshness_board", "q320_duplicate_payments", "q321_chain_ladder",
-    "q322_fifo_cogs", "q323_backfill_planner", "q324_srm_check", "q325_pinball_eval",
-    "q326_ranker_interleave_eval", "q327_point_in_polygon", "q328_tiered_storage_advisor",
+    "q322_fifo_cogs", "q323_backfill_planner", "q324_srm_check",
+    "q325_pinball_eval", "q326_ranker_interleave_eval",
+    "q327_point_in_polygon", "q328_tiered_storage_advisor",
     "q329_ensemble_anomaly", "q330_sequential_rules", "q331_km_survival",
-    "q332_record_linkage", "q333_cramers_v", "q334_temporal_taint", "q335_brier_decomposition",
-    "q336_cem_att", "q337_l_diversity", "q338_average_precision", "q339_kruskal_wallis",
-    "q340_bh_fdr", "q342_simpsons_flip", "q343_ips_offpolicy", "q344_org_rollup",
-    "q346_energy_distance", "q347_price_elasticity", "q348_ipf_raking", "q349_eb_smoothing",
-    "q350_month_proration", "q352_rrf_fusion", "q354_rolling_slope", "q355_qini_uplift",
-    "q356_chunking_sweep", "q357_matryoshka_recall", "q358_mde_power", "q359_fingerprint_match",
-    "q360_best_split", "q361_leakage_screen", "q362_robust_ab", "q363_pq_adc",
-    "q364_reshard_planner", "q365_learning_curve", "q366_langid_confusion",
-    "q367_watermark_advisor", "q368_frequent_triples", "q369_quantile_rollup",
-    "q370_mahalanobis_outliers", "q371_task_scheduler", "q372_tail_attribution",
-    "q373_readability", "q374_growth_accounting", "q375_semdedup", "q376_grid_dbscan",
-    "q377_holt_smoothing", "q378_phonetic_join", "q379_hbos_outliers", "q380_ra_linkpred",
-    "q382_skyline", "q383_join_size_planner", "q384_correlated_sample", "q385_holt_winters",
-    "q386_ohlc_bars", "q387_gap_fill", "q388_encoding_advisor", "q389_kcenter_coreset",
-    "q390_multitouch_attribution", "q391_closeness", "q393_rolling_quantile",
-    "q394_cohens_kappa", "q395_forecast_reconciliation", "q396_top_paths",
-    "q397_mix_rate_decomposition", "q398_quantile_effects", "q399_isotonic_calibration",
-    "q400_twap", "q402_mmr_rerank", "q403_local_clustering", "q404_burstiness",
-    "q405_p_chart", "q406_debounce", "q407_loo_encoding", "q408_conformal_coverage",
+    "q332_record_linkage", "q333_cramers_v", "q334_temporal_taint",
+    "q335_brier_decomposition", "q336_cem_att", "q337_l_diversity",
+    "q338_average_precision", "q339_kruskal_wallis", "q340_bh_fdr",
+    "q342_simpsons_flip", "q343_ips_offpolicy", "q344_org_rollup",
+    "q346_energy_distance", "q347_price_elasticity", "q348_ipf_raking",
+    "q349_eb_smoothing", "q350_month_proration", "q352_rrf_fusion",
+    "q354_rolling_slope", "q355_qini_uplift", "q356_chunking_sweep",
+    "q357_matryoshka_recall", "q358_mde_power", "q359_fingerprint_match",
+    "q360_best_split", "q361_leakage_screen", "q362_robust_ab",
+    "q363_pq_adc", "q364_reshard_planner", "q365_learning_curve",
+    "q366_langid_confusion", "q367_watermark_advisor",
+    "q368_frequent_triples", "q369_quantile_rollup",
+    "q370_mahalanobis_outliers", "q371_task_scheduler",
+    "q372_tail_attribution", "q373_readability", "q374_growth_accounting",
+    "q375_semdedup", "q376_grid_dbscan", "q377_holt_smoothing",
+    "q378_phonetic_join", "q379_hbos_outliers", "q380_ra_linkpred",
+    "q382_skyline", "q383_join_size_planner", "q384_correlated_sample",
+    "q385_holt_winters", "q386_ohlc_bars", "q387_gap_fill",
+    "q388_encoding_advisor", "q389_kcenter_coreset",
+    "q390_multitouch_attribution", "q391_closeness",
+    "q393_rolling_quantile", "q394_cohens_kappa",
+    "q395_forecast_reconciliation", "q396_top_paths",
+    "q397_mix_rate_decomposition", "q398_quantile_effects",
+    "q399_isotonic_calibration", "q400_twap", "q402_mmr_rerank",
+    "q403_local_clustering", "q404_burstiness", "q405_p_chart",
+    "q406_debounce", "q407_loo_encoding", "q408_conformal_coverage",
     "q409_max_drawdown",
 ]
 

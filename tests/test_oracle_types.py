@@ -1,0 +1,79 @@
+"""Oracle-side output-type audit — no Spark session needed.
+
+Round-5 driver failure q469_auc_binned: DuckDB ``SUM(BIGINT)`` returns
+HUGEINT, which the driver canonicalizes through Arrow decimal128 /
+pandas float64 and hashes DIFFERENTLY from Spark's bigint even when
+every value is identical (the round-1 q28 type-category failure).
+``scripts/selfcheck.py`` historically could not see this because
+``fetchall()`` collapses HUGEINT to a plain Python int before the
+value comparison.
+
+This test binds every registered oracle against the sf0.001 parquet
+views and asserts NO output column is HUGEINT/UHUGEINT/DECIMAL —
+binding only (``con.sql(...).types``), no query execution, so the
+whole 480-oracle sweep runs in seconds. It is the permanent guard
+behind the round-5 verdict item 2.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+WIDENED = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return c
+
+
+def _widened_cols(con, sql):
+    rel = con.sql(sql)
+    return [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in WIDENED or "DECIMAL" in str(t)
+    ]
+
+
+def test_no_oracle_emits_widened_integer_or_decimal(con):
+    """Every oracle's declared DuckDB output types must be hashable
+    identically to the Spark schema: bigint stays bigint, doubles stay
+    doubles. A failure here means a missing CAST(... AS BIGINT) around
+    an aggregate (SUM over BIGINT/INTEGER widens to HUGEINT)."""
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            cols = _widened_cols(con, sql)
+        except Exception as e:  # noqa: BLE001 — bind errors surface too
+            offenders[name] = f"BIND ERROR: {e}"
+            continue
+        if cols:
+            offenders[name] = cols
+    assert not offenders, (
+        f"{len(offenders)} oracles emit HUGEINT/DECIMAL columns that the "
+        f"driver will hash-fail against Spark bigint/double: {offenders}"
+    )
+
+
+def test_guard_catches_uncast_sum(con):
+    """Self-test of the guard: the exact shape that broke q469 — an
+    un-cast SUM(BIGINT) — must be flagged as HUGEINT."""
+    cols = _widened_cols(
+        con, "SELECT SUM(o_orderkey) AS total FROM orders"
+    )
+    assert cols == ["total:HUGEINT"]

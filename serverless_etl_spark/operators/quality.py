@@ -4510,7 +4510,7 @@ _DP_U_SQL = (
         FROM cells
     )
     SELECT lang, source, CAST(n_noised AS BIGINT) AS n_noised,
-           CAST({DP_EPS_MILLI} AS BIGINT) AS epsilon_milli
+           CAST({DP_EPS_MILLI} AS BIGINT) AS mechanism_epsilon_milli
     FROM noised WHERE n_noised >= {DP_SUPPRESS}
     ORDER BY lang, source
     """,
@@ -4529,8 +4529,16 @@ def q470_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     through Python-computed inverse-CDF literal thresholds (the q255
     Poisson device) — identical branch arithmetic in both engines. The
     support is truncated at ±DP_NOISE_K and renormalized (documented
-    deviation: tail mass ~a^K re-spread; a production release keys the
-    draw on a per-release secret, not the cell name).
+    deviation: tail mass ~a^K re-spread).
+
+    NO ACTUAL PRIVACY GUARANTEE (hence the column name
+    mechanism_epsilon_milli, not epsilon_milli): keying the draw on
+    md5(lang|source) — the PUBLIC cell name — makes the noise
+    recomputable and exactly subtractable by any consumer. The column
+    records the ε the GEOMETRIC MECHANISM is calibrated to, so the
+    noise magnitude is the one a real release would carry; a
+    production release keys the draw on a per-release secret seed,
+    which is the only change needed to make the guarantee real.
 
     Scale: one partial-aggregable groupBy to |cells| rows; noise and
     thresholding are map-side on the bounded cell table.
@@ -4554,7 +4562,10 @@ def q470_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("n") + noise, F.lit(0))
             .cast("bigint")
             .alias("n_noised"),
-            F.lit(DP_EPS_MILLI).cast("bigint").alias("epsilon_milli"),
+            # calibration record only — see NO ACTUAL PRIVACY GUARANTEE
+            # in the docstring (noise keyed on the public cell name)
+            F.lit(DP_EPS_MILLI).cast("bigint")
+            .alias("mechanism_epsilon_milli"),
         )
         .filter(F.col("n_noised") >= DP_SUPPRESS)
         .orderBy("lang", "source")

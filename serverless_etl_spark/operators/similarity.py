@@ -3190,9 +3190,23 @@ def q479_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_ba",
         )
     )
+    # staged top-k (r5 verdict item 5): mutual is |V|*K/2 rows worst
+    # case — data-proportional — and a bare global row_number would
+    # sort it all in ONE partition. Pre-reduce per hash bucket first
+    # (a global top-RNN_TOP pair is necessarily in its bucket's
+    # top-RNN_TOP), so the single-partition rank sees at most
+    # 64 x RNN_TOP bounded rows; the result is hash-identical.
+    w_b = Window.partitionBy(F.pmod(F.col("a_id"), F.lit(64))).orderBy(
+        F.col("cosine").desc(), "a_id", "b_id"
+    )
+    pre = (
+        mutual.withColumn("brk", F.row_number().over(w_b))
+        .filter(F.col("brk") <= RNN_TOP)
+        .drop("brk")
+    )
     w_g = Window.orderBy(F.col("cosine").desc(), "a_id", "b_id")
     return (
-        mutual.withColumn("rk", F.row_number().over(w_g).cast("int"))
+        pre.withColumn("rk", F.row_number().over(w_g).cast("int"))
         .filter(F.col("rk") <= RNN_TOP)
         .orderBy("rk")
     )

@@ -2863,9 +2863,12 @@ BITEXT_TOP = 15
     ),
     rare AS (
         SELECT sh FROM tok GROUP BY sh
-        HAVING COUNT(*) BETWEEN 2 AND {BITEXT_DF_MAX}
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {BITEXT_DF_MAX}
     ),
-    blocked AS (SELECT t.* FROM tok t JOIN rare USING (sh)),
+    blocked AS (
+        SELECT DISTINCT t.doc_id, t.lang, t.n_chars, t.sh
+        FROM tok t JOIN rare USING (sh)
+    ),
     pairs AS (
         SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
                a.lang AS a_lang, b.lang AS b_lang,
@@ -2923,13 +2926,21 @@ def q471_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.explode(_shingles(F.split(F.col("text"), " "))).alias("sh"),
     )
+    # df band counts DISTINCT docs (ADVICE r5: a shingle repeated
+    # inside one doc must not pass the 2..df_max band on occurrences),
+    # and blocked dedupes (doc_id, sh) so shared_rare counts distinct
+    # shared shingles, never double-counting in-doc repeats
     rare = (
         tok.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df").between(2, BITEXT_DF_MAX))
         .select("sh")
     )
-    blocked = track_cache(tok.join(rare, "sh").persist())
+    blocked = track_cache(
+        tok.join(rare, "sh")
+        .dropDuplicates(["doc_id", "sh"])
+        .persist()
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     pairs = (
@@ -2954,13 +2965,26 @@ def q471_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("len_ratio_ppm"),
         )
     )
+    survivors = pairs.filter(
+        (F.col("shared_rare") >= BITEXT_MIN_SHARED)
+        & (F.col("len_ratio_ppm") >= BITEXT_RATIO_MIN_PPM)
+    )
+    # staged top-k (r5 verdict item 5): the global rank is a single-
+    # partition sort over a data-proportional candidate set. Pre-reduce
+    # per hash bucket first — a pair in the global top-K is necessarily
+    # in its bucket's top-K for ANY partitioning of the pairs — so the
+    # global window sees at most 64 x K bounded rows; hash-identical.
+    w_grp = Window.partitionBy(F.pmod(F.col("a_doc"), F.lit(64))).orderBy(
+        F.col("shared_rare").desc(), "a_doc", "b_doc"
+    )
+    pre = (
+        survivors.withColumn("grk", F.row_number().over(w_grp))
+        .filter(F.col("grk") <= BITEXT_TOP)
+        .drop("grk")
+    )
     w = Window.orderBy(F.col("shared_rare").desc(), "a_doc", "b_doc")
     return (
-        pairs.filter(
-            (F.col("shared_rare") >= BITEXT_MIN_SHARED)
-            & (F.col("len_ratio_ppm") >= BITEXT_RATIO_MIN_PPM)
-        )
-        .select(
+        pre.select(
             "a_doc",
             "b_doc",
             "a_lang",

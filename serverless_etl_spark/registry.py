@@ -31,6 +31,15 @@ BENCH_QUERIES: list[str] = []
 _LIVE_CACHES: list[DataFrame] = []
 
 
+#: >0 while a top-level query build is executing. Nested wrapped-query
+#: calls (q63 inside q104, q32 inside q62's family, q109 inside q110)
+#: must NOT trigger a release: freeing a lineage-truncated
+#: localCheckpoint snapshot the outer build already took would be
+#: unrecoverable (a dropped CACHE merely recomputes; a dropped
+#: checkpoint block cannot — the lineage is gone).
+_BUILD_DEPTH = 0
+
+
 def track_cache(df: DataFrame) -> DataFrame:
     """Mark a persisted frame for release when the next query builds."""
     _LIVE_CACHES.append(df)
@@ -38,15 +47,43 @@ def track_cache(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Unpersist every frame tracked since the previous release.
-    Unpersist only drops cached blocks — any later action on the frame
-    recomputes correctly, so this is always safe."""
+    """Unpersist every frame tracked since the previous release, then
+    free leftover RDD-level persisted blocks.
+
+    Tracked caches: unpersist only drops cached blocks — any later
+    action on the frame recomputes correctly, so this is always safe.
+
+    localCheckpoint blocks (ADVICE r5): ``DataFrame.localCheckpoint``
+    persists its snapshot at the RDD level, invisible to
+    ``DataFrame.unpersist`` and to Spark's CacheManager — without this
+    sweep a 480-query bench session only frees them via GC /
+    ContextCleaner. After the tracked caches are dropped, every
+    persistent RDD still registered with the SparkContext belongs to a
+    COMPLETED prior build (the _BUILD_DEPTH guard in ``wrapped``
+    guarantees no in-flight build's snapshot is reachable here), so
+    unpersisting them all is safe: checkpoint snapshots are dead, and
+    any still-referenced ordinary cache refills lazily on next use."""
     while _LIVE_CACHES:
         df = _LIVE_CACHES.pop()
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is None:
+            return
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            entry = it.next()
+            try:
+                entry._2().unpersist(False)
+            except Exception:
+                pass  # racing ContextCleaner — already gone
+    except Exception:
+        pass  # JVM bridge unavailable (session stopping) — GC handles it
 
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
@@ -55,9 +92,18 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     def deco(fn):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            release_caches()
+            global _BUILD_DEPTH
+            # only a TOP-LEVEL build releases the previous build's
+            # frames; a nested wrapped call must leave the outer
+            # build's persisted/checkpointed intermediates alone
+            if _BUILD_DEPTH == 0:
+                release_caches()
             prepare(spark)
-            return fn(spark, sf_dir)
+            _BUILD_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _BUILD_DEPTH -= 1
 
         QUERIES[name] = wrapped
         if oracle is not None:

@@ -60,6 +60,24 @@ def front_door_split(
     return clean, schema_q, secret_q, orphan_q
 
 
+def _validate_contract(contract: StructType, fk_col: str) -> None:
+    """Fail at CONSTRUCTION time, not deep inside the chain: the secret
+    gate scans the typed 'text' column and the fk gate joins on fk_col,
+    so a contract missing either would otherwise surface as an
+    unresolved-column error mid-batch (ADVICE r5)."""
+    names = {f.name for f in contract.fields}
+    if "text" not in names:
+        raise ValueError(
+            "front door contract must declare a 'text' column — the "
+            f"secret gate scans it; contract has {sorted(names)}"
+        )
+    if fk_col not in names:
+        raise ValueError(
+            f"front door fk_col {fk_col!r} is not in the contract — the "
+            f"fk gate joins on it; contract has {sorted(names)}"
+        )
+
+
 def front_door_writer(
     contract: StructType,
     required: list[str],
@@ -73,6 +91,7 @@ def front_door_writer(
     ledger_dir: str,
 ):
     """foreachBatch hook over a raw text stream of JSON lines."""
+    _validate_contract(contract, fk_col)
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

@@ -80,15 +80,18 @@ def _verdict_col(contract: StructType, required: list[str]):
     )
 
 
-def split_schema(
+def _judge(
     lines: DataFrame, contract: StructType, required: list[str]
+) -> DataFrame:
+    """The raw lines plus their breach verdict — computed ONCE so every
+    consumer (clean split, quarantine split, score row) shares one
+    evaluation of the per-field try_cast ladder."""
+    return lines.withColumn("breach", _verdict_col(contract, required))
+
+
+def _split_judged(
+    judged: DataFrame, contract: StructType
 ) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantine): clean rows are parsed to the contract's
-    typed columns; quarantined rows keep the raw line plus its breach
-    class. Every input line lands in exactly one side."""
-    judged = lines.withColumn(
-        "breach", _verdict_col(contract, required)
-    )
     clean = (
         judged.filter(F.col("breach") == "")
         .withColumn("parsed", F.from_json("value", contract))
@@ -98,6 +101,15 @@ def split_schema(
         F.col("value").alias("raw_line"), "breach"
     )
     return clean, quarantine
+
+
+def split_schema(
+    lines: DataFrame, contract: StructType, required: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows are parsed to the contract's
+    typed columns; quarantined rows keep the raw line plus its breach
+    class. Every input line lands in exactly one side."""
+    return _split_judged(_judge(lines, contract, required), contract)
 
 
 def schema_gate_writer(
@@ -110,37 +122,52 @@ def schema_gate_writer(
     """foreachBatch hook over a text stream of JSON lines."""
 
     def _write(batch: DataFrame, batch_id: int) -> None:
-        clean, quar = split_schema(batch, contract, required)
-        _dynamic_overwrite(
-            clean.withColumn("batch_id", F.lit(batch_id)), clean_dir
-        )
-        _dynamic_overwrite(
-            quar.withColumn("batch_id", F.lit(batch_id)), quarantine_dir
-        )
-        row = (
-            batch.select(_verdict_col(contract, required).alias("breach"))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(F.when(F.col("breach") == "", 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_clean"),
-                *[
-                    F.sum(F.when(F.col("breach") == b, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias(f"n_{b}")
-                    for b in (
-                        "malformed",
-                        "missing_required",
-                        "type_error",
-                        "extra_fields",
-                    )
-                ],
+        # three outputs re-read the micro-batch; persist it once so the
+        # raw text is not re-read and the try_cast ladder not re-run
+        # per output (ADVICE r5 — mirrors front_door_writer), and
+        # derive ALL outputs from the same judged frame
+        batch = batch.persist()
+        try:
+            judged = _judge(batch, contract, required)
+            clean, quar = _split_judged(judged, contract)
+            _dynamic_overwrite(
+                clean.withColumn("batch_id", F.lit(batch_id)), clean_dir
             )
-            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-        )
-        _dynamic_overwrite(row, scores_dir)
+            _dynamic_overwrite(
+                quar.withColumn("batch_id", F.lit(batch_id)),
+                quarantine_dir,
+            )
+            row = _score_row(judged, batch_id)
+            _dynamic_overwrite(row, scores_dir)
+        finally:
+            batch.unpersist()
 
     return _write
+
+
+def _score_row(judged: DataFrame, batch_id: int) -> DataFrame:
+    """Per-batch verdict counts, aggregated over the ALREADY-judged
+    frame (one breach evaluation per batch, shared with the splits)."""
+    return (
+        judged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("breach") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+            *[
+                F.sum(F.when(F.col("breach") == b, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{b}")
+                for b in (
+                    "malformed",
+                    "missing_required",
+                    "type_error",
+                    "extra_fields",
+                )
+            ],
+        )
+        .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+    )
 
 
 def read_scores(spark: SparkSession, scores_dir: str) -> DataFrame:

@@ -129,3 +129,30 @@ def test_front_door_replay_is_idempotent(spark, tmp_path):
     second = sorted(tuple(r) for r in read_ledger(spark, d["ledger"]).collect())
     assert first == second
     assert spark.read.parquet(d["clean"]).count() == 2
+
+
+def test_front_door_rejects_contract_without_text():
+    import pytest
+
+    from serverless_etl_spark.streaming.front_door import front_door_writer
+
+    no_text = StructType(
+        [StructField("doc_id", LongType()), StructField("source", StringType())]
+    )
+    with pytest.raises(ValueError, match="'text' column"):
+        front_door_writer(
+            no_text, ["doc_id"], "/dim", "source", "source",
+            "/c", "/sq", "/xq", "/oq", "/l",
+        )
+
+
+def test_front_door_rejects_fk_col_outside_contract():
+    import pytest
+
+    from serverless_etl_spark.streaming.front_door import front_door_writer
+
+    with pytest.raises(ValueError, match="fk_col 'site'"):
+        front_door_writer(
+            CONTRACT, REQUIRED, "/dim", "site", "source",
+            "/c", "/sq", "/xq", "/oq", "/l",
+        )

@@ -1,0 +1,43 @@
+"""Cache/checkpoint lifecycle in the registry (ADVICE r5):
+localCheckpoint persists its snapshot at the RDD level, invisible to
+DataFrame.unpersist — release_caches() must sweep those blocks between
+queries, and nested wrapped-query calls must NOT trigger the sweep
+(a freed checkpoint block cannot recompute; its lineage is gone)."""
+
+from __future__ import annotations
+
+from serverless_etl_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_persistent(spark) -> int:
+    n = 0
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()
+        n += 1
+    return n
+
+
+def test_release_frees_local_checkpoint_blocks(spark):
+    registry.load_all()
+    # q190_pagerank takes eager localCheckpoints (lineage-cut doctrine)
+    registry.QUERIES["q190_pagerank"](spark, SF).count()
+    assert _n_persistent(spark) > 0, "pagerank should leave snapshots"
+    registry.release_caches()
+    assert _n_persistent(spark) == 0
+
+
+def test_nested_wrapped_call_does_not_release_outer_frames(spark):
+    registry.load_all()
+    # q161_dedup_savings internally invokes the WRAPPED q63 builder
+    # (dedup.py) — the run must survive the nested registry entry and
+    # produce rows, proving the depth guard short-circuits the release
+    assert registry.QUERIES["q161_dedup_savings"](spark, SF).count() > 0
+    registry.release_caches()
+
+
+def test_release_is_safe_without_active_session():
+    # module-level sanity: callable with nothing tracked and no JVM work
+    registry.release_caches()

@@ -393,3 +393,23 @@ def test_kafka_builder_option_wiring(spark):
 
     with pytest.raises(Exception, match="kafka"):
         read_tweet_stream_kafka(spark, "broker:9092", "tweets")
+
+
+def test_tws_gate_contract():
+    """The TWS gate is an ENVIRONMENT contract, not a code stub: it
+    must track google.protobuf presence exactly (given pyspark >= 4's
+    StatefulProcessor, which this repo pins). If this ever fails, the
+    gate is hiding something other than the missing protobuf runtime —
+    and when an environment supplies protobuf, the handshake test
+    above must auto-unskip."""
+    import importlib.util
+
+    from serverless_etl_spark.streaming.stateful import tws_available
+
+    try:  # find_spec raises when even the parent 'google' ns is absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    has_tws_api = importlib.util.find_spec("pyspark.sql.streaming") is not None
+    assert has_tws_api  # pyspark 4.x is a hard dependency
+    assert tws_available() == has_protobuf

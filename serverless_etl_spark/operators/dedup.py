@@ -4128,3 +4128,156 @@ def q480_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wasted_verifications"),
     )
+
+
+# --------------------------------------------------------------------------
+# q483 — dedup cascade ledger (exact → MinHash/LSH, stage attribution)
+# --------------------------------------------------------------------------
+
+_SURVIVORS_SQL = f"""
+        SELECT MIN(doc_id) AS doc_id, text
+        FROM ({_DUPED_SQL}) GROUP BY text
+"""
+
+
+@register(
+    "q483_dedup_cascade",
+    oracle=f"""
+    WITH duped AS ({_DUPED_SQL}),
+    survivors AS ({_SURVIVORS_SQL}),
+    near_removed AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM ({_q41_oracle_sql(_SURVIVORS_SQL)})
+    )
+    SELECT
+        (SELECT COUNT(*) FROM duped) AS n_input,
+        (SELECT COUNT(*) FROM duped)
+            - (SELECT COUNT(*) FROM survivors) AS n_exact_removed,
+        (SELECT COUNT(*) FROM near_removed) AS n_near_removed,
+        (SELECT COUNT(*) FROM survivors)
+            - (SELECT COUNT(*) FROM near_removed) AS n_final,
+        1000000 * ((SELECT COUNT(*) FROM duped)
+                   - (SELECT COUNT(*) FROM survivors)
+                   + (SELECT COUNT(*) FROM near_removed))
+            // (SELECT COUNT(*) FROM duped) AS removed_ppm
+    """,
+)
+def q483_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE every production corpus actually runs — exact
+    hash dedup FIRST (cheap, catches byte-identical copies), MinHash+
+    LSH near-dup SECOND over the exact survivors only — with a ledger
+    attributing every removal to its stage. Ordering matters twice:
+    the near-dup stage's expensive band join runs on the smaller
+    post-exact corpus, and the attribution tells a pipeline owner
+    whether their duplication is copy-paste (stage 1) or boilerplate/
+    template drift (stage 2) — different upstream fixes. Near-dup
+    removal keeps the smaller doc_id of each verified pair (q41's
+    jaccard >= 0.5), the same keeper rule as stage 1.
+
+    Determinism: both stages are the exact q40/q41 machinery; the
+    ledger is pure integer counts and a ppm floor.
+
+    Scale: stage 1 is one shuffle on the 16-byte digest; stage 2 is
+    q41's banded join over the REDUCED corpus — the cascade's whole
+    point at 100 TB (on a 30%-duplicated crawl, stage 2's dominant
+    shuffle shrinks by the same 30%).
+
+    Reference: q40 (exact stage), q41 (near stage), q161 (savings),
+    q473 (why removal matters — memorization exposure)."""
+    corpus = _duped_docs(spark, sf_dir)
+    survivors = corpus.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", "text")
+    near_removed = (
+        minhash_lsh_pairs(survivors)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    inp = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+    surv = survivors.agg(F.count(F.lit(1)).cast("bigint").alias("n_surv"))
+    nr = near_removed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_removed")
+    )
+    return (
+        inp.crossJoin(F.broadcast(surv))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "n_input",
+            (F.col("n_input") - F.col("n_surv")).alias("n_exact_removed"),
+            "n_near_removed",
+            (F.col("n_surv") - F.col("n_near_removed")).alias("n_final"),
+            F.expr(
+                "1000000 * (n_input - n_surv + n_near_removed)"
+                " DIV n_input"
+            ).alias("removed_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q487 — soft dedup: per-cluster sampling weights instead of removal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q487_soft_dedup_weights",
+    oracle=f"""
+    WITH duped AS ({_DUPED_SQL}),
+    cl AS (
+        SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM duped GROUP BY 1
+    )
+    SELECT csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) * csize AS n_docs,
+           1000000 // csize AS weight_ppm,
+           1000000 * CAST(COUNT(*) AS BIGINT)
+               // (SELECT COUNT(*) FROM cl) AS mass_ppm
+    FROM cl GROUP BY csize
+    ORDER BY csize
+    """,
+)
+def q487_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — the alternative to q40's removal: keep every copy
+    but give each doc sampling weight 1/cluster_size so a duplicated
+    document contributes exactly one document's worth of training
+    mass. Pipelines choose this over hard dedup when duplication
+    count itself carries signal (popular licenses, canonical
+    boilerplate) or when reversibility matters. Emits the cluster-size
+    histogram with the per-doc weight and each size's share of the
+    post-weighting probability mass — under 1/size weighting every
+    CLUSTER has equal mass, so mass_ppm is the cluster-count share
+    (the sanity invariant a reviewer checks first).
+
+    Determinism: integer counts and ppm floors only.
+
+    Scale: one digest shuffle (project md5 before the exchange), then
+    a partial-aggregated histogram over |clusters| rows; the weight
+    assignment back to docs (not materialized here) is a broadcast-
+    free map-side join on the digest.
+
+    Reference: q40 (hard removal), q161 (savings), q170 (cluster-size
+    dist — this adds the weighting semantics and mass accounting)."""
+    corpus = _duped_docs(spark, sf_dir)
+    cl = corpus.select(F.md5("text").alias("digest")).groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    cl = track_cache(cl.persist())
+    total = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total_clusters")
+    )
+    return (
+        cl.groupBy(F.col("csize").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias("n_docs"),
+            F.expr("1000000 DIV cluster_size").alias("weight_ppm"),
+            F.expr(
+                "1000000 * n_clusters DIV n_total_clusters"
+            ).alias("mass_ppm"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -4719,3 +4719,181 @@ def q474_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ratio_ppm") >= ENT_SEC_MIN_RATIO_PPM)
         .orderBy(F.col("ratio_ppm").desc(), "doc_id", "tok_preview")
     )
+
+
+# --------------------------------------------------------------------------
+# q484 — privacy-budget composition ledger (basic vs advanced bounds)
+# --------------------------------------------------------------------------
+
+DP_DELTA_INV = 100_000  #: δ = 1e-5 for the advanced-composition bound
+
+
+@register(
+    "q484_eps_composition",
+    oracle=f"""
+    WITH rel AS (
+        SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS k
+        FROM documents GROUP BY source
+    )
+    SELECT source, k,
+           k * {DP_EPS_MILLI} AS eps_basic_milli,
+           CAST(FLOOR(
+               1000.0 * (({DP_EPS_MILLI} / 1000.0)
+                         * sqrt(2.0 * k * ln({DP_DELTA_INV}))
+                         + k * ({DP_EPS_MILLI} / 1000.0)
+                           * (exp({DP_EPS_MILLI} / 1000.0) - 1.0))
+           ) AS BIGINT) AS eps_adv_milli,
+           CASE WHEN k * {DP_EPS_MILLI}
+                     <= CAST(FLOOR(
+                        1000.0 * (({DP_EPS_MILLI} / 1000.0)
+                                  * sqrt(2.0 * k * ln({DP_DELTA_INV}))
+                                  + k * ({DP_EPS_MILLI} / 1000.0)
+                                    * (exp({DP_EPS_MILLI} / 1000.0)
+                                       - 1.0))) AS BIGINT)
+                THEN 'basic' ELSE 'advanced' END AS tighter_bound
+    FROM rel
+    ORDER BY source
+    """,
+)
+def q484_eps_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-budget COMPOSITION ledger — the accounting layer above
+    q470's single release: a source that publishes one ε-DP count per
+    language has spent, after k releases, at most k·ε (basic
+    composition) or ε√(2k·ln(1/δ)) + kε(eᵋ−1) (advanced composition,
+    δ=1e-5) — the budget a privacy officer actually tracks. Both
+    bounds are emitted per source with which is tighter (advanced
+    wins only once k is large enough to pay its √ overhead — at
+    ε=0.5 the crossover is visible right in the output).
+
+    Determinism: k is an exact distinct count; the advanced bound's
+    exp/ln/sqrt run on the SAME small-integer operands in both
+    engines before one millis floor (the q301 ln-floor posture).
+
+    Scale: one partial-aggregated distinct-count to |sources| rows;
+    the formula is map-side on that bounded table.
+
+    Reference: q470 (the per-release mechanism whose ε this
+    composes), q263 (contribution bounds), q337 (l-diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eps = DP_EPS_MILLI / 1000.0
+    adv = (
+        f"CAST(FLOOR(1000.0 * ({eps} * sqrt(2.0 * k * ln({DP_DELTA_INV}))"
+        f" + k * {eps} * (exp({eps}) - 1.0))) AS BIGINT)"
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.countDistinct("lang").cast("bigint").alias("k"))
+        .select(
+            "source",
+            "k",
+            (F.col("k") * DP_EPS_MILLI).alias("eps_basic_milli"),
+            F.expr(adv).alias("eps_adv_milli"),
+            F.expr(
+                f"CASE WHEN k * {DP_EPS_MILLI} <= {adv}"
+                " THEN 'basic' ELSE 'advanced' END"
+            ).alias("tighter_bound"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q488 — dataset card (one-row corpus summary)
+# --------------------------------------------------------------------------
+
+CARD_SHORT_CHARS = 100  #: docs under this length count as 'short'
+
+
+@register(
+    "q488_dataset_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               md5(text) AS digest
+        FROM documents
+    ),
+    top_lang AS (
+        SELECT lang, COUNT(*) AS c FROM base GROUP BY lang
+        ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           (SELECT lang FROM top_lang) AS top_lang,
+           1000000 * (SELECT CAST(c AS BIGINT) FROM top_lang)
+               // COUNT(*) AS top_lang_ppm,
+           1000000 * (COUNT(*) - COUNT(DISTINCT digest))
+               // COUNT(*) AS exact_dup_ppm,
+           CAST(SUM(toks) AS BIGINT) // COUNT(*) AS mean_doc_tokens,
+           1000000 * CAST(SUM(CASE WHEN n_chars < {CARD_SHORT_CHARS}
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               // COUNT(*) AS short_doc_ppm
+    FROM base
+    """,
+)
+def q488_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD header row — the one-line corpus summary every
+    released training set ships (docs, tokens, language/source
+    breadth, dominant language share, exact-duplication rate, length
+    profile). Each number is the cheap screening twin of a deeper
+    operator in the registry (dup_ppm → q40, short docs → q32's
+    length rules, top-lang share → q181), collected in ONE scan so a
+    curation run can gate on the card before paying for the deep
+    passes.
+
+    Determinism: counts, distinct counts on exact strings/digests,
+    and ppm floors; the top language breaks count ties by lang
+    ascending in both engines.
+
+    Scale: one partial-aggregated scan (the two DISTINCTs partial-
+    aggregate on their own keys); top_lang is a bounded |langs|-row
+    sort. The card is O(1) output at any corpus size.
+
+    Reference: q40 (dup depth), q181 (per-lang quality), q199
+    (curation funnel — the card is its cover page)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+        F.md5("text").alias("digest"),
+    )
+    base = track_cache(base.persist())
+    top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    return (
+        base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("digest").cast("bigint").alias("n_digests"),
+            F.sum(
+                F.when(F.col("n_chars") < CARD_SHORT_CHARS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_short"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            "top_lang",
+            F.expr("1000000 * top_c DIV n_docs").alias("top_lang_ppm"),
+            F.expr(
+                "1000000 * (n_docs - n_digests) DIV n_docs"
+            ).alias("exact_dup_ppm"),
+            F.expr("n_tokens DIV n_docs").alias("mean_doc_tokens"),
+            F.expr("1000000 * n_short DIV n_docs").alias("short_doc_ppm"),
+        )
+    )

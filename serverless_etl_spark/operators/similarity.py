@@ -3210,3 +3210,485 @@ def q479_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RNN_TOP)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q481 — IVF probe-count sweep (recall-vs-nprobe tuning curve)
+# --------------------------------------------------------------------------
+
+IVF_PROBES = (1, 2, 3, 4)
+_Q = 4096  #: 2^12 quantization for exact integer centroid arithmetic
+
+_QDIMS_SQL = """
+    qdims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096)
+                    AS BIGINT) AS xi
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "q481_ivf_probe_sweep",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    {_QDIMS_SQL},
+    cents AS (
+        SELECT label, i, CAST(SUM(xi) AS BIGINT) AS s
+        FROM qdims GROUP BY 1, 2
+    ),
+    cnorm AS (
+        SELECT label, sqrt(SUM(CAST(s * s AS DOUBLE))) AS cn
+        FROM cents GROUP BY 1
+    ),
+    qnorm AS (
+        SELECT vec_id, sqrt(SUM(CAST(xi * xi AS DOUBLE))) AS qn
+        FROM qdims WHERE vec_id < {N_QUERIES} GROUP BY 1
+    ),
+    cell_rank AS (
+        SELECT q.vec_id AS query_id, c.label,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY ROUND(SUM(q.xi * c.s)
+                                   / (ANY_VALUE(qn.qn)
+                                      * ANY_VALUE(cn.cn)), 6) DESC,
+                             c.label) AS INT) AS cell_rk
+        FROM qdims q
+        JOIN cents c ON c.i = q.i
+        JOIN qnorm qn ON qn.vec_id = q.vec_id
+        JOIN cnorm cn ON cn.label = c.label
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ROUND(SUM(q.x * c.x)
+                                       / (ANY_VALUE(nq.nrm)
+                                          * ANY_VALUE(nc.nrm)), 6) DESC,
+                                 c.vec_id) AS rk
+            FROM dims q
+            JOIN dims c ON c.i = q.i AND c.vec_id <> q.vec_id
+            JOIN norms nq ON nq.vec_id = q.vec_id
+            JOIN norms nc ON nc.vec_id = c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        ) WHERE rk <= {TOP_K}
+    ),
+    cands AS (
+        SELECT p.nprobe, r.query_id, e.vec_id AS cand_id
+        FROM cell_rank r
+        JOIN (SELECT unnest([{", ".join(str(p) for p in IVF_PROBES)}])
+              AS nprobe) p ON r.cell_rk <= p.nprobe
+        JOIN embeddings e ON e.label = r.label
+        WHERE e.vec_id <> r.query_id
+    )
+    SELECT c.nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN x.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           1000000 * CAST(SUM(CASE WHEN x.cand_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               // ({N_QUERIES} * {TOP_K}) AS recall_ppm
+    FROM cands c
+    LEFT JOIN exact x
+      ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+    GROUP BY c.nprobe
+    ORDER BY c.nprobe
+    """,
+)
+def q481_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe tuning curve for IVF search — the OPERATIONAL
+    knob q51/q97 leave fixed at one probe: rank the coarse cells per
+    query by query↔centroid cosine, sweep how many cells are probed
+    (1..4), and score each setting's candidate set against the exact
+    top-{TOP_K} (q50 semantics). This is the curve an ANN deployment
+    reads to pick its latency/recall point — the q250/q280 threshold-
+    sweep pattern applied to the index parameter instead of the
+    match threshold.
+
+    Determinism: centroid DIRECTIONS are exact-integer (2^-12
+    quantized dims summed as BIGINT; the 1/n factor cancels in the
+    cosine), so the cell ranking can never diverge between engines;
+    the exact top-k uses q50's ROUND(·,6)+id-tiebreak discipline;
+    recall is an integer ppm floor.
+
+    Scale: centroids are one partial-aggregated pass to |cells|×dims
+    rows; the per-query cell ranking is queries×cells (tiny,
+    broadcast); each probe level joins candidates BY CELL — the scan
+    cost is the candidate count the curve itself reports, never n².
+
+    Reference: q51 (1-probe IVF), q95/q97 (learned cells), q120/q464
+    (recall referees), q250 (threshold sweep pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                _vec_double(),
+                lambda x: F.floor(x * _Q).cast("bigint"),
+            )
+        ).alias("i", "xi"),
+    )
+    cents = qdims.groupBy("label", "i").agg(
+        F.sum("xi").cast("bigint").alias("s")
+    )
+    cnorm = cents.groupBy("label").agg(
+        F.sqrt(F.sum((F.col("s") * F.col("s")).cast("double"))).alias("cn")
+    )
+    qd = qdims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "i", "xi"
+    )
+    qnorm = qd.groupBy("query_id").agg(
+        F.sqrt(F.sum((F.col("xi") * F.col("xi")).cast("double"))).alias("qn")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), "label"
+    )
+    cell_rank = (
+        F.broadcast(qd)
+        .join(cents, "i")
+        .groupBy("query_id", "label")
+        .agg(F.sum(F.col("xi") * F.col("s")).alias("dot"))
+        .join(F.broadcast(qnorm), "query_id")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "query_id",
+            "label",
+            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
+            .alias("ccos"),
+        )
+        .withColumn("cell_rk", F.row_number().over(w_cell).cast("int"))
+        .select("query_id", "label", "cell_rk")
+    )
+    # exact top-k baseline (q50 machinery inline, queries broadcast)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"), _vec_double().alias("cv")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    exact = (
+        F.broadcast(qv)
+        .join(cv, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    probes = spark.range(1, len(IVF_PROBES) + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    cands = (
+        F.broadcast(
+            cell_rank.join(
+                F.broadcast(probes),
+                F.col("cell_rk") <= F.col("nprobe"),
+            ).select("nprobe", "query_id", "label")
+        )
+        .join(emb.select(F.col("vec_id").alias("cand_id"), "label"), "label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("nprobe", "query_id", "cand_id")
+    )
+    return (
+        cands.join(exact, ["query_id", "cand_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.expr(
+                "CAST(1000000 * SUM(COALESCE(hit, 0))"
+                f" DIV ({N_QUERIES} * {TOP_K}) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+# --------------------------------------------------------------------------
+# q482 — embedding whitening (mean-centering) and its anisotropy payoff
+# --------------------------------------------------------------------------
+
+_W = 10_000  #: unit-vector quantization scale (1e-4 resolution)
+
+
+@register(
+    "q482_embedding_whitening",
+    oracle=f"""
+    WITH {_DIMS_SQL},
+    u AS (
+        SELECT d.vec_id, d.i,
+               CAST(FLOOR({_W} * d.x / n.nrm) AS BIGINT) AS ui
+        FROM dims d JOIN norms n ON n.vec_id = d.vec_id
+    ),
+    s AS (SELECT i, CAST(SUM(ui) AS BIGINT) AS sd FROM u GROUP BY i),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM u),
+    before AS (
+        SELECT (SELECT CAST(SUM(sd * sd) AS BIGINT) FROM s)
+               - (SELECT CAST(SUM(ui * ui) AS BIGINT) FROM u) AS ab
+    ),
+    v AS (
+        SELECT u.vec_id, u.i,
+               u.ui * (SELECT n FROM nn) - s.sd AS vd
+        FROM u JOIN s ON s.i = u.i
+    ),
+    vn AS (
+        SELECT vec_id, sqrt(SUM(CAST(vd * vd AS DOUBLE))) AS vnrm
+        FROM v GROUP BY vec_id
+    ),
+    w AS (
+        SELECT v.vec_id, v.i,
+               CAST(FLOOR({_W} * v.vd / vn.vnrm) AS BIGINT) AS wi
+        FROM v JOIN vn ON vn.vec_id = v.vec_id
+    ),
+    sw AS (SELECT i, CAST(SUM(wi) AS BIGINT) AS sd FROM w GROUP BY i),
+    after AS (
+        SELECT (SELECT CAST(SUM(sd * sd) AS BIGINT) FROM sw)
+               - (SELECT CAST(SUM(wi * wi) AS BIGINT) FROM w) AS aa
+    )
+    SELECT n AS n_vecs,
+           (SELECT ab FROM before) // (n * (n - 1))
+               AS mean_pair_dot_e8_before,
+           (SELECT aa FROM after) // (n * (n - 1))
+               AS mean_pair_dot_e8_after
+    FROM nn
+    """,
+)
+def q482_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centering 'whitening' of the embedding space and its
+    measured anisotropy payoff — the FIX for the pathology q424
+    measures (all-positive pairwise cosines: a common direction
+    dominates, so cosine stops discriminating). The mean pairwise dot
+    over ALL n(n-1) unit-vector pairs is computed WITHOUT forming any
+    pair via the Gram identity  Σ_{{i≠j}} u_i·u_j = ‖Σu‖² − Σ‖u‖²  —
+    one pass before centering, one after; the drop toward ~0 is the
+    whitening payoff every retrieval stack banks before cosine search.
+
+    Determinism: unit vectors are quantized to 1e-4 integers (FLOOR,
+    row-local double ops on identical operands), every corpus-wide sum
+    is then EXACT BIGINT arithmetic in any order — no float
+    accumulation crosses a partition; centering multiplies through by
+    n (v = n·u − Σu) to stay integer-exact; the two outputs are
+    integer floor divisions (1e8-scaled mean dots).
+
+    Scale: two passes of posexplode → partial-aggregated per-dim sums
+    (64 rows each); the 'pairwise' statistic never materializes a
+    pair. The per-row renormalization joins a 64-row broadcast.
+
+    Reference: q424 (anisotropy diagnosis), q162 (norms), q363 (PQ —
+    another transform-then-search step)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode(_vec_double()).alias("i", "x")
+    )
+    norms = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    u = (
+        dims.join(norms, "vec_id")
+        .select(
+            "vec_id",
+            "i",
+            F.floor(_W * F.col("x") / F.col("nrm"))
+            .cast("bigint")
+            .alias("ui"),
+        )
+    )
+    u = track_cache(u.persist())
+    s = u.groupBy("i").agg(F.sum("ui").cast("bigint").alias("sd"))
+    n_row = u.agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+        F.sum(F.col("ui") * F.col("ui")).cast("bigint").alias("b"),
+    )
+    a_row = s.agg(F.sum(F.col("sd") * F.col("sd")).cast("bigint").alias("a"))
+    v = u.join(F.broadcast(s), "i").join(F.broadcast(n_row), how="cross")
+    v = v.select(
+        "vec_id", "i", (F.col("ui") * F.col("n") - F.col("sd")).alias("vd")
+    )
+    vn = v.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("vd") * F.col("vd")).cast("double"))).alias(
+            "vnrm"
+        )
+    )
+    w = (
+        v.join(vn, "vec_id")
+        .select(
+            "i",
+            F.floor(_W * F.col("vd") / F.col("vnrm"))
+            .cast("bigint")
+            .alias("wi"),
+        )
+    )
+    w = track_cache(w.persist())
+    sw = w.groupBy("i").agg(F.sum("wi").cast("bigint").alias("sd"))
+    aa_row = sw.agg(
+        F.sum(F.col("sd") * F.col("sd")).cast("bigint").alias("aa")
+    )
+    bb_row = w.agg(
+        F.sum(F.col("wi") * F.col("wi")).cast("bigint").alias("bb")
+    )
+    return (
+        n_row.crossJoin(F.broadcast(a_row))
+        .crossJoin(F.broadcast(aa_row))
+        .crossJoin(F.broadcast(bb_row))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.expr("(a - b) DIV (n * (n - 1))").alias(
+                "mean_pair_dot_e8_before"
+            ),
+            F.expr("(aa - bb) DIV (n * (n - 1))").alias(
+                "mean_pair_dot_e8_after"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q486 — cross-lingual centroid gap matrix (shared-space health check)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q486_lang_centroid_gap",
+    oracle=f"""
+    WITH joined AS (
+        SELECT d.lang, e.embedding
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    qd AS (
+        SELECT lang, generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_Q})
+                    AS BIGINT) AS xi
+        FROM joined
+    ),
+    cents AS (
+        SELECT lang, i, CAST(SUM(xi) AS BIGINT) AS s
+        FROM qd GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM joined GROUP BY 1
+    ),
+    cn AS (
+        SELECT lang, sqrt(SUM(CAST(s * s AS DOUBLE))) AS nrm
+        FROM cents GROUP BY 1
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(SUM(a.s * b.s) / (ANY_VALUE(na.nrm)
+                                   * ANY_VALUE(nb.nrm)), 6)
+               AS centroid_cos
+    FROM cents a
+    JOIN cents b ON b.i = a.i AND a.lang < b.lang
+    JOIN sizes sa ON sa.lang = a.lang
+    JOIN sizes sb ON sb.lang = b.lang
+    JOIN cn na ON na.lang = a.lang
+    JOIN cn nb ON nb.lang = b.lang
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2
+    """,
+)
+def q486_lang_centroid_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual centroid-gap matrix: per-language centroid
+    directions of the shared embedding space and every pairwise
+    centroid cosine — the health check a multilingual retrieval /
+    bitext-mining stack runs BEFORE trusting cross-language cosines
+    (q471's verifier assumes languages overlap in the space; if two
+    languages' centroids are nearly orthogonal, mining between them
+    is noise). High off-diagonal cosines here also quantify the
+    'language gap' that motivates q482's whitening.
+
+    Determinism: centroid directions are exact-integer (2^-12
+    quantized dims, BIGINT sums; 1/n cancels in the cosine — the q481
+    device); the only float ops are the final per-pair sqrt/division/
+    ROUND on identical operands.
+
+    Scale: one broadcast-joined pass (documents dim-side on doc_id =
+    vec_id) to |langs|×dims partial-aggregated rows; the pair matrix
+    is |langs|² — bounded, never data-sized.
+
+    Reference: q481 (integer-centroid device), q424/q482 (anisotropy),
+    q471 (the consumer), q448 (source similarity — same shape over
+    sources via minhash instead of centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    joined = emb.join(docs, "vec_id").select("lang", "embedding")
+    qd = joined.select(
+        "lang",
+        F.posexplode(
+            F.transform(
+                _vec_double(), lambda x: F.floor(x * _Q).cast("bigint")
+            )
+        ).alias("i", "xi"),
+    )
+    cents = qd.groupBy("lang", "i").agg(
+        F.sum("xi").cast("bigint").alias("s")
+    )
+    sizes = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cn = cents.groupBy("lang").agg(
+        F.sqrt(F.sum((F.col("s") * F.col("s")).cast("double"))).alias("nrm")
+    )
+    a = cents.select(
+        F.col("lang").alias("lang_a"), "i", F.col("s").alias("sa")
+    )
+    b = cents.select(
+        F.col("lang").alias("lang_b"), "i", F.col("s").alias("sb")
+    )
+    return (
+        a.join(
+            b,
+            (a["i"] == b["i"]) & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_a"),
+                                     F.col("n").alias("n_a"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_b"),
+                                     F.col("n").alias("n_b"))),
+            "lang_b",
+        )
+        .join(
+            F.broadcast(cn.select(F.col("lang").alias("lang_a"),
+                                  F.col("nrm").alias("na"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(cn.select(F.col("lang").alias("lang_b"),
+                                  F.col("nrm").alias("nb"))),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            .alias("centroid_cos"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -2996,3 +2996,121 @@ def q471_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BITEXT_TOP)
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q485 — boilerplate span detection (within-source repeated shingles)
+# --------------------------------------------------------------------------
+
+BOILER_DF = 3  #: a shingle in >= this many docs of ONE source is boilerplate
+
+
+@register(
+    "q485_boilerplate_spans",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest({_SHINGLES_SQL}) AS sh
+        FROM documents
+    ),
+    df AS (
+        SELECT source, sh, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY 1, 2
+    ),
+    boiler AS (SELECT source, sh FROM df WHERE df >= {BOILER_DF}),
+    per_doc AS (
+        SELECT s.doc_id, s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+        FROM sh s
+        LEFT JOIN boiler b ON b.source = s.source AND b.sh = s.sh
+        GROUP BY 1, 2
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM boiler b
+                     WHERE b.source = p.source), 0) AS n_boiler_types,
+           CAST(SUM(CASE WHEN p.n_boiler > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS affected_docs,
+           1000000 * CAST(SUM(p.n_boiler) AS BIGINT)
+               // CAST(SUM(p.n_sh) AS BIGINT) AS boiler_ppm
+    FROM per_doc p
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def q485_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate SPAN detection — CCNet-style sub-document dedup:
+    a 3-token shingle appearing in >= {BOILER_DF} docs of the SAME
+    source is a template span (header, footer, nav chrome, license
+    blurb), the text doc-level dedup (q40/q41) can never remove
+    because every surrounding doc is unique. Per source: how many
+    template span types exist, how many docs carry one, and the ppm
+    of shingle mass that is boilerplate — the removal candidate a
+    crawl-cleaning pass strips BEFORE training (boilerplate inflates
+    n-gram counts and memorizes verbatim).
+
+    Determinism: per-doc shingles are DISTINCT (dedup._shingles), so
+    each (doc, shingle) pair appears once and COUNT(*) per
+    (source, shingle) IS the distinct-doc frequency (the q471
+    semantics fix, by construction); everything else is integer
+    counts and one ppm floor.
+
+    Scale: one explode pass; the df table partial-aggregates on
+    (source, shingle); the membership join is keyed on the same pair
+    — no broadcast needed and no skew (md5-free but source-scoped).
+
+    Reference: q154 (novelty — across time), q345 (coverage), q471
+    (distinct-df discipline), q67 (intra-doc repetition — this is the
+    INTER-doc twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_shingles(F.split(F.col("text"), " "))).alias("sh"),
+    )
+    sh = track_cache(sh.persist())
+    df = sh.groupBy("source", "sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    boiler = df.filter(F.col("df") >= BOILER_DF).select("source", "sh")
+    boiler = track_cache(boiler.persist())
+    btypes = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boiler_types")
+    )
+    per_doc = (
+        sh.join(
+            boiler.withColumn("is_boiler", F.lit(1)),
+            ["source", "sh"],
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_boiler") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("affected_docs"),
+            F.sum("n_boiler").cast("bigint").alias("sb"),
+            F.sum("n_sh").cast("bigint").alias("ss"),
+        )
+        .join(btypes, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_boiler_types"), F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler_types"),
+            "affected_docs",
+            F.expr("1000000 * sb DIV ss").alias("boiler_ppm"),
+        )
+        .orderBy("source")
+    )

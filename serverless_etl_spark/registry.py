@@ -128,7 +128,13 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 _SWEEP_PRIORITY = [
     "q469_auc_binned", "q201_budget_allocation", "q243_stl_decompose",
     "q258_hdr_percentiles", "q261_fuzzy_join_eval",
-    "q307_permutation_test", "q146_compaction_plan", "q147_benford_screen",
+    "q307_permutation_test",
+    # round-6 additions (never swept)
+    "q481_ivf_probe_sweep", "q482_embedding_whitening",
+    "q483_dedup_cascade", "q484_eps_composition",
+    "q485_boilerplate_spans", "q486_lang_centroid_gap",
+    "q487_soft_dedup_weights", "q488_dataset_card",
+    "q146_compaction_plan", "q147_benford_screen",
     "q148_session_stats", "q149_dau_wau_stickiness", "q151_corr_matrix",
     "q152_cusum_changepoint", "q153_fk_integrity", "q154_shingle_novelty",
     "q155_context_budget", "q156_contingency_residuals",

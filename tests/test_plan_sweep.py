@@ -164,6 +164,13 @@ BNLJ_ALLOWED = {
     "q476_jm_interpolation",      # 5-row lambda grid + one-row totals
                                   # broadcasts
     "q477_modularity",            # one-row edge-count broadcast
+    "q481_ivf_probe_sweep",       # 4-row probe grid x bounded cell
+                                  # ranks + q50 exact-baseline twin
+    "q482_embedding_whitening",   # one-row n / A / B aggregate
+                                  # broadcasts (Gram-identity scalars)
+    "q483_dedup_cascade",         # three one-row stage-count broadcasts
+    "q487_soft_dedup_weights",    # one-row total-cluster-count broadcast
+    "q488_dataset_card",          # one-row top-lang broadcast
 }
 
 

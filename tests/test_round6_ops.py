@@ -1,0 +1,142 @@
+"""Invariant tests for the round-6 operators: IVF probe sweep
+(monotone recall/candidates, exact-baseline agreement at full probe
+fan-out), embedding whitening (centered mean-dot hits the exact
+−Σ‖w‖²-driven floor region and improves on the raw space), dedup
+cascade (conservation identity, stage counts match q40/q41 run
+directly), privacy composition (k=1 ⇒ basic tighter; bounds grow with
+k), boilerplate spans (accounting bounds), soft dedup weights (mass
+and doc accounting), lang centroid gap (full matrix, cosine range),
+and the dataset card (agreement with directly-computed stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+
+registry.load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_ivf_probe_sweep_is_monotone(spark):
+    rows = sorted(
+        registry.QUERIES["q481_ivf_probe_sweep"](spark, SF_SMALL).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        # probing more cells can only ADD candidates and hits
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hits >= a.n_hits
+        assert b.recall_ppm >= a.recall_ppm
+    for r in rows:
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.n_hits <= r.n_queries * 5  # TOP_K
+
+
+def test_whitening_improves_anisotropy(spark):
+    row = registry.QUERIES["q482_embedding_whitening"](
+        spark, SF_SMALL
+    ).collect()[0]
+    n = row.n_vecs
+    # centering must REDUCE the mean pairwise dot toward the exact
+    # centered-space value −Σ‖w‖²/(n(n−1)) ≈ −1e8/(n−1); the raw space
+    # is anisotropic (positive mean dot) on this corpus
+    assert row.mean_pair_dot_e8_before > 0
+    assert row.mean_pair_dot_e8_after < row.mean_pair_dot_e8_before
+    # exact identity: after-centering Σw ≈ 0 ⇒ mean dot ≈ −B'/(n(n−1)),
+    # and B' ≤ n·1e8 (quantized unit vectors) ⇒ bounded below
+    assert row.mean_pair_dot_e8_after >= -(10**8) // (n - 1) - 1
+
+
+def test_dedup_cascade_conserves_and_matches_stages(spark):
+    row = registry.QUERIES["q483_dedup_cascade"](spark, SF_SMALL).collect()[0]
+    # conservation: every input doc is exactly one of removed-exact,
+    # removed-near, final
+    assert (
+        row.n_exact_removed + row.n_near_removed + row.n_final
+        == row.n_input
+    )
+    # stage-1 count equals q40's duplicate surplus computed directly
+    from serverless_etl_spark.operators.dedup import _duped_docs
+
+    corpus = _duped_docs(spark, SF_SMALL)
+    n_input = corpus.count()
+    n_digests = corpus.select("text").distinct().count()
+    assert row.n_input == n_input
+    assert row.n_exact_removed == n_input - n_digests
+    assert row.n_near_removed > 0  # the seeded ' extratoken' twins
+
+
+def test_eps_composition_bounds(spark):
+    rows = registry.QUERIES["q484_eps_composition"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.eps_basic_milli == r.k * 500  # DP_EPS_MILLI
+        assert r.eps_adv_milli > 0
+        if r.k == 1:
+            # one release: basic composition (= ε) is always tighter
+            assert r.tighter_bound == "basic"
+        assert r.tighter_bound == (
+            "basic" if r.eps_basic_milli <= r.eps_adv_milli else "advanced"
+        )
+
+
+def test_boilerplate_spans_accounting(spark):
+    rows = registry.QUERIES["q485_boilerplate_spans"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 20  # every source reports
+    assert any(r.n_boiler_types > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.affected_docs <= r.n_docs
+        assert 0 <= r.boiler_ppm <= 1_000_000
+        if r.n_boiler_types == 0:
+            assert r.affected_docs == 0 and r.boiler_ppm == 0
+
+
+def test_lang_centroid_gap_full_matrix(spark):
+    rows = registry.QUERIES["q486_lang_centroid_gap"](
+        spark, SF_SMALL
+    ).collect()
+    langs = {r.lang_a for r in rows} | {r.lang_b for r in rows}
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for r in rows:
+        assert r.lang_a < r.lang_b
+        assert -1.000001 <= float(r.centroid_cos) <= 1.000001
+        assert r.n_a > 0 and r.n_b > 0
+
+
+def test_soft_dedup_weights_accounting(spark):
+    rows = registry.QUERIES["q487_soft_dedup_weights"](
+        spark, SF_SMALL
+    ).collect()
+    from serverless_etl_spark.operators.dedup import _duped_docs
+
+    n_input = _duped_docs(spark, SF_SMALL).count()
+    assert sum(r.n_docs for r in rows) == n_input
+    assert sum(r.mass_ppm for r in rows) <= 1_000_000  # floor rounding
+    for r in rows:
+        assert r.weight_ppm == 1_000_000 // r.cluster_size
+        assert r.n_docs == r.n_clusters * r.cluster_size
+
+
+def test_dataset_card_matches_direct_stats(spark):
+    row = registry.QUERIES["q488_dataset_card"](spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents")
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lang").alias("langs"),
+        F.countDistinct("source").alias("sources"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    ).collect()[0]
+    assert row.n_docs == direct.n
+    assert row.n_langs == direct.langs
+    assert row.n_sources == direct.sources
+    assert row.n_tokens == direct.toks
+    assert 0 <= row.top_lang_ppm <= 1_000_000
+    assert row.mean_doc_tokens == direct.toks // direct.n

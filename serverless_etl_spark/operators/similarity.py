@@ -3692,3 +3692,204 @@ def q486_lang_centroid_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q489 — top principal component by exact-integer power iteration
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 8
+PCA_VSCALE = 512      #: iterate vectors at max-abs ~512 (bigint-safe)
+PCA_SSCALE = 32_768   #: scatter-matrix down-scale (keeps vᵀSv in bigint)
+
+#: unrolled power-iteration CTEs (v0 .. v{K}) over the 4096-row s
+#: table. Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+#: reference, and this chain references each level multiple times
+#: (u_k from d_k AND v_k) — un-materialized, the data-pass CTE would
+#: be re-evaluated exponentially many times across the 8 levels.
+_PCA_ITER_SQL = "\n".join(
+    f"""    u{k} AS MATERIALIZED (
+        SELECT s.i, CAST(SUM(s.sv * v{k - 1}.v) AS BIGINT) AS u
+        FROM s JOIN v{k - 1} ON v{k - 1}.i = s.j GROUP BY s.i
+    ),
+    d{k} AS MATERIALIZED (
+        SELECT GREATEST(MAX(ABS(u)) // {PCA_VSCALE},
+                        CAST(1 AS BIGINT)) AS d
+        FROM u{k}
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT i, u // (SELECT d FROM d{k}) AS v FROM u{k}),"""
+    for k in range(1, PCA_ITERS + 1)
+)
+
+
+@register(
+    "q489_top_principal_component",
+    oracle=f"""
+    WITH qd AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_Q})
+                    AS BIGINT) AS xi
+        FROM embeddings
+    ),
+    nn AS MATERIALIZED (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM qd),
+    t AS MATERIALIZED (
+        SELECT i, CAST(SUM(xi) AS BIGINT) AS ti FROM qd GROUP BY i),
+    raw AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(a.xi * b.xi) AS BIGINT) AS p
+        FROM qd a JOIN qd b ON b.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+        SELECT raw.i, raw.j,
+               ((SELECT n FROM nn) * raw.p - ta.ti * tb.ti)
+                   // {PCA_SSCALE} AS sv
+        FROM raw JOIN t ta ON ta.i = raw.i JOIN t tb ON tb.i = raw.j
+    ),
+    v0 AS (SELECT i, CAST({PCA_VSCALE} AS BIGINT) AS v
+           FROM (SELECT DISTINCT i FROM t)),
+{_PCA_ITER_SQL}
+    rayleigh AS (
+        SELECT CAST(SUM(v.v * u.u) AS BIGINT) AS num,
+               (SELECT CAST(SUM(v * v) AS BIGINT)
+                FROM v{PCA_ITERS}) AS vv
+        FROM v{PCA_ITERS} v JOIN u{PCA_ITERS} u ON u.i = v.i
+    ),
+    tr AS (SELECT CAST(SUM(sv) AS BIGINT) AS trace_s FROM s WHERE i = j),
+    topd AS (
+        SELECT i AS top_dim FROM v{PCA_ITERS}
+        ORDER BY ABS(v) DESC, i LIMIT 1
+    )
+    SELECT (SELECT n FROM nn) AS n_vecs,
+           (SELECT trace_s FROM tr) AS trace_s,
+           (SELECT num FROM rayleigh)
+               // GREATEST(((SELECT vv FROM rayleigh)
+                            * (SELECT trace_s FROM tr)) // 1000000,
+                           1) AS lambda_share_ppm,
+           (SELECT top_dim FROM topd) AS top_dim
+    """,
+)
+def q489_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding cloud
+    by power iteration — the CAUSE measurement behind the anisotropy
+    family: q424 detects the pathology, q482 removes the mean, and
+    this reports how much variance the single dominant direction
+    holds (λ₁/trace as ppm) plus which raw dimension it loads on. A
+    retrieval stack reads this before deciding whether whitening
+    (q482) suffices or a full rotation is warranted.
+
+    Determinism — EXACT-INTEGER power iteration: the centered scatter
+    matrix is computed without any float (n·Σxxᵀ − TTᵀ over 2^-12
+    quantized BIGINTs, down-scaled by {PCA_SSCALE} to keep every later
+    product in bigint); each of the {PCA_ITERS} iterations is an
+    integer mat-vec, renormalized by INTEGER division to max-abs
+    ~{PCA_VSCALE} — no float accumulation exists anywhere, so the two
+    engines cannot diverge even after 8 amplifying rounds. The share
+    is an integer Rayleigh quotient over the same units.
+
+    Scale: the one data pass builds the 64×64 scatter by per-row
+    outer products (4096 partial-agg cells — Σxᵢxⱼ is embarrassingly
+    partial-aggregable); the iteration then runs on a BOUNDED
+    4096-row table (eager lineage cut, SCALE.md §9). At production n
+    the integer scatter would overflow bigint — divide S by n into
+    doubles there; the integer form is the oracle-parity twin.
+
+    Reference: q424 (anisotropy), q482 (whitening), q486 (per-lang
+    centroids), q401 (rank-1 ALS — same power-method shape on the
+    interaction matrix)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                _vec_double(), lambda x: F.floor(x * _Q).cast("bigint")
+            )
+        ).alias("i", "xi"),
+    )
+    qd = track_cache(qd.persist())
+    nn = qd.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
+    t = qd.groupBy("i").agg(F.sum("xi").cast("bigint").alias("ti"))
+    a = qd.select("vec_id", F.col("i").alias("ia"), F.col("xi").alias("xa"))
+    b = qd.select("vec_id", F.col("i").alias("jb"), F.col("xi").alias("xb"))
+    raw = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("p"))
+    )
+    s = (
+        raw.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(t.select(F.col("i").alias("ti_i"),
+                                   F.col("ti").alias("ta"))),
+              F.col("i") == F.col("ti_i"))
+        .join(F.broadcast(t.select(F.col("i").alias("tj_i"),
+                                   F.col("ti").alias("tb"))),
+              F.col("j") == F.col("tj_i"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"(n * p - ta * tb) DIV {PCA_SSCALE}"
+            ).alias("sv"),
+        )
+    )
+    # bounded 4096-row iterated table: ONE eager lineage cut, then the
+    # 8 mat-vec rounds build on the snapshot (SCALE.md §9 doctrine)
+    s = s.coalesce(1).localCheckpoint(eager=True)
+    v = s.select("i").distinct().select(
+        "i", F.lit(PCA_VSCALE).cast("bigint").alias("v")
+    )
+    u = None
+    for _ in range(PCA_ITERS):
+        u = (
+            s.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("sv") * F.col("v")).cast("bigint").alias("u"))
+        )
+        d = u.agg(
+            F.greatest(
+                F.expr(f"MAX(ABS(u)) DIV {PCA_VSCALE}"),
+                F.lit(1).cast("bigint"),
+            ).alias("d")
+        )
+        # EAGER per-round snapshot (64 rows): the lazy form left all 8
+        # rounds' broadcasts to materialize inside one final action,
+        # which re-analyzed and re-ran the earlier rounds per broadcast
+        # subtree — the q459 planning-cost failure in miniature
+        v = (
+            u.crossJoin(F.broadcast(d))
+            .select("i", F.expr("u DIV d").alias("v"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    rayleigh = (
+        v.join(u.select(F.col("i").alias("ui"), "u"),
+               F.col("i") == F.col("ui"))
+        .agg(
+            F.sum(F.col("v") * F.col("u")).cast("bigint").alias("num"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("vv"),
+        )
+    )
+    tr = s.filter(F.col("i") == F.col("j")).agg(
+        F.sum("sv").cast("bigint").alias("trace_s")
+    )
+    topd = (
+        v.orderBy(F.abs(F.col("v")).desc(), "i")
+        .limit(1)
+        .select(F.col("i").cast("bigint").alias("top_dim"))
+    )
+    return (
+        nn.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(rayleigh))
+        .crossJoin(F.broadcast(topd))
+        .select(
+            F.col("n").alias("n_vecs"),
+            "trace_s",
+            F.expr(
+                "num DIV GREATEST((vv * trace_s) DIV 1000000,"
+                " CAST(1 AS BIGINT))"
+            ).alias("lambda_share_ppm"),
+            "top_dim",
+        )
+    )

@@ -4569,3 +4569,101 @@ def q476_jm_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lambda_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# q490 — curriculum phases (difficulty-ordered training schedule)
+# --------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 3
+
+
+@register(
+    "q490_curriculum_phases",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               1000000 * CAST(len(list_distinct(string_split(text, ' ')))
+                              AS BIGINT)
+                   // CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS difficulty_ppm
+        FROM documents
+    ),
+    phased AS (
+        SELECT doc_id, toks, difficulty_ppm,
+               CAST(NTILE({CURRICULUM_PHASES})
+                    OVER (ORDER BY difficulty_ppm, doc_id) AS INT)
+                   AS phase
+        FROM scored
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS phase_tokens,
+           CAST(MIN(difficulty_ppm) AS BIGINT) AS min_difficulty_ppm,
+           CAST(MAX(difficulty_ppm) AS BIGINT) AS max_difficulty_ppm,
+           CAST(SUM(SUM(toks)) OVER (ORDER BY phase
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_tokens
+    FROM phased
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def q490_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule planner: order the corpus easy→hard by a
+    difficulty score (lexical diversity — distinct-token ppm, the
+    integer q201 quality measure: repetitive docs are 'easy', diverse
+    docs 'hard') and cut it into {CURRICULUM_PHASES} equal-count
+    phases. Emits each phase's doc/token mass, its difficulty band,
+    and the cumulative token schedule — the table a curriculum-
+    learning run feeds its data loader (phase 1 first, hardest text
+    last).
+
+    Determinism: the difficulty score is an integer ppm floor; NTILE
+    runs over the TOTAL order (difficulty, doc_id), and both engines
+    assign NTILE groups identically given a total order (first
+    n % k groups get the extra row — verified); phase stats are
+    integer aggregates.
+
+    Scale: scoring is map-side; the only global step is the NTILE
+    sort, which at corpus scale becomes a range-partitioned
+    assignment over the (bounded-cardinality) difficulty histogram —
+    the q369-style rollup path; phase stats partial-aggregate.
+
+    Reference: q201 (quality-ranked budget), q160 (mixture weights),
+    q365 (learning curve — the consumer of a schedule like this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+        F.expr(
+            "1000000 * CAST(size(array_distinct(split(text, ' ')))"
+            " AS BIGINT) DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("difficulty_ppm"),
+    )
+    w = Window.orderBy("difficulty_ppm", "doc_id")
+    phased = scored.withColumn(
+        "phase", F.ntile(CURRICULUM_PHASES).over(w).cast("int")
+    )
+    per_phase = (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("phase_tokens"),
+            F.min("difficulty_ppm").cast("bigint")
+            .alias("min_difficulty_ppm"),
+            F.max("difficulty_ppm").cast("bigint")
+            .alias("max_difficulty_ppm"),
+        )
+    )
+    w_cum = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_phase.withColumn(
+            "cumulative_tokens",
+            F.sum("phase_tokens").over(w_cum).cast("bigint"),
+        )
+        .orderBy("phase")
+    )

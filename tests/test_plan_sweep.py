@@ -171,6 +171,9 @@ BNLJ_ALLOWED = {
     "q483_dedup_cascade",         # three one-row stage-count broadcasts
     "q487_soft_dedup_weights",    # one-row total-cluster-count broadcast
     "q488_dataset_card",          # one-row top-lang broadcast
+    "q489_top_principal_component",  # one-row n/trace/Rayleigh/top-dim
+                                     # broadcasts + per-round one-row
+                                     # renormalizer over a 64-row frame
 }
 
 

@@ -41,14 +41,17 @@ def test_whitening_improves_anisotropy(spark):
         spark, SF_SMALL
     ).collect()[0]
     n = row.n_vecs
-    # centering must REDUCE the mean pairwise dot toward the exact
-    # centered-space value −Σ‖w‖²/(n(n−1)) ≈ −1e8/(n−1); the raw space
-    # is anisotropic (positive mean dot) on this corpus
-    assert row.mean_pair_dot_e8_before > 0
-    assert row.mean_pair_dot_e8_after < row.mean_pair_dot_e8_before
-    # exact identity: after-centering Σw ≈ 0 ⇒ mean dot ≈ −B'/(n(n−1)),
-    # and B' ≤ n·1e8 (quantized unit vectors) ⇒ bounded below
-    assert row.mean_pair_dot_e8_after >= -(10**8) // (n - 1) - 1
+    # centering zeroes the common direction, so the mean pairwise dot
+    # can only move DOWN toward its centered-space floor −B'/(n(n−1))
+    # ≈ −1e8/(n−1) (B' ≤ n·1e8 for quantized unit vectors). The raw
+    # value's SIGN is data-dependent (positive at sf0.01, slightly
+    # negative at sf0.001) — the invariants are the ordering and the
+    # floor, not the sign.
+    assert row.mean_pair_dot_e8_after <= row.mean_pair_dot_e8_before
+    floor = -(10**8) // (n - 1)
+    assert row.mean_pair_dot_e8_after >= floor - 1
+    # and it must actually LAND near the floor (Σw ≈ 0 after centering)
+    assert abs(row.mean_pair_dot_e8_after - floor) <= abs(floor) // 20
 
 
 def test_dedup_cascade_conserves_and_matches_stages(spark):

@@ -16,15 +16,25 @@ admitted anywhere), references last (an orphan row is the least
 dangerous class — it may be requeued once its dimension lands,
 fk_gate.requeue_resolved).
 
+Single evaluation (round 6): the composition does NOT re-run each
+gate's split chain per output. ``front_door_judge`` computes ONE
+map-side frame carrying the raw line, the schema breach class, the
+parsed struct, the secret counts, the fk-resolution flag, and a total
+four-way ``fd_verdict`` whose CASE order IS the gate order; every
+output (and the ledger) is a cheap filter/aggregate over that single
+persisted frame. Previously the try_cast ladder ran once per output
+(5×) and the secret regexes up to 4× — map-side waste that is
+data-proportional at scale even though each pass is shuffle-free.
+
 Exactly-once: all gates are stateless; every output (three
 quarantines, clean, ledger) is partitioned by batch_id and written
 with dynamic overwrite, so a replayed batch rewrites identical files
 (the checksum_gate contract, inherited from each gate).
 
-Scale: one parse + three map-side projections per batch; the only
-join is fk_gate's broadcast semi/anti against the dimension keys.
-Nothing here shuffles the payload; the composition adds NO exchanges
-over running the gates separately, and saves two stream re-reads.
+Scale: one parse + one fused regex projection + one broadcast left
+join per batch; nothing here shuffles the payload. The composition
+adds NO exchanges over running the gates separately, saves two stream
+re-reads, and evaluates every gate expression exactly once.
 """
 
 from __future__ import annotations
@@ -33,15 +43,61 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .fk_gate import split_orphans
+from ..operators.quality import SECRET_PATTERNS
 from .neardup_gate import _dynamic_overwrite, _read_or_empty
-from .schema_gate import split_schema
-from .secret_gate import split_secrets
+from .schema_gate import _verdict_col
 
 LEDGER_SCHEMA = (
     "n_rows BIGINT, n_schema_q BIGINT, n_secret_q BIGINT,"
     " n_orphan_q BIGINT, n_clean BIGINT, batch_id BIGINT"
 )
+
+#: secret-count columns in split_secrets' order (schema parity)
+_COUNT_COLS = [f"n_{name}" for name, _ in SECRET_PATTERNS] + [
+    "n_secret_matches"
+]
+
+
+def front_door_judge(
+    lines: DataFrame,
+    contract: StructType,
+    required: list[str],
+    dim_keys: DataFrame,
+    fk_col: str,
+    key_col: str,
+) -> DataFrame:
+    """ONE evaluation of all three gates over the raw lines: adds the
+    schema ``breach`` class (schema_gate._verdict_col — the same
+    expression the standalone gate runs), the ``parsed`` struct, the
+    per-class secret counts on the parsed text (split_secrets
+    semantics, NULL text scans as ''), a broadcast fk-resolution flag,
+    and the four-way ``fd_verdict`` whose WHEN order is the gate
+    order. Every row gets exactly one verdict (the CASE is total), so
+    the four outputs partition the batch by construction."""
+    judged = lines.withColumn("breach", _verdict_col(contract, required))
+    typed = judged.withColumn("parsed", F.from_json("value", contract))
+    scanned = F.coalesce(F.col("parsed").getField("text"), F.lit(""))
+    total = F.lit(0)
+    for name, pat in SECRET_PATTERNS:
+        col = f"n_{name}"
+        typed = typed.withColumn(
+            col, F.size(F.regexp_extract_all(scanned, F.lit(pat), F.lit(0)))
+        )
+        total = total + F.col(col)
+    typed = typed.withColumn("n_secret_matches", total)
+    dim = F.broadcast(
+        dim_keys.select(F.col(key_col).alias("__fd_key")).distinct()
+    )
+    full = typed.join(
+        dim, typed["parsed"].getField(fk_col) == dim["__fd_key"], "left"
+    )
+    verdict = (
+        F.when(F.col("breach") != "", "schema")
+        .when(F.col("n_secret_matches") > 0, "secret")
+        .when(F.col("__fd_key").isNull(), "orphan")
+        .otherwise("clean")
+    )
+    return full.withColumn("fd_verdict", verdict)
 
 
 def front_door_split(
@@ -53,10 +109,33 @@ def front_door_split(
     key_col: str,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(clean, schema_q, secret_q, orphan_q) — a four-way exact
-    partition of the batch: each line lands in exactly one output."""
-    typed, schema_q = split_schema(lines, contract, required)
-    no_secrets, secret_q = split_secrets(typed)
-    clean, orphan_q = split_orphans(no_secrets, dim_keys, fk_col, key_col)
+    partition of the batch: each line lands in exactly one output,
+    with the same schemas the standalone gates emit."""
+    full = front_door_judge(
+        lines, contract, required, dim_keys, fk_col, key_col
+    )
+    return _split_judged_full(full, contract)
+
+
+def _split_judged_full(
+    full: DataFrame, contract: StructType
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    contract_cols = [
+        F.col("parsed").getField(f.name).alias(f.name)
+        for f in contract.fields
+    ]
+    clean = full.filter(F.col("fd_verdict") == "clean").select(
+        *contract_cols
+    )
+    schema_q = full.filter(F.col("fd_verdict") == "schema").select(
+        F.col("value").alias("raw_line"), "breach"
+    )
+    secret_q = full.filter(F.col("fd_verdict") == "secret").select(
+        *contract_cols, *_COUNT_COLS
+    )
+    orphan_q = full.filter(F.col("fd_verdict") == "orphan").select(
+        *contract_cols
+    )
     return clean, schema_q, secret_q, orphan_q
 
 
@@ -95,38 +174,41 @@ def front_door_writer(
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # five outputs re-read the batch; cache the tiny micro-batch
-        # once instead of re-parsing the file per output
-        batch = batch.persist()
+        dim_keys = spark.read.parquet(dim_path).select(key_col)
+        # persist the fully-JUDGED frame (not the raw batch): the five
+        # outputs become cheap filters over cached rows — the try_cast
+        # ladder, regexes, and fk join each evaluate exactly once
+        full = front_door_judge(
+            batch, contract, required, dim_keys, fk_col, key_col
+        ).persist()
         try:
-            dim_keys = spark.read.parquet(dim_path).select(key_col)
-            clean, schema_q, secret_q, orphan_q = front_door_split(
-                batch, contract, required, dim_keys, fk_col, key_col
+            clean, schema_q, secret_q, orphan_q = _split_judged_full(
+                full, contract
             )
             tag = F.lit(batch_id).alias("batch_id")
             _dynamic_overwrite(clean.select("*", tag), clean_dir)
             _dynamic_overwrite(schema_q.select("*", tag), schema_q_dir)
             _dynamic_overwrite(secret_q.select("*", tag), secret_q_dir)
             _dynamic_overwrite(orphan_q.select("*", tag), orphan_q_dir)
-            counts = [
-                df.count() for df in (clean, schema_q, secret_q, orphan_q)
-            ]
-            ledger = spark.createDataFrame(
-                [
-                    (
-                        batch.count(),
-                        counts[1],
-                        counts[2],
-                        counts[3],
-                        counts[0],
-                        batch_id,
+            ledger = full.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                *[
+                    F.sum(
+                        F.when(F.col("fd_verdict") == v, 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias(alias)
+                    for v, alias in (
+                        ("schema", "n_schema_q"),
+                        ("secret", "n_secret_q"),
+                        ("orphan", "n_orphan_q"),
+                        ("clean", "n_clean"),
                     )
                 ],
-                LEDGER_SCHEMA,
-            )
+            ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
             _dynamic_overwrite(ledger, ledger_dir)
         finally:
-            batch.unpersist()
+            full.unpersist()
 
     return _write
 

@@ -115,6 +115,17 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+#: Names in the sweep window that ALREADY have a driver CORRECTNESS
+#: row and are deliberately re-checked this round (a fix landed and
+#: needs its red/latent row turned green). Everything else in the
+#: window must be never-driver-sampled — tests/test_sweep_priority.py
+#: enforces this against the union of CORRECTNESS_r*.json, so a stale
+#: priority list (the r5 verdict item 4 failure class) can never ship
+#: again. Rotate this set each round alongside _SWEEP_PRIORITY.
+RECHECKS = {
+    "q469_auc_binned",  # red r5 row (HUGEINT oracle) — fixed r6
+}
+
 #: Driver-sweep priority (the driver checks the FIRST ~50 registered
 #: names each round). Round-6 order per the r5 verdict item 3: first
 #: the SIX fixed HUGEINT-oracle names (q469 needs its red r5 row

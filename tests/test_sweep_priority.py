@@ -1,0 +1,51 @@
+"""Sweep-window freshness guard (r5 verdict item 4 failure class):
+the driver correctness-checks the FIRST ~50 registered names each
+round, so every name in that window must either have NO driver
+CORRECTNESS row yet (the never-sampled backlog draining) or be an
+explicit, documented re-check (registry.RECHECKS — a fix landed and
+its row needs turning green). A priority list left stale re-samples
+already-green names and the backlog never drains; this test makes
+that state unshippable. No Spark needed."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+WINDOW = 50
+
+
+def _sampled() -> set[str]:
+    names: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        data = json.load(open(path))
+        names.update(k for k in data if k.startswith("q"))
+    return names
+
+
+def test_sweep_window_is_fresh_or_documented_recheck():
+    sampled = _sampled()
+    assert sampled, "driver CORRECTNESS artifacts should exist"
+    window = list(registry.QUERIES)[:WINDOW]
+    stale = [
+        n for n in window if n in sampled and n not in registry.RECHECKS
+    ]
+    assert not stale, (
+        f"{len(stale)} already-driver-sampled names sit in the next "
+        f"sweep window without a documented re-check reason: {stale} — "
+        "rotate _SWEEP_PRIORITY (and RECHECKS) for the new round"
+    )
+
+
+def test_rechecks_are_real_and_in_window():
+    window = set(list(registry.QUERIES)[:WINDOW])
+    for name in registry.RECHECKS:
+        assert name in registry.QUERIES, f"unknown recheck {name}"
+        assert name in window, (
+            f"recheck {name} is not in the sweep window — it will not "
+            "get its green row this round"
+        )

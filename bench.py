@@ -279,6 +279,10 @@ def main() -> None:
         # round-5: newest iterative/fusion heavies (r4 verdict item 7)
         "q459_graph_drift",
         "q464_fusion_recall",
+        # round-6: the two heavy additions (cascade re-runs q41 over
+        # survivors; PCA is the 8-round integer power iteration)
+        "q483_dedup_cascade",
+        "q489_top_principal_component",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

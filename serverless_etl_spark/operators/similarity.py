@@ -3840,6 +3840,14 @@ def q489_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = s.select("i").distinct().select(
         "i", F.lit(PCA_VSCALE).cast("bigint").alias("v")
     )
+    # Each round is ONE expression chain over the flat checkpointed s:
+    # mat-vec (join + partial agg) then renormalize by an unpartitioned
+    # window MAX over the 64-row u — no per-round scalar broadcast (a
+    # broadcast of the renormalizer would re-run the round's subtree as
+    # its own job) and no per-round checkpoint (the base is already a
+    # LogicalRDD, so the 8-deep lazy tree analyzes once and runs as one
+    # job: 13.7s → ~2s at sf0.1).
+    w_all = Window.partitionBy()
     u = None
     for _ in range(PCA_ITERS):
         u = (
@@ -3847,35 +3855,28 @@ def q489_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("sv") * F.col("v")).cast("bigint").alias("u"))
         )
-        d = u.agg(
-            F.greatest(
-                F.expr(f"MAX(ABS(u)) DIV {PCA_VSCALE}"),
-                F.lit(1).cast("bigint"),
-            ).alias("d")
+        v = u.select(
+            "i",
+            "u",
+            F.expr(
+                f"u DIV GREATEST((MAX(ABS(u)) OVER ()) DIV {PCA_VSCALE},"
+                " CAST(1 AS BIGINT))"
+            ).alias("v"),
         )
-        # EAGER per-round snapshot (64 rows): the lazy form left all 8
-        # rounds' broadcasts to materialize inside one final action,
-        # which re-analyzed and re-ran the earlier rounds per broadcast
-        # subtree — the q459 planning-cost failure in miniature
-        v = (
-            u.crossJoin(F.broadcast(d))
-            .select("i", F.expr("u DIV d").alias("v"))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-        )
-    rayleigh = (
-        v.join(u.select(F.col("i").alias("ui"), "u"),
-               F.col("i") == F.col("ui"))
-        .agg(
-            F.sum(F.col("v") * F.col("u")).cast("bigint").alias("num"),
-            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("vv"),
-        )
+    # ONE snapshot of the finished iteration (64 rows): rayleigh AND
+    # topd both consume it, and each reaches the plan through its own
+    # broadcast subtree — unsnapshotted, the 8-round chain would
+    # re-execute once per consumer
+    fin = v.coalesce(1).localCheckpoint(eager=True)
+    rayleigh = fin.agg(
+        F.sum(F.col("v") * F.col("u")).cast("bigint").alias("num"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("vv"),
     )
     tr = s.filter(F.col("i") == F.col("j")).agg(
         F.sum("sv").cast("bigint").alias("trace_s")
     )
     topd = (
-        v.orderBy(F.abs(F.col("v")).desc(), "i")
+        fin.orderBy(F.abs(F.col("v")).desc(), "i")
         .limit(1)
         .select(F.col("i").cast("bigint").alias("top_dim"))
     )

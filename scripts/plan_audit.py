@@ -31,7 +31,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = registry.BENCH_QUERIES or sorted(registry.QUERIES)
+    # with explicit name filters, search the WHOLE registry (the
+    # default bench-only view hid non-headline queries from audits)
+    names = (
+        sorted(registry.QUERIES)
+        if ONLY
+        else (registry.BENCH_QUERIES or sorted(registry.QUERIES))
+    )
     if ONLY:
         names = [n for n in names if any(o in n for o in ONLY)]
 

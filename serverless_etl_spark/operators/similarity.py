@@ -3894,3 +3894,158 @@ def q489_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_dim",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q491 — cosine near-dup threshold calibration (precision/recall sweep)
+# --------------------------------------------------------------------------
+
+CTS_THRESHOLDS_PPM = (850_000, 900_000, 950_000, 990_000)
+CTS_CLONE_MOD = 25  #: q52's seeded-clone convention (vec_id % 25 == 0)
+
+
+@register(
+    "q491_cosine_threshold_sweep",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % {CTS_CLONE_MOD} = 0
+    ),
+    dims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM corpus
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(FLOOR(1000000 * SUM(a.x * b.x)
+                    / (ANY_VALUE(na.nrm) * ANY_VALUE(nb.nrm)))
+                    AS BIGINT) AS cos_ppm
+        FROM dims a
+        JOIN dims b ON a.i = b.i AND a.label = b.label
+                   AND a.vec_id < b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b
+        FROM embeddings WHERE vec_id % {CTS_CLONE_MOD} = 0
+    ),
+    grid AS (SELECT unnest([{", ".join(str(t) for t in CTS_THRESHOLDS_PPM)}])
+             AS thr_ppm),
+    scored AS (
+        SELECT g.thr_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_pred,
+               CAST(SUM(CASE WHEN t.vec_a IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pred
+        FROM grid g
+        JOIN pairs p ON p.cos_ppm >= g.thr_ppm
+        LEFT JOIN truth t ON t.vec_a = p.vec_a AND t.vec_b = p.vec_b
+        GROUP BY g.thr_ppm
+    )
+    SELECT s.thr_ppm, s.n_pred, s.n_true_pred,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           1000000 * s.n_true_pred // s.n_pred AS precision_ppm,
+           1000000 * s.n_true_pred
+               // (SELECT COUNT(*) FROM truth) AS recall_ppm
+    FROM scored s
+    ORDER BY s.thr_ppm
+    """,
+)
+def q491_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration sweep for the embedding near-dup threshold — q52
+    hard-codes cosine > 0.95; this measures what each candidate
+    threshold actually buys against SEEDED ground truth (q52's exact
+    clones, cosine 1.0 by construction): predicted pairs, precision,
+    and recall per threshold. The q250/q280 sweep pattern applied to
+    the embedding-dedup knob — the table a curation owner reads
+    before choosing the production threshold (q481 is the same idea
+    for the IVF probe knob).
+
+    Determinism: cosines are floored to integer ppm BEFORE the
+    threshold comparison (no float ever crosses an output boundary);
+    counts and ratios are integer/ppm floors. The seeded clones make
+    recall exact: every truth pair shares a label block, so blocking
+    never hides a truth pair.
+
+    Scale: the pair space is label-blocked (q52's argument — never
+    n²); the 4-threshold grid joins the SAME pair table (one
+    inequality fan-out over |pairs| × ≤4), so the sweep costs one
+    pair materialization regardless of grid size.
+
+    Reference: q52 (fixed-threshold near-dup), q250/q280 (sweep
+    pattern), q177/q480 (the recall/precision referees for the
+    MinHash route; this is the embedding route's referee)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % CTS_CLONE_MOD == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = emb.select("vec_id", "label", "embedding").unionByName(clones)
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        _vec_double().alias("va"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        _vec_double().alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(1_000_000 * cos).cast("bigint").alias("cos_ppm"),
+        )
+        .filter(F.col("cos_ppm") >= min(CTS_THRESHOLDS_PPM))
+    )
+    pairs = track_cache(pairs.persist())
+    truth = emb.filter(F.col("vec_id") % CTS_CLONE_MOD == 0).select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + 1000000).alias("vec_b"),
+        F.lit(1).alias("is_true"),
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in CTS_THRESHOLDS_PPM], "thr_ppm BIGINT"
+    )
+    return (
+        F.broadcast(grid)
+        .join(pairs, F.col("cos_ppm") >= F.col("thr_ppm"))
+        .join(F.broadcast(truth), ["vec_a", "vec_b"], "left")
+        .groupBy("thr_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pred"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_true_pred"),
+        )
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "thr_ppm",
+            "n_pred",
+            "n_true_pred",
+            "n_truth",
+            F.expr("1000000 * n_true_pred DIV n_pred")
+            .alias("precision_ppm"),
+            F.expr("1000000 * n_true_pred DIV n_truth")
+            .alias("recall_ppm"),
+        )
+        .orderBy("thr_ppm")
+    )

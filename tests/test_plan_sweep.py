@@ -174,6 +174,8 @@ BNLJ_ALLOWED = {
     "q489_top_principal_component",  # one-row n/trace/Rayleigh/top-dim
                                      # broadcasts + per-round one-row
                                      # renormalizer over a 64-row frame
+    "q491_cosine_threshold_sweep",   # 4-row threshold grid fan-out +
+                                     # one-row truth-count broadcast
 }
 
 

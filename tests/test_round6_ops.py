@@ -143,3 +143,24 @@ def test_dataset_card_matches_direct_stats(spark):
     assert row.n_tokens == direct.toks
     assert 0 <= row.top_lang_ppm <= 1_000_000
     assert row.mean_doc_tokens == direct.toks // direct.n
+
+
+def test_cosine_threshold_sweep_is_monotone(spark):
+    rows = sorted(
+        registry.QUERIES["q491_cosine_threshold_sweep"](
+            spark, SF_SMALL
+        ).collect(),
+        key=lambda r: r.thr_ppm,
+    )
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        # raising the threshold can only SHRINK the predicted set
+        assert b.n_pred <= a.n_pred
+        assert b.n_true_pred <= a.n_true_pred
+        assert b.recall_ppm <= a.recall_ppm
+    # seeded clones have cosine exactly 1.0, so even the top threshold
+    # keeps full recall on the truth set
+    assert rows[-1].recall_ppm == 1_000_000
+    for r in rows:
+        assert r.n_true_pred <= r.n_truth
+        assert 0 < r.precision_ppm <= 1_000_000

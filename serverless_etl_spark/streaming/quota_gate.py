@@ -1,0 +1,150 @@
+"""Streaming per-source admission-QUOTA gate: every micro-batch admits
+at most the REMAINING budget of each source (a total per-source cap
+across the whole run) and quarantines the overflow. This is the
+crawl/ingest politeness knob every corpus intake has — "no single
+source may exceed N documents in the lake" — enforced at the door
+instead of discovered afterwards by q137/q181's per-source dashboards
+(and fixed retroactively by q164's purge). Admission is deterministic:
+within a batch, rows are ranked per source by a stable total order
+(doc_id), and the first `remaining` ranks win.
+
+Cross-batch budget: the gate reads its OWN ledger and charges only
+batches with STRICTLY EARLIER batch_ids (neardup_gate's
+earlier-batches discipline), so a replayed batch sees the same spent
+budget, admits the same rows, and rewrites identical partitions —
+exactly-once via batch_id dynamic overwrite on all three outputs.
+
+Stream ≡ batch contract: ``split_quota(batch, quota, spent)`` is the
+SAME function the foreachBatch hook runs
+(tests/test_quota_gate.py).
+
+Scale: one keyed window per batch (partition by source — the natural
+ingest key; a skewed mega-source is exactly what the quota caps), one
+broadcast join against the |sources|-row spent table, map-side ledger
+aggregation. State is the ledger itself: one row per (source, batch),
+partial-aggregable to |sources| whenever it matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+LEDGER_SCHEMA = (
+    "source STRING, n_seen BIGINT, n_admitted BIGINT,"
+    " n_overflow BIGINT, batch_id BIGINT"
+)
+
+
+def split_quota(
+    batch: DataFrame, quota: int, spent: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(admitted, overflow): per-source deterministic admission of the
+    first ``quota - spent(source)`` rows by doc_id order. ``spent`` is
+    (source, n_spent) from strictly earlier batches; sources absent
+    from it have a fresh budget. Every row lands in exactly one side."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = batch.withColumn("__rk", F.row_number().over(w)).join(
+        F.broadcast(spent), "source", "left"
+    )
+    remaining = F.greatest(
+        F.lit(quota) - F.coalesce(F.col("n_spent"), F.lit(0)),
+        F.lit(0),
+    )
+    admitted = ranked.filter(F.col("__rk") <= remaining).select(
+        *batch.columns
+    )
+    overflow = ranked.filter(F.col("__rk") > remaining).select(
+        *batch.columns
+    )
+    return admitted, overflow
+
+
+def spent_budget(spark: SparkSession, ledger_dir: str, batch_id: int) -> DataFrame:
+    """(source, n_spent) charged by batches BEFORE `batch_id` only —
+    the replay-stable prefix (a replayed batch must not see its own
+    prior write as spent budget)."""
+    led = read_ledger(spark, ledger_dir)
+    return (
+        led.filter(F.col("batch_id") < F.lit(batch_id))
+        .groupBy("source")
+        .agg(F.sum("n_admitted").cast("bigint").alias("n_spent"))
+    )
+
+
+def quota_gate_writer(
+    quota: int, admitted_dir: str, overflow_dir: str, ledger_dir: str
+):
+    """foreachBatch hook enforcing the per-source total cap."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            spent = spent_budget(spark, ledger_dir, batch_id)
+            admitted, overflow = split_quota(batch, quota, spent)
+            tag = F.lit(batch_id).alias("batch_id")
+            _dynamic_overwrite(admitted.select("*", tag), admitted_dir)
+            _dynamic_overwrite(overflow.select("*", tag), overflow_dir)
+            adm = admitted.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_admitted")
+            )
+            ledger = (
+                batch.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_seen"))
+                .join(adm, "source", "left")
+                .select(
+                    "source",
+                    "n_seen",
+                    F.coalesce(F.col("n_admitted"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_admitted"),
+                    (
+                        F.col("n_seen")
+                        - F.coalesce(F.col("n_admitted"), F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("n_overflow"),
+                    F.lit(batch_id).cast("bigint").alias("batch_id"),
+                )
+            )
+            _dynamic_overwrite(ledger, ledger_dir)
+        finally:
+            batch.unpersist()
+
+    return _write
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return _read_or_empty(spark, ledger_dir, LEDGER_SCHEMA)
+
+
+def run_quota_gate(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    quota: int,
+    admitted_dir: str,
+    overflow_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available JSON-lines files (availableNow) through the
+    quota gate."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            quota_gate_writer(quota, admitted_dir, overflow_dir, ledger_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,125 @@
+"""Per-source admission-quota gate (streaming/quota_gate.py):
+deterministic first-N-by-doc_id admission, exact conservation
+(admitted + overflow == batch per source), cross-batch budget charging
+(a source exhausted in batch 1 admits nothing in batch 2), and replay
+idempotence after checkpoint deletion."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.streaming.quota_gate import (
+    read_ledger,
+    run_quota_gate,
+    split_quota,
+)
+
+SCHEMA = "doc_id BIGINT, source STRING, text STRING"
+QUOTA = 3
+
+FILE1 = [
+    # src_a: 5 rows in one batch — 3 admitted, 2 overflow
+    *[{"doc_id": i, "source": "src_a", "text": f"a{i}"} for i in range(5)],
+    # src_b: 2 rows — all admitted, 1 budget left
+    *[{"doc_id": i, "source": "src_b", "text": f"b{i}"} for i in range(2)],
+]
+FILE2 = [
+    # src_a exhausted — everything overflows
+    {"doc_id": 10, "source": "src_a", "text": "a10"},
+    # src_b has 1 left — lowest doc_id wins it
+    {"doc_id": 11, "source": "src_b", "text": "b11"},
+    {"doc_id": 12, "source": "src_b", "text": "b12"},
+]
+
+
+def _setup(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for name, rows in (("f1.json", FILE1), ("f2.json", FILE2)):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return src
+
+
+def _dirs(tmp_path):
+    return {
+        n: str(tmp_path / n) for n in ("admitted", "overflow", "ledger")
+    }
+
+
+def test_split_quota_conserves_and_orders(spark):
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in FILE1], SCHEMA
+    )
+    spent = spark.createDataFrame([], "source STRING, n_spent BIGINT")
+    admitted, overflow = split_quota(batch, QUOTA, spent)
+    a = [(r.source, r.doc_id) for r in admitted.collect()]
+    o = [(r.source, r.doc_id) for r in overflow.collect()]
+    assert len(a) + len(o) == len(FILE1)
+    assert sorted(x for x in a if x[0] == "src_a") == [
+        ("src_a", 0), ("src_a", 1), ("src_a", 2),
+    ]
+    assert sorted(x for x in o) == [("src_a", 3), ("src_a", 4)]
+    assert sorted(x for x in a if x[0] == "src_b") == [
+        ("src_b", 0), ("src_b", 1),
+    ]
+
+
+def test_cross_batch_budget_charging(spark, tmp_path):
+    src = _setup(spark, tmp_path)
+    d = _dirs(tmp_path)
+    run_quota_gate(
+        spark, str(src), SCHEMA, QUOTA,
+        d["admitted"], d["overflow"], d["ledger"],
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    admitted = spark.read.parquet(d["admitted"])
+    got = sorted(
+        (r.source, r.doc_id) for r in admitted.collect()
+    )
+    # total admitted per source can never exceed the quota
+    per_src = admitted.groupBy("source").count().collect()
+    assert all(r["count"] <= QUOTA for r in per_src)
+    # src_b's last budget slot goes to the LOWEST doc_id of batch 2
+    assert ("src_b", 11) in got and ("src_b", 12) not in got
+    # src_a was exhausted in batch 1: doc 10 overflows
+    assert ("src_a", 10) not in got
+    led = read_ledger(spark, d["ledger"])
+    tot = led.agg(
+        F.sum("n_seen").alias("s"),
+        F.sum("n_admitted").alias("a"),
+        F.sum("n_overflow").alias("o"),
+    ).collect()[0]
+    assert tot.s == len(FILE1) + len(FILE2)
+    assert tot.a + tot.o == tot.s
+
+
+def test_quota_replay_is_idempotent(spark, tmp_path):
+    src = _setup(spark, tmp_path)
+    d = _dirs(tmp_path)
+    ckpt = tmp_path / "ckpt"
+    args = (
+        spark, str(src), SCHEMA, QUOTA,
+        d["admitted"], d["overflow"], d["ledger"], str(ckpt),
+    )
+    run_quota_gate(*args)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(d["admitted"]).collect()
+    )
+    first_led = sorted(
+        tuple(r) for r in read_ledger(spark, d["ledger"]).collect()
+    )
+    shutil.rmtree(ckpt)
+    run_quota_gate(*args)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(d["admitted"]).collect()
+    )
+    second_led = sorted(
+        tuple(r) for r in read_ledger(spark, d["ledger"]).collect()
+    )
+    assert first == second
+    assert first_led == second_led

@@ -303,10 +303,16 @@ def main() -> None:
         ext_timings[name] = round(best, 3)
         print(f"# {name}: {ext_timings[name]:.3f}s (extended)", file=sys.stderr)
 
-    ext_timings["front_door_batch"] = _bench_front_door(spark)
+    # best-of-2 (fresh work dir each drain): a single streaming drain's
+    # timing swings more than the 2x regression flag tolerates, which
+    # is why this row's floor could not lock in round 6 — min-of-two
+    # makes it lockable
+    ext_timings["front_door_batch"] = min(
+        _bench_front_door(spark) for _ in range(2)
+    )
     print(
         f"# front_door_batch: {ext_timings['front_door_batch']:.3f}s "
-        f"(extended; one availableNow batch, schema→secret→FK)",
+        f"(extended; best-of-2 availableNow batch, schema→secret→FK)",
         file=sys.stderr,
     )
 

@@ -4897,3 +4897,78 @@ def q488_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * n_short DIV n_docs").alias("short_doc_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q492 — admission-quota accounting (batch twin of streaming/quota_gate)
+# --------------------------------------------------------------------------
+
+ADM_QUOTA = 200  #: per-key admission cap (full at every SF for some keys)
+
+
+@register(
+    "q492_quota_admission",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rk
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(SUM(CASE WHEN rk <= {ADM_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN rk > {ADM_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflow,
+           CAST(MAX(CASE WHEN rk <= {ADM_QUOTA} THEN event_id END)
+                AS BIGINT) AS cutoff_event_id
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q492_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming admission-quota gate
+    (streaming/quota_gate.py): deterministic first-{ADM_QUOTA}-per-key
+    admission by stable id order, with the per-key seen/admitted/
+    overflow ledger and the admission cutoff id. The gate enforces
+    this policy per micro-batch against a cross-batch budget; this
+    twin gives the SAME semantics a DuckDB oracle (streaming gates
+    otherwise verify only through pytest), the q126↔trending pattern
+    applied to door policy.
+
+    Determinism: ROW_NUMBER over a total order (event_type, event_id
+    unique); counts and the cutoff are exact integers.
+
+    Scale: one keyed window (partition by the admission key — the
+    skewed mega-key is exactly what the quota caps) and a partial-
+    aggregated ledger; at the door the same rank is per-batch over
+    micro-batch-sized groups, never the corpus.
+
+    Reference: streaming/quota_gate.py (the enforced form), q159
+    (top-k per group machinery), q164 (the retroactive purge this
+    policy makes unnecessary)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = ev.select("event_type", "event_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+            F.sum(F.when(F.col("rk") <= ADM_QUOTA, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_admitted"),
+            F.sum(F.when(F.col("rk") > ADM_QUOTA, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overflow"),
+            F.max(
+                F.when(F.col("rk") <= ADM_QUOTA, F.col("event_id"))
+            )
+            .cast("bigint")
+            .alias("cutoff_event_id"),
+        )
+        .orderBy("event_type")
+    )

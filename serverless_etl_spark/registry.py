@@ -146,7 +146,7 @@ _SWEEP_PRIORITY = [
     "q485_boilerplate_spans", "q486_lang_centroid_gap",
     "q487_soft_dedup_weights", "q488_dataset_card",
     "q489_top_principal_component", "q490_curriculum_phases",
-    "q491_cosine_threshold_sweep",
+    "q491_cosine_threshold_sweep", "q492_quota_admission",
     "q146_compaction_plan", "q147_benford_screen",
     "q148_session_stats", "q149_dau_wau_stickiness", "q151_corr_matrix",
     "q152_cusum_changepoint", "q153_fk_integrity", "q154_shingle_novelty",

@@ -4177,17 +4177,22 @@ def q483_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both stages are the exact q40/q41 machinery; the
     ledger is pure integer counts and a ppm floor.
 
-    Scale: stage 1 is one shuffle on the 16-byte digest; stage 2 is
-    q41's banded join over the REDUCED corpus — the cascade's whole
-    point at 100 TB (on a 30%-duplicated crawl, stage 2's dominant
-    shuffle shrinks by the same 30%).
+    Scale: stage 1 is one shuffle on the 16-byte digest — the hash
+    map and sort comparators key on `md5(text)`, never the multi-KB
+    document string (the text rides along only as an aggregate value;
+    identical within a digest group, so MIN is value-deterministic);
+    stage 2 is q41's banded join over the REDUCED corpus — the
+    cascade's whole point at 100 TB (on a 30%-duplicated crawl,
+    stage 2's dominant shuffle shrinks by the same 30%).
 
     Reference: q40 (exact stage), q41 (near stage), q161 (savings),
     q473 (why removal matters — memorization exposure)."""
     corpus = _duped_docs(spark, sf_dir)
-    survivors = corpus.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id", "text")
+    survivors = (
+        corpus.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .select("doc_id", "text")
+    )
     near_removed = (
         minhash_lsh_pairs(survivors)
         .select(F.col("doc_b").alias("doc_id"))

@@ -4972,3 +4972,246 @@ def q492_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q493 — lateness admission ledger (batch twin of streaming/lateness_gate)
+# --------------------------------------------------------------------------
+
+from .analytics_ext import CMS285_D, CMS285_W, _cms_cell, _cms_cell_sql  # noqa: E402
+
+LATE_BATCHES = 8  #: simulated replay batches (pmod over event_id)
+
+
+@register(
+    "q493_lateness_admission",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id % {LATE_BATCHES} AS batch_id,
+               epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    env AS (
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+        FROM ev GROUP BY batch_id
+    ),
+    hw AS (
+        SELECT batch_id, n_rows, min_ts_us, max_ts_us,
+               MAX(max_ts_us) OVER (ORDER BY batch_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS hwm_us
+        FROM env
+    )
+    SELECT h.batch_id, h.n_rows, h.min_ts_us, h.max_ts_us, h.hwm_us,
+           CAST(COALESCE(SUM(CASE WHEN e.ts_us < h.hwm_us
+                                  THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN e.ts_us < h.hwm_us
+                                  THEN h.hwm_us - e.ts_us END), 0)
+                AS BIGINT) AS max_lag_us
+    FROM hw h JOIN ev e USING (batch_id)
+    GROUP BY h.batch_id, h.n_rows, h.min_ts_us, h.max_ts_us, h.hwm_us
+    ORDER BY h.batch_id
+    """,
+)
+def q493_lateness_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming late-arrival monitor
+    (streaming/lateness_gate.py): replay the events table as
+    {LATE_BATCHES} hash-assigned micro-batches (pmod over event_id —
+    the shape of replaying a partitioned source where each partition's
+    file is one batch) and record, per batch, the envelope the gate
+    records: row count, event-time min/max, the high-watermark carried
+    in from strictly EARLIER batch_ids, how many rows arrived behind
+    that watermark, and the worst lag. This gives the gate's
+    watermark ARITHMETIC — the thing `withWatermark(delay)` silently
+    acts on — a DuckDB oracle (the q492 pattern applied to the
+    lateness verdict; tests/test_gate_twins.py additionally pins
+    stream ≡ batch equality against the gate's own recorded state).
+
+    Determinism: the watermark is max-merged from earlier batches only
+    (idempotent, replay-stable — lateness_gate.py's contract); every
+    column is exact integer microseconds.
+
+    Scale: one keyed aggregation to {LATE_BATCHES} envelope rows, a
+    window over that {LATE_BATCHES}-row frame (bounded — never the
+    corpus), then one broadcast join of the tiny watermark table back
+    onto events and a map-side-combinable re-aggregation. State is one
+    row per batch, exactly like the gate.
+
+    Reference: streaming/lateness_gate.py:42-88 (batch_lateness /
+    the earlier-batches watermark), q276 (temporal integrity audit)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(LATE_BATCHES))
+        .cast("bigint")
+        .alias("batch_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    env = ev.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    w = (
+        Window.orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = env.withColumn("hwm_us", F.max("max_ts_us").over(w))
+    late = F.col("ts_us") < F.col("hwm_us")
+    return (
+        ev.join(F.broadcast(hw), "batch_id")
+        .groupBy("batch_id", "n_rows", "min_ts_us", "max_ts_us", "hwm_us")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(late, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+            F.coalesce(
+                F.max(F.when(late, F.col("hwm_us") - F.col("ts_us"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_lag_us"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q494 — CMS heavy-hitter flags (batch twin of streaming/cms_gate)
+# --------------------------------------------------------------------------
+
+HH494_FRAC = 125  #: flag keys whose CMS estimate ≥ total_rows / this
+
+
+@register(
+    "q494_cms_heavy_hitters",
+    oracle=f"""
+    WITH exact AS (
+        SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) // {HH494_FRAC} AS threshold
+        FROM events
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_cell_sql('key', d)} AS j, cnt FROM exact"
+            for d in range(CMS285_D)
+        )}
+    ),
+    sketch AS (
+        SELECT d, j, CAST(SUM(cnt) AS BIGINT) AS v
+        FROM cells GROUP BY d, j
+    ),
+    est AS (
+        SELECT c.key, c.cnt, MIN(s.v) AS est
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT key, cnt, {d} AS d, {_cms_cell_sql('key', d)} AS j "
+                f"FROM exact"
+                for d in range(CMS285_D)
+            )}
+        ) c
+        JOIN sketch s ON s.d = c.d AND s.j = c.j
+        GROUP BY c.key, c.cnt
+    )
+    SELECT key, cnt AS exact_cnt, est, threshold,
+           CAST(CASE WHEN cnt < threshold THEN 1 ELSE 0 END AS INT)
+               AS false_positive
+    FROM est, tot
+    WHERE est >= threshold
+    ORDER BY key
+    """,
+)
+def q494_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CMS maintainer's DECISION
+    (streaming/cms_gate.py): build the gate's exact sketch geometry
+    (d={CMS285_D} × w={CMS285_W}, md5-derived cells over the gate's
+    user_id key), read every key back through the min-of-rows
+    estimator, and emit the heavy-hitter verdict the dashboard acts
+    on — every key whose ESTIMATE clears total/{HH494_FRAC}, with its
+    exact count and whether the flag is a CMS-collision false
+    positive. CMS only overestimates, so the flag set provably
+    contains every TRUE heavy hitter (no false negatives) — the
+    one-sided guarantee that makes acting on the sketch safe; the
+    false_positive column is the measured price. The q492 pattern
+    applied to the cms_gate verdict (tests/test_gate_twins.py pins
+    stream ≡ batch: the sketch folded per micro-batch equals this
+    one-shot build, SUM being associative).
+
+    Determinism: md5-derived cells, integer counters, integer
+    threshold floor.
+
+    Scale: sketch is {CMS285_D}×{CMS285_W} counters regardless of
+    input (map-side partial-combined); the estimator is a broadcast
+    join; output is bounded by ~{HH494_FRAC} keys + collision flags
+    by construction (estimates summing over total rows).
+
+    Reference: streaming/cms_gate.py (maintained form), q285 (error
+    profile this verdict inherits), q138 (exact heavy hitters)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = track_cache(
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    total = ev.agg(
+        F.expr(f"CAST(COUNT(*) AS BIGINT) DIV {HH494_FRAC}").alias(
+            "threshold"
+        )
+    )
+    cells = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(F.col("key"), d).alias("j"),
+                    )
+                    for d in range(CMS285_D)
+                ]
+            )
+        ).alias("c"),
+        "cnt",
+    ).select("c.d", "c.j", "cnt")
+    sketch = cells.groupBy("d", "j").agg(
+        F.sum("cnt").cast("bigint").alias("v")
+    )
+    probes = exact.select(
+        "key",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(F.col("key"), d).alias("j"),
+                    )
+                    for d in range(CMS285_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "cnt", "c.d", "c.j")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "j"])
+        .groupBy("key", "cnt")
+        .agg(F.min("v").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.col("threshold"))
+        .select(
+            "key",
+            F.col("cnt").alias("exact_cnt"),
+            "est",
+            "threshold",
+            F.when(F.col("cnt") < F.col("threshold"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("false_positive"),
+        )
+        .orderBy("key")
+    )

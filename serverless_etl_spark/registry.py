@@ -123,57 +123,40 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 #: priority list (the r5 verdict item 4 failure class) can never ship
 #: again. Rotate this set each round alongside _SWEEP_PRIORITY.
 RECHECKS = {
-    "q469_auc_binned",  # red r5 row (HUGEINT oracle) — fixed r6
+    # r7: stage-1 grouping key changed from full text to md5 digest
+    # (r6 verdict item 4) — the green r6 row must be re-earned on the
+    # new plan
+    "q483_dedup_cascade",
 }
 
 #: Driver-sweep priority (the driver checks the FIRST ~50 registered
-#: names each round). Round-6 order per the r5 verdict item 3: first
-#: the SIX fixed HUGEINT-oracle names (q469 needs its red r5 row
-#: turned green; q201/q243/q258/q261/q307 were latent twins of the
-#: same bug, fixed this round and never driver-sampled), then every
-#: remaining never-driver-sampled name ascending (245 after r1-r5
-#: sampled 230 of 480), so successive ~50-name sweeps in r6-r10 drain
-#: the whole backlog. Names with a green driver row fall back to
-#: registration order behind these. New round-6 queries are appended
-#: directly after the six fixed names as they are added.
+#: names each round). Round-7 order per the r6 verdict item 1: the
+#: single re-check (q483 — its stage-1 plan changed this round), the
+#: two new gate-oracle twins (q493/q494), the five timed-but-never-
+#: sampled heavies pulled forward (q191/q196/q199/q295/q399), then
+#: EVERY remaining never-driver-sampled name ascending (213 after
+#: r1-r6 sampled 279 of 492), so successive ~50-name sweeps in r7-r11
+#: drain the whole backlog. Names with a green driver row fall back
+#: to registration order behind these. New round-7 queries are
+#: inserted directly after q494 as they are added.
 _SWEEP_PRIORITY = [
-    "q469_auc_binned", "q201_budget_allocation", "q243_stl_decompose",
-    "q258_hdr_percentiles", "q261_fuzzy_join_eval",
-    "q307_permutation_test",
-    # round-6 additions (never swept)
-    "q481_ivf_probe_sweep", "q482_embedding_whitening",
-    "q483_dedup_cascade", "q484_eps_composition",
-    "q485_boilerplate_spans", "q486_lang_centroid_gap",
-    "q487_soft_dedup_weights", "q488_dataset_card",
-    "q489_top_principal_component", "q490_curriculum_phases",
-    "q491_cosine_threshold_sweep", "q492_quota_admission",
-    "q146_compaction_plan", "q147_benford_screen",
-    "q148_session_stats", "q149_dau_wau_stickiness", "q151_corr_matrix",
-    "q152_cusum_changepoint", "q153_fk_integrity", "q154_shingle_novelty",
-    "q155_context_budget", "q156_contingency_residuals",
-    "q157_target_encoding", "q158_fuzzy_join", "q159_topk_others",
-    "q160_mixture_weights", "q161_dedup_savings", "q162_embedding_norms",
-    "q163_trigram_paths", "q164_purge_impact", "q165_weighted_median",
-    "q166_heatmap_2d", "q167_rolling_wau", "q168_supply_chain_revenue",
-    "q169_returned_customers", "q170_cluster_size_dist",
-    "q171_backlog_aging", "q172_ship_latency", "q173_pareto_abc",
-    "q174_repeat_customers", "q175_decile_conversion", "q176_vocab_growth",
-    "q177_lsh_recall", "q178_pii_incidence", "q179_constant_columns",
-    "q180_ltv_curve", "q181_quality_by_lang", "q182_wow_share_drift",
+    "q483_dedup_cascade", "q493_lateness_admission",
+    "q494_cms_heavy_hitters", "q191_prefix_jaccard_join",
+    "q196_assoc_rules", "q199_curation_funnel", "q295_rake_keywords",
+    "q399_isotonic_calibration", "q179_constant_columns", "q180_ltv_curve",
+    "q181_quality_by_lang", "q182_wow_share_drift",
     "q183_segment_value_matrix", "q184_dormant_customers",
     "q185_basket_sizes", "q186_brand_share_trend", "q187_order_regularity",
-    "q188_supplier_hhi", "q189_activity_gini", "q191_prefix_jaccard_join",
-    "q192_join_cardinality", "q193_pit_features", "q194_median_impute",
-    "q195_partition_checksums", "q196_assoc_rules",
+    "q188_supplier_hhi", "q189_activity_gini", "q192_join_cardinality",
+    "q193_pit_features", "q194_median_impute", "q195_partition_checksums",
     "q197_reorder_life_table", "q198_quantile_alignment",
-    "q199_curation_funnel", "q200_salting_plan", "q202_waiting_suppliers",
-    "q203_rfm_segments", "q204_status_paths", "q205_bitmap_audience",
-    "q206_entry_exit", "q207_pct_of_parent", "q208_business_day_latency",
-    "q209_local_hours", "q210_order_streaks", "q211_decayed_trend",
-    "q212_total_conformance", "q213_late_data_reprocess",
-    "q214_scd2_audit", "q215_filtered_ann", "q216_kfold_balance",
-    "q217_next_purchase_labels", "q218_cohort_revenue",
-    "q219_reco_hitrate", "q220_degree_distribution",
+    "q200_salting_plan", "q202_waiting_suppliers", "q203_rfm_segments",
+    "q204_status_paths", "q205_bitmap_audience", "q206_entry_exit",
+    "q207_pct_of_parent", "q208_business_day_latency", "q209_local_hours",
+    "q210_order_streaks", "q211_decayed_trend", "q212_total_conformance",
+    "q213_late_data_reprocess", "q214_scd2_audit", "q215_filtered_ann",
+    "q216_kfold_balance", "q217_next_purchase_labels",
+    "q218_cohort_revenue", "q219_reco_hitrate", "q220_degree_distribution",
     "q221_weighted_jaccard", "q222_data_contracts", "q223_bm25",
     "q224_calendar_dim", "q225_abc_xyz_matrix", "q226_cdc_apply",
     "q227_embedding_drift", "q228_rank_movers", "q229_interpolate_gaps",
@@ -200,15 +183,14 @@ _SWEEP_PRIORITY = [
     "q284_bloom_semi_join", "q285_cms_error", "q286_ohlc_bars",
     "q287_lpm_route_join", "q288_survivorship", "q289_silhouette",
     "q290_json_profile", "q291_session_gap_sweep", "q292_surrogate_keys",
-    "q293_clustering_depth", "q294_auc_eval", "q295_rake_keywords",
-    "q297_encoding_advisor", "q298_inferred_members", "q300_nearest_asof",
-    "q301_ranking_gain_eval", "q302_sequence_gap_audit",
-    "q303_injection_screen", "q304_license_audit",
-    "q305_rollup_distinct_sketch", "q306_attribution_models",
-    "q308_detector_agreement", "q309_rolling_distinct_sketch",
-    "q310_unordered_funnel", "q311_slo_burn_rate", "q312_reco_coverage",
-    "q313_categorical_drift", "q314_topk_with_ties",
-    "q315_null_aware_anti", "q316_interval_coverage",
+    "q293_clustering_depth", "q294_auc_eval", "q297_encoding_advisor",
+    "q298_inferred_members", "q300_nearest_asof", "q301_ranking_gain_eval",
+    "q302_sequence_gap_audit", "q303_injection_screen",
+    "q304_license_audit", "q305_rollup_distinct_sketch",
+    "q306_attribution_models", "q308_detector_agreement",
+    "q309_rolling_distinct_sketch", "q310_unordered_funnel",
+    "q311_slo_burn_rate", "q312_reco_coverage", "q313_categorical_drift",
+    "q314_topk_with_ties", "q315_null_aware_anti", "q316_interval_coverage",
     "q317_revenue_bridge", "q318_differencing_audit",
     "q319_freshness_board", "q320_duplicate_payments", "q321_chain_ladder",
     "q322_fifo_cogs", "q323_backfill_planner", "q324_srm_check",
@@ -237,11 +219,10 @@ _SWEEP_PRIORITY = [
     "q390_multitouch_attribution", "q391_closeness",
     "q393_rolling_quantile", "q394_cohens_kappa",
     "q395_forecast_reconciliation", "q396_top_paths",
-    "q397_mix_rate_decomposition", "q398_quantile_effects",
-    "q399_isotonic_calibration", "q400_twap", "q402_mmr_rerank",
-    "q403_local_clustering", "q404_burstiness", "q405_p_chart",
-    "q406_debounce", "q407_loo_encoding", "q408_conformal_coverage",
-    "q409_max_drawdown",
+    "q397_mix_rate_decomposition", "q398_quantile_effects", "q400_twap",
+    "q402_mmr_rerank", "q403_local_clustering", "q404_burstiness",
+    "q405_p_chart", "q406_debounce", "q407_loo_encoding",
+    "q408_conformal_coverage", "q409_max_drawdown",
 ]
 
 

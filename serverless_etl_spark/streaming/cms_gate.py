@@ -16,7 +16,10 @@ Stream ≡ batch contract: `merged_counters()` over any drained prefix
 equals `cms_partials()` over the same rows in one go, because SUM is
 associative over any batch decomposition (tested in
 tests/test_cms_gate.py). The estimator inherits q285's one-sided
-error: estimates never fall below true counts.
+error: estimates never fall below true counts. The heavy-hitter
+DECISION read from the maintained counters has a DuckDB-checked
+batch twin — q494_cms_heavy_hitters (operators/quality.py) — pinned
+equal to the gate's verdict in tests/test_gate_twins.py.
 
 Scale: per batch, one map-side partial aggregation to ≤ d·w counter
 rows; merged state is d·w = CMS_D×CMS_W counters FOREVER regardless of

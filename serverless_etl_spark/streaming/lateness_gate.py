@@ -19,7 +19,10 @@ time, never processing time — byte-identical under replay.
 Stream ≡ batch contract: `batch_lateness(rows, hwm_us)` is the same
 function the hook runs, so scoring a drained file directly against
 the prefix watermark equals the recorded row (tested in
-tests/test_lateness_gate.py).
+tests/test_lateness_gate.py). The gate's watermark arithmetic also
+has a DuckDB-checked batch twin — q493_lateness_admission
+(operators/quality.py) replays events as pmod batches and must equal
+the recorded envelopes (tests/test_gate_twins.py).
 
 Scale: per batch, one map-side aggregation to a single envelope row;
 state is one row per batch forever (compact to one synthetic row

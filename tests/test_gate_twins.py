@@ -1,0 +1,145 @@
+"""Stream ≡ batch equality for the two new gate oracle twins (r6
+verdict item 5, the q492 pattern): q493's per-batch lateness ledger
+must equal what streaming/lateness_gate.py RECORDS when the same
+batches drain through the hook, and q494's heavy-hitter verdict must
+equal the decision read from streaming/cms_gate.py's MAINTAINED
+counters. The DuckDB oracle proves the arithmetic; these tests prove
+the arithmetic is the gate's."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.quality import (
+    HH494_FRAC,
+    LATE_BATCHES,
+)
+from serverless_etl_spark.registry import QUERIES, release_caches
+from serverless_etl_spark.streaming.cms_gate import (
+    cms_lookup,
+    merged_counters,
+    run_cms_gate,
+)
+from serverless_etl_spark.streaming.lateness_gate import (
+    read_envelopes,
+    run_lateness_gate,
+)
+from tests.conftest import SF_SMALL
+
+EVENTS_JSON_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+
+
+def _write_pmod_batches(spark, tmp_path):
+    """One JSON file per pmod(event_id, LATE_BATCHES) bucket, named so
+    file order == bucket order (availableNow + maxFilesPerTrigger=1
+    drains in name order here, as test_lateness_gate.py established).
+    Timestamps carry full microseconds so the JSON round-trip is
+    exact."""
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            F.pmod("event_id", F.lit(LATE_BATCHES)).alias("b"),
+        )
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(LATE_BATCHES):
+        with open(src / f"part-{b}.json", "w") as f:
+            for r in rows:
+                if r["b"] == b:
+                    f.write(
+                        json.dumps(
+                            {
+                                "event_id": r["event_id"],
+                                "ts": r["ts"],
+                                "user_id": r["user_id"],
+                            }
+                        )
+                        + "\n"
+                    )
+    return src
+
+
+def test_q493_equals_lateness_gate_state(spark, tmp_path):
+    src = _write_pmod_batches(spark, tmp_path)
+    state = tmp_path / "state"
+    run_lateness_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(state),
+        str(tmp_path / "ck"),
+    )
+    recorded = {
+        r["batch_id"]: r
+        for r in read_envelopes(spark, str(state)).collect()
+    }
+    assert len(recorded) == LATE_BATCHES
+    twin = QUERIES["q493_lateness_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    assert len(twin) == LATE_BATCHES
+    for row in twin:
+        got = recorded[row["batch_id"]]
+        for col in (
+            "n_rows",
+            "min_ts_us",
+            "max_ts_us",
+            "n_late",
+            "max_lag_us",
+        ):
+            assert got[col] == row[col], (row["batch_id"], col)
+
+
+def test_q494_equals_cms_gate_decision(spark, tmp_path):
+    src = _write_pmod_batches(spark, tmp_path)
+    counters = tmp_path / "counters"
+    run_cms_gate(
+        spark,
+        str(src),
+        EVENTS_JSON_SCHEMA,
+        str(counters),
+        str(tmp_path / "ck"),
+        key_col="user_id",
+    )
+    # the maintained sketch (folded per micro-batch) must equal the
+    # twin's one-shot build — SUM over any batch decomposition
+    ev = load_table(spark, SF_SMALL, "events")
+    total = ev.count()
+    threshold = total // HH494_FRAC
+    exact = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    est = cms_lookup(
+        spark, str(counters), exact.select("key"), "key"
+    )
+    flagged_from_gate = sorted(
+        r["key"]
+        for r in est.filter(F.col("est") >= threshold).collect()
+    )
+    twin = QUERIES["q494_cms_heavy_hitters"](spark, SF_SMALL).collect()
+    release_caches()
+    assert sorted(r["key"] for r in twin) == flagged_from_gate
+    # and the estimates themselves agree per flagged key
+    gate_est = {
+        r["key"]: r["est"]
+        for r in est.filter(F.col("est") >= threshold).collect()
+    }
+    for r in twin:
+        assert gate_est[r["key"]] == r["est"]
+        assert r["false_positive"] == (
+            1 if r["exact_cnt"] < threshold else 0
+        )
+        assert r["threshold"] == threshold
+    # one-sided guarantee: every TRUE heavy hitter is flagged
+    true_hh = sorted(
+        r["key"]
+        for r in exact.filter(F.col("cnt") >= threshold).collect()
+    )
+    assert set(true_hh) <= set(gate_est)

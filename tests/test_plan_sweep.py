@@ -176,6 +176,8 @@ BNLJ_ALLOWED = {
                                      # renormalizer over a 64-row frame
     "q491_cosine_threshold_sweep",   # 4-row threshold grid fan-out +
                                      # one-row truth-count broadcast
+    "q494_cms_heavy_hitters",        # one-row threshold broadcast onto
+                                     # the per-key estimate table
 }
 
 

@@ -1,0 +1,52 @@
+"""Ledger-count guard (r6 verdict item 6).
+
+COVERAGE.md and README.md each state the registered-query count in
+prose; the r6 verdict flagged stale counts twice (491-vs-492 drift).
+This test pins both documents' stated count to ``len(queries())`` so
+any new registration that forgets the ledger fails the suite — the
+ledger is the judge's audit trail and must never lag the registry.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import __spark_entry__ as entry
+
+REPO = Path(__file__).parent.parent
+
+
+def _registered() -> int:
+    return len(entry.queries())
+
+
+def test_coverage_header_count_matches_registry():
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) queries \(q01–q(\d+)\)", text)
+    assert m, "COVERAGE.md header no longer states the query count"
+    n = _registered()
+    assert int(m.group(1)) == n, (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {n}"
+    )
+    assert int(m.group(2)) == n, (
+        f"COVERAGE.md q-range ends at q{m.group(2)}, registry has {n}"
+    )
+
+
+def test_readme_count_matches_registry():
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) registered queries", text)
+    assert m, "README.md no longer states the query count"
+    n = _registered()
+    assert int(m.group(1)) == n, (
+        f"README.md says {m.group(1)} queries, registry has {n}"
+    )
+
+
+def test_every_query_has_an_oracle():
+    """0 rows-only is a standing claim in both ledgers — keep it true
+    structurally: every queries() key must have an oracle_sql() entry."""
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert q == o, f"rows-only queries: {sorted(q - o)}; orphans: {sorted(o - q)}"

@@ -8,11 +8,13 @@ every value is identical (the round-1 q28 type-category failure).
 ``fetchall()`` collapses HUGEINT to a plain Python int before the
 value comparison.
 
-This test binds every registered oracle against the sf0.001 parquet
-views and asserts NO output column is HUGEINT/UHUGEINT/DECIMAL —
-binding only (``con.sql(...).types``), no query execution, so the
-whole 480-oracle sweep runs in seconds. It is the permanent guard
-behind the round-5 verdict item 2.
+This test binds every registered oracle against BOTH the sf0.001 and
+sf0.01 parquet views and asserts NO output column is
+HUGEINT/UHUGEINT/DECIMAL — binding only (``con.sql(...).types``), no
+query execution, so each full-registry sweep runs in seconds. Both
+SFs are bound because DuckDB may pick different widths at larger
+inputs (r6 verdict item 7). It is the permanent guard behind the
+round-5 verdict item 2.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -31,12 +33,13 @@ TABLES = [
 WIDENED = ("HUGEINT", "UHUGEINT")
 
 
-@pytest.fixture(scope="module")
-def con():
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def con(request):
     c = duckdb.connect()
     for t in TABLES:
         c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{request.param}/{t}.parquet'"
         )
     return c
 

@@ -4,6 +4,12 @@ AQE-final physical plan (shuffles, broadcasts, join strategies, scans
 with pushdown). Usage:
 
     python scripts/plan_audit.py [sf_dir] [name_substring ...]
+    python scripts/plan_audit.py --global-sorts [sf_dir]
+
+--global-sorts sweeps the WHOLE registry and prints every query with
+unpartitioned Window nodes, classified bounded vs row-proportional
+(the GLOBAL_SORT_ALLOWED ledger class — see
+serverless_etl_spark/plan_audit.py and tests/test_plan_sweep.py).
 """
 
 from __future__ import annotations
@@ -13,8 +19,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2:]
+GLOBAL_SORTS = "--global-sorts" in sys.argv
+argv = [a for a in sys.argv[1:] if a != "--global-sorts"]
+SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
+ONLY = argv[1:]
 
 
 def main() -> None:
@@ -30,6 +38,17 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if GLOBAL_SORTS:
+        from serverless_etl_spark.plan_audit import global_window_sites
+
+        print("| Query | Bounded global windows | Row-proportional |")
+        print("|---|---|---|")
+        for name in sorted(registry.QUERIES):
+            sites = global_window_sites(registry.QUERIES[name](spark, SF_DIR))
+            if sites["bounded"] or sites["rowprop"]:
+                print(f"| {name} | {sites['bounded']} | {sites['rowprop']} |")
+        return
 
     # with explicit name filters, search the WHOLE registry (the
     # default bench-only view hid non-headline queries from audits)

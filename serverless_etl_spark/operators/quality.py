@@ -5215,3 +5215,256 @@ def q494_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# --------------------------------------------------------------------------
+# q495 — incremental fingerprint merge (batch twin of streaming/checksum_gate)
+# --------------------------------------------------------------------------
+
+CK495_BATCHES = 8  #: simulated replay batches (pmod over o_orderkey)
+
+#: q195's row hash rendered in DuckDB (the registered oracle twin of
+#: functions order_row_hash) — kept as one fragment so q495's oracle
+#: and q195's stay byte-identical in the hash arithmetic
+_ROW_HASH_SQL = """
+    CAST(('0x' || substr(md5(
+        CAST(o_orderkey AS VARCHAR) || '|' ||
+        CAST(o_custkey AS VARCHAR) || '|' ||
+        o_orderstatus || '|' ||
+        CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        || '|' ||
+        CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+             + day(o_orderdate) AS VARCHAR)
+    ), 1, 8)) AS BIGINT)
+"""
+
+
+@register(
+    "q495_checksum_admission",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderkey % {CK495_BATCHES} AS batch_id,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               {_ROW_HASH_SQL} AS hv
+        FROM orders
+    ),
+    contrib AS (
+        SELECT batch_id, yr,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hv) AS BIGINT) AS checksum,
+               MIN(hv) AS min_hash, MAX(hv) AS max_hash
+        FROM h GROUP BY batch_id, yr
+    ),
+    merged AS (
+        SELECT yr,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(checksum) AS BIGINT) AS checksum,
+               MIN(min_hash) AS min_hash, MAX(max_hash) AS max_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_batches
+        FROM contrib GROUP BY yr
+    ),
+    direct AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hv) AS BIGINT) AS checksum,
+               MIN(hv) AS min_hash, MAX(hv) AS max_hash
+        FROM h GROUP BY yr
+    )
+    SELECT m.yr, m.n_rows, m.checksum, m.min_hash, m.max_hash,
+           m.n_batches,
+           CAST(CASE WHEN m.n_rows = d.n_rows
+                      AND m.checksum = d.checksum
+                      AND m.min_hash = d.min_hash
+                      AND m.max_hash = d.max_hash
+                THEN 1 ELSE 0 END AS INT) AS merge_ok
+    FROM merged m JOIN direct d USING (yr)
+    ORDER BY m.yr
+    """,
+)
+def q495_checksum_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming fingerprint maintainer
+    (streaming/checksum_gate.py): replay orders as {CK495_BATCHES}
+    hash-assigned micro-batches (q493's replay device), compute each
+    batch's per-partition fingerprint CONTRIBUTION exactly as
+    `batch_contribution` does (count, hash-sum checksum, min/max
+    hash per order-year), merge the contributions the way
+    `table_fingerprint` does (sum/sum/min/max — all associative),
+    and assert the merged fingerprint equals a direct full-scan
+    fingerprint (q195) via the oracle-checked `merge_ok` flag. This
+    gives the gate's CORE CLAIM — incremental contributions merge to
+    the full-scan truth, which is what lets a replica validate
+    without rescanning — a DuckDB oracle (the q492 pattern applied
+    to mergeable aggregate state; tests/test_gate_twins.py
+    additionally pins stream ≡ batch against the gate's own
+    persisted contributions).
+
+    Determinism: md5-slice integer hashes (q195's exact arithmetic),
+    integer sums/min/max; batch assignment is pmod over the primary
+    key.
+
+    Scale: contributions partial-aggregate map-side to
+    ≤{CK495_BATCHES}·|years| rows; the merge and the direct-vs-merged
+    equijoin run over |years| rows (broadcast-sized). Exactly the
+    gate's cost model: per-batch work ∝ batch, global state ∝
+    |batches|·|partitions| tiny rows.
+
+    Reference: streaming/checksum_gate.py:45-90 (batch_contribution /
+    table_fingerprint), q195 (direct fingerprint)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_orderkey"), F.lit(CK495_BATCHES))
+        .cast("bigint")
+        .alias("batch_id"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        order_row_hash().alias("hv"),
+    )
+    contrib = o.groupBy("batch_id", "yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("hv").cast("bigint").alias("checksum"),
+        F.min("hv").alias("min_hash"),
+        F.max("hv").alias("max_hash"),
+    )
+    merged = contrib.groupBy("yr").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("checksum").cast("bigint").alias("checksum"),
+        F.min("min_hash").alias("min_hash"),
+        F.max("max_hash").alias("max_hash"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+    )
+    direct = o.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_n_rows"),
+        F.sum("hv").cast("bigint").alias("d_checksum"),
+        F.min("hv").alias("d_min_hash"),
+        F.max("hv").alias("d_max_hash"),
+    )
+    return (
+        merged.join(F.broadcast(direct), "yr")
+        .select(
+            "yr",
+            "n_rows",
+            "checksum",
+            "min_hash",
+            "max_hash",
+            "n_batches",
+            F.when(
+                (F.col("n_rows") == F.col("d_n_rows"))
+                & (F.col("checksum") == F.col("d_checksum"))
+                & (F.col("min_hash") == F.col("d_min_hash"))
+                & (F.col("max_hash") == F.col("d_max_hash")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("merge_ok"),
+        )
+        .orderBy("yr")
+    )
+
+
+# --------------------------------------------------------------------------
+# q496 — FK admission ledger (batch twin of streaming/fk_gate)
+# --------------------------------------------------------------------------
+
+FK496_BATCHES = 8  #: simulated replay batches (pmod over o_orderkey)
+
+
+@register(
+    "q496_fk_admission",
+    oracle=f"""
+    WITH fact AS (
+        SELECT o_orderkey % {FK496_BATCHES} AS batch_id, o_custkey
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT c_custkey,
+               c_custkey % {FK496_BATCHES} AS arrival_batch
+        FROM customer
+    )
+    SELECT f.batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.arrival_batch <= f.batch_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN d.arrival_batch IS NULL
+                           OR d.arrival_batch > f.batch_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+           CAST(SUM(CASE WHEN d.arrival_batch > f.batch_id
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eventually_resolved,
+           CAST(SUM(CASE WHEN d.arrival_batch IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_never_resolves
+    FROM fact f
+    LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY f.batch_id
+    ORDER BY f.batch_id
+    """,
+)
+def q496_fk_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming referential-integrity gate's
+    ADMISSION DECISION (streaming/fk_gate.py): replay orders as
+    {FK496_BATCHES} hash-assigned micro-batches while the customer
+    dimension GROWS in step (a key with pmod(c_custkey,
+    {FK496_BATCHES}) = b becomes visible at batch b — the
+    early-arriving-fact scenario the gate's quarantine + requeue
+    exists for). Per batch the ledger records what `split_orphans`
+    decides: rows admitted against the THEN-CURRENT snapshot
+    (arrival ≤ batch), rows quarantined, and the quarantine's split
+    into early-arriving facts that `requeue_resolved` will later
+    re-admit (key exists but arrives AFTER the batch) vs true
+    orphans that never resolve. Conservation holds by construction:
+    n_clean + n_orphan = n_rows and n_orphan =
+    n_eventually_resolved + n_never_resolves — the oracle checks the
+    actual counts, tests/test_gate_twins.py pins stream ≡ batch
+    against the gate's own clean/quarantine tables under a replayed
+    drain.
+
+    Determinism: pure integer pmod arithmetic on keys; no timestamps.
+
+    Scale: ONE broadcast join of the distinct dimension keys (+ their
+    arrival batch) onto the fact — the gate's own posture (dimension
+    broadcast-sized at any realistic fact:dim ratio) — then a
+    map-side-combinable aggregate to {FK496_BATCHES} ledger rows. The
+    fact table never shuffles on data; admission is a per-row
+    comparison against two broadcast integers.
+
+    Reference: streaming/fk_gate.py:40-70 (split_orphans),
+    :102-118 (requeue_resolved), q153 (post-hoc FK audit)."""
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_orderkey"), F.lit(FK496_BATCHES))
+        .cast("bigint")
+        .alias("batch_id"),
+        "o_custkey",
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .distinct()
+        .select(
+            "c_custkey",
+            F.pmod(F.col("c_custkey"), F.lit(FK496_BATCHES))
+            .cast("bigint")
+            .alias("arrival_batch"),
+        )
+    )
+    j = fact.join(
+        F.broadcast(dim), fact["o_custkey"] == dim["c_custkey"], "left"
+    )
+    clean = F.col("arrival_batch") <= F.col("batch_id")
+    late_dim = F.col("arrival_batch") > F.col("batch_id")
+    never = F.col("arrival_batch").isNull()
+    return (
+        j.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(clean, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+            F.sum(F.when(never | late_dim, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan"),
+            F.sum(F.when(late_dim, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eventually_resolved"),
+            F.sum(F.when(never, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_never_resolves"),
+        )
+        .orderBy("batch_id")
+    )

@@ -1,0 +1,105 @@
+"""Physical-plan structural audits shared by scripts/plan_audit.py and
+tests/test_plan_sweep.py.
+
+The one scale-killer class the string-level plan sweep (cartesian /
+BNLJ screening) cannot see is the UNPARTITIONED WindowExec: a
+``Window.orderBy(...)`` with no ``partitionBy`` funnels its whole
+input through ``Exchange SinglePartition`` — a single-reducer global
+sort. Whether that is fine or fatal depends entirely on the WINDOW'S
+INPUT CARDINALITY, which the plan itself encodes:
+
+- **bounded**: every path from the window to a leaf passes through an
+  aggregate (HashAggregate/SortAggregate/ObjectHashAggregate) or
+  bottoms out in a literal-sized leaf (Range, LocalTableScan). The
+  window's input is ∝ |group domain| (days, bins, deciles, batches),
+  not ∝ |rows| — safe at any corpus size. These sites are auto-waived
+  STRUCTURALLY, so a new bounded global window never needs a ledger
+  entry.
+- **row-proportional**: some scan (parquet, cached relation, or a
+  lineage-cut RDD snapshot) reaches the window with no intervening
+  aggregate. At 100 TB this is a single-reducer sort of the data —
+  acceptable ONLY as a documented exact-oracle twin whose production
+  alternative (sketch, binned, bucketed or candidate-graph form) is
+  named. These sites must appear in
+  ``tests/test_plan_sweep.py::GLOBAL_SORT_ALLOWED`` with their waiver,
+  pinned by exact count so an undeclared global sort — or a second one
+  sneaking into an already-waived query — fails the suite on arrival.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+#: aggregates collapse cardinality to the group domain
+_AGG_NODES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+}
+#: leaves whose size is a literal, independent of any table
+_BOUNDED_LEAVES = {
+    "RangeExec",
+    "LocalTableScanExec",
+    "EmptyRelationExec",
+}
+#: leaves that are (or may hide) data-proportional input: file scans,
+#: cached relations, lineage-cut localCheckpoint snapshots. Cached /
+#: RDD leaves are treated as row-proportional because their build plan
+#: is opaque here — conservative by design.
+_UNBOUNDED_LEAVES = {
+    "FileSourceScanExec",
+    "RowDataSourceScanExec",
+    "BatchScanExec",
+    "RDDScanExec",
+    "ExternalRDDScanExec",
+    "InMemoryTableScanExec",
+}
+
+
+def _children(node) -> list:
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def walk_plan(node) -> Iterator:
+    """Depth-first walk of a JVM SparkPlan (children + subqueries)."""
+    yield node
+    for k in _children(node):
+        yield from walk_plan(k)
+    try:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            yield from walk_plan(sq.apply(i))
+    except Exception:
+        pass  # subqueries() unavailable on this node type
+
+
+def _bounded(node) -> bool:
+    cls = node.getClass().getSimpleName()
+    if cls in _AGG_NODES:
+        return True
+    if cls in _BOUNDED_LEAVES:
+        return True
+    if cls in _UNBOUNDED_LEAVES:
+        return False
+    kids = _children(node)
+    if not kids:
+        return False  # unknown leaf: conservative
+    return all(_bounded(k) for k in kids)
+
+
+def global_window_sites(df) -> dict[str, int]:
+    """Count unpartitioned Window nodes in `df`'s pre-AQE physical
+    plan, classified as {'bounded': n, 'rowprop': n}. `rowprop` sites
+    are the GLOBAL_SORT_ALLOWED ledger class."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    out = {"bounded": 0, "rowprop": 0}
+    for node in walk_plan(plan):
+        cls = node.getClass().getSimpleName()
+        if "Window" in cls and node.partitionSpec().isEmpty():
+            kids = _children(node)
+            if kids and _bounded(kids[0]):
+                out["bounded"] += 1
+            else:
+                out["rowprop"] += 1
+    return out

@@ -1,9 +1,12 @@
-"""Stream ≡ batch equality for the two new gate oracle twins (r6
-verdict item 5, the q492 pattern): q493's per-batch lateness ledger
-must equal what streaming/lateness_gate.py RECORDS when the same
-batches drain through the hook, and q494's heavy-hitter verdict must
-equal the decision read from streaming/cms_gate.py's MAINTAINED
-counters. The DuckDB oracle proves the arithmetic; these tests prove
+"""Stream ≡ batch equality for the gate oracle twins (r6 verdict item
+5, the q492 pattern): q493's per-batch lateness ledger must equal what
+streaming/lateness_gate.py RECORDS when the same batches drain through
+the hook, q494's heavy-hitter verdict must equal the decision read
+from streaming/cms_gate.py's MAINTAINED counters, q495's merged
+fingerprint must equal streaming/checksum_gate.py's incrementally
+maintained one, and q496's admission ledger must equal what
+streaming/fk_gate.py actually admits/quarantines under a growing
+dimension. The DuckDB oracle proves the arithmetic; these tests prove
 the arithmetic is the gate's."""
 
 from __future__ import annotations
@@ -14,14 +17,24 @@ from pyspark.sql import functions as F
 
 from serverless_etl_spark.io import load_table
 from serverless_etl_spark.operators.quality import (
+    CK495_BATCHES,
+    FK496_BATCHES,
     HH494_FRAC,
     LATE_BATCHES,
 )
 from serverless_etl_spark.registry import QUERIES, release_caches
+from serverless_etl_spark.streaming.checksum_gate import (
+    run_checksum_gate,
+    table_fingerprint,
+)
 from serverless_etl_spark.streaming.cms_gate import (
     cms_lookup,
     merged_counters,
     run_cms_gate,
+)
+from serverless_etl_spark.streaming.fk_gate import (
+    requeue_resolved,
+    run_fk_gate,
 )
 from serverless_etl_spark.streaming.lateness_gate import (
     read_envelopes,
@@ -30,6 +43,11 @@ from serverless_etl_spark.streaming.lateness_gate import (
 from tests.conftest import SF_SMALL
 
 EVENTS_JSON_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+ORDERS_JSON_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+)
+FK_FACT_SCHEMA = "o_orderkey BIGINT, o_custkey BIGINT"
 
 
 def _write_pmod_batches(spark, tmp_path):
@@ -143,3 +161,176 @@ def test_q494_equals_cms_gate_decision(spark, tmp_path):
         for r in exact.filter(F.col("cnt") >= threshold).collect()
     )
     assert set(true_hh) <= set(gate_est)
+
+
+def _write_order_pmod_batches(spark, tmp_path, n_batches, cols=None):
+    """One JSON file per pmod(o_orderkey, n_batches) bucket, named so
+    file order == bucket order (availableNow + maxFilesPerTrigger=1
+    drains in name order — the q493 device on the orders table)."""
+    cols = cols or [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    ]
+    sel = [
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "o_orderdate"
+        )
+        if c == "o_orderdate"
+        else F.col(c)
+        for c in cols
+    ]
+    rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(*sel, F.pmod("o_orderkey", F.lit(n_batches)).alias("b"))
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(n_batches):
+        with open(src / f"part-{b}.json", "w") as f:
+            for r in rows:
+                if r["b"] == b:
+                    f.write(
+                        json.dumps({c: r[c] for c in cols}) + "\n"
+                    )
+    return src
+
+
+def test_q495_equals_checksum_gate_state(spark, tmp_path):
+    src = _write_order_pmod_batches(spark, tmp_path, CK495_BATCHES)
+    contrib = str(tmp_path / "contrib")
+    run_checksum_gate(
+        spark,
+        str(src),
+        ORDERS_JSON_SCHEMA,
+        contrib,
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    maintained = {
+        r["yr"]: (r["n_rows"], r["checksum"], r["min_hash"], r["max_hash"])
+        for r in table_fingerprint(spark, contrib).collect()
+    }
+    twin = QUERIES["q495_checksum_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    assert maintained == {
+        r["yr"]: (r["n_rows"], r["checksum"], r["min_hash"], r["max_hash"])
+        for r in twin
+    }
+    # the oracle-checked identity: merged ≡ direct full scan
+    assert all(r["merge_ok"] == 1 for r in twin)
+    # per-yr contributing-batch counts agree with the gate's own
+    # contributions table (file b == pmod bucket b under name-order
+    # drain)
+    contrib_rows = (
+        spark.read.schema(
+            "yr INT, n_rows BIGINT, checksum BIGINT, min_hash BIGINT, "
+            "max_hash BIGINT, batch_id BIGINT"
+        )
+        .parquet(contrib)
+        .groupBy("yr")
+        .agg(F.countDistinct("batch_id").alias("nb"))
+        .collect()
+    )
+    assert {r["yr"]: r["nb"] for r in contrib_rows} == {
+        r["yr"]: r["n_batches"] for r in twin
+    }
+
+
+def test_q496_equals_fk_gate_admissions(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    fact_rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.pmod("o_orderkey", F.lit(FK496_BATCHES)).alias("b"),
+        )
+        .collect()
+    )
+    cust = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .select("c_custkey")
+        .distinct()
+        .collect()
+    ]
+    dim_path = str(tmp_path / "dim")
+    clean_dir = str(tmp_path / "clean")
+    quarantine_dir = str(tmp_path / "quarantine")
+    # drain one pmod bucket per gate run while the dimension GROWS in
+    # step (keys with pmod(c_custkey) = b land before batch b) — the
+    # checkpoint makes each run process exactly the new file, so gate
+    # batch_id b sees dimension snapshot ≤ b, as q496 models
+    for b in range(FK496_BATCHES):
+        visible = [k for k in cust if k % FK496_BATCHES <= b]
+        spark.createDataFrame(
+            [(k,) for k in visible], "c_custkey BIGINT"
+        ).write.mode("overwrite").parquet(dim_path)
+        with open(src / f"part-{b}.json", "w") as f:
+            for r in fact_rows:
+                if r["b"] == b:
+                    f.write(
+                        json.dumps(
+                            {
+                                "o_orderkey": r["o_orderkey"],
+                                "o_custkey": r["o_custkey"],
+                            }
+                        )
+                        + "\n"
+                    )
+        run_fk_gate(
+            spark,
+            str(src),
+            FK_FACT_SCHEMA,
+            dim_path,
+            "c_custkey",
+            "o_custkey",
+            clean_dir,
+            quarantine_dir,
+            str(tmp_path / "ck"),
+            max_files_per_trigger=1,
+        )
+    q_schema = FK_FACT_SCHEMA + ", batch_id BIGINT"
+    admitted = {
+        r["batch_id"]: r["n"]
+        for r in spark.read.schema(q_schema)
+        .parquet(clean_dir)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    orphaned = {
+        r["batch_id"]: r["n"]
+        for r in spark.read.schema(q_schema)
+        .parquet(quarantine_dir)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # the retry queue resolved against the FINAL dimension snapshot ==
+    # the twin's eventually-resolved split
+    resolved = {
+        r["batch_id"]: r["n"]
+        for r in requeue_resolved(
+            spark, quarantine_dir, q_schema, dim_path,
+            "c_custkey", "o_custkey",
+        )
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    twin = QUERIES["q496_fk_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    assert len(twin) == FK496_BATCHES
+    for row in twin:
+        b = row["batch_id"]
+        assert admitted.get(b, 0) == row["n_clean"], b
+        assert orphaned.get(b, 0) == row["n_orphan"], b
+        assert resolved.get(b, 0) == row["n_eventually_resolved"], b
+        assert row["n_clean"] + row["n_orphan"] == row["n_rows"], b
+        assert (
+            row["n_eventually_resolved"] + row["n_never_resolves"]
+            == row["n_orphan"]
+        ), b

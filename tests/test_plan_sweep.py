@@ -1,13 +1,19 @@
 """Registry-wide structural guard: EVERY registered query's physical
-plan is screened for the two silent scale-killers — cartesian products
-(never acceptable) and broadcast nested-loop joins (acceptable only for
-the documented one-row-scalar / tiny-broadcast patterns). A new
-operator that accidentally joins without keys fails here on arrival,
-before any bench or oracle run."""
+plan is screened for the three silent scale-killers — cartesian
+products (never acceptable), broadcast nested-loop joins (acceptable
+only for the documented one-row-scalar / tiny-broadcast patterns), and
+unpartitioned WindowExec with ROW-PROPORTIONAL input (single-reducer
+global sort of the data; acceptable only as a documented exact-oracle
+twin naming its production alternative). A new operator that
+accidentally joins without keys, or lands an undeclared global sort,
+fails here on arrival, before any bench or oracle run."""
 
 from __future__ import annotations
 
+import pytest
+
 from serverless_etl_spark import registry
+from serverless_etl_spark.plan_audit import global_window_sites
 
 registry.load_all()
 
@@ -181,17 +187,114 @@ BNLJ_ALLOWED = {
 }
 
 
-def test_no_cartesian_and_bnlj_only_where_allowed(spark):
-    offenders_cart = []
-    offenders_bnlj = []
+#: queries with ≥1 unpartitioned Window whose input the plan classifier
+#: (serverless_etl_spark/plan_audit.py) cannot prove bounded, pinned by
+#: EXACT site count — a second undeclared global sort in an allowed
+#: query fails too. Two honest sub-classes (r6 verdict item 3):
+#:
+#: (a) EXACT-ORACLE TWINS — genuinely row-proportional single-reducer
+#:     sorts, registered deliberately so the sketch/binned production
+#:     path has an exact referee. Each names its production
+#:     alternative (also in the query docstring's Scale note):
+#:       q109: boundaries via approx_percentile sketch + map-side
+#:             range lookup
+#:       q127: ECDF onto equi-width/approx-percentile bins (q134 is
+#:             the registered binned twin)
+#:       q252: binned-ECDF rank form (q469 is the registered binned
+#:             AUC twin)
+#:       q490: NTILE → range-partitioned assignment over the bounded
+#:             difficulty histogram (q369 rollup path)
+#: (b) BOUNDED-IN-FACT BEHIND AN OPAQUE LEAF — the window input IS a
+#:     group-domain frame (|days| cells, |vocab| nodes, ≤11 bins,
+#:     candidate top-k) but sits behind a persisted / localCheckpoint
+#:     leaf (InMemoryTableScan / RDDScan) whose build plan the
+#:     classifier conservatively treats as row-proportional:
+#:       q329 (5 detector windows over the persisted |days|-cell
+#:             table), q420 (per-round windows over the lineage-cut
+#:             |vocab|-node frame), q435 (≤11-row bin frame per
+#:             round), q455 (persisted per-prefix aggregate),
+#:       q461 (per-user transition cells), q479 (persisted
+#:             per-vector candidate top-k frame)
+GLOBAL_SORT_ALLOWED = {
+    "q109_equidepth_hist": 1,        # (a) approx_percentile path
+    "q127_ks_drift": 1,              # (a) binned twin q134
+    "q252_mann_whitney": 1,          # (a) binned twin q469
+    "q329_ensemble_anomaly": 5,      # (b) persisted |days|-cell table
+    "q420_textrank": 1,              # (b) lineage-cut |vocab| frame
+    "q435_chimerge": 1,              # (b) ≤11-row bin frame
+    "q455_prefix_cache": 1,          # (b) persisted prefix aggregate
+    "q461_transition_surprise": 1,   # (b) |states|² cell scoring queue
+    "q479_mutual_knn": 1,            # (b) persisted candidate top-k
+    "q490_curriculum_phases": 1,     # (a) range-partitioned histogram
+}
+
+
+@pytest.fixture(scope="module")
+def plan_sweep(spark):
+    """ONE pass over every registered query's pre-AQE physical plan,
+    shared by the structural assertions below (plan building runs any
+    eager build steps, so sweeping once matters)."""
+    info = {}
     for name, fn in registry.QUERIES.items():
-        plan = fn(spark, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
-        if "CartesianProduct" in plan:
-            offenders_cart.append(name)
-        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
-            offenders_bnlj.append(name)
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        info[name] = {
+            "cartesian": "CartesianProduct" in plan,
+            "bnlj": "BroadcastNestedLoopJoin" in plan,
+            "windows": global_window_sites(df),
+        }
+    return info
+
+
+def test_no_cartesian_and_bnlj_only_where_allowed(plan_sweep):
+    offenders_cart = [n for n, i in plan_sweep.items() if i["cartesian"]]
+    offenders_bnlj = [
+        n for n, i in plan_sweep.items()
+        if i["bnlj"] and n not in BNLJ_ALLOWED
+    ]
     assert not offenders_cart, f"cartesian products in: {offenders_cart}"
     assert not offenders_bnlj, f"unexpected BNLJ in: {offenders_bnlj}"
+
+
+def test_global_sorts_only_where_waived(plan_sweep):
+    """Machine audit of the unpartitioned-WindowExec class: every
+    row-proportional site must be in GLOBAL_SORT_ALLOWED at its exact
+    count; stale ledger entries fail too (r6 verdict item 3)."""
+    got = {
+        n: i["windows"]["rowprop"]
+        for n, i in plan_sweep.items()
+        if i["windows"]["rowprop"]
+    }
+    undeclared = {
+        n: c for n, c in got.items() if c != GLOBAL_SORT_ALLOWED.get(n)
+    }
+    assert not undeclared, (
+        "unpartitioned row-proportional Window sites not matching the "
+        f"GLOBAL_SORT_ALLOWED ledger (query: got sites): {undeclared} — "
+        "either repartition the window, prove its input bounded "
+        "(aggregate before the sort), or add a documented waiver "
+        "naming the production alternative"
+    )
+    stale = sorted(set(GLOBAL_SORT_ALLOWED) - set(got))
+    assert not stale, f"stale GLOBAL_SORT_ALLOWED entries: {stale}"
+
+
+def test_global_sort_detector_catches_undeclared_site(spark):
+    """Self-test of the detector (the r6 verdict's acceptance check):
+    an undeclared Window.orderBy over raw lineitem must classify as
+    row-proportional, and the same window over an aggregate must
+    classify bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    bad = li.withColumn(
+        "rk", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    assert global_window_sites(bad) == {"bounded": 0, "rowprop": 1}
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    ok = agg.withColumn("rk", F.row_number().over(Window.orderBy("q")))
+    assert global_window_sites(ok) == {"bounded": 1, "rowprop": 0}
 
 
 #: executed-plan parquet-scan budgets for the corpus-heavy queries —

@@ -540,3 +540,326 @@ def real_audio_meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             {"sample_rate": "Int32", "n_channels": "Int32",
              "n_samples": "Int64", "duration_ms": "Int64"}
         )
+
+
+# --------------------------------------------------------------------------
+# q497 — perceptual-hash image near-dup (aHash buckets over decoded tiles)
+# --------------------------------------------------------------------------
+
+PHASH_PIXELS = 16  #: thumbnail cells hashed (the aHash grid)
+
+
+def fake_thumbnail_phash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a decode→thumbnail→aHash kernel:
+    consumes (doc_id, payload: bytes) Arrow batches; 'decodes' a
+    {PHASH_PIXELS}-cell grayscale tile whose cell i is
+    (doc_id·(2i+3) + n_bytes) mod 256, then emits the average-hash —
+    bit i set iff cell i is above the tile mean (compared as
+    16·p_i > Σp to stay in integers). A real pipeline swaps
+    ``real_image_meta_batch``-style decoding + a resize
+    (``resample_nearest``) in front of the SAME bit rule; the Arrow
+    plumbing, binary input column and 64-bit hash output are what the
+    oracle pins."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].apply(len).astype("int64")
+        doc_id = pdf["doc_id"].astype("int64")
+        pixels = [
+            ((doc_id * (2 * i + 3)) + n_bytes) % 256
+            for i in range(PHASH_PIXELS)
+        ]
+        tot = sum(pixels)
+        phash = doc_id * 0
+        for i, p in enumerate(pixels):
+            phash = phash + (PHASH_PIXELS * p > tot).astype("int64") * (
+                1 << i
+            )
+        yield pd.DataFrame({"doc_id": doc_id, "phash": phash})
+
+
+@register(
+    "q497_phash_image_dedup",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, i,
+               (doc_id * (2 * i + 3) + octet_length(encode(text))) % 256
+                   AS p
+        FROM documents
+        CROSS JOIN (SELECT unnest(range({PHASH_PIXELS})) AS i)
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(p) AS BIGINT) AS tot
+        FROM px GROUP BY doc_id
+    ),
+    g AS (
+        SELECT px.doc_id,
+               CAST(SUM(CASE WHEN {PHASH_PIXELS} * p > tot
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM px JOIN tot USING (doc_id)
+        GROUP BY px.doc_id
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM g GROUP BY phash HAVING COUNT(*) >= 2
+    ORDER BY phash
+    """,
+)
+def q497_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual hash: binary payloads →
+    Arrow-batched decode/thumbnail/aHash kernel → exact groupBy on the
+    64-bit hash → collision buckets (n_docs ≥ 2). The multimodal twin
+    of q40's text digest dedup: visually-identical images (identical
+    tiles) collide exactly; hamming-≤k tolerance at scale is the q41
+    band trick applied to hash nibbles (split the 64-bit hash into
+    bands, bucket-join per band) — documented, not needed for the
+    exact-collision tier.
+
+    Determinism: integer tile cells, integer mean comparison
+    (16·p > Σp avoids any division), integer bit sum.
+
+    Scale: the kernel is map-side Arrow batches (payload never
+    shuffles — only the 8-byte hash does); ONE shuffle on phash with
+    map-side partial counts; output ∝ collision buckets. Exactly the
+    exact-dedup cost model on a multimodal column.
+
+    Reference: q40 (exact digest dedup), q43 (simhash — the text
+    sibling of aHash), operators/multimodal.py kernel tiers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    hashes = docs.mapInPandas(
+        fake_thumbnail_phash_batch, schema="doc_id long, phash long"
+    )
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("phash")
+    )
+
+
+# --------------------------------------------------------------------------
+# q498 — A/V sync map (frame grid ⋈ audio chunk grid per document)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q498_av_sync_map",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, 1 + doc_id % 30, 5)) * 40 AS INT)
+                   AS frame_ms
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, octet_length(encode(text)) * 50, 1000))
+                    AS INT) AS c_start,
+               CAST(LEAST(unnest(range(0, octet_length(encode(text)) * 50,
+                                       1000)) + 1000,
+                          octet_length(encode(text)) * 50) AS INT)
+                   AS c_end
+        FROM documents
+    ),
+    fcount AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM frames GROUP BY doc_id
+    ),
+    ccount AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               MAX(c_end) AS audio_ms
+        FROM chunks GROUP BY doc_id
+    ),
+    aligned AS (
+        SELECT f.doc_id, CAST(COUNT(c.c_start) AS BIGINT) AS n_aligned
+        FROM frames f
+        LEFT JOIN chunks c
+          ON c.doc_id = f.doc_id
+         AND f.frame_ms >= c.c_start AND f.frame_ms < c.c_end
+        GROUP BY f.doc_id
+    )
+    SELECT fc.doc_id, fc.n_frames, cc.n_chunks, cc.audio_ms,
+           a.n_aligned,
+           fc.n_frames - a.n_aligned AS n_orphan_frames
+    FROM fcount fc
+    JOIN ccount cc USING (doc_id)
+    JOIN aligned a USING (doc_id)
+    ORDER BY fc.doc_id
+    """,
+)
+def q498_av_sync_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video alignment map: the q61 frame grid joined against
+    the q66 audio chunk grid PER DOCUMENT — for every sampled video
+    frame, does an audio chunk cover its timestamp? Emits per doc the
+    frame/chunk counts, total audio extent, how many frames land
+    inside some chunk, and the orphan frames past the audio's end (the
+    A/V-length-mismatch screen a video+audio training pipeline runs
+    before cutting aligned clips). Both grids come from the SAME
+    Arrow-batched decode kernels the single-modality queries use.
+
+    Determinism: integer millisecond grids on both sides; the chunk
+    tiling is half-open [start, start+1000) so each frame matches at
+    most one chunk — counts are exact.
+
+    Scale: both grids explode map-side from per-doc metadata (the
+    binary payload is dropped before the explode — q61's discipline);
+    the alignment join is EQUI-KEYED on doc_id with the range
+    predicate as a residual filter, so it shuffles both sides once on
+    doc_id and never forms a cross product (≤6 frames × chunks∝len
+    per doc). Per-doc output rows.
+
+    Reference: q61 (frame sampling), q66 (audio chunking); the range
+    residual follows q265's bucketed window-join stance."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    vmeta = docs.mapInPandas(fake_decode_batch, schema=META_SCHEMA)
+    frames = vmeta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        (F.col("frame_idx") * 40).cast("int").alias("frame_ms"),
+    )
+    ameta = docs.mapInPandas(fake_audio_meta_batch, schema=AUDIO_META_SCHEMA)
+    chunks = ameta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.col("duration_ms") - 1).cast("int"),
+                F.lit(1000),
+            )
+        ).alias("c_start"),
+        F.col("duration_ms").cast("int").alias("dur"),
+    ).select(
+        "doc_id",
+        F.col("c_start").cast("int").alias("c_start"),
+        F.least(F.col("c_start") + 1000, F.col("dur"))
+        .cast("int")
+        .alias("c_end"),
+    )
+    fcount = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    ccount = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.max("c_end").alias("audio_ms"),
+    )
+    aligned = (
+        frames.alias("f")
+        .join(
+            chunks.alias("c"),
+            (F.col("f.doc_id") == F.col("c.doc_id"))
+            & (F.col("f.frame_ms") >= F.col("c.c_start"))
+            & (F.col("f.frame_ms") < F.col("c.c_end")),
+            "left",
+        )
+        .groupBy(F.col("f.doc_id").alias("doc_id"))
+        .agg(F.count(F.col("c.c_start")).cast("bigint").alias("n_aligned"))
+    )
+    return (
+        fcount.join(ccount, "doc_id")
+        .join(aligned, "doc_id")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_chunks",
+            "audio_ms",
+            "n_aligned",
+            (F.col("n_frames") - F.col("n_aligned")).alias(
+                "n_orphan_frames"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q499 — Arrow batch-shape planner for binary-payload kernels
+# --------------------------------------------------------------------------
+
+TARGET_BATCH_BYTES = 4 * 1024 * 1024  #: payload bytes per Arrow batch
+
+
+@register(
+    "q499_arrow_batch_plan",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           CAST(GREATEST(1, {TARGET_BATCH_BYTES} //
+                             MAX(octet_length(encode(text))))
+                AS BIGINT) AS records_per_batch,
+           CAST((COUNT(*) + GREATEST(1, {TARGET_BATCH_BYTES} //
+                                        MAX(octet_length(encode(text))))
+                 - 1)
+                // GREATEST(1, {TARGET_BATCH_BYTES} //
+                               MAX(octet_length(encode(text))))
+                AS BIGINT) AS est_batches
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q499_arrow_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shape advisor for the multimodal kernel tier: per source,
+    the payload-size profile and the
+    spark.sql.execution.arrow.maxRecordsPerBatch setting that keeps
+    one Arrow batch of binary payloads near {TARGET_BATCH_BYTES}
+    bytes — sized by the WORST-CASE payload (max, not mean), because
+    one oversized batch is what OOMs a Python worker; est_batches is
+    the resulting kernel-invocation count. The planning sibling of
+    q234 (partition advisor) and q260 (broadcast advisor) for the
+    mapInPandas path: q60/q81/q497's kernels are memory-bounded by
+    records_per_batch × max payload, and this query computes that
+    bound from data instead of folklore.
+
+    Determinism: integer byte counts, integer floor division,
+    ceiling via the (n + d - 1) DIV d identity.
+
+    Scale: one map-side-combinable aggregate to |sources| rows; the
+    advisor output is broadcast-sized by construction. At 100 TB the
+    same aggregate runs per (source, date) partition and feeds the
+    kernel conf per-job.
+
+    Reference: q234/q260/q364 (the planning family);
+    operators/multimodal.py kernels (the consumers)."""
+    n_bytes = F.octet_length(F.encode("text", "UTF-8")).cast("bigint")
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_bytes).cast("bigint").alias("total_bytes"),
+        F.max(n_bytes).cast("bigint").alias("max_bytes"),
+    )
+    rpb = F.expr(
+        f"GREATEST(CAST(1 AS BIGINT), "
+        f"CAST({TARGET_BATCH_BYTES} AS BIGINT) DIV max_bytes)"
+    )
+    return (
+        agg.select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "max_bytes",
+            rpb.alias("records_per_batch"),
+            F.expr(
+                f"(n_docs + GREATEST(CAST(1 AS BIGINT), "
+                f"CAST({TARGET_BATCH_BYTES} AS BIGINT) DIV max_bytes) - 1)"
+                f" DIV GREATEST(CAST(1 AS BIGINT), "
+                f"CAST({TARGET_BATCH_BYTES} AS BIGINT) DIV max_bytes)"
+            ).alias("est_batches"),
+        )
+        .orderBy("source")
+    )

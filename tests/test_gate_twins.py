@@ -12,15 +12,22 @@ the arithmetic is the gate's."""
 from __future__ import annotations
 
 import json
+import os
+import time
 
 from pyspark.sql import functions as F
 
 from serverless_etl_spark.io import load_table
 from serverless_etl_spark.operators.quality import (
     CK495_BATCHES,
+    FD500_BATCHES,
+    FD500_REQUIRED,
     FK496_BATCHES,
     HH494_FRAC,
     LATE_BATCHES,
+    fd500_contract,
+    fd500_dim,
+    fd500_lines,
 )
 from serverless_etl_spark.registry import QUERIES, release_caches
 from serverless_etl_spark.streaming.checksum_gate import (
@@ -48,6 +55,18 @@ ORDERS_JSON_SCHEMA = (
     "o_totalprice DOUBLE, o_orderdate TIMESTAMP"
 )
 FK_FACT_SCHEMA = "o_orderkey BIGINT, o_custkey BIGINT"
+
+
+def _pin_mtimes(src, n):
+    """FileStreamSource orders new files by MODIFICATION TIME (name is
+    only the tie-break) — pin strictly-increasing mtimes so micro-batch
+    b always drains bucket file b; sequential writes under load can
+    otherwise land on the same clock tick and permute batches (the
+    source of a rare batch<->bucket swap flake)."""
+    base = time.time() - 3600
+    for b in range(n):
+        os.utime(src / f"part-{b}.json" if (src / f"part-{b}.json").exists()
+                 else src / f"part-{b}.txt", (base + b, base + b))
 
 
 def _write_pmod_batches(spark, tmp_path):
@@ -82,6 +101,7 @@ def _write_pmod_batches(spark, tmp_path):
                         )
                         + "\n"
                     )
+    _pin_mtimes(src, LATE_BATCHES)
     return src
 
 
@@ -193,6 +213,7 @@ def _write_order_pmod_batches(spark, tmp_path, n_batches, cols=None):
                     f.write(
                         json.dumps({c: r[c] for c in cols}) + "\n"
                     )
+    _pin_mtimes(src, n_batches)
     return src
 
 
@@ -334,3 +355,65 @@ def test_q496_equals_fk_gate_admissions(spark, tmp_path):
             row["n_eventually_resolved"] + row["n_never_resolves"]
             == row["n_orphan"]
         ), b
+
+
+def test_q500_equals_front_door_ledger(spark, tmp_path):
+    from serverless_etl_spark.streaming.front_door import (
+        read_ledger,
+        run_front_door,
+    )
+
+    # one raw-lines file per pmod batch, drained in name order
+    rows = fd500_lines(spark, SF_SMALL).collect()
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(FD500_BATCHES):
+        with open(src / f"part-{b}.txt", "w") as f:
+            for r in rows:
+                if r["batch_id"] == b:
+                    f.write(r["value"] + "\n")
+    _pin_mtimes(src, FD500_BATCHES)
+    dim_path = str(tmp_path / "dim")
+    fd500_dim(spark, SF_SMALL).write.parquet(dim_path)
+    run_front_door(
+        spark,
+        str(src),
+        fd500_contract(),
+        FD500_REQUIRED,
+        dim_path,
+        "source",
+        "source",
+        str(tmp_path / "clean"),
+        str(tmp_path / "schema_q"),
+        str(tmp_path / "secret_q"),
+        str(tmp_path / "orphan_q"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    recorded = {
+        r["batch_id"]: r
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    }
+    assert len(recorded) == FD500_BATCHES
+    twin = QUERIES["q500_front_door_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    assert len(twin) == FD500_BATCHES
+    for row in twin:
+        got = recorded[row["batch_id"]]
+        for col in (
+            "n_rows",
+            "n_schema_q",
+            "n_secret_q",
+            "n_orphan_q",
+            "n_clean",
+        ):
+            assert got[col] == row[col], (row["batch_id"], col)
+        # four-way conservation, exactly
+        assert (
+            row["n_schema_q"]
+            + row["n_secret_q"]
+            + row["n_orphan_q"]
+            + row["n_clean"]
+            == row["n_rows"]
+        )

@@ -291,6 +291,13 @@ def main() -> None:
         # survivors; PCA is the 8-round integer power iteration)
         "q483_dedup_cascade",
         "q489_top_principal_component",
+        # round-7: the heavier additions (phash runs the corpus through
+        # an Arrow kernel + hash shuffle; av_sync double-explodes and
+        # range-joins; the front-door twin runs the full judge — json
+        # key-set + try_cast ladder + fused secret regexes — map-side)
+        "q497_phash_image_dedup",
+        "q498_av_sync_map",
+        "q500_front_door_admission",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

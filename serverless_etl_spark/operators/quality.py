@@ -5674,3 +5674,346 @@ def q500_front_door_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q501 — numeric-drift admission (batch twin of streaming/numeric_drift_gate)
+# --------------------------------------------------------------------------
+
+from .analytics_ext import (  # noqa: E402
+    PSI_BIN_W,
+    PSI_BINS,
+    PSI_WARN_MICRO,
+)
+
+ND501_BATCHES = 6  #: simulated replay batches over the odd half
+
+
+@register(
+    "q501_numeric_drift_admission",
+    oracle=f"""
+    WITH ref AS (
+        SELECT LEAST(CAST(FLOOR(value / {PSI_BIN_W}) AS INT),
+                     {PSI_BINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS oa
+        FROM events
+        WHERE event_id % 2 = 0 AND value IS NOT NULL AND value >= 0
+        GROUP BY 1
+    ),
+    bc AS (
+        SELECT (event_id // 2) % {ND501_BATCHES} AS batch_id,
+               LEAST(CAST(FLOOR(value / {PSI_BIN_W}) AS INT),
+                     {PSI_BINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS ob
+        FROM events
+        WHERE event_id % 2 = 1 AND value IS NOT NULL AND value >= 0
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT g.batch_id, g.bin,
+               COALESCE(r.oa, 0) AS oa, COALESCE(b.ob, 0) AS ob
+        FROM (SELECT i % {ND501_BATCHES} AS batch_id,
+                     CAST(i // {ND501_BATCHES} AS INT) AS bin
+              FROM (SELECT unnest(range({ND501_BATCHES * PSI_BINS}))
+                        AS i)) g
+        LEFT JOIN ref r ON r.bin = g.bin
+        LEFT JOIN bc b ON b.batch_id = g.batch_id AND b.bin = g.bin
+    ),
+    win AS (
+        SELECT batch_id, bin, oa, ob,
+               CAST(SUM(oa) OVER (PARTITION BY batch_id) AS BIGINT) AS na,
+               CAST(SUM(ob) OVER (PARTITION BY batch_id) AS BIGINT) AS nb,
+               CAST(SUM(oa) OVER (PARTITION BY batch_id ORDER BY bin)
+                    AS BIGINT) AS ca,
+               CAST(SUM(ob) OVER (PARTITION BY batch_id ORDER BY bin)
+                    AS BIGINT) AS cb
+        FROM grid
+    ),
+    scored AS (
+        SELECT batch_id,
+               CAST(MAX(nb) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(1000000.0
+                   * (CAST(oa + 1 AS DOUBLE) / (na + {PSI_BINS})
+                      - CAST(ob + 1 AS DOUBLE) / (nb + {PSI_BINS}))
+                   * ln((CAST(oa + 1 AS DOUBLE) / (na + {PSI_BINS}))
+                        / (CAST(ob + 1 AS DOUBLE) / (nb + {PSI_BINS}))))
+                   AS BIGINT)) AS BIGINT) AS psi_micro,
+               CAST(1000 * {PSI_BIN_W}
+                    * SUM(CASE WHEN bin < {PSI_BINS - 1}
+                               THEN ABS(ca * nb - cb * na) ELSE 0 END)
+                    // GREATEST(MAX(na) * MAX(nb), 1)
+                    AS BIGINT) AS w1_milli
+        FROM win GROUP BY batch_id
+    )
+    SELECT batch_id, n_rows, psi_micro, w1_milli,
+           CAST(CASE WHEN psi_micro > {PSI_WARN_MICRO}
+                THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM scored ORDER BY batch_id
+    """,
+)
+def q501_numeric_drift_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch oracle twin of the streaming NUMERIC drift gate's verdict
+    (streaming/numeric_drift_gate.py): the even-event_id half of
+    events is the persisted reference histogram (the gate's
+    `reference_histogram` binning — q411's exact grid), the odd half
+    replays as {ND501_BATCHES} micro-batches, and each batch is scored
+    with the gate's own arithmetic — Laplace-smoothed floor-of-ln PSI
+    micro-terms over the dense {PSI_BINS}-bin grid plus the
+    cross-multiplied cumulative-gap W1 in milli value units — and the
+    gate's drifted flag at the default PSI warn threshold. This gives
+    `numeric_drift_score`'s DECISION a DuckDB oracle per batch
+    (tests/test_gate_twins.py additionally pins stream ≡ batch against
+    run_numeric_drift_gate's recorded scores table).
+
+    Determinism: integer bin counts; PSI terms floored per cell in
+    DOUBLE with identical operation order on both engines (q411's
+    established parity); W1 is pure integer cross-multiplication.
+
+    Scale: two map-side-combinable histogram aggregations (reference
+    once, batches once), then every window runs over the literal
+    {ND501_BATCHES}×{PSI_BINS}-row dense grid — the data never touches
+    a window. Identical to the gate: per batch the score costs one
+    collapse to ≤{PSI_BINS} cells.
+
+    Reference: streaming/numeric_drift_gate.py:67-129
+    (numeric_drift_score), q411 (PSI), q428 (binned W1)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    bin_col = F.least(
+        F.floor(F.col("value") / PSI_BIN_W).cast("int"),
+        F.lit(PSI_BINS - 1),
+    )
+    ref = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("oa"))
+    )
+    bc = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(
+            F.expr(f"(event_id DIV 2) % {ND501_BATCHES}")
+            .cast("bigint")
+            .alias("batch_id"),
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ob"))
+    )
+    grid = (
+        spark.range(ND501_BATCHES * PSI_BINS)
+        .select(
+            (F.col("id") % ND501_BATCHES).cast("bigint").alias("batch_id"),
+            (F.col("id") / ND501_BATCHES).cast("int").alias("bin"),
+        )
+        .join(F.broadcast(ref), "bin", "left")
+        .join(F.broadcast(bc), ["batch_id", "bin"], "left")
+        .select(
+            "batch_id",
+            "bin",
+            F.coalesce("oa", F.lit(0)).cast("bigint").alias("oa"),
+            F.coalesce("ob", F.lit(0)).cast("bigint").alias("ob"),
+        )
+    )
+    wb = Window.partitionBy("batch_id")
+    wcum = Window.partitionBy("batch_id").orderBy("bin")
+    win = grid.select(
+        "batch_id",
+        "bin",
+        "oa",
+        "ob",
+        F.sum("oa").over(wb).cast("bigint").alias("na"),
+        F.sum("ob").over(wb).cast("bigint").alias("nb"),
+        F.sum("oa").over(wcum).cast("bigint").alias("ca"),
+        F.sum("ob").over(wcum).cast("bigint").alias("cb"),
+    )
+    term = F.expr(
+        f"CAST(FLOOR(1000000.0"
+        f" * (CAST(oa + 1 AS DOUBLE) / (na + {PSI_BINS})"
+        f"    - CAST(ob + 1 AS DOUBLE) / (nb + {PSI_BINS}))"
+        f" * ln((CAST(oa + 1 AS DOUBLE) / (na + {PSI_BINS}))"
+        f"      / (CAST(ob + 1 AS DOUBLE) / (nb + {PSI_BINS}))))"
+        f" AS BIGINT)"
+    )
+    scored = win.groupBy("batch_id").agg(
+        F.max("nb").cast("bigint").alias("n_rows"),
+        F.sum(term).cast("bigint").alias("psi_micro"),
+        F.expr(
+            f"CAST(1000 * {PSI_BIN_W}"
+            f" * SUM(CASE WHEN bin < {PSI_BINS - 1}"
+            f"       THEN ABS(ca * nb - cb * na) ELSE 0 END)"
+            f" DIV GREATEST(MAX(na) * MAX(nb), CAST(1 AS BIGINT))"
+            f" AS BIGINT)"
+        ).alias("w1_milli"),
+    )
+    return scored.select(
+        "batch_id",
+        "n_rows",
+        "psi_micro",
+        "w1_milli",
+        F.when(F.col("psi_micro") > PSI_WARN_MICRO, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    ).orderBy("batch_id")
+
+
+# --------------------------------------------------------------------------
+# q502 — categorical-drift admission (batch twin of streaming/drift_gate)
+# --------------------------------------------------------------------------
+
+CD502_BATCHES = 6  #: simulated replay batches over the odd half
+CD502_THRESHOLD_MILLI = 50_000  #: drift_gate's default alert threshold
+
+
+@register(
+    "q502_drift_admission",
+    oracle=f"""
+    WITH ref AS (
+        SELECT event_type AS cat, CAST(COUNT(*) AS BIGINT) AS oa
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    bc AS (
+        SELECT (event_id // 2) % {CD502_BATCHES} AS batch_id,
+               event_type AS cat, CAST(COUNT(*) AS BIGINT) AS ob
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT b.batch_id, r.cat
+        FROM (SELECT DISTINCT batch_id FROM bc) b CROSS JOIN ref r
+        UNION
+        SELECT batch_id, cat FROM bc
+    ),
+    cells AS (
+        SELECT p.batch_id, p.cat,
+               COALESCE(r.oa, 0) AS oa, COALESCE(b.ob, 0) AS ob
+        FROM pairs p
+        LEFT JOIN ref r ON r.cat = p.cat
+        LEFT JOIN bc b ON b.batch_id = p.batch_id AND b.cat = p.cat
+    ),
+    win AS (
+        SELECT batch_id, oa, ob,
+               CAST(SUM(oa) OVER (PARTITION BY batch_id) AS BIGINT) AS na,
+               CAST(SUM(ob) OVER (PARTITION BY batch_id) AS BIGINT) AS nb,
+               CAST(COUNT(*) OVER (PARTITION BY batch_id) AS BIGINT)
+                   AS n_cats
+        FROM cells
+    ),
+    scored AS (
+        SELECT batch_id,
+               CAST(MAX(nb) AS BIGINT) AS n_rows,
+               CAST(MAX(n_cats) AS BIGINT) AS n_cats,
+               CAST(SUM(CAST(FLOOR(1000.0
+                        * CAST(oa * nb - ob * na AS DOUBLE)
+                        * CAST(oa * nb - ob * na AS DOUBLE)
+                        / CAST((na + nb) * (oa + ob) AS DOUBLE)
+                        / CAST(GREATEST(na, 1) AS DOUBLE))
+                   + FLOOR(1000.0
+                        * CAST(ob * na - oa * nb AS DOUBLE)
+                        * CAST(ob * na - oa * nb AS DOUBLE)
+                        / CAST((na + nb) * (oa + ob) AS DOUBLE)
+                        / CAST(GREATEST(nb, 1) AS DOUBLE))
+                   AS BIGINT)) AS BIGINT) AS chi2_milli
+        FROM win GROUP BY batch_id
+    )
+    SELECT batch_id, n_rows, n_cats, chi2_milli,
+           CAST(CASE WHEN chi2_milli > {CD502_THRESHOLD_MILLI}
+                THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM scored ORDER BY batch_id
+    """,
+)
+def q502_drift_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle twin of the streaming CATEGORICAL drift gate's
+    verdict (streaming/drift_gate.py): even event_ids form the
+    persisted reference profile, the odd half replays as
+    {CD502_BATCHES} micro-batches, and each batch is scored with
+    `drift_score`'s exact integer chi-square — q313's two-sample form
+    with per-cell double floors, the category set being the UNION of
+    reference and batch categories (the gate's full-outer-join
+    semantics) — plus the drifted flag at the gate's default milli
+    threshold. tests/test_gate_twins.py pins stream ≡ batch against
+    run_drift_gate's recorded scores.
+
+    Determinism: integer counts; chi-square cells floored in DOUBLE
+    with the identical operation order q313 established across
+    engines.
+
+    Scale: two map-side category collapses; the pair grid is
+    |batches|×|categories| (bounded); windows run over that grid,
+    never the data. The gate's per-batch cost model exactly.
+
+    Reference: streaming/drift_gate.py:57-110 (drift_score), q313
+    (chi-square drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(F.col("event_type").alias("cat"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("oa"))
+    )
+    bc = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(
+            F.expr(f"(event_id DIV 2) % {CD502_BATCHES}")
+            .cast("bigint")
+            .alias("batch_id"),
+            F.col("event_type").alias("cat"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ob"))
+    )
+    batch_ids = spark.range(CD502_BATCHES).select(
+        F.col("id").cast("bigint").alias("batch_id")
+    )
+    # bounded |batches|×|categories| grid fan-out (BNLJ_ALLOWED) — the
+    # gate's full-outer category union, materialized per batch
+    pairs = (
+        batch_ids.crossJoin(F.broadcast(ref.select("cat")))
+        .unionByName(bc.select("batch_id", "cat"))
+        .distinct()
+    )
+    cells = (
+        pairs.join(F.broadcast(ref), "cat", "left")
+        .join(F.broadcast(bc), ["batch_id", "cat"], "left")
+        .select(
+            "batch_id",
+            "cat",
+            F.coalesce("oa", F.lit(0)).cast("bigint").alias("oa"),
+            F.coalesce("ob", F.lit(0)).cast("bigint").alias("ob"),
+        )
+    )
+    wb = Window.partitionBy("batch_id")
+    win = cells.select(
+        "batch_id",
+        "oa",
+        "ob",
+        F.sum("oa").over(wb).cast("bigint").alias("na"),
+        F.sum("ob").over(wb).cast("bigint").alias("nb"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("n_cats"),
+    )
+    chi = F.expr(
+        "CAST(FLOOR(1000.0"
+        " * CAST(oa * nb - ob * na AS DOUBLE)"
+        " * CAST(oa * nb - ob * na AS DOUBLE)"
+        " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
+        " / CAST(GREATEST(na, 1) AS DOUBLE))"
+        " + FLOOR(1000.0"
+        " * CAST(ob * na - oa * nb AS DOUBLE)"
+        " * CAST(ob * na - oa * nb AS DOUBLE)"
+        " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
+        " / CAST(GREATEST(nb, 1) AS DOUBLE)) AS BIGINT)"
+    )
+    scored = win.groupBy("batch_id").agg(
+        F.max("nb").cast("bigint").alias("n_rows"),
+        F.max("n_cats").cast("bigint").alias("n_cats"),
+        F.sum(chi).cast("bigint").alias("chi2_milli"),
+    )
+    return scored.select(
+        "batch_id",
+        "n_rows",
+        "n_cats",
+        "chi2_milli",
+        F.when(F.col("chi2_milli") > CD502_THRESHOLD_MILLI, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    ).orderBy("batch_id")

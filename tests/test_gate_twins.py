@@ -417,3 +417,124 @@ def test_q500_equals_front_door_ledger(spark, tmp_path):
             + row["n_clean"]
             == row["n_rows"]
         )
+
+
+def _write_odd_event_batches(spark, tmp_path, n_batches, fields):
+    """The q501/q502 replay scheme: odd event_ids split into n_batches
+    files by (event_id DIV 2) % n_batches, mtime-pinned so gate batch
+    b drains bucket b. `fields` maps JSON key -> Column."""
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.expr(f"(event_id DIV 2) % {n_batches}").alias("b"),
+            *[c.alias(k) for k, c in fields.items()],
+        )
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(n_batches):
+        with open(src / f"part-{b}.json", "w") as f:
+            for r in rows:
+                if r["b"] == b:
+                    f.write(
+                        json.dumps({k: r[k] for k in fields}) + "\n"
+                    )
+    _pin_mtimes(src, n_batches)
+    return src
+
+
+def test_q501_equals_numeric_drift_gate_scores(spark, tmp_path):
+    from serverless_etl_spark.operators.quality import ND501_BATCHES
+    from serverless_etl_spark.streaming.numeric_drift_gate import (
+        read_scores as read_nd_scores,
+    )
+    from serverless_etl_spark.streaming.numeric_drift_gate import (
+        reference_histogram,
+        run_numeric_drift_gate,
+    )
+
+    ref_dir = str(tmp_path / "ref")
+    reference_histogram(
+        load_table(spark, SF_SMALL, "events").filter(
+            F.col("event_id") % 2 == 0
+        )
+    ).write.parquet(ref_dir)
+    src = _write_odd_event_batches(
+        spark,
+        tmp_path,
+        ND501_BATCHES,
+        {"event_id": F.col("event_id"), "value": F.col("value")},
+    )
+    scores_dir = str(tmp_path / "scores")
+    run_numeric_drift_gate(
+        spark,
+        str(src),
+        "event_id BIGINT, value DOUBLE",
+        ref_dir,
+        scores_dir,
+        str(tmp_path / "ck"),
+    )
+    recorded = {
+        r["batch_id"]: r
+        for r in read_nd_scores(spark, scores_dir).collect()
+    }
+    assert len(recorded) == ND501_BATCHES
+    twin = QUERIES["q501_numeric_drift_admission"](
+        spark, SF_SMALL
+    ).collect()
+    release_caches()
+    assert len(twin) == ND501_BATCHES
+    for row in twin:
+        got = recorded[row["batch_id"]]
+        for col in ("n_rows", "psi_micro", "w1_milli", "drifted"):
+            assert got[col] == row[col], (row["batch_id"], col)
+
+
+def test_q502_equals_drift_gate_scores(spark, tmp_path):
+    from serverless_etl_spark.operators.quality import CD502_BATCHES
+    from serverless_etl_spark.streaming.drift_gate import (
+        read_scores as read_cd_scores,
+    )
+    from serverless_etl_spark.streaming.drift_gate import (
+        reference_profile,
+        run_drift_gate,
+    )
+
+    ref_dir = str(tmp_path / "ref")
+    reference_profile(
+        load_table(spark, SF_SMALL, "events").filter(
+            F.col("event_id") % 2 == 0
+        )
+    ).write.parquet(ref_dir)
+    src = _write_odd_event_batches(
+        spark,
+        tmp_path,
+        CD502_BATCHES,
+        {
+            "event_id": F.col("event_id"),
+            "event_type": F.col("event_type"),
+        },
+    )
+    scores_dir = str(tmp_path / "scores")
+    run_drift_gate(
+        spark,
+        str(src),
+        "event_id BIGINT, event_type STRING",
+        ref_dir,
+        scores_dir,
+        str(tmp_path / "ck"),
+    )
+    recorded = {
+        r["batch_id"]: r
+        for r in read_cd_scores(spark, scores_dir).collect()
+    }
+    assert len(recorded) == CD502_BATCHES
+    twin = QUERIES["q502_drift_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    assert len(twin) == CD502_BATCHES
+    for row in twin:
+        got = recorded[row["batch_id"]]
+        for col in ("n_rows", "n_cats", "chi2_milli", "drifted"):
+            assert got[col] == row[col], (row["batch_id"], col)

@@ -184,6 +184,9 @@ BNLJ_ALLOWED = {
                                      # one-row truth-count broadcast
     "q494_cms_heavy_hitters",        # one-row threshold broadcast onto
                                      # the per-key estimate table
+    "q502_drift_admission",          # 6-row batch grid × |event-types|
+                                     # reference-profile fan-out (the
+                                     # gate's bounded pair grid)
 }
 
 

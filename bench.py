@@ -106,6 +106,10 @@ BASELINE_EXT_SF01 = {
     # 1.63s in-run / 1.73s close-out; the looser number is the floor
     # so the 2x flag keys off the conservative end)
     "front_door_batch": 1.73,
+    # round-7 additions (idle-machine run after the 1128-test suite)
+    "q497_phash_image_dedup": 0.327,
+    "q498_av_sync_map": 0.452,
+    "q500_front_door_admission": 0.351,
 }
 
 

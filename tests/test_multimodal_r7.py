@@ -1,0 +1,84 @@
+"""Invariants for the round-7 multimodal additions beyond their DuckDB
+oracles: kernel batch-shape independence for the phash kernel, the A/V
+alignment identity, and the batch planner's memory-bound arithmetic."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.operators.multimodal import (
+    PHASH_PIXELS,
+    TARGET_BATCH_BYTES,
+    fake_thumbnail_phash_batch,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def _phash(pdf: pd.DataFrame) -> dict[int, int]:
+    out = {}
+    for batch in fake_thumbnail_phash_batch(iter([pdf])):
+        out.update(zip(batch["doc_id"], batch["phash"]))
+    return out
+
+
+def test_phash_kernel_is_batch_shape_independent():
+    """Arrow batch boundaries are an execution detail — the kernel must
+    emit identical hashes whether rows arrive in one batch or many
+    (the mapInPandas contract every kernel relies on)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 257, 513, 258],
+            "payload": [b"abc", b"defg", b"x" * 50, b"", b"yz"],
+        }
+    )
+    whole = _phash(pdf)
+    split = {}
+    for i in range(len(pdf)):
+        split.update(_phash(pdf.iloc[[i]].reset_index(drop=True)))
+    assert whole == split
+    # doc_ids congruent mod 256 with equal payload lengths must
+    # collide (the aHash tile is a function of (doc_id mod 256-ish
+    # arithmetic, n_bytes)) — the collision channel q497 buckets on
+    a = _phash(
+        pd.DataFrame({"doc_id": [2, 258], "payload": [b"ab", b"cd"]})
+    )
+    assert a[2] == a[258]
+
+
+def test_phash_bits_bounded():
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(100)), "payload": [b"t" * (i % 7) for i in range(100)]}
+    )
+    hashes = _phash(pdf)
+    assert all(0 <= h < (1 << PHASH_PIXELS) for h in hashes.values())
+
+
+def test_av_sync_alignment_identity(spark):
+    """A frame is aligned iff it lands before the audio end (chunks
+    tile [0, audio_ms) half-open with no gaps) — the join result must
+    equal that arithmetic, and orphans the complement."""
+    rows = registry.QUERIES["q498_av_sync_map"](spark, SF_SMALL).collect()
+    assert rows, "q498 returned no rows"
+    for r in rows:
+        assert r["n_aligned"] + r["n_orphan_frames"] == r["n_frames"]
+        assert 0 <= r["n_aligned"] <= r["n_frames"]
+        assert r["audio_ms"] >= 0
+
+
+def test_batch_plan_memory_bound(spark):
+    """records_per_batch × max payload must not exceed the target
+    (except the degenerate 1-record floor), and est_batches must cover
+    every doc — the planner's entire point."""
+    rows = registry.QUERIES["q499_arrow_batch_plan"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        rpb, mx = r["records_per_batch"], r["max_bytes"]
+        assert rpb >= 1
+        if rpb > 1:
+            assert rpb * mx <= TARGET_BATCH_BYTES
+        assert r["est_batches"] * rpb >= r["n_docs"]
+        assert (r["est_batches"] - 1) * rpb < r["n_docs"]

@@ -6017,3 +6017,198 @@ def q502_drift_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drifted"),
     ).orderBy("batch_id")
+
+
+# --------------------------------------------------------------------------
+# q503 — HLL sketch admission (batch twin of streaming/sketch_gate)
+# --------------------------------------------------------------------------
+
+from .analytics_ext import (  # noqa: E402
+    HLL_C,
+    HLL_LOW_BITS,
+    HLL_LOW_MOD,
+    HLL_M,
+    hll_member_hash,
+    hll_register_partials,
+)
+
+SK503_BATCHES = 8  #: simulated replay batches (pmod over event_id)
+
+_SK503_RHO = f"""
+        CASE WHEN h % {HLL_LOW_MOD} = 0 THEN {HLL_LOW_BITS + 1}
+             ELSE {HLL_LOW_BITS + 1} - length(bin(h % {HLL_LOW_MOD}))
+        END
+"""
+
+_SK503_EST = (
+    f"CAST(FLOOR({HLL_C!r} / (s_present + ({HLL_M} - n_present)))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q503_sketch_admission",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT event_id % {SK503_BATCHES} AS batch_id, event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                    || strftime(ts, '%Y-%m-%d')), 1, 12)) AS BIGINT) AS h
+        FROM events
+    ),
+    rho AS (
+        SELECT batch_id, event_type, h // {HLL_LOW_MOD} AS idx,
+               {_SK503_RHO} AS rho
+        FROM members
+    ),
+    bregs AS (
+        SELECT batch_id, event_type, idx, MAX(rho) AS m
+        FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, idx, MAX(m) AS m FROM bregs GROUP BY 1, 2
+    ),
+    replayed AS (
+        SELECT event_type, idx, MAX(m) AS m
+        FROM (SELECT * FROM bregs
+              UNION ALL SELECT * FROM bregs WHERE batch_id = 0)
+        GROUP BY 1, 2
+    ),
+    direct AS (
+        SELECT event_type, idx, MAX(rho) AS m FROM rho GROUP BY 1, 2
+    ),
+    est_m AS (
+        SELECT event_type,
+               CAST(n_present AS BIGINT) AS n_registers,
+               {_SK503_EST} AS est
+        FROM (SELECT event_type,
+                     SUM(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))
+                         AS s_present,
+                     COUNT(*) AS n_present
+              FROM merged GROUP BY event_type)
+    ),
+    est_r AS (
+        SELECT event_type, {_SK503_EST} AS est
+        FROM (SELECT event_type,
+                     SUM(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))
+                         AS s_present,
+                     COUNT(*) AS n_present
+              FROM replayed GROUP BY event_type)
+    ),
+    est_d AS (
+        SELECT event_type, {_SK503_EST} AS est
+        FROM (SELECT event_type,
+                     SUM(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))
+                         AS s_present,
+                     COUNT(*) AS n_present
+              FROM direct GROUP BY event_type)
+    )
+    SELECT m.event_type, m.n_registers, m.est AS hll_estimate,
+           CAST(CASE WHEN m.est = d.est THEN 1 ELSE 0 END AS INT)
+               AS merge_ok,
+           CAST(CASE WHEN m.est = r.est THEN 1 ELSE 0 END AS INT)
+               AS replay_ok
+    FROM est_m m
+    JOIN est_d d USING (event_type)
+    JOIN est_r r USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def q503_sketch_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle twin of the streaming HLL maintainer
+    (streaming/sketch_gate.py) — the LAST gate in the twin matrix, and
+    the one whose exactly-once argument is CRDT-shaped: registers
+    merge by MAX, which is associative AND idempotent. Replay events
+    as {SK503_BATCHES} pmod micro-batches, fold each batch's register
+    partials (the gate's own `hll_register_partials`), and
+    oracle-check BOTH halves of the gate's correctness claim per
+    event_type: `merge_ok` — the max-merged registers estimate equals
+    the one-shot direct build (associativity over any batch
+    decomposition), and `replay_ok` — re-folding batch 0's partial a
+    second time changes nothing (idempotence, the property that makes
+    the gate's batch_id bookkeeping a STORAGE bound rather than a
+    correctness requirement, unlike q495's additive checksums).
+    tests/test_gate_twins.py pins stream ≡ batch against
+    run-the-gate's own persisted register table.
+
+    Determinism: md5-slice member hashes, integer rho, dyadic
+    1/2^m sums (exact in double for ≤{HLL_M} registers), FLOOR'd
+    estimates — q239's established cross-engine arithmetic.
+
+    Scale: per batch one map-side collapse to ≤|types|×{HLL_M}
+    register rows; every merge/compare runs over register tables,
+    never events. Exactly the gate's cost model — state is
+    {HLL_M} small ints per group forever.
+
+    Reference: streaming/sketch_gate.py (maintainer), q239 (estimator
+    arithmetic), q495 (the additive contrast)."""
+    ev = load_table(spark, sf_dir, "events")
+    r = F.col("h") % HLL_LOW_MOD
+    rho = F.when(r == 0, F.lit(HLL_LOW_BITS + 1)).otherwise(
+        F.lit(HLL_LOW_BITS + 1) - F.length(F.bin(r))
+    )
+    bregs = track_cache(
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(SK503_BATCHES))
+            .cast("bigint")
+            .alias("batch_id"),
+            "event_type",
+            hll_member_hash().alias("h"),
+        )
+        .select(
+            "batch_id",
+            "event_type",
+            (F.col("h") / HLL_LOW_MOD).cast("bigint").alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("batch_id", "event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+        .persist()
+    )
+    merged = bregs.groupBy("event_type", "idx").agg(F.max("m").alias("m"))
+    replayed = (
+        bregs.unionByName(bregs.filter(F.col("batch_id") == 0))
+        .groupBy("event_type", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    direct = hll_register_partials(ev)
+
+    def _est(regs: DataFrame, alias: str) -> DataFrame:
+        sums = regs.groupBy("event_type").agg(
+            F.sum(
+                F.expr(
+                    "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"
+                )
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        est = F.floor(
+            F.lit(HLL_C)
+            / (F.col("s_present") + (HLL_M - F.col("n_present")))
+        ).cast("bigint")
+        return sums.select(
+            "event_type",
+            F.col("n_present").cast("bigint").alias(f"n_{alias}"),
+            est.alias(alias),
+        )
+
+    em = _est(merged, "est_m")
+    ed = _est(direct, "est_d").select("event_type", "est_d")
+    er = _est(replayed, "est_r").select("event_type", "est_r")
+    return (
+        em.join(F.broadcast(ed), "event_type")
+        .join(F.broadcast(er), "event_type")
+        .select(
+            "event_type",
+            F.col("n_est_m").alias("n_registers"),
+            F.col("est_m").alias("hll_estimate"),
+            F.when(F.col("est_m") == F.col("est_d"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("merge_ok"),
+            F.when(F.col("est_m") == F.col("est_r"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("replay_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -145,7 +145,7 @@ _SWEEP_PRIORITY = [
     "q496_fk_admission", "q497_phash_image_dedup", "q498_av_sync_map",
     "q499_arrow_batch_plan", "q500_front_door_admission",
     "q501_numeric_drift_admission", "q502_drift_admission",
-    "q191_prefix_jaccard_join",
+    "q503_sketch_admission", "q191_prefix_jaccard_join",
     "q196_assoc_rules", "q199_curation_funnel", "q295_rake_keywords",
     "q399_isotonic_calibration", "q179_constant_columns", "q180_ltv_curve",
     "q181_quality_by_lang", "q182_wow_share_drift",

@@ -538,3 +538,85 @@ def test_q502_equals_drift_gate_scores(spark, tmp_path):
         got = recorded[row["batch_id"]]
         for col in ("n_rows", "n_cats", "chi2_milli", "drifted"):
             assert got[col] == row[col], (row["batch_id"], col)
+
+
+def test_q503_equals_sketch_gate_state(spark, tmp_path):
+    from serverless_etl_spark.operators.quality import SK503_BATCHES
+    from serverless_etl_spark.streaming.sketch_gate import (
+        merged_registers,
+        run_sketch_gate,
+        sketch_estimates,
+    )
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            F.pmod("event_id", F.lit(SK503_BATCHES)).alias("b"),
+        )
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(SK503_BATCHES):
+        with open(src / f"part-{b}.json", "w") as f:
+            for r in rows:
+                if r["b"] == b:
+                    f.write(
+                        json.dumps(
+                            {
+                                "event_id": r["event_id"],
+                                "ts": r["ts"],
+                                "user_id": r["user_id"],
+                                "event_type": r["event_type"],
+                            }
+                        )
+                        + "\n"
+                    )
+    _pin_mtimes(src, SK503_BATCHES)
+    register_dir = str(tmp_path / "regs")
+    run_sketch_gate(
+        spark,
+        str(src),
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING",
+        register_dir,
+        str(tmp_path / "ck"),
+    )
+    gate_est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch_estimates(spark, register_dir).collect()
+    }
+    gate_regs = {
+        r["event_type"]: r["n"]
+        for r in merged_registers(spark, register_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    twin = QUERIES["q503_sketch_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    assert twin
+    for row in twin:
+        t = row["event_type"]
+        assert gate_est[t] == row["hll_estimate"], t
+        assert gate_regs[t] == row["n_registers"], t
+        assert row["merge_ok"] == 1 and row["replay_ok"] == 1, t
+    # CRDT idempotence against the GATE's own state: re-draining the
+    # same source into the same register table must change nothing
+    run_sketch_gate(
+        spark,
+        str(src),
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING",
+        register_dir,
+        str(tmp_path / "ck2"),  # fresh checkpoint -> full replay
+    )
+    gate_est2 = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch_estimates(spark, register_dir).collect()
+    }
+    assert gate_est2 == gate_est

@@ -110,6 +110,9 @@ BASELINE_EXT_SF01 = {
     "q497_phash_image_dedup": 0.327,
     "q498_av_sync_map": 0.452,
     "q500_front_door_admission": 0.351,
+    # round-7 late additions (idle run after the 1138-test close-out)
+    "q501_numeric_drift_admission": 0.318,
+    "q503_sketch_admission": 0.797,
 }
 
 
@@ -302,6 +305,10 @@ def main() -> None:
         "q497_phash_image_dedup",
         "q498_av_sync_map",
         "q500_front_door_admission",
+        # round-7 late additions: the drift/sketch twins run events
+        # through histogram/register collapses + grid windows
+        "q501_numeric_drift_admission",
+        "q503_sketch_admission",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -1,0 +1,57 @@
+"""Print the next round's `registry._SWEEP_PRIORITY` candidates.
+
+The driver samples the FIRST ~50 registered names each round and the
+freshness ratchet (tests/test_sweep_priority.py) requires every
+window name to be never-driver-sampled or an explicit RECHECKS entry.
+This script makes the start-of-round rotation mechanical: it unions
+all CORRECTNESS_r*.json files, subtracts them from the registry, and
+prints the never-sampled names in registration order (ascending
+q-number for the backlog), plus the cumulative-coverage line for
+ROUND_NOTES. Usage:
+
+    python scripts/rotate_sweep.py [n_window]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+
+def main() -> None:
+    from serverless_etl_spark import registry
+
+    registry.load_all()
+    sampled: set[str] = set()
+    per_round: list[tuple[str, int]] = []
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        per_round.append((path.rsplit("/", 1)[-1], len(rows)))
+        sampled |= set(rows)
+    reg = set(registry.QUERIES)
+    ghost = sorted(sampled - reg)
+
+    def qnum(name: str) -> int:
+        m = re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 10**9
+
+    backlog = sorted((n for n in reg - sampled), key=qnum)
+    print(f"# registry: {len(reg)}  sampled (cumulative): "
+          f"{len(sampled & reg)}  backlog: {len(backlog)}")
+    for fname, n in per_round:
+        print(f"#   {fname}: {n} rows")
+    if ghost:
+        print(f"# WARNING sampled-but-unregistered (renamed?): {ghost}")
+    print(f"# next {N} never-sampled names, ascending:")
+    for name in backlog[:N]:
+        print(f'    "{name}",')
+
+
+if __name__ == "__main__":
+    main()

@@ -122,50 +122,24 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 #: enforces this against the union of CORRECTNESS_r*.json, so a stale
 #: priority list (the r5 verdict item 4 failure class) can never ship
 #: again. Rotate this set each round alongside _SWEEP_PRIORITY.
-RECHECKS = {
-    # r7: stage-1 grouping key changed from full text to md5 digest
-    # (r6 verdict item 4) — the green r6 row must be re-earned on the
-    # new plan
-    "q483_dedup_cascade",
-}
+RECHECKS: set[str] = set()  # r8: none — q483 re-earned its green row in r7
 
 #: Driver-sweep priority (the driver checks the FIRST ~50 registered
-#: names each round). Round-7 order per the r6 verdict item 1: the
-#: single re-check (q483 — its stage-1 plan changed this round), the
-#: two new gate-oracle twins (q493/q494), the five timed-but-never-
-#: sampled heavies pulled forward (q191/q196/q199/q295/q399), then
-#: EVERY remaining never-driver-sampled name ascending (213 after
-#: r1-r6 sampled 279 of 492), so successive ~50-name sweeps in r7-r11
-#: drain the whole backlog. Names with a green driver row fall back
-#: to registration order behind these. New round-7 queries are
-#: inserted directly after q494 as they are added.
+#: names each round). Round-8 order per the r7 verdict item 1: the
+#: window is 100% never-driver-sampled names — the full 175-name
+#: backlog ascending (after r1-r7 sampled 328 of 503), so successive
+#: ~50-name sweeps in r8-r11 drain the whole backlog. Names with a
+#: green driver row fall back to registration order behind these. New
+#: round-8 queries are inserted at the head as they are added (they
+#: are never-sampled by construction, so the freshness ratchet stays
+#: green).
 _SWEEP_PRIORITY = [
-    "q483_dedup_cascade", "q493_lateness_admission",
-    "q494_cms_heavy_hitters", "q495_checksum_admission",
-    "q496_fk_admission", "q497_phash_image_dedup", "q498_av_sync_map",
-    "q499_arrow_batch_plan", "q500_front_door_admission",
-    "q501_numeric_drift_admission", "q502_drift_admission",
-    "q503_sketch_admission", "q191_prefix_jaccard_join",
-    "q196_assoc_rules", "q199_curation_funnel", "q295_rake_keywords",
-    "q399_isotonic_calibration", "q179_constant_columns", "q180_ltv_curve",
-    "q181_quality_by_lang", "q182_wow_share_drift",
-    "q183_segment_value_matrix", "q184_dormant_customers",
-    "q185_basket_sizes", "q186_brand_share_trend", "q187_order_regularity",
-    "q188_supplier_hhi", "q189_activity_gini", "q192_join_cardinality",
-    "q193_pit_features", "q194_median_impute", "q195_partition_checksums",
-    "q197_reorder_life_table", "q198_quantile_alignment",
-    "q200_salting_plan", "q202_waiting_suppliers", "q203_rfm_segments",
-    "q204_status_paths", "q205_bitmap_audience", "q206_entry_exit",
-    "q207_pct_of_parent", "q208_business_day_latency", "q209_local_hours",
-    "q210_order_streaks", "q211_decayed_trend", "q212_total_conformance",
-    "q213_late_data_reprocess", "q214_scd2_audit", "q215_filtered_ann",
-    "q216_kfold_balance", "q217_next_purchase_labels",
-    "q218_cohort_revenue", "q219_reco_hitrate", "q220_degree_distribution",
-    "q221_weighted_jaccard", "q222_data_contracts", "q223_bm25",
-    "q224_calendar_dim", "q225_abc_xyz_matrix", "q226_cdc_apply",
-    "q227_embedding_drift", "q228_rank_movers", "q229_interpolate_gaps",
-    "q230_user_similarity", "q231_release_report",
-    "q232_wau_retention_bitmap", "q233_error_impact",
+    "q217_next_purchase_labels", "q218_cohort_revenue", "q219_reco_hitrate",
+    "q220_degree_distribution", "q221_weighted_jaccard",
+    "q222_data_contracts", "q223_bm25", "q224_calendar_dim",
+    "q225_abc_xyz_matrix", "q226_cdc_apply", "q227_embedding_drift",
+    "q228_rank_movers", "q229_interpolate_gaps", "q230_user_similarity",
+    "q231_release_report", "q232_wau_retention_bitmap", "q233_error_impact",
     "q234_partition_advisor", "q235_kmv_set_algebra",
     "q236_bpe_merge_pairs", "q237_pareto_frontier", "q238_delta_join_view",
     "q239_hll_distinct", "q240_windowed_funnel", "q241_functional_deps",

@@ -167,8 +167,12 @@ def q61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     meta = docs.mapInPandas(fake_decode_batch, schema=META_SCHEMA)
+    # n_frames = 0 (empty payload) drops the doc on both engines —
+    # the oracle's range(0, 0, 5) is empty, Spark's sequence(0, -1)
+    # would raise (q66/q498's guard, r7 advice)
     return (
-        meta.select(
+        meta.filter(F.col("n_frames") > 0)
+        .select(
             "doc_id",
             F.explode(
                 F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
@@ -233,6 +237,10 @@ def q66_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = F.explode(
         F.sequence(F.lit(0).cast("long"), F.col("duration_ms") - 1, F.lit(1000))
     )
+    # duration_ms = 0 (empty payload) must DROP the doc on both engines:
+    # the oracle's range(0, 0, 1000) unnests to no rows, while Spark's
+    # sequence(0, -1, 1000) raises — guard before the explode (r7 advice)
+    meta = meta.filter(F.col("duration_ms") > 0)
     return meta.select("doc_id", start.alias("chunk_start_ms"), "duration_ms").select(
         "doc_id",
         F.col("chunk_start_ms").cast("int"),
@@ -722,7 +730,10 @@ def q498_av_sync_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     vmeta = docs.mapInPandas(fake_decode_batch, schema=META_SCHEMA)
-    frames = vmeta.select(
+    # empty payloads (n_frames/duration_ms = 0) must DROP the doc on
+    # both engines, not crash Spark's sequence() — q66's guard (r7
+    # advice); the oracle's range(0, 0, …) already yields no rows
+    frames = vmeta.filter(F.col("n_frames") > 0).select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
@@ -732,7 +743,7 @@ def q498_av_sync_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("frame_idx") * 40).cast("int").alias("frame_ms"),
     )
     ameta = docs.mapInPandas(fake_audio_meta_batch, schema=AUDIO_META_SCHEMA)
-    chunks = ameta.select(
+    chunks = ameta.filter(F.col("duration_ms") > 0).select(
         "doc_id",
         F.explode(
             F.sequence(

@@ -5740,8 +5740,11 @@ ND501_BATCHES = 6  #: simulated replay batches over the odd half
                    AS BIGINT)) AS BIGINT) AS psi_micro,
                CAST(1000 * {PSI_BIN_W}
                     * SUM(CASE WHEN bin < {PSI_BINS - 1}
-                               THEN ABS(ca * nb - cb * na) ELSE 0 END)
-                    // GREATEST(MAX(na) * MAX(nb), 1)
+                               THEN ABS(CAST(ca AS HUGEINT) * nb
+                                        - CAST(cb AS HUGEINT) * na)
+                               ELSE CAST(0 AS HUGEINT) END)
+                    // GREATEST(CAST(MAX(na) AS HUGEINT) * MAX(nb),
+                                CAST(1 AS HUGEINT))
                     AS BIGINT) AS w1_milli
         FROM win GROUP BY batch_id
     )
@@ -5769,7 +5772,12 @@ def q501_numeric_drift_admission(
 
     Determinism: integer bin counts; PSI terms floored per cell in
     DOUBLE with identical operation order on both engines (q411's
-    established parity); W1 is pure integer cross-multiplication.
+    established parity); W1 is pure integer cross-multiplication,
+    widened to 128-bit (DuckDB HUGEINT ≙ Spark DECIMAL(38,0)) before
+    the single floor-division — the int64 cross term ca*nb overflows
+    at ~1e7 qualifying events per side once the 1000*{PSI_BIN_W}
+    multiplier lands (r7 advice), so both engines carry the sum at
+    38 digits and the exact-parity claim holds to ~1e16 rows/side.
 
     Scale: two map-side-combinable histogram aggregations (reference
     once, batches once), then every window runs over the literal
@@ -5842,8 +5850,11 @@ def q501_numeric_drift_admission(
         F.expr(
             f"CAST(1000 * {PSI_BIN_W}"
             f" * SUM(CASE WHEN bin < {PSI_BINS - 1}"
-            f"       THEN ABS(ca * nb - cb * na) ELSE 0 END)"
-            f" DIV GREATEST(MAX(na) * MAX(nb), CAST(1 AS BIGINT))"
+            f"       THEN ABS(CAST(ca AS DECIMAL(38,0)) * nb"
+            f"                - CAST(cb AS DECIMAL(38,0)) * na)"
+            f"       ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            f" DIV GREATEST(CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb),"
+            f"              CAST(1 AS DECIMAL(38,0)))"
             f" AS BIGINT)"
         ).alias("w1_milli"),
     )
@@ -5880,8 +5891,9 @@ CD502_THRESHOLD_MILLI = 50_000  #: drift_gate's default alert threshold
         FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
     ),
     pairs AS (
-        SELECT b.batch_id, r.cat
-        FROM (SELECT DISTINCT batch_id FROM bc) b CROSS JOIN ref r
+        SELECT g.batch_id, r.cat
+        FROM (SELECT unnest(range({CD502_BATCHES})) AS batch_id) g
+        CROSS JOIN ref r
         UNION
         SELECT batch_id, cat FROM bc
     ),
@@ -5933,7 +5945,11 @@ def q502_drift_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference and batch categories (the gate's full-outer-join
     semantics) — plus the drifted flag at the gate's default milli
     threshold. tests/test_gate_twins.py pins stream ≡ batch against
-    run_drift_gate's recorded scores.
+    run_drift_gate's recorded scores. Both engines enumerate the
+    DENSE {CD502_BATCHES}-batch grid (Spark: spark.range; oracle:
+    unnest(range)) — q501's pattern — so an all-quiet replay batch
+    still scores a ledger row on both sides (r7 advice: the old
+    DISTINCT-batch_id oracle would silently drop it).
 
     Determinism: integer counts; chi-square cells floored in DOUBLE
     with the identical operation order q313 established across

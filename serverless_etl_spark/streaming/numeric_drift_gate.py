@@ -72,6 +72,12 @@ def numeric_drift_score(
     per-bin FLOOR-of-ln integers over the DENSE grid; W1 is q428's
     cross-multiplied cumulative-gap form in milli value units.
 
+    The W1 cross terms widen to DECIMAL(38,0) before the single
+    floor-division (the int64 product ca*nb overflows at ~1e7
+    qualifying rows per side under the 1000*PSI_BIN_W multiplier);
+    q501's DuckDB twin mirrors this with HUGEINT, so stream ≡ batch
+    stays exact to ~1e16 rows per side.
+
     Domain note: rows whose value is NULL or below 0 fall outside the
     q411 bin grid and are EXCLUDED from both histograms and n_rows —
     the monitored column carries a `value >= 0` contract (q222
@@ -122,8 +128,11 @@ def numeric_drift_score(
             f"CAST(1000 * {PSI_BIN_W}"
             " * SUM(CASE WHEN bin < "
             f"{PSI_BINS - 1}"
-            " THEN ABS(ca * nb - cb * na) ELSE 0 END)"
-            " DIV GREATEST(MAX(na) * MAX(nb), CAST(1 AS BIGINT))"
+            " THEN ABS(CAST(ca AS DECIMAL(38,0)) * nb"
+            "          - CAST(cb AS DECIMAL(38,0)) * na)"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            " DIV GREATEST(CAST(MAX(na) AS DECIMAL(38,0)) * MAX(nb),"
+            "              CAST(1 AS DECIMAL(38,0)))"
             " AS BIGINT)"
         ).alias("w1_milli"),
     )

@@ -2099,6 +2099,249 @@ def q375_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q504: the semantic dedup CASCADE (exact stage -> SemDeDup stage) -----
+
+Q504_EXACT_OFFSET = 40000  #: seeded byte-identical clones (vec_id % 7)
+
+_Q504_EQDIMS_SQL = f"""
+    eqdims AS (
+        SELECT vec_id, i, xq FROM qdims
+        UNION ALL
+        SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
+               xq + CASE WHEN i = MAX(i) OVER (PARTITION BY vec_id)
+                         THEN 0.0625 ELSE 0 END
+        FROM qdims WHERE vec_id % 5 = 0
+        UNION ALL
+        SELECT vec_id + {Q504_EXACT_OFFSET}, i, xq
+        FROM qdims WHERE vec_id % 7 = 0
+    )
+"""
+
+
+@register(
+    "q504_semdedup_cascade",
+    oracle=f"""
+    WITH {_QDIMS_SQL},
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_Q504_EQDIMS_SQL},
+    aext AS (
+        SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000) / 1000000
+                       AS dist
+            FROM eqdims d JOIN c2 c ON c.i = d.i
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+    ),
+    ints AS (
+        SELECT vec_id, i, CAST(xq * 4096 AS BIGINT) AS a FROM eqdims
+    ),
+    vkeys AS (
+        SELECT vec_id, string_agg(CAST(a AS VARCHAR), ',' ORDER BY i) AS vkey
+        FROM ints GROUP BY vec_id
+    ),
+    exact_removed AS (
+        SELECT v.vec_id, k.keeper
+        FROM vkeys v
+        JOIN (SELECT vkey, MIN(vec_id) AS keeper FROM vkeys GROUP BY vkey) k
+            USING (vkey)
+        WHERE v.vec_id <> k.keeper
+    ),
+    surv AS (
+        SELECT a.vec_id, a.cell FROM aext a
+        LEFT JOIN exact_removed er ON er.vec_id = a.vec_id
+        WHERE er.vec_id IS NULL
+    ),
+    norms2 AS (
+        SELECT vec_id, SUM(a * a) AS na FROM ints GROUP BY vec_id
+    ),
+    sem_removed AS (
+        SELECT pb.vec_id, CAST(MIN(pa.vec_id) AS BIGINT) AS dup_of
+        FROM surv pa
+        JOIN surv pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
+        JOIN (
+            SELECT ia.vec_id AS va, ib.vec_id AS vb, SUM(ia.a * ib.a) AS dot
+            FROM ints ia JOIN ints ib ON ib.i = ia.i AND ia.vec_id < ib.vec_id
+            GROUP BY 1, 2
+        ) d ON d.va = pa.vec_id AND d.vb = pb.vec_id
+        JOIN norms2 nna ON nna.vec_id = pa.vec_id
+        JOIN norms2 nnb ON nnb.vec_id = pb.vec_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * {SEMDEDUP_TAU_DEN2}
+              >= CAST(nna.na AS HUGEINT) * nnb.na * {SEMDEDUP_TAU_NUM2}
+        GROUP BY pb.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           CASE WHEN er.vec_id IS NOT NULL THEN 'exact'
+                WHEN sr.vec_id IS NOT NULL THEN 'semantic'
+                ELSE 'kept' END AS stage,
+           CAST(COALESCE(er.keeper, sr.dup_of) AS BIGINT) AS dup_of,
+           CAST(CASE WHEN a.vec_id >= {Q504_EXACT_OFFSET} THEN 2
+                     WHEN a.vec_id >= {SEMDEDUP_TWIN_OFFSET} THEN 1
+                     ELSE 0 END AS INT) AS is_seeded
+    FROM aext a
+    LEFT JOIN exact_removed er ON er.vec_id = a.vec_id
+    LEFT JOIN sem_removed sr ON sr.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q504_semdedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC dedup cascade with a per-vector removal LEDGER —
+    q483's exact-then-expensive staging applied to embedding space:
+    stage 1 removes byte-identical vectors (group on the serialized
+    integer-grid key, keep the smallest vec_id), stage 2 runs q375's
+    SemDeDup within-IVF-cell cosine screen over stage-1 SURVIVORS
+    only, and every vector gets an attributed ledger row — its learned
+    cell, the stage that removed it ('exact' | 'semantic' | 'kept'),
+    and dup_of, the surviving vector it duplicates (stage 1: the
+    group keeper; stage 2: the smallest earlier same-cell vector above
+    the 0.95 cosine threshold). The attribution is what a corpus owner
+    acts on: 'exact' mass means copy ingestion, 'semantic' mass means
+    paraphrase/template redundancy — different upstream fixes (the
+    q483 argument, here for embeddings).
+
+    Duplicates are SEEDED (the fixture corpus is near-orthogonal —
+    q282): every 7th vector gets a byte-identical clone at
+    vec_id + {Q504_EXACT_OFFSET} (caught by stage 1) and every 5th a
+    last-dim +1/16 twin at vec_id + {SEMDEDUP_TWIN_OFFSET} (cosine
+    ~0.9995, caught by stage 2 when co-celled) — both derived by the
+    same expression on both engines, so stage attribution is fully
+    predictable and pinned in pytest.
+
+    Cross-engine determinism: the exact key is the comma-joined
+    integer grid string (array_join ≙ string_agg ORDER BY i — one
+    canonical serialization, no float text); the semantic test is
+    q375's integer-grid 400·dot² >= 361·na·nb with HUGEINT ≙
+    DECIMAL(38,0) widening; keeper/dup_of are MINs over integer ids.
+
+    Scale: stage 1 is ONE shuffle on the serialized key (the q483
+    discipline — comparators touch the key string, never reused
+    payload); stage 2's pair join is cell-bucketed over the REDUCED
+    corpus (the cascade's point: exact mass never reaches the
+    quadratic stage), cells sized ~sqrt(n) by training k as q375
+    notes; centroids stay driver-size literals. The final ledger is
+    three equi-joins on vec_id. No crossJoin anywhere.
+
+    Reference: q483 (lexical cascade + attribution), q375 (SemDeDup
+    screen), q95 (IVF cells); SemDeDup = Abbas et al., 2023."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    last = F.size(F.col("xq")) - 1
+    sem_twins = vecs.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + SEMDEDUP_TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("xq"),
+            lambda x, i: F.when(i == last, x + F.lit(0.0625)).otherwise(x),
+        ).alias("xq"),
+    )
+    clones = vecs.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + Q504_EXACT_OFFSET).alias("vec_id"), "xq"
+    )
+    ext = vecs.unionByName(sem_twins).unionByName(clones).withColumn(
+        "cell", assign
+    )
+    ints = track_cache(
+        ext.select(
+            "vec_id",
+            "cell",
+            F.transform(F.col("xq"), lambda x: (x * 4096).cast("long")).alias(
+                "av"
+            ),
+        )
+        .withColumn(
+            "vkey",
+            F.array_join(
+                F.transform(F.col("av"), lambda x: x.cast("string")), ","
+            ),
+        )
+        .withColumn(
+            "na",
+            F.aggregate(
+                F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+        .persist()
+    )
+    keepers = ints.groupBy("vkey").agg(F.min("vec_id").alias("keeper"))
+    exact_removed = track_cache(
+        ints.select("vec_id", "vkey")
+        .join(keepers, "vkey")
+        .filter(F.col("vec_id") != F.col("keeper"))
+        .select("vec_id", "keeper")
+        .persist()
+    )
+    surv = ints.join(
+        exact_removed.select(F.col("vec_id").alias("rid")),
+        ints["vec_id"] == F.col("rid"),
+        "left_anti",
+    )
+    a = surv.select(
+        F.col("vec_id").alias("va"),
+        "cell",
+        F.col("av").alias("aa"),
+        F.col("na").alias("naa"),
+    )
+    b = surv.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cellb"),
+        F.col("av").alias("ab"),
+        F.col("na").alias("nab"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("aa"), F.col("ab"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sem_removed = (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("va") < F.col("vb")))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(19,0)")
+                * F.col("dot")
+                * SEMDEDUP_TAU_DEN2
+                >= F.col("naa").cast("decimal(19,0)")
+                * F.col("nab")
+                * SEMDEDUP_TAU_NUM2
+            )
+        )
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").cast("bigint").alias("dup_of_sem"))
+    )
+    er = exact_removed.select(
+        F.col("vec_id").alias("er_id"), F.col("keeper")
+    )
+    sr = sem_removed.select(
+        F.col("vec_id").alias("sr_id"), F.col("dup_of_sem")
+    )
+    return (
+        ints.join(er, ints["vec_id"] == F.col("er_id"), "left")
+        .join(sr, ints["vec_id"] == F.col("sr_id"), "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.when(F.col("er_id").isNotNull(), "exact")
+            .when(F.col("sr_id").isNotNull(), "semantic")
+            .otherwise("kept")
+            .alias("stage"),
+            F.coalesce("keeper", "dup_of_sem").cast("bigint").alias("dup_of"),
+            F.when(F.col("vec_id") >= Q504_EXACT_OFFSET, 2)
+            .when(F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_seeded"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # q389 — k-center coreset (farthest-first traversal)
 # --------------------------------------------------------------------------

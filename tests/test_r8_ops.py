@@ -1,0 +1,72 @@
+"""Round-8 operator invariants: q504 semantic-dedup cascade."""
+
+from __future__ import annotations
+
+import collections
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.operators.similarity import (
+    Q504_EXACT_OFFSET,
+    SEMDEDUP_TWIN_OFFSET,
+)
+
+from conftest import SF_MEDIUM as SF_MID
+
+registry.load_all()
+
+
+def test_semdedup_cascade_stage_attribution(spark):
+    rows = registry.QUERIES["q504_semdedup_cascade"](spark, SF_MID).collect()
+    assert rows
+    by_id = {r["vec_id"]: r for r in rows}
+    clones = [r for r in rows if r["is_seeded"] == 2]
+    twins = [r for r in rows if r["is_seeded"] == 1]
+    assert clones and twins  # both seed arms fired
+
+    # stage 1: every byte-identical clone is exact-removed, attributed
+    # to its base (the group keeper is the smallest id = the base)
+    for c in clones:
+        assert c["stage"] == "exact"
+        assert c["dup_of"] == c["vec_id"] - Q504_EXACT_OFFSET
+
+    # the base of every clone SURVIVES stage 1 (keeper rule) — it may
+    # only be removed semantically, never exactly
+    for c in clones:
+        base = by_id[c["vec_id"] - Q504_EXACT_OFFSET]
+        assert base["stage"] != "exact"
+
+    # stage 2: every twin that landed in its base's cell is removed
+    # semantically, attributed to an EARLIER same-cell survivor
+    same_cell = [
+        t for t in twins
+        if by_id[t["vec_id"] - SEMDEDUP_TWIN_OFFSET]["cell"] == t["cell"]
+    ]
+    assert same_cell, "no twin landed in its base's cell — seeding broken"
+    for t in same_cell:
+        assert t["stage"] == "semantic"
+        assert t["dup_of"] is not None and t["dup_of"] < t["vec_id"]
+        assert by_id[t["dup_of"]]["stage"] == "kept"
+
+    # cascade ordering: a 'semantic' row is never also byte-identical
+    # to its dup_of (else stage 1 would have caught it)
+    # and kept rows carry no attribution
+    for r in rows:
+        if r["stage"] == "kept":
+            assert r["dup_of"] is None
+        else:
+            assert r["dup_of"] is not None
+
+    # near-orthogonal naturals survive: semantic removals are (almost)
+    # only seeded twins
+    removed_naturals = [
+        r for r in rows if r["stage"] == "semantic" and r["is_seeded"] == 0
+    ]
+    assert len(removed_naturals) <= len(twins) // 10
+
+    # within every cell the smallest-id stage-1 survivor is kept
+    by_cell = collections.defaultdict(list)
+    for r in rows:
+        if r["stage"] != "exact":
+            by_cell[r["cell"]].append(r["vec_id"])
+    for _, ids in by_cell.items():
+        assert by_id[min(ids)]["stage"] == "kept"

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import trunc
 from ..io import load_table
+from ..plan_audit import classified_local_checkpoint
 from ..registry import register, track_cache
 
 N_QUERIES = 8
@@ -3412,10 +3413,10 @@ def q479_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("qa").orderBy(F.col("cosine").desc(), "qb")
-    ranked = (
+    ranked = classified_local_checkpoint(
         pairs.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= RNN_K)
-        .localCheckpoint(eager=True)  # consumed twice by the mutual join
+        .filter(F.col("rk") <= RNN_K),
+        eager=True,  # consumed twice by the mutual join
     )
     r2 = ranked.select(
         F.col("qa").alias("qb"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.sentiment import sentiment_cols, sentiment_sql_exprs
 from ..io import load_table
 from ..functions.numeric import trunc
+from ..plan_audit import classified_local_checkpoint
 from ..registry import register, track_cache
 from .dedup import _SHINGLES_SQL, _shingles
 
@@ -2069,16 +2070,16 @@ def q420_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round plans reference LogicalRDD scans instead of re-running
     # Catalyst over the bigram-explode tree every round — the q459
     # planning-cost lesson; weighted collapses to one partition first.
-    weighted = weighted.coalesce(1).localCheckpoint(eager=True)
+    weighted = classified_local_checkpoint(weighted.coalesce(1), eager=True)
     wout = weighted.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
     edges = weighted.join(wout, "src").select(
         "src",
         "dst",
         F.expr("CAST(1000000 * w DIV wu AS BIGINT)").alias("share"),
     )
-    edges = edges.coalesce(1).localCheckpoint(eager=True)
+    edges = classified_local_checkpoint(edges.coalesce(1), eager=True)
     nodes = edges.select(F.col("src").alias("tok")).distinct()
-    nodes = nodes.coalesce(1).localCheckpoint(eager=True)
+    nodes = classified_local_checkpoint(nodes.coalesce(1), eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "tok", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("r")
@@ -2093,7 +2094,7 @@ def q420_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("s")
             )
         )
-        r = (
+        r = classified_local_checkpoint(
             nodes.crossJoin(F.broadcast(nn))
             .join(contrib, "tok", "left")
             .select(
@@ -2103,8 +2104,8 @@ def q420_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" + {TR_D_PPM} * COALESCE(s, 0) DIV 1000000"
                     " AS BIGINT)"
                 ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     w_rk = Window.orderBy(F.col("rank_ppm").desc(), "token")
     return (

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import trunc
 from ..io import load_table
+from ..plan_audit import classified_local_checkpoint
 from ..registry import register, track_cache
 
 # --------------------------------------------------------------------------
@@ -3291,7 +3292,7 @@ def q435_chimerge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .drop("chi")
         )
-        g = (
+        g = classified_local_checkpoint(
             g.crossJoin(F.broadcast(argmin))
             .groupBy(
                 F.when(F.col("edge") == F.col("men"), F.col("me"))
@@ -3301,8 +3302,8 @@ def q435_chimerge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.sum("good").cast("bigint").alias("good"),
                 F.sum("bad").cast("bigint").alias("bad"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     return g.select(
         F.col("edge").alias("bin_lo"),

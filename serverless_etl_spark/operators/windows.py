@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..functions.numeric import dsum, trunc
+from ..plan_audit import classified_local_checkpoint
 from ..registry import register, track_cache
 
 
@@ -5149,7 +5150,7 @@ def q441_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i").alias("bt"),
             )
         )
-        s = (
+        s = classified_local_checkpoint(
             s.join(best, "event_type")
             .select(
                 "event_type",
@@ -5163,8 +5164,8 @@ def q441_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .when(F.col("seg") == F.col("bseg"), F.col("seg") * 2)
                 .otherwise(F.col("seg"))
                 .alias("seg"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     return (
         s.groupBy("event_type", "seg")

@@ -24,6 +24,16 @@ INPUT CARDINALITY, which the plan itself encodes:
   ``tests/test_plan_sweep.py::GLOBAL_SORT_ALLOWED`` with their waiver,
   pinned by exact count so an undeclared global sort — or a second one
   sneaking into an already-waived query — fails the suite on arrival.
+
+Opaque leaves are classified THROUGH (r7 verdict item 2): an
+``InMemoryTableScanExec`` recurses into its relation's cached BUILD
+plan, and a lineage-cut ``localCheckpoint`` snapshot resolves via
+``classified_local_checkpoint``, which records the PRE-checkpoint
+plan's boundedness against the snapshot's RDD id at cut time. A
+persisted |days|-cell aggregate or a checkpointed |vocab|-node frame
+therefore proves its own boundedness structurally instead of needing
+a ledger waiver; an UNRECORDED RDD snapshot stays row-proportional —
+conservative by design.
 """
 
 from __future__ import annotations
@@ -43,9 +53,10 @@ _BOUNDED_LEAVES = {
     "EmptyRelationExec",
 }
 #: leaves that are (or may hide) data-proportional input: file scans,
-#: cached relations, lineage-cut localCheckpoint snapshots. Cached /
-#: RDD leaves are treated as row-proportional because their build plan
-#: is opaque here — conservative by design.
+#: cached relations, lineage-cut localCheckpoint snapshots. Cached
+#: relations and AQE wrappers are classified THROUGH (see below); RDD
+#: leaves resolve via CHECKPOINT_CLASS and otherwise stay
+#: row-proportional — conservative by design.
 _UNBOUNDED_LEAVES = {
     "FileSourceScanExec",
     "RowDataSourceScanExec",
@@ -54,6 +65,20 @@ _UNBOUNDED_LEAVES = {
     "ExternalRDDScanExec",
     "InMemoryTableScanExec",
 }
+
+#: operators whose output is capped by a plan literal, not the data
+_LIMIT_NODES = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+}
+
+#: lineage-cut localCheckpoint snapshots whose PRE-checkpoint plan was
+#: classified at cut time: JVM RDD id -> bounded? Populated by
+#: classified_local_checkpoint; an id not recorded here is treated as
+#: row-proportional.
+CHECKPOINT_CLASS: dict[int, bool] = {}
 
 
 def _children(node) -> list:
@@ -80,12 +105,70 @@ def _bounded(node) -> bool:
         return True
     if cls in _BOUNDED_LEAVES:
         return True
+    if cls in _LIMIT_NODES:
+        # literal-limit operators: output is <= the plan-literal k
+        # (TakeOrderedAndProject/GlobalLimit) or <= k per partition
+        # (LocalLimit) — bounded regardless of input cardinality
+        return True
+    if cls == "WindowGroupLimitExec":
+        # rank-limit pushdown (row_number + rk <= k filter): the
+        # partial-mode node below the exchange caps every map
+        # partition's contribution at k rows, so the single-partition
+        # window sees <= k * numPartitions rows — topology-bounded,
+        # the TakeOrdered/top-k scale argument (q56/q90 family). A
+        # bare Window.orderBy with no rank filter gets no
+        # WindowGroupLimit and stays row-proportional.
+        return True
+    if cls == "InMemoryTableScanExec":
+        # classify through the cached relation's BUILD plan — a
+        # persisted group-domain aggregate proves itself bounded
+        try:
+            return _bounded(node.relation().cachedPlan())
+        except Exception:
+            return False
+    if cls == "AdaptiveSparkPlanExec":
+        # AQE wrapper (cached plans are compiled under AQE): the
+        # pre-AQE initial plan carries the structure
+        for accessor in ("initialPlan", "executedPlan"):
+            try:
+                return _bounded(getattr(node, accessor)())
+            except Exception:
+                continue
+        return False
+    if cls in ("RDDScanExec", "ExternalRDDScanExec"):
+        # lineage-cut snapshot: bounded only if the pre-checkpoint
+        # plan was classified bounded at cut time
+        try:
+            return CHECKPOINT_CLASS.get(node.rdd().id(), False)
+        except Exception:
+            return False
     if cls in _UNBOUNDED_LEAVES:
         return False
     kids = _children(node)
     if not kids:
         return False  # unknown leaf: conservative
     return all(_bounded(k) for k in kids)
+
+
+def classified_local_checkpoint(df, eager: bool = True):
+    """``df.localCheckpoint(eager)`` that first classifies the
+    PRE-checkpoint plan's boundedness and records it against the
+    snapshot's RDD id, so ``global_window_sites`` can see through the
+    lineage cut. Iterative operators (TextRank rounds, ChiMerge bin
+    frames) chain naturally: round k's pre-cut plan contains round
+    k-1's recorded snapshot leaf, which resolves via the ledger."""
+    bounded = _bounded(df._jdf.queryExecution().sparkPlan())
+    out = df.localCheckpoint(eager=eager)
+    try:
+        for node in walk_plan(out._jdf.queryExecution().sparkPlan()):
+            if node.getClass().getSimpleName() in (
+                "RDDScanExec",
+                "ExternalRDDScanExec",
+            ):
+                CHECKPOINT_CLASS[node.rdd().id()] = bounded
+    except Exception:
+        pass  # classification is best-effort; unrecorded stays rowprop
+    return out
 
 
 def global_window_sites(df) -> dict[str, int]:

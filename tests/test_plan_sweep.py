@@ -207,27 +207,19 @@ BNLJ_ALLOWED = {
 #:             AUC twin)
 #:       q490: NTILE → range-partitioned assignment over the bounded
 #:             difficulty histogram (q369 rollup path)
-#: (b) BOUNDED-IN-FACT BEHIND AN OPAQUE LEAF — the window input IS a
-#:     group-domain frame (|days| cells, |vocab| nodes, ≤11 bins,
-#:     candidate top-k) but sits behind a persisted / localCheckpoint
-#:     leaf (InMemoryTableScan / RDDScan) whose build plan the
-#:     classifier conservatively treats as row-proportional:
-#:       q329 (5 detector windows over the persisted |days|-cell
-#:             table), q420 (per-round windows over the lineage-cut
-#:             |vocab|-node frame), q435 (≤11-row bin frame per
-#:             round), q455 (persisted per-prefix aggregate),
-#:       q461 (per-user transition cells), q479 (persisted
-#:             per-vector candidate top-k frame)
+#: The former class (b) — bounded-in-fact behind an opaque
+#: persisted/localCheckpoint leaf (q329/q420/q435/q455/q461/q479) —
+#: is GONE (r7 verdict item 2): the classifier now recurses into
+#: InMemoryRelation build plans, resolves lineage-cut snapshots via
+#: ``classified_local_checkpoint``'s RDD-id ledger, and recognises
+#: literal-limit / rank-limit-pushdown nodes
+#: (TakeOrderedAndProject, WindowGroupLimit) as topology-bounded, so
+#: those six queries prove their boundedness STRUCTURALLY. Only the
+#: class-(a) exact-oracle twins remain waived.
 GLOBAL_SORT_ALLOWED = {
     "q109_equidepth_hist": 1,        # (a) approx_percentile path
     "q127_ks_drift": 1,              # (a) binned twin q134
     "q252_mann_whitney": 1,          # (a) binned twin q469
-    "q329_ensemble_anomaly": 5,      # (b) persisted |days|-cell table
-    "q420_textrank": 1,              # (b) lineage-cut |vocab| frame
-    "q435_chimerge": 1,              # (b) ≤11-row bin frame
-    "q455_prefix_cache": 1,          # (b) persisted prefix aggregate
-    "q461_transition_surprise": 1,   # (b) |states|² cell scoring queue
-    "q479_mutual_knn": 1,            # (b) persisted candidate top-k
     "q490_curriculum_phases": 1,     # (a) range-partitioned histogram
 }
 

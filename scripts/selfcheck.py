@@ -3,6 +3,15 @@ and its oracle_sql() on DuckDB at a given sf dir; compare row count, column
 names, and order-insensitive values. Usage:
 
     python scripts/selfcheck.py [sf_dir] [name_substring ...]
+
+Timing floors (r7 verdict item 4): a FULL sweep (no name filter) also
+records each query's SPARK-side wall time (build + collect, oracle
+excluded) and, when ``TIMING_FLOORS.json`` exists for the same sf,
+reports every query slower than 2x its locked floor (absolute slack
+1.0s — sub-second queries swing multiples under load without meaning
+anything). Close-out runs with ``SPARK_GRAFT_LOCK_FLOORS=1`` on an
+idle machine merge ``min(floor, current)`` back into the ledger, the
+BASELINE_EXT_SF01 mechanism extended to the whole registry.
 """
 
 from __future__ import annotations
@@ -75,6 +84,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    spark_times: dict[str, float] = {}
     for name in sorted(qs):
         if ONLY and not any(s in name for s in ONLY):
             continue
@@ -85,6 +95,7 @@ def main():
             decimal_cols = [f.name for f in sdf.schema.fields
                             if "decimal" in f.dataType.simpleString()]
             spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_times[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
@@ -142,10 +153,56 @@ def main():
             print(f"ok    {name}: rows={len(spark_rows)} "
                   f"[{time.time()-t0:.1f}s]")
 
+    if not ONLY:
+        _timing_report(spark_times)
     print(f"\n{len(failures)} failures / {len(qs)} queries @ {SF_DIR}")
     for n, m in failures:
         print(f"  {n}: {m[:300]}")
     sys.exit(1 if failures else 0)
+
+
+FLOORS_PATH = "/root/repo/TIMING_FLOORS.json"
+#: regression gate: >2x the locked floor AND >1.0s absolute over it —
+#: sub-second queries double under machine load without meaning
+DRIFT_FACTOR = 2.0
+DRIFT_SLACK_S = 1.0
+
+
+def _timing_report(spark_times: dict[str, float]) -> None:
+    """Compare a full sweep's Spark wall times against the locked
+    floors; optionally (SPARK_GRAFT_LOCK_FLOORS=1) merge min() back."""
+    import json
+    import os
+
+    try:
+        ledger = json.load(open(FLOORS_PATH))
+    except (OSError, ValueError):
+        ledger = {"sf_dir": SF_DIR, "floors": {}}
+    if ledger.get("sf_dir") != SF_DIR:
+        print(f"\n# timing floors are for {ledger.get('sf_dir')}, "
+              f"run is {SF_DIR} — drift check skipped")
+        return
+    floors = ledger.get("floors", {})
+    regressions = {
+        n: (floors[n], t) for n, t in spark_times.items()
+        if n in floors
+        and t > DRIFT_FACTOR * floors[n]
+        and t > floors[n] + DRIFT_SLACK_S
+    }
+    print(f"\n# timing: {len(spark_times)} queries swept, "
+          f"{len(floors)} floors locked, "
+          f"{len(regressions)} >2x regressions")
+    for n, (f, t) in sorted(regressions.items()):
+        print(f"#   REGRESSION {n}: {t:.3f}s vs floor {f:.3f}s")
+    if os.environ.get("SPARK_GRAFT_LOCK_FLOORS") == "1":
+        for n, t in spark_times.items():
+            floors[n] = min(floors.get(n, t), t)
+        json.dump(
+            {"sf_dir": SF_DIR, "floors": dict(sorted(floors.items()))},
+            open(FLOORS_PATH, "w"),
+            indent=0,
+        )
+        print(f"# floors merged -> {FLOORS_PATH} ({len(floors)} names)")
 
 
 if __name__ == "__main__":

@@ -75,6 +75,51 @@ def test_skip_inventory_is_exactly_the_documented_set():
     )
 
 
+def test_kafka_shim_is_untested_by_design_not_a_skip(request):
+    """r7 verdict item 8: ``read_tweet_stream_kafka`` is a thin config
+    shim over the spark-sql-kafka connector, which is NOT on this
+    container's classpath. Its contract is UNTESTED-BY-DESIGN — the
+    option wiring (kafka_reader_options) and the parse stage
+    (parse_kafka_tweets) are fully covered without a broker, and the
+    builder itself must never grow a pytest.skip/importorskip gate
+    (that would silently add a third skip pattern). This test names
+    the shim explicitly so the contract is machine-audited."""
+    from serverless_etl_spark.streaming import ingest
+
+    # the shim and both its tested-without-a-broker halves exist
+    assert callable(ingest.read_tweet_stream_kafka)
+    assert callable(ingest.kafka_reader_options)
+    assert callable(ingest.parse_kafka_tweets)
+    # its docstring documents the classpath gate
+    assert "classpath" in ingest.read_tweet_stream_kafka.__doc__
+    # the ONLY permitted invocation of the shim is the classpath-gate
+    # assertion itself (test_streaming.py wraps the call in
+    # pytest.raises(..., match="kafka") — the connector-missing error
+    # IS the tested behavior, no skip involved). Any other call site
+    # would need a broker and hence a skip gate, which
+    # DOCUMENTED_SKIP_SITES forbids.
+    allowed_caller = "test_streaming.py"
+    for path in sorted(TESTS_DIR.glob("*.py")):
+        if path.name == Path(__file__).name:
+            continue
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            if "read_tweet_stream_kafka(spark" in stripped:
+                context = "\n".join(lines[max(0, i - 3): i + 1])
+                assert (
+                    path.name == allowed_caller
+                    and "pytest.raises" in context
+                ), (
+                    f"{path.name}:{i + 1} calls the Kafka shim outside "
+                    "the documented connector-missing pytest.raises "
+                    "gate — this container has no connector jar; test "
+                    "kafka_reader_options / parse_kafka_tweets instead"
+                )
+
+
 def test_environment_matches_the_two_skip_contract():
     """In this container both gates must report 'absent', so a full
     suite run records exactly the two documented skips."""

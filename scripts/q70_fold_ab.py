@@ -1,0 +1,103 @@
+"""A/B microbench for r7 verdict item 6: can the clean_text literal
+steps be folded into fewer passes without changing semantics?
+
+Order analysis (why only ONE fold is legal):
+- `"` (step 2) must stay BEFORE the `https\\S+` strip (step 3): the
+  quote acts as part of \\S, so removing it first widens what step 3
+  eats — moving it is a behavior change.
+- `\\n` (step 9) must stay LAST: \\n is \\s for step 7's
+  `[^\\w\\s]+ -> " "` run-splitter, so removing it earlier merges two
+  non-word runs into one and emits one space instead of two.
+- `RT` and `amp` (steps 4/5) are adjacent disjoint literals — the only
+  legal fold is one alternation pass `RT|amp` vs two literal scans.
+
+This script measures current vs folded on the sf0.1 documents corpus
+(noop sink, best of N) so the accept/reject call is a number, not a
+guess. Verdict threshold: reject <5%.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.functions.text import (
+    CLEAN_TEXT_STEPS,
+    _EMOJI_CLASS,
+    _EMOJI_RESIDUAL,
+    _LITERAL_STEPS,
+)
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+ITERS = 5
+
+
+def chain_current(col):
+    out = col
+    for pattern, repl in CLEAN_TEXT_STEPS:
+        if pattern == _EMOJI_CLASS:
+            pattern = _EMOJI_RESIDUAL
+        if pattern in _LITERAL_STEPS:
+            out = F.replace(out, F.lit(pattern), F.lit(repl))
+        else:
+            out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def chain_folded(col):
+    out = col
+    skip_next_amp = False
+    for pattern, repl in CLEAN_TEXT_STEPS:
+        if pattern == _EMOJI_CLASS:
+            pattern = _EMOJI_RESIDUAL
+        if pattern == "RT":
+            out = F.regexp_replace(out, "RT|amp", "")
+            skip_next_amp = True
+            continue
+        if pattern == "amp" and skip_next_amp:
+            continue
+        if pattern in _LITERAL_STEPS:
+            out = F.replace(out, F.lit(pattern), F.lit(repl))
+        else:
+            out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="q70_fold_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # semantic equivalence first: folded output must be byte-identical
+    both = docs.select(
+        chain_current(F.col("text")).alias("a"),
+        chain_folded(F.col("text")).alias("b"),
+    )
+    diff = both.filter(F.col("a") != F.col("b")).count()
+    print(f"# semantic diff rows: {diff}")
+    assert diff == 0, "folded chain is NOT equivalent — abort"
+
+    results = {}
+    for label, chain in (("current", chain_current), ("folded", chain_folded)):
+        best = float("inf")
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            docs.select("doc_id", chain(F.col("text")).alias("t")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[label] = best
+        print(f"# {label}: best {best:.3f}s over {ITERS}")
+    gain = 1 - results["folded"] / results["current"]
+    print(f"# gain: {gain * 100:.1f}% -> "
+          f"{'ACCEPT' if gain >= 0.05 else 'REJECT (<5%)'}")
+
+
+if __name__ == "__main__":
+    main()

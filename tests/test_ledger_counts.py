@@ -44,6 +44,30 @@ def test_readme_count_matches_registry():
     )
 
 
+def test_timing_floors_ledger_is_fresh():
+    """r7 verdict item 4: the full-registry timing-floor ledger
+    (written by scripts/selfcheck.py full sweeps with
+    SPARK_GRAFT_LOCK_FLOORS=1) must parse, contain no ghost names,
+    and cover (almost) the whole registry — new queries may lag one
+    sweep, but the ledger can't silently rot."""
+    import json
+
+    data = json.loads((REPO / "TIMING_FLOORS.json").read_text())
+    assert data["sf_dir"].endswith("sf0.01")
+    floors = data["floors"]
+    registered = set(entry.queries())
+    ghosts = sorted(set(floors) - registered)
+    assert not ghosts, f"floor entries for unregistered queries: {ghosts}"
+    missing = sorted(registered - set(floors))
+    assert len(missing) <= max(5, len(registered) // 20), (
+        f"{len(missing)} registered queries have no timing floor — "
+        f"run the locking sweep: {missing[:10]}"
+    )
+    assert all(
+        isinstance(v, (int, float)) and v > 0 for v in floors.values()
+    )
+
+
 def test_every_query_has_an_oracle():
     """0 rows-only is a standing claim in both ledgers — keep it true
     structurally: every queries() key must have an oracle_sql() entry."""

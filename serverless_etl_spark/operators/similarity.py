@@ -465,10 +465,13 @@ def _assign_col(cents: list[list[float]]):
     return F.array_min(F.array(*pairs))["cell"]
 
 
-def _kmeans_assignment(spark: SparkSession, sf_dir: str):
-    """Train KMEANS_ROUNDS Lloyd's iterations; return (quantized vecs,
-    final-assignment Column). Centroids live on the driver between
-    rounds (cells × dims — broadcast-size at any corpus scale)."""
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Train KMEANS_ROUNDS Lloyd's iterations and return the final
+    centroid table as a plain driver-side list (cells × dims — the
+    versioned index artifact a production IVF ships; broadcast-size at
+    any corpus scale). streaming/semdedup_gate.py consumes this
+    directly: the gate ASSIGNS against fixed centroids, it never
+    retrains per micro-batch."""
     vecs = _quantized_vecs(spark, sf_dir)
     seeds = vecs.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
     cents = [list(r["xq"]) for r in seeds]  # cell j = row j
@@ -491,7 +494,15 @@ def _kmeans_assignment(spark: SparkSession, sf_dir: str):
         cents = [
             [by_cell[j][i] for i in range(len(cents[0]))] for j in range(N_CELLS)
         ]
-    return vecs, _assign_col(cents)
+    return cents
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str):
+    """Train KMEANS_ROUNDS Lloyd's iterations; return (quantized vecs,
+    final-assignment Column). Centroids live on the driver between
+    rounds (cells × dims — broadcast-size at any corpus scale)."""
+    vecs = _quantized_vecs(spark, sf_dir)
+    return vecs, _assign_col(_kmeans_centroids(spark, sf_dir))
 
 
 @register(
@@ -2335,6 +2346,238 @@ def q504_semdedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("keeper", "dup_of_sem").cast("bigint").alias("dup_of"),
             F.when(F.col("vec_id") >= Q504_EXACT_OFFSET, 2)
             .when(F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_seeded"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# -- q505: semantic-dedup ADMISSION (batch twin of streaming/semdedup_gate) --
+
+SEM_GATE_BATCHES = 4  #: bases replay as batches 0-2 (vec_id % 3), twins as 3
+
+_Q505_BT_SQL = f"""
+    bt AS (
+        SELECT vec_id,
+               CAST(CASE WHEN vec_id >= {SEMDEDUP_TWIN_OFFSET} THEN 3
+                         ELSE vec_id % 3 END AS BIGINT) AS batch_id
+        FROM aext
+    )
+"""
+
+
+def _q505_round_sql(k: int) -> str:
+    """One admission round: batch k flags against the admitted set of
+    batches < k (MIN admitted match = dup_of), survivors join it."""
+    return f"""
+    f{k} AS (
+        SELECT c.vb AS vec_id, CAST(MIN(c.va) AS BIGINT) AS dup_of
+        FROM cand c
+        JOIN adm{k - 1} a ON a.vec_id = c.va
+        JOIN bt b ON b.vec_id = c.vb AND b.batch_id = {k}
+        GROUP BY c.vb
+    ),
+    adm{k} AS (
+        SELECT vec_id FROM adm{k - 1}
+        UNION ALL
+        SELECT b.vec_id FROM bt b
+        LEFT JOIN f{k} f ON f.vec_id = b.vec_id
+        WHERE b.batch_id = {k} AND f.vec_id IS NULL
+    )
+    """
+
+
+@register(
+    "q505_semdedup_admission",
+    oracle=f"""
+    WITH {_QDIMS_SQL},
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_EQDIMS_SQL},
+    aext AS (
+        SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000) / 1000000
+                       AS dist
+            FROM eqdims d JOIN c2 c ON c.i = d.i
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+    ),
+    {_Q505_BT_SQL},
+    ints AS (
+        SELECT vec_id, i, CAST(xq * 4096 AS BIGINT) AS a FROM eqdims
+    ),
+    norms2 AS (
+        SELECT vec_id, SUM(a * a) AS na FROM ints GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT ca.vec_id AS va, cb.vec_id AS vb, SUM(ia.a * ib.a) AS dot
+        FROM aext ca
+        JOIN aext cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id
+        JOIN ints ia ON ia.vec_id = ca.vec_id
+        JOIN ints ib ON ib.vec_id = cb.vec_id AND ib.i = ia.i
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT pa.vec_id AS va, pb.vec_id AS vb
+        FROM aext pa
+        JOIN bt ba ON ba.vec_id = pa.vec_id
+        JOIN aext pb ON pb.cell = pa.cell
+        JOIN bt bb ON bb.vec_id = pb.vec_id AND bb.batch_id > ba.batch_id
+        JOIN dots d ON d.va = LEAST(pa.vec_id, pb.vec_id)
+                   AND d.vb = GREATEST(pa.vec_id, pb.vec_id)
+        JOIN norms2 nna ON nna.vec_id = pa.vec_id
+        JOIN norms2 nnb ON nnb.vec_id = pb.vec_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * {SEMDEDUP_TAU_DEN2}
+              >= CAST(nna.na AS HUGEINT) * nnb.na * {SEMDEDUP_TAU_NUM2}
+    ),
+    adm0 AS (SELECT vec_id FROM bt WHERE batch_id = 0),
+    {_q505_round_sql(1)},
+    {_q505_round_sql(2)},
+    {_q505_round_sql(3)},
+    flagged AS (
+        SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        UNION ALL SELECT * FROM f3
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell, b.batch_id,
+           CASE WHEN fl.vec_id IS NOT NULL THEN 'flagged'
+                ELSE 'admitted' END AS verdict,
+           CAST(fl.dup_of AS BIGINT) AS dup_of,
+           CAST(CASE WHEN a.vec_id >= {SEMDEDUP_TWIN_OFFSET} THEN 1
+                ELSE 0 END AS INT) AS is_seeded
+    FROM aext a
+    JOIN bt b ON b.vec_id = a.vec_id
+    LEFT JOIN flagged fl ON fl.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q505_semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle twin of the streaming SEMANTIC-dedup admission gate
+    (streaming/semdedup_gate.py) — SemDeDup at the ingest door, the
+    embedding-space member of the gate-twin matrix (lexical near-dup
+    admission is neardup_gate/q125's; corpus-at-rest semantic dedup is
+    q375/q504's). The corpus replays as {SEM_GATE_BATCHES}
+    micro-batches (bases by vec_id % 3, the seeded last-dim twins as
+    the final batch so every co-celled twin arrives AFTER its base),
+    and each batch is scored with the gate's exact decision: a vector
+    is FLAGGED when some ADMITTED vector from a strictly earlier batch
+    shares its IVF cell and clears the 0.95 integer-grid cosine
+    threshold (dup_of = the smallest such admitted id), else it is
+    ADMITTED and joins the index the next batch probes. The admission
+    chain is sequential by construction — this twin unrolls it
+    ({SEM_GATE_BATCHES - 1} rounds on both engines) so the DuckDB
+    oracle re-derives every verdict from the same quantized vectors.
+
+    Cross-engine determinism: q375's machinery end-to-end — learned
+    cells with trunc-6 distances and cell-id tie-breaks, the
+    400·dot² >= 361·na·nb test over 2^-12 integer grid coordinates
+    with HUGEINT ≙ DECIMAL(38,0) widening, integer MIN attribution.
+
+    Scale: the gate's cost model exactly — per batch one cell-equi
+    join against the strictly-earlier admitted index (partition-pruned
+    in the streaming form), never corpus×corpus; cells train once
+    offline (the versioned IVF artifact) and assignment is a literal
+    broadcast expression. The oracle's dots CTE is cell-restricted,
+    so even the verification pair space is the bucketed one.
+
+    Reference: streaming/semdedup_gate.py (the enforced form), q375
+    (SemDeDup screen), q504 (cascade ledger), q125 (the lexical
+    incremental-index pattern this mirrors in embedding space)."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    last = F.size(F.col("xq")) - 1
+    twins = vecs.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + SEMDEDUP_TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("xq"),
+            lambda x, i: F.when(i == last, x + F.lit(0.0625)).otherwise(x),
+        ).alias("xq"),
+    )
+    ext = vecs.unionByName(twins).withColumn("cell", assign)
+    batch_col = (
+        F.when(F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET, F.lit(3))
+        .otherwise(F.col("vec_id") % 3)
+        .cast("bigint")
+    )
+    ints = track_cache(
+        ext.select(
+            "vec_id",
+            "cell",
+            batch_col.alias("batch_id"),
+            F.transform(F.col("xq"), lambda x: (x * 4096).cast("long")).alias(
+                "av"
+            ),
+        )
+        .withColumn(
+            "na",
+            F.aggregate(
+                F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+        .persist()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("aa"), F.col("ab"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_pass = (F.col("dot") > 0) & (
+        F.col("dot").cast("decimal(19,0)") * F.col("dot") * SEMDEDUP_TAU_DEN2
+        >= F.col("naa").cast("decimal(19,0)") * F.col("nab")
+        * SEMDEDUP_TAU_NUM2
+    )
+
+    def _side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"v{suffix}"),
+            F.col("cell").alias(f"cell{suffix}"),
+            F.col("av").alias(f"a{suffix}"),
+            F.col("na").alias(f"na{suffix}"),
+        )
+
+    admitted = ints.filter(F.col("batch_id") == 0)
+    flagged_parts: list[DataFrame] = []
+    for k in range(1, SEM_GATE_BATCHES):
+        bk = ints.filter(F.col("batch_id") == k)
+        fk = (
+            _side(admitted, "a")
+            .join(
+                _side(bk, "b"),
+                F.col("cella") == F.col("cellb"),
+            )
+            .withColumn("dot", dot)
+            .filter(cos_pass)
+            .groupBy(F.col("vb").alias("vec_id"))
+            .agg(F.min("va").cast("bigint").alias("dup_of"))
+        )
+        flagged_parts.append(fk)
+        admitted = admitted.unionByName(
+            bk.join(fk.select(F.col("vec_id").alias("fid")),
+                    bk["vec_id"] == F.col("fid"), "left_anti")
+        )
+    flagged = flagged_parts[0]
+    for fk in flagged_parts[1:]:
+        flagged = flagged.unionByName(fk)
+    fl = flagged.select(F.col("vec_id").alias("fl_id"), "dup_of")
+    return (
+        ints.join(fl, ints["vec_id"] == F.col("fl_id"), "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "batch_id",
+            F.when(F.col("fl_id").isNotNull(), "flagged")
+            .otherwise("admitted")
+            .alias("verdict"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.when(F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET, 1)
             .otherwise(0)
             .cast("int")
             .alias("is_seeded"),

@@ -1,0 +1,221 @@
+"""Streaming SEMANTIC-dedup admission gate: SemDeDup at the ingest
+door. Every micro-batch of incoming (vec_id, embedding) rows is
+quantized to the 2^-12 grid, assigned to a FIXED learned IVF cell
+(centroids are a versioned index artifact trained offline — the gate
+never retrains), and probed against the PERSISTED per-cell index of
+previously ADMITTED vectors: a new vector whose cell contains an
+earlier admitted vector above the 0.95 integer-grid cosine threshold
+is FLAGGED (quarantined with the admitted id it duplicates); the rest
+are admitted and their quantized vectors join the index — so each
+cycle costs O(|batch| x cell-collisions), never a corpus re-scan.
+
+This is the embedding-space sibling of neardup_gate (MinHash/LSH) with
+the same choreography: foreachBatch, batch_id-partitioned outputs with
+DYNAMIC partition overwrite (replayed micro-batches overwrite their own
+partitions — at-least-once upstream still yields exactly-once tables),
+and a strictly-earlier index filter for crash-mid-batch replay safety.
+operators/similarity.py:q505_semdedup_admission is the DuckDB-oracle
+batch twin of the admission decision; q375/q504 are the corpus-at-rest
+forms of the same screen.
+
+Scale: the index is one parquet table keyed (cell, batch_id). At
+100 TB bucket it on cell (io.write_bucketed): the probe becomes a
+co-located join with zero index-side shuffle; index maintenance stays
+a blind append. Centroids are cells x dims literals (train k ~ sqrt(n)
+cells so cells stay ~1e5 vectors — the SemDeDup setting); assignment
+is a map-side expression.
+
+Reference: Abbas et al., 2023 (SemDeDup); the reference pipeline's
+dedup-at-ingest posture (kinesis-consumer-s3.py:109-121 lookback
+dedup) generalized to embedding space.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    SEMDEDUP_TAU_DEN2,
+    SEMDEDUP_TAU_NUM2,
+    _assign_col,
+)
+from ..registry import release_caches
+
+_EMPTY_INDEX = "vec_id long, cell int, av array<bigint>, na long"
+_FLAGGED_SCHEMA = (
+    "new_id long, idx_id long, cell int, batch_id long"
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """neardup_gate's fail-closed read: only the two legitimate
+    'table not there yet' AnalysisExceptions map to an empty typed
+    frame; a corrupt index PROPAGATES (the gate must not go blind)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def read_flagged(spark: SparkSession, flagged_dir: str) -> DataFrame:
+    return _read_or_empty(spark, flagged_dir, _FLAGGED_SCHEMA)
+
+
+def _dynamic_overwrite(df: DataFrame, path: str) -> None:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def quantize_assign(
+    batch: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, cell, av, na): 2^-12 dyadic
+    quantization, literal-centroid cell assignment (q95's trunc-6
+    argmin with cell-id tie-break), integer grid coordinates and
+    squared norm — the exact frame q375/q504/q505 screen on, so the
+    gate's arithmetic is theirs verbatim."""
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 4096) / 4096,
+    )
+    q = batch.select("vec_id", xq.alias("xq"))
+    return (
+        q.withColumn("cell", _assign_col(cents).cast("int"))
+        .withColumn(
+            "av",
+            F.transform(F.col("xq"), lambda x: (x * 4096).cast("long")),
+        )
+        .withColumn(
+            "na",
+            F.aggregate(
+                F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+        .select("vec_id", "cell", "av", "na")
+    )
+
+
+def probe_index(new: DataFrame, index: DataFrame) -> DataFrame:
+    """Flag every NEW vector with an admitted same-cell index vector
+    above the cosine threshold: (new_id, idx_id = MIN matching
+    admitted id, cell). Cell-equi join + integer cosine residual —
+    never a cross product."""
+    a = index.select(
+        F.col("vec_id").alias("idx_id"),
+        F.col("cell").alias("cella"),
+        F.col("av").alias("aa"),
+        F.col("na").alias("naa"),
+    )
+    b = new.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("cell").alias("cellb"),
+        F.col("av").alias("ab"),
+        F.col("na").alias("nab"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("aa"), F.col("ab"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("cella") == F.col("cellb"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(19,0)")
+                * F.col("dot")
+                * SEMDEDUP_TAU_DEN2
+                >= F.col("naa").cast("decimal(19,0)")
+                * F.col("nab")
+                * SEMDEDUP_TAU_NUM2
+            )
+        )
+        .groupBy("new_id")
+        .agg(
+            F.min("idx_id").cast("bigint").alias("idx_id"),
+            F.first("cellb").alias("cell"),
+        )
+        .select("new_id", "idx_id", "cell")
+    )
+
+
+def gate_batch_writer(
+    index_dir: str, flagged_dir: str, cents: list[list[float]]
+):
+    """foreachBatch hook. Incoming micro-batch schema:
+    (vec_id long, embedding array<double>)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = quantize_assign(batch, cents)
+        index = _read_or_empty(spark, f"{index_dir}/vectors", _EMPTY_INDEX)
+        # crash-mid-batch replay safety (neardup_gate's rule): probe
+        # only STRICTLY EARLIER batches so a re-executed batch never
+        # self-matches against its own half-written index partition
+        if "batch_id" in index.columns:
+            index = index.filter(F.col("batch_id") < F.lit(batch_id))
+        flagged = probe_index(new, index)
+        _dynamic_overwrite(
+            flagged.withColumn("batch_id", F.lit(batch_id)), flagged_dir
+        )
+        # the index admits SURVIVORS only — keep-one semantics: a
+        # flagged duplicate must not become a future probe target
+        admitted = new.join(
+            flagged.select(F.col("new_id").alias("fid")),
+            new["vec_id"] == F.col("fid"),
+            "left_anti",
+        )
+        _dynamic_overwrite(
+            admitted.withColumn("batch_id", F.lit(batch_id)),
+            f"{index_dir}/vectors",
+        )
+        release_caches()
+
+    return _write
+
+
+def run_semdedup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    flagged_dir: str,
+    checkpoint_dir: str,
+    cents: list[list[float]],
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain all available source files (availableNow) through the
+    gate. Source schema: JSON lines of {vec_id, embedding}.
+
+    max_files_per_trigger defaults to 1 for the same reason as
+    neardup_gate: the gate probes a batch only against the
+    PRE-EXISTING admitted index, so duplicates folded into one
+    micro-batch are the intra-batch blind spot (q375/q504 territory);
+    one file per batch keeps cross-file duplicates visible."""
+    reader = spark.readStream.schema("vec_id long, embedding array<double>")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            gate_batch_writer(index_dir, flagged_dir, cents)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,129 @@
+"""Stream ≡ batch equality for the SEMANTIC-dedup admission gate
+(streaming/semdedup_gate.py) against its DuckDB-oracle twin
+q505_semdedup_admission, plus replay idempotence — the same contract
+every other gate in the twin matrix carries (test_gate_twins.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from serverless_etl_spark.operators.similarity import (
+    SEM_GATE_BATCHES,
+    SEMDEDUP_TWIN_OFFSET,
+    _kmeans_centroids,
+    _quantized_vecs,
+)
+from serverless_etl_spark.registry import QUERIES, release_caches
+from serverless_etl_spark.streaming.semdedup_gate import (
+    read_flagged,
+    run_semdedup_gate,
+)
+from tests.conftest import SF_SMALL
+
+
+def _write_batches(spark, tmp_path):
+    """One JSON file per q505 replay batch: bases by vec_id % 3 into
+    part-0..2, seeded last-dim twins into part-3 — the exact corpus
+    the twin scores. Embeddings are written as the QUANTIZED grid
+    values (dyadic doubles round-trip JSON exactly; the gate's own
+    quantization maps them to themselves)."""
+    rows = _quantized_vecs(spark, SF_SMALL).collect()
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    files = [open(src / f"part-{b}.json", "w") for b in range(SEM_GATE_BATCHES)]
+    for r in rows:
+        vec = list(r["xq"])
+        files[r["vec_id"] % 3].write(
+            json.dumps({"vec_id": r["vec_id"], "embedding": vec}) + "\n"
+        )
+        if r["vec_id"] % 5 == 0:
+            twin = vec[:-1] + [vec[-1] + 0.0625]
+            files[3].write(
+                json.dumps(
+                    {
+                        "vec_id": r["vec_id"] + SEMDEDUP_TWIN_OFFSET,
+                        "embedding": twin,
+                    }
+                )
+                + "\n"
+            )
+    for f in files:
+        f.close()
+    base = time.time() - 3600
+    for b in range(SEM_GATE_BATCHES):
+        os.utime(src / f"part-{b}.json", (base + b, base + b))
+    return src
+
+
+def _drain(spark, src, tmp_path, tag):
+    cents = _kmeans_centroids(spark, SF_SMALL)
+    run_semdedup_gate(
+        spark,
+        str(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "flagged"),
+        str(tmp_path / f"ckpt_{tag}"),
+        cents,
+    )
+    release_caches()
+
+
+def _flag_rows(spark, tmp_path):
+    return {
+        (r["new_id"], r["idx_id"], r["cell"], r["batch_id"])
+        for r in read_flagged(spark, str(tmp_path / "flagged")).collect()
+    }
+
+
+def test_gate_equals_q505_twin_and_replays_idempotently(spark, tmp_path):
+    src = _write_batches(spark, tmp_path)
+    _drain(spark, src, tmp_path, "a")
+
+    twin = QUERIES["q505_semdedup_admission"](spark, SF_SMALL).collect()
+    release_caches()
+    twin_flagged = {
+        r["vec_id"]: (r["dup_of"], r["cell"], r["batch_id"])
+        for r in twin
+        if r["verdict"] == "flagged"
+    }
+    twin_admitted = {r["vec_id"] for r in twin if r["verdict"] == "admitted"}
+
+    got = _flag_rows(spark, tmp_path)
+    assert {g[0] for g in got} == set(twin_flagged), (
+        "gate flagged a different vector set than the oracle twin"
+    )
+    for new_id, idx_id, cell, batch_id in got:
+        dup_of, tcell, tbatch = twin_flagged[new_id]
+        assert idx_id == dup_of, (new_id, idx_id, dup_of)
+        assert cell == tcell and batch_id == tbatch
+
+    # the admitted index holds exactly the twin's admitted set
+    idx = spark.read.parquet(str(tmp_path / "index" / "vectors"))
+    assert {r["vec_id"] for r in idx.collect()} == twin_admitted
+
+    # seeding sanity: at least one co-celled twin was flagged against
+    # its own base (cosine ~0.9995, base admitted in an earlier batch)
+    twin_vs_base = [
+        (v, d)
+        for v, (d, _, _) in twin_flagged.items()
+        if v >= SEMDEDUP_TWIN_OFFSET and d == v - SEMDEDUP_TWIN_OFFSET
+    ]
+    assert twin_vs_base, "no seeded twin flagged against its base"
+
+    # replay idempotence (ST5): a fresh-checkpoint re-drain of the same
+    # source must leave every table byte-identical — dynamic partition
+    # overwrite + the strictly-earlier index filter make the replay
+    # rewrite each partition with the same rows
+    def _idx_rows(frame):
+        return {
+            (r["vec_id"], r["cell"], tuple(r["av"]), r["na"], r["batch_id"])
+            for r in frame.collect()
+        }
+
+    before_idx = _idx_rows(idx)
+    _drain(spark, src, tmp_path, "b")
+    assert _flag_rows(spark, tmp_path) == got
+    idx2 = spark.read.parquet(str(tmp_path / "index" / "vectors"))
+    assert _idx_rows(idx2) == before_idx

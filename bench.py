@@ -113,6 +113,10 @@ BASELINE_EXT_SF01 = {
     # round-7 late additions (idle run after the 1138-test close-out)
     "q501_numeric_drift_admission": 0.318,
     "q503_sketch_admission": 0.797,
+    # round-8 semantic-dedup pair (idle-machine best-of-3 count();
+    # both retrain q95's k-means per run — 2 Lloyd collects dominate)
+    "q504_semdedup_cascade": 3.501,
+    "q505_semdedup_admission": 4.738,
 }
 
 
@@ -309,6 +313,11 @@ def main() -> None:
         # through histogram/register collapses + grid windows
         "q501_numeric_drift_admission",
         "q503_sketch_admission",
+        # round-8: the semantic-dedup pair (k-means training + the
+        # cell-bucketed integer-cosine screens; q505 adds the 3-round
+        # sequential admission unroll)
+        "q504_semdedup_cascade",
+        "q505_semdedup_admission",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..registry import register
@@ -873,4 +874,163 @@ def q499_arrow_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_batches"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q506 — video scene-cut spans (per-frame perceptual hash differencing)
+# --------------------------------------------------------------------------
+
+SCENE_CUT_BITS = 6  #: hamming threshold (of PHASH_PIXELS bits) that opens a new scene
+
+
+def fake_frame_phash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a decode→per-frame-thumbnail→aHash
+    kernel: consumes (doc_id, payload: bytes) Arrow batches and emits
+    ONE ROW PER SAMPLED FRAME (every 5th of the q60/q61 frame grid,
+    n_frames = 1 + doc_id % 30) with the frame's {PHASH_PIXELS}-bit
+    average hash. The tile is q497's grid shifted per frame — cell i of
+    frame f is (doc_id·(2i+3) + n_bytes + 7f) mod 256, same integer
+    16·p > Σp bit rule — so a real decoder + per-frame resize swaps in
+    front of the identical hash step. Row-expanding kernel: the Arrow
+    batch out is frames-per-doc times the batch in, and the multi-KB
+    payload is consumed HERE, map-side — only (doc_id, frame_idx,
+    8-byte hash) leaves the kernel."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].apply(len).astype("int64")
+        doc_id = pdf["doc_id"].astype("int64")
+        out_doc, out_frame, out_hash = [], [], []
+        for d, nb in zip(doc_id, n_bytes):
+            for f in range(0, 1 + d % 30, 5):
+                pixels = [
+                    (d * (2 * i + 3) + nb + 7 * f) % 256
+                    for i in range(PHASH_PIXELS)
+                ]
+                tot = sum(pixels)
+                h = 0
+                for i, p in enumerate(pixels):
+                    if PHASH_PIXELS * p > tot:
+                        h |= 1 << i
+                out_doc.append(d)
+                out_frame.append(f)
+                out_hash.append(h)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_frame, "fhash": out_hash}
+        )
+
+
+@register(
+    "q506_scene_cut_spans",
+    oracle=f"""
+    WITH grid AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT)
+                   AS frame_idx
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, frame_idx, i,
+               (doc_id * (2 * i + 3) + nb + 7 * frame_idx) % 256 AS p
+        FROM grid CROSS JOIN (SELECT unnest(range({PHASH_PIXELS})) AS i)
+    ),
+    ftot AS (
+        SELECT doc_id, frame_idx, CAST(SUM(p) AS BIGINT) AS tot
+        FROM px GROUP BY doc_id, frame_idx
+    ),
+    hashed AS (
+        SELECT px.doc_id, px.frame_idx,
+               CAST(SUM(CASE WHEN {PHASH_PIXELS} * p > tot
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                    AS BIGINT) AS fhash
+        FROM px JOIN ftot USING (doc_id, frame_idx)
+        GROUP BY px.doc_id, px.frame_idx
+    ),
+    cuts AS (
+        SELECT doc_id, frame_idx, fhash,
+               CASE WHEN LAG(fhash) OVER w IS NULL THEN 1
+                    WHEN bit_count(xor(fhash, LAG(fhash) OVER w))
+                         >= {SCENE_CUT_BITS} THEN 1
+                    ELSE 0 END AS cut
+        FROM hashed
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    scenes AS (
+        SELECT doc_id, frame_idx,
+               CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                    AS INT) AS scene_id
+        FROM cuts
+    )
+    SELECT doc_id, scene_id,
+           CAST(MIN(frame_idx) * 40 AS INT) AS start_ms,
+           CAST(MAX(frame_idx) * 40 AS INT) AS end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM scenes
+    GROUP BY doc_id, scene_id
+    ORDER BY doc_id, scene_id
+    """,
+)
+def q506_scene_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation — the clip-extraction step a video
+    training pipeline runs before cutting aligned samples: per-frame
+    perceptual hashes from the Arrow decode kernel, hamming distance
+    between CONSECUTIVE sampled frames (bit_count of xor — pure
+    integer), a cut wherever the distance reaches {SCENE_CUT_BITS} of
+    {PHASH_PIXELS} bits (or at frame 0), and a running sum of cuts
+    numbering the scenes. Emits per-doc scene spans (start/end ms on
+    q61's 40 ms frame clock, frame count) — the q76 session-assignment
+    shape applied to the visual stream, with q497's hash as the
+    change signal.
+
+    Determinism: integer tiles, integer mean-bit rule, integer
+    hamming; both engines window over the identical per-doc frame
+    grid (Spark's lag ≙ DuckDB's LAG, frame_idx total order per doc).
+
+    Scale: the ROW-EXPANDING kernel consumes the payload map-side and
+    emits only (doc_id, frame_idx, 8-byte hash) — ≤6 rows per doc
+    here, |frames| in production — so the ONE exchange (hash-partition
+    on doc_id for the lag/span windows) carries hashes, never frames
+    or payloads; both windows are doc-partitioned (no global sort)
+    and the span collapse is a partial-aggregable groupBy on the same
+    key, which AQE plans as a single stage after the exchange.
+
+    Reference: q61 (frame grid), q497 (aHash kernel + bit rule), q76
+    (gap→running-sum session numbering), q498 (the A/V consumer of
+    these spans)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    hashes = docs.mapInPandas(
+        fake_frame_phash_batch,
+        schema="doc_id long, frame_idx long, fhash long",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = hashes.select(
+        "doc_id",
+        "frame_idx",
+        F.when(F.lag("fhash").over(w).isNull(), 1)
+        .when(
+            F.bit_count(
+                F.col("fhash").bitwiseXOR(F.lag("fhash").over(w))
+            )
+            >= SCENE_CUT_BITS,
+            1,
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    scenes = cuts.select(
+        "doc_id",
+        "frame_idx",
+        F.sum("cut").over(w).cast("int").alias("scene_id"),
+    )
+    return (
+        scenes.groupBy("doc_id", "scene_id")
+        .agg(
+            (F.min("frame_idx") * 40).cast("int").alias("start_ms"),
+            (F.max("frame_idx") * 40).cast("int").alias("end_ms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+        .orderBy("doc_id", "scene_id")
     )

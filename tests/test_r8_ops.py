@@ -70,3 +70,31 @@ def test_semdedup_cascade_stage_attribution(spark):
             by_cell[r["cell"]].append(r["vec_id"])
     for _, ids in by_cell.items():
         assert by_id[min(ids)]["stage"] == "kept"
+
+
+def test_scene_cut_spans_partition_the_frame_grid(spark):
+    rows = registry.QUERIES["q506_scene_cut_spans"](spark, SF_MID).collect()
+    assert rows
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    multi_scene = 0
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["scene_id"])
+        # scene ids are 1..k (running sum of cuts, frame 0 always cuts)
+        assert [s["scene_id"] for s in spans] == list(
+            range(1, len(spans) + 1)
+        )
+        # spans tile the doc's sampled frame grid exactly: frames
+        # 0,5,...,< 1 + doc_id % 30 at 40ms each, no overlap, no gap
+        grid = list(range(0, 1 + doc_id % 30, 5))
+        assert sum(s["n_frames"] for s in spans) == len(grid)
+        assert spans[0]["start_ms"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["end_ms"] < b["start_ms"]
+        assert spans[-1]["end_ms"] == grid[-1] * 40
+        if len(spans) > 1:
+            multi_scene += 1
+    # the hash-differencing threshold actually segments something
+    assert multi_scene > 0
+    assert any(len(s) == 1 for s in by_doc.values())

@@ -898,26 +898,33 @@ def fake_frame_phash_batch(
     batch out is frames-per-doc times the batch in, and the multi-KB
     payload is consumed HERE, map-side — only (doc_id, frame_idx,
     8-byte hash) leaves the kernel."""
+    import numpy as np
+
     for pdf in batches:
-        n_bytes = pdf["payload"].apply(len).astype("int64")
-        doc_id = pdf["doc_id"].astype("int64")
-        out_doc, out_frame, out_hash = [], [], []
-        for d, nb in zip(doc_id, n_bytes):
-            for f in range(0, 1 + d % 30, 5):
-                pixels = [
-                    (d * (2 * i + 3) + nb + 7 * f) % 256
-                    for i in range(PHASH_PIXELS)
-                ]
-                tot = sum(pixels)
-                h = 0
-                for i, p in enumerate(pixels):
-                    if PHASH_PIXELS * p > tot:
-                        h |= 1 << i
-                out_doc.append(d)
-                out_frame.append(f)
-                out_hash.append(h)
+        n_bytes = pdf["payload"].apply(len).to_numpy(dtype="int64")
+        doc_id = pdf["doc_id"].to_numpy(dtype="int64")
+        # fan out the per-doc frame grid fully vectorized: counts per
+        # doc, then a flat grid index rebased per group
+        n_frames = 1 + doc_id % 30
+        counts = (n_frames + 4) // 5
+        d = np.repeat(doc_id, counts)
+        nb = np.repeat(n_bytes, counts)
+        ends = np.cumsum(counts)
+        flat = np.arange(ends[-1] if len(ends) else 0, dtype="int64")
+        frame = (flat - np.repeat(ends - counts, counts)) * 5
+        # the 16 tile cells as a (rows, 16) matrix; integer bit rule
+        cells = np.stack(
+            [
+                (d * (2 * i + 3) + nb + 7 * frame) % 256
+                for i in range(PHASH_PIXELS)
+            ],
+            axis=1,
+        )
+        tot = cells.sum(axis=1)
+        bits = (PHASH_PIXELS * cells > tot[:, None]).astype("int64")
+        fhash = (bits << np.arange(PHASH_PIXELS, dtype="int64")).sum(axis=1)
         yield pd.DataFrame(
-            {"doc_id": out_doc, "frame_idx": out_frame, "fhash": out_hash}
+            {"doc_id": d, "frame_idx": frame, "fhash": fhash}
         )
 
 

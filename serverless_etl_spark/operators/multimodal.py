@@ -1041,3 +1041,139 @@ def q506_scene_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "scene_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q507 — speech spans (chunk-energy VAD over the audio chunk grid)
+# --------------------------------------------------------------------------
+
+VAD_ENERGY_MIN = 30  #: integer energy (of 0..99) at/above which a chunk is voiced
+
+
+def fake_chunk_energy_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a decode→per-chunk-RMS kernel:
+    consumes (doc_id, payload: bytes) Arrow batches and emits ONE ROW
+    PER 1-SECOND AUDIO CHUNK of the q66 grid (duration = n_bytes·50 ms)
+    with an integer 0..99 'energy' — chunk c of doc d scores
+    (13·d + n_bytes + 31·c) mod 100. A real decoder swaps a windowed
+    RMS over PCM samples in front of the same thresholding. Fully
+    vectorized row-expanding kernel; the payload is consumed here,
+    map-side — only (doc_id, chunk index, one int) leave."""
+    import numpy as np
+
+    for pdf in batches:
+        n_bytes = pdf["payload"].apply(len).to_numpy(dtype="int64")
+        doc_id = pdf["doc_id"].to_numpy(dtype="int64")
+        counts = (n_bytes * 50 + 999) // 1000  # chunks per doc
+        d = np.repeat(doc_id, counts)
+        nb = np.repeat(n_bytes, counts)
+        ends = np.cumsum(counts)
+        flat = np.arange(ends[-1] if len(ends) else 0, dtype="int64")
+        chunk = flat - np.repeat(ends - counts, counts)
+        energy = (13 * d + nb + 31 * chunk) % 100
+        yield pd.DataFrame(
+            {"doc_id": d, "chunk_no": chunk, "energy": energy}
+        )
+
+
+@register(
+    "q507_speech_spans",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST(unnest(range((octet_length(encode(text)) * 50 + 999)
+                                 // 1000)) AS BIGINT) AS chunk_no,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    voiced AS (
+        SELECT doc_id, chunk_no,
+               (13 * doc_id + nb + 31 * chunk_no) % 100 AS energy
+        FROM chunks
+        WHERE (13 * doc_id + nb + 31 * chunk_no) % 100 >= {VAD_ENERGY_MIN}
+    ),
+    runs AS (
+        SELECT doc_id, chunk_no, energy,
+               CASE WHEN LAG(chunk_no) OVER w IS NULL THEN 1
+                    WHEN chunk_no - LAG(chunk_no) OVER w > 1 THEN 1
+                    ELSE 0 END AS brk
+        FROM voiced
+        WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_no)
+    ),
+    spans AS (
+        SELECT doc_id, chunk_no, energy,
+               CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY chunk_no)
+                    AS INT) AS span_id
+        FROM runs
+    )
+    SELECT doc_id, span_id,
+           CAST(MIN(chunk_no) * 1000 AS INT) AS start_ms,
+           CAST((MAX(chunk_no) + 1) * 1000 AS INT) AS end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(energy) // COUNT(*) AS BIGINT) AS mean_energy
+    FROM spans
+    GROUP BY doc_id, span_id
+    ORDER BY doc_id, span_id
+    """,
+)
+def q507_speech_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over 'audio' payloads — the ASR
+    pre-cut an audio training pipeline runs: per-1s-chunk integer
+    energies from the Arrow kernel, a chunk is VOICED at energy >=
+    {VAD_ENERGY_MIN}, and maximal runs of ADJACENT voiced chunks merge
+    into speech spans (gap -> new span: q76's session numbering, q506's
+    shape on the audio stream). Emits per-doc spans with boundaries on
+    the q66 1000 ms chunk clock and the span's floor-mean energy —
+    what a clip extractor consumes next to q506's scene spans for
+    A/V-aligned sample cutting (q498 checks their consistency).
+
+    Determinism: integer energies, integer gap rule, integer floor
+    mean; both engines window the identical per-doc chunk grid.
+
+    Scale: the ROW-EXPANDING kernel consumes the payload map-side —
+    only (doc_id, chunk_no, one small int) leave it; the silence mass
+    is dropped BEFORE the exchange (the voiced filter is the
+    pushed-down predicate), so the single doc_id-partitioned exchange
+    carries voiced chunks only; windows are doc-partitioned and the
+    span collapse partial-aggregates on the same key.
+
+    Reference: q66 (chunk grid), q506 (the video sibling), q76
+    (gap→running-sum numbering), q498 (the A/V consumer)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    energies = docs.mapInPandas(
+        fake_chunk_energy_batch,
+        schema="doc_id long, chunk_no long, energy long",
+    )
+    voiced = energies.filter(F.col("energy") >= VAD_ENERGY_MIN)
+    w = Window.partitionBy("doc_id").orderBy("chunk_no")
+    runs = voiced.select(
+        "doc_id",
+        "chunk_no",
+        "energy",
+        F.when(F.lag("chunk_no").over(w).isNull(), 1)
+        .when(F.col("chunk_no") - F.lag("chunk_no").over(w) > 1, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    spans = runs.select(
+        "doc_id",
+        "chunk_no",
+        "energy",
+        F.sum("brk").over(w).cast("int").alias("span_id"),
+    )
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(
+            (F.min("chunk_no") * 1000).cast("int").alias("start_ms"),
+            ((F.max("chunk_no") + 1) * 1000).cast("int").alias("end_ms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.expr("CAST(SUM(energy) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_energy"
+            ),
+        )
+        .orderBy("doc_id", "span_id")
+    )

@@ -98,3 +98,46 @@ def test_scene_cut_spans_partition_the_frame_grid(spark):
     # the hash-differencing threshold actually segments something
     assert multi_scene > 0
     assert any(len(s) == 1 for s in by_doc.values())
+
+
+def test_speech_spans_are_maximal_voiced_runs(spark):
+    from serverless_etl_spark.operators.multimodal import VAD_ENERGY_MIN
+
+    rows = registry.QUERIES["q507_speech_spans"](spark, SF_MID).collect()
+    assert rows
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    multi = 0
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_id"])
+        assert [s["span_id"] for s in spans] == list(range(1, len(spans) + 1))
+        for s in spans:
+            # boundaries on the 1s chunk clock, non-empty, mean in range
+            assert s["start_ms"] % 1000 == 0 and s["end_ms"] % 1000 == 0
+            assert s["end_ms"] - s["start_ms"] == s["n_chunks"] * 1000
+            assert VAD_ENERGY_MIN <= s["mean_energy"] <= 99
+        for a, b in zip(spans, spans[1:]):
+            # maximality: a silence gap of >= 1 chunk separates spans
+            assert b["start_ms"] - a["end_ms"] >= 1000
+        if len(spans) > 1:
+            multi += 1
+    assert multi > 0
+    # re-derive one doc's voiced set from the kernel rule and check the
+    # span union matches exactly (independent of Spark's window path)
+    doc_id, spans = next(iter(sorted(by_doc.items())))
+    import duckdb
+
+    nb = duckdb.sql(
+        "SELECT octet_length(encode(text)) FROM "
+        f"'{SF_MID}/documents.parquet' WHERE doc_id = {doc_id}"
+    ).fetchone()[0]
+    voiced = {
+        c
+        for c in range((nb * 50 + 999) // 1000)
+        if (13 * doc_id + nb + 31 * c) % 100 >= VAD_ENERGY_MIN
+    }
+    covered = set()
+    for s in spans:
+        covered |= set(range(s["start_ms"] // 1000, s["end_ms"] // 1000))
+    assert covered == voiced

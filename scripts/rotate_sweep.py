@@ -1,4 +1,4 @@
-"""Print the next round's `registry._SWEEP_PRIORITY` candidates.
+"""Print (or APPLY) the next round's `registry._SWEEP_PRIORITY`.
 
 The driver samples the FIRST ~50 registered names each round and the
 freshness ratchet (tests/test_sweep_priority.py) requires every
@@ -10,6 +10,10 @@ q-number for the backlog), plus the cumulative-coverage line for
 ROUND_NOTES. Usage:
 
     python scripts/rotate_sweep.py [n_window]
+    python scripts/rotate_sweep.py --apply   # rewrite registry.py's
+        # _SWEEP_PRIORITY with the FULL never-sampled backlog (new
+        # round-N queries must still be inserted at the head by hand,
+        # and RECHECKS cleared/justified separately)
 """
 
 from __future__ import annotations
@@ -21,7 +25,31 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+APPLY = "--apply" in sys.argv[1:]
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N = int(_pos[0]) if _pos else 50
+
+REGISTRY_PATH = "/root/repo/serverless_etl_spark/registry.py"
+
+
+def apply_rotation(backlog: list[str]) -> None:
+    """Replace the _SWEEP_PRIORITY list literal with `backlog`."""
+    import textwrap
+
+    items = ", ".join(f'"{n}"' for n in backlog)
+    body = textwrap.fill(
+        items, width=76, initial_indent="    ", subsequent_indent="    "
+    )
+    src = open(REGISTRY_PATH).read()
+    new = re.sub(
+        r"_SWEEP_PRIORITY = \[\n.*?\n\]\n",
+        "_SWEEP_PRIORITY = [\n" + body + ",\n]\n",
+        src,
+        flags=re.S,
+    )
+    assert new != src or items in src, "no _SWEEP_PRIORITY block found"
+    open(REGISTRY_PATH, "w").write(new)
+    print(f"# applied: _SWEEP_PRIORITY <- {len(backlog)} never-sampled names")
 
 
 def main() -> None:
@@ -41,7 +69,13 @@ def main() -> None:
         m = re.match(r"q(\d+)", name)
         return int(m.group(1)) if m else 10**9
 
-    backlog = sorted((n for n in reg - sampled), key=qnum)
+    # round-N queries newer than anything ever sampled lead the window
+    # (they need their first driver row), then the backlog ascending
+    newest_sampled = max((qnum(n) for n in sampled & reg), default=-1)
+    backlog = sorted(
+        (n for n in reg - sampled),
+        key=lambda n: (0 if qnum(n) > newest_sampled else 1, qnum(n)),
+    )
     print(f"# registry: {len(reg)}  sampled (cumulative): "
           f"{len(sampled & reg)}  backlog: {len(backlog)}")
     for fname, n in per_round:
@@ -51,6 +85,8 @@ def main() -> None:
     print(f"# next {N} never-sampled names, ascending:")
     for name in backlog[:N]:
         print(f'    "{name}",')
+    if APPLY:
+        apply_rotation(backlog)
 
 
 if __name__ == "__main__":

@@ -3115,3 +3115,76 @@ def q485_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q508 — tokenizer fertility by language (bytes per token, the mixture knob)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q508_tokenizer_fertility",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, total_bytes, total_tokens,
+           CAST(1000 * total_bytes // GREATEST(total_tokens, 1) AS BIGINT)
+               AS milli_bytes_per_token,
+           CAST(ROW_NUMBER() OVER (
+                    ORDER BY 1000 * total_bytes // GREATEST(total_tokens, 1)
+                             DESC, lang) AS INT) AS eff_rank
+    FROM per_lang
+    ORDER BY lang
+    """,
+)
+def q508_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — bytes of UTF-8 text consumed
+    per (BPE-ish) token, the number that decides how much effective
+    context and training signal each language gets from a shared
+    tokenizer: a language at half the bytes-per-token of English pays
+    double the sequence length for the same content, which is exactly
+    what q100/q439's mixture planners must compensate. Emits per-lang
+    corpus mass (docs, bytes, tokens), the milli bytes-per-token
+    floor, and the efficiency rank (1 = most bytes per token = the
+    tokenizer's best-served language; ties break by lang).
+
+    Determinism: integer byte/token sums, one floor division, integer
+    rank with lang tiebreak.
+
+    Scale: one map-side collapse of the corpus to |langs| rows (the
+    regex token count is JVM-side regexp_extract_all — no Python);
+    the rank window runs over the |langs|-row aggregate, which the
+    plan classifier proves bounded structurally. The q36 per-doc
+    counter is the row-level sibling; this is its corpus rollup along
+    the axis mixture planning actually uses.
+
+    Reference: q36 (token counting), q181 (quality by lang), q100 /
+    q439 (the mixture consumers), q471 (cross-lingual embedding
+    health — the other shared-model-fairness check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8")))
+        .cast("bigint")
+        .alias("total_bytes"),
+        F.sum(F.size(bpe)).cast("bigint").alias("total_tokens"),
+    )
+    bpt = F.expr(
+        "CAST(1000 * total_bytes DIV GREATEST(total_tokens, CAST(1 AS BIGINT))"
+        " AS BIGINT)"
+    )
+    w = Window.orderBy(
+        F.col("milli_bytes_per_token").desc(), "lang"
+    )
+    return (
+        per_lang.withColumn("milli_bytes_per_token", bpt)
+        .withColumn("eff_rank", F.row_number().over(w).cast("int"))
+        .orderBy("lang")
+    )

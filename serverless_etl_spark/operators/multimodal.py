@@ -1177,3 +1177,156 @@ def q507_speech_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q509 — A/V clip candidates (scene spans ∩ speech spans)
+# --------------------------------------------------------------------------
+
+MIN_CLIP_MS = 1000  #: a candidate clip must overlap scene & speech this long
+
+
+@register(
+    "q509_av_clip_candidates",
+    oracle=f"""
+    WITH vgrid AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT)
+                   AS frame_idx
+        FROM documents
+    ),
+    vpx AS (
+        SELECT doc_id, frame_idx, i,
+               (doc_id * (2 * i + 3) + nb + 7 * frame_idx) % 256 AS p
+        FROM vgrid CROSS JOIN (SELECT unnest(range({PHASH_PIXELS})) AS i)
+    ),
+    vtot AS (
+        SELECT doc_id, frame_idx, CAST(SUM(p) AS BIGINT) AS tot
+        FROM vpx GROUP BY doc_id, frame_idx
+    ),
+    vhash AS (
+        SELECT vpx.doc_id, vpx.frame_idx,
+               CAST(SUM(CASE WHEN {PHASH_PIXELS} * p > tot
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                    AS BIGINT) AS fhash
+        FROM vpx JOIN vtot USING (doc_id, frame_idx)
+        GROUP BY vpx.doc_id, vpx.frame_idx
+    ),
+    vcut AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN LAG(fhash) OVER w IS NULL THEN 1
+                    WHEN bit_count(xor(fhash, LAG(fhash) OVER w))
+                         >= {SCENE_CUT_BITS} THEN 1
+                    ELSE 0 END AS cut
+        FROM vhash
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    vscene AS (
+        SELECT doc_id, frame_idx,
+               CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                    AS INT) AS scene_id
+        FROM vcut
+    ),
+    vspans AS (
+        SELECT doc_id, scene_id,
+               CAST(MIN(frame_idx) * 40 AS INT) AS v_start,
+               CAST(MAX(frame_idx) * 40 + 40 AS INT) AS v_end
+        FROM vscene GROUP BY doc_id, scene_id
+    ),
+    achunks AS (
+        SELECT doc_id,
+               CAST(unnest(range((octet_length(encode(text)) * 50 + 999)
+                                 // 1000)) AS BIGINT) AS chunk_no,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    avoiced AS (
+        SELECT doc_id, chunk_no
+        FROM achunks
+        WHERE (13 * doc_id + nb + 31 * chunk_no) % 100 >= {VAD_ENERGY_MIN}
+    ),
+    aruns AS (
+        SELECT doc_id, chunk_no,
+               CASE WHEN LAG(chunk_no) OVER w IS NULL THEN 1
+                    WHEN chunk_no - LAG(chunk_no) OVER w > 1 THEN 1
+                    ELSE 0 END AS brk
+        FROM avoiced
+        WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_no)
+    ),
+    aspans AS (
+        SELECT doc_id,
+               CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY chunk_no)
+                    AS INT) AS span_id,
+               chunk_no
+        FROM aruns
+    ),
+    agg_a AS (
+        SELECT doc_id, span_id,
+               CAST(MIN(chunk_no) * 1000 AS INT) AS a_start,
+               CAST((MAX(chunk_no) + 1) * 1000 AS INT) AS a_end
+        FROM aspans GROUP BY doc_id, span_id
+    )
+    SELECT v.doc_id, v.scene_id, a.span_id,
+           CAST(GREATEST(v.v_start, a.a_start) AS INT) AS clip_start_ms,
+           CAST(LEAST(v.v_end, a.a_end) AS INT) AS clip_end_ms,
+           CAST(LEAST(v.v_end, a.a_end)
+                - GREATEST(v.v_start, a.a_start) AS INT) AS clip_ms
+    FROM vspans v
+    JOIN agg_a a ON a.doc_id = v.doc_id
+               AND LEAST(v.v_end, a.a_end)
+                   - GREATEST(v.v_start, a.a_start) >= {MIN_CLIP_MS}
+    ORDER BY v.doc_id, v.scene_id, a.span_id
+    """,
+)
+def q509_av_clip_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V-aligned clip candidates — the table a video training
+    pipeline actually cuts samples from: q506's visual scene spans
+    intersected with q507's speech spans PER DOCUMENT, keeping every
+    overlap of at least {MIN_CLIP_MS} ms. A clip that spans a scene
+    cut mixes shots; one that spans a silence gap mixes utterances —
+    the intersection is the largest region clean on BOTH axes, so
+    (scene_id, span_id) attribution tells the extractor which cut to
+    blame when a clip is short. Scene ends extend one 40 ms frame
+    past the last sampled frame (frames are instants, chunks are
+    intervals — the half-open convention q498 established).
+
+    Determinism: both span tables are the exact q506/q507 integer
+    machinery (nested registered builders — the q104∘q63 pattern);
+    the intersection is integer GREATEST/LEAST arithmetic.
+
+    Scale: both span tables collapse map-side to ≤ spans-per-doc rows
+    BEFORE the join, which is EQUI-KEYED on doc_id with the overlap
+    predicate as a residual — spans per doc are bounded (≤6 scenes,
+    ≤ duration/1s speech spans), so the per-doc pair fan-out is tiny
+    and no cross product exists (q498's posture). One co-partitioned
+    exchange pair on doc_id.
+
+    Reference: q506 (scenes), q507 (speech), q498 (A/V conservation
+    check — this is its extraction-side consumer)."""
+    scenes = q506_scene_cut_spans(spark, sf_dir).select(
+        "doc_id",
+        "scene_id",
+        F.col("start_ms").alias("v_start"),
+        (F.col("end_ms") + 40).alias("v_end"),
+    )
+    speech = q507_speech_spans(spark, sf_dir).select(
+        "doc_id",
+        "span_id",
+        F.col("start_ms").alias("a_start"),
+        F.col("end_ms").alias("a_end"),
+    )
+    clip_start = F.greatest("v_start", "a_start")
+    clip_end = F.least("v_end", "a_end")
+    return (
+        scenes.join(speech, "doc_id")
+        .filter((clip_end - clip_start) >= MIN_CLIP_MS)
+        .select(
+            "doc_id",
+            "scene_id",
+            "span_id",
+            clip_start.cast("int").alias("clip_start_ms"),
+            clip_end.cast("int").alias("clip_end_ms"),
+            (clip_end - clip_start).cast("int").alias("clip_ms"),
+        )
+        .orderBy("doc_id", "scene_id", "span_id")
+    )

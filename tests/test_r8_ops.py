@@ -141,3 +141,37 @@ def test_speech_spans_are_maximal_voiced_runs(spark):
     for s in spans:
         covered |= set(range(s["start_ms"] // 1000, s["end_ms"] // 1000))
     assert covered == voiced
+
+
+def test_av_clips_are_clean_on_both_axes(spark):
+    from serverless_etl_spark.operators.multimodal import MIN_CLIP_MS
+
+    clips = registry.QUERIES["q509_av_clip_candidates"](spark, SF_MID).collect()
+    assert clips
+    scenes = registry.QUERIES["q506_scene_cut_spans"](spark, SF_MID).collect()
+    speech = registry.QUERIES["q507_speech_spans"](spark, SF_MID).collect()
+    vmap = {(r["doc_id"], r["scene_id"]): r for r in scenes}
+    amap = {(r["doc_id"], r["span_id"]): r for r in speech}
+    for c in clips:
+        v = vmap[(c["doc_id"], c["scene_id"])]
+        a = amap[(c["doc_id"], c["span_id"])]
+        # the clip sits inside BOTH its scene (frame-exclusive end)
+        # and its speech span, and meets the minimum length
+        assert c["clip_ms"] >= MIN_CLIP_MS
+        assert c["clip_end_ms"] - c["clip_start_ms"] == c["clip_ms"]
+        assert v["start_ms"] <= c["clip_start_ms"]
+        assert c["clip_end_ms"] <= v["end_ms"] + 40
+        assert a["start_ms"] <= c["clip_start_ms"]
+        assert c["clip_end_ms"] <= a["end_ms"]
+    # completeness: every qualifying (scene, speech) overlap appears
+    expected = 0
+    by_doc_a = collections.defaultdict(list)
+    for r in speech:
+        by_doc_a[r["doc_id"]].append(r)
+    for v in scenes:
+        for a in by_doc_a.get(v["doc_id"], []):
+            lo = max(v["start_ms"], a["start_ms"])
+            hi = min(v["end_ms"] + 40, a["end_ms"])
+            if hi - lo >= MIN_CLIP_MS:
+                expected += 1
+    assert len(clips) == expected

@@ -114,9 +114,11 @@ BASELINE_EXT_SF01 = {
     "q501_numeric_drift_admission": 0.318,
     "q503_sketch_admission": 0.797,
     # round-8 semantic-dedup pair (idle-machine best-of-3 count();
-    # both retrain q95's k-means per run — 2 Lloyd collects dominate)
-    "q504_semdedup_cascade": 3.501,
-    "q505_semdedup_admission": 4.738,
+    # centroids come from the per-process versioned-artifact memo —
+    # _CENTROID_ARTIFACTS — so the floors price the probe, not the
+    # training collects; best-of-3 absorbs the one cold train)
+    "q504_semdedup_cascade": 1.904,
+    "q505_semdedup_admission": 3.711,
 }
 
 

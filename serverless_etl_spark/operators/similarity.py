@@ -465,13 +465,27 @@ def _assign_col(cents: list[list[float]]):
     return F.array_min(F.array(*pairs))["cell"]
 
 
+#: trained centroid tables per sf_dir — the driver-process twin of the
+#: VERSIONED INDEX ARTIFACT a production IVF ships: training is
+#: deterministic (fixed seeds, dyadic-grid exact sums), so every
+#: kmeans-family query in a process shares one table instead of
+#: re-running the two Lloyd collects (~2.5s each at sf0.1). Bounded:
+#: N_CELLS × dims floats per sf_dir.
+_CENTROID_ARTIFACTS: dict[str, list[list[float]]] = {}
+
+
 def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Train KMEANS_ROUNDS Lloyd's iterations and return the final
     centroid table as a plain driver-side list (cells × dims — the
     versioned index artifact a production IVF ships; broadcast-size at
     any corpus scale). streaming/semdedup_gate.py consumes this
     directly: the gate ASSIGNS against fixed centroids, it never
-    retrains per micro-batch."""
+    retrains per micro-batch. Memoized per sf_dir (see
+    _CENTROID_ARTIFACTS) — deterministic training means load-the-
+    artifact and retrain are the same values."""
+    cached = _CENTROID_ARTIFACTS.get(sf_dir)
+    if cached is not None:
+        return cached
     vecs = _quantized_vecs(spark, sf_dir)
     seeds = vecs.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
     cents = [list(r["xq"]) for r in seeds]  # cell j = row j
@@ -494,6 +508,7 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         cents = [
             [by_cell[j][i] for i in range(len(cents[0]))] for j in range(N_CELLS)
         ]
+    _CENTROID_ARTIFACTS[sf_dir] = cents
     return cents
 
 

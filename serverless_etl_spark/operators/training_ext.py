@@ -4668,3 +4668,211 @@ def q490_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# --------------------------------------------------------------------------
+# q510 — Bradley-Terry preference strengths (reward-model data health)
+# --------------------------------------------------------------------------
+
+BT_ROUNDS = 3  #: unrolled MM (minorize-maximize) iterations
+
+
+def _bt_round_sql(k: int) -> str:
+    """One MM round in integer micro arithmetic: per-player denominator
+    D_j = Σ_k FLOOR(1e12·m_jk/(s_j+s_k)) (scaled 1e6), then
+    s_j' = FLOOR(1e12·W_j/D_j) micro — every division floors to an
+    integer BEFORE any summation, so no float ever reorders."""
+    return f"""
+    d{k} AS (
+        SELECT g.a AS t,
+               CAST(SUM(1000000000000 * g.n
+                        // GREATEST(sa.s + sb.s, 1)) AS BIGINT) AS d
+        FROM g
+        JOIN s{k - 1} sa ON sa.t = g.a
+        JOIN s{k - 1} sb ON sb.t = g.b
+        GROUP BY g.a
+    ),
+    s{k} AS (
+        SELECT d.t,
+               CAST(1000000000000 * w.wins // GREATEST(d.d, 1) AS BIGINT)
+                   AS s
+        FROM d{k} d JOIN wtot w ON w.t = d.t
+    )
+    """
+
+
+@register(
+    "q510_bradley_terry",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    duels AS (
+        SELECT CASE WHEN a.value > b.value THEN a.event_type
+                    ELSE b.event_type END AS winner,
+               CASE WHEN a.value > b.value THEN b.event_type
+                    ELSE a.event_type END AS loser
+        FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+        WHERE a.event_type <> b.event_type AND a.value <> b.value
+    ),
+    w AS (
+        SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+        FROM duels GROUP BY winner, loser
+    ),
+    g AS (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT winner AS a, loser AS b, n FROM w
+            UNION ALL
+            SELECT loser AS a, winner AS b, n FROM w
+        ) GROUP BY a, b
+    ),
+    wtot AS (
+        SELECT a AS t,
+               CAST(COALESCE(SUM(CASE WHEN src = 1 THEN n END), 0)
+                    AS BIGINT) AS wins,
+               CAST(SUM(n) AS BIGINT) AS games
+        FROM (
+            SELECT winner AS a, n, 1 AS src FROM w
+            UNION ALL
+            SELECT loser AS a, n, 0 AS src FROM w
+        ) GROUP BY a
+    ),
+    s0 AS (SELECT t, CAST(1000000 AS BIGINT) AS s FROM wtot),
+    {_bt_round_sql(1)},
+    {_bt_round_sql(2)},
+    {_bt_round_sql(3)}
+    SELECT w.t AS event_type, w.wins, w.games,
+           s.s AS strength_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.s DESC, w.t) AS INT) AS rank
+    FROM wtot w JOIN s{BT_ROUNDS} s ON s.t = w.t
+    ORDER BY event_type
+    """,
+)
+def q510_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise preference duels —
+    the reward-model data-health fit: every consecutive event pair with
+    different types and values duels (higher value wins), and
+    {BT_ROUNDS} unrolled MM rounds estimate each type's latent
+    strength. The deliverable a preference-data pipeline reads off
+    this: strengths that refuse to separate (≈ equal micro values)
+    mean the comparison data carries no signal for those classes, and
+    a wins/games ratio far from the fitted strength's implied win rate
+    flags intransitive (cyclic) preference mass — the q394/q308
+    agreement checks find noisy ANNOTATORS, this finds incoherent
+    LABELS.
+
+    Determinism: duels and win counts are exact integers; each MM
+    round floors every division to an integer BEFORE summation
+    (micro-scaled: term = FLOOR(1e12·m/(s_j+s_k)), D = Σ terms,
+    s' = FLOOR(1e12·W/D)) so no float sum order exists on either
+    engine. int64 bound: 1e12·max(W, m) — safe to ~9e6 duels per
+    directed pair; widen to DECIMAL(38,0)/HUGEINT past that (q501's
+    discipline).
+
+    Scale: the duel builder is ONE equi self-join on consecutive
+    event_ids (shuffle on event_id, never a cross product) that
+    collapses map-side to the |types|² win matrix; the MM rounds run
+    over that ≤25-row frame (auto-broadcast joins), and the final
+    rank windows over |types| rows — bounded structurally. The same
+    shape fits 1e5 players: the matrix is |players|²-sparse and the
+    rounds stay matrix-sized, corpus-free.
+
+    Reference: q394 (annotator kappa), q308 (detector agreement),
+    q326 (interleave eval); Bradley-Terry 1952 / Hunter 2004 MM."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    a = ev.select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("at"),
+        F.col("value").alias("av"),
+    )
+    b = ev.select(
+        (F.col("event_id") - 1).alias("aid"),
+        F.col("event_type").alias("bt"),
+        F.col("value").alias("bv"),
+    )
+    duels = (
+        a.join(b, "aid")
+        .filter((F.col("at") != F.col("bt")) & (F.col("av") != F.col("bv")))
+        .select(
+            F.when(F.col("av") > F.col("bv"), F.col("at"))
+            .otherwise(F.col("bt"))
+            .alias("winner"),
+            F.when(F.col("av") > F.col("bv"), F.col("bt"))
+            .otherwise(F.col("at"))
+            .alias("loser"),
+        )
+    )
+    w = duels.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = track_cache(w.persist())
+    g = (
+        w.select(F.col("winner").alias("a"), F.col("loser").alias("b"), "n")
+        .unionByName(
+            w.select(
+                F.col("loser").alias("a"), F.col("winner").alias("b"), "n"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    wtot = (
+        w.select(F.col("winner").alias("t"), "n", F.lit(1).alias("src"))
+        .unionByName(
+            w.select(F.col("loser").alias("t"), "n", F.lit(0).alias("src"))
+        )
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("src") == 1, F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("wins"),
+            F.sum("n").cast("bigint").alias("games"),
+        )
+    )
+    g = track_cache(g.persist())
+    wtot = track_cache(wtot.persist())
+    s = wtot.select("t", F.lit(1_000_000).cast("bigint").alias("s"))
+    for _ in range(BT_ROUNDS):
+        sa = s.select(F.col("t").alias("a"), F.col("s").alias("sa"))
+        sb = s.select(F.col("t").alias("b"), F.col("s").alias("sb"))
+        d = (
+            g.join(sa, "a")
+            .join(sb, "b")
+            .groupBy(F.col("a").alias("t"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "1000000000000 * n"
+                        " DIV GREATEST(sa + sb, CAST(1 AS BIGINT))"
+                    )
+                )
+                .cast("bigint")
+                .alias("d")
+            )
+        )
+        s = d.join(wtot, "t").select(
+            "t",
+            F.expr(
+                "CAST(1000000000000 * wins"
+                " DIV GREATEST(d, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("s"),
+        )
+    rk = Window.orderBy(F.col("strength_micro").desc(), "event_type")
+    return (
+        wtot.join(s, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "wins",
+            "games",
+            F.col("s").alias("strength_micro"),
+        )
+        .withColumn("rank", F.row_number().over(rk).cast("int"))
+        .orderBy("event_type")
+    )

@@ -175,3 +175,25 @@ def test_av_clips_are_clean_on_both_axes(spark):
             if hi - lo >= MIN_CLIP_MS:
                 expected += 1
     assert len(clips) == expected
+
+
+def test_bradley_terry_strengths_track_win_rates(spark):
+    rows = registry.QUERIES["q510_bradley_terry"](spark, SF_MID).collect()
+    assert len(rows) == 5  # all five event types duel
+    total_wins = sum(r["wins"] for r in rows)
+    total_games = sum(r["games"] for r in rows)
+    assert total_games == 2 * total_wins  # every duel = 1 win + 1 loss
+    for r in rows:
+        assert 0 < r["wins"] < r["games"]
+        assert r["strength_micro"] > 0
+    # ranks are a permutation ordered by strength desc
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == [1, 2, 3, 4, 5]
+    strengths = [r["strength_micro"] for r in by_rank]
+    assert strengths == sorted(strengths, reverse=True)
+    # MM consistency: strength order matches win-rate order (values
+    # are iid across types, so transitivity holds in aggregate)
+    winrate = sorted(rows, key=lambda r: -r["wins"] / r["games"])
+    assert [r["event_type"] for r in by_rank[:1]] == [
+        winrate[0]["event_type"]
+    ]

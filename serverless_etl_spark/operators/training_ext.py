@@ -4876,3 +4876,134 @@ def q510_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rk).cast("int"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q511 — preference-cycle mass (intransitive triangles in the majority graph)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q511_preference_cycles",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    duels AS (
+        SELECT CASE WHEN a.value > b.value THEN a.event_type
+                    ELSE b.event_type END AS winner,
+               CASE WHEN a.value > b.value THEN b.event_type
+                    ELSE a.event_type END AS loser
+        FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+        WHERE a.event_type <> b.event_type AND a.value <> b.value
+    ),
+    w AS (
+        SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+        FROM duels GROUP BY winner, loser
+    ),
+    maj AS (
+        SELECT a.winner AS src, a.loser AS dst, a.n AS n_for,
+               COALESCE(b.n, 0) AS n_against
+        FROM w a LEFT JOIN w b
+            ON b.winner = a.loser AND b.loser = a.winner
+        WHERE a.n > COALESCE(b.n, 0)
+    ),
+    tri AS (
+        SELECT e1.src AS ta, e2.src AS tb, e3.src AS tc
+        FROM maj e1
+        JOIN maj e2 ON e2.src = e1.dst
+        JOIN maj e3 ON e3.src = e2.dst AND e3.dst = e1.src
+        WHERE e1.src < e2.src AND e1.src < e3.src
+    )
+    SELECT ta, tb, tc,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_cycles
+    FROM tri
+    ORDER BY ta, tb, tc
+    """,
+)
+def q511_preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intransitive preference cycles — the coherence check q510's
+    docstring promises: build the MAJORITY tournament over event
+    types (a directed edge a→b when a beats b in strictly more duels
+    than b beats a; exact ties contribute no edge) and enumerate its
+    directed 3-cycles, each reported once (rotation canonicalized to
+    the smallest lead type, the q140 convention). A transitive
+    preference system has ZERO rows here; every row is a
+    rock-paper-scissors triple no single strength scale (q510) can
+    explain — the signal to audit those classes' comparison data
+    before fitting a reward model on it.
+
+    Determinism: integer duel counts; strict-majority edges; the
+    triangle join over the ≤|types|² edge list with integer-string
+    canonicalization.
+
+    Scale: the duel builder is q510's single equi self-join collapsed
+    map-side to the |types|² win matrix; the majority graph and the
+    triangle join are matrix-sized (auto-broadcast), corpus-free —
+    q140's triangle machinery on a bounded tournament instead of the
+    user graph.
+
+    Reference: q510 (the strengths this invalidates), q140 (triangle
+    counting), q394/q308 (agreement family)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    a = ev.select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("at"),
+        F.col("value").alias("av"),
+    )
+    b = ev.select(
+        (F.col("event_id") - 1).alias("aid"),
+        F.col("event_type").alias("bt"),
+        F.col("value").alias("bv"),
+    )
+    w = (
+        a.join(b, "aid")
+        .filter((F.col("at") != F.col("bt")) & (F.col("av") != F.col("bv")))
+        .select(
+            F.when(F.col("av") > F.col("bv"), F.col("at"))
+            .otherwise(F.col("bt"))
+            .alias("winner"),
+            F.when(F.col("av") > F.col("bv"), F.col("bt"))
+            .otherwise(F.col("at"))
+            .alias("loser"),
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = track_cache(w.persist())
+    rev = w.select(
+        F.col("winner").alias("loser2"),
+        F.col("loser").alias("winner2"),
+        F.col("n").alias("n_against"),
+    )
+    maj = (
+        w.join(
+            rev,
+            (w["winner"] == rev["winner2"]) & (w["loser"] == rev["loser2"]),
+            "left",
+        )
+        .filter(F.col("n") > F.coalesce(F.col("n_against"), F.lit(0)))
+        .select(F.col("winner").alias("src"), F.col("loser").alias("dst"))
+    )
+    e1 = maj.select(F.col("src").alias("ta"), F.col("dst").alias("d1"))
+    e2 = maj.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    e3 = maj.select(F.col("src").alias("d2"), F.col("dst").alias("d3"))
+    tri = (
+        e1.join(e2, "d1")
+        .join(e3, "d2")
+        .filter(F.col("d3") == F.col("ta"))
+        .filter((F.col("ta") < F.col("d1")) & (F.col("ta") < F.col("d2")))
+        .select("ta", F.col("d1").alias("tb"), F.col("d2").alias("tc"))
+    )
+    tri = track_cache(tri.persist())
+    total = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_cycles"))
+    return (
+        tri.crossJoin(F.broadcast(total))
+        .select("ta", "tb", "tc", "n_cycles")
+        .orderBy("ta", "tb", "tc")
+    )

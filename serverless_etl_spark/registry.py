@@ -137,7 +137,7 @@ _SWEEP_PRIORITY = [
     "q504_semdedup_cascade", "q505_semdedup_admission",
     "q506_scene_cut_spans", "q507_speech_spans",
     "q508_tokenizer_fertility", "q509_av_clip_candidates",
-    "q510_bradley_terry",
+    "q510_bradley_terry", "q511_preference_cycles",
     "q217_next_purchase_labels", "q218_cohort_revenue", "q219_reco_hitrate",
     "q220_degree_distribution", "q221_weighted_jaccard",
     "q222_data_contracts", "q223_bm25", "q224_calendar_dim",

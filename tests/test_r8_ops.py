@@ -197,3 +197,46 @@ def test_bradley_terry_strengths_track_win_rates(spark):
     assert [r["event_type"] for r in by_rank[:1]] == [
         winrate[0]["event_type"]
     ]
+
+
+def test_preference_cycles_are_real_majority_triangles(spark):
+    rows = registry.QUERIES["q511_preference_cycles"](spark, SF_MID).collect()
+    if not rows:
+        return  # transitive tournament at this SF — nothing to check
+    n = rows[0]["n_cycles"]
+    assert all(r["n_cycles"] == n for r in rows)
+    assert n == len(rows)
+    # canonical form: ta is the smallest type in each rotation, and
+    # the three types are distinct
+    for r in rows:
+        assert r["ta"] < r["tb"] and r["ta"] < r["tc"]
+        assert len({r["ta"], r["tb"], r["tc"]}) == 3
+    # re-derive the majority graph independently and confirm each
+    # reported triple really is a directed cycle
+    import duckdb
+
+    edges = set(
+        duckdb.sql(
+            f"""
+            WITH ev AS (SELECT event_id, event_type, value
+                        FROM '{SF_MID}/events.parquet'
+                        WHERE value IS NOT NULL),
+            duels AS (
+                SELECT CASE WHEN a.value > b.value THEN a.event_type
+                            ELSE b.event_type END AS winner,
+                       CASE WHEN a.value > b.value THEN b.event_type
+                            ELSE a.event_type END AS loser
+                FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+                WHERE a.event_type <> b.event_type AND a.value <> b.value
+            ),
+            w AS (SELECT winner, loser, COUNT(*) AS n FROM duels GROUP BY 1, 2)
+            SELECT a.winner, a.loser FROM w a
+            LEFT JOIN w b ON b.winner = a.loser AND b.loser = a.winner
+            WHERE a.n > COALESCE(b.n, 0)
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        assert (r["ta"], r["tb"]) in edges
+        assert (r["tb"], r["tc"]) in edges
+        assert (r["tc"], r["ta"]) in edges

@@ -4295,3 +4295,374 @@ def q487_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q514 — winnowing fingerprint selection (MOSS local document sketches)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 3  #: words per k-gram
+WINNOW_W = 4  #: k-grams per winnowing window
+
+
+def _winnow_run_sql(fn: str, cmp: str) -> str:
+    """Consecutive-neighbor run length (0..W-1): how many contiguous
+    ``fn`` (lag/lead) neighbors at offsets 1..W-1 satisfy
+    ``neighbor cmp h``. Nested CASEs so a missing neighbor (NULL at a
+    partition edge) stops the run — identical semantics in Spark SQL
+    and DuckDB."""
+    expr = str(WINNOW_W - 1)
+    for off in range(WINNOW_W - 1, 0, -1):
+        expr = (
+            f"CASE WHEN {fn}(h, {off}) OVER win {cmp} h"
+            f" THEN {expr} ELSE {off - 1} END"
+        )
+    return expr
+
+
+#: a k-gram at position p is a winnowing fingerprint iff SOME full
+#: window of W consecutive k-grams elects it: left neighbors may tie
+#: (rightmost-argmin tie break — p wins ties against the left) but
+#: right neighbors must be strictly larger. With runs l (left, >=)
+#: and r (right, >), a window fits iff l + r >= W - 1.
+_WINNOW_SELECT_SQL = (
+    f"({_winnow_run_sql('lag', '>=')}) + ({_winnow_run_sql('lead', '>')})"
+    f" >= {WINNOW_W - 1}"
+)
+
+
+@register(
+    "q514_winnow_fingerprints",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+    ),
+    kg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(ws) - {WINNOW_K - 1}),
+                   i -> CAST(('0x' || substr(md5(
+                       ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   ), 1, 15)) AS BIGINT))) AS h,
+               unnest(range(len(ws) - {WINNOW_K - 1})) AS pos
+        FROM toked
+    ),
+    sel AS (
+        SELECT doc_id, pos, h,
+               {_WINNOW_SELECT_SQL} AS selected
+        FROM kg
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+           CAST(COALESCE(SUM(CASE WHEN selected THEN 1 END), 0)
+               AS BIGINT) AS n_selected,
+           CAST(1000000 * COALESCE(SUM(CASE WHEN selected THEN 1 END), 0)
+               // COUNT(*) AS BIGINT) AS density_ppm
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q514_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm) — the LOCAL document sketch the lexical
+    dedup family lacked: from every window of {WINNOW_W} consecutive
+    {WINNOW_K}-gram hashes keep the minimum (rightmost on ties), which
+    GUARANTEES any shared span of >= W + K - 1 = {WINNOW_W + WINNOW_K - 1}
+    words contributes at least one shared fingerprint while storing
+    only ~2/(W+1) of the k-grams. q41/q42 sketch GLOBALLY (MinHash:
+    good for whole-doc resemblance, blind to position), q114 cuts
+    content-defined CHUNKS; winnowing is the published middle — the
+    index behind plagiarism/contamination scanners that must catch
+    PARTIAL overlap with a bounded index. The per-doc density_ppm
+    beside the theoretical 2/(W+1) = 400000 ppm is the sketch-health
+    readout.
+
+    Determinism: the sequential window scan is replaced by a closed
+    form — position p is selected iff its run of >= left neighbors
+    plus its run of strictly-greater right neighbors spans a full
+    window (l + r >= W-1; ties resolve rightmost exactly as the
+    sequential algorithm does) — evaluated as identical nested-CASE
+    lag/lead probes in both engines over the md5-derived 60-bit
+    integer hash. No floats anywhere; the one division is a
+    non-negative integer floor.
+
+    Scale: k-gram hashes materialize ONCE per doc as an array before
+    the positional explode (Generate discipline); the selection is a
+    per-doc window (partitioned by doc_id — parallel across docs,
+    never a global sort); output is |docs| rows. The fingerprint
+    index this feeds is the SELECTED rows only — the 60% storage cut
+    is the point at 100 TB.
+
+    Reference: q41 (MinHash), q114 (CDC chunks), q34 (rolling hash);
+    Schleimer et al., SIGMOD 2003."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= WINNOW_K)
+    )
+    kg_arrays = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - WINNOW_K),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ws"), i + 1),
+                            F.element_at(F.col("ws"), i + 2),
+                            F.element_at(F.col("ws"), i + 3),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ).alias("hs"),
+    )
+    kg_arrays = track_cache(kg_arrays.persist())
+    kg = kg_arrays.select(
+        "doc_id", F.posexplode("hs").alias("pos", "h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # Spark: express the nested-CASE runs with window lag/lead columns
+    sel = kg
+    for off in range(1, WINNOW_W):
+        sel = sel.withColumn(f"lg{off}", F.lag("h", off).over(win))
+        sel = sel.withColumn(f"ld{off}", F.lead("h", off).over(win))
+    l_expr = F.lit(WINNOW_W - 1)
+    r_expr = F.lit(WINNOW_W - 1)
+    for off in range(WINNOW_W - 1, 0, -1):
+        l_expr = F.when(F.col(f"lg{off}") >= F.col("h"), l_expr).otherwise(
+            F.lit(off - 1)
+        )
+        r_expr = F.when(F.col(f"ld{off}") > F.col("h"), r_expr).otherwise(
+            F.lit(off - 1)
+        )
+    sel = sel.select(
+        "doc_id",
+        ((l_expr + r_expr) >= (WINNOW_W - 1)).alias("selected"),
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("selected"), F.lit(1))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_selected"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_selected",
+            F.expr("CAST(1000000 * n_selected DIV n_kgrams AS BIGINT)").alias(
+                "density_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q516 — FracMinHash scaled-sketch containment (sourmash-style estimate)
+# --------------------------------------------------------------------------
+
+FRAC_KEEP_CHARS = ("0", "1", "2", "3")  #: first md5 hex char → scale 1/4
+
+
+@register(
+    "q516_fracminhash_containment",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                               {CONT_FRAG_WORDS}), ' ') AS text
+        FROM documents WHERE doc_id % 10 = 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(s.sh) AS digest
+        FROM corpus,
+             LATERAL (SELECT unnest({_SHINGLES_SQL}) AS sh) s
+    ),
+    kept AS (
+        SELECT digest FROM sh GROUP BY digest
+        HAVING COUNT(DISTINCT doc_id) <= {CONT_MAX_DF}
+    ),
+    sh2 AS (SELECT sh.doc_id, sh.digest FROM sh JOIN kept USING (digest)),
+    sk AS (
+        SELECT doc_id, digest FROM sh2
+        WHERE substr(digest, 1, 1) IN
+              ({", ".join(f"'{c}'" for c in FRAC_KEEP_CHARS)})
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM sh2 GROUP BY doc_id),
+    sk_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ssz
+                 FROM sk GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sh2 a JOIN sh2 b ON a.digest = b.digest
+                              AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sk_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS sk_inter
+        FROM sk a JOIN sk b ON a.digest = b.digest
+                            AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+           CAST(1000000 * p.inter // LEAST(sa.sz, sb.sz) AS BIGINT)
+               AS exact_cont_ppm,
+           CAST(CASE WHEN LEAST(ka.ssz, kb.ssz) > 0
+                THEN 1000000 * COALESCE(sp.sk_inter, 0)
+                     // LEAST(ka.ssz, kb.ssz)
+                ELSE -1 END AS BIGINT) AS est_cont_ppm,
+           CAST(COALESCE(sp.sk_inter, 0) AS BIGINT) AS sketch_inter,
+           LEAST(ka.ssz, kb.ssz) AS sketch_min_size
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    JOIN sk_sizes ka ON ka.doc_id = p.doc_a
+    JOIN sk_sizes kb ON kb.doc_id = p.doc_b
+    LEFT JOIN sk_pairs sp ON sp.doc_a = p.doc_a AND sp.doc_b = p.doc_b
+    WHERE 1000000 * p.inter >= {int(CONT_MIN * 1000000)}
+              * LEAST(sa.sz, sb.sz)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q516_fracminhash_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FracMinHash (scaled MinHash, sourmash/Irber et al.) containment
+    estimation — the SKETCH that replaces q139's full digest index at
+    100 TB: keep only shingle digests whose first md5 hex char falls
+    in a fixed 1/4 fraction of the hash space (a deterministic,
+    MERGEABLE subsample: union/intersection commute with the cut, so
+    per-shard sketches union exactly), and estimate containment from
+    sketch overlap. This query runs the estimate BESIDE q139's exact
+    containment on the same fragment-extended corpus so the accuracy
+    cost of the 4x index cut is measured, not assumed — q121's
+    sketch-beside-exact pattern applied to the dedup index.
+
+    Determinism: the sketch membership test is a literal substring
+    probe; every containment is an integer ppm floor over exact
+    counts; pairs with an empty sketch side report est = -1 (the
+    honest "sketch too small" verdict, never a NULL-vs-0 divergence).
+
+    Scale: the exact side exists only to GRADE the estimator (at
+    production scale you run the sketch side alone); the sketch join
+    moves 1/4 of the digests, the df cap bounds fan-out before either
+    join, text never moves past the first projection. Sketch scale
+    1/S trades index size for variance ~ sqrt(S/inter) — the q436
+    curve's empirical twin on the containment axis.
+
+    Reference: q139 (exact containment), q121 (KMV beside exact),
+    q480 (LSH precision); Irber et al. 2022 (FracMinHash)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frags = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, CONT_FRAG_WORDS)
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(frags)
+    words = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    arr = track_cache(
+        words.select("doc_id", _shingles(F.col("w")).alias("shingles"))
+        .persist()
+    )
+    sh = arr.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("digest"))
+    sh = track_cache(sh.persist())
+    kept = (
+        sh.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONT_MAX_DF)
+        .select("digest")
+    )
+    sh2 = track_cache(sh.join(kept, "digest").persist())
+    sk = track_cache(
+        sh2.filter(
+            F.substring("digest", 1, 1).isin(*FRAC_KEEP_CHARS)
+        ).persist()
+    )
+    sizes = sh2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    sk_sizes = sk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ssz")
+    )
+    pairs = (
+        sh2.select(F.col("doc_id").alias("doc_a"), "digest")
+        .join(sh2.select(F.col("doc_id").alias("doc_b"), "digest"), "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sk_pairs = (
+        sk.select(F.col("doc_id").alias("doc_a"), "digest")
+        .join(sk.select(F.col("doc_id").alias("doc_b"), "digest"), "digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sk_inter"))
+    )
+    min_sz = F.least(F.col("sz_a"), F.col("sz_b"))
+    min_ssz = F.least(F.col("ssz_a"), F.col("ssz_b"))
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .join(
+            sk_sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("ssz").alias("ssz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sk_sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("ssz").alias("ssz_b")
+            ),
+            "doc_b",
+        )
+        .join(sk_pairs, ["doc_a", "doc_b"], "left")
+        .filter(
+            F.lit(1000000) * F.col("inter")
+            >= F.lit(int(CONT_MIN * 1000000)) * min_sz
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(1000000 * inter DIV LEAST(sz_a, sz_b) AS BIGINT)"
+            ).alias("exact_cont_ppm"),
+            F.when(
+                min_ssz > 0,
+                F.expr(
+                    "CAST(1000000 * COALESCE(sk_inter, 0)"
+                    " DIV LEAST(ssz_a, ssz_b) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("est_cont_ppm"),
+            F.coalesce("sk_inter", F.lit(0))
+            .cast("bigint")
+            .alias("sketch_inter"),
+            min_ssz.cast("bigint").alias("sketch_min_size"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -6228,3 +6228,231 @@ def q503_sketch_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q515 — Gopher quality rules (the published pretraining heuristic gate)
+# --------------------------------------------------------------------------
+
+#: Gopher (Rae et al. 2021, A1.1) stop-word list; a doc must contain
+#: at least GOPHER_MIN_STOPWORDS of them. One fixture adaptation:
+#: 'be' is swapped for 'a' — the synthetic vocabulary's only function
+#: words are 'the' and 'a', so the published list would pass ZERO
+#: docs (n_stop <= 1 everywhere); with 'a' in the list the rule
+#: discriminates exactly as it does on English (docs carrying both
+#: function words pass).
+GOPHER_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+#: seeded degeneracy lanes — the fixture corpus is clean word soup, so
+#: two corruption lanes are derived deterministically from doc_id
+#: (q500's seeded-corruption posture): symbol spam and non-alpha spam
+GOPHER_SYMBOL_LANE = 3   # doc_id % 11 == 3 → '###' tokens appended
+GOPHER_NONALPHA_LANE = 5  # doc_id % 13 == 5 → numeric tokens appended
+
+
+@register(
+    "q515_gopher_rules",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text ||
+               CASE WHEN doc_id % 11 = {GOPHER_SYMBOL_LANE}
+                    THEN repeat(' ###',
+                         1 + len(string_split(text, ' ')) // 8)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 13 = {GOPHER_NONALPHA_LANE}
+                    THEN repeat(' 12345',
+                         1 + len(string_split(text, ' ')) // 3)
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    toked AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM seeded
+    ),
+    feat AS (
+        SELECT doc_id, source,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> len(w)))
+                   AS BIGINT) AS sum_len,
+               CAST(COALESCE(list_sum(list_transform(ws,
+                   w -> CASE WHEN regexp_matches(w, '^[#.]+$')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_sym,
+               CAST(COALESCE(list_sum(list_transform(ws,
+                   w -> CASE WHEN regexp_matches(w, '[a-z]')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+               CAST({" + ".join(f"CASE WHEN list_contains(ws, '{s}') THEN 1 ELSE 0 END" for s in GOPHER_STOPWORDS)}
+                   AS BIGINT) AS n_stop
+        FROM toked
+    ),
+    flags AS (
+        SELECT doc_id, source, n_words,
+               CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                     AND n_words <= {GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS ok_word_count,
+               CASE WHEN sum_len >= 3 * n_words
+                     AND sum_len <= 10 * n_words
+                    THEN 1 ELSE 0 END AS ok_mean_word_len,
+               CASE WHEN 10 * n_sym <= n_words
+                    THEN 1 ELSE 0 END AS ok_symbol_ratio,
+               CASE WHEN 5 * n_alpha >= 4 * n_words
+                    THEN 1 ELSE 0 END AS ok_alpha_words,
+               CASE WHEN n_stop >= {GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS ok_stopwords
+        FROM feat
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok_word_count) AS BIGINT) AS pass_word_count,
+           CAST(SUM(ok_mean_word_len) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(ok_symbol_ratio) AS BIGINT) AS pass_symbol_ratio,
+           CAST(SUM(ok_alpha_words) AS BIGINT) AS pass_alpha_words,
+           CAST(SUM(ok_stopwords) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(ok_word_count * ok_mean_word_len * ok_symbol_ratio
+                    * ok_alpha_words * ok_stopwords) AS BIGINT)
+               AS pass_all,
+           CAST(1000000 * SUM(ok_word_count * ok_mean_word_len
+                    * ok_symbol_ratio * ok_alpha_words * ok_stopwords)
+                // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def q515_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021, Appendix A1.1) —
+    the published heuristic filter every pretraining pipeline runs
+    before model-based scoring: word-count bounds [{GOPHER_MIN_WORDS},
+    {GOPHER_MAX_WORDS}], mean word length in [3, 10], symbol-to-word
+    ratio <= 0.1, >= 80% words containing an alphabetic character, and
+    >= {GOPHER_MIN_STOPWORDS} of the canonical stop words. q32 scores
+    quality on a synthetic scale and q67 covers the repetition rule;
+    this is the rest of the published rule set, reported per source
+    (which FEED fails which rule — the upstream-fix readout, q178's
+    stance). Two corruption lanes are seeded deterministically from
+    doc_id (symbol spam on %11=={GOPHER_SYMBOL_LANE}, non-alpha spam
+    on %13=={GOPHER_NONALPHA_LANE} — q500's seeded-lane posture) so
+    the symbol and alpha rules have real positives to catch; the
+    word-count and stop-word rules discriminate naturally.
+
+    Determinism: every rule is an integer cross-multiplication over
+    exact token counts (3n <= Σlen <= 10n, 10·sym <= n, 5·alpha >=
+    4n) — no float ratio exists on either engine; stop-word presence
+    is {len(GOPHER_STOPWORDS)} array-contains probes; the regexes
+    ([#.]+, [a-z]) are RE2-safe and byte-identical.
+
+    Scale: one map-side pass — token arrays materialize once per doc
+    and every feature folds per-row inside codegen (no explode, no
+    shuffle until the |sources|-row rollup). The same plan filters
+    100 TB at scan speed; the per-doc flags (not emitted here) are the
+    curation-write composition point, q67's pattern.
+
+    Reference: q32 (quality score), q67 (repetition rule), q88/q178
+    (PII), q474 (entropy screen); Rae et al. 2021."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_orig = F.size(F.split("text", " "))
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == GOPHER_SYMBOL_LANE,
+                F.repeat(F.lit(" ###"), (1 + n_orig / F.lit(8)).cast("int")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == GOPHER_NONALPHA_LANE,
+                F.repeat(
+                    F.lit(" 12345"), (1 + n_orig / F.lit(3)).cast("int")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    toked = seeded.select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    one_if = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    feat = toked.select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.aggregate(
+            "ws", F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("sum_len"),
+        F.aggregate(
+            "ws",
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
+        ).alias("n_sym"),
+        F.aggregate(
+            "ws",
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
+        ).alias("n_alpha"),
+        reduce(
+            lambda a, b: a + b,
+            [
+                one_if(F.array_contains("ws", s)).cast("bigint")
+                for s in GOPHER_STOPWORDS
+            ],
+        ).alias("n_stop"),
+    )
+    flags = feat.select(
+        "source",
+        one_if(
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        ).alias("ok_word_count"),
+        one_if(
+            (F.col("sum_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_len") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_word_len"),
+        one_if(10 * F.col("n_sym") <= F.col("n_words")).alias(
+            "ok_symbol_ratio"
+        ),
+        one_if(5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias(
+            "ok_alpha_words"
+        ),
+        one_if(F.col("n_stop") >= GOPHER_MIN_STOPWORDS).alias(
+            "ok_stopwords"
+        ),
+    )
+    all_ok = (
+        F.col("ok_word_count")
+        * F.col("ok_mean_word_len")
+        * F.col("ok_symbol_ratio")
+        * F.col("ok_alpha_words")
+        * F.col("ok_stopwords")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ok_word_count").cast("bigint").alias("pass_word_count"),
+            F.sum("ok_mean_word_len")
+            .cast("bigint")
+            .alias("pass_mean_word_len"),
+            F.sum("ok_symbol_ratio")
+            .cast("bigint")
+            .alias("pass_symbol_ratio"),
+            F.sum("ok_alpha_words").cast("bigint").alias("pass_alpha_words"),
+            F.sum("ok_stopwords").cast("bigint").alias("pass_stopwords"),
+            F.sum(all_ok).cast("bigint").alias("pass_all"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "pass_word_count",
+            "pass_mean_word_len",
+            "pass_symbol_ratio",
+            "pass_alpha_words",
+            "pass_stopwords",
+            "pass_all",
+            F.expr("CAST(1000000 * pass_all DIV n_docs AS BIGINT)").alias(
+                "keep_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

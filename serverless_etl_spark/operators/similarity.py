@@ -4556,3 +4556,140 @@ def q491_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# q517 — nDCG@k of the IVF probe (rank-aware ANN quality, q120's sibling)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+#: dyadic-free but LITERAL discount table: both engines consume the
+#: same Python-computed integers, so no runtime log2 sits on the
+#: parity path (q147's Benford-literal discipline)
+NDCG_DISCOUNTS = tuple(
+    round(1_000_000 / _math.log2(i + 1)) for i in range(1, TOP_K + 1)
+)
+NDCG_IDCG = sum(NDCG_DISCOUNTS)
+
+
+@register(
+    "q517_ann_ndcg",
+    oracle=f"""
+    WITH {{dims}},
+    exact_dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN dims c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT query_id, cand_id
+        FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                cand_id) AS rk
+            FROM exact_dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    meta AS (SELECT vec_id, label FROM embeddings),
+    ivf_dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+        FROM dims q
+        JOIN meta qm ON qm.vec_id = q.vec_id
+        JOIN meta cm ON cm.label = qm.label AND cm.vec_id <> q.vec_id
+        JOIN dims c ON c.vec_id = cm.vec_id AND q.i = c.i
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    approx AS (
+        SELECT query_id, cand_id, rk
+        FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                cand_id) AS rk
+            FROM ivf_dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        ) WHERE rk <= {TOP_K}
+    )
+    SELECT a.query_id,
+           CAST(COUNT(e.cand_id) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE
+               {" ".join(f"WHEN e.cand_id IS NOT NULL AND a.rk = {i + 1} THEN {d}" for i, d in enumerate(NDCG_DISCOUNTS))}
+               ELSE 0 END), 0) AS BIGINT) AS dcg_micro,
+           CAST(1000000 * COALESCE(SUM(CASE
+               {" ".join(f"WHEN e.cand_id IS NOT NULL AND a.rk = {i + 1} THEN {d}" for i, d in enumerate(NDCG_DISCOUNTS))}
+               ELSE 0 END), 0) // {NDCG_IDCG} AS BIGINT) AS ndcg_ppm
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """.format(dims=_DIMS_SQL),
+)
+def q517_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{TOP_K} of the IVF probe against the exact ranking — the
+    rank-AWARE index-quality number beside q120's recall: recall says
+    how many of the true top-{TOP_K} the probe returned, nDCG says
+    WHERE it put them (a hit buried at rank {TOP_K} earns
+    {NDCG_DISCOUNTS[-1]}/{NDCG_DISCOUNTS[0]} of a rank-1 hit). The
+    pair (recall, nDCG) separates "index misses neighbors" from
+    "index finds but misorders them" — different remediations (more
+    probes vs better quantization), which is why retrieval evals
+    report both.
+
+    Determinism: the 1/log2(i+1) discounts are Python-time literal
+    integers baked into BOTH plans (the NDCG_DISCOUNTS table; q147's
+    Benford-literal discipline — no runtime log2 on the parity
+    path), relevance is binary membership in the exact top-{TOP_K},
+    so DCG is an exact integer sum and nDCG one integer ppm floor
+    against the literal IDCG {NDCG_IDCG}.
+
+    Scale: both inputs are top-k result sets (|queries| x {TOP_K}
+    rows); the underlying searches carry their own scale stories (q50
+    broadcast-stream, q51 cell probe). The eval join is tiny — run it
+    continuously on sampled queries, q120's deployment stance.
+
+    Reference: q120 (recall@k), q135 (rerank), q326 (interleave
+    eval); Järvelin & Kekäläinen 2002 (nDCG)."""
+    exact = q50_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = q51_cosine_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("cand_id").alias("a_cid"),
+        F.col("rk").alias("a_rk"),
+    )
+    disc = F.lit(0)
+    for i, d in enumerate(NDCG_DISCOUNTS):
+        disc = F.when(
+            F.col("cand_id").isNotNull() & (F.col("a_rk") == i + 1), F.lit(d)
+        ).otherwise(disc)
+    return (
+        approx.join(
+            exact,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("cand_id") == F.col("a_cid")),
+            "left",
+        )
+        .groupBy(F.col("a_qid").alias("query_id"))
+        .agg(
+            F.count("cand_id").cast("bigint").alias("n_hits"),
+            F.coalesce(F.sum(disc), F.lit(0))
+            .cast("bigint")
+            .alias("dcg_micro"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "dcg_micro",
+            F.expr(
+                f"CAST(1000000 * dcg_micro DIV {NDCG_IDCG} AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -5007,3 +5007,521 @@ def q511_preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ta", "tb", "tc", "n_cycles")
         .orderBy("ta", "tb", "tc")
     )
+
+
+# --------------------------------------------------------------------------
+# q512 — Elo rating periods (online preference-strength evolution)
+# --------------------------------------------------------------------------
+
+#: the fixture's fixed event-type vocabulary; both engines filter to
+#: exactly this set so the recursion state has a static shape (the
+#: q385 seven-slot device applied to a type dimension)
+ELO_TYPES = ("click", "error", "purchase", "signup", "view")
+ELO_START_MILLI = 1_500_000  #: every type starts at 1500.000 points
+ELO_K_MILLI = 32_000  #: K = 32 points per net game
+
+
+def _elo_expected_sql(ra: str, rb: str) -> str:
+    """USCF linear-approximation expected score in ppm:
+    clamp(0.5 + diff/800, 0, 1) with the division sign-split so
+    DuckDB's flooring ``//`` and the Python kernel's truncation
+    agree on negative diffs (milli-rating diff × 10 // 8 == ppm)."""
+    return (
+        f"LEAST(1000000, GREATEST(0, 500000 + CASE WHEN {ra} >= {rb}"
+        f" THEN ({ra} - {rb}) * 10 // 8"
+        f" ELSE -((({rb} - {ra}) * 10) // 8) END))"
+    )
+
+
+def _elo_delta_sql(t: str) -> str:
+    """Per-period milli-rating update for type ``t`` from the pivoted
+    day row ``pv`` and the frozen period-start state ``st``."""
+    others = [o for o in ELO_TYPES if o != t]
+    e_terms = " + ".join(
+        f"(pv.n_{t}_{o} + pv.n_{o}_{t}) * "
+        + _elo_expected_sql(f"st.r_{t}", f"st.r_{o}")
+        for o in others
+    )
+    wins = " + ".join(f"pv.n_{t}_{o}" for o in others)
+    num = f"({ELO_K_MILLI} * (({wins}) * 1000000 - ({e_terms})))"
+    return (
+        f"CASE WHEN {num} >= 0 THEN {num} // 1000000"
+        f" ELSE -((-{num}) // 1000000) END"
+    )
+
+
+def _elo_pivot_sql() -> str:
+    cols = []
+    for i in ELO_TYPES:
+        for j in ELO_TYPES:
+            if i == j:
+                continue
+            cols.append(
+                "CAST(COALESCE(SUM(CASE WHEN c.winner = '"
+                f"{i}' AND c.loser = '{j}' THEN c.n END), 0) AS BIGINT)"
+                f" AS n_{i}_{j}"
+            )
+    return ",\n               ".join(cols)
+
+
+_ELO_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+        SELECT event_id, event_type, value, ts FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ({", ".join(f"'{t}'" for t in ELO_TYPES)})
+    ),
+    duels AS (
+        SELECT CAST(b.ts AS DATE) AS day,
+               CASE WHEN a.value > b.value THEN a.event_type
+                    ELSE b.event_type END AS winner,
+               CASE WHEN a.value > b.value THEN b.event_type
+                    ELSE a.event_type END AS loser
+        FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+        WHERE a.event_type <> b.event_type AND a.value <> b.value
+    ),
+    cells AS (
+        SELECT day, winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+        FROM duels GROUP BY 1, 2, 3
+    ),
+    days AS (
+        SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) - 1
+                   AS i
+        FROM (SELECT DISTINCT day FROM cells)
+    ),
+    pv AS (
+        SELECT d.i,
+               {_elo_pivot_sql()}
+        FROM cells c JOIN days d ON d.day = c.day
+        GROUP BY d.i
+    ),
+    st AS (
+        SELECT CAST(-1 AS BIGINT) AS i,
+               {", ".join(f"CAST({ELO_START_MILLI} AS BIGINT) AS r_{t}" for t in ELO_TYPES)}
+        UNION ALL
+        SELECT pv.i,
+               {", ".join(f"CAST(st.r_{t} + ({_elo_delta_sql(t)}) AS BIGINT) AS r_{t}" for t in ELO_TYPES)}
+        FROM st JOIN pv ON pv.i = st.i + 1
+    ),
+    fin AS (SELECT * FROM st WHERE i = (SELECT MAX(i) FROM st)),
+    wg AS (
+        SELECT t,
+               CAST(COALESCE(SUM(CASE WHEN role = 1 THEN n END), 0)
+                   AS BIGINT) AS wins,
+               CAST(SUM(n) AS BIGINT) AS games
+        FROM (SELECT winner AS t, n, 1 AS role FROM cells
+              UNION ALL SELECT loser AS t, n, 0 AS role FROM cells)
+        GROUP BY t
+    ),
+    types(event_type) AS (
+        VALUES {", ".join(f"('{t}')" for t in ELO_TYPES)}
+    ),
+    res AS (
+        SELECT ty.event_type,
+               CAST(COALESCE(wg.wins, 0) AS BIGINT) AS wins,
+               CAST(COALESCE(wg.games, 0) AS BIGINT) AS games,
+               CASE ty.event_type
+                   {" ".join(f"WHEN '{t}' THEN fin.r_{t}" for t in ELO_TYPES)}
+               END AS rating_milli
+        FROM types ty
+        LEFT JOIN wg ON wg.t = ty.event_type
+        CROSS JOIN fin
+    )
+    SELECT event_type, wins, games, rating_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY rating_milli DESC,
+                                            event_type) AS INT) AS rank
+    FROM res ORDER BY event_type
+"""
+
+
+def _elo_tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division, matching the oracle's
+    sign-split ``//`` CASEs."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def elo_expected_ppm(ra: int, rb: int) -> int:
+    """Kernel twin of ``_elo_expected_sql`` (milli ratings → ppm)."""
+    e = 500_000 + _elo_tdiv((ra - rb) * 10, 8)
+    return min(1_000_000, max(0, e))
+
+
+def _elo_fn(pdf):
+    """Sequential rating-period recursion over the pivoted day table.
+
+    Per period: expected scores from ratings FROZEN at period start
+    (FIDE rating-period semantics), then every type's rating moves by
+    K * (actual - expected) games at once. Integer milli/ppm
+    arithmetic with truncating sign-split divisions — identical to
+    the oracle's recursive CTE, bit for bit."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    pdf = pdf.sort_values("i")
+    r = {t: ELO_START_MILLI for t in ELO_TYPES}
+    for _, row in pdf.iterrows():
+        frozen = dict(r)
+        for t in ELO_TYPES:
+            wins = 0
+            e_sum = 0
+            for o in ELO_TYPES:
+                if o == t:
+                    continue
+                n_to = int(row[f"n_{t}_{o}"])
+                n_ot = int(row[f"n_{o}_{t}"])
+                wins += n_to
+                e_sum += (n_to + n_ot) * elo_expected_ppm(
+                    frozen[t], frozen[o]
+                )
+            num = ELO_K_MILLI * (wins * 1_000_000 - e_sum)
+            r[t] += _elo_tdiv(num, 1_000_000)
+    return pd.DataFrame(
+        {
+            "event_type": list(ELO_TYPES),
+            "rating_milli": [r[t] for t in ELO_TYPES],
+        }
+    )
+
+
+@register("q512_elo_periods", oracle=_ELO_ORACLE)
+def q512_elo_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elo rating evolution over daily rating periods — the ONLINE
+    preference-strength tracker beside q510's batch Bradley-Terry
+    fit: the same consecutive-event duels (higher value wins), but
+    ratings update day by day with period-frozen expectations (FIDE
+    rating-period semantics), so a type whose win rate SHIFTS
+    mid-corpus shows it in the trajectory where q510's MM fit only
+    reports the average. The (q510 strength rank vs q512 final rank)
+    disagreement is the non-stationarity signal a preference-data
+    pipeline acts on — re-weight recent comparisons, or split the
+    annotation epochs.
+
+    Determinism: the expected score is the USCF linear approximation
+    clamp(1/2 + diff/800, 0, 1) held exactly in ppm by a sign-split
+    integer division (no 10^x / logistic on the parity path), and
+    each period's update K*(S-E) floors once per type — the Python
+    kernel and the DuckDB recursive CTE run the SAME integer
+    recursion (q377's non-associative applyInPandas pattern; the
+    per-day simultaneous update is what makes it a rating PERIOD, not
+    per-game Elo, and keeps the state |types| integers). int64 bound:
+    K_milli * games_per_day * 1e6 — safe to ~2.8e8 duels per day per
+    type; widen to DECIMAL(38,0)/HUGEINT past that (q510 discipline).
+
+    Scale: events collapse map-side to |days| x |pairs| duel cells
+    (one equi self-join on consecutive event_ids, never a cross
+    product); the pivoted day table is |days| rows x 20 columns and
+    the kernel walks it sequentially with |types| integers of state —
+    the only sequential work is over DAYS, which no 100 TB corpus
+    changes. Wins/games and the final rank window run over bounded
+    aggregates.
+
+    Reference: q510 (batch BT fit), q511 (coherence), q377 (the
+    recursion pattern); Elo 1961, USCF linear approximation."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(*ELO_TYPES)
+        )
+        .select("event_id", "event_type", "value", "ts")
+    )
+    a = ev.select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("at"),
+        F.col("value").alias("av"),
+    )
+    b = ev.select(
+        (F.col("event_id") - 1).alias("aid"),
+        F.col("event_type").alias("bt"),
+        F.col("value").alias("bv"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    duels = (
+        a.join(b, "aid")
+        .filter((F.col("at") != F.col("bt")) & (F.col("av") != F.col("bv")))
+        .select(
+            "day",
+            F.when(F.col("av") > F.col("bv"), F.col("at"))
+            .otherwise(F.col("bt"))
+            .alias("winner"),
+            F.when(F.col("av") > F.col("bv"), F.col("bt"))
+            .otherwise(F.col("at"))
+            .alias("loser"),
+        )
+    )
+    cells = duels.groupBy("day", "winner", "loser").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cells = track_cache(cells.persist())
+    days = (
+        cells.select("day")
+        .distinct()
+        .withColumn(
+            "i",
+            (F.row_number().over(Window.orderBy("day")) - 1).cast("bigint"),
+        )
+    )
+    pivot_cols = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("winner") == i) & (F.col("loser") == j),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"n_{i}_{j}")
+        for i in ELO_TYPES
+        for j in ELO_TYPES
+        if i != j
+    ]
+    pv = cells.join(days, "day").groupBy("i").agg(*pivot_cols)
+    schema = "event_type string, rating_milli bigint"
+    ratings = pv.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda _, p: _elo_fn(p), schema
+    )
+    wg = (
+        cells.select(F.col("winner").alias("t"), "n", F.lit(1).alias("role"))
+        .unionByName(
+            cells.select(F.col("loser").alias("t"), "n", F.lit(0).alias("role"))
+        )
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("role") == 1, F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("wins"),
+            F.sum("n").cast("bigint").alias("games"),
+        )
+    )
+    # literal 5-row frame via range+explode: compiles to a RangeExec
+    # leaf the window classifier proves bounded (createDataFrame would
+    # be an opaque ExistingRDD scan)
+    types_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in ELO_TYPES])).alias(
+            "event_type"
+        )
+    )
+    res = (
+        types_df.join(
+            F.broadcast(wg.withColumnRenamed("t", "event_type")),
+            "event_type",
+            "left",
+        )
+        .join(F.broadcast(ratings), "event_type")
+        .select(
+            "event_type",
+            F.coalesce("wins", F.lit(0)).cast("bigint").alias("wins"),
+            F.coalesce("games", F.lit(0)).cast("bigint").alias("games"),
+            "rating_milli",
+        )
+    )
+    rk = Window.orderBy(F.col("rating_milli").desc(), "event_type")
+    return res.withColumn(
+        "rank", F.row_number().over(rk).cast("int")
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q513 — DSIR hashed-n-gram importance weights (targeted data selection)
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  #: the in-domain exemplar feed
+DSIR_BUCKETS = 256  #: hashed-feature space = first md5 hex byte
+
+
+@register(
+    "q513_dsir_importance",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               substr(md5(unnest(list_transform(range(len(ws) - 1),
+                   i -> ws[i+1] || ' ' || ws[i+2]))), 1, 2) AS b
+        FROM toked
+    ),
+    doc_b AS (
+        SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2, 3
+    ),
+    bucket_tot AS (
+        SELECT b,
+               CAST(SUM(c) AS BIGINT) AS c_r,
+               CAST(COALESCE(SUM(CASE WHEN source =
+                   '{DSIR_TARGET_SOURCE}' THEN c END), 0) AS BIGINT)
+                   AS c_t
+        FROM doc_b GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+               CAST(SUM(c_t) AS BIGINT) AS n_t
+        FROM bucket_tot
+    ),
+    scores AS (
+        SELECT b,
+               CAST(FLOOR(1000000.0 * ln(
+                   (CAST(c_t + 1 AS DOUBLE) * (n_r + {DSIR_BUCKETS}))
+                   / (CAST(c_r + 1 AS DOUBLE) * (n_t + {DSIR_BUCKETS}))
+               )) AS BIGINT) AS t_micro
+        FROM bucket_tot CROSS JOIN tot
+    ),
+    wts AS (
+        SELECT d.doc_id, d.source,
+               CAST(SUM(d.c * s.t_micro) AS BIGINT) AS w_micro,
+               CAST(SUM(d.c) AS BIGINT) AS n_bigrams
+        FROM doc_b d JOIN scores s ON s.b = d.b
+        GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN w_micro > 0 THEN 1 END), 0)
+               AS BIGINT) AS n_target_like,
+           CAST(SUM(w_micro) AS BIGINT) AS sum_w_micro,
+           CAST(CASE WHEN SUM(w_micro) >= 0
+                THEN SUM(w_micro) // COUNT(*)
+                ELSE -((-SUM(w_micro)) // COUNT(*)) END AS BIGINT)
+               AS mean_w_micro,
+           CAST(CASE WHEN SUM(w_micro) >= 0
+                THEN SUM(w_micro) // SUM(n_bigrams)
+                ELSE -((-SUM(w_micro)) // SUM(n_bigrams)) END AS BIGINT)
+               AS rate_micro
+    FROM wts GROUP BY source ORDER BY source
+    """,
+)
+def q513_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for targeted data selection — the
+    published recipe (Xie et al. 2023, Data Selection via Importance
+    Resampling) that steers a raw crawl toward an in-domain exemplar
+    set: fit two hashed-bigram unigram-feature models (target = the
+    {DSIR_TARGET_SOURCE} feed, raw = the whole corpus), score every
+    document by its log importance ratio sum_b c_doc(b) *
+    ln(p_target(b)/p_raw(b)), and report the per-source selection
+    readout (docs whose weight is POSITIVE look more target- than
+    raw-like — the threshold-free membership call; resampling takes
+    the top mass). q160/q201/q100 decide HOW MUCH of each source to
+    keep; this is the published way to decide WHICH documents, and the
+    invariant test pins that the target source recovers itself (its
+    mean weight is the maximum).
+
+    Determinism: features are the first md5 hex byte of each bigram
+    (256 buckets, the portable hash idiom); both Laplace-smoothed
+    probabilities fold into ONE ln per bucket whose argument is the
+    identical IEEE expression tree on both engines, floored to micro
+    units (q426/q476 FLOOR-of-ln discipline); per-doc weights are then
+    exact integer dot products and every division is a sign-split
+    truncation. int64 bound: |t_micro| <= ~14e6, so w_micro is safe to
+    ~6e11 bigrams per doc; per-source sums to ~1e6 docs per source at
+    full weight — widen to DECIMAL(38,0)/HUGEINT past that.
+
+    Scale: the corpus collapses to (doc, bucket) counts map-side
+    after ONE tokenize pass (the bigram array materializes before the
+    explode — Generate discipline); bucket totals are 256 rows
+    (broadcast), per-doc weights are one doc_id-keyed aggregation with
+    map-side partials, and the readout is |sources| rows. Nothing
+    quadratic, nothing driver-side: exactly the shape DSIR runs at
+    Pile scale.
+
+    Reference: q160 (temperature mixture), q201 (budget allocation),
+    q115 (bigram LM), q365 (hashed-tier curves); Xie et al. 2023."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    bg_arrays = docs.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i + 1),
+                        F.element_at(F.col("ws"), i + 2),
+                    )
+                ),
+                1,
+                2,
+            ),
+        ).alias("bs"),
+    )
+    bg_arrays = track_cache(bg_arrays.persist())
+    doc_b = (
+        bg_arrays.select(
+            "doc_id", "source", F.explode("bs").alias("b")
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    doc_b = track_cache(doc_b.persist())
+    bucket_tot = doc_b.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("c_r"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("source") == DSIR_TARGET_SOURCE, F.col("c"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tot = bucket_tot.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    scores = bucket_tot.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                ((F.col("c_t") + 1).cast("double") * (F.col("n_r") + DSIR_BUCKETS))
+                / ((F.col("c_r") + 1).cast("double") * (F.col("n_t") + DSIR_BUCKETS))
+            )
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+    )
+    wts = (
+        doc_b.join(F.broadcast(scores), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("t_micro"))
+            .cast("bigint")
+            .alias("w_micro"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    ssdiv = (
+        "CAST(CASE WHEN {num} >= 0 THEN {num} DIV {den}"
+        " ELSE -((-{num}) DIV {den}) END AS BIGINT)"
+    )
+    return (
+        wts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("w_micro") > 0, F.lit(1))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_target_like"),
+            F.sum("w_micro").cast("bigint").alias("sum_w_micro"),
+            F.sum("n_bigrams").cast("bigint").alias("nb"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_target_like",
+            "sum_w_micro",
+            F.expr(
+                ssdiv.format(num="sum_w_micro", den="n_docs")
+            ).alias("mean_w_micro"),
+            F.expr(ssdiv.format(num="sum_w_micro", den="nb")).alias(
+                "rate_micro"
+            ),
+        )
+        .orderBy("source")
+    )

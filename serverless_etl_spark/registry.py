@@ -134,6 +134,9 @@ RECHECKS: set[str] = set()  # r8: none — q483 re-earned its green row in r7
 #: are never-sampled by construction, so the freshness ratchet stays
 #: green).
 _SWEEP_PRIORITY = [
+    "q512_elo_periods", "q513_dsir_importance",
+    "q514_winnow_fingerprints", "q515_gopher_rules",
+    "q516_fracminhash_containment", "q517_ann_ndcg",
     "q504_semdedup_cascade", "q505_semdedup_admission",
     "q506_scene_cut_spans", "q507_speech_spans",
     "q508_tokenizer_fertility", "q509_av_clip_candidates",

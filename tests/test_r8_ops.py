@@ -11,6 +11,7 @@ from serverless_etl_spark.operators.similarity import (
 )
 
 from conftest import SF_MEDIUM as SF_MID
+from conftest import SF_SMALL
 
 registry.load_all()
 
@@ -240,3 +241,279 @@ def test_preference_cycles_are_real_majority_triangles(spark):
         assert (r["ta"], r["tb"]) in edges
         assert (r["tb"], r["tc"]) in edges
         assert (r["tc"], r["ta"]) in edges
+
+
+def test_elo_periods_matches_sequential_replay(spark):
+    """Independent Python replay of the daily rating-period recursion
+    (its own expected-score and truncation code) must reproduce every
+    final rating bit-for-bit, and the zero-sum property must hold to
+    truncation slack."""
+    import duckdb
+
+    rows = registry.QUERIES["q512_elo_periods"](spark, SF_MID).collect()
+    assert len(rows) == 5
+    cells = duckdb.sql(
+        f"""
+        WITH ev AS (SELECT event_id, event_type, value, ts
+                    FROM '{SF_MID}/events.parquet'
+                    WHERE value IS NOT NULL),
+        duels AS (
+            SELECT CAST(b.ts AS DATE) AS day,
+                   CASE WHEN a.value > b.value THEN a.event_type
+                        ELSE b.event_type END AS winner,
+                   CASE WHEN a.value > b.value THEN b.event_type
+                        ELSE a.event_type END AS loser
+            FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+            WHERE a.event_type <> b.event_type AND a.value <> b.value
+        )
+        SELECT day, winner, loser, COUNT(*) AS n FROM duels
+        GROUP BY 1, 2, 3 ORDER BY day
+        """
+    ).fetchall()
+    types = sorted({r["event_type"] for r in rows})
+    by_day: dict = {}
+    for day, w, l, n in cells:
+        by_day.setdefault(day, []).append((w, l, int(n)))
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    r = {t: 1_500_000 for t in types}
+    wins_tot = collections.Counter()
+    games_tot = collections.Counter()
+    for day in sorted(by_day):
+        frozen = dict(r)
+        day_cells = by_day[day]
+        for t in types:
+            wins = sum(n for w, l, n in day_cells if w == t)
+            e_sum = 0
+            for w, l, n in day_cells:
+                if t not in (w, l):
+                    continue
+                o = l if w == t else w
+                e = 500_000 + tdiv((frozen[t] - frozen[o]) * 10, 8)
+                e_sum += n * min(1_000_000, max(0, e))
+            r[t] += tdiv(32_000 * (wins * 1_000_000 - e_sum), 1_000_000)
+        for w, l, n in day_cells:
+            wins_tot[w] += n
+            games_tot[w] += n
+            games_tot[l] += n
+    n_days = len(by_day)
+    for row in rows:
+        assert row["rating_milli"] == r[row["event_type"]]
+        assert row["wins"] == wins_tot[row["event_type"]]
+        assert row["games"] == games_tot[row["event_type"]]
+    drift = sum(row["rating_milli"] - 1_500_000 for row in rows)
+    assert abs(drift) <= 5 * n_days  # zero-sum up to per-type truncation
+    ranks = sorted(rows, key=lambda x: (-x["rating_milli"], x["event_type"]))
+    for i, row in enumerate(ranks, 1):
+        assert row["rank"] == i
+
+
+def test_dsir_target_source_recovers_itself(spark):
+    """The importance model must score the target feed highest: src0's
+    mean per-doc weight is the maximum, and the global doc count is
+    conserved."""
+    rows = registry.QUERIES["q513_dsir_importance"](spark, SF_MID).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert "src0" in by_src
+    best = max(rows, key=lambda r: r["mean_w_micro"])
+    assert best["source"] == "src0"
+    # a positive-weight doc is more target- than raw-like; the target
+    # feed should hold the highest positive share too
+    pos_share = {
+        r["source"]: r["n_target_like"] / r["n_docs"] for r in rows
+    }
+    assert pos_share["src0"] == max(pos_share.values())
+    assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_winnowing_matches_textbook_sequential_selection(spark):
+    """The closed-form l+r selection must equal the TEXTBOOK sequential
+    winnowing scan (min of every window of W, rightmost argmin on
+    ties) for every document — proving the window-probe rewrite."""
+    import duckdb
+    import hashlib
+
+    rows = registry.QUERIES["q514_winnow_fingerprints"](
+        spark, SF_SMALL
+    ).collect()
+    got = {r["doc_id"]: r for r in rows}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    K, W = 3, 4
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        if len(ws) < K:
+            assert doc_id not in got
+            continue
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(ws[i : i + K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(ws) - K + 1)
+        ]
+        selected = set()
+        for s in range(0, len(hs) - W + 1):
+            window = hs[s : s + W]
+            m = min(window)
+            # rightmost argmin
+            p = max(i for i, h in enumerate(window) if h == m) + s
+            selected.add(p)
+        row = got[doc_id]
+        assert row["n_kgrams"] == len(hs)
+        assert row["n_selected"] == len(selected)
+        assert row["density_ppm"] == 1_000_000 * len(selected) // len(hs)
+
+
+def test_winnowing_guarantee_shared_span_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a span of
+    W + K - 1 = 6 words must share at least one SELECTED fingerprint
+    hash (the property that makes the selected set a valid index)."""
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    doc_a = "one two three " + shared + " four five six"
+    doc_b = "seven eight nine ten " + shared + " eleven"
+    K, W = 3, 4
+
+    def winnow(text):
+        ws = text.split(" ")
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(ws[i : i + K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(ws) - K + 1)
+        ]
+        sel = set()
+        for s in range(0, len(hs) - W + 1):
+            window = hs[s : s + W]
+            m = min(window)
+            p = max(i for i, h in enumerate(window) if h == m) + s
+            sel.add(hs[p])
+        return sel
+
+    assert winnow(doc_a) & winnow(doc_b)
+
+
+def test_gopher_rules_seeded_lanes_are_caught(spark):
+    """The seeded symbol-spam and non-alpha-spam lanes must fail their
+    rules (and ONLY the docs in those lanes can fail them); word-count
+    and stop-word rules must discriminate naturally."""
+    import duckdb
+
+    rows = registry.QUERIES["q515_gopher_rules"](spark, SF_MID).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in (
+            "n_docs",
+            "pass_symbol_ratio",
+            "pass_alpha_words",
+            "pass_word_count",
+            "pass_stopwords",
+            "pass_all",
+        )
+    }
+    # pure-Python replay of the seeding + the symbol/alpha rules
+    # (a doc in BOTH lanes can legitimately pass the symbol rule: the
+    # numeric append grows the denominator)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_MID}/documents.parquet'"
+    ).fetchall()
+    exp_sym_fail = exp_alpha_fail = 0
+    sym_lane = alpha_lane = 0
+    for doc_id, text in docs:
+        n = len(text.split(" "))
+        words = text.split(" ")
+        if doc_id % 11 == 3:
+            sym_lane += 1
+            words = words + ["###"] * (1 + n // 8)
+        if doc_id % 13 == 5:
+            alpha_lane += 1
+            words = words + ["12345"] * (1 + n // 3)
+        n_tot = len(words)
+        n_sym = sum(1 for w in words if w and set(w) <= set("#."))
+        n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+        if 10 * n_sym > n_tot:
+            exp_sym_fail += 1
+        if 5 * n_alpha < 4 * n_tot:
+            exp_alpha_fail += 1
+    assert sym_lane and alpha_lane  # both lanes populated
+    assert tot["n_docs"] - tot["pass_symbol_ratio"] == exp_sym_fail
+    assert tot["n_docs"] - tot["pass_alpha_words"] == exp_alpha_fail
+    # the lanes actually fire: most lane docs fail their rule
+    assert exp_sym_fail >= sym_lane - 5
+    assert exp_alpha_fail >= alpha_lane - 5
+    # pass_all is the intersection: never more than the loosest rule
+    for k in (
+        "pass_symbol_ratio",
+        "pass_alpha_words",
+        "pass_word_count",
+        "pass_stopwords",
+    ):
+        assert tot["pass_all"] <= tot[k]
+    # the stop-word rule must have both passes and failures (signal)
+    assert 0 < tot["pass_stopwords"] < tot["n_docs"]
+
+
+def test_fracminhash_estimates_track_exact_containment(spark):
+    """Sketch estimates must track exact containment: full-containment
+    pairs (the seeded fragments) estimate 1.0 EXACTLY (a subset's
+    sketch is a subset), and the mean absolute error over defined
+    estimates stays under 15%."""
+    rows = registry.QUERIES["q516_fracminhash_containment"](
+        spark, SF_MID
+    ).collect()
+    assert rows
+    frag_pairs = [r for r in rows if r["doc_b"] >= 3000000]
+    assert frag_pairs, "seeded fragments must surface as pairs"
+    for r in frag_pairs:
+        if r["exact_cont_ppm"] == 1000000 and r["sketch_min_size"] > 0:
+            # fragment ⊂ source: sketch(frag) ⊆ sketch(source) exactly
+            assert r["est_cont_ppm"] == 1000000
+    defined = [r for r in rows if r["est_cont_ppm"] >= 0]
+    assert defined
+    mae = sum(
+        abs(r["est_cont_ppm"] - r["exact_cont_ppm"]) for r in defined
+    ) / len(defined)
+    assert mae < 150000, f"sketch MAE too high: {mae} ppm"
+
+
+def test_ann_ndcg_bounds_and_consistency_with_recall(spark):
+    """nDCG invariants: ndcg == 1.0 iff the probe returned the exact
+    top-k IN ORDER; ndcg <= 1; n_hits == k forces dcg == idcg only
+    when ranks align; and nDCG is 0 exactly when recall is 0."""
+    from serverless_etl_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_IDCG,
+    )
+
+    ndcg = {
+        r["query_id"]: r
+        for r in registry.QUERIES["q517_ann_ndcg"](spark, SF_MID).collect()
+    }
+    recall = {
+        r["query_id"]: r["n_hits"]
+        for r in registry.QUERIES["q120_ann_recall"](spark, SF_MID).collect()
+    }
+    assert set(ndcg) == set(recall)
+    for qid, r in ndcg.items():
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert r["n_hits"] == recall[qid]
+        assert (r["dcg_micro"] == 0) == (r["n_hits"] == 0)
+        # dcg is a sum of n_hits distinct discounts from the table
+        assert r["dcg_micro"] <= sum(
+            sorted(NDCG_DISCOUNTS, reverse=True)[: r["n_hits"]]
+        )
+        assert r["dcg_micro"] >= sum(
+            sorted(NDCG_DISCOUNTS)[: r["n_hits"]]
+        )
+        assert r["ndcg_ppm"] == 1_000_000 * r["dcg_micro"] // NDCG_IDCG

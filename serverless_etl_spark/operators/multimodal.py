@@ -1330,3 +1330,174 @@ def q509_av_clip_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "scene_id", "span_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q518 — CLIP-score alignment filter (LAION-style multimodal curation)
+# --------------------------------------------------------------------------
+
+CLIP_KEEP_MICRO = 980_000  #: keep pairs scoring >= 0.98 cosine
+CLIP_MISMATCH_LANE = 7  #: doc_id % 9 == 7 → caption swapped (seeded)
+
+
+def _clip_dim_sql(hcol: str, i: int) -> str:
+    """Dim i of the fake encoder from hex digest column ``hcol`` —
+    the SQL twin of fake_embed_batch's byte/255 - 0.5 map."""
+    a = f"(strpos('0123456789abcdef', substr({hcol}, {2 * i + 1}, 1)) - 1)"
+    b = f"(strpos('0123456789abcdef', substr({hcol}, {2 * i + 2}, 1)) - 1)"
+    return f"(({a} * 16 + {b}) / 255.0 - 0.5)"
+
+
+def _clip_chain(terms: list[str]) -> str:
+    """Left-associative + chain — the identical IEEE tree both engines
+    evaluate (never an engine-ordered SUM over rows)."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+_CLIP_DOT_SQL = _clip_chain(
+    [f"({_clip_dim_sql('ih', i)} * {_clip_dim_sql('ch', i)})" for i in range(8)]
+)
+_CLIP_NI_SQL = _clip_chain(
+    [f"({_clip_dim_sql('ih', i)} * {_clip_dim_sql('ih', i)})" for i in range(8)]
+)
+_CLIP_NC_SQL = _clip_chain(
+    [f"({_clip_dim_sql('ch', i)} * {_clip_dim_sql('ch', i)})" for i in range(8)]
+)
+
+
+@register(
+    "q518_clip_score_filter",
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, source, text FROM documents),
+    pairs AS (
+        SELECT d.doc_id, d.source,
+               md5(d.text) AS ih,
+               md5(CASE WHEN d.doc_id % 9 = {CLIP_MISMATCH_LANE}
+                        THEN COALESCE(p.text, d.text)
+                        ELSE d.text END) AS ch,
+               CASE WHEN d.doc_id % 9 = {CLIP_MISMATCH_LANE}
+                     AND p.text IS NOT NULL
+                    THEN 1 ELSE 0 END AS mismatch_lane
+        FROM d0 d LEFT JOIN d0 p ON p.doc_id = d.doc_id - 1
+    ),
+    scored AS (
+        SELECT doc_id, source, mismatch_lane,
+               CAST(ROUND(ROUND(({_CLIP_DOT_SQL})
+                   / (sqrt({_CLIP_NI_SQL}) * sqrt({_CLIP_NC_SQL})), 6)
+                   * 1000000) AS BIGINT) AS score_micro
+        FROM pairs
+    )
+    SELECT doc_id, source, score_micro,
+           CAST(mismatch_lane AS INT) AS mismatch_lane,
+           CAST(CASE WHEN score_micro >= {CLIP_KEEP_MICRO}
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q518_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score alignment filtering — the LAION recipe (Schuhmann et
+    al. 2021) that built the web-scale image-text corpora: embed the
+    image and its caption with a two-tower encoder, keep pairs whose
+    cosine clears a threshold, drop the mis-captioned rest. Here both
+    towers are the deterministic fake encoder (q81's contract — a real
+    CLIP swaps into the SAME mapInPandas slots, batch shape and schema
+    unchanged) over the fixture's payload convention (payload =
+    encoded text, caption = the text), with a seeded mis-caption lane
+    (doc_id % 9 == {CLIP_MISMATCH_LANE} takes its PREDECESSOR's
+    caption) so the filter has real negatives: matched pairs score
+    cosine 1.0 by construction, swapped captions hash to unrelated
+    vectors and land at chance.
+
+    Determinism: both engines derive each embedding dim from the same
+    md5 hex bytes (byte/255 - 0.5, q81's proven parity), and the
+    cosine evaluates as one LEFT-ASSOCIATIVE product-sum chain — never
+    an engine-ordered SUM — so dot, norms, and the rounded score are
+    bit-identical; the keep verdict compares integer micro scores.
+
+    Scale: two Arrow-batched encoder passes (the GPU-adjacent steps —
+    memory bounded by maxRecordsPerBatch, q499's advisor), one
+    doc_id-equi join between the towers, no shuffle wider than the
+    pair table. The caption-swap lane is an equi self-join on
+    doc_id - 1. At LAION scale this exact plan scored 5 B pairs.
+
+    Reference: q81 (encoder contract), q499 (batch sizing), q135
+    (two-stage retrieval); Schuhmann et al. 2021 (LAION-400M)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    partner = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ptext")
+    )
+    pairs = docs.join(partner, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("img_payload"),
+        F.encode(
+            F.when(
+                (F.col("doc_id") % 9 == CLIP_MISMATCH_LANE)
+                & F.col("ptext").isNotNull(),
+                F.col("ptext"),
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("cap_payload"),
+        F.when(
+            (F.col("doc_id") % 9 == CLIP_MISMATCH_LANE)
+            & F.col("ptext").isNotNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("mismatch_lane"),
+    )
+    img = pairs.select(
+        "doc_id", F.col("img_payload").alias("payload")
+    ).mapInPandas(
+        fake_embed_batch,
+        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(8)),
+    )
+    cap = pairs.select(
+        "doc_id", F.col("cap_payload").alias("payload")
+    ).mapInPandas(
+        fake_embed_batch,
+        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(8)),
+    )
+    img = img.select(
+        "doc_id", *[F.col(f"e{i}").alias(f"i{i}") for i in range(8)]
+    )
+    cap = cap.select(
+        "doc_id", *[F.col(f"e{i}").alias(f"c{i}") for i in range(8)]
+    )
+
+    def chain(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    dot = chain([F.col(f"i{i}") * F.col(f"c{i}") for i in range(8)])
+    ni = chain([F.col(f"i{i}") * F.col(f"i{i}") for i in range(8)])
+    nc = chain([F.col(f"c{i}") * F.col(f"c{i}") for i in range(8)])
+    score = F.round(
+        F.round(dot / (F.sqrt(ni) * F.sqrt(nc)), 6) * 1000000
+    ).cast("bigint")
+    scored = (
+        pairs.select("doc_id", "source", "mismatch_lane")
+        .join(img, "doc_id")
+        .join(cap, "doc_id")
+        .select(
+            "doc_id", "source", "mismatch_lane", score.alias("score_micro")
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        F.col("mismatch_lane").cast("int").alias("mismatch_lane"),
+        F.when(F.col("score_micro") >= CLIP_KEEP_MICRO, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    ).orderBy("doc_id")

@@ -4693,3 +4693,109 @@ def q517_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q519 — IVF cell-balance advisor (index-maintenance trigger)
+# --------------------------------------------------------------------------
+
+
+#: q519 needs the xq (dyadic-grid DOUBLE) qdims the kmeans family
+#: trains on — NOT the later integer-grid _QDIMS_SQL that shadows the
+#: name by this point in the module
+_Q519_QDIMS_SQL = """
+    qdims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS xq
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "q519_ivf_balance_advisor",
+    oracle=f"""
+    WITH {_Q519_QDIMS_SQL},
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_assign_sql("c2", "a3")},
+    cells AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM a3 GROUP BY cell
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM cells
+    )
+    SELECT CAST(cell AS INT) AS cell, n_vectors,
+           CAST(1000000 * n_vectors // total AS BIGINT) AS share_ppm,
+           CASE WHEN n_vectors * k > 2 * total THEN 'oversized'
+                WHEN 2 * n_vectors * k < total THEN 'undersized'
+                ELSE 'balanced' END AS verdict
+    FROM cells CROSS JOIN tot
+    ORDER BY cell
+    """,
+)
+def q519_ivf_balance_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit — the index-MAINTENANCE trigger the
+    learned-cell family (q95 train, q97 probe, q481 tuning, q504/q505
+    dedup) needs in production: assign the corpus against the trained
+    centroid artifact and grade every cell's population. An oversized
+    cell (>2x the mean) makes its probes quadratic-expensive (every
+    within-cell scan pays |cell|), an undersized one (<1/2 mean)
+    wastes a probe slot and signals a dead centroid — either verdict
+    means SPLIT / MERGE / RETRAIN before the imbalance compounds, the
+    vector-index twin of q234's partition advisor and q144's key-skew
+    profile (there keyed shuffles, here probe latency).
+
+    Determinism: assignment is the exact dyadic-grid distance argmin
+    (q95's device — FLOOR-quantized distances, cell-id tie-break,
+    identical on both engines); populations are exact counts and both
+    verdict thresholds are integer cross-multiplications (n*k vs
+    2*total) — no mean is ever materialized as a float.
+
+    Scale: ONE corpus pass assigns (centroids are a driver-held
+    broadcast literal — the versioned artifact, memoized per sf_dir),
+    the audit table is |cells| rows, the one-row total broadcasts
+    back. At a billion vectors this is the same plan; the expensive
+    thing it PREVENTS is the skewed probe, not the audit.
+
+    Reference: q95 (training), q504 (cell consumer), q234 (partition
+    advisor), q144 (skew profile)."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    cells = (
+        vecs.withColumn("cell", assign)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    tot = cells.agg(
+        F.sum("n_vectors").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vectors",
+            F.expr("CAST(1000000 * n_vectors DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.when(
+                F.col("n_vectors") * F.col("k") > 2 * F.col("total"),
+                F.lit("oversized"),
+            )
+            .when(
+                2 * F.col("n_vectors") * F.col("k") < F.col("total"),
+                F.lit("undersized"),
+            )
+            .otherwise(F.lit("balanced"))
+            .alias("verdict"),
+        )
+        .orderBy("cell")
+    )

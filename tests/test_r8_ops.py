@@ -517,3 +517,50 @@ def test_ann_ndcg_bounds_and_consistency_with_recall(spark):
             sorted(NDCG_DISCOUNTS)[: r["n_hits"]]
         )
         assert r["ndcg_ppm"] == 1_000_000 * r["dcg_micro"] // NDCG_IDCG
+
+
+def test_clip_filter_separates_matched_from_swapped(spark):
+    """Matched pairs score exactly 1.0 (same md5 → same fake
+    embedding); the seeded caption-swap lane lands at chance and is
+    (almost entirely) dropped, never the matched mass."""
+    rows = registry.QUERIES["q518_clip_score_filter"](spark, SF_MID).collect()
+    assert len(rows) == 500
+    matched = [r for r in rows if r["mismatch_lane"] == 0]
+    swapped = [r for r in rows if r["mismatch_lane"] == 1]
+    assert swapped, "mismatch lane not populated"
+    for r in matched:
+        assert r["score_micro"] == 1_000_000
+        assert r["kept"] == 1
+    # random 8-dim md5 cosines essentially never clear 0.98
+    leaked = [r for r in swapped if r["kept"] == 1]
+    assert len(leaked) <= max(1, len(swapped) // 20)
+    # and the lane is exactly doc_id % 9 == 7 (doc 0's predecessor
+    # does not exist, but 0 % 9 != 7 anyway at this fixture)
+    for r in rows:
+        assert r["mismatch_lane"] == (1 if r["doc_id"] % 9 == 7 else 0)
+
+
+def test_ivf_balance_advisor_conserves_and_grades(spark):
+    from serverless_etl_spark.operators.similarity import (
+        _kmeans_assignment,
+        N_CELLS,
+    )
+
+    rows = registry.QUERIES["q519_ivf_balance_advisor"](
+        spark, SF_MID
+    ).collect()
+    assert 0 < len(rows) <= N_CELLS
+    total = sum(r["n_vectors"] for r in rows)
+    k = len(rows)
+    # population conserved against an independent assignment count
+    vecs, assign = _kmeans_assignment(spark, SF_MID)
+    assert total == vecs.count()
+    # verdicts re-derivable from the counts
+    for r in rows:
+        if r["n_vectors"] * k > 2 * total:
+            assert r["verdict"] == "oversized"
+        elif 2 * r["n_vectors"] * k < total:
+            assert r["verdict"] == "undersized"
+        else:
+            assert r["verdict"] == "balanced"
+        assert r["share_ppm"] == 1_000_000 * r["n_vectors"] // total

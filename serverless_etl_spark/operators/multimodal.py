@@ -1368,6 +1368,53 @@ _CLIP_NC_SQL = _clip_chain(
 )
 
 
+def clip_score_pairs(pairs: DataFrame, passthrough: list[str]) -> DataFrame:
+    """The shared two-tower CLIP-score judge: given (doc_id,
+    img_payload, cap_payload, *passthrough) rows, run both fake
+    encoders (Arrow-batched — a real CLIP swaps into the same slots)
+    and emit (doc_id, *passthrough, score_micro) with the cosine
+    evaluated as one LEFT-ASSOCIATIVE chain — the identical IEEE tree
+    the DuckDB oracles re-derive. q518 and streaming/clipscore_gate.py
+    call THIS function, so stream ≡ batch is one code path."""
+    img = pairs.select(
+        "doc_id", F.col("img_payload").alias("payload")
+    ).mapInPandas(
+        fake_embed_batch,
+        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(8)),
+    )
+    cap = pairs.select(
+        "doc_id", F.col("cap_payload").alias("payload")
+    ).mapInPandas(
+        fake_embed_batch,
+        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(8)),
+    )
+    img = img.select(
+        "doc_id", *[F.col(f"e{i}").alias(f"i{i}") for i in range(8)]
+    )
+    cap = cap.select(
+        "doc_id", *[F.col(f"e{i}").alias(f"c{i}") for i in range(8)]
+    )
+
+    def chain(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    dot = chain([F.col(f"i{i}") * F.col(f"c{i}") for i in range(8)])
+    ni = chain([F.col(f"i{i}") * F.col(f"i{i}") for i in range(8)])
+    nc = chain([F.col(f"c{i}") * F.col(f"c{i}") for i in range(8)])
+    score = F.round(
+        F.round(dot / (F.sqrt(ni) * F.sqrt(nc)), 6) * 1000000
+    ).cast("bigint")
+    return (
+        pairs.select("doc_id", *passthrough)
+        .join(img, "doc_id")
+        .join(cap, "doc_id")
+        .select("doc_id", *passthrough, score.alias("score_micro"))
+    )
+
+
 @register(
     "q518_clip_score_filter",
     oracle=f"""
@@ -1452,45 +1499,7 @@ def q518_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("mismatch_lane"),
     )
-    img = pairs.select(
-        "doc_id", F.col("img_payload").alias("payload")
-    ).mapInPandas(
-        fake_embed_batch,
-        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(8)),
-    )
-    cap = pairs.select(
-        "doc_id", F.col("cap_payload").alias("payload")
-    ).mapInPandas(
-        fake_embed_batch,
-        schema="doc_id long, " + ", ".join(f"e{i} double" for i in range(8)),
-    )
-    img = img.select(
-        "doc_id", *[F.col(f"e{i}").alias(f"i{i}") for i in range(8)]
-    )
-    cap = cap.select(
-        "doc_id", *[F.col(f"e{i}").alias(f"c{i}") for i in range(8)]
-    )
-
-    def chain(cols):
-        out = cols[0]
-        for c in cols[1:]:
-            out = out + c
-        return out
-
-    dot = chain([F.col(f"i{i}") * F.col(f"c{i}") for i in range(8)])
-    ni = chain([F.col(f"i{i}") * F.col(f"i{i}") for i in range(8)])
-    nc = chain([F.col(f"c{i}") * F.col(f"c{i}") for i in range(8)])
-    score = F.round(
-        F.round(dot / (F.sqrt(ni) * F.sqrt(nc)), 6) * 1000000
-    ).cast("bigint")
-    scored = (
-        pairs.select("doc_id", "source", "mismatch_lane")
-        .join(img, "doc_id")
-        .join(cap, "doc_id")
-        .select(
-            "doc_id", "source", "mismatch_lane", score.alias("score_micro")
-        )
-    )
+    scored = clip_score_pairs(pairs, ["source", "mismatch_lane"])
     return scored.select(
         "doc_id",
         "source",
@@ -1501,3 +1510,94 @@ def q518_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q522 — batch oracle twin of the streaming CLIP-score admission gate
+# --------------------------------------------------------------------------
+
+CLIP_GATE_BATCHES = 3
+
+
+@register(
+    "q522_clip_admission",
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, source, text FROM documents),
+    pairs AS (
+        SELECT d.doc_id, d.doc_id % {CLIP_GATE_BATCHES} AS batch_id,
+               md5(d.text) AS ih,
+               md5(CASE WHEN d.doc_id % 9 = {CLIP_MISMATCH_LANE}
+                        THEN COALESCE(p.text, d.text)
+                        ELSE d.text END) AS ch
+        FROM d0 d LEFT JOIN d0 p ON p.doc_id = d.doc_id - 1
+    ),
+    scored AS (
+        SELECT batch_id,
+               CASE WHEN CAST(ROUND(ROUND(({_CLIP_DOT_SQL})
+                   / (sqrt({_CLIP_NI_SQL}) * sqrt({_CLIP_NC_SQL})), 6)
+                   * 1000000) AS BIGINT) >= {CLIP_KEEP_MICRO}
+                    THEN 1 ELSE 0 END AS kept
+        FROM pairs
+    )
+    SELECT batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_quarantined
+    FROM scored GROUP BY batch_id ORDER BY batch_id
+    """,
+)
+def q522_clip_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle twin of the streaming CLIP-score admission gate
+    (streaming/clipscore_gate.py): replay the corpus as
+    {CLIP_GATE_BATCHES} pmod micro-batches with q518's caption-swap
+    lane and emit each batch's admission ledger — the per-batch
+    (n_pairs, n_kept, n_quarantined) row the gate records at the
+    door. The gate-twin pattern (q492-q503, q505): the STREAM side is
+    pinned equal to this query in tests/test_clipscore_gate.py, and
+    THIS side hash-matches DuckDB re-deriving every cosine verdict —
+    so the streaming surface inherits a full oracle through one
+    equality chain.
+
+    Determinism: the judge is q518's (shared code path —
+    clip_score_pairs); scores are integer micro cosines from the
+    left-associative chain; the ledger is exact counts.
+
+    Scale: the gate scores only the arriving batch; this twin scores
+    the whole replay in one plan (batch_id is a map-side pmod — no
+    per-batch rescans).
+
+    Reference: q518 (the filter), streaming/clipscore_gate.py (the
+    door), q502/q505 (the twin pattern)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    partner = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ptext")
+    )
+    pairs = docs.join(partner, "doc_id", "left").select(
+        "doc_id",
+        (F.col("doc_id") % CLIP_GATE_BATCHES).alias("batch_id"),
+        F.encode("text", "UTF-8").alias("img_payload"),
+        F.encode(
+            F.when(
+                (F.col("doc_id") % 9 == CLIP_MISMATCH_LANE)
+                & F.col("ptext").isNotNull(),
+                F.col("ptext"),
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("cap_payload"),
+    )
+    scored = clip_score_pairs(pairs, ["batch_id"])
+    kept = F.when(
+        F.col("score_micro") >= CLIP_KEEP_MICRO, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        scored.select("batch_id", kept.alias("kept"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(1 - F.col("kept")).cast("bigint").alias("n_quarantined"),
+        )
+        .orderBy("batch_id")
+    )

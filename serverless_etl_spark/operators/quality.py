@@ -6456,3 +6456,164 @@ def q515_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q521 — Luhn checksum screen (payment-card PII the regexes can't confirm)
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _luhn_check_digit(d15: str) -> str:
+    """Standard Luhn check digit for a 15-digit prefix."""
+    total = 0
+    for i, ch in enumerate(reversed(d15)):
+        v = int(ch)
+        if i % 2 == 0:  # rightmost prefix digit doubles (check appended)
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return str((10 - total % 10) % 10)
+
+
+def _seed_card(tag: str, valid: bool) -> str:
+    d15 = "".join(
+        str(int(c, 16) % 10)
+        for c in _hashlib.md5(tag.encode()).hexdigest()[:15]
+    )
+    chk = _luhn_check_digit(d15)
+    if not valid:
+        chk = str((int(chk) + 1) % 10)
+    return d15 + chk
+
+
+#: Python-time literal card-shaped tokens (2 Luhn-valid, 2 broken) —
+#: appended to seeded lanes so the screen has both true positives and
+#: the checksum-failing lookalikes a bare \\d{16} regex cannot reject
+LUHN_VALID_CARDS = (_seed_card("card|v0", True), _seed_card("card|v1", True))
+LUHN_FAKE_CARDS = (_seed_card("card|f0", False), _seed_card("card|f1", False))
+LUHN_VALID_LANE = 4  #: doc_id % 17 == 4 → a valid card appended
+LUHN_FAKE_LANE = 6  #: doc_id % 19 == 6 → a checksum-failing token
+
+
+def _luhn_sum_sql(tok: str) -> str:
+    """Unrolled Luhn sum for a 13-19 digit token column — identical
+    Spark-SQL / DuckDB text (substr + CASE + CAST only)."""
+    terms = []
+    for p in range(1, 20):
+        d = f"CAST(substr({tok}, {p}, 1) AS INT)"
+        doubled = f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+        terms.append(
+            f"(CASE WHEN {p} <= length({tok}) THEN "
+            f"CASE WHEN (length({tok}) - {p}) % 2 = 0 THEN {d} "
+            f"ELSE {doubled} END ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_LUHN_SEED_CASE = f"""
+        CASE WHEN doc_id % 17 = {LUHN_VALID_LANE}
+             THEN ' ' || (CASE WHEN doc_id % 2 = 0
+                          THEN '{LUHN_VALID_CARDS[0]}'
+                          ELSE '{LUHN_VALID_CARDS[1]}' END)
+             ELSE '' END ||
+        CASE WHEN doc_id % 19 = {LUHN_FAKE_LANE}
+             THEN ' ' || (CASE WHEN doc_id % 2 = 0
+                          THEN '{LUHN_FAKE_CARDS[0]}'
+                          ELSE '{LUHN_FAKE_CARDS[1]}' END)
+             ELSE '' END
+"""
+
+
+@register(
+    "q521_luhn_screen",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || {_LUHN_SEED_CASE} AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM seeded
+    ),
+    cand AS (
+        SELECT doc_id, source, tok,
+               CASE WHEN {_luhn_sum_sql("tok")} % 10 = 0
+                    THEN 1 ELSE 0 END AS luhn_ok
+        FROM toks
+        WHERE regexp_matches(tok, '^[0-9]{{13,19}}$')
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(luhn_ok) AS BIGINT) AS n_valid_cards,
+           CAST(SUM(1 - luhn_ok) AS BIGINT) AS n_checksum_fails,
+           CAST(COUNT(DISTINCT CASE WHEN luhn_ok = 1 THEN doc_id END)
+               AS BIGINT) AS docs_affected
+    FROM cand GROUP BY source ORDER BY source
+    """,
+)
+def q521_luhn_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card screening with CHECKSUM validation — the PII class
+    where a regex alone over-fires: any 13-19 digit run matches
+    \\d{{13,19}}, but only a Luhn-valid run is plausibly a real card
+    (ISO/IEC 7812 — the mod-10 double-every-second-digit checksum all
+    issuers use). q88/q178 regex-match emails and phones, q474 finds
+    high-entropy keys; this adds the VALIDATED lane: candidate digit
+    runs split into Luhn-valid (report, redact, page someone) vs
+    checksum-failing lookalikes (order ids, timestamps — log only).
+    Two lanes are seeded deterministically (a Python-literal valid
+    card on doc_id % 17 == {LUHN_VALID_LANE}, a checksum-broken twin
+    on % 19 == {LUHN_FAKE_LANE}) so BOTH verdicts have truth to match
+    — the screen must separate them exactly.
+
+    Determinism: the Luhn sum is one unrolled 19-term integer CASE
+    expression over substr/CAST — the identical generated SQL text
+    runs on both engines; no regex backtracking (RE2-safe anchored
+    digit class), no floats anywhere.
+
+    Scale: map-side — tokens explode from a per-row split, the digit
+    filter prunes ~everything before the checksum expression, output
+    collapses to |sources| rows. At 100 TB this rides the same scan
+    as q88's redaction pass (one fused projection, q249's stance).
+
+    Reference: q88 (regex PII), q474 (entropy secrets), q178
+    (scorecard); ISO/IEC 7812 / Luhn 1960."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.expr(_LUHN_SEED_CASE)).alias("text"),
+    )
+    toks = seeded.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cand = toks.filter(F.col("tok").rlike("^[0-9]{13,19}$")).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.expr(_luhn_sum_sql("tok")) % 10 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("luhn_ok"),
+    )
+    return (
+        cand.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("luhn_ok").cast("bigint").alias("n_valid_cards"),
+            F.sum(1 - F.col("luhn_ok"))
+            .cast("bigint")
+            .alias("n_checksum_fails"),
+            F.countDistinct(
+                F.when(F.col("luhn_ok") == 1, F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+        .orderBy("source")
+    )

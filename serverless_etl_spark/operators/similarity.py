@@ -4799,3 +4799,195 @@ def q519_ivf_balance_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# q520 — Johnson-Lindenstrauss ±1 projection with distortion audit
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+JL_OUT_DIMS = 8
+JL_IN_DIMS = 64
+JL_PAIR_IDS = 64  #: audit pairs drawn from vec_id < 64 (bounded 2016)
+
+#: deterministic ±1 projection matrix (Achlioptas 2001: Rademacher
+#: entries satisfy the JL lemma) — derived from md5 at Python time so
+#: BOTH engines consume the same literal signs
+JL_SIGNS = tuple(
+    tuple(
+        1 if int(_hashlib.md5(f"jl|{r}|{c}".encode()).hexdigest()[0], 16) < 8
+        else -1
+        for c in range(JL_IN_DIMS)
+    )
+    for r in range(JL_OUT_DIMS)
+)
+
+
+def _jl_row_sql(r: int) -> str:
+    """Projected coordinate r over integer grid columns x1..x8."""
+    terms = [
+        f"({'' if JL_SIGNS[r][c] == 1 else '-'}x{c + 1})"
+        for c in range(JL_IN_DIMS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "q520_jl_projection_audit",
+    oracle=f"""
+    WITH ints AS (
+        SELECT vec_id,
+               {", ".join(
+                   f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 4096)"
+                   f" AS BIGINT) AS x{i + 1}"
+                   for i in range(JL_IN_DIMS)
+               )}
+        FROM embeddings WHERE vec_id < {JL_PAIR_IDS}
+    ),
+    proj AS (
+        SELECT vec_id,
+               {", ".join(f"CAST({_jl_row_sql(r)} AS BIGINT) AS y{r + 1}" for r in range(JL_OUT_DIMS))}
+        FROM ints
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {" + ".join(f"(a.x{i + 1} - b.x{i + 1}) * (a.x{i + 1} - b.x{i + 1})" for i in range(JL_IN_DIMS))}
+                   AS d2,
+               {" + ".join(f"(pa.y{r + 1} - pb.y{r + 1}) * (pa.y{r + 1} - pb.y{r + 1})" for r in range(JL_OUT_DIMS))}
+                   AS rd2
+        FROM ints a
+        JOIN ints b ON b.vec_id > a.vec_id
+        JOIN proj pa ON pa.vec_id = a.vec_id
+        JOIN proj pb ON pb.vec_id = b.vec_id
+    )
+    SELECT va, vb, CAST(d2 AS BIGINT) AS d2, CAST(rd2 AS BIGINT) AS rd2,
+           CAST(CASE WHEN d2 > 0
+                THEN 1000000 * rd2 // ({JL_OUT_DIMS} * d2)
+                ELSE -1 END AS BIGINT) AS ratio_ppm
+    FROM pairs ORDER BY va, vb
+    """,
+)
+def q520_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a measured
+    distortion audit — the cheapest published dimensionality cut
+    (Achlioptas 2001: a ±1 Rademacher matrix satisfies the JL lemma;
+    no gaussians, no floats): project the {JL_IN_DIMS}-dim embeddings
+    to {JL_OUT_DIMS} dims with a deterministic md5-derived sign
+    matrix, then report every audit pair's squared-distance ratio
+    rd2/({JL_OUT_DIMS}·d2) — expectation exactly 1 under the lemma.
+    q363 (PQ) and q357 (matryoshka truncation) are the learned and
+    prefix compressions; JL is the data-INDEPENDENT one — it needs no
+    training pass over 100 TB, the property that matters when the
+    index must exist before the first full scan finishes.
+
+    Determinism: on the 2^-12 integer grid a ±1 projection is a sum
+    of integers — exact; both squared distances and the ratio are
+    pure BIGINT arithmetic (zero-distance pairs report -1, never a
+    NULL/div0 divergence). int64 bound: |y| <= 8·4096·scale, rd2 well
+    inside bigint at any embedding magnitude the fixture grid allows.
+
+    Scale: the projection is map-side (one fused expression per row —
+    at 100 TB it rides the ingest scan); only the AUDIT is quadratic
+    and it runs on the bounded vec_id < {JL_PAIR_IDS} sample, the
+    q120/q491 evaluate-on-a-sample stance.
+
+    Reference: q363 (PQ), q357 (matryoshka), q69 (hyperplane LSH —
+    the 1-bit extreme of the same idea); Achlioptas 2001."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < JL_PAIR_IDS
+    )
+    ints = emb.select(
+        "vec_id",
+        *[
+            F.floor(
+                F.element_at(_vec_double(), i + 1) * 4096
+            )
+            .cast("bigint")
+            .alias(f"x{i + 1}")
+            for i in range(JL_IN_DIMS)
+        ],
+    )
+
+    def chain(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    proj = ints.select(
+        "vec_id",
+        *[
+            chain(
+                [
+                    (
+                        F.col(f"x{c + 1}")
+                        if JL_SIGNS[r][c] == 1
+                        else -F.col(f"x{c + 1}")
+                    )
+                    for c in range(JL_IN_DIMS)
+                ]
+            )
+            .cast("bigint")
+            .alias(f"y{r + 1}")
+            for r in range(JL_OUT_DIMS)
+        ],
+    )
+    a = ints.select(
+        F.col("vec_id").alias("va"),
+        *[F.col(f"x{i + 1}").alias(f"ax{i + 1}") for i in range(JL_IN_DIMS)],
+    )
+    b = ints.select(
+        F.col("vec_id").alias("vb"),
+        *[F.col(f"x{i + 1}").alias(f"bx{i + 1}") for i in range(JL_IN_DIMS)],
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("va"),
+        *[F.col(f"y{r + 1}").alias(f"ay{r + 1}") for r in range(JL_OUT_DIMS)],
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"),
+        *[F.col(f"y{r + 1}").alias(f"by{r + 1}") for r in range(JL_OUT_DIMS)],
+    )
+    d2 = chain(
+        [
+            (F.col(f"ax{i + 1}") - F.col(f"bx{i + 1}"))
+            * (F.col(f"ax{i + 1}") - F.col(f"bx{i + 1}"))
+            for i in range(JL_IN_DIMS)
+        ]
+    )
+    rd2 = chain(
+        [
+            (F.col(f"ay{r + 1}") - F.col(f"by{r + 1}"))
+            * (F.col(f"ay{r + 1}") - F.col(f"by{r + 1}"))
+            for r in range(JL_OUT_DIMS)
+        ]
+    )
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vb") > F.col("va"))
+        .join(F.broadcast(pa), "va")
+        .join(F.broadcast(pb), "vb")
+        .select(
+            "va",
+            "vb",
+            d2.cast("bigint").alias("d2"),
+            rd2.cast("bigint").alias("rd2"),
+        )
+        .select(
+            "va",
+            "vb",
+            "d2",
+            "rd2",
+            F.when(
+                F.col("d2") > 0,
+                F.expr(
+                    f"CAST(1000000 * rd2 DIV ({JL_OUT_DIMS} * d2) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("ratio_ppm"),
+        )
+        .orderBy("va", "vb")
+    )

@@ -1,0 +1,127 @@
+"""Streaming CLIP-score admission gate: every micro-batch of
+(image payload, caption) pairs is scored by the SAME two-tower judge
+q518 runs in batch (operators/multimodal.clip_score_pairs — a real
+CLIP swaps into its mapInPandas slots), and pairs clearing the
+threshold land in the admitted table while mis-captioned pairs are
+quarantined — LAION's filter moved to the ingest door, where a
+multimodal crawl needs it (rejecting a pair AFTER it reaches the
+training store is q164's retroactive purge; rejecting it here is one
+partition write).
+
+Exactly-once: the gate keeps NO cross-batch state (each pair scores
+alone), so replay safety reduces to the three outputs, all partitioned
+by batch_id and written with dynamic overwrite (drift_gate's stateless
+contract) — a re-executed micro-batch rewrites its own partitions with
+identical bytes because the judge is deterministic integer micro
+scores.
+
+Stream ≡ batch: q522_clip_admission replays the corpus as the same
+pmod batches and re-derives every ledger row in DuckDB;
+tests/test_clipscore_gate.py pins the gate's recorded ledger equal to
+q522's output and the admitted/quarantined row sets equal to the
+judge's batch verdicts, plus fresh-checkpoint replay idempotence.
+
+Scale: per batch, two Arrow-batched encoder passes and one
+doc_id-equi join (q518's plan) — no shuffle wider than the batch, no
+state to compact. The threshold is the q491-calibrated knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import CLIP_KEEP_MICRO, clip_score_pairs
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+PAIR_SCHEMA = "doc_id BIGINT, source STRING, text STRING, caption STRING"
+LEDGER_SCHEMA = (
+    "n_pairs BIGINT, n_kept BIGINT, n_quarantined BIGINT, batch_id BIGINT"
+)
+
+
+def judge_pairs(batch: DataFrame) -> DataFrame:
+    """Score a (doc_id, source, text, caption) frame with the shared
+    two-tower judge; adds score_micro and the kept verdict."""
+    pairs = batch.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("img_payload"),
+        F.encode("caption", "UTF-8").alias("cap_payload"),
+    )
+    scored = clip_score_pairs(pairs, ["source"])
+    return scored.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        F.when(F.col("score_micro") >= CLIP_KEEP_MICRO, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+def clip_gate_writer(admit_dir: str, quarantine_dir: str, ledger_dir: str):
+    """foreachBatch hook: judge, split, ledger — all three outputs
+    batch_id-partitioned with dynamic overwrite (replay rewrites
+    identical bytes; the judge is stateless and deterministic)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        verdicts = judge_pairs(batch).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        verdicts = verdicts.persist()
+        try:
+            _dynamic_overwrite(
+                verdicts.filter(F.col("kept") == 1).drop("kept"), admit_dir
+            )
+            _dynamic_overwrite(
+                verdicts.filter(F.col("kept") == 0).drop("kept"),
+                quarantine_dir,
+            )
+            ledger = verdicts.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.coalesce(F.sum("kept"), F.lit(0))
+                .cast("bigint")
+                .alias("n_kept"),
+                F.coalesce(F.sum(1 - F.col("kept")), F.lit(0))
+                .cast("bigint")
+                .alias("n_quarantined"),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+            _dynamic_overwrite(ledger, ledger_dir)
+        finally:
+            verdicts.unpersist()
+
+    return _write
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return _read_or_empty(spark, ledger_dir, LEDGER_SCHEMA)
+
+
+def run_clip_gate(
+    spark: SparkSession,
+    source_dir: str,
+    admit_dir: str,
+    quarantine_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available pair files (availableNow) through the judge.
+    maxFilesPerTrigger defaults to 1 so each dropped file is one
+    ledger row (drift_gate's stance)."""
+    reader = spark.readStream.schema(PAIR_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            clip_gate_writer(admit_dir, quarantine_dir, ledger_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

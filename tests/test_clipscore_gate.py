@@ -1,0 +1,122 @@
+"""Streaming CLIP-score admission gate (streaming/clipscore_gate.py):
+stream ≡ batch parity against q522's oracle-checked ledger (same
+judge, same pmod batches), the seeded caption-swap lane quarantined
+while matched pairs admit, and fresh-checkpoint replay rewriting
+identical ledger rows (stateless gate + batch_id dynamic overwrite)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.multimodal import (
+    CLIP_GATE_BATCHES,
+    CLIP_MISMATCH_LANE,
+)
+from serverless_etl_spark.streaming.clipscore_gate import (
+    read_ledger,
+    run_clip_gate,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def _setup(spark, tmp_path):
+    """One stream file per pmod batch, captions derived exactly as
+    q518/q522 derive them (swap lane takes the predecessor's text)."""
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    }
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(CLIP_GATE_BATCHES):
+        with open(src / f"part-{b}.json", "w") as f:
+            for doc_id in sorted(docs):
+                if doc_id % CLIP_GATE_BATCHES != b:
+                    continue
+                r = docs[doc_id]
+                caption = r["text"]
+                if doc_id % 9 == CLIP_MISMATCH_LANE and doc_id - 1 in docs:
+                    caption = docs[doc_id - 1]["text"]
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "source": r["source"],
+                            "text": r["text"],
+                            "caption": caption,
+                        }
+                    )
+                    + "\n"
+                )
+    return src
+
+
+def _run(spark, tmp_path, src):
+    run_clip_gate(
+        spark,
+        str(src),
+        str(tmp_path / "admit"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def test_clip_gate_ledger_matches_batch_twin(spark, tmp_path):
+    src = _setup(spark, tmp_path)
+    _run(spark, tmp_path, src)
+    got = {
+        r["batch_id"]: r
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    }
+    # file b drains as micro-batch b (maxFilesPerTrigger=1, name order)
+    want = {
+        r["batch_id"]: r
+        for r in registry.QUERIES["q522_clip_admission"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(want) == set(range(CLIP_GATE_BATCHES))
+    for b in want:
+        for k in ("n_pairs", "n_kept", "n_quarantined"):
+            assert got[b][k] == want[b][k], (b, k)
+    # the quarantine holds (almost) exactly the seeded swap lane
+    quar = spark.read.parquet(str(tmp_path / "quar")).collect()
+    assert quar
+    for r in quar:
+        assert r["score_micro"] < 980_000
+    admitted = spark.read.parquet(str(tmp_path / "admit")).collect()
+    lane = {r["doc_id"] for r in quar} | {r["doc_id"] for r in admitted}
+    assert len(lane) == 500  # conservation: every pair lands somewhere
+
+
+def test_clip_gate_replay_is_idempotent(spark, tmp_path):
+    src = _setup(spark, tmp_path)
+    _run(spark, tmp_path, src)
+    first = sorted(
+        tuple(r)
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    )
+    admit_first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "admit")).collect()
+    )
+    shutil.rmtree(tmp_path / "ckpt")  # crash-amnesia: full re-drain
+    _run(spark, tmp_path, src)
+    second = sorted(
+        tuple(r)
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    )
+    admit_second = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "admit")).collect()
+    )
+    assert first == second
+    assert admit_first == admit_second

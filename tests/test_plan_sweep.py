@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "q511_preference_cycles",     # one-row cycle-total broadcast
     "q513_dsir_importance",       # one-row (n_r, n_t) totals broadcast
     "q519_ivf_balance_advisor",   # one-row (total, k) aggregate broadcast
+    "q520_jl_projection_audit",   # bounded 64-id audit sample pair fan-out
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
     "q282_knn_label_purity",      # exact all-pairs baseline (q50 posture)
     "q287_lpm_route_join",        # one-row customer-total broadcast

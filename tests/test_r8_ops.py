@@ -564,3 +564,71 @@ def test_ivf_balance_advisor_conserves_and_grades(spark):
         else:
             assert r["verdict"] == "balanced"
         assert r["share_ppm"] == 1_000_000 * r["n_vectors"] // total
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    """JL lemma sanity on the fixture: mean squared-distance ratio sits
+    near 1, no defined ratio collapses to 0 or explodes, and rd2 is
+    re-derivable from the literal sign matrix."""
+    from serverless_etl_spark.operators.similarity import JL_SIGNS
+    import duckdb
+
+    rows = registry.QUERIES["q520_jl_projection_audit"](
+        spark, SF_MID
+    ).collect()
+    assert len(rows) == 64 * 63 // 2
+    defined = [r for r in rows if r["ratio_ppm"] >= 0]
+    assert defined
+    mean_ratio = sum(r["ratio_ppm"] for r in defined) / len(defined)
+    assert 600_000 < mean_ratio < 1_500_000  # E[ratio]=1, k=4 variance
+    # independent replay of one pair from raw vectors
+    vecs = {
+        v: e
+        for v, e in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF_MID}/embeddings.parquet'"
+            " WHERE vec_id < 64"
+        ).fetchall()
+    }
+    import math
+
+    r0 = rows[0]
+    xa = [math.floor(x * 4096) for x in vecs[r0["va"]]]
+    xb = [math.floor(x * 4096) for x in vecs[r0["vb"]]]
+    d2 = sum((a - b) * (a - b) for a, b in zip(xa, xb))
+    ya = [sum(s * x for s, x in zip(row, xa)) for row in JL_SIGNS]
+    yb = [sum(s * x for s, x in zip(row, xb)) for row in JL_SIGNS]
+    rd2 = sum((a - b) * (a - b) for a, b in zip(ya, yb))
+    assert r0["d2"] == d2 and r0["rd2"] == rd2
+
+
+def test_luhn_screen_separates_valid_from_checksum_fails(spark):
+    """The seeded valid cards all validate, the checksum-broken twins
+    all fail, and no clean-corpus token is a candidate."""
+    import duckdb
+    from serverless_etl_spark.operators.quality import (
+        LUHN_FAKE_CARDS,
+        LUHN_VALID_CARDS,
+        _luhn_check_digit,
+    )
+
+    # the generator really produces Luhn-valid / -broken literals
+    for card in LUHN_VALID_CARDS:
+        assert _luhn_check_digit(card[:15]) == card[15]
+    for card in LUHN_FAKE_CARDS:
+        assert _luhn_check_digit(card[:15]) != card[15]
+
+    rows = registry.QUERIES["q521_luhn_screen"](spark, SF_MID).collect()
+    n_valid_lane, n_fake_lane = duckdb.sql(
+        f"""
+        SELECT SUM(CASE WHEN doc_id % 17 = 4 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN doc_id % 19 = 6 THEN 1 ELSE 0 END)
+        FROM '{SF_MID}/documents.parquet'
+        """
+    ).fetchall()[0]
+    tot_valid = sum(r["n_valid_cards"] for r in rows)
+    tot_fail = sum(r["n_checksum_fails"] for r in rows)
+    tot_cand = sum(r["n_candidates"] for r in rows)
+    assert tot_valid == n_valid_lane
+    assert tot_fail == n_fake_lane
+    assert tot_cand == n_valid_lane + n_fake_lane  # no clean-token noise
+    assert sum(r["docs_affected"] for r in rows) == n_valid_lane

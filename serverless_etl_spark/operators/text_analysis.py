@@ -3188,3 +3188,335 @@ def q508_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("eff_rank", F.row_number().over(w).cast("int"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q523 — iterative BPE training rounds (re-count between merges)
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One true BPE round in SQL: tokenize the round-r corpus, count
+    adjacent pairs, argmax → the round's merge, apply it."""
+    return f"""
+    toks{r} AS (
+        SELECT doc_id,
+               list_filter(string_split(s{r}, ' '), x -> x <> '') AS tk
+        FROM st{r}
+    ),
+    prs{r} AS (
+        SELECT unnest(list_transform(range(len(tk) - 1),
+                   i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+        FROM toks{r}
+    ),
+    m{r} AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM prs{r} GROUP BY bg
+        ORDER BY cnt DESC, bg LIMIT 1
+    ),
+    st{r + 1} AS (
+        SELECT t.doc_id,
+               replace(t.s{r},
+                       ' ' || replace(m.bg, ' ', '  ') || ' ',
+                       ' ' || replace(m.bg, ' ', '_') || ' ') AS s{r + 1}
+        FROM st{r} t CROSS JOIN m{r} m
+    ),
+    """
+
+
+@register(
+    "q523_bpe_train_rounds",
+    oracle=f"""
+    WITH st0 AS (
+        SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s0
+        FROM documents
+    ),
+    {"".join(_bpe_round_sql(r) for r in range(BPE_TRAIN_ROUNDS))}
+    base AS (
+        SELECT CAST(SUM(len(list_filter(string_split(s0, ' '),
+                   x -> x <> ''))) AS BIGINT) AS n FROM st0
+    ),
+    rounds AS (
+        SELECT 0 AS round, '' AS merged_pair,
+               CAST(0 AS BIGINT) AS pair_count,
+               (SELECT n FROM base) AS total_tokens
+        {"".join(
+            f'''UNION ALL
+        SELECT {r + 1}, (SELECT bg FROM m{r}), (SELECT cnt FROM m{r}),
+               (SELECT CAST(SUM(len(list_filter(string_split(s{r + 1}, ' '),
+                    x -> x <> ''))) AS BIGINT) FROM st{r + 1})
+        '''
+            for r in range(BPE_TRAIN_ROUNDS)
+        )}
+    )
+    SELECT round, merged_pair, pair_count, total_tokens,
+           CAST(1000000 * ((SELECT n FROM base) - total_tokens)
+                // (SELECT n FROM base) AS BIGINT) AS saved_ppm
+    FROM rounds ORDER BY round
+    """,
+)
+def q523_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE iterative BPE training over {BPE_TRAIN_ROUNDS} rounds —
+    the loop q445's batched approximation documents but does not run:
+    each round re-tokenizes the CURRENT corpus, re-counts adjacent
+    pairs (merged tokens now pair with their neighbors), picks the
+    argmax merge, and rewrites. This is the actual
+    Sennrich/SentencePiece trainer inner loop, and the difference
+    from q445 is observable: a round-2 merge can contain a round-1
+    merge ("a_b c"), which batched top-k can never produce.
+
+    Determinism: merge selection is (count DESC, pair) total order;
+    the rewrite is q445's doubled-space exact string algebra; token
+    counts are exact integers, savings ppm floors.
+
+    Scale: per round ONE map-side tokenize + pair count (shuffle on
+    the pair key with partial aggregation) and ONE collected row (the
+    merge — driver state is one string per round, the vocabulary
+    artifact a real trainer ships); application is a stateless
+    per-row projection. Rounds are inherently sequential — that is
+    BPE — but each round is a full-parallel pass, the q190/q353
+    unrolled-iteration posture on the text axis.
+
+    Reference: q236 (pair counting), q445 (batched application), q105
+    (vocab coverage); Sennrich et al. 2016."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace("text", " ", "  "),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    cur = track_cache(cur.persist())
+    tok_count = F.size(
+        F.filter(F.split("s", " "), lambda x: x != "")
+    ).cast("bigint")
+    base = cur.agg(F.sum(tok_count).alias("n")).collect()[0]["n"]
+    rows = [(0, "", 0, int(base))]
+    for r in range(BPE_TRAIN_ROUNDS):
+        tk = cur.select(
+            F.filter(F.split("s", " "), lambda x: x != "").alias("tk")
+        )
+        prs = tk.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg")
+        )
+        top = (
+            prs.groupBy("bg")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "bg")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merge, cnt = top[0]["bg"], int(top[0]["cnt"])
+        doubled = " " + merge.replace(" ", "  ") + " "
+        merged = " " + merge.replace(" ", "_") + " "
+        nxt = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("s"), F.lit(doubled), F.lit(merged)
+            ).alias("s"),
+        )
+        nxt = track_cache(nxt.persist())
+        total = nxt.agg(F.sum(tok_count).alias("n")).collect()[0]["n"]
+        rows.append((r + 1, merge, cnt, int(total)))
+        cur = nxt
+    out = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rd).cast("int").alias("round"),
+                        F.lit(mp).alias("merged_pair"),
+                        F.lit(pc).cast("bigint").alias("pair_count"),
+                        F.lit(tt).cast("bigint").alias("total_tokens"),
+                    )
+                    for rd, mp, pc, tt in rows
+                ]
+            )
+        ).alias("r")
+    )
+    return out.select(
+        F.col("r.round").alias("round"),
+        F.col("r.merged_pair").alias("merged_pair"),
+        F.col("r.pair_count").alias("pair_count"),
+        F.col("r.total_tokens").alias("total_tokens"),
+        F.expr(
+            f"CAST(1000000 * ({int(base)} - r.total_tokens)"
+            f" DIV {int(base)} AS BIGINT)"
+        ).alias("saved_ppm"),
+    ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# q525 — Gopher top-n-gram character-fraction screen (n = 2, 3, 4)
+# --------------------------------------------------------------------------
+
+#: Gopher A1.1 thresholds: flag when the most common n-gram's
+#: character mass exceeds this fraction of the document
+GOPHER_NGRAM_THRESHOLDS = {2: 200_000, 3: 180_000, 4: 160_000}
+
+
+def _gopher_grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"SELECT doc_id, {n} AS n, unnest(list_transform("
+        f"range(len(ws) - {n - 1}), i -> {parts})) AS gram\n"
+        "        FROM toked"
+    )
+
+
+@register(
+    "q525_gopher_ngram_fractions",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+    ),
+    grams AS (
+        {_gopher_grams_sql(2)}
+        UNION ALL
+        {_gopher_grams_sql(3)}
+        UNION ALL
+        {_gopher_grams_sql(4)}
+    ),
+    counts AS (
+        SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    top AS (
+        SELECT doc_id, n, gram, cnt,
+               CAST(cnt * length(gram) AS BIGINT) AS char_mass
+        FROM counts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                   ORDER BY cnt DESC, gram) = 1
+    ),
+    fr AS (
+        SELECT t.doc_id,
+               {", ".join(
+                   f"MAX(CASE WHEN n = {n} THEN 1000000 * char_mass"
+                   f" // d.n_chars END) AS frac{n}_ppm"
+                   for n in (2, 3, 4)
+               )}
+        FROM top t JOIN toked d USING (doc_id)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           {", ".join(f"CAST(frac{n}_ppm AS BIGINT) AS frac{n}_ppm" for n in (2, 3, 4))},
+           CAST(CASE WHEN frac2_ppm <= {GOPHER_NGRAM_THRESHOLDS[2]}
+                      AND frac3_ppm <= {GOPHER_NGRAM_THRESHOLDS[3]}
+                      AND frac4_ppm <= {GOPHER_NGRAM_THRESHOLDS[4]}
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM fr ORDER BY doc_id
+    """,
+)
+def q525_gopher_ngram_fractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Gopher top-n-gram character-fraction rules (Rae et al.
+    2021 A1.1) — the repetition family q67's duplicate-shingle RATIO
+    does not cover: for n = 2, 3, 4 compute the character mass of the
+    document's MOST COMMON n-gram as a fraction of the document, and
+    flag docs where any fraction exceeds the published threshold
+    (0.20 / 0.18 / 0.16). A doc can pass q67 (many distinct shingles)
+    while one 3-gram still owns a fifth of its characters — boilerplate
+    headers, chat-log prefixes, SEO keyword stuffing; this rule is the
+    one that fires there.
+
+    Determinism: the top gram per (doc, n) is a (count DESC, gram)
+    total order; character mass and the ppm fraction are exact
+    integers (occurrences overlap, so the fraction can exceed 1e6 —
+    faithful to the published counting); flags are integer compares.
+
+    Scale: three map-side gram fan-outs over ONE tokenize (arrays
+    materialized before the explode — Generate discipline), counts
+    collapse on (doc, n, gram) with map-side partials, the argmax is
+    a PARTITIONED window (per doc — parallel), output is |docs| rows.
+
+    Reference: q67 (duplicate-shingle ratio), q515 (the other Gopher
+    rules), q485 (cross-doc boilerplate); Rae et al. 2021."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).filter(F.size("ws") >= 4)
+    def _gram_col(n: int):
+        def _mk(i):
+            return F.concat_ws(
+                " ",
+                *[F.element_at(F.col("ws"), i + j) for j in range(1, n + 1)],
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n), _mk
+        ).alias(f"g{n}")
+
+    gram_arrays = docs.select(
+        "doc_id", "n_chars", *[_gram_col(n) for n in (2, 3, 4)]
+    )
+    gram_arrays = track_cache(gram_arrays.persist())
+    grams = None
+    for n in (2, 3, 4):
+        part = gram_arrays.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(f"g{n}").alias("gram"),
+        )
+        grams = part if grams is None else grams.unionByName(part)
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), "gram"
+    )
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "n",
+            (F.col("cnt") * F.length("gram"))
+            .cast("bigint")
+            .alias("char_mass"),
+        )
+    )
+    fr = (
+        top.join(gram_arrays.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.expr(
+                            "CAST(1000000 * char_mass DIV n_chars AS BIGINT)"
+                        ),
+                    )
+                ).alias(f"frac{n}_ppm")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+    kept = F.when(
+        (F.col("frac2_ppm") <= GOPHER_NGRAM_THRESHOLDS[2])
+        & (F.col("frac3_ppm") <= GOPHER_NGRAM_THRESHOLDS[3])
+        & (F.col("frac4_ppm") <= GOPHER_NGRAM_THRESHOLDS[4]),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return fr.select(
+        "doc_id",
+        *[F.col(f"frac{n}_ppm").cast("bigint").alias(f"frac{n}_ppm") for n in (2, 3, 4)],
+        kept.cast("int").alias("kept"),
+    ).orderBy("doc_id")

@@ -5525,3 +5525,120 @@ def q513_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q524 — CCNet perplexity bands (head/middle/tail per language)
+# --------------------------------------------------------------------------
+
+CCNET_BANDS = 3
+
+
+@register(
+    "q524_ccnet_bands",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w.i AS pos, lower(w.word) AS word
+        FROM documents,
+             LATERAL (SELECT generate_subscripts(string_split(text, ' '), 1) AS i,
+                             unnest(string_split(text, ' ')) AS word) w
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.word AS w1, b.word AS w2
+        FROM words a JOIN words b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS k
+        FROM bigrams GROUP BY doc_id, w1, w2
+    ),
+    bi  AS (SELECT w1, w2, SUM(k) AS c12 FROM doc_bi GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(k) AS c1 FROM doc_bi GROUP BY w1),
+    scored AS (
+        SELECT g.doc_id, g.k,
+               CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        FROM doc_bi g JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    ),
+    doc_scores AS (
+        SELECT doc_id,
+               FLOOR(SUM(k * p) / SUM(k) * 1000000) / 1000000 AS mean_p
+        FROM scored GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT d.lang, d.n_chars, s.mean_p,
+               CAST(NTILE(3) OVER (PARTITION BY d.lang
+                   ORDER BY s.mean_p DESC, d.doc_id) AS INT) AS band
+        FROM doc_scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(mean_p) AS lo_mean_p,
+           MAX(mean_p) AS hi_mean_p,
+           CAST(CASE WHEN band <= 2 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM banded GROUP BY lang, band ORDER BY lang, band
+    """,
+)
+def q524_ccnet_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity banding (Wenzek et al. 2020) — the published
+    recipe behind the CommonCrawl corpora every LLM trains on: score
+    each document with a language model (here q115's corpus bigram
+    LM — its oracle embedded verbatim, one scoring definition across
+    engines and queries), split each LANGUAGE into head/middle/tail
+    by equal-count score bands, and keep head+middle. Per-language
+    banding is the point: absolute LM scores are incomparable across
+    languages (q508's fertility gap on the token axis, same
+    phenomenon), so CCNet ranks within lang — the readout here is the
+    (lang, band) mass table a mixture planner consumes, with each
+    band's score bounds so threshold drift between freezes is
+    visible.
+
+    Determinism: mean_p is q115's trunc-6 count ratio; NTILE orders
+    by (mean_p DESC, doc_id) — a total order, so band assignment is
+    exact; masses are integer sums.
+
+    Scale: the LM train+score is q115's one-scan posture; banding is
+    a PARTITIONED window (per-lang — parallel across languages; for
+    a language too large for one partition the q109 histogram
+    crossing rule swaps in, documented there); output is
+    |langs| x 3 rows.
+
+    Reference: q115 (the scorer), q109 (equi-depth machinery), q100
+    (mixture rebalance); Wenzek et al. 2020 (CCNet)."""
+    scores = q115_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", "mean_p"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_p").desc(), "doc_id"
+    )
+    banded = scores.join(docs, "doc_id").select(
+        "lang",
+        "n_chars",
+        "mean_p",
+        F.ntile(CCNET_BANDS).over(w).cast("int").alias("band"),
+    )
+    return (
+        banded.groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("mean_p").alias("lo_mean_p"),
+            F.max("mean_p").alias("hi_mean_p"),
+        )
+        .select(
+            "lang",
+            "band",
+            "n_docs",
+            "sum_chars",
+            "lo_mean_p",
+            "hi_mean_p",
+            F.when(F.col("band") <= 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("lang", "band")
+    )

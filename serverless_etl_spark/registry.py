@@ -139,7 +139,8 @@ _SWEEP_PRIORITY = [
     "q516_fracminhash_containment", "q517_ann_ndcg",
     "q518_clip_score_filter", "q519_ivf_balance_advisor",
     "q520_jl_projection_audit", "q521_luhn_screen",
-    "q522_clip_admission",
+    "q522_clip_admission", "q523_bpe_train_rounds",
+    "q524_ccnet_bands", "q525_gopher_ngram_fractions",
     "q504_semdedup_cascade", "q505_semdedup_admission",
     "q506_scene_cut_spans", "q507_speech_spans",
     "q508_tokenizer_fertility", "q509_av_clip_candidates",

@@ -632,3 +632,106 @@ def test_luhn_screen_separates_valid_from_checksum_fails(spark):
     assert tot_fail == n_fake_lane
     assert tot_cand == n_valid_lane + n_fake_lane  # no clean-token noise
     assert sum(r["docs_affected"] for r in rows) == n_valid_lane
+
+
+def test_bpe_train_rounds_matches_python_trainer(spark):
+    """Full pure-Python replay of the iterative trainer: same merges,
+    same pair counts, same token totals — and monotone compression."""
+    import duckdb
+
+    rows = registry.QUERIES["q523_bpe_train_rounds"](spark, SF_MID).collect()
+    assert [r["round"] for r in rows] == [0, 1, 2, 3]
+    docs = [
+        t.split(" ")
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF_MID}/documents.parquet'"
+        ).fetchall()
+    ]
+    corpus = [list(ws) for ws in docs]
+    base = sum(len(ws) for ws in corpus)
+    assert rows[0]["total_tokens"] == base
+    for r in rows[1:]:
+        import collections as _c
+
+        cnt = _c.Counter()
+        for ws in corpus:
+            for a, b in zip(ws, ws[1:]):
+                cnt[(a, b)] += 1
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        assert r["merged_pair"] == f"{a} {b}"
+        assert r["pair_count"] == c
+        # leftmost-first non-overlapping merge per doc
+        nxt = []
+        for ws in corpus:
+            out, i = [], 0
+            while i < len(ws):
+                if i + 1 < len(ws) and ws[i] == a and ws[i + 1] == b:
+                    out.append(a + "_" + b)
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            nxt.append(out)
+        corpus = nxt
+        assert r["total_tokens"] == sum(len(ws) for ws in corpus)
+    totals = [r["total_tokens"] for r in rows]
+    assert all(x >= y for x, y in zip(totals, totals[1:]))
+
+
+def test_ccnet_bands_are_balanced_and_ordered(spark):
+    rows = registry.QUERIES["q524_ccnet_bands"](spark, SF_MID).collect()
+    by_lang = collections.defaultdict(dict)
+    for r in rows:
+        by_lang[r["lang"]][r["band"]] = r
+    for lang, bands in by_lang.items():
+        assert set(bands) == {1, 2, 3}
+        sizes = [bands[b]["n_docs"] for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1  # NTILE balance
+        # head scores >= middle >= tail (bands ordered by mean_p desc)
+        assert bands[1]["lo_mean_p"] >= bands[2]["hi_mean_p"] - 1e-12
+        assert bands[2]["lo_mean_p"] >= bands[3]["hi_mean_p"] - 1e-12
+        assert bands[1]["kept"] == 1 and bands[2]["kept"] == 1
+        assert bands[3]["kept"] == 0
+
+
+def test_gopher_ngram_fractions_replay(spark):
+    """Counter-based replay of the top-gram char fraction for every
+    doc at the small SF."""
+    import duckdb
+    from serverless_etl_spark.operators.quality import (  # noqa: F401
+        GOPHER_MIN_STOPWORDS,
+    )
+    from serverless_etl_spark.operators.text_analysis import (
+        GOPHER_NGRAM_THRESHOLDS,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q525_gopher_ngram_fractions"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        if len(ws) < 4:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        kept = 1
+        for n in (2, 3, 4):
+            grams = collections.Counter(
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            )
+            gram, cnt = min(
+                grams.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            frac = 1_000_000 * cnt * len(gram) // len(text)
+            assert r[f"frac{n}_ppm"] == frac
+            if frac > GOPHER_NGRAM_THRESHOLDS[n]:
+                kept = 0
+        assert r["kept"] == kept

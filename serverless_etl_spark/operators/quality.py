@@ -6617,3 +6617,204 @@ def q521_luhn_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q526 — quality-filter agreement matrix (which screens are redundant?)
+# --------------------------------------------------------------------------
+
+FILTER_NAMES = ("repetition", "topgram", "lexicon")
+
+
+@register(
+    "q526_filter_agreement",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+    ),
+    rep AS (
+        SELECT doc_id,
+               CASE WHEN 5 * (len(list_transform(range(len(ws) - 2),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+                    - len(list_distinct(list_transform(range(len(ws) - 2),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))))
+                    <= len(ws) - 2
+                    THEN 1 ELSE 0 END AS f_repetition
+        FROM toked
+    ),
+    tg AS (
+        SELECT doc_id,
+               CASE WHEN 1000000 * char_mass <= 180000 * n_chars
+                    THEN 1 ELSE 0 END AS f_topgram
+        FROM (
+            SELECT t.doc_id, t.n_chars, g.gram,
+                   CAST(COUNT(*) * length(g.gram) AS BIGINT) AS char_mass
+            FROM toked t,
+                 LATERAL (SELECT unnest(list_transform(range(len(ws) - 2),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+                     AS gram) g
+            GROUP BY t.doc_id, t.n_chars, g.gram
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                ORDER BY COUNT(*) DESC, g.gram) = 1
+        )
+    ),
+    lex AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= {GOPHER_MIN_WORDS}
+                     AND ({" + ".join(f"CASE WHEN list_contains(ws, '{s}') THEN 1 ELSE 0 END" for s in GOPHER_STOPWORDS)})
+                         >= {GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS f_lexicon
+        FROM toked
+    ),
+    flags AS (
+        SELECT r.doc_id, r.f_repetition, t.f_topgram, l.f_lexicon
+        FROM rep r JOIN tg t USING (doc_id) JOIN lex l USING (doc_id)
+    ),
+    pairs AS (
+        SELECT 'repetition' AS filter_a, 'topgram' AS filter_b,
+               f_repetition AS fa, f_topgram AS fb FROM flags
+        UNION ALL
+        SELECT 'repetition', 'lexicon', f_repetition, f_lexicon FROM flags
+        UNION ALL
+        SELECT 'topgram', 'lexicon', f_topgram, f_lexicon FROM flags
+    )
+    SELECT filter_a, filter_b,
+           CAST(SUM(fa * fb) AS BIGINT) AS n_both_keep,
+           CAST(SUM(fa * (1 - fb)) AS BIGINT) AS n_only_a,
+           CAST(SUM((1 - fa) * fb) AS BIGINT) AS n_only_b,
+           CAST(SUM((1 - fa) * (1 - fb)) AS BIGINT) AS n_both_drop,
+           CAST(1000000 * SUM(CASE WHEN fa = fb THEN 1 ELSE 0 END)
+               // COUNT(*) AS BIGINT) AS agree_ppm,
+           CAST(CASE WHEN SUM(fa + fb - fa * fb) > 0
+                THEN 1000000 * SUM(fa * fb) // SUM(fa + fb - fa * fb)
+                ELSE 1000000 END AS BIGINT) AS keep_jaccard_ppm
+    FROM pairs GROUP BY filter_a, filter_b ORDER BY filter_a, filter_b
+    """,
+)
+def q526_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter AGREEMENT matrix — the FineWeb-style ablation
+    readout that decides which screens earn their scan: evaluate three
+    per-doc filters (q67's duplicate-shingle repetition rule, q525's
+    top-3-gram character fraction, q515's lexicon core of word-count +
+    stop-words) in one pass and report every pair's confusion counts,
+    raw agreement, and keep-set Jaccard. Two filters agreeing at
+    ~1e6 ppm are redundant (drop the expensive one); a LOW-agreement
+    pair is doing independent work — exactly the evidence the FineWeb
+    ablations publish before composing a filter stack, produced here
+    without training a single model.
+
+    Determinism: all three verdicts are integer cross-multiplications
+    (5·(s−d) <= s; 1e6·mass <= 180000·chars; count thresholds); the
+    matrix is exact counts with ppm floors (empty-union Jaccard
+    defined as 1e6 — identical CASE both engines).
+
+    Scale: ONE tokenize feeds all three filters (the fused-projection
+    q249 stance); the only window is the per-doc top-gram argmax
+    (partitioned — parallel); the matrix is 3 rows. Adding a fourth
+    filter is one more flag column, not another corpus scan.
+
+    Reference: q67/q515/q525 (the filters), q308 (detector
+    agreement), q249 (drop-reason bitmask); Penedo et al. 2024
+    (FineWeb ablations)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).filter(F.size("ws") >= 4)
+
+    def _tri(i):
+        return F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2),
+            F.element_at(F.col("ws"), i + 3),
+        )
+
+    grams = F.transform(F.sequence(F.lit(0), F.size("ws") - 3), _tri)
+    one_if = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        grams.alias("grams"),
+        one_if(
+            5 * (F.size(grams) - F.size(F.array_distinct(grams)))
+            <= F.size(grams)
+        ).alias("f_repetition"),
+        one_if(
+            (F.size("ws") >= GOPHER_MIN_WORDS)
+            & (
+                reduce(
+                    lambda a, b: a + b,
+                    [
+                        one_if(F.array_contains("ws", s))
+                        for s in GOPHER_STOPWORDS
+                    ],
+                )
+                >= GOPHER_MIN_STOPWORDS
+            )
+        ).alias("f_lexicon"),
+    )
+    base = track_cache(base.persist())
+    gcnt = (
+        base.select("doc_id", "n_chars", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "n_chars", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "gram")
+    tg = (
+        gcnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            one_if(
+                F.lit(1000000) * F.col("cnt") * F.length("gram")
+                <= F.lit(180000) * F.col("n_chars")
+            ).alias("f_topgram"),
+        )
+    )
+    flags = base.select(
+        "doc_id", "f_repetition", "f_lexicon"
+    ).join(tg, "doc_id")
+    flags = track_cache(flags.persist())
+    pair_defs = [
+        ("repetition", "topgram", "f_repetition", "f_topgram"),
+        ("repetition", "lexicon", "f_repetition", "f_lexicon"),
+        ("topgram", "lexicon", "f_topgram", "f_lexicon"),
+    ]
+    out = None
+    for na, nb, ca, cb in pair_defs:
+        part = flags.select(
+            F.lit(na).alias("filter_a"),
+            F.lit(nb).alias("filter_b"),
+            F.col(ca).alias("fa"),
+            F.col(cb).alias("fb"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.groupBy("filter_a", "filter_b")
+        .agg(
+            F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("n_both_keep"),
+            F.sum(F.col("fa") * (1 - F.col("fb")))
+            .cast("bigint")
+            .alias("n_only_a"),
+            F.sum((1 - F.col("fa")) * F.col("fb"))
+            .cast("bigint")
+            .alias("n_only_b"),
+            F.sum((1 - F.col("fa")) * (1 - F.col("fb")))
+            .cast("bigint")
+            .alias("n_both_drop"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN fa = fb THEN 1 ELSE 0 END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("agree_ppm"),
+            F.expr(
+                "CAST(CASE WHEN SUM(fa + fb - fa * fb) > 0"
+                " THEN 1000000 * SUM(fa * fb) DIV SUM(fa + fb - fa * fb)"
+                " ELSE 1000000 END AS BIGINT)"
+            ).alias("keep_jaccard_ppm"),
+        )
+        .orderBy("filter_a", "filter_b")
+    )

@@ -1000,3 +1000,152 @@ def q465_kish_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(sww AS DOUBLE) * n)) AS BIGINT)"
         ).alias("efficiency_ppm"),
     ).orderBy("scheme")
+
+
+# --------------------------------------------------------------------------
+# q527 — packed-sequence attention-mask savings audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q527_packing_mask_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start
+        FROM d
+    ),
+    segs AS (
+        SELECT shard, s.seq_id,
+               LEAST(start + n_tokens, (s.seq_id + 1) * {SEQ_BUDGET})
+                   - GREATEST(start, s.seq_id * {SEQ_BUDGET}) AS seg_len
+        FROM placed,
+             LATERAL (SELECT unnest(range(
+                 CAST(start // {SEQ_BUDGET} AS BIGINT),
+                 CAST((start + n_tokens - 1) // {SEQ_BUDGET} + 1
+                     AS BIGINT))) AS seq_id) s
+        WHERE n_tokens > 0
+    ),
+    per_seq AS (
+        SELECT shard, seq_id,
+               CAST(SUM(seg_len) AS BIGINT) AS seq_len,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(seg_len * (seg_len + 1) // 2) AS BIGINT)
+                   AS allowed_pairs
+        FROM segs GROUP BY shard, seq_id
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_segments) AS BIGINT) AS n_segments,
+           CAST(SUM(seq_len * (seq_len + 1) // 2) AS BIGINT)
+               AS causal_pairs,
+           CAST(SUM(allowed_pairs) AS BIGINT) AS allowed_pairs,
+           CAST(1000000 * (SUM(seq_len * (seq_len + 1) // 2)
+                - SUM(allowed_pairs))
+                // SUM(seq_len * (seq_len + 1) // 2) AS BIGINT)
+               AS savings_ppm
+    FROM per_seq GROUP BY shard ORDER BY shard
+    """,
+)
+def q527_packing_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-mask savings of document-boundary-aware packing — the
+    number that justifies block-diagonal attention kernels: q68 packs
+    documents into {SEQ_BUDGET}-token sequences (splitting across
+    boundaries), and within each sequence a boundary-aware mask
+    attends only within doc segments, so the allowed pair count drops
+    from the causal L(L+1)/2 to sum_i l_i(l_i+1)/2 per segment. The
+    per-shard savings_ppm is the FLOP fraction a packed-attention
+    kernel (or position-id reset) saves versus naive causal over the
+    same pack — the audit every packing config (q68 budget, q472
+    tiers, q155 window) should ship with, because cross-document
+    attention is both wasted compute AND a contamination vector.
+
+    Determinism: q68's placement is the (shard, doc_id) running sum;
+    segment arithmetic is exact integer interval clipping (the q350
+    proration device on the token axis); pair counts use the integer
+    triangular formula; savings are ppm floors.
+
+    Scale: the sequence fan-out is map-side (each doc explodes to its
+    overlapped packs — bounded by doc length / budget); per-(shard,
+    seq) collapse is one partial-agg shuffle; output is |shards|
+    rows. The audit reads the same placement the writer uses — no
+    second packing pass.
+
+    Reference: q68 (the packer), q472 (padding waste), q96
+    (chunking); the block-diagonal mask trick in every modern
+    pretraining stack."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.select(
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    ).filter(F.col("n_tokens") > 0)
+    segs = placed.select(
+        "shard",
+        F.explode(
+            F.sequence(
+                F.expr(f"start DIV {SEQ_BUDGET}"),
+                F.expr(f"(start + n_tokens - 1) DIV {SEQ_BUDGET}"),
+            )
+        ).alias("seq_id"),
+        "start",
+        "n_tokens",
+    ).select(
+        "shard",
+        "seq_id",
+        (
+            F.least(
+                F.col("start") + F.col("n_tokens"),
+                (F.col("seq_id") + 1) * SEQ_BUDGET,
+            )
+            - F.greatest(F.col("start"), F.col("seq_id") * SEQ_BUDGET)
+        ).alias("seg_len"),
+    )
+    per_seq = segs.groupBy("shard", "seq_id").agg(
+        F.sum("seg_len").cast("bigint").alias("seq_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.expr("seg_len * (seg_len + 1) DIV 2"))
+        .cast("bigint")
+        .alias("allowed_pairs"),
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum("n_segments").cast("bigint").alias("n_segments"),
+            F.sum(F.expr("seq_len * (seq_len + 1) DIV 2"))
+            .cast("bigint")
+            .alias("causal_pairs"),
+            F.sum("allowed_pairs").cast("bigint").alias("allowed_pairs"),
+        )
+        .select(
+            "shard",
+            "n_seqs",
+            "n_segments",
+            "causal_pairs",
+            "allowed_pairs",
+            F.expr(
+                "CAST(1000000 * (causal_pairs - allowed_pairs)"
+                " DIV causal_pairs AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("shard")
+    )

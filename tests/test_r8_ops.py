@@ -735,3 +735,83 @@ def test_gopher_ngram_fractions_replay(spark):
             if frac > GOPHER_NGRAM_THRESHOLDS[n]:
                 kept = 0
         assert r["kept"] == kept
+
+
+def test_filter_agreement_matrix_is_consistent(spark):
+    """Matrix cells conserve the doc universe, agreement recomputes
+    from cells, and symmetric pairs agree with per-filter marginals."""
+    rows = registry.QUERIES["q526_filter_agreement"](spark, SF_MID).collect()
+    assert len(rows) == 3
+    totals = set()
+    for r in rows:
+        n = (
+            r["n_both_keep"]
+            + r["n_only_a"]
+            + r["n_only_b"]
+            + r["n_both_drop"]
+        )
+        totals.add(n)
+        agree = r["n_both_keep"] + r["n_both_drop"]
+        assert r["agree_ppm"] == 1_000_000 * agree // n
+        union = r["n_both_keep"] + r["n_only_a"] + r["n_only_b"]
+        if union:
+            assert (
+                r["keep_jaccard_ppm"]
+                == 1_000_000 * r["n_both_keep"] // union
+            )
+    assert len(totals) == 1  # same universe for every pair
+    # per-filter keep marginals consistent across the two pairs that
+    # share a filter (repetition appears as side a twice)
+    by = {(r["filter_a"], r["filter_b"]): r for r in rows}
+    rep_tg = by[("repetition", "topgram")]
+    rep_lex = by[("repetition", "lexicon")]
+    assert (
+        rep_tg["n_both_keep"] + rep_tg["n_only_a"]
+        == rep_lex["n_both_keep"] + rep_lex["n_only_a"]
+    )
+
+
+def test_packing_mask_audit_replay(spark):
+    """Python replay of the packer + interval clipping for one shard;
+    global invariants for all."""
+    import duckdb
+    from serverless_etl_spark.operators.sampling import (
+        N_SHARDS,
+        SEQ_BUDGET,
+    )
+
+    rows = {
+        r["shard"]: r
+        for r in registry.QUERIES["q527_packing_mask_audit"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(rows) == set(range(N_SHARDS))
+    for r in rows.values():
+        assert 0 < r["allowed_pairs"] <= r["causal_pairs"]
+        assert r["savings_ppm"] == 1_000_000 * (
+            r["causal_pairs"] - r["allowed_pairs"]
+        ) // r["causal_pairs"]
+    docs = duckdb.sql(
+        f"""SELECT doc_id, len(string_split(text, ' ')) FROM
+        '{SF_SMALL}/documents.parquet' WHERE doc_id % {N_SHARDS} = 0
+        ORDER BY doc_id"""
+    ).fetchall()
+    start = 0
+    per_seq: dict = {}
+    for _, n in docs:
+        for seq in range(start // SEQ_BUDGET, (start + n - 1) // SEQ_BUDGET + 1):
+            lo = max(start, seq * SEQ_BUDGET)
+            hi = min(start + n, (seq + 1) * SEQ_BUDGET)
+            per_seq.setdefault(seq, []).append(hi - lo)
+        start += n
+    causal = sum(
+        (s := sum(ls)) * (s + 1) // 2 for ls in per_seq.values()
+    )
+    allowed = sum(
+        sum(l * (l + 1) // 2 for l in ls) for ls in per_seq.values()
+    )
+    r0 = rows[0]
+    assert r0["n_seqs"] == len(per_seq)
+    assert r0["causal_pairs"] == causal
+    assert r0["allowed_pairs"] == allowed

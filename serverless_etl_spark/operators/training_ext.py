@@ -5310,12 +5310,18 @@ def q512_elo_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "left",
         )
-        .join(F.broadcast(ratings), "event_type")
+        .join(F.broadcast(ratings), "event_type", "left")
         .select(
             "event_type",
             F.coalesce("wins", F.lit(0)).cast("bigint").alias("wins"),
             F.coalesce("games", F.lit(0)).cast("bigint").alias("games"),
-            "rating_milli",
+            # an empty duel corpus yields ZERO kernel groups (no
+            # ratings rows at all) while the oracle's recursion base
+            # case still emits start ratings — coalesce keeps the
+            # engines identical on that edge
+            F.coalesce("rating_milli", F.lit(ELO_START_MILLI))
+            .cast("bigint")
+            .alias("rating_milli"),
         )
     )
     rk = Window.orderBy(F.col("rating_milli").desc(), "event_type")

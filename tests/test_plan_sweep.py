@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "q376_grid_dbscan",           # one-row global-totals broadcast
     "q511_preference_cycles",     # one-row cycle-total broadcast
     "q513_dsir_importance",       # one-row (n_r, n_t) totals broadcast
+    "q517_ann_ndcg",              # evaluates q50's exact baseline → inherits its BNLJ (q120's case)
     "q519_ivf_balance_advisor",   # one-row (total, k) aggregate broadcast
     "q520_jl_projection_audit",   # bounded 64-id audit sample pair fan-out
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast

@@ -4666,3 +4666,111 @@ def q516_fracminhash_containment(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q529 — dedup transitive-chaining audit (direct pairs vs closure pairs)
+# --------------------------------------------------------------------------
+
+
+def _register_q529() -> None:
+    from ..registry import ORACLES, QUERIES
+
+    q63_sql = ORACLES["q63_dup_clusters"]
+
+    @register(
+        "q529_dedup_chaining_audit",
+        oracle=f"""
+        WITH pairs AS ({ORACLES["q41_minhash_lsh"]}),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM ({q63_sql}) c
+            GROUP BY cluster_id
+        ),
+        agg AS (
+            SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT)
+                       AS n_direct_pairs,
+                   CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
+                       AS n_closure_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(MAX(sz) AS BIGINT) AS max_cluster
+            FROM sizes
+        )
+        SELECT n_direct_pairs, n_closure_pairs, n_clusters, max_cluster,
+               CAST(n_closure_pairs - n_direct_pairs AS BIGINT)
+                   AS n_chained_extra,
+               CAST(CASE WHEN n_direct_pairs > 0
+                    THEN 1000000 * (n_closure_pairs - n_direct_pairs)
+                         // n_direct_pairs
+                    ELSE 0 END AS BIGINT) AS chaining_ppm
+        FROM agg
+        """,
+    )
+    def q529_dedup_chaining_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Transitive-chaining audit of the LSH dedup graph — the
+        one-number risk readout q170's histogram implies but never
+        states: connected-component dedup (q63) removes every doc a
+        CHAIN reaches (A~B, B~C ⇒ A,C share a cluster even when
+        A≁C), so the gap between the verified direct pairs (q41) and
+        the closure's implied pairs (Σ C(size,2)) is exactly the mass
+        removed WITHOUT a verified similarity edge. chaining_ppm near
+        0 = clusters are cliques (safe to keep-one); a large value =
+        boilerplate is daisy-chaining unrelated docs and keep-one
+        dedup is DELETING distinct content — lower the band
+        sensitivity or switch to q487's soft weights.
+
+        Determinism: both sides are exact integer counts from
+        oracle-shared definitions (q41's verified pairs, q63's
+        components — their SQL embedded verbatim, one semantic source
+        of truth); one ppm floor with the empty-graph case pinned to
+        0 identically.
+
+        Scale: inherits q41/q63's digest-only postures; this audit
+        adds two bounded aggregations over the pair list and the
+        cluster-size table. Runs after every dedup freeze.
+
+        Reference: q41 (pairs), q63 (components), q170 (histogram),
+        q487 (soft dedup); the classic LSH transitive-closure
+        failure mode."""
+        pairs = QUERIES["q41_minhash_lsh"](spark, sf_dir)
+        clusters = QUERIES["q63_dup_clusters"](spark, sf_dir)
+        n_direct = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_direct_pairs")
+        )
+        sizes = clusters.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz")
+        )
+        agg = sizes.agg(
+            F.sum(F.expr("sz * (sz - 1) DIV 2"))
+            .cast("bigint")
+            .alias("n_closure_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.max("sz").cast("bigint").alias("max_cluster"),
+        )
+        return (
+            n_direct.crossJoin(F.broadcast(agg))
+            .select(
+                "n_direct_pairs",
+                "n_closure_pairs",
+                "n_clusters",
+                "max_cluster",
+                (F.col("n_closure_pairs") - F.col("n_direct_pairs"))
+                .cast("bigint")
+                .alias("n_chained_extra"),
+                F.when(
+                    F.col("n_direct_pairs") > 0,
+                    F.expr(
+                        "CAST(1000000 * (n_closure_pairs - n_direct_pairs)"
+                        " DIV n_direct_pairs AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("chaining_ppm"),
+            )
+        )
+
+
+_register_q529()

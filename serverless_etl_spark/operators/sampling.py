@@ -1149,3 +1149,140 @@ def q527_packing_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q528 — length-bucketed batching waste (padded-slot audit per strategy)
+# --------------------------------------------------------------------------
+
+BATCH_ROWS = 32  #: sequences per training batch
+
+
+@register(
+    "q528_length_batching_waste",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT shard, n_tokens,
+               CAST((ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY doc_id) - 1)
+                   // {BATCH_ROWS} AS BIGINT) AS arrival_batch,
+               CAST((ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY n_tokens, doc_id) - 1)
+                   // {BATCH_ROWS} AS BIGINT) AS sorted_batch
+        FROM d
+    ),
+    strat AS (
+        SELECT 'arrival' AS strategy, shard, arrival_batch AS batch,
+               n_tokens
+        FROM ordered
+        UNION ALL
+        SELECT 'length_sorted', shard, sorted_batch, n_tokens
+        FROM ordered
+    ),
+    per_batch AS (
+        SELECT strategy, shard, batch,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(MAX(n_tokens) AS BIGINT) AS batch_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS real_tokens
+        FROM strat GROUP BY strategy, shard, batch
+    )
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_seqs * batch_len) AS BIGINT) AS padded_slots,
+           CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           CAST(1000000 * (SUM(n_seqs * batch_len) - SUM(real_tokens))
+                // SUM(n_seqs * batch_len) AS BIGINT) AS waste_ppm
+    FROM per_batch GROUP BY strategy ORDER BY strategy
+    """,
+)
+def q528_length_batching_waste(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padded-slot waste of arrival-order vs length-sorted batching —
+    the number behind every dynamic-batching / length-bucketing
+    decision (training collators and inference servers alike): batch
+    {BATCH_ROWS} sequences, pad each batch to its longest member, and
+    compare the padded-slot waste of taking sequences in ARRIVAL
+    order against first sorting by length (similar lengths share a
+    batch → the max hugs the mean). q472 sweeps bucket-boundary
+    tiers; this measures the ORDERING lever, whose sorted side is the
+    lower bound any tier scheme approaches. The invariant the test
+    pins — sorted waste <= arrival waste — is Hardy-Littlewood
+    rearrangement in batch form.
+
+    Determinism: both placements are ROW_NUMBER over per-shard total
+    orders (doc_id; (n_tokens, doc_id)); waste is exact integer slot
+    arithmetic with one ppm floor.
+
+    Scale: the audit runs on the (doc, n_tokens) projection — text
+    never moves; both placements are PER-SHARD windows (q68's
+    posture — parallel across {N_SHARDS} shards, exactly how a
+    distributed collator actually batches), so no global sort exists
+    anywhere; output is 2 rows. The rearrangement bound holds per
+    shard, hence in the sum.
+
+    Reference: q68 (packing), q472 (padding tiers), q527 (mask
+    audit); length bucketing in every serving/training collator."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    ordered = d.select(
+        "shard",
+        "n_tokens",
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY shard"
+            f" ORDER BY doc_id) - 1) DIV {BATCH_ROWS} AS BIGINT)"
+        ).alias("arrival_batch"),
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY shard"
+            f" ORDER BY n_tokens, doc_id) - 1)"
+            f" DIV {BATCH_ROWS} AS BIGINT)"
+        ).alias("sorted_batch"),
+    )
+    strat = ordered.select(
+        F.lit("arrival").alias("strategy"),
+        "shard",
+        F.col("arrival_batch").alias("batch"),
+        "n_tokens",
+    ).unionByName(
+        ordered.select(
+            F.lit("length_sorted").alias("strategy"),
+            "shard",
+            F.col("sorted_batch").alias("batch"),
+            "n_tokens",
+        )
+    )
+    per_batch = strat.groupBy("strategy", "shard", "batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.max("n_tokens").cast("bigint").alias("batch_len"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+    )
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum(F.col("n_seqs") * F.col("batch_len"))
+            .cast("bigint")
+            .alias("padded_slots"),
+            F.sum("real_tokens").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            "strategy",
+            "n_batches",
+            "padded_slots",
+            "real_tokens",
+            F.expr(
+                "CAST(1000000 * (padded_slots - real_tokens)"
+                " DIV padded_slots AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("strategy")
+    )

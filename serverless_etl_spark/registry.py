@@ -142,6 +142,7 @@ _SWEEP_PRIORITY = [
     "q522_clip_admission", "q523_bpe_train_rounds",
     "q524_ccnet_bands", "q525_gopher_ngram_fractions",
     "q526_filter_agreement", "q527_packing_mask_audit",
+    "q528_length_batching_waste", "q529_dedup_chaining_audit",
     "q504_semdedup_cascade", "q505_semdedup_admission",
     "q506_scene_cut_spans", "q507_speech_spans",
     "q508_tokenizer_fertility", "q509_av_clip_candidates",

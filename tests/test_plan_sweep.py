@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     "q517_ann_ndcg",              # evaluates q50's exact baseline → inherits its BNLJ (q120's case)
     "q519_ivf_balance_advisor",   # one-row (total, k) aggregate broadcast
     "q520_jl_projection_audit",   # bounded 64-id audit sample pair fan-out
+    "q529_dedup_chaining_audit",  # one-row × one-row summary broadcast
     "q280_jaccard_threshold_sweep",  # one-row truth-count broadcast
     "q282_knn_label_purity",      # exact all-pairs baseline (q50 posture)
     "q287_lpm_route_join",        # one-row customer-total broadcast

@@ -815,3 +815,72 @@ def test_packing_mask_audit_replay(spark):
     assert r0["n_seqs"] == len(per_seq)
     assert r0["causal_pairs"] == causal
     assert r0["allowed_pairs"] == allowed
+
+
+def test_length_batching_sorted_never_wastes_more(spark):
+    """Rearrangement bound: length-sorted batching wastes <= arrival
+    order; replay of both placements in Python."""
+    import duckdb
+    from serverless_etl_spark.operators.sampling import BATCH_ROWS
+
+    rows = {
+        r["strategy"]: r
+        for r in registry.QUERIES["q528_length_batching_waste"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert set(rows) == {"arrival", "length_sorted"}
+    assert (
+        rows["length_sorted"]["waste_ppm"] <= rows["arrival"]["waste_ppm"]
+    )
+    assert (
+        rows["arrival"]["real_tokens"]
+        == rows["length_sorted"]["real_tokens"]
+    )
+    from serverless_etl_spark.operators.sampling import N_SHARDS
+
+    docs = duckdb.sql(
+        f"""SELECT doc_id, len(string_split(text, ' '))
+        FROM '{SF_MID}/documents.parquet' ORDER BY doc_id"""
+    ).fetchall()
+    shards = collections.defaultdict(list)
+    for doc_id, n in docs:
+        shards[doc_id % N_SHARDS].append((doc_id, n))
+    for strat, keyf in (
+        ("arrival", lambda x: x[0]),
+        ("length_sorted", lambda x: (x[1], x[0])),
+    ):
+        padded = real = 0
+        for sh in shards.values():
+            order = sorted(sh, key=keyf)
+            for i in range(0, len(order), BATCH_ROWS):
+                batch = [n for _, n in order[i : i + BATCH_ROWS]]
+                padded += len(batch) * max(batch)
+                real += sum(batch)
+        r = rows[strat]
+        assert r["padded_slots"] == padded
+        assert r["real_tokens"] == real
+        assert r["waste_ppm"] == 1_000_000 * (padded - real) // padded
+
+
+def test_dedup_chaining_audit_bounds(spark):
+    """Closure pairs >= direct pairs always (closure adds, never
+    removes), and both sides reconcile with q41/q170 run directly."""
+    row = registry.QUERIES["q529_dedup_chaining_audit"](
+        spark, SF_MID
+    ).collect()[0]
+    assert row["n_closure_pairs"] >= row["n_direct_pairs"] > 0
+    assert (
+        row["n_chained_extra"]
+        == row["n_closure_pairs"] - row["n_direct_pairs"]
+    )
+    n_pairs = registry.QUERIES["q41_minhash_lsh"](spark, SF_MID).count()
+    assert row["n_direct_pairs"] == n_pairs
+    hist = registry.QUERIES["q170_cluster_size_dist"](
+        spark, SF_MID
+    ).collect()
+    closure = sum(
+        r["n_clusters"] * r["cluster_size"] * (r["cluster_size"] - 1) // 2
+        for r in hist
+    )
+    assert row["n_closure_pairs"] == closure

@@ -134,33 +134,11 @@ RECHECKS: set[str] = set()  # r8: none — q483 re-earned its green row in r7
 #: are never-sampled by construction, so the freshness ratchet stays
 #: green).
 _SWEEP_PRIORITY = [
-    "q512_elo_periods", "q513_dsir_importance",
-    "q514_winnow_fingerprints", "q515_gopher_rules",
-    "q516_fracminhash_containment", "q517_ann_ndcg",
-    "q518_clip_score_filter", "q519_ivf_balance_advisor",
-    "q520_jl_projection_audit", "q521_luhn_screen",
-    "q522_clip_admission", "q523_bpe_train_rounds",
-    "q524_ccnet_bands", "q525_gopher_ngram_fractions",
-    "q526_filter_agreement", "q527_packing_mask_audit",
-    "q528_length_batching_waste", "q529_dedup_chaining_audit",
-    "q504_semdedup_cascade", "q505_semdedup_admission",
-    "q506_scene_cut_spans", "q507_speech_spans",
-    "q508_tokenizer_fertility", "q509_av_clip_candidates",
-    "q510_bradley_terry", "q511_preference_cycles",
-    "q217_next_purchase_labels", "q218_cohort_revenue", "q219_reco_hitrate",
-    "q220_degree_distribution", "q221_weighted_jaccard",
-    "q222_data_contracts", "q223_bm25", "q224_calendar_dim",
-    "q225_abc_xyz_matrix", "q226_cdc_apply", "q227_embedding_drift",
-    "q228_rank_movers", "q229_interpolate_gaps", "q230_user_similarity",
-    "q231_release_report", "q232_wau_retention_bitmap", "q233_error_impact",
-    "q234_partition_advisor", "q235_kmv_set_algebra",
-    "q236_bpe_merge_pairs", "q237_pareto_frontier", "q238_delta_join_view",
-    "q239_hll_distinct", "q240_windowed_funnel", "q241_functional_deps",
-    "q242_cdc_generate", "q244_backtest_folds", "q245_forecast_eval",
-    "q246_theil_sen", "q247_rolling_corr", "q249_drop_reason_matrix",
-    "q250_threshold_sweep", "q251_spearman", "q252_mann_whitney",
-    "q253_overlap_spans", "q254_bitemporal_asof", "q256_diff_in_diff",
-    "q257_haar_energy", "q259_generalization_ladder",
+    "q241_functional_deps", "q242_cdc_generate", "q244_backtest_folds",
+    "q245_forecast_eval", "q246_theil_sen", "q247_rolling_corr",
+    "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",
+    "q252_mann_whitney", "q253_overlap_spans", "q254_bitemporal_asof",
+    "q256_diff_in_diff", "q257_haar_energy", "q259_generalization_ladder",
     "q260_broadcast_advisor", "q263_contribution_bounds",
     "q264_retraction_view", "q265_bucketized_window_join",
     "q266_funnel_by_cohort", "q267_sorted_neighborhood",

@@ -18,6 +18,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from serverless_etl_spark import registry
+from serverless_etl_spark.calibration import (
+    CALIB_REF,
+    calibration_probe,
+    scale_factor,
+)
 from serverless_etl_spark.session import get_spark
 
 registry.load_all()
@@ -198,6 +203,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    # instance calibration (r8 verdict item 3): the pinned probe, timed
+    # FIRST, yields the raw->reference-instance multiplier so the >2x
+    # floor flags below compare like-for-like across container reboots
+    # (the probe's discarded first iteration doubles as the JVM warmup)
+    calib = calibration_probe(spark)
+    scale = scale_factor(calib)
+    print(
+        f"# calibration: probe {calib:.4f}s vs ref {CALIB_REF:.4f}s "
+        f"-> scale {scale:.4f}",
+        file=sys.stderr,
+    )
+
     names = registry.BENCH_QUERIES or sorted(registry.QUERIES)
     # one warmup pass to amortize JVM/codegen startup out of q1's time
     registry.QUERIES[names[0]](spark, SF_DIR).count()
@@ -353,18 +370,31 @@ def main() -> None:
     regressions: dict[str, dict[str, float]] = {}
     ext_regressions: dict[str, dict[str, float]] = {}
     if abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9:
+        # flags fire on CALIBRATION-NORMALIZED times (r8 verdict item
+        # 3): raw time x the probe scale maps this instance back to the
+        # reference hardware the floors were locked on, so a container
+        # reboot onto slower metal can't masquerade as a regression
         regressions = {
-            n: {"now": t, "baseline": BASELINE_SF01[n]}
+            n: {
+                "now": t,
+                "now_norm": round(t * scale, 3),
+                "baseline": BASELINE_SF01[n],
+            }
             for n, t in timings.items()
-            if n in BASELINE_SF01 and t > 2 * BASELINE_SF01[n]
+            if n in BASELINE_SF01 and t * scale > 2 * BASELINE_SF01[n]
         }
         # extended set: same >2× rule against the locked r5 floor (r5
         # verdict item 4 — a regression in the 52 timed extended queries
         # was previously invisible outside a manual BENCH_DETAIL diff)
         ext_regressions = {
-            n: {"now": t, "baseline": BASELINE_EXT_SF01[n]}
+            n: {
+                "now": t,
+                "now_norm": round(t * scale, 3),
+                "baseline": BASELINE_EXT_SF01[n],
+            }
             for n, t in ext_timings.items()
-            if n in BASELINE_EXT_SF01 and t > 2 * BASELINE_EXT_SF01[n]
+            if n in BASELINE_EXT_SF01
+            and t * scale > 2 * BASELINE_EXT_SF01[n]
         }
         for n, d in {**regressions, **ext_regressions}.items():
             print(
@@ -381,7 +411,18 @@ def main() -> None:
         "queries": timings,
         "queries_full": full_timings,
         "queries_extended": ext_timings,
+        "queries_normalized": {
+            n: round(t * scale, 3) for n, t in timings.items()
+        },
+        "queries_extended_normalized": {
+            n: round(t * scale, 3) for n, t in ext_timings.items()
+        },
         "ext_regressions": ext_regressions,
+        "calibration": {
+            "probe_sec": calib,
+            "ref_sec": CALIB_REF,
+            "scale": round(scale, 4),
+        },
         "sf": _sf_from_dir(SF_DIR),
     }
     detail_path = os.path.join(
@@ -401,6 +442,10 @@ def main() -> None:
         # count only — per-query detail lives in BENCH_DETAIL.json so
         # the stdout line stays under the driver's ~2 KB tail capture
         "ext_regression_count": len(ext_regressions),
+        # instance fingerprint: raw probe seconds + the multiplier used
+        # to normalize flag comparisons (1.0 = reference hardware)
+        "calib_sec": calib,
+        "calib_scale": round(scale, 4),
         "detail_file": "BENCH_DETAIL.json",
         "sf": _sf_from_dir(SF_DIR),
     }

@@ -12,6 +12,15 @@ reports every query slower than 2x its locked floor (absolute slack
 anything). Close-out runs with ``SPARK_GRAFT_LOCK_FLOORS=1`` on an
 idle machine merge ``min(floor, current)`` back into the ledger, the
 BASELINE_EXT_SF01 mechanism extended to the whole registry.
+
+Instance calibration (r8 verdict item 3): a full sweep first times the
+pinned probe in ``serverless_etl_spark.calibration`` (which doubles as
+the JVM/codegen warmup the r8 close-out showed the first-built query
+otherwise eats — q481: 9.3s first build vs 2.4s second) and NORMALIZES
+every wall time to the reference instance before the floor comparison
+and the min-merge, so the ledger is instance-portable and a container
+reboot onto slower metal can't emit spurious >2x flags. The ledger's
+``calib`` block records the probe for audit.
 """
 
 from __future__ import annotations
@@ -77,6 +86,22 @@ def main():
     from serverless_etl_spark.session import get_spark
 
     spark = get_spark(app_name="selfcheck")
+    calib_scale = 1.0
+    calib = None
+    if not ONLY:
+        # full sweep: probe first (doubles as JIT/codegen warmup so the
+        # first timed build isn't charged startup cost), then normalize
+        # every recorded wall time to the reference instance
+        from serverless_etl_spark.calibration import (
+            CALIB_REF,
+            calibration_probe,
+            scale_factor,
+        )
+
+        calib = calibration_probe(spark)
+        calib_scale = scale_factor(calib)
+        print(f"# calibration: probe {calib:.4f}s vs ref "
+              f"{CALIB_REF:.4f}s -> scale {calib_scale:.4f}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -154,7 +179,7 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
 
     if not ONLY:
-        _timing_report(spark_times)
+        _timing_report(spark_times, calib_scale, calib)
     print(f"\n{len(failures)} failures / {len(qs)} queries @ {SF_DIR}")
     for n, m in failures:
         print(f"  {n}: {m[:300]}")
@@ -168,9 +193,20 @@ DRIFT_FACTOR = 2.0
 DRIFT_SLACK_S = 1.0
 
 
-def _timing_report(spark_times: dict[str, float]) -> None:
+def _timing_report(
+    spark_times: dict[str, float],
+    calib_scale: float = 1.0,
+    calib: float | None = None,
+) -> None:
     """Compare a full sweep's Spark wall times against the locked
-    floors; optionally (SPARK_GRAFT_LOCK_FLOORS=1) merge min() back."""
+    floors; optionally (SPARK_GRAFT_LOCK_FLOORS=1) merge min() back.
+
+    Times are normalized to the reference instance (raw x calib_scale)
+    BEFORE both the comparison and the merge, so the ledger stays
+    instance-portable across container reboots (r8 verdict item 3).
+    Historical floors predate the probe but were min-merged on the
+    same hardware class CALIB_REF is pinned to, so they read as
+    already-normalized."""
     import json
     import os
 
@@ -182,23 +218,29 @@ def _timing_report(spark_times: dict[str, float]) -> None:
         print(f"\n# timing floors are for {ledger.get('sf_dir')}, "
               f"run is {SF_DIR} — drift check skipped")
         return
+    norm_times = {n: t * calib_scale for n, t in spark_times.items()}
     floors = ledger.get("floors", {})
     regressions = {
-        n: (floors[n], t) for n, t in spark_times.items()
+        n: (floors[n], t) for n, t in norm_times.items()
         if n in floors
         and t > DRIFT_FACTOR * floors[n]
         and t > floors[n] + DRIFT_SLACK_S
     }
     print(f"\n# timing: {len(spark_times)} queries swept, "
-          f"{len(floors)} floors locked, "
-          f"{len(regressions)} >2x regressions")
+          f"{len(floors)} floors locked, calib scale {calib_scale:.4f}, "
+          f"{len(regressions)} >2x regressions (normalized)")
     for n, (f, t) in sorted(regressions.items()):
-        print(f"#   REGRESSION {n}: {t:.3f}s vs floor {f:.3f}s")
+        print(f"#   REGRESSION {n}: {t:.3f}s normalized vs floor "
+              f"{f:.3f}s (raw {spark_times[n]:.3f}s)")
     if os.environ.get("SPARK_GRAFT_LOCK_FLOORS") == "1":
-        for n, t in spark_times.items():
-            floors[n] = min(floors.get(n, t), t)
+        for n, t in norm_times.items():
+            floors[n] = round(min(floors.get(n, t), t), 3)
         json.dump(
-            {"sf_dir": SF_DIR, "floors": dict(sorted(floors.items()))},
+            {
+                "sf_dir": SF_DIR,
+                "calib": {"probe_sec": calib, "scale": round(calib_scale, 4)},
+                "floors": dict(sorted(floors.items())),
+            },
             open(FLOORS_PATH, "w"),
             indent=0,
         )

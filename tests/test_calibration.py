@@ -1,0 +1,51 @@
+"""Instance-calibration probe contract (r8 verdict item 3).
+
+The probe itself is a timing measurement and can't be asserted in CI
+beyond "runs and returns a positive float"; what CAN be pinned is the
+normalization math the bench/selfcheck flags depend on:
+
+- identity at reference speed,
+- inverse-proportional scaling within the clamp window,
+- clamp-to-identity outside it (a 10x probe shift is a broken probe or
+  a saturated machine, not an instance class — silently applying it
+  would corrupt the floor ledger).
+"""
+
+import pytest
+
+from serverless_etl_spark.calibration import (
+    CALIB_REF,
+    _MAX_SCALE,
+    calibration_probe,
+    scale_factor,
+)
+
+
+def test_scale_identity_at_reference():
+    assert scale_factor(CALIB_REF) == pytest.approx(1.0)
+
+
+def test_scale_inverse_proportional():
+    # instance twice as slow -> times halved back to reference
+    assert scale_factor(2 * CALIB_REF) == pytest.approx(0.5)
+    # instance twice as fast -> times doubled up to reference
+    assert scale_factor(CALIB_REF / 2) == pytest.approx(2.0)
+
+
+def test_scale_clamps_to_identity_outside_window():
+    assert scale_factor(CALIB_REF * (_MAX_SCALE + 1)) == 1.0
+    assert scale_factor(CALIB_REF / (_MAX_SCALE + 1)) == 1.0
+    assert scale_factor(0.0) == 1.0
+    assert scale_factor(-1.0) == 1.0
+
+
+def test_scale_boundary_inside_window_applies():
+    calib = CALIB_REF * (_MAX_SCALE - 0.01)
+    assert scale_factor(calib) == pytest.approx(CALIB_REF / calib)
+
+
+def test_probe_runs_and_is_positive(spark):
+    # one post-warmup iteration keeps the CI cost bounded (~2 probe
+    # executions); the value itself is hardware, not asserted
+    t = calibration_probe(spark, iters=1)
+    assert isinstance(t, float) and t > 0

@@ -412,12 +412,22 @@ def q44_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def duplicate_edges(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Undirected duplicate-graph edges (src < dst) over the seeded
     corpus (or any (doc_id, text) `corpus`): exact-duplicate star edges
     (keeper ↔ member per content digest) ∪ verified MinHash-LSH
-    near-dup pairs (q41)."""
+    near-dup pairs (q41).
+
+    ``near_pairs`` lets a caller that has ALREADY built the verified
+    (doc_a, doc_b) pair set inject it instead of re-running the whole
+    shingle→signature→band→verify pipeline — q529 uses this to share
+    one pair build between its direct-pair count and the closure side
+    (r8 verdict item 4: the audit previously re-shingled the corpus
+    twice)."""
     if corpus is None:
         corpus = _duped_docs(spark, sf_dir)
     docs = corpus.select("doc_id", F.md5("text").alias("digest"))
@@ -432,7 +442,9 @@ def duplicate_edges(
         .filter(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
     )
-    near = minhash_lsh_pairs(corpus).select(
+    if near_pairs is None:
+        near_pairs = minhash_lsh_pairs(corpus)
+    near = near_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return exact.unionByName(near).distinct()
@@ -4729,13 +4741,22 @@ def _register_q529() -> None:
 
         Scale: inherits q41/q63's digest-only postures; this audit
         adds two bounded aggregations over the pair list and the
-        cluster-size table. Runs after every dedup freeze.
+        cluster-size table. The verified pair set is built ONCE and
+        persisted — it feeds both the direct count and the closure's
+        near edges (r8 verdict item 4: invoking the q41 and q63
+        builders separately re-ran the whole shingle→band→verify
+        pipeline twice; sharing it halves the audit's cost with an
+        identical oracle). Runs after every dedup freeze.
 
         Reference: q41 (pairs), q63 (components), q170 (histogram),
         q487 (soft dedup); the classic LSH transitive-closure
         failure mode."""
-        pairs = QUERIES["q41_minhash_lsh"](spark, sf_dir)
-        clusters = QUERIES["q63_dup_clusters"](spark, sf_dir)
+        corpus = _duped_docs(spark, sf_dir)
+        pairs = track_cache(minhash_lsh_pairs(corpus).persist())
+        edges = duplicate_edges(
+            spark, sf_dir, corpus=corpus, near_pairs=pairs
+        )
+        clusters = connected_components(edges)
         n_direct = pairs.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_direct_pairs")
         )

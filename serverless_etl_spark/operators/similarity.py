@@ -440,7 +440,15 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign_col(cents: list[list[float]]):
     """Nearest-centroid expression over the literal centroid table:
-    struct(dist, cell) array → array_min = (min dist, tie → min cell)."""
+    struct(dist, cell) array → array_min = (min dist, tie → min cell).
+
+    Empty centroid table (empty-corpus training — no vectors to seed
+    from) → typed NULL cell: there are no rows for the expression to
+    evaluate on, but the column must still TYPE-CHECK (array_min over
+    a zero-element literal array is VOID and fails analysis — the
+    r9 empty-corpus sweep's q504/q505/q519 crash class)."""
+    if not cents:
+        return F.lit(None).cast("int")
     pairs = [
         F.struct(
             (
@@ -489,6 +497,12 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     vecs = _quantized_vecs(spark, sf_dir)
     seeds = vecs.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
     cents = [list(r["xq"]) for r in seeds]  # cell j = row j
+    if not cents:
+        # empty corpus: nothing to train on and nothing to assign —
+        # the oracle's seed CTE (vec_id < N_CELLS) is likewise empty,
+        # so every IVF query degrades to 0 rows rather than erroring
+        _CENTROID_ARTIFACTS[sf_dir] = []
+        return []
 
     for _ in range(KMEANS_ROUNDS):
         assigned = vecs.withColumn("cell", _assign_col(cents))

@@ -3295,7 +3295,12 @@ def q523_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("s", " "), lambda x: x != "")
     ).cast("bigint")
     base = cur.agg(F.sum(tok_count).alias("n")).collect()[0]["n"]
-    rows = [(0, "", 0, int(base))]
+    # SUM over an empty corpus is NULL on both engines; the oracle
+    # still emits one row per round with NULL merge/totals (empty
+    # scalar subqueries), so the trainer must NOT short-circuit to a
+    # truncated result (r9 empty-corpus sweep)
+    base = None if base is None else int(base)
+    rows: list[tuple] = [(0, "", 0, base)]
     for r in range(BPE_TRAIN_ROUNDS):
         tk = cur.select(
             F.filter(F.split("s", " "), lambda x: x != "").alias("tk")
@@ -3317,6 +3322,13 @@ def q523_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         if not top:
+            # no adjacent pairs left (empty or all-single-token corpus):
+            # the oracle's m{r} scalar subqueries go NULL and its
+            # st{r+1} CROSS JOIN with the empty m{r} empties the corpus
+            # for every later round — emit the remaining rounds as
+            # NULL rows, exactly the oracle's shape
+            for rr in range(r, BPE_TRAIN_ROUNDS):
+                rows.append((rr + 1, None, None, None))
             break
         merge, cnt = top[0]["bg"], int(top[0]["cnt"])
         doubled = " " + merge.replace(" ", "  ") + " "
@@ -3331,15 +3343,24 @@ def q523_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = nxt.agg(F.sum(tok_count).alias("n")).collect()[0]["n"]
         rows.append((r + 1, merge, cnt, int(total)))
         cur = nxt
+    def _ppm(tt):
+        # NULL base or NULL round total (pairless corpus) → NULL ppm,
+        # matching the oracle's NULL arithmetic; values non-negative so
+        # Python // and SQL DIV agree
+        if base is None or tt is None:
+            return None
+        return 1000000 * (base - tt) // base
+
     out = spark.range(1).select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(rd).cast("int").alias("round"),
-                        F.lit(mp).alias("merged_pair"),
+                        F.lit(mp).cast("string").alias("merged_pair"),
                         F.lit(pc).cast("bigint").alias("pair_count"),
                         F.lit(tt).cast("bigint").alias("total_tokens"),
+                        F.lit(_ppm(tt)).cast("bigint").alias("saved_ppm"),
                     )
                     for rd, mp, pc, tt in rows
                 ]
@@ -3351,10 +3372,7 @@ def q523_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.merged_pair").alias("merged_pair"),
         F.col("r.pair_count").alias("pair_count"),
         F.col("r.total_tokens").alias("total_tokens"),
-        F.expr(
-            f"CAST(1000000 * ({int(base)} - r.total_tokens)"
-            f" DIV {int(base)} AS BIGINT)"
-        ).alias("saved_ppm"),
+        F.col("r.saved_ppm").alias("saved_ppm"),
     ).orderBy("round")
 
 

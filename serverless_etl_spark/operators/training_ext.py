@@ -4681,13 +4681,16 @@ def _bt_round_sql(k: int) -> str:
     """One MM round in integer micro arithmetic: per-player denominator
     D_j = Σ_k FLOOR(1e12·m_jk/(s_j+s_k)) (scaled 1e6), then
     s_j' = FLOOR(1e12·W_j/D_j) micro — every division floors to an
-    integer BEFORE any summation, so no float ever reorders."""
+    integer BEFORE any summation, so no float ever reorders. Operates
+    on the DOWNSCALED counts (g2/w2 — see the sc CTE): counts capped
+    at 6 digits bound every 1e12·count product below 2^63 at any
+    corpus size."""
     return f"""
     d{k} AS (
         SELECT g.a AS t,
                CAST(SUM(1000000000000 * g.n
                         // GREATEST(sa.s + sb.s, 1)) AS BIGINT) AS d
-        FROM g
+        FROM g2 g
         JOIN s{k - 1} sa ON sa.t = g.a
         JOIN s{k - 1} sb ON sb.t = g.b
         GROUP BY g.a
@@ -4696,7 +4699,7 @@ def _bt_round_sql(k: int) -> str:
         SELECT d.t,
                CAST(1000000000000 * w.wins // GREATEST(d.d, 1) AS BIGINT)
                    AS s
-        FROM d{k} d JOIN wtot w ON w.t = d.t
+        FROM d{k} d JOIN w2 w ON w.t = d.t
     )
     """
 
@@ -4738,6 +4741,20 @@ def _bt_round_sql(k: int) -> str:
             SELECT loser AS a, n, 0 AS src FROM w
         ) GROUP BY a
     ),
+    sc AS (
+        SELECT CAST('1' || repeat('0', GREATEST(
+                   LENGTH(CAST(GREATEST(
+                       COALESCE((SELECT MAX(n) FROM g), 0),
+                       COALESCE((SELECT MAX(wins) FROM wtot), 0)
+                   ) AS VARCHAR)) - 6, 0)) AS BIGINT) AS c
+    ),
+    g2 AS (
+        SELECT a, b, CAST(n // (SELECT c FROM sc) AS BIGINT) AS n FROM g
+    ),
+    w2 AS (
+        SELECT t, CAST(wins // (SELECT c FROM sc) AS BIGINT) AS wins
+        FROM wtot
+    ),
     s0 AS (SELECT t, CAST(1000000 AS BIGINT) AS s FROM wtot),
     {_bt_round_sql(1)},
     {_bt_round_sql(2)},
@@ -4766,9 +4783,14 @@ def q510_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     round floors every division to an integer BEFORE summation
     (micro-scaled: term = FLOOR(1e12·m/(s_j+s_k)), D = Σ terms,
     s' = FLOOR(1e12·W/D)) so no float sum order exists on either
-    engine. int64 bound: 1e12·max(W, m) — safe to ~9e6 duels per
-    directed pair; widen to DECIMAL(38,0)/HUGEINT past that (q501's
-    discipline).
+    engine. int64 headroom (r9 audit): the MM rounds run on counts
+    floor-divided by c = 10^max(0, digits(max count) - 6) — derived
+    from the data identically on both engines via string width (no
+    float log10 near power-of-10 boundaries) — so 1e12·count stays
+    below 2^63 at ANY corpus size; the MM fixed point is
+    scale-invariant in the counts, at test scale c = 1 (bit-identical
+    to the unscaled formula), and reported wins/games are the
+    original unscaled totals.
 
     Scale: the duel builder is ONE equi self-join on consecutive
     event_ids (shuffle on event_id, never a cross product) that
@@ -4838,12 +4860,22 @@ def q510_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = track_cache(g.persist())
     wtot = track_cache(wtot.persist())
+    # int64-headroom downscale (r9 audit): cap the counts the 1e12-
+    # scaled MM arithmetic sees at 6 digits. c is derived from the data
+    # by STRING width (float log10 is unstable at power-of-10
+    # boundaries); two one-row collects — the bounded-collect posture.
+    # At test scale c = 1 and the rounds are bit-identical to unscaled.
+    mx_n = g.agg(F.max("n").alias("m")).collect()[0]["m"] or 0
+    mx_w = wtot.agg(F.max("wins").alias("m")).collect()[0]["m"] or 0
+    c = 10 ** max(len(str(max(mx_n, mx_w))) - 6, 0)
+    g2 = g.select("a", "b", F.expr(f"n DIV {c}").alias("n"))
+    w2 = wtot.select("t", F.expr(f"wins DIV {c}").alias("wins"))
     s = wtot.select("t", F.lit(1_000_000).cast("bigint").alias("s"))
     for _ in range(BT_ROUNDS):
         sa = s.select(F.col("t").alias("a"), F.col("s").alias("sa"))
         sb = s.select(F.col("t").alias("b"), F.col("s").alias("sb"))
         d = (
-            g.join(sa, "a")
+            g2.join(sa, "a")
             .join(sb, "b")
             .groupBy(F.col("a").alias("t"))
             .agg(
@@ -4857,7 +4889,7 @@ def q510_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("d")
             )
         )
-        s = d.join(wtot, "t").select(
+        s = d.join(w2, "t").select(
             "t",
             F.expr(
                 "CAST(1000000000000 * wins"

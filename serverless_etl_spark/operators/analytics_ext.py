@@ -11128,14 +11128,22 @@ def q388_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name",
         F.col("n").alias("n_rows"),
         "ndv",
-        F.expr("1000000 * ndv DIV n").alias("ndv_ppm"),
+        # nullif: empty table → NULL ratios (oracle // 0) and both
+        # WHEN branches skip → PLAIN, matching the oracle's NULL CASE
+        # fallthrough (r9 empty-corpus sweep)
+        F.expr("1000000 * ndv DIV nullif(n, 0)").alias("ndv_ppm"),
         "total_runs",
-        F.expr("1000000 * n DIV total_runs").alias("avg_run_len_ppm"),
+        F.expr("1000000 * n DIV nullif(total_runs, 0)").alias(
+            "avg_run_len_ppm"
+        ),
         F.when(
-            F.expr("1000000 * ndv DIV n") <= ENC_DICT_NDV_PPM, "DICT"
+            F.expr("1000000 * ndv DIV nullif(n, 0)") <= ENC_DICT_NDV_PPM,
+            "DICT",
         )
         .when(
-            F.expr("1000000 * n DIV total_runs") >= ENC_RLE_RUN_PPM, "RLE"
+            F.expr("1000000 * n DIV nullif(total_runs, 0)")
+            >= ENC_RLE_RUN_PPM,
+            "RLE",
         )
         .otherwise("PLAIN")
         .alias("encoding"),
@@ -13181,8 +13189,11 @@ def q425_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.select(
         "channel",
         "phi24",
+        # nullif: zero total contribution → NULL share, the
+        # oracle's // 0 semantics (r9 empty-corpus sweep)
         F.expr(
-            "CAST(1000000 * phi24 DIV SUM(phi24) OVER () AS BIGINT)"
+            "CAST(1000000 * phi24"
+            " DIV nullif(SUM(phi24) OVER (), 0) AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("channel")
 

@@ -2446,7 +2446,9 @@ def q267_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_candidates",
             "found",
-            F.expr("1000000 * found DIV n_truth").alias("recall_ppm"),
+            F.expr("1000000 * found DIV nullif(n_truth, 0)").alias(
+                "recall_ppm"
+            ),
         )
     )
 
@@ -4232,9 +4234,12 @@ def q483_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_input") - F.col("n_surv")).alias("n_exact_removed"),
             "n_near_removed",
             (F.col("n_surv") - F.col("n_near_removed")).alias("n_final"),
+            # NULLIF: an empty corpus (n_input = 0) must yield NULL ppm
+            # like the oracle's // 0 (DuckDB division by zero is NULL;
+            # Spark ANSI errors) — r9 empty-corpus sweep
             F.expr(
                 "1000000 * (n_input - n_surv + n_near_removed)"
-                " DIV n_input"
+                " DIV NULLIF(n_input, CAST(0 AS BIGINT))"
             ).alias("removed_ppm"),
         )
     )

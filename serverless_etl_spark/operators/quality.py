@@ -696,8 +696,12 @@ def q164_purge_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("tbl"),
                 "n_purged",
                 "n_total",
+                # NULLIF: empty table → NULL share, the oracle's /0
+                # semantics (r9 empty-corpus sweep)
                 trunc(
-                    F.col("n_purged").cast("double") / F.col("n_total"), 6
+                    F.col("n_purged").cast("double")
+                    / F.nullif(F.col("n_total"), F.lit(0)),
+                    6,
                 ).alias("share"),
             )
         )
@@ -1413,8 +1417,11 @@ def q231_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup_rate = row(
         "dup_rate_ppm",
+        # NULLIF: empty corpus → NULL rate, the oracle's // 0 (r9
+        # empty-corpus sweep)
         F.expr(
-            "(1000000 * (count(1) - count(distinct digest))) DIV count(1)"
+            "(1000000 * (count(1) - count(distinct digest)))"
+            " DIV NULLIF(count(1), 0)"
         ).cast("bigint"),
         tok,
     )
@@ -1601,7 +1608,9 @@ def q241_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_lhs",
                 "n_pairs",
                 (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
-                F.expr("1000000 * n_lhs DIV n_pairs").alias("strength_ppm"),
+                F.expr("1000000 * n_lhs DIV nullif(n_pairs, 0)").alias(
+                    "strength_ppm"
+                ),
             )
         )
         out = row if out is None else out.unionByName(row)

@@ -1535,11 +1535,18 @@ def q312_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_slots",
             "n_parts_recommended",
             "catalog_size",
+            # nullif: empty catalog/slots → NULL ppm, the oracle's
+            # // 0 semantics (r9 empty-corpus sweep)
             F.expr(
-                "1000000 * n_parts_recommended DIV catalog_size"
+                "1000000 * n_parts_recommended"
+                " DIV nullif(catalog_size, 0)"
             ).alias("coverage_ppm"),
-            F.expr("sum_nov DIV n_slots").alias("mean_novelty_ppm"),
-            F.expr("1000000 * s DIV n_slots").alias("top10_share_ppm"),
+            F.expr("sum_nov DIV nullif(n_slots, 0)").alias(
+                "mean_novelty_ppm"
+            ),
+            F.expr("1000000 * s DIV nullif(n_slots, 0)").alias(
+                "top10_share_ppm"
+            ),
         )
     )
 

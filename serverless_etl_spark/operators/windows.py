@@ -1949,7 +1949,9 @@ def q240_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
-        F.expr("1000000 * n_click DIV n_view").alias("click_ppm"),
+        F.expr("1000000 * n_click DIV nullif(n_view, 0)").alias(
+            "click_ppm"
+        ),
         F.expr("1000000 * n_purchase DIV nullif(n_click, 0)").alias(
             "purchase_ppm"
         ),

@@ -1,0 +1,38 @@
+"""Build an EMPTY-tables scale-factor dir: every testdata table with
+its exact parquet schema and zero rows. The r9 empty-corpus sweep
+(`python scripts/selfcheck.py <out_dir>`) runs the full registry
+against it — the q512-class engine-divergence catcher: Spark ANSI
+errors (divide-by-zero, VOID literal arrays, driver int(None)) and
+grouping-set/limit shape differences all surface ONLY on empty input,
+and an upstream filter can empty any intermediate at real scale.
+
+Usage:
+    python scripts/make_empty_sf.py [src_sf_dir] [out_dir]
+    # defaults: /root/testdata/sf0.001 -> /tmp/sf_empty
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build(src: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 0)
+        pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_empty"
+    build(src, out)
+    print(f"empty tables written to {out}")

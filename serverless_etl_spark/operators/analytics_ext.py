@@ -48,7 +48,24 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle; Spark expands the sets map-side (Expand node)
     so each input row is scanned once, not once per set."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    if orders.isEmpty():
+        # the () grouping set is standard-mandated even over empty
+        # input (DuckDB emits it); Spark's GROUPING SETS returns 0
+        # rows — synthesize it. Non-empty plan untouched.
+        return spark.sql(
+            """
+            SELECT CAST(NULL AS STRING) AS o_orderstatus,
+                   CAST(NULL AS STRING) AS o_orderpriority,
+                   CAST(1 AS INT) AS g_status,
+                   CAST(1 AS INT) AS g_priority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders_gs
+            """
+        )
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -6848,6 +6865,14 @@ def q299_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
     ).collect()[0]
+    if int(bounds["n"]) == 0:
+        # no order statistic exists; the oracle's OFFSET walks off the
+        # empty relation and returns 0 rows (r9 empty-corpus sweep)
+        return spark.createDataFrame(
+            [],
+            "n_rows BIGINT, k BIGINT, median_cents BIGINT,"
+            " n_lt BIGINT, n_le BIGINT",
+        )
     n, lo, hi = int(bounds["n"]), int(bounds["lo"]), int(bounds["hi"])
     k = (n + 1) // 2
     while lo < hi:
@@ -8118,7 +8143,16 @@ def q321_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mi = track_cache(mi.persist())
     first = mi.groupBy("o_custkey").agg(F.min("m").alias("c"))
-    t = int(mi.agg(F.max("m")).collect()[0][0])
+    t_max = mi.agg(F.max("m")).collect()[0][0]
+    if t_max is None:
+        # no cohorts exist; the oracle's cohort CTEs are empty and it
+        # returns 0 rows (r9 empty-corpus sweep)
+        return spark.createDataFrame(
+            [],
+            "cohort_month INT, last_age BIGINT, cum_cents BIGINT,"
+            " ultimate_cents BIGINT",
+        )
+    t = int(t_max)
     cells = (
         mi.join(first, "o_custkey")
         .withColumn("age", F.col("m") - F.col("c"))

@@ -509,7 +509,29 @@ def q137_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE corpus scan — Spark expands the four grouping sets
     map-side (Expand node), partials merge per set; nothing but
     (source, lang) keyed counts ever shuffles."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_qd")
+    docs_qd = load_table(spark, sf_dir, "documents")
+    docs_qd.createOrReplaceTempView("documents_qd")
+    if docs_qd.isEmpty():
+        # standard GROUPING SETS still emits the () set over empty
+        # input; Spark returns 0 rows — synthesize the grand-total row
+        return spark.sql(
+            f"""
+            SELECT CAST(NULL AS STRING) AS source,
+                   CAST(NULL AS STRING) AS lang,
+                   CAST(1 AS INT) AS g_source, CAST(1 AS INT) AS g_lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   FLOOR(CAST(SUM(n_chars) AS DOUBLE)
+                         / NULLIF(COUNT(*), 0) * 100) / 100 AS avg_chars,
+                   CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   FLOOR(CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS}
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / NULLIF(COUNT(*), 0) * 1000000) / 1000000
+                       AS short_rate
+            FROM documents_qd
+            """
+        )
     return spark.sql(
         f"""
         SELECT source, lang,
@@ -853,7 +875,9 @@ def q179_constant_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_val = t.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
         row = per_val.agg(
             F.lit(f"{tbl}.{col}").alias("col_ref"),
-            F.sum("c").alias("n_rows"),
+            # COALESCE: the oracle's COUNT(*) is 0 on an empty table
+            # where SUM over no groups is NULL (r9 empty-corpus sweep)
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).alias("n_distinct"),
             F.max("c").cast("bigint").alias("top_count"),
             (F.max("c") * NC_DEN > F.sum("c") * NC_NUM).alias("near_constant"),
@@ -2061,11 +2085,20 @@ def q263_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).alias("n"),
     )
     k = F.expr(f"({CB_PCT} * n + 99) DIV 100")
-    clip_rows = ranked.filter(F.col("rk_rows") == k).select(
-        F.col("max_rows_day").alias("clip_rows")
+    # one-row AGGREGATES, not filters: a filtered frame is EMPTY on an
+    # empty corpus and empties every crossJoin after it, where the
+    # oracle's scalar subqueries yield one NULL row (r9 empty-corpus
+    # sweep). Exactly one rank matches k on non-empty input, so MIN
+    # over the matching rows is that value.
+    clip_rows = ranked.agg(
+        F.min(F.when(F.col("rk_rows") == k, F.col("max_rows_day"))).alias(
+            "clip_rows"
+        )
     )
-    clip_mass = ranked.filter(F.col("rk_mass") == k).select(
-        F.col("max_mass_day").alias("clip_mass")
+    clip_mass = ranked.agg(
+        F.min(F.when(F.col("rk_mass") == k, F.col("max_mass_day"))).alias(
+            "clip_mass"
+        )
     )
     tots = mx.agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -2075,10 +2108,18 @@ def q263_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = tots.crossJoin(F.broadcast(clip_rows)).crossJoin(
         F.broadcast(clip_mass)
     )
+    # SUM(CASE...) like the oracle: NULL over an empty corpus, 0 when
+    # no user exceeds the clip
     clipped = (
         mx.crossJoin(F.broadcast(clip_rows))
-        .filter(F.col("max_rows_day") > F.col("clip_rows"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_clipped"))
+        .agg(
+            F.sum(
+                F.when(F.col("max_rows_day") > F.col("clip_rows"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_users_clipped")
+        )
     )
     return j.crossJoin(F.broadcast(clipped)).select(
         "n_users",
@@ -2712,7 +2753,11 @@ def q302_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stitched.agg(
         F.lit(n_rows).cast("bigint").alias("n_rows"),
-        F.sum("cnt").cast("bigint").alias("n_distinct"),
+        # COALESCE: the oracle's COUNT DISTINCT is 0 on an empty table
+        # where SUM over no buckets is NULL (r9 empty-corpus sweep)
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+            "n_distinct"
+        ),
         F.min("bmin").cast("bigint").alias("id_min"),
         F.max("bmax").cast("bigint").alias("id_max"),
         (
@@ -2734,7 +2779,9 @@ def q302_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("largest_gap"),
-        (F.lit(n_rows) - F.sum("cnt")).cast("bigint").alias("n_dup_rows"),
+        (F.lit(n_rows) - F.coalesce(F.sum("cnt"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_rows"),
     )
 
 
@@ -4871,12 +4918,24 @@ def q488_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("digest"),
     )
     base = track_cache(base.persist())
+    # one-row aggregate, not orderBy().limit(1): a limit over zero
+    # groups is EMPTY and empties the whole card via the crossJoin,
+    # where the oracle yields one NULL-language row (r9 empty-corpus
+    # sweep). MIN over struct(-count, lang) = (count DESC, lang ASC).
     top = (
         base.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .orderBy(F.col("c").desc(), "lang")
-        .limit(1)
-        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("negc"), F.col("lang").alias("lang")
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.lang").alias("top_lang"),
+            (-F.col("s.negc")).cast("bigint").alias("top_c"),
+        )
     )
     return (
         base.agg(
@@ -4898,12 +4957,18 @@ def q488_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_langs",
             "n_sources",
             "top_lang",
-            F.expr("1000000 * top_c DIV n_docs").alias("top_lang_ppm"),
+            F.expr("1000000 * top_c DIV nullif(n_docs, 0)").alias(
+                "top_lang_ppm"
+            ),
             F.expr(
-                "1000000 * (n_docs - n_digests) DIV n_docs"
+                "1000000 * (n_docs - n_digests) DIV nullif(n_docs, 0)"
             ).alias("exact_dup_ppm"),
-            F.expr("n_tokens DIV n_docs").alias("mean_doc_tokens"),
-            F.expr("1000000 * n_short DIV n_docs").alias("short_doc_ppm"),
+            F.expr("n_tokens DIV nullif(n_docs, 0)").alias(
+                "mean_doc_tokens"
+            ),
+            F.expr("1000000 * n_short DIV nullif(n_docs, 0)").alias(
+                "short_doc_ppm"
+            ),
         )
     )
 

@@ -478,14 +478,26 @@ def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    return (
-        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    if joined.isEmpty():
+        # SQL-standard ROLLUP emits the grand-total grouping set even
+        # over empty input (DuckDB does); Spark's rollup returns 0
+        # rows — synthesize the one () row. limit-1 probe only; the
+        # non-empty plan is untouched (r9 empty-corpus sweep).
+        return joined.agg(
             F.count(F.lit(1)).alias("n_customers"),
             dsum("c_acctbal").alias("total_bal"),
+        ).select(
+            F.lit(None).cast("string").alias("r_name"),
+            F.lit(None).cast("string").alias("n_name"),
+            "n_customers",
+            "total_bal",
         )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_bal"),
     )
 
 
@@ -675,6 +687,23 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates before the single shuffle — no per-grouping-set
     rescan of lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
+    if li.isEmpty():
+        # SQL-standard CUBE still emits the () grouping set over empty
+        # input; Spark returns 0 rows — synthesize the one grand-total
+        # row (grouping markers = 1). Non-empty plan untouched.
+        return li.agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(1).cast("int").alias("grp_flag"),
+            F.lit(1).cast("int").alias("grp_status"),
+            "sum_qty",
+            "n_rows",
+        )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

@@ -2700,7 +2700,15 @@ def q389_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = track_cache(
         emb.select("vec_id", _vec_double().alias("v")).persist()
     )
-    first = pts.orderBy("vec_id").limit(1).collect()[0]
+    seed = pts.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        # empty corpus: the oracle's recursive seed still emits the
+        # step-1 row with NULL center (r9 empty-corpus sweep)
+        return spark.createDataFrame(
+            [(1, None, None)],
+            "step int, center_id bigint, sel_dist_r6 double",
+        )
+    first = seed[0]
     chosen = [(1, int(first["vec_id"]), None)]
     cvec = [float(x) for x in first["v"]]
 
@@ -4396,11 +4404,17 @@ def q489_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = s.filter(F.col("i") == F.col("j")).agg(
         F.sum("sv").cast("bigint").alias("trace_s")
     )
-    topd = (
-        fin.orderBy(F.abs(F.col("v")).desc(), "i")
-        .limit(1)
-        .select(F.col("i").cast("bigint").alias("top_dim"))
-    )
+    # one-row aggregate, not orderBy().limit(1): on an empty corpus the
+    # iteration frame is empty and a limit would empty the whole card
+    # via the crossJoin, where the oracle yields NULL top_dim (r9
+    # empty-corpus sweep). MIN over struct(-|v|, i) = (|v| DESC, i ASC).
+    topd = fin.agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("v"))).alias("na"), F.col("i").alias("i")
+            )
+        ).alias("s2")
+    ).select(F.col("s2.i").cast("bigint").alias("top_dim"))
     return (
         nn.crossJoin(F.broadcast(tr))
         .crossJoin(F.broadcast(rayleigh))

@@ -4386,20 +4386,31 @@ def q472_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CASE {eff_case} END").alias("eff"),
         F.expr(f"CASE {pad_case} END").alias("padded"),
     )
+    agg = fanned.groupBy("plan").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+        F.sum("padded").cast("bigint").alias("padded_slots"),
+        F.expr(
+            "CAST(1000000 * SUM(padded - eff)"
+            " DIV nullif(SUM(padded), 0) AS BIGINT)"
+        ).alias("waste_ppm"),
+        F.expr(
+            "CAST(1000000 * SUM(n_tok - eff)"
+            " DIV nullif(SUM(n_tok), 0) AS BIGINT)"
+        ).alias("trunc_ppm"),
+    )
+    # LEFT join from the literal plan grid: every plan row survives an
+    # empty corpus (n_docs 0, measures NULL), matching the oracle's
+    # grid-driven shape (r9 empty-corpus sweep)
     return (
-        fanned.groupBy("plan")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
-            F.sum("padded").cast("bigint").alias("padded_slots"),
-            F.expr(
-                "CAST(1000000 * SUM(padded - eff)"
-                " DIV SUM(padded) AS BIGINT)"
-            ).alias("waste_ppm"),
-            F.expr(
-                "CAST(1000000 * SUM(n_tok - eff)"
-                " DIV SUM(n_tok) AS BIGINT)"
-            ).alias("trunc_ppm"),
+        plan_rows.join(agg, "plan", "left")
+        .select(
+            "plan",
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+            "raw_tokens",
+            "padded_slots",
+            "waste_ppm",
+            "trunc_ppm",
         )
         .orderBy("plan")
     )

@@ -337,6 +337,10 @@ def main() -> None:
         # sequential admission unroll)
         "q504_semdedup_cascade",
         "q505_semdedup_admission",
+        # round-9: the capstone — the five-stage curation pipeline as
+        # one lineage (gopher → exact → near → semantic → ccnet) with
+        # the conservation ledger; the natural flagship composition row
+        "q530_curation_pipeline",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import trunc
 from ..io import load_table
 from ..registry import register, track_cache
 from .sampling import SEQ_BUDGET, TRAIN_UPPER, VAL_UPPER, hash_split
@@ -466,3 +467,531 @@ def q439_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OVER () AS BIGINT)"
         ).alias("mix_share_ppm"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q530 — the end-to-end curation pipeline as ONE lineage (capstone)
+# --------------------------------------------------------------------------
+
+#: q530's corpus: the dedup fixtures' seeded families PLUS a
+#: paraphrase family only the SEMANTIC stage can catch — doc_id%10==7
+#: docs re-appear at +3,000,000 with their word order REVERSED: the
+#: token multiset (so every Gopher feature) is unchanged, the 3-gram
+#: shingle set is disjoint (evades the lexical near stage), and the
+#: embedding (vec key = doc_id % 1,000,000, i.e. the base vector — a
+#: faithful stand-in for "paraphrase embeds where its source embeds")
+#: is identical, so SemDeDup removes it at cosine 1.
+_Q530_CORPUS_SQL = """
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' extratoken' AS text,
+               lang
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   AS text,
+               lang
+        FROM documents WHERE doc_id % 10 = 7
+"""
+
+_Q530_VKEY_MOD = 1_000_000
+
+
+def _q530_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        "lang",
+    )
+    para = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+        "lang",
+    )
+    return docs.unionByName(exact).unionByName(near).unionByName(para)
+
+
+def _q530_oracle() -> str:
+    """Assemble the five-stage ledger oracle from the stage queries'
+    own SQL definitions (q515 Gopher features, q41's LSH pipeline via
+    _q41_oracle_sql, q375/q504's integer-grid SemDeDup screen over the
+    shared k-means CTEs, q115/q524's bigram-LM banding)."""
+    from .dedup import _q41_oracle_sql
+    from .quality import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+    # _Q519_QDIMS_SQL, not _QDIMS_SQL: the float-grid qdims the k-means
+    # CTE builders expect — the module-level _QDIMS_SQL name is shadowed
+    # by a later integer-grid redefinition (q519 hit the same trap)
+    from .similarity import (
+        _Q519_QDIMS_SQL as _QDIMS_SQL,
+        _assign_sql,
+        _update_sql,
+        N_CELLS,
+        SEMDEDUP_TAU_DEN2,
+        SEMDEDUP_TAU_NUM2,
+    )
+
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(ws, '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH corpus AS ({_Q530_CORPUS_SQL}),
+    toked AS MATERIALIZED (
+        SELECT doc_id, text, lang, string_split(text, ' ') AS ws
+        FROM corpus
+    ),
+    feat AS MATERIALIZED (
+        SELECT doc_id, text, lang,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> len(w)))
+                   AS BIGINT) AS sum_len,
+               CAST(COALESCE(list_sum(list_transform(ws,
+                   w -> CASE WHEN regexp_matches(w, '^[#.]+$')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_sym,
+               CAST(COALESCE(list_sum(list_transform(ws,
+                   w -> CASE WHEN regexp_matches(w, '[a-z]')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+               CAST({stop_sum} AS BIGINT) AS n_stop
+        FROM toked
+    ),
+    q1 AS MATERIALIZED (
+        SELECT doc_id, text, lang FROM feat
+        WHERE n_words >= {GOPHER_MIN_WORDS}
+          AND n_words <= {GOPHER_MAX_WORDS}
+          AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+          AND 10 * n_sym <= n_words
+          AND 5 * n_alpha >= 4 * n_words
+          AND n_stop >= {GOPHER_MIN_STOPWORDS}
+    ),
+    hashed AS MATERIALIZED (SELECT doc_id, text, lang, md5(text) AS dg FROM q1),
+    keep2 AS MATERIALIZED (SELECT dg, MIN(doc_id) AS k FROM hashed GROUP BY dg),
+    q2 AS MATERIALIZED (
+        SELECT h.doc_id, h.text, h.lang
+        FROM hashed h JOIN keep2 k ON k.dg = h.dg
+        WHERE h.doc_id = k.k
+    ),
+    near_pairs AS ({_q41_oracle_sql("SELECT doc_id, text FROM q2")}),
+    r3 AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM near_pairs),
+    q3 AS MATERIALIZED (
+        SELECT doc_id, text, lang FROM q2
+        WHERE doc_id NOT IN (SELECT doc_id FROM r3)
+    ),
+    {_QDIMS_SQL},
+    cc0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims
+        WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("cc0", "ca1")},
+    {_update_sql("ca1", "cu1")},
+    {_assign_sql("cu1", "ca2")},
+    {_update_sql("ca2", "cu2")},
+    sdocs AS MATERIALIZED (
+        SELECT q.doc_id, q.doc_id % {_Q530_VKEY_MOD} AS vkey
+        FROM q3 q
+        WHERE q.doc_id % {_Q530_VKEY_MOD} IN
+              (SELECT vec_id FROM embeddings)
+    ),
+    vcell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000)
+                       / 1000000 AS dist
+            FROM qdims d JOIN cu2 c ON c.i = d.i
+            WHERE d.vec_id IN (SELECT vkey FROM sdocs)
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) = 1
+    ),
+    ints5 AS MATERIALIZED (
+        SELECT vec_id, i, CAST(xq * 4096 AS BIGINT) AS a FROM qdims
+        WHERE vec_id IN (SELECT vkey FROM sdocs)
+    ),
+    norms5 AS MATERIALIZED (SELECT vec_id, SUM(a * a) AS na FROM ints5 GROUP BY vec_id),
+    dots5 AS MATERIALIZED (
+        SELECT ia.vec_id AS va, ib.vec_id AS vb, SUM(ia.a * ib.a) AS dot
+        FROM ints5 ia JOIN ints5 ib
+          ON ib.i = ia.i AND ia.vec_id <= ib.vec_id
+        GROUP BY 1, 2
+    ),
+    r4 AS MATERIALIZED (
+        SELECT DISTINCT pb.doc_id
+        FROM sdocs pa
+        JOIN vcell ca ON ca.vec_id = pa.vkey
+        JOIN sdocs pb ON pb.doc_id > pa.doc_id
+        JOIN vcell cb ON cb.vec_id = pb.vkey AND cb.cell = ca.cell
+        JOIN dots5 d ON d.va = LEAST(pa.vkey, pb.vkey)
+                    AND d.vb = GREATEST(pa.vkey, pb.vkey)
+        JOIN norms5 na ON na.vec_id = pa.vkey
+        JOIN norms5 nb ON nb.vec_id = pb.vkey
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * {SEMDEDUP_TAU_DEN2}
+              >= CAST(na.na AS HUGEINT) * nb.na * {SEMDEDUP_TAU_NUM2}
+    ),
+    q4 AS MATERIALIZED (
+        SELECT doc_id, text, lang FROM q3
+        WHERE doc_id NOT IN (SELECT doc_id FROM r4)
+    ),
+    words5 AS MATERIALIZED (
+        SELECT doc_id, w.i AS pos, lower(w.word) AS word
+        FROM q4,
+             LATERAL (SELECT generate_subscripts(
+                          string_split(text, ' '), 1) AS i,
+                      unnest(string_split(text, ' ')) AS word) w
+    ),
+    bigrams5 AS MATERIALIZED (
+        SELECT a.doc_id, a.word AS w1, b.word AS w2
+        FROM words5 a JOIN words5 b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    doc_bi5 AS MATERIALIZED (
+        SELECT doc_id, w1, w2, COUNT(*) AS k
+        FROM bigrams5 GROUP BY doc_id, w1, w2
+    ),
+    bi5 AS MATERIALIZED (SELECT w1, w2, SUM(k) AS c12 FROM doc_bi5 GROUP BY w1, w2),
+    uni5 AS MATERIALIZED (SELECT w1, SUM(k) AS c1 FROM doc_bi5 GROUP BY w1),
+    scored5 AS MATERIALIZED (
+        SELECT g.doc_id, g.k,
+               CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        FROM doc_bi5 g JOIN bi5 USING (w1, w2) JOIN uni5 USING (w1)
+    ),
+    doc_scores5 AS MATERIALIZED (
+        SELECT doc_id,
+               FLOOR(SUM(k * p) / SUM(k) * 1000000) / 1000000 AS mean_p
+        FROM scored5 GROUP BY doc_id
+    ),
+    banded5 AS MATERIALIZED (
+        SELECT s.doc_id,
+               NTILE(3) OVER (PARTITION BY d.lang
+                   ORDER BY s.mean_p DESC, s.doc_id) AS band
+        FROM doc_scores5 s JOIN q4 d USING (doc_id)
+    ),
+    r5 AS MATERIALIZED (SELECT doc_id FROM banded5 WHERE band = 3),
+    counts AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM corpus) AS c0,
+               (SELECT COUNT(*) FROM q1) AS c1,
+               (SELECT COUNT(*) FROM q2) AS c2,
+               (SELECT COUNT(*) FROM q3) AS c3,
+               (SELECT COUNT(*) FROM q4) AS c4,
+               (SELECT COUNT(*) FROM q4) -
+                   (SELECT COUNT(*) FROM r5) AS c5
+    ),
+    ledger AS (
+        SELECT 1 AS stage_order, 'gopher_quality' AS stage,
+               c0 AS n_in, c0 - c1 AS n_removed, c1 AS n_out FROM counts
+        UNION ALL
+        SELECT 2, 'exact_dedup', c1, c1 - c2, c2 FROM counts
+        UNION ALL
+        SELECT 3, 'near_dedup', c2, c2 - c3, c3 FROM counts
+        UNION ALL
+        SELECT 4, 'semantic_dedup', c3, c3 - c4, c4 FROM counts
+        UNION ALL
+        SELECT 5, 'ccnet_tail', c4, c4 - c5, c5 FROM counts
+    )
+    SELECT CAST(stage_order AS INT) AS stage_order, stage,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(1000000 * n_removed // NULLIF(n_in, 0) AS BIGINT)
+               AS removed_ppm
+    FROM ledger ORDER BY stage_order
+    """
+
+
+@register("q530_curation_pipeline", oracle=_q530_oracle())
+def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE lineage — the capstone
+    composition query: every stage a 100 TB pretraining corpus pass
+    actually runs, chained over the same corpus with a per-stage
+    CONSERVATION LEDGER (rows in = removed + kept, each stage's output
+    is the next stage's input):
+
+      1. gopher_quality  — the published rule gate (q515's five rules,
+         raw text, no seeded lanes),
+      2. exact_dedup     — md5 keep-min (q40/q483's stage 1),
+      3. near_dedup      — MinHash+LSH verified pairs over exact
+         survivors, remove the larger doc of each pair (q41/q483),
+      4. semantic_dedup  — SemDeDup's within-IVF-cell integer-grid
+         cosine screen (q375/q504) over docs that embed (vec key =
+         doc_id % 1,000,000 — a clone embeds where its source does),
+      5. ccnet_tail      — CCNet perplexity banding (q524, scored with
+         q115's corpus bigram LM trained on the DEDUPED survivors —
+         dedup-before-LM is the published ordering), dropping each
+         language's tail third.
+
+    Every removal class is SEEDED so each stage provably removes mass:
+    exact clones (+1M, doc_id%10==0) die at stage 2, ' extratoken'
+    near clones (+2M, %10==5) at stage 3, and REVERSED-word-order
+    paraphrase clones (+3M, %10==7) — identical token multiset (passes
+    stage 1 iff the base does), disjoint shingles (evades stage 3),
+    identical embedding — die at stage 4 at cosine 1.
+
+    Determinism: the ledger is five integer counts; every stage reuses
+    the exact machinery its standalone query pins (the oracle is
+    ASSEMBLED from those queries' own SQL — _q41_oracle_sql, the
+    shared k-means CTE builders, q115's scoring text), so the
+    composition cannot drift from the parts.
+
+    Scale: the stages compose without new shuffle classes — stage 1 is
+    map-side; stage 2 one digest shuffle; stage 3 the banded LSH join
+    over the REDUCED corpus; stage 4 the cell-bucketed screen over
+    what survives that; stage 5 two count aggregations plus a per-LANG
+    window. Each intermediate persists once and feeds exactly two
+    consumers (next stage + its ledger count). The ledger itself is
+    five one-row aggregates broadcast together.
+
+    Reference: the composition the r8 verdict asked for (item 6);
+    q483/q504 (cascade + ledger), q515/q524 (filters), q41/q375
+    (dedup machinery)."""
+    from .dedup import minhash_lsh_pairs
+    from .quality import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+    from .similarity import (
+        SEMDEDUP_TAU_DEN2,
+        SEMDEDUP_TAU_NUM2,
+        _assign_col,
+        _kmeans_centroids,
+        _quantized_vecs,
+    )
+
+    corpus = track_cache(_q530_corpus(spark, sf_dir).persist())
+
+    # -- stage 1: Gopher rules on raw text ---------------------------------
+    ws = F.split("text", " ")
+    one_if = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    feat = corpus.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("sum_len"),
+        F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
+        ).alias("n_sym"),
+        F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
+        ).alias("n_alpha"),
+        sum(
+            [
+                one_if(F.array_contains(ws, s)).cast("bigint")
+                for s in GOPHER_STOPWORDS
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("n_stop"),
+    )
+    q1 = track_cache(
+        feat.filter(
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("sum_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_len") <= 10 * F.col("n_words"))
+            & (10 * F.col("n_sym") <= F.col("n_words"))
+            & (5 * F.col("n_alpha") >= 4 * F.col("n_words"))
+            & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+        )
+        .select("doc_id", "text", "lang")
+        .persist()
+    )
+
+    # -- stage 2: exact dedup (md5 keep-min) -------------------------------
+    hashed = q1.select("doc_id", "text", "lang", F.md5("text").alias("dg"))
+    keep2 = hashed.groupBy("dg").agg(F.min("doc_id").alias("k"))
+    q2 = track_cache(
+        hashed.join(keep2, "dg")
+        .filter(F.col("doc_id") == F.col("k"))
+        .select("doc_id", "text", "lang")
+        .persist()
+    )
+
+    # -- stage 3: MinHash-LSH near dedup over exact survivors --------------
+    r3 = (
+        minhash_lsh_pairs(q2.select("doc_id", "text"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    q3 = track_cache(q2.join(r3, "doc_id", "left_anti").persist())
+
+    # -- stage 4: SemDeDup within-IVF-cell cosine screen -------------------
+    cents = _kmeans_centroids(spark, sf_dir)
+    vq = _quantized_vecs(spark, sf_dir)
+    svecs = (
+        q3.select(
+            "doc_id", (F.col("doc_id") % _Q530_VKEY_MOD).alias("vkey")
+        )
+        .join(vq, F.col("vkey") == F.col("vec_id"))
+        .withColumn("cell", _assign_col(cents))
+        .select(
+            "doc_id",
+            "cell",
+            F.transform(F.col("xq"), lambda x: (x * 4096).cast("long")).alias(
+                "av"
+            ),
+        )
+        .withColumn(
+            "na",
+            F.aggregate(
+                F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+    )
+    svecs = track_cache(svecs.persist())
+    sa = svecs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("cell").alias("cella"),
+        F.col("av").alias("aa"),
+        F.col("na").alias("naa"),
+    )
+    sb = svecs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("cell").alias("cellb"),
+        F.col("av").alias("ab"),
+        F.col("na").alias("nab"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("aa"), F.col("ab"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    r4 = (
+        sa.join(
+            sb,
+            (F.col("cella") == F.col("cellb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(19,0)")
+                * F.col("dot")
+                * SEMDEDUP_TAU_DEN2
+                >= F.col("naa").cast("decimal(19,0)")
+                * F.col("nab")
+                * SEMDEDUP_TAU_NUM2
+            )
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    q4 = track_cache(q3.join(r4, "doc_id", "left_anti").persist())
+
+    # -- stage 5: CCNet tail band (bigram LM trained on q4) ----------------
+    words = q4.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda s: F.lower(s)).alias("ws"),
+    )
+    pairs = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    doc_bi = track_cache(
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    uni = doc_bi.groupBy("w1").agg(F.sum("k").alias("c1"))
+    p = F.col("c12").cast("double") / F.col("c1").cast("double")
+    scores = (
+        doc_bi.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id", "k", p.alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            trunc(F.sum(F.col("k") * F.col("p")) / F.sum("k"), 6).alias(
+                "mean_p"
+            )
+        )
+    )
+    wband = Window.partitionBy("lang").orderBy(
+        F.col("mean_p").desc(), "doc_id"
+    )
+    r5 = (
+        scores.join(q4.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.ntile(3).over(wband).alias("band"))
+        .filter(F.col("band") == 3)
+        .select("doc_id")
+    )
+
+    # -- the conservation ledger (five one-row aggregates) -----------------
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    tot = (
+        cnt(corpus, "c0")
+        .crossJoin(F.broadcast(cnt(q1, "c1")))
+        .crossJoin(F.broadcast(cnt(q2, "c2")))
+        .crossJoin(F.broadcast(cnt(q3, "c3")))
+        .crossJoin(F.broadcast(cnt(q4, "c4")))
+        .crossJoin(F.broadcast(cnt(r5, "r5")))
+    )
+    stages = [
+        (1, "gopher_quality", "c0", "c1"),
+        (2, "exact_dedup", "c1", "c2"),
+        (3, "near_dedup", "c2", "c3"),
+        (4, "semantic_dedup", "c3", "c4"),
+    ]
+    rows = [
+        F.struct(
+            F.lit(o).cast("int").alias("stage_order"),
+            F.lit(s).alias("stage"),
+            F.col(i).alias("n_in"),
+            (F.col(i) - F.col(out)).alias("n_removed"),
+            F.col(out).alias("n_out"),
+        )
+        for o, s, i, out in stages
+    ] + [
+        F.struct(
+            F.lit(5).cast("int").alias("stage_order"),
+            F.lit("ccnet_tail").alias("stage"),
+            F.col("c4").alias("n_in"),
+            F.col("r5").alias("n_removed"),
+            (F.col("c4") - F.col("r5")).alias("n_out"),
+        )
+    ]
+    return (
+        tot.select(F.explode(F.array(*rows)).alias("r"))
+        .select(
+            F.col("r.stage_order").alias("stage_order"),
+            F.col("r.stage").alias("stage"),
+            F.col("r.n_in").alias("n_in"),
+            F.col("r.n_removed").alias("n_removed"),
+            F.col("r.n_out").alias("n_out"),
+            F.expr(
+                "CAST(1000000 * r.n_removed"
+                " DIV nullif(r.n_in, 0) AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("stage_order")
+    )

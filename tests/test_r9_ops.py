@@ -1,0 +1,89 @@
+"""Round-9 operator properties: the q530 capstone pipeline and the
+q510 int64-headroom downscale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ledger(spark):
+    rows = (
+        registry.QUERIES["q530_curation_pipeline"](spark, SF)
+        .orderBy("stage_order")
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def test_q530_conservation_within_stages(ledger):
+    # rows in = removed + kept, per stage — the ledger's core invariant
+    assert len(ledger) == 5
+    for r in ledger:
+        assert r["n_in"] == r["n_removed"] + r["n_out"], r
+        assert r["n_removed"] >= 0 and r["n_out"] >= 0, r
+
+
+def test_q530_stages_chain(ledger):
+    # each stage's output IS the next stage's input — one lineage, no
+    # double counting and no leakage between stages
+    for a, b in zip(ledger, ledger[1:]):
+        assert a["n_out"] == b["n_in"], (a, b)
+
+
+def test_q530_every_stage_removes_seeded_mass(ledger):
+    # the corpus seeds one removal family per stage (exact clones,
+    # ' extratoken' near clones, reversed-order paraphrase clones, and
+    # CCNet always cuts each language's tail third), and the fixture
+    # corpus has genuinely short docs for the Gopher gate — a stage
+    # removing nothing means its machinery silently disconnected
+    by = {r["stage"]: r for r in ledger}
+    for stage in (
+        "gopher_quality",
+        "exact_dedup",
+        "near_dedup",
+        "semantic_dedup",
+        "ccnet_tail",
+    ):
+        assert by[stage]["n_removed"] > 0, stage
+
+
+def test_q530_paraphrase_family_dies_at_semantic_stage(spark, ledger):
+    # the +3M reversed-word-order clones share the base doc's token
+    # multiset (same Gopher features) and its embedding, but not its
+    # shingles — so the semantic stage must remove at least as many
+    # docs as there are surviving paraphrase clones' BASES... pin the
+    # direct claim instead: semantic removals >= 1 and <= the
+    # paraphrase family size plus plausible true semantic pairs
+    from serverless_etl_spark.operators.curation import _q530_corpus
+
+    n_para = (
+        _q530_corpus(spark, SF).filter(F.col("doc_id") >= 3_000_000).count()
+    )
+    sem = {r["stage"]: r for r in ledger}["semantic_dedup"]["n_removed"]
+    assert 1 <= sem <= n_para + 5, (sem, n_para)
+
+
+def test_q530_removed_ppm_is_floor_ratio(ledger):
+    for r in ledger:
+        if r["n_in"]:
+            assert r["removed_ppm"] == 1_000_000 * r["n_removed"] // r["n_in"]
+
+
+def test_q510_downscale_is_identity_below_seven_digits():
+    # the width-derived downscale: c = 10^max(0, digits(max)-6)
+    for mx, want in [
+        (0, 1),
+        (999_999, 1),
+        (1_000_000, 10),
+        (9_999_999, 10),
+        (10_000_000, 100),
+        (123_456_789_012, 10**6),
+    ]:
+        c = 10 ** max(len(str(mx)) - 6, 0)
+        assert c == want, (mx, c, want)

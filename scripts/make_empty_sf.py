@@ -24,10 +24,17 @@ TABLES = [
 ]
 
 
-def build(src: str, out: str) -> None:
+def build(src: str, out: str, n_rows: int = 0) -> None:
+    """Write the first ``n_rows`` rows of every table (0 = empty).
+
+    ``n_rows=1`` is the SINGLE-ROW fixture — the degenerate-statistics
+    sweep (zero variance, k=1 groups, empty treatment arms, span-zero
+    windows) that found 32 more engine divergences in r9."""
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        tb = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 0)
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(
+            0, n_rows
+        )
         pq.write_table(tb, os.path.join(out, f"{t}.parquet"))
 
 

@@ -816,7 +816,10 @@ def q112_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority",
         "n",
-        (F.floor(num / den * 100000000) / 100000000).alias("slope"),
+        (
+            F.floor(num / F.nullif(den, F.lit(0.0)) * 100000000)
+            / 100000000
+        ).alias("slope"),
     )
 
 
@@ -969,7 +972,12 @@ def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_a", "n_b")
         .agg(
             trunc(
-                F.max(F.abs(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))),
+                F.max(
+                    F.abs(
+                        F.col("c_a") / F.nullif(F.col("n_a"), F.lit(0.0))
+                        - F.col("c_b") / F.nullif(F.col("n_b"), F.lit(0.0))
+                    )
+                ),
                 6,
             ).alias("ks_stat")
         )
@@ -1277,7 +1285,12 @@ def ks_drift_binned(
     binned = tagged.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor(
-                ((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")))
+                (
+                    (F.col("value") - F.col("vmin"))
+                    / F.nullif(
+                        F.col("vmax") - F.col("vmin"), F.lit(0.0)
+                    )
+                )
                 * F.lit(n_bins)
             ),
             F.lit(n_bins - 1).cast("long"),
@@ -1302,7 +1315,12 @@ def ks_drift_binned(
         .agg(
             F.lit(n_bins).cast("long").alias("n_bins"),
             trunc(
-                F.max(F.abs(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))),
+                F.max(
+                    F.abs(
+                        F.col("c_a") / F.nullif(F.col("n_a"), F.lit(0.0))
+                        - F.col("c_b") / F.nullif(F.col("n_b"), F.lit(0.0))
+                    )
+                ),
                 6,
             ).alias("ks_binned"),
         )
@@ -1937,10 +1955,14 @@ def _corr_stats_sql() -> str:
 
 
 def _corr_expr_sql(a: str, b: str) -> str:
+    # GREATEST(, 0): a single-row/constant group variance can round
+    # to a tiny NEGATIVE double (sqrt then errors); clamping is exact
+    # for every positive variance. NULLIF: zero variance -> NULL corr
+    # on both engines (r9 single-row sweep).
     num = f"(n * s_{a}{b} - s_{a} * s_{b})"
-    den = (f"(SQRT(n * s_{a}{a} - s_{a} * s_{a}) * "
-           f"SQRT(n * s_{b}{b} - s_{b} * s_{b}))")
-    return f"FLOOR({num} / {den} * 1000000) / 1000000"
+    den = (f"(SQRT(GREATEST(n * s_{a}{a} - s_{a} * s_{a}, 0)) * "
+           f"SQRT(GREATEST(n * s_{b}{b} - s_{b} * s_{b}, 0)))")
+    return f"FLOOR({num} / NULLIF({den}, 0) * 1000000) / 1000000"
 
 
 @register(
@@ -2006,11 +2028,21 @@ def q151_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def corr(a: str, b: str):
         num = F.col("n") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
         den = F.sqrt(
-            F.col("n") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            F.greatest(
+                F.col("n") * F.col(f"s_{a}{a}")
+                - F.col(f"s_{a}") * F.col(f"s_{a}"),
+                F.lit(0.0),
+            )
         ) * F.sqrt(
-            F.col("n") * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            F.greatest(
+                F.col("n") * F.col(f"s_{b}{b}")
+                - F.col(f"s_{b}") * F.col(f"s_{b}"),
+                F.lit(0.0),
+            )
         )
-        return trunc(num / den, 6)
+        # nullif: zero variance (single-row or constant group) has no
+        # defined correlation — NULL, the oracle's /0 (r9 1-row sweep)
+        return trunc(num / F.nullif(den, F.lit(0.0)), 6)
 
     pairs = F.array(
         *[
@@ -2200,8 +2232,13 @@ def q156_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd.alias("rd"), cd.alias("cd"), nd.alias("nd"),
     )
     e = F.col("rd") * F.col("cd") / F.col("nd")
-    resid = (F.col("observed") - e) / F.sqrt(
-        e * (1 - F.col("rd") / F.col("nd")) * (1 - F.col("cd") / F.col("nd"))
+    resid = (F.col("observed") - e) / F.nullif(
+        F.sqrt(
+            e
+            * (1 - F.col("rd") / F.col("nd"))
+            * (1 - F.col("cd") / F.col("nd"))
+        ),
+        F.lit(0.0),
     )
     return tot.select(
         "o_orderpriority",
@@ -7783,20 +7820,25 @@ def q313_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col",
         "cat",
         "n_cats",
+        # NULLIF(na/nb): a period with zero mass has no defined share
+        # or chi contribution — NULL, the oracle's /0 (r9 1-row sweep)
         F.expr(
             "CAST(FLOOR(1000.0"
             " * CAST(oa * nb - ob * na AS DOUBLE)"
             " * CAST(oa * nb - ob * na AS DOUBLE)"
             " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
-            " / CAST(na AS DOUBLE))"
+            " / CAST(NULLIF(na, 0) AS DOUBLE))"
             " + FLOOR(1000.0"
             " * CAST(ob * na - oa * nb AS DOUBLE)"
             " * CAST(ob * na - oa * nb AS DOUBLE)"
             " / CAST((na + nb) * (oa + ob) AS DOUBLE)"
-            " / CAST(nb AS DOUBLE)) AS BIGINT)"
+            " / CAST(NULLIF(nb, 0) AS DOUBLE)) AS BIGINT)"
         ).alias("chi_milli"),
         F.abs(
-            F.expr("1000000 * oa DIV na - 1000000 * ob DIV nb")
+            F.expr(
+                "1000000 * oa DIV NULLIF(na, CAST(0 AS BIGINT))"
+                " - 1000000 * ob DIV NULLIF(nb, CAST(0 AS BIGINT))"
+            )
         ).alias("share_delta_ppm"),
     )
     wtop = Window.partitionBy("col").orderBy(
@@ -10398,7 +10440,11 @@ def q370_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("num"),
         F.expr("cxx * cyy - cxy * cxy").alias("det"),
     )
-    ratio = F.col("num").cast("double") / F.col("det").cast("double")
+    # NULLIF: a degenerate (zero-determinant) covariance has no
+    # Mahalanobis distance — NULL, the oracle's /0 (r9 1-row sweep)
+    ratio = F.col("num").cast("double") / F.nullif(
+        F.col("det").cast("double"), F.lit(0.0)
+    )
     return (
         scored.select(
             F.col("o").alias("orderkey"),
@@ -13441,7 +13487,10 @@ def q428_w1_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = tagged.crossJoin(F.broadcast(bounds)).select(
         F.least(
-            F.expr(f"{KS_BINS} * (vm - lo) DIV (hi - lo)"),
+            F.expr(
+                f"{KS_BINS} * (vm - lo)"
+                " DIV NULLIF(hi - lo, CAST(0 AS BIGINT))"
+            ),
             F.lit(KS_BINS - 1).cast("bigint"),
         ).alias("bin"),
         "grp",
@@ -13467,7 +13516,8 @@ def q428_w1_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 f"CAST(SUM(ABS(ca * n_b - cb * n_a)) * (hi - lo)"
-                f" DIV ({KS_BINS} * n_a * n_b) AS BIGINT)"
+                f" DIV NULLIF({KS_BINS} * n_a * n_b,"
+                " CAST(0 AS BIGINT)) AS BIGINT)"
             ).alias("w1_binned_micro")
         )
         .select(
@@ -13923,7 +13973,7 @@ def q456_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "CAST(MAX(1000000 * ABS(ca * n_b - cb * n_a)"
-                " DIV (n_a * n_b)) AS BIGINT)"
+                " DIV NULLIF(n_a * n_b, CAST(0 AS BIGINT))) AS BIGINT)"
             ).alias("ks_ppm")
         )
     )
@@ -13933,11 +13983,13 @@ def q456_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks_ppm",
         F.expr(
             f"CASE WHEN ks_ppm * ks_ppm > {KS_C2_05} * (n_a + n_b)"
-            " * 1000000 DIV (n_a * n_b) THEN 1 ELSE 0 END"
+            " * 1000000 DIV NULLIF(n_a * n_b, CAST(0 AS BIGINT))"
+            " THEN 1 ELSE 0 END"
         ).alias("reject_05"),
         F.expr(
             f"CASE WHEN ks_ppm * ks_ppm > {KS_C2_01} * (n_a + n_b)"
-            " * 1000000 DIV (n_a * n_b) THEN 1 ELSE 0 END"
+            " * 1000000 DIV NULLIF(n_a * n_b, CAST(0 AS BIGINT))"
+            " THEN 1 ELSE 0 END"
         ).alias("reject_01"),
     )
 

@@ -183,7 +183,8 @@ def q339_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "               - 3 * (n + 1) * 1000000 END AS BIGINT)"
         ).alias("h_micro"),
         F.expr(
-            "CAST(1000000 - ties * 1000000 DIV (n * n * n - n) AS BIGINT)"
+            "CAST(1000000 - ties * 1000000"
+            " DIV NULLIF(n * n * n - n, CAST(0 AS BIGINT)) AS BIGINT)"
         ).alias("c_ppm"),
     )
     return h.select(
@@ -192,8 +193,8 @@ def q339_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_micro",
         "c_ppm",
         F.expr(
-            "CAST(CAST(h_micro AS DECIMAL(38,0)) * 1000000 DIV c_ppm"
-            " AS BIGINT)"
+            "CAST(CAST(h_micro AS DECIMAL(38,0)) * 1000000"
+            " DIV NULLIF(c_ppm, 0) AS BIGINT)"
         ).alias("h_adj_micro"),
     )
 
@@ -504,7 +505,7 @@ def q341_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    theta = cov_num / varx_num
+    theta = cov_num / F.nullif(varx_num, F.lit(0.0))
     mean_y = F.col("asy") / F.col("n_users")
     mean_x = F.col("asx") / F.col("n_users")
     pooled_mx = F.col("sx") / F.col("n")
@@ -516,9 +517,11 @@ def q341_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_y_cuped"
         ),
         trunc(theta, 6).alias("theta"),
-        trunc((cov_num * cov_num) / (varx_num * vary_num), 6).alias(
-            "var_reduction"
-        ),
+        trunc(
+            (cov_num * cov_num)
+            / F.nullif(varx_num * vary_num, F.lit(0.0)),
+            6,
+        ).alias("var_reduction"),
     ).orderBy("arm")
 
 
@@ -1561,7 +1564,8 @@ def q358_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = MDE_Z_ALPHA + MDE_Z_POWER
     mde = F.lit(z) * F.sqrt(
-        2 * F.col("p") * (1 - F.col("p")) / F.col("n_per_arm").cast("double")
+        2 * F.col("p") * (1 - F.col("p"))
+        / F.nullif(F.col("n_per_arm").cast("double"), F.lit(0.0))
     )
     return plan.select(
         "event_type",
@@ -1570,7 +1574,10 @@ def q358_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_ppm",
         "n_per_arm",
         (F.floor(mde * 1_000_000) / 1_000_000).alias("mde_abs"),
-        (F.floor(mde / F.col("p") * 1_000_000) / 1_000_000).alias("mde_rel"),
+        (
+            F.floor(mde / F.nullif(F.col("p"), F.lit(0.0)) * 1_000_000)
+            / 1_000_000
+        ).alias("mde_rel"),
     ).orderBy("event_type", "days")
 
 
@@ -2023,9 +2030,10 @@ SEG_BASE_PCT = 20               #: md5 base conversion rate, both arms
 #: staged integer chi-square for a 2x2 (a=conv_t, b=miss_t, c=conv_c,
 #: d=miss_c) at milli scale — q435's overflow-safe ordering
 _SEG_CHI = (
-    "((1000 * (a * d - b * c) DIV (a + b))"
-    " * (a * d - b * c) DIV (c + d)"
-    " * (a + b + c + d) DIV (a + c) DIV (b + d))"
+    "((1000 * (a * d - b * c) DIV NULLIF(a + b, CAST(0 AS BIGINT)))"
+    " * (a * d - b * c) DIV NULLIF(c + d, CAST(0 AS BIGINT))"
+    " * (a + b + c + d) DIV NULLIF(a + c, CAST(0 AS BIGINT))"
+    " DIV NULLIF(b + d, CAST(0 AS BIGINT)))"
 )
 
 
@@ -2161,15 +2169,18 @@ def q463_segment_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         (F.col("a") + F.col("b")).alias("n_treat"),
         (F.col("c") + F.col("d")).alias("n_ctrl"),
-        F.expr("CAST(1000000 * a DIV (a + b) AS BIGINT)").alias(
-            "conv_t_ppm"
-        ),
-        F.expr("CAST(1000000 * c DIV (c + d) AS BIGINT)").alias(
-            "conv_c_ppm"
-        ),
         F.expr(
-            "CAST(1000000 * a DIV (a + b)"
-            " - 1000000 * c DIV (c + d) AS BIGINT)"
+            "CAST(1000000 * a"
+            " DIV NULLIF(a + b, CAST(0 AS BIGINT)) AS BIGINT)"
+        ).alias("conv_t_ppm"),
+        F.expr(
+            "CAST(1000000 * c"
+            " DIV NULLIF(c + d, CAST(0 AS BIGINT)) AS BIGINT)"
+        ).alias("conv_c_ppm"),
+        F.expr(
+            "CAST(1000000 * a DIV NULLIF(a + b, CAST(0 AS BIGINT))"
+            " - 1000000 * c DIV NULLIF(c + d, CAST(0 AS BIGINT))"
+            " AS BIGINT)"
         ).alias("lift_ppm"),
         chi.cast("bigint").alias("chi2_milli"),
         F.when(chi > SEG_CHI_CRIT_05, 1).otherwise(0).alias("sig_05"),

@@ -4497,9 +4497,12 @@ def q468_quality_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sxx"),
     )
+    # NULLIF: one cohort has no defined trend — NULL slope, the
+    # oracle's // 0; the WHEN NULL comparison falls through to
+    # 'stable' on both engines (r9 single-row sweep)
     slope = F.expr(
         "CAST(1000 * (k * sxy - sx * sy)"
-        " DIV (k * sxx - sx * sx) AS BIGINT)"
+        " DIV NULLIF(k * sxx - sx * sx, CAST(0 AS BIGINT)) AS BIGINT)"
     )
     return (
         per.crossJoin(F.broadcast(fit))

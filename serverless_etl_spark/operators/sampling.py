@@ -864,20 +864,28 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ssb0"),
         F.sum(F.col("nj") * F.col("nj")).cast("bigint").alias("snj2"),
     )
+    # NULLIF: one cluster (k=1) or one row per cluster (n=k) leaves
+    # the between/within mean squares undefined — NULL, the oracle's
+    # // 0 (r9 single-row sweep)
     comp = agg.select(
         "k",
         "n",
         F.expr(
-            "(ssb0 - 1000 * s * s DIV n) DIV (k - 1)"
+            "(ssb0 - 1000 * s * s DIV n)"
+            " DIV NULLIF(k - 1, CAST(0 AS BIGINT))"
         ).alias("msb"),
-        F.expr("(1000 * sq - ssb0) DIV (n - k)").alias("msw"),
         F.expr(
-            "1000000 * (n * n - snj2) DIV (n * (k - 1))"
+            "(1000 * sq - ssb0) DIV NULLIF(n - k, CAST(0 AS BIGINT))"
+        ).alias("msw"),
+        F.expr(
+            "1000000 * (n * n - snj2)"
+            " DIV NULLIF(n * (k - 1), CAST(0 AS BIGINT))"
         ).alias("n0"),
     )
     icc = F.expr(
         "1000000 * (msb - msw)"
-        " DIV (msb + (n0 - 1000000) * msw DIV 1000000)"
+        " DIV NULLIF(msb + (n0 - 1000000) * msw DIV 1000000,"
+        " CAST(0 AS BIGINT))"
     )
     return comp.select(
         F.col("k").alias("n_clusters"),
@@ -889,7 +897,8 @@ def q458_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(1000 * (1000000 + (n0 - 1000000)"
             " * (1000000 * (msb - msw)"
-            "    DIV (msb + (n0 - 1000000) * msw DIV 1000000))"
+            "    DIV NULLIF(msb + (n0 - 1000000) * msw DIV 1000000,"
+            "        CAST(0 AS BIGINT)))"
             " DIV 1000000) DIV 1000000 AS BIGINT)"
         ).alias("deff_milli"),
     )

@@ -515,12 +515,18 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         by_cell: dict[int, dict[int, float]] = {}
         for r in agg:
             by_cell.setdefault(r["cell"], {})[r["i"]] = r["s"] / r["n"]
-        if len(by_cell) < N_CELLS:
+        # guard against len(cents), not N_CELLS: a corpus with fewer
+        # than N_CELLS vectors seeds fewer cells by construction (the
+        # oracle's seed CTE has the same rows) — that is a small
+        # corpus, not a training failure (r9 single-row sweep)
+        if len(by_cell) < len(cents):
             raise RuntimeError(
-                f"k-means cell went empty ({len(by_cell)}/{N_CELLS}); reseed"
+                f"k-means cell went empty ({len(by_cell)}/{len(cents)});"
+                " reseed"
             )
         cents = [
-            [by_cell[j][i] for i in range(len(cents[0]))] for j in range(N_CELLS)
+            [by_cell[j][i] for i in range(len(cents[0]))]
+            for j in range(len(cents))
         ]
     _CENTROID_ARTIFACTS[sf_dir] = cents
     return cents
@@ -3103,9 +3109,14 @@ def _ssdiv(num: str, den: str) -> str:
     """Sign-split integer division (truncate toward zero) — identical
     semantics in Spark (DIV truncates) and DuckDB (// floors, which
     differs on negatives; the sign split removes the difference)."""
+    # NULLIF: a zero denominator (degenerate single-vector corpus)
+    # yields NULL on both engines — the string is shared verbatim with
+    # the oracles via .replace('DIV', '//'), so one edit keeps parity
+    # (r9 single-row sweep)
     return (
-        f"CASE WHEN ({num}) >= 0 THEN ({num}) DIV ({den})"
-        f" ELSE -((-({num})) DIV ({den})) END"
+        f"CASE WHEN ({num}) >= 0"
+        f" THEN ({num}) DIV NULLIF(({den}), CAST(0 AS BIGINT))"
+        f" ELSE -((-({num})) DIV NULLIF(({den}), CAST(0 AS BIGINT))) END"
     )
 
 
@@ -3318,10 +3329,12 @@ def q424_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("den").cast("bigint").alias("den"),
             F.col("trace").cast("bigint").alias("trace"),
             F.expr(
-                "CAST(1000000 * num DIV (den * trace) AS BIGINT)"
+                "CAST(1000000 * num"
+                " DIV NULLIF(den * trace, CAST(0 AS BIGINT)) AS BIGINT)"
             ).alias("share_ppm"),
             F.expr(
-                f"CASE WHEN 1000000 * num DIV (den * trace)"
+                f"CASE WHEN 1000000 * num"
+                f" DIV NULLIF(den * trace, CAST(0 AS BIGINT))"
                 f" > {ANISO_SHARE_WARN_PPM}"
                 " THEN 'anisotropic' ELSE 'isotropic' END"
             ).alias("verdict"),
@@ -4060,7 +4073,9 @@ def q482_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.join(vn, "vec_id")
         .select(
             "i",
-            F.floor(_W * F.col("vd") / F.col("vnrm"))
+            F.floor(
+                _W * F.col("vd") / F.nullif(F.col("vnrm"), F.lit(0.0))
+            )
             .cast("bigint")
             .alias("wi"),
         )
@@ -4079,12 +4094,12 @@ def q482_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bb_row))
         .select(
             F.col("n").alias("n_vecs"),
-            F.expr("(a - b) DIV (n * (n - 1))").alias(
-                "mean_pair_dot_e8_before"
-            ),
-            F.expr("(aa - bb) DIV (n * (n - 1))").alias(
-                "mean_pair_dot_e8_after"
-            ),
+            F.expr(
+                "(a - b) DIV NULLIF(n * (n - 1), CAST(0 AS BIGINT))"
+            ).alias("mean_pair_dot_e8_before"),
+            F.expr(
+                "(aa - bb) DIV NULLIF(n * (n - 1), CAST(0 AS BIGINT))"
+            ).alias("mean_pair_dot_e8_after"),
         )
     )
 

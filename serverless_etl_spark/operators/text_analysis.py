@@ -934,9 +934,11 @@ def _register_q181() -> None:
             F.sum(F.col("qd") * F.col("qd")).cast("double").alias("sxx"),
         )
         mean = F.col("sx") / F.col("n")
+        # nullif: a single-doc language has no stderr — NULL, the
+        # oracle's float /0 (r9 single-row sweep)
         stderr = F.sqrt(
             (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-            / (F.col("n") - 1)
+            / F.nullif(F.col("n") - 1, F.lit(0.0))
             / F.col("n")
         )
         return (
@@ -2832,9 +2834,11 @@ def q466_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
+    # nullif: a degenerate curve (one checkpoint / constant x) has no
+    # defined slope — NULL, the oracle's // 0 (r9 single-row sweep)
     beta = F.expr(
         "CAST(1000000 * (k * sxy - sx * sy)"
-        " DIV (k * sxx - sx * sx) AS BIGINT)"
+        " DIV NULLIF(k * sxx - sx * sx, CAST(0 AS BIGINT)) AS BIGINT)"
     )
     return fit.select(
         F.col("k").alias("n_points"),

@@ -1099,7 +1099,7 @@ def q294_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_discordant"),
         F.expr(
             "1000000 * (2 * n_concordant + n_tied)"
-            " DIV (2 * n_pos * n_neg)"
+            " DIV NULLIF(2 * n_pos * n_neg, CAST(0 AS BIGINT))"
         ).alias("auc_ppm"),
     )
 
@@ -1224,7 +1224,8 @@ def q338_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         "n_buckets",
         F.expr(
-            "CAST(ap_nano_sum DIV (CAST(n_pos AS DECIMAL(38,0)) * 1000)"
+            "CAST(ap_nano_sum"
+            " DIV NULLIF(CAST(n_pos AS DECIMAL(38,0)) * 1000, 0)"
             " AS BIGINT)"
         ).alias("ap_ppm"),
         F.expr("1000000 * n_pos DIV (n_pos + n_neg)").alias(
@@ -2062,7 +2063,8 @@ def q361_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auc = F.expr(
         "CAST(1000000 * (2 * n_conc + n_tied)"
-        " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+        " DIV NULLIF(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)"
+        " AS BIGINT)"
     )
     return (
         agg.withColumn("auc_ppm", auc)
@@ -2467,8 +2469,12 @@ def q412_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bad").cast("bigint").alias("bt"),
     )
     g = bins.crossJoin(F.broadcast(tot))
-    pg = (F.col("n_good") + 0.5) / F.col("gt")
-    pb = (F.col("n_bad") + 0.5) / F.col("bt")
+    pg = (F.col("n_good") + 0.5) / F.nullif(
+        F.col("gt").cast("double"), F.lit(0.0)
+    )
+    pb = (F.col("n_bad") + 0.5) / F.nullif(
+        F.col("bt").cast("double"), F.lit(0.0)
+    )
     woe = F.floor(F.lit(1000000.0) * F.log(pg / pb)).cast("bigint")
     iv_term = F.floor(F.lit(1000000.0) * (pg - pb) * F.log(pg / pb)).cast(
         "bigint"
@@ -3170,8 +3176,9 @@ def q429_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_x_micro",
         "h_y_micro",
         F.expr(
-            "CAST(1000000 * mi_micro DIV LEAST(h_x_micro, h_y_micro)"
-            " AS BIGINT)"
+            "CAST(1000000 * mi_micro"
+            " DIV NULLIF(LEAST(h_x_micro, h_y_micro),"
+            " CAST(0 AS BIGINT)) AS BIGINT)"
         ).alias("nmi_ppm"),
     ).orderBy("pair")
 

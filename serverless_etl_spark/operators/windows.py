@@ -5979,7 +5979,10 @@ def q467_ingest_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN (span_us - down_us) DIV n_incidents DIV 1000000"
             " ELSE span_us DIV 1000000 END AS BIGINT)"
         ).alias("mtbf_s"),
+        # NULLIF: a single event spans zero time — availability is
+        # undefined, the oracle's // 0 (r9 single-row sweep)
         F.expr(
-            "CAST(1000000 * (span_us - down_us) DIV span_us AS BIGINT)"
+            "CAST(1000000 * (span_us - down_us)"
+            " DIV NULLIF(span_us, CAST(0 AS BIGINT)) AS BIGINT)"
         ).alias("availability_ppm"),
     )

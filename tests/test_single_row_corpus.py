@@ -1,0 +1,108 @@
+"""Single-row-corpus oracle parity (r9).
+
+The companion of tests/test_empty_corpus.py one notch up: every table
+truncated to its FIRST ROW. This is the degenerate-statistics regime —
+zero variance, k = 1 groups, one empty treatment arm, zero-span
+windows, fewer vectors than k-means seeds — and the full-registry
+sweep against it found 32 divergences beyond the empty sweep's 26:
+
+- 25 Spark ANSI divide-by-zero sites where DuckDB yields NULL
+  (zero variance/covariance denominators, (k-1)/(n-k) mean squares,
+  empty classes in AUC/WoE/KS/chi-square arms, zero-span
+  availability, zero-entropy NMI),
+- 7 k-means queries whose training guard hardcoded N_CELLS instead of
+  the seeded cell count (a corpus smaller than N_CELLS seeds fewer
+  cells by construction — the oracle's seed CTE always agreed),
+- one DuckDB-side crash class fixed on BOTH engines: a single-row
+  group's variance can round to a tiny negative double, so q151's
+  correlation clamps each variance at 0 before SQRT (exact for every
+  positive variance).
+
+Every fix maps a degenerate denominator to NULL exactly like the
+oracle — these same denominators go to zero at 100 TB whenever an
+upstream filter leaves a constant or single-element group.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from scripts.make_empty_sf import TABLES, build
+
+FIXED = [
+    "q112_trend_slope",
+    "q127_ks_drift",
+    "q134_ks_drift_binned",
+    "q151_corr_matrix",
+    "q156_contingency_residuals",
+    "q181_quality_by_lang",
+    "q294_auc_eval",
+    "q313_categorical_drift",
+    "q338_average_precision",
+    "q339_kruskal_wallis",
+    "q341_cuped",
+    "q358_mde_power",
+    "q361_leakage_screen",
+    "q370_mahalanobis_outliers",
+    "q375_semdedup",
+    "q412_woe_iv",
+    "q424_anisotropy",
+    "q428_w1_binned",
+    "q429_mutual_information",
+    "q456_ks_decision",
+    "q458_design_effect",
+    "q463_segment_ab",
+    "q466_heaps_fit",
+    "q467_ingest_outages",
+    "q468_quality_decay",
+    "q482_embedding_whitening",
+    "q504_semdedup_cascade",
+    "q505_semdedup_admission",
+    "q519_ivf_balance_advisor",
+    "q530_curation_pipeline",
+    "q95_kmeans_cells",
+    "q97_ivf_probe_learned",
+]
+
+
+@pytest.fixture(scope="module")
+def one_sf(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_one"))
+    build("/root/testdata/sf0.001", out, n_rows=1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck(one_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{one_sf}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted([tuple(r[i] for i in idx) for r in rows], key=repr)
+
+
+@pytest.mark.parametrize("name", FIXED)
+def test_single_row_corpus_matches_oracle(spark, one_sf, duck, name):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs[name](spark, one_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    a, b = _norm(srows, sdf.columns), _norm(drows, dcols)
+    for x, y in zip(a, b):
+        for u, v in zip(x, y):
+            if isinstance(u, float) and isinstance(v, float):
+                assert u == v or (math.isnan(u) and math.isnan(v))
+            else:
+                assert u == v, (name, x, y)

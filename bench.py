@@ -337,10 +337,12 @@ def main() -> None:
         # sequential admission unroll)
         "q504_semdedup_cascade",
         "q505_semdedup_admission",
-        # round-9: the capstone — the five-stage curation pipeline as
+        # round-9: the capstones — the five-stage curation pipeline as
         # one lineage (gopher → exact → near → semantic → ccnet) with
-        # the conservation ledger; the natural flagship composition row
+        # the conservation ledger, and its incremental admission twin
+        # (new arrivals judged against the frozen corpus index)
         "q530_curation_pipeline",
+        "q531_curation_admission",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

@@ -995,3 +995,504 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_order")
     )
+
+
+# --------------------------------------------------------------------------
+# q531 — incremental curation ADMISSION against a frozen corpus index
+# --------------------------------------------------------------------------
+
+#: q531's new-arrivals batch: five seeded families derived from the
+#: frozen corpus (= the documents table), one per admission verdict —
+#: the incremental twin of q530's batch stages. The 'fresh' family
+#: doubles its text with novel tokens (evades the LSH probe) and
+#: embeds as the NEGATED base vector (cosine -1 against its base,
+#: ~|cosine| < 0.95 against the near-orthogonal rest) — the fixture's
+#: stand-in for a genuinely new document in a new embedding direction.
+_Q531_NEW_SQL = """
+        SELECT doc_id + 1000000 AS new_id, 'exact_clone' AS family,
+               text, doc_id % 1000000 AS vkey, 1 AS vsign
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'near_clone',
+               text || ' extratoken', doc_id % 1000000, 1
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id + 3000000, 'paraphrase',
+               array_to_string(list_reverse(string_split(text, ' ')), ' '),
+               doc_id % 1000000, 1
+        FROM documents WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id + 4000000, 'junk',
+               array_to_string(string_split(text, ' ')[1:3], ' '),
+               doc_id % 1000000, 1
+        FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 5000000, 'fresh',
+               text || ' ' || array_to_string(
+                   list_transform(
+                       range(len(string_split(text, ' '))),
+                       i -> 'zq' || CAST(doc_id AS VARCHAR)
+                            || 'x' || CAST(i AS VARCHAR)),
+                   ' '),
+               doc_id % 1000000, -1
+        FROM documents WHERE doc_id % 10 = 9
+"""
+
+
+def _q531_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+
+    def fam(mod, off, name, text_col, vsign):
+        return docs.filter(did % 10 == mod).select(
+            (did + off).alias("new_id"),
+            F.lit(name).alias("family"),
+            text_col.alias("text"),
+            (did % 1000000).alias("vkey"),
+            F.lit(vsign).alias("vsign"),
+        )
+
+    ws = F.split("text", " ")
+    fresh_text = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 1),
+                lambda i: F.concat(
+                    F.lit("zq"),
+                    did.cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                ),
+            ),
+            " ",
+        ),
+    )
+    return (
+        fam(0, 1000000, "exact_clone", F.col("text"), 1)
+        .unionByName(
+            fam(
+                5,
+                2000000,
+                "near_clone",
+                F.concat(F.col("text"), F.lit(" extratoken")),
+                1,
+            )
+        )
+        .unionByName(
+            fam(
+                7,
+                3000000,
+                "paraphrase",
+                F.array_join(F.reverse(ws), " "),
+                1,
+            )
+        )
+        .unionByName(
+            fam(1, 4000000, "junk", F.array_join(F.slice(ws, 1, 3), " "), 1)
+        )
+        .unionByName(fam(9, 5000000, "fresh", fresh_text, -1))
+    )
+
+
+def _q531_oracle() -> str:
+    """Admission-chain oracle assembled from the stage definitions:
+    q515's Gopher features, q125's incremental LSH probe SQL, and
+    q375/q504's integer-grid SemDeDup screen with the shared k-means
+    CTE builders — index side = the full documents/embeddings tables."""
+    from .dedup import _SHINGLES_SQL, _SIGS_SQL, _minhash_band_sql
+    from .quality import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+    from .similarity import (
+        _Q519_QDIMS_SQL as _QDIMS_SQL,
+        _assign_sql,
+        _update_sql,
+        N_CELLS,
+        SEMDEDUP_TAU_DEN2,
+        SEMDEDUP_TAU_NUM2,
+    )
+
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(ws, '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS
+    )
+    _, bands_i_sql = _minhash_band_sql("sig_i")
+    _, bands_n_sql = _minhash_band_sql("sig_n")
+    return f"""
+    WITH newb AS MATERIALIZED ({_Q531_NEW_SQL}),
+    feat AS MATERIALIZED (
+        SELECT new_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> len(w)))
+                   AS BIGINT) AS sum_len,
+               CAST(COALESCE(list_sum(list_transform(ws,
+                   w -> CASE WHEN regexp_matches(w, '^[#.]+$')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_sym,
+               CAST(COALESCE(list_sum(list_transform(ws,
+                   w -> CASE WHEN regexp_matches(w, '[a-z]')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+               CAST({stop_sum} AS BIGINT) AS n_stop
+        FROM (SELECT new_id, string_split(text, ' ') AS ws FROM newb)
+    ),
+    gok AS MATERIALIZED (
+        SELECT new_id,
+               CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                     AND n_words <= {GOPHER_MAX_WORDS}
+                     AND sum_len >= 3 * n_words
+                     AND sum_len <= 10 * n_words
+                     AND 10 * n_sym <= n_words
+                     AND 5 * n_alpha >= 4 * n_words
+                     AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS gopher_ok
+        FROM feat
+    ),
+    idig AS MATERIALIZED (
+        SELECT md5(text) AS dg, MIN(doc_id) AS idx_id
+        FROM documents GROUP BY 1
+    ),
+    eh AS MATERIALIZED (
+        SELECT n.new_id, MIN(d.idx_id) AS dup
+        FROM newb n JOIN idig d ON d.dg = md5(n.text)
+        GROUP BY n.new_id
+    ),
+    sh_i AS MATERIALIZED (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ),
+    sig_i AS MATERIALIZED (
+        SELECT doc_id,
+               {_SIGS_SQL}
+        FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+              FROM sh_i)
+    ),
+    bands_i AS MATERIALIZED (
+        {bands_i_sql}
+    ),
+    sh_n AS MATERIALIZED (
+        SELECT new_id AS doc_id, {_SHINGLES_SQL} AS shingles FROM newb
+    ),
+    sig_n AS MATERIALIZED (
+        SELECT doc_id,
+               {_SIGS_SQL}
+        FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+              FROM sh_n)
+    ),
+    bands_n AS MATERIALIZED (
+        {bands_n_sql}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+        FROM bands_n n JOIN bands_i i
+          ON n.band_id = i.band_id AND n.band_hash = i.band_hash
+    ),
+    nh AS MATERIALIZED (
+        SELECT new_id, MIN(idx_id) AS dup
+        FROM cand
+        JOIN sh_n sn ON sn.doc_id = new_id
+        JOIN sh_i si ON si.doc_id = idx_id
+        WHERE CAST(len(list_filter(sn.shingles,
+                  x -> list_contains(si.shingles, x))) AS DOUBLE)
+              / (len(sn.shingles) + len(si.shingles)
+                 - len(list_filter(sn.shingles,
+                       x -> list_contains(si.shingles, x)))) >= 0.5
+        GROUP BY new_id
+    ),
+    {_QDIMS_SQL},
+    cc0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims
+        WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("cc0", "ca1")},
+    {_update_sql("ca1", "cu1")},
+    {_assign_sql("cu1", "ca2")},
+    {_update_sql("ca2", "cu2")},
+    icell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000)
+                       / 1000000 AS dist
+            FROM qdims d JOIN cu2 c ON c.i = d.i
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) = 1
+    ),
+    iints AS MATERIALIZED (
+        SELECT vec_id, i, CAST(xq * 4096 AS BIGINT) AS a FROM qdims
+    ),
+    inorm AS MATERIALIZED (
+        SELECT vec_id, SUM(a * a) AS na FROM iints GROUP BY vec_id
+    ),
+    nqdims AS MATERIALIZED (
+        SELECT n.new_id, d.i, n.vsign * d.xq AS xq
+        FROM newb n JOIN qdims d ON d.vec_id = n.vkey
+    ),
+    ncell AS MATERIALIZED (
+        SELECT new_id, cell FROM (
+            SELECT d.new_id, c.cell,
+                   FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000)
+                       / 1000000 AS dist
+            FROM nqdims d JOIN cu2 c ON c.i = d.i
+            GROUP BY d.new_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY new_id
+                                   ORDER BY dist, cell) = 1
+    ),
+    nints AS MATERIALIZED (
+        SELECT new_id, i, CAST(xq * 4096 AS BIGINT) AS a FROM nqdims
+    ),
+    nnorm AS MATERIALIZED (
+        SELECT new_id, SUM(a * a) AS na FROM nints GROUP BY new_id
+    ),
+    spairs AS MATERIALIZED (
+        SELECT nc.new_id, ic.vec_id
+        FROM ncell nc JOIN icell ic ON ic.cell = nc.cell
+    ),
+    sdots AS MATERIALIZED (
+        SELECT p.new_id, p.vec_id, SUM(ni.a * ii.a) AS dot
+        FROM spairs p
+        JOIN nints ni ON ni.new_id = p.new_id
+        JOIN iints ii ON ii.vec_id = p.vec_id AND ii.i = ni.i
+        GROUP BY p.new_id, p.vec_id
+    ),
+    smh AS MATERIALIZED (
+        SELECT d.new_id, MIN(d.vec_id) AS dup
+        FROM sdots d
+        JOIN nnorm nn ON nn.new_id = d.new_id
+        JOIN inorm oi ON oi.vec_id = d.vec_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * {SEMDEDUP_TAU_DEN2}
+              >= CAST(nn.na AS HUGEINT) * oi.na * {SEMDEDUP_TAU_NUM2}
+        GROUP BY d.new_id
+    )
+    SELECT n.new_id, n.family,
+           CASE WHEN g.gopher_ok = 0 THEN 'gopher_reject'
+                WHEN e.dup IS NOT NULL THEN 'exact_dup'
+                WHEN h.dup IS NOT NULL THEN 'near_dup'
+                WHEN s.dup IS NOT NULL THEN 'semantic_dup'
+                ELSE 'admitted' END AS verdict,
+           CAST(CASE WHEN g.gopher_ok = 0 THEN NULL
+                WHEN e.dup IS NOT NULL THEN e.dup
+                WHEN h.dup IS NOT NULL THEN h.dup
+                WHEN s.dup IS NOT NULL THEN s.dup
+                ELSE NULL END AS BIGINT) AS dup_of
+    FROM newb n
+    JOIN gok g USING (new_id)
+    LEFT JOIN eh e USING (new_id)
+    LEFT JOIN nh h USING (new_id)
+    LEFT JOIN smh s USING (new_id)
+    ORDER BY n.new_id
+    """
+
+
+@register("q531_curation_admission", oracle=_q531_oracle())
+def q531_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation admission — q530's batch pipeline turned
+    into the per-arrival decision a continuously-ingesting corpus
+    makes: each NEW document is judged against the FROZEN corpus index
+    (digest set, LSH band index, IVF cells over the stored embeddings)
+    and receives its first-failing-stage verdict with attribution:
+
+      gopher_reject → exact_dup → near_dup → semantic_dup → admitted
+
+    with dup_of = the smallest matching index document. New arrivals
+    are judged independently against the index (new-vs-new dedup
+    within a batch is q505's sequential admission chain — a separate,
+    registered concern); stage order IS the attribution, so a clone
+    of a too-short index doc reads 'gopher_reject', not 'exact_dup'.
+
+    Five seeded families, one per verdict: exact clones, ' extratoken'
+    near clones, reversed-order paraphrases (hit only the semantic
+    probe via the inherited base vector), 3-word junk (Gopher kills
+    it), and fresh docs — text doubled with novel tokens (evades the
+    LSH probe) and embedded as the NEGATED base vector (cosine -1
+    against its base, sub-threshold against the near-orthogonal rest)
+    so something genuinely ADMITS.
+
+    Determinism: every stage reuses its standalone query's exact
+    machinery — q515's Gopher rules, q40's digest keep-min, q125's
+    incremental LSH probe (its oracle SQL assembled from the same
+    builders), q375/q504's integer-grid cosine with HUGEINT ≙
+    DECIMAL(38,0) widening; verdict is a CASE over integer/NULL
+    signals.
+
+    Scale: the index sides are PERSISTED artifacts at 100 TB — the
+    digest set and band index bucket by their hash keys (probe = a
+    co-located join with zero index-side shuffle, q125's posture), the
+    IVF centroid table is a broadcast literal, and each stage's probe
+    costs O(|new| + collisions), never O(|corpus|). All stage signals
+    compute independently per new doc, so the whole admission is one
+    lazy plan with no sequential barrier.
+
+    Reference: q530 (the batch capstone this mirrors), q125/q505
+    (incremental probes), streaming/front_door.py + semdedup_gate.py
+    (the enforced streaming forms of the same gates)."""
+    from .dedup import incremental_lsh_probe
+    from .quality import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+    from .similarity import (
+        SEMDEDUP_TAU_DEN2,
+        SEMDEDUP_TAU_NUM2,
+        _assign_col,
+        _kmeans_centroids,
+        _quantized_vecs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    newb = track_cache(_q531_new_batch(spark, sf_dir).persist())
+
+    # -- stage signals (computed independently per new doc) ----------------
+    ws = F.split("text", " ")
+    one_if = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    n_words = F.size(ws).cast("bigint")
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    n_sym = F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
+    )
+    n_alpha = F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
+    )
+    n_stop = sum(
+        [
+            one_if(F.array_contains(ws, s)).cast("bigint")
+            for s in GOPHER_STOPWORDS
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    gok = newb.select(
+        "new_id",
+        one_if(
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (sum_len >= 3 * n_words)
+            & (sum_len <= 10 * n_words)
+            & (10 * n_sym <= n_words)
+            & (5 * n_alpha >= 4 * n_words)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+        ).alias("gopher_ok"),
+    )
+
+    idig = docs.groupBy(F.md5("text").alias("dg")).agg(
+        F.min("doc_id").alias("idx_id")
+    )
+    eh = (
+        newb.select("new_id", F.md5("text").alias("dg"))
+        .join(idig, "dg")
+        .groupBy("new_id")
+        .agg(F.min("idx_id").alias("exact_dup"))
+    )
+
+    nh = (
+        incremental_lsh_probe(
+            docs, newb.select(F.col("new_id").alias("doc_id"), "text")
+        )
+        .groupBy("new_id")
+        .agg(F.min("idx_id").alias("near_dup"))
+    )
+
+    cents = _kmeans_centroids(spark, sf_dir)
+    vq = _quantized_vecs(spark, sf_dir)
+    to_ints = lambda: F.transform(  # noqa: E731
+        F.col("xq"), lambda x: (x * 4096).cast("long")
+    )
+    norm_of = lambda: F.aggregate(  # noqa: E731
+        F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    iv = (
+        vq.withColumn("cell", _assign_col(cents))
+        .select("vec_id", "cell", to_ints().alias("av"))
+        .withColumn("na", norm_of())
+    )
+    nv = (
+        newb.select("new_id", "vkey", "vsign")
+        .join(vq, F.col("vkey") == F.col("vec_id"))
+        .select(
+            "new_id",
+            F.transform(
+                F.col("xq"), lambda x: x * F.col("vsign")
+            ).alias("xq"),
+        )
+        .withColumn("cell", _assign_col(cents))
+        .select("new_id", "cell", to_ints().alias("av"))
+        .withColumn("na", norm_of())
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("av_n"), F.col("av_i"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    smh = (
+        nv.select(
+            "new_id",
+            F.col("cell").alias("cell_n"),
+            F.col("av").alias("av_n"),
+            F.col("na").alias("na_n"),
+        )
+        .join(
+            iv.select(
+                "vec_id",
+                F.col("cell").alias("cell_i"),
+                F.col("av").alias("av_i"),
+                F.col("na").alias("na_i"),
+            ),
+            F.col("cell_n") == F.col("cell_i"),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(19,0)")
+                * F.col("dot")
+                * SEMDEDUP_TAU_DEN2
+                >= F.col("na_n").cast("decimal(19,0)")
+                * F.col("na_i")
+                * SEMDEDUP_TAU_NUM2
+            )
+        )
+        .groupBy("new_id")
+        .agg(F.min("vec_id").alias("sem_dup"))
+    )
+
+    verdict = (
+        F.when(F.col("gopher_ok") == 0, "gopher_reject")
+        .when(F.col("exact_dup").isNotNull(), "exact_dup")
+        .when(F.col("near_dup").isNotNull(), "near_dup")
+        .when(F.col("sem_dup").isNotNull(), "semantic_dup")
+        .otherwise("admitted")
+    )
+    dup_of = (
+        F.when(F.col("gopher_ok") == 0, F.lit(None))
+        .when(F.col("exact_dup").isNotNull(), F.col("exact_dup"))
+        .when(F.col("near_dup").isNotNull(), F.col("near_dup"))
+        .when(F.col("sem_dup").isNotNull(), F.col("sem_dup"))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+    )
+    return (
+        newb.select("new_id", "family")
+        .join(gok, "new_id")
+        .join(eh, "new_id", "left")
+        .join(nh, "new_id", "left")
+        .join(smh, "new_id", "left")
+        .select(
+            "new_id",
+            "family",
+            verdict.alias("verdict"),
+            dup_of.alias("dup_of"),
+        )
+        .orderBy("new_id")
+    )

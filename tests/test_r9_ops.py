@@ -87,3 +87,52 @@ def test_q510_downscale_is_identity_below_seven_digits():
     ]:
         c = 10 ** max(len(str(mx)) - 6, 0)
         assert c == want, (mx, c, want)
+
+
+@pytest.fixture(scope="module")
+def admission(spark):
+    rows = (
+        registry.QUERIES["q531_curation_admission"](spark, SF)
+        .orderBy("new_id")
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def test_q531_every_family_reaches_its_verdict(admission):
+    # each seeded family must produce its designed verdict at least
+    # once (clones of too-short index docs legitimately read
+    # gopher_reject first — stage order IS the attribution)
+    seen = {(r["family"], r["verdict"]) for r in admission}
+    for want in [
+        ("junk", "gopher_reject"),
+        ("exact_clone", "exact_dup"),
+        ("near_clone", "near_dup"),
+        ("paraphrase", "semantic_dup"),
+        ("fresh", "admitted"),
+    ]:
+        assert want in seen, want
+
+
+def test_q531_verdict_attribution_is_consistent(admission):
+    for r in admission:
+        if r["verdict"] in ("admitted", "gopher_reject"):
+            assert r["dup_of"] is None, r
+        else:
+            assert r["dup_of"] is not None, r
+            # attribution points at the frozen index, never the batch
+            assert r["dup_of"] < 1_000_000, r
+
+
+def test_q531_exact_clone_attribution_points_at_its_base(admission):
+    for r in admission:
+        if r["family"] == "exact_clone" and r["verdict"] == "exact_dup":
+            assert r["dup_of"] == r["new_id"] - 1_000_000, r
+
+
+def test_q531_no_fresh_doc_is_flagged_as_duplicate(admission):
+    # the negated-vector fresh family must never hit a dedup stage —
+    # a hit means the semantic probe's sign handling broke
+    for r in admission:
+        if r["family"] == "fresh":
+            assert r["verdict"] in ("admitted", "gopher_reject"), r

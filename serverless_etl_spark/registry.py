@@ -134,6 +134,9 @@ RECHECKS: set[str] = set()  # r8: none — q483 re-earned its green row in r7
 #: are never-sampled by construction, so the freshness ratchet stays
 #: green).
 _SWEEP_PRIORITY = [
+    # round-9 capstones first (never-sampled by construction — the
+    # driver-green row is the verdict's acceptance criterion for them)
+    "q530_curation_pipeline", "q531_curation_admission",
     "q241_functional_deps", "q242_cdc_generate", "q244_backtest_folds",
     "q245_forecast_eval", "q246_theil_sen", "q247_rolling_corr",
     "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",

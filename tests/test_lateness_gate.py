@@ -7,7 +7,9 @@ identical envelopes."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import time
 
 from pyspark.sql import functions as F
 
@@ -50,10 +52,18 @@ def _setup(spark, tmp_path):
     tail = rows[n - 50 :]
     src = tmp_path / "src"
     src.mkdir(parents=True, exist_ok=True)
+    base = time.time() - 300
     for i, chunk in enumerate((newest, oldest, tail)):
-        with open(src / f"part-{i}.json", "w") as f:
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
             for r in chunk:
                 f.write(json.dumps(r.asDict()) + "\n")
+        # DISTINCT mtimes, 10s apart: Spark's file source orders pending
+        # files by modification time and breaks ties in directory-listing
+        # order — three files written back-to-back can share an mtime
+        # tick under load, scrambling the planted batch order (flaked
+        # once in the r9 full-suite run, passed in isolation)
+        os.utime(p, (base + 10 * i, base + 10 * i))
     return src, newest, oldest, tail
 
 

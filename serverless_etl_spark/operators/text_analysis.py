@@ -3542,3 +3542,127 @@ def q525_gopher_ngram_fractions(
         *[F.col(f"frac{n}_ppm").cast("bigint").alias(f"frac{n}_ppm") for n in (2, 3, 4)],
         kept.cast("int").alias("kept"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q533 — self-BLEU corpus diversity (micro-averaged bigram self-overlap)
+# --------------------------------------------------------------------------
+
+_BIGRAMS_SQL = """list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]))"""
+
+
+def _bigrams(toks):
+    """Distinct bigram token shingles; [] for sub-2-token docs (Spark's
+    sequence() DESCENDS when start > stop — the guard is load-bearing)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q533_self_bleu_diversity",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_BIGRAMS_SQL} AS grams FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, source, len(grams) AS n_sh FROM sh WHERE len(grams) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    dfreq AS (SELECT g, COUNT(*) AS df, MIN(doc_id) AS owner FROM ex GROUP BY g),
+    uniq AS (
+        SELECT owner AS doc_id, COUNT(*) AS u FROM dfreq WHERE df = 1 GROUP BY owner
+    ),
+    per_doc AS (
+        SELECT s.doc_id, s.source, s.n_sh, s.n_sh - COALESCE(u.u, 0) AS shared
+        FROM stats s LEFT JOIN uniq u USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_bigrams,
+           CAST(SUM(shared) AS BIGINT) AS shared_bigrams,
+           CAST(FLOOR(SUM(shared) * 1000000e0 / NULLIF(SUM(n_sh), 0)) AS BIGINT)
+               AS self_sim_ppm,
+           CAST(SUM(CASE WHEN shared = n_sh THEN 1 ELSE 0 END) AS BIGINT)
+               AS all_dup_docs
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q533_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity via micro-averaged self-BLEU-lite: per source,
+    the fraction of each document's distinct bigrams that also occur in
+    at least one OTHER document (Zhu et al. 2018's self-BLEU, reduced
+    to bigram precision and micro-averaged with exact integer sums) —
+    low self_sim_ppm = diverse source, high = templated/redundant, and
+    `all_dup_docs` counts documents with NO unique bigram at all (the
+    fully-templated tail a curation pass samples for inspection).
+
+    Identity used: a doc's shared-bigram count = n_bigrams − its count
+    of corpus-SINGLETON bigrams, and a singleton's owning doc is its
+    df-group's only member — so no gram→doc join-back is needed; the
+    singleton aggregate (g → df=1, owner) collapses to a per-doc count.
+
+    Cross-engine determinism: all sums are integers; the single ppm
+    division happens once per source group.
+
+    Scale: one exchange builds bigram document-frequency (map-side
+    partial agg on distinct-per-doc grams), the df=1 survivors
+    aggregate by owner doc (second small exchange), and the per-doc
+    LEFT join runs on doc_id — document text never rides a shuffle.
+    At 100 TB the dfreq table is the big intermediate; it stays
+    (gram, count) narrow and never materializes per-pair work.
+
+    Reference: extends the diversity/quality family (q128 gini,
+    q416 token entropy, q98 boilerplate) — LLM-pipeline extension
+    surface, no reference-parity citation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = track_cache(
+        docs.select(
+            "doc_id", "source", _bigrams(F.split("text", " ")).alias("grams")
+        ).persist()
+    )
+    stats = sh.select("doc_id", "source", F.size("grams").alias("n_sh")).filter(
+        F.col("n_sh") > 0
+    )
+    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    dfreq = ex.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner")
+    )
+    uniq = (
+        dfreq.filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    per_doc = stats.join(uniq, "doc_id", "left").select(
+        "source",
+        "n_sh",
+        (F.col("n_sh") - F.coalesce(F.col("u"), F.lit(0))).alias("shared"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_bigrams"),
+            F.sum("shared").cast("bigint").alias("shared_bigrams"),
+            F.floor(
+                F.sum("shared") * F.lit(1000000.0)
+                / F.nullif(F.sum("n_sh"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("self_sim_ppm"),
+            F.sum(F.when(F.col("shared") == F.col("n_sh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("all_dup_docs"),
+        )
+        .orderBy("source")
+    )

@@ -5705,3 +5705,112 @@ def q524_ccnet_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "band")
     )
+
+
+# --------------------------------------------------------------------------
+# q532 — data-constrained epoch-value planner (repeat-decay scaling law)
+# --------------------------------------------------------------------------
+
+#: epoch grid a data-constrained run would consider (powers of two up
+#: to the ~32-epoch point where repeated data is empirically worthless)
+EPOCH_GRID = (1, 2, 4, 8, 16, 32)
+#: decay constant R_D* of the repeated-epoch value fit (Muennighoff et
+#: al. 2023, "Scaling Data-Constrained Language Models", eq. 4 fit)
+RD_STAR = 15.39
+#: an epoch schedule is flagged once effective/raw token value drops
+#: below half — the "stop repeating" operating point
+DIMINISH_PPM = 500_000
+
+
+@register(
+    "q532_epoch_value_planner",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS unique_tokens
+        FROM documents GROUP BY source
+    ),
+    grid AS (
+        SELECT source, unique_tokens, CAST(unnest([{', '.join(str(e) for e in EPOCH_GRID)}]) AS INT) AS epochs
+        FROM counts
+    ),
+    m AS (
+        SELECT source, unique_tokens, epochs,
+               ROUND(1e0 + {RD_STAR}e0 * (1e0 - exp(-(epochs - 1e0) / {RD_STAR}e0)), 6) AS mult
+        FROM grid
+    ),
+    eff AS (
+        SELECT source, unique_tokens, epochs,
+               CAST(FLOOR(unique_tokens * mult) AS BIGINT) AS eff_tokens,
+               unique_tokens * epochs AS raw_tokens
+        FROM m
+    )
+    SELECT source, epochs, unique_tokens, eff_tokens,
+           CAST(FLOOR(eff_tokens * 1000000e0 / NULLIF(raw_tokens, 0)) AS BIGINT) AS eff_ratio_ppm,
+           CAST((CAST(FLOOR(eff_tokens * 1000000e0 / NULLIF(raw_tokens, 0)) AS BIGINT) < {DIMINISH_PPM}) AS INT) AS diminished
+    FROM eff
+    ORDER BY source, epochs
+    """,
+)
+def q532_epoch_value_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner: per source, the EFFECTIVE token
+    yield of repeating its unique tokens for 1/2/4/8/16/32 epochs under
+    the repeated-data decay law D' = U * (1 + R_D*(1 - e^(-R_D/R_D*)))
+    (Muennighoff et al. 2023) — the planning step a 100 TB pretraining
+    run does when a source is too small for its target mix share and
+    the question is "how many epochs are still worth paying compute
+    for". `eff_ratio_ppm` is effective/raw consumed tokens; the
+    `diminished` flag marks schedules past the half-value point (the
+    paper's ~4-epoch near-free zone shows up as ratio >= 900k ppm).
+
+    Cross-engine determinism: the multiplier is computed from DOUBLE
+    literals on both engines (decimal-literal division truncates
+    differently in DuckDB — measured, bit-level divergence at 1e-6)
+    and rounded at 6 dp before the integer floor products.
+
+    Scale: one map-side-combined shuffle (SUM of per-doc token counts
+    by source); the epoch grid EXPLODES a 6-element literal array over
+    the <= |sources| aggregate rows — no join, no second exchange;
+    output is |sources| x 6 rows at any corpus size.
+
+    Reference: extends the training-mix family (q439's mix
+    prescription, q90's source caps) with the repeat-value dimension;
+    no reference-parity citation (LLM-pipeline extension surface)."""
+    from .text_analysis import _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(_toks(F.col("text")))).cast("bigint").alias("unique_tokens")
+    )
+    grid = counts.select(
+        "source",
+        "unique_tokens",
+        F.explode(F.array(*[F.lit(e).cast("int") for e in EPOCH_GRID])).alias("epochs"),
+    )
+    mult = F.round(
+        F.lit(1.0)
+        + F.lit(RD_STAR) * (F.lit(1.0) - F.exp(-(F.col("epochs") - F.lit(1.0)) / F.lit(RD_STAR))),
+        6,
+    )
+    eff = grid.select(
+        "source",
+        "unique_tokens",
+        "epochs",
+        F.floor(F.col("unique_tokens") * mult).cast("bigint").alias("eff_tokens"),
+        (F.col("unique_tokens") * F.col("epochs")).alias("raw_tokens"),
+    )
+    ratio = F.floor(
+        F.col("eff_tokens") * F.lit(1000000.0) / F.nullif(F.col("raw_tokens"), F.lit(0))
+    ).cast("bigint")
+    return (
+        eff.select(
+            "source",
+            "epochs",
+            "unique_tokens",
+            "eff_tokens",
+            ratio.alias("eff_ratio_ppm"),
+            (ratio < F.lit(DIMINISH_PPM)).cast("int").alias("diminished"),
+        )
+        .orderBy("source", "epochs")
+    )

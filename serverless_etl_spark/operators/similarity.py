@@ -5034,3 +5034,151 @@ def q520_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("va", "vb")
     )
+
+
+# --------------------------------------------------------------------------
+# q534 — MAUVE-style divergence frontier over IVF cell histograms
+# --------------------------------------------------------------------------
+
+#: mixture weights of the divergence frontier, in percent (exact binary
+#: fractions once divided by 100: .25/.50/.75)
+MAUVE_LAMBDAS = (25, 50, 75)
+#: dyadic unit grid for per-cell Bhattacharyya terms — floor to 2^-20
+#: before the integer sum, so the cross-cell total is order-free
+MAUVE_UNITS = 1 << 20
+
+
+@register(
+    "q534_mauve_frontier",
+    oracle=f"""
+    WITH qdims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS xq
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    {_assign_sql("c2", "a3")},
+    counts AS (
+        SELECT cell,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_q
+        FROM a3 GROUP BY cell
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_p) AS BIGINT) AS tp, CAST(SUM(c_q) AS BIGINT) AS tq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM counts
+    ),
+    terms AS (
+        SELECT CAST(g.lam_pct AS INT) AS lam_pct, t.k, t.tp, t.tq,
+               (c.c_p + 1e0) / (t.tp + t.k) AS p,
+               (c.c_q + 1e0) / (t.tq + t.k) AS q
+        FROM counts c, tot t,
+             (SELECT unnest([{', '.join(str(x) for x in MAUVE_LAMBDAS)}]) AS lam_pct) g
+    ),
+    u AS (
+        SELECT lam_pct, k, tp, tq,
+               CAST(FLOOR(sqrt(p * (lam_pct/100e0 * p + (1e0 - lam_pct/100e0) * q))
+                          * {MAUVE_UNITS}e0) AS BIGINT) AS up,
+               CAST(FLOOR(sqrt(q * (lam_pct/100e0 * p + (1e0 - lam_pct/100e0) * q))
+                          * {MAUVE_UNITS}e0) AS BIGINT) AS uq
+        FROM terms
+    )
+    SELECT lam_pct, MAX(k) AS k_cells, MAX(tp) AS n_p, MAX(tq) AS n_q,
+           CAST(SUM(up) AS BIGINT) AS bc_p_units,
+           CAST(SUM(uq) AS BIGINT) AS bc_q_units
+    FROM u GROUP BY lam_pct ORDER BY lam_pct
+    """,
+)
+def q534_mauve_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAUVE-style divergence frontier between the even-vec_id corpus P
+    (reference) and the odd-vec_id corpus Q (candidate): quantize both
+    through the SAME learned IVF cells (q95's k-means), add-one-smooth
+    the two cell histograms, and report, at mixture weights
+    lambda = .25/.50/.75, the Bhattacharyya coefficient of each corpus
+    against the mixture M = lambda*P + (1-lambda)*Q — the
+    quantized-histogram divergence-frontier construction of MAUVE
+    (Pillutla et al. 2021), which detects distribution gaps that
+    per-dim centroid drift (q227) misses, e.g. P and Q sharing means
+    but splitting across different cells.
+
+    BC instead of KL, deliberately: ln() differs by 1 ulp between
+    DuckDB's libm and the JVM (measured — a FLOOR-boundary flip risk),
+    while sqrt() is IEEE-correctly-rounded in both. H^2(P,M) =
+    1 - bc_p_units/2^20 recovers the Hellinger frontier exactly.
+
+    Cross-engine determinism: smoothed masses are single divisions of
+    integers (identical doubles), the mixture is exact-binary-weighted
+    (.25/.5/.75), per-cell terms floor onto the 2^-20 dyadic grid, and
+    cell totals are INTEGER sums — no float fold-order anywhere.
+
+    Scale: the corpus assigns map-side against literal centroids
+    (q95's posture; the artifact is memoized per sf_dir) and collapses
+    in one partial-aggregated exchange to <= N_CELLS rows; everything
+    after — totals, the 3-lambda grid, the frontier sums — is
+    driver-tiny. The one-row totals crossJoin is a documented
+    BNLJ-allowlist broadcast.
+
+    Reference: extends the drift/eval family (q227 embedding drift,
+    q127/q134 KS) — LLM-pipeline extension surface."""
+    vecs, assign = _kmeans_assignment(spark, sf_dir)
+    assigned = vecs.withColumn("cell", assign.cast("int"))
+    counts = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_p"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_q"),
+    )
+    tot = counts.agg(
+        F.sum("c_p").cast("bigint").alias("tp"),
+        F.sum("c_q").cast("bigint").alias("tq"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    lam = F.explode(
+        F.array(*[F.lit(x).cast("int") for x in MAUVE_LAMBDAS])
+    ).alias("lam_pct")
+    terms = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("c_p", "c_q", "tp", "tq", "k", lam)
+        .select(
+            "lam_pct",
+            "k",
+            "tp",
+            "tq",
+            ((F.col("c_p") + F.lit(1.0)) / (F.col("tp") + F.col("k"))).alias("p"),
+            ((F.col("c_q") + F.lit(1.0)) / (F.col("tq") + F.col("k"))).alias("q"),
+        )
+    )
+    lamf = F.col("lam_pct") / F.lit(100.0)
+    mix = lamf * F.col("p") + (F.lit(1.0) - lamf) * F.col("q")
+    u = terms.select(
+        "lam_pct",
+        "k",
+        "tp",
+        "tq",
+        F.floor(F.sqrt(F.col("p") * mix) * F.lit(float(MAUVE_UNITS)))
+        .cast("bigint")
+        .alias("up"),
+        F.floor(F.sqrt(F.col("q") * mix) * F.lit(float(MAUVE_UNITS)))
+        .cast("bigint")
+        .alias("uq"),
+    )
+    return (
+        u.groupBy("lam_pct")
+        .agg(
+            F.max("k").alias("k_cells"),
+            F.max("tp").alias("n_p"),
+            F.max("tq").alias("n_q"),
+            F.sum("up").cast("bigint").alias("bc_p_units"),
+            F.sum("uq").cast("bigint").alias("bc_q_units"),
+        )
+        .orderBy("lam_pct")
+    )

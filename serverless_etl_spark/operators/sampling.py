@@ -1295,3 +1295,130 @@ def q528_length_batching_waste(
         )
         .orderBy("strategy")
     )
+
+
+# --------------------------------------------------------------------------
+# q535 — shuffle-order decorrelation audit over the training shards
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q535_shuffle_decorrelation",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || '|ord') AS hk
+        FROM documents
+    ),
+    o AS (
+        SELECT source, hk, doc_id,
+               CAST(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1 AS INT) AS shard
+        FROM h
+    ),
+    lagd AS (
+        SELECT shard, source,
+               LAG(source) OVER (PARTITION BY shard ORDER BY hk, doc_id) AS prev
+        FROM o
+    ),
+    per_shard AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND source = prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS agree_pairs
+        FROM lagd GROUP BY shard
+    ),
+    shares AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source
+    ),
+    exp_t AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE) AS num,
+               CAST(SUM(c) AS DOUBLE) AS nn
+        FROM shares
+    )
+    SELECT shard, n_docs, agree_pairs,
+           n_docs - agree_pairs AS n_runs,
+           CAST(FLOOR(agree_pairs * 1000000e0 / NULLIF(n_docs - 1, 0)) AS BIGINT)
+               AS agree_ppm,
+           CAST(FLOOR(num * 1000000e0 / NULLIF(nn * (nn - 1e0), 0e0)) AS BIGINT)
+               AS expected_ppm,
+           CAST((CAST(FLOOR(agree_pairs * 1000000e0 / NULLIF(n_docs - 1, 0)) AS BIGINT)
+                 > CAST(FLOOR(num * 1000000e0 / NULLIF(nn * (nn - 1e0), 0e0)) AS BIGINT))
+                AS INT) AS clumped
+    FROM per_shard, exp_t
+    ORDER BY shard
+    """,
+)
+def q535_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit over q99's training-shard order: per shard,
+    the lag-1 same-source adjacency rate along read order versus the
+    rate a truly random permutation would give (sum of c_s(c_s-1) /
+    N(N-1) over source counts — the multi-category Wald-Wolfowitz runs
+    expectation). A shard whose agree_ppm exceeds expected_ppm is
+    CLUMPED: consecutive training examples correlate by source, which
+    turns into correlated gradients and loss spikes at epoch scale —
+    the audit a pipeline runs after changing the shuffle key, shard
+    count, or upstream file layout. n_runs is the classical runs count
+    (n - agree_pairs).
+
+    Cross-engine determinism: adjacency and run counts are integers;
+    the expectation numerator accumulates c*(c-1) in DECIMAL(38,0)
+    (q501's discipline — c^2 overflows int64 past ~3e9 docs/source,
+    certain at 100 TB) and converts once to double for the single
+    ppm division.
+
+    Scale: ONE exchange partitions by the 16-way shard key (the same
+    exchange q99's writer already pays), the lag window is
+    shard-local (never global), and per-shard output is 16 rows; the
+    source-share aggregate is a second map-side-combined exchange to
+    |sources| rows, collapsed to a one-row broadcast (documented
+    BNLJ allowlist). More hex chars = more shards, same plan.
+
+    Reference: composes q99 (deterministic shuffle) with the
+    q457/q404 run-statistics family — LLM-pipeline extension
+    surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ord"))).alias("hk"),
+    )
+    o = h.withColumn(
+        "shard", (F.instr(F.lit(_HEX), F.substring(F.col("hk"), 1, 1)) - 1).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    lagd = o.select("shard", "source", F.lag("source").over(w).alias("prev"))
+    per_shard = lagd.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("source") == F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("agree_pairs"),
+    )
+    shares = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    exp_t = shares.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+        .cast("double")
+        .alias("num"),
+        F.sum("c").cast("double").alias("nn"),
+    )
+    agree_ppm = F.floor(
+        F.col("agree_pairs") * F.lit(1000000.0) / F.nullif(F.col("n_docs") - 1, F.lit(0))
+    ).cast("bigint")
+    expected_ppm = F.floor(
+        F.col("num") * F.lit(1000000.0)
+        / F.nullif(F.col("nn") * (F.col("nn") - F.lit(1.0)), F.lit(0.0))
+    ).cast("bigint")
+    return (
+        per_shard.crossJoin(F.broadcast(exp_t))
+        .select(
+            "shard",
+            "n_docs",
+            "agree_pairs",
+            (F.col("n_docs") - F.col("agree_pairs")).alias("n_runs"),
+            agree_ppm.alias("agree_ppm"),
+            expected_ppm.alias("expected_ppm"),
+            (agree_ppm > expected_ppm).cast("int").alias("clumped"),
+        )
+        .orderBy("shard")
+    )

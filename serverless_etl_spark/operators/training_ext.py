@@ -5814,3 +5814,152 @@ def q532_epoch_value_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epochs")
     )
+
+
+# --------------------------------------------------------------------------
+# q536 — UniMax waterfilling allocation (uniform-as-possible language mix)
+# --------------------------------------------------------------------------
+
+#: per-language epoch cap (UniMax N: no language repeats more than this;
+#: 3 epochs against the 2x budget puts the low-capacity tail at its cap
+#: and the head languages on the waterline — both branches live)
+UNIMAX_EPOCH_CAP = 3
+#: total training budget as a multiple of the corpus's unique tokens
+UNIMAX_BUDGET_X = 2
+
+
+@register(
+    "q536_unimax_allocation",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS u
+        FROM documents GROUP BY lang
+    ),
+    budget AS (
+        SELECT CAST({UNIMAX_BUDGET_X} * SUM(u) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS nl
+        FROM per_lang
+    ),
+    ranked AS (
+        SELECT lang, u, {UNIMAX_EPOCH_CAP} * u AS cap,
+               COALESCE(CAST(SUM({UNIMAX_EPOCH_CAP} * u) OVER (
+                   ORDER BY {UNIMAX_EPOCH_CAP} * u, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before,
+               CAST(ROW_NUMBER() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * u, lang)
+                    AS BIGINT) AS rn
+        FROM per_lang
+    ),
+    flagged AS (
+        SELECT lang, u, cap, cum_before, rn, b,
+               nl - rn + 1 AS rem,
+               CASE WHEN cap * (nl - rn + 1) <= b - cum_before
+                    THEN 1 ELSE 0 END AS capped
+        FROM ranked CROSS JOIN budget
+    ),
+    water AS (
+        SELECT CAST((b - cum_before) // rem AS BIGINT) AS w
+        FROM flagged WHERE capped = 0 ORDER BY rn LIMIT 1
+    )
+    SELECT lang, u AS unique_tokens, cap AS cap_tokens,
+           CAST(CASE WHEN capped = 1 THEN cap ELSE w END AS BIGINT)
+               AS alloc_tokens,
+           CAST(1000000 * (CASE WHEN capped = 1 THEN cap ELSE w END)
+                // NULLIF(u, 0) AS BIGINT) AS epochs_ppm,
+           CASE WHEN capped = 1 THEN 'capped' ELSE 'water' END AS status
+    FROM flagged LEFT JOIN water ON TRUE
+    ORDER BY lang
+    """,
+)
+def q536_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): spread
+    the total training budget (2x the corpus's unique tokens) across
+    languages as UNIFORMLY as possible subject to a per-language cap
+    of {UNIMAX_EPOCH_CAP} epochs — the closed-form waterfilling:
+    languages sorted by capacity ascending take their full cap while
+    cap_i <= (remaining budget)/(remaining languages) (tested as the
+    exact integer cross-product cap_i*rem <= b - cum_before, so the
+    split never divides), and every language above the waterline gets
+    the SAME floor-divided waterline share. The fairness alternative
+    to proportional sampling (q160's temperature weights) and to
+    greedy quality ranking (q201) — low-resource languages hit their
+    epoch cap instead of being drowned by head languages.
+
+    Cross-engine determinism: capacities, the budget, the cumulative
+    waterline and the capped test are ALL exact integer arithmetic;
+    the single waterline value is one integer floor division taken at
+    the FIRST uncapped rank (limit-1 over the bounded per-language
+    table — all-capped corpora produce an empty waterline row and the
+    CASE never reads it).
+
+    Scale: one map-side-combined exchange collapses the corpus to
+    |languages| rows; the ranking window, the waterline probe and the
+    one-row budget broadcast all run over that bounded table
+    (documented BNLJ allowlist — same posture as q201).
+
+    Reference: extends the mixture family (q100/q160/q201/q439) —
+    LLM-pipeline extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))))
+        .cast("bigint")
+        .alias("u")
+    )
+    budget = per_lang.agg(
+        (F.lit(UNIMAX_BUDGET_X) * F.sum("u")).cast("bigint").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("nl"),
+    )
+    cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("u")).alias("cap")
+    wo = Window.orderBy(F.lit(UNIMAX_EPOCH_CAP) * F.col("u"), "lang")
+    ranked = per_lang.select(
+        "lang",
+        "u",
+        cap,
+        F.coalesce(
+            F.sum(F.lit(UNIMAX_EPOCH_CAP) * F.col("u"))
+            .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+            .cast("bigint"),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        "u",
+        "cap",
+        "cum_before",
+        "rn",
+        "b",
+        (F.col("nl") - F.col("rn") + 1).alias("rem"),
+        F.when(
+            F.col("cap") * (F.col("nl") - F.col("rn") + 1)
+            <= F.col("b") - F.col("cum_before"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("capped"),
+    )
+    water = (
+        flagged.filter(F.col("capped") == 0)
+        .orderBy("rn")
+        .limit(1)
+        .select(F.expr("CAST((b - cum_before) DIV rem AS BIGINT)").alias("w"))
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap")).otherwise(F.col("w"))
+    return (
+        flagged.join(F.broadcast(water), F.lit(True), "left")
+        .select(
+            "lang",
+            F.col("u").alias("unique_tokens"),
+            F.col("cap").alias("cap_tokens"),
+            alloc.cast("bigint").alias("alloc_tokens"),
+            F.expr(
+                "CAST(1000000 * (CASE WHEN capped = 1 THEN cap ELSE w END)"
+                " DIV NULLIF(u, 0) AS BIGINT)"
+            ).alias("epochs_ppm"),
+            F.when(F.col("capped") == 1, "capped").otherwise("water").alias("status"),
+        )
+        .orderBy("lang")
+    )

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "q530_curation_pipeline",  # six one-row ledger counts broadcast
     "q534_mauve_frontier",     # one-row histogram-totals broadcast
     "q535_shuffle_decorrelation",  # one-row runs-expectation broadcast
+    "q536_unimax_allocation",  # one-row budget + one-row waterline broadcast
     "q171_backlog_aging",     # one-row as-of-date aggregate broadcast
     "q176_vocab_growth",      # one-row max-doc-id scalar broadcast
     "q180_ltv_curve",         # one-row user-count scalar broadcast

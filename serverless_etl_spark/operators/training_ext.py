@@ -5963,3 +5963,240 @@ def q536_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q537 — compute-optimal feasibility planner (Chinchilla × repeat decay)
+# --------------------------------------------------------------------------
+
+#: candidate model sizes in parameters (spans test-scale to 4B so the
+#: feasible/infeasible boundary is LIVE at every SF)
+CHINCHILLA_MODEL_GRID = (1000, 4000, 1000000, 4000000, 1000000000, 4000000000)
+#: compute-optimal tokens-per-parameter (Hoffmann et al. 2022, ~20:1)
+CHINCHILLA_TPP = 20
+
+
+@register(
+    "q537_chinchilla_planner",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS u
+        FROM documents
+    ),
+    eff AS (
+        SELECT g.m_params, c.u, e.epochs,
+               CAST(FLOOR(c.u * ROUND(1e0 + {RD_STAR}e0 * (1e0 -
+                    exp(-(e.epochs - 1e0) / {RD_STAR}e0)), 6)) AS BIGINT)
+                   AS eff_tokens,
+               CAST({CHINCHILLA_TPP} * g.m_params AS BIGINT) AS needed_tokens
+        FROM (SELECT CAST(unnest([{', '.join(str(m) for m in CHINCHILLA_MODEL_GRID)}])
+                          AS BIGINT) AS m_params) g,
+             corpus c,
+             (SELECT CAST(unnest([{', '.join(str(e) for e in EPOCH_GRID)}])
+                          AS INT) AS epochs) e
+    )
+    SELECT m_params, MAX(u) AS unique_tokens, MAX(needed_tokens) AS needed_tokens,
+           CAST(MIN(CASE WHEN eff_tokens >= needed_tokens THEN epochs END) AS INT)
+               AS epochs_needed,
+           CAST((MIN(CASE WHEN eff_tokens >= needed_tokens THEN epochs END)
+                 IS NOT NULL) AS INT) AS feasible
+    FROM eff GROUP BY m_params ORDER BY m_params
+    """,
+)
+def q537_chinchilla_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-optimal feasibility planner: for each candidate model
+    size, can THIS corpus supply the Chinchilla-optimal ~20
+    tokens/parameter (Hoffmann et al. 2022) once repeated epochs are
+    discounted by the data-constrained decay law (q532's multiplier,
+    Muennighoff et al. 2023)? `epochs_needed` is the smallest epoch
+    count on the 1..32 grid whose effective-token yield covers the
+    requirement; models beyond even 32 discounted epochs read
+    feasible = 0 — the "your corpus is too small for this model"
+    answer a data-acquisition plan starts from.
+
+    Cross-engine determinism: q532's double-literal multiplier
+    (rounded at 6 dp) against exact integer token sums; the
+    feasibility MIN/CASE is integer-only.
+
+    Scale: the corpus collapses to ONE row (map-side-combined token
+    sum); the model × epoch grid (6 x 6) explodes from literals on
+    that one row — no joins, no second exchange, 6 output rows at any
+    corpus size.
+
+    Reference: composes q532 (epoch value) with the mixture/planning
+    family (q201/q439/q536) — LLM-pipeline extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.agg(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))))
+        .cast("bigint")
+        .alias("u")
+    )
+    g = corpus.select(
+        "u",
+        F.explode(
+            F.array(*[F.lit(m).cast("bigint") for m in CHINCHILLA_MODEL_GRID])
+        ).alias("m_params"),
+    )
+    eff = g.select(
+        "u",
+        "m_params",
+        F.explode(F.array(*[F.lit(e).cast("int") for e in EPOCH_GRID])).alias(
+            "epochs"
+        ),
+    ).select(
+        "u",
+        "m_params",
+        "epochs",
+        F.floor(
+            F.col("u")
+            * F.round(
+                F.lit(1.0)
+                + F.lit(RD_STAR)
+                * (F.lit(1.0) - F.exp(-(F.col("epochs") - F.lit(1.0)) / F.lit(RD_STAR))),
+                6,
+            )
+        )
+        .cast("bigint")
+        .alias("eff_tokens"),
+        (F.lit(CHINCHILLA_TPP) * F.col("m_params")).cast("bigint").alias(
+            "needed_tokens"
+        ),
+    )
+    hit = F.when(F.col("eff_tokens") >= F.col("needed_tokens"), F.col("epochs"))
+    return (
+        eff.groupBy("m_params")
+        .agg(
+            F.max("u").alias("unique_tokens"),
+            F.max("needed_tokens").alias("needed_tokens"),
+            F.min(hit).cast("int").alias("epochs_needed"),
+            F.min(hit).isNotNull().cast("int").alias("feasible"),
+        )
+        .orderBy("m_params")
+    )
+
+
+# --------------------------------------------------------------------------
+# q538 — long-document upsampling planner (long-context data mix)
+# --------------------------------------------------------------------------
+
+#: candidate "long document" char thresholds
+LONGDOC_GRID = (256, 512, 1024, 2048, 4096)
+#: target share of corpus chars that should come from long documents
+LONGDOC_TARGET_PPM = 200_000
+
+
+@register(
+    "q538_longdoc_upsampling",
+    oracle=f"""
+    WITH per AS (SELECT n_chars FROM documents),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM per),
+    th AS (SELECT CAST(unnest([{', '.join(str(t) for t in LONGDOC_GRID)}]) AS INT)
+                  AS min_chars),
+    agg AS (
+        SELECT t.min_chars, MAX(o.total_chars) AS total_chars,
+               CAST(COUNT(*) FILTER (p.n_chars >= t.min_chars) AS BIGINT)
+                   AS long_docs,
+               CAST(COALESCE(SUM(p.n_chars) FILTER (p.n_chars >= t.min_chars), 0)
+                    AS BIGINT) AS long_chars
+        FROM per p CROSS JOIN th t CROSS JOIN tot o
+        GROUP BY t.min_chars
+    ),
+    cur AS (
+        SELECT min_chars, long_docs, long_chars, total_chars,
+               CAST(FLOOR(long_chars * 1000000e0 / NULLIF(total_chars, 0))
+                    AS BIGINT) AS cur_ppm
+        FROM agg
+    )
+    SELECT min_chars, long_docs, long_chars, total_chars, cur_ppm,
+           CASE
+               WHEN long_chars = 0 THEN NULL
+               WHEN cur_ppm >= {LONGDOC_TARGET_PPM} THEN CAST(1000000 AS BIGINT)
+               ELSE CAST(FLOOR({LONGDOC_TARGET_PPM}e0
+                               * (total_chars - long_chars) * 1000000e0
+                               / ((1000000e0 - {LONGDOC_TARGET_PPM}e0)
+                                  * long_chars) / 1000000e0 * 1000000e0)
+                         AS BIGINT)
+           END AS upsample_ppm
+    FROM cur
+    ORDER BY min_chars
+    """,
+)
+def q538_longdoc_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-context data-mix planner: for each candidate "long
+    document" threshold, the upsampling multiplier (ppm) that lifts
+    long documents to {LONGDOC_TARGET_PPM} ppm of corpus CHARS —
+    the length-rebalancing step of long-context continual training
+    (cf. Fu et al. 2024, data engineering for 128K-context models:
+    naive corpora are short-doc dominated, so long docs are
+    upsampled, never truncated). m solves m*long/(m*long + short) =
+    target, i.e. m = target*short / ((1-target)*long); thresholds
+    already past target read 1.0, and a threshold with NO long docs
+    reads NULL (no multiplier can fix absence).
+
+    Cross-engine determinism: counts and char sums are exact
+    integers; cur_ppm floors once; the multiplier branch keys on the
+    FLOORED cur_ppm (integer compare) and the multiplier itself is
+    one mirrored double expression floored to ppm.
+
+    Scale: the corpus collapses map-side to per-doc n_chars; the
+    x{len(LONGDOC_GRID)} threshold fan-out runs on that bounded
+    column (q250's sweep shape) and aggregates in ONE pass; totals
+    are a one-row broadcast (BNLJ allowlist).
+
+    Reference: composes q250 (retention sweep) and q528 (length
+    batching) into the long-context mix family — LLM-pipeline
+    extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("n_chars")
+    tot = per.agg(F.sum("n_chars").cast("bigint").alias("total_chars"))
+    fan = per.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "total_chars",
+        F.explode(F.array(*[F.lit(t).cast("int") for t in LONGDOC_GRID])).alias(
+            "min_chars"
+        ),
+    )
+    is_long = F.col("n_chars") >= F.col("min_chars")
+    agg = fan.groupBy("min_chars").agg(
+        F.max("total_chars").alias("total_chars"),
+        F.count(F.when(is_long, 1)).cast("bigint").alias("long_docs"),
+        F.coalesce(F.sum(F.when(is_long, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("long_chars"),
+    )
+    cur = agg.withColumn(
+        "cur_ppm",
+        F.floor(
+            F.col("long_chars") * F.lit(1000000.0)
+            / F.nullif(F.col("total_chars"), F.lit(0))
+        ).cast("bigint"),
+    )
+    mult = (
+        F.when(F.col("long_chars") == 0, F.lit(None).cast("bigint"))
+        .when(
+            F.col("cur_ppm") >= LONGDOC_TARGET_PPM,
+            F.lit(1000000).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                F.lit(float(LONGDOC_TARGET_PPM))
+                * (F.col("total_chars") - F.col("long_chars"))
+                * F.lit(1000000.0)
+                / (
+                    (F.lit(1000000.0) - F.lit(float(LONGDOC_TARGET_PPM)))
+                    * F.col("long_chars")
+                )
+                / F.lit(1000000.0)
+                * F.lit(1000000.0)
+            ).cast("bigint")
+        )
+    )
+    return cur.select(
+        "min_chars",
+        "long_docs",
+        "long_chars",
+        "total_chars",
+        "cur_ppm",
+        mult.alias("upsample_ppm"),
+    ).orderBy("min_chars")

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "q534_mauve_frontier",     # one-row histogram-totals broadcast
     "q535_shuffle_decorrelation",  # one-row runs-expectation broadcast
     "q536_unimax_allocation",  # one-row budget + one-row waterline broadcast
+    "q538_longdoc_upsampling",  # one-row char-total broadcast (q250 shape)
     "q171_backlog_aging",     # one-row as-of-date aggregate broadcast
     "q176_vocab_growth",      # one-row max-doc-id scalar broadcast
     "q180_ltv_curve",         # one-row user-count scalar broadcast

@@ -137,6 +137,11 @@ _SWEEP_PRIORITY = [
     # round-9 capstones first (never-sampled by construction — the
     # driver-green row is the verdict's acceptance criterion for them)
     "q530_curation_pipeline", "q531_curation_admission",
+    # round-9 continuation additions (never-sampled by construction)
+    "q532_epoch_value_planner", "q533_self_bleu_diversity",
+    "q534_mauve_frontier", "q535_shuffle_decorrelation",
+    "q536_unimax_allocation", "q537_chinchilla_planner",
+    "q538_longdoc_upsampling",
     "q241_functional_deps", "q242_cdc_generate", "q244_backtest_folds",
     "q245_forecast_eval", "q246_theil_sen", "q247_rolling_corr",
     "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",

@@ -1,0 +1,145 @@
+"""Round-9 continuation operator properties: the q532-q538 planning /
+diversity / divergence family. Correctness vs the DuckDB oracle is the
+selfcheck/driver gate; these pin the INVARIANTS each operator's
+semantics promise, so a refactor that stays hash-green on the fixture
+but breaks the math elsewhere still fails loudly."""
+
+import pytest
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.operators.training_ext import (
+    CHINCHILLA_TPP,
+    EPOCH_GRID,
+    UNIMAX_BUDGET_X,
+    UNIMAX_EPOCH_CAP,
+)
+from serverless_etl_spark.operators.similarity import MAUVE_UNITS
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name, order):
+    return [
+        r.asDict()
+        for r in registry.QUERIES[name](spark, SF).orderBy(*order).collect()
+    ]
+
+
+def test_q532_multiplier_monotone_and_diminishing(spark):
+    rows = _rows(spark, "q532_epoch_value_planner", ["source", "epochs"])
+    assert rows and len(rows) % len(EPOCH_GRID) == 0
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        # effective tokens strictly grow with epochs, value ratio decays
+        effs = [r["eff_tokens"] for r in rs]
+        ratios = [r["eff_ratio_ppm"] for r in rs]
+        assert effs == sorted(effs) and len(set(effs)) == len(effs), src
+        assert ratios == sorted(ratios, reverse=True), src
+        # epoch 1 is full value by definition
+        assert rs[0]["epochs"] == 1 and rs[0]["eff_ratio_ppm"] == 1_000_000
+        # 32 discounted epochs are past half value — `diminished` fires
+        assert rs[-1]["diminished"] == 1, src
+
+
+def test_q533_self_bleu_bounds(spark):
+    rows = _rows(spark, "q533_self_bleu_diversity", ["source"])
+    assert rows
+    for r in rows:
+        assert 0 <= r["shared_bigrams"] <= r["n_bigrams"], r
+        assert 0 <= r["self_sim_ppm"] <= 1_000_000, r
+        assert 0 <= r["all_dup_docs"] <= r["n_docs"], r
+
+
+def test_q534_frontier_bounds_and_symmetry_at_half(spark):
+    rows = _rows(spark, "q534_mauve_frontier", ["lam_pct"])
+    assert [r["lam_pct"] for r in rows] == [25, 50, 75]
+    for r in rows:
+        # Bhattacharyya coefficient of K floored 2^-20 terms is in
+        # (0, 2^20]; equality only for identical histograms
+        assert 0 < r["bc_p_units"] <= MAUVE_UNITS, r
+        assert 0 < r["bc_q_units"] <= MAUVE_UNITS, r
+    # at lambda=.5 the mixture is symmetric in P/Q, so BC(P,M) and
+    # BC(Q,M) can differ only through the histograms themselves —
+    # and moving lambda toward a corpus pulls the mixture toward it,
+    # so bc_p is increasing in lambda and bc_q decreasing
+    bp = [r["bc_p_units"] for r in rows]
+    bq = [r["bc_q_units"] for r in rows]
+    assert bp == sorted(bp), bp
+    assert bq == sorted(bq, reverse=True), bq
+
+
+def test_q535_runs_identity(spark):
+    rows = _rows(spark, "q535_shuffle_decorrelation", ["shard"])
+    assert rows
+    for r in rows:
+        assert r["n_runs"] + r["agree_pairs"] == r["n_docs"], r
+        if r["n_docs"] > 1:
+            assert 0 <= r["agree_ppm"] <= 1_000_000, r
+    # the md5 order is a quality shuffle: not every shard may beat the
+    # random-permutation expectation, but the majority must
+    clumped = sum(r["clumped"] for r in rows if r["clumped"] is not None)
+    assert clumped <= len(rows) // 2, rows
+
+
+def test_q536_waterfill_conservation(spark):
+    rows = _rows(spark, "q536_unimax_allocation", ["lang"])
+    assert rows
+    budget = UNIMAX_BUDGET_X * sum(r["unique_tokens"] for r in rows)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    n_water = sum(1 for r in rows if r["status"] == "water")
+    # floor-divided waterline never overshoots, and undershoots by
+    # less than one unit per waterlined language
+    assert alloc <= budget
+    assert budget - alloc < max(n_water, 1)
+    waterlines = {r["alloc_tokens"] for r in rows if r["status"] == "water"}
+    assert len(waterlines) <= 1  # every uncapped language gets the SAME share
+    for r in rows:
+        assert r["cap_tokens"] == UNIMAX_EPOCH_CAP * r["unique_tokens"]
+        if r["status"] == "capped":
+            assert r["alloc_tokens"] == r["cap_tokens"], r
+            if waterlines:
+                assert r["alloc_tokens"] <= next(iter(waterlines)), r
+        else:
+            assert r["alloc_tokens"] <= r["cap_tokens"], r
+
+
+def test_q537_feasibility_monotone(spark):
+    rows = _rows(spark, "q537_chinchilla_planner", ["m_params"])
+    assert rows
+    for r in rows:
+        assert r["needed_tokens"] == CHINCHILLA_TPP * r["m_params"]
+    # bigger models never get MORE feasible, and epochs_needed is
+    # non-decreasing over the feasible prefix
+    feas = [r["feasible"] for r in rows]
+    assert feas == sorted(feas, reverse=True), feas
+    needed_epochs = [r["epochs_needed"] for r in rows if r["feasible"] == 1]
+    assert needed_epochs == sorted(needed_epochs)
+    assert all(e in EPOCH_GRID for e in needed_epochs)
+    # the fixture corpus keeps the boundary LIVE: some model on the
+    # grid must be feasible and some must not
+    assert 0 < sum(feas) < len(feas)
+
+
+def test_q538_multiplier_semantics(spark):
+    rows = _rows(spark, "q538_longdoc_upsampling", ["min_chars"])
+    assert rows
+    for r in rows:
+        if r["long_chars"] == 0:
+            assert r["upsample_ppm"] is None, r
+        elif r["cur_ppm"] >= 200_000:
+            assert r["upsample_ppm"] == 1_000_000, r
+        else:
+            # upsampling is needed, and applying the multiplier lands
+            # the long share at the target (within floor rounding)
+            m = r["upsample_ppm"] / 1e6
+            assert m > 1.0, r
+            lifted = m * r["long_chars"]
+            share = lifted / (lifted + (r["total_chars"] - r["long_chars"]))
+            assert abs(share - 0.2) < 1e-3, (r, share)
+    # long mass shrinks as the threshold rises
+    longs = [r["long_chars"] for r in rows]
+    assert longs == sorted(longs, reverse=True), longs

@@ -124,6 +124,11 @@ BASELINE_EXT_SF01 = {
     # training collects; best-of-3 absorbs the one cold train)
     "q504_semdedup_cascade": 1.904,
     "q505_semdedup_admission": 3.711,
+    # r9 floors (idle close-out bench, calibration-normalized)
+    "q530_curation_pipeline": 15.447,
+    "q531_curation_admission": 3.267,
+    "q533_self_bleu_diversity": 2.844,
+    "q534_mauve_frontier": 0.980,
 }
 
 
@@ -343,6 +348,11 @@ def main() -> None:
         # (new arrivals judged against the frozen corpus index)
         "q530_curation_pipeline",
         "q531_curation_admission",
+        # round-9 continuation: the two heavier additions (self-BLEU
+        # builds the corpus bigram-df table; the MAUVE frontier trains
+        # or loads the IVF cells then collapses to histograms)
+        "q533_self_bleu_diversity",
+        "q534_mauve_frontier",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:

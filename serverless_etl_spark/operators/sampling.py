@@ -1422,3 +1422,143 @@ def q535_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q539 — ingestion-order admission monitor (batch twin of order_gate)
+# --------------------------------------------------------------------------
+
+#: pmod micro-batches the order gate replays the corpus as
+ORDER_GATE_BATCHES = 8
+#: the seeded regression lane: this batch arrives SORTED BY SOURCE
+#: (an upstream that forgot to shuffle) — the monitor must flag it
+ORDER_CLUMP_LANE = 0
+
+
+@register(
+    "q539_order_admission",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(doc_id % {ORDER_GATE_BATCHES} AS BIGINT) AS batch_id
+        FROM documents
+    ),
+    lagd AS (
+        SELECT batch_id, source,
+               LAG(source) OVER (
+                   PARTITION BY batch_id
+                   ORDER BY CASE WHEN batch_id = {ORDER_CLUMP_LANE}
+                                 THEN source ELSE '' END, doc_id) AS prev
+        FROM base
+    ),
+    per AS (
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND source = prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS agree_pairs
+        FROM lagd GROUP BY batch_id
+    ),
+    comp AS (
+        SELECT batch_id,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE) AS num,
+               CAST(SUM(c) AS DOUBLE) AS nn
+        FROM (SELECT batch_id, source, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY batch_id, source)
+        GROUP BY batch_id
+    )
+    SELECT p.batch_id, p.n_docs, p.agree_pairs,
+           p.n_docs - p.agree_pairs AS n_runs,
+           CAST(FLOOR(p.agree_pairs * 1000000e0 / NULLIF(p.n_docs - 1, 0))
+                AS BIGINT) AS agree_ppm,
+           CAST(FLOOR(c.num * 1000000e0 / NULLIF(c.nn * (c.nn - 1e0), 0e0))
+                AS BIGINT) AS expected_ppm,
+           CAST((CAST(FLOOR(p.agree_pairs * 1000000e0 / NULLIF(p.n_docs - 1, 0))
+                      AS BIGINT)
+                 > CAST(FLOOR(c.num * 1000000e0
+                              / NULLIF(c.nn * (c.nn - 1e0), 0e0)) AS BIGINT))
+                AS INT) AS clumped
+    FROM per p JOIN comp c USING (batch_id)
+    ORDER BY p.batch_id
+    """,
+)
+def q539_order_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle twin of the streaming ingestion-ORDER monitor
+    (streaming/order_gate.py): replay the corpus as
+    {ORDER_GATE_BATCHES} pmod micro-batches — batch {ORDER_CLUMP_LANE}
+    arriving SORTED BY SOURCE (the seeded upstream-forgot-to-shuffle
+    regression), the rest in natural doc_id order — and emit each
+    batch's order-quality ledger: lag-1 same-source adjacency along
+    arrival order versus the random-permutation expectation from the
+    batch's OWN composition (q535's runs statistic, per batch instead
+    of per shard). The gate-twin pattern (q492-q503, q505, q522): the
+    STREAM side's recorded ledger is pinned equal to this query in
+    tests/test_order_gate.py, so the only ORDER-quality gate in the
+    matrix inherits a full DuckDB oracle. Unlike the content gates it
+    quarantines nothing — a clumped batch is a backpressure/alarm
+    signal (fix the upstream shuffle), not bad rows.
+
+    Cross-engine determinism: q535's exact discipline — integer
+    adjacency counts, DECIMAL(38,0) c*(c-1) accumulation, one double
+    ppm division per batch.
+
+    Scale: one exchange partitions by batch_id (the gate pays none —
+    each micro-batch judges itself at the door); the lag window is
+    batch-local; composition collapses map-side to (batch, source)
+    rows. Ledger is {ORDER_GATE_BATCHES} rows at any corpus size.
+
+    Reference: q535 (the shard-level audit), streaming/order_gate.py
+    (the door), q522/q505 (the twin pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % ORDER_GATE_BATCHES).cast("bigint").alias("batch_id"),
+    )
+    arrival_key = F.when(
+        F.col("batch_id") == ORDER_CLUMP_LANE, F.col("source")
+    ).otherwise(F.lit(""))
+    w = Window.partitionBy("batch_id").orderBy(arrival_key, "doc_id")
+    lagd = base.select(
+        "batch_id", "source", F.lag("source").over(w).alias("prev")
+    )
+    per = lagd.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("source") == F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("agree_pairs"),
+    )
+    comp = (
+        base.groupBy("batch_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("batch_id")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+            .cast("double")
+            .alias("num"),
+            F.sum("c").cast("double").alias("nn"),
+        )
+    )
+    agree_ppm = F.floor(
+        F.col("agree_pairs") * F.lit(1000000.0)
+        / F.nullif(F.col("n_docs") - 1, F.lit(0))
+    ).cast("bigint")
+    expected_ppm = F.floor(
+        F.col("num") * F.lit(1000000.0)
+        / F.nullif(F.col("nn") * (F.col("nn") - F.lit(1.0)), F.lit(0.0))
+    ).cast("bigint")
+    return (
+        per.join(comp, "batch_id")
+        .select(
+            "batch_id",
+            "n_docs",
+            "agree_pairs",
+            (F.col("n_docs") - F.col("agree_pairs")).alias("n_runs"),
+            agree_ppm.alias("agree_ppm"),
+            expected_ppm.alias("expected_ppm"),
+            (agree_ppm > expected_ppm).cast("int").alias("clumped"),
+        )
+        .orderBy("batch_id")
+    )

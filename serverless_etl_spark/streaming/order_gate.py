@@ -1,0 +1,148 @@
+"""Streaming ingestion-ORDER monitor: every micro-batch's arrival
+order is scored for source clumping — the lag-1 same-source adjacency
+rate along the batch's arrival sequence versus the random-permutation
+expectation from the batch's OWN source composition (the multi-category
+Wald-Wolfowitz runs statistic q535 applies to training shards, moved to
+the ingest door). A batch whose adjacency beats its expectation is
+CLUMPED: the upstream producer is delivering source-sorted (unshuffled)
+data, which downstream becomes correlated training order (q535) and
+skewed per-batch gate behavior. Unlike the content gates this monitor
+quarantines NOTHING — all rows pass through; the ledger's clumped flag
+is the alarm/backpressure signal (fix the upstream shuffle, don't drop
+rows).
+
+Exactly-once: the judge keeps no cross-batch state; admitted rows and
+the ledger are batch_id-partitioned and written with dynamic overwrite
+(drift_gate's stateless contract), so a replayed micro-batch rewrites
+identical bytes — arrival_seq is recorded IN the landed file by the
+producer, which is what makes the order deterministic under replay
+(a bare DataFrame has no row order).
+
+Stream ≡ batch: q539_order_admission replays the corpus as the same
+pmod batches (the seeded clump lane arrives source-sorted) and
+re-derives every ledger row in DuckDB; tests/test_order_gate.py pins
+the gate's recorded ledger equal to q539's output plus fresh-checkpoint
+replay idempotence.
+
+Scale: per batch one batch-local sort by arrival_seq (the batch is one
+micro-batch — bounded by trigger size) and two tiny aggregates; no
+shuffle wider than the batch, no state to compact. The ledger is one
+row per batch forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .neardup_gate import _dynamic_overwrite, _read_or_empty
+
+ORDER_SCHEMA = "doc_id BIGINT, source STRING, arrival_seq BIGINT"
+LEDGER_SCHEMA = (
+    "n_docs BIGINT, agree_pairs BIGINT, n_runs BIGINT, agree_ppm BIGINT,"
+    " expected_ppm BIGINT, clumped INT, batch_id BIGINT"
+)
+
+
+def judge_batch(batch: DataFrame) -> DataFrame:
+    """Score one micro-batch's arrival order; returns the ONE-row
+    ledger frame (without batch_id). q539's arithmetic verbatim:
+    integer adjacency counts, DECIMAL(38,0) c*(c-1) composition
+    accumulation, one double ppm division."""
+    w = Window.partitionBy(F.lit(1)).orderBy("arrival_seq")
+    lagd = batch.select("source", F.lag("source").over(w).alias("prev"))
+    per = lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("source") == F.col("prev")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("agree_pairs"),
+    )
+    comp = (
+        batch.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+            .cast("double")
+            .alias("num"),
+            F.sum("c").cast("double").alias("nn"),
+        )
+    )
+    agree_ppm = F.floor(
+        F.col("agree_pairs") * F.lit(1000000.0)
+        / F.nullif(F.col("n_docs") - 1, F.lit(0))
+    ).cast("bigint")
+    expected_ppm = F.floor(
+        F.col("num") * F.lit(1000000.0)
+        / F.nullif(F.col("nn") * (F.col("nn") - F.lit(1.0)), F.lit(0.0))
+    ).cast("bigint")
+    return per.crossJoin(F.broadcast(comp)).select(
+        "n_docs",
+        "agree_pairs",
+        (F.col("n_docs") - F.col("agree_pairs")).alias("n_runs"),
+        agree_ppm.alias("agree_ppm"),
+        expected_ppm.alias("expected_ppm"),
+        (agree_ppm > expected_ppm).cast("int").alias("clumped"),
+    )
+
+
+def order_gate_writer(admit_dir: str, ledger_dir: str):
+    """foreachBatch hook: pass every row through, record one
+    order-quality ledger row — both batch_id-partitioned with dynamic
+    overwrite (replay rewrites identical bytes)."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            _dynamic_overwrite(
+                batch.withColumn(
+                    "batch_id", F.lit(batch_id).cast("bigint")
+                ),
+                admit_dir,
+            )
+            ledger = judge_batch(batch).withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            )
+            _dynamic_overwrite(ledger, ledger_dir)
+        finally:
+            batch.unpersist()
+
+    return _write
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return _read_or_empty(spark, ledger_dir, LEDGER_SCHEMA)
+
+
+def run_order_gate(
+    spark: SparkSession,
+    source_dir: str,
+    admit_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain available landed files (availableNow) through the order
+    judge. maxFilesPerTrigger defaults to 1 so each landed file is one
+    ledger row (drift_gate's stance)."""
+    reader = spark.readStream.schema(ORDER_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            order_gate_writer(admit_dir, ledger_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,129 @@
+"""Streaming ingestion-order monitor (streaming/order_gate.py):
+stream ≡ batch parity against q539's oracle-checked ledger (same pmod
+batches, same seeded source-sorted clump lane), the lane flagged
+clumped while naturally-ordered batches pass, passthrough conservation
+(the monitor drops nothing), and fresh-checkpoint replay rewriting
+identical rows (stateless judge + batch_id dynamic overwrite)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.operators.sampling import (
+    ORDER_CLUMP_LANE,
+    ORDER_GATE_BATCHES,
+)
+from serverless_etl_spark.streaming.order_gate import (
+    read_ledger,
+    run_order_gate,
+)
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def _setup(spark, tmp_path):
+    """One stream file per pmod batch with explicit arrival_seq —
+    the clump lane lands SORTED BY SOURCE (the upstream that forgot
+    to shuffle), every other batch in natural doc_id order (exactly
+    q539's replay recipe)."""
+    rows = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source")
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(ORDER_GATE_BATCHES):
+        batch = [r for r in rows if r["doc_id"] % ORDER_GATE_BATCHES == b]
+        if b == ORDER_CLUMP_LANE:
+            batch.sort(key=lambda r: (r["source"], r["doc_id"]))
+        else:
+            batch.sort(key=lambda r: r["doc_id"])
+        with open(src / f"part-{b}.json", "w") as f:
+            for seq, r in enumerate(batch, start=1):
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "source": r["source"],
+                            "arrival_seq": seq,
+                        }
+                    )
+                    + "\n"
+                )
+    return src, len(rows)
+
+
+def _run(spark, tmp_path, src):
+    run_order_gate(
+        spark,
+        str(src),
+        str(tmp_path / "admit"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def test_order_gate_ledger_matches_batch_twin(spark, tmp_path):
+    src, n_rows = _setup(spark, tmp_path)
+    _run(spark, tmp_path, src)
+    got = {
+        r["batch_id"]: r
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    }
+    want = {
+        r["batch_id"]: r
+        for r in registry.QUERIES["q539_order_admission"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(want) == set(range(ORDER_GATE_BATCHES))
+    for b in want:
+        for k in (
+            "n_docs",
+            "agree_pairs",
+            "n_runs",
+            "agree_ppm",
+            "expected_ppm",
+            "clumped",
+        ):
+            assert got[b][k] == want[b][k], (b, k, got[b], want[b])
+    # the seeded source-sorted lane is the alarm; natural order passes
+    assert got[ORDER_CLUMP_LANE]["clumped"] == 1
+    assert all(
+        got[b]["clumped"] == 0
+        for b in got
+        if b != ORDER_CLUMP_LANE
+    )
+    # monitor semantics: NOTHING is quarantined — passthrough conserves
+    admitted = spark.read.parquet(str(tmp_path / "admit"))
+    assert admitted.count() == n_rows
+
+
+def test_order_gate_replay_is_idempotent(spark, tmp_path):
+    src, _ = _setup(spark, tmp_path)
+    _run(spark, tmp_path, src)
+    first = sorted(
+        tuple(r)
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    )
+    admit_first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "admit")).collect()
+    )
+    shutil.rmtree(tmp_path / "ckpt")  # crash-amnesia: full re-drain
+    _run(spark, tmp_path, src)
+    second = sorted(
+        tuple(r)
+        for r in read_ledger(spark, str(tmp_path / "ledger")).collect()
+    )
+    admit_second = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "admit")).collect()
+    )
+    assert first == second
+    assert admit_first == admit_second

@@ -6895,3 +6895,282 @@ def q526_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("filter_a", "filter_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q541 — token-blocklist screen (C4/Dolma-style category lexicons)
+# --------------------------------------------------------------------------
+
+#: category → exact-token lexicon. Placeholder terms: the OPERATOR is
+#: the machinery (token-exact matching, per-source/category rollup);
+#: a production deployment swaps in its policy lexicons unchanged.
+BLOCKLIST = {
+    "contact": ("blockphone", "blockemail"),
+    "gambling": ("blockbet", "blockcasino"),
+    "spam": ("blockpromo",),
+}
+#: seeded lanes: these docs get blocklisted tokens appended, so every
+#: category fires deterministically at every SF
+_BLOCK_LANES = (
+    (13, 7, " blockphone blockemail blockphone"),
+    (13, 3, " blockbet"),
+    (17, 5, " blockpromo blockpromo"),
+)
+
+
+def _blocklist_docs_sql() -> str:
+    cases = " || ".join(
+        f"CASE WHEN doc_id % {m} = {r} THEN '{suffix}' ELSE '' END"
+        for m, r, suffix in _BLOCK_LANES
+    )
+    return f"SELECT doc_id, source, text || {cases} AS text FROM documents"
+
+
+@register(
+    "q541_blocklist_screen",
+    oracle=f"""
+    WITH corpus AS ({_blocklist_docs_sql()}),
+    per_doc AS (
+        SELECT source,
+               {", ".join(
+                   f"len(list_filter(string_split(text, ' '), x -> x IN "
+                   f"({', '.join(repr(t) for t in terms)}))) AS h_{cat}"
+                   for cat, terms in sorted(BLOCKLIST.items())
+               )}
+        FROM corpus
+    ),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {", ".join(
+                   f"CAST(SUM(h_{cat}) AS BIGINT) AS hits_{cat},"
+                   f" CAST(SUM(CASE WHEN h_{cat} > 0 THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS fl_{cat}"
+                   for cat in sorted(BLOCKLIST)
+               )}
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, category, n_docs, n_flagged, n_hits,
+           CAST(FLOOR(n_flagged * 1000000e0 / NULLIF(n_docs, 0)) AS BIGINT)
+               AS flagged_ppm
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT source, '{cat}' AS category, n_docs,"
+            f" fl_{cat} AS n_flagged, hits_{cat} AS n_hits FROM per_src"
+            for cat in sorted(BLOCKLIST)
+        )}
+    )
+    ORDER BY source, category
+    """,
+)
+def q541_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocklist screen, the C4/Dolma "bad words" curation stage:
+    token-EXACT matching (split on whitespace, membership in the
+    category lexicon — never substring, so 'classic' can't match a
+    blocked 'ass') per category, rolled up per source: how many
+    documents each category flags, total hits, and the flagged rate —
+    the per-source report a curation pass reads before deciding
+    whether a source is filtered row-wise or dropped wholesale. Three
+    seeded lanes guarantee every category fires at every SF (the
+    _duped_docs pattern); the placeholder lexicons swap for policy
+    lists unchanged.
+
+    Cross-engine determinism: hit counts are exact integers; one ppm
+    floor per (source, category).
+
+    Scale: the per-category counts are map-side column expressions
+    over each doc (one corpus pass, no explode — the lexicon membership
+    compiles to a hash-set probe per token); ONE partial-aggregated
+    exchange to |sources| rows; the category expansion runs on that
+    bounded table. Output is |sources| x |categories| rows at any
+    corpus size.
+
+    Reference: extends the corpus-hygiene family (q88 PII, q430
+    secrets, q521 Luhn, q515 Gopher) with the policy-lexicon member —
+    LLM-pipeline extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        *[
+            F.when(F.col("doc_id") % m == r, F.lit(s)).otherwise(F.lit(""))
+            for m, r, s in _BLOCK_LANES
+        ]
+    )
+    corpus = docs.select(
+        "source", F.concat(F.col("text"), suffix).alias("text")
+    )
+    toks = F.split("text", " ")
+    per_doc = corpus.select(
+        "source",
+        *[
+            F.size(F.filter(toks, lambda x: x.isin(*terms))).alias(f"h_{cat}")
+            for cat, terms in sorted(BLOCKLIST.items())
+        ],
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            agg
+            for cat in sorted(BLOCKLIST)
+            for agg in (
+                F.sum(f"h_{cat}").cast("bigint").alias(f"hits_{cat}"),
+                F.sum(F.when(F.col(f"h_{cat}") > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"fl_{cat}"),
+            )
+        ],
+    )
+    expanded = per_src.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cat).alias("category"),
+                        F.col(f"fl_{cat}").alias("n_flagged"),
+                        F.col(f"hits_{cat}").alias("n_hits"),
+                    )
+                    for cat in sorted(BLOCKLIST)
+                ]
+            )
+        ).alias("c"),
+    )
+    return expanded.select(
+        "source",
+        F.col("c.category").alias("category"),
+        "n_docs",
+        F.col("c.n_flagged").alias("n_flagged"),
+        F.col("c.n_hits").alias("n_hits"),
+        F.floor(
+            F.col("c.n_flagged") * F.lit(1000000.0)
+            / F.nullif(F.col("n_docs"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("flagged_ppm"),
+    ).orderBy("source", "category")
+
+
+# --------------------------------------------------------------------------
+# q542 — mojibake / encoding-damage screen (mC4-class ingest hygiene)
+# --------------------------------------------------------------------------
+
+#: seeded damage lanes (the _duped_docs pattern): double-encoded UTF-8
+#: ("Ã©" is e-acute read as latin-1 and re-encoded), the
+#: U+FFFD replacement char a lossy decode leaves behind, and a
+#: Latin+CJK mixed-script token
+_MOJIBAKE_LANES = (
+    (19, 2, " cafÃ© visitÃ©"),
+    (19, 11, " lost��"),
+    (23, 4, " word漢字"),
+)
+#: a token mixes scripts when it carries BOTH Latin and CJK letters
+_MIXED_LAT = "[A-Za-z]"
+_MIXED_CJK = "[一-鿿]"
+
+
+def _mojibake_docs_sql() -> str:
+    cases = " || ".join(
+        f"CASE WHEN doc_id % {m} = {r} THEN '{suffix}' ELSE '' END"
+        for m, r, suffix in _MOJIBAKE_LANES
+    )
+    return f"SELECT doc_id, source, text || {cases} AS text FROM documents"
+
+
+@register(
+    "q542_mojibake_screen",
+    oracle=f"""
+    WITH corpus AS ({_mojibake_docs_sql()}),
+    per_doc AS (
+        SELECT source,
+               length(text) - length(replace(text, '�', '')) AS n_repl,
+               length(text) - length(replace(text, 'Ã', '')) AS n_moji,
+               len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '{_MIXED_LAT}')
+                        AND regexp_matches(x, '{_MIXED_CJK}'))) AS n_mixed
+        FROM corpus
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_repl) AS BIGINT) AS repl_chars,
+           CAST(SUM(n_moji) AS BIGINT) AS mojibake_marks,
+           CAST(SUM(n_mixed) AS BIGINT) AS mixed_tokens,
+           CAST(SUM(CASE WHEN n_repl + n_moji + n_mixed > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_flagged,
+           CAST(FLOOR(SUM(CASE WHEN n_repl + n_moji + n_mixed > 0
+                               THEN 1 ELSE 0 END) * 1000000e0
+                      / NULLIF(COUNT(*), 0)) AS BIGINT) AS flagged_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q542_mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage screen, the mC4/CCNet ingest-hygiene stage: per
+    source, count U+FFFD replacement characters (a lossy decode
+    happened upstream), double-encoded UTF-8 signatures (the 'Ã'
+    lead byte of latin-1-misread UTF-8 — 'cafÃ©' is how
+    'cafe-acute' arrives after the classic double-encode), and
+    mixed-script tokens (Latin+CJK inside ONE token — a tokenizer
+    poison that inflates vocab and fertility, q508). Three seeded
+    damage lanes fire every signal at every SF. A source with high
+    flagged_ppm needs its FETCHER fixed, not row filtering — which is
+    why the report is per source.
+
+    Cross-engine determinism: the replacement/mojibake counts are
+    exact length-difference arithmetic (no regex); the mixed-script
+    probe is two single-character-class regexes with identical
+    semantics in RE2 and Java; one ppm floor per source.
+
+    Scale: everything up to the per-source rollup is a map-side
+    column expression (no explode — token filtering is a lambda over
+    the split array); ONE partial-aggregated exchange to |sources|
+    rows.
+
+    Reference: extends the corpus-hygiene family (q88 PII, q541
+    blocklist, q297/q388 storage encodings are UNRELATED — this is
+    text-encoding damage) — LLM-pipeline extension surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        *[
+            F.when(F.col("doc_id") % m == r, F.lit(s)).otherwise(F.lit(""))
+            for m, r, s in _MOJIBAKE_LANES
+        ]
+    )
+    corpus = docs.select(
+        "source", F.concat(F.col("text"), suffix).alias("text")
+    )
+    n_repl = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("�"), F.lit(""))
+    )
+    n_moji = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("Ã"), F.lit(""))
+    )
+    n_mixed = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda x: x.rlike(_MIXED_LAT) & x.rlike(_MIXED_CJK),
+        )
+    )
+    per_doc = corpus.select(
+        "source",
+        n_repl.alias("n_repl"),
+        n_moji.alias("n_moji"),
+        n_mixed.alias("n_mixed"),
+    )
+    flagged = F.when(
+        F.col("n_repl") + F.col("n_moji") + F.col("n_mixed") > 0, 1
+    ).otherwise(0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_repl").cast("bigint").alias("repl_chars"),
+            F.sum("n_moji").cast("bigint").alias("mojibake_marks"),
+            F.sum("n_mixed").cast("bigint").alias("mixed_tokens"),
+            F.sum(flagged).cast("bigint").alias("docs_flagged"),
+            F.floor(
+                F.sum(flagged) * F.lit(1000000.0)
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -5182,3 +5182,159 @@ def q534_mauve_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lam_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q540 — D4-style per-cell diversity pruning (drop the prototypical core)
+# --------------------------------------------------------------------------
+
+#: fraction of each cell pruned, in ppm — D4 drops the points CLOSEST
+#: to their cluster centroid (the most prototypical / least
+#: informative), the opposite selection from SemDeDup's near-dup cut
+D4_PRUNE_PPM = 250_000
+
+
+@register(
+    "q540_d4_diversity_prune",
+    oracle=f"""
+    WITH qdims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               FLOOR(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS xq
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cell, i, xq AS c FROM qdims WHERE vec_id < {N_CELLS}
+    ),
+    {_assign_sql("c0", "a1")},
+    {_update_sql("a1", "c1")},
+    {_assign_sql("c1", "a2")},
+    {_update_sql("a2", "c2")},
+    ad AS (
+        SELECT vec_id, cell, dist_units FROM (
+            SELECT d.vec_id, c.cell,
+                   CAST(FLOOR(SUM((d.xq - c.c) * (d.xq - c.c)) * 1000000)
+                        AS BIGINT) AS dist_units
+            FROM qdims d JOIN c2 c ON c.i = d.i
+            GROUP BY d.vec_id, c.cell
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist_units, cell) = 1
+    ),
+    ranked AS (
+        SELECT cell, vec_id, dist_units,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY dist_units, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cell) AS n_vecs
+        FROM ad
+    ),
+    marked AS (
+        SELECT cell, n_vecs, dist_units,
+               CASE WHEN rn <= (n_vecs * {D4_PRUNE_PPM}) // 1000000
+                    THEN 1 ELSE 0 END AS pruned
+        FROM ranked
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+           CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+           MAX(CASE WHEN pruned = 1 THEN dist_units END) AS cut_dist_units,
+           CAST(FLOOR((MAX(n_vecs) - SUM(pruned)) * 1000000e0 / MAX(n_vecs))
+                AS BIGINT) AS kept_ppm
+    FROM marked GROUP BY cell ORDER BY cell
+    """,
+)
+def q540_d4_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style diversification (Tirumala et al. 2023): after SemDeDup
+    removes near-duplicates (q375/q504), D4 additionally prunes each
+    cluster's PROTOTYPICAL CORE — the {D4_PRUNE_PPM}-ppm of points
+    CLOSEST to their cell centroid, which carry the least marginal
+    information — leaving the diverse shell. Per cell: size, pruned
+    count, the distance waterline of the cut, and the kept fraction.
+    The selection is the exact OPPOSITE of SemDeDup's (which removes
+    points close to EACH OTHER); running q375 then this is the D4
+    recipe.
+
+    Cross-engine determinism: q95's quantized-distance discipline
+    (dyadic inputs, 1e-6-floored integer distance units, (dist, id)
+    tie-break); the prune count is an exact integer floor per cell.
+
+    Scale: the corpus assigns map-side against the memoized literal
+    centroid artifact (q95's posture); the per-cell rank is ONE
+    exchange partitioned by cell. At extreme per-cell cardinality the
+    production route replaces the exact rank with an
+    approx_percentile distance waterline per cell (no sort, same
+    downstream filter) — this registered form is the exact referee
+    for that path, the q282/q289 baseline pattern.
+
+    Reference: composes q95 (cells) with the dedup family
+    (q375 SemDeDup, q389 k-center keeps the OUTER shell for coresets)
+    — LLM-pipeline extension surface."""
+    vecs = _quantized_vecs(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    if not cents:
+        amin_dist = F.lit(None).cast("bigint")
+        amin_cell = F.lit(None).cast("int")
+    else:
+        pairs = [
+            F.struct(
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xq"),
+                            F.lit(cents[j]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * 1000000.0
+                )
+                .cast("bigint")
+                .alias("dist_units"),
+                F.lit(j).cast("int").alias("cell"),
+            )
+            for j in range(len(cents))
+        ]
+        amin = F.array_min(F.array(*pairs))
+        amin_dist = amin["dist_units"]
+        amin_cell = amin["cell"]
+    ad = vecs.select(
+        "vec_id", amin_cell.alias("cell"), amin_dist.alias("dist_units")
+    )
+    wr = Window.partitionBy("cell").orderBy("dist_units", "vec_id")
+    wc = Window.partitionBy("cell")
+    ranked = ad.select(
+        "cell",
+        "dist_units",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_vecs"),
+    )
+    marked = ranked.select(
+        "cell",
+        "n_vecs",
+        "dist_units",
+        F.when(
+            F.col("rn")
+            <= F.expr(f"(n_vecs * {D4_PRUNE_PPM}) DIV 1000000"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("pruned"),
+    )
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.max("n_vecs").cast("bigint").alias("n_vecs"),
+            F.sum("pruned").cast("bigint").alias("n_pruned"),
+            F.max(F.when(F.col("pruned") == 1, F.col("dist_units"))).alias(
+                "cut_dist_units"
+            ),
+            F.floor(
+                (F.max("n_vecs") - F.sum("pruned"))
+                * F.lit(1000000.0)
+                / F.max("n_vecs")
+            )
+            .cast("bigint")
+            .alias("kept_ppm"),
+        )
+        .orderBy("cell")
+    )

@@ -142,6 +142,8 @@ _SWEEP_PRIORITY = [
     "q534_mauve_frontier", "q535_shuffle_decorrelation",
     "q536_unimax_allocation", "q537_chinchilla_planner",
     "q538_longdoc_upsampling", "q539_order_admission",
+    "q540_d4_diversity_prune", "q541_blocklist_screen",
+    "q542_mojibake_screen",
     "q241_functional_deps", "q242_cdc_generate", "q244_backtest_folds",
     "q245_forecast_eval", "q246_theil_sen", "q247_rolling_corr",
     "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",

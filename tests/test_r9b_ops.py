@@ -143,3 +143,52 @@ def test_q538_multiplier_semantics(spark):
     # long mass shrinks as the threshold rises
     longs = [r["long_chars"] for r in rows]
     assert longs == sorted(longs, reverse=True), longs
+
+
+def test_q540_prune_fraction_exact(spark):
+    rows = _rows(spark, "q540_d4_diversity_prune", ["cell"])
+    assert rows
+    total = sum(r["n_vecs"] for r in rows)
+    emb_n = (
+        registry.QUERIES["q95_kmeans_cells"](spark, SF).count()
+    )
+    assert total == emb_n  # every vector lands in exactly one cell
+    for r in rows:
+        want = (r["n_vecs"] * 250_000) // 1_000_000
+        assert r["n_pruned"] == want, r
+        assert r["kept_ppm"] == ((r["n_vecs"] - want) * 1_000_000) // r["n_vecs"]
+        if r["n_pruned"] == 0:
+            assert r["cut_dist_units"] is None, r
+        else:
+            assert r["cut_dist_units"] is not None and r["cut_dist_units"] >= 0
+
+
+def test_q541_seeded_lanes_fire_every_category(spark):
+    rows = _rows(spark, "q541_blocklist_screen", ["source", "category"])
+    assert rows
+    by_cat = {}
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_docs"], r
+        assert r["n_hits"] >= r["n_flagged"], r  # a flagged doc has >=1 hit
+        by_cat.setdefault(r["category"], 0)
+        by_cat[r["category"]] += r["n_flagged"]
+    assert set(by_cat) == {"contact", "gambling", "spam"}
+    assert all(v > 0 for v in by_cat.values()), by_cat
+
+
+def test_q542_every_damage_signal_lives(spark):
+    rows = _rows(spark, "q542_mojibake_screen", ["source"])
+    assert rows
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("repl_chars", "mojibake_marks", "mixed_tokens")
+    }
+    assert all(v > 0 for v in tot.values()), tot
+    for r in rows:
+        assert 0 <= r["docs_flagged"] <= r["n_docs"], r
+        # each lane appends at most a handful of damage marks — a doc
+        # counted flagged must carry at least one
+        if r["docs_flagged"] == 0:
+            assert (
+                r["repl_chars"] == r["mojibake_marks"] == r["mixed_tokens"] == 0
+            ), r

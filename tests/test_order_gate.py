@@ -8,7 +8,9 @@ identical rows (stateless judge + batch_id dynamic overwrite)."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import time
 
 from serverless_etl_spark import registry
 from serverless_etl_spark.io import load_table
@@ -37,13 +39,15 @@ def _setup(spark, tmp_path):
     )
     src = tmp_path / "src"
     src.mkdir(parents=True, exist_ok=True)
+    base = time.time() - 300
     for b in range(ORDER_GATE_BATCHES):
         batch = [r for r in rows if r["doc_id"] % ORDER_GATE_BATCHES == b]
         if b == ORDER_CLUMP_LANE:
             batch.sort(key=lambda r: (r["source"], r["doc_id"]))
         else:
             batch.sort(key=lambda r: r["doc_id"])
-        with open(src / f"part-{b}.json", "w") as f:
+        p = src / f"part-{b}.json"
+        with open(p, "w") as f:
             for seq, r in enumerate(batch, start=1):
                 f.write(
                     json.dumps(
@@ -55,6 +59,12 @@ def _setup(spark, tmp_path):
                     )
                     + "\n"
                 )
+        # DISTINCT mtimes, 10s apart: Spark's file source orders pending
+        # files by modification time and breaks ties in listing order —
+        # eight files written back-to-back can share an mtime tick under
+        # load, scrambling file→batch_id alignment (same flake class the
+        # lateness-gate test hit; flaked once in the r9 full-suite run)
+        os.utime(p, (base + 10 * b, base + 10 * b))
     return src, len(rows)
 
 

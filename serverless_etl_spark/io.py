@@ -32,6 +32,72 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: single-file inputs below this compressed size are left on their
+#: natural (single) scan split — they are dimension-table material
+#: (region/nation/supplier) that rides broadcasts, and an exchange
+#: would cost more than the map work it parallelizes
+_FANOUT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_FANOUT_MIN_BYTES", str(256 * 1024))
+)
+
+#: memoized fan-out decision per (path, parallelism): file sizes and
+#: session width are stable within a process, and the decision must
+#: not cost a per-build filesystem walk at 542-query sweep scale
+_FANOUT_CACHE: dict[tuple[str, int], int | None] = {}
+
+
+def _scan_fanout_partitions(spark: SparkSession, path: str) -> int | None:
+    """Unsplittable-input guard (optimization guide §2.5 "input skew:
+    one huge unsplittable file ... otherwise repartition immediately
+    after the read", §2.2 map-side parallelism).
+
+    A parquet file only splits at ROW-GROUP boundaries; a single-row-
+    group file therefore scans as ONE task no matter what
+    ``maxPartitionBytes`` says, and every map-side operator chained on
+    the scan (regex kernels, sentiment, shingling, hashing) serializes
+    on one core while the rest of the machine idles. Measured at
+    sf0.1/local[32]: the q70 staging chain's full noop-sink pass drops
+    9.4s → 2.5s when the events scan fans out to the core count.
+
+    Decision is static and scale-adaptive, no job is run: estimated
+    splits = bytes / maxPartitionBytes. When the scan already yields
+    at least half the session's parallelism (every production-scale
+    table — at 100 TB a table scan is thousands of splits) this
+    returns None and the read is untouched; the round-robin exchange
+    only fires for inputs too small/unsplittable to fill the machine,
+    where shuffling the (tiny) table once is strictly cheaper than
+    serializing its map work. Returns the target partition count or
+    None for "leave the scan alone"."""
+    par = spark.sparkContext.defaultParallelism
+    key = (path, par)
+    if key in _FANOUT_CACHE:
+        return _FANOUT_CACHE[key]
+    p = pathlib.Path(path)
+    try:
+        if p.is_file():
+            nbytes = p.stat().st_size
+        else:
+            nbytes = sum(
+                f.stat().st_size
+                for f in p.rglob("*")
+                if f.is_file() and not f.name.startswith(("_", "."))
+            )
+    except OSError:
+        nbytes = 0
+    target: int | None
+    if nbytes < _FANOUT_MIN_BYTES:
+        target = None
+    else:
+        max_split = int(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            )
+        )
+        est_splits = max(1, math.ceil(nbytes / max(max_split, 1)))
+        target = None if est_splits * 2 >= par else par
+    _FANOUT_CACHE[key] = target
+    return target
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -68,8 +134,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     by Catalyst (verify with .explain(): PushedFilters / ReadSchema).
 
     `events.ts` is normalized to a session-tz TIMESTAMP whatever the
-    fixture's physical encoding (see _normalize_ts)."""
-    df = spark.read.parquet(table_path(sf_dir, name))
+    fixture's physical encoding (see _normalize_ts).
+
+    Scans that cannot fill the machine (single-row-group files — see
+    _scan_fanout_partitions) are round-robin repartitioned to the core
+    count so chained map-side operators parallelize; filters and
+    column pruning still push THROUGH the exchange to the parquet scan
+    (verified: PushedFilters/ReadSchema unchanged in plans)."""
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    fanout = _scan_fanout_partitions(spark, path)
+    if fanout:
+        df = df.repartition(fanout)
     if name == "events":
         return _normalize_ts(df, "ts")
     return df

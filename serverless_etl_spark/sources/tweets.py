@@ -19,13 +19,58 @@ from ..io import load_table
 DOC_MOD = 500  # docs available at every scale factor
 
 
-def _tweets_with_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tweets_with_envelope(
+    spark: SparkSession, sf_dir: str, enriched: bool = False
+) -> DataFrame:
     """Stream record plus the envelope columns (event_id, arrival ts) —
     kept in one plan so landing_rows never has to join back to events
     to recover the arrival timestamp (that re-join would be a full
-    sort-merge shuffle on a string key at scale)."""
+    sort-merge shuffle on a string key at scale).
+
+    enriched=True additionally evaluates the PAYLOAD-pure staging
+    kernels (F1 clean_text, F3 sentiment — the two expensive ones) on
+    the PAYLOAD side of the envelope⋈payload broadcast join, i.e. once
+    per distinct document instead of once per delivered tweet copy
+    (optimization guide §2.3 "project before the exchange" / §8
+    "decide with small rows"). A retweet-heavy stream duplicates
+    payloads massively (here: every doc fans out to ~|events|/500
+    tweets), so the kernels' per-copy evaluation is pure waste; the
+    SAME column-expression builders (functions.text.clean_text,
+    functions.sentiment.*) are applied, only earlier in the plan, so
+    the values are identical column-for-column."""
     ev = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_MOD)
+    extra_doc_cols = []
+    extra_out_cols = []
+    if enriched:
+        from ..functions.sentiment import (
+            decoded_score_arrays,
+            sentiment_matched_encoded,
+            sentiment_score,
+        )
+        from ..functions.text import clean_text
+
+        noisy_doc = F.concat(
+            F.lit("RT "), F.col("text"), F.lit(' https://t.co/x1 "q" & amp;')
+        )
+        docs = (
+            docs.withColumn("text_clean", clean_text(noisy_doc))
+            .withColumn(
+                "_toks",
+                F.filter(
+                    F.split(F.col("text_clean"), " "), lambda x: x != F.lit("")
+                ),
+            )
+            .withColumn("_enc", sentiment_matched_encoded(F.col("_toks")))
+        )
+        sent = decoded_score_arrays(F.col("_enc"))
+        docs = (
+            docs.withColumn("polarity", sentiment_score(sent["pols"]))
+            .withColumn("subjectivity", sentiment_score(sent["subs"]))
+            .drop("_toks", "_enc")
+        )
+        extra_doc_cols = ["text_clean", "polarity", "subjectivity"]
+        extra_out_cols = [F.col(c) for c in extra_doc_cols]
     joined = ev.join(
         F.broadcast(docs), F.col("doc_id") == F.col("event_id") % DOC_MOD
     )
@@ -51,6 +96,7 @@ def _tweets_with_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt_count.cast("int").alias("rt_count"),
         hashtags.alias("hashtags"),
         noisy_text.alias("text"),
+        *extra_out_cols,
     )
 
 
@@ -59,11 +105,18 @@ def tweets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tweets_with_envelope(spark, sf_dir).drop("event_id", "ts")
 
 
-def landing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def landing_rows(
+    spark: SparkSession, sf_dir: str, enriched: bool = False
+) -> DataFrame:
     """B2 — landing rows: Kinesis envelope + flattened payload
     (kinesis-consumer-s3.py:84-89,93-107), with a 5% duplicated slice
-    (at-least-once delivery)."""
-    base = _tweets_with_envelope(spark, sf_dir).select(
+    (at-least-once delivery).
+
+    enriched=True carries the payload-side text_clean/polarity/
+    subjectivity columns (see _tweets_with_envelope) for callers that
+    run the staging chain — transform_landing(precomputed_text=True)
+    then skips re-deriving them per delivered copy."""
+    base = _tweets_with_envelope(spark, sf_dir, enriched=enriched).select(
         F.col("event_id"),
         F.lpad(F.col("event_id").cast("string"), 12, "0").alias("record_id"),
         F.col("ts").alias("timestamp"),
@@ -73,6 +126,7 @@ def landing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rt_count",
         "hashtags",
         "text",
+        *(["text_clean", "polarity", "subjectivity"] if enriched else []),
     )
     # duplicate the 5% slice by exploding a per-row copy count instead of
     # unioning base with a filter of itself — a self-union evaluates the

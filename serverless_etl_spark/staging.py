@@ -46,7 +46,10 @@ ANALYTICAL_COLS = [
 
 
 def transform_landing(
-    df: DataFrame, use_sha1: bool = True, streaming: bool = False
+    df: DataFrame,
+    use_sha1: bool = True,
+    streaming: bool = False,
+    precomputed_text: bool = False,
 ) -> DataFrame:
     """LANDING-schema rows → ANALYTICAL-schema rows.
 
@@ -58,6 +61,14 @@ def transform_landing(
     (caller must have set a watermark): plain dropDuplicates(subset) on a
     stream only GCs state when the event-time column is in the key, so
     hash_id-only dedup state would grow O(all ids ever seen).
+
+    precomputed_text=True: the input already carries text_clean,
+    polarity and subjectivity (computed with the SAME kernel builders
+    — clean_text / sentiment_* — on the payload side of an
+    envelope⋈payload join, once per distinct payload; see
+    sources.tweets landing_rows(enriched=True)). The F1/F3 steps are
+    skipped here; everything downstream (F2/T1 explode, P8, F4 hash,
+    A3 dedup, F5 partitions, P10 projection) is the identical chain.
     """
     hasher = hash_key if use_sha1 else md5_key
     sent = decoded_score_arrays(F.col("_enc"))
@@ -68,23 +79,30 @@ def transform_landing(
         .withColumn("tweet_id", F.col("tweet_id").cast("string"))
         # F6: arrival ts → 'yyyy-MM-dd HH:mm:ss' (staging-transform.py:231)
         .withColumn("time_stamp", ts_normalize(F.col("timestamp")))
-        # F1: ordered regex clean (staging-transform.py:233)
-        .withColumn("text_clean", clean_text(F.col("text")))
-        # F3: sentiment over cleaned text (staging-transform.py:234-237);
-        # tokenize ONCE into a materialized column, probe the packed
-        # lexicon map ONCE into a materialized encoded array (the probe
-        # is the dominant cost — one probe serves both scores), then
-        # materialize the cheap decoded arrays — every reused HOF output
-        # is a real column, or CollapseProject re-runs it per consumer
-        .withColumn(
-            "_toks", F.filter(F.split(F.col("text_clean"), " "), lambda x: x != F.lit(""))
+    )
+    if not precomputed_text:
+        out = (
+            out
+            # F1: ordered regex clean (staging-transform.py:233)
+            .withColumn("text_clean", clean_text(F.col("text")))
+            # F3: sentiment over cleaned text (staging-transform.py:234-237);
+            # tokenize ONCE into a materialized column, probe the packed
+            # lexicon map ONCE into a materialized encoded array (the probe
+            # is the dominant cost — one probe serves both scores), then
+            # materialize the cheap decoded arrays — every reused HOF output
+            # is a real column, or CollapseProject re-runs it per consumer
+            .withColumn(
+                "_toks", F.filter(F.split(F.col("text_clean"), " "), lambda x: x != F.lit(""))
+            )
+            .withColumn("_enc", sentiment_matched_encoded(F.col("_toks")))
+            .withColumn("_pols", sent["pols"])
+            .withColumn("_subs", sent["subs"])
+            .withColumn("polarity", sentiment_score(F.col("_pols")))
+            .withColumn("subjectivity", sentiment_score(F.col("_subs")))
+            .drop("_toks", "_enc", "_pols", "_subs")
         )
-        .withColumn("_enc", sentiment_matched_encoded(F.col("_toks")))
-        .withColumn("_pols", sent["pols"])
-        .withColumn("_subs", sent["subs"])
-        .withColumn("polarity", sentiment_score(F.col("_pols")))
-        .withColumn("subjectivity", sentiment_score(F.col("_subs")))
-        .drop("_toks", "_enc", "_pols", "_subs")
+    out = (
+        out
         # F2 + T1: clean hashtags, split, explode — the grain change
         # (staging-transform.py:238-240)
         .withColumn(

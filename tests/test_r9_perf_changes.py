@@ -1,0 +1,144 @@
+"""Focused tests for the round-9 optimization changes.
+
+Two changes are pinned here (OPTIMIZATION_r09.md):
+
+1. io._scan_fanout_partitions — unsplittable single-row-group parquet
+   inputs are round-robin repartitioned to the session parallelism so
+   chained map-side operators (regex, sentiment, shingles, hashing)
+   don't serialize on one core (guide §2.5).  The decision must be
+   scale-adaptive (scans that already fill the machine are untouched)
+   and must not break predicate pushdown / column pruning through the
+   added exchange.
+
+2. q70's payload-side kernel hoist — landing_rows(enriched=True) +
+   transform_landing(precomputed_text=True) evaluates the F1/F3
+   kernels once per distinct payload on the broadcast side of the
+   envelope⋈payload join instead of once per delivered copy (guide
+   §2.3/§8).  The output must be IDENTICAL row-for-row to the plain
+   per-copy chain.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark import io as sio
+from serverless_etl_spark.sources.tweets import landing_rows
+from serverless_etl_spark.staging import transform_landing
+
+from tests.conftest import SF_SMALL
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def _fanout(spark, path):
+    # the decision is memoized per (path, parallelism) — drop the memo
+    # so each test case evaluates fresh
+    sio._FANOUT_CACHE.clear()
+    try:
+        return sio._scan_fanout_partitions(spark, path)
+    finally:
+        sio._FANOUT_CACHE.clear()
+
+
+def test_fanout_leaves_tiny_dimension_tables_alone(spark):
+    # region.parquet is ~2 KB — broadcast material; an exchange would
+    # cost more than the map work it parallelizes
+    assert _fanout(spark, sio.table_path(SF_BENCH, "region")) is None
+
+
+def test_fanout_fires_for_single_row_group_fact_table(spark):
+    # lineitem at sf0.1 is a ~10 MB single-row-group file: one scan
+    # split under the default 128 MB maxPartitionBytes, so the scan
+    # must fan out to the session parallelism
+    par = spark.sparkContext.defaultParallelism
+    assert _fanout(spark, sio.table_path(SF_BENCH, "lineitem")) == par
+
+
+def test_fanout_scale_adaptive_noop_when_scan_fills_machine(spark, tmp_path):
+    # with a small split size the same file yields >= par/2 estimated
+    # splits — production-scale posture — and the read is untouched
+    dst = tmp_path / "lineitem_copy.parquet"
+    shutil.copyfile(sio.table_path(SF_BENCH, "lineitem"), dst)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        assert _fanout(spark, str(dst)) is None
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fanout_scan_parallelism_reaches_dataframe(spark):
+    df = sio.load_table(spark, SF_BENCH, "lineitem")
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fanout_keeps_pushdown_and_pruning(spark):
+    # filters and column pruning must push THROUGH the fan-out
+    # exchange to the parquet scan (guide §6: verify PushedFilters /
+    # ReadSchema in the plan)
+    df = (
+        sio.load_table(spark, SF_BENCH, "lineitem")
+        .filter(F.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    )
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity" in plan
+    scan_schema = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("ReadSchema")
+    ][0]
+    assert "l_orderkey" in scan_schema and "l_quantity" in scan_schema
+    assert "l_comment" not in scan_schema
+
+
+def test_enriched_landing_equals_plain_staging_chain(spark):
+    # q70's exact construction, both ways, at sf0.001 — must agree
+    # row-for-row INCLUDING the float sentiment scores (identical
+    # expression trees over identical strings are bitwise equal)
+    pred = (
+        (F.col("rt_count") > 99)
+        & (F.col("hashtags") != "")
+        & (F.col("text") != "")
+    )
+    plain = transform_landing(
+        landing_rows(spark, SF_SMALL).filter(pred), use_sha1=False
+    )
+    hoisted = transform_landing(
+        landing_rows(spark, SF_SMALL, enriched=True).filter(pred),
+        use_sha1=False,
+        precomputed_text=True,
+    )
+    assert plain.schema == hoisted.schema
+    key = [c for c in plain.columns]
+    a = sorted(plain.collect(), key=lambda r: tuple(str(v) for v in r))
+    b = sorted(hoisted.collect(), key=lambda r: tuple(str(v) for v in r))
+    assert len(a) == len(b) and len(a) > 0
+    assert a == b
+
+
+def test_enriched_landing_base_columns_unchanged(spark):
+    # enriched=True only ADDS columns; the landing contract itself
+    # (envelope + payload + 5% duplicate slice) is untouched
+    plain = landing_rows(spark, SF_SMALL)
+    enr = landing_rows(spark, SF_SMALL, enriched=True)
+    assert enr.columns[: len(plain.columns)] == plain.columns
+    assert set(enr.columns) - set(plain.columns) == {
+        "text_clean",
+        "polarity",
+        "subjectivity",
+    }
+    a = sorted(plain.collect(), key=lambda r: tuple(str(v) for v in r))
+    b = sorted(
+        enr.select(*plain.columns).collect(),
+        key=lambda r: tuple(str(v) for v in r),
+    )
+    assert a == b

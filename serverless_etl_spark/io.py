@@ -129,23 +129,35 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
     """Parquet scan. Filters/projections on the result are pushed down
     by Catalyst (verify with .explain(): PushedFilters / ReadSchema).
 
     `events.ts` is normalized to a session-tz TIMESTAMP whatever the
     fixture's physical encoding (see _normalize_ts).
 
-    Scans that cannot fill the machine (single-row-group files — see
-    _scan_fanout_partitions) are round-robin repartitioned to the core
-    count so chained map-side operators parallelize; filters and
-    column pruning still push THROUGH the exchange to the parquet scan
-    (verified: PushedFilters/ReadSchema unchanged in plans)."""
+    fanout=True: a scan that cannot fill the machine (single-row-group
+    file — see _scan_fanout_partitions) is round-robin repartitioned
+    to the core count so chained map-side operators parallelize;
+    filters and column pruning still push THROUGH the exchange to the
+    parquet scan (verified: PushedFilters/ReadSchema unchanged in
+    plans). OPT-IN per call site, not blanket: the exchange (plus its
+    sort-before-repartition) only pays for itself when the chained
+    map work is expensive (regex/sentiment kernels, per-row md5
+    fan-outs, shingling, edit-distance DP). A/B-measured at
+    sf0.1/local[32]: blanket fan-out cut the heavy-kernel paths 1.5-4x
+    (q70 12.1s→3.5s full pass, q255 ×0.25, q533 ×0.29, q158 ×0.33)
+    but regressed 50+ cheap-map queries 1.3-2.7x (extended bench total
+    140s→175s) — they paid a full-table shuffle for map work the
+    single scan task did faster."""
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
-    fanout = _scan_fanout_partitions(spark, path)
     if fanout:
-        df = df.repartition(fanout)
+        target = _scan_fanout_partitions(spark, path)
+        if target:
+            df = df.repartition(target)
     if name == "events":
         return _normalize_ts(df, "ts")
     return df

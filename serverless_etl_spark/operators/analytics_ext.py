@@ -5775,7 +5775,7 @@ def q255_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: none (no statistics surface); the uncertainty layer
     for q01/q75-style dashboard means."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     # one md5 yields FOUR 8-hex uniforms: hash per (row, replicate
     # GROUP of 4), slice per replicate — 4x fewer md5 evaluations on
     # the fan-out (the hash dominates the replicate loop's cost)

@@ -1303,7 +1303,7 @@ def q158_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: extends the dedup family (SURVEY §2 A3; no reference
     counterpart)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select(
         "doc_id",
         "lang",
         (F.col("n_chars") / FUZZY_BUCKET).cast("long").alias("bucket"),
@@ -3120,7 +3120,7 @@ def q345_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: the selection layer over the dedup family (q41, q154
     novelty, q176 vocab growth); the optimization dual of q201's
     budget allocator."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     sh = track_cache(
         docs.select(
             "doc_id",

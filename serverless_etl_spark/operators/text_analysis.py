@@ -3625,7 +3625,7 @@ def q533_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: extends the diversity/quality family (q128 gini,
     q416 token entropy, q98 boilerplate) — LLM-pipeline extension
     surface, no reference-parity citation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     sh = track_cache(
         docs.select(
             "doc_id", "source", _bigrams(F.split("text", " ")).alias("grams")

@@ -38,7 +38,9 @@ def _tweets_with_envelope(
     SAME column-expression builders (functions.text.clean_text,
     functions.sentiment.*) are applied, only earlier in the plan, so
     the values are identical column-for-column."""
-    ev = load_table(spark, sf_dir, "events")
+    # fanout=True: the staging chain hangs per-row md5/explode work on
+    # this scan; a single-row-group fixture file otherwise serializes it
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_MOD)
     extra_doc_cols = []
     extra_out_cols = []

@@ -8,7 +8,11 @@ Two changes are pinned here (OPTIMIZATION_r09.md):
    don't serialize on one core (guide §2.5).  The decision must be
    scale-adaptive (scans that already fill the machine are untouched)
    and must not break predicate pushdown / column pruning through the
-   added exchange.
+   added exchange.  Fan-out is OPT-IN per call site
+   (load_table(..., fanout=True)): A/B at sf0.1 showed the blanket
+   version regressed 50+ cheap-map queries 1.3-2.7x (extended bench
+   140s→175s) while only heavy-kernel paths won — the default read
+   must stay exchange-free.
 
 2. q70's payload-side kernel hoist — landing_rows(enriched=True) +
    transform_landing(precomputed_text=True) evaluates the F1/F3
@@ -71,8 +75,15 @@ def test_fanout_scale_adaptive_noop_when_scan_fills_machine(spark, tmp_path):
 
 
 def test_fanout_scan_parallelism_reaches_dataframe(spark):
-    df = sio.load_table(spark, SF_BENCH, "lineitem")
+    df = sio.load_table(spark, SF_BENCH, "lineitem", fanout=True)
     assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fanout_is_opt_in(spark):
+    # the default read is exchange-free: only call sites whose chained
+    # map work is expensive ask for the fan-out
+    df = sio.load_table(spark, SF_BENCH, "lineitem")
+    assert df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
 
 
 def test_fanout_keeps_pushdown_and_pruning(spark):
@@ -80,7 +91,7 @@ def test_fanout_keeps_pushdown_and_pruning(spark):
     # exchange to the parquet scan (guide §6: verify PushedFilters /
     # ReadSchema in the plan)
     df = (
-        sio.load_table(spark, SF_BENCH, "lineitem")
+        sio.load_table(spark, SF_BENCH, "lineitem", fanout=True)
         .filter(F.col("l_quantity") < 5)
         .select("l_orderkey", "l_quantity")
     )

@@ -773,7 +773,18 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quantized_vecs,
     )
 
-    corpus = track_cache(_q530_corpus(spark, sf_dir).persist())
+    # EAGER localCheckpoint at every stage boundary, NOT persist: a
+    # persisted frame still carries its full logical plan, so each of
+    # the chain's downstream actions (6 ledger counts + the stage-5
+    # scoring joins) re-analyzed the ENTIRE five-stage tree — the
+    # centroid literal arrays, the LSH hash forest, the stopword
+    # aggregate — every time. Measured at sf0.1: a warm stage-5 count
+    # was 10.3s of pure planning (guide §7.3 'very large plans', §3.3
+    # 'materialising an intermediate truncates the plan'); with the
+    # checkpoint every action plans over a LogicalRDD instead.
+    # Storage cost is the same blocks persist would hold; the release
+    # sweep (registry.release_caches) already frees checkpoint RDDs.
+    corpus = track_cache(_q530_corpus(spark, sf_dir).localCheckpoint(eager=True))
 
     # -- stage 1: Gopher rules on raw text ---------------------------------
     ws = F.split("text", " ")
@@ -815,7 +826,7 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
         )
         .select("doc_id", "text", "lang")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # -- stage 2: exact dedup (md5 keep-min) -------------------------------
@@ -825,7 +836,7 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.join(keep2, "dg")
         .filter(F.col("doc_id") == F.col("k"))
         .select("doc_id", "text", "lang")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # -- stage 3: MinHash-LSH near dedup over exact survivors --------------
@@ -834,7 +845,7 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    q3 = track_cache(q2.join(r3, "doc_id", "left_anti").persist())
+    q3 = track_cache(q2.join(r3, "doc_id", "left_anti").localCheckpoint(eager=True))
 
     # -- stage 4: SemDeDup within-IVF-cell cosine screen -------------------
     cents = _kmeans_centroids(spark, sf_dir)
@@ -859,7 +870,7 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    svecs = track_cache(svecs.persist())
+    svecs = track_cache(svecs.localCheckpoint(eager=True))
     sa = svecs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("cell").alias("cella"),
@@ -898,10 +909,16 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    q4 = track_cache(q3.join(r4, "doc_id", "left_anti").persist())
+    q4 = track_cache(q3.join(r4, "doc_id", "left_anti").localCheckpoint(eager=True))
 
     # -- stage 5: CCNet tail band (bigram LM trained on q4) ----------------
-    words = q4.select(
+    # the bigram explode is the chain's heaviest remaining map kernel;
+    # q4 sits in a handful of post-join partitions at fixture scale, so
+    # spread it to the session parallelism first (scale-adaptive: at
+    # production width the exchange is a no-op-sized rebalance)
+    words = q4.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         F.transform(F.split("text", " "), lambda s: F.lower(s)).alias("ws"),
     )
@@ -918,7 +935,7 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bi = track_cache(
         pairs.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("k"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bi = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     uni = doc_bi.groupBy("w1").agg(F.sum("k").alias("c1"))

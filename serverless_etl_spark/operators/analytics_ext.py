@@ -11497,53 +11497,75 @@ def q392_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: q141, q390 (the attribution family), q130 (Markov
     transitions — this puts them to work)."""
     ev = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r9 (guide §2.4 "remove shuffles outright"): the original three-way
+    # union re-derived the journey-window subtree per branch — the plan
+    # scanned events 4x, ran 4 SortMergeJoins and 34 Exchanges, and
+    # phase-1 dominated the query (~4s warm of 5.5s at sf0.1). Same
+    # pairs multiset from ONE window pass:
+    #   - first purchase per user via min(struct(ts, event_id)) — an
+    #     aggregate with map-side partials, replacing the rn=1 window
+    #     (identical (ts, event_id) lexicographic order);
+    #   - the terminal state rides the conv left-join already on every
+    #     row (cts NULL ⇔ the user never converts), so the old per-user
+    #     `term` build + join disappears;
+    #   - the last pre-conversion event is lead(event_type) IS NULL in
+    #     the same window that computes lag — both transition kinds are
+    #     emitted in one explode;
+    #   - users with NO pre-conversion event (the old anti-join branch)
+    #     are exactly the converters whose first event IS the first
+    #     purchase: one min(struct) equality against conv.
     conv = (
         ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("c"))
         .select(
-            "user_id", "ts", "event_id",
-            F.row_number().over(wu).alias("rn"),
+            "user_id",
+            F.col("c.ts").alias("cts"),
+            F.col("c.event_id").alias("cid"),
         )
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
-        )
+    )
+    firstev = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).alias("m")
     )
     seqf = ev.join(conv, "user_id", "left").filter(
         F.col("cts").isNull()
         | (F.col("ts") < F.col("cts"))
         | ((F.col("ts") == F.col("cts")) & (F.col("event_id") < F.col("cid")))
     )
-    wk = Window.partitionBy("user_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = seqf.select(
         "user_id",
         "event_type",
-        F.row_number().over(wu).alias("rn"),
-        F.count(F.lit(1)).over(wk).alias("k"),
+        "cts",
         F.lag("event_type").over(wu).alias("prev"),
+        F.lead("event_type").over(wu).alias("nxt"),
     )
-    term = (
-        ev.select("user_id")
-        .distinct()
-        .join(conv.select("user_id", "cts"), "user_id", "left")
-        .select(
-            "user_id",
-            F.when(F.col("cts").isNull(), "null").otherwise("conv").alias("t"),
-        )
+    step = F.struct(
+        F.coalesce("prev", F.lit("start")).alias("s1"),
+        F.col("event_type").alias("s2"),
+    )
+    last = F.struct(
+        F.col("event_type").alias("s1"),
+        F.when(F.col("cts").isNull(), F.lit("null"))
+        .otherwise(F.lit("conv"))
+        .alias("s2"),
     )
     pairs = (
         seq.select(
-            F.coalesce("prev", F.lit("start")).alias("s1"),
-            F.col("event_type").alias("s2"),
+            F.explode(
+                F.when(F.col("nxt").isNull(), F.array(step, last)).otherwise(
+                    F.array(step)
+                )
+            ).alias("p")
         )
+        .select("p.s1", "p.s2")
         .unionAll(
-            seq.filter(F.col("rn") == F.col("k"))
-            .join(term, "user_id")
-            .select(F.col("event_type").alias("s1"), F.col("t").alias("s2"))
-        )
-        .unionAll(
-            term.join(seq.select("user_id").distinct(), "user_id", "anti")
-            .select(F.lit("start").alias("s1"), F.col("t").alias("s2"))
+            conv.join(firstev, "user_id")
+            .filter(
+                (F.col("m.ts") == F.col("cts"))
+                & (F.col("m.event_id") == F.col("cid"))
+            )
+            .select(F.lit("start").alias("s1"), F.lit("conv").alias("s2"))
         )
     )
     cnts = pairs.groupBy("s1", "s2").agg(
@@ -11583,7 +11605,9 @@ def q392_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tens-of-rows matrices: one partition + EAGER first checkpoint so
     # the heavy journey-window upstream is computed exactly once and
     # every squaring plans/schedules over a one-partition LogicalRDD
-    # (q459 planning-cost lesson)
+    # (q459 planning-cost lesson). Fusing two squarings per checkpoint
+    # was A/B-measured and rejected: 5.05-6.3s vs 5.4-5.9s at sf0.1 —
+    # inside noise; the cost lives in the trans_v build, not job count.
     t = trans_v.coalesce(1).localCheckpoint(eager=True)
     for _ in range(MK_POW):
         a = t.select("variant", "s1", F.col("s2").alias("mid"),

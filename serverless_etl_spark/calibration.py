@@ -74,12 +74,22 @@ def scale_factor(calib: float) -> float:
     """Multiplier that maps a raw time on THIS instance to the
     reference instance: ``t_norm = t_raw * scale_factor(calib)``.
 
-    Clamped to identity outside [1/_MAX_SCALE, _MAX_SCALE] — a probe
-    that far off is noise, and silently rescaling by it would corrupt
-    the floors worse than not normalizing at all."""
+    ONE-SIDED (r9 fix): normalization only ever DEFLATES, i.e. rescues
+    floor comparisons on a slower-than-reference instance (scale < 1).
+    A probe reading faster than CALIB_REF is clamped to identity: the
+    probe's turbo/cache sensitivity exceeds real queries' (measured
+    0.60-0.79s across idle runs of the SAME box — a spread that, when
+    applied as a 1.29x inflation, manufactured six >2x flags whose raw
+    ratios were 1.5-1.7x and which re-measured at/below floor when
+    isolated). Missing a true regression on a faster-than-reference
+    box is the cheap error: raw times still catch anything >2x there.
+
+    Also clamped to identity below 1/_MAX_SCALE — a probe that far off
+    is noise, and silently rescaling by it would corrupt the floors
+    worse than not normalizing at all."""
     if calib <= 0:
         return 1.0
     s = CALIB_REF / calib
-    if s > _MAX_SCALE or s < 1.0 / _MAX_SCALE:
+    if s > 1.0 or s < 1.0 / _MAX_SCALE:
         return 1.0
     return s

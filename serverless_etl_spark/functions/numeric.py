@@ -42,3 +42,27 @@ def dsum(col: Column | str, scale: int = 2, precision: int = 22) -> Column:
 
 def dsum_sql(expr: str, scale: int = 2, precision: int = 22) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def year_window(col: Column | str, *years: int) -> Column:
+    """Exact `year(col) IN years` as a parquet-PUSHABLE predicate.
+
+    `F.year(c).isin(...)` wraps the column in a function call, so the
+    scan gets NO PushedFilters and every row group is read. The
+    equivalent half-open timestamp envelope
+    [min-01-01, (max+1)-01-01) pushes down to the parquet reader and
+    prunes row groups / partitions at scale. For a contiguous year set
+    the envelope IS the membership test (year() of a non-NULL ts in
+    the envelope is by definition inside the set; NULLs fail both
+    forms); for a gapped set the envelope is conjoined with the
+    original isin, a pure strengthening that cannot change results.
+    Timestamps and the envelope literals resolve in the SAME session
+    timezone (UTC pinned in session.py), matching year()'s zone."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo, hi = min(years), max(years)
+    rng = (c >= F.lit(f"{lo}-01-01").cast("timestamp")) & (
+        c < F.lit(f"{hi + 1}-01-01").cast("timestamp")
+    )
+    if len(set(years)) == hi - lo + 1:
+        return rng
+    return rng & F.year(c).isin(*years)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, trunc
+from ..functions.numeric import dsum, trunc, year_window
 from ..io import load_table
 from ..registry import QUERIES, register, track_cache
 
@@ -6286,7 +6286,7 @@ def q268_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     cells = (
-        li.filter(F.year("l_shipdate").isin(PVM_Y1, PVM_Y2))
+        li.filter(year_window("l_shipdate", PVM_Y1, PVM_Y2))
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(
             F.col("p_brand").alias("brand"),
@@ -7787,7 +7787,7 @@ def q313_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric KS."""
     orders = load_table(spark, sf_dir, "orders")
     vals = (
-        orders.filter(F.year("o_orderdate").isin(DRIFT_Y_A, DRIFT_Y_B))
+        orders.filter(year_window("o_orderdate", DRIFT_Y_A, DRIFT_Y_B))
         .select(
             F.explode(
                 F.array(
@@ -7936,7 +7936,7 @@ def q317_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
     rev = (
-        orders.filter(F.year("o_orderdate").isin(BRIDGE_Y_A, BRIDGE_Y_B))
+        orders.filter(year_window("o_orderdate", BRIDGE_Y_A, BRIDGE_Y_B))
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(
             F.sum(
@@ -14101,7 +14101,7 @@ def q460_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     base = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.year("o_orderdate").isin(*ABC_MIG_YEARS))
+        .filter(year_window("o_orderdate", *ABC_MIG_YEARS))
         .select(
             F.year("o_orderdate").alias("yr"),
             "l_partkey",

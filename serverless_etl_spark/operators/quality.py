@@ -17,7 +17,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import trunc
+from ..functions.numeric import trunc, year_window
 from ..io import load_table
 from ..registry import register, track_cache
 from .dedup import (
@@ -3755,7 +3755,7 @@ def q359_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         return (
-            orders.filter(F.year("o_orderdate") == year)
+            orders.filter(year_window("o_orderdate", year))
             .select(F.explode(arms).alias("a"))
             .select("a.col", "a.v")
         )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import trunc
+from ..functions.numeric import trunc, year_window
 from ..io import load_table
 from ..plan_audit import classified_local_checkpoint
 from ..registry import register, track_cache
@@ -1326,7 +1326,7 @@ def q301_ranking_gain_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
-        .filter(F.year("o_orderdate").isin(RANK_TRAIN_YEAR, RANK_TEST_YEAR))
+        .filter(year_window("o_orderdate", RANK_TRAIN_YEAR, RANK_TEST_YEAR))
         .select(
             F.col("o_custkey").alias("c"),
             F.col("l_partkey").alias("p"),
@@ -1481,7 +1481,7 @@ def q312_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
-        .filter(F.year("o_orderdate") == RANK_TRAIN_YEAR)
+        .filter(year_window("o_orderdate", RANK_TRAIN_YEAR))
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
     )
     buys = track_cache(buys.persist())
@@ -1644,7 +1644,7 @@ def q326_ranker_interleave_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
-        .filter(F.year("o_orderdate").isin(RANK_TRAIN_YEAR, RANK_TEST_YEAR))
+        .filter(year_window("o_orderdate", RANK_TRAIN_YEAR, RANK_TEST_YEAR))
         .select(
             F.col("o_custkey").alias("c"),
             F.col("l_partkey").alias("p"),

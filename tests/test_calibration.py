@@ -1,14 +1,19 @@
-"""Instance-calibration probe contract (r8 verdict item 3).
+"""Instance-calibration probe contract (r8 verdict item 3; r9 one-sided fix).
 
 The probe itself is a timing measurement and can't be asserted in CI
 beyond "runs and returns a positive float"; what CAN be pinned is the
 normalization math the bench/selfcheck flags depend on:
 
 - identity at reference speed,
-- inverse-proportional scaling within the clamp window,
-- clamp-to-identity outside it (a 10x probe shift is a broken probe or
-  a saturated machine, not an instance class — silently applying it
-  would corrupt the floor ledger).
+- inverse-proportional DEFLATION on slower instances within the clamp
+  window (the case the probe exists for: rescuing floor comparisons
+  after a reboot onto slower hardware),
+- identity on FASTER-than-reference probes (r9: the probe's
+  turbo/cache sensitivity exceeds real queries' — an inflating scale
+  manufactured six spurious >2x flags whose raw ratios were 1.5-1.7x),
+- clamp-to-identity below the window (a 10x probe shift is a broken
+  probe or a saturated machine, not an instance class — silently
+  applying it would corrupt the floor ledger).
 """
 
 import pytest
@@ -25,16 +30,20 @@ def test_scale_identity_at_reference():
     assert scale_factor(CALIB_REF) == pytest.approx(1.0)
 
 
-def test_scale_inverse_proportional():
+def test_scale_deflates_on_slower_instance():
     # instance twice as slow -> times halved back to reference
     assert scale_factor(2 * CALIB_REF) == pytest.approx(0.5)
-    # instance twice as fast -> times doubled up to reference
-    assert scale_factor(CALIB_REF / 2) == pytest.approx(2.0)
+
+
+def test_scale_never_inflates_on_faster_instance():
+    # r9: faster-than-reference probes clamp to identity; raw times
+    # still catch real >2x regressions there
+    assert scale_factor(CALIB_REF / 2) == 1.0
+    assert scale_factor(CALIB_REF * 0.99) == 1.0
 
 
 def test_scale_clamps_to_identity_outside_window():
     assert scale_factor(CALIB_REF * (_MAX_SCALE + 1)) == 1.0
-    assert scale_factor(CALIB_REF / (_MAX_SCALE + 1)) == 1.0
     assert scale_factor(0.0) == 1.0
     assert scale_factor(-1.0) == 1.0
 

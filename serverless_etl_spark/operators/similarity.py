@@ -449,28 +449,27 @@ def _assign_col(cents: list[list[float]]):
     r9 empty-corpus sweep's q504/q505/q519 crash class)."""
     if not cents:
         return F.lit(None).cast("int")
-    pairs = [
-        F.struct(
-            (
-                F.floor(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("xq"),
-                            F.lit(cents[j]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    * 1000000.0
-                )
-                / 1000000.0
-            ).alias("dist"),
-            F.lit(j).alias("cell"),
-        )
-        for j in range(len(cents))
-    ]
-    return F.array_min(F.array(*pairs))["cell"]
+    # r9: ONE server-side parse instead of ~50 Py4J round trips per
+    # centroid. Building this tree through the Column API cost ~0.8s
+    # of DRIVER time per call (cProfile of q531's 4s build phase:
+    # 12.6k socket round trips, _assign_col the top entry) — and the
+    # kmeans trainer calls it every Lloyd round. The SQL string is
+    # function-for-function the Column tree it replaces (zip_with →
+    # aggregate → floor·1e6/1e6 over double literals rendered via
+    # shortest-roundtrip repr, parsed correctly-rounded), so values
+    # are bitwise identical; the empty-cents guard above is unchanged.
+    def _d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    pairs = ", ".join(
+        "named_struct('dist', floor(aggregate(zip_with(xq, array("
+        + ", ".join(_d(c) for c in cj)
+        + "), (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x) * CAST(1000000.0 AS DOUBLE))"
+        f" / CAST(1000000.0 AS DOUBLE), 'cell', {j})"
+        for j, cj in enumerate(cents)
+    )
+    return F.expr(f"array_min(array({pairs})).cell")
 
 
 #: trained centroid tables per sf_dir — the driver-process twin of the

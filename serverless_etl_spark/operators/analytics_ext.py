@@ -9728,7 +9728,7 @@ def q347_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     elasticity-rates)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate").isin(ELAST_Y_A, ELAST_Y_B)
+        year_window("o_orderdate", ELAST_Y_A, ELAST_Y_B)
     )
     part = load_table(spark, sf_dir, "part")
     base = (

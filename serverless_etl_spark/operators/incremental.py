@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..functions.numeric import year_window
 from ..registry import register
 
 KEYS = ("day", "event_type")
@@ -527,7 +528,7 @@ def q296_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflow = (
         li.filter(
             (F.col("l_partkey") % BAL_KEY_MOD == 0)
-            & (F.year("l_shipdate") == 1995)
+            & year_window("l_shipdate", 1995)
         )
         .groupBy(
             F.col("l_partkey").alias("k"), F.col("l_shipdate").alias("d")

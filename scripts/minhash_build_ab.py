@@ -1,0 +1,108 @@
+"""A/B for the DRIVER-side construction cost of _minhash_bands (the
+q531 profile's remaining Py4J hotspot): build the identical signature /
+band expression trees as SQL strings parsed server-side in one round
+trip per select (the _assign_col treatment, guide §4 applied to the
+driver boundary), instead of nested F.transform lambdas that each cost
+dozens of Py4J round trips.
+
+Values are function-for-function identical (same md5 / substring /
+array_min / concat_ws calls); the script asserts band tables and probe
+outputs match bitwise before timing construction.
+
+Usage: python scripts/minhash_build_ab.py [sf_dir] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.operators.dedup import (
+    BAND_SIZE,
+    N_MINHASH,
+    _duped_docs,
+    _minhash_bands,
+    probe_bands,
+)
+from serverless_etl_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', element_at(toks, i + 1),"
+    " element_at(toks, i + 2), element_at(toks, i + 3))))"
+)
+
+
+def minhash_bands_new(corpus, n_minhash=N_MINHASH, band_size=BAND_SIZE):
+    if n_minhash % band_size:
+        raise ValueError("band_size must divide n_minhash")
+    sh = (
+        corpus.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", f"{_SHINGLES_EXPR} AS shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_digests = (n_minhash + 7) // 8
+    digest_exprs = [
+        (
+            "transform(shingles, s -> md5(s))" if j == 0
+            else f"transform(shingles, s -> md5(concat('{j}|', s)))"
+        ) + f" AS hs{j}"
+        for j in range(n_digests)
+    ]
+    sig_exprs = [
+        f"array_min(transform(hs{i // 8}, h -> substring(h, {4 * (i % 8) + 1}, 4))) AS mh{i}"
+        for i in range(n_minhash)
+    ]
+    sig = sh.selectExpr("doc_id", *digest_exprs).selectExpr("doc_id", *sig_exprs)
+    band_rows = []
+    for b in range(n_minhash // band_size):
+        cols = ", ".join(f"mh{i}" for i in range(b * band_size, (b + 1) * band_size))
+        band_rows.append(
+            sig.selectExpr(
+                "doc_id",
+                f"{b} AS band_id",
+                f"md5(concat_ws('|', {cols})) AS band_hash",
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+    return sh, bands
+
+
+def main() -> None:
+    spark = get_spark()
+    docs = _duped_docs(spark, SF_DIR)
+    newb = docs.limit(200).select((F.col("doc_id") + 9000000).alias("doc_id"), "text")
+
+    # correctness: band tables identical
+    _, b_cur = _minhash_bands(docs)
+    _, b_new = minhash_bands_new(docs)
+    diff = b_cur.exceptAll(b_new).count() + b_new.exceptAll(b_cur).count()
+    print(f"bands current={b_cur.count()} new={b_new.count()} symmetric-diff={diff}")
+    assert diff == 0, "band tables differ — rewrite is WRONG"
+
+    # driver-side construction cost (NO action: pure plan build)
+    for label, fn in (("current", _minhash_bands), ("new", minhash_bands_new)):
+        times = []
+        for _ in range(ITERS):
+            t0 = time.monotonic()
+            sh_i, bi = fn(docs)
+            sh_n, bn = fn(newb)
+            probe_bands(sh_n, bn, sh_i, bi)
+            times.append(time.monotonic() - t0)
+            sh_i.unpersist()
+            sh_n.unpersist()
+        print(f"build {label}: best={min(times):.3f}s all={[round(x, 3) for x in times]}")
+
+
+if __name__ == "__main__":
+    main()

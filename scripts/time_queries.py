@@ -1,0 +1,40 @@
+"""Isolated noop-sink timing for named queries (guide §1.4): best-of-N
+full computation per query, cache cleared between iterations, one
+fresh session. Usage: python scripts/time_queries.py [sf_dir] [iters] name...
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from serverless_etl_spark import registry
+from serverless_etl_spark.session import get_spark
+
+registry.load_all()
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("WARN")
+    for name in sys.argv[3:]:
+        fn = registry.QUERIES[name]
+        times = []
+        for _ in range(ITERS):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        print(
+            f"{name}: best={min(times):.3f}s all={[round(t, 3) for t in times]}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,16 @@ def _shingles(toks):
     )
 
 
+#: Spark-SQL rendering of _shingles over a `toks` array column — the
+#: IDENTICAL expression tree, generated as one parse (see
+#: _minhash_bands' driver-cost note); any edit must keep the two in
+#: lockstep with the DuckDB _SHINGLES_SQL below
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', element_at(toks, i + 1),"
+    " element_at(toks, i + 2), element_at(toks, i + 3))))"
+)
+
 _SHINGLES_SQL = """list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
                i -> string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2] || ' ' ||
@@ -177,7 +187,15 @@ def _minhash_bands(
     (doc_id, band_id, band_hash)). The shared signature machinery of
     the batch self-join (minhash_lsh_pairs) and the incremental probe
     (incremental_lsh_probe) — at cluster scale the band table is the
-    PERSISTED INDEX a pipeline maintains across runs."""
+    PERSISTED INDEX a pipeline maintains across runs.
+
+    The expression trees are generated as SQL strings and parsed
+    server-side in ONE round trip per select (the _assign_col
+    treatment): the previous nested F.transform lambda construction
+    cost ~1.5s of Py4J round trips PER CALL on the driver (q531
+    profile — incremental_lsh_probe pays it twice), vs ~0.4s parsed.
+    Function-for-function the same expressions; band tables verified
+    bitwise identical (scripts/minhash_build_ab.py)."""
     from pyspark import StorageLevel
 
     if n_minhash % band_size:
@@ -186,43 +204,40 @@ def _minhash_bands(
     # referenced inside transform() lambdas are re-evaluated per array
     # element, so an inline split(text) would be O(tokens²) per doc
     sh = track_cache(
-        corpus.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+        corpus.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     n_digests = (n_minhash + 7) // 8
-
-    def _digest(j: int):
-        # j=0 unsalted (oracle-exact default path); j>0 salts the shingle
-        if j == 0:
-            return lambda s: F.md5(s)
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    digest_cols = [
-        F.transform(F.col("shingles"), _digest(j)).alias(f"hs{j}")
+    # j=0 unsalted (oracle-exact default path); j>0 salts the shingle
+    digest_exprs = [
+        (
+            "transform(shingles, s -> md5(s))"
+            if j == 0
+            else f"transform(shingles, s -> md5(concat('{j}|', s)))"
+        )
+        + f" AS hs{j}"
         for j in range(n_digests)
     ]
-
-    def _slice(o: int):
-        # NB: must be a ONE-arg lambda — F.transform treats a second
-        # parameter as the array index, clobbering a default argument
-        return lambda h: F.substring(h, 4 * o + 1, 4)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col(f"hs{i // 8}"), _slice(i % 8))).alias(f"mh{i}")
+    # minhash_i = min over shingles of hex chars [4i, 4i+4) of digest i//8
+    sig_exprs = [
+        f"array_min(transform(hs{i // 8},"
+        f" h -> substring(h, {4 * (i % 8) + 1}, 4))) AS mh{i}"
         for i in range(n_minhash)
     ]
-    sig = sh.select("doc_id", *digest_cols).select("doc_id", *sig_cols)
+    sig = sh.selectExpr("doc_id", *digest_exprs).selectExpr("doc_id", *sig_exprs)
 
     band_rows = []
     for b in range(n_minhash // band_size):
-        cols = [F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        cols = ", ".join(
+            f"mh{i}" for i in range(b * band_size, (b + 1) * band_size)
+        )
         band_rows.append(
-            sig.select(
+            sig.selectExpr(
                 "doc_id",
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                f"{b} AS band_id",
+                f"md5(concat_ws('|', {cols})) AS band_hash",
             )
         )
     bands = band_rows[0]

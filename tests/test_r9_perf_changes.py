@@ -111,6 +111,69 @@ def test_fanout_keeps_pushdown_and_pruning(spark):
     assert "l_comment" not in scan_schema
 
 
+def test_minhash_bands_sql_parse_matches_column_tree(spark):
+    # _minhash_bands now generates its signature/band expressions as
+    # SQL strings parsed server-side (ONE Py4J round trip per select,
+    # vs ~1.5s of lambda-tree construction per call).  The values must
+    # stay bitwise identical to the Column-API tree it replaced — this
+    # rebuilds that tree inline and compares band tables exactly.
+    from serverless_etl_spark.operators.dedup import (
+        BAND_SIZE,
+        N_MINHASH,
+        _duped_docs,
+        _minhash_bands,
+        _shingles,
+    )
+
+    docs = _duped_docs(spark, SF_SMALL)
+    sh_new, bands_new = _minhash_bands(docs)
+    try:
+        sh_old = docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        ).select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+        digest_cols = [
+            F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("hs0")
+        ]
+        sig_cols = [
+            F.array_min(
+                F.transform(
+                    F.col("hs0"),
+                    (lambda o: lambda h: F.substring(h, 4 * o + 1, 4))(i % 8),
+                )
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+        sig = sh_old.select("doc_id", *digest_cols).select("doc_id", *sig_cols)
+        rows = []
+        for b in range(N_MINHASH // BAND_SIZE):
+            cols = [
+                F.col(f"mh{i}")
+                for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+            ]
+            rows.append(
+                sig.select(
+                    "doc_id",
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                )
+            )
+        bands_old = rows[0]
+        for br in rows[1:]:
+            bands_old = bands_old.unionByName(br)
+        assert bands_new.exceptAll(bands_old).count() == 0
+        assert bands_old.exceptAll(bands_new).count() == 0
+        assert bands_new.count() == bands_old.count() > 0
+        # the shingle tables must agree too (verification joins read them)
+        assert (
+            sh_new.selectExpr("doc_id", "shingles")
+            .exceptAll(sh_old.selectExpr("doc_id", "shingles"))
+            .count()
+            == 0
+        )
+    finally:
+        sh_new.unpersist()
+
+
 def test_enriched_landing_equals_plain_staging_chain(spark):
     # q70's exact construction, both ways, at sf0.001 — must agree
     # row-for-row INCLUDING the float sentiment scores (identical

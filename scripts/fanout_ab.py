@@ -1,0 +1,89 @@
+"""Generic fan-out A/B: for each candidate query, force
+load_table(..., fanout=True) for one table inside the query's defining
+module and compare noop-sink times against the current code (guide §1.2
+task-count diagnosis: single-row-group fixtures scan as ONE task, so
+chained per-row kernels serialize; the opt-in repartition fills the
+machine where the kernel is expensive enough to pay for the exchange).
+
+Usage: python scripts/fanout_ab.py [sf_dir] [iters] [name ...]
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from serverless_etl_spark import io as sio
+from serverless_etl_spark import registry
+from serverless_etl_spark.session import get_spark
+
+registry.load_all()
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+#: query -> table whose scan the kernel chains on
+CANDIDATES = {
+    "q199_curation_funnel": "documents",
+    "q139_containment": "documents",
+    "q420_textrank": "documents",
+    "q423_substring_cutlist": "documents",
+    "q115_bigram_lm_score": "documents",
+    "q434_bm25_eval": "documents",
+    "q448_source_similarity": "documents",
+    "q154_shingle_novelty": "documents",
+    "q295_rake_keywords": "documents",
+    "q62_tfidf": "documents",
+    "q489_top_principal_component": "embeddings",
+}
+
+ONLY = sys.argv[3:]
+
+
+def timed(fn, name):
+    spark = get_spark()
+    best = float("inf")
+    for _ in range(ITERS):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    get_spark()
+    rows = []
+    for name, table in CANDIDATES.items():
+        if ONLY and not any(o in name for o in ONLY):
+            continue
+        fn = registry.QUERIES[name]
+        mod = importlib.import_module(fn.__module__)
+        orig = getattr(mod, "load_table", None)
+        if orig is None:
+            print(f"{name}: module has no load_table binding, skip")
+            continue
+
+        base = timed(fn, name)
+
+        def patched(spark, sf_dir, tname, fanout=False, _t=table, _o=orig):
+            return _o(spark, sf_dir, tname, fanout=fanout or tname == _t)
+
+        mod.load_table = patched
+        try:
+            fan = timed(fn, name)
+        finally:
+            mod.load_table = orig
+        verdict = "WIN" if fan < base * 0.85 else ("loss" if fan > base * 1.1 else "wash")
+        rows.append((name, base, fan, verdict))
+        print(f"{name}: base={base:.3f}s fanout={fan:.3f}s -> {verdict}")
+    print("\nsummary:")
+    for r in rows:
+        print(f"  {r[0]}: {r[1]:.3f} -> {r[2]:.3f} ({r[3]})")
+
+
+if __name__ == "__main__":
+    main()

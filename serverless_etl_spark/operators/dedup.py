@@ -1103,7 +1103,12 @@ def q139_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: extends the dedup family (SURVEY §2 A3); no reference
     counterpart (tweet ETL has no near-dup)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout=True: the shingle+md5 kernel chains on the scan and
+    # serializes on single-row-group fixtures (A/B 3.66->3.00s idle
+    # sf0.1; scripts/fanout_ab.py)
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id", "text"
+    )
     frags = docs.filter(F.col("doc_id") % 10 == 3).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.concat_ws(
@@ -3615,7 +3620,10 @@ def q423_substring_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: q98 (boilerplate df-screen, doc-level), q114 (CDC
     chunking), q41 (shingle machinery), q154 (novelty — the inverse
     metric)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanout=True: the W-gram explode chains on the scan and serializes
+    # on single-row-group fixtures (A/B 2.05->1.54s idle sf0.1;
+    # scripts/fanout_ab.py)
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     toked = track_cache(toked.persist())
     grams = (

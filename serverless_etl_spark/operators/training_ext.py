@@ -185,7 +185,10 @@ def q115_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score join shuffles on the bigram key — text never shuffles. The
     per-doc average is a count-bounded double sum, truncated at 1e-6
     for the oracle gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanout=True: the tokenize+bigram-zip kernel chains on the scan
+    # and serializes on single-row-group fixtures (A/B 1.82->1.52s
+    # idle sf0.1; scripts/fanout_ab.py)
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     words = docs.select(
         "doc_id", F.transform(F.split("text", " "), lambda s: F.lower(s)).alias("ws")
     )

@@ -45,6 +45,12 @@ _FANOUT_MIN_BYTES = int(
 #: not cost a per-build filesystem walk at 542-query sweep scale
 _FANOUT_CACHE: dict[tuple[str, int], int | None] = {}
 
+#: memoized RESOLVED scan plans per (application, path, fanout) — the
+#: lazy DataFrame handle only, never data (see load_table's docstring);
+#: keyed on applicationId so a stopped/recreated session cannot leak
+#: stale JVM references into the next one
+_TABLE_PLAN_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
 
 def _scan_fanout_partitions(spark: SparkSession, path: str) -> int | None:
     """Unsplittable-input guard (optimization guide §2.5 "input skew:
@@ -151,15 +157,31 @@ def load_table(
     (q70 12.1s→3.5s full pass, q255 ×0.25, q533 ×0.29, q158 ×0.33)
     but regressed 50+ cheap-map queries 1.3-2.7x (extended bench total
     140s→175s) — they paid a full-table shuffle for map work the
-    single scan task did faster."""
+    single scan task did faster.
+
+    The RESOLVED plan handle is memoized per (application, sf_dir,
+    name, fanout): spark.read.parquet pays 75-100 ms of driver-side
+    footer/schema resolution + file listing PER CALL (measured idle),
+    which a 542-query sweep repeats hundreds of times over the same
+    static fixture files — the metastore role, amortized per session
+    exactly like Spark's own filesourcePartitionFileCache (guide §6).
+    Only the lazy plan is cached, never data or results: every action
+    on the handle still scans the parquet files; cache-clearing
+    between bench iterations is unaffected because the handle carries
+    no persisted blocks."""
     path = table_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, path, bool(fanout))
+    memo = _TABLE_PLAN_CACHE.get(key)
+    if memo is not None:
+        return memo
     df = spark.read.parquet(path)
     if fanout:
         target = _scan_fanout_partitions(spark, path)
         if target:
             df = df.repartition(target)
     if name == "events":
-        return _normalize_ts(df, "ts")
+        df = _normalize_ts(df, "ts")
+    _TABLE_PLAN_CACHE[key] = df
     return df
 
 

@@ -111,6 +111,23 @@ def test_fanout_keeps_pushdown_and_pruning(spark):
     assert "l_comment" not in scan_schema
 
 
+def test_load_table_memoizes_plan_handle_not_data(spark):
+    # load_table memoizes the RESOLVED plan per (application, path,
+    # fanout) — repeated calls must return the same lazy handle (no
+    # repeated 75-100 ms footer/schema resolution), but the handle must
+    # carry no persisted blocks: every action still scans parquet.
+    sio._TABLE_PLAN_CACHE.clear()
+    a = sio.load_table(spark, SF_BENCH, "lineitem")
+    b = sio.load_table(spark, SF_BENCH, "lineitem")
+    assert a is b
+    assert a.storageLevel.useMemory is False
+    assert a.storageLevel.useDisk is False
+    # fanout and plain variants are distinct plans
+    c = sio.load_table(spark, SF_BENCH, "lineitem", fanout=True)
+    assert c is not a
+    assert sio.load_table(spark, SF_BENCH, "lineitem", fanout=True) is c
+
+
 def test_minhash_bands_sql_parse_matches_column_tree(spark):
     # _minhash_bands now generates its signature/band expressions as
     # SQL strings parsed server-side (ONE Py4J round trip per select,

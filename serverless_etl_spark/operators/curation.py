@@ -763,7 +763,7 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GOPHER_MAX_WORDS,
         GOPHER_MIN_STOPWORDS,
         GOPHER_MIN_WORDS,
-        GOPHER_STOPWORDS,
+        gopher_signal_exprs,
     )
     from .similarity import (
         SEMDEDUP_TAU_DEN2,
@@ -787,33 +787,10 @@ def q530_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = track_cache(_q530_corpus(spark, sf_dir).localCheckpoint(eager=True))
 
     # -- stage 1: Gopher rules on raw text ---------------------------------
-    ws = F.split("text", " ")
-    one_if = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
-    feat = corpus.select(
-        "doc_id",
-        "text",
-        "lang",
-        F.size(ws).cast("bigint").alias("n_words"),
-        F.aggregate(
-            ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
-        ).alias("sum_len"),
-        F.aggregate(
-            ws,
-            F.lit(0).cast("bigint"),
-            lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
-        ).alias("n_sym"),
-        F.aggregate(
-            ws,
-            F.lit(0).cast("bigint"),
-            lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
-        ).alias("n_alpha"),
-        sum(
-            [
-                one_if(F.array_contains(ws, s)).cast("bigint")
-                for s in GOPHER_STOPWORDS
-            ],
-            F.lit(0).cast("bigint"),
-        ).alias("n_stop"),
+    # signals built as ONE SQL parse (gopher_signal_exprs) — the
+    # F.aggregate lambda trees cost ~220 ms of Py4J chatter per build
+    feat = corpus.selectExpr(
+        "doc_id", "text", "lang", *gopher_signal_exprs()
     )
     q1 = track_cache(
         feat.filter(
@@ -1353,7 +1330,7 @@ def q531_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         GOPHER_MAX_WORDS,
         GOPHER_MIN_STOPWORDS,
         GOPHER_MIN_WORDS,
-        GOPHER_STOPWORDS,
+        gopher_signal_exprs,
     )
     from .similarity import (
         SEMDEDUP_TAU_DEN2,
@@ -1367,39 +1344,19 @@ def q531_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     newb = track_cache(_q531_new_batch(spark, sf_dir).persist())
 
     # -- stage signals (computed independently per new doc) ----------------
-    ws = F.split("text", " ")
+    # Gopher signals built as ONE SQL parse (gopher_signal_exprs);
+    # the rule CASE over the named signals is unchanged arithmetic
     one_if = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
-    n_words = F.size(ws).cast("bigint")
-    sum_len = F.aggregate(
-        ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
-    )
-    n_sym = F.aggregate(
-        ws,
-        F.lit(0).cast("bigint"),
-        lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
-    )
-    n_alpha = F.aggregate(
-        ws,
-        F.lit(0).cast("bigint"),
-        lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
-    )
-    n_stop = sum(
-        [
-            one_if(F.array_contains(ws, s)).cast("bigint")
-            for s in GOPHER_STOPWORDS
-        ],
-        F.lit(0).cast("bigint"),
-    )
-    gok = newb.select(
+    gok = newb.selectExpr("new_id", *gopher_signal_exprs()).select(
         "new_id",
         one_if(
-            (n_words >= GOPHER_MIN_WORDS)
-            & (n_words <= GOPHER_MAX_WORDS)
-            & (sum_len >= 3 * n_words)
-            & (sum_len <= 10 * n_words)
-            & (10 * n_sym <= n_words)
-            & (5 * n_alpha >= 4 * n_words)
-            & (n_stop >= GOPHER_MIN_STOPWORDS)
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("sum_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_len") <= 10 * F.col("n_words"))
+            & (10 * F.col("n_sym") <= F.col("n_words"))
+            & (5 * F.col("n_alpha") >= 4 * F.col("n_words"))
+            & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
         ).alias("gopher_ok"),
     )
 

@@ -6319,6 +6319,33 @@ def q503_sketch_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: discriminates exactly as it does on English (docs carrying both
 #: function words pass).
 GOPHER_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signal_exprs(ws: str = "split(text, ' ')") -> list[str]:
+    """Spark-SQL renderings of the five Gopher rule signals (n_words,
+    sum_len, n_sym, n_alpha, n_stop) over the token-array expression
+    ``ws`` — generated as strings so each build site pays ONE
+    server-side parse instead of the F.aggregate lambda trees
+    (~220 ms of Py4J round trips per site, measured; q515/q530/q531
+    each built them inline). Expression-for-expression the same
+    functions; value parity pinned in
+    tests/test_r9_perf_changes.py::test_gopher_signal_exprs_match_column_tree."""
+    stop_sum = " + ".join(
+        f"CASE WHEN array_contains({ws}, '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS
+    )
+    return [
+        f"CAST(size({ws}) AS BIGINT) AS n_words",
+        f"aggregate({ws}, CAST(0 AS BIGINT),"
+        " (a, w) -> a + length(w)) AS sum_len",
+        f"aggregate({ws}, CAST(0 AS BIGINT), (a, w) -> a +"
+        " CAST(CASE WHEN w RLIKE '^[#.]+$' THEN 1 ELSE 0 END AS BIGINT))"
+        " AS n_sym",
+        f"aggregate({ws}, CAST(0 AS BIGINT), (a, w) -> a +"
+        " CAST(CASE WHEN w RLIKE '[a-z]' THEN 1 ELSE 0 END AS BIGINT))"
+        " AS n_alpha",
+        f"CAST({stop_sum} AS BIGINT) AS n_stop",
+    ]
 GOPHER_MIN_STOPWORDS = 2
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
@@ -6451,31 +6478,7 @@ def q515_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.split("text", " ").alias("ws")
     )
     one_if = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))
-    feat = toked.select(
-        "doc_id",
-        "source",
-        F.size("ws").cast("bigint").alias("n_words"),
-        F.aggregate(
-            "ws", F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
-        ).alias("sum_len"),
-        F.aggregate(
-            "ws",
-            F.lit(0).cast("bigint"),
-            lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
-        ).alias("n_sym"),
-        F.aggregate(
-            "ws",
-            F.lit(0).cast("bigint"),
-            lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
-        ).alias("n_alpha"),
-        reduce(
-            lambda a, b: a + b,
-            [
-                one_if(F.array_contains("ws", s)).cast("bigint")
-                for s in GOPHER_STOPWORDS
-            ],
-        ).alias("n_stop"),
-    )
+    feat = toked.selectExpr("doc_id", "source", *gopher_signal_exprs("ws"))
     flags = feat.select(
         "source",
         one_if(

@@ -191,6 +191,49 @@ def test_minhash_bands_sql_parse_matches_column_tree(spark):
         sh_new.unpersist()
 
 
+def test_gopher_signal_exprs_match_column_tree(spark):
+    # gopher_signal_exprs generates the five Gopher signals as SQL
+    # strings (one parse per build site, ~220 ms -> ~45 ms measured).
+    # Values must equal the F.aggregate Column tree it replaced.
+    from serverless_etl_spark.operators.quality import (
+        GOPHER_STOPWORDS,
+        gopher_signal_exprs,
+    )
+
+    docs = sio.load_table(spark, SF_SMALL, "documents")
+    ws = F.split("text", " ")
+    one_if = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    old = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("sum_len"),
+        F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + one_if(w.rlike("^[#.]+$")).cast("bigint"),
+        ).alias("n_sym"),
+        F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + one_if(w.rlike("[a-z]")).cast("bigint"),
+        ).alias("n_alpha"),
+        sum(
+            [
+                one_if(F.array_contains(ws, s)).cast("bigint")
+                for s in GOPHER_STOPWORDS
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("n_stop"),
+    )
+    new = docs.selectExpr("doc_id", *gopher_signal_exprs())
+    assert old.schema == new.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert old.count() == new.count() > 0
+
+
 def test_enriched_landing_equals_plain_staging_chain(spark):
     # q70's exact construction, both ways, at sf0.001 — must agree
     # row-for-row INCLUDING the float sentiment scores (identical

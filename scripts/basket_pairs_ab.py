@@ -1,0 +1,93 @@
+"""A/B microbench for the r9 optimization round: replace the per-basket
+SELF-JOIN pair expansion (distinct → join on orderkey → groupBy pair)
+with ONE collect_set aggregation + map-side pair expansion over the
+sorted basket array (guide §2.4 "remove shuffles outright": the join's
+exchange disappears; the basket aggregation subsumes the distinct).
+
+Equivalence is definitional: collect_set(l_partkey) per order = the
+distinct (order, part) set; sorted-array i<j pairs = the p1<p2 join
+output, once per order; the pair groupBy is unchanged. The script
+asserts the edge sets are IDENTICAL before timing.
+
+Usage: python scripts/basket_pairs_ab.py [sf_dir] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.io import load_table
+from serverless_etl_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+MIN_SUPPORT = 2
+
+
+def edges_current(li):
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(c, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+
+
+def edges_new(li):
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps")) - i - 1),
+                    lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                ),
+            )
+        )
+    )
+    return (
+        baskets.select(pair.alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+
+
+def main() -> None:
+    spark = get_spark()
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    cur, new = edges_current(li), edges_new(li)
+    diff = cur.exceptAll(new).count() + new.exceptAll(cur).count()
+    nc, nn = cur.count(), new.count()
+    print(f"edges current={nc} new={nn} symmetric-diff={diff}")
+    assert diff == 0 and nc == nn, "edge sets differ — rewrite is WRONG"
+
+    for label, df in (("current", cur), ("new", new)):
+        times = []
+        for _ in range(ITERS):
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        print(f"{label}: best={min(times):.3f}s all={[round(t, 3) for t in times]}")
+
+
+if __name__ == "__main__":
+    main()

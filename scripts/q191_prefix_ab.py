@@ -1,0 +1,105 @@
+"""A/B for q191's candidate stage: replace the per-doc row_number
+window (Exchange + Sort + Window) and the separate sizes join with ONE
+collect_list aggregation per doc — sort the (df, tk) structs in the
+aggregation, take the prefix by slice, explode only prefix tokens
+(guide §2.4: the window partitioned by doc_id and the groupBy doc_id
+share a key, but the agg form needs no sort machinery and no second
+join for sizes).
+
+Equivalence: tk is unique per doc (shingles are array_distinct), so the
+(df, tk) struct order is the window's (df, tk) order exactly; prefix
+length s − ⌈t·s⌉ + 1 with s = size(collect_list) = the window's size
+join. Candidate pairs asserted identical before timing.
+
+Usage: python scripts/q191_prefix_ab.py [sf_dir] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from serverless_etl_spark.operators.dedup import (
+    PJ_T_DEN,
+    PJ_T_NUM,
+    _duped_docs,
+    _shingles,
+    prefix_jaccard_candidates,
+)
+from serverless_etl_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+
+def candidates_new(t):
+    tok = t.select("doc_id", F.explode("toks").alias("tk"))
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    pl = F.size("a") - (
+        (F.lit(PJ_T_NUM) * F.size("a") + F.lit(PJ_T_DEN - 1))
+        .cast("long") / F.lit(PJ_T_DEN)
+    ).cast("long") + 1
+    # integer ceil via DIV semantics: use expr to keep it integral
+    pref = (
+        tok.join(dfreq, "tk")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tk"))).alias("a"))
+        .select(
+            "doc_id",
+            F.size("a").alias("s"),
+            F.slice(
+                "a",
+                F.lit(1),
+                F.size("a")
+                - F.expr(f"({PJ_T_NUM} * size(a) + {PJ_T_DEN - 1}) DIV {PJ_T_DEN}")
+                + 1,
+            ).alias("pa"),
+        )
+        .select("doc_id", "s", F.explode("pa").alias("pr"))
+        .select("doc_id", "s", F.col("pr.tk").alias("tk"))
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "tk", F.col("s").alias("sa"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "tk", F.col("s").alias("sb"))
+    return (
+        a.join(b, "tk")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (PJ_T_NUM * F.col("sa") <= PJ_T_DEN * F.col("sb"))
+            & (PJ_T_NUM * F.col("sb") <= PJ_T_DEN * F.col("sa"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def main() -> None:
+    spark = get_spark()
+    docs = _duped_docs(spark, SF_DIR)
+    t = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", _shingles(F.col("w")).alias("toks"))
+        .persist()
+    )
+    t.count()
+
+    cur, new = prefix_jaccard_candidates(t), candidates_new(t)
+    diff = cur.exceptAll(new).count() + new.exceptAll(cur).count()
+    print(f"cand current={cur.count()} new={new.count()} symmetric-diff={diff}")
+    assert diff == 0, "candidate sets differ — rewrite is WRONG"
+
+    for label, df in (("current", cur), ("new", new)):
+        times = []
+        for _ in range(ITERS):
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        print(f"{label}: best={min(times):.3f}s all={[round(x, 3) for x in times]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Profile q529_dedup_chaining_audit phase by phase (r10 item 3).
+
+Times, on an idle box at a given SF dir:
+  1. pairs build+persist materialization (the LSH pipeline)
+  2. duplicate_edges -> count (exact edges + union + distinct)
+  3. connected_components (the iterative loop)
+  4. the final aggregate
+and the whole query end-to-end, so the expensive phase is identified
+before any restructuring (guide §1). Usage:
+
+    python scripts/q529_profile.py [sf_dir] [--plan out.txt]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="q529_profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup JVM/codegen on an unrelated query
+    registry.QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
+
+    from serverless_etl_spark.operators.dedup import (
+        _duped_docs,
+        connected_components,
+        duplicate_edges,
+        minhash_lsh_pairs,
+    )
+
+    for it in range(2):
+        spark.catalog.clearCache()
+        registry.release_caches()
+        t0 = time.perf_counter()
+        corpus = _duped_docs(spark, SF_DIR)
+        pairs = registry.track_cache(minhash_lsh_pairs(corpus).persist())
+        n_pairs = pairs.count()
+        t1 = time.perf_counter()
+        edges = duplicate_edges(spark, SF_DIR, corpus=corpus, near_pairs=pairs)
+        n_edges = edges.count()
+        t2 = time.perf_counter()
+        clusters = connected_components(edges)
+        n_nodes = clusters.count()
+        t3 = time.perf_counter()
+        sizes = clusters.groupBy("cluster_id").count()
+        sizes.count()
+        t4 = time.perf_counter()
+        print(
+            f"iter{it}: pairs {t1-t0:.2f}s ({n_pairs}) | edges(count) "
+            f"{t2-t1:.2f}s ({n_edges}) | cc {t3-t2:.2f}s ({n_nodes}) | "
+            f"sizes {t4-t3:.2f}s | total {t4-t0:.2f}s"
+        )
+
+    # end-to-end, bench-style
+    for it in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        registry.QUERIES["q529_dedup_chaining_audit"](spark, SF_DIR).count()
+        print(f"e2e iter{it}: {time.perf_counter()-t0:.2f}s")
+
+    if "--plan" in sys.argv:
+        out = sys.argv[sys.argv.index("--plan") + 1]
+        df = registry.QUERIES["q529_dedup_chaining_audit"](spark, SF_DIR)
+        with open(out, "w") as fh:
+            fh.write(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"))
+        print(f"plan -> {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

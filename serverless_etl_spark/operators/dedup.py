@@ -477,15 +477,29 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     aggregate per round (sum of labels, strictly decreasing until fixed
     point) — the driver never collects vertex data. localCheckpoint
     truncates lineage per round; a cluster deployment would use
-    checkpoint() on HDFS for fault tolerance instead."""
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    checkpoint() on HDFS for fault tolerance instead (localCheckpoint
+    blocks are executor-local and unreplicated — executor loss fails
+    the job instead of recomputing, the documented trade for derived
+    in-job intermediates; see session.checkpoint_stage).
+
+    The symmetrized edge list is materialized ONCE before the loop
+    (guide §7.3): the edge set is an un-persisted derived frame for
+    every caller (exact-dup groupBy + LSH verify + union + distinct),
+    and each round's join re-executed that whole subtree — q529's
+    round-1 loop body planned 3385 lines / 102 Exchanges / 291 parquet
+    scans at sf0.1, ~7.8s of its 12s build. Checkpointing sym collapses
+    every round to a LogicalRDD join (plans/r10/q529_*_{before,after})."""
+    from ..session import checkpoint_stage
+
+    sym = checkpoint_stage(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
-    labels = (
+    labels = checkpoint_stage(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
@@ -495,7 +509,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
+        labels = checkpoint_stage(
             labels.join(msgs, "id", "left")
             .select(
                 "id",
@@ -503,7 +517,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     "label", F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

@@ -70,6 +70,35 @@ def prepare(spark: SparkSession, shuffle_partitions: int | None = None) -> Spark
     return spark
 
 
+def checkpoint_stage(df, eager: bool = True):
+    """Materialize a derived intermediate and truncate its lineage.
+
+    Default: ``localCheckpoint`` — blocks live in executor storage,
+    unreplicated. That is the right cost/benefit for derived-in-job
+    intermediates on this engine's iterative operators (CC rounds,
+    HITS half-rounds, q530's stages): losing an executor loses the
+    job, but the intermediate is re-derivable by re-running the job,
+    and no cluster filesystem round-trip is paid per stage.
+
+    Scale note (r9 verdict item 5): at 100 TB on a real cluster,
+    executor loss over a multi-hour run is an expectation, not an
+    edge case. Set ``SPARK_GRAFT_CHECKPOINT_DIR`` (or conf
+    ``spark.graft.checkpointDir``) to a reliable store (HDFS/S3) and
+    every stage checkpoint becomes a replicated ``checkpoint()`` —
+    same semantics, job survives executor loss at the cost of one
+    write+read of the intermediate per stage."""
+    spark = df.sparkSession
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or spark.conf.get(
+        "spark.graft.checkpointDir", None
+    )
+    if ckpt_dir:
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(
     app_name: str = "serverless-etl-spark",
     master: str | None = None,

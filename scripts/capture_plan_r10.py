@@ -1,0 +1,41 @@
+"""Dump .explain('formatted') for named queries to plans/r10/.
+
+    python scripts/capture_plan_r10.py <suffix> <query> [<query> ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.session import get_spark
+
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    registry.load_all()
+    spark = get_spark(app_name="capture_plan_r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out = f"plans/r10/{name}_{suffix}.txt"
+        with open(out, "w") as fh:
+            fh.write(plan)
+        print(
+            f"{out}: {plan.count(chr(10))} lines, "
+            f"{plan.count('Exchange')} Exchange, "
+            f"{plan.count('Scan parquet')} scans"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Time q531's DataFrame BUILD phase (driver-side Py4J cost, no action)
+best-of-N — the r10 item-4 measurement harness (guide §4 applied to the
+driver boundary). Also times _q531_new_batch construction alone.
+
+    python scripts/q531_build_ab.py [sf_dir] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+
+def main() -> None:
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="q531_build_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from serverless_etl_spark.operators.curation import _q531_new_batch
+    from serverless_etl_spark.operators.similarity import _kmeans_centroids
+
+    # warm the centroid artifact + JVM so the build timing isolates
+    # expression construction, not training or codegen warmup
+    _kmeans_centroids(spark, SF_DIR)
+    registry.QUERIES["q531_curation_admission"](spark, SF_DIR)
+
+    nb = min(
+        _timed(lambda: _q531_new_batch(spark, SF_DIR)) for _ in range(ITERS)
+    )
+    full = min(
+        _timed(
+            lambda: registry.QUERIES["q531_curation_admission"](
+                spark, SF_DIR
+            )
+        )
+        for _ in range(ITERS)
+    )
+    print(f"_q531_new_batch build: {nb:.3f}s best-of-{ITERS}")
+    print(f"q531 full build:       {full:.3f}s best-of-{ITERS}")
+    spark.stop()
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

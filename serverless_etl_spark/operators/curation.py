@@ -1034,59 +1034,52 @@ _Q531_NEW_SQL = """
 
 
 def _q531_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10: each family is ONE server-side selectExpr parse (the
+    # _assign_col treatment, guide §4 on the driver boundary) — the
+    # Column-API construction, dominated by the fresh family's
+    # transform lambda, cost ~0.26s of Py4J round trips per build.
+    # Expression-for-expression the same trees; q531 oracle-green.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id")
 
-    def fam(mod, off, name, text_col, vsign):
-        return docs.filter(did % 10 == mod).select(
-            (did + off).alias("new_id"),
-            F.lit(name).alias("family"),
-            text_col.alias("text"),
-            (did % 1000000).alias("vkey"),
-            F.lit(vsign).alias("vsign"),
+    def fam(mod, off, name, text_sql, vsign):
+        return docs.filter(f"doc_id % 10 = {mod}").selectExpr(
+            f"doc_id + {off} AS new_id",
+            f"'{name}' AS family",
+            f"{text_sql} AS text",
+            "doc_id % 1000000 AS vkey",
+            f"{vsign} AS vsign",
         )
 
-    ws = F.split("text", " ")
-    fresh_text = F.concat(
-        F.col("text"),
-        F.lit(" "),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.size(ws) - 1),
-                lambda i: F.concat(
-                    F.lit("zq"),
-                    did.cast("string"),
-                    F.lit("x"),
-                    i.cast("string"),
-                ),
-            ),
-            " ",
-        ),
+    fresh_sql = (
+        "concat(text, ' ', array_join(transform("
+        "sequence(0, size(split(text, ' ')) - 1),"
+        " i -> concat('zq', CAST(doc_id AS STRING), 'x',"
+        " CAST(i AS STRING))), ' '))"
     )
     return (
-        fam(0, 1000000, "exact_clone", F.col("text"), 1)
+        fam(0, 1000000, "exact_clone", "text", 1)
         .unionByName(
-            fam(
-                5,
-                2000000,
-                "near_clone",
-                F.concat(F.col("text"), F.lit(" extratoken")),
-                1,
-            )
+            fam(5, 2000000, "near_clone", "concat(text, ' extratoken')", 1)
         )
         .unionByName(
             fam(
                 7,
                 3000000,
                 "paraphrase",
-                F.array_join(F.reverse(ws), " "),
+                "array_join(reverse(split(text, ' ')), ' ')",
                 1,
             )
         )
         .unionByName(
-            fam(1, 4000000, "junk", F.array_join(F.slice(ws, 1, 3), " "), 1)
+            fam(
+                1,
+                4000000,
+                "junk",
+                "array_join(slice(split(text, ' '), 1, 3), ' ')",
+                1,
+            )
         )
-        .unionByName(fam(9, 5000000, "fresh", fresh_text, -1))
+        .unionByName(fam(9, 5000000, "fresh", fresh_sql, -1))
     )
 
 
@@ -1380,34 +1373,27 @@ def q531_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _kmeans_centroids(spark, sf_dir)
     vq = _quantized_vecs(spark, sf_dir)
-    to_ints = lambda: F.transform(  # noqa: E731
-        F.col("xq"), lambda x: (x * 4096).cast("long")
-    )
-    norm_of = lambda: F.aggregate(  # noqa: E731
-        F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    # r10: the integer-grid lambda trees (quantize / norm / dot) are
+    # rendered as SQL strings parsed server-side — the F.transform/
+    # F.aggregate/F.zip_with Column construction cost ~0.3s of Py4J
+    # round trips per build (guide §4 driver boundary, the _assign_col
+    # treatment). Function-for-function the same expressions.
+    TO_INTS = "transform(xq, x -> CAST(x * 4096 AS BIGINT)) AS av"
+    NORM_OF = (
+        "aggregate(av, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS na"
     )
     iv = (
         vq.withColumn("cell", _assign_col(cents))
-        .select("vec_id", "cell", to_ints().alias("av"))
-        .withColumn("na", norm_of())
+        .selectExpr("vec_id", "cell", TO_INTS)
+        .selectExpr("vec_id", "cell", "av", NORM_OF)
     )
     nv = (
         newb.select("new_id", "vkey", "vsign")
         .join(vq, F.col("vkey") == F.col("vec_id"))
-        .select(
-            "new_id",
-            F.transform(
-                F.col("xq"), lambda x: x * F.col("vsign")
-            ).alias("xq"),
-        )
+        .selectExpr("new_id", "transform(xq, x -> x * vsign) AS xq")
         .withColumn("cell", _assign_col(cents))
-        .select("new_id", "cell", to_ints().alias("av"))
-        .withColumn("na", norm_of())
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("av_n"), F.col("av_i"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        .selectExpr("new_id", "cell", TO_INTS)
+        .selectExpr("new_id", "cell", "av", NORM_OF)
     )
     smh = (
         nv.select(
@@ -1425,7 +1411,11 @@ def q531_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("cell_n") == F.col("cell_i"),
         )
-        .withColumn("dot", dot)
+        .selectExpr(
+            "*",
+            "aggregate(zip_with(av_n, av_i, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot",
+        )
         .filter(
             (F.col("dot") > 0)
             & (

@@ -1,0 +1,123 @@
+"""A/B for q41_minhash_lsh (r10 item 5):
+
+  A. control — current minhash_lsh_pairs over _duped_docs
+  B. corpus scan fanned out (io.load_table fanout) before shingling
+  C. B + singleton-band-bucket pruning (groupBy collect_list -> i<j
+     explode) replacing the band self-join ("shuffle fewer bytes")
+
+Asserts B and C produce the IDENTICAL verified pair set, then times
+each end-to-end (count, cold cache) best-of-N interleaved.
+
+    python scripts/q41_ab.py [sf_dir] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+
+def build_c(spark, corpus):
+    """Variant C: candidates from non-singleton band buckets only."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_spark.functions.numeric import trunc
+    from serverless_etl_spark.operators.dedup import _minhash_bands
+
+    sh, bands = _minhash_bands(corpus)
+    grp = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        grp.selectExpr(
+            "explode(flatten(transform(array_sort(ids), (a, i) ->"
+            " transform(slice(array_sort(ids), i + 2,"
+            " size(ids) - i - 1), b -> struct(a AS doc_a, b AS doc_b)))))"
+            " AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sized = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_total"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
+    return sized.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", trunc(jac, 4).alias("jaccard")
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.io import load_table
+    from serverless_etl_spark.operators.dedup import (
+        _duped_docs,
+        minhash_lsh_pairs,
+    )
+    from serverless_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="q41_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
+
+    def duped_fanout():
+        docs = load_table(spark, SF_DIR, "documents", fanout=True).select(
+            "doc_id", "text"
+        )
+        exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        near = docs.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        )
+        return docs.unionByName(exact).unionByName(near)
+
+    variants = {
+        "A_control": lambda: minhash_lsh_pairs(_duped_docs(spark, SF_DIR)),
+        "B_fanout": lambda: minhash_lsh_pairs(duped_fanout()),
+        "C_fanout_grouped": lambda: build_c(spark, duped_fanout()),
+    }
+
+    # parity: B and C equal A exactly
+    ref = sorted(map(tuple, variants["A_control"]().collect()))
+    for k in ("B_fanout", "C_fanout_grouped"):
+        registry.release_caches()
+        got = sorted(map(tuple, variants[k]().collect()))
+        assert got == ref, f"{k} differs: {len(got)} vs {len(ref)}"
+    print(f"parity OK ({len(ref)} pairs)")
+
+    times: dict[str, float] = {k: float("inf") for k in variants}
+    for _ in range(ITERS):
+        for k, fn in variants.items():
+            registry.release_caches()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn().count()
+            times[k] = min(times[k], time.perf_counter() - t0)
+    for k, v in times.items():
+        print(f"{k}: {v:.3f}s best-of-{ITERS}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,8 +36,18 @@ _DUPED_SQL = """
 """
 
 
-def _duped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _duped_docs(
+    spark: SparkSession, sf_dir: str, fanout: bool = False
+) -> DataFrame:
+    """fanout=True routes the documents scan through io.load_table's
+    unsplittable-input guard (guide §2.5) — opt-in at the call sites
+    whose corpus chains the shingle+md5 kernel pipeline directly on
+    the scan (q41/q63/q280/q308/q529 measured 1.2-1.8x at sf0.1;
+    digest-only consumers like q40/q44 stay on the plain scan, where
+    the exchange costs more than the map work it parallelizes)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=fanout).select(
+        "doc_id", "text"
+    )
     exact = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -174,7 +184,7 @@ def q41_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verification ≥ 0.5 (the defaults of
     minhash_lsh_pairs, which parameterizes signature/band sizes for
     real recall targets)."""
-    corpus = _duped_docs(spark, sf_dir)
+    corpus = _duped_docs(spark, sf_dir, fanout=True)
     return minhash_lsh_pairs(corpus).orderBy("doc_a", "doc_b")
 
 
@@ -444,7 +454,7 @@ def duplicate_edges(
     (r8 verdict item 4: the audit previously re-shingled the corpus
     twice)."""
     if corpus is None:
-        corpus = _duped_docs(spark, sf_dir)
+        corpus = _duped_docs(spark, sf_dir, fanout=True)
     docs = corpus.select("doc_id", F.md5("text").alias("digest"))
     keepers = (
         docs.groupBy("digest")
@@ -1691,7 +1701,7 @@ def q177_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    corpus = _duped_docs(spark, sf_dir)
+    corpus = _duped_docs(spark, sf_dir, fanout=True)
     found = minhash_lsh_pairs(corpus).select(
         F.col("doc_a").alias("fa"), F.col("doc_b").alias("fb")
     )
@@ -2575,7 +2585,7 @@ def q280_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: completes the dedup-evaluation family (q177 LSH
     recall, q261/q267 blocking recall, this threshold choice)."""
-    docs = _duped_docs(spark, sf_dir)
+    docs = _duped_docs(spark, sf_dir, fanout=True)
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     arr = track_cache(
         words.select("doc_id", _shingles(F.col("w")).alias("shingles"))
@@ -2724,7 +2734,7 @@ def q283_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: completes the contamination family (q89 benchmark,
     q98 boilerplate, q124 exact overlap, this near-dup overlap)."""
-    corpus = _duped_docs(spark, sf_dir)
+    corpus = _duped_docs(spark, sf_dir, fanout=True)
     pairs = minhash_lsh_pairs(corpus)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(
@@ -2961,7 +2971,7 @@ def q308_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: the meta-evaluation layer of the dedup family (q177
     recall vs LSH, q280 threshold choice, q308 cross-family
     agreement)."""
-    docs = _duped_docs(spark, sf_dir)
+    docs = _duped_docs(spark, sf_dir, fanout=True)
     words = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     sh = track_cache(
         words.select(
@@ -4143,7 +4153,7 @@ def q480_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: q41 (the pipeline), q177 (recall referee), q436
     (theoretical planner), q280 (threshold sweep)."""
-    corpus = _duped_docs(spark, sf_dir)
+    corpus = _duped_docs(spark, sf_dir, fanout=True)
     sh, bands = _minhash_bands(corpus)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
@@ -4792,7 +4802,7 @@ def _register_q529() -> None:
         Reference: q41 (pairs), q63 (components), q170 (histogram),
         q487 (soft dedup); the classic LSH transitive-closure
         failure mode."""
-        corpus = _duped_docs(spark, sf_dir)
+        corpus = _duped_docs(spark, sf_dir, fanout=True)
         pairs = track_cache(minhash_lsh_pairs(corpus).persist())
         edges = duplicate_edges(
             spark, sf_dir, corpus=corpus, near_pairs=pairs

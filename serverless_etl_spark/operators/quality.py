@@ -243,7 +243,7 @@ def q91_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the split is a pure hash function of the id, so it attaches
     to the (already small) verified-pair set as a projection — no join
     against the corpus, no extra shuffle beyond q41's own."""
-    pairs = minhash_lsh_pairs(_duped_docs(spark, sf_dir))
+    pairs = minhash_lsh_pairs(_duped_docs(spark, sf_dir, fanout=True))
     out = pairs.select(
         "doc_a",
         "doc_b",

@@ -204,6 +204,39 @@ def _bench_front_door(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: r10 (r9 verdict item 6) — Python-side memo transparency. Two
+#: driver-process memos survive spark.catalog.clearCache() between
+#: timed iterations: similarity._CENTROID_ARTIFACTS (the versioned IVF
+#: index artifact — k-means training lands once per process, so
+#: best-of-N prices the assign/probe path, the declared posture since
+#: r8) and io._TABLE_PLAN_CACHE (resolved scan-plan handles, ~75-100ms
+#: of footer/listing per load_table call). Default timings keep the
+#: warm-memo posture (round-comparable with r8/r9 and with the locked
+#: floors, which price the probe, not the training collects);
+#: SPARK_GRAFT_COLD_MEMOS=1 resets BOTH before every timed iteration
+#: — the honest cold-build number, reported in OPTIMIZATION_r10.md —
+#: and the JSON detail carries the posture either way.
+COLD_MEMOS = os.environ.get("SPARK_GRAFT_COLD_MEMOS") == "1"
+
+#: queries whose timing consumes the warm centroid artifact (the
+#: k-means/IVF family of the bench sets)
+_MEMO_WARM_QUERIES = {
+    "q504_semdedup_cascade",
+    "q505_semdedup_admission",
+    "q530_curation_pipeline",
+    "q531_curation_admission",
+    "q534_mauve_frontier",
+}
+
+
+def _reset_python_memos() -> None:
+    from serverless_etl_spark import io as _io
+    from serverless_etl_spark.operators import similarity as _sim
+
+    _io._TABLE_PLAN_CACHE.clear()
+    _sim._CENTROID_ARTIFACTS.clear()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -237,6 +270,8 @@ def main() -> None:
             # query) is measured cold — a warmup's cache surviving into
             # the timed run would hide the heavy stage entirely
             spark.catalog.clearCache()
+            if COLD_MEMOS:
+                _reset_python_memos()
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, SF_DIR)
             n = df.count()
@@ -361,6 +396,8 @@ def main() -> None:
         best = float("inf")
         for _ in range(iters):
             spark.catalog.clearCache()
+            if COLD_MEMOS:
+                _reset_python_memos()
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
@@ -439,6 +476,19 @@ def main() -> None:
             "ref_sec": CALIB_REF,
             "scale": round(scale, 4),
         },
+        # memo transparency (r9 verdict item 6): which driver-process
+        # memos were warm during the timed iterations, and which rows
+        # consume them
+        "python_memos": {
+            "cold_per_iteration": COLD_MEMOS,
+            "centroid_artifact_warm_queries": sorted(
+                _MEMO_WARM_QUERIES
+                & (set(timings) | set(ext_timings))
+            )
+            if not COLD_MEMOS
+            else [],
+            "table_plan_cache_warm": not COLD_MEMOS,
+        },
         "sf": _sf_from_dir(SF_DIR),
     }
     detail_path = os.path.join(
@@ -462,6 +512,10 @@ def main() -> None:
         # to normalize flag comparisons (1.0 = reference hardware)
         "calib_sec": calib,
         "calib_scale": round(scale, 4),
+        # true = Python-side memos (centroid artifact, plan handles)
+        # were reset per timed iteration; default false = the declared
+        # warm-index posture (see BENCH_DETAIL.python_memos)
+        "cold_memos": COLD_MEMOS,
         "detail_file": "BENCH_DETAIL.json",
         "sf": _sf_from_dir(SF_DIR),
     }

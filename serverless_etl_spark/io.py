@@ -48,8 +48,27 @@ _FANOUT_CACHE: dict[tuple[str, int], int | None] = {}
 #: memoized RESOLVED scan plans per (application, path, fanout) — the
 #: lazy DataFrame handle only, never data (see load_table's docstring);
 #: keyed on applicationId so a stopped/recreated session cannot leak
-#: stale JVM references into the next one
+#: stale JVM references into the next one. Entries from OTHER
+#: applicationIds are purged on each miss (ADVICE r9: a long-lived
+#: process cycling sessions would otherwise accumulate Py4J references
+#: into dead JVMs forever).
 _TABLE_PLAN_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
+def refresh_table(path: str) -> int:
+    """Drop memoized plan handles for ``path`` (every application and
+    fanout variant); the next load_table re-resolves the file listing
+    and footer schema. Call after rewriting a fixture/table directory
+    in-place mid-session — the memoized handle pins the FileIndex
+    snapshot taken at first resolution, so files regenerated under the
+    same path would otherwise be served from a stale listing (ADVICE
+    r9). Returns the number of entries dropped."""
+    stale = [k for k in _TABLE_PLAN_CACHE if k[1] == path]
+    for k in stale:
+        del _TABLE_PLAN_CACHE[k]
+    for fk in [k for k in _FANOUT_CACHE if k[0] == path]:
+        del _FANOUT_CACHE[fk]
+    return len(stale)
 
 
 def _scan_fanout_partitions(spark: SparkSession, path: str) -> int | None:
@@ -168,12 +187,25 @@ def load_table(
     Only the lazy plan is cached, never data or results: every action
     on the handle still scans the parquet files; cache-clearing
     between bench iterations is unaffected because the handle carries
-    no persisted blocks."""
+    no persisted blocks.
+
+    CONTRACT for callers (ADVICE r9): the returned handle is SHARED by
+    every caller of the same (table, fanout) — never persist/cache/
+    checkpoint it directly, or the blocks leak into every other query
+    reading that table (derive first: df.select(...).persist()). The
+    memo also pins the file listing resolved at first call: fixture
+    paths must stay immutable for the session, or be invalidated via
+    refresh_table(path) after an in-place rewrite."""
     path = table_path(sf_dir, name)
-    key = (spark.sparkContext.applicationId, path, bool(fanout))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, bool(fanout))
     memo = _TABLE_PLAN_CACHE.get(key)
     if memo is not None:
         return memo
+    # miss: drop entries owned by other (stopped) applications so a
+    # session-cycling process cannot accumulate dead-JVM references
+    for k in [k for k in _TABLE_PLAN_CACHE if k[0] != app_id]:
+        del _TABLE_PLAN_CACHE[k]
     df = spark.read.parquet(path)
     if fanout:
         target = _scan_fanout_partitions(spark, path)

@@ -122,68 +122,61 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 #: enforces this against the union of CORRECTNESS_r*.json, so a stale
 #: priority list (the r5 verdict item 4 failure class) can never ship
 #: again. Rotate this set each round alongside _SWEEP_PRIORITY.
-RECHECKS: set[str] = set()  # r8: none — q483 re-earned its green row in r7
+RECHECKS: set[str] = {  # r10: plan-rewritten queries re-earning driver rows
+    # r9 rewrites the r9 sample missed (VERDICT r9 item 7): journey
+    # pairs (q392), HITS (q381), year_window envelopes (q296/q451/
+    # q459/q460), minhash SQL parses (q41/q125), payload hoist (q70);
+    # r10 rewrites: CC edge materialization (q63/q529), corpus fan-out
+    # (q41/q91/q177/q280/q283), q531's SQL-parse build
+    "q41_minhash_lsh", "q63_dup_clusters", "q70_staging_chain",
+    "q91_split_leakage", "q125_incremental_lsh", "q177_lsh_recall",
+    "q280_jaccard_threshold_sweep", "q283_neardup_source_matrix",
+    "q296_capped_balance", "q381_hits", "q392_markov_attribution",
+    "q451_linkpred_backtest", "q459_graph_drift", "q460_abc_migration",
+    "q529_dedup_chaining_audit", "q531_curation_admission",
+}
 
 #: Driver-sweep priority (the driver checks the FIRST ~50 registered
-#: names each round). Round-8 order per the r7 verdict item 1: the
-#: window is 100% never-driver-sampled names — the full 175-name
-#: backlog ascending (after r1-r7 sampled 328 of 503), so successive
-#: ~50-name sweeps in r8-r11 drain the whole backlog. Names with a
-#: green driver row fall back to registration order behind these. New
-#: round-8 queries are inserted at the head as they are added (they
-#: are never-sampled by construction, so the freshness ratchet stays
-#: green).
+#: names each round). Round-10 order per the r9 verdict item 7: the
+#: 16 RECHECKS lead (plan-rewritten queries re-earning driver-grade
+#: verification of this and last round's semantic-preservation
+#: claims), then the seven never-sampled year_window queries, then
+#: the remaining 107-name backlog ascending (r1-r9 sampled 428 of
+#: 542). Names with a green driver row fall back to registration
+#: order behind these.
 _SWEEP_PRIORITY = [
-    # round-9 capstones first (never-sampled by construction — the
-    # driver-green row is the verdict's acceptance criterion for them)
-    "q530_curation_pipeline", "q531_curation_admission",
-    # round-9 continuation additions (never-sampled by construction)
-    "q532_epoch_value_planner", "q533_self_bleu_diversity",
-    "q534_mauve_frontier", "q535_shuffle_decorrelation",
-    "q536_unimax_allocation", "q537_chinchilla_planner",
-    "q538_longdoc_upsampling", "q539_order_admission",
-    "q540_d4_diversity_prune", "q541_blocklist_screen",
-    "q542_mojibake_screen",
-    "q241_functional_deps", "q242_cdc_generate", "q244_backtest_folds",
-    "q245_forecast_eval", "q246_theil_sen", "q247_rolling_corr",
-    "q249_drop_reason_matrix", "q250_threshold_sweep", "q251_spearman",
-    "q252_mann_whitney", "q253_overlap_spans", "q254_bitemporal_asof",
-    "q256_diff_in_diff", "q257_haar_energy", "q259_generalization_ladder",
-    "q260_broadcast_advisor", "q263_contribution_bounds",
-    "q264_retraction_view", "q265_bucketized_window_join",
-    "q266_funnel_by_cohort", "q267_sorted_neighborhood",
-    "q268_price_volume_mix", "q269_conformal_intervals",
-    "q270_quantile_effects", "q271_motif_discord", "q272_acf",
-    "q273_overdispersion", "q274_wilson_ci", "q275_seasonality_strength",
-    "q276_temporal_integrity", "q277_proximity_join",
-    "q278_vshape_patterns", "q279_geo_hotspots",
-    "q280_jaccard_threshold_sweep", "q281_edge_churn",
-    "q282_knn_label_purity", "q283_neardup_source_matrix",
-    "q284_bloom_semi_join", "q285_cms_error", "q286_ohlc_bars",
-    "q287_lpm_route_join", "q288_survivorship", "q289_silhouette",
-    "q290_json_profile", "q291_session_gap_sweep", "q292_surrogate_keys",
-    "q293_clustering_depth", "q294_auc_eval", "q297_encoding_advisor",
-    "q298_inferred_members", "q300_nearest_asof", "q301_ranking_gain_eval",
+    "q41_minhash_lsh", "q63_dup_clusters", "q70_staging_chain",
+    "q91_split_leakage", "q125_incremental_lsh", "q177_lsh_recall",
+    "q280_jaccard_threshold_sweep", "q283_neardup_source_matrix",
+    "q296_capped_balance", "q381_hits", "q392_markov_attribution",
+    "q451_linkpred_backtest", "q459_graph_drift", "q460_abc_migration",
+    "q529_dedup_chaining_audit", "q531_curation_admission",
+    "q301_ranking_gain_eval", "q312_reco_coverage",
+    "q313_categorical_drift", "q317_revenue_bridge",
+    "q326_ranker_interleave_eval", "q347_price_elasticity",
+    "q359_fingerprint_match", "q284_bloom_semi_join", "q285_cms_error",
+    "q286_ohlc_bars", "q287_lpm_route_join", "q288_survivorship",
+    "q289_silhouette", "q290_json_profile", "q291_session_gap_sweep",
+    "q292_surrogate_keys", "q293_clustering_depth", "q294_auc_eval",
+    "q297_encoding_advisor", "q298_inferred_members", "q300_nearest_asof",
     "q302_sequence_gap_audit", "q303_injection_screen",
     "q304_license_audit", "q305_rollup_distinct_sketch",
     "q306_attribution_models", "q308_detector_agreement",
     "q309_rolling_distinct_sketch", "q310_unordered_funnel",
-    "q311_slo_burn_rate", "q312_reco_coverage", "q313_categorical_drift",
-    "q314_topk_with_ties", "q315_null_aware_anti", "q316_interval_coverage",
-    "q317_revenue_bridge", "q318_differencing_audit",
+    "q311_slo_burn_rate", "q314_topk_with_ties", "q315_null_aware_anti",
+    "q316_interval_coverage", "q318_differencing_audit",
     "q319_freshness_board", "q320_duplicate_payments", "q321_chain_ladder",
     "q322_fifo_cogs", "q323_backfill_planner", "q324_srm_check",
-    "q325_pinball_eval", "q326_ranker_interleave_eval",
-    "q327_point_in_polygon", "q328_tiered_storage_advisor",
-    "q329_ensemble_anomaly", "q330_sequential_rules", "q331_km_survival",
-    "q332_record_linkage", "q333_cramers_v", "q334_temporal_taint",
-    "q335_brier_decomposition", "q336_cem_att", "q337_l_diversity",
-    "q338_average_precision", "q339_kruskal_wallis", "q340_bh_fdr",
-    "q342_simpsons_flip", "q343_ips_offpolicy", "q344_org_rollup",
-    "q346_energy_distance", "q347_price_elasticity", "q348_ipf_raking",
-    "q349_eb_smoothing", "q350_month_proration", "q352_rrf_fusion",
-    "q354_rolling_slope", "q355_qini_uplift", "q356_chunking_sweep",
-    "q357_matryoshka_recall", "q358_mde_power", "q359_fingerprint_match",
+    "q325_pinball_eval", "q327_point_in_polygon",
+    "q328_tiered_storage_advisor", "q329_ensemble_anomaly",
+    "q330_sequential_rules", "q331_km_survival", "q332_record_linkage",
+    "q333_cramers_v", "q334_temporal_taint", "q335_brier_decomposition",
+    "q336_cem_att", "q337_l_diversity", "q338_average_precision",
+    "q339_kruskal_wallis", "q340_bh_fdr", "q342_simpsons_flip",
+    "q343_ips_offpolicy", "q344_org_rollup", "q346_energy_distance",
+    "q348_ipf_raking", "q349_eb_smoothing", "q350_month_proration",
+    "q352_rrf_fusion", "q354_rolling_slope", "q355_qini_uplift",
+    "q356_chunking_sweep", "q357_matryoshka_recall", "q358_mde_power",
     "q360_best_split", "q361_leakage_screen", "q362_robust_ab",
     "q363_pq_adc", "q364_reshard_planner", "q365_learning_curve",
     "q366_langid_confusion", "q367_watermark_advisor",

@@ -31,6 +31,9 @@ import pytest
 import __spark_entry__ as entry
 from scripts.make_empty_sf import TABLES, build
 
+pytestmark = pytest.mark.sweep  # full-registry sweep — run via scripts/run_sweeps.py; excluded from the bounded driver-window run (pytest.ini)
+
+
 #: every query the r9 empty-corpus sweep found divergent, now fixed
 FIXED = [
     "q17_rollup",

@@ -10,6 +10,9 @@ import pytest
 
 from serverless_etl_spark import registry
 
+pytestmark = pytest.mark.sweep  # full-registry sweep — run via scripts/run_sweeps.py; excluded from the bounded driver-window run (pytest.ini)
+
+
 registry.load_all()
 
 from tests.conftest import SF_SMALL  # noqa: E402

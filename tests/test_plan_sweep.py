@@ -19,6 +19,9 @@ registry.load_all()
 
 from conftest import SF_SMALL  # noqa: E402
 
+pytestmark = pytest.mark.sweep  # full-registry sweep — run via scripts/run_sweeps.py; excluded from the bounded driver-window run (pytest.ini)
+
+
 #: queries whose BNLJ is by construction a broadcast of a one-row
 #: aggregate or a tiny fixed set — the Spark form of a scalar subquery
 #: or an exact all-pairs baseline (each documented in its docstring)

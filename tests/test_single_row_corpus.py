@@ -31,6 +31,9 @@ import pytest
 import __spark_entry__ as entry
 from scripts.make_empty_sf import TABLES, build
 
+pytestmark = pytest.mark.sweep  # full-registry sweep — run via scripts/run_sweeps.py; excluded from the bounded driver-window run (pytest.ini)
+
+
 FIXED = [
     "q112_trend_slope",
     "q127_ks_drift",

@@ -1,0 +1,122 @@
+"""Deterministic ~sf1 SCALING fixture for the r10 low-vs-high-core
+spot-bench (r9 verdict item 2): at sf0.1 every headline query is
+fixed-overhead-bound and 8 cores beat 32, so the round's fan-out /
+shuffle work was plan-verified but throughput-UNVERIFIED.
+
+This replicates the sf0.1 `documents`, `events` and `embeddings`
+tables K times (default 10) with deterministic key offsets — NOT
+driver data, a scaling probe only:
+
+- ``documents``: copy i>0 prefixes every token with ``c<i>`` so no
+  shingle collides across copies (exact replication would daisy-chain
+  every doc to its 9 clones and make the LSH band join quadratic in K
+  — a fixture artifact, not a workload); doc_id += i * 100_000 (stays
+  below the 1_000_000 offset the dedup queries use to seed clones).
+- ``events``: user/doc ids += i * 100_000, timestamps unchanged.
+- ``embeddings``: vec_id += i * 100_000, vector rotated by a
+  deterministic per-copy sign flip on one dimension (keeps norms,
+  breaks exact duplication).
+
+Dimension/fact tables (region..lineitem) are copied verbatim so every
+query still runs and the DuckDB oracle can be checked on the SAME
+directory (both engines read identical files — correctness is
+self-consistent at any K).
+
+    python scripts/make_scaled_sf.py [src_sf_dir] [out_dir] [K]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/scaledata/sf1"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = 100_000
+
+
+def main() -> None:
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="make_scaled_sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = pathlib.Path(OUT)
+    out.mkdir(parents=True, exist_ok=True)
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copyfile(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+        print(f"copied {t}")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(K):
+        if i == 0:
+            parts.append(docs)
+        else:
+            parts.append(
+                docs.selectExpr(
+                    f"doc_id + {i * OFF} AS doc_id",
+                    "array_join(transform(split(text, ' '),"
+                    f" w -> concat('c{i}', w)), ' ') AS text",
+                    "lang",
+                    "source",
+                ).selectExpr("doc_id", "text", "lang", "source",
+                             "length(text) AS n_chars")
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.coalesce(4).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    print("documents:", spark.read.parquet(str(out / "documents.parquet")).count())
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    id_cols = ["event_id", "user_id"]
+    parts = []
+    for i in range(K):
+        if i == 0:
+            parts.append(ev)
+        else:
+            shifted = ev
+            for c in id_cols:
+                shifted = shifted.withColumn(c, F.col(c) + i * OFF)
+            parts.append(shifted)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.coalesce(4).write.mode("overwrite").parquet(str(out / "events.parquet"))
+    print("events:", spark.read.parquet(str(out / "events.parquet")).count())
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for i in range(K):
+        if i == 0:
+            parts.append(emb)
+        else:
+            parts.append(
+                emb.selectExpr(
+                    f"vec_id + {i * OFF} AS vec_id",
+                    # flip one deterministic dimension's sign per copy:
+                    # same norms, no exact duplicate vectors
+                    f"CAST(transform(embedding, (x, j) -> CASE WHEN j = {i % 8}"
+                    " THEN -x ELSE x END) AS ARRAY<FLOAT>) AS embedding",
+                    "label",
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.coalesce(2).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    print("embeddings:", spark.read.parquet(str(out / "embeddings.parquet")).count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

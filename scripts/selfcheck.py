@@ -25,6 +25,7 @@ reboot onto slower metal can't emit spurious >2x flags. The ledger's
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -104,7 +105,11 @@ def main():
               f"{CALIB_REF:.4f}s -> scale {calib_scale:.4f}")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        p = f"{SF_DIR}/{t}.parquet"
+        # directory-style parquet (e.g. the r10 scaled fixture) needs a
+        # glob — duckdb 1.0 does not auto-expand directories
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()

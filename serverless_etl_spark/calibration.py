@@ -37,8 +37,15 @@ from __future__ import annotations
 
 import time
 
-#: probe seconds on the reference instance (locked r9, idle local[32];
-#: min over 3 post-warmup iterations, reproduced across fresh JVMs)
+#: probe seconds on the reference instance (locked r9, idle local[32],
+#: as min-of-3 after one warmup). The r10 statistic (median-of-5 after
+#: two warmups) reads LOWER than min-of-3-after-one on the same box
+#: (the warmup curve keeps descending), so keeping 0.78 as REF is the
+#: CONSERVATIVE choice under the one-sided clamp: slower instances are
+#: deflated slightly LESS than truth (flags stay a touch more likely
+#: to fire and get the documented isolated re-measure), and a
+#: reference-speed box still clamps to identity. Re-lock on reference
+#: hardware when next available.
 CALIB_REF = 0.78
 
 #: normalization guard: a probe more extreme than this vs CALIB_REF is
@@ -47,11 +54,22 @@ CALIB_REF = 0.78
 _MAX_SCALE = 4.0
 
 
-def calibration_probe(spark, iters: int = 3) -> float:
-    """Time the pinned two-leg workload; return min-of-``iters`` after
-    one discarded warmup iteration."""
-    best = float("inf")
-    for i in range(iters + 1):
+def calibration_probe(spark, iters: int = 5, warmup: int = 2) -> float:
+    """Time the pinned two-leg workload; return the MEDIAN of ``iters``
+    post-warmup iterations after ``warmup`` discarded ones.
+
+    r10 (r9 verdict item 9): the old min-of-3 after ONE warmup landed
+    mid-JIT — the leg keeps speeding up for several iterations (12-run
+    trace on one idle box: 1.05, 0.84, 0.81, 0.69, 0.72, 0.73, 0.70,
+    ... 0.60), so the statistic depended on where in the warmup curve
+    the window fell, a ±25% cross-JVM spread (0.60-0.79 r9; 0.81 vs
+    1.24 across two JVMs of the SAME box measured this round). Two
+    discarded warmups land past the steep part of the curve and the
+    median is insensitive to the stragglers/outliers that min is not.
+    Recorded spread of the new statistic across fresh JVMs is in
+    OPTIMIZATION_r10.md (<±10% target)."""
+    vals: list[float] = []
+    for i in range(iters + warmup):
         t0 = time.perf_counter()
         # leg 1: CPU/codegen — hash + trig over a 48M range (avg, not
         # sum: ANSI mode overflows bigint on summed xxhash64)
@@ -64,10 +82,17 @@ def calibration_probe(spark, iters: int = 3) -> float:
             "id % 65536 AS k", "id AS v"
         ).groupBy("k").sum("v").count()
         dt = time.perf_counter() - t0
-        if i == 0:
-            continue  # JIT/codegen warmup iteration — discard
-        best = min(best, dt)
-    return round(best, 4)
+        if i < warmup:
+            continue  # JIT/codegen warmup iterations — discard
+        vals.append(dt)
+    vals.sort()
+    n = len(vals)
+    med = (
+        vals[n // 2]
+        if n % 2
+        else (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+    )
+    return round(med, 4)
 
 
 def scale_factor(calib: float) -> float:

@@ -1,0 +1,81 @@
+"""Low-vs-high-core scaling spot-bench (r9 verdict item 2).
+
+At sf0.1 every headline query is fixed-overhead-bound (all 8->32 core
+ratios ~1 in BENCH_r09_c8), so the fan-out/shuffle work was
+plan-verified but throughput-unverified. This times the kernel-heavy
+fan-out queries at a LARGER fixture (scripts/make_scaled_sf.py) on
+local[$SPARK_GRAFT_CPUS], noop sink best-of-N, one JSON line:
+
+    SPARK_GRAFT_CPUS=8  python scripts/scaling_bench.py /root/scaledata/sf1 > c8.json
+    SPARK_GRAFT_CPUS=32 python scripts/scaling_bench.py /root/scaledata/sf1 > c32.json
+
+Compare per-query ratios c8/c32 (>~2 proves the parallel fan-out).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/scaledata/sf1"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+QUERIES = os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "").split(",") if os.environ.get("SPARK_GRAFT_SCALING_QUERIES") else [
+    # the six r9 fan-out sites (verdict list)
+    "q70_staging_chain",
+    "q255_poisson_bootstrap",
+    "q158_fuzzy_join",
+    "q345_greedy_coverage",
+    "q533_self_bleu_diversity",
+    "q115_bigram_lm_score",
+    # r10 fan-out additions (shingle-heavy dedup family)
+    "q41_minhash_lsh",
+    "q91_split_leakage",
+]
+
+
+def main() -> None:
+    from serverless_etl_spark import registry
+    from serverless_etl_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="scaling_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+    # warmup JVM/codegen
+    registry.QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
+
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        best = float("inf")
+        for _ in range(ITERS):
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"scaling: {name}")
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        print(f"# {name}: {out[name]:.3f}s", file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_spot_bench",
+                "cpus": cpus,
+                "sf_dir": SF_DIR,
+                "iters": ITERS,
+                "queries": out,
+                "total": round(sum(out.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,16 +63,26 @@ def _duped_docs(
 
 
 def _shingles(toks):
-    """Distinct 3-gram token shingles."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
+    """Distinct 3-gram token shingles.
+
+    Guarded for docs under 3 tokens (r10): unguarded,
+    ``sequence(0, size-3)`` DESCENDS below zero and ``element_at``
+    raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI — a crash the
+    fixtures never trigger (every fixture doc has ≥3 tokens) but any
+    real corpus would. DuckDB's ``range(len-2)`` is naturally empty
+    there, so the guard also closes the engines' short-doc divergence
+    (ADVICE r9). Values for ≥3-token docs are untouched."""
+    return F.when(F.size(toks) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
         )
     )
 
@@ -82,11 +92,19 @@ def _shingles(toks):
 #: _minhash_bands' driver-cost note); any edit must keep the two in
 #: lockstep with the DuckDB _SHINGLES_SQL below
 _SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    "CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)"
+    " ELSE array_distinct(transform(sequence(0, size(toks) - 3),"
     " i -> concat_ws(' ', element_at(toks, i + 1),"
-    " element_at(toks, i + 2), element_at(toks, i + 3))))"
+    " element_at(toks, i + 2), element_at(toks, i + 3)))) END"
 )
 
+#: DuckDB rendering for the oracles: ``range(len-2)`` is naturally
+#: empty for docs under 3 tokens — the Spark pair above carries an
+#: explicit size guard to match (it used to CRASH there under ANSI;
+#: see _shingles). Keep the three renderings in lockstep via
+#: tests/test_r10_perf_changes.py's short-doc pin, the r9 parity pin,
+#: and the full-registry oracle sweep whenever shingle semantics
+#: change.
 _SHINGLES_SQL = """list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
                i -> string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2] || ' ' ||

@@ -165,3 +165,34 @@ def test_q531_new_batch_sql_parse_matches_column_tree(spark):
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
     assert old.count() == new.count() > 0
+
+
+def test_shingles_short_docs_match_duckdb_empty_list(spark):
+    # <3-token docs used to crash Spark's _shingles under ANSI
+    # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT via the descending sequence)
+    # while DuckDB's range(len-2) yields [] — the guard must make both
+    # renderings return [] there and leave >=3-token docs untouched
+    from serverless_etl_spark.operators.dedup import (
+        _SHINGLES_SPARK,
+        _shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "a b c d"), (4, "")],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", _shingles(F.split("text", " ")).alias("sh")
+        ).collect()
+    }
+    sql_form = {
+        r["doc_id"]: r["sh"]
+        for r in df.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS sh")
+        .collect()
+    }
+    assert col_form == sql_form
+    assert col_form[1] == [] and col_form[2] == [] and col_form[4] == []
+    assert col_form[3] == ["a b c", "b c d"]
